@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale document corpora.
+
+Five strategies, all shuffle-architected for 100 TB:
+
+- exact_dedup: hash-groupBy on a content digest. One shuffle on the digest
+  (never on the full text); partial aggregation collapses per-task first.
+- jaccard_pairs: exact n-gram Jaccard all-pairs via an inverted-index join
+  on shingles. The optional ``max_df`` frequency cap drops stop-shingles,
+  which is what bounds the join fan-out at scale (a shingle appearing in f
+  docs contributes f² candidate pairs).
+- minhash_lsh_pairs: MinHash signatures + banded LSH. Candidates are pairs
+  sharing one band bucket — the join key is (band, bucket-hash), so the
+  shuffle moves signatures, not documents. Candidates are then verified with
+  exact Jaccard, so precision is 1; recall is the standard 1-(1-s^r)^b curve.
+- simhash_pairs: 63-bit SimHash with chunk-banding candidate generation and
+  exact Hamming verification (pigeonhole: ≤k differing bits with k+1 chunks
+  ⇒ some chunk equal).
+- embedding near-dup lives in operators/similarity.py.
+
+All hashing is xxhash64 (JVM-side, whole-stage-codegen'd); no Python UDFs
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def words(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    with_w = docs.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__w"))
+    if n == 1:
+        arr = F.col("__w")
+    else:
+        gram = "concat_ws(' ', " + ", ".join(f"__w[i+{j}]" for j in range(n)) + ")"
+        arr = F.when(
+            F.size("__w") >= n,
+            F.expr(f"transform(sequence(0, size(__w) - {n}), i -> {gram})"),
+        ).otherwise(F.array().cast("array<string>"))
+    return (
+        with_w.select("id", F.explode(arr).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: digest, representative
+    (min id), and duplicate count. Scale: shuffle on the 32-byte digest only."""
+    digested = docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("digest"),
+    )
+    return digested.groupBy("digest").agg(
+        F.min("id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _pair_jaccard(sh: DataFrame, restrict_pairs: DataFrame | None = None) -> DataFrame:
+    """(id_a, id_b, jaccard) from a shingle table, optionally restricted to
+    candidate pairs (id_a, id_b)."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    if restrict_pairs is not None:
+        a = a.join(restrict_pairs.select("id_a").distinct(), "id_a")
+        b = b.join(restrict_pairs.select("id_b").distinct(), "id_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if restrict_pairs is not None:
+        inter = inter.join(restrict_pairs, ["id_a", "id_b"], "left_semi")
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "nb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs.
+
+    ``max_df`` caps shingle document-frequency (inverted-index stop-shingle
+    cut); REQUIRED at real scale, optional for small exact oracles.
+    """
+    sh = shingles(docs, id_col, text_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") > max_df
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
+    """One row per doc: minhash_0..minhash_{k-1}. Each hash family member is
+    xxhash64 seeded by its index; the signature agg is a single map-side
+    combinable groupBy."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 64,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard-verified.
+
+    rows-per-band r = num_hashes // bands. Defaults (r=2, b=64) give recall
+    1-(1-s²)⁶⁴ ≈ 1-1e-8 at s=0.5 — chosen so verified output matches the
+    exact-Jaccard oracle. At 100 TB raise r (fewer, cleaner candidates):
+    r=4/b=32 still gives 0.999+ recall at s≥0.8 while cutting candidate
+    volume by orders of magnitude.
+    """
+    r = num_hashes // bands
+    sh = shingles(docs, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"mh{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    return _pair_jaccard(sh, restrict_pairs=cand).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash63(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """63-bit SimHash over word n-grams (bit 63 unused to stay in signed
+    BIGINT). Feature hash is xxhash64; per-bit vote is a single groupBy with
+    63 conditional sums — fully JVM-side."""
+    sh = shingles(docs, id_col, text_col, n).withColumn(
+        "h", F.xxhash64(F.col("shingle"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{j}")
+        for j in range(63)
+    ]
+    agg = sh.groupBy("id").agg(*votes)
+    sig = None
+    for j in range(63):
+        bit = F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = bit if sig is None else sig + bit
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: chunk-banding candidates + exact Hamming
+    verify. With ``chunks`` = max_hamming+1, pigeonhole guarantees recall 1.
+    Shuffle key is the 16-bit chunk value — tiny."""
+    assert chunks >= max_hamming + 1, "pigeonhole needs chunks > max_hamming"
+    sigs = simhash63(docs, id_col, text_col, n)
+    width = 64 // chunks
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(chunks)
+        ]
+    )
+    buckets = sigs.select(
+        "id", "simhash", F.posexplode(chunk_arr).alias("chunk", "val")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,143 @@
+"""Multimodal column handling: image/audio/video as opaque binary columns
+with typed metadata.
+
+The container has no image/audio codecs, so the decode step is STUBBED
+(NotImplementedError behind an import-try, plus a deterministic fake for
+tests) — but the Spark-side plumbing is real: schema, Arrow batch shape,
+mapInPandas signatures, and partitioning are exactly what a production
+decode would use. At 100 TB the design rules are:
+
+- binary payloads never shuffle: decode/feature-extract runs mapInPandas on
+  the scan partitioning, emitting small typed features; only features move.
+- metadata (codec, dims, duration) is a typed struct column so filters like
+  `meta.width >= 512` prune BEFORE any decode.
+- Arrow batch size bounds executor memory: payload_bytes × batch ≤ heap slice.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image/audio/video
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def attach_media_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    media_type: str = "image",
+    codec: str = "raw",
+) -> DataFrame:
+    """Attach the typed metadata struct. Real pipelines parse container
+    headers (cheap, bounded reads); here dims derive from payload size."""
+    size = F.length(F.col(payload_col))
+    meta = F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(codec).alias("codec"),
+        (size % 1920).cast("int").alias("width"),
+        (size % 1080).cast("int").alias("height"),
+        (size.cast("bigint") * 10).alias("duration_ms"),
+    )
+    return df.withColumn("media_meta", meta)
+
+
+def payload_stats(payload: Column) -> list[Column]:
+    """Cheap byte-level stats that never decode: size + content digest.
+    Used for exact dedup of media blobs and storage accounting."""
+    return [
+        F.length(payload).alias("byte_len"),
+        F.sha2(payload, 256).alias("sha256"),
+        F.crc32(payload).alias("crc32"),
+    ]
+
+
+def _real_image_decode_available() -> bool:
+    try:
+        import PIL  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    feature_dim: int = 8,
+    use_fake: bool | None = None,
+) -> DataFrame:
+    """Decode → feature-extract via mapInPandas (Arrow-batched).
+
+    With codecs installed this would decode and embed; in this container it
+    uses the deterministic fake (byte-histogram features) so the plumbing —
+    schema, batching, partition alignment — is fully exercised and tested.
+    """
+    if use_fake is None:
+        use_fake = not _real_image_decode_available()
+    if not use_fake:
+        raise NotImplementedError(
+            "real image decode requires PIL/torchvision — not in this container"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("byte_len", T.IntegerType()),
+        ]
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            feats, lens = [], []
+            for blob in pdf[payload_col]:
+                arr = np.frombuffer(blob or b"", dtype=np.uint8)
+                # deterministic fake "decode": normalized byte histogram
+                hist = np.bincount(arr % feature_dim, minlength=feature_dim)
+                total = max(int(hist.sum()), 1)
+                feats.append((hist / total).astype(np.float32))
+                lens.append(len(arr))
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values, "features": feats, "byte_len": lens}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    stride: int = 16,
+) -> DataFrame:
+    """Frame sampling for "video" payloads: every stride-th byte stands in
+    for a frame (the real version seeks keyframes). Pure Catalyst — the
+    positions array is computed per row and exploded; no Python."""
+    n = F.length(F.col(payload_col))
+    positions = F.sequence(F.lit(1), n, F.lit(stride))
+    frames = df.select(
+        F.col(id_col),
+        F.explode(positions).alias("frame_pos"),
+        F.col(payload_col),
+    )
+    # one "frame" = a 1-byte slice at the sampled position, digested
+    return frames.select(
+        id_col,
+        "frame_pos",
+        F.crc32(F.expr(f"substring({payload_col}, frame_pos, 1)")).alias("frame_crc"),
+    )

@@ -1,0 +1,51 @@
+"""Query suite registry.
+
+Every operator the engine implements registers one (or more) named queries
+here. Each query is a callable ``(spark, sf_dir) -> DataFrame`` plus, when
+the semantics are ANSI-SQL-expressible, a DuckDB oracle SQL string computing
+the same result on the same parquet tables. The driver's correctness gate
+(CORRECTNESS_r{N}.json) runs both sides and hash-compares.
+
+Parity rules used throughout the suite (see suite/core.py):
+- every computed column is explicitly aliased, identically on both sides;
+- double aggregations go through DECIMAL so they are order-independent and
+  bit-identical between Spark and DuckDB, then cast back to DOUBLE;
+- dates/timestamps in outputs are rendered as strings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL, or None → rows-only check
+    tags: tuple[str, ...] = ()
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every suite module so registrations run."""
+    from . import analytics  # noqa: F401
+    from . import ingestion  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import text  # noqa: F401
+    from . import multimodal  # noqa: F401
+
+    return QUERIES

@@ -1,0 +1,366 @@
+"""Analytical queries over the ingested tables.
+
+The reference is an ingestion engine (SURVEY.md §2.5: it has no relational
+operators), but its *output* is an analytics lakehouse — these queries are
+the read-side workload a user of the connector runs on the tables it lands,
+and they are the headline benchmark queries for this engine.
+
+Scale notes (100 TB design):
+- lineitem/orders/events are the scaling facts; every query keeps them in
+  scan→partial-agg→shuffle-on-group-keys form (map-side combine is free).
+- region/nation/customer/supplier/part are broadcast (core.dim) so no fact
+  table ever shuffles for a dimension join.
+- All filters are plain column predicates → parquet pushdown + pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import register
+from .core import davg, dim, dsum, sql_davg, sql_dsum, table
+
+
+# --------------------------------------------------------------------------
+# Q1: pricing summary (TPC-H Q1 shape). Scan + group-by-2-low-card-keys:
+# at 100 TB this is one pass, partial aggregation reduces each task to ~6 rows.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 2)} AS sum_qty,
+           {sql_dsum('l_extendedprice', 2)} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {sql_davg('l_quantity', 2)} AS avg_qty,
+           {sql_davg('l_extendedprice', 2)} AS avg_price,
+           {sql_davg('l_discount', 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("analytics", "bench"),
+)
+def tpch_q1(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2, "sum_qty"),
+            dsum(F.col("l_extendedprice"), 2, "sum_base_price"),
+            dsum(disc_price, 4, "sum_disc_price"),
+            dsum(charge, 6, "sum_charge"),
+            davg(F.col("l_quantity"), 2, "avg_qty"),
+            davg(F.col("l_extendedprice"), 2, "avg_price"),
+            davg(F.col("l_discount"), 2, "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3: shipping priority (TPC-H Q3 shape). customer is broadcast; orders⋈lineitem
+# shuffles on o_orderkey only. Top-10 via global sort on the tiny aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    tags=("analytics", "bench"),
+)
+def tpch_q3(spark, sf_dir):
+    c = dim(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5: local-supplier revenue by nation (TPC-H Q5 shape). All dims broadcast;
+# the only shuffle is lineitem⋈orders on orderkey.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    tags=("analytics", "bench"),
+)
+def tpch_q5(spark, sf_dir):
+    c = dim(spark, sf_dir, "customer")
+    s = dim(spark, sf_dir, "supplier")
+    n = dim(spark, sf_dir, "nation")
+    r = dim(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6: forecast revenue change (TPC-H Q6 shape). Pure pushed-down scan+filter
+# into a single global aggregate — the cheapest possible plan at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q6",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 6)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.02 AND l_discount <= 0.04
+      AND l_quantity < 24
+    """,
+    tags=("analytics", "bench"),
+)
+def tpch_q6(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Order-priority check (TPC-H Q4 shape, adapted to available columns):
+# semi-join orders→lineitem. Spark plans a LEFT SEMI shuffle join; at scale
+# the lineitem side pre-aggregates to distinct orderkeys.
+# --------------------------------------------------------------------------
+@register(
+    "order_priority_count",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("analytics", "bench"),
+)
+def order_priority_count(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window function: top-3 customers by revenue within each nation.
+# Shuffles once on custkey for the agg, once on nationkey for the window —
+# both keys low-skew; AQE coalesces the tiny window stage.
+# --------------------------------------------------------------------------
+@register(
+    "top_customers_per_nation",
+    oracle=f"""
+    WITH rev AS (
+        SELECT c.c_nationkey, c.c_custkey, c.c_name,
+               {sql_dsum('o.o_totalprice', 2)} AS revenue
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey, c.c_name
+    )
+    SELECT n.n_name AS nation, c_name AS customer, revenue, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY c_nationkey ORDER BY revenue DESC, c_custkey
+        ) AS rnk
+        FROM rev
+    ) t JOIN nation n ON t.c_nationkey = n.n_nationkey
+    WHERE rnk <= 3
+    ORDER BY nation, rnk
+    """,
+    tags=("analytics", "bench"),
+)
+def top_customers_per_nation(spark, sf_dir):
+    c = dim(spark, sf_dir, "customer")
+    n = dim(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    rev = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(dsum(F.col("o_totalprice"), 2, "revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_name").alias("customer"),
+            "revenue",
+            "rnk",
+        )
+        .orderBy("nation", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming-style rollup in batch form: per-type hourly event aggregates.
+# This is the canonical "hypertable rollup" a user runs on the events table
+# the connector lands. Group keys are (hour, type): ~3.6k groups — partial
+# agg collapses each task to nearly nothing before the shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly_rollup",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dsum('value', 2)} AS sum_value,
+           {sql_davg('value', 2)} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("analytics", "bench"),
+)
+def events_hourly_rollup(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value"), 2, "sum_value"),
+            davg(F.col("value"), 2, "avg_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gap-based sessions (30 min) per user via lag() window.
+# Scale path: shuffle on user_id once; all session logic is a single window
+# pass (no self-join). Skewed users are bounded by per-user event counts.
+# --------------------------------------------------------------------------
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    ) > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM marked
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("analytics", "bench"),
+)
+def events_sessionize(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,124 @@
+"""Deduplication queries over the `documents` / `embeddings` tables.
+
+The exact strategies (hash, n-gram Jaccard, embedding cosine) carry full
+DuckDB oracles. MinHash-LSH is verified with exact Jaccard after candidate
+generation, so its output equals the exact-Jaccard oracle (recall at the
+configured band shape is 1-1e-8 at s=0.5). SimHash has no SQL-expressible
+oracle (xxhash64) → rows-only check + pytest semantic tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..operators.similarity import cosine_pairs
+from ..functions.vector import sql_cosine
+from . import register
+from .core import table
+
+# Shared DuckDB shingle CTE: word trigrams, distinct per doc — the exact
+# mirror of operators/dedup.shingles(n=3).
+_DUCK_SHINGLES = r"""
+    docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       list_zip(w[1:-3], w[2:-2], w[3:-1]),
+                       x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS s
+            FROM docs
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT id_a, id_b,
+               CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_DUCK_SHINGLES}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the normalized-content digest.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (word trigrams, t=0.5).
+# --------------------------------------------------------------------------
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup",))
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH with exact verification: candidates from 64 bands × 2 rows
+# (recall ≈ 1-1e-8 at s=0.5), verified with exact Jaccard → output equals
+# the exact oracle. The scale win: candidates shuffle on band buckets
+# instead of the full inverted index.
+# --------------------------------------------------------------------------
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE, tags=("dedup",))
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, n=3, threshold=0.5, num_hashes=128, bands=64
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs (63-bit, hamming ≤ 8 over word bigram features).
+# No SQL oracle (xxhash64 is Spark-side) → rows-only + pytest checks.
+# --------------------------------------------------------------------------
+@register("dedup_simhash", oracle=None, tags=("dedup",))
+def dedup_simhash(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, n=2, max_hamming=8, chunks=16)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (exact all-pairs at oracle scale; the
+# corpus-scale path is operators/similarity.srp_lsh_pairs).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.4
+    """,
+    tags=("dedup",),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.4)

@@ -1,0 +1,663 @@
+"""The reference's ingestion-operator surface as oracle-checked queries.
+
+Each query exercises real engine code (convert.py, routing.py, transforms/,
+operators/cdc.py) over the driver's `events` table, with a DuckDB oracle
+computing the same semantics in ANSI SQL. SURVEY.md §2 operator IDs are cited
+per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import convert
+from ..routing import RouteSpec, RoutingConfig, plan_routes
+from ..transforms import (
+    copy_value,
+    debezium_transform,
+    dms_transform,
+    json_to_map,
+    kafka_metadata,
+)
+from ..operators import cdc
+from . import register
+from .core import table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# --------------------------------------------------------------------------
+# P1 — record conversion / coercion (RecordConverter.java:89-300).
+# A fully stringly-typed input is projected onto a typed target schema:
+# string→long/int/double/timestamp coercion, missing column → NULL, unknown
+# column dropped. The conversion is a pure Catalyst projection (convert.py).
+# --------------------------------------------------------------------------
+@register(
+    "record_convert_coerce",
+    oracle=f"""
+    SELECT CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS event_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS ts_str,
+           CAST(CAST(user_id AS VARCHAR) AS INTEGER) AS user_id,
+           CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value,
+           CAST(NULL AS VARCHAR) AS extra
+    FROM events
+    """,
+    tags=("ingestion",),
+)
+def record_convert_coerce(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    stringly = e.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("ts").cast("string").alias("ts"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("value").cast("string").alias("value"),
+        F.col("event_type"),  # unknown to the target schema → dropped
+        F.col("props"),
+    )
+    target = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("extra", T.StringType()),  # missing in input → NULL
+        ]
+    )
+    out = convert.project_to_schema(stringly, target)
+    return out.select(
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_str"),
+        "user_id",
+        "value",
+        "extra",
+    )
+
+
+# --------------------------------------------------------------------------
+# P2 — tombstone filter (IcebergWriter.java:66-76): records whose value is
+# null are skipped. Simulated tombstones: props == '{"k": 0}' → NULL.
+# --------------------------------------------------------------------------
+@register(
+    "tombstone_filter",
+    oracle="""
+    SELECT event_id, props
+    FROM events
+    WHERE nullif(props, '{"k": 0}') IS NOT NULL
+    """,
+    tags=("ingestion",),
+)
+def tombstone_filter(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    as_kafka = e.withColumn("kvalue", F.nullif(F.col("props"), F.lit('{"k": 0}')))
+    return as_kafka.filter(F.col("kvalue").isNotNull()).select("event_id", "props")
+
+
+# --------------------------------------------------------------------------
+# P3 — dotted-path field extraction (Utilities.java:123-155): `a.b.c`
+# traversal into structs, plus JSON-path extraction for string payloads.
+# --------------------------------------------------------------------------
+@register(
+    "field_extract_dotted",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS k,
+           user_id AS nested_user
+    FROM events
+    """,
+    tags=("ingestion",),
+)
+def field_extract_dotted(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    nested = e.withColumn("a", F.struct(F.struct(F.col("user_id").alias("c")).alias("b")))
+    return nested.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.col("a.b.c").alias("nested_user"),  # dotted-path traversal
+    )
+
+
+# --------------------------------------------------------------------------
+# P5 — CDC op extraction (IcebergWriter.java:109-131): first char of the cdc
+# field, case-insensitive, I/U/D, anything else defaults to INSERT.
+# --------------------------------------------------------------------------
+@register(
+    "cdc_op_extract",
+    oracle="""
+    WITH src AS (
+        SELECT event_id,
+               CASE event_type WHEN 'purchase' THEN 'update'
+                               WHEN 'error' THEN 'Delete'
+                               WHEN 'view' THEN 'x-unknown'
+                               ELSE 'insert' END AS op_field
+        FROM events
+    )
+    SELECT event_id, op_field,
+           CASE WHEN upper(substr(op_field, 1, 1)) IN ('I','U','D')
+                THEN upper(substr(op_field, 1, 1)) ELSE 'I' END AS cdc_op
+    FROM src
+    """,
+    tags=("ingestion",),
+)
+def cdc_op_extract(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    src = e.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "update")
+        .when(F.col("event_type") == "error", "Delete")
+        .when(F.col("event_type") == "view", "x-unknown")
+        .otherwise("insert")
+        .alias("op_field"),
+    )
+    return src.select(
+        "event_id", "op_field", cdc.cdc_op_col("op_field").alias("cdc_op")
+    )
+
+
+# --------------------------------------------------------------------------
+# S5a — last-wins collapse (BaseDeltaTaskWriter.java:71-84 applies records
+# sequentially → last op per key defines the batch's effect).
+# --------------------------------------------------------------------------
+@register(
+    "cdc_last_wins",
+    oracle="""
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("ingestion",),
+)
+def cdc_last_wins(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    last = cdc.collapse_last_wins(e, ["user_id"], ["ts", "event_id"])
+    return last.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S5b — full CDC apply (equality-delete + append read semantics,
+# BaseDeltaTaskWriter.java:58-84): base state ⊕ batch of I/U/D ops.
+# --------------------------------------------------------------------------
+@register(
+    "cdc_apply",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_type, value FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        ) WHERE rn = 1
+    ),
+    batch AS (
+        SELECT user_id, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS _cdc_op
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        ) WHERE rn = 1
+    )
+    SELECT user_id, event_type, value
+    FROM base WHERE user_id NOT IN (SELECT user_id FROM batch)
+    UNION ALL
+    SELECT user_id, event_type, value
+    FROM batch WHERE _cdc_op <> 'D'
+    """,
+    tags=("ingestion",),
+)
+def cdc_apply(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    base = cdc.collapse_last_wins(
+        e.filter(F.col("ts") < cutoff), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", "event_type", "value")
+    batch = e.filter(F.col("ts") >= cutoff).withColumn(
+        "_cdc_op",
+        F.when(F.col("event_type") == "error", "D").otherwise("U"),
+    )
+    applied = cdc.apply_cdc_batch(
+        base,
+        batch.select("user_id", "event_type", "value", "_cdc_op", "ts", "event_id"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    return applied.select("user_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# R2 — static regex routing (Worker.java:115-132): anchored match on the
+# route field per table; non-matching records dropped.
+# --------------------------------------------------------------------------
+@register(
+    "route_static",
+    oracle="""
+    SELECT 'events_web' AS target_table, event_id FROM events
+    WHERE event_type IS NOT NULL AND regexp_full_match(event_type, 'click|view')
+    UNION ALL
+    SELECT 'events_purchase', event_id FROM events
+    WHERE event_type IS NOT NULL AND regexp_full_match(event_type, 'purchase')
+    UNION ALL
+    SELECT 'events_account', event_id FROM events
+    WHERE event_type IS NOT NULL AND regexp_full_match(event_type, 'signup|login')
+    """,
+    tags=("ingestion",),
+)
+def route_static(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    cfg = RoutingConfig(
+        tables=[
+            RouteSpec("events_web", "click|view"),
+            RouteSpec("events_purchase", "purchase"),
+            RouteSpec("events_account", "signup|login"),
+        ],
+        route_field="event_type",
+    )
+    routed = plan_routes(e, cfg)
+    parts = [
+        df.select(F.lit(t).alias("target_table"), "event_id")
+        for t, df in routed.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# R3 — dynamic routing (Worker.java:135-144): target table name is the
+# lowercased route-field value; unknown targets are skipped.
+# --------------------------------------------------------------------------
+@register(
+    "route_dynamic",
+    oracle="""
+    SELECT lower(event_type) AS target_table, event_id
+    FROM events
+    WHERE lower(event_type) IN ('click', 'purchase', 'signup')
+    """,
+    tags=("ingestion",),
+)
+def route_dynamic(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    cfg = RoutingConfig(
+        tables=[RouteSpec("click"), RouteSpec("purchase"), RouteSpec("signup")],
+        route_field="event_type",
+        dynamic=True,
+    )
+    routed = plan_routes(e, cfg)
+    parts = [
+        df.select(F.lit(t).alias("target_table"), "event_id")
+        for t, df in routed.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# R1 — broadcast routing (Worker.java:103-113): no route field → every
+# record to every configured table.
+# --------------------------------------------------------------------------
+@register(
+    "route_broadcast",
+    oracle="""
+    SELECT t.target_table, COUNT(*) AS n_rows
+    FROM events e
+    CROSS JOIN (VALUES ('t_a'), ('t_b'), ('t_c')) AS t(target_table)
+    GROUP BY t.target_table
+    ORDER BY t.target_table
+    """,
+    tags=("ingestion",),
+)
+def route_broadcast(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    cfg = RoutingConfig(tables=[RouteSpec("t_a"), RouteSpec("t_b"), RouteSpec("t_c")])
+    routed = plan_routes(e, cfg)
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(t).alias("target_table"), "n_rows"
+        )
+        for t, df in routed.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("target_table")
+
+
+# --------------------------------------------------------------------------
+# P6 — CopyValue SMT (transforms/CopyValue.java:37-131).
+# --------------------------------------------------------------------------
+@register(
+    "smt_copy_value",
+    oracle="SELECT event_id, value, value AS value_copy FROM events",
+    tags=("ingestion",),
+)
+def smt_copy_value(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.transform(copy_value("value", "value_copy")).select(
+        "event_id", "value", "value_copy"
+    )
+
+
+# --------------------------------------------------------------------------
+# P11 — Kafka metadata SMT (KafkaMetadataTransform.java:90-294): the kafka
+# source columns reshaped into a nested struct + an external static field.
+# --------------------------------------------------------------------------
+@register(
+    "smt_kafka_metadata",
+    oracle="""
+    SELECT event_id,
+           'events' AS meta_topic,
+           CAST(user_id % 4 AS INTEGER) AS meta_partition,
+           event_id AS meta_offset,
+           'cluster-1' AS meta_cluster
+    FROM events
+    """,
+    tags=("ingestion",),
+)
+def smt_kafka_metadata(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    as_kafka = e.select(
+        "event_id",
+        F.lit("events").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    out = as_kafka.transform(
+        kafka_metadata(nested=True, external_field=("cluster_id", "cluster-1"))
+    )
+    return out.select(
+        "event_id",
+        F.col("_kafka_metadata.topic").alias("meta_topic"),
+        F.col("_kafka_metadata.partition").alias("meta_partition"),
+        F.col("_kafka_metadata.offset").alias("meta_offset"),
+        F.col("_kafka_metadata.cluster_id").alias("meta_cluster"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P7 — Debezium envelope unwrap (DebeziumTransform.java:64-242): row from
+# after (before on delete), op c/r→I u→U d→D, `_cdc` struct, target name
+# from {db}.{table} pattern.
+# --------------------------------------------------------------------------
+@register(
+    "smt_debezium_unwrap",
+    oracle="""
+    WITH env AS (
+        SELECT event_id,
+               CASE event_type WHEN 'error' THEN 'd'
+                               WHEN 'purchase' THEN 'u' ELSE 'c' END AS op,
+               epoch_ms(ts) AS ts_ms
+        FROM events
+    )
+    SELECT event_id AS id,
+           CASE WHEN op = 'd' THEN 'old' ELSE 'new' END AS data,
+           CASE op WHEN 'u' THEN 'U' WHEN 'd' THEN 'D' ELSE 'I' END AS cdc_op,
+           ts_ms AS cdc_ts_ms,
+           'appdb.events' AS cdc_source,
+           'ice_appdb.events_sink' AS cdc_target
+    FROM env
+    """,
+    tags=("ingestion",),
+)
+def smt_debezium_unwrap(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "purchase", "u")
+        .otherwise("c")
+    )
+    row_new = F.struct(F.col("event_id").alias("id"), F.lit("new").alias("data"))
+    row_old = F.struct(F.col("event_id").alias("id"), F.lit("old").alias("data"))
+    envelope = e.select(
+        op.alias("op"),
+        F.when(op != "c", row_old).alias("before"),
+        F.when(op != "d", row_new).alias("after"),
+        F.struct(
+            F.lit("appdb").alias("db"),
+            F.lit(None).cast("string").alias("schema"),
+            F.lit("events").alias("table"),
+        ).alias("source"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    out = envelope.transform(
+        debezium_transform(target_pattern="ice_{db}.{table}_sink")
+    )
+    return out.select(
+        "id",
+        "data",
+        F.col("_cdc.op").alias("cdc_op"),
+        F.unix_millis("_cdc.ts").alias("cdc_ts_ms"),
+        F.col("_cdc.source").alias("cdc_source"),
+        F.col("_cdc.target").alias("cdc_target"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P8 — DMS envelope unwrap (DmsTransform.java:36-105).
+# --------------------------------------------------------------------------
+@register(
+    "smt_dms_unwrap",
+    oracle="""
+    SELECT event_id AS id, event_type, value,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type = 'purchase' THEN 'U' ELSE 'I' END AS cdc_op,
+           'public.events' AS cdc_source
+    FROM events
+    """,
+    tags=("ingestion",),
+)
+def smt_dms_unwrap(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    op_str = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "purchase", "update")
+        .otherwise("insert")
+    )
+    envelope = e.select(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type"),
+            F.col("value"),
+        ).alias("data"),
+        F.struct(
+            op_str.alias("operation"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+            F.lit("public").alias("schema-name"),
+            F.lit("events").alias("table-name"),
+        ).alias("metadata"),
+    )
+    out = envelope.transform(dms_transform())
+    return out.select(
+        "id",
+        "event_type",
+        "value",
+        F.col("_cdc.op").alias("cdc_op"),
+        F.col("_cdc.source").alias("cdc_source"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P10 — JSON-to-Map SMT, root mode (JsonToMapTransform.java "json.root"):
+# whole document as map<string,string>.
+# --------------------------------------------------------------------------
+@register(
+    "smt_json_to_map_root",
+    oracle="""
+    SELECT event_id, props->>'k' AS k_str FROM events
+    """,
+    tags=("ingestion",),
+)
+def smt_json_to_map_root(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    out = e.transform(json_to_map(column="props", root=True))
+    return out.select("event_id", F.col("payload").getItem("k").alias("k_str"))
+
+
+# --------------------------------------------------------------------------
+# P10/§1.3 — JSON parse with inferred schema (integral → long widening,
+# SchemaUtils.java:306-313).
+# --------------------------------------------------------------------------
+@register(
+    "smt_json_infer_parse",
+    oracle="""
+    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events
+    """,
+    tags=("ingestion",),
+)
+def smt_json_infer_parse(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    out = e.transform(json_to_map(column="props", root=False))
+    return out.select("event_id", F.col("payload.k").cast("bigint").alias("k"))
+
+
+# --------------------------------------------------------------------------
+# A1 — partition fan-out (PartitionedAppendWriter.java:50-54): rows grouped
+# by the table's partition transform (day(ts) here) — the write-side
+# hash-distribution expressed as a group-by.
+# --------------------------------------------------------------------------
+@register(
+    "partition_fanout",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, COUNT(*) AS n_rows
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ingestion",),
+)
+def partition_fanout(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — VTTS: min over source partitions of max record timestamp
+# (CommitState.java:155-178).
+# --------------------------------------------------------------------------
+@register(
+    "vtts",
+    oracle="""
+    SELECT strftime(MIN(max_ts), '%Y-%m-%d %H:%M:%S.%f') AS vtts
+    FROM (
+        SELECT user_id % 4 AS part, MAX(ts) AS max_ts
+        FROM events GROUP BY 1
+    )
+    """,
+    tags=("ingestion",),
+)
+def vtts(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    per_part = e.groupBy((F.col("user_id") % 4).alias("part")).agg(
+        F.max("ts").alias("max_ts")
+    )
+    return per_part.agg(
+        F.date_format(F.min("max_ts"), _TS_FMT_SPARK).alias("vtts")
+    )
+
+
+# --------------------------------------------------------------------------
+# S2 — offset tracking: (max offset + 1, max timestamp) per source partition
+# (Worker.java:89-94, Offset.java:27-48).
+# --------------------------------------------------------------------------
+@register(
+    "offset_tracking",
+    oracle="""
+    SELECT CAST(user_id % 4 AS BIGINT) AS part,
+           MAX(event_id) + 1 AS next_offset,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ingestion",),
+)
+def offset_tracking(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.col("user_id") % 4).cast("bigint").alias("part"))
+        .agg(
+            (F.max("event_id") + 1).alias("next_offset"),
+            F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("max_ts"),
+        )
+        .orderBy("part")
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — file dedup by path (Deduplicated.java:79-168): duplicate file entries
+# across commit events collapse to one (deterministic winner).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_files_by_path",
+    oracle="""
+    SELECT concat('data/p', CAST(user_id % 4 AS VARCHAR), '/f',
+                  CAST(event_id % 500 AS VARCHAR), '.parquet') AS path,
+           MIN(event_id) AS first_event,
+           COUNT(*) AS n_dups
+    FROM events GROUP BY 1
+    """,
+    tags=("ingestion",),
+)
+def dedup_files_by_path(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    path = F.concat(
+        F.lit("data/p"),
+        (F.col("user_id") % 4).cast("string"),
+        F.lit("/f"),
+        (F.col("event_id") % 500).cast("string"),
+        F.lit(".parquet"),
+    )
+    return (
+        e.select(path.alias("path"), "event_id")
+        .groupBy("path")
+        .agg(
+            F.min("event_id").alias("first_event"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §1.3 evolution — union of two schema generations: old batch lacks `value`
+# (NULL-filled), `event_id` widened int→bigint (SchemaUpdate add/widen).
+# --------------------------------------------------------------------------
+@register(
+    "schema_evolution_union",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CAST(NULL AS DOUBLE) AS value
+    FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    UNION ALL
+    SELECT event_id, event_type, value
+    FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+    """,
+    tags=("ingestion",),
+)
+def schema_evolution_union(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    gen1 = e.filter(F.col("ts") < cutoff).select(
+        F.col("event_id").cast("int").alias("event_id"), "event_type"
+    )
+    gen2 = e.filter(F.col("ts") >= cutoff).select("event_id", "event_type", "value")
+    # evolution read: old files projected onto the evolved schema
+    evolved = gen1.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.lit(None).cast("double").alias("value"),
+    )
+    return evolved.unionByName(gen2)

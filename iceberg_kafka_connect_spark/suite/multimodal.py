@@ -1,0 +1,112 @@
+"""Multimodal-column queries: binary payload plumbing over `documents`.
+
+The container has no codecs, so payloads are synthesized (utf-8 bytes of the
+text) — but the operators are the real plumbing: binary columns, typed
+metadata structs with decode-free filtering, byte-level digests, frame
+sampling, and an Arrow-batched fake decoder (rows-only checked here, its
+semantics are pytest-verified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as mm
+from . import register
+from .core import table
+
+
+def _with_payload(docs):
+    """binary payload column = utf-8 bytes of the text (stand-in blob)."""
+    return docs.withColumn("payload", F.encode(F.col("text"), "utf-8"))
+
+
+# --------------------------------------------------------------------------
+# Byte-level stats without decoding: size + sha256 digest (blob dedup keys).
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_payload_stats(spark, sf_dir):
+    docs = _with_payload(table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.length("payload").alias("byte_len"),
+        F.sha2("payload", 256).alias("sha256"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Typed metadata struct + decode-free predicate: media rows are filtered on
+# the meta columns BEFORE any (expensive) decode touches the payload.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_meta_filter",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 1920 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 1080 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) * 10 AS duration_ms
+    FROM documents
+    WHERE (octet_length(encode(text)) % 1920) >= 200
+    """,
+    tags=("multimodal",),
+)
+def multimodal_meta_filter(spark, sf_dir):
+    docs = _with_payload(table(spark, sf_dir, "documents"))
+    with_meta = mm.attach_media_meta(docs, media_type="video")
+    return with_meta.filter(F.col("media_meta.width") >= 200).select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Frame sampling: every 16th position of the payload is a "frame"; rows
+# explode per frame. (String form so the oracle can mirror it; the binary
+# form is operators/multimodal.sample_frames, pytest-covered.)
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(u.pos AS BIGINT) AS frame_pos,
+           CAST(ascii(substring(text, CAST(u.pos AS INTEGER), 1)) AS INTEGER) AS frame_val
+    FROM documents, unnest(generate_series(1, length(text), 16)) AS u(pos)
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    positions = F.sequence(F.lit(1).cast("bigint"), F.length("text").cast("bigint"), F.lit(16).cast("bigint"))
+    return docs.select(
+        "doc_id", F.explode(positions).alias("frame_pos"), "text"
+    ).select(
+        "doc_id",
+        "frame_pos",
+        F.ascii(F.expr("substring(text, cast(frame_pos as int), 1)")).alias("frame_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Arrow-batched fake decode (mapInPandas): real schema/batching/partitioning,
+# deterministic byte-histogram features. No SQL oracle → rows-only + pytest.
+# --------------------------------------------------------------------------
+@register("multimodal_decode_features", oracle=None, tags=("multimodal",))
+def multimodal_decode_features(spark, sf_dir):
+    docs = _with_payload(table(spark, sf_dir, "documents"))
+    feats = mm.decode_image_features(docs, feature_dim=8, use_fake=True)
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "byte_len",
+        F.size("features").alias("feature_dim"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )

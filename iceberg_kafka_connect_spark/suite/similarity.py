@@ -1,0 +1,90 @@
+"""Similarity-search queries over the `embeddings` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.vector import sql_cosine
+from ..operators import similarity
+from . import register
+from .core import table
+
+
+# --------------------------------------------------------------------------
+# Exact brute-force cosine top-k (the correctness baseline). Query set =
+# vec_id < 20; broadcast; ties broken by neighbor id on both sides.
+# --------------------------------------------------------------------------
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {sql_cosine('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id
+               ) AS rank
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(queries, emb, k=5)
+
+
+# --------------------------------------------------------------------------
+# IVF-style partition-pruned top-k: only corpus rows in the query's cell
+# (the `label` column stands in for the IVF assignment) are scored — the
+# 100 TB path, scanning nprobe/nlist of the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "ann_topk_ivf",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {sql_cosine('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.label = c.label
+        WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
+def ann_topk_ivf(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.partitioned_topk(queries, emb, k=5, part_col="label")
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH near-neighbor pairs, exact-cosine verified.
+# Verified output ⊆ exact pairs; recall depends on band shape → rows-only
+# check here, recall asserted in pytest against the exact pair set.
+# --------------------------------------------------------------------------
+@register("ann_srp_lsh_pairs", oracle=None, tags=("similarity",))
+def ann_srp_lsh_pairs(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.srp_lsh_pairs(
+        emb, threshold=0.35, num_bits=32, bands=16, dim=64
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocked-numpy brute force (mapInPandas + GEMM): the throughput variant.
+# Scores come from float matmul (not the decimal-exact fold), so no value
+# oracle — rows-only + pytest equivalence-vs-exact on ids.
+# --------------------------------------------------------------------------
+@register("ann_topk_numpy", oracle=None, tags=("similarity",))
+def ann_topk_numpy(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.brute_force_topk_numpy(queries, emb, k=5)

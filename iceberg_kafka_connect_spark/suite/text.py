@@ -1,0 +1,157 @@
+"""Text-analysis queries over the `documents` table.
+
+Every metric is deterministic arithmetic, so the DuckDB oracles reproduce
+the exact doubles (same IEEE operations in the same order — the oracle SQL
+mirrors the Spark expression tree, including parenthesization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import text as tx
+from . import register
+from .core import sql_davg, table, davg
+
+_STOP_SQL = {
+    lang: "(" + ", ".join(f"'{w}'" for w in words) + ")"
+    for lang, words in tx.STOPWORDS.items()
+}
+
+# lowered word list / raw word list / per-language hit counts
+_PROFILE_CTE = rf"""
+    base AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\s+') AS lw,
+               string_split_regex(trim(text), '\s+') AS rw
+        FROM documents
+    ),
+    hits AS (
+        SELECT *,
+               len(list_filter(lw, x -> x IN {_STOP_SQL['de']})) AS h_de,
+               len(list_filter(lw, x -> x IN {_STOP_SQL['en']})) AS h_en,
+               len(list_filter(lw, x -> x IN {_STOP_SQL['es']})) AS h_es,
+               len(list_filter(lw, x -> x IN {_STOP_SQL['fr']})) AS h_fr
+        FROM base
+    ),
+    metrics AS (
+        SELECT doc_id,
+               CAST(len(rw) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               (CAST(h_en AS DOUBLE) / CAST(len(lw) AS DOUBLE)) AS stopword_ratio,
+               (CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE)
+                     ELSE 0.0 END) AS punct_ratio,
+               (CAST(list_sum(list_transform(rw, x -> length(x))) AS DOUBLE)
+                / CAST(len(rw) AS DOUBLE)) AS mean_word_len,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM hits
+    ),
+    profile AS (
+        SELECT *,
+               (((least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.3
+                  + least(stopword_ratio * 5.0, 1.0) * 0.3)
+                 + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2)
+                + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        THEN 1.0 ELSE 0.5 END) * 0.2) AS quality
+        FROM metrics
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# Single-pass text profile: word/token counts, language ID, quality score,
+# fingerprint — one projection, zero shuffles at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "text_profile",
+    oracle=f"""
+    WITH {_PROFILE_CTE}
+    SELECT doc_id, n_words, n_tokens, lang_pred, stopword_ratio,
+           punct_ratio, mean_word_len, quality, fingerprint
+    FROM profile
+    """,
+    tags=("text",),
+)
+def text_profile(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    prof = tx.profile(docs)
+    return prof.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "lang_pred",
+        "stopword_ratio",
+        "punct_ratio",
+        "mean_word_len",
+        "quality",
+        "fingerprint",
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus quality rollup by (declared) language and source — the filtering
+# dashboard a training-data pipeline drives filtering decisions from.
+# --------------------------------------------------------------------------
+@register(
+    "text_quality_by_lang",
+    oracle=f"""
+    WITH {_PROFILE_CTE}
+    SELECT d.lang, d.source,
+           COUNT(*) AS n_docs,
+           {sql_davg('p.quality', 6)} AS avg_quality,
+           {sql_davg('p.mean_word_len', 6)} AS avg_word_len,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN profile p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, d.source
+    ORDER BY d.lang, d.source
+    """,
+    tags=("text",),
+)
+def text_quality_by_lang(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    prof = tx.profile(docs).select("doc_id", "quality", "mean_word_len")
+    return (
+        docs.join(prof, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(F.col("quality"), 6, "avg_quality"),
+            davg(F.col("mean_word_len"), 6, "avg_word_len"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token accounting: whitespace vs BPE-ish tokenization, chars/token.
+# --------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           (CAST(length(text) AS DOUBLE)
+            / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)) AS chars_per_token
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_bpe = tx.token_count_regex(t).cast("bigint")
+    return docs.select(
+        "doc_id",
+        tx.word_count(t).cast("bigint").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.length(t).cast("double") / n_bpe.cast("double")).alias("chars_per_token"),
+    )
