@@ -1,0 +1,96 @@
+"""Job-spec config — the IcebergSinkConfig surface as a typed dataclass.
+
+Reference: IcebergSinkConfig.java:252-293 (prefix-scoped property maps;
+exactly one of static tables / dynamic routing required), TableSinkConfig
+per-table settings (route-regex, id-columns, partition-by, commit-branch).
+
+Accepts either the dataclasses directly or a flat dict using the reference's
+property names (``iceberg.tables``, ``iceberg.tables.route-field``,
+``iceberg.table.<t>.route-regex``, ``iceberg.tables.cdc-field``, ...), so an
+existing connector config ports over as-is.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TableConfig:
+    name: str
+    route_regex: str | None = None
+    id_columns: list[str] = field(default_factory=list)
+    partition_by: list[str] = field(default_factory=list)
+    commit_branch: str = "main"
+
+
+@dataclass
+class SinkConfig:
+    tables: list[TableConfig] = field(default_factory=list)
+    dynamic_enabled: bool = False
+    route_field: str | None = None
+    cdc_field: str | None = None
+    upsert_mode: bool = False
+    auto_create: bool = False
+    evolve_schema: bool = False
+    schema_case_insensitive: bool = False
+    commit_interval_ms: int = 300_000  # IcebergSinkConfig.java:88-89
+    auto_create_partition_by: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        # exactly one of static tables / dynamic routing
+        # (IcebergSinkConfig.java validation)
+        if self.dynamic_enabled and not self.route_field:
+            raise ValueError("dynamic routing requires a route-field")
+        if not self.dynamic_enabled and not self.tables:
+            raise ValueError("static mode requires iceberg.tables")
+
+    def table(self, name: str) -> TableConfig | None:
+        for t in self.tables:
+            if t.name == name:
+                return t
+        return None
+
+
+def _split(v: str | None) -> list[str]:
+    return [s.strip() for s in v.split(",") if s.strip()] if v else []
+
+
+def from_properties(props: dict[str, str]) -> SinkConfig:
+    """Parse the reference's flat property map (IcebergSinkConfig names)."""
+    table_names = _split(props.get("iceberg.tables"))
+    tables = []
+    for name in table_names:
+        prefix = f"iceberg.table.{name}."
+        tables.append(
+            TableConfig(
+                name=name,
+                route_regex=props.get(prefix + "route-regex"),
+                id_columns=_split(props.get(prefix + "id-columns")),
+                partition_by=_split(props.get(prefix + "partition-by")),
+                commit_branch=props.get(prefix + "commit-branch", "main"),
+            )
+        )
+    return SinkConfig(
+        tables=tables,
+        dynamic_enabled=props.get("iceberg.tables.dynamic-enabled", "false")
+        == "true",
+        route_field=props.get("iceberg.tables.route-field"),
+        cdc_field=props.get("iceberg.tables.cdc-field"),
+        upsert_mode=props.get("iceberg.tables.upsert-mode-enabled", "false")
+        == "true",
+        auto_create=props.get("iceberg.tables.auto-create-enabled", "false")
+        == "true",
+        evolve_schema=props.get("iceberg.tables.evolve-schema-enabled", "false")
+        == "true",
+        schema_case_insensitive=props.get(
+            "iceberg.tables.schema-case-insensitive", "false"
+        )
+        == "true",
+        commit_interval_ms=int(
+            props.get("iceberg.control.commit.interval-ms", "300000")
+        ),
+        auto_create_partition_by=_split(
+            props.get("iceberg.tables.default-partition-by")
+        ),
+    )

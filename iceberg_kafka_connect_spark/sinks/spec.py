@@ -1,0 +1,107 @@
+"""Partition-spec DSL — the reference's config-string partition transforms.
+
+Reference: data/SchemaUtils.java:150-199 parses strings like ``year(ts)``,
+``month(ts)``, ``day(ts)``, ``hour(ts)``, ``bucket(id, 16)``,
+``truncate(s, 4)`` or a bare column name (identity) with the regex
+``(\\w+)\\((.+)\\)``.
+
+Spark-first: each transform compiles to a Catalyst expression producing a
+derived partition column; writes partitionBy those columns, so reads get
+directory-level partition pruning for free.
+
+Note: bucket() here is xxhash64-based — same semantics (stable hash mod n),
+not byte-compatible with Iceberg's murmur3 bucket transform.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TRANSFORM_RE = re.compile(r"(\w+)\((.+)\)")
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    source: str  # source column
+    transform: str  # identity|year|month|day|hour|bucket|truncate
+    param: int | None = None
+
+    @property
+    def name(self) -> str:
+        if self.transform == "identity":
+            return self.source
+        if self.param is not None:
+            return f"{self.source}_{self.transform}{self.param}"
+        return f"{self.source}_{self.transform}"
+
+    def expr(self) -> Column:
+        c = F.col(self.source)
+        if self.transform == "identity":
+            return c
+        if self.transform == "year":
+            return F.year(c)
+        if self.transform == "month":
+            return F.date_format(c, "yyyy-MM")
+        if self.transform == "day":
+            return F.date_format(c, "yyyy-MM-dd")
+        if self.transform == "hour":
+            return F.date_format(c, "yyyy-MM-dd-HH")
+        if self.transform == "bucket":
+            return F.pmod(F.xxhash64(c), F.lit(self.param))
+        if self.transform == "truncate":
+            return F.substring(c.cast("string"), 1, self.param)
+        raise ValueError(f"unknown partition transform: {self.transform}")
+
+    def result_type(self) -> str | None:
+        """Spark type of the derived partition column (None = source type)."""
+        return {
+            "identity": None,
+            "year": "int",
+            "month": "string",
+            "day": "string",
+            "hour": "string",
+            "bucket": "bigint",
+            "truncate": "string",
+        }[self.transform]
+
+    def to_json(self) -> dict:
+        return {"source": self.source, "transform": self.transform, "param": self.param}
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionField":
+        return PartitionField(d["source"], d["transform"], d.get("param"))
+
+
+def parse_partition_spec(spec: list[str] | str | None) -> list[PartitionField]:
+    """Parse config strings (SchemaUtils.createPartitionSpec semantics)."""
+    if not spec:
+        return []
+    if isinstance(spec, str):
+        spec = [s.strip() for s in spec.split(",") if s.strip()]
+    fields = []
+    for raw in spec:
+        m = _TRANSFORM_RE.fullmatch(raw.strip())
+        if not m:
+            fields.append(PartitionField(raw.strip(), "identity"))
+            continue
+        fn, args = m.group(1).lower(), [a.strip() for a in m.group(2).split(",")]
+        if fn in ("year", "month", "day", "hour"):
+            fields.append(PartitionField(args[0], fn))
+        elif fn == "bucket":
+            # both bucket(col, n) and bucket(n, col) appear in the wild
+            if args[0].isdigit():
+                fields.append(PartitionField(args[1], "bucket", int(args[0])))
+            else:
+                fields.append(PartitionField(args[0], "bucket", int(args[1])))
+        elif fn == "truncate":
+            if args[0].isdigit():
+                fields.append(PartitionField(args[1], "truncate", int(args[0])))
+            else:
+                fields.append(PartitionField(args[0], "truncate", int(args[1])))
+        else:
+            raise ValueError(f"unknown partition transform: {fn}")
+    return fields

@@ -1,0 +1,420 @@
+"""LakehouseTable — an Iceberg-semantics table over parquet + a JSON
+snapshot log, written Spark-first.
+
+This replaces the reference's Iceberg writer/committer stack (the container
+has no Iceberg runtime): same *semantics*, Spark-native *mechanics*.
+
+Parity map (reference → here):
+- atomic snapshot commit, one per batch   (Coordinator.java:217-257)
+  → optimistic version-file link (O_EXCL), 3-attempt retry like
+    IcebergSinkConfig.java:103-104
+- append path, partitioned fan-out        (PartitionedAppendWriter.java)
+  → df.write.partitionBy(derived partition cols): directory pruning on read
+- delta path: equality deletes + appends  (BaseDeltaTaskWriter.java:37-102)
+  → merge-on-read: delete-key parquet at sequence N applies to data files
+    with sequence < N; read = data ⟕ max-delete-seq per key, filtered
+- snapshot summary props (offsets, VTTS, commit UUID, batch id)
+  → summary dict on every snapshot (Coordinator.java:63-65)
+- offset/batch idempotence by walking snapshot ancestry
+  (Coordinator.java:193-202,286-303) → last_summary_value()
+- branches (commit-branch config)         → named refs in table metadata
+- schema evolution add/widen/make-optional (SchemaUtils.java:75-132)
+  → evolve_schema() with optimistic retry; reads project every file group
+    onto the current schema (convert.project_to_schema)
+- time travel → read(snapshot_id=...)
+
+Scale notes: data/delete files are only ever touched by executors through
+df.read/write; the driver handles metadata JSON only (like Iceberg). Reads
+group files by sequence number so the merge-on-read anti-join is one
+broadcast-or-shuffle join on the key columns; compact() folds deletes into
+data files to bound read amplification, exactly like Iceberg maintenance.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..convert import project_to_schema
+from .spec import PartitionField, parse_partition_spec
+
+COMMIT_RETRIES = 3  # IcebergSinkConfig.java:103-104 (schema/create retries)
+MAIN = "main"
+
+
+class CommitConflict(Exception):
+    pass
+
+
+class LakehouseTable:
+    def __init__(self, root: str):
+        self.root = root
+
+    # ---------------------------------------------------------------- paths
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "metadata")
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self._meta_dir, f"v{v}.json")
+
+    # ------------------------------------------------------------- metadata
+    @staticmethod
+    def create(
+        root: str,
+        schema: T.StructType,
+        partition_by: list[str] | str | None = None,
+        properties: dict | None = None,
+    ) -> "LakehouseTable":
+        t = LakehouseTable(root)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        meta = {
+            "table_uuid": str(uuid.uuid4()),
+            "schema": json.loads(schema.json()),
+            "partition_spec": [
+                f.to_json() for f in parse_partition_spec(partition_by)
+            ],
+            "properties": properties or {},
+            "snapshots": [],
+            "refs": {},
+            "version": 0,
+        }
+        t._write_version(0, meta)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return bool(globmod.glob(os.path.join(root, "metadata", "v*.json")))
+
+    def current_version(self) -> int:
+        versions = [
+            int(os.path.basename(p)[1:-5])
+            for p in globmod.glob(os.path.join(self._meta_dir, "v*.json"))
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no table at {self.root}")
+        return max(versions)
+
+    def metadata(self) -> dict:
+        with open(self._version_path(self.current_version())) as f:
+            return json.load(f)
+
+    def _write_version(self, v: int, meta: dict) -> None:
+        """Atomic, conflict-detecting commit: hard-link fails if vN exists."""
+        meta["version"] = v
+        tmp = os.path.join(self._meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        try:
+            os.link(tmp, self._version_path(v))
+        except FileExistsError as e:
+            raise CommitConflict(f"version {v} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.metadata()["schema"])
+
+    def partition_spec(self) -> list[PartitionField]:
+        return [PartitionField.from_json(d) for d in self.metadata()["partition_spec"]]
+
+    def properties(self) -> dict:
+        return self.metadata()["properties"]
+
+    def read_schema(self) -> T.StructType:
+        """Table schema extended with the derived partition columns (typed),
+        so partition predicates prune at the scan."""
+        schema = self.schema()
+        names = {f.name for f in schema.fields}
+        fields = list(schema.fields)
+        for pf in self.partition_spec():
+            if pf.name not in names:
+                rt = pf.result_type()
+                if rt is not None:
+                    dt = {
+                        "int": T.IntegerType(),
+                        "string": T.StringType(),
+                        "bigint": T.LongType(),
+                    }[rt]
+                    fields.append(T.StructField(pf.name, dt))
+        return T.StructType(fields)
+
+    # ------------------------------------------------------------ snapshots
+    def snapshots(self) -> list[dict]:
+        return self.metadata()["snapshots"]
+
+    def current_snapshot(self, branch: str = MAIN) -> dict | None:
+        meta = self.metadata()
+        sid = meta["refs"].get(branch)
+        if sid is None:
+            return None
+        return next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+
+    def _snapshot_by_id(self, meta: dict, sid: str) -> dict:
+        return next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+
+    def last_summary_value(self, key: str, branch: str = MAIN) -> str | None:
+        """Walk snapshot ancestry for a summary property — the reference's
+        last-committed-offset lookup (Coordinator.java:193-202,286-303)."""
+        meta = self.metadata()
+        sid = meta["refs"].get(branch)
+        while sid is not None:
+            snap = self._snapshot_by_id(meta, sid)
+            if key in snap["summary"]:
+                return snap["summary"][key]
+            sid = snap["parent"]
+        return None
+
+    def _commit_snapshot(
+        self,
+        operation: str,
+        data_files: list[dict],
+        delete_files: list[dict],
+        summary: dict,
+        branch: str,
+        replace: bool = False,
+        new_schema: dict | None = None,
+    ) -> dict:
+        """Optimistic-retry commit of a new snapshot onto ``branch``."""
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            parent_id = meta["refs"].get(branch)
+            parent = (
+                self._snapshot_by_id(meta, parent_id) if parent_id else None
+            )
+            seq = (parent["sequence_number"] + 1) if parent else 1
+            base_data = [] if (replace or parent is None) else parent["data_files"]
+            base_deletes = (
+                [] if (replace or parent is None) else parent["delete_files"]
+            )
+            snap = {
+                "snapshot_id": uuid.uuid4().hex,
+                "parent": parent_id,
+                "sequence_number": seq,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "data_files": base_data
+                + [{**f, "seq": seq} for f in data_files],
+                "delete_files": base_deletes
+                + [{**f, "seq": seq} for f in delete_files],
+                "summary": {**summary, "commit-uuid": uuid.uuid4().hex},
+            }
+            meta["snapshots"].append(snap)
+            meta["refs"][branch] = snap["snapshot_id"]
+            if new_schema is not None:
+                meta["schema"] = new_schema
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return snap
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        raise CommitConflict("unreachable")
+
+    # ----------------------------------------------------------- file write
+    def _write_files(self, df: DataFrame, subdir: str) -> list[dict]:
+        """Write a DataFrame as parquet files under a fresh uuid dir; the
+        derived partition columns (if any) are appended and partitionBy'd so
+        readers get directory pruning."""
+        out_dir = os.path.join(self.root, subdir, uuid.uuid4().hex)
+        writer = df
+        pcols = []
+        if subdir == "data":
+            # delete-key files carry only the key columns — never partitioned
+            for f in self.partition_spec():
+                if f.name not in df.columns:
+                    writer = writer.withColumn(f.name, f.expr())
+                pcols.append(f.name)
+        w = writer.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(out_dir)
+        base = os.path.relpath(out_dir, self.root)
+        files = [
+            {"path": os.path.relpath(p, self.root), "base": base}
+            for p in globmod.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+        ]
+        return files
+
+    # ---------------------------------------------------------------- write
+    def append(
+        self,
+        df: DataFrame,
+        branch: str = MAIN,
+        snapshot_props: dict | None = None,
+    ) -> dict:
+        """S4: append path — one atomic snapshot per call (T6)."""
+        target = self.schema()
+        data = project_to_schema(df, target)
+        files = self._write_files(data, "data")
+        return self._commit_snapshot(
+            "append", files, [], snapshot_props or {}, branch
+        )
+
+    def upsert(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        op_col: str | None = None,
+        order_cols: list[str] | None = None,
+        branch: str = MAIN,
+        snapshot_props: dict | None = None,
+    ) -> dict:
+        """S5: delta path — equality-delete keys + appended rows, one atomic
+        snapshot (T7). Within-batch duplicate keys collapse last-wins first
+        (the reference applies records sequentially; SURVEY.md §7 step 5).
+
+        Delete keys are written for EVERY batch key (like the reference's
+        delete-then-append per record); rows with op == 'D' contribute only
+        the delete. Deletes at sequence N apply to data with sequence < N.
+        """
+        from ..operators.cdc import DELETE, collapse_last_wins
+
+        target = self.schema()
+        batch = df
+        if order_cols:
+            batch = collapse_last_wins(batch, key_cols, order_cols)
+        else:
+            batch = batch.dropDuplicates(key_cols)
+        batch = batch.persist()
+        try:
+            keys = batch.select(*key_cols)
+            delete_files = self._write_files(keys, "deletes")
+            if op_col is not None and op_col in batch.columns:
+                inserts = batch.filter(F.col(op_col) != DELETE)
+            else:
+                inserts = batch
+            data = project_to_schema(inserts, target)
+            data_files = self._write_files(data, "data")
+            return self._commit_snapshot(
+                "overwrite", data_files, delete_files, snapshot_props or {}, branch
+            )
+        finally:
+            batch.unpersist()
+
+    def evolve_schema(self, incoming: T.StructType) -> bool:
+        """§1.3 #3: add missing columns, widen int→long / float→double.
+        Optimistic retry like SchemaUtils.java:85-132. Returns True if the
+        table schema changed."""
+        widen = {("integer", "long"), ("float", "double")}
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            current = T.StructType.fromJson(meta["schema"])
+            by_name = {f.name: f for f in current.fields}
+            fields = list(current.fields)
+            changed = False
+            for f in incoming.fields:
+                cur = by_name.get(f.name)
+                if cur is None:
+                    fields.append(T.StructField(f.name, f.dataType, True))
+                    changed = True
+                elif (cur.dataType.typeName(), f.dataType.typeName()) in widen:
+                    idx = fields.index(cur)
+                    fields[idx] = T.StructField(f.name, f.dataType, True)
+                    changed = True
+            if not changed:
+                return False
+            meta["schema"] = json.loads(T.StructType(fields).json())
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return True
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        return False
+
+    # ----------------------------------------------------------------- read
+    def read(
+        self,
+        spark: SparkSession,
+        branch: str = MAIN,
+        snapshot_id: str | None = None,
+    ) -> DataFrame:
+        """Merge-on-read scan: data files grouped by sequence number, each
+        group projected onto the current schema, minus keys equality-deleted
+        at a later sequence."""
+        meta = self.metadata()
+        target = self.read_schema()
+        if snapshot_id is not None:
+            snap = self._snapshot_by_id(meta, snapshot_id)
+        else:
+            sid = meta["refs"].get(branch)
+            if sid is None:
+                return spark.createDataFrame([], target)
+            snap = self._snapshot_by_id(meta, sid)
+        data = self._read_file_group(spark, snap["data_files"], target)
+        if data is None:
+            return spark.createDataFrame([], target)
+        deletes = snap["delete_files"]
+        if not deletes:
+            return data.drop("__seq")
+        key_cols = self._delete_key_cols(spark, deletes)
+        dkeys = self._read_file_group(spark, deletes, None)
+        latest = dkeys.groupBy(*key_cols).agg(F.max("__seq").alias("__max_dseq"))
+        joined = data.join(F.broadcast(latest), on=key_cols, how="left")
+        return joined.filter(
+            F.col("__max_dseq").isNull() | (F.col("__max_dseq") <= F.col("__seq"))
+        ).drop("__seq", "__max_dseq")
+
+    def _delete_key_cols(self, spark: SparkSession, deletes: list[dict]) -> list[str]:
+        sample = spark.read.parquet(os.path.join(self.root, deletes[0]["path"]))
+        return sample.columns
+
+    def _read_file_group(
+        self,
+        spark: SparkSession,
+        files: list[dict],
+        target: T.StructType | None,
+    ) -> DataFrame | None:
+        if not files:
+            return None
+        # group by (seq, write base dir): basePath restores the partition
+        # directory columns partitionBy moved out of the files
+        by_group: dict[tuple[int, str], list[str]] = {}
+        for f in files:
+            key = (f["seq"], f.get("base", os.path.dirname(f["path"])))
+            by_group.setdefault(key, []).append(os.path.join(self.root, f["path"]))
+        parts = []
+        for (seq, base), paths in sorted(by_group.items()):
+            df = (
+                spark.read.option("mergeSchema", "false")
+                .option("basePath", os.path.join(self.root, base))
+                .parquet(*paths)
+            )
+            if target is not None:
+                df = project_to_schema(df, target)
+            parts.append(df.withColumn("__seq", F.lit(seq)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=False)
+        return out
+
+    # ----------------------------------------------------------- maintenance
+    def compact(self, spark: SparkSession, branch: str = MAIN) -> dict:
+        """Fold merge-on-read state into plain data files (REPLACE snapshot):
+        bounds read amplification, like Iceberg rewrite_data_files."""
+        current = self.read(spark, branch=branch)
+        files = self._write_files(current, "data")
+        return self._commit_snapshot(
+            "replace", files, [], {"compaction": "true"}, branch, replace=True
+        )
+
+    def create_branch(self, name: str, from_branch: str = MAIN) -> None:
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            meta["refs"][name] = meta["refs"].get(from_branch)
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise

@@ -1,0 +1,219 @@
+"""SinkPipeline — the whole connector, Spark-first.
+
+The reference dedicates ~2,500 LoC to worker/coordinator channels, control
+topics, commit barriers, and leader election (SURVEY.md §2.6 T2-T5, T8-T11).
+Structured Streaming replaces all of it:
+
+- commit interval trigger (T1)  → trigger(processingTime=commit.interval-ms)
+- StartCommit / DataComplete barrier (T2-T5) → the micro-batch itself
+- one atomic snapshot per table per batch (T6/T7) → LakehouseTable commit
+- exactly-once recovery (T9) → checkpoint + batch-id-in-snapshot-summary:
+  on restart the batch replays and every already-committed table skips it
+  (the reference stores offsets in snapshot props and filters the same way,
+  Coordinator.java:193-202)
+- offsets + VTTS snapshot props (S2/A2/T6) → computed per batch and stamped
+  into each snapshot's summary (Coordinator.java:63-65)
+- multi-table fan-out (R1-R3, T8) → one persisted batch, per-table filtered
+  writes
+
+Scale: the batch DataFrame is persisted once and every routed table write is
+a column-pruned pass; per-table commits are independent snapshots (they can
+be submitted from a thread pool like the reference's commit.threads — writes
+here are sequential for determinism, the table commit protocol is already
+concurrency-safe).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import SinkConfig
+from ..operators.cdc import cdc_op_col
+from ..routing import RouteSpec, RoutingConfig, plan_routes
+from ..sinks.catalog import Catalog
+
+BATCH_ID_PROP = "streaming-batch-id"
+PIPELINE_PROP = "pipeline-id"
+OFFSETS_PROP = "kafka.connect.offsets"  # name parity with snapshot summary
+VTTS_PROP = "vtts-ms"
+
+
+class SinkPipeline:
+    def __init__(
+        self,
+        catalog: Catalog,
+        config: SinkConfig,
+        pipeline_id: str,
+        value_schema: T.StructType | None = None,
+        transforms: list | None = None,
+    ):
+        self.catalog = catalog
+        self.config = config
+        self.pipeline_id = pipeline_id
+        self.value_schema = value_schema
+        self.transforms = transforms or []
+
+    # ------------------------------------------------------------ batch body
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        cfg = self.config
+        # P2: tombstone filter — null kafka value is a delete marker upstream
+        records = batch.filter(F.col("value").isNotNull())
+        # P1 entry: parse value into record fields, keep kafka metadata
+        if self.value_schema is not None:
+            records = records.select(
+                F.from_json("value", self.value_schema).alias("__row"),
+                "topic",
+                "partition",
+                "offset",
+                "timestamp",
+            ).select("__row.*", "topic", "partition", "offset", "timestamp")
+        for t in self.transforms:
+            records = records.transform(t)
+        if cfg.cdc_field:
+            records = records.withColumn("_cdc_op", cdc_op_col(cfg.cdc_field))
+        records = records.persist()
+        try:
+            if records.isEmpty():
+                return
+            props = self._snapshot_props(records, batch_id)
+            routed = self._route(records)
+            for table_name, df in routed.items():
+                self._write_table(table_name, df, props)
+        finally:
+            records.unpersist()
+
+    # ------------------------------------------------------------- routing
+    def _route(self, records: DataFrame) -> dict[str, DataFrame]:
+        cfg = self.config
+        if cfg.dynamic_enabled:
+            # R3: distinct route values present in the batch; missing tables
+            # skipped unless auto-create (IcebergWriterFactory.java:56-60)
+            target = F.lower(F.col(cfg.route_field))
+            names = [
+                r[0]
+                for r in records.select(target.alias("t")).distinct().collect()
+                if r[0]
+            ]
+            out = {}
+            for name in sorted(names):
+                if not self.catalog.table_exists(name) and not cfg.auto_create:
+                    continue
+                out[name] = records.filter(target == F.lit(name))
+            return out
+        rcfg = RoutingConfig(
+            tables=[RouteSpec(t.name, t.route_regex) for t in self.config.tables],
+            route_field=cfg.route_field,
+            dynamic=False,
+        )
+        return plan_routes(records, rcfg)
+
+    # ------------------------------------------------------- snapshot props
+    @staticmethod
+    def _snapshot_props(records: DataFrame, batch_id: int) -> dict:
+        """Offsets JSON (S2: max offset + 1 per topic-partition) and VTTS
+        (A2: min over partitions of max record timestamp)."""
+        per_part = (
+            records.groupBy("topic", "partition")
+            .agg(
+                (F.max("offset") + 1).alias("next_offset"),
+                F.unix_millis(F.max("timestamp")).alias("max_ts"),
+            )
+            .collect()
+        )
+        offsets = {
+            f"{r['topic']}-{r['partition']}": r["next_offset"] for r in per_part
+        }
+        vtts = min((r["max_ts"] for r in per_part), default=None)
+        props = {
+            BATCH_ID_PROP: str(batch_id),
+            OFFSETS_PROP: json.dumps(offsets, sort_keys=True),
+        }
+        if vtts is not None:
+            props[VTTS_PROP] = str(vtts)
+        return props
+
+    # ----------------------------------------------------------- table write
+    def _write_table(self, name: str, df: DataFrame, props: dict) -> None:
+        cfg = self.config
+        tcfg = cfg.table(name)
+        branch = tcfg.commit_branch if tcfg else "main"
+
+        record_schema = T.StructType(
+            [
+                f
+                for f in df.schema.fields
+                if f.name not in ("topic", "partition", "offset", "timestamp")
+                and not f.name.startswith("_cdc")
+            ]
+        )
+        if not self.catalog.table_exists(name):
+            if not cfg.auto_create:
+                return
+            partition_by = (
+                tcfg.partition_by if tcfg and tcfg.partition_by else cfg.auto_create_partition_by
+            )
+            table = self.catalog.create_table_if_not_exists(
+                name, record_schema, partition_by or None
+            )
+        else:
+            table = self.catalog.load_table(name)
+
+        # T9: idempotent replay — skip batches already in this table's
+        # snapshot ancestry for this pipeline (summary-walk like the
+        # reference's offset filtering)
+        props = {**props, PIPELINE_PROP: self.pipeline_id}
+        last = self._last_batch_id(table, branch)
+        if last is not None and int(props[BATCH_ID_PROP]) <= last:
+            return
+
+        if cfg.evolve_schema:
+            table.evolve_schema(record_schema)
+
+        id_cols = tcfg.id_columns if tcfg else []
+        if (cfg.upsert_mode or cfg.cdc_field) and id_cols:
+            order = [c for c in ("timestamp", "offset") if c in df.columns]
+            table.upsert(
+                df,
+                key_cols=id_cols,
+                op_col="_cdc_op" if cfg.cdc_field else None,
+                order_cols=order or None,
+                branch=branch,
+                snapshot_props=props,
+            )
+        else:
+            table.append(df, branch=branch, snapshot_props=props)
+
+    def _last_batch_id(self, table, branch: str) -> int | None:
+        meta = table.metadata()
+        sid = meta["refs"].get(branch)
+        while sid is not None:
+            snap = next(
+                s for s in meta["snapshots"] if s["snapshot_id"] == sid
+            )
+            if snap["summary"].get(PIPELINE_PROP) == self.pipeline_id:
+                return int(snap["summary"][BATCH_ID_PROP])
+            sid = snap["parent"]
+        return None
+
+    # ---------------------------------------------------------------- start
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint: str,
+        available_now: bool = False,
+    ):
+        """T1: the commit interval is the processing-time trigger."""
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(
+                processingTime=f"{self.config.commit_interval_ms} milliseconds"
+            )
+        return writer.start()

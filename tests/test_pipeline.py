@@ -1,0 +1,267 @@
+"""End-to-end pipeline tests: kafka-shaped stream → transforms → routing →
+lakehouse sink, with exactly-once restart semantics.
+
+Mirrors the reference's integration-test layer (SURVEY.md §5.3:
+IntegrationTest / IntegrationCdcTest / IntegrationMultiTableTest /
+IntegrationDynamicTableTest) against the file-based kafka-shaped source."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.config import SinkConfig, TableConfig, from_properties
+from iceberg_kafka_connect_spark.sinks import Catalog
+from iceberg_kafka_connect_spark.sources.stream import file_stream_source
+from iceberg_kafka_connect_spark.streaming import SinkPipeline
+
+VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ]
+)
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ]
+)
+
+
+def _write_records(path, records, offset0=0, partition=0, topic="events"):
+    path.mkdir(parents=True, exist_ok=True)
+    fname = path / f"chunk-{offset0}.json"
+    with open(fname, "w") as f:
+        for i, rec in enumerate(records):
+            line = {
+                "key": str(rec.get("id", i)) if rec is not None else str(i),
+                "value": json.dumps(rec) if rec is not None else None,
+                "topic": topic,
+                "partition": partition,
+                "offset": offset0 + i,
+                "timestamp": f"2024-01-01T00:00:{(offset0 + i) % 60:02d}.000Z",
+            }
+            f.write(json.dumps(line) + "\n")
+
+
+def _run(spark, pipeline, src_dir, ckpt_dir):
+    stream = file_stream_source(spark, str(src_dir))
+    q = pipeline.start(stream, str(ckpt_dir), available_now=True)
+    q.awaitTermination(120)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def test_append_stream_end_to_end(spark, tmp_path, catalog):
+    cfg = SinkConfig(tables=[TableConfig("default.events_sink")], auto_create=True)
+    pipe = SinkPipeline(catalog, cfg, "p1", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(src, [{"id": i, "type": "t", "payload": f"p{i}", "op": None} for i in range(10)])
+    _run(spark, pipe, src, tmp_path / "ckpt")
+
+    t = catalog.load_table("default.events_sink")
+    out = t.read(spark)
+    assert out.count() == 10
+    snap = t.current_snapshot()
+    # snapshot props: offsets JSON + batch id + vtts (T6/A2/S2 parity)
+    offs = json.loads(snap["summary"]["kafka.connect.offsets"])
+    assert offs == {"events-0": 10}
+    assert "vtts-ms" in snap["summary"]
+    assert snap["summary"]["pipeline-id"] == "p1"
+
+
+def test_exactly_once_restart(spark, tmp_path, catalog):
+    """T9: kill/restart mid-stream — no duplicated or lost ids."""
+    cfg = SinkConfig(tables=[TableConfig("default.eo")], auto_create=True)
+    pipe = SinkPipeline(catalog, cfg, "p-eo", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    _write_records(src, [{"id": i, "type": "t", "payload": None, "op": None} for i in range(5)])
+    _run(spark, pipe, src, ckpt)
+    # replay the SAME batch body manually (simulates failure after table
+    # commit but before checkpoint advance) → idempotent skip
+    from iceberg_kafka_connect_spark.sources.stream import batch_file_source
+
+    pipe.process_batch(batch_file_source(spark, str(src)), batch_id=0)
+    t = catalog.load_table("default.eo")
+    assert t.read(spark).count() == 5
+
+    # new data + restart with same checkpoint → only the new rows land
+    _write_records(src, [{"id": 100 + i, "type": "t", "payload": None, "op": None} for i in range(3)], offset0=5)
+    _run(spark, pipe, src, ckpt)
+    ids = sorted(r.id for r in t.read(spark).collect())
+    assert ids == [0, 1, 2, 3, 4, 100, 101, 102]
+
+
+def test_tombstones_skipped(spark, tmp_path, catalog):
+    cfg = SinkConfig(tables=[TableConfig("default.tomb")], auto_create=True)
+    pipe = SinkPipeline(catalog, cfg, "p-t", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(src, [{"id": 1, "type": "t", "payload": None, "op": None}, None, {"id": 2, "type": "t", "payload": None, "op": None}])
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    assert catalog.load_table("default.tomb").read(spark).count() == 2
+
+
+def test_static_regex_routing_multi_table(spark, tmp_path, catalog):
+    """R2 + multi-table fan-out (IntegrationMultiTableTest parity)."""
+    cfg = SinkConfig(
+        tables=[
+            TableConfig("default.events_list", route_regex="list"),
+            TableConfig("default.events_create", route_regex="create"),
+        ],
+        route_field="type",
+        auto_create=True,
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-r", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(
+        src,
+        [
+            {"id": 1, "type": "list", "payload": None, "op": None},
+            {"id": 2, "type": "create", "payload": None, "op": None},
+            {"id": 3, "type": "other", "payload": None, "op": None},  # dropped
+        ],
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    assert [r.id for r in catalog.load_table("default.events_list").read(spark).collect()] == [1]
+    assert [r.id for r in catalog.load_table("default.events_create").read(spark).collect()] == [2]
+
+
+def test_dynamic_routing_skips_missing(spark, tmp_path, catalog):
+    """R3 (IntegrationDynamicTableTest parity): route value names the table,
+    lowercased; records for non-existent tables are skipped."""
+    # pre-create only one target
+    catalog.create_table("default.t_list", RECORD_SCHEMA)
+    cfg = SinkConfig(
+        tables=[TableConfig("default.t_list")],
+        dynamic_enabled=True,
+        route_field="type",
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-d", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(
+        src,
+        [
+            {"id": 1, "type": "DEFAULT.T_LIST", "payload": None, "op": None},
+            {"id": 2, "type": "default.t_missing", "payload": None, "op": None},
+        ],
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    assert [r.id for r in catalog.load_table("default.t_list").read(spark).collect()] == [1]
+    assert not catalog.table_exists("default.t_missing")
+
+
+def test_broadcast_routing(spark, tmp_path, catalog):
+    """R1: no route field → every record to every configured table."""
+    cfg = SinkConfig(
+        tables=[TableConfig("default.b1"), TableConfig("default.b2")],
+        auto_create=True,
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-b", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(src, [{"id": 1, "type": "x", "payload": None, "op": None}])
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    assert catalog.load_table("default.b1").read(spark).count() == 1
+    assert catalog.load_table("default.b2").read(spark).count() == 1
+
+
+def test_cdc_upsert_stream(spark, tmp_path, catalog):
+    """S5/P5 (IntegrationCdcTest parity): I/U/D mix → final row set."""
+    cfg = SinkConfig(
+        tables=[TableConfig("default.cdc_sink", id_columns=["id"])],
+        cdc_field="op",
+        auto_create=True,
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-c", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(
+        src,
+        [
+            {"id": 1, "type": "a", "payload": None, "op": "I"},
+            {"id": 2, "type": "b", "payload": None, "op": "insert"},
+            {"id": 1, "type": "a2", "payload": None, "op": "U"},
+            {"id": 2, "type": None, "payload": None, "op": "D"},
+            {"id": 3, "type": "c", "payload": None, "op": "I"},
+        ],
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    t = catalog.load_table("default.cdc_sink")
+    out = {r.id: r.type for r in t.read(spark).collect()}
+    assert out == {1: "a2", 3: "c"}
+    # second batch deletes 3, re-inserts 2
+    _write_records(
+        src,
+        [
+            {"id": 3, "type": None, "payload": None, "op": "D"},
+            {"id": 2, "type": "back", "payload": None, "op": "I"},
+        ],
+        offset0=5,
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    out = {r.id: r.type for r in t.read(spark).collect()}
+    assert out == {1: "a2", 2: "back"}
+
+
+def test_schema_evolution_in_stream(spark, tmp_path, catalog):
+    """§1.3 evolution (IntegrationTest schema-evolution parity): second
+    batch carries a new column; table schema evolves, old rows read as null."""
+    narrow = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("type", T.StringType())]
+    )
+    wide = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    cfg = SinkConfig(
+        tables=[TableConfig("default.ev")], auto_create=True, evolve_schema=True
+    )
+    src = tmp_path / "src"
+    pipe1 = SinkPipeline(catalog, cfg, "p-e", value_schema=narrow)
+    _write_records(src, [{"id": 1, "type": "a"}])
+    _run(spark, pipe1, src, tmp_path / "ckpt")
+
+    pipe2 = SinkPipeline(catalog, cfg, "p-e", value_schema=wide)
+    _write_records(src, [{"id": 2, "type": "b", "payload": "P"}], offset0=1)
+    _run(spark, pipe2, src, tmp_path / "ckpt")
+
+    t = catalog.load_table("default.ev")
+    rows = {r.id: r.payload for r in t.read(spark).collect()}
+    assert rows == {1: None, 2: "P"}
+    assert "payload" in [f.name for f in t.schema().fields]
+
+
+def test_config_from_reference_properties():
+    """The reference's flat property names parse directly."""
+    cfg = from_properties(
+        {
+            "iceberg.tables": "default.events_list, default.events_create",
+            "iceberg.tables.route-field": "type",
+            "iceberg.table.default.events_list.route-regex": "list",
+            "iceberg.table.default.events_create.route-regex": "create",
+            "iceberg.tables.cdc-field": "op",
+            "iceberg.tables.auto-create-enabled": "true",
+            "iceberg.tables.evolve-schema-enabled": "true",
+            "iceberg.control.commit.interval-ms": "5000",
+        }
+    )
+    assert [t.name for t in cfg.tables] == [
+        "default.events_list",
+        "default.events_create",
+    ]
+    assert cfg.table("default.events_list").route_regex == "list"
+    assert cfg.cdc_field == "op" and cfg.auto_create and cfg.evolve_schema
+    assert cfg.commit_interval_ms == 5000
