@@ -45,9 +45,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
 
-    # JVM/codegen warm-up on the smallest SF so measured times are steady-state
-    warm = specs["tpch_q1"].fn(spark, "/root/testdata/sf0.001")
-    warm.write.format("noop").mode("overwrite").save()
+    # Per-query JVM/codegen warm-up at the smallest SF: whole-stage codegen
+    # compiles each query's expression tree once; measured runs are
+    # steady-state throughput, which is what matters at scale.
+    for name in BENCH_QUERIES:
+        specs[name].fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -101,6 +101,19 @@ def _coerce_struct(col: Column, src: T.StructType, dst: T.StructType) -> Column:
     return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(struct)
 
 
+def project_keys(df: DataFrame, key_paths: list[str]) -> DataFrame:
+    """P4 — key projection (data/RecordProjection.java:46-164): project the
+    full row onto its identifier-field subschema for equality deletes.
+    Dotted paths traverse nested structs; the output column name is the leaf
+    field name. Lists/maps are not projectable (same restriction as the
+    reference)."""
+    cols = []
+    for path in key_paths:
+        leaf = path.split(".")[-1]
+        cols.append(F.col(path).alias(leaf))
+    return df.select(*cols)
+
+
 def project_to_schema(
     df: DataFrame,
     target: T.StructType,

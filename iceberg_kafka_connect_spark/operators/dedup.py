@@ -39,7 +39,15 @@ def words(col: Column) -> Column:
 def shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct per document."""
+    """(id, shingle) pairs, distinct per document.
+
+    The input is repartitioned to the session's default parallelism first:
+    the explode+hash fan-out is the expensive part, and a small-file input
+    (one parquet split) would otherwise pin it to a single core. At real
+    scale the scan already has enough splits and this shuffle of raw docs is
+    the cheapest in the whole pipeline."""
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism)
     with_w = docs.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__w"))
     if n == 1:
         arr = F.col("__w")
@@ -153,7 +161,9 @@ def minhash_lsh_pairs(
     volume by orders of magnitude.
     """
     r = num_hashes // bands
-    sh = shingles(docs, id_col, text_col, n)
+    # shingles feed both signature generation and exact verification —
+    # persist so the tokenize/explode pass runs once
+    sh = shingles(docs, id_col, text_col, n).persist()
     sigs = minhash_signatures(sh, num_hashes)
     band_hashes = F.array(
         *[
@@ -161,7 +171,11 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
+    # persist: the self-join below would otherwise recompute the signature
+    # aggregation for both sides
+    buckets = sigs.select(
+        "id", F.posexplode(band_hashes).alias("band", "bucket")
+    ).persist()
     cand = (
         buckets.alias("x")
         .join(
@@ -175,6 +189,8 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
+    # cand feeds two semi-joins plus the final pair filter — materialize once
+    cand = cand.persist()
     return _pair_jaccard(sh, restrict_pairs=cand).filter(
         F.col("jaccard") >= threshold
     )
@@ -229,9 +245,10 @@ def simhash_pairs(
             for i in range(chunks)
         ]
     )
+    # persist: self-join reuses the 63-vote aggregation instead of doubling it
     buckets = sigs.select(
         "id", "simhash", F.posexplode(chunk_arr).alias("chunk", "val")
-    )
+    ).persist()
     cand = (
         buckets.alias("x")
         .join(

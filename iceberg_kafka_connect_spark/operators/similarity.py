@@ -178,7 +178,9 @@ def srp_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select("id", "v", F.posexplode(band_hash).alias("band", "bucket"))
+    buckets = sig.select(
+        "id", "v", F.posexplode(band_hash).alias("band", "bucket")
+    ).persist()
     cand = (
         buckets.alias("x")
         .join(

@@ -81,7 +81,20 @@ def parse_partition_spec(spec: list[str] | str | None) -> list[PartitionField]:
     if not spec:
         return []
     if isinstance(spec, str):
-        spec = [s.strip() for s in spec.split(",") if s.strip()]
+        # split on commas outside parentheses: "day(ts), bucket(16, id)"
+        parts, depth, cur = [], 0, []
+        for ch in spec:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        spec = [s.strip() for s in parts if s.strip()]
     fields = []
     for raw in spec:
         m = _TRANSFORM_RE.fullmatch(raw.strip())

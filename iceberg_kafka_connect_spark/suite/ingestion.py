@@ -119,6 +119,31 @@ def field_extract_dotted(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# P4 — key projection (RecordProjection.java:46-164): project the full row
+# onto the identifier-field subschema (incl. nested struct keys) for
+# equality deletes.
+# --------------------------------------------------------------------------
+@register(
+    "key_projection",
+    oracle="""
+    SELECT event_id, user_id AS uid FROM events
+    """,
+    tags=("ingestion",),
+)
+def key_projection(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    nested = e.select(
+        F.struct(
+            F.col("event_id"),
+            F.struct(F.col("user_id").alias("uid")).alias("ids"),
+            F.col("event_type"),
+            F.col("value"),
+        ).alias("row")
+    )
+    return convert.project_keys(nested, ["row.event_id", "row.ids.uid"])
+
+
+# --------------------------------------------------------------------------
 # P5 — CDC op extraction (IcebergWriter.java:109-131): first char of the cdc
 # field, case-insensitive, I/U/D, anything else defaults to INSERT.
 # --------------------------------------------------------------------------

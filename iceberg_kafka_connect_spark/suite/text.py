@@ -81,6 +81,8 @@ _PROFILE_CTE = rf"""
 )
 def text_profile(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
+    # single-file local input → spread the expression-heavy projection
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     prof = tx.profile(docs)
     return prof.select(
         "doc_id",

@@ -12,6 +12,7 @@ from .debezium import debezium_transform
 from .dms import dms_transform
 from .json_to_map import json_to_map
 from .kafka_metadata import kafka_metadata
+from .mongo import mongo_debezium_transform
 
 __all__ = [
     "copy_value",
@@ -19,4 +20,5 @@ __all__ = [
     "dms_transform",
     "json_to_map",
     "kafka_metadata",
+    "mongo_debezium_transform",
 ]

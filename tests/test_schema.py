@@ -1,0 +1,115 @@
+"""Schema system tests — mirror of SchemaUtilsTest.java:97-316 (type matrix,
+inference matrix, update accumulation) and the partition-spec DSL parsing."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.schema import (
+    SchemaUpdate,
+    connect_to_spark_type,
+    diff_schemas,
+    infer_spark_type,
+)
+from iceberg_kafka_connect_spark.sinks.spec import PartitionField, parse_partition_spec
+
+
+def test_connect_type_matrix():
+    assert connect_to_spark_type("INT8") == T.IntegerType()
+    assert connect_to_spark_type("INT16") == T.IntegerType()
+    assert connect_to_spark_type("INT32") == T.IntegerType()
+    assert connect_to_spark_type(
+        "INT32", "org.apache.kafka.connect.data.Date"
+    ) == T.DateType()
+    assert connect_to_spark_type(
+        "INT32", "org.apache.kafka.connect.data.Time"
+    ) == T.LongType()
+    assert connect_to_spark_type("INT64") == T.LongType()
+    assert connect_to_spark_type(
+        "INT64", "org.apache.kafka.connect.data.Timestamp"
+    ) == T.TimestampType()
+    assert connect_to_spark_type("FLOAT32") == T.FloatType()
+    assert connect_to_spark_type("FLOAT64") == T.DoubleType()
+    assert connect_to_spark_type("BOOLEAN") == T.BooleanType()
+    assert connect_to_spark_type("BYTES") == T.BinaryType()
+    assert connect_to_spark_type(
+        "BYTES", "org.apache.kafka.connect.data.Decimal", {"scale": "2"}
+    ) == T.DecimalType(38, 2)
+    # unknown → string fallback (SchemaUtils.java:285-287)
+    assert connect_to_spark_type("WEIRD") == T.StringType()
+
+
+def test_value_inference_matrix():
+    """SchemaUtils.java:291-352: long/double widening, map→struct,
+    empties skipped."""
+    assert infer_spark_type("x") == T.StringType()
+    assert infer_spark_type(True) == T.BooleanType()
+    assert infer_spark_type(3) == T.LongType()  # integral → long
+    assert infer_spark_type(3.5) == T.DoubleType()  # fractional → double
+    assert infer_spark_type(Decimal("1.23")) == T.DecimalType(38, 2)
+    assert infer_spark_type(datetime.date(2024, 1, 1)) == T.DateType()
+    assert infer_spark_type(datetime.datetime(2024, 1, 1)) == T.TimestampType()
+    assert infer_spark_type(b"x") == T.BinaryType()
+    assert infer_spark_type([1, 2]) == T.ArrayType(T.LongType())
+    assert infer_spark_type([]) is None  # empty skipped
+    assert infer_spark_type({}) is None
+    assert infer_spark_type(None) is None
+    st = infer_spark_type({"a": 1, "b": "x", "skip": None})
+    assert st == T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+
+
+def test_diff_schemas_updates():
+    cur = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), nullable=False),
+            T.StructField("f", T.FloatType()),
+            T.StructField("keep", T.StringType()),
+        ]
+    )
+    inc = T.StructType(
+        [
+            T.StructField("id", T.LongType(), nullable=True),
+            T.StructField("f", T.DoubleType()),
+            T.StructField("keep", T.StringType()),
+            T.StructField("new_col", T.StringType()),
+        ]
+    )
+    updates = diff_schemas(cur, inc)
+    kinds = {(u.kind, u.column) for u in updates}
+    assert ("update_type", "id") in kinds  # int → long widen
+    assert ("update_type", "f") in kinds  # float → double widen
+    assert ("make_optional", "id") in kinds
+    assert ("add_column", "new_col") in kinds
+    assert not any(u.column == "keep" for u in updates)
+
+
+def test_partition_spec_dsl():
+    """SchemaUtils.createPartitionSpec string parsing
+    (SchemaUtils.java:150-199)."""
+    spec = parse_partition_spec(
+        ["year(a)", "month(b)", "day(c)", "hour(d)", "bucket(id, 16)",
+         "truncate(s, 4)", "plain"]
+    )
+    assert spec[0] == PartitionField("a", "year")
+    assert spec[4] == PartitionField("id", "bucket", 16)
+    assert spec[5] == PartitionField("s", "truncate", 4)
+    assert spec[6] == PartitionField("plain", "identity")
+    # reversed arg order accepted too
+    assert parse_partition_spec("bucket(16, id)")[0] == PartitionField(
+        "id", "bucket", 16
+    )
+    assert parse_partition_spec(None) == []
+
+
+def test_partition_field_names():
+    assert PartitionField("ts", "day").name == "ts_day"
+    assert PartitionField("id", "bucket", 16).name == "id_bucket16"
+    assert PartitionField("x", "identity").name == "x"

@@ -1,0 +1,183 @@
+"""SMT transform tests — mirror of the reference's transforms test layer
+(DebeziumTransformTest, DmsTransformTest, MongoDebeziumTransformTest,
+JsonToMapTransformTest, KafkaMetadataTransformTest, CopyValueTest)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.transforms import (
+    copy_value,
+    debezium_transform,
+    dms_transform,
+    json_to_map,
+    kafka_metadata,
+    mongo_debezium_transform,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("qty", T.LongType()),
+    ]
+)
+
+
+def test_copy_value(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    out = df.transform(copy_value("v", "v2")).collect()[0]
+    assert out.v2 == "a"
+
+
+def test_debezium_create_update_delete(spark):
+    rows = [
+        # op, before, after
+        ("c", None, (1, "new")),
+        ("u", (2, "old"), (2, "upd")),
+        ("d", (3, "gone"), None),
+        ("r", None, (4, "snap")),  # snapshot read → I
+    ]
+    df = spark.createDataFrame(
+        [
+            (op, b, a, ("db1", None, "tbl"), 1700000000000)
+            for op, b, a in rows
+        ],
+        "op string, before struct<id: long, data: string>, "
+        "after struct<id: long, data: string>, "
+        "source struct<db: string, schema: string, table: string>, ts_ms long",
+    )
+    out = df.transform(debezium_transform()).orderBy("id").collect()
+    assert [(r.id, r.data, r._cdc.op) for r in out] == [
+        (1, "new", "I"),
+        (2, "upd", "U"),
+        (3, "gone", "D"),  # delete row sourced from before
+        (4, "snap", "I"),
+    ]
+    assert out[0]._cdc.source == "db1.tbl"
+    assert out[0]._cdc.target == "db1.tbl"
+
+
+def test_debezium_postgres_schema_source_and_pattern(spark):
+    df = spark.createDataFrame(
+        [("c", None, (1, "x"), (None, "public", "users"), 1700000000000)],
+        "op string, before struct<id: long, data: string>, "
+        "after struct<id: long, data: string>, "
+        "source struct<db: string, schema: string, table: string>, ts_ms long",
+    )
+    out = df.transform(
+        debezium_transform(target_pattern="ice_{db}.{table}_sink")
+    ).collect()[0]
+    assert out._cdc.source == "public.users"
+    assert out._cdc.target == "ice_public.users_sink"
+
+
+def test_dms_unwrap(spark):
+    df = spark.createDataFrame(
+        [
+            ((1, "a"), ("insert", "2024-01-01 00:00:00", "s1", "t1")),
+            ((2, "b"), ("update", "2024-01-01 00:00:00", "s1", "t1")),
+            ((3, "c"), ("delete", "2024-01-01 00:00:00", "s1", "t1")),
+        ],
+        "data struct<id: long, v: string>, "
+        "metadata struct<operation: string, timestamp: string, "
+        "`schema-name`: string, `table-name`: string>",
+    )
+    out = df.transform(dms_transform()).orderBy("id").collect()
+    assert [(r.id, r._cdc.op) for r in out] == [(1, "I"), (2, "U"), (3, "D")]
+    assert out[0]._cdc.source == "s1.t1"
+
+
+def test_mongo_create_full_update_delete(spark):
+    """mongo_{create,update,delete}_event test-resource parity."""
+    df = spark.createDataFrame(
+        [
+            ("c", None, '{"_id": 1, "name": "a", "qty": 5}', None, '{"_id": 1}', 1700000000000),
+            ("u", None, '{"_id": 1, "name": "a2", "qty": 6}', None, '{"_id": 1}', 1700000000001),
+            ("d", '{"_id": 1, "name": "a2", "qty": 6}', None, None, '{"_id": 1}', 1700000000002),
+        ],
+        "op string, before string, after string, "
+        "updateDescription struct<updatedFields: string, removedFields: array<string>>, "
+        "documentKey string, ts_ms long",
+    )
+    out = df.transform(mongo_debezium_transform(DOC_SCHEMA)).collect()
+    assert [(r._id, r.name, r._cdc.op) for r in out] == [
+        (1, "a", "I"),
+        (1, "a2", "U"),
+        (1, "a2", "D"),
+    ]
+    assert out[0]._cdc.key == "1"
+
+
+def test_mongo_partial_update_reconstruction(spark):
+    """updateDescription path: updatedFields applied, removedFields → NULL
+    (MongoDebeziumTransform.java:120-189)."""
+    df = spark.createDataFrame(
+        [
+            (
+                "u",
+                None,
+                None,
+                ('{"qty": 9}', ["name"]),
+                '{"_id": 42}',
+                1700000000000,
+            )
+        ],
+        "op string, before string, after string, "
+        "updateDescription struct<updatedFields: string, removedFields: array<string>>, "
+        "documentKey string, ts_ms long",
+    )
+    out = df.transform(mongo_debezium_transform(DOC_SCHEMA)).collect()[0]
+    assert out._id == 42 and out.qty == 9 and out.name is None
+    assert out._cdc.op == "U"
+
+
+def test_json_to_map_root_mode(spark):
+    """F6 json.root=true → single payload map<string,string>."""
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": {"c": 2}, "d": [1, "two"]}',)], "value string"
+    )
+    out = df.transform(json_to_map("value", root=True)).collect()[0]
+    assert out.payload["a"] == "1"
+    # nested object survives as serialized JSON text
+    assert "2" in out.payload["b"]
+
+
+def test_json_to_map_inferred_schema_chaotic(spark):
+    """F6 drifting keys: one unified schema per batch, missing keys null,
+    integral values widen to long."""
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": "x"}',), ('{"a": 2, "c": 3.5}',), ("{}",)],
+        "value string",
+    )
+    out = df.transform(json_to_map("value"))
+    fields = {f.name: f.dataType for f in out.schema["payload"].dataType.fields}
+    assert fields["a"] == T.LongType()
+    assert fields["c"] == T.DoubleType()
+    rows = out.select("payload.a", "payload.b", "payload.c").collect()
+    assert {(r[0], r[1], r[2]) for r in rows} == {
+        (1, "x", None),
+        (2, None, 3.5),
+        (None, None, None),
+    }
+
+
+def test_kafka_metadata_nested_and_flat(spark):
+    df = spark.createDataFrame(
+        [("t", 0, 5, "k")], "topic string, partition int, offset long, key string"
+    )
+    nested = df.transform(kafka_metadata(nested=True)).collect()[0]
+    assert nested._kafka_metadata.topic == "t"
+    assert nested._kafka_metadata.offset == 5
+    flat = df.transform(kafka_metadata(nested=False, key_prefix="_km")).collect()[0]
+    assert flat._km_topic == "t" and flat._km_offset == 5
+
+
+def test_kafka_metadata_external_field(spark):
+    df = spark.createDataFrame([("t", 0, 5)], "topic string, partition int, offset long")
+    out = df.transform(
+        kafka_metadata(nested=True, external_field=("cluster", "c1"))
+    ).collect()[0]
+    assert out._kafka_metadata.cluster == "c1"
