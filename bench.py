@@ -23,10 +23,13 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
     "order_priority_count",
     "top_customers_per_nation",
     "events_hourly_rollup",
     "events_sessionize",
+    "events_value_percentiles",
     # ingestion surface (conversion, CDC, routing)
     "record_convert_coerce",
     "cdc_apply",

@@ -281,6 +281,113 @@ def top_customers_per_nation(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Q10 shape: top returned-revenue customers. customer/nation broadcast;
+# orders⋈lineitem shuffles once on orderkey; top-20 on the small aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, nation
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("analytics", "bench"),
+)
+def tpch_q10(spark, sf_dir):
+    c = dim(spark, sf_dir, "customer")
+    n = dim(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "nation", "revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promo revenue share — conditional aggregation over one join.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT
+      (100.0 * {sql_dsum("CASE WHEN p.p_type = 'ECONOMY' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 4)}
+       / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)}) AS promo_revenue_pct,
+      COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    tags=("analytics", "bench"),
+)
+def tpch_q14(spark, sf_dir):
+    p = dim(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(27,4)")).cast("double")
+                / F.sum(rev.cast("decimal(27,4)")).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles per group (not approx): Spark `percentile` and DuckDB
+# `quantile_cont` both use linear interpolation over the sorted values.
+# --------------------------------------------------------------------------
+@register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("analytics", "bench"),
+)
+def events_value_percentiles(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming-style rollup in batch form: per-type hourly event aggregates.
 # This is the canonical "hypertable rollup" a user runs on the events table
 # the connector lands. Group keys are (hour, type): ~3.6k groups — partial
