@@ -35,6 +35,7 @@ class SinkConfig:
     evolve_schema: bool = False
     schema_case_insensitive: bool = False
     commit_interval_ms: int = 300_000  # IcebergSinkConfig.java:88-89
+    commit_threads: int = 1  # T8 parallel per-table commit (Coordinator.java:89)
     auto_create_partition_by: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -90,6 +91,7 @@ def from_properties(props: dict[str, str]) -> SinkConfig:
         commit_interval_ms=int(
             props.get("iceberg.control.commit.interval-ms", "300000")
         ),
+        commit_threads=int(props.get("iceberg.control.commit.threads", "1")),
         auto_create_partition_by=_split(
             props.get("iceberg.tables.default-partition-by")
         ),

@@ -220,10 +220,20 @@ class LakehouseTable:
         raise CommitConflict("unreachable")
 
     # ----------------------------------------------------------- file write
+    def file_format(self) -> str:
+        """S6: file format from the table property ``write.format.default``
+        (Utilities.java:160-167) — parquet (default) or orc. (Avro needs the
+        external spark-avro package; declared unsupported here.)"""
+        fmt = self.properties().get("write.format.default", "parquet").lower()
+        if fmt not in ("parquet", "orc"):
+            raise ValueError(f"unsupported write.format.default: {fmt}")
+        return fmt
+
     def _write_files(self, df: DataFrame, subdir: str) -> list[dict]:
-        """Write a DataFrame as parquet files under a fresh uuid dir; the
+        """Write a DataFrame as data files under a fresh uuid dir; the
         derived partition columns (if any) are appended and partitionBy'd so
         readers get directory pruning."""
+        fmt = self.file_format()
         out_dir = os.path.join(self.root, subdir, uuid.uuid4().hex)
         writer = df
         pcols = []
@@ -236,11 +246,11 @@ class LakehouseTable:
         w = writer.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
-        w.parquet(out_dir)
+        w.format(fmt).save(out_dir)
         base = os.path.relpath(out_dir, self.root)
         files = [
-            {"path": os.path.relpath(p, self.root), "base": base}
-            for p in globmod.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+            {"path": os.path.relpath(p, self.root), "base": base, "format": fmt}
+            for p in globmod.glob(os.path.join(out_dir, "**", f"*.{fmt}"), recursive=True)
         ]
         return files
 
@@ -366,7 +376,9 @@ class LakehouseTable:
         ).drop("__seq", "__max_dseq")
 
     def _delete_key_cols(self, spark: SparkSession, deletes: list[dict]) -> list[str]:
-        sample = spark.read.parquet(os.path.join(self.root, deletes[0]["path"]))
+        sample = spark.read.format(deletes[0].get("format", "parquet")).load(
+            os.path.join(self.root, deletes[0]["path"])
+        )
         return sample.columns
 
     def _read_file_group(
@@ -377,18 +389,23 @@ class LakehouseTable:
     ) -> DataFrame | None:
         if not files:
             return None
-        # group by (seq, write base dir): basePath restores the partition
-        # directory columns partitionBy moved out of the files
-        by_group: dict[tuple[int, str], list[str]] = {}
+        # group by (seq, write base dir, format): basePath restores the
+        # partition directory columns partitionBy moved out of the files
+        by_group: dict[tuple[int, str, str], list[str]] = {}
         for f in files:
-            key = (f["seq"], f.get("base", os.path.dirname(f["path"])))
+            key = (
+                f["seq"],
+                f.get("base", os.path.dirname(f["path"])),
+                f.get("format", "parquet"),
+            )
             by_group.setdefault(key, []).append(os.path.join(self.root, f["path"]))
         parts = []
-        for (seq, base), paths in sorted(by_group.items()):
+        for (seq, base, fmt), paths in sorted(by_group.items()):
             df = (
                 spark.read.option("mergeSchema", "false")
                 .option("basePath", os.path.join(self.root, base))
-                .parquet(*paths)
+                .format(fmt)
+                .load(paths)
             )
             if target is not None:
                 df = project_to_schema(df, target)

@@ -81,8 +81,23 @@ class SinkPipeline:
                 return
             props = self._snapshot_props(records, batch_id)
             routed = self._route(records)
-            for table_name, df in routed.items():
-                self._write_table(table_name, df, props)
+            if cfg.commit_threads > 1 and len(routed) > 1:
+                # T8: parallel per-table commit (Coordinator.java:89,147-153).
+                # Spark job submission is thread-safe; each table's snapshot
+                # commit is independent. Fail-fast on the first error, like
+                # the reference's stop-on-failure pool.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=cfg.commit_threads) as pool:
+                    futures = [
+                        pool.submit(self._write_table, name, df, props)
+                        for name, df in routed.items()
+                    ]
+                    for f in futures:
+                        f.result()
+            else:
+                for table_name, df in routed.items():
+                    self._write_table(table_name, df, props)
         finally:
             records.unpersist()
 

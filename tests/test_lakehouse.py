@@ -210,6 +210,32 @@ def test_compaction_preserves_state(spark, catalog):
     assert before == after == {1: "a2"}
 
 
+def test_orc_write_format_property(spark, catalog):
+    """S6: file format from table property write.format.default
+    (Utilities.java:160-167)."""
+    t = catalog.create_table(
+        "default.orc_t", SCHEMA, properties={"write.format.default": "orc"}
+    )
+    t.append(_rows(spark, [(1, "a", None, None)]))
+    files = t.current_snapshot()["data_files"]
+    assert all(f["format"] == "orc" and f["path"].endswith(".orc") for f in files)
+    assert [r.id for r in t.read(spark).collect()] == [1]
+    # upsert path also writes orc
+    b = spark.createDataFrame(
+        [(1, "a2", "U", 1)], "id long, type string, _cdc_op string, offset long"
+    )
+    t.upsert(b, ["id"], "_cdc_op", ["offset"])
+    assert {r.type for r in t.read(spark).collect()} == {"a2"}
+
+
+def test_unsupported_format_rejected(catalog):
+    t = catalog.create_table(
+        "default.bad_fmt", SCHEMA, properties={"write.format.default": "avro"}
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        t.file_format()
+
+
 def test_snapshot_ancestry_summary_walk(spark, catalog):
     t = catalog.create_table("default.walk", SCHEMA)
     t.append(_rows(spark, [(1, "a", None, None)]), snapshot_props={"off": "5"})

@@ -1,0 +1,149 @@
+"""Semantic tests for the probabilistic/rows-only operators: the pytest side
+of the correctness story for everything that has no SQL oracle.
+
+- MinHash-LSH recall vs the exact Jaccard pair set
+- SimHash finds the planted near-duplicates
+- SRP-LSH output ⊆ exact cosine pairs
+- numpy-GEMM top-k neighbor ids == exact Catalyst top-k ids
+- multimodal fake decode is deterministic with the documented shape
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_kafka_connect_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, docs):
+    """At the suite's band shape (r=2, b=64) recall at s≥0.5 is 1-1e-8, and
+    verification makes precision exact → output == exact pair set."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=3, threshold=0.5, num_hashes=128, bands=64
+        ).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # the corpus contains planted near-dups
+
+
+def test_minhash_scale_band_shape_recall(spark, docs):
+    """The scale configuration (r=4, b=32: far fewer candidates) still finds
+    every high-similarity pair (s≥0.8)."""
+    exact_high = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=3, threshold=0.8, num_hashes=128, bands=32
+        ).collect()
+    }
+    assert exact_high <= lsh | exact_high  # no false positives below
+    missed = exact_high - lsh
+    assert not missed, f"scale band shape missed high-sim pairs: {missed}"
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    """SimHash(hamming≤8 over bigrams) should recover the very-high-overlap
+    pairs (jaccard ≥ 0.9)."""
+    planted = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, n=2, threshold=0.9).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(docs, n=2, max_hamming=10, chunks=16).collect()
+    }
+    assert planted <= sim
+    # and it isn't degenerate (not all pairs)
+    n_docs = docs.count()
+    assert len(sim) < n_docs * (n_docs - 1) / 4
+
+
+def test_srp_lsh_subset_of_exact_with_recall(spark, emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.srp_lsh_pairs(
+            emb, threshold=0.35, num_bits=32, bands=16, dim=64
+        ).collect()
+    }
+    assert lsh <= exact  # exact verification ⇒ precision 1
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.5, f"SRP recall too low: {recall}"
+
+
+def test_numpy_topk_matches_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(queries, emb, k=5).collect()
+    fast = similarity.brute_force_topk_numpy(queries, emb, k=5).collect()
+    exact_ids = {(r.query_id, r.rank): r.neighbor_id for r in exact}
+    fast_ids = {(r.query_id, r.rank): r.neighbor_id for r in fast}
+    assert exact_ids == fast_ids
+    # scores agree to float tolerance (different arithmetic path)
+    exact_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in fast:
+        assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_partitioned_topk_subset_semantics(spark, emb):
+    """IVF-pruned results only contain same-cell neighbors, ranked exactly."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.partitioned_topk(queries, emb, k=3, part_col="label")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out.collect():
+        assert labels[r.query_id] == labels[r.neighbor_id]
+
+
+def test_multimodal_fake_decode_deterministic(spark, docs):
+    payloads = docs.limit(50).withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    a = {
+        r.id: (r.byte_len, tuple(r.features))
+        for r in multimodal.decode_image_features(payloads, use_fake=True).collect()
+    }
+    b = {
+        r.id: (r.byte_len, tuple(r.features))
+        for r in multimodal.decode_image_features(payloads, use_fake=True).collect()
+    }
+    assert a == b and len(a) == 50
+    one = next(iter(a.values()))
+    assert len(one[1]) == 8  # feature_dim
+    assert abs(sum(one[1]) - 1.0) < 1e-5  # normalized histogram
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    payloads = docs.limit(1).withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_features(payloads, use_fake=False)
+
+
+def test_frame_sampling_shape(spark, docs):
+    payloads = docs.limit(5).withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    frames = multimodal.sample_frames(payloads, stride=16)
+    rows = frames.collect()
+    assert len(rows) > 5  # multiple frames per doc
+    assert {c for c in frames.columns} == {"doc_id", "frame_pos", "frame_crc"}

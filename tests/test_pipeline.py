@@ -176,6 +176,22 @@ def test_broadcast_routing(spark, tmp_path, catalog):
     assert catalog.load_table("default.b2").read(spark).count() == 1
 
 
+def test_parallel_per_table_commit(spark, tmp_path, catalog):
+    """T8: commit.threads > 1 fans table writes onto a thread pool
+    (Coordinator.java:89,147-153); results identical to serial."""
+    cfg = SinkConfig(
+        tables=[TableConfig(f"default.par{i}") for i in range(4)],
+        auto_create=True,
+        commit_threads=4,
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-par", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(src, [{"id": i, "type": "x", "payload": None, "op": None} for i in range(6)])
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    for i in range(4):
+        assert catalog.load_table(f"default.par{i}").read(spark).count() == 6
+
+
 def test_cdc_upsert_stream(spark, tmp_path, catalog):
     """S5/P5 (IntegrationCdcTest parity): I/U/D mix → final row set."""
     cfg = SinkConfig(
