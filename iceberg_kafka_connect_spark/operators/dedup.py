@@ -189,10 +189,41 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # cand feeds two semi-joins plus the final pair filter — materialize once
-    cand = cand.persist()
-    return _pair_jaccard(sh, restrict_pairs=cand).filter(
-        F.col("jaccard") >= threshold
+    return verify_pairs_exact(sh, cand).filter(F.col("jaccard") >= threshold)
+
+
+def verify_pairs_exact(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via per-doc shingle-hash sets and
+    array_intersect — O(|A|+|B|) per pair, no inverted-index blowup.
+
+    The inverted-index join (Σ df² pairs) is the right tool for *generating*
+    pairs but the wrong one for *verifying* a known candidate list: one hot
+    shingle appearing in f docs costs f² rows there. Here each doc collapses
+    to one sorted array of 64-bit shingle hashes (exact up to xxhash64
+    collisions, ~2⁻⁶⁴ per shingle pair), candidates join against two of
+    them, and the intersection is computed per pair. This is the 100 TB
+    shape: the join keys are doc ids, never shingles."""
+    sets = sh.groupBy("id").agg(
+        F.collect_set(F.xxhash64("shingle")).alias("hs")
+    )
+    return (
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("hs").alias("ha")), "id_a"
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hb")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ha", "hb")).cast("double")
+                / (
+                    F.size("ha") + F.size("hb")
+                    - F.size(F.array_intersect("ha", "hb"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
     )
 
 

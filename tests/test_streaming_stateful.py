@@ -1,0 +1,126 @@
+"""Stateful streaming tests: watermarked window rollup and
+applyInPandasWithState sessionization over the kafka-shaped file stream."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_kafka_connect_spark.sources.stream import file_stream_source
+from iceberg_kafka_connect_spark.streaming.stateful import (
+    sessionize_stream,
+    windowed_rollup,
+)
+
+
+def _emit(path, rows, offset0=0):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / f"c{offset0}.json", "w") as f:
+        for i, (user, ts) in enumerate(rows):
+            f.write(
+                json.dumps(
+                    {
+                        "key": str(user),
+                        "value": json.dumps({"user": user}),
+                        "topic": "t",
+                        "partition": 0,
+                        "offset": offset0 + i,
+                        "timestamp": ts,
+                    }
+                )
+                + "\n"
+            )
+
+
+def _run_to_memory(stream_df, name, ckpt, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_rollup_stream(spark, tmp_path):
+    src = tmp_path / "src"
+    _emit(
+        src,
+        [
+            (1, "2024-01-01T00:10:00.000Z"),
+            (1, "2024-01-01T00:50:00.000Z"),
+            (2, "2024-01-01T01:10:00.000Z"),
+        ],
+    )
+    stream = file_stream_source(spark, str(src))
+    rolled = windowed_rollup(stream, window="1 hour", watermark="10 minutes")
+    _run_to_memory(rolled, "rollup_t", tmp_path / "ck", "append")
+    # with availableNow + append, only windows passed by the watermark emit;
+    # the 00:00 window (2 events) finalizes once the 01:10 event advances it
+    rows = {
+        (r.window_start.isoformat(), r.n_events)
+        for r in spark.sql("select * from rollup_t").collect()
+    }
+    assert ("2024-01-01T00:00:00", 2) in rows
+
+
+def test_sessionize_stream_state(spark, tmp_path):
+    src = tmp_path / "src"
+    # user 1: two events 5 min apart (1 session), then one 2h later (2nd)
+    _emit(
+        src,
+        [
+            (1, "2024-01-01T00:00:00.000Z"),
+            (1, "2024-01-01T00:05:00.000Z"),
+            (1, "2024-01-01T02:05:00.000Z"),
+            (2, "2024-01-01T00:00:00.000Z"),
+        ],
+    )
+    stream = file_stream_source(spark, str(src))
+    sessions = sessionize_stream(stream, user_col="key", gap_minutes=30)
+    _run_to_memory(sessions, "sess_t", tmp_path / "ck", "update")
+    out = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.sql(
+            "select user_id, n_sessions, n_events from sess_t"
+        ).collect()
+    }
+    assert out[1] == (2, 3)
+    assert out[2] == (1, 1)
+
+
+def test_sessionize_state_survives_batches(spark, tmp_path):
+    """Second micro-batch continues from stored state (no session double
+    count when the gap spans batches)."""
+    src = tmp_path / "src"
+    ck = tmp_path / "ck"
+    results: dict[int, tuple[int, int]] = {}
+
+    def sink(batch, _bid):
+        for r in batch.collect():
+            results[r.user_id] = (r.n_sessions, r.n_events)
+
+    def run_once():
+        stream = file_stream_source(spark, str(src))
+        sessions = sessionize_stream(stream, user_col="key", gap_minutes=30)
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _emit(src, [(7, "2024-01-01T00:00:00.000Z")])
+    run_once()
+    assert results[7] == (1, 1)
+    # 10 minutes later (same session) in a new batch after a restart
+    _emit(src, [(7, "2024-01-01T00:10:00.000Z")], offset0=1)
+    run_once()
+    assert results[7] == (1, 2)  # still one session, two events
