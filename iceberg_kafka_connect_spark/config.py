@@ -22,6 +22,10 @@ class TableConfig:
     id_columns: list[str] = field(default_factory=list)
     partition_by: list[str] = field(default_factory=list)
     commit_branch: str = "main"
+    # S6: table-property passthrough (iceberg.table.<t>.write-props.*,
+    # Utilities.java:160-167 / IcebergSinkConfig.java:264) — applied at
+    # auto-create, e.g. {"write.format.default": "orc"}
+    write_props: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -60,9 +64,22 @@ def _split(v: str | None) -> list[str]:
 def from_properties(props: dict[str, str]) -> SinkConfig:
     """Parse the reference's flat property map (IcebergSinkConfig names)."""
     table_names = _split(props.get("iceberg.tables"))
+    global_write_props = {
+        k[len("iceberg.tables.write-props.") :]: v
+        for k, v in props.items()
+        if k.startswith("iceberg.tables.write-props.")
+    }
     tables = []
     for name in table_names:
         prefix = f"iceberg.table.{name}."
+        write_props = dict(global_write_props)
+        write_props.update(
+            {
+                k[len(prefix + "write-props.") :]: v
+                for k, v in props.items()
+                if k.startswith(prefix + "write-props.")
+            }
+        )
         tables.append(
             TableConfig(
                 name=name,
@@ -70,6 +87,7 @@ def from_properties(props: dict[str, str]) -> SinkConfig:
                 id_columns=_split(props.get(prefix + "id-columns")),
                 partition_by=_split(props.get(prefix + "partition-by")),
                 commit_branch=props.get(prefix + "commit-branch", "main"),
+                write_props=write_props,
             )
         )
     return SinkConfig(

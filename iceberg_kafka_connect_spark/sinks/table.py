@@ -425,6 +425,61 @@ class LakehouseTable:
             "replace", files, [], {"compaction": "true"}, branch, replace=True
         )
 
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Iceberg expire_snapshots parity: drop snapshot metadata beyond the
+        last ``keep_last`` per branch-reachable chain. Returns the number of
+        expired snapshots. File cleanup is remove_orphan_files' job."""
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            keep: set[str] = set()
+            for sid in meta["refs"].values():
+                n = 0
+                while sid is not None and n < keep_last:
+                    keep.add(sid)
+                    snap = self._snapshot_by_id(meta, sid)
+                    sid = snap["parent"]
+                    n += 1
+            expired = [
+                s for s in meta["snapshots"] if s["snapshot_id"] not in keep
+            ]
+            if not expired:
+                return 0
+            meta["snapshots"] = [
+                s for s in meta["snapshots"] if s["snapshot_id"] in keep
+            ]
+            # cut dangling parent pointers on the oldest kept snapshots
+            for s in meta["snapshots"]:
+                if s["parent"] is not None and s["parent"] not in keep:
+                    s["parent"] = None
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return len(expired)
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        return 0
+
+    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+        """Iceberg remove_orphan_files parity: delete data/delete files not
+        referenced by any live snapshot."""
+        meta = self.metadata()
+        live = {
+            f["path"]
+            for s in meta["snapshots"]
+            for f in s["data_files"] + s["delete_files"]
+        }
+        orphans = []
+        for sub in ("data", "deletes"):
+            base = os.path.join(self.root, sub)
+            for p in globmod.glob(os.path.join(base, "**", "*.*"), recursive=True):
+                rel = os.path.relpath(p, self.root)
+                if rel not in live and not os.path.basename(p).startswith("_"):
+                    orphans.append(rel)
+                    if not dry_run:
+                        os.unlink(p)
+        return orphans
+
     def create_branch(self, name: str, from_branch: str = MAIN) -> None:
         for attempt in range(COMMIT_RETRIES):
             meta = self.metadata()

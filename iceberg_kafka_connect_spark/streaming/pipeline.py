@@ -172,7 +172,10 @@ class SinkPipeline:
                 tcfg.partition_by if tcfg and tcfg.partition_by else cfg.auto_create_partition_by
             )
             table = self.catalog.create_table_if_not_exists(
-                name, record_schema, partition_by or None
+                name,
+                record_schema,
+                partition_by or None,
+                properties=(tcfg.write_props if tcfg else None) or None,
             )
         else:
             table = self.catalog.load_table(name)

@@ -1,0 +1,174 @@
+"""Maintenance, skew-join, streaming-dedup, listener, and write-props tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.config import from_properties
+from iceberg_kafka_connect_spark.operators.skew import salted_agg_count, salted_join
+from iceberg_kafka_connect_spark.sinks import Catalog
+from iceberg_kafka_connect_spark.sources.stream import file_stream_source
+from iceberg_kafka_connect_spark.streaming.dedup import streaming_dedup
+from iceberg_kafka_connect_spark.streaming.listener import (
+    CommitNotificationListener,
+)
+
+SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def test_expire_snapshots_and_orphans(spark, catalog):
+    t = catalog.create_table("default.exp", SCHEMA)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i, "x")], SCHEMA))
+    assert len(t.snapshots()) == 5
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == 3
+    assert len(t.snapshots()) == 2
+    # latest state still fully readable (snapshots carry full file lists)
+    assert t.read(spark).count() == 5
+    # expired snapshots' files are NOT orphans (still referenced by the
+    # kept snapshots' cumulative file lists) — orphan cleanup finds nothing
+    assert t.remove_orphan_files(dry_run=True) == []
+    # but after a compaction, the pre-compaction files become orphans once
+    # older snapshots expire
+    t.compact(spark)
+    t.expire_snapshots(keep_last=1)
+    orphans = t.remove_orphan_files()
+    assert len(orphans) > 0
+    assert t.read(spark).count() == 5
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavily skewed: 90% of rows share one key
+    large = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(50)], "k long, name string"
+    )
+    plain = large.join(small, "k").select("payload", "name")
+    salted = salted_join(large, small, on="k", salt_buckets=8).select(
+        "payload", "name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    large = spark.createDataFrame([(1, "a"), (99, "b")], "k long, payload string")
+    small = spark.createDataFrame([(1, "dim")], "k long, name string")
+    out = salted_join(large, small, on="k", salt_buckets=4, how="left").collect()
+    by_payload = {r.payload: r.name for r in out}
+    assert by_payload == {"a": "dim", "b": None}
+    assert len(out) == 2  # unmatched row not replicated per salt
+
+
+def test_salted_agg_count(spark):
+    df = spark.range(0, 1000).select((F.col("id") % 3).alias("k"))
+    got = {r.k: r.n for r in salted_agg_count(df, "k", salt_buckets=8).collect()}
+    assert got == {0: 334, 1: 333, 2: 333}
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for off, key in enumerate(["a", "b", "a", "c", "b", "a"]):
+            f.write(
+                json.dumps(
+                    {
+                        "key": key,
+                        "value": "{}",
+                        "topic": "t",
+                        "partition": 0,
+                        "offset": off,
+                        "timestamp": "2024-01-01T00:00:01.000Z",
+                    }
+                )
+                + "\n"
+            )
+    seen = []
+    stream = streaming_dedup(
+        file_stream_source(spark, str(src)), key_cols=["key"]
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _: seen.extend(r.key for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == ["a", "b", "c"]
+
+
+def test_commit_notification_listener(spark, tmp_path):
+    """T12: CommitComplete notifications per micro-batch."""
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "key": "k",
+                    "value": "{}",
+                    "topic": "t",
+                    "partition": 0,
+                    "offset": 0,
+                    "timestamp": "2024-01-01T00:00:01.000Z",
+                }
+            )
+            + "\n"
+        )
+    listener = CommitNotificationListener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            file_stream_source(spark, str(src))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import time
+
+        for _ in range(50):
+            if listener.events:
+                break
+            time.sleep(0.2)
+        assert listener.events
+        ev = listener.events[0]
+        assert ev["type"] == "CommitComplete"
+        assert ev["num_input_rows"] == 1
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_write_props_passthrough():
+    cfg = from_properties(
+        {
+            "iceberg.tables": "default.a, default.b",
+            "iceberg.tables.write-props.write.format.default": "orc",
+            "iceberg.table.default.b.write-props.write.format.default": "parquet",
+            "iceberg.table.default.b.write-props.custom.key": "v",
+        }
+    )
+    assert cfg.table("default.a").write_props == {"write.format.default": "orc"}
+    assert cfg.table("default.b").write_props == {
+        "write.format.default": "parquet",
+        "custom.key": "v",
+    }
