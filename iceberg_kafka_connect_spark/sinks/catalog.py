@@ -51,6 +51,29 @@ class Catalog:
             self._path(name), schema, partition_by, properties
         )
 
+    def list_tables(self) -> list[str]:
+        import glob as globmod
+
+        out = []
+        for meta in globmod.glob(
+            os.path.join(self.warehouse, "*", "*", "metadata")
+        ):
+            tdir = os.path.dirname(meta)
+            db = os.path.basename(os.path.dirname(tdir))
+            out.append(f"{db}.{os.path.basename(tdir)}")
+        return sorted(out)
+
+    def register_views(self, spark, prefix: str = "") -> list[str]:
+        """Expose every table as a temp view so users can spark.sql over the
+        warehouse: view name = ``<db>_<table>`` (dots aren't valid in temp
+        view names)."""
+        registered = []
+        for name in self.list_tables():
+            view = (prefix + name).replace(".", "_")
+            self.load_table(name).read(spark).createOrReplaceTempView(view)
+            registered.append(view)
+        return registered
+
     def create_table_if_not_exists(
         self,
         name: str,

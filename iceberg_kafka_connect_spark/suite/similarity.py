@@ -79,6 +79,22 @@ def ann_srp_lsh_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# True IVF: deterministic k-means centroids + nprobe cell search — the
+# 100 TB path (scan fraction ≈ nprobe/nlist). Scores use a different (but
+# equivalent) normalized-dot formulation → rows-only here; pytest proves
+# nprobe=nlist reproduces brute force exactly (tests/test_ivf.py).
+# --------------------------------------------------------------------------
+@register("ann_topk_ivf_kmeans", oracle=None, tags=("similarity",))
+def ann_topk_ivf_kmeans(spark, sf_dir):
+    from ..operators.ivf import IVFIndex
+
+    emb = table(spark, sf_dir, "embeddings")
+    index = IVFIndex.build(emb, nlist=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return index.search(queries, k=5, nprobe=4)
+
+
+# --------------------------------------------------------------------------
 # Blocked-numpy brute force (mapInPandas + GEMM): the throughput variant.
 # Scores come from float matmul (not the decimal-exact fold), so no value
 # oracle — rows-only + pytest equivalence-vs-exact on ids.

@@ -158,6 +158,18 @@ def test_commit_notification_listener(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_catalog_sql_views(spark, catalog):
+    """Users can spark.sql over the warehouse via registered views."""
+    t = catalog.create_table("default.sqlview", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    views = catalog.register_views(spark)
+    assert "default_sqlview" in views
+    got = spark.sql(
+        "SELECT count(*) AS n FROM default_sqlview WHERE id > 1"
+    ).collect()[0].n
+    assert got == 1
+
+
 def test_write_props_passthrough():
     cfg = from_properties(
         {
