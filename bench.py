@@ -23,8 +23,13 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
     "tpch_q10",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
     "order_priority_count",
     "top_customers_per_nation",
     "events_hourly_rollup",

@@ -42,6 +42,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def load_all() -> dict[str, QuerySpec]:
     """Import every suite module so registrations run."""
     from . import analytics  # noqa: F401
+    from . import analytics2  # noqa: F401
     from . import ingestion  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
