@@ -1,0 +1,97 @@
+"""Run a sink pipeline from a connector-style JSON config.
+
+The reference is deployed by POSTing a JSON connector config to Kafka
+Connect. This CLI accepts the same flat property map (plus a small
+``source``/``warehouse`` section Spark needs) so an existing config ports
+with an envelope, not a rewrite:
+
+    {
+      "name": "events-sink",
+      "config": {
+        "iceberg.tables": "default.events_sink",
+        "iceberg.tables.cdc-field": "op",
+        "iceberg.table.default.events_sink.id-columns": "id",
+        "iceberg.tables.auto-create-enabled": "true"
+      },
+      "source": {"type": "files", "path": "/data/in"},          # or kafka
+      "value_schema": "id long, type string, ts timestamp, op string",
+      "warehouse": "/data/warehouse",
+      "checkpoint": "/data/checkpoints/events-sink",
+      "run_mode": "available_now"                               # or continuous
+    }
+
+Usage: python -m iceberg_kafka_connect_spark.cli job.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import types as T
+
+from .config import from_properties
+from .session import get_spark
+from .sinks import Catalog
+from .sources.stream import file_stream_source, kafka_stream_source
+from .streaming import SinkPipeline
+
+
+def build_pipeline(spec: dict, spark=None):
+    spark = spark or get_spark(app_name=spec.get("name", "iceberg-sink"))
+    cfg = from_properties(spec["config"])
+    catalog = Catalog(spec["warehouse"])
+    schema = None
+    if spec.get("value_schema"):
+        schema = T.StructType.fromDDL(spec["value_schema"])
+    pipeline = SinkPipeline(
+        catalog,
+        cfg,
+        pipeline_id=spec.get("name", "pipeline"),
+        value_schema=schema,
+    )
+    src = spec["source"]
+    if src["type"] == "kafka":
+        stream = kafka_stream_source(
+            spark,
+            src["bootstrap_servers"],
+            src["topics"],
+            src.get("starting_offsets", "earliest"),
+        )
+    elif src["type"] == "files":
+        stream = file_stream_source(spark, src["path"])
+    else:
+        raise ValueError(f"unknown source type: {src['type']}")
+    return spark, pipeline, stream
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("job_spec", help="path to the job spec JSON")
+    ap.add_argument(
+        "--once",
+        action="store_true",
+        help="force availableNow (drain and exit) regardless of run_mode",
+    )
+    args = ap.parse_args(argv)
+    with open(args.job_spec) as f:
+        spec = json.load(f)
+
+    spark, pipeline, stream = build_pipeline(spec)
+    available_now = args.once or spec.get("run_mode", "continuous") == "available_now"
+    query = pipeline.start(stream, spec["checkpoint"], available_now=available_now)
+    query.awaitTermination()
+    print(
+        json.dumps(
+            {
+                "name": spec.get("name"),
+                "status": "drained" if available_now else "terminated",
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,49 @@
+"""CLI test: connector-style JSON config → drained pipeline → correct table."""
+
+from __future__ import annotations
+
+import json
+
+from iceberg_kafka_connect_spark.cli import build_pipeline
+from iceberg_kafka_connect_spark.sinks import Catalog
+
+
+def test_cli_job_spec_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i, (id_, op) in enumerate([(1, "I"), (2, "I"), (1, "U"), (2, "D")]):
+            f.write(
+                json.dumps(
+                    {
+                        "key": str(id_),
+                        "value": json.dumps({"id": id_, "type": f"t{i}", "op": op}),
+                        "topic": "t",
+                        "partition": 0,
+                        "offset": i,
+                        "timestamp": "2024-01-01T00:00:00.000Z",
+                    }
+                )
+                + "\n"
+            )
+    spec = {
+        "name": "cli-test",
+        "config": {
+            "iceberg.tables": "default.events_sink",
+            "iceberg.tables.cdc-field": "op",
+            "iceberg.table.default.events_sink.id-columns": "id",
+            "iceberg.tables.auto-create-enabled": "true",
+        },
+        "source": {"type": "files", "path": str(src)},
+        "value_schema": "id long, type string, op string",
+        "warehouse": str(tmp_path / "wh"),
+        "checkpoint": str(tmp_path / "ck"),
+        "run_mode": "available_now",
+    }
+    _, pipeline, stream = build_pipeline(spec, spark=spark)
+    q = pipeline.start(stream, spec["checkpoint"], available_now=True)
+    q.awaitTermination(120)
+
+    t = Catalog(spec["warehouse"]).load_table("default.events_sink")
+    assert sorted((r.id, r.type) for r in t.read(spark).collect()) == [(1, "t2")]
+    assert t.current_snapshot()["summary"]["pipeline-id"] == "cli-test"
