@@ -41,6 +41,11 @@ class SinkConfig:
     commit_interval_ms: int = 300_000  # IcebergSinkConfig.java:88-89
     commit_threads: int = 1  # T8 parallel per-table commit (Coordinator.java:89)
     auto_create_partition_by: list[str] = field(default_factory=list)
+    # Kafka Connect error-handling surface (errors.tolerance /
+    # errors.deadletterqueue.topic.name): malformed records either fail the
+    # batch ("none") or divert to the DLQ table ("all")
+    errors_tolerance: str = "none"
+    dlq_table: str | None = None
 
     def __post_init__(self):
         # exactly one of static tables / dynamic routing
@@ -110,6 +115,8 @@ def from_properties(props: dict[str, str]) -> SinkConfig:
             props.get("iceberg.control.commit.interval-ms", "300000")
         ),
         commit_threads=int(props.get("iceberg.control.commit.threads", "1")),
+        errors_tolerance=props.get("errors.tolerance", "none"),
+        dlq_table=props.get("errors.deadletterqueue.topic.name"),
         auto_create_partition_by=_split(
             props.get("iceberg.tables.default-partition-by")
         ),

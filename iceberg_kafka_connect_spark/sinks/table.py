@@ -415,6 +415,48 @@ class LakehouseTable:
             out = out.unionByName(p, allowMissingColumns=False)
         return out
 
+    # ------------------------------------------------------ metadata tables
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """Iceberg `table.snapshots` metadata-table parity — the surface the
+        reference's offset-recovery walk reads (Coordinator.java:286-303)."""
+        rows = [
+            (
+                s["snapshot_id"],
+                s["parent"],
+                s["sequence_number"],
+                s["timestamp_ms"],
+                s["operation"],
+                len(s["data_files"]),
+                len(s["delete_files"]),
+                {k: str(v) for k, v in s["summary"].items()},
+            )
+            for s in self.snapshots()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id string, parent string, sequence_number long, "
+            "timestamp_ms long, operation string, n_data_files int, "
+            "n_delete_files int, summary map<string,string>",
+        )
+
+    def files_df(self, spark: SparkSession, branch: str = MAIN) -> DataFrame:
+        """Iceberg `table.files` parity: live files of a branch head."""
+        snap = self.current_snapshot(branch)
+        if snap is None:
+            return spark.createDataFrame(
+                [], "path string, content string, seq long, format string"
+            )
+        rows = [
+            (f["path"], "data", f["seq"], f.get("format", "parquet"))
+            for f in snap["data_files"]
+        ] + [
+            (f["path"], "equality-deletes", f["seq"], f.get("format", "parquet"))
+            for f in snap["delete_files"]
+        ]
+        return spark.createDataFrame(
+            rows, "path string, content string, seq long, format string"
+        )
+
     # ----------------------------------------------------------- maintenance
     def compact(self, spark: SparkSession, branch: str = MAIN) -> dict:
         """Fold merge-on-read state into plain data files (REPLACE snapshot):

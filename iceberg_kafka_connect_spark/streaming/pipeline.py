@@ -64,12 +64,29 @@ class SinkPipeline:
         records = batch.filter(F.col("value").isNotNull())
         # P1 entry: parse value into record fields, keep kafka metadata
         if self.value_schema is not None:
-            records = records.select(
+            parsed = records.select(
                 F.from_json("value", self.value_schema).alias("__row"),
+                # from_json PERMISSIVE yields an all-null struct for broken
+                # JSON — try_parse_json is the reliable malformed detector
+                F.try_parse_json("value").isNull().alias("__bad"),
+                "value",
                 "topic",
                 "partition",
                 "offset",
                 "timestamp",
+            )
+            bad = parsed.filter(F.col("__bad"))
+            if cfg.dlq_table and cfg.errors_tolerance == "all":
+                self._write_dlq(bad)
+            elif cfg.errors_tolerance == "none" and not bad.isEmpty():
+                sample = bad.select("topic", "partition", "offset").first()
+                raise ValueError(
+                    f"malformed record at {sample['topic']}-"
+                    f"{sample['partition']}:{sample['offset']} "
+                    "(errors.tolerance=none)"
+                )
+            records = parsed.filter(
+                ~F.col("__bad") & F.col("__row").isNotNull()
             ).select("__row.*", "topic", "partition", "offset", "timestamp")
         for t in self.transforms:
             records = records.transform(t)
@@ -100,6 +117,24 @@ class SinkPipeline:
                     self._write_table(table_name, df, props)
         finally:
             records.unpersist()
+
+    # ----------------------------------------------------------------- DLQ
+    def _write_dlq(self, bad: DataFrame) -> None:
+        """Divert malformed records (raw form + position) to the DLQ table."""
+        if bad.isEmpty():
+            return
+        dlq_rows = bad.select(
+            "value",
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+            F.lit("JSON_PARSE_ERROR").alias("error"),
+        )
+        table = self.catalog.create_table_if_not_exists(
+            self.config.dlq_table, dlq_rows.schema
+        )
+        table.append(dlq_rows, snapshot_props={PIPELINE_PROP: self.pipeline_id})
 
     # ------------------------------------------------------------- routing
     def _route(self, records: DataFrame) -> dict[str, DataFrame]:

@@ -260,6 +260,85 @@ def test_schema_evolution_in_stream(spark, tmp_path, catalog):
     assert "payload" in [f.name for f in t.schema().fields]
 
 
+def test_dlq_diverts_malformed_records(spark, tmp_path, catalog):
+    """errors.tolerance=all + DLQ table: malformed JSON rows divert, good
+    rows land."""
+    cfg = SinkConfig(
+        tables=[TableConfig("default.good")],
+        auto_create=True,
+        errors_tolerance="all",
+        dlq_table="default.dlq",
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-dlq", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        rows = [
+            {"key": "1", "value": json.dumps({"id": 1, "type": "t", "payload": None, "op": None})},
+            {"key": "2", "value": "{not valid json"},
+            {"key": "3", "value": json.dumps({"id": 3, "type": "t", "payload": None, "op": None})},
+        ]
+        for off, r in enumerate(rows):
+            f.write(
+                json.dumps(
+                    {
+                        **r,
+                        "topic": "events",
+                        "partition": 0,
+                        "offset": off,
+                        "timestamp": "2024-01-01T00:00:00.000Z",
+                    }
+                )
+                + "\n"
+            )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    assert sorted(
+        r.id for r in catalog.load_table("default.good").read(spark).collect()
+    ) == [1, 3]
+    dlq = catalog.load_table("default.dlq").read(spark).collect()
+    assert len(dlq) == 1
+    assert dlq[0].offset == 1 and dlq[0].error == "JSON_PARSE_ERROR"
+
+
+def test_errors_tolerance_none_fails_batch(spark, tmp_path, catalog):
+    cfg = SinkConfig(tables=[TableConfig("default.strict")], auto_create=True)
+    pipe = SinkPipeline(catalog, cfg, "p-strict", value_schema=VALUE_SCHEMA)
+    from iceberg_kafka_connect_spark.sources.stream import batch_file_source
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "key": "1",
+                    "value": "{broken",
+                    "topic": "t",
+                    "partition": 0,
+                    "offset": 0,
+                    "timestamp": "2024-01-01T00:00:00.000Z",
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="malformed record at t-0:0"):
+        pipe.process_batch(batch_file_source(spark, str(src)), batch_id=0)
+
+
+def test_metadata_tables(spark, tmp_path, catalog):
+    cfg = SinkConfig(tables=[TableConfig("default.meta")], auto_create=True)
+    pipe = SinkPipeline(catalog, cfg, "p-m", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(src, [{"id": 1, "type": "t", "payload": None, "op": None}])
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    t = catalog.load_table("default.meta")
+    snaps = t.snapshots_df(spark).collect()
+    assert len(snaps) == 1 and snaps[0].operation == "append"
+    assert snaps[0].summary["pipeline-id"] == "p-m"
+    files = t.files_df(spark).collect()
+    assert len(files) >= 1 and files[0].content == "data"
+
+
 def test_config_from_reference_properties():
     """The reference's flat property names parse directly."""
     cfg = from_properties(
