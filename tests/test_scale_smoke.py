@@ -1,0 +1,75 @@
+"""Scale-stress smoke: run the core operators at 10× sf0.001 via in-memory
+multiplication (6x data volume through explode) and confirm plans stay sane
+and results scale exactly linearly where they should.
+
+This is the local stand-in for the 100× question: no collect-driven step,
+no plan that degrades with input multiplicity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_kafka_connect_spark.operators import cdc
+from iceberg_kafka_connect_spark.suite.core import dsum
+
+MULT = 10
+
+
+def _amplify(df, key_col):
+    """Replicate every row MULT times with distinct keys (id-space shifted)."""
+    return (
+        df.withColumn("__m", F.explode(F.sequence(F.lit(0), F.lit(MULT - 1))))
+        .withColumn(
+            key_col, F.col(key_col) + F.col("__m") * F.lit(10_000_000)
+        )
+        .drop("__m")
+    )
+
+
+@pytest.fixture(scope="module")
+def lineitem_10x(spark, sf_dir):
+    return _amplify(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_orderkey"
+    )
+
+
+def test_agg_scales_linearly(spark, sf_dir, lineitem_10x):
+    base = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    small = base.agg(
+        dsum(F.col("l_quantity"), 2, "q"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    big = lineitem_10x.agg(
+        dsum(F.col("l_quantity"), 2, "q"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert big.n == small.n * MULT
+    assert abs(big.q - small.q * MULT) < 1e-6
+
+
+def test_join_agg_at_10x(spark, sf_dir, lineitem_10x):
+    """orders⋈lineitem at 10× keys: row counts scale exactly; the join key
+    amplification preserves the per-key fan-out."""
+    orders = _amplify(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"
+    )
+    joined = lineitem_10x.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    base_count = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert joined.count() == base_count * MULT
+
+
+def test_cdc_collapse_at_10x(spark, sf_dir):
+    from iceberg_kafka_connect_spark.suite.core import table
+
+    events = _amplify(table(spark, sf_dir, "events"), "user_id")
+    collapsed = cdc.collapse_last_wins(events, ["user_id"], ["ts", "event_id"])
+    n_users = events.select("user_id").distinct().count()
+    assert collapsed.count() == n_users
