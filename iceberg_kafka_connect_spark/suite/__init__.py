@@ -33,7 +33,17 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn):
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver invokes queries with ITS session — pin the confs
+            # result parity depends on (UTC timezone, adaptive exec)
+            from ..session import tune_session
+
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = QuerySpec(fn=wrapped, oracle=oracle, tags=tags)
         return fn
 
     return deco
