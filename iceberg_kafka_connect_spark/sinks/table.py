@@ -48,6 +48,45 @@ from .spec import PartitionField, parse_partition_spec
 COMMIT_RETRIES = 3  # IcebergSinkConfig.java:103-104 (schema/create retries)
 MAIN = "main"
 
+_WIDENINGS = {("integer", "long"), ("float", "double")}
+
+
+def _evolve_struct(
+    current: T.StructType, incoming: T.StructType
+) -> tuple[T.StructType, bool]:
+    """Recursive add/widen merge of two struct schemas (nested structs and
+    array/map element structs included)."""
+    by_name = {f.name: f for f in current.fields}
+    fields = []
+    changed = False
+    for f in current.fields:
+        inc = next((g for g in incoming.fields if g.name == f.name), None)
+        if inc is None:
+            fields.append(f)
+            continue
+        new_dt, c = _evolve_type(f.dataType, inc.dataType)
+        fields.append(T.StructField(f.name, new_dt, f.nullable or inc.nullable))
+        changed = changed or c or (inc.nullable and not f.nullable)
+    for g in incoming.fields:
+        if g.name not in by_name:
+            fields.append(T.StructField(g.name, g.dataType, True))
+            changed = True
+    return T.StructType(fields), changed
+
+
+def _evolve_type(cur: T.DataType, inc: T.DataType) -> tuple[T.DataType, bool]:
+    if (cur.typeName(), inc.typeName()) in _WIDENINGS:
+        return inc, True
+    if isinstance(cur, T.StructType) and isinstance(inc, T.StructType):
+        return _evolve_struct(cur, inc)
+    if isinstance(cur, T.ArrayType) and isinstance(inc, T.ArrayType):
+        el, c = _evolve_type(cur.elementType, inc.elementType)
+        return T.ArrayType(el, cur.containsNull or inc.containsNull), c
+    if isinstance(cur, T.MapType) and isinstance(inc, T.MapType):
+        vt, c = _evolve_type(cur.valueType, inc.valueType)
+        return T.MapType(cur.keyType, vt, cur.valueContainsNull or inc.valueContainsNull), c
+    return cur, False
+
 
 class CommitConflict(Exception):
     pass
@@ -311,28 +350,17 @@ class LakehouseTable:
             batch.unpersist()
 
     def evolve_schema(self, incoming: T.StructType) -> bool:
-        """§1.3 #3: add missing columns, widen int→long / float→double.
+        """§1.3 #3: add missing columns (including nested struct fields,
+        RecordConverter.java:166-229), widen int→long / float→double.
         Optimistic retry like SchemaUtils.java:85-132. Returns True if the
         table schema changed."""
-        widen = {("integer", "long"), ("float", "double")}
         for attempt in range(COMMIT_RETRIES):
             meta = self.metadata()
             current = T.StructType.fromJson(meta["schema"])
-            by_name = {f.name: f for f in current.fields}
-            fields = list(current.fields)
-            changed = False
-            for f in incoming.fields:
-                cur = by_name.get(f.name)
-                if cur is None:
-                    fields.append(T.StructField(f.name, f.dataType, True))
-                    changed = True
-                elif (cur.dataType.typeName(), f.dataType.typeName()) in widen:
-                    idx = fields.index(cur)
-                    fields[idx] = T.StructField(f.name, f.dataType, True)
-                    changed = True
+            evolved, changed = _evolve_struct(current, incoming)
             if not changed:
                 return False
-            meta["schema"] = json.loads(T.StructType(fields).json())
+            meta["schema"] = json.loads(evolved.json())
             try:
                 self._write_version(meta["version"] + 1, meta)
                 return True

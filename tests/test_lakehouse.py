@@ -163,6 +163,51 @@ def test_schema_evolution_add_and_widen(spark, catalog):
     assert t.evolve_schema(incoming) is False
 
 
+def test_nested_schema_evolution(spark, catalog):
+    """Nested struct fields evolve too (RecordConverter.java:166-229):
+    add a field inside a struct, widen one inside an array element."""
+    narrow = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "meta", T.StructType([T.StructField("a", T.StringType())])
+            ),
+            T.StructField(
+                "items",
+                T.ArrayType(T.StructType([T.StructField("n", T.IntegerType())])),
+            ),
+        ]
+    )
+    wide = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("a", T.StringType()),
+                        T.StructField("b", T.LongType()),  # nested add
+                    ]
+                ),
+            ),
+            T.StructField(
+                "items",
+                T.ArrayType(
+                    T.StructType([T.StructField("n", T.LongType())])  # widen
+                ),
+            ),
+        ]
+    )
+    t = catalog.create_table("default.nested_ev", narrow)
+    t.append(spark.createDataFrame([(1, ("x",), [(5,)])], narrow))
+    assert t.evolve_schema(wide) is True
+    t.append(spark.createDataFrame([(2, ("y", 9), [(6,)])], wide))
+    out = {r.id: r for r in t.read(spark).collect()}
+    assert out[1].meta.b is None and out[2].meta.b == 9
+    assert out[1].items[0].n == 5 and out[2].items[0].n == 6
+    assert t.evolve_schema(wide) is False  # idempotent
+
+
 def test_branch_commits(spark, catalog):
     """S8: commit-branch targeting — snapshots land on a named branch."""
     t = catalog.create_table("default.branching", SCHEMA)
