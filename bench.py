@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "text_profile",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
+    "curation_pipeline",
 ]
 
 

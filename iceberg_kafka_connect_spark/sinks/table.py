@@ -285,6 +285,11 @@ class LakehouseTable:
         w = writer.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
+        # file-size rolling (Utilities.java:165-167): Spark's knob is
+        # rows-per-file; `write.target-file-rows` caps each data file
+        target_rows = self.properties().get("write.target-file-rows")
+        if target_rows:
+            w = w.option("maxRecordsPerFile", int(target_rows))
         w.format(fmt).save(out_dir)
         base = os.path.relpath(out_dir, self.root)
         files = [

@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import analytics  # noqa: F401
     from . import analytics2  # noqa: F401
     from . import ingestion  # noqa: F401
+    from . import curation  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import text  # noqa: F401

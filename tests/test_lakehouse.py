@@ -273,6 +273,24 @@ def test_orc_write_format_property(spark, catalog):
     assert {r.type for r in t.read(spark).collect()} == {"a2"}
 
 
+def test_target_file_rows_rolls_files(spark, catalog):
+    """write.target-file-rows caps rows per data file (the reference's
+    target-file-size rolling, Utilities.java:165-167)."""
+    t = catalog.create_table(
+        "default.rolling", SCHEMA, properties={"write.target-file-rows": "10"}
+    )
+    df = spark.range(0, 35).select(
+        F.col("id"),
+        F.lit("x").alias("type"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("payload"),
+    ).coalesce(1)
+    t.append(df)
+    files = t.current_snapshot()["data_files"]
+    assert len(files) >= 4  # 35 rows / 10 per file
+    assert t.read(spark).count() == 35
+
+
 def test_unsupported_format_rejected(catalog):
     t = catalog.create_table(
         "default.bad_fmt", SCHEMA, properties={"write.format.default": "avro"}
