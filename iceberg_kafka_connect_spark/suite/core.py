@@ -27,9 +27,13 @@ TABLES = (
     "embeddings",
 )
 
-# Broadcast-able dimension tables: at 100 TB the facts (lineitem, orders,
-# events, documents, embeddings) scale; these stay small.
-BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+# Force-broadcast dimension tables: bounded size at ANY scale factor
+# (region/nation are fixed-cardinality; supplier/part grow far slower than
+# facts). `customer` is deliberately NOT hinted — it grows with SF and would
+# blow past executor memory at warehouse scale; Catalyst/AQE still broadcast
+# it at small SF from size estimates, and fall back to shuffle join when it
+# outgrows the threshold.
+BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
 
 
 # Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long

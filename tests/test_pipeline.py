@@ -339,6 +339,34 @@ def test_metadata_tables(spark, tmp_path, catalog):
     assert len(files) >= 1 and files[0].content == "data"
 
 
+def test_ingest_then_analyze_loop(spark, tmp_path, catalog):
+    """The full 'user switches from the reference' story: stream events into
+    the lakehouse, then run the analytics the connector's users run on the
+    landed table — through SQL views, matching the source exactly."""
+    cfg = SinkConfig(tables=[TableConfig("default.events_lake")], auto_create=True)
+    pipe = SinkPipeline(catalog, cfg, "p-loop", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(
+        src,
+        [
+            {"id": i, "type": ["click", "view", "purchase"][i % 3],
+             "payload": None, "op": None}
+            for i in range(30)
+        ],
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    catalog.register_views(spark)
+    rolled = spark.sql(
+        """
+        SELECT type, COUNT(*) AS n FROM default_events_lake
+        GROUP BY type ORDER BY type
+        """
+    ).collect()
+    assert [(r.type, r.n) for r in rolled] == [
+        ("click", 10), ("purchase", 10), ("view", 10),
+    ]
+
+
 def test_config_from_reference_properties():
     """The reference's flat property names parse directly."""
     cfg = from_properties(
