@@ -282,6 +282,13 @@ class LakehouseTable:
                 if f.name not in df.columns:
                     writer = writer.withColumn(f.name, f.expr())
                 pcols.append(f.name)
+        # write.sort-order: cluster rows inside files so parquet min/max
+        # stats prune row groups for predicates on the sort columns — the
+        # Iceberg sort-order table property, Spark-native
+        sort_order = self.properties().get("write.sort-order")
+        if sort_order and subdir == "data":
+            sort_cols = [c.strip() for c in sort_order.split(",") if c.strip()]
+            writer = writer.sortWithinPartitions(*sort_cols)
         w = writer.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)

@@ -550,6 +550,81 @@ def smt_json_infer_parse(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# P10/F6 — chaotic JSON: drifting keys, nested objects, mixed-type arrays.
+# Mixed arrays read back as array<string>; nested objects survive as
+# serialized JSON inside the root map (JsonToMapUtils.java:112-178 rules).
+# --------------------------------------------------------------------------
+@register(
+    "smt_json_chaotic",
+    oracle="""
+    WITH chaotic AS (
+        SELECT event_id,
+               '{"k": ' || CAST(user_id AS VARCHAR) ||
+               ', "arr": [1, "two", ' || CAST(event_id % 7 AS VARCHAR) ||
+               '], "nested": {"a": ' || CAST(event_id % 3 AS VARCHAR) || '}}'
+               AS value
+        FROM events
+    )
+    SELECT event_id,
+           CAST(value->>'k' AS BIGINT) AS k,
+           CAST(value->'arr'->>1 AS VARCHAR) AS arr_1,
+           CAST(value->'nested'->>'a' AS BIGINT) AS nested_a
+    FROM chaotic
+    """,
+    tags=("ingestion",),
+)
+def smt_json_chaotic(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    chaotic = e.select(
+        "event_id",
+        F.concat(
+            F.lit('{"k": '),
+            F.col("user_id").cast("string"),
+            F.lit(', "arr": [1, "two", '),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit('], "nested": {"a": '),
+            (F.col("event_id") % 3).cast("string"),
+            F.lit("}}"),
+        ).alias("value"),
+    )
+    parsed = chaotic.transform(json_to_map(column="value", root=False))
+    # inferred schema: k long, arr array<string> (mixed types), nested struct
+    return parsed.select(
+        "event_id",
+        F.col("payload.k").cast("bigint").alias("k"),
+        F.element_at("payload.arr", 2).cast("string").alias("arr_1"),
+        F.col("payload.nested.a").cast("bigint").alias("nested_a"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch-based rollup: approximate distinct + approximate quantiles — the
+# sub-linear-memory shapes used when exact per-group state is too big at
+# 100 TB. Values are estimator-specific (HLL++/KLL differ per engine) →
+# rows-only check; exactness-vs-approx tested in pytest.
+# --------------------------------------------------------------------------
+@register("events_rollup_sketch", oracle=None, tags=("ingestion",))
+def events_rollup_sketch(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("value_q").getItem(0).alias("p50_approx"),
+            F.col("value_q").getItem(1).alias("p95_approx"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # A1 — partition fan-out (PartitionedAppendWriter.java:50-54): rows grouped
 # by the table's partition transform (day(ts) here) — the write-side
 # hash-distribution expressed as a group-by.

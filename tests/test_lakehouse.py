@@ -291,6 +291,56 @@ def test_target_file_rows_rolls_files(spark, catalog):
     assert t.read(spark).count() == 35
 
 
+def test_write_sort_order_clusters_rows(spark, catalog):
+    """write.sort-order sorts rows within files → parquet min/max stats
+    prune row groups for range predicates on the sort column."""
+    t = catalog.create_table(
+        "default.sorted", SCHEMA, properties={"write.sort-order": "id"}
+    )
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(100))
+    rng.shuffle(ids)
+    df = spark.createDataFrame(
+        [(i, "x", None, None) for i in ids], SCHEMA
+    ).coalesce(1)
+    t.append(df)
+    # rows inside the file are sorted even though the input wasn't
+    import pyarrow.parquet as pq
+    import os
+
+    fpath = os.path.join(t.root, t.current_snapshot()["data_files"][0]["path"])
+    col = pq.read_table(fpath, columns=["id"]).column("id").to_pylist()
+    assert col == sorted(col)
+
+
+def test_sketch_rollup_close_to_exact(spark, sf_dir):
+    from iceberg_kafka_connect_spark.suite import load_all
+
+    approx = {
+        r.event_type: (r.approx_users, r.p50_approx)
+        for r in load_all()["events_rollup_sketch"].fn(spark, sf_dir).collect()
+    }
+    from iceberg_kafka_connect_spark.suite.core import table as load_table
+    from pyspark.sql import functions as FF
+
+    exact = {
+        r.event_type: (r.users, r.p50)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            FF.countDistinct("user_id").alias("users"),
+            FF.percentile("value", FF.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    for et, (au, ap50) in approx.items():
+        eu, ep50 = exact[et]
+        assert abs(au - eu) / eu < 0.1
+        assert abs(ap50 - ep50) < max(5.0, 0.1 * ep50)
+
+
 def test_unsupported_format_rejected(catalog):
     t = catalog.create_table(
         "default.bad_fmt", SCHEMA, properties={"write.format.default": "avro"}
