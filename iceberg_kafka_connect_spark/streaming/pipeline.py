@@ -77,7 +77,7 @@ class SinkPipeline:
             )
             bad = parsed.filter(F.col("__bad"))
             if cfg.dlq_table and cfg.errors_tolerance == "all":
-                self._write_dlq(bad)
+                self._write_dlq(bad, batch_id)
             elif cfg.errors_tolerance == "none" and not bad.isEmpty():
                 sample = bad.select("topic", "partition", "offset").first()
                 raise ValueError(
@@ -119,8 +119,10 @@ class SinkPipeline:
             records.unpersist()
 
     # ----------------------------------------------------------------- DLQ
-    def _write_dlq(self, bad: DataFrame) -> None:
-        """Divert malformed records (raw form + position) to the DLQ table."""
+    def _write_dlq(self, bad: DataFrame, batch_id: int) -> None:
+        """Divert malformed records (raw form + position) to the DLQ table.
+        Batch-id-idempotent like every other table write (T9): a replayed
+        batch must not duplicate DLQ rows."""
         if bad.isEmpty():
             return
         dlq_rows = bad.select(
@@ -134,7 +136,16 @@ class SinkPipeline:
         table = self.catalog.create_table_if_not_exists(
             self.config.dlq_table, dlq_rows.schema
         )
-        table.append(dlq_rows, snapshot_props={PIPELINE_PROP: self.pipeline_id})
+        last = self._last_batch_id(table, "main")
+        if last is not None and batch_id <= last:
+            return
+        table.append(
+            dlq_rows,
+            snapshot_props={
+                PIPELINE_PROP: self.pipeline_id,
+                BATCH_ID_PROP: str(batch_id),
+            },
+        )
 
     # ------------------------------------------------------------- routing
     def _route(self, records: DataFrame) -> dict[str, DataFrame]:

@@ -298,6 +298,11 @@ def test_dlq_diverts_malformed_records(spark, tmp_path, catalog):
     dlq = catalog.load_table("default.dlq").read(spark).collect()
     assert len(dlq) == 1
     assert dlq[0].offset == 1 and dlq[0].error == "JSON_PARSE_ERROR"
+    # replayed batch must not duplicate DLQ rows (T9 applies to the DLQ too)
+    from iceberg_kafka_connect_spark.sources.stream import batch_file_source
+
+    pipe.process_batch(batch_file_source(spark, str(src)), batch_id=0)
+    assert catalog.load_table("default.dlq").read(spark).count() == 1
 
 
 def test_errors_tolerance_none_fails_batch(spark, tmp_path, catalog):
