@@ -46,6 +46,7 @@ class SinkConfig:
     # batch ("none") or divert to the DLQ table ("all")
     errors_tolerance: str = "none"
     dlq_table: str | None = None
+    default_commit_branch: str = "main"  # iceberg.tables.default-commit-branch
 
     def __post_init__(self):
         # exactly one of static tables / dynamic routing
@@ -91,7 +92,10 @@ def from_properties(props: dict[str, str]) -> SinkConfig:
                 route_regex=props.get(prefix + "route-regex"),
                 id_columns=_split(props.get(prefix + "id-columns")),
                 partition_by=_split(props.get(prefix + "partition-by")),
-                commit_branch=props.get(prefix + "commit-branch", "main"),
+                commit_branch=props.get(
+                    prefix + "commit-branch",
+                    props.get("iceberg.tables.default-commit-branch", "main"),
+                ),
                 write_props=write_props,
             )
         )
@@ -117,6 +121,9 @@ def from_properties(props: dict[str, str]) -> SinkConfig:
         commit_threads=int(props.get("iceberg.control.commit.threads", "1")),
         errors_tolerance=props.get("errors.tolerance", "none"),
         dlq_table=props.get("errors.deadletterqueue.topic.name"),
+        default_commit_branch=props.get(
+            "iceberg.tables.default-commit-branch", "main"
+        ),
         auto_create_partition_by=_split(
             props.get("iceberg.tables.default-partition-by")
         ),

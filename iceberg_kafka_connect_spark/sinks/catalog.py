@@ -46,9 +46,10 @@ class Catalog:
         schema: T.StructType,
         partition_by: list[str] | str | None = None,
         properties: dict | None = None,
+        identifier_fields: list[str] | None = None,
     ) -> LakehouseTable:
         return LakehouseTable.create(
-            self._path(name), schema, partition_by, properties
+            self._path(name), schema, partition_by, properties, identifier_fields
         )
 
     def list_tables(self) -> list[str]:
@@ -80,12 +81,15 @@ class Catalog:
         schema: T.StructType,
         partition_by: list[str] | str | None = None,
         properties: dict | None = None,
+        identifier_fields: list[str] | None = None,
     ) -> LakehouseTable:
         """Auto-create with race tolerance (IcebergWriterFactory.java:69-117:
         create, and on a concurrent-create conflict, load instead)."""
         if self.table_exists(name):
             return self.load_table(name)
         try:
-            return self.create_table(name, schema, partition_by, properties)
+            return self.create_table(
+                name, schema, partition_by, properties, identifier_fields
+            )
         except (CommitConflict, FileExistsError):
             return self.load_table(name)

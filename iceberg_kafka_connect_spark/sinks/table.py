@@ -111,6 +111,7 @@ class LakehouseTable:
         schema: T.StructType,
         partition_by: list[str] | str | None = None,
         properties: dict | None = None,
+        identifier_fields: list[str] | None = None,
     ) -> "LakehouseTable":
         t = LakehouseTable(root)
         os.makedirs(t._meta_dir, exist_ok=True)
@@ -121,12 +122,19 @@ class LakehouseTable:
                 f.to_json() for f in parse_partition_spec(partition_by)
             ],
             "properties": properties or {},
+            # Iceberg identifier-field parity: the schema's row identity,
+            # used as upsert key when the sink config names none
+            # (BaseDeltaTaskWriter uses the schema's identifierFieldIds)
+            "identifier_fields": identifier_fields or [],
             "snapshots": [],
             "refs": {},
             "version": 0,
         }
         t._write_version(0, meta)
         return t
+
+    def identifier_fields(self) -> list[str]:
+        return self.metadata().get("identifier_fields", [])
 
     @staticmethod
     def exists(root: str) -> bool:

@@ -201,7 +201,7 @@ class SinkPipeline:
     def _write_table(self, name: str, df: DataFrame, props: dict) -> None:
         cfg = self.config
         tcfg = cfg.table(name)
-        branch = tcfg.commit_branch if tcfg else "main"
+        branch = tcfg.commit_branch if tcfg else cfg.default_commit_branch
 
         record_schema = T.StructType(
             [
@@ -237,7 +237,9 @@ class SinkPipeline:
         if cfg.evolve_schema:
             table.evolve_schema(record_schema)
 
-        id_cols = tcfg.id_columns if tcfg else []
+        # upsert key: config id-columns, else the table schema's identifier
+        # fields (IntegrationTest covers both: schema-id-cols / config-id-cols)
+        id_cols = (tcfg.id_columns if tcfg else []) or table.identifier_fields()
         if (cfg.upsert_mode or cfg.cdc_field) and id_cols:
             order = [c for c in ("timestamp", "offset") if c in df.columns]
             table.upsert(

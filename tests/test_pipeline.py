@@ -229,6 +229,46 @@ def test_cdc_upsert_stream(spark, tmp_path, catalog):
     assert out == {1: "a2", 2: "back"}
 
 
+def test_upsert_via_schema_identifier_fields(spark, tmp_path, catalog):
+    """Upsert keyed by the table schema's identifier fields when the config
+    names no id-columns (IntegrationTest schema-id-cols variant)."""
+    catalog.create_table(
+        "default.schema_keyed", RECORD_SCHEMA, identifier_fields=["id"]
+    )
+    cfg = SinkConfig(tables=[TableConfig("default.schema_keyed")], cdc_field="op")
+    pipe = SinkPipeline(catalog, cfg, "p-sid", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(
+        src,
+        [
+            {"id": 1, "type": "a", "payload": None, "op": "I"},
+            {"id": 1, "type": "a2", "payload": None, "op": "U"},
+            {"id": 2, "type": "b", "payload": None, "op": "I"},
+        ],
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    t = catalog.load_table("default.schema_keyed")
+    assert {r.id: r.type for r in t.read(spark).collect()} == {1: "a2", 2: "b"}
+
+
+def test_default_commit_branch(spark, tmp_path, catalog):
+    cfg = from_properties(
+        {
+            "iceberg.tables": "default.branched",
+            "iceberg.tables.auto-create-enabled": "true",
+            "iceberg.tables.default-commit-branch": "staging",
+        }
+    )
+    assert cfg.table("default.branched").commit_branch == "staging"
+    pipe = SinkPipeline(catalog, cfg, "p-br", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(src, [{"id": 1, "type": "t", "payload": None, "op": None}])
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    t = catalog.load_table("default.branched")
+    assert t.read(spark, branch="staging").count() == 1
+    assert t.read(spark, branch="main").count() == 0
+
+
 def test_schema_evolution_in_stream(spark, tmp_path, catalog):
     """§1.3 evolution (IntegrationTest schema-evolution parity): second
     batch carries a new column; table schema evolves, old rows read as null."""
