@@ -24,8 +24,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine
-
 
 def _norm_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """L2-normalize embeddings (cosine ≡ dot after normalization)."""

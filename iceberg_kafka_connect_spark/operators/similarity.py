@@ -20,13 +20,11 @@ is one BLAS matmul instead of 64-element folds per pair.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine, dot, norm2
+from ..functions.vector import cosine
 
 
 def brute_force_topk(

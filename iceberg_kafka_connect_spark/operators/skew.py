@@ -18,7 +18,7 @@ non-algebraic ones (e.g. collect_set under skew).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

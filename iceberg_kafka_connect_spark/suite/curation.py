@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 from ..operators import text as tx
 from . import register
-from .core import sql_davg, sql_dsum, table, davg, dsum
+from .core import davg, sql_davg, table
 from .dedup import _DUCK_SHINGLES
 
 

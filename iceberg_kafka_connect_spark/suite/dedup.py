@@ -9,8 +9,6 @@ oracle (xxhash64) → rows-only check + pytest semantic tests.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from ..operators import dedup
 from ..operators.similarity import cosine_pairs
 from ..functions.vector import sql_cosine
