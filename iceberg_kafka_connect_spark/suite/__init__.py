@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every suite module so registrations run."""
     from . import analytics  # noqa: F401
     from . import analytics2  # noqa: F401
+    from . import analytics3  # noqa: F401
     from . import ingestion  # noqa: F401
     from . import curation  # noqa: F401
     from . import dedup  # noqa: F401

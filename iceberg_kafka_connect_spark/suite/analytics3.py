@@ -1,0 +1,107 @@
+"""Third analytics batch: operator classes not yet covered — multi-dim
+aggregation (ROLLUP), PIVOT, and set operations (INTERSECT/EXCEPT)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register
+from .core import dsum, sql_dsum, table
+
+
+# --------------------------------------------------------------------------
+# ROLLUP: hierarchical totals in one pass (year → priority → grand total).
+# Spark expands grouping sets map-side; one shuffle covers all levels.
+# --------------------------------------------------------------------------
+@register(
+    "orders_rollup",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 2)} AS total_price
+    FROM orders
+    GROUP BY ROLLUP(order_year, o_orderpriority)
+    ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("analytics", "bench"),
+)
+def orders_rollup(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return (
+        o.rollup("order_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2, "total_price"),
+        )
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT: return-flag columns per line status — conditional aggregation
+# materialized as columns (Spark pivot ≡ SQL FILTERed aggregates).
+# --------------------------------------------------------------------------
+@register(
+    "lineitem_pivot_returnflag",
+    oracle=f"""
+    SELECT l_linestatus,
+           {sql_dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE NULL END", 2)} AS qty_A,
+           {sql_dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE NULL END", 2)} AS qty_N,
+           {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE NULL END", 2)} AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("analytics", "bench"),
+)
+def lineitem_pivot_returnflag(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    pivoted = (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double"))
+    )
+    return pivoted.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    ).orderBy("l_linestatus")
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT with distinct semantics.
+# Buyers who never hit an error event, and error-only users, via set algebra
+# across two event-type projections.
+# --------------------------------------------------------------------------
+@register(
+    "events_set_ops",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         errorers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+         both_u AS (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errorers),
+         clean_buyers AS (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errorers)
+    SELECT 'both' AS cohort, COUNT(*) AS n FROM both_u
+    UNION ALL
+    SELECT 'clean_buyers', COUNT(*) FROM clean_buyers
+    ORDER BY cohort
+    """,
+    tags=("analytics",),
+)
+def events_set_ops(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    errorers = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both_u = buyers.intersect(errorers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    clean = buyers.exceptAll(errorers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("clean_buyers").alias("cohort"), "n"
+    )
+    return both_u.unionByName(clean).orderBy("cohort")
