@@ -62,17 +62,20 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
-    # best-of-2: single-JVM local runs have multi-second GC/compilation
-    # noise; the minimum is the steady-state figure
+    # best-of-3: single-JVM local runs have multi-second GC/compilation
+    # noise; the minimum is the steady-state figure. Cache is cleared
+    # between queries so one operator's persisted intermediates can't
+    # pressure the next one's GC.
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             df = specs[name].fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
+        spark.catalog.clearCache()
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
