@@ -2,14 +2,18 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line with per-query seconds.
 
-Execution is forced with the noop sink (full computation, no driver
-collect / disk write skew)."""
+Query execution is forced with the noop sink (full computation, no driver
+collect / disk write skew). Two ingestion entries measure the engine's
+primary function end-to-end: kafka-shaped records through JSON parse →
+conversion → lakehouse commit (append path and CDC-upsert path)."""
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -47,6 +51,70 @@ BENCH_QUERIES = [
 ]
 
 
+def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
+    """End-to-end ingestion: events table re-shaped as kafka records →
+    SinkPipeline (JSON parse, conversion, routing, snapshot commit)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.config import SinkConfig, TableConfig
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.streaming import SinkPipeline
+    from iceberg_kafka_connect_spark.suite.core import table as load_table
+
+    events = load_table(spark, sf_dir, "events")
+    kafka_shaped = events.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+        ).alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("user_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    ).persist()
+    kafka_shaped.count()  # materialize the source outside the timed region
+
+    value_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    out: dict[str, float] = {}
+    wh = tempfile.mkdtemp(prefix="iks-bench-wh-")
+    try:
+        append_cfg = SinkConfig(
+            tables=[TableConfig("default.events_append")], auto_create=True
+        )
+        pipe = SinkPipeline(
+            Catalog(wh), append_cfg, "bench-append", value_schema=value_schema
+        )
+        t0 = time.perf_counter()
+        pipe.process_batch(kafka_shaped, 0)
+        out["ingest_append"] = round(time.perf_counter() - t0, 3)
+
+        cdc_cfg = SinkConfig(
+            tables=[TableConfig("default.events_cdc", id_columns=["user_id"])],
+            upsert_mode=True,
+            auto_create=True,
+        )
+        pipe2 = SinkPipeline(
+            Catalog(wh), cdc_cfg, "bench-cdc", value_schema=value_schema
+        )
+        t0 = time.perf_counter()
+        pipe2.process_batch(kafka_shaped, 0)
+        out["ingest_cdc_upsert"] = round(time.perf_counter() - t0, 3)
+    finally:
+        kafka_shaped.unpersist()
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -77,6 +145,8 @@ def main() -> None:
             best = el if best is None else min(best, el)
         spark.catalog.clearCache()
         times[name] = round(best, 3)
+
+    times.update(_bench_ingest(spark, sf_dir))
 
     total = round(sum(times.values()), 3)
     print(
