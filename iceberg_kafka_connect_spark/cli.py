@@ -15,10 +15,14 @@ with an envelope, not a rewrite:
       },
       "source": {"type": "files", "path": "/data/in"},          # or kafka
       "value_schema": "id long, type string, ts timestamp, op string",
+      "transforms": ["debezium"],                               # SMT chain
       "warehouse": "/data/warehouse",
       "checkpoint": "/data/checkpoints/events-sink",
       "run_mode": "available_now"                               # or continuous
     }
+
+``transforms`` names the SMT chain (like the connector's ``transforms=``
+property): debezium | dms | json_to_map_root | kafka_metadata.
 
 Usage: python -m iceberg_kafka_connect_spark.cli job.json
 """
@@ -38,6 +42,28 @@ from .sources.stream import file_stream_source, kafka_stream_source
 from .streaming import SinkPipeline
 
 
+def _resolve_transforms(names: list[str]):
+    from .transforms import (
+        debezium_transform,
+        dms_transform,
+        json_to_map,
+        kafka_metadata,
+    )
+
+    registry = {
+        "debezium": debezium_transform,
+        "dms": dms_transform,
+        "json_to_map_root": lambda: json_to_map(root=True),
+        "kafka_metadata": kafka_metadata,
+    }
+    out = []
+    for name in names:
+        if name not in registry:
+            raise ValueError(f"unknown transform: {name}")
+        out.append(registry[name]())
+    return out
+
+
 def build_pipeline(spec: dict, spark=None):
     spark = spark or get_spark(app_name=spec.get("name", "iceberg-sink"))
     cfg = from_properties(spec["config"])
@@ -50,6 +76,7 @@ def build_pipeline(spec: dict, spark=None):
         cfg,
         pipeline_id=spec.get("name", "pipeline"),
         value_schema=schema,
+        transforms=_resolve_transforms(spec.get("transforms", [])),
     )
     src = spec["source"]
     if src["type"] == "kafka":

@@ -67,7 +67,16 @@ def debezium_transform(
         if keep_offset_cols is not None:
             part, off = keep_offset_cols
             cdc_fields.append(F.col(off).alias("offset"))
-        out = df.select(row.alias("__row"), F.struct(*cdc_fields).alias("_cdc"))
-        return out.filter(F.col("__row").isNotNull()).select("__row.*", "_cdc")
+        # kafka metadata columns pass through so downstream offset tracking
+        # and arrival ordering keep working after the unwrap
+        passthrough = [
+            c for c in ("topic", "partition", "offset", "timestamp") if c in df.columns
+        ]
+        out = df.select(
+            row.alias("__row"), F.struct(*cdc_fields).alias("_cdc"), *passthrough
+        )
+        return out.filter(F.col("__row").isNotNull()).select(
+            "__row.*", "_cdc", *passthrough
+        )
 
     return _apply

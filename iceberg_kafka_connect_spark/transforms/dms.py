@@ -30,7 +30,12 @@ def dms_transform(data_col: str = "data", metadata_col: str = "metadata"):
             F.to_timestamp(md.getField("timestamp")).alias("ts"),
             source.alias("source"),
         ).alias("_cdc")
-        out = df.select(F.col(data_col).alias("__row"), cdc)
-        return out.filter(F.col("__row").isNotNull()).select("__row.*", "_cdc")
+        passthrough = [
+            c for c in ("topic", "partition", "offset", "timestamp") if c in df.columns
+        ]
+        out = df.select(F.col(data_col).alias("__row"), cdc, *passthrough)
+        return out.filter(F.col("__row").isNotNull()).select(
+            "__row.*", "_cdc", *passthrough
+        )
 
     return _apply

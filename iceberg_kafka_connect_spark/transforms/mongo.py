@@ -94,7 +94,12 @@ def mongo_debezium_transform(
             F.timestamp_millis(F.col(ts_col)).alias("ts"),
             key.getField(key_field).cast("string").alias("key"),
         ).alias("_cdc")
-        out = df.select(row.alias("__row"), cdc)
-        return out.filter(F.col("__row").isNotNull()).select("__row.*", "_cdc")
+        passthrough = [
+            c for c in ("topic", "partition", "offset", "timestamp") if c in df.columns
+        ]
+        out = df.select(row.alias("__row"), cdc, *passthrough)
+        return out.filter(F.col("__row").isNotNull()).select(
+            "__row.*", "_cdc", *passthrough
+        )
 
     return _apply
