@@ -239,6 +239,84 @@ def tpch_q22(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Q17 shape: small-quantity-order revenue — correlated average per part
+# (decorrelated into an agg + self-join; Spark and DuckDB both plan the
+# aggregate once and broadcast it).
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q17",
+    oracle=f"""
+    WITH part_avg AS (
+        SELECT l_partkey, {sql_davg('l_quantity', 4)} AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_dsum('l.l_extendedprice', 2)} AS total_price,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#5'
+      AND l.l_quantity < 0.4 * a.avg_qty
+    """,
+    tags=("analytics", "bench"),
+)
+def tpch_q17(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    p = dim(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg(F.col("l_quantity"), 4, "avg_qty")
+    )
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(part_avg), F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        .agg(
+            dsum(F.col("l_extendedprice"), 2, "total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: top supplier(s) by revenue — scalar subquery over an aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("analytics", "bench"),
+)
+def tpch_q15(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = dim(spark, sf_dir, "supplier")
+    revenue = l.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "total_rev")
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("m"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_rev") == F.col("m"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Cheapest part per type (Q2's min-per-group shape via window, no partsupp
 # table in this dataset).
 # --------------------------------------------------------------------------

@@ -732,6 +732,57 @@ def dedup_files_by_path(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# §1.2 special types — uuid (string form), binary via base64 roundtrip,
+# Iceberg `time` as micros-since-midnight (no Spark TimeType).
+# (RecordConverter.java:387-435: uuid from string, binary from base64,
+# time from ISO string.)
+# --------------------------------------------------------------------------
+@register(
+    "convert_special_types",
+    oracle="""
+    SELECT event_id,
+           concat(substr(md5(props), 1, 8), '-', substr(md5(props), 9, 4), '-',
+                  substr(md5(props), 13, 4), '-', substr(md5(props), 17, 4), '-',
+                  substr(md5(props), 21, 12)) AS uuid_str,
+           to_base64(encode(event_type)) AS payload_b64,
+           octet_length(from_base64(to_base64(encode(event_type)))) AS decoded_len,
+           CAST((hour(ts) * 3600 + minute(ts) * 60
+                 + CAST(floor(second(ts)) AS BIGINT)) AS BIGINT) * 1000000
+             AS time_micros
+    FROM events
+    """,
+    tags=("ingestion",),
+)
+def convert_special_types(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    h = F.md5("props")
+    uuid_str = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    b64 = F.base64(F.encode("event_type", "utf-8"))
+    time_micros = (
+        (
+            F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.floor(F.second("ts")).cast("bigint")
+        ).cast("bigint")
+        * 1_000_000
+    )
+    return e.select(
+        "event_id",
+        uuid_str.alias("uuid_str"),
+        b64.alias("payload_b64"),
+        F.length(F.unbase64(b64)).alias("decoded_len"),
+        time_micros.alias("time_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
 # §1.3 evolution — union of two schema generations: old batch lacks `value`
 # (NULL-filled), `event_id` widened int→bigint (SchemaUpdate add/widen).
 # --------------------------------------------------------------------------
