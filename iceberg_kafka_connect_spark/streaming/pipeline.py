@@ -59,6 +59,9 @@ class SinkPipeline:
 
     # ------------------------------------------------------------ batch body
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """One aggregation pass computes offsets, VTTS, AND the malformed
+        count; the only other full passes are the per-table writes. This is
+        the hot path — a 100 TB pipeline lives here."""
         cfg = self.config
         # P2: tombstone filter — null kafka value is a delete marker upstream
         records = batch.filter(F.col("value").isNotNull())
@@ -74,29 +77,41 @@ class SinkPipeline:
                 "partition",
                 "offset",
                 "timestamp",
-            )
-            bad = parsed.filter(F.col("__bad"))
-            if cfg.dlq_table and cfg.errors_tolerance == "all":
-                self._write_dlq(bad, batch_id)
-            elif cfg.errors_tolerance == "none" and not bad.isEmpty():
-                sample = bad.select("topic", "partition", "offset").first()
-                raise ValueError(
-                    f"malformed record at {sample['topic']}-"
-                    f"{sample['partition']}:{sample['offset']} "
-                    "(errors.tolerance=none)"
-                )
+            ).persist()
+            props, n_bad = self._stats(parsed, batch_id)
+            if props is None:
+                parsed.unpersist()
+                return  # empty batch
+            if n_bad:
+                bad = parsed.filter(F.col("__bad"))
+                if cfg.dlq_table and cfg.errors_tolerance == "all":
+                    self._write_dlq(bad, batch_id)
+                elif cfg.errors_tolerance == "none":
+                    sample = bad.select("topic", "partition", "offset").first()
+                    parsed.unpersist()
+                    raise ValueError(
+                        f"malformed record at {sample['topic']}-"
+                        f"{sample['partition']}:{sample['offset']} "
+                        "(errors.tolerance=none)"
+                    )
+            if props.pop("__n_good", 0) == 0:
+                parsed.unpersist()
+                return  # nothing valid to land (DLQ already handled)
             records = parsed.filter(
                 ~F.col("__bad") & F.col("__row").isNotNull()
             ).select("__row.*", "topic", "partition", "offset", "timestamp")
+        else:
+            parsed = None
         for t in self.transforms:
             records = records.transform(t)
         if cfg.cdc_field:
             records = records.withColumn("_cdc_op", cdc_op_col(cfg.cdc_field))
         records = records.persist()
         try:
-            if records.isEmpty():
-                return
-            props = self._snapshot_props(records, batch_id)
+            if parsed is None:
+                if records.isEmpty():
+                    return
+                props = self._snapshot_props(records, batch_id)
             routed = self._route(records)
             if cfg.commit_threads > 1 and len(routed) > 1:
                 # T8: parallel per-table commit (Coordinator.java:89,147-153).
@@ -117,14 +132,15 @@ class SinkPipeline:
                     self._write_table(table_name, df, props)
         finally:
             records.unpersist()
+            if parsed is not None:
+                parsed.unpersist()
 
     # ----------------------------------------------------------------- DLQ
     def _write_dlq(self, bad: DataFrame, batch_id: int) -> None:
         """Divert malformed records (raw form + position) to the DLQ table.
         Batch-id-idempotent like every other table write (T9): a replayed
-        batch must not duplicate DLQ rows."""
-        if bad.isEmpty():
-            return
+        batch must not duplicate DLQ rows. Only called when the stats pass
+        counted malformed rows."""
         dlq_rows = bad.select(
             "value",
             "topic",
@@ -173,6 +189,35 @@ class SinkPipeline:
         return plan_routes(records, rcfg)
 
     # ------------------------------------------------------- snapshot props
+    @staticmethod
+    def _stats(parsed: DataFrame, batch_id: int) -> tuple[dict | None, int]:
+        """Single pass: per-partition offsets + VTTS + malformed count.
+        Returns (props, n_bad); props is None for an empty batch."""
+        rows = (
+            parsed.groupBy("topic", "partition")
+            .agg(
+                (F.max("offset") + 1).alias("next_offset"),
+                F.unix_millis(F.max("timestamp")).alias("max_ts"),
+                F.sum(F.col("__bad").cast("int")).alias("n_bad"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        )
+        if not rows:
+            return None, 0
+        offsets = {f"{r['topic']}-{r['partition']}": r["next_offset"] for r in rows}
+        vtts = min((r["max_ts"] for r in rows), default=None)
+        n_bad = sum(r["n_bad"] or 0 for r in rows)
+        n_rows = sum(r["n_rows"] for r in rows)
+        props = {
+            BATCH_ID_PROP: str(batch_id),
+            OFFSETS_PROP: json.dumps(offsets, sort_keys=True),
+            "__n_good": n_rows - n_bad,  # internal, stripped before commit
+        }
+        if vtts is not None:
+            props[VTTS_PROP] = str(vtts)
+        return props, n_bad
+
     @staticmethod
     def _snapshot_props(records: DataFrame, batch_id: int) -> dict:
         """Offsets JSON (S2: max offset + 1 per topic-partition) and VTTS
