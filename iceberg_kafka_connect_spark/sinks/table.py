@@ -418,7 +418,10 @@ class LakehouseTable:
         key_cols = self._delete_key_cols(spark, deletes)
         dkeys = self._read_file_group(spark, deletes, None)
         latest = dkeys.groupBy(*key_cols).agg(F.max("__seq").alias("__max_dseq"))
-        joined = data.join(F.broadcast(latest), on=key_cols, how="left")
+        # no broadcast hint: the delete-key set grows with CDC history and
+        # can exceed executor memory at warehouse scale — size estimates/AQE
+        # broadcast it while small and shuffle-join once it isn't
+        joined = data.join(latest, on=key_cols, how="left")
         return joined.filter(
             F.col("__max_dseq").isNull() | (F.col("__max_dseq") <= F.col("__seq"))
         ).drop("__seq", "__max_dseq")
