@@ -263,12 +263,14 @@ def tpch_q22(spark, sf_dir):
 def tpch_q17(spark, sf_dir):
     l = table(spark, sf_dir, "lineitem")
     p = dim(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    # per-part averages grow with |part| — no broadcast hint; the planner
+    # broadcasts while the aggregate is small and shuffle-joins at scale
     part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
         davg(F.col("l_quantity"), 4, "avg_qty")
     )
     return (
         l.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(part_avg), F.col("pk") == F.col("l_partkey"))
+        .join(part_avg, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
         .agg(
             dsum(F.col("l_extendedprice"), 2, "total_price"),

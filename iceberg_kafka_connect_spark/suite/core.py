@@ -27,13 +27,13 @@ TABLES = (
     "embeddings",
 )
 
-# Force-broadcast dimension tables: bounded size at ANY scale factor
-# (region/nation are fixed-cardinality; supplier/part grow far slower than
-# facts). `customer` is deliberately NOT hinted — it grows with SF and would
-# blow past executor memory at warehouse scale; Catalyst/AQE still broadcast
-# it at small SF from size estimates, and fall back to shuffle join when it
-# outgrows the threshold.
-BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
+# Force-broadcast only the FIXED-cardinality dimensions (region: 5 rows,
+# nation: 25 rows — constant at any scale factor). Everything else —
+# supplier, part, customer — grows with SF and would eventually blow past
+# executor memory as a forced broadcast; parquet size estimates + AQE
+# broadcast them while small and fall back to shuffle joins beyond the
+# threshold (the plan tests pin that the local-SF plans stay broadcast).
+BROADCAST_DIMS = {"region", "nation"}
 
 
 # Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
