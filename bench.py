@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "events_hourly_rollup",
     "events_sessionize",
     "events_value_percentiles",
+    "events_funnel",
     # ingestion surface (conversion, CDC, routing)
     "record_convert_coerce",
     "cdc_apply",
@@ -50,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
     "curation_pipeline",
+    "docs_top_terms",
 ]
 
 

@@ -76,6 +76,82 @@ def lineitem_pivot_returnflag(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Funnel: signup → purchase conversion per user. One shuffle on user_id;
+# the conditional mins collapse each user to two timestamps before the
+# conversion predicate.
+# --------------------------------------------------------------------------
+@register(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(COUNT(first_signup) AS BIGINT) AS n_signed_up,
+           CAST(SUM(CASE WHEN first_purchase > first_signup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
+    FROM per_user
+    """,
+    tags=("analytics", "bench"),
+)
+def events_funnel(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").cast("bigint").alias("n_signed_up"),
+        F.sum(
+            F.when(F.col("first_purchase") > F.col("first_signup"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_converted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus term frequencies: explode → count → top-k. The canonical text
+# pipeline shape; partial aggregation absorbs the explode fan-out before
+# the shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "docs_top_terms",
+    oracle=r"""
+    SELECT term, n FROM (
+        SELECT u.term AS term, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, u.term) AS rnk
+        FROM documents,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS u(term)
+        GROUP BY u.term
+    ) WHERE rnk <= 20
+    ORDER BY n DESC, term
+    """,
+    tags=("analytics", "bench"),
+)
+def docs_top_terms(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    counted = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counted.orderBy(F.col("n").desc(), F.col("term"))
+        .limit(20)
+        .select("term", "n")
+        .orderBy(F.col("n").desc(), F.col("term"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Set operations: INTERSECT / EXCEPT with distinct semantics.
 # Buyers who never hit an error event, and error-only users, via set algebra
 # across two event-type projections.
