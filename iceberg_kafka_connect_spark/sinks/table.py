@@ -205,7 +205,12 @@ class LakehouseTable:
         return next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
 
     def _snapshot_by_id(self, meta: dict, sid: str) -> dict:
-        return next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return s
+        raise ValueError(
+            f"unknown snapshot {sid!r} (expired or never existed) at {self.root}"
+        )
 
     def last_summary_value(self, key: str, branch: str = MAIN) -> str | None:
         """Walk snapshot ancestry for a summary property — the reference's

@@ -349,6 +349,16 @@ def test_unsupported_format_rejected(catalog):
         t.file_format()
 
 
+def test_time_travel_to_expired_snapshot_errors_cleanly(spark, catalog):
+    t = catalog.create_table("default.expired_tt", SCHEMA)
+    t.append(_rows(spark, [(1, "a", None, None)]))
+    old = t.current_snapshot()["snapshot_id"]
+    t.append(_rows(spark, [(2, "b", None, None)]))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read(spark, snapshot_id=old)
+
+
 def test_snapshot_ancestry_summary_walk(spark, catalog):
     t = catalog.create_table("default.walk", SCHEMA)
     t.append(_rows(spark, [(1, "a", None, None)]), snapshot_props={"off": "5"})
