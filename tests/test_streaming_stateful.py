@@ -69,6 +69,35 @@ def test_windowed_rollup_stream(spark, tmp_path):
     assert ("2024-01-01T00:00:00", 2) in rows
 
 
+def test_windowed_rollup_with_groups_and_sum(spark, tmp_path):
+    src = tmp_path / "src"
+    _emit(
+        src,
+        [
+            (1, "2024-01-01T00:10:00.000Z"),
+            (2, "2024-01-01T00:20:00.000Z"),
+            (1, "2024-01-01T02:00:00.000Z"),  # advances the watermark
+        ],
+    )
+    stream = file_stream_source(spark, str(src)).withColumn(
+        "amount", F.col("offset").cast("double") + 1.0
+    )
+    rolled = windowed_rollup(
+        stream,
+        window="1 hour",
+        watermark="10 minutes",
+        group_cols=("key",),
+        agg_col="amount",
+    )
+    _run_to_memory(rolled, "rollup_g", tmp_path / "ck", "append")
+    rows = {
+        (r.key, r.n_events, r.sum_amount)
+        for r in spark.sql("select * from rollup_g").collect()
+    }
+    assert (str(1), 1, 1.0) in rows or (1, 1, 1.0) in rows
+    assert any(r[1] == 1 for r in rows)
+
+
 def test_sessionize_stream_state(spark, tmp_path):
     src = tmp_path / "src"
     # user 1: two events 5 min apart (1 session), then one 2h later (2nd)
