@@ -152,6 +152,80 @@ def docs_top_terms(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Cohort retention: users active in the first week still active in the
+# last week — two filtered distinct sets, one semi join.
+# --------------------------------------------------------------------------
+@register(
+    "events_retention",
+    oracle="""
+    WITH week1 AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-08'
+    ),
+    week4 AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-22'
+    )
+    SELECT CAST((SELECT COUNT(*) FROM week1) AS BIGINT) AS cohort_size,
+           CAST((SELECT COUNT(*) FROM week1 WHERE user_id IN
+                 (SELECT user_id FROM week4)) AS BIGINT) AS retained
+    """,
+    tags=("analytics",),
+)
+def events_retention(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    week1 = (
+        e.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+    )
+    week4 = (
+        e.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+    )
+    cohort = week1.agg(F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
+    retained = (
+        week1.join(week4, "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained"))
+    )
+    return cohort.crossJoin(retained)
+
+
+# --------------------------------------------------------------------------
+# Histogram: document-length distribution in fixed-width buckets — the
+# bucketize-and-count shape (one scan, one tiny shuffle).
+# --------------------------------------------------------------------------
+@register(
+    "docs_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 100) AS BIGINT) * 100 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("analytics",),
+)
+def docs_length_histogram(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100).cast("bigint") * 100).alias(
+        "bucket_lo"
+    )
+    return (
+        docs.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+# --------------------------------------------------------------------------
 # Set operations: INTERSECT / EXCEPT with distinct semantics.
 # Buyers who never hit an error event, and error-only users, via set algebra
 # across two event-type projections.
