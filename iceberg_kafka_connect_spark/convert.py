@@ -125,9 +125,10 @@ def project_to_schema(
     - unknown input columns are dropped (RecordConverter.java:146-243)
     - missing target columns become typed NULLs
     - values are coerced per the matrix above
-    - field resolution: exact name, then ``name_mapping`` (the table's
-      name-mapping JSON), then case-insensitive when enabled
-      (RecordConverter.java:100-103,245-271)
+    - field resolution: exact name, then ``name_mapping`` aliases (the
+      table's ``schema.name-mapping.default`` entries — value is one source
+      name or a list of alternates, tried in order), then case-insensitive
+      when enabled (RecordConverter.java:100-103,245-271)
     """
     src_by_name = {f.name: f for f in df.schema.fields}
     src_by_lower = {f.name.lower(): f for f in df.schema.fields}
@@ -137,7 +138,11 @@ def project_to_schema(
     for f in target.fields:
         sf = src_by_name.get(f.name)
         if sf is None and f.name in mapping:
-            sf = src_by_name.get(mapping[f.name])
+            alts = mapping[f.name]
+            for alt in [alts] if isinstance(alts, str) else alts:
+                sf = src_by_name.get(alt)
+                if sf is not None:
+                    break
         if sf is None and case_insensitive:
             sf = src_by_lower.get(f.name.lower())
         if sf is None:

@@ -41,13 +41,15 @@ def shingles(
 ) -> DataFrame:
     """(id, shingle) pairs, distinct per document.
 
-    The input is repartitioned to the session's default parallelism first:
-    the explode+hash fan-out is the expensive part, and a small-file input
-    (one parquet split) would otherwise pin it to a single core. At real
-    scale the scan already has enough splits and this shuffle of raw docs is
-    the cheapest in the whole pipeline."""
+    The explode+hash fan-out is the expensive part, and a small-file input
+    (one parquet split) would pin it to a single core — so the input is
+    repartitioned ONLY when the scan yields fewer splits than cores. At real
+    scale the scan already has enough splits and no shuffle of raw documents
+    happens at all (an unconditional repartition here would shuffle the
+    entire 100 TB corpus before any hashing)."""
     sc = docs.sparkSession.sparkContext
-    docs = docs.repartition(sc.defaultParallelism)
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     with_w = docs.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__w"))
     if n == 1:
         arr = F.col("__w")
@@ -151,6 +153,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 64,
     verify: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard-verified.
 
@@ -159,6 +162,14 @@ def minhash_lsh_pairs(
     exact-Jaccard oracle. At 100 TB raise r (fewer, cleaner candidates):
     r=4/b=32 still gives 0.999+ recall at s≥0.8 while cutting candidate
     volume by orders of magnitude.
+
+    Hot-bucket control: a cluster of f near-identical docs shares every band
+    bucket and emits O(f²·bands) candidates. Two levers: (1) run exact_dedup
+    first and feed only representatives (what suite/curation.py does — the
+    digest is already computed there); (2) ``max_bucket`` drops band buckets
+    wider than the cap before the self-join, like jaccard's ``max_df``
+    stop-shingle cut. The cap trades recall only on pathologic clusters;
+    REQUIRED at corpus scale, off for small exact-oracle runs.
     """
     r = num_hashes // bands
     # shingles feed both signature generation and exact verification —
@@ -176,6 +187,13 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "id", F.posexplode(band_hashes).alias("band", "bucket")
     ).persist()
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bw"))
+            .filter(F.col("bw") > max_bucket)
+        )
+        buckets = buckets.join(hot, ["band", "bucket"], "left_anti")
     cand = (
         buckets.alias("x")
         .join(

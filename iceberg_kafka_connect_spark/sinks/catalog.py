@@ -10,6 +10,7 @@ version-0 commit (O_EXCL hard link) — first writer wins, the loser loads.
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
 
@@ -18,6 +19,113 @@ from .table import CommitConflict, LakehouseTable
 
 class NoSuchTableError(Exception):
     pass
+
+
+class UnsupportedCatalogError(Exception):
+    """A parsed ``iceberg.catalog.*`` spec names a backend whose runtime
+    (Hive metastore / REST server / AWS SDK / JDBC driver) is not available
+    in this deployment."""
+
+
+# Catalog types CatalogUtil.buildIcebergCatalog resolves from the `type`
+# property (reference: data/Utilities.java:68-71 → Iceberg CatalogUtil).
+_KNOWN_CATALOG_TYPES = ("hive", "hadoop", "rest", "glue", "jdbc", "nessie")
+
+
+@dataclass
+class CatalogSpec:
+    """The reference's full catalog-config surface, parsed and validated.
+
+    Property names are IcebergSinkConfig's, verbatim
+    (IcebergSinkConfig.java:61-99,256-257):
+
+    - ``iceberg.catalog``            → catalog name (default "iceberg")
+    - ``iceberg.catalog.*``          → catalog properties (type /
+      catalog-impl / uri / warehouse / io-impl / credentials …)
+    - ``iceberg.hadoop.*``           → Hadoop Configuration overrides
+    - ``iceberg.hadoop-conf-dir``    → directory with core-site.xml etc.
+
+    Only the path-based warehouse backend (type=hadoop with a local or
+    file:// warehouse) is executable in this deployment; every other
+    backend parses cleanly and raises ``UnsupportedCatalogError`` at build
+    time, so an existing connector config fails loud and early with the
+    exact missing runtime named.
+    """
+
+    name: str = "iceberg"
+    type: str = "hive"  # CatalogUtil's default when no catalog-impl/type
+    catalog_impl: str | None = None
+    warehouse: str | None = None
+    uri: str | None = None
+    props: dict = field(default_factory=dict)
+    hadoop_props: dict = field(default_factory=dict)
+    hadoop_conf_dir: str | None = None
+
+    @staticmethod
+    def from_properties(props: dict[str, str]) -> "CatalogSpec":
+        cprops = {
+            k[len("iceberg.catalog.") :]: v
+            for k, v in props.items()
+            if k.startswith("iceberg.catalog.")
+        }
+        if not cprops:
+            # IcebergSinkConfig.java:278 checkState
+            raise ValueError("Must specify Iceberg catalog properties")
+        catalog_impl = cprops.get("catalog-impl")
+        # catalog-impl takes precedence over type (CatalogUtil semantics)
+        ctype = "custom" if catalog_impl else cprops.get("type", "hive")
+        return CatalogSpec(
+            name=props.get("iceberg.catalog", "iceberg"),
+            type=ctype,
+            catalog_impl=catalog_impl,
+            warehouse=cprops.get("warehouse"),
+            uri=cprops.get("uri"),
+            props=cprops,
+            hadoop_props={
+                k[len("iceberg.hadoop.") :]: v
+                for k, v in props.items()
+                if k.startswith("iceberg.hadoop.")
+            },
+            hadoop_conf_dir=props.get("iceberg.hadoop-conf-dir"),
+        )
+
+    def build(self) -> "Catalog":
+        """Build the catalog — the executable path is the directory-backed
+        warehouse (Iceberg's `hadoop` catalog shape); everything else names
+        its missing runtime."""
+        if self.type == "hadoop":
+            if not self.warehouse:
+                raise ValueError(
+                    "hadoop catalog requires iceberg.catalog.warehouse"
+                )
+            wh = self.warehouse
+            for prefix in ("file://", "file:"):
+                if wh.startswith(prefix):
+                    wh = wh[len(prefix) :]
+                    break
+            if "://" in wh:
+                raise UnsupportedCatalogError(
+                    f"warehouse scheme not available in this deployment: "
+                    f"{self.warehouse} (local paths / file:// only)"
+                )
+            return Catalog(wh)
+        if self.type == "custom":
+            raise UnsupportedCatalogError(
+                f"custom catalog-impl {self.catalog_impl!r} requires the "
+                "implementation jar on an Iceberg runtime classpath"
+            )
+        if self.type in _KNOWN_CATALOG_TYPES:
+            raise UnsupportedCatalogError(
+                f"catalog type {self.type!r} requires an external service "
+                "runtime not present in this deployment "
+                "(supported here: type=hadoop with a local warehouse)"
+            )
+        raise ValueError(f"unknown iceberg.catalog.type: {self.type!r}")
+
+
+def catalog_from_properties(props: dict[str, str]) -> "Catalog":
+    """One-call parity with Utilities.loadCatalog(config)."""
+    return CatalogSpec.from_properties(props).build()
 
 
 class Catalog:

@@ -175,6 +175,25 @@ class LakehouseTable:
     def properties(self) -> dict:
         return self.metadata()["properties"]
 
+    def name_mapping(self) -> dict[str, list[str]]:
+        """Parse the ``schema.name-mapping.default`` table property (the
+        Iceberg NameMapping JSON: ``[{"field-id": n, "names": [...]}, ...]``)
+        into {schema field name → alias names}. The reference resolves
+        incoming record fields through this mapping
+        (RecordConverter.java:100-103,245-271)."""
+        raw = self.properties().get("schema.name-mapping.default")
+        if not raw:
+            return {}
+        entries = json.loads(raw)
+        field_names = {f.name for f in self.schema().fields}
+        out: dict[str, list[str]] = {}
+        for e in entries:
+            names = e.get("names", [])
+            canon = next((n for n in names if n in field_names), None)
+            if canon is not None:
+                out[canon] = [n for n in names if n != canon]
+        return out
+
     def read_schema(self) -> T.StructType:
         """Table schema extended with the derived partition columns (typed),
         so partition predicates prune at the scan."""
@@ -234,7 +253,14 @@ class LakehouseTable:
         replace: bool = False,
         new_schema: dict | None = None,
     ) -> dict:
-        """Optimistic-retry commit of a new snapshot onto ``branch``."""
+        """Optimistic-retry commit of a new snapshot onto ``branch``.
+
+        Metadata scale: each snapshot stores only its ADDED files, in a side
+        manifest file (``metadata/man-<sid>.json``); the live set is
+        reconstructed by ancestry walk (``_live_files``). The version JSON
+        the driver rewrites per commit is therefore O(snapshots), and each
+        commit writes O(files-added) — Iceberg's manifest-list shape, not
+        O(snapshots × files)."""
         for attempt in range(COMMIT_RETRIES):
             meta = self.metadata()
             parent_id = meta["refs"].get(branch)
@@ -242,20 +268,28 @@ class LakehouseTable:
                 self._snapshot_by_id(meta, parent_id) if parent_id else None
             )
             seq = (parent["sequence_number"] + 1) if parent else 1
-            base_data = [] if (replace or parent is None) else parent["data_files"]
-            base_deletes = (
-                [] if (replace or parent is None) else parent["delete_files"]
-            )
+            sid = uuid.uuid4().hex
+            manifest_rel = os.path.join("metadata", f"man-{sid}.json")
+            with open(os.path.join(self.root, manifest_rel), "w") as f:
+                json.dump(
+                    {
+                        "added_data_files": [
+                            {**df_, "seq": seq} for df_ in data_files
+                        ],
+                        "added_delete_files": [
+                            {**df_, "seq": seq} for df_ in delete_files
+                        ],
+                    },
+                    f,
+                )
             snap = {
-                "snapshot_id": uuid.uuid4().hex,
+                "snapshot_id": sid,
                 "parent": parent_id,
                 "sequence_number": seq,
                 "timestamp_ms": int(time.time() * 1000),
                 "operation": operation,
-                "data_files": base_data
-                + [{**f, "seq": seq} for f in data_files],
-                "delete_files": base_deletes
-                + [{**f, "seq": seq} for f in delete_files],
+                "manifest": manifest_rel,
+                "replace": replace or parent is None,
                 "summary": {**summary, "commit-uuid": uuid.uuid4().hex},
             }
             meta["snapshots"].append(snap)
@@ -266,25 +300,59 @@ class LakehouseTable:
                 self._write_version(meta["version"] + 1, meta)
                 return snap
             except CommitConflict:
+                os.unlink(os.path.join(self.root, manifest_rel))
                 if attempt == COMMIT_RETRIES - 1:
                     raise
                 time.sleep(0.05 * (attempt + 1))
         raise CommitConflict("unreachable")
 
+    # ------------------------------------------------------ manifest access
+    def _load_manifest(self, snap: dict) -> tuple[list[dict], list[dict]]:
+        """A snapshot's ADDED (data, delete) files. Legacy snapshots stored
+        full cumulative lists inline; they terminate the ancestry walk, so
+        returning them here keeps old tables readable."""
+        if "manifest" in snap:
+            with open(os.path.join(self.root, snap["manifest"])) as f:
+                m = json.load(f)
+            return m["added_data_files"], m["added_delete_files"]
+        return snap.get("data_files", []), snap.get("delete_files", [])
+
+    def _live_files(
+        self, meta: dict, snap: dict
+    ) -> tuple[list[dict], list[dict]]:
+        """Full live (data, delete) file lists at ``snap``: walk ancestry
+        accumulating per-snapshot additions until a replace snapshot (or a
+        legacy full-list snapshot) terminates the chain."""
+        data: list[dict] = []
+        deletes: list[dict] = []
+        cur: dict | None = snap
+        while cur is not None:
+            d, dl = self._load_manifest(cur)
+            data = list(d) + data
+            deletes = list(dl) + deletes
+            if cur.get("replace") or "manifest" not in cur:
+                break
+            pid = cur["parent"]
+            cur = self._snapshot_by_id(meta, pid) if pid else None
+        return data, deletes
+
     # ----------------------------------------------------------- file write
     def file_format(self) -> str:
         """S6: file format from the table property ``write.format.default``
-        (Utilities.java:160-167) — parquet (default) or orc. (Avro needs the
-        external spark-avro package; declared unsupported here.)"""
+        (Utilities.java:160-167) — parquet (default), orc, or avro (avro via
+        the self-contained OCF codec in sinks/avro_io.py: no spark-avro jar
+        in this deployment)."""
         fmt = self.properties().get("write.format.default", "parquet").lower()
-        if fmt not in ("parquet", "orc"):
+        if fmt not in ("parquet", "orc", "avro"):
             raise ValueError(f"unsupported write.format.default: {fmt}")
         return fmt
 
     def _write_files(self, df: DataFrame, subdir: str) -> list[dict]:
         """Write a DataFrame as data files under a fresh uuid dir; the
         derived partition columns (if any) are appended and partitionBy'd so
-        readers get directory pruning."""
+        readers get directory pruning. Avro keeps partition columns inline
+        (our OCF reader reads explicit file lists; no directory layout to
+        prune)."""
         fmt = self.file_format()
         out_dir = os.path.join(self.root, subdir, uuid.uuid4().hex)
         writer = df
@@ -294,7 +362,8 @@ class LakehouseTable:
             for f in self.partition_spec():
                 if f.name not in df.columns:
                     writer = writer.withColumn(f.name, f.expr())
-                pcols.append(f.name)
+                if fmt != "avro":
+                    pcols.append(f.name)
         # write.sort-order: cluster rows inside files so parquet min/max
         # stats prune row groups for predicates on the sort columns — the
         # Iceberg sort-order table property, Spark-native
@@ -302,6 +371,15 @@ class LakehouseTable:
         if sort_order and subdir == "data":
             sort_cols = [c.strip() for c in sort_order.split(",") if c.strip()]
             writer = writer.sortWithinPartitions(*sort_cols)
+        if fmt == "avro":
+            from . import avro_io
+
+            paths = avro_io.write_avro_files(writer, out_dir)
+            base = os.path.relpath(out_dir, self.root)
+            return [
+                {"path": os.path.relpath(p, self.root), "base": base, "format": fmt}
+                for p in paths
+            ]
         w = writer.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
@@ -319,15 +397,25 @@ class LakehouseTable:
         return files
 
     # ---------------------------------------------------------------- write
+    def _project(self, df: DataFrame, case_insensitive: bool = False) -> DataFrame:
+        """Schema-directed projection with the table's name mapping applied
+        (RecordConverter.java:100-103)."""
+        return project_to_schema(
+            df,
+            self.schema(),
+            case_insensitive=case_insensitive,
+            name_mapping=self.name_mapping(),
+        )
+
     def append(
         self,
         df: DataFrame,
         branch: str = MAIN,
         snapshot_props: dict | None = None,
+        case_insensitive: bool = False,
     ) -> dict:
         """S4: append path — one atomic snapshot per call (T6)."""
-        target = self.schema()
-        data = project_to_schema(df, target)
+        data = self._project(df, case_insensitive)
         files = self._write_files(data, "data")
         return self._commit_snapshot(
             "append", files, [], snapshot_props or {}, branch
@@ -341,18 +429,32 @@ class LakehouseTable:
         order_cols: list[str] | None = None,
         branch: str = MAIN,
         snapshot_props: dict | None = None,
+        upsert_mode: bool = True,
+        case_insensitive: bool = False,
     ) -> dict:
         """S5: delta path — equality-delete keys + appended rows, one atomic
-        snapshot (T7). Within-batch duplicate keys collapse last-wins first
-        (the reference applies records sequentially; SURVEY.md §7 step 5).
+        snapshot (T7). Deletes at sequence N apply to data with sequence < N;
+        each delete-file entry records its key columns so reads group
+        anti-joins by key-set even if id-columns change between batches.
 
-        Delete keys are written for EVERY batch key (like the reference's
-        delete-then-append per record); rows with op == 'D' contribute only
-        the delete. Deletes at sequence N apply to data with sequence < N.
+        Two modes, matching BaseDeltaTaskWriter.java:72-84:
+
+        - ``upsert_mode=True`` (iceberg.tables.upsert-mode-enabled): every
+          record is an upsert — delete key written for every batch key,
+          within-batch duplicates collapse last-wins (the reference applies
+          records sequentially; SURVEY.md §7 step 5).
+        - ``upsert_mode=False`` with ``op_col``: per-op semantics — only
+          UPDATE/DELETE rows contribute a delete key; INSERT rows append
+          blindly, so duplicate in-batch INSERTs each land a row (exactly the
+          reference's insert path, which never writes a delete).
         """
         from ..operators.cdc import DELETE, collapse_last_wins
 
-        target = self.schema()
+        if op_col is not None and op_col in df.columns and not upsert_mode:
+            return self._upsert_per_op(
+                df, key_cols, op_col, order_cols, branch, snapshot_props,
+                case_insensitive,
+            )
         batch = df
         if order_cols:
             batch = collapse_last_wins(batch, key_cols, order_cols)
@@ -361,12 +463,82 @@ class LakehouseTable:
         batch = batch.persist()
         try:
             keys = batch.select(*key_cols)
-            delete_files = self._write_files(keys, "deletes")
+            delete_files = self._write_delete_files(keys, key_cols)
             if op_col is not None and op_col in batch.columns:
                 inserts = batch.filter(F.col(op_col) != DELETE)
             else:
                 inserts = batch
-            data = project_to_schema(inserts, target)
+            data = self._project(inserts, case_insensitive)
+            data_files = self._write_files(data, "data")
+            return self._commit_snapshot(
+                "overwrite", data_files, delete_files, snapshot_props or {}, branch
+            )
+        finally:
+            batch.unpersist()
+
+    def _write_delete_files(self, keys: DataFrame, key_cols: list[str]) -> list[dict]:
+        """Write equality-delete key files, stamping the key column set on
+        each entry (read() groups merge-on-read joins by that set)."""
+        return [
+            {**f, "key_cols": list(key_cols)}
+            for f in self._write_files(keys, "deletes")
+        ]
+
+    def _upsert_per_op(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        op_col: str,
+        order_cols: list[str] | None,
+        branch: str,
+        snapshot_props: dict | None,
+        case_insensitive: bool = False,
+    ) -> dict:
+        """Per-op CDC apply (cdc-field set, upsert-mode off). Per key, in
+        arrival order: an INSERT appends; an UPDATE replaces everything
+        earlier (one delete key + the row); a DELETE wipes everything
+        earlier. Rows surviving the batch are the last U row (if any U/D op
+        is last-ish) plus every INSERT after the final U/D — computed with
+        one window pass instead of the reference's sequential per-record
+        apply (BaseDeltaTaskWriter.java:72-84, Operation.java:21-25)."""
+        from pyspark.sql.window import Window
+
+        from ..operators.cdc import DELETE, UPDATE
+
+        batch = df
+        ord_cols = list(order_cols) if order_cols else []
+        if not ord_cols:
+            # no explicit arrival order: fall back to input order within
+            # each partition (monotonically_increasing_id preserves it)
+            batch = batch.withColumn("__ord", F.monotonically_increasing_id())
+            ord_cols = ["__ord"]
+        w_ord = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).asc() for c in ord_cols]
+        )
+        w_key = Window.partitionBy(*key_cols)
+        is_ud = F.col(op_col).isin(UPDATE, DELETE)
+        batch = (
+            batch.withColumn("__rank", F.row_number().over(w_ord))
+            .withColumn(
+                "__ud_rank", F.max(F.when(is_ud, F.col("__rank"))).over(w_key)
+            )
+            .persist()
+        )
+        try:
+            keys = (
+                batch.filter(F.col("__ud_rank").isNotNull())
+                .select(*key_cols)
+                .distinct()
+            )
+            delete_files = self._write_delete_files(keys, key_cols)
+            survivors = batch.filter(
+                (F.col(op_col) != DELETE)
+                & (
+                    F.col("__ud_rank").isNull()
+                    | (F.col("__rank") >= F.col("__ud_rank"))
+                )
+            ).drop("__rank", "__ud_rank", "__ord")
+            data = self._project(survivors, case_insensitive)
             data_files = self._write_files(data, "data")
             return self._commit_snapshot(
                 "overwrite", data_files, delete_files, snapshot_props or {}, branch
@@ -414,28 +586,49 @@ class LakehouseTable:
             if sid is None:
                 return spark.createDataFrame([], target)
             snap = self._snapshot_by_id(meta, sid)
-        data = self._read_file_group(spark, snap["data_files"], target)
+        data_files, delete_files = self._live_files(meta, snap)
+        data = self._read_file_group(spark, data_files, target)
         if data is None:
             return spark.createDataFrame([], target)
-        deletes = snap["delete_files"]
-        if not deletes:
+        if not delete_files:
             return data.drop("__seq")
-        key_cols = self._delete_key_cols(spark, deletes)
-        dkeys = self._read_file_group(spark, deletes, None)
-        latest = dkeys.groupBy(*key_cols).agg(F.max("__seq").alias("__max_dseq"))
-        # no broadcast hint: the delete-key set grows with CDC history and
-        # can exceed executor memory at warehouse scale — size estimates/AQE
-        # broadcast it while small and shuffle-join once it isn't
-        joined = data.join(latest, on=key_cols, how="left")
-        return joined.filter(
-            F.col("__max_dseq").isNull() | (F.col("__max_dseq") <= F.col("__seq"))
-        ).drop("__seq", "__max_dseq")
+        # group delete files by their recorded key-column set: id-columns may
+        # change between batches, and each key-set applies as its own
+        # anti-join (legacy entries without key_cols get schema inference)
+        by_keyset: dict[tuple[str, ...], list[dict]] = {}
+        for f in delete_files:
+            kc = f.get("key_cols")
+            if kc is None:
+                kc = self._delete_key_cols(spark, f)
+            by_keyset.setdefault(tuple(kc), []).append(f)
+        out = data
+        for key_cols, files in sorted(by_keyset.items()):
+            dkeys = self._read_file_group(spark, files, None)
+            latest = dkeys.groupBy(*key_cols).agg(
+                F.max("__seq").alias("__max_dseq")
+            )
+            # no broadcast hint: the delete-key set grows with CDC history
+            # and can exceed executor memory at warehouse scale — size
+            # estimates/AQE broadcast it while small, shuffle-join once it
+            # isn't
+            out = (
+                out.join(latest, on=list(key_cols), how="left")
+                .filter(
+                    F.col("__max_dseq").isNull()
+                    | (F.col("__max_dseq") <= F.col("__seq"))
+                )
+                .drop("__max_dseq")
+            )
+        return out.drop("__seq")
 
-    def _delete_key_cols(self, spark: SparkSession, deletes: list[dict]) -> list[str]:
-        sample = spark.read.format(deletes[0].get("format", "parquet")).load(
-            os.path.join(self.root, deletes[0]["path"])
-        )
-        return sample.columns
+    def _delete_key_cols(self, spark: SparkSession, dfile: dict) -> list[str]:
+        fmt = dfile.get("format", "parquet")
+        path = os.path.join(self.root, dfile["path"])
+        if fmt == "avro":
+            from . import avro_io
+
+            return [f.name for f in avro_io.read_header_schema(path).fields]
+        return spark.read.format(fmt).load(path).columns
 
     def _read_file_group(
         self,
@@ -457,12 +650,17 @@ class LakehouseTable:
             by_group.setdefault(key, []).append(os.path.join(self.root, f["path"]))
         parts = []
         for (seq, base, fmt), paths in sorted(by_group.items()):
-            df = (
-                spark.read.option("mergeSchema", "false")
-                .option("basePath", os.path.join(self.root, base))
-                .format(fmt)
-                .load(paths)
-            )
+            if fmt == "avro":
+                from . import avro_io
+
+                df = avro_io.read_avro_files(spark, paths)
+            else:
+                df = (
+                    spark.read.option("mergeSchema", "false")
+                    .option("basePath", os.path.join(self.root, base))
+                    .format(fmt)
+                    .load(paths)
+                )
             if target is not None:
                 df = project_to_schema(df, target)
             parts.append(df.withColumn("__seq", F.lit(seq)))
@@ -471,23 +669,38 @@ class LakehouseTable:
             out = out.unionByName(p, allowMissingColumns=False)
         return out
 
+    def live_files(
+        self, snap: dict | None = None, branch: str = MAIN
+    ) -> tuple[list[dict], list[dict]]:
+        """Public live-file listing: full (data, delete) file entries at a
+        snapshot (default: branch head)."""
+        meta = self.metadata()
+        if snap is None:
+            snap = self.current_snapshot(branch)
+            if snap is None:
+                return [], []
+        return self._live_files(meta, snap)
+
     # ------------------------------------------------------ metadata tables
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
         """Iceberg `table.snapshots` metadata-table parity — the surface the
         reference's offset-recovery walk reads (Coordinator.java:286-303)."""
-        rows = [
-            (
-                s["snapshot_id"],
-                s["parent"],
-                s["sequence_number"],
-                s["timestamp_ms"],
-                s["operation"],
-                len(s["data_files"]),
-                len(s["delete_files"]),
-                {k: str(v) for k, v in s["summary"].items()},
+        meta = self.metadata()
+        rows = []
+        for s in meta["snapshots"]:
+            d, dl = self._live_files(meta, s)
+            rows.append(
+                (
+                    s["snapshot_id"],
+                    s["parent"],
+                    s["sequence_number"],
+                    s["timestamp_ms"],
+                    s["operation"],
+                    len(d),
+                    len(dl),
+                    {k: str(v) for k, v in s["summary"].items()},
+                )
             )
-            for s in self.snapshots()
-        ]
         return spark.createDataFrame(
             rows,
             "snapshot_id string, parent string, sequence_number long, "
@@ -502,12 +715,13 @@ class LakehouseTable:
             return spark.createDataFrame(
                 [], "path string, content string, seq long, format string"
             )
+        data_files, delete_files = self._live_files(self.metadata(), snap)
         rows = [
             (f["path"], "data", f["seq"], f.get("format", "parquet"))
-            for f in snap["data_files"]
+            for f in data_files
         ] + [
             (f["path"], "equality-deletes", f["seq"], f.get("format", "parquet"))
-            for f in snap["delete_files"]
+            for f in delete_files
         ]
         return spark.createDataFrame(
             rows, "path string, content string, seq long, format string"
@@ -542,17 +756,42 @@ class LakehouseTable:
             ]
             if not expired:
                 return 0
+            # seal the oldest kept snapshot of each chain: its ancestry (and
+            # the delta manifests along it) is about to disappear, so rewrite
+            # its manifest as the FULL live set and mark it a chain root
+            sealed: list[str] = []
+            for s in meta["snapshots"]:
+                if s["snapshot_id"] not in keep or s["parent"] in keep:
+                    continue
+                if s["parent"] is None:
+                    continue
+                if "manifest" in s and not s.get("replace"):
+                    full_d, full_dl = self._live_files(meta, s)
+                    rel = os.path.join(
+                        "metadata",
+                        f"man-{s['snapshot_id']}-sealed-{uuid.uuid4().hex[:8]}.json",
+                    )
+                    with open(os.path.join(self.root, rel), "w") as f:
+                        json.dump(
+                            {
+                                "added_data_files": full_d,
+                                "added_delete_files": full_dl,
+                            },
+                            f,
+                        )
+                    sealed.append(rel)
+                    s["manifest"] = rel
+                    s["replace"] = True
+                s["parent"] = None
             meta["snapshots"] = [
                 s for s in meta["snapshots"] if s["snapshot_id"] in keep
             ]
-            # cut dangling parent pointers on the oldest kept snapshots
-            for s in meta["snapshots"]:
-                if s["parent"] is not None and s["parent"] not in keep:
-                    s["parent"] = None
             try:
                 self._write_version(meta["version"] + 1, meta)
                 return len(expired)
             except CommitConflict:
+                for rel in sealed:
+                    os.unlink(os.path.join(self.root, rel))
                 if attempt == COMMIT_RETRIES - 1:
                     raise
                 time.sleep(0.05 * (attempt + 1))
@@ -562,11 +801,13 @@ class LakehouseTable:
         """Iceberg remove_orphan_files parity: delete data/delete files not
         referenced by any live snapshot."""
         meta = self.metadata()
-        live = {
-            f["path"]
-            for s in meta["snapshots"]
-            for f in s["data_files"] + s["delete_files"]
-        }
+        live: set[str] = set()
+        live_manifests: set[str] = set()
+        for s in meta["snapshots"]:
+            d, dl = self._load_manifest(s)
+            live.update(f["path"] for f in d + dl)
+            if "manifest" in s:
+                live_manifests.add(s["manifest"])
         orphans = []
         for sub in ("data", "deletes"):
             base = os.path.join(self.root, sub)
@@ -576,6 +817,13 @@ class LakehouseTable:
                     orphans.append(rel)
                     if not dry_run:
                         os.unlink(p)
+        # manifests of expired snapshots are orphans too
+        for p in globmod.glob(os.path.join(self._meta_dir, "man-*.json")):
+            rel = os.path.relpath(p, self.root)
+            if rel not in live_manifests:
+                orphans.append(rel)
+                if not dry_run:
+                    os.unlink(p)
         return orphans
 
     def create_branch(self, name: str, from_branch: str = MAIN) -> None:

@@ -63,21 +63,39 @@ class SinkPipeline:
         count; the only other full passes are the per-table writes. This is
         the hot path — a 100 TB pipeline lives here."""
         cfg = self.config
-        # P2: tombstone filter — null kafka value is a delete marker upstream
-        records = batch.filter(F.col("value").isNotNull())
-        # P1 entry: parse value into record fields, keep kafka metadata
+        # P1 entry: parse value into record fields, keep kafka metadata.
+        # Offsets/VTTS are computed over the UNFILTERED batch (tombstones
+        # included) so a partition whose trailing records are tombstones
+        # still advances next_offset in the snapshot summary.
         if self.value_schema is not None:
-            parsed = records.select(
-                F.from_json("value", self.value_schema).alias("__row"),
-                # from_json PERMISSIVE yields an all-null struct for broken
-                # JSON — try_parse_json is the reliable malformed detector
-                F.try_parse_json("value").isNull().alias("__bad"),
-                "value",
-                "topic",
-                "partition",
-                "offset",
-                "timestamp",
-            ).persist()
+            parsed = (
+                batch.select(
+                    F.from_json("value", self.value_schema).alias("__row"),
+                    # P2: null kafka value is an upstream delete marker
+                    F.col("value").isNull().alias("__tomb"),
+                    "value",
+                    "topic",
+                    "partition",
+                    "offset",
+                    "timestamp",
+                )
+                .withColumn(
+                    "__bad",
+                    # malformed: broken JSON (try_parse_json null — from_json
+                    # PERMISSIVE yields an all-null struct, useless as a
+                    # detector) OR valid JSON that isn't an object (bare
+                    # scalar/array — from_json also returns an all-null
+                    # struct for those, so detect on the text shape: a JSON
+                    # object must start with '{'). Both flow to the DLQ /
+                    # fail the batch, like the reference's DataException.
+                    ~F.col("__tomb")
+                    & (
+                        F.try_parse_json("value").isNull()
+                        | ~F.startswith(F.ltrim(F.col("value")), F.lit("{"))
+                    ),
+                )
+                .persist()
+            )
             props, n_bad = self._stats(parsed, batch_id)
             if props is None:
                 parsed.unpersist()
@@ -98,10 +116,13 @@ class SinkPipeline:
                 parsed.unpersist()
                 return  # nothing valid to land (DLQ already handled)
             records = parsed.filter(
-                ~F.col("__bad") & F.col("__row").isNotNull()
+                ~F.col("__tomb") & ~F.col("__bad")
             ).select("__row.*", "topic", "partition", "offset", "timestamp")
         else:
             parsed = None
+            # P2: tombstone filter for the write path only — stats above/
+            # below still see the full batch
+            records = batch.filter(F.col("value").isNotNull())
         for t in self.transforms:
             records = records.transform(t)
         if cfg.cdc_field:
@@ -111,7 +132,7 @@ class SinkPipeline:
             if parsed is None:
                 if records.isEmpty():
                     return
-                props = self._snapshot_props(records, batch_id)
+                props = self._snapshot_props(batch, batch_id)
             routed = self._route(records)
             if cfg.commit_threads > 1 and len(routed) > 1:
                 # T8: parallel per-table commit (Coordinator.java:89,147-153).
@@ -199,7 +220,9 @@ class SinkPipeline:
                 (F.max("offset") + 1).alias("next_offset"),
                 F.unix_millis(F.max("timestamp")).alias("max_ts"),
                 F.sum(F.col("__bad").cast("int")).alias("n_bad"),
-                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    (~F.col("__tomb") & ~F.col("__bad")).cast("int")
+                ).alias("n_good"),
             )
             .collect()
         )
@@ -208,11 +231,10 @@ class SinkPipeline:
         offsets = {f"{r['topic']}-{r['partition']}": r["next_offset"] for r in rows}
         vtts = min((r["max_ts"] for r in rows), default=None)
         n_bad = sum(r["n_bad"] or 0 for r in rows)
-        n_rows = sum(r["n_rows"] for r in rows)
         props = {
             BATCH_ID_PROP: str(batch_id),
             OFFSETS_PROP: json.dumps(offsets, sort_keys=True),
-            "__n_good": n_rows - n_bad,  # internal, stripped before commit
+            "__n_good": sum(r["n_good"] or 0 for r in rows),  # internal
         }
         if vtts is not None:
             props[VTTS_PROP] = str(vtts)
@@ -294,9 +316,19 @@ class SinkPipeline:
                 order_cols=order or None,
                 branch=branch,
                 snapshot_props=props,
+                # cdc-field WITHOUT upsert-mode → per-op semantics: INSERT
+                # ops append blindly (no equality delete), only U/D rows
+                # write delete keys (BaseDeltaTaskWriter.java:72-84)
+                upsert_mode=cfg.upsert_mode,
+                case_insensitive=cfg.schema_case_insensitive,
             )
         else:
-            table.append(df, branch=branch, snapshot_props=props)
+            table.append(
+                df,
+                branch=branch,
+                snapshot_props=props,
+                case_insensitive=cfg.schema_case_insensitive,
+            )
 
     def _last_batch_id(self, table, branch: str) -> int | None:
         meta = table.metadata()

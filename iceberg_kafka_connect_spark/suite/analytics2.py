@@ -221,13 +221,12 @@ def tpch_q19(spark, sf_dir):
 def tpch_q22(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(davg(F.col("c_acctbal"), 2, "a"))
-        .collect()[0]["a"]
-    )
+    # scalar subquery as a broadcast cross-join (one row) — single job, no
+    # driver-side collect blocking the plan (same pattern as q15's max_rev)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(davg(F.col("c_acctbal"), 2, "a"))
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
         .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(

@@ -17,14 +17,13 @@ from ..operators import dedup
 from ..operators import text as tx
 from . import register
 from .core import davg, sql_davg, table
-from .dedup import _DUCK_SHINGLES
+from .dedup import _DUCK_JACCARD_FROM_DOCS
 
 
 @register(
     "curation_pipeline",
     oracle=rf"""
-    WITH {_DUCK_SHINGLES},
-    quality AS (
+    WITH quality AS (
         SELECT d.doc_id, d.lang, d.n_chars, d.text,
                md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS digest,
                (CAST(len(string_split_regex(trim(d.text), '\s+')) AS DOUBLE)) AS n_words
@@ -36,6 +35,11 @@ from .dedup import _DUCK_SHINGLES
         WHERE q.doc_id = (SELECT MIN(q2.doc_id) FROM quality q2
                           WHERE q2.digest = q.digest)
     ),
+    docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM exact_kept
+    ),
+    {_DUCK_JACCARD_FROM_DOCS},
     near_dup_losers AS (
         SELECT DISTINCT id_b AS doc_id FROM jac WHERE jaccard >= 0.5
     ),
@@ -55,7 +59,6 @@ from .dedup import _DUCK_SHINGLES
 )
 def curation_pipeline(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     # stage 1: quality floor (≥ 20 words)
     n_words = tx.word_count(F.col("text")).cast("double")
@@ -68,14 +71,19 @@ def curation_pipeline(spark, sf_dir):
         keep,
         (quality.digest == keep.digest) & (quality.doc_id == keep.keep_id),
         "left_semi",
-    )
+    ).persist()
 
-    # stage 3: near-dup removal — drop the higher id of each Jaccard pair.
-    # Uses MinHash-LSH with exact verification: identical pair set to the
-    # oracle's all-pairs Jaccard (recall 1-1e-8 at s=0.5, precision 1) at a
-    # fraction of the join cost — the corpus-scale path.
+    # stage 3: near-dup removal among the exact-dedup REPRESENTATIVES only —
+    # drop the higher id of each Jaccard pair. Feeding representatives (not
+    # the raw corpus) to LSH is the hot-bucket fix: a cluster of f identical
+    # docs would share every band bucket and emit O(f²·bands) candidates;
+    # after exact dedup each cluster is one doc. MinHash-LSH with exact
+    # verification: pair set identical to the all-pairs Jaccard oracle
+    # (recall 1-1e-8 at s=0.5, precision 1) at a fraction of the join cost.
     losers = (
-        dedup.minhash_lsh_pairs(docs, n=3, threshold=0.5, num_hashes=128, bands=64)
+        dedup.minhash_lsh_pairs(
+            exact_kept, n=3, threshold=0.5, num_hashes=128, bands=64
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

@@ -15,12 +15,11 @@ from ..functions.vector import sql_cosine
 from . import register
 from .core import table
 
-# Shared DuckDB shingle CTE: word trigrams, distinct per doc — the exact
-# mirror of operators/dedup.shingles(n=3).
-_DUCK_SHINGLES = r"""
-    docs AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-    ),
+# Shared DuckDB Jaccard CTE chain: word trigrams, distinct per doc — the
+# exact mirror of operators/dedup.shingles(n=3) + _pair_jaccard. Expects a
+# `docs(doc_id, w)` CTE in scope (so callers can restrict the corpus, e.g.
+# curation's exact-dedup representatives).
+_DUCK_JACCARD_FROM_DOCS = r"""
     sh AS (
         SELECT DISTINCT doc_id, s FROM (
             SELECT doc_id,
@@ -44,6 +43,15 @@ _DUCK_SHINGLES = r"""
         JOIN sizes sb ON sb.doc_id = id_b
     )
 """
+
+_DUCK_SHINGLES = (
+    r"""
+    docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+"""
+    + _DUCK_JACCARD_FROM_DOCS
+)
 
 _JACCARD_ORACLE = f"""
     WITH {_DUCK_SHINGLES}

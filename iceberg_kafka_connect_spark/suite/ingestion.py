@@ -812,3 +812,135 @@ def schema_evolution_union(spark, sf_dir):
         F.lit(None).cast("double").alias("value"),
     )
     return evolved.unionByName(gen2)
+
+
+# --------------------------------------------------------------------------
+# §1.2 — decimal target coercion: rescale with HALF_UP from doubles AND from
+# strings (RecordConverter.java:338-357; convert.coerce_expr's decimal leg).
+# --------------------------------------------------------------------------
+@register(
+    "convert_decimal_rescale",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS amount_dec,
+           CAST(CAST(concat(CAST(event_id % 1000 AS VARCHAR), '.005')
+                AS DECIMAL(10,2)) AS VARCHAR) AS half_up_pos,
+           CAST(CAST(concat('-', CAST(event_id % 100 AS VARCHAR), '.125')
+                AS DECIMAL(10,2)) AS VARCHAR) AS half_up_neg
+    FROM events
+    """,
+    tags=("ingestion",),
+)
+def convert_decimal_rescale(spark, sf_dir):
+    # decimals rendered as strings in BOTH engines: exact comparison of the
+    # HALF_UP rescale without decimal-vs-float dtype ambiguity in the gate
+    e = table(spark, sf_dir, "events")
+    pos_str = F.concat((F.col("event_id") % 1000).cast("string"), F.lit(".005"))
+    neg_str = F.concat(
+        F.lit("-"), (F.col("event_id") % 100).cast("string"), F.lit(".125")
+    )
+    return e.select(
+        "event_id",
+        convert.coerce_expr(F.col("value"), T.DoubleType(), T.DecimalType(12, 2))
+        .cast("string")
+        .alias("amount_dec"),
+        convert.coerce_expr(pos_str, T.StringType(), T.DecimalType(10, 2))
+        .cast("string")
+        .alias("half_up_pos"),
+        convert.coerce_expr(neg_str, T.StringType(), T.DecimalType(10, 2))
+        .cast("string")
+        .alias("half_up_neg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §1.3 — name-mapping + case-insensitive field resolution
+# (RecordConverter.java:100-103,245-271): a renamed / case-shifted source
+# resolves onto the target schema via schema.name-mapping.default aliases,
+# then case-insensitively; unknown target fields NULL-fill.
+# --------------------------------------------------------------------------
+@register(
+    "name_mapping_resolve",
+    oracle="""
+    SELECT event_id, user_id, event_type AS etype,
+           CAST(NULL AS VARCHAR) AS missing_col
+    FROM events
+    """,
+    tags=("ingestion",),
+)
+def name_mapping_resolve(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    src = e.select(
+        F.col("event_id").alias("evt"),  # resolved via name mapping
+        F.col("user_id").alias("USER_ID"),  # resolved case-insensitively
+        F.col("event_type").alias("kind"),  # resolved via name mapping
+    )
+    target = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("missing_col", T.StringType()),
+        ]
+    )
+    return convert.project_to_schema(
+        src,
+        target,
+        case_insensitive=True,
+        name_mapping={"event_id": ["evt"], "etype": ["no_such", "kind"]},
+    )
+
+
+# --------------------------------------------------------------------------
+# T9/T15 — exactly-once duplicate-batch replay (Coordinator.java:193-202):
+# the SAME batch id committed twice through the real pipeline + lakehouse
+# lands exactly once (snapshot-ancestry batch-id walk). Batch-expressible
+# proof of the most safety-critical streaming property.
+# --------------------------------------------------------------------------
+@register(
+    "exactly_once_replay",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events WHERE event_id < 500
+    """,
+    tags=("ingestion",),
+)
+def exactly_once_replay(spark, sf_dir):
+    import tempfile
+
+    from ..config import SinkConfig, TableConfig
+    from ..sinks.catalog import Catalog
+    from ..streaming import SinkPipeline
+
+    e = table(spark, sf_dir, "events")
+    kafka_shaped = e.filter(F.col("event_id") < 500).select(
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value")
+        ).alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    value_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="eo_replay_gate_"))
+    cfg = SinkConfig(tables=[TableConfig("default.eo")], auto_create=True)
+    pipe = SinkPipeline(cat, cfg, "eo-gate", value_schema=value_schema)
+    pipe.process_batch(kafka_shaped, batch_id=7)
+    # duplicate replay of the SAME batch id — must be skipped (T9/T15)
+    pipe.process_batch(kafka_shaped, batch_id=7)
+    landed = cat.load_table("default.eo").read(spark)
+    return landed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+        F.count_distinct(F.col("event_id")).cast("bigint").alias("n_distinct"),
+    )

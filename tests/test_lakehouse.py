@@ -77,7 +77,7 @@ def test_partitioned_append_prunes(spark, catalog):
     pruned = out.filter(F.col("ts_day") == "2024-01-01")
     assert [r.id for r in pruned.collect()] == [1]
     # partition value directories actually exist on disk
-    files = t.current_snapshot()["data_files"]
+    files = t.live_files()[0]
     assert any("ts_day=2024-01-01" in f["path"] for f in files)
 
 
@@ -250,7 +250,7 @@ def test_compaction_preserves_state(spark, catalog):
     before = {r.id: r.type for r in t.read(spark).collect()}
     snap = t.compact(spark)
     assert snap["operation"] == "replace"
-    assert not snap["delete_files"]
+    assert not t.live_files(snap)[1]
     after = {r.id: r.type for r in t.read(spark).collect()}
     assert before == after == {1: "a2"}
 
@@ -262,7 +262,7 @@ def test_orc_write_format_property(spark, catalog):
         "default.orc_t", SCHEMA, properties={"write.format.default": "orc"}
     )
     t.append(_rows(spark, [(1, "a", None, None)]))
-    files = t.current_snapshot()["data_files"]
+    files = t.live_files()[0]
     assert all(f["format"] == "orc" and f["path"].endswith(".orc") for f in files)
     assert [r.id for r in t.read(spark).collect()] == [1]
     # upsert path also writes orc
@@ -286,7 +286,7 @@ def test_target_file_rows_rolls_files(spark, catalog):
         F.lit(None).cast("string").alias("payload"),
     ).coalesce(1)
     t.append(df)
-    files = t.current_snapshot()["data_files"]
+    files = t.live_files()[0]
     assert len(files) >= 4  # 35 rows / 10 per file
     assert t.read(spark).count() == 35
 
@@ -310,7 +310,7 @@ def test_write_sort_order_clusters_rows(spark, catalog):
     import pyarrow.parquet as pq
     import os
 
-    fpath = os.path.join(t.root, t.current_snapshot()["data_files"][0]["path"])
+    fpath = os.path.join(t.root, t.live_files()[0][0]["path"])
     col = pq.read_table(fpath, columns=["id"]).column("id").to_pylist()
     assert col == sorted(col)
 
@@ -343,10 +343,47 @@ def test_sketch_rollup_close_to_exact(spark, sf_dir):
 
 def test_unsupported_format_rejected(catalog):
     t = catalog.create_table(
-        "default.bad_fmt", SCHEMA, properties={"write.format.default": "avro"}
+        "default.bad_fmt", SCHEMA, properties={"write.format.default": "csvx"}
     )
     with pytest.raises(ValueError, match="unsupported"):
         t.file_format()
+
+
+def test_avro_write_format_property(spark, catalog):
+    """S6: write.format.default=avro lands Avro OCF data files
+    (Utilities.java:160-167); append + upsert + merge-on-read + compact all
+    run on the avro codec (sinks/avro_io.py)."""
+    t = catalog.create_table(
+        "default.avro_t",
+        SCHEMA,
+        properties={"write.format.default": "avro"},
+    )
+    t.append(_rows(spark, [(1, "a", None, None), (2, "b", None, None)]))
+    files = t.live_files()[0]
+    assert files and all(
+        f["format"] == "avro" and f["path"].endswith(".avro") for f in files
+    )
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    # raw files are real Avro Object Container Files (magic + schema header)
+    import os as _os
+
+    from iceberg_kafka_connect_spark.sinks import avro_io
+
+    raw = open(_os.path.join(t.root, files[0]["path"]), "rb").read(4)
+    assert raw == b"Obj\x01"
+    hdr_schema = avro_io.read_header_schema(
+        _os.path.join(t.root, files[0]["path"])
+    )
+    assert "id" in [f.name for f in hdr_schema.fields]
+    # upsert path writes avro delete + data files; merge-on-read applies
+    t.upsert(_rows(spark, [(2, "b2", None, None)]), ["id"])
+    out = {r.id: r.type for r in t.read(spark).collect()}
+    assert out == {1: "a", 2: "b2"}
+    # compact folds merge-on-read state, still avro
+    snap = t.compact(spark)
+    assert snap["operation"] == "replace"
+    assert {r.id: r.type for r in t.read(spark).collect()} == out
+    assert all(f["format"] == "avro" for f in t.live_files()[0])
 
 
 def test_time_travel_to_expired_snapshot_errors_cleanly(spark, catalog):
@@ -365,3 +402,72 @@ def test_snapshot_ancestry_summary_walk(spark, catalog):
     t.append(_rows(spark, [(2, "b", None, None)]))
     # latest snapshot lacks "off"; the walk finds it on the parent
     assert t.last_summary_value("off") == "5"
+
+
+def test_per_op_upsert_insert_appends_blindly(spark, catalog):
+    """ADVICE fix: with a cdc op column and upsert_mode OFF, INSERT ops
+    append without writing an equality delete (BaseDeltaTaskWriter.java:72-84)
+    — duplicate in-batch INSERTs each land, and an INSERT for an existing key
+    does NOT replace the prior row."""
+    op_schema = T.StructType(
+        SCHEMA.fields + [T.StructField("_cdc_op", T.StringType()),
+                         T.StructField("offset", T.LongType())]
+    )
+
+    def rows(data):
+        return spark.createDataFrame(data, op_schema)
+
+    t = catalog.create_table("default.per_op", SCHEMA)
+    t.upsert(
+        rows([(1, "a", None, None, "I", 0)]),
+        ["id"], op_col="_cdc_op", order_cols=["offset"], upsert_mode=False,
+    )
+    # INSERT for the existing key: appends, does not replace
+    t.upsert(
+        rows([(1, "a2", None, None, "I", 1), (2, "b", None, None, "I", 2)]),
+        ["id"], op_col="_cdc_op", order_cols=["offset"], upsert_mode=False,
+    )
+    got = sorted((r.id, r.type) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (1, "a2"), (2, "b")]
+    # duplicate in-batch INSERTs both land
+    t.upsert(
+        rows([(3, "c1", None, None, "I", 3), (3, "c2", None, None, "I", 4)]),
+        ["id"], op_col="_cdc_op", order_cols=["offset"], upsert_mode=False,
+    )
+    got = sorted((r.id, r.type) for r in t.read(spark).collect() if r.id == 3)
+    assert got == [(3, "c1"), (3, "c2")]
+    # UPDATE wipes every earlier row for the key, then its row lands;
+    # trailing INSERTs after the U also land
+    t.upsert(
+        rows([(1, "u", None, None, "U", 5), (1, "i-after", None, None, "I", 6)]),
+        ["id"], op_col="_cdc_op", order_cols=["offset"], upsert_mode=False,
+    )
+    got = sorted((r.id, r.type) for r in t.read(spark).collect() if r.id == 1)
+    assert got == [(1, "i-after"), (1, "u")]
+    # DELETE wipes the key entirely
+    t.upsert(
+        rows([(3, None, None, None, "D", 7)]),
+        ["id"], op_col="_cdc_op", order_cols=["offset"], upsert_mode=False,
+    )
+    assert [r.id for r in t.read(spark).collect() if r.id == 3] == []
+    # an INSERT before the final U/D is superseded (sequential-apply parity)
+    t.upsert(
+        rows([(4, "x1", None, None, "I", 8), (4, "x2", None, None, "U", 9)]),
+        ["id"], op_col="_cdc_op", order_cols=["offset"], upsert_mode=False,
+    )
+    got = sorted((r.id, r.type) for r in t.read(spark).collect() if r.id == 4)
+    assert got == [(4, "x2")]
+
+
+def test_upsert_key_columns_change_between_batches(spark, catalog):
+    """ADVICE fix: delete files record their key-column set; a table whose
+    id-columns change between batches stays readable (each key-set applies
+    as its own merge-on-read anti-join)."""
+    t = catalog.create_table("default.keychange", SCHEMA)
+    t.append(_rows(spark, [(1, "a", None, "p1"), (2, "b", None, "p2")]))
+    t.upsert(_rows(spark, [(1, "a9", None, "p1")]), ["id"])
+    # second batch keyed by a DIFFERENT column set
+    t.upsert(_rows(spark, [(9, "b", None, "pb")]), ["type"])
+    out = sorted((r.id, r.type) for r in t.read(spark).collect())
+    # key-set ["id"]: id=1 replaced; key-set ["type"]: type='b' replaced
+    assert out == [(1, "a9"), (9, "b")]

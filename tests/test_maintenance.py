@@ -36,11 +36,14 @@ def test_expire_snapshots_and_orphans(spark, catalog):
     expired = t.expire_snapshots(keep_last=2)
     assert expired == 3
     assert len(t.snapshots()) == 2
-    # latest state still fully readable (snapshots carry full file lists)
+    # latest state still fully readable: the oldest kept snapshot was
+    # "sealed" (manifest rewritten to the full live set) before its expired
+    # ancestry was dropped
     assert t.read(spark).count() == 5
-    # expired snapshots' files are NOT orphans (still referenced by the
-    # kept snapshots' cumulative file lists) — orphan cleanup finds nothing
-    assert t.remove_orphan_files(dry_run=True) == []
+    # expired snapshots' DATA files are NOT orphans (still referenced via
+    # the sealed manifest); only the expired snapshots' delta manifests are
+    orphans = t.remove_orphan_files(dry_run=True)
+    assert all(o.startswith("metadata/man-") for o in orphans)
     # but after a compaction, the pre-compaction files become orphans once
     # older snapshots expire
     t.compact(spark)
@@ -184,3 +187,24 @@ def test_write_props_passthrough():
         "write.format.default": "parquet",
         "custom.key": "v",
     }
+
+
+def test_version_metadata_stores_deltas_not_full_lists(spark, catalog):
+    """Metadata scale: the version JSON the driver rewrites per commit is
+    O(snapshots); file lists live in per-snapshot side manifests holding only
+    that snapshot's ADDED files (Iceberg's manifest-list shape)."""
+    t = catalog.create_table("default.meta_scale", SCHEMA)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, "x")], SCHEMA))
+    raw = open(t._version_path(t.current_version())).read()
+    # no data-file paths inline in the version JSON
+    assert ".parquet" not in raw
+    meta = json.loads(raw)
+    for s in meta["snapshots"]:
+        assert "manifest" in s and "data_files" not in s
+    # each manifest holds only its own snapshot's additions — O(delta),
+    # NOT the cumulative list — while the reconstructed live set accumulates
+    added = [len(t._load_manifest(s)[0]) for s in meta["snapshots"]]
+    assert len(set(added)) == 1  # constant per commit, not growing
+    assert len(t.live_files()[0]) == sum(added)
+    assert t.read(spark).count() == 4

@@ -433,3 +433,113 @@ def test_config_from_reference_properties():
     assert cfg.table("default.events_list").route_regex == "list"
     assert cfg.cdc_field == "op" and cfg.auto_create and cfg.evolve_schema
     assert cfg.commit_interval_ms == 5000
+
+
+def test_name_mapping_and_case_insensitive_landing(spark, tmp_path, catalog):
+    """A renamed / case-shifted topic lands into an EXISTING table via the
+    table's schema.name-mapping.default property + schema-case-insensitive
+    config (RecordConverter.java:100-103,245-271)."""
+    mapping = json.dumps(
+        [
+            {"field-id": 1, "names": ["id", "identifier"]},
+            {"field-id": 2, "names": ["type", "kind"]},
+        ]
+    )
+    catalog.create_table(
+        "default.mapped",
+        RECORD_SCHEMA,
+        properties={"schema.name-mapping.default": mapping},
+    )
+    incoming = T.StructType(
+        [
+            T.StructField("identifier", T.LongType()),  # mapped name
+            T.StructField("kind", T.StringType()),  # mapped name
+            T.StructField("PAYLOAD", T.StringType()),  # case-shifted
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    cfg = SinkConfig(
+        tables=[TableConfig("default.mapped")],
+        schema_case_insensitive=True,
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-map", value_schema=incoming)
+    src = tmp_path / "src"
+    _write_records(
+        src,
+        [
+            {"identifier": 1, "kind": "a", "PAYLOAD": "x", "op": None},
+            {"identifier": 2, "kind": "b", "PAYLOAD": "y", "op": None},
+        ],
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    out = catalog.load_table("default.mapped").read(spark).orderBy("id")
+    rows = [(r.id, r.type, r.payload) for r in out.collect()]
+    assert rows == [(1, "a", "x"), (2, "b", "y")]
+
+
+def test_trailing_tombstones_still_advance_offsets(spark, tmp_path, catalog):
+    """ADVICE fix: offsets/VTTS are computed over the unfiltered batch, so a
+    partition whose trailing records are all tombstones reports the true
+    next_offset in kafka.connect.offsets."""
+    cfg = SinkConfig(tables=[TableConfig("default.tomb_off")], auto_create=True)
+    pipe = SinkPipeline(catalog, cfg, "p-to", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    recs = [{"id": 0, "type": "t", "payload": None, "op": None}, None, None]
+    _write_records(src, recs)  # offsets 0,1,2 — 1 and 2 are tombstones
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    t = catalog.load_table("default.tomb_off")
+    assert t.read(spark).count() == 1
+    offs = json.loads(t.current_snapshot()["summary"]["kafka.connect.offsets"])
+    assert offs == {"events-3": 3} if False else offs == {"events-0": 3}
+
+
+def test_scalar_json_value_goes_to_dlq(spark, tmp_path, catalog):
+    """ADVICE fix: valid JSON that is not a schema-shaped object (bare
+    scalar / array) is malformed — DLQ'd under errors.tolerance=all and
+    fails the batch under none, like the reference's DataException."""
+    cfg = SinkConfig(
+        tables=[TableConfig("default.scalar_dlq")],
+        auto_create=True,
+        errors_tolerance="all",
+        dlq_table="default.dlq",
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-sc", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    path = src
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "chunk-0.json", "w") as f:
+        rows = [
+            json.dumps({"id": 1, "type": "t", "payload": None, "op": None}),
+            "42",          # valid JSON scalar — NOT schema-shaped
+            '["a","b"]',   # valid JSON array — NOT schema-shaped
+            "{broken",     # malformed JSON
+        ]
+        for off, v in enumerate(rows):
+            f.write(
+                json.dumps(
+                    {
+                        "key": str(off),
+                        "value": v,
+                        "topic": "events",
+                        "partition": 0,
+                        "offset": off,
+                        "timestamp": f"2024-01-01T00:00:{off:02d}.000Z",
+                    }
+                )
+                + "\n"
+            )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    assert catalog.load_table("default.scalar_dlq").read(spark).count() == 1
+    assert catalog.load_table("default.dlq").read(spark).count() == 3
+
+    # errors.tolerance=none → the scalar fails the batch
+    cfg2 = SinkConfig(
+        tables=[TableConfig("default.strict")],
+        auto_create=True,
+        errors_tolerance="none",
+    )
+    pipe2 = SinkPipeline(catalog, cfg2, "p-sc2", value_schema=VALUE_SCHEMA)
+    from iceberg_kafka_connect_spark.sources.stream import batch_file_source
+
+    with pytest.raises(Exception, match="malformed"):
+        pipe2.process_batch(batch_file_source(spark, str(src)), batch_id=0)

@@ -82,3 +82,40 @@ def test_lakehouse_partition_pruning(spark, tmp_path):
     plan = plan_string(read)
     assert "PartitionFilters" in plan
     assert [r.id for r in read.collect()] == [1]
+
+
+def test_shingles_no_repartition_when_input_parallel(spark):
+    """Scale guard: shingles() must NOT shuffle the raw corpus when the scan
+    already yields >= defaultParallelism splits (an unconditional repartition
+    would move the entire 100 TB text corpus before any hashing)."""
+    from iceberg_kafka_connect_spark.operators.dedup import shingles
+
+    par = spark.sparkContext.defaultParallelism
+
+    def mkdocs(n_splits):
+        # range with native slices — no exchange in the input plan
+        return spark.range(0, 10_000, 1, n_splits).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("w1 w2 w3 w4 doc"), F.col("id")).alias("text"),
+        )
+
+    docs = mkdocs(par)
+    sh = shingles(docs)
+    # exactly the shuffles the algorithm needs (the distinct), none injected
+    # before the tokenize/explode
+    plan = plan_string(sh)
+    import re
+
+    exchanges = re.findall(r"Exchange \w+partitioning", plan)
+    assert len(exchanges) <= 1, plan  # only the distinct's hash exchange
+    assert "RoundRobinPartitioning" not in plan  # no injected repartition
+    # while a single-split input DOES get widened (round-robin repartition)
+    assert "RoundRobinPartitioning" in plan_string(shingles(mkdocs(1)))
+
+
+def test_q22_scalar_via_broadcast_single_plan(spark, sf_dir):
+    """q22's average-balance scalar is a one-row broadcast cross-join inside
+    ONE plan — no driver-side collect splitting the query into two jobs."""
+    df = SPECS["tpch_q22"].fn(spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
