@@ -48,10 +48,18 @@ BENCH_QUERIES = [
     "route_static",
     # training-data extensions
     "text_profile",
+    "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_topk_bruteforce",
+    "ann_topk_ivf_kmeans",
+    "ann_srp_lsh_pairs",
+    "ann_topk_numpy",
     "curation_pipeline",
     "docs_top_terms",
+    # round-2 gate additions
+    "convert_decimal_rescale",
+    "name_mapping_resolve",
 ]
 
 

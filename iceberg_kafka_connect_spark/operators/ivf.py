@@ -3,13 +3,21 @@
 The scale path for similarity search: brute force scans |corpus| vectors per
 query; IVF scans ~nprobe/nlist of them. Build assigns every vector to its
 nearest centroid (k-means with deterministic initialization — fixed seed
-rows as initial centroids, Lloyd iterations as Spark aggregations); search
-scores only the nprobe cells nearest to each query.
+rows as initial centroids, Lloyd iterations as distributed partial sums);
+search scores only the nprobe cells nearest to each query.
 
-All distributed work is DataFrame ops: assignment is a broadcast-centroid
-cross-score (the centroid table is tiny by construction), Lloyd's update is
-one groupBy-mean per iteration, and search reuses the assignment join. The
-centroid set is the only driver-side state (nlist × dim floats).
+Execution shape, chosen for real embedding dimensionality (768–4096):
+
+- centroid assignment and query probing are Arrow-batched ``mapInPandas``
+  steps doing one numpy GEMM per batch against the broadcast centroid
+  matrix — O(batch × nlist × dim) FLOPs, constant-size plan. (A Catalyst
+  expression tree over literal centroid arrays — the v1 design — is
+  O(nlist × dim) plan nodes and stops compiling around dim ≳ 256.)
+- Lloyd's update runs as per-partition numpy partial sums (cell, count,
+  sum-vector) — ≤ nlist rows per partition cross the wire, never the
+  corpus — combined on the driver. Driver state is nlist × dim floats.
+- candidate scoring after the cell join stays in Catalyst (per-row
+  zip_with/aggregate dot product: O(dim) work per row but O(1) plan size).
 
 At 100 TB: the corpus assignment is computed once and persisted as a
 partition column (write the table PARTITIONED BY cell for storage-level
@@ -18,8 +26,8 @@ pruning); queries touch nprobe directories.
 
 from __future__ import annotations
 
-import math
-
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -39,25 +47,28 @@ def _norm_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _nearest_centroid(vec_df: DataFrame, centroids: list[tuple[int, list[float]]]):
-    """Add `cell` = argmax dot(v, centroid) as a single Catalyst expression
-    over the broadcast (literal) centroid matrix."""
-    best_cell = None
-    best_score = None
-    for cid, cvec in centroids:
-        arr = F.array(*[F.lit(float(x)) for x in cvec])
-        score = F.aggregate(
-            F.zip_with(F.col("v"), arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_cell is None:
-            best_cell, best_score = F.lit(cid), score
-        else:
-            better = score > best_score
-            best_cell = F.when(better, F.lit(cid)).otherwise(best_cell)
-            best_score = F.when(better, score).otherwise(best_score)
-    return vec_df.withColumn("cell", best_cell)
+def _centroid_matrix(centroids: list[tuple[int, list[float]]]) -> np.ndarray:
+    """(nlist, dim) float64 matrix in cell order (cells are 0..nlist-1)."""
+    return np.vstack([np.asarray(v, dtype=np.float64) for _, v in sorted(centroids)])
+
+
+def _assign_cells(normed: DataFrame, centroids) -> DataFrame:
+    """`cell` = argmax dot(v, centroid): one numpy GEMM per Arrow batch
+    against the broadcast centroid matrix (first max wins ties, like the
+    sequential comparison it replaces)."""
+    mat = _centroid_matrix(centroids)
+    bc = normed.sparkSession.sparkContext.broadcast(mat)
+
+    def assign(batches):
+        c_t = bc.value.T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.vstack(pdf["v"].to_numpy())
+            cells = (vecs @ c_t).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"], "cell": cells})
+
+    return normed.mapInPandas(assign, schema="id long, v array<double>, cell int")
 
 
 class IVFIndex:
@@ -73,37 +84,65 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "IVFIndex":
-        """Deterministic k-means: init = the nlist lowest-id vectors,
-        ``iters`` Lloyd rounds, each one groupBy-mean over the corpus."""
+        """Deterministic k-means: init = the nlist lowest-id vectors, then
+        ``iters`` Lloyd rounds. Each round ships only per-partition
+        (cell, count, sum-vector) partials — ≤ nlist rows per partition —
+        to the driver; the corpus itself never moves."""
         normed = _norm_rows(corpus, id_col, vec_col).persist()
         init = [
             (i, list(r.v))
             for i, r in enumerate(normed.orderBy("id").limit(nlist).collect())
         ]
         centroids = init
-        dim = len(init[0][1])
+        sc = normed.sparkSession.sparkContext
         for _ in range(iters):
-            assigned = _nearest_centroid(normed, centroids)
-            means = (
-                assigned.groupBy("cell")
-                .agg(
-                    *[
-                        F.avg(F.col("v").getItem(d)).alias(f"d{d}")
-                        for d in range(dim)
-                    ]
-                )
-                .collect()
-            )
+            mat = _centroid_matrix(centroids)
+            bc = sc.broadcast(mat)
+
+            def partials(batches):
+                c_t = bc.value.T  # noqa: B023 — bc rebound per iteration
+                sums: dict[int, np.ndarray] = {}
+                counts: dict[int, int] = {}
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    vecs = np.vstack(pdf["v"].to_numpy())
+                    cells = (vecs @ c_t).argmax(axis=1)
+                    for cell in np.unique(cells):
+                        mask = cells == cell
+                        sums[int(cell)] = (
+                            sums.get(int(cell), 0) + vecs[mask].sum(axis=0)
+                        )
+                        counts[int(cell)] = counts.get(int(cell), 0) + int(
+                            mask.sum()
+                        )
+                if counts:
+                    yield pd.DataFrame(
+                        {
+                            "cell": list(counts),
+                            "n": list(counts.values()),
+                            "s": [sums[c].tolist() for c in counts],
+                        }
+                    )
+
+            rows = normed.mapInPandas(
+                partials, schema="cell int, n long, s array<double>"
+            ).collect()
+            acc_s: dict[int, np.ndarray] = {}
+            acc_n: dict[int, int] = {}
+            for r in rows:
+                acc_s[r.cell] = acc_s.get(r.cell, 0) + np.asarray(r.s)
+                acc_n[r.cell] = acc_n.get(r.cell, 0) + r.n
             new = []
-            for r in means:
-                vec = [r[f"d{d}"] for d in range(dim)]
-                n = math.sqrt(sum(x * x for x in vec)) or 1.0
-                new.append((r["cell"], [x / n for x in vec]))
+            for cell, total in acc_s.items():
+                mean = total / acc_n[cell]
+                norm = float(np.linalg.norm(mean)) or 1.0
+                new.append((cell, (mean / norm).tolist()))
             # cells that lost all members keep their previous centroid
             have = {c for c, _ in new}
             new.extend((c, v) for c, v in centroids if c not in have)
             centroids = sorted(new)
-        assigned = _nearest_centroid(normed, centroids).persist()
+        assigned = _assign_cells(normed, centroids).persist()
         return IVFIndex(centroids, assigned)
 
     def search(
@@ -117,30 +156,33 @@ class IVFIndex:
         """Score only the nprobe cells nearest each query. Output matches
         brute_force_topk's schema (query_id, neighbor_id, cos_sim, rank)."""
         qn = _norm_rows(queries, id_col, vec_col)
-        # rank cells per query by centroid similarity, keep nprobe
-        probed = None
-        for cid, cvec in self.centroids:
-            arr = F.array(*[F.lit(float(x)) for x in cvec])
-            score = F.aggregate(
-                F.zip_with(F.col("v"), arr, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            row = qn.select(
-                F.col("id").alias("query_id"),
-                F.col("v").alias("qv"),
-                F.lit(cid).alias("cell"),
-                score.alias("cscore"),
-            )
-            probed = row if probed is None else probed.unionByName(row)
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("cscore").desc(), F.col("cell")
+        mat = _centroid_matrix(self.centroids)
+        bc = qn.sparkSession.sparkContext.broadcast(mat)
+        n_probe = min(nprobe, len(self.centroids))
+
+        def probe(batches):
+            c_t = bc.value.T
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.vstack(pdf["v"].to_numpy())
+                scores = vecs @ c_t
+                # ties → lower cell id, matching (score desc, cell asc)
+                order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["id"].to_numpy().repeat(n_probe),
+                        "qv": pdf["v"].to_numpy().repeat(n_probe),
+                        "cell": order.ravel().astype(np.int32),
+                    }
+                )
+
+        cells = qn.mapInPandas(
+            probe, schema="query_id long, qv array<double>, cell int"
         )
-        cells = probed.withColumn("crank", F.row_number().over(wq)).filter(
-            F.col("crank") <= nprobe
-        )
+        # candidate scoring: per-row Catalyst dot product — O(1) plan size
         scored = (
-            F.broadcast(cells.select("query_id", "qv", "cell"))
+            F.broadcast(cells)
             .join(
                 self.assigned.select(
                     F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"

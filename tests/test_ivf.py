@@ -60,3 +60,34 @@ def test_recall_vs_bruteforce(spark, emb, index):
     }
     recall = len(probed & exact) / len(exact)
     assert recall >= 0.4, f"IVF nprobe=4 recall too low: {recall}"
+
+
+def test_high_dim_build_and_search(spark):
+    """Production embedding sizes: dim=512 build+search must work and stay
+    fast — the assignment/probe path is an Arrow-batched GEMM, not an
+    O(nlist×dim) Catalyst expression tree (which stops compiling here)."""
+    import time
+
+    import numpy as np
+
+    dim, n = 512, 400
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((n, dim)).astype(float)
+    pdf = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    emb512 = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    t0 = time.time()
+    idx = IVFIndex.build(emb512, nlist=16, iters=2)
+    build_s = time.time() - t0
+    assert len(idx.centroids) == 16
+    assert all(len(v) == dim for _, v in idx.centroids)
+    queries = emb512.filter(F.col("vec_id") < 5)
+    out = idx.search(queries, k=3, nprobe=16)
+    rows = out.collect()
+    assert len(rows) == 5 * 3
+    # exhaustive probe ⇒ identical to brute force at dim 512 too
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb512, k=3).collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in rows} == exact
+    assert build_s < 120, f"build too slow: {build_s:.1f}s"
