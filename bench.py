@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     # round-2 gate additions
     "convert_decimal_rescale",
     "name_mapping_resolve",
+    "text_pii_scrub",
+    "docs_pack_sequences",
 ]
 
 

@@ -127,27 +127,56 @@ def cosine_pairs(
     )
 
 
-def _srp_signature(vec_col, dim: int, num_bits: int):
-    """Sign bits of projections onto deterministic pseudo-random hyperplanes.
+_SRP_SEED = 0x5B9  # deterministic hyperplanes: fixed seed, no stored model
 
-    Hyperplane components are derived from xxhash64(bit, dim-index) mapped to
-    ±1 — reproducible across runs/engines with no stored model.
-    """
-    bits = []
-    for b in range(num_bits):
-        # component sign for dimension i: parity of xxhash64(b, i)
-        comps = F.expr(
-            f"""
-            aggregate(
-              zip_with({vec_col}, sequence(0, {dim - 1}),
-                       (x, i) -> CASE WHEN pmod(xxhash64({b}L, i), 2) = 0
-                                      THEN CAST(x AS DOUBLE)
-                                      ELSE -CAST(x AS DOUBLE) END),
-              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-            """
-        )
-        bits.append(F.when(comps >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{b}"))
-    return bits
+
+def _srp_buckets(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, num_bits: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) LSH bucket assignments: sign bits of projections
+    onto deterministic ±1 hyperplanes, banded into r = num_bits/bands-bit
+    bucket keys.
+
+    One Arrow-batched numpy GEMM per batch — (batch × dim) @ (dim ×
+    num_bits) — replaces num_bits separate Catalyst fold expressions (a
+    ~num_bits × dim expression tree whose codegen alone dominated the
+    runtime at dim=64, and which grows unboundedly with dim)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    rng = np.random.default_rng(_SRP_SEED)
+    planes = rng.choice([-1.0, 1.0], size=(dim, num_bits))
+    bc = emb.sparkSession.sparkContext.broadcast(planes)
+    r = num_bits // bands
+    weights = (1 << np.arange(r)).astype(np.int64)
+
+    def assign(batches):
+        h = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (vecs @ h) >= 0  # (n, num_bits)
+            # bucket key per band: the r bits as an integer
+            buckets = np.stack(
+                [
+                    bits[:, b * r : (b + 1) * r].astype(np.int64) @ weights
+                    for b in range(bands)
+                ],
+                axis=1,
+            )  # (n, bands)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy().repeat(bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema="id long, band int, bucket long"
+    )
 
 
 def srp_lsh_pairs(
@@ -159,26 +188,31 @@ def srp_lsh_pairs(
     num_bits: int = 32,
     bands: int = 8,
     verify: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH near-neighbor pairs, exact-cosine verified.
 
-    P(bit match) = 1 - θ/π; banding amplifies as usual. Candidates shuffle on
-    (band, bucket) — corpus-scale safe."""
-    r = num_bits // bands
-    sig = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        *_srp_signature(vec_col, dim, num_bits),
-    )
-    band_hash = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col(f"b{b * r + j}") for j in range(r)])
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(
-        "id", "v", F.posexplode(band_hash).alias("band", "bucket")
-    ).persist()
+    P(bit match) = 1 - θ/π; banding amplifies as usual. Candidates shuffle
+    on (band, bucket) and carry IDS ONLY — vectors are fetched by id-join
+    after candidate dedup, so a hot bucket multiplies 16-byte id pairs, not
+    dim-sized vectors. Bucket width per band is 2^(num_bits/bands): keep
+    rows-per-band ≥ 4 so buckets stay narrow (r=2 on a large corpus puts
+    ~|corpus|/4 ids in every bucket — quadratic). ``max_bucket`` drops
+    wider-than-cap buckets outright, the same stop-shingle cut as
+    dedup.minhash_lsh_pairs; REQUIRED at corpus scale."""
+    sc = emb.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        # under-split scan: widen so the GEMM and the bucket self-join
+        # parallelize (no-op when the scan already has enough splits)
+        emb = emb.repartition(sc.defaultParallelism)
+    buckets = _srp_buckets(emb, id_col, vec_col, dim, num_bits, bands).persist()
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bw"))
+            .filter(F.col("bw") > max_bucket)
+        )
+        buckets = buckets.join(hot, ["band", "bucket"], "left_anti")
     cand = (
         buckets.alias("x")
         .join(
@@ -187,19 +221,26 @@ def srp_lsh_pairs(
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.id") < F.col("y.id")),
         )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.v").alias("va"),
-            F.col("y.v").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
     )
     if not verify:
-        return cand.select("id_a", "id_b")
-    return cand.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+        return cand
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def brute_force_topk_numpy(

@@ -96,6 +96,62 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+# PII patterns: portable across Java regex (Spark) and RE2 (DuckDB) — no
+# backrefs, no lookaround, ASCII word boundaries only.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d[\d()\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails / IPv4s / SSN-shaped ids / phone-number runs with typed
+    placeholders. A chain of JVM-side regexp_replace — one codegen'd pass
+    per pattern, zero shuffles, the standard pre-training scrub stage."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def hash_sample(key: Column, hex_threshold: str = "28f5c") -> Column:
+    """Deterministic, engine-portable sampling predicate: keep a row when
+    the md5-hex prefix of its key sorts below ``hex_threshold``. 5 hex chars
+    → rate granularity 1/16^5 ≈ 1e-6 (e.g. '28f5c' ≈ 16%). Reproducible
+    across engines, scales with zero coordination (no RNG state), and is
+    stable under re-runs — the property a training-data sample must have."""
+    return F.substring(F.md5(key.cast("string")), 1, len(hex_threshold)) < F.lit(
+        hex_threshold
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    part_cols: list[str],
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences ("packs"):
+    within each partition group, in deterministic ``order_col`` order, a doc
+    goes to pack floor(tokens-before-it / budget). One window pass — the
+    shuffle key is the partition columns, exactly the grouping a packing
+    job needs anyway. Docs longer than the budget occupy packs alone."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return docs.withColumn(
+        "pack_id", F.floor(cum_before / F.lit(budget)).cast("bigint")
+    )
+
+
 def profile(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

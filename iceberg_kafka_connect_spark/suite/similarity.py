@@ -73,8 +73,15 @@ def ann_topk_ivf(spark, sf_dir):
 @register("ann_srp_lsh_pairs", oracle=None, tags=("similarity",))
 def ann_srp_lsh_pairs(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
+    # r=8 → 256 buckets per band: the rows-per-band must scale with
+    # log(corpus) or buckets saturate (r=4 gives 16 buckets — at n=2000
+    # EVERY bucket holds ~n/16 ids and candidates go quadratic: ~40% of all
+    # pairs). At r=8 a random pair (cos≈0, p=1/2) passes a band at 2^-8, so
+    # candidates ≈ n²·bands/256 — linear-ish in n for bands ∝ log n — while
+    # banding over 16 bands keeps usable recall near the threshold.
+    # max_bucket caps pathological buckets (10× the n/256 expected width).
     return similarity.srp_lsh_pairs(
-        emb, threshold=0.35, num_bits=32, bands=16, dim=64
+        emb, threshold=0.35, num_bits=128, bands=16, dim=64, max_bucket=256
     )
 
 

@@ -157,3 +157,129 @@ def text_token_stats(spark, sf_dir):
         n_bpe.alias("n_bpe_tokens"),
         (F.length(t).cast("double") / n_bpe.cast("double")).alias("chars_per_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: email / IPv4 / SSN-shaped / phone-run redaction — the
+# standard pre-training scrub, as a chain of codegen'd regexp_replace
+# passes (patterns portable between Java regex and RE2).
+# --------------------------------------------------------------------------
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\+?\d[\d()\- ]{7,}\d', '<PHONE>', 'g') AS scrubbed,
+           (text != regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\+?\d[\d()\- ]{7,}\d', '<PHONE>', 'g')) AS had_pii
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_pii_scrub(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    scrubbed = tx.scrub_pii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.col("text") != scrubbed).alias("had_pii"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: md5-prefix predicate per document,
+# per-language acceptance counts. Reproducible across engines and runs with
+# zero RNG/coordination state — the property a training sample must have.
+# --------------------------------------------------------------------------
+@register(
+    "docs_sample_stratified",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 5)
+                              < '28f5c' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(MIN(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 5)
+                              < '28f5c' THEN doc_id END) AS BIGINT) AS first_sampled
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("text",),
+)
+def docs_sample_stratified(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    keep = tx.hash_sample(F.col("doc_id"), "28f5c")  # ≈16% rate
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_sampled"),
+            F.min(F.when(keep, F.col("doc_id"))).cast("bigint").alias(
+                "first_sampled"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign docs to fixed-token-budget training sequences
+# (pack = floor(tokens-before / budget) within each language, doc_id
+# order). One window pass; shuffle key = the packing group.
+# --------------------------------------------------------------------------
+@register(
+    "docs_pack_sequences",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, n_tokens,
+               CAST(floor(
+                 COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / 8192.0) AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT lang, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY lang, pack_id
+    ORDER BY lang, pack_id
+    """,
+    tags=("text",),
+)
+def docs_pack_sequences(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        tx.token_count_regex(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    packed = tx.pack_sequences(
+        toks, budget=8192, part_cols=["lang"], order_col="doc_id"
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
