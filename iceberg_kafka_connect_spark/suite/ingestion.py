@@ -944,3 +944,180 @@ def exactly_once_replay(spark, sf_dir):
         F.sum("event_id").cast("bigint").alias("sum_ids"),
         F.count_distinct(F.col("event_id")).cast("bigint").alias("n_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# P9 — Mongo Debezium SMT (MongoDebeziumTransform.java:84-189): extended-
+# JSON change-stream envelopes — create / full update / partial update
+# (key ⊕ updatedFields, removedFields → NULL) / delete (before doc or
+# key-only) — normalized to flat rows, entirely via plan-time schema +
+# vectorized from_json.
+# --------------------------------------------------------------------------
+@register(
+    "smt_mongo_unwrap",
+    oracle="""
+    SELECT event_id AS _id,
+           CASE WHEN event_type = 'view' THEN NULL            -- removedFields
+                WHEN event_type = 'error' AND user_id % 2 = 0 THEN NULL
+                ELSE event_type END AS name,
+           CASE WHEN event_type = 'view' THEN value * 2       -- updatedFields
+                WHEN event_type = 'error' AND user_id % 2 = 0 THEN NULL
+                WHEN event_type = 'error' THEN value
+                ELSE value END AS score,
+           CASE WHEN event_type = 'purchase' THEN 'U'
+                WHEN event_type = 'view' THEN 'U'
+                WHEN event_type = 'error' THEN 'D'
+                ELSE 'I' END AS cdc_op,
+           CAST(event_id AS VARCHAR) AS cdc_key
+    FROM events
+    """,
+    tags=("ingestion",),
+)
+def smt_mongo_unwrap(spark, sf_dir):
+    from ..transforms.mongo import mongo_debezium_transform
+
+    e = table(spark, sf_dir, "events")
+    doc_json = F.to_json(
+        F.struct(
+            F.col("event_id").alias("_id"),
+            F.col("event_type").alias("name"),
+            F.col("value").alias("score"),
+        )
+    )
+    op = (
+        F.when(F.col("event_type") == "purchase", "u")  # full-document update
+        .when(F.col("event_type") == "view", "u")  # partial update
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("c")
+    )
+    envelopes = e.select(
+        op.alias("op"),
+        # full-update and create carry the after document; partial doesn't
+        F.when(
+            (op == "c") | (F.col("event_type") == "purchase"), doc_json
+        ).alias("after"),
+        # deletes carry before only for odd user_ids (even → key-only path)
+        F.when(
+            (op == "d") & (F.col("user_id") % 2 == 1), doc_json
+        ).alias("before"),
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(
+                F.to_json(F.struct((F.col("value") * 2).alias("score"))).alias(
+                    "updatedFields"
+                ),
+                F.array(F.lit("name")).alias("removedFields"),
+            ),
+        ).alias("updateDescription"),
+        F.to_json(F.struct(F.col("event_id").alias("_id"))).alias("documentKey"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    doc_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    out = envelopes.transform(mongo_debezium_transform(doc_schema))
+    return out.select(
+        "_id",
+        "name",
+        "score",
+        F.col("_cdc.op").alias("cdc_op"),
+        F.col("_cdc.key").alias("cdc_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S8 — commit branch targeting (IcebergSinkConfig commit-branch /
+# SnapshotUpdate.toBranch): snapshots land on a named ref; the branch sees
+# its ancestry, main doesn't see branch-only commits.
+# --------------------------------------------------------------------------
+@register(
+    "branch_commits",
+    oracle="""
+    SELECT 'audit' AS branch,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id < 400
+    UNION ALL
+    SELECT 'main' AS branch,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id < 300
+    ORDER BY branch
+    """,
+    tags=("ingestion",),
+)
+def branch_commits(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="branch_gate_") + "/t", e.schema
+    )
+    t.append(e.filter(F.col("event_id") < 300))
+    t.create_branch("audit")
+    t.append(
+        e.filter((F.col("event_id") >= 300) & (F.col("event_id") < 400)),
+        branch="audit",
+    )
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    ]
+    audit = t.read(spark, branch="audit").agg(*agg).select(
+        F.lit("audit").alias("branch"), "n_rows", "sum_ids"
+    )
+    main = t.read(spark).agg(*agg).select(
+        F.lit("main").alias("branch"), "n_rows", "sum_ids"
+    )
+    return audit.unionByName(main).orderBy("branch")
+
+
+# --------------------------------------------------------------------------
+# A4 — last-committed-offset lookup (Coordinator.java:193-202,286-303): the
+# snapshot-ancestry summary walk returns the LATEST offsets entry even when
+# later snapshots (e.g. a compaction) carry no offsets property.
+# --------------------------------------------------------------------------
+@register(
+    "offset_lookup",
+    oracle="""
+    SELECT concat('{"events-0": ', CAST(MAX(event_id) + 1 AS VARCHAR), '}')
+             AS offsets,
+           CAST(3 AS BIGINT) AS n_snapshots
+    FROM events WHERE event_id < 350
+    """,
+    tags=("ingestion",),
+)
+def offset_lookup(spark, sf_dir):
+    import json as _json
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="offset_gate_") + "/t", e.schema
+    )
+    b1 = e.filter(F.col("event_id") < 200)
+    b2 = e.filter((F.col("event_id") >= 200) & (F.col("event_id") < 350))
+    for batch in (b1, b2):
+        hi = batch.agg(F.max("event_id").alias("m")).collect()[0]["m"]
+        t.append(
+            batch,
+            snapshot_props={
+                "kafka.connect.offsets": _json.dumps({"events-0": hi + 1})
+            },
+        )
+    # a snapshot WITHOUT offsets (maintenance compaction) — the walk must
+    # skip over it and surface batch 2's offsets
+    t.compact(spark)
+    offsets = t.last_summary_value("kafka.connect.offsets")
+    n_snaps = len(t.snapshots())
+    return spark.createDataFrame(
+        [(offsets, n_snaps)], "offsets string, n_snapshots bigint"
+    )
