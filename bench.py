@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "name_mapping_resolve",
     "text_pii_scrub",
     "docs_pack_sequences",
+    "asof_join_purchase",
+    "range_join_attribution",
+    "text_repetition",
+    "contamination_check",
 ]
 
 

@@ -59,9 +59,11 @@ def shingles(
             F.size("__w") >= n,
             F.expr(f"transform(sequence(0, size(__w) - {n}), i -> {gram})"),
         ).otherwise(F.array().cast("array<string>"))
-    return (
-        with_w.select("id", F.explode(arr).alias("shingle"))
-        .distinct()
+    # distinct-per-doc is a per-row array_distinct BEFORE the explode: all of
+    # a doc's shingles originate in its single input row, so no global
+    # distinct shuffle of (id, shingle) pairs is ever needed.
+    return with_w.select(
+        "id", F.explode(F.array_distinct(arr)).alias("shingle")
     )
 
 
@@ -318,3 +320,54 @@ def simhash_pairs(
     return cand.select(
         "id_a", "id_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def contamination_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the count and fraction
+    of its word n-grams that appear anywhere in the benchmark set.
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus
+    (eval suites are MBs, the corpus is TBs), so it collapses to DISTINCT
+    64-bit shingle hashes and broadcasts — the corpus-side check is then a
+    map-side left-semi probe with NO shuffle of corpus shingles at all. Only
+    the per-doc count aggregation shuffles, keyed by doc id. With
+    ``broadcast_benchmark=False`` the probe becomes a regular hash join on
+    the 8-byte shingle hash (for benchmark sets too big to broadcast).
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination) — one row
+    per corpus doc with at least one n-gram; docs shorter than n words have
+    no shingles and are trivially clean.
+    """
+    csh = shingles(corpus, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("h")
+    )
+    bset = (
+        shingles(benchmark, id_col, text_col, n)
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bset = F.broadcast(bset)
+    # single pass: mark each corpus shingle via a left join against the
+    # (distinct) benchmark set, then ONE per-doc aggregation — total and
+    # contaminated counts share the scan and the shuffle.
+    marked = csh.join(bset.withColumn("__hit", F.lit(1)), "h", "left")
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+    ).select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        "n_contaminated",
+        (
+            F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination"),
+    )

@@ -168,3 +168,61 @@ def profile(
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def _lower_words(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def _gram_array(w: Column, n: int) -> Column:
+    """Word n-grams of an array column (empty below n words)."""
+    if n == 1:
+        return w
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + F.lit(j + 1)) for j in range(n)]
+    )
+    return F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(w) - F.lit(n)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_word_ratio(text: Column) -> Column:
+    """Frequency of the single most common word over total words — the
+    Gopher 'most common word' repetition signal. Pure per-row array
+    arithmetic (O(distinct×words) per doc), zero shuffles."""
+    w = _lower_words(text)
+    counts = F.transform(
+        F.array_distinct(w), lambda d: F.size(F.filter(w, lambda x: x == d))
+    )
+    return F.array_max(counts).cast("double") / F.size(w).cast("double")
+
+
+def dup_ngram_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier n-gram
+    in the same document (C4/Gopher 'duplicate n-gram fraction'). 0.0 for
+    docs shorter than n words."""
+    g = _gram_array(_lower_words(text), n)
+    return F.when(
+        F.size(g) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(g)).cast("double") / F.size(g).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_filter(
+    text: Column,
+    max_top_word_ratio: float = 0.125,
+    max_dup_2gram: float = 0.06,
+    max_dup_3gram: float = 0.05,
+    min_words: int = 5,
+) -> Column:
+    """Gopher-style repetition gate: a doc passes when no repetition signal
+    exceeds its threshold. All signals are single-pass Catalyst expressions;
+    the whole gate is a filter pushed into the scan projection."""
+    return (
+        (word_count(text) >= min_words)
+        & (top_word_ratio(text) <= max_top_word_ratio)
+        & (dup_ngram_ratio(text, 2) <= max_dup_2gram)
+        & (dup_ngram_ratio(text, 3) <= max_dup_3gram)
+    )

@@ -1,0 +1,134 @@
+"""Corpus-quality queries: Gopher/C4-style repetition filtering and
+benchmark decontamination over the `documents` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..operators import text as tx
+from . import register
+from .core import table
+
+# Thresholds chosen against the synthetic corpus distributions so the gate
+# actually splits it (top-word p75≈0.11 / p90≈0.14; dup-2gram p90≈0.065).
+_TWR, _DUP2, _DUP3, _MINW = 0.125, 0.06, 0.05, 5
+
+
+# --------------------------------------------------------------------------
+# Repetition profile + Gopher-style gate: most-common-word ratio and
+# duplicate n-gram fractions, all single-pass Catalyst array arithmetic —
+# one scan, zero shuffles at any corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "text_repetition",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    wx AS (SELECT doc_id, unnest(w) AS word FROM d),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM wx GROUP BY 1, 2),
+    twr AS (
+        SELECT doc_id,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_ratio
+        FROM wc GROUP BY 1
+    ),
+    g AS (
+        SELECT doc_id, len(w) AS nw,
+               list_transform(list_zip(w[1:-2], w[2:-1]),
+                              x -> x[1] || ' ' || x[2]) AS g2,
+               list_transform(list_zip(w[1:-3], w[2:-2], w[3:-1]),
+                              x -> x[1] || ' ' || x[2] || ' ' || x[3]) AS g3
+        FROM d
+    ),
+    r AS (
+        SELECT doc_id, nw,
+               CASE WHEN len(g2) > 0
+                    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                               / CAST(len(g2) AS DOUBLE)
+                    ELSE 0.0 END AS dup_2gram_ratio,
+               CASE WHEN len(g3) > 0
+                    THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                               / CAST(len(g3) AS DOUBLE)
+                    ELSE 0.0 END AS dup_3gram_ratio
+        FROM g
+    )
+    SELECT t.doc_id, t.top_word_ratio, r.dup_2gram_ratio, r.dup_3gram_ratio,
+           (r.nw >= {_MINW} AND t.top_word_ratio <= {_TWR}
+            AND r.dup_2gram_ratio <= {_DUP2}
+            AND r.dup_3gram_ratio <= {_DUP3}) AS passes
+    FROM twr t JOIN r ON t.doc_id = r.doc_id
+    """,
+    tags=("text",),
+)
+def text_repetition(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.top_word_ratio(t).alias("top_word_ratio"),
+        tx.dup_ngram_ratio(t, 2).alias("dup_2gram_ratio"),
+        tx.dup_ngram_ratio(t, 3).alias("dup_3gram_ratio"),
+        tx.repetition_filter(
+            t,
+            max_top_word_ratio=_TWR,
+            max_dup_2gram=_DUP2,
+            max_dup_3gram=_DUP3,
+            min_words=_MINW,
+        ).alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: per corpus doc, how many of its word 5-grams
+# appear anywhere in the held-out benchmark split (doc_id % 20 == 0 plays
+# the benchmark). The benchmark shingle set broadcasts; corpus shingles are
+# probed map-side — no corpus shuffle at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "contamination_check",
+    oracle=r"""
+    WITH cw AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id % 20 != 0
+    ),
+    csh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   list_zip(w[1:-5], w[2:-4], w[3:-3], w[4:-2], w[5:-1]),
+                   x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4]
+                        || ' ' || x[5])) AS s
+        FROM cw
+    ),
+    bw AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    bsh AS (
+        SELECT DISTINCT
+               unnest(list_transform(
+                   list_zip(w[1:-5], w[2:-4], w[3:-3], w[4:-2], w[5:-1]),
+                   x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4]
+                        || ' ' || x[5])) AS s
+        FROM bw
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
+    hit AS (
+        SELECT doc_id, COUNT(*) AS c
+        FROM csh WHERE s IN (SELECT s FROM bsh) GROUP BY 1
+    )
+    SELECT t.doc_id,
+           t.n AS n_shingles,
+           COALESCE(h.c, 0) AS n_contaminated,
+           CAST(COALESCE(h.c, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+             AS contamination
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+    tags=("dedup",),
+)
+def contamination_check(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.contamination_scores(corpus, benchmark, n=5)

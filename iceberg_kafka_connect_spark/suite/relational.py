@@ -1,0 +1,117 @@
+"""Time-relational queries: as-of join and interval (range) join over the
+`events` table.
+
+DuckDB has a native ASOF JOIN, which makes it a strong oracle for the
+distributed union+window implementation in operators/relational.py. All
+timestamp comparisons happen at microsecond precision on both sides (the
+parquet column is TIMESTAMP(NANOS); Spark's loader truncates ns→µs, so the
+oracle CASTs to TIMESTAMP before comparing), and timestamps are output as
+epoch-microsecond BIGINTs — exact integers, no rendering ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.relational import as_of_join, interval_join
+from . import register
+from .core import sql_dsum, table, dsum
+
+
+# --------------------------------------------------------------------------
+# As-of join: each click event attaches the latest prior (or simultaneous)
+# purchase of the same user — pandas.merge_asof / DuckDB ASOF semantics,
+# implemented as ONE shuffle on user_id with no join fan-out.
+# --------------------------------------------------------------------------
+@register(
+    "asof_join_purchase",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id,
+           l.user_id,
+           epoch_us(l.ts) AS click_us,
+           r.value AS purchase_value,
+           epoch_us(r.ts) AS purchase_us,
+           epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags=("relational",),
+)
+def asof_join_purchase(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = as_of_join(clicks, purchases, on=["user_id"], left_ts="ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.col("value").alias("purchase_value"),
+        F.unix_micros("ts_r").alias("purchase_us"),
+        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval (range) join: views landing inside each purchase's 2-hour
+# attribution window, per user. The bucketed equi-join shape — intervals
+# explode into covered time buckets, points probe their own bucket — keeps
+# Catalyst off the broadcast-nested-loop path an inequality join would take.
+# --------------------------------------------------------------------------
+@register(
+    "range_join_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(ts AS TIMESTAMP) AS w_start,
+               CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS w_end
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           {sql_dsum('v.value', 4)} AS sum_view_value
+    FROM p JOIN v
+      ON v.user_id = p.user_id AND v.ts >= p.w_start AND v.ts < p.w_end
+    GROUP BY p.purchase_id
+    """,
+    tags=("relational",),
+)
+def range_join_attribution(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    j = interval_join(
+        views,
+        purchases,
+        on=["user_id"],
+        point_ts="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_s=7200,
+    )
+    return j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_views"),
+        dsum(F.col("value"), 4, "sum_view_value"),
+    )

@@ -1,0 +1,204 @@
+"""Operator-level tests for as_of_join / interval_join / contamination /
+repetition metrics — the edge cases the gate queries don't exercise."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_kafka_connect_spark.operators.relational import (
+    as_of_join,
+    interval_join,
+)
+from iceberg_kafka_connect_spark.operators.dedup import contamination_scores
+from iceberg_kafka_connect_spark.operators import text as tx
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 1.0),
+            ("A", _ts("2024-01-01 10:05:00"), 2.0),
+            ("A", _ts("2024-01-01 10:10:00"), 3.0),
+            ("B", _ts("2024-01-01 10:02:00"), 10.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:59:00"), 100),  # before any quote
+            ("A", _ts("2024-01-01 10:05:00"), 200),  # exactly on a quote
+            ("A", _ts("2024-01-01 10:07:00"), 300),  # between quotes
+            ("B", _ts("2024-01-01 10:30:00"), 400),  # far after B's quote
+            ("C", _ts("2024-01-01 10:00:00"), 500),  # key with no right rows
+        ],
+        "sym string, ts timestamp, qty int",
+    )
+
+
+def _asof_map(df):
+    return {r["qty"]: r["px"] for r in df.collect()}
+
+
+def test_asof_backward(quotes, trades):
+    out = as_of_join(trades, quotes, on=["sym"], left_ts="ts")
+    assert _asof_map(out) == {100: None, 200: 2.0, 300: 2.0, 400: 10.0, 500: None}
+    # left row count preserved (left-join semantics)
+    assert out.count() == 5
+
+
+def test_asof_forward(quotes, trades):
+    out = as_of_join(trades, quotes, on=["sym"], left_ts="ts", direction="forward")
+    # 10:05 trade matches the 10:05 quote (inclusive), 09:59 → 10:00 quote,
+    # 10:07 → 10:10, B's 10:30 has nothing after it
+    assert _asof_map(out) == {100: 1.0, 200: 2.0, 300: 3.0, 400: None, 500: None}
+
+
+def test_asof_tolerance(quotes, trades):
+    out = as_of_join(
+        trades, quotes, on=["sym"], left_ts="ts", tolerance_s=120.0
+    )
+    # 10:07 trade is 120s after the 10:05 quote — inside; B's 10:30 trade is
+    # 28 min after its quote — nulled out by tolerance
+    assert _asof_map(out) == {100: None, 200: 2.0, 300: 2.0, 400: None, 500: None}
+
+
+def test_asof_right_tie_deterministic(spark):
+    left = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:01:00"))], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 10:00:00"), 1),
+            ("k", _ts("2024-01-01 10:00:00"), 2),
+        ],
+        "k string, ts timestamp, v int",
+    )
+    vals = {
+        as_of_join(left, right, on=["k"]).collect()[0]["v"] for _ in range(3)
+    }
+    assert vals == {2}  # greatest struct wins, every run
+
+
+def test_asof_column_collision_suffix(spark):
+    left = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:01:00"), 7)], "k string, ts timestamp, v int"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), 8)], "k string, ts timestamp, v int"
+    )
+    out = as_of_join(left, right, on=["k"])
+    row = out.collect()[0]
+    assert row["v"] == 7 and row["v_r"] == 8 and row["ts_r"] is not None
+
+
+def test_interval_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 10:00:00"), 1),  # == start: in
+            ("k", _ts("2024-01-01 10:59:59"), 2),  # just inside
+            ("k", _ts("2024-01-01 11:00:00"), 3),  # == end: out (exclusive)
+            ("k", _ts("2024-01-01 09:59:59"), 4),  # before: out
+        ],
+        "k string, ts timestamp, pid int",
+    )
+    intervals = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"), "iv")],
+        "k string, start timestamp, end timestamp, name string",
+    )
+    out = interval_join(points, intervals, on=["k"])
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+
+def test_interval_join_small_buckets_no_dups(spark):
+    # interval spans many buckets — each matching point must appear ONCE
+    points = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:30:00"), 1)], "k string, ts timestamp, pid int"
+    )
+    intervals = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00"), "iv")],
+        "k string, start timestamp, end timestamp, name string",
+    )
+    out = interval_join(points, intervals, on=["k"], bucket_s=60)
+    assert out.count() == 1
+
+
+def test_interval_join_empty_and_inverted_intervals(spark):
+    points = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), 1)], "k string, ts timestamp, pid int"
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:00:00"), "empty"),
+            ("k", _ts("2024-01-01 11:00:00"), _ts("2024-01-01 10:00:00"), "inverted"),
+        ],
+        "k string, start timestamp, end timestamp, name string",
+    )
+    assert interval_join(points, intervals, on=["k"]).count() == 0
+
+
+def test_interval_join_rejects_collisions(spark, quotes):
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(quotes, quotes, on=["sym"], start_col="ts", end_col="ts")
+
+
+def test_contamination_no_benchmark_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")], "doc_id long, text string"
+    )
+    benchmark = spark.createDataFrame(
+        [(9, "z y x w v u t")], "doc_id long, text string"
+    )
+    out = contamination_scores(corpus, benchmark, n=5).collect()
+    assert {r["doc_id"]: r["n_contaminated"] for r in out} == {1: 0, 2: 0}
+    assert all(r["contamination"] == 0.0 for r in out)
+
+
+def test_contamination_full_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "p q r s t u")], "doc_id long, text string"
+    )
+    benchmark = spark.createDataFrame(
+        [(9, "a b c d e f g h")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r for r in contamination_scores(corpus, benchmark, n=5).collect()
+    }
+    assert rows[1]["n_shingles"] == 2 and rows[1]["n_contaminated"] == 2
+    assert rows[1]["contamination"] == 1.0
+    assert rows[2]["n_contaminated"] == 0
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),  # pure repetition
+            (2, "one two three four five six"),  # clean
+            (3, "a b"),  # below min_words, too short for 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            tx.top_word_ratio(F.col("text")).alias("twr"),
+            tx.dup_ngram_ratio(F.col("text"), 2).alias("d2"),
+            tx.repetition_filter(F.col("text")).alias("passes"),
+        ).collect()
+    }
+    assert out[1]["twr"] == 1.0 and out[1]["d2"] == 0.75 and not out[1]["passes"]
+    assert out[2]["twr"] == pytest.approx(1 / 6) and out[2]["d2"] == 0.0
+    assert not out[3]["passes"]  # min_words gate
+    assert out[3]["d2"] == 0.0  # no 2-grams of 2 words → 1 gram... still defined
