@@ -189,13 +189,30 @@ def _gram_array(w: Column, n: int) -> Column:
 
 def top_word_ratio(text: Column) -> Column:
     """Frequency of the single most common word over total words — the
-    Gopher 'most common word' repetition signal. Pure per-row array
-    arithmetic (O(distinct×words) per doc), zero shuffles."""
+    Gopher 'most common word' repetition signal. The max frequency is the
+    longest run of equal adjacent elements in the SORTED word array, found
+    by one aggregate() scan — O(n log n) per doc (the naive
+    distinct×filter formulation is O(distinct×n), quadratic on
+    natural text), zero shuffles."""
     w = _lower_words(text)
-    counts = F.transform(
-        F.array_distinct(w), lambda d: F.size(F.filter(w, lambda x: x == d))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
-    return F.array_max(counts).cast("double") / F.size(w).cast("double")
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(F.array_sort(w), zero, step, lambda a: a["best"])
+    return best.cast("double") / F.size(w).cast("double")
 
 
 def dup_ngram_ratio(text: Column, n: int = 2) -> Column:
