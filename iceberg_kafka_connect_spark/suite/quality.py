@@ -64,18 +64,32 @@ _TWR, _DUP2, _DUP3, _MINW = 0.125, 0.06, 0.05, 5
 )
 def text_repetition(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
+    # The repetition signals are CPU-heavy per row; a small-file scan yields
+    # one split and serializes them. Widen only when under-split (no-op at
+    # real corpus scale, where the scan has >= cores splits).
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     t = F.col("text")
-    return docs.select(
+    # compute each signal once; derive the gate from the projected columns
+    # instead of re-evaluating the (expensive) expressions inside it
+    prof = docs.select(
         "doc_id",
+        tx.word_count(t).alias("__nw"),
         tx.top_word_ratio(t).alias("top_word_ratio"),
         tx.dup_ngram_ratio(t, 2).alias("dup_2gram_ratio"),
         tx.dup_ngram_ratio(t, 3).alias("dup_3gram_ratio"),
-        tx.repetition_filter(
-            t,
-            max_top_word_ratio=_TWR,
-            max_dup_2gram=_DUP2,
-            max_dup_3gram=_DUP3,
-            min_words=_MINW,
+    )
+    return prof.select(
+        "doc_id",
+        "top_word_ratio",
+        "dup_2gram_ratio",
+        "dup_3gram_ratio",
+        (
+            (F.col("__nw") >= _MINW)
+            & (F.col("top_word_ratio") <= _TWR)
+            & (F.col("dup_2gram_ratio") <= _DUP2)
+            & (F.col("dup_3gram_ratio") <= _DUP3)
         ).alias("passes"),
     )
 
