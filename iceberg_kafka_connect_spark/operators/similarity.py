@@ -192,36 +192,42 @@ def srp_lsh_pairs(
 ) -> DataFrame:
     """Random-hyperplane LSH near-neighbor pairs, exact-cosine verified.
 
-    P(bit match) = 1 - θ/π; banding amplifies as usual. Candidates shuffle
-    on (band, bucket) and carry IDS ONLY — vectors are fetched by id-join
-    after candidate dedup, so a hot bucket multiplies 16-byte id pairs, not
-    dim-sized vectors. Bucket width per band is 2^(num_bits/bands): keep
-    rows-per-band ≥ 4 so buckets stay narrow (r=2 on a large corpus puts
-    ~|corpus|/4 ids in every bucket — quadratic). ``max_bucket`` drops
-    wider-than-cap buckets outright, the same stop-shingle cut as
-    dedup.minhash_lsh_pairs; REQUIRED at corpus scale."""
+    P(bit match) = 1 - θ/π; banding amplifies as usual. Candidate
+    generation is ONE shuffle: bucket assignments (id, band, bucket — ids
+    only, never vectors) group into per-bucket sorted id lists, the
+    ``max_bucket`` cap drops pathological buckets BEFORE any pair exists,
+    and the i<j pair expansion happens in-row on the grouped list (each
+    in-bucket pair emitted exactly once — the previous self-join +
+    separate width-count formulation cost three shuffles and materialized
+    hot-bucket pairs before capping). Bucket width per band is
+    2^(num_bits/bands): keep rows-per-band ≥ 4 so buckets stay narrow
+    (r=2 on a large corpus puts ~|corpus|/4 ids in every bucket —
+    quadratic). ``max_bucket`` is REQUIRED at corpus scale; it also bounds
+    the grouped row size (a capped bucket is ≤ 8·max_bucket bytes)."""
     sc = emb.sparkSession.sparkContext
     if emb.rdd.getNumPartitions() < sc.defaultParallelism:
-        # under-split scan: widen so the GEMM and the bucket self-join
+        # under-split scan: widen so the GEMM and the bucket grouping
         # parallelize (no-op when the scan already has enough splits)
         emb = emb.repartition(sc.defaultParallelism)
-    buckets = _srp_buckets(emb, id_col, vec_col, dim, num_bits, bands).persist()
+    buckets = _srp_buckets(emb, id_col, vec_col, dim, num_bits, bands)
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_bucket is not None:
-        hot = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("bw"))
-            .filter(F.col("bw") > max_bucket)
-        )
-        buckets = buckets.join(hot, ["band", "bucket"], "left_anti")
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
+    pair_lists = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    )
     cand = (
-        buckets.alias("x")
-        .join(
-            buckets.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        grouped.select(F.explode(F.flatten(pair_lists)).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     if not verify:
