@@ -50,15 +50,10 @@ def shingles(
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
+    from .text import gram_array
+
     with_w = docs.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__w"))
-    if n == 1:
-        arr = F.col("__w")
-    else:
-        gram = "concat_ws(' ', " + ", ".join(f"__w[i+{j}]" for j in range(n)) + ")"
-        arr = F.when(
-            F.size("__w") >= n,
-            F.expr(f"transform(sequence(0, size(__w) - {n}), i -> {gram})"),
-        ).otherwise(F.array().cast("array<string>"))
+    arr = gram_array(F.col("__w"), n)
     # distinct-per-doc is a per-row array_distinct BEFORE the explode: all of
     # a doc's shingles originate in its single input row, so no global
     # distinct shuffle of (id, shingle) pairs is ever needed.
@@ -146,6 +141,53 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     return sh.groupBy("id").agg(*aggs)
 
 
+def banded_pairs(
+    assignments: DataFrame,
+    band_cols: tuple[str, str] = ("band", "bucket"),
+    payload_cols: tuple[str, ...] = (),
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded-LSH candidate generation in ONE shuffle.
+
+    ``assignments`` is (id, band, bucket[, payload...]); the output is the
+    distinct set of (id_a, id_b) pairs (id_a < id_b) sharing at least one
+    band bucket, with each payload column carried through as ``<c>_a`` /
+    ``<c>_b``. Per bucket, ids collect into one sorted list, the
+    ``max_bucket`` cap drops pathological buckets BEFORE any pair is
+    materialized, and the i<j expansion happens in-row — each in-bucket
+    pair is emitted exactly once. The self-join formulation this replaces
+    costs three shuffles (width count + anti-join + join) and creates hot
+    buckets' quadratic pair volume before it can cap them. ``max_bucket``
+    also bounds the grouped row width, so collect_list is safe exactly
+    when the algorithm is."""
+    elem = F.struct(F.col("id"), *[F.col(c) for c in payload_cols])
+    grouped = (
+        assignments.groupBy(*band_cols)
+        .agg(F.sort_array(F.collect_list(elem)).alias("xs"))
+        .filter(F.size("xs") >= 2)
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("xs") <= max_bucket)
+    xs = F.col("xs")
+    pair_lists = F.transform(
+        xs,
+        lambda x, i: F.transform(
+            F.slice(xs, i + F.lit(2), F.size(xs)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    )
+    return (
+        grouped.select(F.explode(F.flatten(pair_lists)).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in payload_cols],
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -169,7 +211,7 @@ def minhash_lsh_pairs(
     bucket and emits O(f²·bands) candidates. Two levers: (1) run exact_dedup
     first and feed only representatives (what suite/curation.py does — the
     digest is already computed there); (2) ``max_bucket`` drops band buckets
-    wider than the cap before the self-join, like jaccard's ``max_df``
+    wider than the cap before any pair exists, like jaccard's ``max_df``
     stop-shingle cut. The cap trades recall only on pathologic clusters;
     REQUIRED at corpus scale, off for small exact-oracle runs.
     """
@@ -184,29 +226,10 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    # persist: the self-join below would otherwise recompute the signature
-    # aggregation for both sides
     buckets = sigs.select(
         "id", F.posexplode(band_hashes).alias("band", "bucket")
-    ).persist()
-    if max_bucket is not None:
-        hot = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("bw"))
-            .filter(F.col("bw") > max_bucket)
-        )
-        buckets = buckets.join(hot, ["band", "bucket"], "left_anti")
-    cand = (
-        buckets.alias("x")
-        .join(
-            buckets.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
     )
+    cand = banded_pairs(buckets, max_bucket=max_bucket)
     if not verify:
         return cand
     return verify_pairs_exact(sh, cand).filter(F.col("jaccard") >= threshold)
@@ -296,27 +319,13 @@ def simhash_pairs(
             for i in range(chunks)
         ]
     )
-    # persist: self-join reuses the 63-vote aggregation instead of doubling it
     buckets = sigs.select(
         "id", "simhash", F.posexplode(chunk_arr).alias("chunk", "val")
-    ).persist()
-    cand = (
-        buckets.alias("x")
-        .join(
-            buckets.alias("y"),
-            (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.val") == F.col("y.val"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("sig_a"),
-            F.col("y.simhash").alias("sig_b"),
-        )
-        .distinct()
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    cand = banded_pairs(
+        buckets, band_cols=("chunk", "val"), payload_cols=("simhash",)
+    )
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return cand.select(
         "id_a", "id_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vector import cosine
+from .dedup import banded_pairs
 
 
 def brute_force_topk(
@@ -210,26 +211,7 @@ def srp_lsh_pairs(
         # parallelize (no-op when the scan already has enough splits)
         emb = emb.repartition(sc.defaultParallelism)
     buckets = _srp_buckets(emb, id_col, vec_col, dim, num_bits, bands)
-    grouped = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("ids") <= max_bucket)
-    ids = F.col("ids")
-    pair_lists = F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + F.lit(2), F.size(ids)),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-        ),
-    )
-    cand = (
-        grouped.select(F.explode(F.flatten(pair_lists)).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
-    )
+    cand = banded_pairs(buckets, max_bucket=max_bucket)
     if not verify:
         return cand
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

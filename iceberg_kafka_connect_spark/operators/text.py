@@ -174,7 +174,7 @@ def _lower_words(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def _gram_array(w: Column, n: int) -> Column:
+def gram_array(w: Column, n: int) -> Column:
     """Word n-grams of an array column (empty below n words). Built by
     zip_with-ing the array against its own shifted slices — ~2.6× faster
     than transform(sequence)+element_at, which defeats codegen on the
@@ -228,7 +228,7 @@ def dup_ngram_ratio(text: Column, n: int = 2) -> Column:
     """Fraction of n-gram occurrences that are repeats of an earlier n-gram
     in the same document (C4/Gopher 'duplicate n-gram fraction'). 0.0 for
     docs shorter than n words."""
-    g = _gram_array(_lower_words(text), n)
+    g = gram_array(_lower_words(text), n)
     return F.when(
         F.size(g) > 0,
         F.lit(1.0)
