@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "range_join_attribution",
     "text_repetition",
     "contamination_check",
+    "dedup_components",
+    "docs_keyterms",
+    "quality_bins_by_source",
 ]
 
 

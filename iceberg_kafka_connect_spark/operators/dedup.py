@@ -77,6 +77,62 @@ def exact_dedup(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, component) for every node in an undirected near-dup edge list;
+    ``component`` is the smallest id reachable from the node.
+
+    Min-label propagation: each round every node takes the min label over
+    itself and its neighbors; converges in O(graph diameter) rounds — and
+    near-dup graphs are union-of-dense-clusters, so the diameter is tiny
+    (2-3). Each round is one join (labels onto edges) + one min-aggregation,
+    both keyed by node id — no step shuffles documents or grows with
+    cluster size squared. Convergence is detected by the per-round label
+    sum: labels only ever decrease, so an unchanged sum IS the fixpoint
+    (one O(1) scalar per round on the driver, no extra join).
+
+    Nodes with no edges don't appear in the input and so not in the output;
+    callers union isolated ids back if they need total coverage.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    for _ in range(max_iters):
+        prop = sym.join(
+            labels.withColumnRenamed("id", "a"), "a"
+        ).select(F.col("b").alias("id"), "label")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
 def _pair_jaccard(sh: DataFrame, restrict_pairs: DataFrame | None = None) -> DataFrame:
     """(id_a, id_b, jaccard) from a shingle table, optionally restricted to
     candidate pairs (id_a, id_b)."""

@@ -84,3 +84,61 @@ def sql_davg(expr: str, scale: int = 4) -> str:
         f"(CAST(SUM(CAST(({expr}) AS DECIMAL(27,{scale}))) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE))"
     )
+
+
+# Shared DuckDB CTE rendering the per-doc text profile (quality score,
+# language id, counts) — the exact SQL mirror of operators/text.profile().
+# Lives here so multiple suite modules can embed it in oracles without
+# importing each other (which would perturb query registration order).
+from ..operators import text as _tx  # noqa: E402
+
+_STOP_SQL = {
+    lang: "(" + ", ".join(f"'{w}'" for w in words) + ")"
+    for lang, words in _tx.STOPWORDS.items()
+}
+
+# lowered word list / raw word list / per-language hit counts
+PROFILE_CTE = rf"""
+    base AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\s+') AS lw,
+               string_split_regex(trim(text), '\s+') AS rw
+        FROM documents
+    ),
+    hits AS (
+        SELECT *,
+               len(list_filter(lw, x -> x IN {_STOP_SQL['de']})) AS h_de,
+               len(list_filter(lw, x -> x IN {_STOP_SQL['en']})) AS h_en,
+               len(list_filter(lw, x -> x IN {_STOP_SQL['es']})) AS h_es,
+               len(list_filter(lw, x -> x IN {_STOP_SQL['fr']})) AS h_fr
+        FROM base
+    ),
+    metrics AS (
+        SELECT doc_id,
+               CAST(len(rw) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               (CAST(h_en AS DOUBLE) / CAST(len(lw) AS DOUBLE)) AS stopword_ratio,
+               (CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE)
+                     ELSE 0.0 END) AS punct_ratio,
+               (CAST(list_sum(list_transform(rw, x -> length(x))) AS DOUBLE)
+                / CAST(len(rw) AS DOUBLE)) AS mean_word_len,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM hits
+    ),
+    profile AS (
+        SELECT *,
+               (((least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.3
+                  + least(stopword_ratio * 5.0, 1.0) * 0.3)
+                 + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2)
+                + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        THEN 1.0 ELSE 0.5 END) * 0.2) AS quality
+        FROM metrics
+    )
+"""

@@ -9,11 +9,14 @@ oracle (xxhash64) → rows-only check + pytest semantic tests.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import dedup
+from ..operators import text as tx
 from ..operators.similarity import cosine_pairs
 from ..functions.vector import sql_cosine
 from . import register
-from .core import table
+from .core import PROFILE_CTE, table
 
 # Shared DuckDB Jaccard CTE chain: word trigrams, distinct per doc — the
 # exact mirror of operators/dedup.shingles(n=3) + _pair_jaccard. Expects a
@@ -111,6 +114,109 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, n=2, max_hamming=10, chunks=16)
+
+
+# Transitive closure of the near-dup edge set, as a recursive CTE (tiny
+# clusters → tiny closure). Defines `comp(id, component)`; expects `jac`.
+_DUCK_COMPONENTS = """
+    e AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.a, t.r FROM sym s JOIN reach t ON t.id = s.b
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Near-dup clusters: LSH pairs (== exact-Jaccard pairs after verification)
+# → connected components by min-label propagation. The oracle computes the
+# same components via a recursive-CTE transitive closure — feasible there
+# exactly because near-dup graphs are small dense clusters.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    {_DUCK_COMPONENTS}
+    SELECT id AS doc_id, component FROM comp
+    """,
+    tags=("dedup",),
+)
+def dedup_components(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n=3, threshold=0.5, num_hashes=128, bands=64
+    )
+    comp = dedup.connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+# --------------------------------------------------------------------------
+# Cluster collapse: every document lands in a component (isolated docs are
+# their own), and each component keeps its best-quality member (ties by
+# min doc_id). This is the step that turns near-dup PAIRS into the actual
+# deduplicated corpus. One groupBy on component with a struct-argmax —
+# no window sort, no quadratic anything.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_collapse",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    {_DUCK_COMPONENTS},
+    {PROFILE_CTE}
+    , allc AS (
+        SELECT p.doc_id,
+               COALESCE(c.component, p.doc_id) AS component,
+               p.quality
+        FROM profile p LEFT JOIN comp c ON c.id = p.doc_id
+    ),
+    sel AS (
+        SELECT component, doc_id, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY component ORDER BY quality DESC, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY component) AS n_docs
+        FROM allc
+    )
+    SELECT component, doc_id AS keep_id, quality AS keep_quality,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM sel WHERE rn = 1
+    """,
+    tags=("dedup",),
+)
+def dedup_collapse(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n=3, threshold=0.5, num_hashes=128, bands=64
+    )
+    comp = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    scored = docs.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality")
+    )
+    with_comp = scored.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "quality",
+        F.coalesce("component", "doc_id").alias("component"),
+    )
+    # argmax(quality) with min-doc_id tie-break == max of (quality, -doc_id)
+    best = F.max(
+        F.struct(
+            F.col("quality"), (-F.col("doc_id")).alias("neg_id")
+        )
+    ).alias("best")
+    return (
+        with_comp.groupBy("component")
+        .agg(best, F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "component",
+            (-F.col("best.neg_id")).alias("keep_id"),
+            F.col("best.quality").alias("keep_quality"),
+            "n_docs",
+        )
+    )
 
 
 # --------------------------------------------------------------------------

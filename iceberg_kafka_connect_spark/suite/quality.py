@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 from ..operators import text as tx
 from . import register
-from .core import table
+from .core import PROFILE_CTE, table
 
 # Thresholds chosen against the synthetic corpus distributions so the gate
 # actually splits it (top-word p75≈0.11 / p90≈0.14; dup-2gram p90≈0.065).
@@ -146,3 +146,35 @@ def contamination_check(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     benchmark = docs.filter(F.col("doc_id") % 20 == 0)
     return dedup.contamination_scores(corpus, benchmark, n=5)
+
+
+# --------------------------------------------------------------------------
+# Curriculum binning: decile of quality score WITHIN each source — the
+# window is partitioned by source, so the sort is per-group, never global
+# (a global NTILE at corpus scale is a total sort; per-source is the
+# shuffle a curriculum job needs anyway). NTILE semantics are SQL-standard
+# in both engines; ordering is fully deterministic (quality DESC, doc_id).
+# --------------------------------------------------------------------------
+@register(
+    "quality_bins_by_source",
+    oracle=f"""
+    WITH {PROFILE_CTE}
+    SELECT d.source, p.doc_id,
+           CAST(NTILE(10) OVER (
+               PARTITION BY d.source ORDER BY p.quality DESC, p.doc_id
+           ) AS INT) AS bin
+    FROM documents d JOIN profile p ON p.doc_id = d.doc_id
+    """,
+    tags=("text",),
+)
+def quality_bins_by_source(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", "doc_id", tx.quality_score(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+    return scored.select(
+        "source", "doc_id", F.ntile(10).over(w).cast("int").alias("bin")
+    )

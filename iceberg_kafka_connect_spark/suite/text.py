@@ -11,58 +11,8 @@ from pyspark.sql import functions as F
 
 from ..operators import text as tx
 from . import register
-from .core import sql_davg, table, davg
+from .core import PROFILE_CTE, sql_davg, table, davg
 
-_STOP_SQL = {
-    lang: "(" + ", ".join(f"'{w}'" for w in words) + ")"
-    for lang, words in tx.STOPWORDS.items()
-}
-
-# lowered word list / raw word list / per-language hit counts
-_PROFILE_CTE = rf"""
-    base AS (
-        SELECT doc_id, text,
-               string_split_regex(trim(lower(text)), '\s+') AS lw,
-               string_split_regex(trim(text), '\s+') AS rw
-        FROM documents
-    ),
-    hits AS (
-        SELECT *,
-               len(list_filter(lw, x -> x IN {_STOP_SQL['de']})) AS h_de,
-               len(list_filter(lw, x -> x IN {_STOP_SQL['en']})) AS h_en,
-               len(list_filter(lw, x -> x IN {_STOP_SQL['es']})) AS h_es,
-               len(list_filter(lw, x -> x IN {_STOP_SQL['fr']})) AS h_fr
-        FROM base
-    ),
-    metrics AS (
-        SELECT doc_id,
-               CAST(len(rw) AS BIGINT) AS n_words,
-               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
-               CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-                    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
-                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                    ELSE 'fr' END AS lang_pred,
-               (CAST(h_en AS DOUBLE) / CAST(len(lw) AS DOUBLE)) AS stopword_ratio,
-               (CASE WHEN length(text) > 0
-                     THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-                          / CAST(length(text) AS DOUBLE)
-                     ELSE 0.0 END) AS punct_ratio,
-               (CAST(list_sum(list_transform(rw, x -> length(x))) AS DOUBLE)
-                / CAST(len(rw) AS DOUBLE)) AS mean_word_len,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-        FROM hits
-    ),
-    profile AS (
-        SELECT *,
-               (((least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.3
-                  + least(stopword_ratio * 5.0, 1.0) * 0.3)
-                 + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.2)
-                + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                        THEN 1.0 ELSE 0.5 END) * 0.2) AS quality
-        FROM metrics
-    )
-"""
 
 
 # --------------------------------------------------------------------------
@@ -72,7 +22,7 @@ _PROFILE_CTE = rf"""
 @register(
     "text_profile",
     oracle=f"""
-    WITH {_PROFILE_CTE}
+    WITH {PROFILE_CTE}
     SELECT doc_id, n_words, n_tokens, lang_pred, stopword_ratio,
            punct_ratio, mean_word_len, quality, fingerprint
     FROM profile
@@ -104,7 +54,7 @@ def text_profile(spark, sf_dir):
 @register(
     "text_quality_by_lang",
     oracle=f"""
-    WITH {_PROFILE_CTE}
+    WITH {PROFILE_CTE}
     SELECT d.lang, d.source,
            COUNT(*) AS n_docs,
            {sql_davg('p.quality', 6)} AS avg_quality,
@@ -282,4 +232,79 @@ def docs_pack_sequences(spark, sf_dir):
             F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
         )
         .orderBy("lang", "pack_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-doc key terms: tf × linear idf (N/df). The linear-idf variant keeps
+# every arithmetic op exactly IEEE-representable (multiply + divide only, no
+# transcendental log whose last ULP differs between libm and the JVM), so
+# the oracle reproduces bit-identical scores. Shuffle shape: tf agg on
+# (doc, term), df agg on term, a term-keyed join (vocabulary-sized — NOT
+# force-broadcast; AQE decides), and the per-doc top-k window.
+# --------------------------------------------------------------------------
+@register(
+    "docs_keyterms",
+    oracle=r"""
+    WITH wx AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wx GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               (CAST(t.tf AS DOUBLE)
+                * (CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE))) AS score
+        FROM tf t JOIN df d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           score,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("text",),
+)
+def docs_keyterms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    wx = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    tf = wx.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
     )

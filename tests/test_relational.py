@@ -202,3 +202,26 @@ def test_repetition_metrics(spark):
     assert out[2]["twr"] == pytest.approx(1 / 6) and out[2]["d2"] == 0.0
     assert not out[3]["passes"]  # min_words gate
     assert out[3]["d2"] == 0.0  # no 2-grams of 2 words → 1 gram... still defined
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3 — forces multiple propagation rounds),
+    # pair 10-11, isolated 99 (no edges → absent from output)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    from iceberg_kafka_connect_spark.operators.dedup import connected_components
+
+    out = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_merging_clusters(spark):
+    # two clusters joined by a late bridge edge; min label must win globally
+    pairs = spark.createDataFrame(
+        [(5, 6), (7, 8), (6, 7)], "id_a long, id_b long"
+    )
+    from iceberg_kafka_connect_spark.operators.dedup import connected_components
+
+    out = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {5: 5, 6: 5, 7: 5, 8: 5}
