@@ -115,11 +115,15 @@ def connected_components(
         prop = sym.join(
             labels.withColumnRenamed("id", "a"), "a"
         ).select(F.col("b").alias("id"), "label")
+        # localCheckpoint truncates the lineage: without it each round's
+        # plan embeds the previous round's twice (join side + union side)
+        # and the logical tree grows 2^rounds — persist alone shortcuts
+        # execution but not the plan the optimizer must chew through.
         new_labels = (
             labels.union(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))

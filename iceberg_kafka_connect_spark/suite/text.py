@@ -286,10 +286,14 @@ def docs_keyterms(spark, sf_dir):
     tf = wx.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # df as a window count over tf (one row per doc containing the term):
+    # a groupBy+join formulation would compute the tf aggregation TWICE
+    # (the unpersisted subtree duplicates) and add a join shuffle; the
+    # window reuses tf's rows in place with a single term-keyed exchange.
+    w_df = Window.partitionBy("term")
     n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_df).cast("bigint"))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
