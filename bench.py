@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dedup_components",
     "docs_keyterms",
     "quality_bins_by_source",
+    "embedding_quantize",
 ]
 
 

@@ -78,7 +78,13 @@ def load_all() -> dict[str, QuerySpec]:
     # preserving relative order. Guarded so repeated load_all() calls
     # (entry() then queries()) keep the order stable.
     if "tpch_q1" not in QUERIES:
-        yield_slots = ("smt_json_chaotic", "multimodal_frame_sample", "dedup_collapse")
+        yield_slots = (
+            "smt_json_chaotic",  # 3rd variant of the JSON SMT (P10)
+            "multimodal_frame_sample",  # 3rd multimodal plumbing entry
+            "dedup_collapse",  # components half already windowed
+            "text_token_stats",  # token counts also in text_profile
+            "docs_sample_topk_per_source",  # 2nd deterministic sampler
+        )
         for k in [k for k in yield_slots if k in QUERIES]:
             QUERIES[k] = QUERIES.pop(k)
         for k in [k for k, s in QUERIES.items() if s.oracle is None]:

@@ -111,3 +111,56 @@ def ann_topk_numpy(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.brute_force_topk_numpy(queries, emb, k=5)
+
+
+# --------------------------------------------------------------------------
+# Embedding normalize + int8 quantize, position-exploded so every produced
+# double/int is value-checked. All arithmetic is exactly IEEE-reproducible
+# (sequential fold mirrored by DuckDB list_reduce, floor(x+0.5) instead of
+# engine-dependent round) — zero shuffles at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b)) AS nrm,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings
+    ),
+    sc AS (
+        SELECT vec_id, embedding, nrm,
+               CASE WHEN amax > 0 THEN CAST(127 AS DOUBLE) / amax
+                    ELSE CAST(1 AS DOUBLE) END AS scl
+        FROM s
+    )
+    SELECT vec_id,
+           unnest(list_transform(embedding,
+                                 (x, i) -> CAST(i - 1 AS INT))) AS pos,
+           unnest(list_transform(embedding,
+               (x, i) -> CASE WHEN nrm > 0
+                              THEN CAST(x AS DOUBLE) / nrm
+                              ELSE CAST(0 AS DOUBLE) END)) AS nval,
+           unnest(list_transform(embedding,
+               (x, i) -> CAST(greatest(-127, least(127,
+                   CAST(floor(CAST(x AS DOUBLE) * scl + CAST(0.5 AS DOUBLE))
+                        AS BIGINT))) AS INT))) AS qval
+    FROM sc
+    """,
+    tags=("similarity",),
+)
+def embedding_quantize(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id", F.posexplode(F.arrays_zip("nvec", "qvec"))
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col.nvec").alias("nval"),
+        F.col("col.qvec").alias("qval"),
+    )

@@ -312,3 +312,38 @@ def docs_keyterms(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-size deterministic sample per stratum ("hash reservoir"): the k
+# docs with the smallest md5 rank within each source. Unlike the rate-based
+# stratified sample, the output size per group is exact. Window is keyed by
+# source — the shuffle a per-stratum sampler needs anyway, never global.
+# --------------------------------------------------------------------------
+@register(
+    "docs_sample_topk_per_source",
+    oracle="""
+    SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 10
+    """,
+    tags=("text",),
+)
+def docs_sample_topk_per_source(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).cast("int").alias("rk")
+        )
+        .filter(F.col("rk") <= 10)
+    )
