@@ -219,7 +219,13 @@ def banded_pairs(
     costs three shuffles (width count + anti-join + join) and creates hot
     buckets' quadratic pair volume before it can cap them. ``max_bucket``
     also bounds the grouped row width, so collect_list is safe exactly
-    when the algorithm is."""
+    when the algorithm is.
+
+    Applicability: the right shape for NARROW buckets — fine-banded
+    MinHash/SRP with a max_bucket cap. For inherently wide buckets
+    (SimHash's pigeonhole chunk banding keeps few bits per chunk by
+    design) the in-row i<j expansion materializes O(width²) structs per
+    grouped row; use a streaming self-join there (see simhash_pairs)."""
     elem = F.struct(F.col("id"), *[F.col(c) for c in payload_cols])
     grouped = (
         assignments.groupBy(*band_cols)
@@ -367,7 +373,16 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: chunk-banding candidates + exact Hamming
     verify. With ``chunks`` = max_hamming+1, pigeonhole guarantees recall 1.
-    Shuffle key is the 16-bit chunk value — tiny."""
+    Shuffle key is the chunk value — tiny.
+
+    Candidate generation is a streaming self-join, NOT banded_pairs:
+    pigeonhole banding keeps recall 1 only with few bits per chunk, so the
+    buckets are inherently WIDE (64/chunks bits → ≥ |corpus|/2^width docs
+    per bucket on average). banded_pairs' grouped-list i<j expansion would
+    materialize O(width²) struct arrays in single rows; the hash join
+    streams the same pairs through whole-stage codegen with no per-bucket
+    allocation. banded_pairs remains the right shape for the narrow,
+    capped buckets of MinHash/SRP banding."""
     assert chunks >= max_hamming + 1, "pigeonhole needs chunks > max_hamming"
     sigs = simhash63(docs, id_col, text_col, n)
     width = 64 // chunks
@@ -379,13 +394,27 @@ def simhash_pairs(
             for i in range(chunks)
         ]
     )
+    # persist: both join sides reuse the 63-vote signature aggregation
     buckets = sigs.select(
         "id", "simhash", F.posexplode(chunk_arr).alias("chunk", "val")
+    ).persist()
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
     )
-    cand = banded_pairs(
-        buckets, band_cols=("chunk", "val"), payload_cols=("simhash",)
-    )
-    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.select(
         "id_a", "id_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
