@@ -119,3 +119,73 @@ def test_q22_scalar_via_broadcast_single_plan(spark, sf_dir):
     df = SPECS["tpch_q22"].fn(spark, sf_dir)
     plan = plan_string(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_asof_join_one_shuffle_no_join_operator(spark, sf_dir):
+    """The as-of join is union+window: ONE hash exchange on the keys and no
+    join operator at all — no sort-merge fan-out, no per-left-row right-side
+    scan. This is the property that makes it linear at 100 TB."""
+    df = SPECS["asof_join_purchase"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_interval_join_no_nested_loop(spark, sf_dir):
+    """The bucketed range join must stay an equi-join: an inequality-only
+    join would fall back to BroadcastNestedLoopJoin / CartesianProduct and
+    go quadratic."""
+    df = SPECS["range_join_attribution"].fn(spark, sf_dir)
+    assert_plan(df, absent=["BroadcastNestedLoopJoin", "CartesianProduct"])
+
+
+def test_contamination_benchmark_broadcast_probe(spark, sf_dir):
+    """The benchmark shingle set broadcasts; corpus shingles are probed
+    map-side — the corpus never shuffles on shingle values."""
+    df = SPECS["contamination_check"].fn(spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert_plan(df, absent=["BatchEvalPython"])
+
+
+def test_repetition_zero_shuffles_on_parallel_input(spark):
+    """Repetition metrics are single-pass per-row array arithmetic: with a
+    well-split input there must be NO exchange anywhere in the plan."""
+    from iceberg_kafka_connect_spark.operators import text as tx
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.range(0, 5_000, 1, par).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon doc"), F.col("id")).alias(
+            "text"
+        ),
+    )
+    t = F.col("text")
+    prof = docs.select(
+        "doc_id",
+        tx.top_word_ratio(t).alias("twr"),
+        tx.dup_ngram_ratio(t, 2).alias("d2"),
+        tx.repetition_filter(t).alias("passes"),
+    )
+    plan = plan_string(prof)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_keyterms_single_tf_subtree(spark, sf_dir):
+    """df comes from a window over tf, not a groupBy+join re-aggregation —
+    the documents scan appears exactly twice (tf chain + corpus count), not
+    three times."""
+    df = SPECS["docs_keyterms"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_quality_bins_never_global_sort(spark, sf_dir):
+    """The decile window is keyed by source: the plan must hash-partition on
+    source and never collapse to a single partition (a global NTILE would)."""
+    df = SPECS["quality_bins_by_source"].fn(spark, sf_dir)
+    plan = plan_string(df)
+    assert "hashpartitioning(source" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
