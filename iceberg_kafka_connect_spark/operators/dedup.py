@@ -201,6 +201,21 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     return sh.groupBy("id").agg(*aggs)
 
 
+def _band_buckets(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH band-bucket assignments from a shingle table:
+    minhash signature → per-band xxhash64 over its r = num_hashes/bands
+    rows."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(sh, num_hashes)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"mh{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
+
+
 def banded_pairs(
     assignments: DataFrame,
     band_cols: tuple[str, str] = ("band", "bucket"),
@@ -281,20 +296,10 @@ def minhash_lsh_pairs(
     stop-shingle cut. The cap trades recall only on pathologic clusters;
     REQUIRED at corpus scale, off for small exact-oracle runs.
     """
-    r = num_hashes // bands
     # shingles feed both signature generation and exact verification —
     # persist so the tokenize/explode pass runs once
     sh = shingles(docs, id_col, text_col, n).persist()
-    sigs = minhash_signatures(sh, num_hashes)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col(f"mh{b * r + j}") for j in range(r)])
-            for b in range(bands)
-        ]
-    )
-    buckets = sigs.select(
-        "id", F.posexplode(band_hashes).alias("band", "bucket")
-    )
+    buckets = _band_buckets(sh, num_hashes, bands)
     cand = banded_pairs(buckets, max_bucket=max_bucket)
     if not verify:
         return cand
@@ -468,4 +473,125 @@ def contamination_scores(
             F.col("n_contaminated").cast("double")
             / F.col("n_shingles").cast("double")
         ).alias("contamination"),
+    )
+
+
+def cross_lsh_pairs(
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 64,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora (never within either): each batch
+    doc against the historical corpus, exact-Jaccard verified.
+
+    Scale shape: candidates come from an equi-join of the two sides' band
+    buckets — the history side is never self-paired, so a 100 TB history
+    costs one signature pass (amortizable: persist the (id, band, bucket)
+    table once and reuse it for every incoming batch) plus a join keyed by
+    (band, bucket) whose fan-out is bounded by batch-side bucket hits.
+
+    Output: (id_a = batch doc, id_b = history doc, jaccard ≥ threshold).
+    """
+    sh_b = shingles(batch, id_col, text_col, n).persist()
+    sh_h = shingles(history, id_col, text_col, n).persist()
+    b_b = _band_buckets(sh_b, num_hashes, bands)
+    b_h = _band_buckets(sh_h, num_hashes, bands)
+    cand = (
+        b_b.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(b_h.select(F.col("id").alias("id_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = verify_pairs_exact(sh_b.union(sh_h), cand)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 64,
+) -> DataFrame:
+    """Curate an incoming batch against an ALREADY-deduplicated historical
+    corpus without ever re-pairing history with itself — the shape of a
+    production ingest loop, where history is TBs and the batch is not.
+
+    Each batch doc gets a verdict (first matching reason wins):
+      'exact_history' — byte-identical (normalized) to a history doc
+      'exact_batch'   — duplicate of a smaller-id batch doc
+      'near_history'  — Jaccard ≥ threshold against some history doc
+      'near_batch'    — higher id of an in-batch near-dup pair
+      NULL            — kept.
+
+    Exact checks are digest joins (32-byte shuffle keys); near checks run
+    only on docs surviving the exact stages; in-batch near-dups use the
+    standard banded LSH; batch-vs-history uses cross_lsh_pairs (history is
+    signature-scanned, never self-paired).
+
+    Output: (doc_id, kept boolean, drop_reason string|NULL), one row per
+    batch doc.
+    """
+    dg = F.md5(normalize_text(F.col(text_col)))
+    b = batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"),
+                     dg.alias("digest")).persist()
+    h_digests = history.select(dg.alias("digest")).distinct()
+
+    exact_hist = b.join(h_digests, "digest", "left_semi").select("id")
+    batch_min = b.groupBy("digest").agg(F.min("id").alias("keep_id"))
+    exact_batch = (
+        b.join(batch_min, "digest")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select("id")
+    )
+    exact_dropped = exact_hist.union(exact_batch).distinct().persist()
+
+    reps = b.join(exact_dropped, "id", "left_anti").select(
+        F.col("id").alias(id_col), F.col("text").alias(text_col)
+    )
+    near_hist = cross_lsh_pairs(
+        reps, history, id_col, text_col, n, threshold, num_hashes, bands
+    ).select(F.col("id_a").alias("id")).distinct()
+    survivors = reps.join(
+        near_hist.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    near_batch = (
+        minhash_lsh_pairs(
+            survivors, id_col, text_col, n, threshold, num_hashes, bands
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+
+    reason = (
+        F.when(F.col("__eh"), F.lit("exact_history"))
+        .when(F.col("__eb"), F.lit("exact_batch"))
+        .when(F.col("__nh"), F.lit("near_history"))
+        .when(F.col("__nb"), F.lit("near_batch"))
+    )
+    flags = (
+        b.select("id")
+        .join(exact_hist.withColumn("__eh", F.lit(True)), "id", "left")
+        .join(exact_batch.withColumn("__eb", F.lit(True)), "id", "left")
+        .join(near_hist.withColumn("__nh", F.lit(True)), "id", "left")
+        .join(near_batch.withColumn("__nb", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            *[F.coalesce(F.col(c), F.lit(False)).alias(c)
+              for c in ("__eh", "__eb", "__nh", "__nb")],
+        )
+    )
+    return flags.select(
+        id_col,
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
     )

@@ -74,7 +74,11 @@ def curation_pipeline(spark, sf_dir):
     ).persist()
 
     # stage 3: near-dup removal among the exact-dedup REPRESENTATIVES only —
-    # drop the higher id of each Jaccard pair. Feeding representatives (not
+    # drop the higher id of each Jaccard pair. (Pair-drop keeps two docs that
+    # are only TRANSITIVELY similar through a middle doc — deliberately: they
+    # are not near-dups of each other. The aggressive policy — collapse whole
+    # connected components — is dedup_components/dedup_collapse.) Feeding
+    # representatives (not
     # the raw corpus) to LSH is the hot-bucket fix: a cluster of f identical
     # docs would share every band bucket and emit O(f²·bands) candidates;
     # after exact dedup each cluster is one doc. MinHash-LSH with exact

@@ -178,3 +178,100 @@ def quality_bins_by_source(spark, sf_dir):
     return scored.select(
         "source", "doc_id", F.ntile(10).over(w).cast("int").alias("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: curate an incoming batch against an already-curated
+# history WITHOUT re-pairing history with itself — the production ingest
+# loop. doc_id % 5 == 0 plays the incoming batch. Every batch doc gets a
+# verdict: kept, or first-matching drop reason (exact_history, exact_batch,
+# near_history, near_batch).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_incremental",
+    oracle=r"""
+    WITH b AS (
+        SELECT doc_id, text,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    h AS (
+        SELECT doc_id, text,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+        FROM documents WHERE doc_id % 5 != 0
+    ),
+    eh AS (SELECT doc_id FROM b WHERE digest IN (SELECT digest FROM h)),
+    bm AS (SELECT digest, MIN(doc_id) AS keep_id FROM b GROUP BY 1),
+    eb AS (
+        SELECT b.doc_id FROM b JOIN bm ON b.digest = bm.digest
+        WHERE b.doc_id != bm.keep_id
+    ),
+    reps AS (
+        SELECT doc_id, text FROM b
+        WHERE doc_id NOT IN (SELECT doc_id FROM eh)
+          AND doc_id NOT IN (SELECT doc_id FROM eb)
+    ),
+    rsh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(list_transform(
+                list_zip(w[1:-3], w[2:-2], w[3:-1]),
+                x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS s
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS w FROM reps)
+        )
+    ),
+    hsh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(list_transform(
+                list_zip(w[1:-3], w[2:-2], w[3:-1]),
+                x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS s
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS w FROM h)
+        )
+    ),
+    rsz AS (SELECT doc_id, COUNT(*) AS n FROM rsh GROUP BY 1),
+    hsz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
+    xinter AS (
+        SELECT r.doc_id AS id_a, hh.doc_id AS id_b, COUNT(*) AS c
+        FROM rsh r JOIN hsh hh ON r.s = hh.s GROUP BY 1, 2
+    ),
+    nh AS (
+        SELECT DISTINCT id_a AS doc_id FROM xinter
+        JOIN rsz ON rsz.doc_id = id_a JOIN hsz ON hsz.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / CAST(rsz.n + hsz.n - c AS DOUBLE) >= 0.5
+    ),
+    surv AS (
+        SELECT doc_id FROM reps
+        WHERE doc_id NOT IN (SELECT doc_id FROM nh)
+    ),
+    ssh AS (SELECT * FROM rsh WHERE doc_id IN (SELECT doc_id FROM surv)),
+    binter AS (
+        SELECT a.doc_id AS id_a, bb.doc_id AS id_b, COUNT(*) AS c
+        FROM ssh a JOIN ssh bb ON a.s = bb.s AND a.doc_id < bb.doc_id
+        GROUP BY 1, 2
+    ),
+    nb AS (
+        SELECT DISTINCT id_b AS doc_id FROM binter
+        JOIN rsz sa ON sa.doc_id = id_a JOIN rsz sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id IN (SELECT doc_id FROM eh) THEN 'exact_history'
+                WHEN b.doc_id IN (SELECT doc_id FROM eb) THEN 'exact_batch'
+                WHEN b.doc_id IN (SELECT doc_id FROM nh) THEN 'near_history'
+                WHEN b.doc_id IN (SELECT doc_id FROM nb) THEN 'near_batch'
+                END AS drop_reason,
+           (CASE WHEN b.doc_id IN (SELECT doc_id FROM eh) THEN 'exact_history'
+                WHEN b.doc_id IN (SELECT doc_id FROM eb) THEN 'exact_batch'
+                WHEN b.doc_id IN (SELECT doc_id FROM nh) THEN 'near_history'
+                WHEN b.doc_id IN (SELECT doc_id FROM nb) THEN 'near_batch'
+                END) IS NULL AS kept
+    FROM b
+    """,
+    tags=("dedup",),
+)
+def dedup_incremental(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_dedup(batch, history)

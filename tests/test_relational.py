@@ -225,3 +225,38 @@ def test_connected_components_merging_clusters(spark):
 
     out = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert out == {5: 5, 6: 5, 7: 5, 8: 5}
+
+
+def test_incremental_dedup_all_reasons(spark):
+    from iceberg_kafka_connect_spark.operators.dedup import incremental_dedup
+
+    history = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "uno dos tres cuatro cinco seis siete"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Alpha  beta gamma delta epsilon"),  # normalized == hist 1
+            (15, "zeta eta theta iota kappa"),
+            (20, "zeta eta theta iota kappa"),  # dup of 15 in batch
+            (25, "uno dos tres cuatro cinco seis OTRO"),  # j=4/6 vs hist 2
+            (30, "red green blue purple orange pink"),
+            (35, "red green blue purple orange OTHER"),  # j=3/5 vs 30
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["kept"], r["drop_reason"])
+        for r in incremental_dedup(batch, history).collect()
+    }
+    assert out == {
+        10: (False, "exact_history"),
+        15: (True, None),
+        20: (False, "exact_batch"),
+        25: (False, "near_history"),
+        30: (True, None),
+        35: (False, "near_batch"),
+    }
