@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q16",
+    "tpch_q21",
     "order_priority_count",
     "top_customers_per_nation",
     "events_hourly_rollup",

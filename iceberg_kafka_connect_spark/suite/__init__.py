@@ -94,5 +94,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import analytics  # noqa: F401  — analytics suite (also benched)
     from . import analytics2  # noqa: F401
     from . import analytics3  # noqa: F401
+    from . import analytics4  # noqa: F401  — semi/anti-join TPC-H shapes
 
     return QUERIES

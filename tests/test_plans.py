@@ -189,3 +189,22 @@ def test_quality_bins_never_global_sort(spark, sf_dir):
     plan = plan_string(df)
     assert "hashpartitioning(source" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_q4_semi_join_not_inner_plus_distinct(spark, sf_dir):
+    df = SPECS["tpch_q4"].fn(spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_q16_q21_anti_join_shapes(spark, sf_dir):
+    plan16 = plan_string(SPECS["tpch_q16"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan16, plan16
+    plan21 = plan_string(SPECS["tpch_q21"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan21 and "LeftAnti" in plan21, plan21
+
+
+def test_q8_joins_stay_broadcast(spark, sf_dir):
+    df = SPECS["tpch_q8"].fn(spark, sf_dir)
+    assert count_in_plan(df, "BroadcastHashJoin") >= 5
+    assert_plan(df, absent=["SortMergeJoin"])
