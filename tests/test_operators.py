@@ -210,3 +210,21 @@ def test_pack_sequences_budget_and_order(spark):
         ("en", 1): 0, ("en", 2): 0, ("en", 3): 1, ("en", 4): 2,
         ("fr", 1): 0, ("fr", 2): 1,
     }
+
+
+def test_quantize_int8_zero_vector_and_roundtrip(spark):
+    import math
+
+    from iceberg_kafka_connect_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [3.0, -4.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert rows[1]["nrm"] == 5.0
+    assert rows[1]["nvec"] == [0.6, -0.8]
+    assert rows[1]["qvec"] == [95, -127]  # 3*127/4 = 95.25 -> 95
+    # zero vector: norm 0 -> zero nvec, scale 1 -> zero qvec, no NaN/err
+    assert rows[2]["nvec"] == [0.0, 0.0] and rows[2]["qvec"] == [0, 0]
+    assert not any(math.isnan(x) for x in rows[2]["nvec"])

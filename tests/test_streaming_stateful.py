@@ -153,3 +153,63 @@ def test_sessionize_state_survives_batches(spark, tmp_path):
     _emit(src, [(7, "2024-01-01T00:10:00.000Z")], offset0=1)
     run_once()
     assert results[7] == (1, 2)  # still one session, two events
+
+
+# ---------------------------------------------------------------- curation
+
+def test_streaming_curation_loop(spark, tmp_path):
+    """Streaming curation: each micro-batch is deduplicated (exact + near)
+    against the corpus accumulated in the lakehouse table; the corpus stays
+    deduplicated by construction across batches."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.streaming.dedup import curation_loop
+
+    cat = Catalog(str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    table = cat.create_table("default.corpus", schema)
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def emit(name, docs):
+        with open(src / name, "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "100"
+        ).json(str(src))
+        q = curation_loop(stream, table, checkpoint=ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    # batch 1: 4 (near-dup of 3) and 2' (exact dup of 2) must be dropped
+    emit("b1.json", [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "uno dos tres cuatro cinco seis siete ocho"},
+        {"doc_id": 5, "text": "UNO dos tres  cuatro cinco seis siete ocho"},
+        {"doc_id": 3, "text": "alpha beta gamma delta epsilon zeta eta"},
+        {"doc_id": 4, "text": "alpha beta gamma delta epsilon zeta THETA"},
+    ])
+    run_once()
+    assert sorted(r.doc_id for r in table.read(spark).collect()) == [1, 2, 3]
+
+    # batch 2: 10 exact-dups history doc 1, 11 near-dups history doc 3,
+    # 12 is new
+    emit("b2.json", [
+        {"doc_id": 10, "text": "The quick  brown fox jumps over the lazy dog"},
+        {"doc_id": 11, "text": "alpha beta gamma delta epsilon zeta IOTA"},
+        {"doc_id": 12, "text": "completely fresh content with new words here"},
+    ])
+    run_once()
+    assert sorted(r.doc_id for r in table.read(spark).collect()) == [1, 2, 3, 12]
