@@ -239,3 +239,78 @@ def tpch_q8(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with grouping_id: one pass producing three aggregation
+# granularities — Spark expands to a single Expand + hash-agg, not three
+# scans. Deterministic: grouping columns rendered with explicit markers.
+# --------------------------------------------------------------------------
+@register(
+    "lineitem_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+               AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, returnflag, linestatus
+    """,
+    tags=("analytics",),
+)
+def lineitem_grouping_sets(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("li_gs")
+    return l.sparkSession.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+                   AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, returnflag, linestatus
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank-statistics window battery: percent_rank and cume_dist per customer
+# order value within market segment — both SQL-standard, both deterministic
+# with the doc-id tiebreak, shuffle keyed by segment only.
+# --------------------------------------------------------------------------
+@register(
+    "orders_rank_stats",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderkey,
+           PERCENT_RANK() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice, o.o_orderkey
+           ) AS pct_rank,
+           CUME_DIST() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice, o.o_orderkey
+           ) AS cume
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+    tags=("analytics",),
+)
+def orders_rank_stats(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    return j.select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
