@@ -558,16 +558,38 @@ def incremental_dedup(
     reps = b.join(exact_dropped, "id", "left_anti").select(
         F.col("id").alias(id_col), F.col("text").alias(text_col)
     )
-    near_hist = cross_lsh_pairs(
-        reps, history, id_col, text_col, n, threshold, num_hashes, bands
-    ).select(F.col("id_a").alias("id")).distinct()
-    survivors = reps.join(
-        near_hist.withColumnRenamed("id", id_col), id_col, "left_anti"
+    # the batch-side shingle and band-bucket tables are SHARED by the
+    # vs-history and in-batch near stages (survivors ⊂ reps, so the
+    # in-batch stage just filters the rep buckets) — one tokenize pass and
+    # one 128-hash signature aggregation instead of two of each
+    sh_b = shingles(reps, id_col, text_col, n).persist()
+    sh_h = shingles(history, id_col, text_col, n).persist()
+    bb = _band_buckets(sh_b, num_hashes, bands).persist()
+    bh = _band_buckets(sh_h, num_hashes, bands)
+    cand_x = (
+        bb.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(
+            bh.select(F.col("id").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    near_hist = (
+        verify_pairs_exact(sh_b.union(sh_h), cand_x)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .persist()
+    )
+    bb_surv = bb.join(
+        near_hist.withColumnRenamed("id", "__drop"),
+        bb.id == F.col("__drop"),
+        "left_anti",
     )
     near_batch = (
-        minhash_lsh_pairs(
-            survivors, id_col, text_col, n, threshold, num_hashes, bands
-        )
+        verify_pairs_exact(sh_b, banded_pairs(bb_surv))
+        .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
