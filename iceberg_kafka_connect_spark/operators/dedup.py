@@ -98,10 +98,25 @@ def connected_components(
     Nodes with no edges don't appear in the input and so not in the output;
     callers union isolated ids back if they need total coverage.
     """
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    # both directions in ONE pass over pairs: a union of two selects on the
+    # same (unpersisted) pairs subtree would execute the upstream pair
+    # computation twice
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("a"), F.col(id_a).alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .persist()
+    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
