@@ -213,3 +213,43 @@ def test_streaming_curation_loop(spark, tmp_path):
     ])
     run_once()
     assert sorted(r.doc_id for r in table.read(spark).collect()) == [1, 2, 3, 12]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join: points land inside concurrent streaming
+    intervals; the time-range condition + watermarks bound the join state."""
+    import json
+
+    from iceberg_kafka_connect_spark.streaming.joins import stream_interval_join
+
+    pdir = tmp_path / "points"
+    idir = tmp_path / "ivals"
+    pdir.mkdir()
+    idir.mkdir()
+    with open(pdir / "p.json", "w") as f:
+        for pid, ts in [(1, "2024-01-01 10:15:00"), (2, "2024-01-01 11:30:00"),
+                        (3, "2024-01-01 10:45:00")]:
+            f.write(json.dumps({"k": "u1", "ts": ts, "pid": pid}) + "\n")
+    with open(idir / "i.json", "w") as f:
+        f.write(json.dumps({"k": "u1", "start": "2024-01-01 10:00:00",
+                            "end": "2024-01-01 11:00:00", "name": "w1"}) + "\n")
+
+    points = spark.readStream.schema("k string, ts timestamp, pid long").json(
+        str(pdir)
+    )
+    ivals = spark.readStream.schema(
+        "k string, start timestamp, end timestamp, name string"
+    ).json(str(idir))
+    out = stream_interval_join(points, ivals, on=["k"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssij")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT pid, name FROM ssij").collect()
+    finally:
+        q.stop()
+    assert sorted((r.pid, r.name) for r in rows) == [(1, "w1"), (3, "w1")]
