@@ -252,3 +252,37 @@ def repetition_filter(
         & (dup_ngram_ratio(text, 2) <= max_dup_2gram)
         & (dup_ngram_ratio(text, 3) <= max_dup_3gram)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document's whitespace tokens into fixed-size overlapping
+    chunks — the context-window splitting step of a training pipeline
+    (pack_sequences then bins the CHUNKS; this op creates them). Pure
+    per-row slice arithmetic: chunk start positions are a sequence() with
+    stride = chunk_tokens - overlap, each chunk a slice of the word array —
+    one scan, zero shuffles at any corpus size.
+
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens); a doc shorter than
+    one chunk yields exactly one chunk (itself)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(w, s + F.lit(1), chunk_tokens))
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__c")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.concat_ws(" ", F.col("__c")).alias("chunk_text"),
+        F.size("__c").cast("bigint").alias("n_chunk_tokens"),
+    )

@@ -347,3 +347,33 @@ def docs_sample_topk_per_source(spark, sf_dir):
         )
         .filter(F.col("rk") <= 10)
     )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking: overlapping fixed-token chunks per doc, pure
+# per-row slice arithmetic (sequence of starts + slices), zero shuffles.
+# --------------------------------------------------------------------------
+@register(
+    "docs_chunk_overlap",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               list_transform(range(0, greatest(len(w) - 1, 0) + 1, 30),
+                              s -> w[s+1:s+40]) AS cl
+        FROM d
+    )
+    SELECT doc_id,
+           unnest(list_transform(cl, (x, i) -> CAST(i - 1 AS INT))) AS chunk_id,
+           unnest(list_transform(cl, x -> array_to_string(x, ' '))) AS chunk_text,
+           unnest(list_transform(cl, x -> CAST(len(x) AS BIGINT))) AS n_chunk_tokens
+    FROM c
+    """,
+    tags=("text",),
+)
+def docs_chunk_overlap(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return tx.chunk_documents(docs, chunk_tokens=40, overlap=10)
