@@ -141,3 +141,32 @@ def sample_frames(
         "frame_pos",
         F.crc32(F.expr(f"substring({payload_col}, frame_pos, 1)")).alias("frame_crc"),
     )
+
+
+def resize_plan(
+    df: DataFrame,
+    meta_col: str = "media_meta",
+    max_side: int = 224,
+) -> DataFrame:
+    """Resize planning WITHOUT decoding: compute each media row's target
+    dimensions (longest side → ``max_side``, aspect preserved, never
+    upscaled) from the metadata struct alone — integer arithmetic only, so
+    the plan is engine-exact and the expensive decode+resample can be
+    scheduled ONLY for rows whose target differs from the source. The
+    actual pixel resample belongs in the Arrow decode stage
+    (decode_image_features); at 100 TB the win is that this projection
+    prunes no-op resizes before any payload byte is read."""
+    w = F.col(f"{meta_col}.width").cast("bigint")
+    h = F.col(f"{meta_col}.height").cast("bigint")
+    longest = F.greatest(w, h)
+    needs = longest > max_side
+    tw = F.when(needs, (w * max_side) / longest).otherwise(w)
+    th = F.when(needs, (h * max_side) / longest).otherwise(h)
+    return df.withColumn(
+        "resize",
+        F.struct(
+            F.floor(tw).cast("int").alias("target_w"),
+            F.floor(th).cast("int").alias("target_h"),
+            needs.alias("needs_resize"),
+        ),
+    )

@@ -86,6 +86,7 @@ def load_all() -> dict[str, QuerySpec]:
             "docs_sample_topk_per_source",  # 2nd deterministic sampler
             "quality_bins_by_source",  # simple NTILE; yields to incremental dedup
             "docs_chunk_overlap",  # chunking; packing already windowed
+            "multimodal_resize_plan",  # 4th multimodal entry
         )
         for k in [k for k in yield_slots if k in QUERIES]:
             QUERIES[k] = QUERIES.pop(k)

@@ -110,3 +110,45 @@ def multimodal_decode_features(spark, sf_dir):
         F.size("features").alias("feature_dim"),
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
+
+
+# --------------------------------------------------------------------------
+# Decode-free resize planning: target dims from metadata only (integer
+# arithmetic, aspect preserved, no upscaling) — the projection that lets a
+# pipeline skip decoding rows that need no resample.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 1920 AS BIGINT) AS w,
+               CAST(octet_length(encode(text)) % 1080 AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE WHEN greatest(w, h) > 224
+                     THEN floor((w * 224) / CAST(greatest(w, h) AS DOUBLE))
+                     ELSE w END AS INT) AS target_w,
+           CAST(CASE WHEN greatest(w, h) > 224
+                     THEN floor((h * 224) / CAST(greatest(w, h) AS DOUBLE))
+                     ELSE h END AS INT) AS target_h,
+           greatest(w, h) > 224 AS needs_resize
+    FROM meta
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize_plan(spark, sf_dir):
+    docs = _with_payload(table(spark, sf_dir, "documents"))
+    with_meta = mm.attach_media_meta(docs, media_type="image")
+    planned = mm.resize_plan(with_meta, max_side=224)
+    return planned.select(
+        "doc_id",
+        F.col("media_meta.width").cast("int").alias("width"),
+        F.col("media_meta.height").cast("int").alias("height"),
+        F.col("resize.target_w").alias("target_w"),
+        F.col("resize.target_h").alias("target_h"),
+        F.col("resize.needs_resize").alias("needs_resize"),
+    )
