@@ -87,6 +87,7 @@ def load_all() -> dict[str, QuerySpec]:
             "quality_bins_by_source",  # simple NTILE; yields to incremental dedup
             "docs_chunk_overlap",  # chunking; packing already windowed
             "multimodal_resize_plan",  # 4th multimodal entry
+            "dedup_signal_agreement",  # composition of two windowed signals
         )
         for k in [k for k in yield_slots if k in QUERIES]:
             QUERIES[k] = QUERIES.pop(k)

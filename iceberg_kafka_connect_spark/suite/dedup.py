@@ -236,3 +236,56 @@ def dedup_collapse(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Lexical vs semantic agreement: near-dup pairs found by trigram Jaccard,
+# by embedding cosine, or by both (vec_id aligns 1:1 with doc_id). The
+# full-outer join on the pair key is the audit a curation team runs before
+# trusting one signal to stand in for the other.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_signal_agreement",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    lex AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    sem AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.4
+    )
+    SELECT CASE WHEN l.id_a IS NOT NULL AND s.id_a IS NOT NULL THEN 'both'
+                WHEN l.id_a IS NOT NULL THEN 'lexical_only'
+                ELSE 'semantic_only' END AS signal,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lex l FULL OUTER JOIN sem s
+      ON l.id_a = s.id_a AND l.id_b = s.id_b
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dedup",),
+)
+def dedup_signal_agreement(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = dedup.minhash_lsh_pairs(
+        docs, n=3, threshold=0.5, num_hashes=128, bands=64
+    ).select("id_a", "id_b")
+    sem = cosine_pairs(emb, threshold=0.4).select(
+        F.col("id_a").alias("s_a"), F.col("id_b").alias("s_b")
+    )
+    j = lex.join(
+        sem,
+        (F.col("id_a") == F.col("s_a")) & (F.col("id_b") == F.col("s_b")),
+        "full_outer",
+    )
+    signal = (
+        F.when(F.col("id_a").isNotNull() & F.col("s_a").isNotNull(), "both")
+        .when(F.col("id_a").isNotNull(), "lexical_only")
+        .otherwise("semantic_only")
+    )
+    return (
+        j.select(signal.alias("signal"))
+        .groupBy("signal")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("signal")
+    )
