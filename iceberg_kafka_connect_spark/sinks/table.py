@@ -737,6 +737,43 @@ class LakehouseTable:
             "replace", files, [], {"compaction": "true"}, branch, replace=True
         )
 
+    def rollback(self, snapshot_id: str, branch: str = MAIN) -> dict:
+        """Point ``branch`` back at an ancestor snapshot — Iceberg
+        ``manageSnapshots().rollbackTo()`` semantics
+        (core/src/main/java/org/apache/iceberg/SnapshotManager.java in the
+        Iceberg the reference writes to). The target must be an ancestor of
+        the branch head (rollback is an undo, not an arbitrary re-point —
+        use branches for that). Abandoned snapshots stay readable via time
+        travel until expire_snapshots()."""
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            head = meta["refs"].get(branch)
+            if head is None:
+                raise ValueError(f"branch {branch!r} has no snapshots")
+            sid = head
+            found = False
+            while sid is not None:
+                if sid == snapshot_id:
+                    found = True
+                    break
+                sid = self._snapshot_by_id(meta, sid)["parent"]
+            if not found:
+                raise ValueError(
+                    f"snapshot {snapshot_id!r} is not an ancestor of "
+                    f"{branch!r} head {head!r}"
+                )
+            if head == snapshot_id:
+                return self._snapshot_by_id(meta, snapshot_id)
+            meta["refs"][branch] = snapshot_id
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return self._snapshot_by_id(meta, snapshot_id)
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        raise CommitConflict("unreachable")
+
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Iceberg expire_snapshots parity: drop snapshot metadata beyond the
         last ``keep_last`` per branch-reachable chain. Returns the number of

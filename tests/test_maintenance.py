@@ -208,3 +208,42 @@ def test_version_metadata_stores_deltas_not_full_lists(spark, catalog):
     assert len(set(added)) == 1  # constant per commit, not growing
     assert len(t.live_files()[0]) == sum(added)
     assert t.read(spark).count() == 4
+
+
+def test_rollback_to_ancestor(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    t = cat.create_table("default.rb", schema)
+    s1 = t.append(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    assert t.read(spark).count() == 3
+
+    t.rollback(s1["snapshot_id"])
+    assert [r.id for r in t.read(spark).collect()] == [1]
+    # abandoned snapshots remain time-travelable until expiry
+    assert len(t.snapshots()) == 3
+    # appends continue from the rolled-back head
+    t.append(spark.createDataFrame([(9,)], "id long"))
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 9]
+
+
+def test_rollback_rejects_non_ancestor(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    t = cat.create_table("default.rb2", schema)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"), branch="dev")
+    dev_head = t.current_snapshot("dev")["snapshot_id"]
+    with _pytest.raises(ValueError, match="not an ancestor"):
+        t.rollback(dev_head, branch="main")
