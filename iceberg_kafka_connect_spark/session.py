@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # tz-naive parquet timestamps (timestamp[us], isAdjustedToUTC=false)
+        # read as session-tz TIMESTAMP, not TIMESTAMP_NTZ: with the UTC
+        # session timezone above this gives deployment-independent instants
+        # and keeps epoch functions (unix_micros & co.) applicable
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # carries no parquet min/max statistics, which would blind both
+        # row-group pruning and the lakehouse file-bounds scan planning
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # runtime bloom-filter pushdown on shuffle joins: the probe side
         # pre-filters rows that can't match, cutting shuffle volume on
         # selective fact-fact joins
@@ -54,6 +63,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
     except Exception:
         pass
     return spark

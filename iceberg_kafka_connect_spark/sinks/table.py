@@ -44,6 +44,7 @@ from pyspark.sql import types as T
 
 from ..convert import project_to_schema
 from .spec import PartitionField, parse_partition_spec
+from .stats import collect_parquet_stats, file_may_match
 
 COMMIT_RETRIES = 3  # IcebergSinkConfig.java:103-104 (schema/create retries)
 MAIN = "main"
@@ -394,6 +395,14 @@ class LakehouseTable:
             {"path": os.path.relpath(p, self.root), "base": base, "format": fmt}
             for p in globmod.glob(os.path.join(out_dir, "**", f"*.{fmt}"), recursive=True)
         ]
+        if fmt == "parquet" and subdir == "data":
+            # Iceberg manifests carry per-column lower/upper bounds per data
+            # file; scan planning skips files those bounds rule out. Fold
+            # each footer's row-group stats into the manifest entry.
+            for entry in files:
+                st = collect_parquet_stats(os.path.join(self.root, entry["path"]))
+                if st is not None:
+                    entry["stats"] = st
         return files
 
     # ---------------------------------------------------------------- write
@@ -573,10 +582,19 @@ class LakehouseTable:
         spark: SparkSession,
         branch: str = MAIN,
         snapshot_id: str | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """Merge-on-read scan: data files grouped by sequence number, each
         group projected onto the current schema, minus keys equality-deleted
-        at a later sequence."""
+        at a later sequence.
+
+        ``where`` is a SQL predicate applied to the result — and, first,
+        evaluated against each data file's recorded column bounds so files
+        that provably contain no matching row are never opened (Iceberg
+        scan planning; at 100 TB this is the difference between launching
+        tasks for every file and only the files a time/key range touches).
+        Pruning is conservative; the predicate is always re-applied to rows.
+        """
         meta = self.metadata()
         target = self.read_schema()
         if snapshot_id is not None:
@@ -587,9 +605,15 @@ class LakehouseTable:
                 return spark.createDataFrame([], target)
             snap = self._snapshot_by_id(meta, sid)
         data_files, delete_files = self._live_files(meta, snap)
+        if where is not None:
+            data_files = [f for f in data_files if file_may_match(f, where)]
+            if not data_files:
+                return spark.createDataFrame([], target)
         data = self._read_file_group(spark, data_files, target)
         if data is None:
             return spark.createDataFrame([], target)
+        if where is not None:
+            data = data.filter(where)
         if not delete_files:
             return data.drop("__seq")
         # group delete files by their recorded key-column set: id-columns may
@@ -681,6 +705,66 @@ class LakehouseTable:
                 return [], []
         return self._live_files(meta, snap)
 
+    def scan_files(
+        self, where: str, branch: str = MAIN
+    ) -> tuple[list[dict], int]:
+        """Scan planning without execution: (data files a predicate may
+        touch, total live data files). The planner half of
+        ``read(where=...)``, exposed so callers — and tests — can verify a
+        predicate's pruning ratio before paying for the scan."""
+        data_files, _ = self.live_files(branch=branch)
+        kept = [f for f in data_files if file_may_match(f, where)]
+        return kept, len(data_files)
+
+    def appends_between(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: str | None,
+        to_snapshot_id: str | None = None,
+        branch: str = MAIN,
+    ) -> DataFrame:
+        """Incremental append scan: rows added by snapshots AFTER
+        ``from_snapshot_id`` up to and including ``to_snapshot_id`` (default:
+        branch head) — Iceberg ``appendsBetween`` semantics. ``from=None``
+        reads from the beginning. Raises if the range contains a non-append
+        snapshot (replace/delta rewrite history; a consumer must fall back
+        to a full diff), matching Iceberg's IncrementalDataTableScan.
+
+        This is the cheap CDC-consumer path at scale: each poll reads only
+        the new files, never rescans the table.
+        """
+        meta = self.metadata()
+        target = self.read_schema()
+        if to_snapshot_id is None:
+            to_snapshot_id = meta["refs"].get(branch)
+            if to_snapshot_id is None:
+                return spark.createDataFrame([], target)
+        snaps: list[dict] = []
+        sid: str | None = to_snapshot_id
+        while sid is not None and sid != from_snapshot_id:
+            snap = self._snapshot_by_id(meta, sid)
+            snaps.append(snap)
+            sid = snap["parent"]
+        if sid is None and from_snapshot_id is not None:
+            raise ValueError(
+                f"snapshot {from_snapshot_id!r} is not an ancestor of "
+                f"{to_snapshot_id!r}"
+            )
+        files: list[dict] = []
+        for snap in reversed(snaps):
+            if snap["operation"] != "append":
+                raise ValueError(
+                    f"snapshot {snap['snapshot_id']!r} is a "
+                    f"{snap['operation']!r}, not an append — incremental "
+                    "scan cannot express it; read a full snapshot instead"
+                )
+            d, _ = self._load_manifest(snap)
+            files.extend(d)
+        df = self._read_file_group(spark, files, target)
+        if df is None:
+            return spark.createDataFrame([], target)
+        return df.drop("__seq")
+
     # ------------------------------------------------------ metadata tables
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
         """Iceberg `table.snapshots` metadata-table parity — the surface the
@@ -728,13 +812,39 @@ class LakehouseTable:
         )
 
     # ----------------------------------------------------------- maintenance
-    def compact(self, spark: SparkSession, branch: str = MAIN) -> dict:
+    def compact(
+        self,
+        spark: SparkSession,
+        branch: str = MAIN,
+        sort_by: list[str] | None = None,
+    ) -> dict:
         """Fold merge-on-read state into plain data files (REPLACE snapshot):
-        bounds read amplification, like Iceberg rewrite_data_files."""
+        bounds read amplification, like Iceberg rewrite_data_files.
+
+        ``sort_by`` additionally range-clusters the rewrite (Iceberg's
+        rewrite strategy=sort): rows are range-partitioned then sorted on
+        the given columns, so each output file covers a disjoint value range
+        and the recorded column bounds make predicate file-pruning sharp —
+        a range query then opens O(matching) files instead of all of them.
+        """
         current = self.read(spark, branch=branch)
+        summary = {"compaction": "true"}
+        if sort_by:
+            # explicit partition count: an unsized repartitionByRange lets
+            # AQE coalesce tiny rewrites to one file, erasing the disjoint
+            # ranges the sort exists to create. Cluster-width parallelism is
+            # the floor; at real scale bytes/target-file-size dominates.
+            n = max(
+                spark.sparkContext.defaultParallelism,
+                len(self.live_files(branch=branch)[0]) // 4,
+            )
+            current = current.repartitionByRange(
+                n, *sort_by
+            ).sortWithinPartitions(*sort_by)
+            summary["sort-order"] = ",".join(sort_by)
         files = self._write_files(current, "data")
         return self._commit_snapshot(
-            "replace", files, [], {"compaction": "true"}, branch, replace=True
+            "replace", files, [], summary, branch, replace=True
         )
 
     def rollback(self, snapshot_id: str, branch: str = MAIN) -> dict:

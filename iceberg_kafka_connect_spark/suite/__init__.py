@@ -88,6 +88,8 @@ def load_all() -> dict[str, QuerySpec]:
             "docs_chunk_overlap",  # chunking; packing already windowed
             "multimodal_resize_plan",  # 4th multimodal entry
             "dedup_signal_agreement",  # composition of two windowed signals
+            "embedding_quantize",  # representation detail; ANN paths windowed
+            "docs_keyterms",  # tf-idf ranking; text coverage already windowed
         )
         for k in [k for k in yield_slots if k in QUERIES]:
             QUERIES[k] = QUERIES.pop(k)

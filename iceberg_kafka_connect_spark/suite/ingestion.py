@@ -1121,3 +1121,90 @@ def offset_lookup(spark, sf_dir):
     return spark.createDataFrame(
         [(offsets, n_snaps)], "offsets string, n_snapshots bigint"
     )
+
+# --------------------------------------------------------------------------
+# Incremental append scan (Iceberg appendsBetween; the read-side complement
+# of the reference's per-commit appends, Coordinator.java:217-257): a
+# consumer polls only the files added since the snapshot it last saw, never
+# rescanning the table. Three interleaved appends; the scan starts after the
+# first, so exactly batches 2 and 3 flow.
+# --------------------------------------------------------------------------
+@register(
+    "incremental_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders WHERE o_orderkey % 3 IN (1, 2)
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def incremental_scan(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="incr_gate_") + "/t", o.schema
+    )
+    first = None
+    for r in (0, 1, 2):
+        snap = t.append(o.filter(F.col("o_orderkey") % 3 == r))
+        first = first or snap
+    inc = t.appends_between(spark, first["snapshot_id"])
+    return inc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stats-based file pruning (Iceberg scan planning: manifest column bounds
+# skip files a predicate can't match). The table is rewritten range-sorted
+# on l_orderkey, so the narrow key-range read opens only the files whose
+# bounds intersect it — `files_pruned` asserts the planner really skipped
+# files, and the aggregates prove pruning changed nothing.
+# --------------------------------------------------------------------------
+@register(
+    "stats_pruned_scan",
+    oracle="""
+    SELECT TRUE AS files_pruned,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem WHERE l_orderkey >= 5000 AND l_orderkey < 10000
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def stats_pruned_scan(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="prune_gate_") + "/t", li.schema
+    )
+    t.append(li)
+    t.compact(spark, sort_by=["l_orderkey"])
+    where = "l_orderkey >= 5000 AND l_orderkey < 10000"
+    kept, total = t.scan_files(where)
+    pruned = len(kept) < total
+    return t.read(spark, where=where).agg(
+        F.lit(pruned).alias("files_pruned"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -1,0 +1,195 @@
+"""Scan planning: per-file column bounds, predicate file-pruning, sorted
+rewrite, and incremental append scans.
+
+Iceberg's planner skips data files whose manifest-recorded bounds can't
+satisfy the scan predicate; `appendsBetween` reads only files added after a
+snapshot. These tests pin the same semantics on LakehouseTable — and that
+pruning never changes results (the predicate is always re-applied to rows).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.sinks import Catalog
+from iceberg_kafka_connect_spark.sinks.stats import file_may_match
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def _rows(lo, hi, grp):
+    base = dt.datetime(2024, 1, 1)
+    return [
+        (i, grp, base + dt.timedelta(hours=i), float(i) / 2) for i in range(lo, hi)
+    ]
+
+
+def test_append_records_column_bounds(spark, catalog):
+    t = catalog.create_table("default.stats", SCHEMA)
+    t.append(spark.createDataFrame(_rows(0, 100, "a"), SCHEMA).coalesce(1))
+    data, _ = t.live_files()
+    assert len(data) == 1
+    cols = data[0]["stats"]["cols"]
+    assert cols["id"]["min"] == 0 and cols["id"]["max"] == 99
+    assert cols["grp"]["min"] == "a" and cols["grp"]["max"] == "a"
+    assert cols["ts"]["t"] == "ts"
+    assert data[0]["stats"]["rows"] == 100
+
+
+def test_predicate_prunes_files_and_preserves_results(spark, catalog):
+    t = catalog.create_table("default.prune", SCHEMA)
+    # three appends with disjoint id ranges -> three files with disjoint bounds
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(_rows(lo, lo + 100, "g"), SCHEMA).coalesce(1)
+        )
+    kept, total = t.scan_files("id >= 150 AND id < 250")
+    assert total == 3 and len(kept) == 2
+    kept, _ = t.scan_files("id = 42")
+    assert len(kept) == 1
+    # timestamp range: second file covers 2024-01-05T04 .. 2024-01-09T07
+    kept, _ = t.scan_files("ts >= TIMESTAMP '2024-01-09 10:00:00'")
+    assert len(kept) == 1
+    # pruned read == unpruned filtered read
+    where = "id >= 150 AND id < 250"
+    got = sorted(r.id for r in t.read(spark, where=where).collect())
+    want = sorted(
+        r.id for r in t.read(spark).filter(where).collect()
+    )
+    assert got == want == list(range(150, 250))
+
+
+def test_pruning_is_conservative(spark, catalog):
+    t = catalog.create_table("default.cons", SCHEMA)
+    t.append(spark.createDataFrame(_rows(0, 50, "a"), SCHEMA).coalesce(1))
+    t.append(spark.createDataFrame(_rows(50, 100, "b"), SCHEMA).coalesce(1))
+    # OR disables pruning entirely (a disjunct could rescue rows)
+    kept, total = t.scan_files("id < 10 OR grp = 'b'")
+    assert len(kept) == total == 2
+    # unparseable / unsupported shapes keep everything
+    kept, _ = t.scan_files("id BETWEEN 10 AND 20")
+    assert len(kept) == 2
+    kept, _ = t.scan_files("length(grp) = 1")
+    assert len(kept) == 2
+    # IS NOT NULL never prunes (bounds say nothing about nulls)
+    kept, _ = t.scan_files("v IS NOT NULL")
+    assert len(kept) == 2
+    # but results always match the full filter regardless
+    assert t.read(spark, where="id < 10 OR grp = 'b'").count() == 60
+
+
+def test_in_list_and_string_pruning(spark, catalog):
+    t = catalog.create_table("default.inlist", SCHEMA)
+    t.append(spark.createDataFrame(_rows(0, 50, "aa"), SCHEMA).coalesce(1))
+    t.append(spark.createDataFrame(_rows(50, 100, "zz"), SCHEMA).coalesce(1))
+    kept, _ = t.scan_files("grp = 'zz'")
+    assert len(kept) == 1
+    kept, _ = t.scan_files("id IN (3, 7)")
+    assert len(kept) == 1
+    kept, _ = t.scan_files("grp IN ('mm', 'nn')")
+    assert len(kept) == 0
+    assert t.read(spark, where="grp IN ('mm','nn')").count() == 0
+
+
+def test_sorted_compaction_sharpens_pruning(spark, catalog):
+    t = catalog.create_table("default.sorted", SCHEMA)
+    # interleaved appends: every file spans nearly the full id range, so a
+    # narrow range predicate can prune nothing
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(1000))
+    rng.shuffle(ids)
+    base = dt.datetime(2024, 1, 1)
+    for c in range(4):
+        chunk = ids[c * 250 : (c + 1) * 250]
+        rows = [
+            (i, "g", base + dt.timedelta(hours=i), float(i)) for i in chunk
+        ]
+        t.append(spark.createDataFrame(rows, SCHEMA).coalesce(1))
+    where = "id >= 100 AND id < 150"
+    kept_before, total_before = t.scan_files(where)
+    assert len(kept_before) == total_before == 4
+    t.compact(spark, sort_by=["id"])
+    kept_after, total_after = t.scan_files(where)
+    assert total_after > 1  # range partitioning produced multiple files
+    assert len(kept_after) < total_after  # and the range predicate prunes
+    assert t.read(spark, where=where).count() == 50
+
+
+def test_appends_between(spark, catalog):
+    t = catalog.create_table("default.incr", SCHEMA)
+    snaps = []
+    for lo in (0, 100, 200):
+        snaps.append(
+            t.append(
+                spark.createDataFrame(_rows(lo, lo + 100, "g"), SCHEMA)
+            )
+        )
+    # from the first snapshot -> only batches 2 and 3
+    inc = t.appends_between(spark, snaps[0]["snapshot_id"])
+    assert sorted(r.id for r in inc.collect()) == list(range(100, 300))
+    # bounded range (from snap1 to snap2]
+    inc = t.appends_between(
+        spark, snaps[0]["snapshot_id"], snaps[1]["snapshot_id"]
+    )
+    assert sorted(r.id for r in inc.collect()) == list(range(100, 200))
+    # from=None reads everything
+    inc = t.appends_between(spark, None)
+    assert inc.count() == 300
+    # a non-ancestor "from" raises
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.appends_between(
+            spark, snaps[2]["snapshot_id"], snaps[0]["snapshot_id"]
+        )
+
+
+def test_appends_between_rejects_rewrites(spark, catalog):
+    t = catalog.create_table("default.incr2", SCHEMA)
+    s1 = t.append(spark.createDataFrame(_rows(0, 10, "g"), SCHEMA))
+    t.compact(spark)
+    t.append(spark.createDataFrame(_rows(10, 20, "g"), SCHEMA))
+    with pytest.raises(ValueError, match="not an append"):
+        t.appends_between(spark, s1["snapshot_id"])
+
+
+def test_file_may_match_unit():
+    entry = {
+        "stats": {
+            "rows": 10,
+            "cols": {
+                "id": {"t": "i", "min": 10, "max": 20},
+                "name": {"t": "s", "min": "alpha", "max": "beta"},
+            },
+        }
+    }
+    assert file_may_match(entry, "id >= 20")
+    assert not file_may_match(entry, "id > 20")
+    assert not file_may_match(entry, "id < 10")
+    assert file_may_match(entry, "id <= 10")
+    assert not file_may_match(entry, "id = 9")
+    assert file_may_match(entry, "id != 15")
+    assert not file_may_match(entry, "name = 'zeta'")
+    assert file_may_match(entry, "name = 'azure'")
+    # mixed int/float domains compare numerically
+    assert file_may_match(entry, "id = 15.0")
+    assert not file_may_match(entry, "id > 20.5")
+    # unknown column: keep
+    assert file_may_match(entry, "other = 1")
+    # stats-less entry: keep
+    assert file_may_match({}, "id = 999")
