@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "quality_bins_by_source",
     "embedding_quantize",
     "dedup_incremental",
+    # lakehouse scan planning / merge
+    "incremental_scan",
+    "stats_pruned_scan",
+    "merge_into",
 ]
 
 

@@ -369,8 +369,27 @@ class LakehouseTable:
         # stats prune row groups for predicates on the sort columns — the
         # Iceberg sort-order table property, Spark-native
         sort_order = self.properties().get("write.sort-order")
-        if sort_order and subdir == "data":
-            sort_cols = [c.strip() for c in sort_order.split(",") if c.strip()]
+        sort_cols = (
+            [c.strip() for c in sort_order.split(",") if c.strip()]
+            if sort_order
+            else []
+        )
+        # write.distribution-mode (Iceberg SparkWrite parity): a partitioned
+        # write with no distribution emits one file per (task × partition
+        # value) — the classic small-files explosion once tasks × partitions
+        # grows. "hash" co-locates each partition value on one task (one
+        # shuffle, one file per partition value per commit); "range"
+        # additionally range-clusters on partition + sort columns so file
+        # bounds are disjoint for stats pruning. Default "none" keeps the
+        # upstream distribution.
+        dist = self.properties().get("write.distribution-mode", "none").lower()
+        if subdir == "data" and pcols and dist == "hash":
+            writer = writer.repartition(*[F.col(c) for c in pcols])
+        elif subdir == "data" and pcols and dist == "range":
+            writer = writer.repartitionByRange(
+                *[F.col(c) for c in (pcols + sort_cols)]
+            )
+        if sort_cols and subdir == "data":
             writer = writer.sortWithinPartitions(*sort_cols)
         if fmt == "avro":
             from . import avro_io
@@ -554,6 +573,97 @@ class LakehouseTable:
             )
         finally:
             batch.unpersist()
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+        matched_condition: str | None = None,
+        branch: str = MAIN,
+        snapshot_props: dict | None = None,
+    ) -> dict:
+        """MERGE INTO semantics over equality deletes (the statement Iceberg
+        users run for CDC; the reference's delta writer is its streaming
+        specialization, BaseDeltaTaskWriter.java:37-102).
+
+        - ``when_matched``: "update" (replace the target row), "delete", or
+          None (leave matched targets untouched).
+        - ``when_not_matched``: "insert" or None.
+        - ``matched_condition``: extra predicate on the *source* row gating
+          the matched action (MERGE's ``WHEN MATCHED AND <cond>``).
+
+        Scale shape: the update+insert case never reads the target — an
+        equality delete for an absent key is a no-op, so it degenerates to
+        the blind upsert path (no scan, no join). Only asymmetric clauses
+        need target keys, and then only the key columns are scanned and
+        joined (broadcast-or-shuffle by AQE).
+
+        Like Spark/Iceberg MERGE, raises if two source rows share a key (the
+        merge would be non-deterministic).
+        """
+        dup = (
+            source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(
+                "MERGE source has duplicate keys on "
+                f"{on!r}; de-duplicate (e.g. collapse_last_wins) first"
+            )
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(f"when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(f"when_not_matched: {when_not_matched!r}")
+        src = source
+        cond = F.expr(matched_condition) if matched_condition else F.lit(True)
+        if when_matched == "update" and when_not_matched == "insert" and (
+            matched_condition is None
+        ):
+            # fast path: blind upsert, no target scan
+            return self.upsert(
+                src, on, branch=branch, snapshot_props=snapshot_props
+            )
+        tgt_keys = (
+            self.read(spark, branch=branch)
+            .select(*on)
+            .distinct()
+            .withColumn("__matched", F.lit(True))
+        )
+        marked = src.join(tgt_keys, on=on, how="left").persist()
+        try:
+            matched = marked.filter(F.col("__matched").isNotNull() & cond)
+            delete_files: list[dict] = []
+            appends = None
+            if when_matched in ("update", "delete"):
+                keys = matched.select(*on)
+                delete_files = self._write_delete_files(keys, on)
+            if when_matched == "update":
+                appends = matched.drop("__matched")
+            if when_not_matched == "insert":
+                inserts = marked.filter(F.col("__matched").isNull()).drop(
+                    "__matched"
+                )
+                appends = (
+                    inserts if appends is None else appends.unionByName(inserts)
+                )
+            data_files = (
+                self._write_files(self._project(appends), "data")
+                if appends is not None
+                else []
+            )
+            if not data_files and not delete_files:
+                raise ValueError("MERGE with no active clause")
+            return self._commit_snapshot(
+                "overwrite",
+                data_files,
+                delete_files,
+                snapshot_props or {},
+                branch,
+            )
+        finally:
+            marked.unpersist()
 
     def evolve_schema(self, incoming: T.StructType) -> bool:
         """§1.3 #3: add missing columns (including nested struct fields,

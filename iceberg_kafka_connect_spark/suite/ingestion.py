@@ -1208,3 +1208,37 @@ def stats_pruned_scan(spark, sf_dir):
         .cast("double")
         .alias("sum_price"),
     )
+
+# --------------------------------------------------------------------------
+# MERGE INTO (general form: WHEN MATCHED THEN DELETE / WHEN NOT MATCHED THEN
+# INSERT — the clauses the blind upsert path can't express, exercised over
+# the same equality-delete machinery as S5). Target: orders with key < 1000;
+# source: keys 500..1499. Matched keys (500..999) are deleted, unmatched
+# (1000..1499) inserted.
+# --------------------------------------------------------------------------
+@register(
+    "merge_into",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+    FROM orders
+    WHERE o_orderkey < 500 OR (o_orderkey >= 1000 AND o_orderkey < 1500)
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def merge_into(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="merge_gate_") + "/t", o.schema
+    )
+    t.append(o.filter(F.col("o_orderkey") < 1000))
+    src = o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+    t.merge(spark, src, on=["o_orderkey"], when_matched="delete")
+    return t.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+    )
