@@ -68,3 +68,55 @@ def file_stream_source(spark: SparkSession, path: str) -> DataFrame:
 def batch_file_source(spark: SparkSession, path: str) -> DataFrame:
     """Batch flavor of the file source (for foreachBatch unit tests)."""
     return spark.read.schema(KAFKA_SHAPE).json(path)
+
+
+def table_stream_source(spark: SparkSession, lake_table) -> DataFrame:
+    """Streaming read of a LakehouseTable's appends — Iceberg streaming-read
+    parity (SparkMicroBatchStream in the Iceberg runtime the reference
+    writes through): downstream jobs `readStream` the table and each newly
+    committed data file surfaces exactly once, tracked by the file-source
+    checkpoint.
+
+    Semantics and limits (same shape as Iceberg's streaming read):
+    - append-only: equality deletes are not applied mid-stream, and a
+      compaction (replace snapshot) re-emits rows — run compaction on a
+      branch or on tables not being streamed;
+    - identity-partitioned tables are rejected: the identity column lives
+      only in the directory name, which ``recursiveFileLookup`` (needed to
+      walk per-commit dirs) cannot recover. Transform partitions
+      (day/bucket/truncate/...) are re-derived from their source columns.
+    """
+    import os
+
+    fmt = lake_table.file_format()
+    if fmt == "avro":
+        raise ValueError(
+            "streaming read requires a Spark-native file format "
+            "(avro tables use the OCF codec readable only in batch)"
+        )
+    spec = lake_table.partition_spec()
+    identity = [f.name for f in spec if f.transform == "identity"]
+    if identity:
+        raise ValueError(
+            f"identity partition column(s) {identity} live only in "
+            "directory names; stream a transform-partitioned or "
+            "unpartitioned table, or poll appends_between() instead"
+        )
+    # the file schema = read schema minus derived partition columns (they
+    # were moved to directory names at write time) …
+    derived = {f.name for f in spec}
+    file_schema = T.StructType(
+        [f for f in lake_table.read_schema().fields if f.name not in derived]
+    )
+    df = (
+        spark.readStream.schema(file_schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", f"*.{fmt}")
+        .option("maxFilesPerTrigger", "64")
+        .format(fmt)
+        .load(os.path.join(lake_table.root, "data"))
+    )
+    # … and re-derived here, so the streamed shape equals the batch read
+    for f in spec:
+        df = df.withColumn(f.name, f.expr())
+    return df
