@@ -632,3 +632,75 @@ def incremental_dedup(
         reason.isNull().alias("kept"),
         reason.alias("drop_reason"),
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact repeated-span removal — the passage-level dedup of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (ExactSubstr),
+    restricted to aligned spans so removal is well-defined without a suffix
+    array: each document's words are grouped into consecutive non-overlapping
+    ``span_words``-word spans; a span occurring ``min_df``+ times in the
+    corpus is dropped from every document except its first occurrence
+    (min (doc, position)).
+
+    Output: (id, n_spans, n_spans_kept, text_dedup).
+
+    Scale shape: span frequencies and first-occurrences are ONE groupBy with
+    map-side partial aggregation — a span repeated 10M times (boilerplate!)
+    collapses to one row per map task before the shuffle, where a window
+    over span would funnel every occurrence to a single task. The join back
+    is shuffle-or-broadcast by AQE, and reassembly is one groupBy(doc).
+    Spans shuffle by text; at warehouse scale substitute xxhash64(span) as
+    the join key to shuffle 8 bytes instead of strings (kept as text here
+    for engine-portable oracle parity).
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(span_words)
+    )
+    spans = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.concat_ws(" ", F.slice(w, s + 1, span_words)),
+            )
+        ).alias("__idx", "__span"),
+    )
+    freq = spans.groupBy("__span").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct("__doc", "__idx")).alias("__first"),
+    )
+    marked = spans.join(freq, "__span").withColumn(
+        "__keep",
+        (F.col("__cnt") < min_df)
+        | (
+            (F.col("__first.__doc") == F.col("__doc"))
+            & (F.col("__first.__idx") == F.col("__idx"))
+        ),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("__idx", "__keep", "__span"))
+    )
+    return marked.groupBy("__doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_spans_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(ordered, lambda s: s["__keep"]),
+                lambda s: s["__span"],
+            ),
+        ).alias("text_dedup"),
+    ).select(
+        F.col("__doc").alias(id_col),
+        "n_spans",
+        "n_spans_kept",
+        "text_dedup",
+    )

@@ -21,6 +21,10 @@ class NoSuchTableError(Exception):
     pass
 
 
+class TableAlreadyExistsError(Exception):
+    pass
+
+
 class UnsupportedCatalogError(Exception):
     """A parsed ``iceberg.catalog.*`` spec names a backend whose runtime
     (Hive metastore / REST server / AWS SDK / JDBC driver) is not available
@@ -159,6 +163,33 @@ class Catalog:
         return LakehouseTable.create(
             self._path(name), schema, partition_by, properties, identifier_fields
         )
+
+    def drop_table(self, name: str, purge: bool = True) -> None:
+        """Iceberg Catalog.dropTable parity. ``purge`` removes data too
+        (local warehouse: metadata and data live under one table dir)."""
+        import shutil
+
+        if not self.table_exists(name):
+            raise NoSuchTableError(name)
+        if not purge:
+            raise ValueError(
+                "purge=False needs an external data location; the local "
+                "warehouse stores data inside the table directory"
+            )
+        shutil.rmtree(self._path(name))
+
+    def rename_table(self, src: str, dst: str) -> LakehouseTable:
+        """Iceberg Catalog.renameTable parity: metadata move, no data
+        rewrite (file paths inside manifests are table-root-relative, so
+        the tree move is the whole operation)."""
+        if not self.table_exists(src):
+            raise NoSuchTableError(src)
+        if self.table_exists(dst):
+            raise TableAlreadyExistsError(dst)
+        dst_path = self._path(dst)
+        os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+        os.rename(self._path(src), dst_path)
+        return LakehouseTable(dst_path)
 
     def list_tables(self) -> list[str]:
         import glob as globmod

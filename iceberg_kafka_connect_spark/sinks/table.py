@@ -693,6 +693,7 @@ class LakehouseTable:
         branch: str = MAIN,
         snapshot_id: str | None = None,
         where: str | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Merge-on-read scan: data files grouped by sequence number, each
         group projected onto the current schema, minus keys equality-deleted
@@ -707,6 +708,11 @@ class LakehouseTable:
         """
         meta = self.metadata()
         target = self.read_schema()
+        if tag is not None:
+            tagged = meta.get("tags", {})
+            if tag not in tagged:
+                raise ValueError(f"no such tag: {tag!r}")
+            snapshot_id = tagged[tag]
         if snapshot_id is not None:
             snap = self._snapshot_by_id(meta, snapshot_id)
         else:
@@ -921,6 +927,54 @@ class LakehouseTable:
             rows, "path string, content string, seq long, format string"
         )
 
+    def history_df(self, spark: SparkSession, branch: str = MAIN) -> DataFrame:
+        """Iceberg `table.history` parity: the branch's snapshot lineage,
+        newest first, with ancestry marked relative to the current head
+        (rolled-back snapshots show is_current_ancestor=false)."""
+        meta = self.metadata()
+        ancestors: set[str] = set()
+        sid = meta["refs"].get(branch)
+        while sid is not None:
+            ancestors.add(sid)
+            sid = self._snapshot_by_id(meta, sid)["parent"]
+        rows = [
+            (
+                s["timestamp_ms"],
+                s["snapshot_id"],
+                s["parent"],
+                s["snapshot_id"] in ancestors,
+            )
+            for s in meta["snapshots"]
+        ]
+        return spark.createDataFrame(
+            sorted(rows, reverse=True),
+            "made_current_at_ms long, snapshot_id string, parent_id string, "
+            "is_current_ancestor boolean",
+        )
+
+    def partitions_df(self, spark: SparkSession, branch: str = MAIN) -> DataFrame:
+        """Iceberg `table.partitions` parity: per-partition live file and
+        row counts (rows from the recorded file stats; -1 when a file
+        carries none, e.g. avro)."""
+        data_files, _ = self.live_files(branch=branch)
+        agg: dict[tuple, list[int]] = {}
+        for f in data_files:
+            parts = tuple(
+                seg for seg in f["path"].split(os.sep)[:-1] if "=" in seg
+            )
+            cur = agg.setdefault(parts, [0, 0])
+            cur[0] += 1
+            st = f.get("stats")
+            if cur[1] >= 0:
+                cur[1] = cur[1] + st["rows"] if st else -1
+        rows = [
+            ("/".join(parts) or None, n_files, n_rows)
+            for parts, (n_files, n_rows) in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows, "partition string, n_files long, n_rows long"
+        )
+
     # ----------------------------------------------------------- maintenance
     def compact(
         self,
@@ -1008,6 +1062,10 @@ class LakehouseTable:
                     snap = self._snapshot_by_id(meta, sid)
                     sid = snap["parent"]
                     n += 1
+            # tagged snapshots are retained regardless of age; when their
+            # ancestry expires the sealing pass below rewrites them with a
+            # full manifest, so the tag stays readable
+            keep.update(meta.get("tags", {}).values())
             expired = [
                 s for s in meta["snapshots"] if s["snapshot_id"] not in keep
             ]
@@ -1093,3 +1151,49 @@ class LakehouseTable:
             except CommitConflict:
                 if attempt == COMMIT_RETRIES - 1:
                     raise
+
+    # ------------------------------------------------------------------ tags
+    def tags(self) -> dict[str, str]:
+        return dict(self.metadata().get("tags", {}))
+
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: str | None = None,
+        branch: str = MAIN,
+    ) -> None:
+        """Iceberg tag parity: a named IMMUTABLE pointer to a snapshot
+        (``manageSnapshots().createTag()``) — releases/audit marks that
+        survive snapshot expiry. Unlike a branch it can never be committed
+        to; read it with ``read(tag=...)``."""
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            sid = snapshot_id or meta["refs"].get(branch)
+            if sid is None:
+                raise ValueError(f"branch {branch!r} has no snapshot to tag")
+            self._snapshot_by_id(meta, sid)  # must exist
+            tags = meta.setdefault("tags", {})
+            if name in tags and tags[name] != sid:
+                raise ValueError(f"tag {name!r} already exists (immutable)")
+            tags[name] = sid
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
+    def drop_tag(self, name: str) -> None:
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            if name not in meta.get("tags", {}):
+                return
+            del meta["tags"][name]
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))

@@ -289,3 +289,56 @@ def dedup_signal_agreement(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("signal")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact repeated-span removal (Lee et al. ExactSubstr, aligned-span form):
+# every 4-word span occurring twice-plus in the corpus survives only at its
+# first occurrence. The whole corpus is reassembled, so the oracle hashes
+# both the per-doc span accounting AND the rewritten text.
+# --------------------------------------------------------------------------
+@register(
+    "docs_span_dedup",
+    oracle=r"""
+    WITH arrs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id,
+               unnest(arr) AS word,
+               unnest(range(1, len(arr) + 1)) AS ord
+        FROM arrs
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST((ord - 1) // 4 AS BIGINT) AS idx,
+               string_agg(word, ' ' ORDER BY ord) AS span
+        FROM words GROUP BY doc_id, (ord - 1) // 4
+    ),
+    ranked AS (
+        SELECT doc_id, idx, span,
+               COUNT(*) OVER (PARTITION BY span) AS cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY span ORDER BY doc_id, idx
+               ) AS rn
+        FROM spans
+    ),
+    kept AS (
+        SELECT doc_id, idx, span,
+               (cnt < 2 OR rn = 1) AS keep
+        FROM ranked
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_spans_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN span END, ' '
+                               ORDER BY idx), '') AS text_dedup
+    FROM kept GROUP BY doc_id
+    """,
+    tags=("dedup",),
+)
+def docs_span_dedup(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return dedup.span_dedup(docs, span_words=4, min_df=2)

@@ -193,3 +193,30 @@ def test_file_may_match_unit():
     assert file_may_match(entry, "other = 1")
     # stats-less entry: keep
     assert file_may_match({}, "id = 999")
+
+
+def test_span_dedup_semantics(spark):
+    from iceberg_kafka_connect_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y"),   # spans: "a b", "c d", "x y"
+            (2, "a b c d p q"),   # "a b" and "c d" are repeats
+            (3, "p q r s"),       # "p q" here differs from doc2's ("p q" span)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_dedup(
+            docs, span_words=2, min_df=2
+        ).collect()
+    }
+    # doc 1 is the first occurrence of "a b" and "c d": keeps everything
+    assert out[1].text_dedup == "a b c d x y"
+    assert out[1].n_spans == 3 and out[1].n_spans_kept == 3
+    # doc 2 loses both repeated spans, keeps its unique tail
+    assert out[2].text_dedup == "p q"
+    assert out[2].n_spans == 3 and out[2].n_spans_kept == 1
+    # doc 3's spans are "p q" (second occurrence -> dropped) and "r s"
+    assert out[3].text_dedup == "r s"

@@ -1,0 +1,102 @@
+"""Tags (immutable named refs), history/partitions metadata tables, and
+catalog drop/rename — Iceberg surface parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.sinks import Catalog
+from iceberg_kafka_connect_spark.sinks.catalog import (
+    NoSuchTableError,
+    TableAlreadyExistsError,
+)
+
+SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame([(i, f"v{i}") for i in range(lo, hi)], SCHEMA)
+
+
+def test_tag_create_read_immutability(spark, catalog):
+    t = catalog.create_table("default.tags", SCHEMA)
+    s1 = t.append(_df(spark, 0, 10))
+    t.create_tag("v1.0")
+    t.append(_df(spark, 10, 20))
+    assert t.read(spark).count() == 20
+    assert t.read(spark, tag="v1.0").count() == 10
+    assert t.tags() == {"v1.0": s1["snapshot_id"]}
+    # immutable: re-tagging a different snapshot fails
+    with pytest.raises(ValueError, match="immutable"):
+        t.create_tag("v1.0")
+    with pytest.raises(ValueError, match="no such tag"):
+        t.read(spark, tag="nope")
+    t.drop_tag("v1.0")
+    assert t.tags() == {}
+
+
+def test_tag_survives_snapshot_expiry(spark, catalog):
+    t = catalog.create_table("default.tagexp", SCHEMA)
+    t.append(_df(spark, 0, 5))
+    t.create_tag("first")
+    for i in range(1, 6):
+        t.append(_df(spark, i * 5, i * 5 + 5))
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired > 0
+    # the tagged snapshot is retained and still readable (sealed if needed)
+    assert t.read(spark, tag="first").count() == 5
+    assert t.read(spark).count() == 30
+
+
+def test_history_df(spark, catalog):
+    t = catalog.create_table("default.hist", SCHEMA)
+    s1 = t.append(_df(spark, 0, 5))
+    s2 = t.append(_df(spark, 5, 10))
+    t.rollback(s1["snapshot_id"])
+    h = {r.snapshot_id: r for r in t.history_df(spark).collect()}
+    assert h[s1["snapshot_id"]].is_current_ancestor
+    assert not h[s2["snapshot_id"]].is_current_ancestor
+
+
+def test_partitions_df(spark, catalog):
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    t = catalog.create_table(
+        "default.parts",
+        schema,
+        partition_by="b",
+        properties={"write.distribution-mode": "hash"},
+    )
+    t.append(
+        spark.createDataFrame([(i, i % 3) for i in range(90)], schema)
+    )
+    rows = {r.partition: r for r in t.partitions_df(spark).collect()}
+    assert set(rows) == {"b=0", "b=1", "b=2"}
+    assert all(r.n_files == 1 for r in rows.values())
+    assert sum(r.n_rows for r in rows.values()) == 90
+
+
+def test_catalog_drop_and_rename(spark, catalog):
+    t = catalog.create_table("default.old", SCHEMA)
+    t.append(_df(spark, 0, 7))
+    t2 = catalog.rename_table("default.old", "default.new")
+    assert t2.read(spark).count() == 7
+    assert not catalog.table_exists("default.old")
+    with pytest.raises(NoSuchTableError):
+        catalog.rename_table("default.old", "default.x")
+    catalog.create_table("default.other", SCHEMA)
+    with pytest.raises(TableAlreadyExistsError):
+        catalog.rename_table("default.new", "default.other")
+    catalog.drop_table("default.new")
+    assert not catalog.table_exists("default.new")
+    with pytest.raises(NoSuchTableError):
+        catalog.drop_table("default.new")
