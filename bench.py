@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "incremental_scan",
     "stats_pruned_scan",
     "merge_into",
+    # corpus-level rewriting
+    "docs_span_dedup",
+    "docs_source_mix",
 ]
 
 

@@ -286,3 +286,52 @@ def chunk_documents(
         F.concat_ws(" ", F.col("__c")).alias("chunk_text"),
         F.size("__c").cast("bigint").alias("n_chunk_tokens"),
     )
+
+
+def source_mix_resample(
+    docs: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source re-mixing — the multinomial smoothing step
+    of pretraining data recipes (Pile / multilingual-LM style): target share
+    of source s ∝ n_s^temperature, so t=1 keeps natural proportions and
+    t→0 flattens toward uniform, boosting small sources' RELATIVE share.
+
+    Keep fraction per source: kept counts k_s ∝ n_s^t requires
+    f_s ∝ n_s^(t-1); sampling without replacement can only subsample, so
+    normalize at the SMALLEST source — f_s = (n_min / n_s)^(1 - t). The
+    smallest source keeps everything; every larger source is deterministically
+    thinned until relative shares match the tempered mix. A row survives when
+    its md5-hex prefix (engine-portable, coordination-free — same idiom as
+    hash_sample) falls under its source's acceptance threshold.
+
+    Scale shape: per-source counts are one partial-agg groupBy over the
+    source column (tiny result, broadcast back); the filter itself is a
+    pure projection — no per-row shuffle at any corpus size.
+    """
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__nmin"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        F.pow(F.col("__nmin") / F.col("__n"), F.lit(1.0 - temperature)).alias(
+            "__rate"
+        ),
+    )
+    # acceptance threshold as a 6-hex-digit string; rate 1 → 'g', which
+    # sorts above every hex character, keeping the whole source
+    thresh = F.when(F.col("__rate") >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            "%06x", F.floor(F.col("__rate") * F.lit(16**6)).cast("int")
+        )
+    )
+    rates = rates.withColumn("__thresh", thresh).drop("__rate")
+    return (
+        docs.join(F.broadcast(rates), on=source_col)
+        .filter(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 6)
+            < F.col("__thresh")
+        )
+        .drop("__thresh")
+    )

@@ -275,3 +275,48 @@ def dedup_incremental(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     history = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup.incremental_dedup(batch, history)
+
+
+# --------------------------------------------------------------------------
+# Temperature-based source re-mixing (the data-recipe smoothing step of
+# Pile-style pretraining mixes): target share of source s ∝ n_s^t; without
+# replacement that means keep-fraction (n_min/n_s)^(1-t) — the smallest
+# source keeps all, larger sources thin deterministically (md5 prefix; 'g' sorts above all hex).
+# --------------------------------------------------------------------------
+@register(
+    "docs_source_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    mn AS (SELECT MIN(n) AS nmin FROM counts),
+    th AS (
+        SELECT source,
+               CASE WHEN POWER(nmin / CAST(n AS DOUBLE), 0.5) >= 1.0
+                    THEN 'g'
+                    ELSE printf('%06x', CAST(FLOOR(
+                        POWER(nmin / CAST(n AS DOUBLE), 0.5) * 16777216
+                    ) AS INT)) END AS thresh
+        FROM counts, mn
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d JOIN th USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < th.thresh
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    tags=("quality",),
+)
+def docs_source_mix(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    mixed = tx.source_mix_resample(docs, temperature=0.5)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

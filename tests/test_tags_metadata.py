@@ -100,3 +100,22 @@ def test_catalog_drop_and_rename(spark, catalog):
     assert not catalog.table_exists("default.new")
     with pytest.raises(NoSuchTableError):
         catalog.drop_table("default.new")
+
+
+def test_source_mix_flattens_shares(spark):
+    from iceberg_kafka_connect_spark.operators.text import source_mix_resample
+
+    rows = [(i, "big") for i in range(2000)] + [
+        (i + 10_000, "small") for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed = source_mix_resample(docs, temperature=0.5)
+    counts = {r.source: r.n for r in mixed.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    # smallest source keeps everything
+    assert counts["small"] == 200
+    # big source thins toward sqrt ratio: expected keep ~ 2000*sqrt(200/2000)
+    expected_big = 2000 * (200 / 2000) ** 0.5
+    assert abs(counts["big"] - expected_big) / expected_big < 0.15
+    # natural ratio 10:1 flattens to ~sqrt(10):1
+    ratio = counts["big"] / counts["small"]
+    assert 2.0 < ratio < 4.5
