@@ -125,6 +125,27 @@ def main() -> None:
     profile = text.profile(docs)
     profile.select("doc_id", "lang_pred", "quality").show(5)
 
+    # --- 5. table management: tags, sorted rewrite, pruned + incremental --
+    snap_before = t.current_snapshot()["snapshot_id"]
+    t.create_tag("after-cdc")
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(2, 99.0, "us")], "id long, amount double, region string"
+        ),
+        on=["id"],
+        when_matched=None,  # WHEN NOT MATCHED THEN INSERT only
+    )
+    print("tag view:", sorted(r.id for r in t.read(spark, tag="after-cdc").collect()))
+    print("head view:", sorted(r.id for r in t.read(spark).collect()))
+    print(
+        "incremental (since tag):",
+        sorted(r.id for r in t.appends_between(spark, snap_before).collect()),
+    )
+    t.compact(spark, sort_by=["id"])
+    kept, total = t.scan_files("id >= 2")
+    print(f"pruned scan opens {len(kept)}/{total} files")
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 

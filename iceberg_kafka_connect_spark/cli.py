@@ -93,7 +93,98 @@ def build_pipeline(spec: dict, spark=None):
     return spark, pipeline, stream
 
 
+def table_main(argv: list[str]) -> int:
+    """Maintenance / inspection subcommand (the ops surface Iceberg users
+    reach via CALL procedures and metadata tables):
+
+        python -m iceberg_kafka_connect_spark.cli table \\
+            --warehouse WH --name db.t ACTION [...]
+
+    Metadata actions (snapshots/files/history/partitions/tags) read JSON
+    only — no SparkSession. compact and rollback start Spark.
+    """
+    ap = argparse.ArgumentParser(prog="cli table")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--name", required=True)
+    sub = ap.add_subparsers(dest="action", required=True)
+    for meta_action in ("snapshots", "files", "history", "partitions", "tags"):
+        sub.add_parser(meta_action)
+    c = sub.add_parser("compact")
+    c.add_argument("--sort-by", help="comma-separated sort columns")
+    e = sub.add_parser("expire")
+    e.add_argument("--keep", type=int, default=10)
+    o = sub.add_parser("orphans")
+    o.add_argument("--delete", action="store_true")
+    tg = sub.add_parser("tag")
+    tg.add_argument("tag_name")
+    tg.add_argument("--snapshot")
+    dt = sub.add_parser("drop-tag")
+    dt.add_argument("tag_name")
+    rb = sub.add_parser("rollback")
+    rb.add_argument("snapshot")
+    args = ap.parse_args(argv)
+
+    catalog = Catalog(args.warehouse)
+    t = catalog.load_table(args.name)
+    out: object
+    if args.action == "snapshots":
+        out = t.snapshots()
+    elif args.action == "files":
+        data, deletes = t.live_files()
+        out = {"data": data, "deletes": deletes}
+    elif args.action == "history":
+        out = [
+            dict(
+                zip(
+                    (
+                        "made_current_at_ms",
+                        "snapshot_id",
+                        "parent_id",
+                        "is_current_ancestor",
+                    ),
+                    r,
+                )
+            )
+            for r in t.history_rows()
+        ]
+    elif args.action == "partitions":
+        out = [
+            dict(zip(("partition", "n_files", "n_rows"), r))
+            for r in t.partition_rows()
+        ]
+    elif args.action == "tags":
+        out = t.tags()
+    elif args.action == "expire":
+        out = {"expired": t.expire_snapshots(keep_last=args.keep)}
+    elif args.action == "orphans":
+        out = {"orphans": t.remove_orphan_files(dry_run=not args.delete)}
+    elif args.action == "tag":
+        t.create_tag(args.tag_name, snapshot_id=args.snapshot)
+        out = t.tags()
+    elif args.action == "drop-tag":
+        t.drop_tag(args.tag_name)
+        out = t.tags()
+    elif args.action == "compact":
+        spark = get_spark(app_name="table-maintenance")
+        sort_by = (
+            [c.strip() for c in args.sort_by.split(",")] if args.sort_by else None
+        )
+        snap = t.compact(spark, sort_by=sort_by)
+        out = {"snapshot_id": snap["snapshot_id"], "operation": snap["operation"]}
+    elif args.action == "rollback":
+        snap = t.rollback(args.snapshot)
+        out = {"snapshot_id": snap["snapshot_id"]}
+    else:  # pragma: no cover — argparse enforces choices
+        raise ValueError(args.action)
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "table":
+        return table_main(argv[1:])
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("job_spec", help="path to the job spec JSON")
     ap.add_argument(

@@ -655,8 +655,11 @@ class LakehouseTable:
             )
             if not data_files and not delete_files:
                 raise ValueError("MERGE with no active clause")
+            # an insert-only merge mutates nothing existing: commit it as an
+            # append so incremental consumers (appends_between) keep working
+            op = "append" if not delete_files else "overwrite"
             return self._commit_snapshot(
-                "overwrite",
+                op,
                 data_files,
                 delete_files,
                 snapshot_props or {},
@@ -927,34 +930,41 @@ class LakehouseTable:
             rows, "path string, content string, seq long, format string"
         )
 
-    def history_df(self, spark: SparkSession, branch: str = MAIN) -> DataFrame:
-        """Iceberg `table.history` parity: the branch's snapshot lineage,
-        newest first, with ancestry marked relative to the current head
-        (rolled-back snapshots show is_current_ancestor=false)."""
+    def history_rows(self, branch: str = MAIN) -> list[tuple]:
+        """(made_current_at_ms, snapshot_id, parent_id, is_current_ancestor)
+        per snapshot, newest first — driver-side metadata only."""
         meta = self.metadata()
         ancestors: set[str] = set()
         sid = meta["refs"].get(branch)
         while sid is not None:
             ancestors.add(sid)
             sid = self._snapshot_by_id(meta, sid)["parent"]
-        rows = [
+        return sorted(
             (
-                s["timestamp_ms"],
-                s["snapshot_id"],
-                s["parent"],
-                s["snapshot_id"] in ancestors,
-            )
-            for s in meta["snapshots"]
-        ]
+                (
+                    s["timestamp_ms"],
+                    s["snapshot_id"],
+                    s["parent"],
+                    s["snapshot_id"] in ancestors,
+                )
+                for s in meta["snapshots"]
+            ),
+            reverse=True,
+        )
+
+    def history_df(self, spark: SparkSession, branch: str = MAIN) -> DataFrame:
+        """Iceberg `table.history` parity: the branch's snapshot lineage,
+        newest first, with ancestry marked relative to the current head
+        (rolled-back snapshots show is_current_ancestor=false)."""
         return spark.createDataFrame(
-            sorted(rows, reverse=True),
+            self.history_rows(branch),
             "made_current_at_ms long, snapshot_id string, parent_id string, "
             "is_current_ancestor boolean",
         )
 
-    def partitions_df(self, spark: SparkSession, branch: str = MAIN) -> DataFrame:
-        """Iceberg `table.partitions` parity: per-partition live file and
-        row counts (rows from the recorded file stats; -1 when a file
+    def partition_rows(self, branch: str = MAIN) -> list[tuple]:
+        """(partition, n_files, n_rows) per live partition — driver-side
+        metadata only (rows from recorded file stats; -1 when a file
         carries none, e.g. avro)."""
         data_files, _ = self.live_files(branch=branch)
         agg: dict[tuple, list[int]] = {}
@@ -967,12 +977,17 @@ class LakehouseTable:
             st = f.get("stats")
             if cur[1] >= 0:
                 cur[1] = cur[1] + st["rows"] if st else -1
-        rows = [
+        return [
             ("/".join(parts) or None, n_files, n_rows)
             for parts, (n_files, n_rows) in sorted(agg.items())
         ]
+
+    def partitions_df(self, spark: SparkSession, branch: str = MAIN) -> DataFrame:
+        """Iceberg `table.partitions` parity: per-partition live file and
+        row counts."""
         return spark.createDataFrame(
-            rows, "partition string, n_files long, n_rows long"
+            self.partition_rows(branch),
+            "partition string, n_files long, n_rows long",
         )
 
     # ----------------------------------------------------------- maintenance

@@ -47,3 +47,36 @@ def test_cli_job_spec_end_to_end(spark, tmp_path):
     t = Catalog(spec["warehouse"]).load_table("default.events_sink")
     assert sorted((r.id, r.type) for r in t.read(spark).collect()) == [(1, "t2")]
     assert t.current_snapshot()["summary"]["pipeline-id"] == "cli-test"
+
+
+def test_cli_table_maintenance(spark, tmp_path, capsys):
+    import json as _json
+
+    from iceberg_kafka_connect_spark.cli import main
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from pyspark.sql import types as T
+
+    wh = str(tmp_path / "wh")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = Catalog(wh).create_table("default.m", schema)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    t.append(spark.createDataFrame([(3, "c")], schema))
+
+    def run(*argv):
+        assert main(["table", "--warehouse", wh, "--name", "default.m", *argv]) == 0
+        return _json.loads(capsys.readouterr().out.strip())
+
+    assert len(run("snapshots")) == 2
+    hist = run("history")
+    assert all(h["is_current_ancestor"] for h in hist)
+    parts = run("partitions")
+    assert parts[0]["n_rows"] == 3 or sum(p["n_rows"] for p in parts) == 3
+    run("tag", "rel-1")
+    assert "rel-1" in run("tags")
+    run("drop-tag", "rel-1")
+    assert run("tags") == {}
+    files = run("files")
+    assert len(files["data"]) >= 2 and files["deletes"] == []
+    assert run("expire", "--keep", "1") == {"expired": 1}

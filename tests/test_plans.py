@@ -208,3 +208,36 @@ def test_q8_joins_stay_broadcast(spark, sf_dir):
     df = SPECS["tpch_q8"].fn(spark, sf_dir)
     assert count_in_plan(df, "BroadcastHashJoin") >= 5
     assert_plan(df, absent=["SortMergeJoin"])
+
+
+def test_span_dedup_no_python_and_partial_agg(spark, sf_dir):
+    """Span frequency/first-occurrence must partial-aggregate (hot
+    boilerplate spans collapse map-side) and the whole op stays JVM-side."""
+    df = SPECS["docs_span_dedup"].fn(spark, sf_dir)
+    assert_plan(df, absent=["BatchEvalPython"])
+    assert count_in_plan(df, "partial_count") >= 1 or count_in_plan(
+        df, "partial"
+    ) >= 1
+
+
+def test_source_mix_broadcasts_rates_no_doc_shuffle(spark, sf_dir):
+    """The per-source rate table must broadcast back onto the corpus — the
+    documents themselves never shuffle for the filter."""
+    df = SPECS["docs_source_mix"].fn(spark, sf_dir)
+    assert count_in_plan(df, "BroadcastHashJoin") >= 1
+    assert_plan(df, absent=["BatchEvalPython", "SortMergeJoin"])
+
+
+def test_stats_pruned_read_filter_reapplied(spark, tmp_path):
+    """read(where=) must re-apply the predicate to rows (pruning is an
+    optimization, never the correctness mechanism) and push it to the scan."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    t = Catalog(str(tmp_path / "wh")).create_table("default.pp", schema)
+    t.append(
+        spark.createDataFrame([(i, float(i)) for i in range(100)], schema)
+    )
+    df = t.read(spark, where="id >= 50")
+    p = plan_string(df)
+    assert "PushedFilters" in p and "GreaterThanOrEqual(id,50)" in p
