@@ -403,9 +403,19 @@ class LakehouseTable:
         w = writer.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
-        # file-size rolling (Utilities.java:165-167): Spark's knob is
-        # rows-per-file; `write.target-file-rows` caps each data file
+        # file-size rolling (Utilities.java:165-167 → Iceberg
+        # write.target-file-size-bytes): Spark's knob is rows-per-file, so
+        # the byte target is converted with the table's own observed
+        # bytes/row (live manifest bytes ÷ rows — pure metadata, no scan).
+        # First commit has no history and rolls by task output; explicit
+        # `write.target-file-rows` overrides.
         target_rows = self.properties().get("write.target-file-rows")
+        if not target_rows and subdir == "data":
+            target_bytes = self.properties().get("write.target-file-size-bytes")
+            if target_bytes:
+                row_bytes = self._observed_row_bytes()
+                if row_bytes:
+                    target_rows = max(1, int(int(target_bytes) / row_bytes))
         if target_rows:
             w = w.option("maxRecordsPerFile", int(target_rows))
         w.format(fmt).save(out_dir)
@@ -414,6 +424,8 @@ class LakehouseTable:
             {"path": os.path.relpath(p, self.root), "base": base, "format": fmt}
             for p in globmod.glob(os.path.join(out_dir, "**", f"*.{fmt}"), recursive=True)
         ]
+        for entry in files:
+            entry["bytes"] = os.path.getsize(os.path.join(self.root, entry["path"]))
         if fmt == "parquet" and subdir == "data":
             # Iceberg manifests carry per-column lower/upper bounds per data
             # file; scan planning skips files those bounds rule out. Fold
@@ -423,6 +435,22 @@ class LakehouseTable:
                 if st is not None:
                     entry["stats"] = st
         return files
+
+    def _observed_row_bytes(self) -> float | None:
+        """Mean on-disk bytes per row over live data files whose entries
+        carry both sizes and row counts — the history-based estimate that
+        converts a byte file-size target into Spark's rows-per-file knob."""
+        try:
+            data_files, _ = self.live_files()
+        except Exception:
+            return None
+        tot_b = tot_r = 0
+        for f in data_files:
+            st = f.get("stats")
+            if f.get("bytes") and st and st.get("rows"):
+                tot_b += f["bytes"]
+                tot_r += st["rows"]
+        return (tot_b / tot_r) if tot_r else None
 
     # ---------------------------------------------------------------- write
     def _project(self, df: DataFrame, case_insensitive: bool = False) -> DataFrame:

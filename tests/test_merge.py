@@ -154,3 +154,30 @@ def test_distribution_mode_unpartitioned_is_noop(spark, catalog):
     )
     t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
     assert _ids(t.read(spark)) == [(1, "a"), (2, "b")]
+
+
+def test_target_file_size_bytes_adaptive(spark, catalog):
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = catalog.create_table(
+        "default.fsize",
+        schema,
+        properties={"write.target-file-size-bytes": "4096"},
+    )
+    df = spark.createDataFrame(
+        [(i, "x" * 64) for i in range(4000)], schema
+    ).coalesce(1)
+    # first commit: no observed history -> rolls by task output (1 file)
+    t.append(df)
+    first, _ = t.live_files()
+    assert len(first) == 1 and first[0]["bytes"] > 0
+    # second commit: history gives bytes/row, so the byte target becomes a
+    # rows-per-file cap and the same data rolls into multiple files
+    t.append(df)
+    all_files, _ = t.live_files()
+    second = [f for f in all_files if f["seq"] == 2]
+    assert len(second) > 1
+    # each rolled file is within a small multiple of the target (parquet
+    # per-file overhead dominates at this tiny scale, so allow 3x)
+    assert all(f["bytes"] < 3 * 4096 for f in second)
