@@ -111,6 +111,8 @@ def table_main(argv: list[str]) -> int:
         sub.add_parser(meta_action)
     c = sub.add_parser("compact")
     c.add_argument("--sort-by", help="comma-separated sort columns")
+    bp = sub.add_parser("binpack")
+    bp.add_argument("--min-size", type=int, default=32 * 1024 * 1024)
     e = sub.add_parser("expire")
     e.add_argument("--keep", type=int, default=10)
     o = sub.add_parser("orphans")
@@ -171,6 +173,14 @@ def table_main(argv: list[str]) -> int:
         )
         snap = t.compact(spark, sort_by=sort_by)
         out = {"snapshot_id": snap["snapshot_id"], "operation": snap["operation"]}
+    elif args.action == "binpack":
+        spark = get_spark(app_name="table-maintenance")
+        snap = t.rewrite_small_files(spark, min_file_size=args.min_size)
+        out = (
+            {"snapshot_id": snap["snapshot_id"], "summary": snap["summary"]}
+            if snap
+            else {"status": "nothing to rewrite"}
+        )
     elif args.action == "rollback":
         snap = t.rollback(args.snapshot)
         out = {"snapshot_id": snap["snapshot_id"]}

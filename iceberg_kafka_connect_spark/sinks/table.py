@@ -253,6 +253,7 @@ class LakehouseTable:
         branch: str,
         replace: bool = False,
         new_schema: dict | None = None,
+        preserve_seq: bool = False,
     ) -> dict:
         """Optimistic-retry commit of a new snapshot onto ``branch``.
 
@@ -272,13 +273,21 @@ class LakehouseTable:
             sid = uuid.uuid4().hex
             manifest_rel = os.path.join("metadata", f"man-{sid}.json")
             with open(os.path.join(self.root, manifest_rel), "w") as f:
+                # preserve_seq: partial rewrites (binpack) carry files over
+                # from earlier snapshots — their original sequence numbers
+                # must survive so existing equality deletes keep applying
+                def _seq(entry: dict) -> int:
+                    if preserve_seq and "seq" in entry:
+                        return entry["seq"]
+                    return seq
+
                 json.dump(
                     {
                         "added_data_files": [
-                            {**df_, "seq": seq} for df_ in data_files
+                            {**df_, "seq": _seq(df_)} for df_ in data_files
                         ],
                         "added_delete_files": [
-                            {**df_, "seq": seq} for df_ in delete_files
+                            {**df_, "seq": _seq(df_)} for df_ in delete_files
                         ],
                     },
                     f,
@@ -761,11 +770,18 @@ class LakehouseTable:
             return spark.createDataFrame([], target)
         if where is not None:
             data = data.filter(where)
+        return self._apply_deletes(spark, data, delete_files).drop("__seq")
+
+    def _apply_deletes(
+        self, spark: SparkSession, data: DataFrame, delete_files: list[dict]
+    ) -> DataFrame:
+        """Merge-on-read delete application: ``data`` (carrying ``__seq``)
+        minus keys equality-deleted at a later sequence. Delete files are
+        grouped by their recorded key-column set: id-columns may change
+        between batches, and each key-set applies as its own anti-join
+        (legacy entries without key_cols get schema inference)."""
         if not delete_files:
-            return data.drop("__seq")
-        # group delete files by their recorded key-column set: id-columns may
-        # change between batches, and each key-set applies as its own
-        # anti-join (legacy entries without key_cols get schema inference)
+            return data
         by_keyset: dict[tuple[str, ...], list[dict]] = {}
         for f in delete_files:
             kc = f.get("key_cols")
@@ -790,7 +806,7 @@ class LakehouseTable:
                 )
                 .drop("__max_dseq")
             )
-        return out.drop("__seq")
+        return out
 
     def _delete_key_cols(self, spark: SparkSession, dfile: dict) -> list[str]:
         fmt = dfile.get("format", "parquet")
@@ -1052,6 +1068,59 @@ class LakehouseTable:
         files = self._write_files(current, "data")
         return self._commit_snapshot(
             "replace", files, [], summary, branch, replace=True
+        )
+
+    def rewrite_small_files(
+        self,
+        spark: SparkSession,
+        min_file_size: int = 32 * 1024 * 1024,
+        branch: str = MAIN,
+    ) -> dict | None:
+        """Iceberg rewrite_data_files strategy=binpack: coalesce only data
+        files below ``min_file_size`` into target-sized files, carrying every
+        other file over untouched — at 100 TB this is the difference between
+        a bounded maintenance job over the small-file tail and `compact()`'s
+        full-table rewrite.
+
+        Kept files retain their sequence numbers and existing delete files
+        stay in the manifest, so equality deletes keep applying to them;
+        the rewritten rows have deletes FOLDED IN and land at the new (top)
+        sequence, out of the deletes' reach. Returns the snapshot, or None
+        when fewer than two small files exist (nothing to coalesce).
+        """
+        meta = self.metadata()
+        snap = self.current_snapshot(branch)
+        if snap is None:
+            return None
+        data_files, delete_files = self._live_files(meta, snap)
+        small = [f for f in data_files if f.get("bytes", 0) < min_file_size]
+        if len(small) < 2:
+            return None
+        kept = [f for f in data_files if f.get("bytes", 0) >= min_file_size]
+        merged = self._read_file_group(spark, small, self.read_schema())
+        merged = self._apply_deletes(spark, merged, delete_files).drop("__seq")
+        # pack to the byte target: without this the rewrite inherits one
+        # output file per input split and coalesces nothing
+        target = int(
+            self.properties().get(
+                "write.target-file-size-bytes", 128 * 1024 * 1024
+            )
+        )
+        n_out = max(1, -(-sum(f.get("bytes", 0) for f in small) // target))
+        merged = merged.coalesce(n_out)
+        new_files = self._write_files(merged, "data")
+        return self._commit_snapshot(
+            "replace",
+            kept + new_files,
+            delete_files,
+            {
+                "compaction": "binpack",
+                "rewritten-files": str(len(small)),
+                "kept-files": str(len(kept)),
+            },
+            branch,
+            replace=True,
+            preserve_seq=True,
         )
 
     def rollback(self, snapshot_id: str, branch: str = MAIN) -> dict:

@@ -181,3 +181,51 @@ def test_target_file_size_bytes_adaptive(spark, catalog):
     # each rolled file is within a small multiple of the target (parquet
     # per-file overhead dominates at this tiny scale, so allow 3x)
     assert all(f["bytes"] < 3 * 4096 for f in second)
+
+
+def test_rewrite_small_files_binpack(spark, catalog):
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = catalog.create_table("default.binpack", schema)
+    # one big file (incompressible payloads), then a tail of small ones
+    import hashlib
+
+    def blob(i):
+        return hashlib.md5(str(i).encode()).hexdigest() * 6
+
+    t.append(
+        spark.createDataFrame(
+            [(i, blob(i)) for i in range(5000)], schema
+        ).coalesce(1)
+    )
+    for k in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(10_000 + k * 10 + j, "s") for j in range(10)], schema
+            ).coalesce(1)
+        )
+    # a delete that hits BOTH a kept file's row and a small file's row
+    t.upsert(spark.createDataFrame([(0, "DEL"), (10_000, "DEL")], schema), ["id"])
+    before = sorted((r.id, r.v) for r in t.read(spark).collect())
+
+    data_before, _ = t.live_files()
+    big = [f for f in data_before if f["bytes"] >= 100_000]
+    assert len(big) == 1
+    big_seq = big[0]["seq"]
+
+    snap = t.rewrite_small_files(spark, min_file_size=100_000)
+    assert snap is not None and snap["summary"]["compaction"] == "binpack"
+    data_after, deletes_after = t.live_files()
+    # fewer files; the big file survives with its original path and seq
+    assert len(data_after) < len(data_before)
+    kept_big = [f for f in data_after if f["path"] == big[0]["path"]]
+    assert kept_big and kept_big[0]["seq"] == big_seq
+    # deletes remain in the manifest (they still guard the kept file)
+    assert deletes_after
+    # results identical, including both delete victims replaced not duplicated
+    after = sorted((r.id, r.v) for r in t.read(spark).collect())
+    assert after == before
+    assert (0, "DEL") in after and (10_000, "DEL") in after
+    # idempotent-ish: a second pass has at most one small file left
+    assert t.rewrite_small_files(spark, min_file_size=100_000) is None
