@@ -115,6 +115,7 @@ def table_main(argv: list[str]) -> int:
     bp.add_argument("--min-size", type=int, default=32 * 1024 * 1024)
     e = sub.add_parser("expire")
     e.add_argument("--keep", type=int, default=10)
+    e.add_argument("--older-than-ms", type=int, default=None)
     o = sub.add_parser("orphans")
     o.add_argument("--delete", action="store_true")
     tg = sub.add_parser("tag")
@@ -157,7 +158,11 @@ def table_main(argv: list[str]) -> int:
     elif args.action == "tags":
         out = t.tags()
     elif args.action == "expire":
-        out = {"expired": t.expire_snapshots(keep_last=args.keep)}
+        out = {
+            "expired": t.expire_snapshots(
+                keep_last=args.keep, older_than_ms=args.older_than_ms
+            )
+        }
     elif args.action == "orphans":
         out = {"orphans": t.remove_orphan_files(dry_run=not args.delete)}
     elif args.action == "tag":

@@ -1160,10 +1160,14 @@ class LakehouseTable:
                 time.sleep(0.05 * (attempt + 1))
         raise CommitConflict("unreachable")
 
-    def expire_snapshots(self, keep_last: int = 10) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 10, older_than_ms: int | None = None
+    ) -> int:
         """Iceberg expire_snapshots parity: drop snapshot metadata beyond the
-        last ``keep_last`` per branch-reachable chain. Returns the number of
-        expired snapshots. File cleanup is remove_orphan_files' job."""
+        last ``keep_last`` per branch-reachable chain; with ``older_than_ms``
+        (expireOlderThan), snapshots at or after the cutoff are additionally
+        retained even off-chain. Returns the number of expired snapshots.
+        File cleanup is remove_orphan_files' job."""
         for attempt in range(COMMIT_RETRIES):
             meta = self.metadata()
             keep: set[str] = set()
@@ -1178,6 +1182,12 @@ class LakehouseTable:
             # ancestry expires the sealing pass below rewrites them with a
             # full manifest, so the tag stays readable
             keep.update(meta.get("tags", {}).values())
+            if older_than_ms is not None:
+                keep.update(
+                    s["snapshot_id"]
+                    for s in meta["snapshots"]
+                    if s["timestamp_ms"] >= older_than_ms
+                )
             expired = [
                 s for s in meta["snapshots"] if s["snapshot_id"] not in keep
             ]

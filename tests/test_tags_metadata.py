@@ -119,3 +119,19 @@ def test_source_mix_flattens_shares(spark):
     # natural ratio 10:1 flattens to ~sqrt(10):1
     ratio = counts["big"] / counts["small"]
     assert 2.0 < ratio < 4.5
+
+
+def test_expire_older_than_retains_recent(spark, catalog):
+    import time as _time
+
+    t = catalog.create_table("default.age", SCHEMA)
+    for i in range(4):
+        t.append(_df(spark, i * 5, i * 5 + 5))
+    # cutoff before every snapshot: nothing beyond keep_last is old enough
+    cutoff_past = int(_time.time() * 1000) - 3_600_000
+    assert t.expire_snapshots(keep_last=1, older_than_ms=cutoff_past) == 0
+    assert len(t.snapshots()) == 4
+    # cutoff in the future: pure keep_last behavior
+    cutoff_future = int(_time.time() * 1000) + 3_600_000
+    assert t.expire_snapshots(keep_last=1, older_than_ms=cutoff_future) == 3
+    assert t.read(spark).count() == 20
