@@ -134,6 +134,16 @@ class SinkPipeline:
                     return
                 props = self._snapshot_props(batch, batch_id)
             routed = self._route(records)
+            # no-files ⇒ no commit (Coordinator.java commit path: a table
+            # with nothing to commit gets no snapshot; the reference even
+            # defers table CREATION to the first record,
+            # IcebergWriterFactory.java:69-117). Without this, every idle
+            # static route accrues one empty snapshot per trigger — pure
+            # metadata bloat at streaming cadence. isEmpty() is a LIMIT 1
+            # over the already-persisted batch, not a scan.
+            routed = {
+                name: df for name, df in routed.items() if not df.isEmpty()
+            }
             if cfg.commit_threads > 1 and len(routed) > 1:
                 # T8: parallel per-table commit (Coordinator.java:89,147-153).
                 # Spark job submission is thread-safe; each table's snapshot

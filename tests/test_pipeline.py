@@ -543,3 +543,27 @@ def test_scalar_json_value_goes_to_dlq(spark, tmp_path, catalog):
 
     with pytest.raises(Exception, match="malformed"):
         pipe2.process_batch(batch_file_source(spark, str(src)), batch_id=0)
+
+
+def test_no_files_no_commit(spark, tmp_path, catalog):
+    """Coordinator no-files parity (CoordinatorTest: a table that received
+    no data files gets NO snapshot): a routed table with zero matching rows
+    in a batch must not accrue an empty snapshot per trigger."""
+    cfg = SinkConfig(
+        tables=[
+            TableConfig("default.nf_hit", route_regex="hit"),
+            TableConfig("default.nf_miss", route_regex="miss"),
+        ],
+        route_field="type",
+        auto_create=True,
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-nf", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(
+        src, [{"id": 1, "type": "hit", "payload": None, "op": None}]
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    assert len(catalog.load_table("default.nf_hit").snapshots()) == 1
+    # the miss table got no records: not even created (the reference creates
+    # on first record), let alone committed to
+    assert not catalog.table_exists("default.nf_miss")
