@@ -73,3 +73,37 @@ def test_cdc_collapse_at_10x(spark, sf_dir):
     collapsed = cdc.collapse_last_wins(events, ["user_id"], ["ts", "event_id"])
     n_users = events.select("user_id").distinct().count()
     assert collapsed.count() == n_users
+
+
+def test_span_dedup_amplified_first_occurrence_invariants(spark, sf_dir):
+    """Span dedup at 10× document multiplicity: every replicated doc shares
+    its spans with the original, so exactly ONE copy of each repeated span
+    survives corpus-wide and total span accounting stays exact."""
+    from iceberg_kafka_connect_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    amp = _amplify(docs, "doc_id")
+    out = span_dedup(amp, span_words=4, min_df=2)
+    agg = out.agg(
+        F.sum("n_spans").alias("total"),
+        F.sum("n_spans_kept").alias("kept"),
+        F.count(F.lit(1)).alias("docs"),
+    ).collect()[0]
+    n_docs = docs.count()
+    assert agg["docs"] == n_docs * MULT
+    # replication multiplies spans by MULT
+    base_spans = span_dedup(docs, span_words=4, min_df=2).agg(
+        F.sum("n_spans").alias("t")
+    ).collect()[0]["t"]
+    assert agg["total"] == base_spans * MULT
+    # every span occurs >= MULT times post-amplification, so survivors are
+    # exactly the distinct spans of the corpus (first occurrences only)
+    distinct_spans = (
+        span_dedup(amp.limit(0).unionByName(amp), span_words=4, min_df=10**9)
+        .agg(F.sum("n_spans").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert agg["kept"] < agg["total"]
+    assert agg["kept"] <= distinct_spans
