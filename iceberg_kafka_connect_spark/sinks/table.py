@@ -254,6 +254,7 @@ class LakehouseTable:
         replace: bool = False,
         new_schema: dict | None = None,
         preserve_seq: bool = False,
+        expected_parent: str | None = None,
     ) -> dict:
         """Optimistic-retry commit of a new snapshot onto ``branch``.
 
@@ -266,6 +267,16 @@ class LakehouseTable:
         for attempt in range(COMMIT_RETRIES):
             meta = self.metadata()
             parent_id = meta["refs"].get(branch)
+            # expected_parent: REPLACE commits rewrite the full live set as
+            # computed from a specific head — if the branch moved since (a
+            # concurrent append), blindly re-parenting would erase the
+            # concurrent snapshot's files. Iceberg's RewriteFiles fails this
+            # validation the same way; the caller re-plans and retries.
+            if expected_parent is not None and parent_id != expected_parent:
+                raise CommitConflict(
+                    f"branch {branch!r} moved from {expected_parent!r} to "
+                    f"{parent_id!r} during rewrite; re-plan the rewrite"
+                )
             parent = (
                 self._snapshot_by_id(meta, parent_id) if parent_id else None
             )
@@ -1050,6 +1061,7 @@ class LakehouseTable:
         and the recorded column bounds make predicate file-pruning sharp —
         a range query then opens O(matching) files instead of all of them.
         """
+        head = self.current_snapshot(branch)
         current = self.read(spark, branch=branch)
         summary = {"compaction": "true"}
         if sort_by:
@@ -1067,7 +1079,13 @@ class LakehouseTable:
             summary["sort-order"] = ",".join(sort_by)
         files = self._write_files(current, "data")
         return self._commit_snapshot(
-            "replace", files, [], summary, branch, replace=True
+            "replace",
+            files,
+            [],
+            summary,
+            branch,
+            replace=True,
+            expected_parent=head["snapshot_id"] if head else None,
         )
 
     def rewrite_small_files(
@@ -1121,6 +1139,7 @@ class LakehouseTable:
             branch,
             replace=True,
             preserve_seq=True,
+            expected_parent=snap["snapshot_id"],
         )
 
     def rollback(self, snapshot_id: str, branch: str = MAIN) -> dict:

@@ -83,3 +83,39 @@ def test_topic_based_routing(spark):
     routed = plan_routes(df, cfg)
     assert sorted(r.id for r in routed["t_orders"].collect()) == [1, 3]
     assert [r.id for r in routed["t_ship"].collect()] == [2]
+
+
+def test_concurrent_append_during_rewrite_detected(spark, tmp_path):
+    """A REPLACE commit (compaction) planned against a stale head must fail
+    with CommitConflict instead of silently erasing a concurrent append's
+    files — Iceberg RewriteFiles validation semantics."""
+    from iceberg_kafka_connect_spark.sinks.table import (
+        CommitConflict,
+        LakehouseTable,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table("default.rw", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    t.append(spark.createDataFrame([(2, "b")], SCHEMA))
+
+    other = LakehouseTable(t.root)  # concurrent writer handle
+    orig = t._write_files
+    raced = {"done": False}
+
+    def hooked(df, subdir):
+        # sneak a concurrent append in between the rewrite's read and commit
+        if not raced["done"]:
+            raced["done"] = True
+            other.append(spark.createDataFrame([(99, "z")], SCHEMA))
+        return orig(df, subdir)
+
+    t._write_files = hooked
+    with pytest.raises(CommitConflict, match="moved"):
+        t.compact(spark)
+    t._write_files = orig
+    # nothing lost: all three rows (incl. the concurrent one) survive
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 99]
+    # and a re-planned compaction now succeeds
+    t.compact(spark)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 99]
