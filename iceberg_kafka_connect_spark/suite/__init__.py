@@ -91,6 +91,7 @@ def load_all() -> dict[str, QuerySpec]:
             "embedding_quantize",  # representation detail; ANN paths windowed
             "docs_keyterms",  # tf-idf ranking; text coverage already windowed
             "docs_sample_stratified",  # 2nd sampler; topk variant also at tail
+            "time_travel_read",  # branch_commits already proves ref reads
         )
         for k in [k for k in yield_slots if k in QUERIES]:
             QUERIES[k] = QUERIES.pop(k)

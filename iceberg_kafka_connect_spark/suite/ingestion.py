@@ -1242,3 +1242,47 @@ def merge_into(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
     )
+
+# --------------------------------------------------------------------------
+# Time travel: read the table as of an earlier snapshot while the head has
+# moved on (Iceberg snapshot-id read; tests cover tags/branches — this is
+# the gate-visible flavor).
+# --------------------------------------------------------------------------
+@register(
+    "time_travel_read",
+    oracle="""
+    SELECT 'past' AS view,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id < 250
+    UNION ALL
+    SELECT 'head' AS view,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id < 600
+    ORDER BY view
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def time_travel_read(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="tt_gate_") + "/t", e.schema
+    )
+    s1 = t.append(e.filter(F.col("event_id") < 250))
+    t.append(e.filter((F.col("event_id") >= 250) & (F.col("event_id") < 600)))
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    ]
+    past = t.read(spark, snapshot_id=s1["snapshot_id"]).agg(*agg).select(
+        F.lit("past").alias("view"), "n_rows", "sum_ids"
+    )
+    head = t.read(spark).agg(*agg).select(
+        F.lit("head").alias("view"), "n_rows", "sum_ids"
+    )
+    return head.unionByName(past).orderBy("view")
