@@ -327,11 +327,17 @@ def source_mix_resample(
         )
     )
     rates = rates.withColumn("__thresh", thresh).drop("__rate")
+    # null-safe join: a NULL source is a legitimate group (scraped corpora
+    # often miss metadata) — a plain equi-join would silently drop it
+    r = rates.withColumnRenamed(source_col, "__src")
     return (
-        docs.join(F.broadcast(rates), on=source_col)
+        docs.join(
+            F.broadcast(r),
+            F.col(source_col).eqNullSafe(F.col("__src")),
+        )
         .filter(
             F.substring(F.md5(F.col(key_col).cast("string")), 1, 6)
             < F.col("__thresh")
         )
-        .drop("__thresh")
+        .drop("__thresh", "__src")
     )

@@ -44,10 +44,17 @@ def _norm(v: Any) -> tuple[str, Any] | None:
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, float):
+        # NaN poisons interval comparisons (every predicate test would be
+        # False → wrongful pruning); a column whose bounds touch NaN simply
+        # doesn't participate
+        if v != v:
+            return None
         return ("f", v)
     if isinstance(v, str):
         return ("s", v)
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc)
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, _dt.date):
         return ("d", v.isoformat())
@@ -133,16 +140,27 @@ def _parse_lit(m: re.Match) -> tuple[str, Any] | None:
     if txt.lstrip().upper().startswith("DATE"):
         return ("d", body)
     try:
-        return ("ts", _dt.datetime.fromisoformat(body).replace(tzinfo=None).isoformat())
+        ts = _dt.datetime.fromisoformat(body)
     except ValueError:
         return None
+    # stored bounds are UTC wall-clock; a tz-offset literal must be
+    # CONVERTED to UTC (stripping the offset alone would shift the
+    # comparison by the offset and prune files that contain matches)
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(_dt.timezone.utc)
+    return ("ts", ts.replace(tzinfo=None).isoformat())
 
 
 def _comparable(tag_s: str, lo: Any, hi: Any, tag_l: str, lit: Any):
     """Bring stat bounds and a literal into one comparable domain, or None."""
     num = {"i", "f"}
     if tag_s in num and tag_l in num:
-        return float(lo), float(hi), float(lit)
+        lo, hi, lit = float(lo), float(hi), float(lit)
+        # NaN anywhere (e.g. bounds recorded before the collection-time
+        # guard) makes every comparison False → wrongful pruning; bail out
+        if lo != lo or hi != hi or lit != lit:
+            return None
+        return lo, hi, lit
     if tag_s != tag_l:
         return None
     return lo, hi, lit  # str / iso-date / iso-timestamp: lexicographic == temporal

@@ -405,7 +405,9 @@ class LakehouseTable:
         dist = self.properties().get("write.distribution-mode", "none").lower()
         if subdir == "data" and pcols and dist == "hash":
             writer = writer.repartition(*[F.col(c) for c in pcols])
-        elif subdir == "data" and pcols and dist == "range":
+        elif subdir == "data" and dist == "range" and (pcols or sort_cols):
+            # unpartitioned + sort-order is a first-class range case: the
+            # clustering is exactly what makes file bounds disjoint
             writer = writer.repartitionByRange(
                 *[F.col(c) for c in (pcols + sort_cols)]
             )
@@ -417,7 +419,12 @@ class LakehouseTable:
             paths = avro_io.write_avro_files(writer, out_dir)
             base = os.path.relpath(out_dir, self.root)
             return [
-                {"path": os.path.relpath(p, self.root), "base": base, "format": fmt}
+                {
+                    "path": os.path.relpath(p, self.root),
+                    "base": base,
+                    "format": fmt,
+                    "bytes": os.path.getsize(p),
+                }
                 for p in paths
             ]
         w = writer.write.mode("overwrite")
@@ -684,7 +691,11 @@ class LakehouseTable:
             matched = marked.filter(F.col("__matched").isNotNull() & cond)
             delete_files: list[dict] = []
             appends = None
-            if when_matched in ("update", "delete"):
+            # skip delete files when nothing matched: an insert-only outcome
+            # must commit as a plain append (no phantom delete file, no
+            # "overwrite" op breaking incremental consumers). isEmpty is a
+            # LIMIT 1 over the persisted marked batch.
+            if when_matched in ("update", "delete") and not matched.isEmpty():
                 keys = matched.select(*on)
                 delete_files = self._write_delete_files(keys, on)
             if when_matched == "update":
@@ -926,13 +937,24 @@ class LakehouseTable:
             )
         files: list[dict] = []
         for snap in reversed(snaps):
-            if snap["operation"] != "append":
-                raise ValueError(
-                    f"snapshot {snap['snapshot_id']!r} is a "
-                    f"{snap['operation']!r}, not an append — incremental "
-                    "scan cannot express it; read a full snapshot instead"
+            if snap["operation"] != "append" or snap.get("sealed"):
+                what = (
+                    "sealed by snapshot expiry (its manifest is the full "
+                    "live set, not an increment)"
+                    if snap.get("sealed")
+                    else f"a {snap['operation']!r}, not an append"
                 )
-            d, _ = self._load_manifest(snap)
+                raise ValueError(
+                    f"snapshot {snap['snapshot_id']!r} is {what} — "
+                    "incremental scan cannot express it; read a full "
+                    "snapshot instead"
+                )
+            d, dl = self._load_manifest(snap)
+            if dl:
+                raise ValueError(
+                    f"snapshot {snap['snapshot_id']!r} carries delete "
+                    "files — incremental scan cannot express it"
+                )
             files.extend(d)
         df = self._read_file_group(spark, files, target)
         if df is None:
@@ -1111,10 +1133,16 @@ class LakehouseTable:
         if snap is None:
             return None
         data_files, delete_files = self._live_files(meta, snap)
-        small = [f for f in data_files if f.get("bytes", 0) < min_file_size]
+        # size-unknown entries (committed before sizes were recorded) are
+        # NOT assumed small — treating them as 0 bytes would turn "binpack
+        # the tail" into an unconditional full-table rewrite
+        small = [
+            f for f in data_files if 0 < f.get("bytes", 0) < min_file_size
+        ]
         if len(small) < 2:
             return None
-        kept = [f for f in data_files if f.get("bytes", 0) >= min_file_size]
+        small_paths = {f["path"] for f in small}
+        kept = [f for f in data_files if f["path"] not in small_paths]
         merged = self._read_file_group(spark, small, self.read_schema())
         merged = self._apply_deletes(spark, merged, delete_files).drop("__seq")
         # pack to the byte target: without this the rewrite inherits one
@@ -1238,6 +1266,9 @@ class LakehouseTable:
                     sealed.append(rel)
                     s["manifest"] = rel
                     s["replace"] = True
+                    # a sealed manifest is the FULL live set, not this
+                    # snapshot's increment — incremental scans must refuse it
+                    s["sealed"] = True
                 s["parent"] = None
             meta["snapshots"] = [
                 s for s in meta["snapshots"] if s["snapshot_id"] in keep

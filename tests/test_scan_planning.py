@@ -220,3 +220,120 @@ def test_span_dedup_semantics(spark):
     assert out[2].n_spans == 3 and out[2].n_spans_kept == 1
     # doc 3's spans are "p q" (second occurrence -> dropped) and "r s"
     assert out[3].text_dedup == "r s"
+
+
+def test_tz_offset_timestamp_literal_prunes_correctly():
+    entry = {
+        "stats": {
+            "rows": 5,
+            "cols": {
+                "ts": {
+                    "t": "ts",
+                    "min": "2024-01-01T09:00:00",
+                    "max": "2024-01-01T10:00:00",
+                }
+            },
+        }
+    }
+    # +02:00 literal == 09:00 UTC: inside the bounds -> must KEEP
+    assert file_may_match(entry, "ts >= TIMESTAMP '2024-01-01 11:00:00+02:00'")
+    # +02:00 literal == 11:00 UTC: above the bounds -> prune
+    assert not file_may_match(
+        entry, "ts >= TIMESTAMP '2024-01-01 13:00:00+02:00'"
+    )
+
+
+def test_nan_bounds_never_prune():
+    entry = {
+        "stats": {
+            "rows": 5,
+            "cols": {"v": {"t": "f", "min": 1.0, "max": float("nan")}},
+        }
+    }
+    # NaN bound: column must not participate in pruning at all
+    assert file_may_match(entry, "v > 5.0")
+    assert file_may_match(entry, "v < 0.0")
+
+
+def test_appends_between_rejects_sealed_snapshots(spark, catalog):
+    t = catalog.create_table("default.sealshield", SCHEMA)
+    t.append(spark.createDataFrame(_rows(0, 10, "g"), SCHEMA))
+    t.append(spark.createDataFrame(_rows(10, 20, "g"), SCHEMA))
+    # an upsert whose deletes would be invisible to an incremental scan
+    t.upsert(
+        spark.createDataFrame(
+            [(0, "g", dt.datetime(2024, 6, 1), 0.0)], SCHEMA
+        ),
+        ["id"],
+    )
+    t.append(spark.createDataFrame(_rows(20, 30, "g"), SCHEMA))
+    t.append(spark.createDataFrame(_rows(30, 40, "g"), SCHEMA))
+    t.expire_snapshots(keep_last=2)
+    # the oldest kept snapshot was sealed to the full live set; a scan from
+    # the beginning must refuse rather than resurrect deleted rows
+    with pytest.raises(ValueError, match="sealed|delete files"):
+        t.appends_between(spark, None)
+
+
+def test_merge_insert_only_outcome_commits_append(spark, catalog):
+    from pyspark.sql import types as TT
+
+    schema = TT.StructType(
+        [TT.StructField("id", TT.LongType()), TT.StructField("v", TT.StringType())]
+    )
+    t = catalog.create_table("default.m_noop", schema)
+    s0 = t.append(spark.createDataFrame([(1, "a")], schema))
+    # matched clause present but matches nothing -> append commit, no
+    # delete file, incremental consumers unaffected
+    t.merge(
+        spark,
+        spark.createDataFrame([(9, "z")], schema),
+        on=["id"],
+        when_matched="delete",
+    )
+    head = t.current_snapshot()
+    assert head["operation"] == "append"
+    _, deletes = t.live_files()
+    assert deletes == []
+    inc = t.appends_between(spark, s0["snapshot_id"])
+    assert [r.id for r in inc.collect()] == [9]
+
+
+def test_range_distribution_unpartitioned_sorts_files(spark, catalog):
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    t = Catalog.create_table(
+        catalog, "default.rangeflat", schema,
+        properties={
+            "write.distribution-mode": "range",
+            "write.sort-order": "id",
+        },
+    )
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(2000)], schema
+    ).repartition(8)
+    # at toy scale AQE coalesces the range shuffle to one partition (files
+    # are target-sized, which is correct); disable coalescing to observe
+    # the range clustering itself
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.append(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    kept, total = t.scan_files("id < 100")
+    assert total > 1 and len(kept) < total
+
+
+def test_source_mix_keeps_null_source(spark):
+    from iceberg_kafka_connect_spark.operators.text import source_mix_resample
+
+    rows = [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed = source_mix_resample(docs, temperature=0.5)
+    by_src = {
+        r.source: r.n
+        for r in mixed.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    # equal-sized groups: both keep everything, incl. the NULL-source group
+    assert by_src.get(None) == 50 and by_src.get("a") == 50
