@@ -91,9 +91,11 @@ def connected_components(
     near-dup graphs are union-of-dense-clusters, so the diameter is tiny
     (2-3). Each round is one join (labels onto edges) + one min-aggregation,
     both keyed by node id — no step shuffles documents or grows with
-    cluster size squared. Convergence is detected by the per-round label
-    sum: labels only ever decrease, so an unchanged sum IS the fixpoint
-    (one O(1) scalar per round on the driver, no extra join).
+    cluster size squared. Convergence is detected by an order-independent
+    per-round label fingerprint (sum of xxhash64(label)): labels only ever
+    decrease per node, so an unchanged label multiset IS the fixpoint, and
+    the fingerprint works for ANY id type — summing raw ids would NULL out
+    (or ANSI-error) on string ids and break the loop after one round.
 
     Nodes with no edges don't appear in the input and so not in the output;
     callers union isolated ids back if they need total coverage.
@@ -123,9 +125,8 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist()
     )
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))
-    ).collect()[0][0]
+    _fp = F.sum(F.xxhash64(F.col("label")).cast("decimal(38,0)"))
+    prev_sum = labels.agg(_fp).collect()[0][0]
     for _ in range(max_iters):
         prop = sym.join(
             labels.withColumnRenamed("id", "a"), "a"
@@ -140,9 +141,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        new_sum = new_labels.agg(_fp).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
@@ -356,6 +355,38 @@ def verify_pairs_exact(sh: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+def verify_pairs_exact_two_sided(
+    sh_a: DataFrame, sh_b: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """verify_pairs_exact for CROSS-corpus candidates: id_a resolves against
+    ``sh_a``'s shingles and id_b against ``sh_b``'s. Keeping the sides
+    separate matters when the two corpora share an id namespace (a doc
+    re-ingested under its old id): a unioned shingle table would merge both
+    versions' shingles into one set and inflate every Jaccard involving
+    that id (a (x,x) cross pair would score 1.0 unconditionally)."""
+
+    def _sets(sh, id_out, hs_out):
+        return sh.groupBy("id").agg(
+            F.collect_set(F.xxhash64("shingle")).alias(hs_out)
+        ).withColumnRenamed("id", id_out)
+
+    return (
+        cand.join(_sets(sh_a, "id_a", "ha"), "id_a")
+        .join(_sets(sh_b, "id_b", "hb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ha", "hb")).cast("double")
+                / (
+                    F.size("ha") + F.size("hb")
+                    - F.size(F.array_intersect("ha", "hb"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def simhash63(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:
@@ -523,8 +554,13 @@ def cross_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    verified = verify_pairs_exact(sh_b.union(sh_h), cand)
-    return verified.filter(F.col("jaccard") >= threshold)
+    verified = verify_pairs_exact_two_sided(sh_b, sh_h, cand)
+    out = verified.filter(F.col("jaccard") >= threshold).localCheckpoint(
+        eager=True
+    )
+    sh_b.unpersist()
+    sh_h.unpersist()
+    return out
 
 
 def incremental_dedup(
@@ -591,7 +627,7 @@ def incremental_dedup(
         .distinct()
     )
     near_hist = (
-        verify_pairs_exact(sh_b.union(sh_h), cand_x)
+        verify_pairs_exact_two_sided(sh_b, sh_h, cand_x)
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("id"))
         .distinct()
@@ -627,11 +663,19 @@ def incremental_dedup(
               for c in ("__eh", "__eb", "__nh", "__nb")],
         )
     )
-    return flags.select(
+    out = flags.select(
         id_col,
         reason.isNull().alias("kept"),
         reason.alias("drop_reason"),
     )
+    # materialize the (one-row-per-batch-doc) verdicts, then RELEASE every
+    # cached intermediate: this op runs once per micro-batch in streaming
+    # curation loops, and leaked persists would pin dead batch state in
+    # executor storage memory forever
+    out = out.localCheckpoint(eager=True)
+    for cached in (b, exact_dropped, sh_b, sh_h, bb, near_hist):
+        cached.unpersist()
+    return out
 
 
 def span_dedup(

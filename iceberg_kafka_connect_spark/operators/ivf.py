@@ -68,7 +68,10 @@ def _assign_cells(normed: DataFrame, centroids) -> DataFrame:
             cells = (vecs @ c_t).argmax(axis=1).astype(np.int32)
             yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"], "cell": cells})
 
-    return normed.mapInPandas(assign, schema="id long, v array<double>, cell int")
+    id_type = dict(normed.dtypes)["id"]
+    return normed.mapInPandas(
+        assign, schema=f"id {id_type}, v array<double>, cell int"
+    )
 
 
 class IVFIndex:
@@ -177,8 +180,9 @@ class IVFIndex:
                     }
                 )
 
+        qid_type = dict(qn.dtypes)["id"]
         cells = qn.mapInPandas(
-            probe, schema="query_id long, qv array<double>, cell int"
+            probe, schema=f"query_id {qid_type}, qv array<double>, cell int"
         )
         # candidate scoring: per-row Catalyst dot product — O(1) plan size
         scored = (

@@ -175,8 +175,12 @@ def _srp_buckets(
                 }
             )
 
+    # the id column passes through untouched — declare its REAL type so
+    # string/decimal ids survive the Arrow round-trip (a hardcoded `long`
+    # would fail or null them)
+    id_type = dict(emb.dtypes)[id_col]
     return emb.select(id_col, vec_col).mapInPandas(
-        assign, schema="id long, band int, bucket long"
+        assign, schema=f"id {id_type}, band int, bucket long"
     )
 
 
@@ -247,12 +251,13 @@ def brute_force_topk_numpy(
 
     spark = queries.sparkSession
     qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qids = np.array([r[0] for r in qrows])  # id dtype preserved (object ok)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
     bq = spark.sparkContext.broadcast((qids, qmat))
 
-    out_schema = "query_id long, neighbor_id long, cos_sim double"
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
 
     def score(batches):
         import pandas as pd  # noqa: PLC0415
@@ -264,7 +269,7 @@ def brute_force_topk_numpy(
             cmat = np.vstack(pdf[vec_col].values).astype(np.float64)
             cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
             sims = mat @ cmat.T  # |Q| × batch
-            nb = pdf[id_col].values.astype(np.int64)
+            nb = pdf[id_col].to_numpy()  # native id dtype, incl. strings
             kk = min(k + 1, sims.shape[1])
             top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             rows = {

@@ -274,8 +274,14 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     w = F.split(F.trim(F.col(text_col)), r"\s+")
+    # a chunk starts at s only while s <= size - overlap - 1: a later start
+    # would add no words beyond the previous chunk's coverage (the old
+    # size-1 bound emitted a trailing chunk fully contained in its
+    # predecessor whenever stride < size <= chunk_tokens)
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.size(w) - F.lit(overlap) - 1, F.lit(0)),
+        F.lit(stride),
     )
     chunks = F.transform(starts, lambda s: F.slice(w, s + F.lit(1), chunk_tokens))
     return docs.select(

@@ -232,15 +232,20 @@ class LakehouseTable:
             f"unknown snapshot {sid!r} (expired or never existed) at {self.root}"
         )
 
-    def last_summary_value(self, key: str, branch: str = MAIN) -> str | None:
+    def last_summary_value(
+        self, key: str, branch: str = MAIN, where_key: str | None = None
+    ) -> str | None:
         """Walk snapshot ancestry for a summary property — the reference's
-        last-committed-offset lookup (Coordinator.java:193-202,286-303)."""
+        last-committed-offset lookup (Coordinator.java:193-202,286-303).
+        ``where_key`` selects the first ancestor carrying that marker
+        instead (returning its ``key`` value) — e.g. a writer's batch id
+        scoped to snapshots that writer stamped."""
         meta = self.metadata()
         sid = meta["refs"].get(branch)
         while sid is not None:
             snap = self._snapshot_by_id(meta, sid)
-            if key in snap["summary"]:
-                return snap["summary"][key]
+            if (where_key or key) in snap["summary"]:
+                return snap["summary"].get(key)
             sid = snap["parent"]
         return None
 
@@ -966,9 +971,20 @@ class LakehouseTable:
         """Iceberg `table.snapshots` metadata-table parity — the surface the
         reference's offset-recovery walk reads (Coordinator.java:286-303)."""
         meta = self.metadata()
+        # one forward pass (snapshots are append-ordered, parents first):
+        # live counts = parent's counts + this snapshot's additions, reset
+        # at replace/legacy-full-list snapshots. An ancestry walk per row
+        # would re-open every delta manifest O(snapshots) times.
+        counts: dict[str, tuple[int, int]] = {}
         rows = []
         for s in meta["snapshots"]:
-            d, dl = self._live_files(meta, s)
+            d, dl = self._load_manifest(s)
+            if s.get("replace") or "manifest" not in s or s["parent"] is None:
+                n_d, n_dl = len(d), len(dl)
+            else:
+                pd_, pdl = counts.get(s["parent"], (0, 0))
+                n_d, n_dl = pd_ + len(d), pdl + len(dl)
+            counts[s["snapshot_id"]] = (n_d, n_dl)
             rows.append(
                 (
                     s["snapshot_id"],
@@ -976,8 +992,8 @@ class LakehouseTable:
                     s["sequence_number"],
                     s["timestamp_ms"],
                     s["operation"],
-                    len(d),
-                    len(dl),
+                    n_d,
+                    n_dl,
                     {k: str(v) for k, v in s["summary"].items()},
                 )
             )

@@ -53,16 +53,10 @@ def curation_loop(
     marker = "curation-loop"
 
     def _last_batch_id() -> int | None:
-        meta = corpus_table.metadata()
-        sid = meta["refs"].get("main")
-        while sid is not None:
-            snap = next(
-                s for s in meta["snapshots"] if s["snapshot_id"] == sid
-            )
-            if marker in snap["summary"]:
-                return int(snap["summary"][BATCH_ID_PROP])
-            sid = snap["parent"]
-        return None
+        # table-level ancestry walk (clean unknown-snapshot errors even
+        # after expire_snapshots pruned part of the chain)
+        v = corpus_table.last_summary_value(BATCH_ID_PROP, where_key=marker)
+        return int(v) if v is not None else None
 
     def process(batch: DataFrame, batch_id: int) -> None:
         # exactly-once: replayed batches (checkpoint restart) are skipped by

@@ -91,7 +91,15 @@ class SinkPipeline:
                     ~F.col("__tomb")
                     & (
                         F.try_parse_json("value").isNull()
-                        | ~F.startswith(F.ltrim(F.col("value")), F.lit("{"))
+                        # JSON allows \t \n \r before the object and
+                        # Spark's ltrim strips spaces only — strip the
+                        # full JSON-whitespace class before the '{' check
+                        | ~F.startswith(
+                            F.regexp_replace(
+                                F.col("value"), r"^[ \t\r\n]+", ""
+                            ),
+                            F.lit("{"),
+                        )
                     ),
                 )
                 .persist()

@@ -362,7 +362,7 @@ def docs_sample_topk_per_source(spark, sf_dir):
     ),
     c AS (
         SELECT doc_id,
-               list_transform(range(0, greatest(len(w) - 1, 0) + 1, 30),
+               list_transform(range(0, greatest(len(w) - 10 - 1, 0) + 1, 30),
                               s -> w[s+1:s+40]) AS cl
         FROM d
     )

@@ -490,7 +490,7 @@ def test_trailing_tombstones_still_advance_offsets(spark, tmp_path, catalog):
     t = catalog.load_table("default.tomb_off")
     assert t.read(spark).count() == 1
     offs = json.loads(t.current_snapshot()["summary"]["kafka.connect.offsets"])
-    assert offs == {"events-3": 3} if False else offs == {"events-0": 3}
+    assert offs == {"events-0": 3}
 
 
 def test_scalar_json_value_goes_to_dlq(spark, tmp_path, catalog):
