@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     # corpus-level rewriting
     "docs_span_dedup",
     "docs_source_mix",
+    "dedup_semantic",
+    "dedup_semdedup",
+    "docs_dsir_relevance",
 ]
 
 

@@ -336,3 +336,99 @@ def quantize_int8(
         ).cast("int"),
     )
     return out.withColumn("nvec", nvec).withColumn("qvec", qvec)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    nlist: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings, then finding cosine near-duplicates only WITHIN
+    each cluster and keeping one representative per near-dup group.
+
+    Two clustering modes:
+
+    - ``cluster_col`` given: the shard assignment is an existing column
+      (a stored k-means cell, a topic label, a partition key). Fully
+      deterministic and SQL-expressible — the oracle-checked path.
+    - ``cluster_col`` None: k-means via :class:`IVFIndex` (deterministic
+      init, ``nlist``/``iters``) assigns the cells. The real SemDeDup
+      shape; approximate exactly like the paper (a near-dup pair split
+      across cluster boundaries is missed — precision stays 1.0 because
+      every reported pair is verified with exact cosine).
+
+    Scale shape: the quadratic step is confined inside clusters (the whole
+    point of SemDeDup — |cluster| ≈ n/nlist, so the pair join on the
+    cluster key costs Σ|cluster|² ≪ n²); representative election is
+    min-label propagation over the near-dup edges (O(cluster diameter)
+    rounds, id-keyed shuffles only). Vectors cross the wire once for the
+    cluster-keyed self-join; verdicts are one id-keyed left join.
+
+    Output: one row per input vector — (id, cluster, kept, rep_id) where
+    ``rep_id`` is the smallest id in the vector's near-dup group (itself
+    when no duplicate ≥ threshold shares its cluster).
+    """
+    from .dedup import connected_components
+    from .ivf import IVFIndex
+
+    if cluster_col is None:
+        idx = IVFIndex.build(
+            emb, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        cells = idx.assigned.select(
+            F.col("id"), F.col("cell").alias("__cluster")
+        )
+        base = emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+        ).join(cells, "id")
+    else:
+        base = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            F.col(cluster_col).alias("__cluster"),
+        )
+    base = base.persist()
+    # within-cluster near-dup pairs: scored on the ORIGINAL vectors (not a
+    # normalized copy) so the pair set is bit-identical to an exact
+    # all-pairs cosine over the same cluster
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__cluster").alias("__ca"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__cluster").alias("__cb"),
+    )
+    pairs = (
+        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    comp = connected_components(pairs).select(
+        "id", F.col("component").alias("__rep")
+    )
+    out = (
+        base.join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__cluster").alias("cluster"),
+            (F.coalesce(F.col("__rep"), F.col("id")) == F.col("id")).alias(
+                "kept"
+            ),
+            F.coalesce(F.col("__rep"), F.col("id")).alias("rep_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return out

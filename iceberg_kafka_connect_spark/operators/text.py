@@ -347,3 +347,81 @@ def source_mix_resample(
         )
         .drop("__thresh", "__src")
     )
+
+
+def hashed_relevance(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_hex: int = 2,
+) -> DataFrame:
+    """DSIR-style domain-relevance scoring (Xie et al. 2023,
+    arXiv:2302.03169 "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much its hashed-unigram
+    profile looks like a target domain (rows where ``target`` is true)
+    versus the raw corpus, then select/resample on the score.
+
+    DSIR weights are log p_target(f)/p_raw(f) sums; this uses the linear
+    discriminant Σ_w [p_t(b(w)) − p_r(b(w))] instead — same feature space
+    (hashed n-gram buckets), same sign, but exactly reproducible across
+    engines because it stays in INTEGER arithmetic until one final
+    division: the per-word term p_t − p_r is computed as
+    c_t·N_r − c_r·N_t over the bucket counts (exact bigints), summed per
+    document, and normalized once by N_t·N_r·n_words. (At web scale swap
+    the bigint sums for doubles — the exactness only matters for oracle
+    hash-parity.)
+
+    Buckets are the first ``prefix_hex`` hex chars of md5(word) —
+    engine-portable (same idiom as hash_sample), 16^prefix_hex buckets.
+
+    Scale shape: the bucket table is ONE partial-agg groupBy over exploded
+    words (16^prefix_hex rows out), collected and folded back into the
+    per-document pass as a literal map — the scoring pass is then a pure
+    projection: zero joins, zero shuffles, one corpus scan each for stats
+    and scoring.
+
+    Output: (id, n_words, score_num, relevance, toward_target).
+    """
+    words = _lower_words(F.col(text_col))
+    bucket = lambda w: F.substring(F.md5(w), 1, prefix_hex)  # noqa: E731
+    stats = (
+        docs.select(
+            F.explode(words).alias("__w"), target.alias("__tgt")
+        )
+        .select(bucket(F.col("__w")).alias("__b"), "__tgt")
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(F.col("__tgt").cast("long")).alias("n_tgt"),
+        )
+        .collect()
+    )
+    n_raw = sum(r.n_all for r in stats)
+    n_tgt = sum(r.n_tgt for r in stats)
+    if n_tgt == 0 or n_raw == 0:
+        raise ValueError("hashed_relevance: empty corpus or target slice")
+    # per-bucket integer weight: c_t·N_r − c_r·N_t  (≡ sign of p_t − p_r)
+    weight = {r["__b"]: r.n_tgt * n_raw - r.n_all * n_tgt for r in stats}
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weight.items() for x in kv]
+    )
+    score = F.aggregate(
+        F.transform(words, lambda w: wmap[bucket(w)]),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    nw = F.size(words)
+    return docs.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        score.alias("score_num"),
+        (
+            score.cast("double")
+            / (
+                F.lit(float(n_tgt) * float(n_raw))
+                * nw.cast("double")
+            )
+        ).alias("relevance"),
+        (score > 0).alias("toward_target"),
+    )

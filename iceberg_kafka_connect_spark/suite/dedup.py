@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..operators import text as tx
+from ..operators import similarity
 from ..operators.similarity import cosine_pairs
 from ..functions.vector import sql_cosine
 from . import register
@@ -342,3 +343,51 @@ def dedup_signal_agreement(spark, sf_dir):
 def docs_span_dedup(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return dedup.span_dedup(docs, span_words=4, min_df=2)
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup, sharded by a stored cluster column (SemDeDup with the
+# clustering given): near-dup pairs are searched only within a shard, each
+# near-dup group keeps its smallest id. The oracle replays the exact same
+# semantics — within-label cosine edges, recursive-CTE closure, min-id
+# representative — so every verdict is hash-checked. The k-means variant
+# (dedup_semdedup) exercises the full pipeline shape.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.4
+    ),
+    sym AS (SELECT ia AS a, ib AS b FROM e
+            UNION SELECT ib AS a, ia AS b FROM e),
+    reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.a, t.r FROM sym s JOIN reach t ON t.id = s.b
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT e0.vec_id,
+           e0.label AS cluster,
+           COALESCE(c.component, e0.vec_id) = e0.vec_id AS kept,
+           COALESCE(c.component, e0.vec_id) AS rep_id
+    FROM embeddings e0 LEFT JOIN comp c ON c.id = e0.vec_id
+    """,
+    tags=("dedup",),
+)
+def dedup_semantic(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.4, cluster_col="label")
+
+
+# Full SemDeDup: deterministic k-means discovers the shards, then the same
+# within-cluster dedup. k-means isn't SQL-expressible → rows-only here;
+# tests/test_semdedup.py proves nlist=1 ≡ the exact all-pairs verdicts and
+# that every dropped vector has a true cosine-≥-threshold partner.
+@register("dedup_semdedup", oracle=None, tags=("dedup",))
+def dedup_semdedup(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.4, nlist=8, iters=2)

@@ -320,3 +320,53 @@ def docs_source_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style domain-relevance scoring (hashed-unigram importance shape,
+# arXiv:2302.03169): target domain = English docs, raw = whole corpus.
+# Integer arithmetic end-to-end (c_t·N_r − c_r·N_t summed per doc, one
+# final double division) so Spark and DuckDB hash-match bit-for-bit.
+# --------------------------------------------------------------------------
+@register(
+    "docs_dsir_relevance",
+    oracle=r"""
+    WITH bx AS (
+        SELECT doc_id,
+               substr(md5(unnest(
+                   string_split_regex(trim(lower(text)), '\s+'))), 1, 2)
+                 AS b,
+               (lang = 'en') AS tgt
+        FROM documents
+    ),
+    stats AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+        FROM bx GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_all) AS BIGINT) AS nr,
+               CAST(SUM(n_tgt) AS BIGINT) AS nt
+        FROM stats
+    ),
+    score AS (
+        SELECT bx.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(s.n_tgt * t.nr - s.n_all * t.nt) AS BIGINT)
+                 AS score_num,
+               MAX(t.nt) AS nt, MAX(t.nr) AS nr
+        FROM bx JOIN stats s USING (b) CROSS JOIN tot t
+        GROUP BY bx.doc_id
+    )
+    SELECT doc_id, n_words, score_num,
+           CAST(score_num AS DOUBLE)
+             / ((CAST(nt AS DOUBLE) * CAST(nr AS DOUBLE))
+                * CAST(n_words AS DOUBLE)) AS relevance,
+           score_num > 0 AS toward_target
+    FROM score
+    """,
+    tags=("quality",),
+)
+def docs_dsir_relevance(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return tx.hashed_relevance(docs, target=F.col("lang") == "en")
