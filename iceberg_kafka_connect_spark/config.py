@@ -47,6 +47,21 @@ class SinkConfig:
     errors_tolerance: str = "none"
     dlq_table: str | None = None
     default_commit_branch: str = "main"  # iceberg.tables.default-commit-branch
+    # iceberg.tables.default-id-columns (IcebergSinkConfig.java:73): upsert
+    # key fallback for tables without a per-table id-columns entry
+    default_id_columns: list[str] = field(default_factory=list)
+    # iceberg.tables.schema-force-optional (IcebergSinkConfig.java:82-83 /
+    # SchemaUtils.java:260-280): declared record schemas land every column
+    # nullable regardless of the source schema's required flags
+    schema_force_optional: bool = False
+    # iceberg.tables.auto-create-props.* (IcebergSinkConfig.java:65,262):
+    # table properties applied once at auto-create
+    # (IcebergWriterFactory.java:108), distinct from per-write write-props
+    auto_create_props: dict = field(default_factory=dict)
+    # iceberg.control.commit.timeout-ms (IcebergSinkConfig.java:90-91):
+    # parsed for config parity; the micro-batch barrier makes a separate
+    # coordinator timeout unnecessary (commits are synchronous per batch)
+    commit_timeout_ms: int = 30_000
 
     def __post_init__(self):
         # exactly one of static tables / dynamic routing
@@ -70,11 +85,18 @@ def _split(v: str | None) -> list[str]:
 def from_properties(props: dict[str, str]) -> SinkConfig:
     """Parse the reference's flat property map (IcebergSinkConfig names)."""
     table_names = _split(props.get("iceberg.tables"))
-    global_write_props = {
-        k[len("iceberg.tables.write-props.") :]: v
-        for k, v in props.items()
-        if k.startswith("iceberg.tables.write-props.")
-    }
+    # reference-exact global prefix is `iceberg.table.write-props.`
+    # (IcebergSinkConfig.java:66); the plural form is kept as an accepted
+    # alias since it predates the parity fix here
+    global_write_props = {}
+    for prefix in ("iceberg.tables.write-props.", "iceberg.table.write-props."):
+        global_write_props.update(
+            {
+                k[len(prefix) :]: v
+                for k, v in props.items()
+                if k.startswith(prefix)
+            }
+        )
     tables = []
     for name in table_names:
         prefix = f"iceberg.table.{name}."
@@ -126,5 +148,20 @@ def from_properties(props: dict[str, str]) -> SinkConfig:
         ),
         auto_create_partition_by=_split(
             props.get("iceberg.tables.default-partition-by")
+        ),
+        default_id_columns=_split(
+            props.get("iceberg.tables.default-id-columns")
+        ),
+        schema_force_optional=props.get(
+            "iceberg.tables.schema-force-optional", "false"
+        )
+        == "true",
+        auto_create_props={
+            k[len("iceberg.tables.auto-create-props.") :]: v
+            for k, v in props.items()
+            if k.startswith("iceberg.tables.auto-create-props.")
+        },
+        commit_timeout_ms=int(
+            props.get("iceberg.control.commit.timeout-ms", "30000")
         ),
     )

@@ -162,3 +162,27 @@ def diff_schemas(current: T.StructType, incoming: T.StructType) -> list[SchemaUp
             if not cur.nullable and f.nullable:
                 updates.append(SchemaUpdate("make_optional", f.name))
     return updates
+
+
+def force_optional(schema: T.StructType) -> T.StructType:
+    """Recursively mark every field nullable — the
+    ``iceberg.tables.schema-force-optional`` behavior
+    (SchemaUtils.java:260-280): a declared source schema's required flags
+    are ignored when generating the table schema, so later sources missing
+    a column never violate a required constraint."""
+
+    def _opt(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, _opt(f.dataType), True, f.metadata)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_opt(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(_opt(dt.keyType), _opt(dt.valueType), True)
+        return dt
+
+    return _opt(schema)

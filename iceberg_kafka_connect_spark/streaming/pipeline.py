@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from ..config import SinkConfig
 from ..operators.cdc import cdc_op_col
 from ..routing import RouteSpec, RoutingConfig, plan_routes
+from ..schema import force_optional
 from ..sinks.catalog import Catalog
 
 BATCH_ID_PROP = "streaming-batch-id"
@@ -296,17 +297,28 @@ class SinkPipeline:
                 and not f.name.startswith("_cdc")
             ]
         )
+        if cfg.schema_force_optional:
+            # iceberg.tables.schema-force-optional
+            # (SchemaUtils.java:260-280): land every column nullable
+            record_schema = force_optional(record_schema)
         if not self.catalog.table_exists(name):
             if not cfg.auto_create:
                 return
             partition_by = (
                 tcfg.partition_by if tcfg and tcfg.partition_by else cfg.auto_create_partition_by
             )
+            # auto-create-props are creation-time table properties
+            # (IcebergWriterFactory.java:108); write-props override them
+            # since they also apply at every write (Utilities.java:160)
+            create_props = {
+                **cfg.auto_create_props,
+                **((tcfg.write_props if tcfg else None) or {}),
+            }
             table = self.catalog.create_table_if_not_exists(
                 name,
                 record_schema,
                 partition_by or None,
-                properties=(tcfg.write_props if tcfg else None) or None,
+                properties=create_props or None,
             )
         else:
             table = self.catalog.load_table(name)
@@ -322,9 +334,14 @@ class SinkPipeline:
         if cfg.evolve_schema:
             table.evolve_schema(record_schema)
 
-        # upsert key: config id-columns, else the table schema's identifier
-        # fields (IntegrationTest covers both: schema-id-cols / config-id-cols)
-        id_cols = (tcfg.id_columns if tcfg else []) or table.identifier_fields()
+        # upsert key: per-table id-columns, else the global default-id-columns
+        # (IcebergSinkConfig.java:73,345), else the table schema's identifier
+        # fields (IntegrationTest covers all: schema-id-cols / config-id-cols)
+        id_cols = (
+            (tcfg.id_columns if tcfg else [])
+            or cfg.default_id_columns
+            or table.identifier_fields()
+        )
         if (cfg.upsert_mode or cfg.cdc_field) and id_cols:
             order = [c for c in ("timestamp", "offset") if c in df.columns]
             table.upsert(

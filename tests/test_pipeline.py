@@ -567,3 +567,77 @@ def test_no_files_no_commit(spark, tmp_path, catalog):
     # the miss table got no records: not even created (the reference creates
     # on first record), let alone committed to
     assert not catalog.table_exists("default.nf_miss")
+
+
+def test_config_reference_names_round2_surface():
+    """Round-2 parity props: default-id-columns, schema-force-optional,
+    auto-create-props.*, commit.timeout-ms, and the reference-exact global
+    write-props prefix (IcebergSinkConfig.java:65-66,73,82,90)."""
+    cfg = from_properties(
+        {
+            "iceberg.tables": "default.t",
+            "iceberg.tables.default-id-columns": "id, region",
+            "iceberg.tables.schema-force-optional": "true",
+            "iceberg.tables.auto-create-props.commit.retry.num-retries": "5",
+            "iceberg.table.write-props.write.format.default": "orc",
+            "iceberg.control.commit.timeout-ms": "45000",
+        }
+    )
+    assert cfg.default_id_columns == ["id", "region"]
+    assert cfg.schema_force_optional
+    assert cfg.auto_create_props == {"commit.retry.num-retries": "5"}
+    assert cfg.table("default.t").write_props == {
+        "write.format.default": "orc"
+    }
+    assert cfg.commit_timeout_ms == 45000
+
+
+def test_default_id_columns_upsert(spark, tmp_path, catalog):
+    """iceberg.tables.default-id-columns keys the upsert when the table has
+    neither per-table id-columns nor schema identifier fields
+    (IcebergSinkConfig.java:73,345)."""
+    cfg = from_properties(
+        {
+            "iceberg.tables": "default.def_keyed",
+            "iceberg.tables.auto-create-enabled": "true",
+            "iceberg.tables.cdc-field": "op",
+            "iceberg.tables.default-id-columns": "id",
+        }
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-did", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(
+        src,
+        [
+            {"id": 1, "type": "a", "payload": None, "op": "I"},
+            {"id": 1, "type": "a2", "payload": None, "op": "U"},
+            {"id": 2, "type": "b", "payload": None, "op": "I"},
+        ],
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    t = catalog.load_table("default.def_keyed")
+    assert {r.id: r.type for r in t.read(spark).collect()} == {1: "a2", 2: "b"}
+
+
+def test_schema_force_optional_auto_create(spark, tmp_path, catalog):
+    """schema-force-optional lands a required source column as nullable
+    (SchemaUtils.java:260-280)."""
+    required = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("type", T.StringType(), False),
+        ]
+    )
+    cfg = from_properties(
+        {
+            "iceberg.tables": "default.forced_opt",
+            "iceberg.tables.auto-create-enabled": "true",
+            "iceberg.tables.schema-force-optional": "true",
+        }
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-fo", value_schema=required)
+    src = tmp_path / "src"
+    _write_records(src, [{"id": 1, "type": "t"}])
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    t = catalog.load_table("default.forced_opt")
+    assert all(f.nullable for f in t.schema().fields)
