@@ -85,6 +85,7 @@ def build_pipeline(spec: dict, spark=None):
             src["bootstrap_servers"],
             src["topics"],
             src.get("starting_offsets", "earliest"),
+            kafka_props=cfg.kafka_props or None,
         )
     elif src["type"] == "files":
         stream = file_stream_source(spark, src["path"])

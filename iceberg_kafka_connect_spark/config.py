@@ -58,6 +58,10 @@ class SinkConfig:
     # table properties applied once at auto-create
     # (IcebergWriterFactory.java:108), distinct from per-write write-props
     auto_create_props: dict = field(default_factory=dict)
+    # iceberg.kafka.* (IcebergSinkConfig.java:63,259-260): Kafka client
+    # property passthrough, forwarded to the kafka source as kafka.<prop>
+    # options (security.protocol, sasl.jaas.config, ...)
+    kafka_props: dict = field(default_factory=dict)
     # iceberg.control.commit.timeout-ms (IcebergSinkConfig.java:90-91):
     # parsed for config parity; the micro-batch barrier makes a separate
     # coordinator timeout unnecessary (commits are synchronous per batch)
@@ -164,4 +168,9 @@ def from_properties(props: dict[str, str]) -> SinkConfig:
         commit_timeout_ms=int(
             props.get("iceberg.control.commit.timeout-ms", "30000")
         ),
+        kafka_props={
+            k[len("iceberg.kafka.") :]: v
+            for k, v in props.items()
+            if k.startswith("iceberg.kafka.")
+        },
     )

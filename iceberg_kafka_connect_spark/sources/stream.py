@@ -33,17 +33,26 @@ def kafka_stream_source(
     bootstrap_servers: str,
     topics: str,
     starting_offsets: str = "earliest",
+    kafka_props: dict[str, str] | None = None,
 ) -> DataFrame:
     """Real Kafka source (requires the spark-sql-kafka package on the
     cluster; not present in this container — the file source below is the
-    drop-in stand-in with identical columns)."""
-    raw = (
+    drop-in stand-in with identical columns).
+
+    ``kafka_props`` is the reference's ``iceberg.kafka.*`` client-property
+    passthrough (IcebergSinkConfig.java:63,259-260): each entry lands as a
+    ``kafka.<prop>`` option on the source (security.protocol,
+    sasl.jaas.config, ...), exactly how Spark's kafka source forwards
+    client properties to the consumer."""
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topics)
         .option("startingOffsets", starting_offsets)
-        .load()
     )
+    for k, v in (kafka_props or {}).items():
+        reader = reader.option(f"kafka.{k}", v)
+    raw = reader.load()
     return raw.select(
         F.col("key").cast("string"),
         F.col("value").cast("string"),

@@ -581,8 +581,10 @@ def test_config_reference_names_round2_surface():
             "iceberg.tables.auto-create-props.commit.retry.num-retries": "5",
             "iceberg.table.write-props.write.format.default": "orc",
             "iceberg.control.commit.timeout-ms": "45000",
+            "iceberg.kafka.security.protocol": "SASL_SSL",
         }
     )
+    assert cfg.kafka_props == {"security.protocol": "SASL_SSL"}
     assert cfg.default_id_columns == ["id", "region"]
     assert cfg.schema_force_optional
     assert cfg.auto_create_props == {"commit.retry.num-retries": "5"}
