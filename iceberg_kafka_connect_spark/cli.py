@@ -112,6 +112,11 @@ def table_main(argv: list[str]) -> int:
         sub.add_parser(meta_action)
     c = sub.add_parser("compact")
     c.add_argument("--sort-by", help="comma-separated sort columns")
+    c.add_argument(
+        "--zorder-by",
+        help="comma-separated z-order columns (2+, mutually exclusive "
+        "with --sort-by)",
+    )
     bp = sub.add_parser("binpack")
     bp.add_argument("--min-size", type=int, default=32 * 1024 * 1024)
     e = sub.add_parser("expire")
@@ -177,7 +182,12 @@ def table_main(argv: list[str]) -> int:
         sort_by = (
             [c.strip() for c in args.sort_by.split(",")] if args.sort_by else None
         )
-        snap = t.compact(spark, sort_by=sort_by)
+        zorder_by = (
+            [c.strip() for c in args.zorder_by.split(",")]
+            if getattr(args, "zorder_by", None)
+            else None
+        )
+        snap = t.compact(spark, sort_by=sort_by, zorder_by=zorder_by)
         out = {"snapshot_id": snap["snapshot_id"], "operation": snap["operation"]}
     elif args.action == "binpack":
         spark = get_spark(app_name="table-maintenance")

@@ -1089,6 +1089,7 @@ class LakehouseTable:
         spark: SparkSession,
         branch: str = MAIN,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """Fold merge-on-read state into plain data files (REPLACE snapshot):
         bounds read amplification, like Iceberg rewrite_data_files.
@@ -1098,11 +1099,21 @@ class LakehouseTable:
         the given columns, so each output file covers a disjoint value range
         and the recorded column bounds make predicate file-pruning sharp —
         a range query then opens O(matching) files instead of all of them.
+
+        ``zorder_by`` clusters on the Morton interleave of 2+ columns
+        instead (Iceberg rewrite strategy=sort with a z-order expression):
+        a lexicographic sort gives sharp bounds only on its leading column;
+        the space-filling curve gives EVERY listed column tight per-file
+        bounds, so pruning works for predicates on any of them. Costs one
+        extra column-pruned agg scan for the global min/max of each listed
+        column (row-group stats make it footer-cheap).
         """
+        if sort_by and zorder_by:
+            raise ValueError("pass either sort_by or zorder_by, not both")
         head = self.current_snapshot(branch)
         current = self.read(spark, branch=branch)
         summary = {"compaction": "true"}
-        if sort_by:
+        if sort_by or zorder_by:
             # explicit partition count: an unsized repartitionByRange lets
             # AQE coalesce tiny rewrites to one file, erasing the disjoint
             # ranges the sort exists to create. Cluster-width parallelism is
@@ -1111,10 +1122,35 @@ class LakehouseTable:
                 spark.sparkContext.defaultParallelism,
                 len(self.live_files(branch=branch)[0]) // 4,
             )
+        if sort_by:
             current = current.repartitionByRange(
                 n, *sort_by
             ).sortWithinPartitions(*sort_by)
             summary["sort-order"] = ",".join(sort_by)
+        elif zorder_by:
+            from ..functions.zorder import _as_double, zorder_key
+
+            aggs = []
+            for i, c in enumerate(zorder_by):
+                e = _as_double(current, c)
+                aggs += [F.min(e).alias(f"__lo{i}"), F.max(e).alias(f"__hi{i}")]
+            row = current.agg(*aggs).first()
+            ranges = {
+                c: (
+                    row[f"__lo{i}"] if row[f"__lo{i}"] is not None else 0.0,
+                    row[f"__hi{i}"] if row[f"__hi{i}"] is not None else 0.0,
+                )
+                for i, c in enumerate(zorder_by)
+            }
+            current = (
+                current.withColumn(
+                    "__z", zorder_key(current, zorder_by, ranges)
+                )
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            summary["zorder"] = ",".join(zorder_by)
         files = self._write_files(current, "data")
         return self._commit_snapshot(
             "replace",

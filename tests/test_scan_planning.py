@@ -337,3 +337,56 @@ def test_source_mix_keeps_null_source(spark):
     }
     # equal-sized groups: both keep everything, incl. the NULL-source group
     assert by_src.get(None) == 50 and by_src.get("a") == 50
+
+
+def test_zorder_rewrite_prunes_on_every_listed_column(spark, catalog):
+    """Z-order compaction (Iceberg rewrite strategy=sort + z-order
+    expression): after clustering on the Morton interleave of (id, v2),
+    a range predicate on EITHER column prunes files — a lexicographic sort
+    only ever prunes on its leading column — and results are unchanged."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v2", T.LongType()),
+        ]
+    )
+    # two independent uniform dimensions, appended in shuffled order so the
+    # incoming files have useless bounds on both
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(4096)) for i in range(4096)]
+    rng.shuffle(rows)
+    t = catalog.create_table("default.zorder", schema)
+    for k in range(4):
+        t.append(
+            spark.createDataFrame(rows[k * 1024 : (k + 1) * 1024], schema)
+            .coalesce(1)
+        )
+    before_id, total0 = t.scan_files("id < 256")
+    before_v2, _ = t.scan_files("v2 < 256")
+    assert len(before_id) == total0 and len(before_v2) == total0  # no help
+
+    t.compact(spark, zorder_by=["id", "v2"])
+    kept_id, total = t.scan_files("id < 256")
+    kept_v2, _ = t.scan_files("v2 < 256")
+    assert total >= 8
+    # both dimensions must prune meaningfully (the curve guarantees each
+    # file covers a small square in (id, v2) space)
+    assert len(kept_id) <= total // 2, (len(kept_id), total)
+    assert len(kept_v2) <= total // 2, (len(kept_v2), total)
+    # correctness unchanged
+    got = sorted(
+        (r.id, r.v2) for r in t.read(spark, where="id < 256").collect()
+    )
+    assert got == sorted((i, v) for i, v in rows if i < 256)
+
+
+def test_zorder_rejects_bad_args(spark, catalog):
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    t = catalog.create_table("default.zbad", schema)
+    t.append(spark.createDataFrame([(1,)], schema))
+    with pytest.raises(ValueError):
+        t.compact(spark, sort_by=["id"], zorder_by=["id", "id"])
+    with pytest.raises(ValueError):
+        t.compact(spark, zorder_by=["id"])  # needs 2+ columns
