@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "tpch_q8",
     "tpch_q16",
     "tpch_q21",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q20",
     "order_priority_count",
     "top_customers_per_nation",
     "events_hourly_rollup",

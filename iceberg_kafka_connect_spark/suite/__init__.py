@@ -102,5 +102,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import analytics2  # noqa: F401
     from . import analytics3  # noqa: F401
     from . import analytics4  # noqa: F401  — semi/anti-join TPC-H shapes
+    from . import analytics5  # noqa: F401  — Q2/Q9/Q11/Q12/Q20 shapes
 
     return QUERIES
