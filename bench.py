@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "dedup_semdedup",
     "docs_dsir_relevance",
+    "docs_lm_surprise",
+    "docs_shard_shuffle",
 ]
 
 

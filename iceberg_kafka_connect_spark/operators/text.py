@@ -425,3 +425,89 @@ def hashed_relevance(
         ).alias("relevance"),
         (score > 0).alias("toward_target"),
     )
+
+
+def lm_surprise(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_hex: int = 2,
+) -> DataFrame:
+    """CCNet-style LM-perplexity filtering signal (Wenzek et al. 2020,
+    arXiv:1911.00359 train a LM on reference text and bucket documents by
+    perplexity; here the LM is a hashed-unigram model trained on the corpus
+    itself in one aggregation pass).
+
+    Per-token information content is quantized to whole bits so the score
+    stays in INTEGER arithmetic end-to-end (the same engine-parity reasoning
+    as hashed_relevance): info(w) = floor(log2 N) − floor(log2 c(w)) ≈
+    −log2 p(w), computed exactly as bit_length(N) − bit_length(c) — no
+    transcendental ever evaluated, so Spark and an ANSI-SQL oracle agree
+    bit-for-bit. A document's mean surprise is high when its tokens are
+    corpus-rare (CCNet's "tail"), low for head-boilerplate.
+
+    Scale shape: bucket counts are ONE partial-agg groupBy over exploded
+    words (16^prefix_hex rows out), folded back as a literal map — the
+    scoring pass is a pure projection: zero joins, zero shuffles, one
+    corpus scan for stats and one for scoring.
+    """
+    words = _lower_words(F.col(text_col))
+    bucket = lambda w: F.substring(F.md5(w), 1, prefix_hex)  # noqa: E731
+    stats = (
+        docs.select(F.explode(words).alias("__w"))
+        .select(bucket(F.col("__w")).alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n_total = sum(r.c for r in stats)
+    if n_total == 0:
+        raise ValueError("lm_surprise: empty corpus")
+    info = {r["__b"]: n_total.bit_length() - int(r.c).bit_length() for r in stats}
+    imap = F.create_map(*[F.lit(x) for kv in info.items() for x in kv])
+    s = F.aggregate(
+        F.transform(words, lambda w: imap[bucket(w)]),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    nw = F.size(words)
+    return docs.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        s.alias("surprise_bits"),
+        (s.cast("double") / nw.cast("double")).alias("mean_surprise"),
+    )
+
+
+def shard_shuffle(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every document
+    gets a (shard, pos) address that is a pseudo-random but reproducible
+    permutation of the corpus — the standard pre-training export step
+    (shards consumed round-robin see an unbiased stream).
+
+    NOT a global sort: shard = md5(id) mod n_shards needs no comparison at
+    all, and pos is a row_number window PARTITIONED BY shard — each shard
+    ranks independently after one hash-keyed shuffle, so the op scales as
+    n_shards independent sorts of corpus/n_shards rows, never a single
+    total order. The hash is md5 (engine-portable), the within-shard order
+    key is the full digest with the id as tiebreak, so the permutation is
+    stable across engines and runs.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    # first 15 hex chars = 60 bits — fits a signed 64-bit long exactly
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        docs.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )

@@ -370,3 +370,69 @@ def docs_source_mix(spark, sf_dir):
 def docs_dsir_relevance(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return tx.hashed_relevance(docs, target=F.col("lang") == "en")
+
+
+# --------------------------------------------------------------------------
+# CCNet-style LM surprise scoring (arXiv:1911.00359 shape): hashed-unigram
+# LM trained on the corpus in one aggregation pass; per-token information
+# quantized to whole bits (bit_length arithmetic, no transcendentals) so
+# both engines agree bit-for-bit. High mean surprise = corpus-rare tokens
+# (CCNet "tail"); low = head boilerplate.
+# --------------------------------------------------------------------------
+@register(
+    "docs_lm_surprise",
+    oracle=r"""
+    WITH bx AS (
+        SELECT doc_id,
+               substr(md5(unnest(
+                   string_split_regex(trim(lower(text)), '\s+'))), 1, 2)
+                 AS b
+        FROM documents
+    ),
+    stats AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bx GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM stats),
+    info AS (
+        SELECT s.b,
+               CAST(length(bin(t.n)) - length(bin(s.c)) AS BIGINT) AS ib
+        FROM stats s CROSS JOIN tot t
+    )
+    SELECT bx.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(i.ib) AS BIGINT) AS surprise_bits,
+           CAST(SUM(i.ib) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_surprise
+    FROM bx JOIN info i USING (b)
+    GROUP BY bx.doc_id
+    """,
+    tags=("quality",),
+)
+def docs_lm_surprise(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return tx.lm_surprise(docs)
+
+
+# --------------------------------------------------------------------------
+# Deterministic shard shuffle: reproducible pseudo-random (shard, pos)
+# address per document — the pre-training export permutation. No global
+# sort: md5-mod sharding + per-shard row_number windows.
+# --------------------------------------------------------------------------
+@register(
+    "docs_shard_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+    tags=("quality",),
+)
+def docs_shard_shuffle(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return tx.shard_shuffle(docs, n_shards=8).select("doc_id", "shard", "pos")

@@ -228,3 +228,48 @@ def test_quantize_int8_zero_vector_and_roundtrip(spark):
     # zero vector: norm 0 -> zero nvec, scale 1 -> zero qvec, no NaN/err
     assert rows[2]["nvec"] == [0.0, 0.0] and rows[2]["qvec"] == [0, 0]
     assert not any(math.isnan(x) for x in rows[2]["nvec"])
+
+
+def test_lm_surprise_rare_tokens_score_higher(spark):
+    from iceberg_kafka_connect_spark.operators.text import lm_surprise
+
+    # 'common' dominates the corpus; doc 3 is all rare singletons
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common common common"),
+            (2, "common common common common rareish token"),
+            (3, "zyx qwv plm okn ijb uhb"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_surprise(df).collect()}
+    assert rows[1]["mean_surprise"] < rows[2]["mean_surprise"]
+    assert rows[2]["mean_surprise"] < rows[3]["mean_surprise"]
+    assert rows[1]["n_words"] == 6
+    # integer bits: surprise_bits = sum over words of bit-length gaps >= 0
+    assert all(r["surprise_bits"] >= 0 for r in rows.values())
+
+
+def test_shard_shuffle_is_a_permutation(spark):
+    from iceberg_kafka_connect_spark.operators.text import shard_shuffle
+
+    n = 500
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = shard_shuffle(df, n_shards=8, id_col="doc_id").collect()
+    assert len(out) == n
+    # every doc addressed exactly once; positions within a shard are 1..k
+    addr = {(r["shard"], r["pos"]) for r in out}
+    assert len(addr) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic: same input -> identical addresses
+    out2 = shard_shuffle(df, n_shards=8, id_col="doc_id").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out2
+    }
+    # roughly balanced (uniform hash): no shard more than 2x the mean
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * (n / 8)
