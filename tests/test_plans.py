@@ -241,3 +241,30 @@ def test_stats_pruned_read_filter_reapplied(spark, tmp_path):
     df = t.read(spark, where="id >= 50")
     p = plan_string(df)
     assert "PushedFilters" in p and "GreaterThanOrEqual(id,50)" in p
+
+
+def test_q2_q11_q20_single_fact_scan(spark, sf_dir):
+    """Correlated-subquery shapes must not scan the fact table twice: the
+    window rewrites (q2/q20) and the persisted aggregate (q11) each keep
+    exactly one lineitem scan in the plan — a groupBy-then-rejoin would
+    silently double the 100 TB scan."""
+    for name in ("tpch_q2", "tpch_q20"):
+        plan = plan_string(SPECS[name].fn(spark, sf_dir))
+        assert plan.count("lineitem.parquet") == 1, name
+    q11 = SPECS["tpch_q11"].fn(spark, sf_dir)
+    plan = plan_string(q11)
+    assert plan.count("lineitem.parquet") == 1
+    assert "InMemoryTableScan" in plan  # persisted pv reused for the total
+    q11.sparkSession.catalog.clearCache()
+
+
+def test_lm_surprise_and_shard_shuffle_no_python(spark, sf_dir):
+    """Scoring/addressing passes stay Catalyst-only: the literal-map LM
+    fold and the md5 shard math must not fall back to Python eval."""
+    for name in ("docs_lm_surprise", "docs_shard_shuffle"):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert_plan(df, absent=["BatchEvalPython", "ArrowEvalPython"])
+    # shard shuffle: the only exchange is the hash partition by shard —
+    # never a global range sort
+    plan = plan_string(SPECS["docs_shard_shuffle"].fn(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower()
