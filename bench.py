@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "docs_dsir_relevance",
     "docs_lm_surprise",
     "docs_shard_shuffle",
+    "docs_source_epochs",
 ]
 
 

@@ -511,3 +511,45 @@ def shard_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("__h")
     )
+
+
+def source_epochs(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source repetition — the UPSAMPLING half of a
+    pretraining data recipe (source_mix_resample is the downsampling half).
+    Recipes repeat curated sources fractionally ("books ×2.5, web ×0.8",
+    DoReMi / Llama-style); a fractional epoch e gives every doc floor(e)
+    copies and the md5-selected frac(e) share one extra copy, so corpus-
+    level proportions land exactly on the recipe without any randomness.
+
+    Output rows carry an ``epoch`` index (1..n) so downstream shuffling can
+    interleave copies instead of emitting them adjacently.
+
+    Scale shape: the recipe is a literal map folded into a projection;
+    copies come from explode(sequence(1, n)) — no join, no shuffle, output
+    size is exactly the recipe-weighted corpus.
+    """
+    emap = F.create_map(
+        *[F.lit(x) for k, v in epochs.items() for x in (k, float(v))]
+    )
+    e = F.coalesce(emap[F.col(source_col)], F.lit(float(default_epochs)))
+    base = F.floor(e).cast("int")
+    frac = e - F.floor(e)
+    thresh = F.format_string(
+        "%06x", F.floor(frac * F.lit(16**6)).cast("int")
+    )
+    extra = (
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 6) < thresh
+    ).cast("int")
+    n = base + extra
+    # sequence(1, 0) counts DOWN in Spark — guard with an empty array so
+    # e < 1 prunes rows instead of duplicating them backwards
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return docs.withColumn("epoch", F.explode(seq))

@@ -436,3 +436,38 @@ def docs_lm_surprise(spark, sf_dir):
 def docs_shard_shuffle(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return tx.shard_shuffle(docs, n_shards=8).select("doc_id", "shard", "pos")
+
+
+# --------------------------------------------------------------------------
+# Per-source epoch repetition (recipe upsampling): src0 ×2.5, src1 ×2,
+# src2 ×0.5, everything else ×1. Fractional epochs pick their extra-copy
+# docs by md5 — deterministic in both engines, no randomness.
+# --------------------------------------------------------------------------
+@register(
+    "docs_source_epochs",
+    oracle="""
+    WITH e AS (
+        SELECT d.doc_id, d.source,
+               CASE d.source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+                             WHEN 'src2' THEN 0.5 ELSE 1.0 END AS ep
+        FROM documents d
+    ),
+    n AS (
+        SELECT doc_id, source,
+               CAST(FLOOR(ep) AS INT)
+               + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                           < printf('%06x', CAST(FLOOR((ep - FLOOR(ep))
+                                                       * 16777216) AS INT))
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM e
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT)
+               AS epoch
+    FROM n WHERE n_copies >= 1
+    """,
+    tags=("quality",),
+)
+def docs_source_epochs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    out = tx.source_epochs(docs, {"src0": 2.5, "src1": 2.0, "src2": 0.5})
+    return out.select("doc_id", "source", "epoch")

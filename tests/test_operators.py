@@ -273,3 +273,27 @@ def test_shard_shuffle_is_a_permutation(spark):
     # roughly balanced (uniform hash): no shard more than 2x the mean
     sizes = [len(v) for v in by_shard.values()]
     assert max(sizes) < 2 * (n / 8)
+
+
+def test_source_epochs_counts_and_determinism(spark):
+    from iceberg_kafka_connect_spark.operators.text import source_epochs
+
+    df = spark.createDataFrame(
+        [(i, "books" if i < 100 else "web") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = source_epochs(df, {"books": 2.5, "web": 0.5}).collect()
+    books = [r for r in out if r["source"] == "books"]
+    web = [r for r in out if r["source"] == "web"]
+    # every books doc has >= 2 copies; ~half get a 3rd -> 200..300 total
+    assert all(r["epoch"] >= 1 for r in out)
+    per_doc = {}
+    for r in books:
+        per_doc[r["doc_id"]] = max(per_doc.get(r["doc_id"], 0), r["epoch"])
+    assert set(per_doc.values()) <= {2, 3}
+    assert 200 <= len(books) <= 300
+    # web is pure downsample: 0 or 1 copies, roughly half survive
+    assert 20 <= len(web) <= 80
+    # deterministic
+    out2 = source_epochs(df, {"books": 2.5, "web": 0.5}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
