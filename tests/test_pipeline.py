@@ -545,6 +545,46 @@ def test_scalar_json_value_goes_to_dlq(spark, tmp_path, catalog):
         pipe2.process_batch(batch_file_source(spark, str(src)), batch_id=0)
 
 
+def test_unconvertible_field_goes_to_dlq(spark, tmp_path, catalog):
+    """A valid JSON object whose field can't convert to the declared type
+    is malformed too (single-parse corrupt-record detection) — the
+    reference's converter throws DataException on unconvertible input
+    (RecordConverter.java), and errors.tolerance routes it the same way as
+    broken JSON."""
+    cfg = SinkConfig(
+        tables=[TableConfig("default.coerce_dlq")],
+        auto_create=True,
+        errors_tolerance="all",
+        dlq_table="default.dlq2",
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-uc", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src-uc"
+    src.mkdir(parents=True, exist_ok=True)
+    with open(src / "chunk-0.json", "w") as f:
+        rows = [
+            json.dumps({"id": 1, "type": "t", "payload": None, "op": None}),
+            # id declared LONG but sent as a non-numeric object
+            json.dumps({"id": {"not": "a long"}, "type": "t"}),
+        ]
+        for off, v in enumerate(rows):
+            f.write(
+                json.dumps(
+                    {
+                        "key": str(off),
+                        "value": v,
+                        "topic": "events",
+                        "partition": 0,
+                        "offset": off,
+                        "timestamp": f"2024-01-01T00:00:{off:02d}.000Z",
+                    }
+                )
+                + "\n"
+            )
+    _run(spark, pipe, src, tmp_path / "ckpt-uc")
+    assert catalog.load_table("default.coerce_dlq").read(spark).count() == 1
+    assert catalog.load_table("default.dlq2").read(spark).count() == 1
+
+
 def test_no_files_no_commit(spark, tmp_path, catalog):
     """Coordinator no-files parity (CoordinatorTest: a table that received
     no data files gets NO snapshot): a routed table with zero matching rows
