@@ -732,6 +732,87 @@ class LakehouseTable:
         finally:
             marked.unpersist()
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        where: str,
+        key_cols: list[str],
+        branch: str = MAIN,
+        snapshot_props: dict | None = None,
+    ) -> dict | None:
+        """Row-level ``DELETE FROM t WHERE ...`` — merge-on-read via
+        equality deletes, the same delete representation the reference's
+        delta writer emits (BaseDeltaTaskWriter.java:71-84) and Iceberg's
+        merge-on-read DELETE uses for identifier-keyed rows.
+
+        ``key_cols`` must uniquely identify rows (the table's id-columns);
+        an equality delete removes every live row sharing the key, so
+        non-unique keys would over-delete.
+
+        Scale shape: ONE predicate-pruned scan (``read(where=...)`` skips
+        files whose recorded column bounds rule the predicate out) writing
+        O(matching keys) — no data-file rewrite, no full-table pass.
+        Returns None (no snapshot) when nothing matches, so incremental
+        consumers never see an empty overwrite.
+        """
+        matched = (
+            self.read(spark, branch=branch, where=where)
+            .select(*key_cols)
+            .distinct()
+            .persist()
+        )
+        try:
+            if matched.isEmpty():
+                return None
+            delete_files = self._write_delete_files(matched, key_cols)
+            return self._commit_snapshot(
+                "overwrite", [], delete_files, snapshot_props or {}, branch
+            )
+        finally:
+            matched.unpersist()
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        where: str,
+        assignments: dict[str, str],
+        key_cols: list[str],
+        branch: str = MAIN,
+        snapshot_props: dict | None = None,
+    ) -> dict | None:
+        """Row-level ``UPDATE t SET col = expr, ... WHERE ...`` —
+        merge-on-read: one snapshot carrying equality deletes for the
+        matched keys plus re-appended rows with ``assignments`` applied
+        (SQL expressions evaluated against the matched row).
+
+        Same contract and scale shape as :meth:`delete_where`: ``key_cols``
+        unique, one pruned scan, O(matches) written. Assignments that
+        rewrite a key column move the row to the new key (old key deleted,
+        new row appended), like a delete+insert.
+        """
+        unknown = set(assignments) - {f.name for f in self.read_schema().fields}
+        if unknown:
+            raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
+        matched = self.read(spark, branch=branch, where=where).persist()
+        try:
+            if matched.isEmpty():
+                return None
+            keys = matched.select(*key_cols).distinct()
+            delete_files = self._write_delete_files(keys, key_cols)
+            updated = matched.withColumns(
+                {c: F.expr(e) for c, e in assignments.items()}
+            )
+            data_files = self._write_files(self._project(updated), "data")
+            return self._commit_snapshot(
+                "overwrite",
+                data_files,
+                delete_files,
+                snapshot_props or {},
+                branch,
+            )
+        finally:
+            matched.unpersist()
+
     def evolve_schema(self, incoming: T.StructType) -> bool:
         """§1.3 #3: add missing columns (including nested struct fields,
         RecordConverter.java:166-229), widen int→long / float→double.

@@ -1244,6 +1244,57 @@ def merge_into(spark, sf_dir):
     )
 
 # --------------------------------------------------------------------------
+# Row-level DML: UPDATE ... WHERE then DELETE ... WHERE as merge-on-read
+# equality-delete snapshots (Iceberg MoR DML; the reference's delta writer
+# is the streaming specialization, BaseDeltaTaskWriter.java:71-84). The
+# oracle expresses the same final state with plain SQL over the source.
+# --------------------------------------------------------------------------
+@register(
+    "dml_delete_update",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus
+        FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+    FROM upd WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def dml_delete_update(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="dml_gate_") + "/t", o.schema
+    )
+    t.append(o.filter(F.col("o_orderkey") < 2000))
+    t.update_where(
+        spark,
+        "o_orderstatus = 'P'",
+        {"o_orderstatus": "'X'"},
+        key_cols=["o_orderkey"],
+    )
+    t.delete_where(spark, "o_orderstatus = 'F'", key_cols=["o_orderkey"])
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
 # Time travel: read the table as of an earlier snapshot while the head has
 # moved on (Iceberg snapshot-id read; tests cover tags/branches — this is
 # the gate-visible flavor).
