@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "docs_lm_surprise",
     "docs_shard_shuffle",
     "docs_source_epochs",
+    "text_gopher_rules",
+    "dml_delete_update",
 ]
 
 

@@ -88,6 +88,93 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# Gopher document-quality rule battery (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A1.1).
+# Thresholds are the published ones; word-count bounds are parameters since
+# verification corpora run far shorter than web documents.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_BULLET_LINE_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_RATIO = 0.3
+
+_SYMBOL_RE = r"#|\.{3}|…"
+_BULLET_RE = r"^\s*[-*•]"
+_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def gopher_rules(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> list[Column]:
+    """Per-document Gopher rule metrics + the AND-of-all-rules gate, as a
+    single-pass projection (pure Catalyst, one scan, zero shuffles at any
+    corpus size):
+
+    n_words bounds · mean word length in [3,10] · symbol-to-word ratio
+    (#/ellipsis) · fraction of words containing an alphabetic character ·
+    presence of >=2 canonical English stopwords · fraction of lines starting
+    with a bullet · fraction of lines ending with an ellipsis.
+
+    Returns aliased metric Columns for ``df.select(id, *gopher_rules(col))``;
+    derive the gate with :func:`gopher_passes` over the projected columns so
+    each (expensive) signal is evaluated once, not re-inlined into the gate.
+    """
+    w = F.split(F.trim(text), r"\s+")
+    wl = F.split(F.trim(F.lower(text)), r"\s+")
+    lines = F.split(text, r"\n")
+    nw = F.size(w).cast("double")
+    nl = F.size(lines).cast("double")
+    n_words = F.size(w).cast("bigint").alias("n_words")
+    mwl = mean_word_length(text).alias("mean_word_len")
+    symbol_ratio = (
+        F.regexp_count(text, F.lit(_SYMBOL_RE)).cast("double") / nw
+    ).alias("symbol_ratio")
+    alpha_ratio = (
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nw
+    ).alias("alpha_word_ratio")
+    n_stop = sum(
+        F.array_contains(wl, s).cast("int") for s in GOPHER_STOPWORDS
+    ).cast("bigint").alias("n_stopword_hits")
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda x: x.rlike(_BULLET_RE))).cast("double")
+        / nl
+    ).alias("bullet_line_ratio")
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda x: x.rlike(_ELLIPSIS_RE))).cast("double")
+        / nl
+    ).alias("ellipsis_line_ratio")
+    return [
+        n_words,
+        mwl,
+        symbol_ratio,
+        alpha_ratio,
+        n_stop,
+        bullet_ratio,
+        ellipsis_ratio,
+    ]
+
+
+def gopher_passes(
+    min_words: int = 50, max_words: int = 100_000
+) -> Column:
+    """AND of all Gopher rules over the metric columns :func:`gopher_rules`
+    projected (second select — evaluates each signal exactly once)."""
+    return (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_ratio") > GOPHER_MIN_ALPHA_WORD_RATIO)
+        & (F.col("n_stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+        & (F.col("bullet_line_ratio") <= GOPHER_MAX_BULLET_LINE_RATIO)
+        & (F.col("ellipsis_line_ratio") <= GOPHER_MAX_ELLIPSIS_LINE_RATIO)
+    ).alias("passes")
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the whitespace/case-normalized text.
     (The rolling-hash variant for shift-tolerant matching is the simhash in

@@ -16,6 +16,71 @@ from .core import PROFILE_CTE, sql_davg, table, davg
 
 
 # --------------------------------------------------------------------------
+# Gopher rule battery (Rae et al. 2021 App. A1.1): the canonical pretraining
+# document filter — word-count bounds, mean word length, symbol ratio,
+# alphabetic-word fraction, stopword presence, bullet/ellipsis line ratios.
+# Pure Catalyst single-pass projection; the oracle mirrors every IEEE
+# division. min_words=20 fits the verification corpus (docs run 10-99
+# words); production uses the published 50.
+# --------------------------------------------------------------------------
+_GOPHER_MINW = 20
+
+@register(
+    "text_gopher_rules",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\s+') AS w,
+               string_split_regex(trim(lower(text)), '\s+') AS wl,
+               string_split_regex(text, '\n') AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE) AS mean_word_len,
+            CAST(len(regexp_extract_all(text, '#|\.{{3}}|…')) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+            CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / CAST(len(w) AS DOUBLE) AS alpha_word_ratio,
+            CAST(CAST(list_contains(wl, 'the') AS INT)
+               + CAST(list_contains(wl, 'be') AS INT)
+               + CAST(list_contains(wl, 'to') AS INT)
+               + CAST(list_contains(wl, 'of') AS INT)
+               + CAST(list_contains(wl, 'and') AS INT)
+               + CAST(list_contains(wl, 'that') AS INT)
+               + CAST(list_contains(wl, 'have') AS INT)
+               + CAST(list_contains(wl, 'with') AS INT) AS BIGINT)
+                AS n_stopword_hits,
+            CAST(len(list_filter(lines,
+                x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE)
+                / CAST(len(lines) AS DOUBLE) AS bullet_line_ratio,
+            CAST(len(list_filter(lines,
+                x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                / CAST(len(lines) AS DOUBLE) AS ellipsis_line_ratio
+        FROM d
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           n_stopword_hits, bullet_line_ratio, ellipsis_line_ratio,
+           (n_words >= {_GOPHER_MINW} AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio < 0.1 AND alpha_word_ratio > 0.8
+            AND n_stopword_hits >= 2 AND bullet_line_ratio <= 0.9
+            AND ellipsis_line_ratio <= 0.3) AS passes
+    FROM m
+    """,
+    tags=("text",),
+)
+def text_gopher_rules(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    metrics = docs.select("doc_id", *tx.gopher_rules(F.col("text")))
+    return metrics.select(
+        "*", tx.gopher_passes(min_words=_GOPHER_MINW)
+    )
+
+
+# --------------------------------------------------------------------------
 # Single-pass text profile: word/token counts, language ID, quality score,
 # fingerprint — one projection, zero shuffles at any scale.
 # --------------------------------------------------------------------------

@@ -297,3 +297,36 @@ def test_source_epochs_counts_and_determinism(spark):
     # deterministic
     out2 = source_epochs(df, {"books": 2.5, "web": 0.5}).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from iceberg_kafka_connect_spark.operators.text import (
+        gopher_passes,
+        gopher_rules,
+    )
+    from pyspark.sql import functions as F
+
+    good = (
+        "the quick brown fox and the lazy dog have gone to town with some "
+        "friends of theirs that carry maps and ropes and lanterns every day"
+    )
+    rows = [
+        (1, good, True),
+        (2, "short doc of the and that", False),  # too few words
+        (3, good.replace("fox", "fox ### ## #"), False),  # symbol soup
+        (4, good.replace("fox", "1 2 3 4 5 6 7 8 9 0"), False),  # non-alpha
+        (5, good.replace("the", "el").replace("and", "y")
+             .replace("have", "hay").replace("of", "de")
+             .replace("to", "a").replace("with", "con")
+             .replace("that", "eso"), False),  # no English stopwords
+        (6, "\n".join("- " + w for w in good.split()), False),  # all bullets
+        (7, "\n".join(w + "..." for w in good.split()), False),  # ellipses
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, expect boolean")
+    out = (
+        df.select("id", "expect", *gopher_rules(F.col("text")))
+        .select("id", "expect", gopher_passes(min_words=20))
+        .collect()
+    )
+    for r in out:
+        assert r.passes == r.expect, (r.id, r.asDict())
