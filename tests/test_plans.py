@@ -268,3 +268,46 @@ def test_lm_surprise_and_shard_shuffle_no_python(spark, sf_dir):
     # never a global range sort
     plan = plan_string(SPECS["docs_shard_shuffle"].fn(spark, sf_dir))
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_gopher_rules_zero_shuffles_no_python(spark):
+    """The Gopher battery is one projection: no exchange, no Python eval."""
+    from iceberg_kafka_connect_spark.operators import text as tx
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.range(0, 5_000, 1, par).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox and that dog have words of note "),
+            F.col("id"),
+        ).alias("text"),
+    )
+    out = docs.select("doc_id", *tx.gopher_rules(F.col("text"))).select(
+        "*", tx.gopher_passes()
+    )
+    plan = plan_string(out)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_delete_where_scan_prunes_files(spark, tmp_path):
+    """DELETE WHERE plans against file bounds: only files whose recorded
+    min/max admit the predicate are opened (scan_files is its planner)."""
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = LakehouseTable.create(str(tmp_path / "t"), schema)
+    for lo in (0, 100, 200, 300):
+        t.append(
+            spark.range(lo, lo + 100, 1, 1).select(
+                F.col("id"), (F.col("id") * 2).alias("v")
+            )
+        )
+    kept, total = t.scan_files("id >= 350")
+    assert total == 4 and len(kept) == 1
+    t.delete_where(spark, "id >= 350", key_cols=["id"])
+    assert t.read(spark).count() == 350
