@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "docs_source_epochs",
     "text_gopher_rules",
     "dml_delete_update",
+    "docs_global_ids",
 ]
 
 

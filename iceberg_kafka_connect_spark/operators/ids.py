@@ -1,0 +1,74 @@
+"""Contiguous global ID assignment without a global sort.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` is the semantic target, but its
+physical plan funnels every row through ONE task (a single-partition
+window) — a non-starter at corpus scale. This operator produces the
+identical numbering with a two-phase plan that never serializes:
+
+1. range-partition by the order key (``repartitionByRange`` samples the key
+   distribution, so partitions are both sorted BETWEEN and balanced),
+   sort within each partition;
+2. count rows per partition (a metadata-sized aggregation, one row per
+   partition collected to the driver), prefix-sum the counts into per-
+   partition starting offsets, broadcast them back;
+3. per-partition windows (partitionBy shard) add the local row number to
+   the shard's offset.
+
+Every phase is O(rows/partitions) per task; driver state is one long per
+partition. The same shape backs Spark's own ``zipWithIndex`` — expressed
+here in DataFrame terms so Catalyst keeps codegen and column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "global_id",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``id_col`` = contiguous rank of the row under ``order_cols``
+    (ties broken by the full column tuple must be unique — same contract
+    as deterministic ROW_NUMBER).
+
+    Equivalent to ``ROW_NUMBER() OVER (ORDER BY order_cols) + start - 1``
+    but without the single-task global sort.
+    """
+    spark = df.sparkSession
+    ordered = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    ).sortWithinPartitions(*order_cols)
+    shard = ordered.withColumn("__shard", F.spark_partition_id())
+    # persist so the count pass and the numbering pass see the same
+    # partitioning (repartitionByRange re-samples per action otherwise,
+    # which could move boundary rows between shards between the two jobs)
+    shard = shard.persist()
+    counts = {
+        r["__shard"]: r["n"]
+        for r in shard.groupBy("__shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, start
+    for s in sorted(counts):
+        offsets[s] = acc
+        acc += counts[s]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, o) for s, o in offsets.items()], "__shard int, __offset long"
+        )
+    )
+    w = Window.partitionBy("__shard").orderBy(*order_cols)
+    return (
+        shard.join(off_df, "__shard")
+        .withColumn(
+            id_col, (F.row_number().over(w) - 1 + F.col("__offset")).cast("long")
+        )
+        .drop("__shard", "__offset")
+    )

@@ -471,3 +471,28 @@ def docs_source_epochs(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     out = tx.source_epochs(docs, {"src0": 2.5, "src1": 2.0, "src2": 0.5})
     return out.select("doc_id", "source", "epoch")
+
+
+# --------------------------------------------------------------------------
+# Contiguous global IDs without a global sort: range-partition + per-shard
+# offsets reproduce ROW_NUMBER() OVER (ORDER BY ...) exactly — the oracle
+# IS that window, proving the two-phase plan's numbering is identical while
+# never funneling the corpus through one task (operators/ids.py).
+# --------------------------------------------------------------------------
+@register(
+    "docs_global_ids",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) AS BIGINT)
+               AS global_id
+    FROM documents
+    """,
+    tags=("quality",),
+)
+def docs_global_ids(spark, sf_dir):
+    from ..operators.ids import assign_global_ids
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_global_ids(docs, ["source", "doc_id"]).select(
+        "doc_id", "source", "global_id"
+    )

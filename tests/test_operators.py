@@ -330,3 +330,27 @@ def test_gopher_rules_each_rule_fires(spark):
     )
     for r in out:
         assert r.passes == r.expect, (r.id, r.asDict())
+
+
+def test_assign_global_ids_contiguous_and_ordered(spark):
+    from iceberg_kafka_connect_spark.operators.ids import assign_global_ids
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000, 1, 16).select(
+        (F.col("id") * 7919 % 10_000).alias("k")
+    )
+    out = assign_global_ids(df, ["k"], start=100).collect()
+    by_id = sorted((r.global_id, r.k) for r in out)
+    assert [g for g, _ in by_id] == list(range(100, 10_100))
+    ks = [k for _, k in by_id]
+    assert ks == sorted(ks)
+
+
+def test_assign_global_ids_never_single_partition_sort(spark):
+    from iceberg_kafka_connect_spark.operators.ids import assign_global_ids
+    from iceberg_kafka_connect_spark.plans import plan_string
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000, 1, 8).select(F.col("id").alias("k"))
+    plan = plan_string(assign_global_ids(df, ["k"]))
+    assert "SinglePartition" not in plan, plan
