@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "text_gopher_rules",
     "dml_delete_update",
     "docs_global_ids",
+    "embedding_pca",
 ]
 
 

@@ -164,3 +164,28 @@ def embedding_quantize(spark, sf_dir):
         F.col("col.nvec").alias("nval"),
         F.col("col.qvec").alias("qval"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA (operators/pca.py): fit is a moment-matrix reduce (no
+# eigendecomposition in SQL → rows-only gate entry; tests/test_pca.py pins
+# the math against single-node numpy PCA, including exact eigenvalue
+# agreement). The query projects every embedding onto the top-4 components
+# and reports per-component projected variance = the explained variance.
+# --------------------------------------------------------------------------
+@register("embedding_pca", oracle=None, tags=("similarity",))
+def embedding_pca(spark, sf_dir):
+    from ..operators import pca
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = pca.pca_fit(emb, k=4)
+    proj = pca.pca_project(emb, model)
+    return (
+        proj.select(F.posexplode("pca").alias("component", "value"))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.var_samp("value"), 6).alias("projected_variance"),
+        )
+        .orderBy("component")
+    )
