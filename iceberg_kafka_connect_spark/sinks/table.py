@@ -1457,6 +1457,46 @@ class LakehouseTable:
                 if attempt == COMMIT_RETRIES - 1:
                     raise
 
+    def fast_forward(self, branch: str, to_branch: str) -> dict:
+        """Fast-forward ``branch`` to ``to_branch``'s head — Iceberg
+        ``manageSnapshots().fastForwardBranch()``, the publish step of the
+        write-audit-publish (WAP) pattern: stage commits on an audit
+        branch, validate them, then publish atomically by advancing main.
+
+        Only a true fast-forward is allowed: the current ``branch`` head
+        must be an ancestor of (or equal to) the target head, so published
+        history is exactly what was audited — a diverged branch raises
+        instead of silently dropping commits (use rollback/branches to
+        reconcile)."""
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            target = meta["refs"].get(to_branch)
+            if target is None:
+                raise ValueError(f"branch {to_branch!r} has no snapshots")
+            head = meta["refs"].get(branch)
+            if head is not None:
+                sid, found = target, False
+                while sid is not None:
+                    if sid == head:
+                        found = True
+                        break
+                    sid = self._snapshot_by_id(meta, sid)["parent"]
+                if not found:
+                    raise ValueError(
+                        f"cannot fast-forward: {branch!r} head {head!r} is "
+                        f"not an ancestor of {to_branch!r} head {target!r}"
+                    )
+            if head == target:
+                return self._snapshot_by_id(meta, target)
+            meta["refs"][branch] = target
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return self._snapshot_by_id(meta, target)
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
     # ------------------------------------------------------------------ tags
     def tags(self) -> dict[str, str]:
         return dict(self.metadata().get("tags", {}))

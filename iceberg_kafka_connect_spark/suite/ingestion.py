@@ -1295,6 +1295,57 @@ def dml_delete_update(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Write-audit-publish: stage commits on an audit branch, validate, publish
+# by fast-forwarding main (Iceberg fastForwardBranch). The result reads
+# main BEFORE and AFTER the publish — proving staged rows are invisible
+# until the atomic ref advance.
+# --------------------------------------------------------------------------
+@register(
+    "wap_publish",
+    oracle="""
+    SELECT 'before' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id < 300
+    UNION ALL
+    SELECT 'after' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id < 700
+    ORDER BY stage
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def wap_publish(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="wap_gate_") + "/t", e.schema
+    )
+    t.append(e.filter(F.col("event_id") < 300))
+    t.create_branch("audit")
+    t.append(
+        e.filter((F.col("event_id") >= 300) & (F.col("event_id") < 700)),
+        branch="audit",
+    )
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    ]
+    before = t.read(spark).agg(*agg).select(
+        F.lit("before").alias("stage"), "n_rows", "sum_ids"
+    )
+    t.fast_forward("main", "audit")
+    after = t.read(spark).agg(*agg).select(
+        F.lit("after").alias("stage"), "n_rows", "sum_ids"
+    )
+    return before.unionAll(after).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
 # Time travel: read the table as of an earlier snapshot while the head has
 # moved on (Iceberg snapshot-id read; tests cover tags/branches — this is
 # the gate-visible flavor).

@@ -471,3 +471,45 @@ def test_upsert_key_columns_change_between_batches(spark, catalog):
     out = sorted((r.id, r.type) for r in t.read(spark).collect())
     # key-set ["id"]: id=1 replaced; key-set ["type"]: type='b' replaced
     assert out == [(1, "a9"), (9, "b")]
+
+
+def test_wap_fast_forward_publish(spark, catalog):
+    """Write-audit-publish: stage on a branch, validate, fast-forward main."""
+    t = catalog.create_table("default.wap", SCHEMA)
+    t.append(_rows(spark, [(1, "base", None, None)]))
+    t.create_branch("staging")
+    t.append(_rows(spark, [(2, "staged", None, None)]), branch="staging")
+    t.append(_rows(spark, [(3, "staged", None, None)]), branch="staging")
+    # main unchanged while the audit runs
+    assert {r.id for r in t.read(spark).collect()} == {1}
+    snap = t.fast_forward("main", "staging")
+    assert snap["snapshot_id"] == t.current_snapshot("staging")["snapshot_id"]
+    assert {r.id for r in t.read(spark).collect()} == {1, 2, 3}
+
+
+def test_fast_forward_rejects_diverged_branch(spark, catalog):
+    t = catalog.create_table("default.wap2", SCHEMA)
+    t.append(_rows(spark, [(1, "base", None, None)]))
+    t.create_branch("staging")
+    t.append(_rows(spark, [(2, "staged", None, None)]), branch="staging")
+    t.append(_rows(spark, [(9, "diverged", None, None)]))  # main moved on
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.fast_forward("main", "staging")
+
+
+def test_fast_forward_noop_when_equal(spark, catalog):
+    t = catalog.create_table("default.wap3", SCHEMA)
+    t.append(_rows(spark, [(1, "base", None, None)]))
+    t.create_branch("staging")
+    v = t.current_version()
+    t.fast_forward("main", "staging")
+    assert t.current_version() == v  # no metadata write for a no-op
+
+
+def test_fast_forward_creates_missing_branch(spark, catalog):
+    t = catalog.create_table("default.wap4", SCHEMA)
+    t.append(_rows(spark, [(1, "base", None, None)]))
+    t.create_branch("staging")
+    t.append(_rows(spark, [(2, "s", None, None)]), branch="staging")
+    t.fast_forward("release", "staging")
+    assert {r.id for r in t.read(spark, branch="release").collect()} == {1, 2}
