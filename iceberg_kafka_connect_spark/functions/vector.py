@@ -33,6 +33,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine() with the row norms precomputed. Bit-identical to cosine()
+    (same expression tree: dot / (norm_a * norm_b)) but the O(dim) norm
+    folds run once per ROW instead of once per PAIR — in a pairwise join
+    that's 3× less fold work, and the saving grows with pair fan-out."""
+    return dot(a, b) / (na * nb)
+
+
 # DuckDB SQL shapes computing the identical values (same double products,
 # same left-fold order). Used by the suite's oracle strings.
 def sql_dot(a: str, b: str) -> str:

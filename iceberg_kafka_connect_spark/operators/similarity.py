@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine
+from ..functions.vector import cosine, cosine_with_norms, norm2
 from .dedup import banded_pairs
 
 
@@ -40,10 +40,14 @@ def brute_force_topk(
     Deterministic: ties broken by neighbor id. Self-matches excluded.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm2(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm2(F.col(vec_col)).alias("cn"),
     )
     scored = (
         F.broadcast(q)
@@ -52,7 +56,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -81,11 +87,13 @@ def partitioned_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm2(F.col(vec_col)).alias("qn"),
         F.col(part_col).alias("part"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm2(F.col(vec_col)).alias("cn"),
         F.col(part_col).alias("part"),
     )
     scored = (
@@ -95,7 +103,9 @@ def partitioned_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -116,13 +126,25 @@ def cosine_pairs(
 ) -> DataFrame:
     """Exact all-pairs cosine near-duplicates (id_a < id_b). Quadratic —
     correct at verification scale; use srp_lsh_pairs at corpus scale."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm2(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm2(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -218,18 +240,34 @@ def srp_lsh_pairs(
     cand = banded_pairs(buckets, max_bucket=max_bucket)
     if not verify:
         return cand
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm2(F.col(vec_col)).alias("n"),
+    )
     return (
         cand.join(
-            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            ),
             "id_a",
         )
         .join(
-            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
             "id_b",
         )
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -399,11 +437,13 @@ def semantic_dedup(
     a = base.select(
         F.col("id").alias("id_a"),
         F.col("__v").alias("__va"),
+        norm2(F.col("__v")).alias("__na"),
         F.col("__cluster").alias("__ca"),
     )
     b = base.select(
         F.col("id").alias("id_b"),
         F.col("__v").alias("__vb"),
+        norm2(F.col("__v")).alias("__nb"),
         F.col("__cluster").alias("__cb"),
     )
     pairs = (
@@ -411,7 +451,9 @@ def semantic_dedup(
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+            cosine_with_norms(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
