@@ -205,14 +205,23 @@ def jaccard_pairs(
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
-    """One row per doc: minhash_0..minhash_{k-1}. Each hash family member is
-    xxhash64 seeded by its index; the signature agg is a single map-side
-    combinable groupBy."""
+    """One row per doc: minhash_0..minhash_{k-1}, via a single map-side
+    combinable groupBy.
+
+    The variable-length shingle string is hashed ONCE (xxhash64 → 64-bit
+    base value, projected as a column BEFORE the aggregation so codegen
+    can't re-evaluate it per family member); the k family members re-hash
+    the fixed-width long with the member index as seed. Hashing 8 fixed
+    bytes beats re-hashing the string k times, and measurably beats a
+    Carter-Wegman (a·h+b) mod 2³¹−1 family too (pmod's sign handling costs
+    more than a fixed-width xxhash64 round, and this keeps the full 64-bit
+    hash space)."""
+    hashed = sh.select("id", F.xxhash64(F.col("shingle")).alias("__h"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def _band_buckets(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
