@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "dml_delete_update",
     "docs_global_ids",
     "embedding_pca",
+    "schema_rename_drop",
 ]
 
 

@@ -834,6 +834,109 @@ class LakehouseTable:
                 time.sleep(0.05 * (attempt + 1))
         return False
 
+    def _guard_column_ddl(self, meta: dict, col: str, action: str) -> None:
+        spec_sources = {d["source"] for d in meta["partition_spec"]}
+        if col in spec_sources:
+            raise ValueError(
+                f"cannot {action} {col!r}: it is a partition source column "
+                "(this engine keys specs by name, not field id — repartition "
+                "to a new table instead)"
+            )
+        if col in meta.get("identifier_fields", []):
+            raise ValueError(
+                f"cannot {action} {col!r}: it is an identifier (id-columns) "
+                "field referenced by equality-delete files"
+            )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Iceberg ``updateSchema().renameColumn()`` parity. Existing data
+        files keep the old physical name; reads resolve it through the
+        table's ``schema.name-mapping.default`` property (the same Iceberg
+        NameMapping surface the reference consumes,
+        RecordConverter.java:100-103) — no file rewrite at any scale.
+        Partition-source and identifier columns are refused (specs here are
+        name-keyed, not field-id-keyed like real Iceberg)."""
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            self._guard_column_ddl(meta, old, "rename")
+            schema = T.StructType.fromJson(meta["schema"])
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column already exists: {new!r}")
+            fields = [
+                T.StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+            meta["schema"] = json.loads(T.StructType(fields).json())
+            raw = meta["properties"].get("schema.name-mapping.default")
+            entries = json.loads(raw) if raw else []
+            entry = next(
+                (e for e in entries if old in e.get("names", [])), None
+            )
+            if entry is None:
+                entries.append({"names": [new, old]})
+            else:
+                entry["names"] = [new] + [
+                    n for n in entry["names"] if n != new
+                ]
+            meta["properties"]["schema.name-mapping.default"] = json.dumps(
+                entries
+            )
+            so = meta["properties"].get("write.sort-order")
+            if so:
+                meta["properties"]["write.sort-order"] = ",".join(
+                    new if c.strip() == old else c.strip()
+                    for c in so.split(",")
+                )
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
+    def drop_column(self, name: str) -> None:
+        """Iceberg ``updateSchema().deleteColumn()`` parity: metadata-only —
+        the column disappears from the schema and every read projects it
+        away (project_to_schema drops unknown file columns); the bytes stay
+        in place until files are naturally rewritten. Partition-source and
+        identifier columns are refused."""
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            self._guard_column_ddl(meta, name, "drop")
+            schema = T.StructType.fromJson(meta["schema"])
+            if name not in [f.name for f in schema.fields]:
+                raise ValueError(f"no such column: {name!r}")
+            fields = [f for f in schema.fields if f.name != name]
+            if not fields:
+                raise ValueError("cannot drop the last column")
+            meta["schema"] = json.loads(T.StructType(fields).json())
+            raw = meta["properties"].get("schema.name-mapping.default")
+            if raw:
+                entries = [
+                    e
+                    for e in json.loads(raw)
+                    if name not in e.get("names", [])
+                ]
+                meta["properties"]["schema.name-mapping.default"] = (
+                    json.dumps(entries)
+                )
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
     # ----------------------------------------------------------------- read
     def read(
         self,
@@ -890,6 +993,14 @@ class LakehouseTable:
         (legacy entries without key_cols get schema inference)."""
         if not delete_files:
             return data
+        # delete files written before a rename_column carry old physical key
+        # names; canonicalize through the name mapping so the anti-join
+        # still lines up with the renamed data columns
+        reverse = {
+            alias: canon
+            for canon, aliases in self.name_mapping().items()
+            for alias in aliases
+        }
         by_keyset: dict[tuple[str, ...], list[dict]] = {}
         for f in delete_files:
             kc = f.get("key_cols")
@@ -897,8 +1008,12 @@ class LakehouseTable:
                 kc = self._delete_key_cols(spark, f)
             by_keyset.setdefault(tuple(kc), []).append(f)
         out = data
-        for key_cols, files in sorted(by_keyset.items()):
+        for phys_cols, files in sorted(by_keyset.items()):
+            key_cols = [reverse.get(c, c) for c in phys_cols]
             dkeys = self._read_file_group(spark, files, None)
+            for p, c in zip(phys_cols, key_cols):
+                if p != c:
+                    dkeys = dkeys.withColumnRenamed(p, c)
             latest = dkeys.groupBy(*key_cols).agg(
                 F.max("__seq").alias("__max_dseq")
             )
@@ -957,7 +1072,11 @@ class LakehouseTable:
                     .load(paths)
                 )
             if target is not None:
-                df = project_to_schema(df, target)
+                # name mapping lets files written before a rename_column
+                # resolve under their old physical column names
+                df = project_to_schema(
+                    df, target, name_mapping=self.name_mapping()
+                )
             parts.append(df.withColumn("__seq", F.lit(seq)))
         out = parts[0]
         for p in parts[1:]:

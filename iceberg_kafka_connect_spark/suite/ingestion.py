@@ -815,6 +815,40 @@ def schema_evolution_union(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Column DDL: rename + drop with pre-DDL files resolved through the table's
+# name mapping (Iceberg updateSchema().renameColumn/deleteColumn — metadata
+# only, no file rewrite). Half the rows are written BEFORE the DDL under
+# the old column name, half after; the read must stitch them.
+# --------------------------------------------------------------------------
+@register(
+    "schema_rename_drop",
+    oracle="""
+    SELECT event_id, value AS amount
+    FROM events WHERE event_id < 1200
+    ORDER BY event_id
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def schema_rename_drop(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="ddl_gate_") + "/t", e.schema
+    )
+    t.append(e.filter(F.col("event_id") < 600))
+    t.rename_column("value", "amount")
+    t.drop_column("event_type")
+    t.append(
+        e.filter((F.col("event_id") >= 600) & (F.col("event_id") < 1200))
+        .select("event_id", F.col("value").alias("amount"))
+    )
+    return t.read(spark).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
 # §1.2 — decimal target coercion: rescale with HALF_UP from doubles AND from
 # strings (RecordConverter.java:338-357; convert.coerce_expr's decimal leg).
 # --------------------------------------------------------------------------

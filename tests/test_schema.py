@@ -113,3 +113,86 @@ def test_partition_field_names():
     assert PartitionField("ts", "day").name == "ts_day"
     assert PartitionField("id", "bucket", 16).name == "id_bucket16"
     assert PartitionField("x", "identity").name == "x"
+
+
+# ---------------------------------------------------------------- column DDL
+def _ddl_table(spark, tmp_path, name="ddl"):
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.LongType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    t = LakehouseTable.create(str(tmp_path / name), schema)
+    t.append(
+        spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], schema)
+    )
+    return t
+
+
+def test_rename_column_reads_old_files(spark, tmp_path):
+    t = _ddl_table(spark, tmp_path)
+    t.rename_column("amount", "value")
+    rows = sorted((r.id, r.value, r.note) for r in t.read(spark).collect())
+    assert rows == [(1, 10, "a"), (2, 20, "b")]
+    # new writes land under the new name and union cleanly with old files
+    t.append(
+        spark.createDataFrame(
+            [(3, 30, "c")], "id long, value long, note string"
+        )
+    )
+    rows = sorted((r.id, r.value) for r in t.read(spark).collect())
+    assert rows == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_rename_column_twice_chains_mapping(spark, tmp_path):
+    t = _ddl_table(spark, tmp_path)
+    t.rename_column("amount", "value")
+    t.rename_column("value", "total")
+    rows = sorted((r.id, r.total) for r in t.read(spark).collect())
+    assert rows == [(1, 10), (2, 20)]
+
+
+def test_drop_column_projected_away(spark, tmp_path):
+    t = _ddl_table(spark, tmp_path)
+    t.drop_column("note")
+    df = t.read(spark)
+    assert "note" not in df.columns
+    assert sorted((r.id, r.amount) for r in df.collect()) == [(1, 10), (2, 20)]
+
+
+def test_rename_guard_identifier_and_partition(spark, tmp_path):
+    import pytest as _pytest
+
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = LakehouseTable.create(
+        str(tmp_path / "g"),
+        schema,
+        partition_by="bucket(4, id)",
+        identifier_fields=["id"],
+    )
+    with _pytest.raises(ValueError, match="partition source"):
+        t.rename_column("id", "id2")
+    with _pytest.raises(ValueError, match="no such column"):
+        t.drop_column("nope")
+
+
+def test_rename_then_upsert_delete_keys_resolve(spark, tmp_path):
+    """Delete files written pre-rename still anti-join post-rename reads."""
+    t = _ddl_table(spark, tmp_path)
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 99, "b2")], "id long, amount long, note string"
+        ),
+        key_cols=["amount"],
+    )
+    t.rename_column("amount", "value")
+    rows = sorted((r.id, r.value) for r in t.read(spark).collect())
+    assert (2, 99) in rows
