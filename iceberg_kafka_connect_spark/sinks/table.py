@@ -834,6 +834,33 @@ class LakehouseTable:
                 time.sleep(0.05 * (attempt + 1))
         return False
 
+    def update_partition_spec(self, partition_by: list[str] | str | None) -> None:
+        """Iceberg partition-spec evolution (``updateSpec()``): the new spec
+        applies to FUTURE writes only; existing data files keep their old
+        directory layout, and reads recompute the current spec's derived
+        partition columns from source values for files that predate it —
+        metadata-only, no rewrite, matching Iceberg's spec-evolution
+        contract. Source columns must exist in the schema."""
+        from .spec import parse_partition_spec
+
+        new_spec = parse_partition_spec(partition_by)
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            names = {f["name"] for f in meta["schema"]["fields"]}
+            for pf in new_spec:
+                if pf.source not in names:
+                    raise ValueError(
+                        f"partition source column {pf.source!r} not in schema"
+                    )
+            meta["partition_spec"] = [f.to_json() for f in new_spec]
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
     def _guard_column_ddl(self, meta: dict, col: str, action: str) -> None:
         spec_sources = {d["source"] for d in meta["partition_spec"]}
         if col in spec_sources:
@@ -1072,6 +1099,13 @@ class LakehouseTable:
                     .load(paths)
                 )
             if target is not None:
+                # spec evolution: files written under an older partition
+                # spec lack the current spec's derived partition columns in
+                # their directory layout — recompute them from source
+                # values (deterministic transforms) instead of NULL-filling
+                for pf in self.partition_spec():
+                    if pf.name not in df.columns and pf.source in df.columns:
+                        df = df.withColumn(pf.name, pf.expr())
                 # name mapping lets files written before a rename_column
                 # resolve under their old physical column names
                 df = project_to_schema(

@@ -513,3 +513,39 @@ def test_fast_forward_creates_missing_branch(spark, catalog):
     t.append(_rows(spark, [(2, "s", None, None)]), branch="staging")
     t.fast_forward("release", "staging")
     assert {r.id for r in t.read(spark, branch="release").collect()} == {1, 2}
+
+
+def test_partition_spec_evolution(spark, catalog):
+    """New spec partitions future writes; old files read back with the
+    derived partition column recomputed from source values."""
+    t = catalog.create_table("default.specevo", SCHEMA)
+    t.append(
+        _rows(spark, [(1, "a", None, None), (2, "b", None, None)])
+    )  # unpartitioned era
+    t.update_partition_spec("bucket(4, id)")
+    t.append(_rows(spark, [(3, "c", None, None), (4, "d", None, None)]))
+    df = t.read(spark)
+    assert "id_bucket4" in df.columns
+    rows = {r.id: r.id_bucket4 for r in df.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # derived value must be consistent whether it came from a directory
+    # (new files) or was recomputed (old files)
+    from pyspark.sql import functions as F
+
+    expect = {
+        r.id: r.b
+        for r in spark.createDataFrame([(i,) for i in rows], "id long")
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(4)).alias("b"))
+        .collect()
+    }
+    assert rows == expect
+    # new-spec files actually landed in partition directories
+    data_files, _ = t.live_files()
+    assert any("id_bucket4=" in f["path"] for f in data_files)
+    assert any("id_bucket4=" not in f["path"] for f in data_files)
+
+
+def test_partition_spec_evolution_requires_known_source(spark, catalog):
+    t = catalog.create_table("default.specevo2", SCHEMA)
+    with pytest.raises(ValueError, match="not in schema"):
+        t.update_partition_spec("day(nope)")
