@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "docs_global_ids",
     "embedding_pca",
     "schema_rename_drop",
+    "changelog_read",
 ]
 
 

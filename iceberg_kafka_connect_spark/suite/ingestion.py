@@ -1329,6 +1329,61 @@ def dml_delete_update(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Changelog read (Iceberg create_changelog_view parity): append then upsert,
+# then consume the change stream — per (ordinal, change_type) row counts and
+# key sums. The upsert snapshot must yield its equality-delete keys AND its
+# inserts at one ordinal.
+# --------------------------------------------------------------------------
+@register(
+    "changelog_read",
+    oracle="""
+    SELECT 0 AS ordinal, 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id < 400
+    UNION ALL
+    SELECT 1 AS ordinal, 'delete' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id >= 200 AND event_id < 500
+    UNION ALL
+    SELECT 1 AS ordinal, 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id >= 200 AND event_id < 500
+    ORDER BY ordinal, change_type
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def changelog_read(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="cl_gate_") + "/t", e.schema
+    )
+    t.append(e.filter(F.col("event_id") < 400))
+    t.upsert(
+        e.filter((F.col("event_id") >= 200) & (F.col("event_id") < 500)),
+        key_cols=["event_id"],
+    )
+    return (
+        t.changes_between(spark, None)
+        .groupBy(
+            F.col("_change_ordinal").cast("int").alias("ordinal"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("ordinal", "change_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Write-audit-publish: stage commits on an audit branch, validate, publish
 # by fast-forwarding main (Iceberg fastForwardBranch). The result reads
 # main BEFORE and AFTER the publish — proving staged rows are invisible
