@@ -435,6 +435,17 @@ class LakehouseTable:
         w = writer.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
+        # Iceberg parquet bloom-filter property passthrough
+        # (write.parquet.bloom-filter-enabled.column.<col> — Iceberg
+        # TableProperties.PARQUET_BLOOM_FILTER_PREFIX): point lookups on
+        # high-cardinality columns skip row groups that min/max bounds
+        # can't, via the native parquet reader's bloom check.
+        if fmt == "parquet" and subdir == "data":
+            bloom_prefix = "write.parquet.bloom-filter-enabled.column."
+            for prop, val in self.properties().items():
+                if prop.startswith(bloom_prefix):
+                    col = prop[len(bloom_prefix):]
+                    w = w.option(f"parquet.bloom.filter.enabled#{col}", val)
         # file-size rolling (Utilities.java:165-167 → Iceberg
         # write.target-file-size-bytes): Spark's knob is rows-per-file, so
         # the byte target is converted with the table's own observed
@@ -833,6 +844,24 @@ class LakehouseTable:
                     raise
                 time.sleep(0.05 * (attempt + 1))
         return False
+
+    def count_rows(self, branch: str = MAIN) -> int | None:
+        """Metadata-only COUNT(*): sum of per-file row counts recorded in
+        the manifests (Iceberg answers SELECT COUNT(*) from manifest stats
+        without scanning data). Returns None — caller falls back to a real
+        scan — when any live file lacks recorded stats (e.g. avro) or when
+        equality-delete files exist (deleted keys can't be counted without
+        the anti-join)."""
+        data_files, delete_files = self.live_files(branch=branch)
+        if delete_files:
+            return None
+        total = 0
+        for f in data_files:
+            st = f.get("stats")
+            if st is None:
+                return None
+            total += st["rows"]
+        return total
 
     def update_partition_spec(self, partition_by: list[str] | str | None) -> None:
         """Iceberg partition-spec evolution (``updateSpec()``): the new spec

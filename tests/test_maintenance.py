@@ -247,3 +247,44 @@ def test_rollback_rejects_non_ancestor(spark, tmp_path):
     dev_head = t.current_snapshot("dev")["snapshot_id"]
     with _pytest.raises(ValueError, match="not an ancestor"):
         t.rollback(dev_head, branch="main")
+
+
+def test_count_rows_from_metadata(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    t = LakehouseTable.create(str(tmp_path / "cnt"), schema)
+    t.append(spark.range(0, 1000).select("id"))
+    t.append(spark.range(1000, 1500).select("id"))
+    assert t.count_rows() == 1500  # no scan: manifest stats only
+    # delete files force the fallback (count needs the anti-join)
+    t.upsert(spark.range(0, 10).select("id"), key_cols=["id"])
+    assert t.count_rows() is None
+    assert t.read(spark).count() == 1500
+
+
+def test_bloom_filter_property_passthrough(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    df = spark.range(0, 20_000, 1, 1).select("id")
+    plain = LakehouseTable.create(str(tmp_path / "plain"), schema)
+    plain.append(df)
+    bloomy = LakehouseTable.create(
+        str(tmp_path / "bloomy"),
+        schema,
+        properties={"write.parquet.bloom-filter-enabled.column.id": "true"},
+    )
+    bloomy.append(df)
+
+    def _bytes(t):
+        return sum(f["bytes"] for f in t.live_files()[0])
+
+    # the bloom filter is physically present → strictly larger files
+    assert _bytes(bloomy) > _bytes(plain)
+    # and reads are unaffected
+    assert bloomy.read(spark, where="id = 19999").count() == 1
