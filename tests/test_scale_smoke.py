@@ -107,3 +107,50 @@ def test_span_dedup_amplified_first_occurrence_invariants(spark, sf_dir):
     )
     assert agg["kept"] < agg["total"]
     assert agg["kept"] <= distinct_spans
+
+
+def test_global_ids_at_10x(spark, sf_dir):
+    """Contiguous numbering at 10× rows: still exact, still no
+    single-partition sort anywhere in the plan."""
+    from iceberg_kafka_connect_spark.operators.ids import assign_global_ids
+    from iceberg_kafka_connect_spark.plans import plan_string
+
+    docs = _amplify(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+        "doc_id",
+    )
+    n = docs.count()
+    out = assign_global_ids(docs, ["doc_id"])
+    assert "SinglePartition" not in plan_string(out)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("global_id").alias("lo"),
+        F.max("global_id").alias("hi"),
+        F.countDistinct("global_id").alias("d"),
+    ).collect()[0]
+    assert (agg.n, agg.lo, agg.hi, agg.d) == (n, 1, n, n)
+
+
+def test_gopher_rules_amplified_invariance(spark, sf_dir):
+    """Per-doc metrics are pure projections: every replica of a doc gets
+    bit-identical metrics (no cross-row interference at any volume)."""
+    from iceberg_kafka_connect_spark.operators.text import (
+        gopher_passes,
+        gopher_rules,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    amp = docs.withColumn(
+        "__m", F.explode(F.sequence(F.lit(0), F.lit(MULT - 1)))
+    )
+    out = (
+        amp.select("doc_id", *gopher_rules(F.col("text")))
+        .select("doc_id", "n_words", "alpha_word_ratio", gopher_passes(20))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("n_words", "alpha_word_ratio", "passes").alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert all(r.v == 1 and r.n == MULT for r in out)
