@@ -65,10 +65,17 @@ def assign_global_ids(
         )
     )
     w = Window.partitionBy("__shard").orderBy(*order_cols)
-    return (
+    out = (
         shard.join(off_df, "__shard")
         .withColumn(
             id_col, (F.row_number().over(w) - 1 + F.col("__offset")).cast("long")
         )
         .drop("__shard", "__offset")
+        # materialize eagerly so the intermediate persist can be released
+        # here instead of leaking for the session lifetime (same
+        # persist→checkpoint→unpersist discipline as semantic_dedup);
+        # storage cost is the same O(rows) class either way
+        .localCheckpoint(eager=True)
     )
+    shard.unpersist()
+    return out

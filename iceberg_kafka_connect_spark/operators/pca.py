@@ -31,6 +31,7 @@ class PCAModel:
     mean: "object"  # np.ndarray (dim,)
     components: "object"  # np.ndarray (k, dim) — rows orthonormal
     explained_variance: "object"  # np.ndarray (k,) — descending
+    total_variance: float = 0.0  # trace(cov): ALL variance, not just top-k
 
     @property
     def k(self) -> int:
@@ -94,6 +95,7 @@ def pca_fit(
         mean=mean,
         components=comps,
         explained_variance=np.maximum(vals[order], 0.0),
+        total_variance=float(np.trace(cov)),
     )
 
 
@@ -132,8 +134,10 @@ def pca_project(
 
 def pca_variance_df(emb: DataFrame, model: PCAModel) -> DataFrame:
     """Explained-variance table (component, variance, cumulative_ratio) —
-    the fit diagnostic, as a DataFrame for gate/report surfaces."""
-    total = float(model.explained_variance.sum()) or 1.0
+    the fit diagnostic. The ratio denominator is trace(cov) (TOTAL data
+    variance), so a k-component model that discards variance shows a final
+    cumulative_ratio < 1 instead of misreporting completeness."""
+    total = model.total_variance or 1.0
     rows, acc = [], 0.0
     for i, v in enumerate(model.explained_variance):
         acc += float(v)

@@ -104,14 +104,9 @@ _BULLET_RE = r"^\s*[-*•]"
 _ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
 
 
-def gopher_rules(
-    text: Column,
-    min_words: int = 50,
-    max_words: int = 100_000,
-) -> list[Column]:
-    """Per-document Gopher rule metrics + the AND-of-all-rules gate, as a
-    single-pass projection (pure Catalyst, one scan, zero shuffles at any
-    corpus size):
+def gopher_rules(text: Column) -> list[Column]:
+    """Per-document Gopher rule metrics, as a single-pass projection (pure
+    Catalyst, one scan, zero shuffles at any corpus size):
 
     n_words bounds · mean word length in [3,10] · symbol-to-word ratio
     (#/ellipsis) · fraction of words containing an alphabetic character ·

@@ -903,6 +903,21 @@ class LakehouseTable:
                 f"cannot {action} {col!r}: it is an identifier (id-columns) "
                 "field referenced by equality-delete files"
             )
+        if action == "drop":
+            # a live equality-delete file keyed on the column makes every
+            # merge-on-read scan anti-join on it; dropping would brick reads
+            for ref in meta.get("refs", {}):
+                snap = self.current_snapshot(ref)
+                if snap is None:
+                    continue
+                _, delete_files = self._live_files(meta, snap)
+                for f in delete_files:
+                    if col in (f.get("key_cols") or []):
+                        raise ValueError(
+                            f"cannot drop {col!r}: live equality-delete "
+                            f"files on branch {ref!r} key on it — compact() "
+                            "first to fold the delete state"
+                        )
 
     def rename_column(self, old: str, new: str) -> None:
         """Iceberg ``updateSchema().renameColumn()`` parity. Existing data
@@ -951,6 +966,11 @@ class LakehouseTable:
                     new if c.strip() == old else c.strip()
                     for c in so.split(",")
                 )
+            bloom_old = f"write.parquet.bloom-filter-enabled.column.{old}"
+            if bloom_old in meta["properties"]:
+                meta["properties"][
+                    f"write.parquet.bloom-filter-enabled.column.{new}"
+                ] = meta["properties"].pop(bloom_old)
             try:
                 self._write_version(meta["version"] + 1, meta)
                 return
@@ -1128,6 +1148,18 @@ class LakehouseTable:
                     .load(paths)
                 )
             if target is not None:
+                # name mapping lets files written before a rename_column
+                # resolve under their old physical column names — applied
+                # FIRST so the spec recompute below sees canonical names
+                # (a renamed partition source would otherwise skip it)
+                reverse = {
+                    alias: canon
+                    for canon, aliases in self.name_mapping().items()
+                    for alias in aliases
+                }
+                for alias, canon in reverse.items():
+                    if alias in df.columns and canon not in df.columns:
+                        df = df.withColumnRenamed(alias, canon)
                 # spec evolution: files written under an older partition
                 # spec lack the current spec's derived partition columns in
                 # their directory layout — recompute them from source
@@ -1135,11 +1167,7 @@ class LakehouseTable:
                 for pf in self.partition_spec():
                     if pf.name not in df.columns and pf.source in df.columns:
                         df = df.withColumn(pf.name, pf.expr())
-                # name mapping lets files written before a rename_column
-                # resolve under their old physical column names
-                df = project_to_schema(
-                    df, target, name_mapping=self.name_mapping()
-                )
+                df = project_to_schema(df, target)
             parts.append(df.withColumn("__seq", F.lit(seq)))
         out = parts[0]
         for p in parts[1:]:
@@ -1297,6 +1325,17 @@ class LakehouseTable:
             ]
             dels = self._read_file_group(spark, dl, None)
             if dels is not None:
+                # delete files written before a rename_column carry old
+                # physical key names — canonicalize (same as _apply_deletes)
+                # so the changelog's delete rows keep their keys
+                reverse = {
+                    alias: canon
+                    for canon, aliases in self.name_mapping().items()
+                    for alias in aliases
+                }
+                for alias, canon in reverse.items():
+                    if alias in dels.columns and canon not in dels.columns:
+                        dels = dels.withColumnRenamed(alias, canon)
                 proj = [
                     F.col(f.name).cast(f.dataType).alias(f.name)
                     if f.name in dels.columns

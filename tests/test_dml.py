@@ -114,3 +114,17 @@ def test_time_travel_sees_pre_dml_state(spark, catalog):
     before = t.current_snapshot()["snapshot_id"]
     t.delete_where(spark, "grp = 'a'", key_cols=["id"])
     assert _rows(t.read(spark, snapshot_id=before)) == sorted(ROWS)
+
+
+def test_drop_column_refused_while_delete_files_key_on_it(spark, catalog):
+    """Dropping a column that live equality-delete files anti-join on would
+    brick every read; the DDL must refuse until compaction folds them."""
+    t = _table(spark, catalog, "g1")
+    t.upsert(
+        spark.createDataFrame([(9, "z", 90)], SCHEMA), key_cols=["v"]
+    )
+    with pytest.raises(ValueError, match="compact"):
+        t.drop_column("v")
+    t.compact(spark)
+    t.drop_column("v")  # delete state folded — now safe
+    assert "v" not in t.read(spark).columns

@@ -79,7 +79,19 @@ def test_deterministic_across_runs(emb):
 
 
 def test_variance_df_cumulative(emb, spark):
-    m = pca_fit(emb, k=4)
-    rows = pca_variance_df(emb, m).collect()
+    # k < dim: the model discards variance, and the ratio must say so
+    # (denominator is trace(cov), not the kept top-k sum)
+    m4 = pca_fit(emb, k=4)
+    rows = pca_variance_df(emb, m4).collect()
     assert [r.component for r in rows] == [0, 1, 2, 3]
-    assert rows[-1].cumulative_ratio == pytest.approx(1.0)
+    ratios = [r.cumulative_ratio for r in rows]
+    assert ratios == sorted(ratios)
+    assert ratios[-1] < 1.0
+    assert ratios[-1] == pytest.approx(
+        float(m4.explained_variance.sum()) / m4.total_variance
+    )
+    # full-rank model explains everything
+    m8 = pca_fit(emb, k=8)
+    assert pca_variance_df(emb, m8).collect()[-1].cumulative_ratio == (
+        pytest.approx(1.0)
+    )

@@ -164,3 +164,23 @@ def test_changes_between_rejects_compaction(spark, tmp_path):
     t.compact(spark)
     with _pytest.raises(ValueError, match="changelog cannot express"):
         t.changes_between(spark, None)
+
+
+def test_changelog_delete_keys_survive_rename(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LakehouseTable.create(str(tmp_path / "clr"), schema)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    t.upsert(spark.createDataFrame([(2, "B")], schema), key_cols=["id"])
+    t.rename_column("id", "uid")
+    dels = [
+        r
+        for r in t.changes_between(spark, None).collect()
+        if r._change_type == "delete"
+    ]
+    assert [r.uid for r in dels] == [2]  # key survives the rename
