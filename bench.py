@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "embedding_pca",
     "schema_rename_drop",
     "changelog_read",
+    "text_compression_ratio",
 ]
 
 

@@ -170,6 +170,51 @@ def gopher_passes(
     ).alias("passes")
 
 
+def compression_ratio_df(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> "DataFrame":
+    """(id, raw_bytes, zlib_bytes, compression_ratio) per document — the
+    RefinedWeb/Dolma-style redundancy signal: machine-generated or
+    boilerplate-heavy text compresses far better than natural prose (ratio
+    = compressed/raw; low ratio ⇒ repetitive).
+
+    zlib isn't expressible in Catalyst, so this is the one text signal that
+    runs as an Arrow-batched mapInPandas (stdlib zlib per document inside
+    the batch loop — no per-row Python round trips). Deterministic: zlib
+    at a fixed level is a pure function of the bytes. One scan, zero
+    shuffles at any scale."""
+    import pandas as pd  # noqa: PLC0415
+
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, raw_bytes long, zlib_bytes long, "
+        "compression_ratio double"
+    )
+
+    def score(batches):
+        import zlib  # noqa: PLC0415
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            raw = pdf[text_col].str.encode("utf-8")
+            raw_n = raw.str.len()
+            comp_n = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": raw_n,
+                    "zlib_bytes": comp_n,
+                    "compression_ratio": comp_n / raw_n.clip(lower=1),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(score, schema)
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the whitespace/case-normalized text.
     (The rolling-hash variant for shift-tolerant matching is the simhash in

@@ -442,3 +442,23 @@ def docs_sample_topk_per_source(spark, sf_dir):
 def docs_chunk_overlap(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return tx.chunk_documents(docs, chunk_tokens=40, overlap=10)
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio redundancy signal (RefinedWeb/Dolma): zlib is not
+# SQL-expressible → rows-only gate entry; tests/test_operators.py pins the
+# semantics (repetitive text compresses harder) and determinism.
+# --------------------------------------------------------------------------
+@register("text_compression_ratio", oracle=None, tags=("text",))
+def text_compression_ratio(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    out = tx.compression_ratio_df(docs)
+    return (
+        out.groupBy((F.floor(F.col("compression_ratio") * 10)).alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("raw_bytes").cast("bigint").alias("raw_bytes"),
+            F.sum("zlib_bytes").cast("bigint").alias("zlib_bytes"),
+        )
+        .orderBy("decile")
+    )

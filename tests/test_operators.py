@@ -354,3 +354,19 @@ def test_assign_global_ids_never_single_partition_sort(spark):
     df = spark.range(0, 1000, 1, 8).select(F.col("id").alias("k"))
     plan = plan_string(assign_global_ids(df, ["k"]))
     assert "SinglePartition" not in plan, plan
+
+
+def test_compression_ratio_flags_repetitive_text(spark):
+    from iceberg_kafka_connect_spark.operators.text import compression_ratio_df
+
+    rows = [
+        (1, "spam " * 200),  # highly repetitive
+        (2, " ".join(f"w{i * 7919 % 9973}x{i}" for i in range(200))),  # noisy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio_df(df).collect()}
+    assert out[1].compression_ratio < 0.1 < out[2].compression_ratio
+    assert out[1].raw_bytes == len(rows[0][1].encode())
+    # deterministic across runs
+    again = {r.doc_id: r.zlib_bytes for r in compression_ratio_df(df).collect()}
+    assert again == {k: v.zlib_bytes for k, v in out.items()}
