@@ -32,6 +32,7 @@ def assign_global_ids(
     id_col: str = "global_id",
     start: int = 1,
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Add ``id_col`` = contiguous rank of the row under ``order_cols``
     (ties broken by the full column tuple must be unique — same contract
@@ -71,11 +72,14 @@ def assign_global_ids(
             id_col, (F.row_number().over(w) - 1 + F.col("__offset")).cast("long")
         )
         .drop("__shard", "__offset")
-        # materialize eagerly so the intermediate persist can be released
-        # here instead of leaking for the session lifetime (same
-        # persist→checkpoint→unpersist discipline as semantic_dedup);
-        # storage cost is the same O(rows) class either way
-        .localCheckpoint(eager=True)
     )
+    if not materialize:
+        # caller (plan tests) inspects the live plan and owns the persist
+        return out
+    # materialize eagerly so the intermediate persist can be released here
+    # instead of leaking for the session lifetime (same persist→checkpoint→
+    # unpersist discipline as semantic_dedup); storage cost is the same
+    # O(rows) class either way
+    out = out.localCheckpoint(eager=True)
     shard.unpersist()
     return out

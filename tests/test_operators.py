@@ -352,7 +352,7 @@ def test_assign_global_ids_never_single_partition_sort(spark):
     from pyspark.sql import functions as F
 
     df = spark.range(0, 1000, 1, 8).select(F.col("id").alias("k"))
-    plan = plan_string(assign_global_ids(df, ["k"]))
+    plan = plan_string(assign_global_ids(df, ["k"], materialize=False))
     assert "SinglePartition" not in plan, plan
 
 

@@ -120,7 +120,7 @@ def test_global_ids_at_10x(spark, sf_dir):
         "doc_id",
     )
     n = docs.count()
-    out = assign_global_ids(docs, ["doc_id"])
+    out = assign_global_ids(docs, ["doc_id"], materialize=False)
     assert "SinglePartition" not in plan_string(out)
     agg = out.agg(
         F.count(F.lit(1)).alias("n"),
