@@ -1617,6 +1617,59 @@ class LakehouseTable:
             expected_parent=snap["snapshot_id"],
         )
 
+    def rewrite_where(
+        self,
+        spark: SparkSession,
+        where: str,
+        branch: str = MAIN,
+        sort_by: list[str] | None = None,
+    ) -> dict | None:
+        """Iceberg ``rewrite_data_files(filter=...)``: rewrite only the data
+        files a predicate may touch (planned against recorded column bounds,
+        conservative), leaving every other file untouched with its sequence
+        number preserved — the bounded maintenance job for re-clustering a
+        hot partition or folding delete state for one key range without
+        paying for a full-table pass.
+
+        Delete handling mirrors rewrite_small_files: rewritten rows get
+        deletes FOLDED IN and land at the top sequence; delete files stay
+        in the manifest and keep applying to the kept (lower-sequence)
+        files. ``sort_by`` range-clusters the rewritten rows so their new
+        bounds are disjoint. Returns the snapshot, or None when no file
+        matches."""
+        meta = self.metadata()
+        snap = self.current_snapshot(branch)
+        if snap is None:
+            return None
+        data_files, delete_files = self._live_files(meta, snap)
+        selected = [f for f in data_files if file_may_match(f, where)]
+        if not selected:
+            return None
+        sel_paths = {f["path"] for f in selected}
+        kept = [f for f in data_files if f["path"] not in sel_paths]
+        merged = self._read_file_group(spark, selected, self.read_schema())
+        merged = self._apply_deletes(spark, merged, delete_files).drop("__seq")
+        if sort_by:
+            merged = merged.repartitionByRange(*sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        new_files = self._write_files(merged, "data")
+        return self._commit_snapshot(
+            "replace",
+            kept + new_files,
+            delete_files,
+            {
+                "compaction": "rewrite-where",
+                "filter": where,
+                "rewritten-files": str(len(selected)),
+                "kept-files": str(len(kept)),
+            },
+            branch,
+            replace=True,
+            preserve_seq=True,
+            expected_parent=snap["snapshot_id"],
+        )
+
     def rollback(self, snapshot_id: str, branch: str = MAIN) -> dict:
         """Point ``branch`` back at an ancestor snapshot — Iceberg
         ``manageSnapshots().rollbackTo()`` semantics

@@ -288,3 +288,39 @@ def test_bloom_filter_property_passthrough(spark, tmp_path):
     assert _bytes(bloomy) > _bytes(plain)
     # and reads are unaffected
     assert bloomy.read(spark, where="id = 19999").count() == 1
+
+
+def test_rewrite_where_scoped_and_delete_folding(spark, tmp_path):
+    """Predicate-scoped rewrite touches only matching files; delete state
+    folds into the rewritten range and keeps applying to kept files."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = LakehouseTable.create(str(tmp_path / "rw"), schema)
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 100, 1, 1).select(
+                F.col("id"), (F.col("id") * 2).alias("v")
+            )
+        )
+    # equality deletes spanning both the rewritten and the kept ranges
+    t.upsert(
+        spark.createDataFrame([(5, -5), (205, -205)], schema), key_cols=["id"]
+    )
+    before_files = {f["path"] for f in t.live_files()[0]}
+    snap = t.rewrite_where(spark, "id < 100", sort_by=["id"])
+    assert snap is not None and snap["operation"] == "replace"
+    after = t.live_files()[0]
+    # files outside the predicate survived untouched
+    kept = {f["path"] for f in after} & before_files
+    assert len(kept) >= 2
+    rows = {r.id: r.v for r in t.read(spark).collect()}
+    assert len(rows) == 300  # upsert replaced ids 5 and 205 in place
+    assert rows[5] == -5 and rows[205] == -205  # deletes still apply everywhere
+    # no-match predicate is a no-op
+    assert t.rewrite_where(spark, "id > 99999") is None
