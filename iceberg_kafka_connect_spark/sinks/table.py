@@ -863,6 +863,28 @@ class LakehouseTable:
             total += st["rows"]
         return total
 
+    def column_bounds(
+        self, col: str, branch: str = MAIN
+    ) -> tuple[object, object] | None:
+        """Metadata-only MIN/MAX of a column: fold of the per-file bounds
+        recorded in the manifests (the same stats scan planning prunes on)
+        — Iceberg answers SELECT MIN(c), MAX(c) this way. Returns None —
+        caller falls back to a scan — when delete files exist (a deleted
+        row may hold the extreme) or any live file lacks bounds for the
+        column."""
+        data_files, delete_files = self.live_files(branch=branch)
+        if delete_files or not data_files:
+            return None
+        lo = hi = None
+        for f in data_files:
+            cols = (f.get("stats") or {}).get("cols") or {}
+            st = cols.get(col)
+            if st is None:
+                return None
+            lo = st["min"] if lo is None else min(lo, st["min"])
+            hi = st["max"] if hi is None else max(hi, st["max"])
+        return lo, hi
+
     def update_partition_spec(self, partition_by: list[str] | str | None) -> None:
         """Iceberg partition-spec evolution (``updateSpec()``): the new spec
         applies to FUTURE writes only; existing data files keep their old

@@ -324,3 +324,22 @@ def test_rewrite_where_scoped_and_delete_folding(spark, tmp_path):
     assert rows[5] == -5 and rows[205] == -205  # deletes still apply everywhere
     # no-match predicate is a no-op
     assert t.rewrite_where(spark, "id > 99999") is None
+
+
+def test_column_bounds_from_metadata(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = LakehouseTable.create(str(tmp_path / "cb"), schema)
+    t.append(spark.range(10, 500, 1, 2).select("id", (F.col("id") * 3).alias("v")))
+    t.append(spark.range(500, 900, 1, 2).select("id", (F.col("id") * 3).alias("v")))
+    assert t.column_bounds("id") == (10, 899)
+    assert t.column_bounds("v") == (30, 2697)
+    assert t.column_bounds("nope") is None
+    t.upsert(spark.createDataFrame([(10, 0)], schema), key_cols=["id"])
+    assert t.column_bounds("id") is None  # deletes → fall back to scan
