@@ -71,12 +71,19 @@ def build_pipeline(spec: dict, spark=None):
     schema = None
     if spec.get("value_schema"):
         schema = T.StructType.fromDDL(spec["value_schema"])
+    # SMT chain from either surface: the spec's short-name list AND the
+    # connector-JSON `transforms=` + `transforms.<name>.*` properties
+    # (parse_transform_chain — reference config key names verbatim)
+    from .config import parse_transform_chain
+
+    chain = _resolve_transforms(spec.get("transforms", []))
+    chain += parse_transform_chain(spec["config"])
     pipeline = SinkPipeline(
         catalog,
         cfg,
         pipeline_id=spec.get("name", "pipeline"),
         value_schema=schema,
-        transforms=_resolve_transforms(spec.get("transforms", [])),
+        transforms=chain,
     )
     src = spec["source"]
     if src["type"] == "kafka":

@@ -174,3 +174,78 @@ def from_properties(props: dict[str, str]) -> SinkConfig:
             if k.startswith("iceberg.kafka.")
         },
     )
+
+
+# Kafka Connect SMT chain surface: the connector config's ``transforms``
+# list plus per-transform ``transforms.<name>.type`` /
+# ``transforms.<name>.<key>`` properties (reference deployments configure
+# SMTs exactly this way; config key names below are verbatim from the
+# reference transform ConfigDefs).
+_TRANSFORM_TYPES = {
+    "CopyValue",  # CopyValue.java:39-47 (source.field / target.field)
+    "DebeziumTransform",  # DebeziumTransform.java:43 (cdc.target.pattern)
+    "DmsTransform",  # DmsTransform.java (no config)
+    "MongoDebeziumTransform",  # MongoDebeziumTransform.java (no config)
+    "JsonToMapTransform",  # JsonToMapTransform.java:38 (json.root)
+    "KafkaMetadataTransform",  # KafkaMetadataTransform.java:90-95
+}
+
+
+def parse_transform_chain(props: dict[str, str]) -> list:
+    """``transforms=a,b`` + ``transforms.a.type=...CopyValue`` +
+    ``transforms.a.source.field=...`` → ordered list of DataFrame→DataFrame
+    callables, matching Kafka Connect's SMT chain assembly. Unknown types
+    raise with the offending property name."""
+    from .transforms import (
+        copy_value,
+        debezium_transform,
+        dms_transform,
+        json_to_map,
+        kafka_metadata,
+        mongo_debezium_transform,
+    )
+
+    chain = []
+    for name in _split(props.get("transforms")):
+        prefix = f"transforms.{name}."
+        tcfg = {
+            k[len(prefix):]: v for k, v in props.items() if k.startswith(prefix)
+        }
+        fqcn = tcfg.pop("type", None)
+        if fqcn is None:
+            raise ValueError(f"transforms.{name}.type is required")
+        cls = fqcn.rsplit(".", 1)[-1].removesuffix("$Key").removesuffix(
+            "$Value"
+        )
+        if cls not in _TRANSFORM_TYPES:
+            raise ValueError(
+                f"transforms.{name}.type: unknown transform {fqcn!r}"
+            )
+        if cls == "CopyValue":
+            chain.append(
+                copy_value(tcfg["source.field"], tcfg["target.field"])
+            )
+        elif cls == "DebeziumTransform":
+            chain.append(
+                debezium_transform(
+                    target_pattern=tcfg.get("cdc.target.pattern")
+                )
+            )
+        elif cls == "DmsTransform":
+            chain.append(dms_transform())
+        elif cls == "MongoDebeziumTransform":
+            chain.append(mongo_debezium_transform())
+        elif cls == "JsonToMapTransform":
+            chain.append(
+                json_to_map(root=tcfg.get("json.root", "false") == "true")
+            )
+        elif cls == "KafkaMetadataTransform":
+            ext = tcfg.get("external_field")
+            chain.append(
+                kafka_metadata(
+                    nested=tcfg.get("nested", "false") == "true",
+                    key_prefix=tcfg.get("field_name", "_kafka_metadata"),
+                    external_field=tuple(ext.split(",", 1)) if ext else None,
+                )
+            )
+    return chain

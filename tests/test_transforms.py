@@ -181,3 +181,53 @@ def test_kafka_metadata_external_field(spark):
         kafka_metadata(nested=True, external_field=("cluster", "c1"))
     ).collect()[0]
     assert out._kafka_metadata.cluster == "c1"
+
+
+# ------------------------------------------- Kafka Connect SMT chain config
+def test_parse_transform_chain_reference_properties(spark):
+    """The connector-JSON SMT surface: transforms= + transforms.<n>.type
+    with the reference's verbatim config key names."""
+    from pyspark.sql import functions as F
+
+    from iceberg_kafka_connect_spark.config import parse_transform_chain
+
+    chain = parse_transform_chain(
+        {
+            "transforms": "cv, meta",
+            "transforms.cv.type": (
+                "io.tabular.iceberg.connect.transforms.CopyValue$Value"
+            ),
+            "transforms.cv.source.field": "a",
+            "transforms.cv.target.field": "b",
+            "transforms.meta.type": (
+                "io.tabular.iceberg.connect.transforms.KafkaMetadataTransform"
+            ),
+            "transforms.meta.nested": "true",
+            "transforms.meta.field_name": "_meta",
+            "transforms.meta.external_field": "cluster,c1",
+        }
+    )
+    assert len(chain) == 2
+    df = spark.createDataFrame(
+        [("x", "t", 0, 5, None)],
+        "a string, topic string, partition int, offset long, timestamp timestamp",
+    )
+    out = df
+    for t in chain:
+        out = t(out)
+    row = out.first()
+    assert row.b == "x"  # CopyValue
+    assert row._meta.cluster == "c1" and row._meta.topic == "t"
+
+
+def test_parse_transform_chain_unknown_type_raises():
+    import pytest as _pytest
+
+    from iceberg_kafka_connect_spark.config import parse_transform_chain
+
+    with _pytest.raises(ValueError, match="unknown transform"):
+        parse_transform_chain(
+            {"transforms": "x", "transforms.x.type": "com.example.Nope"}
+        )
+    with _pytest.raises(ValueError, match="type is required"):
+        parse_transform_chain({"transforms": "x"})
