@@ -184,3 +184,53 @@ def test_changelog_delete_keys_survive_rename(spark, tmp_path):
         if r._change_type == "delete"
     ]
     assert [r.uid for r in dels] == [2]  # key survives the rename
+
+
+# ---------------------------------------------------------------- mirroring
+def _mk(spark, tmp_path, name):
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    return LakehouseTable.create(str(tmp_path / name), schema), schema
+
+
+def _state(spark, t):
+    return {r.id: r.v for r in t.read(spark).collect()}
+
+
+def test_mirror_changes_incremental_and_idempotent(spark, tmp_path):
+    from iceberg_kafka_connect_spark.streaming.replicate import mirror_changes
+
+    src, schema = _mk(spark, tmp_path, "src")
+    dst, _ = _mk(spark, tmp_path, "dst")
+    src.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema))
+    snap = mirror_changes(spark, src, dst, key_cols=["id"])
+    assert snap is not None
+    assert _state(spark, dst) == _state(spark, src)
+    # up-to-date poll is a no-op (no empty snapshots)
+    assert mirror_changes(spark, src, dst, key_cols=["id"]) is None
+    # incremental: upsert + delete on the source, one more poll
+    src.upsert(spark.createDataFrame([(2, "B"), (4, "d")], schema), key_cols=["id"])
+    src.delete_where(spark, "id = 1", key_cols=["id"])
+    assert mirror_changes(spark, src, dst, key_cols=["id"]) is not None
+    assert _state(spark, dst) == {2: "B", 3: "c", 4: "d"}
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_mirror_changes_key_rewritten_twice_in_range(spark, tmp_path):
+    """Several changes to one key inside a single poll range: only the net
+    effect applies (last writer wins; delete-then-reinsert lands inserted)."""
+    from iceberg_kafka_connect_spark.streaming.replicate import mirror_changes
+
+    src, schema = _mk(spark, tmp_path, "src2")
+    dst, _ = _mk(spark, tmp_path, "dst2")
+    src.append(spark.createDataFrame([(1, "v1")], schema))
+    src.upsert(spark.createDataFrame([(1, "v2")], schema), key_cols=["id"])
+    src.delete_where(spark, "id = 1", key_cols=["id"])
+    src.append(spark.createDataFrame([(1, "v3")], schema))
+    mirror_changes(spark, src, dst, key_cols=["id"])
+    assert _state(spark, dst) == {1: "v3"}
