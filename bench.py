@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "schema_rename_drop",
     "changelog_read",
     "text_compression_ratio",
+    "cdc_mirror",
 ]
 
 

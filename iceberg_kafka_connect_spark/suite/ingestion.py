@@ -1384,6 +1384,45 @@ def changelog_read(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# CDC mirroring: append/upsert/delete on a source table, then replicate to
+# an empty table via the changelog (streaming/replicate.mirror_changes).
+# The oracle is the source's expected final state — the mirror must land
+# byte-identical rows.
+# --------------------------------------------------------------------------
+@register(
+    "cdc_mirror",
+    oracle="""
+    SELECT event_id, value * 2 AS value
+    FROM events WHERE event_id >= 200 AND event_id < 700
+    UNION ALL
+    SELECT event_id, value
+    FROM events WHERE event_id >= 100 AND event_id < 200
+    ORDER BY event_id
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def cdc_mirror(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+    from ..streaming.replicate import mirror_changes
+
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    base = tempfile.mkdtemp(prefix="mirror_gate_")
+    src = LakehouseTable.create(base + "/src", e.schema)
+    dst = LakehouseTable.create(base + "/dst", e.schema)
+    src.append(e.filter(F.col("event_id") < 500))
+    src.upsert(
+        e.filter((F.col("event_id") >= 200) & (F.col("event_id") < 700))
+        .withColumn("value", F.col("value") * 2),
+        key_cols=["event_id"],
+    )
+    src.delete_where(spark, "event_id < 100", key_cols=["event_id"])
+    mirror_changes(spark, src, dst, key_cols=["event_id"])
+    return dst.read(spark).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
 # Write-audit-publish: stage commits on an audit branch, validate, publish
 # by fast-forwarding main (Iceberg fastForwardBranch). The result reads
 # main BEFORE and AFTER the publish — proving staged rows are invisible
