@@ -34,6 +34,7 @@ def kafka_stream_source(
     topics: str,
     starting_offsets: str = "earliest",
     kafka_props: dict[str, str] | None = None,
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Real Kafka source (requires the spark-sql-kafka package on the
     cluster; not present in this container — the file source below is the
@@ -52,6 +53,12 @@ def kafka_stream_source(
     )
     for k, v in (kafka_props or {}).items():
         reader = reader.option(f"kafka.{k}", v)
+    if max_offsets_per_trigger is not None:
+        # backpressure: cap records per micro-batch so a deep backlog
+        # replays in bounded batches instead of one giant first batch
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
     raw = reader.load()
     return raw.select(
         F.col("key").cast("string"),
