@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "changelog_read",
     "text_compression_ratio",
     "cdc_mirror",
+    "metadata_count_bounds",
 ]
 
 

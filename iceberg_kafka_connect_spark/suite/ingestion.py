@@ -1384,6 +1384,42 @@ def changelog_read(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Metadata-only aggregates: COUNT(*)/MIN/MAX answered from manifest stats
+# without opening a data file (Iceberg scan-planning parity). The oracle is
+# the real aggregation — the metadata math must match it exactly.
+# --------------------------------------------------------------------------
+@register(
+    "metadata_count_bounds",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey < 3000
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def metadata_count_bounds(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="meta_gate_") + "/t", o.schema
+    )
+    t.append(o.filter(F.col("o_orderkey") < 1500))
+    t.append(
+        o.filter((F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 3000))
+    )
+    n = t.count_rows()
+    lo, hi = t.column_bounds("o_orderkey")
+    # one-row result assembled from pure metadata — no data file was read
+    return spark.createDataFrame(
+        [(int(n), int(lo), int(hi))], "n_rows long, min_key long, max_key long"
+    )
+
+
+# --------------------------------------------------------------------------
 # CDC mirroring: append/upsert/delete on a source table, then replicate to
 # an empty table via the changelog (streaming/replicate.mirror_changes).
 # The oracle is the source's expected final state — the mirror must land
