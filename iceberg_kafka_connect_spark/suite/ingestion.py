@@ -1407,10 +1407,9 @@ def metadata_count_bounds(spark, sf_dir):
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="meta_gate_") + "/t", o.schema
     )
-    t.append(o.filter(F.col("o_orderkey") < 1500))
-    t.append(
-        o.filter((F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 3000))
-    )
+    scoped = o.filter(F.col("o_orderkey") < 3000)
+    t.append(scoped.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(scoped.filter(F.col("o_orderkey") % 2 == 1))
     n = t.count_rows()
     lo, hi = t.column_bounds("o_orderkey")
     # one-row result assembled from pure metadata — no data file was read
