@@ -640,6 +640,42 @@ def shard_shuffle(
     )
 
 
+def export_jsonl_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    compression: str | None = "gzip",
+) -> list[str]:
+    """Materialize a corpus as deterministic training shards: one
+    ``shard=K`` directory per shard of JSONL(.gz) files, rows in the
+    :func:`shard_shuffle` permutation order — the artifact a data loader
+    streams round-robin.
+
+    Scale shape: shard_shuffle's hash-keyed shuffle is the ONLY data
+    movement; the write clusters by shard (repartition on the shard key →
+    one writer task per shard) and sorts within partitions by position, so
+    each shard file is written in final order in one pass. Returns the
+    shard directories written.
+    """
+    import glob as globmod
+    import os
+
+    sharded = shard_shuffle(docs, n_shards, id_col)
+    w = sharded.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "pos"
+    )
+    writer = w.write.mode("overwrite").partitionBy("shard")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(out_dir)
+    return sorted(
+        d
+        for d in globmod.glob(os.path.join(out_dir, "shard=*"))
+        if os.path.isdir(d)
+    )
+
+
 def source_epochs(
     docs: DataFrame,
     epochs: dict[str, float],

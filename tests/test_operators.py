@@ -370,3 +370,28 @@ def test_compression_ratio_flags_repetitive_text(spark):
     # deterministic across runs
     again = {r.doc_id: r.zlib_bytes for r in compression_ratio_df(df).collect()}
     assert again == {k: v.zlib_bytes for k, v in out.items()}
+
+
+def test_export_jsonl_shards_round_trip(spark, tmp_path):
+    from iceberg_kafka_connect_spark.operators.text import (
+        export_jsonl_shards,
+        shard_shuffle,
+    )
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    dirs = export_jsonl_shards(docs, out, n_shards=4, compression=None)
+    assert len(dirs) == 4
+    back = spark.read.json(out)
+    assert back.count() == 500
+    assert set(back.select("doc_id").toPandas()["doc_id"]) == set(range(500))
+    # per-shard contents match the deterministic permutation
+    expect = {
+        (r.shard, r.pos): r.doc_id
+        for r in shard_shuffle(docs, 4).collect()
+    }
+    got = {(r.shard, r.pos): r.doc_id for r in back.collect()}
+    assert got == expect
