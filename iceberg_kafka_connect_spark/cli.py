@@ -87,12 +87,14 @@ def build_pipeline(spec: dict, spark=None):
     )
     src = spec["source"]
     if src["type"] == "kafka":
+        mopt = src.get("max_offsets_per_trigger")
         stream = kafka_stream_source(
             spark,
             src["bootstrap_servers"],
             src["topics"],
             src.get("starting_offsets", "earliest"),
             kafka_props=cfg.kafka_props or None,
+            max_offsets_per_trigger=int(mopt) if mopt is not None else None,
         )
     elif src["type"] == "files":
         stream = file_stream_source(spark, src["path"])

@@ -181,21 +181,31 @@ def from_properties(props: dict[str, str]) -> SinkConfig:
 # ``transforms.<name>.<key>`` properties (reference deployments configure
 # SMTs exactly this way; config key names below are verbatim from the
 # reference transform ConfigDefs).
-_TRANSFORM_TYPES = {
-    "CopyValue",  # CopyValue.java:39-47 (source.field / target.field)
-    "DebeziumTransform",  # DebeziumTransform.java:43 (cdc.target.pattern)
-    "DmsTransform",  # DmsTransform.java (no config)
-    "MongoDebeziumTransform",  # MongoDebeziumTransform.java (no config)
-    "JsonToMapTransform",  # JsonToMapTransform.java:38 (json.root)
-    "KafkaMetadataTransform",  # KafkaMetadataTransform.java:90-95
-}
+def _require(tcfg: dict, name: str, key: str) -> str:
+    if key not in tcfg:
+        raise ValueError(f"transforms.{name}.{key} is required")
+    return tcfg[key]
+
+
+def _external_field(tcfg: dict, name: str):
+    ext = tcfg.get("external_field")
+    if ext is None:
+        return None
+    if "," not in ext:
+        raise ValueError(
+            f"transforms.{name}.external_field must be 'key,value', got "
+            f"{ext!r}"
+        )
+    return tuple(ext.split(",", 1))
 
 
 def parse_transform_chain(props: dict[str, str]) -> list:
     """``transforms=a,b`` + ``transforms.a.type=...CopyValue`` +
     ``transforms.a.source.field=...`` → ordered list of DataFrame→DataFrame
     callables, matching Kafka Connect's SMT chain assembly. Unknown types
-    raise with the offending property name."""
+    and malformed per-SMT config raise naming the offending property.
+    Builders are dispatched from ONE dict so validation and construction
+    can't drift apart."""
     from .transforms import (
         copy_value,
         debezium_transform,
@@ -204,6 +214,34 @@ def parse_transform_chain(props: dict[str, str]) -> list:
         kafka_metadata,
         mongo_debezium_transform,
     )
+
+    # class-name (reference FQCN tail) → builder(tcfg, name); config keys
+    # verbatim from the reference transform ConfigDefs
+    builders = {
+        # CopyValue.java:39-47
+        "CopyValue": lambda tcfg, name: copy_value(
+            _require(tcfg, name, "source.field"),
+            _require(tcfg, name, "target.field"),
+        ),
+        # DebeziumTransform.java:43
+        "DebeziumTransform": lambda tcfg, name: debezium_transform(
+            target_pattern=tcfg.get("cdc.target.pattern")
+        ),
+        "DmsTransform": lambda tcfg, name: dms_transform(),
+        "MongoDebeziumTransform": lambda tcfg, name: (
+            mongo_debezium_transform()
+        ),
+        # JsonToMapTransform.java:38
+        "JsonToMapTransform": lambda tcfg, name: json_to_map(
+            root=tcfg.get("json.root", "false") == "true"
+        ),
+        # KafkaMetadataTransform.java:90-95
+        "KafkaMetadataTransform": lambda tcfg, name: kafka_metadata(
+            nested=tcfg.get("nested", "false") == "true",
+            key_prefix=tcfg.get("field_name", "_kafka_metadata"),
+            external_field=_external_field(tcfg, name),
+        ),
+    }
 
     chain = []
     for name in _split(props.get("transforms")):
@@ -217,35 +255,9 @@ def parse_transform_chain(props: dict[str, str]) -> list:
         cls = fqcn.rsplit(".", 1)[-1].removesuffix("$Key").removesuffix(
             "$Value"
         )
-        if cls not in _TRANSFORM_TYPES:
+        if cls not in builders:
             raise ValueError(
                 f"transforms.{name}.type: unknown transform {fqcn!r}"
             )
-        if cls == "CopyValue":
-            chain.append(
-                copy_value(tcfg["source.field"], tcfg["target.field"])
-            )
-        elif cls == "DebeziumTransform":
-            chain.append(
-                debezium_transform(
-                    target_pattern=tcfg.get("cdc.target.pattern")
-                )
-            )
-        elif cls == "DmsTransform":
-            chain.append(dms_transform())
-        elif cls == "MongoDebeziumTransform":
-            chain.append(mongo_debezium_transform())
-        elif cls == "JsonToMapTransform":
-            chain.append(
-                json_to_map(root=tcfg.get("json.root", "false") == "true")
-            )
-        elif cls == "KafkaMetadataTransform":
-            ext = tcfg.get("external_field")
-            chain.append(
-                kafka_metadata(
-                    nested=tcfg.get("nested", "false") == "true",
-                    key_prefix=tcfg.get("field_name", "_kafka_metadata"),
-                    external_field=tuple(ext.split(",", 1)) if ext else None,
-                )
-            )
+        chain.append(builders[cls](tcfg, name))
     return chain

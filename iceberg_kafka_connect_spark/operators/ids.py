@@ -50,8 +50,13 @@ def assign_global_ids(
     shard = ordered.withColumn("__shard", F.spark_partition_id())
     # persist so the count pass and the numbering pass see the same
     # partitioning (repartitionByRange re-samples per action otherwise,
-    # which could move boundary rows between shards between the two jobs)
-    shard = shard.persist()
+    # which could move boundary rows between shards between the two jobs).
+    # materialize=False skips BOTH the persist and the final checkpoint:
+    # nothing is left cached (plan tests inspect the live plan), but the
+    # two passes then rely on the input being deterministic — production
+    # callers keep the default.
+    if materialize:
+        shard = shard.persist()
     counts = {
         r["__shard"]: r["n"]
         for r in shard.groupBy("__shard").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -74,7 +79,6 @@ def assign_global_ids(
         .drop("__shard", "__offset")
     )
     if not materialize:
-        # caller (plan tests) inspects the live plan and owns the persist
         return out
     # materialize eagerly so the intermediate persist can be released here
     # instead of leaking for the session lifetime (same persist→checkpoint→

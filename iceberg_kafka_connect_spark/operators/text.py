@@ -200,7 +200,9 @@ def compression_ratio_df(
         for pdf in batches:
             if pdf.empty:
                 continue
-            raw = pdf[text_col].str.encode("utf-8")
+            # NULL text scores as empty — curation signals must survive
+            # dirty rows, not crash the scan
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
             raw_n = raw.str.len()
             comp_n = raw.map(lambda b: len(zlib.compress(b, level)))
             yield pd.DataFrame(
@@ -665,14 +667,24 @@ def export_jsonl_shards(
     w = sharded.repartition(n_shards, "shard").sortWithinPartitions(
         "shard", "pos"
     )
-    writer = w.write.mode("overwrite").partitionBy("shard")
+    # emit explicit nulls: a loader expecting a fixed key set per record
+    # must not lose keys on null-valued fields
+    writer = (
+        w.write.mode("overwrite")
+        .partitionBy("shard")
+        .option("ignoreNullFields", "false")
+    )
     if compression:
         writer = writer.option("compression", compression)
     writer.json(out_dir)
+    # numeric order: lexicographic glob order puts shard=10 before shard=2
     return sorted(
-        d
-        for d in globmod.glob(os.path.join(out_dir, "shard=*"))
-        if os.path.isdir(d)
+        (
+            d
+            for d in globmod.glob(os.path.join(out_dir, "shard=*"))
+            if os.path.isdir(d)
+        ),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
     )
 
 

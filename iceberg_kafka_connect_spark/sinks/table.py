@@ -870,8 +870,26 @@ class LakehouseTable:
         recorded in the manifests (the same stats scan planning prunes on)
         — Iceberg answers SELECT MIN(c), MAX(c) this way. Returns None —
         caller falls back to a scan — when delete files exist (a deleted
-        row may hold the extreme) or any live file lacks bounds for the
-        column."""
+        row may hold the extreme), any live file lacks bounds for the
+        column, or the column's type isn't served EXACTLY by the recorded
+        stats (decimals are float-coerced and timestamps string-coerced
+        for conservative pruning — fine for planning, wrong as query
+        answers; Iceberg makes the same exactness distinction on its
+        lower/upper bounds)."""
+        field = next(
+            (f for f in self.read_schema().fields if f.name == col), None
+        )
+        exact = (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.BooleanType,
+        )
+        if field is None or not isinstance(field.dataType, exact):
+            return None
         data_files, delete_files = self.live_files(branch=branch)
         if delete_files or not data_files:
             return None
@@ -1671,7 +1689,16 @@ class LakehouseTable:
         kept = [f for f in data_files if f["path"] not in sel_paths]
         merged = self._read_file_group(spark, selected, self.read_schema())
         merged = self._apply_deletes(spark, merged, delete_files).drop("__seq")
-        if sort_by:
+        # table-level write policy wins: when write.distribution-mode or
+        # write.sort-order is set, _write_files re-clusters the rows itself
+        # and a repartitionByRange here would be silently destroyed — apply
+        # the ad-hoc sort_by only on tables with no policy of their own
+        props = self.properties()
+        table_clusters = (
+            props.get("write.distribution-mode", "none").lower() != "none"
+            or bool(props.get("write.sort-order"))
+        )
+        if sort_by and not table_clusters:
             merged = merged.repartitionByRange(*sort_by).sortWithinPartitions(
                 *sort_by
             )

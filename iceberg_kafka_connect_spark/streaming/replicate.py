@@ -38,7 +38,8 @@ def mirror_changes(
 ) -> dict | None:
     """Apply source changes since the last mirrored snapshot to ``dst``.
 
-    Returns the replica's new snapshot, or None when already up to date.
+    Returns the replica's new snapshot, or None when already up to date
+    (a range of row-less source snapshots commits a marker-only advance).
     ``key_cols`` must uniquely identify rows (the table's id-columns).
     """
     head_snap = src.current_snapshot(branch)
@@ -67,13 +68,24 @@ def mirror_changes(
             ),
         )
         .drop("_change_type")
+        # the upsert consumes this twice (delete keys + inserts) on top of
+        # the emptiness probe — persist so the changelog scan runs once
+        .persist()
     )
-    if net.isEmpty():
-        return None
-    return dst.upsert(
-        net,
-        key_cols=key_cols,
-        op_col="__op",
-        upsert_mode=False,
-        snapshot_props={_MARKER: head},
-    )
+    try:
+        if net.isEmpty():
+            # row-less range (e.g. empty appends moved the head): advance
+            # the marker with an empty append so the next poll doesn't
+            # re-read the whole stale range — O(new files) stays true
+            return dst._commit_snapshot(
+                "append", [], [], {_MARKER: head}, branch
+            )
+        return dst.upsert(
+            net,
+            key_cols=key_cols,
+            op_col="__op",
+            upsert_mode=False,
+            snapshot_props={_MARKER: head},
+        )
+    finally:
+        net.unpersist()

@@ -120,8 +120,9 @@ def test_global_ids_at_10x(spark, sf_dir):
         "doc_id",
     )
     n = docs.count()
-    out = assign_global_ids(docs, ["doc_id"], materialize=False)
-    assert "SinglePartition" not in plan_string(out)
+    plan_only = assign_global_ids(docs, ["doc_id"], materialize=False)
+    assert "SinglePartition" not in plan_string(plan_only)
+    out = assign_global_ids(docs, ["doc_id"])
     agg = out.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("global_id").alias("lo"),

@@ -234,3 +234,26 @@ def test_mirror_changes_key_rewritten_twice_in_range(spark, tmp_path):
     src.append(spark.createDataFrame([(1, "v3")], schema))
     mirror_changes(spark, src, dst, key_cols=["id"])
     assert _state(spark, dst) == {1: "v3"}
+
+
+def test_mirror_rowless_range_advances_marker(spark, tmp_path):
+    """Empty source snapshots must advance the mirror marker so later polls
+    don't re-read the stale range."""
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.streaming.replicate import mirror_changes
+
+    src, schema = _mk(spark, tmp_path, "src3")
+    dst, _ = _mk(spark, tmp_path, "dst3")
+    src.append(spark.createDataFrame([(1, "a")], schema))
+    mirror_changes(spark, src, dst, key_cols=["id"])
+    # a row-less source snapshot moves the head
+    src.append(spark.createDataFrame([], schema))
+    snap = mirror_changes(spark, src, dst, key_cols=["id"])
+    assert snap is not None  # marker-only advance
+    assert snap["summary"]["mirror.src-snapshot-id"] == (
+        src.current_snapshot()["snapshot_id"]
+    )
+    # now truly up to date
+    assert mirror_changes(spark, src, dst, key_cols=["id"]) is None
+    assert _state(spark, dst) == {1: "a"}
