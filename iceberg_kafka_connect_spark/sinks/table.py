@@ -473,8 +473,21 @@ class LakehouseTable:
             # Iceberg manifests carry per-column lower/upper bounds per data
             # file; scan planning skips files those bounds rule out. Fold
             # each footer's row-group stats into the manifest entry.
-            for entry in files:
-                st = collect_parquet_stats(os.path.join(self.root, entry["path"]))
+            # Footer reads are tiny but latency-bound (one open+seek per
+            # file): a partitioned/fanned-out commit lands dozens of files,
+            # so read them on a thread pool instead of serially on the
+            # driver — commit latency stays flat as file count grows.
+            from concurrent.futures import ThreadPoolExecutor
+
+            paths = [os.path.join(self.root, e["path"]) for e in files]
+            if len(paths) > 1:
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(paths))
+                ) as pool:
+                    stats = list(pool.map(collect_parquet_stats, paths))
+            else:
+                stats = [collect_parquet_stats(p) for p in paths]
+            for entry, st in zip(files, stats):
                 if st is not None:
                     entry["stats"] = st
         return files
