@@ -140,6 +140,23 @@ def table_main(argv: list[str]) -> int:
     dt.add_argument("tag_name")
     rb = sub.add_parser("rollback")
     rb.add_argument("snapshot")
+    rw = sub.add_parser("rewrite-where")
+    rw.add_argument("predicate")
+    rw.add_argument("--sort-by", help="comma-separated sort columns")
+    dw = sub.add_parser("delete-where")
+    dw.add_argument("predicate")
+    dw.add_argument("--keys", required=True, help="comma-separated id columns")
+    ff = sub.add_parser("fast-forward")
+    ff.add_argument("branch")
+    ff.add_argument("to_branch")
+    rc = sub.add_parser("rename-column")
+    rc.add_argument("old")
+    rc.add_argument("new")
+    dc = sub.add_parser("drop-column")
+    dc.add_argument("column")
+    mi = sub.add_parser("mirror")
+    mi.add_argument("--to", required=True, help="replica table name")
+    mi.add_argument("--keys", required=True, help="comma-separated id columns")
     args = ap.parse_args(argv)
 
     catalog = Catalog(args.warehouse)
@@ -209,6 +226,49 @@ def table_main(argv: list[str]) -> int:
     elif args.action == "rollback":
         snap = t.rollback(args.snapshot)
         out = {"snapshot_id": snap["snapshot_id"]}
+    elif args.action == "rewrite-where":
+        spark = get_spark(app_name="table-maintenance")
+        sort_by = (
+            [c.strip() for c in args.sort_by.split(",")] if args.sort_by else None
+        )
+        snap = t.rewrite_where(spark, args.predicate, sort_by=sort_by)
+        out = (
+            {"snapshot_id": snap["snapshot_id"], "summary": snap["summary"]}
+            if snap
+            else {"status": "no file matches"}
+        )
+    elif args.action == "delete-where":
+        spark = get_spark(app_name="table-maintenance")
+        snap = t.delete_where(
+            spark, args.predicate, key_cols=args.keys.split(",")
+        )
+        out = (
+            {"snapshot_id": snap["snapshot_id"]}
+            if snap
+            else {"status": "no row matches"}
+        )
+    elif args.action == "fast-forward":
+        snap = t.fast_forward(args.branch, args.to_branch)
+        out = {"snapshot_id": snap["snapshot_id"]}
+    elif args.action == "rename-column":
+        t.rename_column(args.old, args.new)
+        out = {"schema": [f.name for f in t.schema().fields]}
+    elif args.action == "drop-column":
+        t.drop_column(args.column)
+        out = {"schema": [f.name for f in t.schema().fields]}
+    elif args.action == "mirror":
+        from .streaming.replicate import mirror_changes
+
+        spark = get_spark(app_name="table-mirror")
+        dst = catalog.load_table(args.to)
+        snap = mirror_changes(
+            spark, t, dst, key_cols=args.keys.split(",")
+        )
+        out = (
+            {"snapshot_id": snap["snapshot_id"], "summary": snap["summary"]}
+            if snap
+            else {"status": "up to date"}
+        )
     else:  # pragma: no cover — argparse enforces choices
         raise ValueError(args.action)
     print(json.dumps(out, default=str))

@@ -80,3 +80,39 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     files = run("files")
     assert len(files["data"]) >= 2 and files["deletes"] == []
     assert run("expire", "--keep", "1") == {"expired": 1}
+
+
+def test_cli_table_dml_ddl_mirror(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.cli import main
+    from iceberg_kafka_connect_spark.sinks import Catalog
+
+    wh = str(tmp_path / "wh")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    cat = Catalog(wh)
+    t = cat.create_table("default.s", schema)
+    cat.create_table("default.r", schema)
+    t.append(spark.createDataFrame([(i, i * 10) for i in range(10)], schema))
+
+    def run(*argv):
+        assert main(["table", "--warehouse", wh, "--name", "default.s", *argv]) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run("delete-where", "id >= 8", "--keys", "id")
+    assert "snapshot_id" in out
+    out = run("mirror", "--to", "default.r", "--keys", "id")
+    assert "snapshot_id" in out
+    r = cat.load_table("default.r")
+    assert {(row.id, row.v) for row in r.read(spark).collect()} == {
+        (i, i * 10) for i in range(8)
+    }
+    out = run("rename-column", "v", "val")
+    assert out["schema"] == ["id", "val"]
+    out = run("rewrite-where", "id < 5", "--sort-by", "id")
+    assert "snapshot_id" in out
+    assert t.read(spark).count() == 8
