@@ -224,19 +224,71 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 128) -> DataFrame:
     return hashed.groupBy("id").agg(*aggs)
 
 
-def _band_buckets(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(id, band, bucket) LSH band-bucket assignments from a shingle table:
-    minhash signature → per-band xxhash64 over its r = num_hashes/bands
-    rows."""
+def _band_hash_array(num_hashes: int, bands: int) -> Column:
+    """array<long> of per-band bucket hashes over mh0..mh{k-1} columns."""
     r = num_hashes // bands
-    sigs = minhash_signatures(sh, num_hashes)
-    band_hashes = F.array(
+    return F.array(
         *[
             F.xxhash64(F.lit(b), *[F.col(f"mh{b * r + j}") for j in range(r)])
             for b in range(bands)
         ]
     )
-    return sigs.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
+
+
+def _band_buckets(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH band-bucket assignments from a shingle table:
+    minhash signature → per-band xxhash64 over its r = num_hashes/bands
+    rows."""
+    sigs = minhash_signatures(sh, num_hashes)
+    return sigs.select(
+        "id",
+        F.posexplode(_band_hash_array(num_hashes, bands)).alias(
+            "band", "bucket"
+        ),
+    )
+
+
+def doc_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 64,
+) -> DataFrame:
+    """Everything incremental dedup needs to know about a document, as ONE
+    compact row: (id, digest, bands array<long>, shingle_hashes
+    array<long>). This is the PERSISTENT form — store it in a lakehouse
+    signature table and the historical corpus is never re-tokenized or
+    re-hashed again: each future batch deduplicates against the signature
+    table alone (see incremental_dedup_cached / the streaming curation
+    loop), turning the per-batch history cost from "re-hash the whole
+    corpus" into "scan a few hundred bytes per doc".
+
+    Docs with fewer than ``n`` words carry NULL bands/shingle_hashes: they
+    can't near-dup match (same as being absent from a shingle table) but
+    still participate in exact dedup via the digest.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("digest"),
+    )
+    # the minhash family's base value IS xxhash64(shingle) — the exact hash
+    # the verifier intersects on — so signatures and shingle-hash sets come
+    # out of ONE tokenize pass and ONE aggregation
+    sh = shingles(docs, id_col, text_col, n)
+    hashed = sh.select("id", F.xxhash64(F.col("shingle")).alias("__h"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ] + [F.collect_set("__h").alias("shingle_hashes")]
+    per_doc = hashed.groupBy("id").agg(*aggs)
+    sigs = per_doc.select(
+        "id",
+        _band_hash_array(num_hashes, bands).alias("bands"),
+        "shingle_hashes",
+    )
+    return base.join(sigs, "id", "left")
 
 
 def banded_pairs(
@@ -683,6 +735,134 @@ def incremental_dedup(
     # executor storage memory forever
     out = out.localCheckpoint(eager=True)
     for cached in (b, exact_dropped, sh_b, sh_h, bb, near_hist):
+        cached.unpersist()
+    return out
+
+
+def _sig_jaccard(cand: DataFrame, a_sets: DataFrame, b_sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs from stored
+    shingle-hash sets — the cached twin of verify_pairs_exact: identical
+    values (same xxhash64 sets, same arithmetic), zero tokenization."""
+    inter = F.size(F.array_intersect("ha", "hb"))
+    return (
+        cand.join(
+            a_sets.select(
+                F.col("id").alias("id_a"), F.col("shingle_hashes").alias("ha")
+            ),
+            "id_a",
+        )
+        .join(
+            b_sets.select(
+                F.col("id").alias("id_b"), F.col("shingle_hashes").alias("hb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter.cast("double")
+                / (F.size("ha") + F.size("hb") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def incremental_dedup_cached(
+    batch_sigs: DataFrame,
+    hist_sigs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """incremental_dedup over PRECOMPUTED signatures (:func:`doc_signatures`)
+    — the production shape of the streaming curation loop: the historical
+    corpus contributes only its stored signature rows (digest + band
+    hashes + shingle-hash set), so a poll never re-reads or re-hashes
+    history text. Output contract is identical to incremental_dedup:
+    (id_col, kept, drop_reason) per batch doc, first matching reason of
+    exact_history / exact_batch / near_history / near_batch.
+
+    Scale shape per batch: history cost = one column-pruned scan of the
+    signature table (digest join + bucket join keyed by the batch's bucket
+    hits); the quadratic in-batch step stays confined to the batch.
+    """
+    b = batch_sigs.select(
+        "id", "digest", "bands", "shingle_hashes"
+    ).persist()
+    h = hist_sigs.select("id", "digest", "bands", "shingle_hashes")
+
+    exact_hist = b.join(
+        h.select("digest").distinct(), "digest", "left_semi"
+    ).select("id")
+    batch_min = b.groupBy("digest").agg(F.min("id").alias("keep_id"))
+    exact_batch = (
+        b.join(batch_min, "digest")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select("id")
+    )
+    exact_dropped = exact_hist.union(exact_batch).distinct().persist()
+
+    reps = b.join(exact_dropped, "id", "left_anti")
+    bb = reps.filter(F.col("bands").isNotNull()).select(
+        "id", F.posexplode("bands").alias("band", "bucket")
+    ).persist()
+    bh = h.filter(F.col("bands").isNotNull()).select(
+        "id", F.posexplode("bands").alias("band", "bucket")
+    )
+    cand_x = (
+        bb.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(
+            bh.select(F.col("id").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    near_hist = (
+        _sig_jaccard(cand_x, b, h)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .persist()
+    )
+    bb_surv = bb.join(
+        near_hist.withColumnRenamed("id", "__drop"),
+        bb.id == F.col("__drop"),
+        "left_anti",
+    )
+    near_batch = (
+        _sig_jaccard(banded_pairs(bb_surv), b, b)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+
+    reason = (
+        F.when(F.col("__eh"), F.lit("exact_history"))
+        .when(F.col("__eb"), F.lit("exact_batch"))
+        .when(F.col("__nh"), F.lit("near_history"))
+        .when(F.col("__nb"), F.lit("near_batch"))
+    )
+    flags = (
+        b.select("id")
+        .join(exact_hist.withColumn("__eh", F.lit(True)), "id", "left")
+        .join(exact_batch.withColumn("__eb", F.lit(True)), "id", "left")
+        .join(near_hist.withColumn("__nh", F.lit(True)), "id", "left")
+        .join(near_batch.withColumn("__nb", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            *[
+                F.coalesce(F.col(c), F.lit(False)).alias(c)
+                for c in ("__eh", "__eb", "__nh", "__nb")
+            ],
+        )
+    )
+    out = flags.select(
+        id_col,
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+    ).localCheckpoint(eager=True)
+    for cached in (b, exact_dropped, bb, near_hist):
         cached.unpersist()
     return out
 

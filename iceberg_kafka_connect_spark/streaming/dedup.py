@@ -30,6 +30,7 @@ def curation_loop(
     text_col: str = "text",
     threshold: float = 0.5,
     checkpoint: str | None = None,
+    signature_table=None,
 ):
     """Streaming corpus curation: every micro-batch is deduplicated against
     the corpus accumulated so far (exact AND near-dup, via
@@ -39,34 +40,80 @@ def curation_loop(
     needs, enforced at ingest rather than by periodic recuration.
 
     Scale shape per batch: history is signature-scanned, never self-paired
-    (cost grows with corpus size only linearly, amortizable by persisting
-    the history signature table); the batch pays the standard in-batch LSH.
+    (cost grows with corpus size only linearly); with ``signature_table``
+    set (a lakehouse table maintained by this loop), history text is never
+    re-read or re-hashed AT ALL — each poll deduplicates against the stored
+    per-doc signatures (operators.dedup.doc_signatures: digest + band
+    hashes + shingle-hash set, a few hundred bytes/doc) and appends the
+    survivors' signatures for the next poll. That turns the per-batch
+    history cost from "re-tokenize the corpus" into "column-pruned scan of
+    a compact signature table" — the production shape.
     Exactly-once: foreachBatch + lakehouse batch-id idempotence, the same
-    recovery contract as SinkPipeline.
+    recovery contract as SinkPipeline (the signature table commits FIRST
+    with its own marker, so a crash between the two commits replays into a
+    consistent state).
 
     Returns the StreamingQuery.
     """
-    from ..operators.dedup import incremental_dedup
+    from ..operators.dedup import (
+        doc_signatures,
+        incremental_dedup,
+        incremental_dedup_cached,
+    )
 
     from .pipeline import BATCH_ID_PROP
 
     marker = "curation-loop"
 
-    def _last_batch_id() -> int | None:
+    def _last_batch_id(table) -> int | None:
         # table-level ancestry walk (clean unknown-snapshot errors even
         # after expire_snapshots pruned part of the chain)
-        v = corpus_table.last_summary_value(BATCH_ID_PROP, where_key=marker)
+        v = table.last_summary_value(BATCH_ID_PROP, where_key=marker)
         return int(v) if v is not None else None
+
+    def _cached_verdicts(spark, batch, batch_id):
+        batch_sigs = doc_signatures(batch, id_col, text_col).persist()
+        try:
+            hist_sigs = signature_table.read(spark)
+        except Exception:  # first batch: table empty/unreadable
+            hist_sigs = None
+        if hist_sigs is None or hist_sigs.isEmpty():
+            hist_sigs = spark.createDataFrame([], batch_sigs.schema)
+        verdicts = incremental_dedup_cached(
+            batch_sigs, hist_sigs, threshold=threshold, id_col=id_col
+        )
+        keep_ids = verdicts.filter(F.col("kept")).select(
+            F.col(id_col).alias("id")
+        )
+        # signature table commits BEFORE the corpus (idempotent by its own
+        # batch-id marker) so recovery can't lose signatures for docs that
+        # made it into the corpus
+        last_sig = _last_batch_id(signature_table)
+        if last_sig is None or batch_id > last_sig:
+            signature_table.append(
+                batch_sigs.join(keep_ids, "id", "left_semi"),
+                snapshot_props={BATCH_ID_PROP: str(batch_id), marker: "1"},
+            )
+        batch_sigs.unpersist()
+        return keep_ids.withColumnRenamed("id", id_col)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         # exactly-once: replayed batches (checkpoint restart) are skipped by
         # the batch-id already stamped in the last snapshot's summary
-        last = _last_batch_id()
+        last = _last_batch_id(corpus_table)
         if last is not None and batch_id <= last:
             return
         batch = batch.dropDuplicates([id_col]).persist()
         try:
             spark = batch.sparkSession
+            if signature_table is not None:
+                keep_ids = _cached_verdicts(spark, batch, batch_id)
+                survivors = batch.join(keep_ids, id_col, "left_semi")
+                corpus_table.append(
+                    survivors,
+                    snapshot_props={BATCH_ID_PROP: str(batch_id), marker: "1"},
+                )
+                return
             try:
                 history = corpus_table.read(spark).select(id_col, text_col)
                 have_history = True

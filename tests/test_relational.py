@@ -260,3 +260,41 @@ def test_incremental_dedup_all_reasons(spark):
         30: (True, None),
         35: (False, "near_batch"),
     }
+
+
+def test_incremental_dedup_cached_equals_uncached(spark, sf_dir):
+    """The signature-store path must produce verdicts identical to the
+    text-path incremental_dedup on the same split."""
+    from iceberg_kafka_connect_spark.operators.dedup import (
+        doc_signatures,
+        incremental_dedup,
+        incremental_dedup_cached,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    want = {
+        (r.doc_id, r.kept, r.drop_reason)
+        for r in incremental_dedup(batch, history).collect()
+    }
+    got = {
+        (r.doc_id, r.kept, r.drop_reason)
+        for r in incremental_dedup_cached(
+            doc_signatures(batch), doc_signatures(history)
+        ).collect()
+    }
+    assert got == want and len(got) == batch.count()
+
+
+def test_doc_signatures_short_docs_null_bands(spark):
+    from iceberg_kafka_connect_spark.operators.dedup import doc_signatures
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "three word doc here now")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in doc_signatures(df, n=3).collect()}
+    assert rows[1].bands is None and rows[1].shingle_hashes is None
+    assert rows[1].digest is not None
+    assert len(rows[2].bands) == 64 and len(rows[2].shingle_hashes) == 3

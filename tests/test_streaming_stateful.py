@@ -253,3 +253,71 @@ def test_stream_stream_interval_join(spark, tmp_path):
     finally:
         q.stop()
     assert sorted((r.pid, r.name) for r in rows) == [(1, "w1"), (3, "w1")]
+
+
+def test_streaming_curation_loop_with_signature_table(spark, tmp_path):
+    """Signature-store mode: same invariant, but history is never
+    re-tokenized — every batch dedups against the signature table, and the
+    signature table tracks exactly the corpus survivors."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.streaming.dedup import curation_loop
+
+    cat = Catalog(str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    sig_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("digest", T.StringType()),
+            T.StructField("bands", T.ArrayType(T.LongType())),
+            T.StructField("shingle_hashes", T.ArrayType(T.LongType())),
+        ]
+    )
+    table = cat.create_table("default.corpus2", schema)
+    sigs = cat.create_table("default.corpus2_sigs", sig_schema)
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def emit(name, docs):
+        with open(src / name, "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "100"
+        ).json(str(src))
+        q = curation_loop(
+            stream, table, checkpoint=ckpt, signature_table=sigs
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    emit("b1.json", [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "uno dos tres cuatro cinco seis siete ocho"},
+        {"doc_id": 5, "text": "UNO dos tres  cuatro cinco seis siete ocho"},
+        {"doc_id": 3, "text": "alpha beta gamma delta epsilon zeta eta"},
+        {"doc_id": 4, "text": "alpha beta gamma delta epsilon zeta THETA"},
+    ])
+    run_once()
+    assert sorted(r.doc_id for r in table.read(spark).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in sigs.read(spark).collect()) == [1, 2, 3]
+
+    emit("b2.json", [
+        {"doc_id": 10, "text": "The quick  brown fox jumps over the lazy dog"},
+        {"doc_id": 11, "text": "alpha beta gamma delta epsilon zeta IOTA"},
+        {"doc_id": 12, "text": "completely fresh content with new words here"},
+    ])
+    run_once()
+    assert sorted(r.doc_id for r in table.read(spark).collect()) == [1, 2, 3, 12]
+    assert sorted(r.id for r in sigs.read(spark).collect()) == [1, 2, 3, 12]
