@@ -65,36 +65,63 @@ def curation_loop(
 
     marker = "curation-loop"
 
+    if (
+        signature_table is not None
+        and corpus_table.current_snapshot() is not None
+        and signature_table.current_snapshot() is None
+    ):
+        raise ValueError(
+            "corpus_table already has data but signature_table is empty — "
+            "the loop would stop deduplicating against existing history. "
+            "Backfill first: signature_table.append(doc_signatures("
+            "corpus_table.read(spark), id_col, text_col))"
+        )
+
     def _last_batch_id(table) -> int | None:
         # table-level ancestry walk (clean unknown-snapshot errors even
         # after expire_snapshots pruned part of the chain)
         v = table.last_summary_value(BATCH_ID_PROP, where_key=marker)
         return int(v) if v is not None else None
 
+    def _committed_sig_ids(spark, batch_id):
+        """Survivor ids a crashed run already committed to the signature
+        table for ``batch_id`` (the rows its marked snapshot appended)."""
+        for s in signature_table.snapshots():
+            if s["summary"].get(BATCH_ID_PROP) == str(batch_id) and s[
+                "summary"
+            ].get(marker):
+                return signature_table.appends_between(
+                    spark, s["parent"], s["snapshot_id"]
+                ).select("id")
+        return None
+
     def _cached_verdicts(spark, batch, batch_id):
-        batch_sigs = doc_signatures(batch, id_col, text_col).persist()
-        try:
-            hist_sigs = signature_table.read(spark)
-        except Exception:  # first batch: table empty/unreadable
-            hist_sigs = None
-        if hist_sigs is None or hist_sigs.isEmpty():
+        # replayed batch whose signature commit already landed (crash
+        # between the two commits): the committed signature rows ARE the
+        # verdict — recomputing would dedup the batch against its OWN
+        # stored signatures and drop everything as exact_history
+        last_sig = _last_batch_id(signature_table)
+        if last_sig is not None and batch_id <= last_sig:
+            committed = _committed_sig_ids(spark, batch_id)
+            if committed is not None:
+                return committed.withColumnRenamed("id", id_col)
+        batch_sigs = doc_signatures(batch, id_col, text_col)
+        if signature_table.current_snapshot() is None:
             hist_sigs = spark.createDataFrame([], batch_sigs.schema)
+        else:
+            hist_sigs = signature_table.read(spark)
         verdicts = incremental_dedup_cached(
             batch_sigs, hist_sigs, threshold=threshold, id_col=id_col
         )
         keep_ids = verdicts.filter(F.col("kept")).select(
             F.col(id_col).alias("id")
         )
-        # signature table commits BEFORE the corpus (idempotent by its own
-        # batch-id marker) so recovery can't lose signatures for docs that
-        # made it into the corpus
-        last_sig = _last_batch_id(signature_table)
-        if last_sig is None or batch_id > last_sig:
-            signature_table.append(
-                batch_sigs.join(keep_ids, "id", "left_semi"),
-                snapshot_props={BATCH_ID_PROP: str(batch_id), marker: "1"},
-            )
-        batch_sigs.unpersist()
+        # signature table commits BEFORE the corpus so recovery can't lose
+        # signatures for docs that made it into the corpus
+        signature_table.append(
+            batch_sigs.join(keep_ids, "id", "left_semi"),
+            snapshot_props={BATCH_ID_PROP: str(batch_id), marker: "1"},
+        )
         return keep_ids.withColumnRenamed("id", id_col)
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -114,11 +141,12 @@ def curation_loop(
                     snapshot_props={BATCH_ID_PROP: str(batch_id), marker: "1"},
                 )
                 return
-            try:
+            # explicit emptiness check — a transient read ERROR must fail
+            # the batch (foreachBatch retries), not silently skip history
+            # and admit duplicates
+            have_history = corpus_table.current_snapshot() is not None
+            if have_history:
                 history = corpus_table.read(spark).select(id_col, text_col)
-                have_history = True
-            except Exception:  # first batch: table empty/unreadable
-                have_history = False
             if have_history and history.limit(1).count() > 0:
                 verdicts = incremental_dedup(
                     batch, history, id_col, text_col, threshold=threshold

@@ -321,3 +321,91 @@ def test_streaming_curation_loop_with_signature_table(spark, tmp_path):
     run_once()
     assert sorted(r.doc_id for r in table.read(spark).collect()) == [1, 2, 3, 12]
     assert sorted(r.id for r in sigs.read(spark).collect()) == [1, 2, 3, 12]
+
+
+def test_curation_loop_replay_after_sig_commit_crash(spark, tmp_path):
+    """Crash between the signature commit and the corpus commit: the replay
+    must land the SAME survivors in the corpus (not dedup the batch against
+    its own stored signatures and drop everything)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.operators.dedup import doc_signatures
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.streaming.dedup import curation_loop
+    from iceberg_kafka_connect_spark.streaming.pipeline import BATCH_ID_PROP
+
+    cat = Catalog(str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    table = cat.create_table("default.crash_corpus", schema)
+    sigs = cat.create_table(
+        "default.crash_sigs",
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("digest", T.StringType()),
+                T.StructField("bands", T.ArrayType(T.LongType())),
+                T.StructField("shingle_hashes", T.ArrayType(T.LongType())),
+            ]
+        ),
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "uno dos tres cuatro cinco seis siete ocho"),
+        ],
+        schema,
+    )
+    # simulate the crashed half-batch: signature commit landed (batch 0),
+    # corpus commit did not
+    sigs.append(
+        doc_signatures(docs),
+        snapshot_props={BATCH_ID_PROP: "0", "curation-loop": "1"},
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for r in docs.collect():
+            f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = curation_loop(
+        stream, table, checkpoint=str(tmp_path / "ckpt"), signature_table=sigs
+    )
+    q.processAllAvailable()
+    q.stop()
+    # the replayed batch 0 must commit the committed-signature survivors
+    assert sorted(r.doc_id for r in table.read(spark).collect()) == [1, 2]
+    assert sorted(r.id for r in sigs.read(spark).collect()) == [1, 2]
+
+
+def test_curation_loop_rejects_unbackfilled_signature_table(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.streaming.dedup import curation_loop
+
+    cat = Catalog(str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    table = cat.create_table("default.pop_corpus", schema)
+    table.append(spark.createDataFrame([(1, "existing doc words")], schema))
+    sigs = cat.create_table(
+        "default.pop_sigs",
+        T.StructType([T.StructField("id", T.LongType())]),
+    )
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    with _pytest.raises(ValueError, match="[Bb]ackfill"):
+        curation_loop(stream, table, signature_table=sigs)
