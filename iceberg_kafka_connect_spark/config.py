@@ -199,6 +199,29 @@ def _external_field(tcfg: dict, name: str):
     return tuple(ext.split(",", 1))
 
 
+def _mongo_doc_schema(tcfg: dict[str, str], name: str):
+    """MongoDebeziumTransform is schema-driven on our side (one plan-time
+    from_json instead of the reference's per-record BSON walk), so the chain
+    config must carry the document schema as a DDL string. Raise a named
+    error rather than a TypeError when it's missing."""
+    from pyspark.sql import types as T
+
+    ddl = tcfg.get("doc.schema")
+    if not ddl:
+        raise ValueError(
+            f"transforms.{name}.doc.schema is required for "
+            "MongoDebeziumTransform (DDL string, e.g. '_id BIGINT, name "
+            "STRING'): this port resolves the Mongo document schema at "
+            "plan time instead of per record"
+        )
+    try:
+        return T.StructType.fromDDL(ddl)
+    except Exception as exc:
+        raise ValueError(
+            f"transforms.{name}.doc.schema: invalid DDL {ddl!r}: {exc}"
+        ) from exc
+
+
 def parse_transform_chain(props: dict[str, str]) -> list:
     """``transforms=a,b`` + ``transforms.a.type=...CopyValue`` +
     ``transforms.a.source.field=...`` → ordered list of DataFrame→DataFrame
@@ -228,8 +251,12 @@ def parse_transform_chain(props: dict[str, str]) -> list:
             target_pattern=tcfg.get("cdc.target.pattern")
         ),
         "DmsTransform": lambda tcfg, name: dms_transform(),
-        "MongoDebeziumTransform": lambda tcfg, name: (
-            mongo_debezium_transform()
+        # mongo_debezium_transform needs the document schema (the reference
+        # derives it per-record from BSON; we are plan-time) — accept it as a
+        # DDL string under transforms.<name>.doc.schema
+        "MongoDebeziumTransform": lambda tcfg, name: mongo_debezium_transform(
+            _mongo_doc_schema(tcfg, name),
+            key_field=tcfg.get("doc.key.field", "_id"),
         ),
         # JsonToMapTransform.java:38
         "JsonToMapTransform": lambda tcfg, name: json_to_map(

@@ -989,6 +989,18 @@ class LakehouseTable:
                 raise ValueError(f"no such column: {old!r}")
             if new in names:
                 raise ValueError(f"column already exists: {new!r}")
+            # a retired physical name must not be reused: delete/data files
+            # on disk still carry it, and the name mapping would then
+            # ambiguously map the NEW live column back to the old canonical
+            # one (silent wrong equality-delete anti-joins)
+            raw0 = meta["properties"].get("schema.name-mapping.default")
+            for e in json.loads(raw0) if raw0 else []:
+                if new in e.get("names", []):
+                    raise ValueError(
+                        f"cannot rename to {new!r}: the name is retired in "
+                        "the table's name mapping (files on disk still use "
+                        "it); pick a fresh name"
+                    )
             fields = [
                 T.StructField(
                     new if f.name == old else f.name,
@@ -1125,10 +1137,16 @@ class LakehouseTable:
         # delete files written before a rename_column carry old physical key
         # names; canonicalize through the name mapping so the anti-join
         # still lines up with the renamed data columns
+        # a physical key name that is STILL a live schema column must not be
+        # remapped (pre-existing tables could hold a mapping entry from a
+        # rename that later had its old name reused) — only retired names
+        # canonicalize
+        live = {f.name for f in self.schema().fields}
         reverse = {
             alias: canon
             for canon, aliases in self.name_mapping().items()
             for alias in aliases
+            if alias not in live
         }
         by_keyset: dict[tuple[str, ...], list[dict]] = {}
         for f in delete_files:

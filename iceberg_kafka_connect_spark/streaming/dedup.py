@@ -103,8 +103,21 @@ def curation_loop(
         last_sig = _last_batch_id(signature_table)
         if last_sig is not None and batch_id <= last_sig:
             committed = _committed_sig_ids(spark, batch_id)
-            if committed is not None:
-                return committed.withColumnRenamed("id", id_col)
+            if committed is None:
+                # the marked snapshot was pruned (expire_snapshots): the
+                # signature table already holds this batch's own signatures,
+                # so recomputing would drop EVERY doc as exact_history and
+                # permanently lose the batch. Unrecoverable without the
+                # marker — fail loudly instead.
+                raise RuntimeError(
+                    f"curation-loop replay of batch {batch_id}: its marked "
+                    "signature snapshot was expired, so committed survivor "
+                    "ids cannot be recovered. Keep signature-table snapshots "
+                    "at least as long as the streaming checkpoint horizon "
+                    "(expire_snapshots retain-last must cover in-flight "
+                    "batches)."
+                )
+            return committed.withColumnRenamed("id", id_col)
         batch_sigs = doc_signatures(batch, id_col, text_col)
         if signature_table.current_snapshot() is None:
             hist_sigs = spark.createDataFrame([], batch_sigs.schema)

@@ -162,8 +162,8 @@ def tpch_q9(spark, sf_dir):
 # kept only when it exceeds a fraction of the GLOBAL total over the same
 # set. The global scalar rides a crossJoin(broadcast(1-row agg)) — one job,
 # no driver-side collect (the anti-pattern Q22 used to have). The per-part
-# aggregate is persisted so the total and the filter share one lineitem
-# scan (Spark won't reuse the subplan otherwise), and the total re-sums
+# aggregate is locally checkpointed so the total and the filter share one
+# lineitem scan (Spark won't reuse the subplan otherwise), and the total re-sums
 # through DECIMAL so it is order-independent — the threshold compare must
 # see the same total in both engines to the last ULP.
 # --------------------------------------------------------------------------
@@ -200,7 +200,10 @@ def tpch_q11(spark, sf_dir):
         .join(n, F.col("n_nationkey") == F.col("s_nationkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "part_value"))
-        .persist()
+        # localCheckpoint, not persist: the total and the filter share one
+        # lineitem pass, and the blocks are released with the RDD instead of
+        # pinning executor storage for the whole session
+        .localCheckpoint(eager=True)
     )
     total = pv.agg(dsum(F.col("part_value"), 4, "total"))
     return (

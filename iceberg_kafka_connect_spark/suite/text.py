@@ -96,8 +96,12 @@ def text_gopher_rules(spark, sf_dir):
 )
 def text_profile(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    # single-file local input → spread the expression-heavy projection
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # spread the expression-heavy projection ONLY when the input is
+    # under-split (single-file local parquet) — at warehouse scale the scan
+    # already has enough splits and this shuffle would move the whole corpus
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     prof = tx.profile(docs)
     return prof.select(
         "doc_id",

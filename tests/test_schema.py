@@ -196,3 +196,19 @@ def test_rename_then_upsert_delete_keys_resolve(spark, tmp_path):
     t.rename_column("amount", "value")
     rows = sorted((r.id, r.value) for r in t.read(spark).collect())
     assert (2, 99) in rows
+
+
+def test_rename_to_retired_name_refused(spark, tmp_path):
+    """A physical name retired by an earlier rename must not be reused:
+    files on disk still carry it, so the name mapping would remap a LIVE
+    column's delete keys onto the old canonical column (silent wrong
+    anti-joins)."""
+    import pytest as _pytest
+
+    t = _ddl_table(spark, tmp_path)
+    t.rename_column("amount", "value")
+    with _pytest.raises(ValueError, match="retired"):
+        t.rename_column("note", "amount")
+    # the live data is untouched and still resolves
+    rows = sorted((r.id, r.value, r.note) for r in t.read(spark).collect())
+    assert rows == [(1, 10, "a"), (2, 20, "b")]

@@ -231,3 +231,61 @@ def test_parse_transform_chain_unknown_type_raises():
         )
     with _pytest.raises(ValueError, match="type is required"):
         parse_transform_chain({"transforms": "x"})
+
+
+def test_parse_transform_chain_mongo_schema(spark):
+    """MongoDebeziumTransform is constructible from flat properties via a
+    doc.schema DDL string; omitting the schema raises a named error."""
+    import pytest as _pytest
+
+    from iceberg_kafka_connect_spark.config import parse_transform_chain
+
+    chain = parse_transform_chain(
+        {
+            "transforms": "mongo",
+            "transforms.mongo.type": (
+                "io.tabular.iceberg.connect.transforms.MongoDebeziumTransform"
+            ),
+            "transforms.mongo.doc.schema": "_id BIGINT, name STRING",
+        }
+    )
+    assert len(chain) == 1
+    df = spark.createDataFrame(
+        [
+            (
+                "c",
+                None,
+                '{"_id": 1, "name": "a"}',
+                None,
+                '{"_id": 1}',
+                1000,
+            )
+        ],
+        "op string, before string, after string, "
+        "updateDescription struct<updatedFields string, "
+        "removedFields array<string>>, documentKey string, ts_ms long",
+    )
+    row = chain[0](df).first()
+    assert row._id == 1 and row.name == "a"
+
+    with _pytest.raises(ValueError, match="doc.schema is required"):
+        parse_transform_chain(
+            {
+                "transforms": "m",
+                "transforms.m.type": (
+                    "io.tabular.iceberg.connect.transforms."
+                    "MongoDebeziumTransform"
+                ),
+            }
+        )
+    with _pytest.raises(ValueError, match="invalid DDL"):
+        parse_transform_chain(
+            {
+                "transforms": "m",
+                "transforms.m.type": (
+                    "io.tabular.iceberg.connect.transforms."
+                    "MongoDebeziumTransform"
+                ),
+                "transforms.m.doc.schema": "this is (not ddl",
+            }
+        )
