@@ -140,32 +140,51 @@ def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
         ]
     )
     out: dict[str, float] = {}
-    wh = tempfile.mkdtemp(prefix="iks-bench-wh-")
     try:
-        append_cfg = SinkConfig(
-            tables=[TableConfig("default.events_append")], auto_create=True
-        )
-        pipe = SinkPipeline(
-            Catalog(wh), append_cfg, "bench-append", value_schema=value_schema
-        )
-        t0 = time.perf_counter()
-        pipe.process_batch(kafka_shaped, 0)
-        out["ingest_append"] = round(time.perf_counter() - t0, 3)
+        # best-of-2 into a fresh warehouse per run, matching the query
+        # loop's protocol: the first run pays the write-path codegen;
+        # steady-state per-batch cost is the figure that scales
+        for run in range(2):
+            wh = tempfile.mkdtemp(prefix="iks-bench-wh-")
+            try:
+                append_cfg = SinkConfig(
+                    tables=[TableConfig("default.events_append")],
+                    auto_create=True,
+                )
+                pipe = SinkPipeline(
+                    Catalog(wh), append_cfg, "bench-append",
+                    value_schema=value_schema,
+                )
+                t0 = time.perf_counter()
+                pipe.process_batch(kafka_shaped, 0)
+                el = round(time.perf_counter() - t0, 3)
+                out["ingest_append"] = min(
+                    out.get("ingest_append", el), el
+                )
 
-        cdc_cfg = SinkConfig(
-            tables=[TableConfig("default.events_cdc", id_columns=["user_id"])],
-            upsert_mode=True,
-            auto_create=True,
-        )
-        pipe2 = SinkPipeline(
-            Catalog(wh), cdc_cfg, "bench-cdc", value_schema=value_schema
-        )
-        t0 = time.perf_counter()
-        pipe2.process_batch(kafka_shaped, 0)
-        out["ingest_cdc_upsert"] = round(time.perf_counter() - t0, 3)
+                cdc_cfg = SinkConfig(
+                    tables=[
+                        TableConfig(
+                            "default.events_cdc", id_columns=["user_id"]
+                        )
+                    ],
+                    upsert_mode=True,
+                    auto_create=True,
+                )
+                pipe2 = SinkPipeline(
+                    Catalog(wh), cdc_cfg, "bench-cdc",
+                    value_schema=value_schema,
+                )
+                t0 = time.perf_counter()
+                pipe2.process_batch(kafka_shaped, 0)
+                el = round(time.perf_counter() - t0, 3)
+                out["ingest_cdc_upsert"] = min(
+                    out.get("ingest_cdc_upsert", el), el
+                )
+            finally:
+                shutil.rmtree(wh, ignore_errors=True)
     finally:
         kafka_shaped.unpersist()
-        shutil.rmtree(wh, ignore_errors=True)
     return out
 
 
@@ -189,8 +208,9 @@ def main() -> None:
     # between queries so one operator's persisted intermediates can't
     # pressure the next one's GC.
     times: dict[str, float] = {}
+    means: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        best = None
+        runs: list[float] = []
         for _ in range(3):
             # construction is inside the timed region: iterative operators
             # (connected components) run driver-controlled rounds eagerly
@@ -199,10 +219,13 @@ def main() -> None:
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
+            runs.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
-        times[name] = round(best, 3)
+        # min = steady-state figure (headline); mean over the 3 runs is
+        # recorded alongside so round-over-round deltas can distinguish a
+        # real plan regression from single-run GC/codegen noise
+        times[name] = round(min(runs), 3)
+        means[name] = round(sum(runs) / len(runs), 3)
 
     times.update(_bench_ingest(spark, sf_dir))
 
@@ -214,6 +237,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_mean": means,
+                "runs_per_query": 3,
                 "sf": sf,
             }
         )

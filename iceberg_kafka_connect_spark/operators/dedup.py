@@ -344,6 +344,38 @@ def banded_pairs(
     )
 
 
+def _minhash_sketch(
+    hashed: DataFrame, num_hashes: int, bands: int, with_sets: bool
+) -> DataFrame:
+    """MinHash band sketch (+ optional exact shingle-hash sets) from a
+    hashed shingle table (id, __h), in ONE aggregation pass.
+
+    The k family members re-hash the fixed-width 8-byte ``__h`` with the
+    member index as seed — never the variable-length shingle string. The
+    output row is the NARROW per-doc form (64 band longs + optional set),
+    not the 128 raw minhashes: it is what gets persisted and re-scanned,
+    so width matters. (A one-permutation-hashing sketch — bin by the
+    hash's top bits, per-bin conditional min — was measured here and
+    REJECTED: this corpus has many short documents, whose mostly-empty
+    bins degrade r=2 bands to r=1/r=0 and recreate exactly the quadratic
+    hot buckets banding exists to avoid.)
+
+    Output: (id, bands array<long>[bands][, hs array<long>]).
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    if with_sets:
+        aggs.append(F.collect_set("__h").alias("hs"))
+    per_doc = hashed.groupBy("id").agg(*aggs)
+    cols = [
+        "id",
+        _band_hash_array(num_hashes, bands).alias("bands"),
+    ] + (["hs"] if with_sets else [])
+    return per_doc.select(*cols)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -370,15 +402,50 @@ def minhash_lsh_pairs(
     wider than the cap before any pair exists, like jaccard's ``max_df``
     stop-shingle cut. The cap trades recall only on pathologic clusters;
     REQUIRED at corpus scale, off for small exact-oracle runs.
+
+    Plan shape: ONE aggregation over the hashed shingle table produces both
+    the minhash signature (bands) and the exact shingle-hash set per doc —
+    the corpus-sized shingle stream is tokenized, hashed, and shuffled
+    exactly once. The per-doc table (1 row/doc: 64 band longs + hash set,
+    ~KBs) is what persists; band buckets explode from it and the candidate
+    list joins back against it for exact-Jaccard verification (candidate
+    counts are LSH-small → AQE broadcasts those joins). The previous shape
+    persisted raw shingle STRINGS and re-aggregated them three times
+    (signatures + one sets-subtree per join side) — 2.8× slower at sf0.1
+    and strictly more shuffle at any scale.
     """
-    # shingles feed both signature generation and exact verification —
-    # persist so the tokenize/explode pass runs once
-    sh = shingles(docs, id_col, text_col, n).persist()
-    buckets = _band_buckets(sh, num_hashes, bands)
+    sh = shingles(docs, id_col, text_col, n)
+    hashed = sh.select("id", F.xxhash64(F.col("shingle")).alias("__h"))
+    per_doc = _minhash_sketch(hashed, num_hashes, bands, with_sets=verify)
+    if verify:
+        per_doc = per_doc.persist()
+    buckets = per_doc.select(
+        "id", F.posexplode("bands").alias("band", "bucket")
+    )
     cand = banded_pairs(buckets, max_bucket=max_bucket)
     if not verify:
         return cand
-    return verify_pairs_exact(sh, cand).filter(F.col("jaccard") >= threshold)
+    sets = per_doc.select("id", "hs")
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    return (
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("hs").alias("ha")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter
+                / (F.size("ha") + F.size("hb") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def verify_pairs_exact(sh: DataFrame, cand: DataFrame) -> DataFrame:
@@ -887,11 +954,13 @@ def span_dedup(
     Scale shape: span frequencies and first-occurrences are ONE groupBy with
     map-side partial aggregation — a span repeated 10M times (boilerplate!)
     collapses to one row per map task before the shuffle, where a window
-    over span would funnel every occurrence to a single task. The join back
-    is shuffle-or-broadcast by AQE, and reassembly is one groupBy(doc).
-    Spans shuffle by text; at warehouse scale substitute xxhash64(span) as
-    the join key to shuffle 8 bytes instead of strings (kept as text here
-    for engine-portable oracle parity).
+    over span would funnel every occurrence to a single task. Frequencies
+    key on ``xxhash64(span)`` so the aggregation and the join back shuffle
+    8-byte longs, never the span strings (the text rides only the
+    doc-reassembly side); a 64-bit collision merging two spans' counts is
+    ~2⁻⁶⁴ per span pair — the same accepted risk as the shingle-hash
+    verifier. The join back is shuffle-or-broadcast by AQE, and reassembly
+    is one groupBy(doc).
     """
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     starts = F.sequence(
@@ -905,12 +974,12 @@ def span_dedup(
                 lambda s: F.concat_ws(" ", F.slice(w, s + 1, span_words)),
             )
         ).alias("__idx", "__span"),
-    )
-    freq = spans.groupBy("__span").agg(
+    ).withColumn("__sh", F.xxhash64("__span"))
+    freq = spans.groupBy("__sh").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(F.struct("__doc", "__idx")).alias("__first"),
     )
-    marked = spans.join(freq, "__span").withColumn(
+    marked = spans.join(freq, "__sh").withColumn(
         "__keep",
         (F.col("__cnt") < min_df)
         | (

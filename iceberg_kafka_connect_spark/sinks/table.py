@@ -543,6 +543,7 @@ class LakehouseTable:
         snapshot_props: dict | None = None,
         upsert_mode: bool = True,
         case_insensitive: bool = False,
+        assume_unique: bool = False,
     ) -> dict:
         """S5: delta path — equality-delete keys + appended rows, one atomic
         snapshot (T7). Deletes at sequence N apply to data with sequence < N;
@@ -559,16 +560,24 @@ class LakehouseTable:
           UPDATE/DELETE rows contribute a delete key; INSERT rows append
           blindly, so duplicate in-batch INSERTs each land a row (exactly the
           reference's insert path, which never writes a delete).
+
+        ``assume_unique=True`` declares the batch already has one row per
+        key (e.g. the output of collapse_last_wins or a per-key-net
+        changelog collapse): the within-batch collapse shuffle — and the
+        per-op window pass — are skipped entirely. The caller owns the
+        guarantee; duplicate keys under this flag produce duplicate rows.
         """
         from ..operators.cdc import DELETE, collapse_last_wins
 
         if op_col is not None and op_col in df.columns and not upsert_mode:
             return self._upsert_per_op(
                 df, key_cols, op_col, order_cols, branch, snapshot_props,
-                case_insensitive,
+                case_insensitive, assume_unique,
             )
         batch = df
-        if order_cols:
+        if assume_unique:
+            pass
+        elif order_cols:
             batch = collapse_last_wins(batch, key_cols, order_cols)
         else:
             batch = batch.dropDuplicates(key_cols)
@@ -605,6 +614,7 @@ class LakehouseTable:
         branch: str,
         snapshot_props: dict | None,
         case_insensitive: bool = False,
+        assume_unique: bool = False,
     ) -> dict:
         """Per-op CDC apply (cdc-field set, upsert-mode off). Per key, in
         arrival order: an INSERT appends; an UPDATE replaces everything
@@ -612,10 +622,33 @@ class LakehouseTable:
         earlier. Rows surviving the batch are the last U row (if any U/D op
         is last-ish) plus every INSERT after the final U/D — computed with
         one window pass instead of the reference's sequential per-record
-        apply (BaseDeltaTaskWriter.java:72-84, Operation.java:21-25)."""
+        apply (BaseDeltaTaskWriter.java:72-84, Operation.java:21-25).
+
+        ``assume_unique``: one row per key already — the arrival-order
+        window degenerates (every row is its key's only row), so skip it:
+        U/D rows contribute their key, non-DELETE rows survive as-is. This
+        is the changelog-mirror path, whose net-per-key collapse guarantees
+        uniqueness (streaming/replicate.py)."""
         from pyspark.sql.window import Window
 
         from ..operators.cdc import DELETE, UPDATE
+
+        if assume_unique:
+            batch = df.persist()
+            try:
+                keys = batch.filter(
+                    F.col(op_col).isin(UPDATE, DELETE)
+                ).select(*key_cols)
+                delete_files = self._write_delete_files(keys, key_cols)
+                survivors = batch.filter(F.col(op_col) != DELETE)
+                data = self._project(survivors, case_insensitive)
+                data_files = self._write_files(data, "data")
+                return self._commit_snapshot(
+                    "overwrite", data_files, delete_files,
+                    snapshot_props or {}, branch,
+                )
+            finally:
+                batch.unpersist()
 
         batch = df
         ord_cols = list(order_cols) if order_cols else []
@@ -668,6 +701,7 @@ class LakehouseTable:
         matched_condition: str | None = None,
         branch: str = MAIN,
         snapshot_props: dict | None = None,
+        assume_unique: bool = False,
     ) -> dict:
         """MERGE INTO semantics over equality deletes (the statement Iceberg
         users run for CDC; the reference's delta writer is its streaming
@@ -686,29 +720,57 @@ class LakehouseTable:
         joined (broadcast-or-shuffle by AQE).
 
         Like Spark/Iceberg MERGE, raises if two source rows share a key (the
-        merge would be non-deterministic).
+        merge would be non-deterministic). The guard never costs an extra
+        pass over the source lineage: the fast path folds it into the same
+        key-collapse shuffle that feeds the upsert, the slow path reads it
+        off the already-persisted marked batch, and
+        ``assume_unique=True`` (source provably one-row-per-key, e.g.
+        collapse_last_wins output) skips it entirely.
         """
-        dup = (
-            source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
-        )
-        if dup.count() > 0:
-            raise ValueError(
-                "MERGE source has duplicate keys on "
-                f"{on!r}; de-duplicate (e.g. collapse_last_wins) first"
-            )
         if when_matched not in ("update", "delete", None):
             raise ValueError(f"when_matched: {when_matched!r}")
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched: {when_not_matched!r}")
+
+        def _raise_dup():
+            raise ValueError(
+                "MERGE source has duplicate keys on "
+                f"{on!r}; de-duplicate (e.g. collapse_last_wins) first"
+            )
+
         src = source
         cond = F.expr(matched_condition) if matched_condition else F.lit(True)
         if when_matched == "update" and when_not_matched == "insert" and (
             matched_condition is None
         ):
-            # fast path: blind upsert, no target scan
-            return self.upsert(
-                src, on, branch=branch, snapshot_props=snapshot_props
-            )
+            # fast path: blind upsert, no target scan. The duplicate-key
+            # guard rides the SAME groupBy shuffle that collapses the batch
+            # (count carried next to the row values), so checking costs one
+            # tiny job over the collapsed cache, not a second source pass.
+            if assume_unique:
+                return self.upsert(
+                    src, on, branch=branch, snapshot_props=snapshot_props,
+                    assume_unique=True,
+                )
+            others = [c for c in src.columns if c not in on]
+            grouped = src.groupBy(*on).agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[F.first(c).alias(c) for c in others],
+            ).persist()
+            try:
+                if (
+                    grouped.filter(F.col("__n") > 1).limit(1).count() > 0
+                ):
+                    _raise_dup()
+                return self.upsert(
+                    grouped.drop("__n"),
+                    on,
+                    branch=branch,
+                    snapshot_props=snapshot_props,
+                    assume_unique=True,
+                )
+            finally:
+                grouped.unpersist()
         tgt_keys = (
             self.read(spark, branch=branch)
             .select(*on)
@@ -717,6 +779,15 @@ class LakehouseTable:
         )
         marked = src.join(tgt_keys, on=on, how="left").persist()
         try:
+            if not assume_unique and (
+                marked.groupBy(*on)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+                > 0
+            ):
+                _raise_dup()
             matched = marked.filter(F.col("__matched").isNotNull() & cond)
             delete_files: list[dict] = []
             appends = None

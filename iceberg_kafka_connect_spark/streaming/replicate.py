@@ -86,6 +86,9 @@ def mirror_changes(
             op_col="__op",
             upsert_mode=False,
             snapshot_props={_MARKER: head},
+            # the row_number collapse above guarantees one row per key —
+            # skip the per-op arrival-order window entirely
+            assume_unique=True,
         )
     finally:
         net.unpersist()
