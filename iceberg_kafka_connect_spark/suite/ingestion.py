@@ -1551,3 +1551,75 @@ def time_travel_read(spark, sf_dir):
         F.lit("head").alias("view"), "n_rows", "sum_ids"
     )
     return head.unionByName(past).orderBy("view")
+
+
+# --------------------------------------------------------------------------
+# Partition-spec evolution (Iceberg updateSpec(); reference parses specs
+# per-table, SchemaUtils.java:150-199, and groups commit appends by spec id,
+# Coordinator.java:221-245): the new spec applies to FUTURE writes only —
+# files written under the old spec stay valid, keep their stats, and still
+# prune under predicates after evolution. Two appends per era are key-range
+# batched so every file carries tight o_orderkey bounds; the narrow read
+# spans both eras, and `files_pruned` asserts scan planning really skipped
+# old- AND new-spec files it could rule out.
+# --------------------------------------------------------------------------
+@register(
+    "spec_evolution",
+    oracle="""
+    SELECT TRUE AS files_pruned,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 4000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def spec_evolution(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="spec_gate_") + "/t",
+        o.schema,
+        partition_by="o_orderstatus",  # era 1: identity spec
+    )
+    # era 1 (identity on status): two key-range appends → tight file bounds.
+    # The [0,1000) batch is fully below the read predicate, so it must be
+    # pruned even though it predates the spec change.
+    t.append(o.filter(F.col("o_orderkey") < 1000))
+    t.append(o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2500)))
+    # evolve: future writes bucket on the key; old files untouched
+    t.update_partition_spec("bucket(o_orderkey, 8)")
+    # era 2 (bucket spec): the [4000,∞) batch is fully above the predicate
+    t.append(o.filter((F.col("o_orderkey") >= 2500) & (F.col("o_orderkey") < 4000)))
+    t.append(o.filter(F.col("o_orderkey") >= 4000))
+    where = "o_orderkey >= 1000 AND o_orderkey < 4000"
+    kept, total = t.scan_files(where)
+    pruned = len(kept) < total
+    return (
+        t.read(spark, where=where)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.lit(pruned).alias("files_pruned"),
+            "o_orderstatus",
+            "n_rows",
+            "sum_keys",
+            "sum_price",
+        )
+        .orderBy("o_orderstatus")
+    )
