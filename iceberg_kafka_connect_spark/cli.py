@@ -157,6 +157,10 @@ def table_main(argv: list[str]) -> int:
     mi = sub.add_parser("mirror")
     mi.add_argument("--to", required=True, help="replica table name")
     mi.add_argument("--keys", required=True, help="comma-separated id columns")
+    ei = sub.add_parser("export-iceberg")
+    ei.add_argument(
+        "--out", help="metadata output dir (default <table>/iceberg-metadata)"
+    )
     args = ap.parse_args(argv)
 
     catalog = Catalog(args.warehouse)
@@ -256,6 +260,11 @@ def table_main(argv: list[str]) -> int:
     elif args.action == "drop-column":
         t.drop_column(args.column)
         out = {"schema": [f.name for f in t.schema().fields]}
+    elif args.action == "export-iceberg":
+        from .sinks.iceberg_export import export_iceberg_metadata
+
+        path = export_iceberg_metadata(t, out_dir=args.out)
+        out = {"metadata_json": path}
     elif args.action == "mirror":
         from .streaming.replicate import mirror_changes
 

@@ -1,0 +1,221 @@
+"""Iceberg v2 metadata export: structural round-trip + external readability.
+
+The exporter writes real Iceberg v2 metadata (metadata.json, manifest-list
+and manifest Avro OCFs with field-ids) referencing the table's existing
+parquet files in place. In this sandbox no Iceberg runtime exists, so the
+primary check is an independent layer-by-layer re-parse (`read_exported`
+shares no state with LakehouseTable) with a value-level comparison of the
+data reachable through the exported metadata vs `table.read()`. The
+pyiceberg test runs wherever that package is available and auto-skips here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+    IcebergExportUnsupported,
+    export_iceberg_metadata,
+    iceberg_schema,
+    name_mapping,
+    read_exported,
+    _read_ocf,
+)
+from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+
+@pytest.fixture(scope="module")
+def exported(spark, sf_dir):
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="ice_export_") + "/t", o.schema
+    )
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    path = export_iceberg_metadata(t)
+    return t, path
+
+
+def test_metadata_json_shape(exported):
+    _, path = exported
+    with open(path) as f:
+        md = json.load(f)
+    assert md["format-version"] == 2
+    assert md["current-schema-id"] == 0
+    schema = md["schemas"][0]
+    ids = [f["id"] for f in schema["fields"]]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert md["last-column-id"] == max(ids)
+    assert md["refs"]["main"]["snapshot-id"] == md["current-snapshot-id"]
+    assert "schema.name-mapping.default" in md["properties"]
+    snap = md["snapshots"][0]
+    assert snap["summary"]["operation"] == "append"
+    assert os.path.exists(snap["manifest-list"].removeprefix("file://"))
+
+
+def test_manifest_avro_field_ids(exported):
+    """Manifest Avro schemas must carry the spec's reserved field-ids —
+    the property Iceberg readers resolve manifests by."""
+    _, path = exported
+    with open(path) as f:
+        md = json.load(f)
+    mlist = md["snapshots"][0]["manifest-list"].removeprefix("file://")
+    meta, schema, rows = _read_ocf(mlist)
+    by_name = {f["name"]: f["field-id"] for f in schema["fields"]}
+    assert by_name["manifest_path"] == 500
+    assert by_name["added_snapshot_id"] == 503
+    assert by_name["sequence_number"] == 515
+    mpath = rows[0]["manifest_path"].removeprefix("file://")
+    mmeta, mschema, entries = _read_ocf(mpath)
+    assert mmeta["format-version"] == "2"
+    assert mmeta["content"] == "data"
+    entry_ids = {f["name"]: f["field-id"] for f in mschema["fields"]}
+    assert entry_ids == {
+        "status": 0,
+        "snapshot_id": 1,
+        "data_file": 2,
+        "sequence_number": 3,
+        "file_sequence_number": 4,
+    }
+    df_schema = next(
+        f["type"] for f in mschema["fields"] if f["name"] == "data_file"
+    )
+    df_ids = {f["name"]: f["field-id"] for f in df_schema["fields"]}
+    assert df_ids["file_path"] == 100
+    assert df_ids["content"] == 134
+    assert all(e["data_file"]["file_format"] == "PARQUET" for e in entries)
+
+
+def test_export_round_trip_values(spark, exported):
+    """The data reachable through ONLY the exported metadata equals
+    table.read() — file set, row counts, and values."""
+    t, path = exported
+    info = read_exported(path)
+    assert all(os.path.exists(p) for p in info["file_paths"])
+    expected = t.read(spark)
+    assert info["total_rows"] == expected.count()
+    via_export = spark.read.parquet(*info["file_paths"])
+    assert sorted(via_export.columns) == sorted(expected.columns)
+    key = "o_orderkey"
+    a = via_export.agg(
+        F.sum(key).alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    b = expected.agg(
+        F.sum(key).alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert (a.s, a.n) == (b.s, b.n)
+
+
+def test_schema_and_name_mapping_nested():
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "s",
+                T.StructType(
+                    [
+                        T.StructField("a", T.StringType()),
+                        T.StructField("b", T.ArrayType(T.IntegerType())),
+                    ]
+                ),
+            ),
+            T.StructField("m", T.MapType(T.StringType(), T.DoubleType())),
+            T.StructField("d", T.DecimalType(12, 2)),
+        ]
+    )
+    ice, last = iceberg_schema(schema)
+    assert ice["fields"][0] == {
+        "id": 1,
+        "name": "id",
+        "required": True,
+        "type": "long",
+    }
+    nested = ice["fields"][1]["type"]
+    assert nested["type"] == "struct"
+    # depth-first: parent struct field id precedes child ids
+    assert ice["fields"][1]["id"] < nested["fields"][0]["id"]
+    assert ice["fields"][3]["type"] == "decimal(12, 2)"
+    all_ids = set()
+
+    def walk(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t["fields"]:
+                    all_ids.add(f["id"])
+                    walk(f["type"])
+            elif t.get("type") == "list":
+                all_ids.add(t["element-id"])
+                walk(t["element"])
+            elif t.get("type") == "map":
+                all_ids.add(t["key-id"])
+                all_ids.add(t["value-id"])
+                walk(t["value"])
+
+    walk(ice)
+    assert max(all_ids) == last and len(all_ids) == last
+    nm = name_mapping(ice)
+    assert nm[0] == {"field-id": 1, "names": ["id"]}
+    assert "fields" in nm[1]  # nested struct mapping
+
+
+def test_export_refuses_delete_files(spark, sf_dir):
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderstatus")
+        .limit(500)
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="ice_export_del_") + "/t", o.schema
+    )
+    t.append(o)
+    t.delete_where(spark, "o_orderstatus = 'F'", key_cols=["o_orderkey"])
+    with pytest.raises(IcebergExportUnsupported, match="equality-delete"):
+        export_iceberg_metadata(t)
+    # compact folds the delete state → export works again
+    t.compact(spark)
+    path = export_iceberg_metadata(t)
+    assert read_exported(path)["total_rows"] == t.read(spark).count()
+
+
+def test_export_refuses_renamed_tables(spark, sf_dir):
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderstatus")
+        .limit(100)
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="ice_export_ren_") + "/t", o.schema
+    )
+    t.append(o)
+    t.rename_column("o_orderstatus", "status")
+    with pytest.raises(IcebergExportUnsupported, match="rename"):
+        export_iceberg_metadata(t)
+
+
+def test_pyiceberg_reads_export(spark, sf_dir):
+    """External-engine readability — runs wherever pyiceberg is installed
+    (not in this sandbox; structural tests above cover the format here)."""
+    pyiceberg_table = pytest.importorskip("pyiceberg.table")
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(1000)
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="ice_export_py_") + "/t", o.schema
+    )
+    t.append(o)
+    path = export_iceberg_metadata(t)
+    static = pyiceberg_table.StaticTable.from_metadata(path)
+    scanned = static.scan().to_arrow()
+    assert scanned.num_rows == t.read(spark).count()
+    assert sorted(scanned.schema.names) == ["o_orderkey", "o_totalprice"]
