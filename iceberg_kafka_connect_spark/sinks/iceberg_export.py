@@ -347,6 +347,23 @@ def _read_ocf(path: str) -> tuple[dict, dict, list[dict]]:
 
 
 # --------------------------------------------------------- manifest schemas
+def _kv_map_schema(name: str, key_id: int, value_id: int, vtype: str) -> dict:
+    """Iceberg's Avro encoding for non-string-key maps: an array of
+    key/value records tagged ``logicalType: map``, field-ids on both."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": vtype, "field-id": value_id},
+            ],
+        },
+    }
+
+
 def _manifest_entry_schema() -> dict:
     data_file = {
         "type": "record",
@@ -362,6 +379,33 @@ def _manifest_entry_schema() -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "value_counts",
+                "type": [
+                    "null",
+                    _kv_map_schema("k119_v120", 119, 120, "long"),
+                ],
+                "default": None,
+                "field-id": 109,
+            },
+            {
+                "name": "lower_bounds",
+                "type": [
+                    "null",
+                    _kv_map_schema("k126_v127", 126, 127, "bytes"),
+                ],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": [
+                    "null",
+                    _kv_map_schema("k129_v130", 129, 130, "bytes"),
+                ],
+                "default": None,
+                "field-id": 128,
+            },
         ],
     }
     return {
@@ -422,6 +466,66 @@ def _snapshot_id_int(sid_hex: str) -> int:
     return int(sid_hex[:15], 16)
 
 
+# ------------------------------------------------- column-stats serialization
+_EPOCH_DATE = None  # lazy: datetime import only when bounds exist
+
+
+def _bound_bytes(ice_type: str, tag: str, value) -> bytes | None:
+    """Iceberg single-value binary serialization (spec appendix D) for the
+    stat domains our footer fold records; None = column sits out."""
+    import datetime as dt
+
+    try:
+        if ice_type == "int" and tag == "i":
+            return struct.pack("<i", int(value))
+        if ice_type == "long" and tag == "i":
+            return struct.pack("<q", int(value))
+        if ice_type == "float" and tag == "f":
+            return struct.pack("<f", float(value))
+        if ice_type == "double" and tag == "f":
+            return struct.pack("<d", float(value))
+        if ice_type == "string" and tag == "s":
+            return str(value).encode("utf-8")
+        if ice_type == "date" and tag == "d":
+            days = (dt.date.fromisoformat(value) - dt.date(1970, 1, 1)).days
+            return struct.pack("<i", days)
+        if ice_type in ("timestamp", "timestamptz") and tag == "ts":
+            t = dt.datetime.fromisoformat(value)
+            micros = int(
+                (t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+            )
+            return struct.pack("<q", micros)
+    except (ValueError, OverflowError, struct.error):
+        return None
+    return None
+
+
+def _file_column_stats(
+    fentry: dict, col_ids: dict[str, int], col_types: dict[str, str], rows: int
+) -> dict:
+    """value_counts + lower/upper bounds in manifest shape (list of
+    {key, value} pairs, Iceberg's array-encoded map)."""
+    value_counts = [
+        {"key": fid, "value": rows} for fid in col_ids.values()
+    ]
+    lower, upper = [], []
+    for col, st in ((fentry.get("stats") or {}).get("cols") or {}).items():
+        fid = col_ids.get(col)
+        itype = col_types.get(col)
+        if fid is None or itype is None:
+            continue
+        lo = _bound_bytes(itype, st["t"], st["min"])
+        hi = _bound_bytes(itype, st["t"], st["max"])
+        if lo is not None and hi is not None:
+            lower.append({"key": fid, "value": lo})
+            upper.append({"key": fid, "value": hi})
+    return {
+        "value_counts": value_counts,
+        "lower_bounds": lower or None,
+        "upper_bounds": upper or None,
+    }
+
+
 # ------------------------------------------------------------------ export
 def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
     """Write an Iceberg v2 metadata tree for ``table``'s current main-branch
@@ -461,7 +565,15 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
     sid = _snapshot_id_int(snap["snapshot_id"]) if snap else None
     now_ms = int(time.time() * 1000)
 
-    # ----- manifest: every live data file as one ADDED entry
+    # ----- manifest: every live data file as one ADDED entry, carrying
+    # value counts + typed lower/upper bounds so external scan planners
+    # prune files exactly as our own stats-based planner does
+    col_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    col_types = {
+        f["name"]: f["type"]
+        for f in ice_schema["fields"]
+        if isinstance(f["type"], str)
+    }
     entries = []
     total_rows = 0
     for fentry in data_files:
@@ -486,6 +598,7 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
                     "record_count": rows,
                     "file_size_in_bytes": fentry.get("bytes")
                     or os.path.getsize(path),
+                    **_file_column_stats(fentry, col_ids, col_types, rows),
                 },
             }
         )

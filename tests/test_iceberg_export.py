@@ -201,6 +201,56 @@ def test_export_refuses_renamed_tables(spark, sf_dir):
         export_iceberg_metadata(t)
 
 
+def test_manifest_column_bounds(spark, sf_dir):
+    """Exported manifests carry typed lower/upper bounds keyed by field-id
+    (Iceberg single-value serialization) — enough for an external scan
+    planner to prune files the way our stats-based planner does."""
+    import struct as _struct
+
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="ice_export_bounds_") + "/t", o.schema
+    )
+    t.append(o.filter(F.col("o_orderkey") < 1000))
+    t.append(o.filter(F.col("o_orderkey") >= 1000))
+    path = export_iceberg_metadata(t)
+    with open(path) as f:
+        md = json.load(f)
+    key_id = next(
+        fld["id"] for fld in md["schemas"][0]["fields"]
+        if fld["name"] == "o_orderkey"
+    )
+    mlist = md["snapshots"][0]["manifest-list"].removeprefix("file://")
+    _, _, manifests = _read_ocf(mlist)
+    _, _, entries = _read_ocf(
+        manifests[0]["manifest_path"].removeprefix("file://")
+    )
+    ranges = []
+    for e in entries:
+        df = e["data_file"]
+        assert df["value_counts"], "value_counts missing"
+        lo = {kv["key"]: kv["value"] for kv in df["lower_bounds"] or []}
+        hi = {kv["key"]: kv["value"] for kv in df["upper_bounds"] or []}
+        assert key_id in lo and key_id in hi
+        ranges.append(
+            (
+                _struct.unpack("<q", lo[key_id])[0],
+                _struct.unpack("<q", hi[key_id])[0],
+            )
+        )
+    # the two eras' files occupy disjoint key ranges — bounds must show it
+    assert any(hi < 1000 for _, hi in ranges)
+    assert any(lo >= 1000 for lo, _ in ranges)
+    counts = {
+        kv["key"]: kv["value"]
+        for kv in entries[0]["data_file"]["value_counts"]
+    }
+    assert counts[key_id] == entries[0]["data_file"]["record_count"]
+
+
 def test_pyiceberg_reads_export(spark, sf_dir):
     """External-engine readability — runs wherever pyiceberg is installed
     (not in this sandbox; structural tests above cover the format here)."""
