@@ -728,3 +728,53 @@ def source_epochs(
         F.array().cast("array<int>")
     )
     return docs.withColumn("epoch", F.explode(seq))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    the shift-tolerant LOCAL document fingerprint the md5 whole-content
+    ``fingerprint`` can't give — any shared word run of at least
+    ``window + k - 1`` words between two documents is guaranteed to share
+    at least one selected fingerprint.
+
+    1. hash every word ``k``-gram at its position (md5 hex — any total
+       order works for winnowing, and md5 strings are engine-portable, so
+       the whole operator is DuckDB-oracle-checkable);
+    2. over each sliding window of ``window`` consecutive gram hashes,
+       select the minimum;
+    3. a document's fingerprint set = the DISTINCT selected hashes.
+
+    Scale shape: posexplode is linear in corpus tokens; the only shuffle is
+    the per-document window (partitioned by ``id_col``, bounded by document
+    length) plus the distinct — no corpus-wide joins. Fingerprint-set
+    matching for near-dup *pairs* then reuses the n-gram inverted-index
+    join (``dedup.ngram_jaccard_pairs`` shape) over 64-char keys.
+
+    Returns (id_col, fp) — one row per selected fingerprint.
+    """
+    from pyspark.sql.window import Window
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = gram_array(words, k)
+    hashed = docs.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).select(id_col, "pos", F.md5("gram").alias("h"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    return (
+        hashed.withColumn("fp", F.min("h").over(w))
+        # only full windows select — short docs (< window+k-1 words) have
+        # no fingerprint, matching the algorithm's guarantee boundary
+        .filter(F.col("pos") >= window - 1)
+        .select(id_col, "fp")
+        .distinct()
+    )

@@ -466,3 +466,58 @@ def text_compression_ratio(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS; Schleimer et al. SIGMOD'03): shift-tolerant
+# local fingerprints — the rolling-hash document-fingerprinting stage of a
+# plagiarism/near-dup pipeline. md5 hex is the hash domain (any total order
+# winnows; md5 is bit-identical in both engines), so the full algorithm —
+# positional k-grams, sliding-window min, distinct selection — is
+# oracle-checked end to end. Output: per-doc fingerprint count + an
+# order-insensitive digest of the selected set.
+# --------------------------------------------------------------------------
+@register(
+    "docs_winnow_fingerprints",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(ws[i + 1 : i + 4], ' ') AS gram
+        FROM words, UNNEST(range(len(ws) - 3)) AS t(i)
+    ),
+    winmin AS (
+        SELECT doc_id, pos,
+               MIN(md5(gram)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ) AS fp
+        FROM grams
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM winmin WHERE pos >= 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           md5(string_agg(fp, '' ORDER BY fp)) AS set_digest
+    FROM fps GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def docs_winnow_fingerprints(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    fps = tx.winnow_fingerprints(docs, k=4, window=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("fp")))
+            ).alias("set_digest"),
+        )
+        .orderBy("doc_id")
+    )

@@ -427,3 +427,47 @@ def test_export_jsonl_shards_round_trip(spark, tmp_path):
     }
     got = {(r.shard, r.pos): r.doc_id for r in back.collect()}
     assert got == expect
+
+
+def test_winnow_shift_tolerance(spark):
+    """The winnowing guarantee: a shared word run of >= window+k-1 words
+    survives a prefix shift — the shifted copy shares fingerprints with the
+    original, while an unrelated doc shares none."""
+    from iceberg_kafka_connect_spark.operators import text as tx
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),
+        (2, "prefix words moved everything over " + base),  # shifted copy
+        (3, "totally different content with no overlap at all " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = tx.winnow_fingerprints(df, k=4, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    shared_12 = by_doc[1] & by_doc[2]
+    assert shared_12, "shifted duplicate must share fingerprints"
+    # high overlap: the shared run dominates both docs
+    assert len(shared_12) / len(by_doc[1]) > 0.5
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnow_short_doc_boundary(spark):
+    """Docs shorter than window+k-1 words select no fingerprints; exactly
+    at the boundary they select exactly one."""
+    from iceberg_kafka_connect_spark.operators import text as tx
+
+    k, window = 4, 4
+    boundary = k + window - 1  # 7 words -> 4 grams -> 1 full window
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(boundary - 1))),
+        (2, " ".join(f"w{i}" for i in range(boundary))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = tx.winnow_fingerprints(df, k=k, window=window).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert 1 not in by_doc
+    assert len(by_doc[2]) == 1
