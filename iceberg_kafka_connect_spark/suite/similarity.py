@@ -189,3 +189,20 @@ def embedding_pca(spark, sf_dir):
         )
         .orderBy("component")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (operators/pq.py): sample-trained per-subspace
+# codebooks, distributed encode (m bytes/vector), asymmetric-distance
+# top-k. Codebook contents aren't SQL-expressible → rows-only gate entry;
+# tests/test_pq.py pins determinism, code range, ADC-vs-cosine error, and
+# recall@10 against exact brute force.
+# --------------------------------------------------------------------------
+@register("ann_topk_pq", oracle=None, tags=("similarity",))
+def ann_topk_pq(spark, sf_dir):
+    from ..operators.pq import PQIndex
+
+    emb = table(spark, sf_dir, "embeddings")
+    index = PQIndex.build(emb, m=8, nbits=8, iters=4)
+    queries = emb.filter(F.col("vec_id") < 50)
+    return index.search(queries, k=10)
