@@ -251,11 +251,13 @@ def test_q2_q11_q20_single_fact_scan(spark, sf_dir):
     for name in ("tpch_q2", "tpch_q20"):
         plan = plan_string(SPECS[name].fn(spark, sf_dir))
         assert plan.count("lineitem.parquet") == 1, name
+    # q11: the pv aggregate is localCheckpoint'ed (eager), so the single
+    # lineitem pass happened at checkpoint time — the final plan must read
+    # the materialized RDD twice (filter + total) and never re-scan parquet
     q11 = SPECS["tpch_q11"].fn(spark, sf_dir)
     plan = plan_string(q11)
-    assert plan.count("lineitem.parquet") == 1
-    assert "InMemoryTableScan" in plan  # persisted pv reused for the total
-    q11.sparkSession.catalog.clearCache()
+    assert plan.count("lineitem.parquet") == 0
+    assert "ExistingRDD" in plan  # checkpointed pv reused for the total
 
 
 def test_lm_surprise_and_shard_shuffle_no_python(spark, sf_dir):
