@@ -951,58 +951,119 @@ def span_dedup(
 
     Output: (id, n_spans, n_spans_kept, text_dedup).
 
-    Scale shape: span frequencies and first-occurrences are ONE groupBy with
-    map-side partial aggregation — a span repeated 10M times (boilerplate!)
-    collapses to one row per map task before the shuffle, where a window
-    over span would funnel every occurrence to a single task. Frequencies
-    key on ``xxhash64(span)`` so the aggregation and the join back shuffle
-    8-byte longs, never the span strings (the text rides only the
-    doc-reassembly side); a 64-bit collision merging two spans' counts is
-    ~2⁻⁶⁴ per span pair — the same accepted risk as the shingle-hash
-    verifier. The join back is shuffle-or-broadcast by AQE, and reassembly
-    is one groupBy(doc).
+    Scale shape — span TEXT never enters a shuffle:
+      1. the exploded span stream carries only (doc, idx, xxhash64(span)) —
+         the strings exist transiently inside the projection, 8-byte hashes
+         are what move;
+      2. span frequencies and first-occurrences are ONE groupBy(hash) with
+         map-side partial aggregation — a span repeated 10M times
+         (boilerplate!) collapses to one row per map task before the
+         shuffle, where a window over span would funnel every occurrence to
+         a single task;
+      3. the keep/drop verdicts join back on the hash and fold into one
+         small (idx, keep) list per doc;
+      4. reassembly re-derives the span array from the ORIGINAL document
+         row (one doc-keyed join — the only time text moves) and filters it
+         positionally against the keep list.
+    A previous shape carried span strings through both the verdict join and
+    the reassembly groupBy — two corpus-text shuffles instead of one, and
+    measurably slower already at sf0.1. A 64-bit hash collision merging two
+    spans' counts is ~2⁻⁶⁴ per span pair — the same accepted risk as the
+    shingle-hash verifier.
     """
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(span_words)
     )
+    span_arr = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(w, s + 1, span_words))
+    )
     spans = docs.select(
         F.col(id_col).alias("__doc"),
-        F.posexplode(
-            F.transform(
-                starts,
-                lambda s: F.concat_ws(" ", F.slice(w, s + 1, span_words)),
-            )
-        ).alias("__idx", "__span"),
-    ).withColumn("__sh", F.xxhash64("__span"))
+        F.posexplode(F.transform(span_arr, lambda s: F.xxhash64(s))).alias(
+            "__idx", "__sh"
+        ),
+    )
     freq = spans.groupBy("__sh").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(F.struct("__doc", "__idx")).alias("__first"),
     )
-    marked = spans.join(freq, "__sh").withColumn(
-        "__keep",
-        (F.col("__cnt") < min_df)
-        | (
-            (F.col("__first.__doc") == F.col("__doc"))
-            & (F.col("__first.__idx") == F.col("__idx"))
-        ),
+    marked = spans.join(freq, "__sh").select(
+        "__doc",
+        "__idx",
+        (
+            (F.col("__cnt") < min_df)
+            | (
+                (F.col("__first.__doc") == F.col("__doc"))
+                & (F.col("__first.__idx") == F.col("__idx"))
+            )
+        ).alias("__keep"),
     )
-    ordered = F.array_sort(
-        F.collect_list(F.struct("__idx", "__keep", "__span"))
-    )
-    return marked.groupBy("__doc").agg(
+    keeps = marked.groupBy("__doc").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_spans_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.filter(ordered, lambda s: s["__keep"]),
-                lambda s: s["__span"],
-            ),
-        ).alias("text_dedup"),
-    ).select(
-        F.col("__doc").alias(id_col),
+        F.array_sort(F.collect_list(F.struct("__idx", "__keep"))).alias(
+            "__ks"
+        ),
+    )
+    # posexplode ordinals are dense 0..n-1, so the idx-sorted keep list
+    # aligns positionally with the re-derived span array
+    return docs.join(keeps, F.col(id_col) == F.col("__doc")).select(
+        id_col,
         "n_spans",
         "n_spans_kept",
-        "text_dedup",
+        F.concat_ws(
+            " ",
+            F.filter(
+                span_arr,
+                lambda s, i: F.element_at(F.col("__ks"), i + 1)["__keep"],
+            ),
+        ).alias("text_dedup"),
     )
+
+
+def incremental_exact_dedup_bloom(
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Exact incremental dedup with a Bloom prefilter on the batch side:
+    keep the batch docs whose normalized-content digest does NOT appear in
+    history. Bit-identical to the plain digest anti-join (Bloom filters have
+    no false negatives) — the filter only decides which rows must enter it.
+
+    Why this matters at 100 TB: in a steady-state ingest loop almost every
+    batch doc is NEW, so almost none of them need the history join at all.
+    The filter splits the batch map-side into
+      definitely-new (probe miss) — emitted directly, zero shuffle, and
+      candidates (probe hit)      — true dups + ~fp-rate false positives,
+    so the anti-join's shuffled left side shrinks from |batch| to
+    |dups| + fp·|batch|. The filter itself is built in one bounded job
+    (``functions/bloom.py``: the shuffle and the driver state are ≤
+    num_bits/64 words no matter how large history is); in a production loop
+    it would be built once and maintained incrementally in the signature
+    store rather than rebuilt per batch — this operator keeps the build
+    inline so the gate exercises both halves.
+
+    Output: (doc_id) of surviving batch docs. Reference parity: extends the
+    reference's path-level file dedup idea (channel/Deduplicated.java:79-168)
+    to content-level corpus dedup.
+    """
+    from ..functions.bloom import bloom_build, bloom_contains
+
+    dg = F.md5(normalize_text(F.col(text_col)))
+    h_digests = history.select(dg.alias("digest"))
+    words = bloom_build(h_digests, "digest", num_bits, num_hashes)
+
+    b = batch.select(F.col(id_col).alias("id"), dg.alias("digest"))
+    hit = bloom_contains(F.col("digest"), words, num_hashes)
+    fresh = b.filter(~hit).select("id")
+    survivors = (
+        b.filter(hit)
+        .join(h_digests.distinct(), "digest", "left_anti")
+        .select("id")
+    )
+    return fresh.unionByName(survivors).select(F.col("id").alias(id_col))

@@ -474,3 +474,105 @@ def semantic_dedup(
     )
     base.unpersist()
     return out
+
+
+def knn_graph_blocked(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine k-NN GRAPH over the whole corpus (every vector is a
+    query), via block-pair GEMM — the all-pairs shape brute_force_topk
+    cannot take, because there is no small side to broadcast.
+
+    Plan shape:
+      1. block assignment: id % num_blocks (no shuffle beyond the groupBy);
+      2. pack each block into ONE row (sorted array<struct<id,v>>) — B rows;
+      3. cross-join packed × packed → B² block pairs; each pair is one
+         float64 GEMM inside mapInPandas, emitting per-query partial top-k;
+      4. one window over the n·B·k partials picks the global top-k.
+
+    Scale accounting at B blocks over n vectors: the corpus is materialized
+    B+1 times (each block meets every other block) — data movement O(n·B)
+    buys O(n²/B²)-sized GEMM tasks, the classic block-nested trade. Choose
+    B ≈ n·dim·8 / task_budget_bytes so a block pair fits executor memory;
+    at 1B × 768-dim vectors and a 1 GiB task budget that is B ≈ 6000 —
+    and each packed block should then be CHUNKED into ~64 MB rows (several
+    rows per block id) instead of one giant row; the single-row packing
+    below is the small-corpus form. For corpora where exact all-pairs is
+    not worth n²/B GEMMs, the sub-quadratic siblings are IVF
+    (operators/ivf.py) and SRP-LSH (srp_lsh_pairs).
+
+    Determinism: ids are sorted inside each packed block, scores are
+    float64, ties break by neighbor id — output is run-stable. Self-matches
+    excluded.
+
+    Output: (query_id, neighbor_id, cos_sim, rank≤k).
+    """
+    import numpy as np  # noqa: PLC0415
+
+    elem = F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    packed = (
+        emb.select(
+            F.pmod(F.col(id_col), F.lit(num_blocks)).alias("block"),
+            elem.alias("s"),
+        )
+        .groupBy("block")
+        .agg(F.array_sort(F.collect_list("s")).alias("xs"))
+    )
+    pairs = packed.select(
+        F.col("block").alias("block_a"), F.col("xs").alias("xs_a")
+    ).crossJoin(
+        packed.select(F.col("block").alias("block_b"), F.col("xs").alias("xs_b"))
+    )
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def kern(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        def unpack(cell):
+            ids = np.fromiter((e["id"] for e in cell), dtype=np.int64)
+            mat = np.array([e["v"] for e in cell], dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            return ids, mat
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a, A = unpack(row.xs_a)
+                ids_b, B = unpack(row.xs_b)
+                sims = A @ B.T
+                # exclude self-matches before the local top-k so a query
+                # never wastes one of its k partial slots on itself
+                if row.block_a == row.block_b:
+                    np.fill_diagonal(sims, -np.inf)
+                kk = min(k, sims.shape[1])
+                # local top-k with the SAME tie rule as the final window
+                # (score desc, then neighbor id asc): lexsort is stable and
+                # keys read last-first
+                order = np.lexsort(
+                    (np.broadcast_to(ids_b, sims.shape), -sims), axis=1
+                )[:, :kk]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids_a, kk),
+                        "neighbor_id": ids_b[order].ravel(),
+                        "cos_sim": np.take_along_axis(
+                            sims, order, axis=1
+                        ).ravel(),
+                    }
+                )
+
+    partial = pairs.mapInPandas(kern, schema=out_schema).filter(
+        ~F.col("cos_sim").eqNullSafe(float("-inf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

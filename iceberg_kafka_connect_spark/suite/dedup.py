@@ -391,3 +391,33 @@ def dedup_semantic(spark, sf_dir):
 def dedup_semdedup(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(emb, threshold=0.4, nlist=8, iters=2)
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered incremental exact dedup: history = doc_id % 3 == 0,
+# batch = the rest; survivors are batch docs whose normalized digest is not
+# in history. The Bloom probe splits the batch map-side — only probe HITS
+# (true dups + ~1% false positives) enter the anti-join shuffle; the
+# filter's own build is one bounded-size aggregation (functions/bloom.py).
+# No false negatives ⇒ output is bit-identical to the plain anti-join the
+# oracle runs.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_bloom",
+    oracle=r"""
+    WITH h AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id FROM documents b
+    WHERE b.doc_id % 3 != 0
+      AND md5(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g')))
+          NOT IN (SELECT digest FROM h)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_bloom(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.incremental_exact_dedup_bloom(batch, history)

@@ -206,3 +206,33 @@ def ann_topk_pq(spark, sf_dir):
     index = PQIndex.build(emb, m=8, nbits=8, iters=4)
     queries = emb.filter(F.col("vec_id") < 50)
     return index.search(queries, k=10)
+
+
+# --------------------------------------------------------------------------
+# Exact k-NN GRAPH (every vector is a query — no broadcastable small side):
+# block-pair GEMM, B² float64 matmul tasks, per-pair partial top-k, one
+# global window. Output restricted to the integer columns (ids + rank);
+# the float64-GEMM score itself is checked against the exact fold in
+# pytest, not hashed by the gate (summation order differs in the last ulp).
+# --------------------------------------------------------------------------
+@register(
+    "ann_knn_graph",
+    oracle=f"""
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {sql_cosine('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id
+               ) AS rank
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
+def ann_knn_graph(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph_blocked(emb, k=5, num_blocks=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
