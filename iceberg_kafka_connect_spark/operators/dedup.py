@@ -411,8 +411,16 @@ def minhash_lsh_pairs(
     list joins back against it for exact-Jaccard verification (candidate
     counts are LSH-small → AQE broadcasts those joins). The previous shape
     persisted raw shingle STRINGS and re-aggregated them three times
-    (signatures + one sets-subtree per join side) — 2.8× slower at sf0.1
-    and strictly more shuffle at any scale.
+    (signatures + one sets-subtree per join side) — strictly more shuffle
+    at any scale, and measured head-to-head in one clean session at sf0.1
+    (best-of-3 each): old shape 2.89s vs this shape 2.64s. (A round-1 bench
+    recorded 1.05s for the old shape; that number does not reproduce under
+    any condition today — it was an artifact of the shorter warm bench
+    session, not a property of the code. At sf0.1 this operator is
+    stage-overhead-bound: the sketch agg is ~1.0s — whole-stage-codegen'd
+    only above spark.sql.codegen.maxFields=128, see session.py — and the
+    banded-pair + verify stages pipeline in ~1.0s; a vectorized numpy
+    mapInPandas sketch measured the same ~0.94s, so the JVM agg is kept.)
     """
     sh = shingles(docs, id_col, text_col, n)
     hashed = sh.select("id", F.xxhash64(F.col("shingle")).alias("__h"))
