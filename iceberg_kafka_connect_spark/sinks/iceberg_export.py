@@ -29,10 +29,17 @@ Deliberate v1-exporter limits (each a named ``IcebergExportUnsupported``):
   can see;
 - append-only: live equality-delete files don't export (our delete files
   are name-keyed parquet, not Iceberg field-id-keyed delete files);
-- parquet data files only; the current partition spec exports as
-  ``unpartitioned`` (our model stores no per-file partition tuples —
-  readers lose partition-transform pruning but keep column-stats pruning
-  from their own parquet footers).
+- parquet data files only;
+- partition specs: ``identity`` fields export faithfully — per-file
+  partition tuples parse from the writer's hive-style directories, so
+  external readers both prune on them and reconstitute the identity
+  columns ``partitionBy`` dropped from the data files. Non-identity
+  transforms export as ``void`` (always-null partition value): our
+  bucket/time transforms are deliberately not byte-compatible with
+  Iceberg's (sinks/spec.py), and exporting their names would make
+  external engines prune WRONGLY — void keeps correctness (their source
+  columns remain in the files) at the cost of transform pruning on those
+  dimensions.
 
 Validation in this sandbox is structural (``read_exported`` independently
 re-parses every layer; tests hash-compare the files it reaches against
@@ -364,7 +371,150 @@ def _kv_map_schema(name: str, key_id: int, value_id: int, vtype: str) -> dict:
     }
 
 
-def _manifest_entry_schema() -> dict:
+_PARTITION_AVRO = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {
+        "type": "long",
+        "logicalType": "timestamp-micros",
+        "adjust-to-utc": False,
+    },
+    "timestamptz": {
+        "type": "long",
+        "logicalType": "timestamp-micros",
+        "adjust-to-utc": True,
+    },
+}
+
+
+def _partition_export_plan(spec_fields, col_ids, col_types):
+    """Decide how the table's partition spec exports (spec appendix:
+    partition field-ids start at 1000).
+
+    ``identity`` fields export faithfully — their per-file values parse
+    from the hive-style directory names the writer produced, and Iceberg
+    readers then (a) prune on partition predicates and (b) reconstitute the
+    identity-source columns that ``partitionBy`` dropped from the data
+    files (PartitionUtil constants). That second point makes real-spec
+    export a CORRECTNESS requirement whenever an identity field exists:
+    with an unpartitioned spec those columns would read as null.
+
+    Non-identity transforms here are deliberately NOT byte-compatible with
+    Iceberg's (bucket is xxhash64 not murmur3; time transforms yield
+    strings not epoch ordinals — see sinks/spec.py note), so exporting
+    their transform names would make external engines prune WRONGLY. They
+    export as ``void`` instead: always-null partition value, no pruning on
+    that dimension, full correctness (their source columns remain in the
+    data files).
+
+    Returns (spec_json_fields, avro_fields, identity_parsers) where
+    identity_parsers maps derived dir name -> (avro field name, str->value).
+    """
+    spec_json, avro_fields, parsers = [], [], {}
+    for i, pf in enumerate(spec_fields):
+        fid = 1000 + i
+        if pf.source not in col_ids:
+            raise IcebergExportUnsupported(
+                f"partition source column {pf.source!r} not in current schema"
+            )
+        if pf.transform == "identity":
+            ice_t = col_types.get(pf.source)
+            if ice_t not in _PARTITION_AVRO:
+                raise IcebergExportUnsupported(
+                    f"identity partition on non-primitive type {ice_t!r}"
+                )
+            spec_json.append(
+                {
+                    "name": pf.name,
+                    "transform": "identity",
+                    "source-id": col_ids[pf.source],
+                    "field-id": fid,
+                }
+            )
+            avro_fields.append(
+                {
+                    "name": pf.name,
+                    "type": ["null", _PARTITION_AVRO[ice_t]],
+                    "default": None,
+                    "field-id": fid,
+                }
+            )
+            parsers[pf.name] = (pf.name, _partition_value_parser(ice_t))
+        else:
+            spec_json.append(
+                {
+                    "name": pf.name,
+                    "transform": "void",
+                    "source-id": col_ids[pf.source],
+                    "field-id": fid,
+                }
+            )
+            avro_fields.append(
+                {
+                    "name": pf.name,
+                    "type": ["null", _PARTITION_AVRO.get(
+                        col_types.get(pf.source), "string"
+                    )],
+                    "default": None,
+                    "field-id": fid,
+                }
+            )
+    return spec_json, avro_fields, parsers
+
+
+def _partition_value_parser(ice_type: str):
+    """str (unescaped hive dir value) -> typed avro value for ``ice_type``."""
+    import datetime as dt
+
+    def parse(v: str):
+        if ice_type in ("int", "long"):
+            return int(v)
+        if ice_type == "string":
+            return v
+        if ice_type in ("float", "double"):
+            return float(v)
+        if ice_type == "boolean":
+            return v.lower() == "true"
+        if ice_type == "date":
+            return (dt.date.fromisoformat(v) - dt.date(1970, 1, 1)).days
+        if ice_type in ("timestamp", "timestamptz"):
+            t = dt.datetime.fromisoformat(v)
+            return int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+        raise IcebergExportUnsupported(f"partition value type {ice_type!r}")
+
+    return parse
+
+
+def _partition_tuple(rel_path: str, parsers: dict) -> dict:
+    """Parse ``name=value`` segments of a data file's relative path into the
+    manifest's typed partition tuple (hive null marker -> None)."""
+    from urllib.parse import unquote
+
+    seen = {}
+    for seg in rel_path.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            seen[k] = unquote(v)
+    out = {}
+    for dir_name, (field, parse) in parsers.items():
+        if dir_name not in seen:
+            raise IcebergExportUnsupported(
+                f"data file {rel_path!r} lacks partition dir {dir_name!r} "
+                "(written under an older spec — compact() to rewrite)"
+            )
+        raw = seen[dir_name]
+        out[field] = (
+            None if raw == "__HIVE_DEFAULT_PARTITION__" else parse(raw)
+        )
+    return out
+
+
+def _manifest_entry_schema(partition_avro_fields: list | None = None) -> dict:
     data_file = {
         "type": "record",
         "name": "r2",
@@ -374,7 +524,11 @@ def _manifest_entry_schema() -> dict:
             {"name": "file_format", "type": "string", "field-id": 101},
             {
                 "name": "partition",
-                "type": {"type": "record", "name": "r102", "fields": []},
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": partition_avro_fields or [],
+                },
                 "field-id": 102,
             },
             {"name": "record_count", "type": "long", "field-id": 103},
@@ -574,6 +728,9 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         for f in ice_schema["fields"]
         if isinstance(f["type"], str)
     }
+    spec_json, part_avro, part_parsers = _partition_export_plan(
+        table.partition_spec(), col_ids, col_types
+    )
     entries = []
     total_rows = 0
     for fentry in data_files:
@@ -594,7 +751,9 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
                     "content": 0,
                     "file_path": "file://" + os.path.abspath(path),
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": _partition_tuple(
+                        fentry["path"], part_parsers
+                    ),
                     "record_count": rows,
                     "file_size_in_bytes": fentry.get("bytes")
                     or os.path.getsize(path),
@@ -607,12 +766,12 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
     manifest_path = os.path.join(out, f"{commit_uuid}-m0.avro")
     manifest_len = _write_ocf(
         manifest_path,
-        _manifest_entry_schema(),
+        _manifest_entry_schema(part_avro),
         entries,
         {
             "schema": json.dumps(ice_schema),
             "schema-id": "0",
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_json),
             "partition-spec-id": "0",
             "format-version": "2",
             "content": "data",
@@ -672,10 +831,8 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        # v1-exporter limit: the real spec's per-file partition tuples are
-        # not in our model — export unpartitioned (see module docstring)
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_json}],
+        "last-partition-id": 999 + len(spec_json),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
@@ -743,6 +900,8 @@ def read_exported(metadata_path: str) -> dict:
         "file_paths": [
             f["file_path"].removeprefix("file://") for f in files
         ],
+        "partition_spec": md["partition-specs"][md["default-spec-id"]],
+        "partitions": [f["partition"] for f in files],
         "record_counts": [f["record_count"] for f in files],
         "total_rows": sum(f["record_count"] for f in files),
         "snapshot_id": md["current-snapshot-id"],

@@ -269,3 +269,87 @@ def test_pyiceberg_reads_export(spark, sf_dir):
     scanned = static.scan().to_arrow()
     assert scanned.num_rows == t.read(spark).count()
     assert sorted(scanned.schema.names) == ["o_orderkey", "o_totalprice"]
+
+
+# ------------------------------------------------ partition-spec export
+def _partitioned_table(spark, sf_dir, partition_by):
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="ice_part_") + "/t",
+        o.schema,
+        partition_by=partition_by,
+    )
+    t.append(o)
+    return t, o
+
+
+def test_identity_partition_exports_spec_and_tuples(spark, sf_dir):
+    t, o = _partitioned_table(spark, sf_dir, ["o_orderstatus"])
+    info = read_exported(export_iceberg_metadata(t))
+    spec = info["partition_spec"]
+    assert [f["transform"] for f in spec["fields"]] == ["identity"]
+    assert spec["fields"][0]["name"] == "o_orderstatus"
+    assert spec["fields"][0]["field-id"] == 1000
+    # source-id resolves to the schema field of the same name
+    sid = spec["fields"][0]["source-id"]
+    by_id = {f["id"]: f["name"] for f in info["schema"]["fields"]}
+    assert by_id[sid] == "o_orderstatus"
+    # every file carries a typed partition tuple matching its directory
+    statuses = {r["o_orderstatus"] for r in o.select("o_orderstatus").distinct().collect()}
+    got = {p["o_orderstatus"] for p in info["partitions"]}
+    assert got == statuses
+    for path, p in zip(info["file_paths"], info["partitions"]):
+        assert f"o_orderstatus={p['o_orderstatus']}" in path
+
+
+def test_identity_partition_rows_reachable_per_partition(spark, sf_dir):
+    """The tuple + file list must reproduce exact per-partition row counts
+    (what an external reader's partition pruning would scan)."""
+    t, o = _partitioned_table(spark, sf_dir, ["o_orderstatus"])
+    info = read_exported(export_iceberg_metadata(t))
+    want = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    got: dict = {}
+    for p, n in zip(info["partitions"], info["record_counts"]):
+        got[p["o_orderstatus"]] = got.get(p["o_orderstatus"], 0) + n
+    assert got == want
+
+
+def test_nonidentity_transform_exports_void(spark, sf_dir):
+    t, _ = _partitioned_table(spark, sf_dir, ["bucket(o_orderkey, 4)"])
+    info = read_exported(export_iceberg_metadata(t))
+    spec = info["partition_spec"]
+    assert [f["transform"] for f in spec["fields"]] == ["void"]
+    # void partition values are null in every manifest entry
+    assert all(
+        v is None for p in info["partitions"] for v in p.values()
+    )
+
+
+def test_mixed_spec_identity_faithful_void_rest(spark, sf_dir):
+    t, o = _partitioned_table(
+        spark, sf_dir, ["o_orderstatus", "bucket(o_orderkey, 4)"]
+    )
+    info = read_exported(export_iceberg_metadata(t))
+    tfs = {f["name"]: f["transform"] for f in info["partition_spec"]["fields"]}
+    assert tfs == {"o_orderstatus": "identity", "o_orderkey_bucket4": "void"}
+    for p in info["partitions"]:
+        assert p["o_orderstatus"] is not None
+        assert p["o_orderkey_bucket4"] is None
+
+
+def test_identity_timestamp_partition_typed_as_epoch_micros(spark, sf_dir):
+    t, o = _partitioned_table(spark, sf_dir, ["o_orderdate"])
+    info = read_exported(export_iceberg_metadata(t))
+    avro_micros = {p["o_orderdate"] for p in info["partitions"]}
+    want = {
+        r["us"]
+        for r in o.select(F.unix_micros("o_orderdate").alias("us"))
+        .distinct()
+        .collect()
+    }
+    assert avro_micros == want
