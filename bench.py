@@ -102,6 +102,15 @@ BENCH_QUERIES = [
     "text_compression_ratio",
     "cdc_mirror",
     "metadata_count_bounds",
+    # round-3 additions
+    "dedup_exact_bloom",
+    "ann_knn_graph",
+    "ann_topk_pq",
+    "docs_winnow_fingerprints",
+    "docs_split_assign",
+    "incremental_agg_refresh",
+    "spec_evolution",
+    "wap_publish",
 ]
 
 

@@ -87,3 +87,60 @@ def assign_global_ids(
     out = out.localCheckpoint(eager=True)
     shard.unpersist()
     return out
+
+
+def split_thresholds(
+    splits: tuple[tuple[str, float], ...], precision: int = 6
+) -> list[tuple[str, str]]:
+    """Cumulative md5-prefix thresholds for :func:`split_assign` — one
+    ``(name, hex_threshold)`` per non-final split, as ``precision``-char
+    lowercase hex strings. Exposed so oracle SQL can inline the SAME
+    constants (the assignment is then engine-independent by construction)."""
+    total = sum(f for _, f in splits)
+    space = 16**precision
+    out, acc = [], 0.0
+    for name, frac in splits[:-1]:
+        acc += frac / total
+        out.append((name, format(int(acc * space), f"0{precision}x")))
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    seed: str = "v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment.
+
+    ``split`` = the bucket of ``md5(seed ':' id)``'s first 6 hex chars
+    under the cumulative split fractions. Properties that matter for a
+    training corpus and that a random ``rand()`` split lacks:
+
+    - stable: the same (seed, id) lands in the same split on every run,
+      engine, cluster size, and row order — no RNG state, no shuffle;
+    - append-consistent: adding new documents never reassigns old ones
+      (each doc's split depends only on its own key), so a held-out set
+      stays held out across corpus versions;
+    - leakage-resistant across pipelines: keying on a stable document id
+      (or a content digest) keeps all derived rows of one document —
+      chunks, augmentations — in the same split when they inherit the key.
+
+    Scale: a pure stateless projection — no shuffle, no driver state; the
+    plan is one whole-stage-codegen'd CASE over an md5. Changing ``seed``
+    produces an independent re-split (new holdout draw) without touching
+    any stored data.
+    """
+    key = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    bucket = F.substring(key, 1, 6)
+    expr = F.lit(splits[-1][0])
+    for name, thresh in reversed(split_thresholds(splits)):
+        expr = F.when(bucket < F.lit(thresh), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

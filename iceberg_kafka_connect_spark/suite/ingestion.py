@@ -1623,3 +1623,70 @@ def spec_evolution(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-aggregate maintenance: seed an aggregate from
+# the initial snapshot, advance it across an upsert's changelog window by
+# state differencing (pre/post images semi-joined to the window's touched
+# keys — operators/incremental.py), and return the maintained state. The
+# oracle is the full recompute over the FINAL table state: incremental ⊕
+# must land exactly there. Upsert 200..499 over initial <400 rewrites
+# 200..399 (same rows, zero net effect) and adds 400..499 — so the delta
+# work is O(touched keys) while 0..199 is never rescanned.
+# --------------------------------------------------------------------------
+@register(
+    "incremental_agg_refresh",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id < 500
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def incremental_agg_refresh(spark, sf_dir):
+    import tempfile
+
+    from ..operators.incremental import (
+        aggregate_state,
+        incremental_agg_refresh as refresh,
+    )
+    from ..sinks.table import LakehouseTable
+
+    # decimal measure: the incremental path sums in a different order than
+    # the oracle's one flat SUM; decimals make both exact (core.py idiom)
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(27,4)").alias("value"),
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="mv_gate_") + "/t", e.schema
+    )
+    s1 = t.append(e.filter(F.col("event_id") < 400))
+    state0 = aggregate_state(
+        t.read(spark, snapshot_id=s1["snapshot_id"]),
+        ["event_type"],
+        ["value"],
+    )
+    t.upsert(
+        e.filter((F.col("event_id") >= 200) & (F.col("event_id") < 500)),
+        key_cols=["event_id"],
+    )
+    changes = t.changes_between(spark, s1["snapshot_id"])
+    state1 = refresh(
+        state0,
+        pre_image=t.read(spark, snapshot_id=s1["snapshot_id"]),
+        post_image=t.read(spark),
+        touched_keys=changes.select("event_id"),
+        key_cols=["event_id"],
+        group_cols=["event_type"],
+        sum_cols=["value"],
+    )
+    return state1.select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("event_type")

@@ -496,3 +496,48 @@ def docs_global_ids(spark, sf_dir):
     return assign_global_ids(docs, ["source", "doc_id"]).select(
         "doc_id", "source", "global_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash split (train/val/test): md5-prefix bucketing with
+# thresholds computed ONCE in python and inlined into both engines, so the
+# assignment is engine-independent by construction. Stable under reruns and
+# corpus appends (a doc's split depends only on its own key) — properties a
+# rand() split lacks. The Spark side is a no-shuffle stateless projection;
+# the gate aggregates per (split, source) to hash-check every assignment.
+# --------------------------------------------------------------------------
+def _split_oracle() -> str:
+    from ..operators.ids import split_thresholds
+
+    (t_train, th1), (t_val, th2) = split_thresholds(
+        (("train", 0.8), ("val", 0.1), ("test", 0.1))
+    )
+    return f"""
+    SELECT CASE WHEN substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                     < '{th1}' THEN '{t_train}'
+                WHEN substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                     < '{th2}' THEN '{t_val}'
+                ELSE 'test' END AS split,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@register("docs_split_assign", oracle=_split_oracle(), tags=("quality",))
+def docs_split_assign(spark, sf_dir):
+    from ..operators.ids import split_assign
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id", seed="v1")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split", "source")
+    )

@@ -471,3 +471,38 @@ def test_winnow_short_doc_boundary(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert 1 not in by_doc
     assert len(by_doc[2]) == 1
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    from iceberg_kafka_connect_spark.operators.ids import split_assign
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    a = split_assign(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    n = sum(counts.values())
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.01
+    # rerun → identical assignment (no RNG)
+    b = split_assign(df, "doc_id")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_split_assign_append_consistent(spark):
+    """Adding new rows must not move any existing row's split."""
+    from iceberg_kafka_connect_spark.operators.ids import split_assign
+
+    small = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    sa = {r["doc_id"]: r["split"] for r in split_assign(small, "doc_id").collect()}
+    sb = {r["doc_id"]: r["split"] for r in split_assign(big, "doc_id").collect()}
+    assert all(sb[k] == v for k, v in sa.items())
+
+
+def test_split_assign_no_shuffle_plan(spark):
+    from iceberg_kafka_connect_spark.operators.ids import split_assign
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = split_assign(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
