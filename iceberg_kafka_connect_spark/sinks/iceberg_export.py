@@ -24,11 +24,16 @@ consumes, RecordConverter.java:100-103) — letting readers resolve columns
 by name.
 
 Deliberate v1-exporter limits (each a named ``IcebergExportUnsupported``):
-- current state only: history collapses to one append snapshot (the live
-  file set), because per-era manifest reconstruction adds nothing a reader
-  can see;
-- append-only: live equality-delete files don't export (our delete files
-  are name-keyed parquet, not Iceberg field-id-keyed delete files);
+- current state only: history collapses to one snapshot (the live file
+  set), because per-era manifest reconstruction adds nothing a reader can
+  see — but every file entry keeps its TRUE sequence number, which is what
+  makes delete application ordering survive the collapse;
+- equality deletes export as real content=2 delete files in a content=1
+  manifest: the table's delete-key parquet files are exactly Iceberg
+  equality-delete files (key columns only, ``equality_ids`` resolved
+  through the same name-mapping as every other id-less file), and the
+  strict sequence inequality (delete at N hits data at <N) is the same
+  rule this table's own merge-on-read applies;
 - parquet data files only;
 - partition specs: ``identity`` fields export faithfully — per-file
   partition tuples parse from the writer's hive-style directories, so
@@ -534,6 +539,15 @@ def _manifest_entry_schema(partition_avro_fields: list | None = None) -> dict:
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
             {
+                "name": "equality_ids",
+                "type": [
+                    "null",
+                    {"type": "array", "items": "int", "element-id": 136},
+                ],
+                "default": None,
+                "field-id": 135,
+            },
+            {
                 "name": "value_counts",
                 "type": [
                     "null",
@@ -698,12 +712,7 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
             "compact() rewrites files to the current schema"
         )
     data_files, delete_files = table.live_files()
-    if delete_files:
-        raise IcebergExportUnsupported(
-            "table has live equality-delete files (name-keyed, not Iceberg "
-            "field-id-keyed) — compact() to fold the delete state first"
-        )
-    for fentry in data_files:
+    for fentry in data_files + delete_files:
         if fentry.get("format", "parquet") != "parquet":
             raise IcebergExportUnsupported(
                 f"data file format {fentry.get('format')!r} not exportable "
@@ -731,22 +740,32 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
     spec_json, part_avro, part_parsers = _partition_export_plan(
         table.partition_spec(), col_ids, col_types
     )
-    entries = []
-    total_rows = 0
-    for fentry in data_files:
-        path = os.path.join(table.root, fentry["path"])
+    def _rows_of(fentry: dict, path: str) -> int:
         rows = (fentry.get("stats") or {}).get("rows")
         if rows is None:
             import pyarrow.parquet as pq
 
             rows = pq.ParquetFile(path).metadata.num_rows
+        return rows
+
+    entries = []
+    total_rows = 0
+    for fentry in data_files:
+        path = os.path.join(table.root, fentry["path"])
+        rows = _rows_of(fentry, path)
         total_rows += rows
+        # per-file TRUE sequence numbers (not the head snapshot's): with
+        # equality deletes exported alongside, a reader applies a delete at
+        # sequence N to data with sequence < N — the strict inequality this
+        # table's own merge-on-read uses (sinks/table.py module docstring),
+        # so same-snapshot upsert inserts correctly survive their deletes.
+        fseq = fentry.get("seq", seq)
         entries.append(
             {
                 "status": 1,  # ADDED
                 "snapshot_id": sid,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
+                "sequence_number": fseq,
+                "file_sequence_number": fseq,
                 "data_file": {
                     "content": 0,
                     "file_path": "file://" + os.path.abspath(path),
@@ -761,6 +780,45 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
                 },
             }
         )
+
+    # ----- equality-delete manifest: the table's delete-key parquet files
+    # ARE Iceberg equality-delete files — they carry exactly the key columns
+    # (field-id resolution via the exported schema.name-mapping.default,
+    # like every other id-less file here). Deletes are written global
+    # (never partitioned — table.py _write_files), so their manifest uses
+    # an unpartitioned spec of its own when the table's spec isn't empty.
+    del_entries = []
+    total_del_rows = 0
+    for fentry in delete_files:
+        path = os.path.join(table.root, fentry["path"])
+        rows = _rows_of(fentry, path)
+        total_del_rows += rows
+        try:
+            eq_ids = [col_ids[c] for c in fentry["key_cols"]]
+        except KeyError as e:
+            raise IcebergExportUnsupported(
+                f"delete file keys on column {e} not in current schema"
+            ) from None
+        fseq = fentry.get("seq", seq)
+        del_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "sequence_number": fseq,
+                "file_sequence_number": fseq,
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": "file://" + os.path.abspath(path),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rows,
+                    "file_size_in_bytes": fentry.get("bytes")
+                    or os.path.getsize(path),
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+    delete_spec_id = 0 if not spec_json else 1
 
     commit_uuid = uuid.uuid4().hex
     manifest_path = os.path.join(out, f"{commit_uuid}-m0.avro")
@@ -778,28 +836,67 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         },
     )
 
+    manifest_rows = [
+        {
+            "manifest_path": "file://" + os.path.abspath(manifest_path),
+            "manifest_length": manifest_len,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(
+                (e["sequence_number"] for e in entries), default=seq
+            ),
+            "added_snapshot_id": sid or 0,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    if del_entries:
+        del_manifest_path = os.path.join(out, f"{commit_uuid}-m1.avro")
+        del_manifest_len = _write_ocf(
+            del_manifest_path,
+            _manifest_entry_schema(),
+            del_entries,
+            {
+                "schema": json.dumps(ice_schema),
+                "schema-id": "0",
+                "partition-spec": "[]",
+                "partition-spec-id": str(delete_spec_id),
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        manifest_rows.append(
+            {
+                "manifest_path": "file://"
+                + os.path.abspath(del_manifest_path),
+                "manifest_length": del_manifest_len,
+                "partition_spec_id": delete_spec_id,
+                "content": 1,  # deletes manifest
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    e["sequence_number"] for e in del_entries
+                ),
+                "added_snapshot_id": sid or 0,
+                "added_files_count": len(del_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_del_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
     # ----- manifest list
     list_path = os.path.join(out, f"snap-{sid}-1-{commit_uuid}.avro")
     _write_ocf(
         list_path,
         _manifest_list_schema(),
-        [
-            {
-                "manifest_path": "file://" + os.path.abspath(manifest_path),
-                "manifest_length": manifest_len,
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": sid or 0,
-                "added_files_count": len(entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": total_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        ],
+        manifest_rows,
         {
             "format-version": "2",
             "snapshot-id": str(sid),
@@ -815,9 +912,17 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         "timestamp-ms": snap["timestamp_ms"] if snap else now_ms,
         "manifest-list": "file://" + os.path.abspath(list_path),
         "summary": {
-            "operation": "append",
+            "operation": "overwrite" if del_entries else "append",
             "added-data-files": str(len(entries)),
             "added-records": str(total_rows),
+            **(
+                {
+                    "added-equality-delete-files": str(len(del_entries)),
+                    "added-equality-deletes": str(total_del_rows),
+                }
+                if del_entries
+                else {}
+            ),
         },
         "schema-id": 0,
     }
@@ -831,7 +936,12 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_json}],
+        "partition-specs": [{"spec-id": 0, "fields": spec_json}]
+        + (
+            [{"spec-id": 1, "fields": []}]
+            if del_entries and delete_spec_id == 1
+            else []
+        ),
         "last-partition-id": 999 + len(spec_json),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
@@ -884,14 +994,18 @@ def read_exported(metadata_path: str) -> dict:
     )
     _, _, manifests = _read_ocf(snap["manifest-list"].removeprefix("file://"))
     files: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
         fmeta, _, entries = _read_ocf(
             m["manifest_path"].removeprefix("file://")
         )
         assert fmeta["format-version"] == "2"
-        files.extend(
-            e["data_file"] for e in entries if e["status"] in (0, 1)
-        )
+        for e in entries:
+            if e["status"] not in (0, 1):
+                continue
+            f = dict(e["data_file"])
+            f["sequence_number"] = e["sequence_number"]
+            (deletes if m["content"] == 1 else files).append(f)
     return {
         "schema": md["schemas"][md["current-schema-id"]],
         "name_mapping": json.loads(
@@ -903,6 +1017,16 @@ def read_exported(metadata_path: str) -> dict:
         "partition_spec": md["partition-specs"][md["default-spec-id"]],
         "partitions": [f["partition"] for f in files],
         "record_counts": [f["record_count"] for f in files],
+        "data_sequence_numbers": [f["sequence_number"] for f in files],
+        "delete_files": [
+            {
+                "path": f["file_path"].removeprefix("file://"),
+                "equality_ids": f["equality_ids"],
+                "sequence_number": f["sequence_number"],
+                "record_count": f["record_count"],
+            }
+            for f in deletes
+        ],
         "total_rows": sum(f["record_count"] for f in files),
         "snapshot_id": md["current-snapshot-id"],
     }

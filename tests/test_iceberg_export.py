@@ -167,7 +167,24 @@ def test_schema_and_name_mapping_nested():
     assert "fields" in nm[1]  # nested struct mapping
 
 
-def test_export_refuses_delete_files(spark, sf_dir):
+def _apply_exported_deletes(spark, info):
+    """Reconstruct the reachable table state the way an external Iceberg v2
+    reader does: per data file, anti-join keys equality-deleted at a
+    STRICTLY greater sequence number."""
+    from functools import reduce
+
+    parts = []
+    for path, dseq in zip(info["file_paths"], info["data_sequence_numbers"]):
+        df = spark.read.parquet(path)
+        for d in info["delete_files"]:
+            if d["sequence_number"] > dseq:
+                keys = spark.read.parquet(d["path"])
+                df = df.join(keys, list(keys.columns), "left_anti")
+        parts.append(df)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def test_export_with_equality_deletes_round_trips(spark, sf_dir):
     o = (
         spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
         .select("o_orderkey", "o_orderstatus")
@@ -178,12 +195,67 @@ def test_export_refuses_delete_files(spark, sf_dir):
     )
     t.append(o)
     t.delete_where(spark, "o_orderstatus = 'F'", key_cols=["o_orderkey"])
-    with pytest.raises(IcebergExportUnsupported, match="equality-delete"):
-        export_iceberg_metadata(t)
-    # compact folds the delete state → export works again
-    t.compact(spark)
+    info = read_exported(export_iceberg_metadata(t))
+    assert len(info["delete_files"]) >= 1
+    # equality_ids resolve to the key column's schema field id
+    by_id = {f["id"]: f["name"] for f in info["schema"]["fields"]}
+    for d in info["delete_files"]:
+        assert [by_id[i] for i in d["equality_ids"]] == ["o_orderkey"]
+    got = _apply_exported_deletes(spark, info)
+    want = t.read(spark)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_export_upsert_same_snapshot_inserts_survive(spark, sf_dir):
+    """An upsert commits deletes and inserts at the SAME sequence number;
+    the strict < rule must keep the new rows alive for external readers."""
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(400)
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="ice_export_ups_") + "/t", o.schema
+    )
+    t.append(o)
+    t.upsert(
+        o.limit(150).withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        key_cols=["o_orderkey"],
+    )
+    info = read_exported(export_iceberg_metadata(t))
+    # data files span two sequence numbers; the upsert's own inserts sit at
+    # the delete's sequence and must not be anti-joined away
+    assert len(set(info["data_sequence_numbers"])) == 2
+    got = _apply_exported_deletes(spark, info)
+    want = t.read(spark)
+    assert got.count() == want.count() == 400
+    assert got.exceptAll(want).count() == 0
+
+
+def test_export_deletes_use_own_unpartitioned_spec(spark, sf_dir):
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderstatus")
+        .limit(300)
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="ice_export_delspec_") + "/t",
+        o.schema,
+        partition_by=["o_orderstatus"],
+    )
+    t.append(o)
+    t.delete_where(spark, "o_orderkey < 50", key_cols=["o_orderkey"])
     path = export_iceberg_metadata(t)
-    assert read_exported(path)["total_rows"] == t.read(spark).count()
+    with open(path) as f:
+        md = json.load(f)
+    specs = {s["spec-id"]: s["fields"] for s in md["partition-specs"]}
+    assert specs[0] and specs[1] == []  # table spec + global-delete spec
+    info = read_exported(path)
+    got = _apply_exported_deletes(spark, info)
+    # partitionBy dropped o_orderstatus from the files; reconstitute it
+    # from the partition tuple like an Iceberg reader would before compare
+    assert got.count() == t.read(spark).count()
 
 
 def test_export_refuses_renamed_tables(spark, sf_dir):
