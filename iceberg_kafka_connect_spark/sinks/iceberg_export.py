@@ -23,6 +23,11 @@ for adopting id-less files (the same NameMapping surface the reference
 consumes, RecordConverter.java:100-103) — letting readers resolve columns
 by name.
 
+Renamed tables export via multi-name mapping entries: retired physical
+names ride the SAME field-id as their current name, so files written
+before a rename resolve correctly (and delete-file key columns
+canonicalize through the alias map before ``equality_ids`` resolution).
+
 Deliberate v1-exporter limits (each a named ``IcebergExportUnsupported``):
 - current state only: history collapses to one snapshot (the live file
   set), because per-era manifest reconstruction adds nothing a reader can
@@ -152,17 +157,26 @@ def iceberg_schema(schema: T.StructType) -> tuple[dict, int]:
     return {"type": "struct", "schema-id": 0, "fields": fields}, ids.last
 
 
-def name_mapping(ice_schema: dict) -> list[dict]:
-    """``schema.name-mapping.default`` for field-id-less parquet files."""
+def name_mapping(
+    ice_schema: dict, aliases: dict[str, list[str]] | None = None
+) -> list[dict]:
+    """``schema.name-mapping.default`` for field-id-less parquet files.
 
-    def entry(f: dict) -> dict:
-        e = {"field-id": f["id"], "names": [f["name"]]}
+    ``aliases`` ({current top-level name → retired physical names}, from a
+    rename history) are appended as extra names on the same field-id, so
+    files written under an old name resolve to the current field."""
+
+    def entry(f: dict, extra: list[str]) -> dict:
+        e = {"field-id": f["id"], "names": [f["name"], *extra]}
         t = f["type"]
         if isinstance(t, dict) and t.get("type") == "struct":
-            e["fields"] = [entry(c) for c in t["fields"]]
+            e["fields"] = [entry(c, []) for c in t["fields"]]
         return e
 
-    return [entry(f) for f in ice_schema["fields"]]
+    return [
+        entry(f, (aliases or {}).get(f["name"], []))
+        for f in ice_schema["fields"]
+    ]
 
 
 # ------------------------------------------------- Avro: schema-driven OCF
@@ -705,12 +719,13 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
     beyond a footer read for files missing a row count, at any scale.
     """
     meta = table.metadata()
-    if meta["properties"].get("schema.name-mapping.default"):
-        raise IcebergExportUnsupported(
-            "table carries column renames (schema.name-mapping.default); "
-            "its files' physical names differ per era — export after a "
-            "compact() rewrites files to the current schema"
-        )
+    # {current field name -> retired physical names} from rename/DDL history
+    # (table.py rename_column maintains the Iceberg NameMapping shape).
+    # Exported as extra names on the same field-id: files written before a
+    # rename resolve to the CURRENT field exactly as Iceberg intends —
+    # multiple names per mapping entry — so renamed tables export without
+    # any file rewrite.
+    aliases = table.name_mapping()
     data_files, delete_files = table.live_files()
     for fentry in data_files + delete_files:
         if fentry.get("format", "parquet") != "parquet":
@@ -793,8 +808,11 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         path = os.path.join(table.root, fentry["path"])
         rows = _rows_of(fentry, path)
         total_del_rows += rows
+        # delete files written before a rename carry retired key names —
+        # canonicalize through the alias map before resolving field ids
+        rev = {a: c for c, als in aliases.items() for a in als}
         try:
-            eq_ids = [col_ids[c] for c in fentry["key_cols"]]
+            eq_ids = [col_ids[rev.get(c, c)] for c in fentry["key_cols"]]
         except KeyError as e:
             raise IcebergExportUnsupported(
                 f"delete file keys on column {e} not in current schema"
@@ -947,12 +965,15 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
             "schema.name-mapping.default": json.dumps(
-                name_mapping(ice_schema)
+                name_mapping(ice_schema, aliases)
             ),
             **{
                 k: str(v)
                 for k, v in meta["properties"].items()
+                # the internal mapping has no field-ids — it must not
+                # shadow the id-carrying one exported above
                 if isinstance(v, (str, int, float))
+                and k != "schema.name-mapping.default"
             },
         },
         "current-snapshot-id": sid,

@@ -258,7 +258,9 @@ def test_export_deletes_use_own_unpartitioned_spec(spark, sf_dir):
     assert got.count() == t.read(spark).count()
 
 
-def test_export_refuses_renamed_tables(spark, sf_dir):
+def test_export_renamed_table_multi_name_mapping(spark, sf_dir):
+    """A rename must export as extra names on the SAME field-id, so files
+    written under the old physical name resolve to the current field."""
     o = (
         spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
         .select("o_orderkey", "o_orderstatus")
@@ -267,10 +269,36 @@ def test_export_refuses_renamed_tables(spark, sf_dir):
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="ice_export_ren_") + "/t", o.schema
     )
-    t.append(o)
+    t.append(o)  # physical files say o_orderstatus
     t.rename_column("o_orderstatus", "status")
-    with pytest.raises(IcebergExportUnsupported, match="rename"):
-        export_iceberg_metadata(t)
+    t.append(t.read(spark).limit(0))  # no-op append keeps state simple
+    info = read_exported(export_iceberg_metadata(t))
+    names = {f["name"] for f in info["schema"]["fields"]}
+    assert "status" in names and "o_orderstatus" not in names
+    entry = next(e for e in info["name_mapping"] if "status" in e["names"])
+    assert "o_orderstatus" in entry["names"]
+    by_name = {f["name"]: f["id"] for f in info["schema"]["fields"]}
+    assert entry["field-id"] == by_name["status"]
+
+
+def test_export_renamed_table_delete_keys_canonicalize(spark, sf_dir):
+    """Delete files written BEFORE a rename carry the retired key name;
+    their equality_ids must resolve to the current field's id."""
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderstatus")
+        .limit(200)
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="ice_export_rdel_") + "/t", o.schema
+    )
+    t.append(o)
+    t.delete_where(spark, "o_orderkey < 50", key_cols=["o_orderkey"])
+    t.rename_column("o_orderkey", "order_id")
+    info = read_exported(export_iceberg_metadata(t))
+    by_name = {f["name"]: f["id"] for f in info["schema"]["fields"]}
+    for d in info["delete_files"]:
+        assert d["equality_ids"] == [by_name["order_id"]]
 
 
 def test_manifest_column_bounds(spark, sf_dir):
