@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "docs_winnow_fingerprints",
     "docs_split_assign",
     "incremental_agg_refresh",
+    "mv_refresh",
     "spec_evolution",
     "wap_publish",
 ]

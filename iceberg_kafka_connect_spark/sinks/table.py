@@ -533,6 +533,32 @@ class LakehouseTable:
             "append", files, [], snapshot_props or {}, branch
         )
 
+    def overwrite(
+        self,
+        df: DataFrame,
+        branch: str = MAIN,
+        snapshot_props: dict | None = None,
+        case_insensitive: bool = False,
+    ) -> dict:
+        """Atomically replace the table's entire content with ``df`` (one
+        REPLACE snapshot — Iceberg overwrite/INSERT OVERWRITE semantics).
+        The new files are written before the commit, so a crash mid-call
+        leaves the previous snapshot intact and only stray uncommitted
+        files behind. Reading the table's own current state inside ``df``
+        is safe: old files are still on disk while the new ones write."""
+        head = self.current_snapshot(branch)
+        data = self._project(df, case_insensitive)
+        files = self._write_files(data, "data")
+        return self._commit_snapshot(
+            "replace",
+            files,
+            [],
+            snapshot_props or {},
+            branch,
+            replace=True,
+            expected_parent=head["snapshot_id"] if head else None,
+        )
+
     def upsert(
         self,
         df: DataFrame,

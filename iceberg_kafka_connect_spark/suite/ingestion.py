@@ -1690,3 +1690,67 @@ def incremental_agg_refresh(spark, sf_dir):
         "n_rows",
         F.col("sum_value").cast("double").alias("sum_value"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Materialized-view refresh loop (streaming/mv.py): seed refresh, then an
+# upsert window advanced incrementally (marker-driven; the REPLACE commit
+# stamps the source snapshot the state equals). Long measure → exact sums.
+# Oracle = aggregate over the FINAL table state; the loop must land there
+# through seed + incremental modes, touching only the changed keys.
+# --------------------------------------------------------------------------
+@register(
+    "mv_refresh",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events WHERE event_id < 500
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def mv_refresh(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sinks.table import LakehouseTable
+    from ..streaming.mv import refresh_materialized_agg
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    src = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="mvq_src_") + "/t", e.schema
+    )
+    mv = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="mvq_mv_") + "/t",
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("sum_event_id", T.LongType()),
+            ]
+        ),
+    )
+
+    def refresh():
+        refresh_materialized_agg(
+            spark, src, mv, ["event_id"], ["event_type"], ["event_id"]
+        )
+
+    src.append(e.filter(F.col("event_id") < 400))
+    refresh()  # seed
+    src.upsert(
+        e.filter((F.col("event_id") >= 200) & (F.col("event_id") < 500)),
+        key_cols=["event_id"],
+    )
+    refresh()  # incremental
+    return (
+        mv.read(spark)
+        .select(
+            "event_type",
+            "n_rows",
+            F.col("sum_event_id").cast("bigint").alias("sum_event_id"),
+        )
+        .orderBy("event_type")
+    )

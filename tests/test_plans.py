@@ -313,3 +313,72 @@ def test_delete_where_scan_prunes_files(spark, tmp_path):
     assert total == 4 and len(kept) == 1
     t.delete_where(spark, "id >= 350", key_cols=["id"])
     assert t.read(spark).count() == 350
+
+
+def test_bloom_prefilter_fresh_path_no_join(spark, sf_dir):
+    """dedup_exact_bloom: the definitely-new branch (probe miss) must be a
+    pure scan+filter — its rows never enter the anti-join exchange, which
+    is the operator's entire point at steady-state ingest."""
+    from iceberg_kafka_connect_spark.functions.bloom import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = bloom_build(
+        docs.limit(50).select(F.md5("text").alias("d")), "d", 1 << 12, 3
+    )
+    fresh = docs.filter(~bloom_contains(F.md5("text"), words, 3)).select(
+        "doc_id"
+    )
+    plan = plan_string(fresh)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_knn_graph_single_window_exchange(spark):
+    """ann_knn_graph: after the block-pair GEMM partials, exactly ONE
+    hash-partitioned exchange feeds the global top-k window (rank merge);
+    the GEMM itself must be Arrow-batched, not row-at-a-time Python."""
+    import numpy as np
+
+    from iceberg_kafka_connect_spark.operators.similarity import (
+        knn_graph_blocked,
+    )
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=4)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_graph_blocked(emb, k=3, num_blocks=3)
+    plan = plan_string(out)
+    assert "BatchEvalPython" not in plan  # mapInPandas is ArrowEvalPython
+    assert plan.count("+- Window (") == 1  # one global top-k merge window
+
+
+def test_incremental_refresh_images_never_shuffle(spark):
+    """incremental_agg_refresh: both image scans are broadcast-semi-joined
+    on the touched keys — the table-sized sides contribute no Exchange
+    before their partial aggregation."""
+    from iceberg_kafka_connect_spark.operators.incremental import (
+        aggregate_state,
+        incremental_agg_refresh,
+    )
+
+    rows = [(i, "g" + str(i % 3), i) for i in range(100)]
+    pre = spark.createDataFrame(rows, "k long, g string, v long")
+    post = spark.createDataFrame(rows[1:] + [(999, "g0", 5)], "k long, g string, v long")
+    out = incremental_agg_refresh(
+        aggregate_state(pre, ["g"], ["v"]),
+        pre, post,
+        spark.createDataFrame([(0,), (999,)], "k long"),
+        ["k"], ["g"], ["v"],
+    )
+    plan = plan_string(out)
+    assert plan.count("BroadcastExchange") >= 1
+    # semi joins keyed via broadcast: no hash-partition exchange upstream
+    # of the two partial aggs (the only SinglePartition-free exchange is
+    # the final group merge)
+    assert "SortMergeJoin" not in plan
