@@ -499,16 +499,28 @@ def verify_pairs_exact_two_sided(
     separate matters when the two corpora share an id namespace (a doc
     re-ingested under its old id): a unioned shingle table would merge both
     versions' shingles into one set and inflate every Jaccard involving
-    that id (a (x,x) cross pair would score 1.0 unconditionally)."""
+    that id (a (x,x) cross pair would score 1.0 unconditionally).
+
+    The HISTORY side's set aggregation (``sh_b``) is pruned to the
+    candidate ids first via a broadcast semi-join — candidate lists are
+    LSH-small by construction: at warehouse scale this is the difference
+    between collecting shingle sets for the few history docs that banded
+    into shared buckets and collecting them for the entire history corpus.
+    The batch side aggregates unpruned — it is micro-batch-sized and the
+    prune's extra stages would cost more than the aggregation. ``cand`` is
+    referenced twice (id_b projection + the verify join); callers should
+    persist it so the bucket join isn't recomputed."""
 
     def _sets(sh, id_out, hs_out):
         return sh.groupBy("id").agg(
             F.collect_set(F.xxhash64("shingle")).alias(hs_out)
         ).withColumnRenamed("id", id_out)
 
+    ids_b = cand.select(F.col("id_b").alias("id")).distinct()
+    pruned_b = sh_b.join(F.broadcast(ids_b), "id", "left_semi")
     return (
         cand.join(_sets(sh_a, "id_a", "ha"), "id_a")
-        .join(_sets(sh_b, "id_b", "hb"), "id_b")
+        .join(_sets(pruned_b, "id_b", "hb"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -689,11 +701,13 @@ def cross_lsh_pairs(
               ["band", "bucket"])
         .select("id_a", "id_b")
         .distinct()
+        .persist()  # referenced 3x inside the pruned verify
     )
     verified = verify_pairs_exact_two_sided(sh_b, sh_h, cand)
     out = verified.filter(F.col("jaccard") >= threshold).localCheckpoint(
         eager=True
     )
+    cand.unpersist()
     sh_b.unpersist()
     sh_h.unpersist()
     return out
@@ -761,6 +775,7 @@ def incremental_dedup(
         )
         .select("id_a", "id_b")
         .distinct()
+        .persist()  # referenced 3x inside the pruned verify
     )
     near_hist = (
         verify_pairs_exact_two_sided(sh_b, sh_h, cand_x)
@@ -809,7 +824,7 @@ def incremental_dedup(
     # curation loops, and leaked persists would pin dead batch state in
     # executor storage memory forever
     out = out.localCheckpoint(eager=True)
-    for cached in (b, exact_dropped, sh_b, sh_h, bb, near_hist):
+    for cached in (b, exact_dropped, sh_b, sh_h, bb, cand_x, near_hist):
         cached.unpersist()
     return out
 
