@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "docs_split_assign",
     "incremental_agg_refresh",
     "mv_refresh",
+    "skew_salted_join",
     "spec_evolution",
     "wap_publish",
 ]

@@ -115,3 +115,46 @@ def range_join_attribution(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_views"),
         dsum(F.col("value"), 4, "sum_view_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe salted join (operators/skew.py): the fact side's hot keys are
+# spread across salt buckets (small side replicated per bucket), so one
+# pathological key can't flood a single shuffle task — the plan-time tool
+# for skew AQE's runtime splitting can't fix. Semantically a plain inner
+# join: the oracle is exactly that, so the gate proves salting changes the
+# execution shape and nothing else.
+# --------------------------------------------------------------------------
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(d.type_code) AS BIGINT) AS sum_code
+    FROM events e
+    JOIN (
+        SELECT event_type, CAST(LENGTH(event_type) AS BIGINT) AS type_code
+        FROM (SELECT DISTINCT event_type FROM events)
+    ) d USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    tags=("relational",),
+)
+def skew_salted_join(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("type_code", F.length("event_type").cast("bigint"))
+    )
+    joined = salted_join(e, dim, on="event_type", salt_buckets=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("type_code").cast("bigint").alias("sum_code"),
+        )
+        .orderBy("event_type")
+    )

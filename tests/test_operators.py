@@ -506,3 +506,63 @@ def test_split_assign_no_shuffle_plan(spark):
     plan = split_assign(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    from iceberg_kafka_connect_spark.operators.skew import salted_join
+
+    large = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, tag string"
+    )
+    got = salted_join(large, small, on="k", salt_buckets=7)
+    want = large.join(small, "k")
+    assert got.count() == want.count() == 5000
+    assert got.exceptAll(want).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """All rows share ONE key; salting must spread them over >1 shuffle
+    partition of the join — the whole point of the operator."""
+    from iceberg_kafka_connect_spark.operators.skew import salted_join
+
+    large = spark.range(0, 10_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame([(1, "x")], "k long, tag string")
+    # at test scale AQE would broadcast the "large" side and skip the
+    # shuffle entirely; disable broadcasting to exercise the shuffle path
+    # the operator exists for (a fact side too big to broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_co = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # coalescing would re-merge the tiny test shuffle into one partition
+    # and hide the spread this test observes
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        joined = salted_join(large, small, on="k", salt_buckets=8)
+        parts = (
+            joined.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .count()
+        )
+        assert parts.count() > 1  # one key no longer = one task
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_co
+        )
+
+
+def test_salted_agg_count_matches_plain(spark):
+    from iceberg_kafka_connect_spark.operators.skew import salted_agg_count
+
+    df = spark.range(0, 9999).select((F.col("id") % 5).alias("k"))
+    got = {r["k"]: r["n"] for r in salted_agg_count(df, "k").collect()}
+    want = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
