@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "incremental_agg_refresh",
     "mv_refresh",
     "skew_salted_join",
+    "dedup_simhash_md5",
     "spec_evolution",
     "wap_publish",
 ]

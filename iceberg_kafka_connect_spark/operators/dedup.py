@@ -535,14 +535,31 @@ def verify_pairs_exact_two_sided(
     )
 
 
+def md5_hash60(col: Column) -> Column:
+    """60-bit feature hash from the md5 hex prefix — bit-identical in any
+    engine with md5 + hex parsing (DuckDB: ``('0x'||substr(md5(s),1,15))::
+    BIGINT``), which is what makes the md5 SimHash variant SQL-oracle-able.
+    Slower than xxhash64 (full md5 per feature): the cross-engine-checkable
+    sibling, not the production default."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash63(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    feature_hash=None,
+    bits: int = 63,
 ) -> DataFrame:
-    """63-bit SimHash over word n-grams (bit 63 unused to stay in signed
-    BIGINT). Feature hash is xxhash64; per-bit vote is a single groupBy with
-    63 conditional sums — fully JVM-side."""
+    """SimHash over word n-grams (≤63 bits to stay in signed BIGINT).
+    Default feature hash is xxhash64 over 63 bits; pass
+    ``feature_hash=md5_hash60, bits=60`` for the engine-independent
+    variant. Per-bit vote is a single groupBy with ``bits`` conditional
+    sums — fully JVM-side."""
+    fh = feature_hash or F.xxhash64
     sh = shingles(docs, id_col, text_col, n).withColumn(
-        "h", F.xxhash64(F.col("shingle"))
+        "h", fh(F.col("shingle"))
     )
     votes = [
         F.sum(
@@ -550,11 +567,11 @@ def simhash63(
                 -1
             )
         ).alias(f"v{j}")
-        for j in range(63)
+        for j in range(bits)
     ]
     agg = sh.groupBy("id").agg(*votes)
     sig = None
-    for j in range(63):
+    for j in range(bits):
         bit = F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
             F.lit(0).cast("bigint")
         )
@@ -569,6 +586,8 @@ def simhash_pairs(
     n: int = 2,
     max_hamming: int = 3,
     chunks: int = 4,
+    feature_hash=None,
+    bits: int = 63,
 ) -> DataFrame:
     """SimHash near-dup pairs: chunk-banding candidates + exact Hamming
     verify. With ``chunks`` = max_hamming+1, pigeonhole guarantees recall 1.
@@ -583,7 +602,9 @@ def simhash_pairs(
     allocation. banded_pairs remains the right shape for the narrow,
     capped buckets of MinHash/SRP banding."""
     assert chunks >= max_hamming + 1, "pigeonhole needs chunks > max_hamming"
-    sigs = simhash63(docs, id_col, text_col, n)
+    sigs = simhash63(
+        docs, id_col, text_col, n, feature_hash=feature_hash, bits=bits
+    )
     width = 64 // chunks
     chunk_arr = F.array(
         *[

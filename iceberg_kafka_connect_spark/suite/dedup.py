@@ -421,3 +421,64 @@ def dedup_exact_bloom(spark, sf_dir):
     history = docs.filter(F.col("doc_id") % 3 == 0)
     batch = docs.filter(F.col("doc_id") % 3 != 0)
     return dedup.incremental_exact_dedup_bloom(batch, history)
+
+
+# --------------------------------------------------------------------------
+# SimHash with the engine-independent md5 feature hash: the ONE hash both
+# Spark (conv(substr(md5,1,15),16,10)) and DuckDB (('0x'||…)::BIGINT)
+# compute bit-identically, which lets the FULL pipeline — per-bit votes →
+# 60-bit signature → hamming pairs — be SQL-oracle-checked instead of
+# rows-only like the xxhash64 production variant. The Spark side still
+# runs chunk banding (16 chunks > hamming 10 ⇒ pigeonhole recall 1); the
+# oracle brute-forces all pairs, so agreement also re-proves the banding
+# loses nothing.
+# --------------------------------------------------------------------------
+_SIMHASH_MD5_ORACLE = r"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       list_zip(w[1:-2], w[2:-1]),
+                       x -> x[1] || ' ' || x[2])) AS s
+            FROM docs
+        )
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+        FROM sh
+    ),
+    bits AS (
+        SELECT doc_id, b.b AS b,
+               SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+        GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS s
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 10
+"""
+
+
+@register("dedup_simhash_md5", oracle=_SIMHASH_MD5_ORACLE, tags=("dedup",))
+def dedup_simhash_md5(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(
+        docs,
+        n=2,
+        max_hamming=10,
+        chunks=16,
+        feature_hash=dedup.md5_hash60,
+        bits=60,
+    ).withColumn("hamming", F.col("hamming").cast("int"))
