@@ -103,14 +103,33 @@ def ann_topk_ivf_kmeans(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # Blocked-numpy brute force (mapInPandas + GEMM): the throughput variant.
-# Scores come from float matmul (not the decimal-exact fold), so no value
-# oracle — rows-only + pytest equivalence-vs-exact on ids.
+# Scores come from float matmul (summation order differs from a SQL fold
+# in the last ulp), so the gate checks the integer columns — ids + rank,
+# with the SAME tie rule (score desc, neighbor id asc) on both sides; the
+# float scores themselves are pytest-checked against the exact fold.
 # --------------------------------------------------------------------------
-@register("ann_topk_numpy", oracle=None, tags=("similarity",))
+@register(
+    "ann_topk_numpy",
+    oracle=f"""
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {sql_cosine('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id
+               ) AS rank
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
 def ann_topk_numpy(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return similarity.brute_force_topk_numpy(queries, emb, k=5)
+    return similarity.brute_force_topk_numpy(queries, emb, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 # --------------------------------------------------------------------------
