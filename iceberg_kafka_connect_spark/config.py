@@ -222,6 +222,66 @@ def _mongo_doc_schema(tcfg: dict[str, str], name: str):
         ) from exc
 
 
+def _col_smt(src: str, dst: str, fn_name: str):
+    """Column-level extension SMT: ``df.withColumn(dst, fn(col(src)))``.
+    The operator fn resolves lazily from operators.text so chain PARSING
+    never imports Spark expression machinery it doesn't need."""
+
+    def apply(df):
+        from pyspark.sql import functions as F
+
+        from .operators import text as tx
+
+        return df.withColumn(dst, getattr(tx, fn_name)(F.col(src)))
+
+    return apply
+
+
+def _token_stats_smt(src: str):
+    def apply(df):
+        from pyspark.sql import functions as F
+
+        from .operators import text as tx
+
+        t = F.col(src)
+        return df.withColumn("n_words", tx.word_count(t)).withColumn(
+            "n_tokens", tx.token_count_regex(t)
+        )
+
+    return apply
+
+
+def _split_assign_smt(key: str, splits: str, seed: str, dst: str, name: str):
+    parts = []
+    for item in splits.split(","):
+        label, _, frac = item.strip().partition(":")
+        if not frac:
+            raise ValueError(
+                f"transforms.{name}.splits: expected label:frac, got {item!r}"
+            )
+        parts.append((label, float(frac)))
+
+    def apply(df):
+        from .operators.ids import split_assign
+
+        return split_assign(
+            df, key, splits=tuple(parts), seed=seed, out_col=dst
+        )
+
+    return apply
+
+
+def _hash_sample_smt(key: str, hex_threshold: str):
+    def apply(df):
+        from pyspark.sql import functions as F
+
+        from .operators.text import hash_sample
+
+        return df.filter(hash_sample(F.col(key), hex_threshold))
+
+    return apply
+
+
 def parse_transform_chain(props: dict[str, str]) -> list:
     """``transforms=a,b`` + ``transforms.a.type=...CopyValue`` +
     ``transforms.a.source.field=...`` → ordered list of DataFrame→DataFrame
@@ -267,6 +327,44 @@ def parse_transform_chain(props: dict[str, str]) -> list:
             nested=tcfg.get("nested", "false") == "true",
             key_prefix=tcfg.get("field_name", "_kafka_metadata"),
             external_field=_external_field(tcfg, name),
+        ),
+        # ---- extension SMTs (beyond the reference surface, same chain
+        # contract): the LLM-pipeline column operators exposed through the
+        # identical transforms.<name>.type config slot, so a connector
+        # config can scrub/score/split records inline with the ports above
+        "PiiScrubTransform": lambda tcfg, name: _col_smt(
+            tcfg.get("text.field", "text"),
+            tcfg.get("text.field", "text"),
+            "scrub_pii",
+        ),
+        "LanguageIdTransform": lambda tcfg, name: _col_smt(
+            tcfg.get("text.field", "text"),
+            tcfg.get("target.field", "lang_pred"),
+            "detect_language",
+        ),
+        "QualityScoreTransform": lambda tcfg, name: _col_smt(
+            tcfg.get("text.field", "text"),
+            tcfg.get("target.field", "quality"),
+            "quality_score",
+        ),
+        "FingerprintTransform": lambda tcfg, name: _col_smt(
+            tcfg.get("text.field", "text"),
+            tcfg.get("target.field", "fingerprint"),
+            "fingerprint",
+        ),
+        "TokenStatsTransform": lambda tcfg, name: _token_stats_smt(
+            tcfg.get("text.field", "text")
+        ),
+        "SplitAssignTransform": lambda tcfg, name: _split_assign_smt(
+            _require(tcfg, name, "key.field"),
+            tcfg.get("splits", "train:0.8,val:0.1,test:0.1"),
+            tcfg.get("seed", "v1"),
+            tcfg.get("target.field", "split"),
+            name,
+        ),
+        "HashSampleTransform": lambda tcfg, name: _hash_sample_smt(
+            _require(tcfg, name, "key.field"),
+            tcfg.get("hex.threshold", "28f5c"),
         ),
     }
 

@@ -289,3 +289,76 @@ def test_parse_transform_chain_mongo_schema(spark):
                 "transforms.m.doc.schema": "this is (not ddl",
             }
         )
+
+
+# ---------------------------------------------------------------- extensions
+def _chain(props):
+    from iceberg_kafka_connect_spark.config import parse_transform_chain
+
+    return parse_transform_chain(props)
+
+
+def test_extension_smt_chain_scrub_score_split(spark):
+    """LLM-pipeline operators compose through the same transforms.<name>
+    config slot as the reference SMT ports."""
+    df = spark.createDataFrame(
+        [(1, "contact me at bob@example.com please"), (2, "the of and plain text here")],
+        "doc_id long, text string",
+    )
+    chain = _chain(
+        {
+            "transforms": "scrub,lang,split",
+            "transforms.scrub.type": "PiiScrubTransform",
+            "transforms.lang.type": "LanguageIdTransform",
+            "transforms.split.type": "SplitAssignTransform",
+            "transforms.split.key.field": "doc_id",
+        }
+    )
+    out = df
+    for t in chain:
+        out = t(out)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert "bob@example.com" not in rows[1]["text"]
+    assert rows[2]["lang_pred"] == "en"
+    assert set(out.columns) >= {"text", "lang_pred", "split"}
+    assert all(r["split"] in ("train", "val", "test") for r in rows.values())
+
+
+def test_extension_smt_token_stats_and_sample(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("three word text").alias("text")
+    )
+    chain = _chain(
+        {
+            "transforms": "tok,samp",
+            "transforms.tok.type": "TokenStatsTransform",
+            "transforms.samp.type": "HashSampleTransform",
+            "transforms.samp.key.field": "doc_id",
+            "transforms.samp.hex.threshold": "4",  # ~1/4 keep rate
+        }
+    )
+    out = df
+    for t in chain:
+        out = t(out)
+    n = out.count()
+    assert 150 < n < 350  # ~250 expected, deterministic per key
+    assert out.filter(F.col("n_words") != 3).count() == 0
+    # deterministic: same chain, same rows
+    out2 = df
+    for t in chain:
+        out2 = t(out2)
+    assert out2.exceptAll(out).count() == 0
+
+
+def test_extension_smt_bad_splits_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="splits"):
+        _chain(
+            {
+                "transforms": "s",
+                "transforms.s.type": "SplitAssignTransform",
+                "transforms.s.key.field": "doc_id",
+                "transforms.s.splits": "train-0.8",
+            }
+        )
