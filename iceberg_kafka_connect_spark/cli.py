@@ -157,6 +157,13 @@ def table_main(argv: list[str]) -> int:
     mi = sub.add_parser("mirror")
     mi.add_argument("--to", required=True, help="replica table name")
     mi.add_argument("--keys", required=True, help="comma-separated id columns")
+    mr = sub.add_parser("mv-refresh")
+    mr.add_argument("--to", required=True, help="materialized-view table name")
+    mr.add_argument("--keys", required=True, help="comma-separated id columns")
+    mr.add_argument(
+        "--group-by", required=True, help="comma-separated group columns"
+    )
+    mr.add_argument("--sum", default="", help="comma-separated sum columns")
     ei = sub.add_parser("export-iceberg")
     ei.add_argument(
         "--out", help="metadata output dir (default <table>/iceberg-metadata)"
@@ -272,6 +279,24 @@ def table_main(argv: list[str]) -> int:
         dst = catalog.load_table(args.to)
         snap = mirror_changes(
             spark, t, dst, key_cols=args.keys.split(",")
+        )
+        out = (
+            {"snapshot_id": snap["snapshot_id"], "summary": snap["summary"]}
+            if snap
+            else {"status": "up to date"}
+        )
+    elif args.action == "mv-refresh":
+        from .streaming.mv import refresh_materialized_agg
+
+        spark = get_spark(app_name="table-mv-refresh")
+        dst = catalog.load_table(args.to)
+        snap = refresh_materialized_agg(
+            spark,
+            t,
+            dst,
+            key_cols=args.keys.split(","),
+            group_cols=args.group_by.split(","),
+            sum_cols=[c for c in args.sum.split(",") if c],
         )
         out = (
             {"snapshot_id": snap["snapshot_id"], "summary": snap["summary"]}

@@ -116,3 +116,56 @@ def test_cli_table_dml_ddl_mirror(spark, tmp_path, capsys):
     out = run("rewrite-where", "id < 5", "--sort-by", "id")
     assert "snapshot_id" in out
     assert t.read(spark).count() == 8
+
+
+def test_cli_mv_refresh(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.cli import main
+    from iceberg_kafka_connect_spark.operators.incremental import (
+        aggregate_state,
+    )
+    from iceberg_kafka_connect_spark.sinks import Catalog
+
+    wh = str(tmp_path / "wh")
+    src_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("g", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    mv_schema = T.StructType(
+        [
+            T.StructField("g", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sum_v", T.LongType()),
+        ]
+    )
+    cat = Catalog(wh)
+    t = cat.create_table("default.src", src_schema)
+    cat.create_table("default.mv", mv_schema)
+    t.append(
+        spark.createDataFrame(
+            [(i, "g" + str(i % 2), i) for i in range(10)], src_schema
+        )
+    )
+
+    def run(*argv):
+        assert (
+            main(["table", "--warehouse", wh, "--name", "default.src", *argv])
+            == 0
+        )
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    args = ("mv-refresh", "--to", "default.mv", "--keys", "id",
+            "--group-by", "g", "--sum", "v")
+    out = run(*args)
+    assert out["summary"]["mv-refresh-mode"] == "seed"
+    mv = cat.load_table("default.mv")
+    want = aggregate_state(t.read(spark), ["g"], ["v"])
+    assert sorted(mv.read(spark).collect()) == sorted(want.collect())
+    # idempotent re-poll
+    assert run(*args) == {"status": "up to date"}
