@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "mv_refresh",
     "skew_salted_join",
     "dedup_simhash_md5",
+    "multimodal_phash_dedup",
     "spec_evolution",
     "wap_publish",
 ]

@@ -203,3 +203,62 @@ def resize_plan(
             needs.alias("needs_resize"),
         ),
     )
+
+
+def phash_groups(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    feature_dim: int = 8,
+    use_fake: bool | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Perceptual-hash dedup groups over binary payloads: decode →
+    average-hash → exact groupBy — the image-side sibling of exact text
+    dedup (near-identical images that decode to the same coarse features
+    collapse to one group).
+
+    The hash is the classic aHash: bit i set iff feature i exceeds the
+    feature mean (or an explicit ``threshold``). It rides whichever decode
+    branch ``decode_image_features`` takes (real PIL thumbnail bands, or
+    the deterministic byte-histogram fake in codec-less containers) — the
+    hashing itself is pure Catalyst over the features array, so only the
+    decode is Python and the shuffle key is one 64-bit long per image.
+
+    For the fake path pass ``threshold=1/feature_dim``: the fake features
+    sum to 1 so their mean IS 1/feature_dim analytically, and the literal
+    threshold removes the tie ambiguity a computed mean has (a feature can
+    equal the mean exactly; float summation-order noise would then decide
+    the strict comparison differently per engine). Against the literal,
+    every feature is ≥ 1/(dim·len) away unless exactly equal — float32
+    rounding (~1e-7 relative) can never flip a bit vs an exact-arithmetic
+    SQL oracle, which is what makes the fake path hash-checkable.
+
+    Output: (phash, keep_id = min id, n_imgs).
+    """
+    feats = decode_image_features(
+        df, payload_col, id_col, feature_dim, use_fake
+    )
+    f = F.col("features")
+    if threshold is not None:
+        mean = F.lit(float(threshold))
+    else:
+        mean = F.aggregate(
+            f, F.lit(0.0), lambda a, x: a + x.cast("double")
+        ) / F.size(f).cast("double")
+    bits = F.transform(
+        f,
+        lambda x, i: F.when(
+            x.cast("double") > mean,
+            F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    ahash = F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a + x)
+    return (
+        feats.select(F.col("id"), ahash.alias("phash"))
+        .groupBy("phash")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_imgs"),
+        )
+    )

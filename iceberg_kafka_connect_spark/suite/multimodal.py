@@ -152,3 +152,50 @@ def multimodal_resize_plan(spark, sf_dir):
         F.col("resize.target_h").alias("target_h"),
         F.col("resize.needs_resize").alias("needs_resize"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash dedup groups: decode (deterministic byte-histogram fake;
+# ASCII corpus ⇒ DuckDB can replicate it character-wise) → average-hash
+# with the LITERAL 1/8 threshold (= the analytic mean of the normalized
+# histogram; a computed mean would tie exactly with features and let
+# float summation-order noise decide the strict comparison per engine) →
+# exact groupBy on the 64-bit hash. Every feature sits ≥ 1/(8·len) from
+# the literal unless exactly equal, so float32 rounding can't flip a bit
+# vs the exact-arithmetic oracle.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1)) % 8
+               ) AS codes
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, d.d AS dim,
+               CAST(len(list_filter(codes, c -> c = d.d)) AS DOUBLE)
+                   / GREATEST(len(codes), 1) AS f
+        FROM chars, (SELECT unnest(range(0, 8)) AS d) d
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN f > 0.125
+                        THEN CAST(1 AS BIGINT) << dim
+                        ELSE 0 END) AS phash
+        FROM feat
+        GROUP BY doc_id
+    )
+    SELECT phash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_imgs
+    FROM sig GROUP BY phash
+    """,
+    tags=("multimodal",),
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    docs = _with_payload(table(spark, sf_dir, "documents"))
+    return mm.phash_groups(docs, use_fake=True, threshold=1 / 8)

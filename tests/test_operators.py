@@ -566,3 +566,42 @@ def test_salted_agg_count_matches_plain(spark):
         for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_phash_groups_identical_payloads_collapse(spark):
+    from iceberg_kafka_connect_spark.operators.multimodal import phash_groups
+
+    df = spark.createDataFrame(
+        [(1, b"same bytes"), (2, b"same bytes"), (3, b"different!")],
+        "doc_id long, payload binary",
+    )
+    out = {r["phash"]: r for r in phash_groups(df, use_fake=True).collect()}
+    sizes = sorted(r["n_imgs"] for r in out.values())
+    assert sizes == [1, 2]
+    dup_group = next(r for r in out.values() if r["n_imgs"] == 2)
+    assert dup_group["keep_id"] == 1
+
+
+def test_phash_real_branch_or_skip(spark):
+    from iceberg_kafka_connect_spark.operators.multimodal import (
+        _real_image_decode_available,
+        phash_groups,
+    )
+
+    if not _real_image_decode_available():
+        import pytest as _pytest
+
+        _pytest.skip("PIL not available in this container")
+    # real branch: identical encoded images still collapse
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), 128).save(buf, format="PNG")
+    blob = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, blob), (2, blob)], "doc_id long, payload binary"
+    )
+    out = phash_groups(df, use_fake=False).collect()
+    assert len(out) == 1 and out[0]["n_imgs"] == 2
