@@ -155,3 +155,77 @@ def test_gopher_rules_amplified_invariance(spark, sf_dir):
         .collect()
     )
     assert all(r.v == 1 and r.n == MULT for r in out)
+
+
+def test_bloom_incremental_dedup_at_10x(spark, sf_dir):
+    """Amplified batch vs history: output size scales exactly (each replica
+    of a surviving doc survives — distinct ids, identical text means only
+    the ORIGINAL partition of history digests matters) and the bloom word
+    array stays fixed-size regardless of input multiplicity."""
+    from iceberg_kafka_connect_spark.functions.bloom import bloom_build
+    from iceberg_kafka_connect_spark.operators.dedup import (
+        incremental_exact_dedup_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    history = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    small_n = incremental_exact_dedup_bloom(batch, history).count()
+    big_batch = _amplify(batch, "doc_id")
+    big_n = incremental_exact_dedup_bloom(big_batch, history).count()
+    assert big_n == small_n * MULT
+    # bloom size is input-independent
+    w1 = bloom_build(history.select(F.md5("text").alias("d")), "d", 1 << 12, 3)
+    w2 = bloom_build(
+        _amplify(history, "doc_id").select(F.md5("text").alias("d")),
+        "d", 1 << 12, 3,
+    )
+    assert len(w1) == len(w2) == (1 << 12) // 64
+
+
+def test_incremental_agg_refresh_at_10x(spark):
+    """The refresh result is invariant to how large the UNTOUCHED portion
+    of the images is — the delta only sees touched keys."""
+    from iceberg_kafka_connect_spark.operators.incremental import (
+        aggregate_state,
+        incremental_agg_refresh,
+    )
+
+    rows = [(i, "g" + str(i % 3), i) for i in range(200)]
+    pre = spark.createDataFrame(rows, "k long, g string, v long")
+    pre_big = _amplify(pre, "k")
+    post_big = pre_big.unionByName(
+        spark.createDataFrame([(999_999_999, "gX", 7)], "k long, g string, v long")
+    )
+    got = incremental_agg_refresh(
+        aggregate_state(pre_big, ["g"], ["v"]),
+        pre_big, post_big,
+        spark.createDataFrame([(999_999_999,)], "k long"),
+        ["k"], ["g"], ["v"],
+    )
+    want = aggregate_state(post_big, ["g"], ["v"])
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_phash_groups_at_10x(spark, sf_dir):
+    """Same payloads under 10x distinct ids: group COUNT is unchanged (the
+    hash space doesn't fragment) and every group is exactly 10x wider."""
+    from iceberg_kafka_connect_spark.operators.multimodal import phash_groups
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(100)
+        .withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    )
+    small = {
+        r["phash"]: r["n_imgs"]
+        for r in phash_groups(docs, use_fake=True, threshold=1 / 8).collect()
+    }
+    big = {
+        r["phash"]: r["n_imgs"]
+        for r in phash_groups(
+            _amplify(docs, "doc_id"), use_fake=True, threshold=1 / 8
+        ).collect()
+    }
+    assert set(big) == set(small)
+    assert all(big[h] == n * MULT for h, n in small.items())
