@@ -371,6 +371,49 @@ def test_pyiceberg_reads_export(spark, sf_dir):
     assert sorted(scanned.schema.names) == ["o_orderkey", "o_totalprice"]
 
 
+def test_pyiceberg_reads_deletes_partitions_renames(spark, sf_dir):
+    """External readability of the round-3 export surface — equality
+    deletes applied, identity partition columns reconstituted, renamed
+    columns resolved via multi-name mapping. Runs wherever pyiceberg is
+    installed (skip-marked in this sandbox; the structural tests above
+    verify the same artifacts layer-by-layer here)."""
+    pyiceberg_table = pytest.importorskip("pyiceberg.table")
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(500)
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="ice_export_py2_") + "/t",
+        o.schema,
+        partition_by=["o_orderstatus"],
+    )
+    t.append(o)
+    t.delete_where(spark, "o_orderkey < 100", key_cols=["o_orderkey"])
+    t.rename_column("o_totalprice", "total")
+    static = pyiceberg_table.StaticTable.from_metadata(
+        export_iceberg_metadata(t)
+    )
+    scanned = static.scan().to_arrow()
+    want = t.read(spark)
+    assert scanned.num_rows == want.count()
+    # identity partition column comes back from partition metadata even
+    # though partitionBy dropped it from the data files
+    assert set(scanned.schema.names) == {
+        "o_orderkey", "o_orderstatus", "total"
+    }
+    assert scanned.column("o_orderstatus").null_count == 0
+    # partition predicate pruning works against the exported spec
+    import pyiceberg.expressions as E
+
+    pruned = static.scan(
+        row_filter=E.EqualTo("o_orderstatus", "F")
+    ).to_arrow()
+    assert pruned.num_rows == want.filter(
+        F.col("o_orderstatus") == "F"
+    ).count()
+
+
 # ------------------------------------------------ partition-spec export
 def _partitioned_table(spark, sf_dir, partition_by):
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
