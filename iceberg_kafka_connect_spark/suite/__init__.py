@@ -80,6 +80,13 @@ def load_all() -> dict[str, QuerySpec]:
     # contamination, as-of/range joins, packing, repetition, global IDs,
     # source mix, DSIR. Guarded so repeated load_all() calls keep the order
     # stable.
+    # Round-4 rotation queue (oracle-checked, never gated — registered in
+    # round 3 after the window was fixed): dedup_exact_bloom, ann_knn_graph,
+    # dedup_simhash_md5, multimodal_phash_dedup, docs_split_assign,
+    # incremental_agg_refresh, mv_refresh, skew_salted_join, ann_topk_numpy
+    # (oracle added r3), docs_winnow_fingerprints, ann_topk_pq (rows-only),
+    # time_travel_read, smt_json_chaotic, plus the r3-gated 13 can rotate
+    # out once CORRECTNESS_r03 lands their rows.
     if "tpch_q1" not in QUERIES:
         window = (
             # — SURVEY §2 rows (keep every round) —
