@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "skew_salted_join",
     "dedup_simhash_md5",
     "multimodal_phash_dedup",
+    "dml_position_delete",
     "spec_evolution",
     "wap_publish",
 ]

@@ -145,7 +145,16 @@ def table_main(argv: list[str]) -> int:
     rw.add_argument("--sort-by", help="comma-separated sort columns")
     dw = sub.add_parser("delete-where")
     dw.add_argument("predicate")
-    dw.add_argument("--keys", required=True, help="comma-separated id columns")
+    dw.add_argument(
+        "--keys",
+        help="comma-separated id columns (equality deletes); omit with "
+        "--positional for row-identity deletes",
+    )
+    dw.add_argument(
+        "--positional",
+        action="store_true",
+        help="delete by (file, row-ordinal) — exact even without unique keys",
+    )
     ff = sub.add_parser("fast-forward")
     ff.add_argument("branch")
     ff.add_argument("to_branch")
@@ -250,9 +259,16 @@ def table_main(argv: list[str]) -> int:
         )
     elif args.action == "delete-where":
         spark = get_spark(app_name="table-maintenance")
-        snap = t.delete_where(
-            spark, args.predicate, key_cols=args.keys.split(",")
-        )
+        if args.positional:
+            snap = t.delete_where_positions(spark, args.predicate)
+        elif args.keys:
+            snap = t.delete_where(
+                spark, args.predicate, key_cols=args.keys.split(",")
+            )
+        else:
+            raise SystemExit(
+                "delete-where needs --keys (equality) or --positional"
+            )
         out = (
             {"snapshot_id": snap["snapshot_id"]}
             if snap

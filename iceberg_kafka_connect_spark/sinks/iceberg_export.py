@@ -808,6 +808,12 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         path = os.path.join(table.root, fentry["path"])
         rows = _rows_of(fentry, path)
         total_del_rows += rows
+        if fentry.get("delete_type") == "position":
+            raise IcebergExportUnsupported(
+                "live position-delete files are not exportable yet (their "
+                "parquet lacks the reserved field-ids 2147483546/2147483545 "
+                "external readers require) — compact() folds them first"
+            )
         # delete files written before a rename carry retired key names —
         # canonicalize through the alias map before resolving field ids
         rev = {a: c for c, als in aliases.items() for a in als}

@@ -38,7 +38,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -48,6 +48,18 @@ from .stats import collect_parquet_stats, file_may_match
 
 COMMIT_RETRIES = 3  # IcebergSinkConfig.java:103-104 (schema/create retries)
 MAIN = "main"
+
+
+def _has_positional(delete_files: list[dict]) -> bool:
+    return any(f.get("delete_type") == "position" for f in delete_files)
+
+
+def _fp_norm(col: Column) -> Column:
+    """Normalize ``_metadata.file_path`` to a plain absolute path: Spark
+    renders local URIs as ``file:/...`` (sometimes ``file:///...``); both
+    collapse to ``/...`` so write-time relativization and read-time
+    reconstruction agree regardless of the rendering."""
+    return F.regexp_replace(col, r"^file:/+", "/")
 
 _WIDENINGS = {("integer", "long"), ("float", "double")}
 
@@ -892,6 +904,75 @@ class LakehouseTable:
         finally:
             matched.unpersist()
 
+    def delete_where_positions(
+        self,
+        spark: SparkSession,
+        where: str,
+        branch: str = MAIN,
+        snapshot_props: dict | None = None,
+    ) -> dict | None:
+        """Row-level DELETE WHERE via POSITION deletes (Iceberg v2's other
+        delete representation): each matching row is marked by its physical
+        identity — (data file path, row ordinal) — instead of a key tuple.
+
+        Use this when no unique id-columns exist: an equality delete removes
+        every live row sharing the key (``delete_where``'s documented
+        over-delete hazard on non-unique keys); a position delete removes
+        exactly the rows the predicate matched, duplicates included, because
+        (file, ordinal) can never alias — new files always get fresh uuid
+        names.
+
+        Scale shape: ONE predicate-pruned scan (files whose recorded bounds
+        rule the predicate out are never opened) emitting O(matching rows)
+        of 8-byte ordinals + file-path strings; no data-file rewrite. The
+        file path is stored RELATIVE to the table root so the table stays
+        relocatable; reads reconstruct the absolute URI. Parquet-only
+        (``_metadata.row_index``). Returns None when nothing matches.
+
+        Changelog note: a positional delete cannot be expressed as an
+        equality changelog row — ``changes_between`` refuses the snapshot
+        and consumers fall back to a full diff (streaming/mv.py does this
+        automatically).
+        """
+        meta = self.metadata()
+        snap = self.current_snapshot(branch)
+        if snap is None:
+            return None
+        data_files, delete_files = self._live_files(meta, snap)
+        data_files = [f for f in data_files if file_may_match(f, where)]
+        if not data_files:
+            return None
+        target = self.read_schema()
+        rows = self._read_file_group(
+            spark, data_files, target, with_position=True
+        )
+        # apply EXISTING deletes first so already-dead rows don't bloat the
+        # delete file (harmless but wasteful to re-mark them)
+        rows = self._apply_deletes(spark, rows, delete_files)
+        prefix = os.path.abspath(self.root) + "/"
+        matched = (
+            rows.filter(where)
+            .select(
+                _fp_norm(F.col("__fp"))
+                .substr(F.lit(len(prefix) + 1), F.lit(1 << 30))
+                .alias("file_path"),
+                F.col("__pos").alias("pos"),
+            )
+            .persist()
+        )
+        try:
+            if matched.isEmpty():
+                return None
+            files = [
+                {**f, "delete_type": "position"}
+                for f in self._write_files(matched, "deletes")
+            ]
+            return self._commit_snapshot(
+                "overwrite", [], files, snapshot_props or {}, branch
+            )
+        finally:
+            matched.unpersist()
+
     def update_where(
         self,
         spark: SparkSession,
@@ -1214,12 +1295,17 @@ class LakehouseTable:
             data_files = [f for f in data_files if file_may_match(f, where)]
             if not data_files:
                 return spark.createDataFrame([], target)
-        data = self._read_file_group(spark, data_files, target)
+        with_pos = _has_positional(delete_files)
+        data = self._read_file_group(
+            spark, data_files, target, with_position=with_pos
+        )
         if data is None:
             return spark.createDataFrame([], target)
         if where is not None:
             data = data.filter(where)
-        return self._apply_deletes(spark, data, delete_files).drop("__seq")
+        return self._apply_deletes(spark, data, delete_files).drop(
+            "__seq", "__fp", "__pos"
+        )
 
     def _apply_deletes(
         self, spark: SparkSession, data: DataFrame, delete_files: list[dict]
@@ -1228,7 +1314,38 @@ class LakehouseTable:
         minus keys equality-deleted at a later sequence. Delete files are
         grouped by their recorded key-column set: id-columns may change
         between batches, and each key-set applies as its own anti-join
-        (legacy entries without key_cols get schema inference)."""
+        (legacy entries without key_cols get schema inference).
+
+        Position deletes (entries stamped ``delete_type: position``) apply
+        first: one anti-join on the row's physical identity (file URI, row
+        ordinal) — exact regardless of key uniqueness, since new files get
+        fresh uuid names a (fp, pos) pair can never alias. ``data`` must
+        carry ``__fp``/``__pos`` (read with ``with_position=True``) or the
+        call refuses rather than silently resurrecting deleted rows."""
+        if not delete_files:
+            return data
+        pos_files = [
+            f for f in delete_files if f.get("delete_type") == "position"
+        ]
+        delete_files = [
+            f for f in delete_files if f.get("delete_type") != "position"
+        ]
+        if pos_files:
+            if "__fp" not in data.columns:
+                raise RuntimeError(
+                    "positional delete files present but the scan did not "
+                    "carry row identity — read with with_position=True"
+                )
+            prefix = os.path.abspath(self.root) + "/"
+            dpos = self._read_file_group(spark, pos_files, None).select(
+                F.concat(F.lit(prefix), F.col("file_path")).alias("__fpn"),
+                F.col("pos").alias("__pos"),
+            )
+            data = (
+                data.withColumn("__fpn", _fp_norm(F.col("__fp")))
+                .join(dpos, ["__fpn", "__pos"], "left_anti")
+                .drop("__fpn")
+            )
         if not delete_files:
             return data
         # delete files written before a rename_column carry old physical key
@@ -1289,9 +1406,30 @@ class LakehouseTable:
         spark: SparkSession,
         files: list[dict],
         target: T.StructType | None,
+        with_position: bool = False,
     ) -> DataFrame | None:
+        """``with_position=True`` additionally carries each row's physical
+        identity — ``__fp`` (absolute file URI from ``_metadata.file_path``)
+        and ``__pos`` (``_metadata.row_index``) — through the projection, so
+        position deletes can anti-join on it. Parquet-only: Spark's row
+        ordinals don't exist for avro inputs."""
         if not files:
             return None
+        if with_position and any(
+            f.get("format", "parquet") != "parquet" for f in files
+        ):
+            raise ValueError(
+                "position deletes require parquet data files "
+                "(_metadata.row_index has no avro equivalent)"
+            )
+        if with_position and target is not None:
+            target = T.StructType(
+                list(target.fields)
+                + [
+                    T.StructField("__fp", T.StringType()),
+                    T.StructField("__pos", T.LongType()),
+                ]
+            )
         # group by (seq, write base dir, format): basePath restores the
         # partition directory columns partitionBy moved out of the files
         by_group: dict[tuple[int, str, str], list[str]] = {}
@@ -1314,6 +1452,12 @@ class LakehouseTable:
                     .option("basePath", os.path.join(self.root, base))
                     .format(fmt)
                     .load(paths)
+                )
+            if with_position:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__pos"),
                 )
             if target is not None:
                 # name mapping lets files written before a rename_column
@@ -1487,6 +1631,15 @@ class LakehouseTable:
                     "express it; diff full snapshots instead"
                 )
             d, dl = self._load_manifest(snap)
+            if _has_positional(dl):
+                # a position delete has no key tuple to emit as a changelog
+                # delete row — consumers must diff full snapshots instead
+                # (streaming/mv.py catches this and recomputes fully)
+                raise ValueError(
+                    f"snapshot {snap['snapshot_id']!r} contains position "
+                    "deletes — changelog cannot express them; diff full "
+                    "snapshots instead"
+                )
             stamp = [
                 F.lit(snap["snapshot_id"]).alias("_change_snapshot_id"),
                 F.lit(ordinal).alias("_change_ordinal"),
@@ -1758,8 +1911,19 @@ class LakehouseTable:
             return None
         small_paths = {f["path"] for f in small}
         kept = [f for f in data_files if f["path"] not in small_paths]
-        merged = self._read_file_group(spark, small, self.read_schema())
-        merged = self._apply_deletes(spark, merged, delete_files).drop("__seq")
+        merged = self._read_file_group(
+            spark,
+            small,
+            self.read_schema(),
+            with_position=_has_positional(delete_files),
+        )
+        merged = self._apply_deletes(spark, merged, delete_files).drop(
+            "__seq", "__fp", "__pos"
+        )
+        # position deletes aimed at the rewritten files are FOLDED IN above;
+        # they dangle harmlessly afterwards (fresh uuid file names can never
+        # alias a deleted (fp, pos) pair) and the kept files still need the
+        # rest, so the delete set carries over untouched — same as equality
         # pack to the byte target: without this the rewrite inherits one
         # output file per input split and coalesces nothing
         target = int(
@@ -1815,8 +1979,15 @@ class LakehouseTable:
             return None
         sel_paths = {f["path"] for f in selected}
         kept = [f for f in data_files if f["path"] not in sel_paths]
-        merged = self._read_file_group(spark, selected, self.read_schema())
-        merged = self._apply_deletes(spark, merged, delete_files).drop("__seq")
+        merged = self._read_file_group(
+            spark,
+            selected,
+            self.read_schema(),
+            with_position=_has_positional(delete_files),
+        )
+        merged = self._apply_deletes(spark, merged, delete_files).drop(
+            "__seq", "__fp", "__pos"
+        )
         # table-level write policy wins: when write.distribution-mode or
         # write.sort-order is set, _write_files re-clusters the rows itself
         # and a repartitionByRange here would be silently destroyed — apply

@@ -1754,3 +1754,51 @@ def mv_refresh(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Position deletes (Iceberg v2's second delete representation): the table
+# holds every event TWICE (no unique key exists — an equality delete on any
+# column set would be forced to take all copies of unrelated rows too);
+# DELETE WHERE by (file, row-ordinal) still removes exactly the matching
+# rows. Oracle = plain SQL DELETE semantics over the doubled relation.
+# --------------------------------------------------------------------------
+@register(
+    "dml_position_delete",
+    oracle="""
+    WITH doubled AS (
+        SELECT event_id, event_type FROM events WHERE event_id < 400
+        UNION ALL
+        SELECT event_id, event_type FROM events WHERE event_id < 400
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM doubled
+    WHERE NOT (event_id % 3 = 0)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def dml_position_delete(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 400).select(
+        "event_id", "event_type"
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="posdel_gate_") + "/t", e.schema
+    )
+    t.append(e.unionAll(e))  # every row twice: no unique key exists
+    t.delete_where_positions(spark, "event_id % 3 = 0")
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )

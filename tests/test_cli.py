@@ -169,3 +169,35 @@ def test_cli_mv_refresh(spark, tmp_path, capsys):
     assert sorted(mv.read(spark).collect()) == sorted(want.collect())
     # idempotent re-poll
     assert run(*args) == {"status": "up to date"}
+
+
+def test_cli_delete_where_positional(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.cli import main
+    from iceberg_kafka_connect_spark.sinks import Catalog
+
+    wh = str(tmp_path / "wh")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    cat = Catalog(wh)
+    t = cat.create_table("default.p", schema)
+    # duplicate rows: no unique key, equality deletes can't express this
+    rows = [(i % 5, i % 5) for i in range(10)]
+    t.append(spark.createDataFrame(rows, schema))
+
+    assert (
+        main(
+            [
+                "table", "--warehouse", wh, "--name", "default.p",
+                "delete-where", "v >= 3", "--positional",
+            ]
+        )
+        == 0
+    )
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "snapshot_id" in out
+    assert t.read(spark).count() == 6  # ids 0,1,2 x2 copies each

@@ -1,0 +1,160 @@
+"""Position deletes (Iceberg v2's second delete representation): row
+identity = (data file, row ordinal), exact regardless of key uniqueness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("g", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _table(spark, tmp_path, rows, name="t"):
+    t = LakehouseTable.create(str(tmp_path / name), SCHEMA)
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def test_position_delete_exact_rows(spark, tmp_path):
+    t = _table(spark, tmp_path, [(1, "a", 10), (2, "b", 20), (3, "a", 30)])
+    snap = t.delete_where_positions(spark, "g = 'a'")
+    assert snap is not None
+    got = sorted((r.k, r.g, r.v) for r in t.read(spark).collect())
+    assert got == [(2, "b", 20)]
+
+
+def test_position_delete_handles_duplicate_rows(spark, tmp_path):
+    """THE reason this representation exists: byte-identical duplicate rows
+    (no unique key) delete precisely — an equality delete on any column
+    subset would be forced to take all copies or none."""
+    t = _table(
+        spark, tmp_path, [(1, "a", 10), (1, "a", 10), (1, "a", 10), (2, "b", 5)]
+    )
+    t.delete_where_positions(spark, "v = 10")
+    assert t.read(spark).count() == 1  # every duplicate copy removed
+    # and conversely: rows appended AFTER the delete are untouched even if
+    # byte-identical to deleted ones (fresh files, fresh identities)
+    t.append(spark.createDataFrame([(1, "a", 10)], SCHEMA))
+    got = sorted((r.k, r.g, r.v) for r in t.read(spark).collect())
+    assert got == [(1, "a", 10), (2, "b", 5)]
+
+
+def test_position_delete_no_match_returns_none(spark, tmp_path):
+    t = _table(spark, tmp_path, [(1, "a", 10)])
+    assert t.delete_where_positions(spark, "v > 99") is None
+    # re-deleting already-dead rows is a no-op commit-wise
+    t.delete_where_positions(spark, "v = 10")
+    assert t.delete_where_positions(spark, "v = 10") is None
+
+
+def test_position_and_equality_deletes_compose(spark, tmp_path):
+    t = _table(
+        spark, tmp_path, [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]
+    )
+    t.delete_where(spark, "g = 'b'", key_cols=["k"])
+    t.delete_where_positions(spark, "v >= 30")
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == [1]
+
+
+def test_position_delete_survives_upsert_after(spark, tmp_path):
+    t = _table(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
+    t.delete_where_positions(spark, "k = 1")
+    t.upsert(spark.createDataFrame([(1, "z", 99)], SCHEMA), key_cols=["k"])
+    got = sorted((r.k, r.g) for r in t.read(spark).collect())
+    assert got == [(1, "z"), (2, "b")]
+
+
+def test_compact_folds_position_deletes(spark, tmp_path):
+    t = _table(spark, tmp_path, [(i, "g", i) for i in range(100)])
+    t.delete_where_positions(spark, "k % 2 = 0")
+    t.compact(spark)
+    _, deletes = t.live_files()
+    assert deletes == []  # folded away
+    assert t.read(spark).count() == 50
+    assert t.count_rows() == 50  # metadata count valid again
+
+
+def test_binpack_folds_position_deletes_for_rewritten(spark, tmp_path):
+    t = LakehouseTable.create(str(tmp_path / "bp"), SCHEMA)
+    for lo in (0, 100):
+        t.append(
+            spark.createDataFrame([(i, "g", i) for i in range(lo, lo + 100)], SCHEMA)
+        )
+    t.delete_where_positions(spark, "k % 10 = 0")
+    assert t.read(spark).count() == 180
+    snap = t.rewrite_small_files(spark, min_file_size=1 << 30)
+    assert snap is not None
+    assert t.read(spark).count() == 180  # nothing resurrected
+
+
+def test_changelog_refuses_position_delete_snapshots(spark, tmp_path):
+    t = _table(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
+    s1 = t.current_snapshot()
+    t.delete_where_positions(spark, "k = 1")
+    with pytest.raises(ValueError, match="position"):
+        t.changes_between(spark, s1["snapshot_id"]).collect()
+
+
+def test_mv_refresh_falls_back_on_position_deletes(spark, tmp_path):
+    from iceberg_kafka_connect_spark.streaming.mv import (
+        MV_REFRESH_MODE_PROP,
+        refresh_materialized_agg,
+    )
+
+    src = _table(spark, tmp_path, [(1, "a", 10), (2, "a", 20), (3, "b", 30)])
+    mv = LakehouseTable.create(
+        str(tmp_path / "mv"),
+        T.StructType(
+            [
+                T.StructField("g", T.StringType()),
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("sum_v", T.LongType()),
+            ]
+        ),
+    )
+    refresh_materialized_agg(spark, src, mv, ["k"], ["g"], ["v"])
+    src.delete_where_positions(spark, "k = 2")
+    s = refresh_materialized_agg(spark, src, mv, ["k"], ["g"], ["v"])
+    assert s["summary"][MV_REFRESH_MODE_PROP] == "full"
+    got = {r.g: (r.n_rows, r.sum_v) for r in mv.read(spark).collect()}
+    assert got == {"a": (1, 10), "b": (1, 30)}
+
+
+def test_export_refuses_live_position_deletes(spark, tmp_path):
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        IcebergExportUnsupported,
+        export_iceberg_metadata,
+    )
+
+    t = _table(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
+    t.delete_where_positions(spark, "k = 1")
+    with pytest.raises(IcebergExportUnsupported, match="position"):
+        export_iceberg_metadata(t)
+    t.compact(spark)
+    export_iceberg_metadata(t)  # folds → exportable
+
+
+def test_position_delete_predicate_prunes_files(spark, tmp_path):
+    """The delete scan must honor file bounds: only files whose recorded
+    min/max admit the predicate are opened."""
+    t = LakehouseTable.create(str(tmp_path / "pr"), SCHEMA)
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(i, "g", i) for i in range(lo, lo + 100)], SCHEMA
+            ).coalesce(1)
+        )
+    kept, total = t.scan_files("k >= 250")
+    assert total == 3 and len(kept) == 1
+    t.delete_where_positions(spark, "k >= 250")
+    assert t.read(spark).count() == 250
