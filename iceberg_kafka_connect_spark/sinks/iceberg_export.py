@@ -39,6 +39,10 @@ Deliberate v1-exporter limits (each a named ``IcebergExportUnsupported``):
   through the same name-mapping as every other id-less file), and the
   strict sequence inequality (delete at N hits data at <N) is the same
   rule this table's own merge-on-read applies;
+- position deletes export as content=1 delete files REWRITTEN into spec
+  form (absolute URIs, reserved field-ids 2147483546/2147483545 embedded
+  in the parquet — name mapping never covers reserved columns — rows
+  sorted by (path, pos)); the rewrite is O(deleted rows) per file;
 - parquet data files only;
 - partition specs: ``identity`` fields export faithfully — per-file
   partition tuples parse from the writer's hive-style directories, so
@@ -709,6 +713,49 @@ def _file_column_stats(
 
 
 # ------------------------------------------------------------------ export
+def _rewrite_position_delete(
+    path: str, root: str, out: str
+) -> tuple[str, int, int]:
+    """Re-emit an internal position-delete parquet in the exact form the
+    Iceberg spec mandates: ``file_path`` as absolute URIs matching the
+    exported data entries, ``pos`` int64, the RESERVED field-ids
+    (2147483546 / 2147483545) embedded as parquet field metadata, rows
+    sorted by (file_path, pos). Returns (new_path, rows, bytes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    prefix = "file://" + os.path.abspath(root) + "/"
+    fps = pa.array(
+        [prefix + v for v in t.column("file_path").to_pylist()],
+        type=pa.string(),
+    )
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483546"},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483545"},
+            ),
+        ]
+    )
+    rewritten = pa.table(
+        {"file_path": fps, "pos": t.column("pos")}
+    ).cast(schema).sort_by([("file_path", "ascending"), ("pos", "ascending")])
+    new_path = os.path.join(
+        out, f"pos-delete-{uuid.uuid4().hex}.parquet"
+    )
+    pq.write_table(rewritten, new_path)
+    return new_path, rewritten.num_rows, os.path.getsize(new_path)
+
+
 def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
     """Write an Iceberg v2 metadata tree for ``table``'s current main-branch
     state; returns the path of the ``metadata.json`` written.
@@ -808,12 +855,35 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         path = os.path.join(table.root, fentry["path"])
         rows = _rows_of(fentry, path)
         total_del_rows += rows
+        fseq = fentry.get("seq", seq)
         if fentry.get("delete_type") == "position":
-            raise IcebergExportUnsupported(
-                "live position-delete files are not exportable yet (their "
-                "parquet lacks the reserved field-ids 2147483546/2147483545 "
-                "external readers require) — compact() folds them first"
+            # positional files REWRITE on export: the internal form stores
+            # root-relative paths and id-less columns; Iceberg readers need
+            # absolute URIs matching the exported data entries plus the
+            # spec's RESERVED field-ids (2147483546 file_path /
+            # 2147483545 pos) embedded in the parquet itself — name mapping
+            # never covers reserved columns. Rows sort by (path, pos) as
+            # the spec requires. Tiny files: O(deleted rows) each.
+            new_path, rows, size = _rewrite_position_delete(
+                path, table.root, out
             )
+            del_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": fseq,
+                    "file_sequence_number": fseq,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": "file://" + os.path.abspath(new_path),
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                    },
+                }
+            )
+            continue
         # delete files written before a rename carry retired key names —
         # canonicalize through the alias map before resolving field ids
         rev = {a: c for c, als in aliases.items() for a in als}
@@ -823,7 +893,6 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
             raise IcebergExportUnsupported(
                 f"delete file keys on column {e} not in current schema"
             ) from None
-        fseq = fentry.get("seq", seq)
         del_entries.append(
             {
                 "status": 1,

