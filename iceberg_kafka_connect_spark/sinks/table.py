@@ -1015,6 +1015,60 @@ class LakehouseTable:
         finally:
             matched.unpersist()
 
+    def update_where_positions(
+        self,
+        spark: SparkSession,
+        where: str,
+        assignments: dict[str, str],
+        branch: str = MAIN,
+        snapshot_props: dict | None = None,
+    ) -> dict | None:
+        """Row-level UPDATE WHERE without unique keys: one snapshot carrying
+        POSITION deletes for the matched rows' physical identities plus the
+        re-appended rows with ``assignments`` applied — the positional
+        sibling of :meth:`update_where`, exact on duplicate rows for the
+        same reason :meth:`delete_where_positions` is. Same scale shape:
+        one predicate-pruned scan, O(matches) written, no file rewrite."""
+        unknown = set(assignments) - {f.name for f in self.read_schema().fields}
+        if unknown:
+            raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
+        meta = self.metadata()
+        snap = self.current_snapshot(branch)
+        if snap is None:
+            return None
+        data_files, delete_files = self._live_files(meta, snap)
+        data_files = [f for f in data_files if file_may_match(f, where)]
+        if not data_files:
+            return None
+        rows = self._read_file_group(
+            spark, data_files, self.read_schema(), with_position=True
+        )
+        rows = self._apply_deletes(spark, rows, delete_files)
+        prefix = os.path.abspath(self.root) + "/"
+        matched = rows.filter(where).persist()
+        try:
+            if matched.isEmpty():
+                return None
+            positions = matched.select(
+                _fp_norm(F.col("__fp"))
+                .substr(F.lit(len(prefix) + 1), F.lit(1 << 30))
+                .alias("file_path"),
+                F.col("__pos").alias("pos"),
+            )
+            dfiles = [
+                {**f, "delete_type": "position"}
+                for f in self._write_files(positions, "deletes")
+            ]
+            updated = matched.drop("__fp", "__pos", "__seq").withColumns(
+                {c: F.expr(e) for c, e in assignments.items()}
+            )
+            data = self._write_files(self._project(updated), "data")
+            return self._commit_snapshot(
+                "overwrite", data, dfiles, snapshot_props or {}, branch
+            )
+        finally:
+            matched.unpersist()
+
     def evolve_schema(self, incoming: T.StructType) -> bool:
         """§1.3 #3: add missing columns (including nested struct fields,
         RecordConverter.java:166-229), widen int→long / float→double.

@@ -190,3 +190,32 @@ def test_position_delete_predicate_prunes_files(spark, tmp_path):
     assert total == 3 and len(kept) == 1
     t.delete_where_positions(spark, "k >= 250")
     assert t.read(spark).count() == 250
+
+
+def test_update_where_positions_duplicate_rows(spark, tmp_path):
+    """Keyless UPDATE: every duplicate copy updates, rows appended by the
+    update itself are out of the deletes' reach (fresh file identities)."""
+    t = _table(
+        spark, tmp_path, [(1, "a", 10), (1, "a", 10), (2, "b", 20)], "u"
+    )
+    snap = t.update_where_positions(spark, "v = 10", {"v": "v + 1", "g": "'z'"})
+    assert snap is not None
+    got = sorted((r.k, r.g, r.v) for r in t.read(spark).collect())
+    assert got == [(1, "z", 11), (1, "z", 11), (2, "b", 20)]
+
+
+def test_update_where_positions_chained(spark, tmp_path):
+    t = _table(spark, tmp_path, [(i, "g", i) for i in range(20)], "u2")
+    t.update_where_positions(spark, "v < 5", {"v": "v + 100"})
+    t.update_where_positions(spark, "v >= 100", {"g": "'hot'"})
+    got = t.read(spark)
+    assert got.filter("g = 'hot'").count() == 5
+    assert got.count() == 20
+    assert got.filter("v >= 100").count() == 5
+
+
+def test_update_where_positions_no_match_and_bad_column(spark, tmp_path):
+    t = _table(spark, tmp_path, [(1, "a", 10)], "u3")
+    assert t.update_where_positions(spark, "v > 99", {"v": "0"}) is None
+    with pytest.raises(ValueError, match="unknown"):
+        t.update_where_positions(spark, "k = 1", {"nope": "1"})
