@@ -80,13 +80,12 @@ def load_all() -> dict[str, QuerySpec]:
     # contamination, as-of/range joins, packing, repetition, global IDs,
     # source mix, DSIR. Guarded so repeated load_all() calls keep the order
     # stable.
-    # Round-4 rotation queue (oracle-checked, never gated — registered in
-    # round 3 after the window was fixed): dedup_exact_bloom, ann_knn_graph,
-    # dedup_simhash_md5, multimodal_phash_dedup, docs_split_assign,
-    # incremental_agg_refresh, mv_refresh, skew_salted_join, ann_topk_numpy
-    # (oracle added r3), docs_winnow_fingerprints, ann_topk_pq (rows-only),
-    # time_travel_read, smt_json_chaotic, plus the r3-gated 13 can rotate
-    # out once CORRECTNESS_r03 lands their rows.
+    # Round-5 rotation queue (oracle-checked, never gated): the TPC-H tail
+    # — tpch_q2, tpch_q4, tpch_q8, tpch_q9, tpch_q11, tpch_q12, tpch_q16,
+    # tpch_q20, tpch_q21, lineitem_grouping_sets, orders_rank_stats — plus
+    # any round-4 additions (iceberg_import round-trip, bucket-spec export)
+    # once their CORRECTNESS_r04 rows land. The r4-gated 13 below keep r04
+    # as their evidence and rotate out.
     if "tpch_q1" not in QUERIES:
         window = (
             # — SURVEY §2 rows (keep every round) —
@@ -104,20 +103,21 @@ def load_all() -> dict[str, QuerySpec]:
             "incremental_scan", "stats_pruned_scan", "merge_into",
             "dml_delete_update", "changelog_read", "metadata_count_bounds",
             "cdc_mirror", "wap_publish",
-            # — round-3 rotation: first-time rows —
-            "spec_evolution",
-            "curation_pipeline",
-            "multimodal_payload_stats",
-            "multimodal_meta_filter",
-            "dedup_incremental",
-            "contamination_check",
-            "asof_join_purchase",
-            "range_join_attribution",
-            "docs_pack_sequences",
-            "text_repetition",
-            "docs_global_ids",
-            "docs_source_mix",
-            "docs_dsir_relevance",
+            # — round-4 rotation: first-time rows (r3's 13 keep r03 as
+            # their evidence; spec_evolution gated r3 rotates out too) —
+            "dml_position_delete",
+            "incremental_agg_refresh",
+            "mv_refresh",
+            "time_travel_read",
+            "dedup_exact_bloom",
+            "ann_knn_graph",
+            "docs_winnow_fingerprints",
+            "skew_salted_join",
+            "multimodal_phash_dedup",
+            "docs_split_assign",
+            "smt_json_chaotic",
+            "dedup_simhash_md5",
+            "ann_topk_numpy",
         )
         for k in [k for k in window if k in QUERIES][::-1]:
             spec = QUERIES.pop(k)
