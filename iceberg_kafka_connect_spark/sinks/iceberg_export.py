@@ -851,12 +851,15 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
     # an unpartitioned spec of its own when the table's spec isn't empty.
     del_entries = []
     total_del_rows = 0
+    pos_del_files = pos_del_rows = eq_del_files = eq_del_rows = 0
     for fentry in delete_files:
         path = os.path.join(table.root, fentry["path"])
         rows = _rows_of(fentry, path)
         total_del_rows += rows
         fseq = fentry.get("seq", seq)
         if fentry.get("delete_type") == "position":
+            pos_del_files += 1
+            pos_del_rows += rows
             # positional files REWRITE on export: the internal form stores
             # root-relative paths and id-less columns; Iceberg readers need
             # absolute URIs matching the exported data entries plus the
@@ -884,11 +887,19 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
                 }
             )
             continue
+        eq_del_files += 1
+        eq_del_rows += rows
+        key_cols = fentry.get("key_cols")
+        if key_cols is None:
+            raise IcebergExportUnsupported(
+                "legacy delete file lacks recorded key columns — "
+                "compact() first"
+            )
         # delete files written before a rename carry retired key names —
         # canonicalize through the alias map before resolving field ids
         rev = {a: c for c, als in aliases.items() for a in als}
         try:
-            eq_ids = [col_ids[rev.get(c, c)] for c in fentry["key_cols"]]
+            eq_ids = [col_ids[rev.get(c, c)] for c in key_cols]
         except KeyError as e:
             raise IcebergExportUnsupported(
                 f"delete file keys on column {e} not in current schema"
@@ -1010,10 +1021,18 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
             "added-records": str(total_rows),
             **(
                 {
-                    "added-equality-delete-files": str(len(del_entries)),
-                    "added-equality-deletes": str(total_del_rows),
+                    "added-equality-delete-files": str(eq_del_files),
+                    "added-equality-deletes": str(eq_del_rows),
                 }
-                if del_entries
+                if eq_del_files
+                else {}
+            ),
+            **(
+                {
+                    "added-position-delete-files": str(pos_del_files),
+                    "added-position-deletes": str(pos_del_rows),
+                }
+                if pos_del_files
                 else {}
             ),
         },

@@ -58,8 +58,22 @@ def _fp_norm(col: Column) -> Column:
     """Normalize ``_metadata.file_path`` to a plain absolute path: Spark
     renders local URIs as ``file:/...`` (sometimes ``file:///...``); both
     collapse to ``/...`` so write-time relativization and read-time
-    reconstruction agree regardless of the rendering."""
-    return F.regexp_replace(col, r"^file:/+", "/")
+    reconstruction agree regardless of the rendering.
+
+    The rendering is also percent-ENCODED (space → ``%20``, ``%`` →
+    ``%25``, non-ASCII → UTF-8 escapes), while ``os.path.abspath(root)``
+    and ``fentry["path"]`` are raw filesystem strings — so the encoded form
+    must be decoded or a table root / partition value containing such a
+    character makes the prefix strip cut at the wrong offset and the
+    position-delete anti-join silently misses (resurrecting deleted rows).
+    ``url_decode`` also maps literal ``+`` to space (URLDecoder semantics),
+    which URI *path* rendering never produces for a space — protect literal
+    ``+`` by pre-encoding it so only genuine %XX sequences decode."""
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(col, r"^file:/+", "/"), r"\+", "%2B"
+        )
+    )
 
 _WIDENINGS = {("integer", "long"), ("float", "double")}
 

@@ -160,7 +160,8 @@ def test_export_rewrites_position_deletes_to_spec_form(spark, tmp_path):
         )
         assert pairs == sorted(pairs)  # spec ordering
         assert all(fp.startswith("file://") for fp, _ in pairs)
-        assert all(fp in set(info["file_paths"]) or True for fp, _ in pairs)
+        data_uris = {"file://" + p for p in info["file_paths"]}
+        assert all(fp in data_uris for fp, _ in pairs)
         deleted |= set(pairs)
     # external-reader reconstruction: per data file, drop marked ordinals
     import pyarrow as pa
@@ -219,3 +220,55 @@ def test_update_where_positions_no_match_and_bad_column(spark, tmp_path):
     assert t.update_where_positions(spark, "v > 99", {"v": "0"}) is None
     with pytest.raises(ValueError, match="unknown"):
         t.update_where_positions(spark, "k = 1", {"nope": "1"})
+
+
+def test_position_delete_with_space_in_partition_value(spark, tmp_path):
+    """Spark renders `_metadata.file_path` percent-encoded (space → %20)
+    while the table root / fentry paths are raw strings; without URL
+    decoding in _fp_norm the prefix strip misaligns and the anti-join
+    silently resurrects deleted rows (round-3 ADVICE, table.py)."""
+    t = LakehouseTable.create(
+        str(tmp_path / "t sp"), SCHEMA, partition_by=["g"]
+    )
+    rows = [(1, "a b", 10), (2, "a b", 20), (3, "c%d", 30), (4, "e", 40)]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    snap = t.delete_where_positions(spark, "v <= 20")
+    assert snap is not None
+    got = sorted((r.k, r.g, r.v) for r in t.read(spark).collect())
+    assert got == [(3, "c%d", 30), (4, "e", 40)]
+    # UPDATE path goes through the same reconstruction
+    t.update_where_positions(spark, "g = 'c%d'", {"v": "v + 1"})
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert got == [(3, 31), (4, 40)]
+
+
+def test_position_delete_space_partition_exports(spark, tmp_path):
+    """The exported position-delete URIs must match the exported data-entry
+    URIs byte-for-byte even when partition dirs contain spaces."""
+    pq = pytest.importorskip("pyarrow.parquet")
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        export_iceberg_metadata,
+        read_exported,
+    )
+
+    t = LakehouseTable.create(str(tmp_path / "t"), SCHEMA, partition_by=["g"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "a b", 10), (2, "a b", 20), (3, "x", 30)], SCHEMA
+        )
+    )
+    t.delete_where_positions(spark, "k = 1")
+    out = export_iceberg_metadata(t)
+    info = read_exported(out)
+    data_uris = {"file://" + p for p in info["file_paths"]}
+    pos_files = [d for d in info["delete_files"] if d["equality_ids"] is None]
+    assert pos_files
+    marked = set()
+    for d in pos_files:
+        pf = pq.read_table(d["path"])
+        for fp, pos in zip(
+            pf.column("file_path").to_pylist(), pf.column("pos").to_pylist()
+        ):
+            assert fp in data_uris
+            marked.add((fp, pos))
+    assert len(marked) == 1  # exactly the one deleted row
