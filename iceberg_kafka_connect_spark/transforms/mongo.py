@@ -12,12 +12,15 @@ vectorized from_json per column:
 - create/read/full-update → row parsed from ``after``
 - delete → row parsed from ``before`` (or just the key)
 - partial update (no full document) → row reconstructed as
-  key ⊕ updatedFields, with removedFields → NULL — exactly the reference's
-  updateDescription reconstruction (MongoDebeziumTransform.java:120-189)
+  before ⊕ updatedFields (before may be absent), removedFields → NULL, and
+  the primary key bumped from documentKey when the merge left it unset —
+  exactly the reference's updateDescription reconstruction
+  (MongoDebeziumTransform.java:120-189)
 
 The document schema is supplied (or inferred from a sample via
-schema_of_json); extended-JSON wrappers like {"$numberLong": "5"} should be
-normalized upstream or handled by string-typed fields.
+schema_of_json); extended-JSON wrappers like {"$numberLong": "5"} are
+collapsed by :func:`normalize_extended_json` (the reference resolves them
+through typed BSON parsing instead).
 """
 
 from __future__ import annotations
@@ -44,9 +47,15 @@ def mongo_debezium_transform(
     update_desc_col: str = "updateDescription",
     document_key_col: str = "documentKey",
     ts_col: str = "ts_ms",
+    strict: bool = False,
 ):
     """Returns a transform producing one flat row per change event with a
-    ``_cdc`` struct, from string-JSON envelope columns."""
+    ``_cdc`` struct, from string-JSON envelope columns.
+
+    ``strict=True`` mirrors the reference's malformed-record check
+    (MongoDebeziumTransform.java:110-115): a non-tombstone envelope with
+    none of before/after/updateDescription fails the job instead of being
+    silently dropped."""
 
     def _apply(df: DataFrame) -> DataFrame:
         op = F.col(op_col)
@@ -60,17 +69,26 @@ def mongo_debezium_transform(
         updated = F.from_json(upd.getField("updatedFields"), doc_schema)
         removed = upd.getField("removedFields")
 
-        # partial-update reconstruction: key ⊕ updatedFields, removed → NULL
+        # partial-update reconstruction, exactly the reference's
+        # buildAfterBsonFromPartials (MongoDebeziumTransform.java:163-189):
+        # start from before (or an empty doc when capture.mode has no
+        # pre-image), overlay updatedFields, drop removedFields, and bump
+        # the primary key from documentKey when the merge left it unset.
         patched_fields = []
         for f in doc_schema.fields:
+            dropped = removed.isNotNull() & F.array_contains(removed, f.name)
+            merged = F.coalesce(
+                updated.getField(f.name), before.getField(f.name)
+            )
             if f.name == key_field:
-                patched_fields.append(key.getField(key_field).alias(f.name))
+                val = F.when(
+                    dropped, key.getField(key_field)
+                ).otherwise(F.coalesce(merged, key.getField(key_field)))
             else:
                 val = F.when(
-                    removed.isNotNull() & F.array_contains(removed, f.name),
-                    F.lit(None).cast(f.dataType),
-                ).otherwise(updated.getField(f.name))
-                patched_fields.append(val.alias(f.name))
+                    dropped, F.lit(None).cast(f.dataType)
+                ).otherwise(merged)
+            patched_fields.append(val.alias(f.name))
         patched = F.struct(*patched_fields)
 
         # key-only row (delete with no before document)
@@ -86,9 +104,28 @@ def mongo_debezium_transform(
         row = (
             F.when(op == "d", F.coalesce(before, key_row))
             .when((op == "u") & F.col(after_col).isNotNull(), after)
-            .when(op == "u", patched)
+            .when((op == "u") & upd.isNotNull(), patched)
             .otherwise(after)
         )
+        if strict:
+            malformed = (
+                F.col(after_col).isNull()
+                & F.col(before_col).isNull()
+                & upd.isNull()
+            )
+            # assert_true returns NULL when the predicate holds and raises
+            # otherwise; gating on its (always-true) null-ness keeps row's
+            # struct type while forcing per-row evaluation
+            row = F.when(
+                F.assert_true(
+                    ~malformed,
+                    F.concat(
+                        F.lit("malformed mongo record key="),
+                        F.col(document_key_col),
+                    ),
+                ).isNull(),
+                row,
+            )
         cdc = F.struct(
             _op_col(op).alias("op"),
             F.timestamp_millis(F.col(ts_col)).alias("ts"),
@@ -103,3 +140,33 @@ def mongo_debezium_transform(
         )
 
     return _apply
+
+
+def normalize_extended_json(col: Column) -> Column:
+    """Collapse MongoDB extended-JSON scalar wrappers to plain JSON scalars
+    so ``from_json`` with a typed document schema parses Debezium's Mongo
+    payloads directly — the Spark-side stand-in for the reference's typed
+    BSON walk (MongoDataConverter.java:57-300 resolves $numberLong/$date/
+    $oid et al. through BsonDocument.parse):
+
+    - ``{"$numberLong": "5"} / {"$numberInt": "5"}``  → ``5``
+    - ``{"$numberDouble": "1.5"} / {"$numberDecimal": "1.5"}`` → ``1.5``
+    - ``{"$date": 1393804800000}`` and
+      ``{"$date": {"$numberLong": "1393804800000"}}`` → epoch-millis number
+    - ``{"$oid": "<hex>"}`` → ``"<hex>"``
+
+    Wrapper shapes are rigid (a one-key document), so a chain of vectorized
+    JVM-side regexp_replace is exact on well-formed extended JSON; the one
+    theoretical false positive is a *string field value* that itself
+    contains an unescaped wrapper-shaped substring, which valid JSON string
+    escaping precludes."""
+    num = r'\{\s*"\$number(?:Long|Int)"\s*:\s*"(-?\d+)"\s*\}'
+    dbl = r'\{\s*"\$number(?:Double|Decimal)"\s*:\s*"(-?[^"]+)"\s*\}'
+    oid = r'\{\s*"\$oid"\s*:\s*("[0-9a-fA-F]+")\s*\}'
+    out = F.regexp_replace(col, num, "$1")
+    out = F.regexp_replace(out, dbl, "$1")
+    # inner wrappers first ($date may nest $numberLong — handled by the
+    # first pass), then bare numeric $date
+    out = F.regexp_replace(out, r'\{\s*"\$date"\s*:\s*(-?\d+)\s*\}', "$1")
+    out = F.regexp_replace(out, oid, "$1")
+    return out
