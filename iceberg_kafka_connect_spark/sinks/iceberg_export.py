@@ -28,11 +28,16 @@ names ride the SAME field-id as their current name, so files written
 before a rename resolve correctly (and delete-file key columns
 canonicalize through the alias map before ``equality_ids`` resolution).
 
-Deliberate v1-exporter limits (each a named ``IcebergExportUnsupported``):
-- current state only: history collapses to one snapshot (the live file
-  set), because per-era manifest reconstruction adds nothing a reader can
-  see — but every file entry keeps its TRUE sequence number, which is what
-  makes delete application ordering survive the collapse;
+Named branches and tags export as Iceberg v2 ``refs``: every distinct
+snapshot reachable from a ref gets its own manifest-list tree, shared when
+refs coincide, so external readers see each branch/tag's file set.
+
+Deliberate exporter limits (each a named ``IcebergExportUnsupported``):
+- ref heads only: intermediate history collapses to one snapshot per ref
+  (the live file set), because per-era manifest reconstruction adds
+  nothing a reader can see — but every file entry keeps its TRUE sequence
+  number, which is what makes delete application ordering survive the
+  collapse;
 - equality deletes export as real content=2 delete files in a content=1
   manifest: the table's delete-key parquet files are exactly Iceberg
   equality-delete files (key columns only, ``equality_ids`` resolved
@@ -47,13 +52,15 @@ Deliberate v1-exporter limits (each a named ``IcebergExportUnsupported``):
 - partition specs: ``identity`` fields export faithfully — per-file
   partition tuples parse from the writer's hive-style directories, so
   external readers both prune on them and reconstitute the identity
-  columns ``partitionBy`` dropped from the data files. Non-identity
-  transforms export as ``void`` (always-null partition value): our
-  bucket/time transforms are deliberately not byte-compatible with
-  Iceberg's (sinks/spec.py), and exporting their names would make
-  external engines prune WRONGLY — void keeps correctness (their source
-  columns remain in the files) at the cost of transform pruning on those
-  dimensions.
+  columns ``partitionBy`` dropped from the data files — and
+  ``iceberg_bucket`` fields export as real ``bucket[N]`` specs (the
+  murmur3 transform in functions/murmur3.py is byte-compatible with the
+  spec's Appendix B). The remaining transforms export as ``void``
+  (always-null partition value): xxhash64 ``bucket`` and the string-typed
+  time transforms are deliberately not byte-compatible with Iceberg's
+  (sinks/spec.py), and exporting their names would make external engines
+  prune WRONGLY — void keeps correctness (their source columns remain in
+  the files) at the cost of transform pruning on those dimensions.
 
 Validation in this sandbox is structural (``read_exported`` independently
 re-parses every layer; tests hash-compare the files it reaches against
@@ -281,6 +288,8 @@ def _avro_decode(r: _AvroReader, schema):
         return r.raw(r.long()).decode("utf-8")
     if t == "bytes":
         return r.raw(r.long())
+    if t == "fixed":
+        return r.raw(schema["size"])
     if t == "boolean":
         return r.raw(1) == b"\x01"
     if t == "float":
@@ -307,7 +316,11 @@ def _avro_decode(r: _AvroReader, schema):
                 r.long()
                 n = -n
             for _ in range(n):
-                out[r.raw(r.long()).decode()] = _avro_decode(r, schema["values"])
+                # key MUST be read before the value: Python evaluates the
+                # RHS of `d[k] = v` first, so a one-liner would decode the
+                # value bytes as the key
+                k = r.raw(r.long()).decode()
+                out[k] = _avro_decode(r, schema["values"])
     raise IcebergExportUnsupported(f"avro decode: {t}")
 
 
@@ -363,15 +376,28 @@ def _read_ocf(path: str) -> tuple[dict, dict, list[dict]]:
         for _ in range(n):
             k = r.raw(r.long()).decode()
             meta[k] = r.raw(r.long())
-    if meta.get("avro.codec", b"null") not in (b"null",):
-        raise IcebergExportUnsupported("compressed OCF not supported")
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b"deflate"):
+        raise IcebergExportUnsupported(
+            f"unsupported OCF codec: {codec.decode('ascii', 'replace')}"
+        )
     schema = json.loads(meta["avro.schema"])
     r.raw(SYNC_SIZE)
     rows = []
     while r.pos < len(data):
         count = r.long()
-        r.long()  # byte size
-        rows.extend(_avro_decode(r, schema) for _ in range(count))
+        size = r.long()  # block byte size
+        if codec == b"deflate":
+            # Avro deflate blocks are raw DEFLATE streams (RFC 1951, no
+            # zlib header/checksum) — the default codec of real Iceberg
+            # metadata writers, so the import path must read it
+            import zlib
+
+            block = zlib.decompressobj(-15).decompress(r.raw(size))
+            br = _AvroReader(block)
+            rows.extend(_avro_decode(br, schema) for _ in range(count))
+        else:
+            rows.extend(_avro_decode(r, schema) for _ in range(count))
         r.raw(SYNC_SIZE)
     return {k: v.decode("utf-8", "replace") for k, v in meta.items()}, schema, rows
 
@@ -468,6 +494,27 @@ def _partition_export_plan(spec_fields, col_ids, col_types):
                 }
             )
             parsers[pf.name] = (pf.name, _partition_value_parser(ice_t))
+        elif pf.transform == "iceberg_bucket":
+            # spec-conformant murmur3 bucket (sinks/spec.py
+            # _iceberg_bucket_col) — exports faithfully, external readers
+            # may prune on it; per-file values parse from the hive dirs
+            spec_json.append(
+                {
+                    "name": pf.name,
+                    "transform": f"bucket[{pf.param}]",
+                    "source-id": col_ids[pf.source],
+                    "field-id": fid,
+                }
+            )
+            avro_fields.append(
+                {
+                    "name": pf.name,
+                    "type": ["null", "int"],
+                    "default": None,
+                    "field-id": fid,
+                }
+            )
+            parsers[pf.name] = (pf.name, int)
         else:
             spec_json.append(
                 {
@@ -727,7 +774,12 @@ def _rewrite_position_delete(
     t = pq.read_table(path)
     prefix = "file://" + os.path.abspath(root) + "/"
     fps = pa.array(
-        [prefix + v for v in t.column("file_path").to_pylist()],
+        [
+            # absolute stored paths reference external data files in place
+            # (imported tables); relative ones live under the table root
+            ("file://" + v) if v.startswith("/") else (prefix + v)
+            for v in t.column("file_path").to_pylist()
+        ],
         type=pa.string(),
     )
     schema = pa.schema(
@@ -773,21 +825,12 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
     # multiple names per mapping entry — so renamed tables export without
     # any file rewrite.
     aliases = table.name_mapping()
-    data_files, delete_files = table.live_files()
-    for fentry in data_files + delete_files:
-        if fentry.get("format", "parquet") != "parquet":
-            raise IcebergExportUnsupported(
-                f"data file format {fentry.get('format')!r} not exportable "
-                "(Iceberg avro/orc data files need embedded field-ids)"
-            )
 
     out = out_dir or os.path.join(table.root, "iceberg-metadata")
     os.makedirs(out, exist_ok=True)
 
     ice_schema, last_col_id = iceberg_schema(table.schema())
     snap = table.current_snapshot()
-    seq = snap["sequence_number"] if snap else 0
-    sid = _snapshot_id_int(snap["snapshot_id"]) if snap else None
     now_ms = int(time.time() * 1000)
 
     # ----- manifest: every live data file as one ADDED entry, carrying
@@ -810,66 +853,118 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
             rows = pq.ParquetFile(path).metadata.num_rows
         return rows
 
-    entries = []
-    total_rows = 0
-    for fentry in data_files:
-        path = os.path.join(table.root, fentry["path"])
-        rows = _rows_of(fentry, path)
-        total_rows += rows
-        # per-file TRUE sequence numbers (not the head snapshot's): with
-        # equality deletes exported alongside, a reader applies a delete at
-        # sequence N to data with sequence < N — the strict inequality this
-        # table's own merge-on-read uses (sinks/table.py module docstring),
-        # so same-snapshot upsert inserts correctly survive their deletes.
-        fseq = fentry.get("seq", seq)
-        entries.append(
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": sid,
-                "sequence_number": fseq,
-                "file_sequence_number": fseq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": "file://" + os.path.abspath(path),
-                    "file_format": "PARQUET",
-                    "partition": _partition_tuple(
-                        fentry["path"], part_parsers
-                    ),
-                    "record_count": rows,
-                    "file_size_in_bytes": fentry.get("bytes")
-                    or os.path.getsize(path),
-                    **_file_column_stats(fentry, col_ids, col_types, rows),
-                },
-            }
-        )
+    used_delete_spec = [False]
 
-    # ----- equality-delete manifest: the table's delete-key parquet files
-    # ARE Iceberg equality-delete files — they carry exactly the key columns
-    # (field-id resolution via the exported schema.name-mapping.default,
-    # like every other id-less file here). Deletes are written global
-    # (never partitioned — table.py _write_files), so their manifest uses
-    # an unpartitioned spec of its own when the table's spec isn't empty.
-    del_entries = []
-    total_del_rows = 0
-    pos_del_files = pos_del_rows = eq_del_files = eq_del_rows = 0
-    for fentry in delete_files:
-        path = os.path.join(table.root, fentry["path"])
-        rows = _rows_of(fentry, path)
-        total_del_rows += rows
-        fseq = fentry.get("seq", seq)
-        if fentry.get("delete_type") == "position":
-            pos_del_files += 1
-            pos_del_rows += rows
-            # positional files REWRITE on export: the internal form stores
-            # root-relative paths and id-less columns; Iceberg readers need
-            # absolute URIs matching the exported data entries plus the
-            # spec's RESERVED field-ids (2147483546 file_path /
-            # 2147483545 pos) embedded in the parquet itself — name mapping
-            # never covers reserved columns. Rows sort by (path, pos) as
-            # the spec requires. Tiny files: O(deleted rows) each.
-            new_path, rows, size = _rewrite_position_delete(
-                path, table.root, out
+    def _snapshot_tree(snap_x: dict) -> dict:
+        """Export one snapshot's manifests + manifest list; returns its
+        metadata.json snapshot entry. Called once per distinct snapshot
+        reachable from a ref (main, named branches, tags) — each gets its
+        own file tree, shared when refs point at the same snapshot."""
+        seq = snap_x["sequence_number"]
+        sid = _snapshot_id_int(snap_x["snapshot_id"])
+        data_files, delete_files = table.live_files(snap=snap_x)
+        for fentry in data_files + delete_files:
+            if fentry.get("format", "parquet") != "parquet":
+                raise IcebergExportUnsupported(
+                    f"data file format {fentry.get('format')!r} not "
+                    "exportable (Iceberg avro/orc data files need embedded "
+                    "field-ids)"
+                )
+        commit_uuid = uuid.uuid4().hex
+        entries = []
+        total_rows = 0
+        for fentry in data_files:
+            path = os.path.join(table.root, fentry["path"])
+            rows = _rows_of(fentry, path)
+            total_rows += rows
+            # per-file TRUE sequence numbers (not the head snapshot's): with
+            # equality deletes exported alongside, a reader applies a delete at
+            # sequence N to data with sequence < N — the strict inequality this
+            # table's own merge-on-read uses (sinks/table.py module docstring),
+            # so same-snapshot upsert inserts correctly survive their deletes.
+            fseq = fentry.get("seq", seq)
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": sid,
+                    "sequence_number": fseq,
+                    "file_sequence_number": fseq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": "file://" + os.path.abspath(path),
+                        "file_format": "PARQUET",
+                        "partition": _partition_tuple(
+                            fentry["path"], part_parsers
+                        ),
+                        "record_count": rows,
+                        "file_size_in_bytes": fentry.get("bytes")
+                        or os.path.getsize(path),
+                        **_file_column_stats(fentry, col_ids, col_types, rows),
+                    },
+                }
             )
+
+        # ----- equality-delete manifest: the table's delete-key parquet files
+        # ARE Iceberg equality-delete files — they carry exactly the key columns
+        # (field-id resolution via the exported schema.name-mapping.default,
+        # like every other id-less file here). Deletes are written global
+        # (never partitioned — table.py _write_files), so their manifest uses
+        # an unpartitioned spec of its own when the table's spec isn't empty.
+        del_entries = []
+        total_del_rows = 0
+        pos_del_files = pos_del_rows = eq_del_files = eq_del_rows = 0
+        for fentry in delete_files:
+            path = os.path.join(table.root, fentry["path"])
+            rows = _rows_of(fentry, path)
+            total_del_rows += rows
+            fseq = fentry.get("seq", seq)
+            if fentry.get("delete_type") == "position":
+                pos_del_files += 1
+                pos_del_rows += rows
+                # positional files REWRITE on export: the internal form stores
+                # root-relative paths and id-less columns; Iceberg readers need
+                # absolute URIs matching the exported data entries plus the
+                # spec's RESERVED field-ids (2147483546 file_path /
+                # 2147483545 pos) embedded in the parquet itself — name mapping
+                # never covers reserved columns. Rows sort by (path, pos) as
+                # the spec requires. Tiny files: O(deleted rows) each.
+                new_path, rows, size = _rewrite_position_delete(
+                    path, table.root, out
+                )
+                del_entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": sid,
+                        "sequence_number": fseq,
+                        "file_sequence_number": fseq,
+                        "data_file": {
+                            "content": 1,  # POSITION_DELETES
+                            "file_path": "file://" + os.path.abspath(new_path),
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": rows,
+                            "file_size_in_bytes": size,
+                        },
+                    }
+                )
+                continue
+            eq_del_files += 1
+            eq_del_rows += rows
+            key_cols = fentry.get("key_cols")
+            if key_cols is None:
+                raise IcebergExportUnsupported(
+                    "legacy delete file lacks recorded key columns — "
+                    "compact() first"
+                )
+            # delete files written before a rename carry retired key names —
+            # canonicalize through the alias map before resolving field ids
+            rev = {a: c for c, als in aliases.items() for a in als}
+            try:
+                eq_ids = [col_ids[rev.get(c, c)] for c in key_cols]
+            except KeyError as e:
+                raise IcebergExportUnsupported(
+                    f"delete file keys on column {e} not in current schema"
+                ) from None
             del_entries.append(
                 {
                     "status": 1,
@@ -877,167 +972,173 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
                     "sequence_number": fseq,
                     "file_sequence_number": fseq,
                     "data_file": {
-                        "content": 1,  # POSITION_DELETES
-                        "file_path": "file://" + os.path.abspath(new_path),
+                        "content": 2,  # EQUALITY_DELETES
+                        "file_path": "file://" + os.path.abspath(path),
                         "file_format": "PARQUET",
                         "partition": {},
                         "record_count": rows,
-                        "file_size_in_bytes": size,
+                        "file_size_in_bytes": fentry.get("bytes")
+                        or os.path.getsize(path),
+                        "equality_ids": eq_ids,
                     },
                 }
             )
-            continue
-        eq_del_files += 1
-        eq_del_rows += rows
-        key_cols = fentry.get("key_cols")
-        if key_cols is None:
-            raise IcebergExportUnsupported(
-                "legacy delete file lacks recorded key columns — "
-                "compact() first"
-            )
-        # delete files written before a rename carry retired key names —
-        # canonicalize through the alias map before resolving field ids
-        rev = {a: c for c, als in aliases.items() for a in als}
-        try:
-            eq_ids = [col_ids[rev.get(c, c)] for c in key_cols]
-        except KeyError as e:
-            raise IcebergExportUnsupported(
-                f"delete file keys on column {e} not in current schema"
-            ) from None
-        del_entries.append(
-            {
-                "status": 1,
-                "snapshot_id": sid,
-                "sequence_number": fseq,
-                "file_sequence_number": fseq,
-                "data_file": {
-                    "content": 2,  # EQUALITY_DELETES
-                    "file_path": "file://" + os.path.abspath(path),
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": rows,
-                    "file_size_in_bytes": fentry.get("bytes")
-                    or os.path.getsize(path),
-                    "equality_ids": eq_ids,
-                },
-            }
-        )
-    delete_spec_id = 0 if not spec_json else 1
+        delete_spec_id = 0 if not spec_json else 1
+        if del_entries and delete_spec_id == 1:
+            used_delete_spec[0] = True
 
-    commit_uuid = uuid.uuid4().hex
-    manifest_path = os.path.join(out, f"{commit_uuid}-m0.avro")
-    manifest_len = _write_ocf(
-        manifest_path,
-        _manifest_entry_schema(part_avro),
-        entries,
-        {
-            "schema": json.dumps(ice_schema),
-            "schema-id": "0",
-            "partition-spec": json.dumps(spec_json),
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "data",
-        },
-    )
-
-    manifest_rows = [
-        {
-            "manifest_path": "file://" + os.path.abspath(manifest_path),
-            "manifest_length": manifest_len,
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": min(
-                (e["sequence_number"] for e in entries), default=seq
-            ),
-            "added_snapshot_id": sid or 0,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": total_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }
-    ]
-    if del_entries:
-        del_manifest_path = os.path.join(out, f"{commit_uuid}-m1.avro")
-        del_manifest_len = _write_ocf(
-            del_manifest_path,
-            _manifest_entry_schema(),
-            del_entries,
+        commit_uuid = uuid.uuid4().hex
+        manifest_path = os.path.join(out, f"{commit_uuid}-m0.avro")
+        manifest_len = _write_ocf(
+            manifest_path,
+            _manifest_entry_schema(part_avro),
+            entries,
             {
                 "schema": json.dumps(ice_schema),
                 "schema-id": "0",
-                "partition-spec": "[]",
-                "partition-spec-id": str(delete_spec_id),
+                "partition-spec": json.dumps(spec_json),
+                "partition-spec-id": "0",
                 "format-version": "2",
-                "content": "deletes",
+                "content": "data",
             },
         )
-        manifest_rows.append(
+
+        manifest_rows = [
             {
-                "manifest_path": "file://"
-                + os.path.abspath(del_manifest_path),
-                "manifest_length": del_manifest_len,
-                "partition_spec_id": delete_spec_id,
-                "content": 1,  # deletes manifest
+                "manifest_path": "file://" + os.path.abspath(manifest_path),
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "content": 0,
                 "sequence_number": seq,
                 "min_sequence_number": min(
-                    e["sequence_number"] for e in del_entries
+                    (e["sequence_number"] for e in entries), default=seq
                 ),
                 "added_snapshot_id": sid or 0,
-                "added_files_count": len(del_entries),
+                "added_files_count": len(entries),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": total_del_rows,
+                "added_rows_count": total_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
+        ]
+        if del_entries:
+            del_manifest_path = os.path.join(out, f"{commit_uuid}-m1.avro")
+            del_manifest_len = _write_ocf(
+                del_manifest_path,
+                _manifest_entry_schema(),
+                del_entries,
+                {
+                    "schema": json.dumps(ice_schema),
+                    "schema-id": "0",
+                    "partition-spec": "[]",
+                    "partition-spec-id": str(delete_spec_id),
+                    "format-version": "2",
+                    "content": "deletes",
+                },
+            )
+            manifest_rows.append(
+                {
+                    "manifest_path": "file://"
+                    + os.path.abspath(del_manifest_path),
+                    "manifest_length": del_manifest_len,
+                    "partition_spec_id": delete_spec_id,
+                    "content": 1,  # deletes manifest
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        e["sequence_number"] for e in del_entries
+                    ),
+                    "added_snapshot_id": sid or 0,
+                    "added_files_count": len(del_entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": total_del_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
+
+        # ----- manifest list
+        list_path = os.path.join(out, f"snap-{sid}-1-{commit_uuid}.avro")
+        _write_ocf(
+            list_path,
+            _manifest_list_schema(),
+            manifest_rows,
+            {
+                "format-version": "2",
+                "snapshot-id": str(sid),
+                "parent-snapshot-id": "null",
+                "sequence-number": str(seq),
+            },
         )
 
-    # ----- manifest list
-    list_path = os.path.join(out, f"snap-{sid}-1-{commit_uuid}.avro")
-    _write_ocf(
-        list_path,
-        _manifest_list_schema(),
-        manifest_rows,
-        {
-            "format-version": "2",
-            "snapshot-id": str(sid),
-            "parent-snapshot-id": "null",
-            "sequence-number": str(seq),
-        },
-    )
+        # ----- metadata.json
+        snapshot_json = {
+            "snapshot-id": sid,
+            "sequence-number": seq,
+            "timestamp-ms": snap_x["timestamp_ms"],
+            "manifest-list": "file://" + os.path.abspath(list_path),
+            "summary": {
+                "operation": "overwrite" if del_entries else "append",
+                "added-data-files": str(len(entries)),
+                "added-records": str(total_rows),
+                **(
+                    {
+                        "added-equality-delete-files": str(eq_del_files),
+                        "added-equality-deletes": str(eq_del_rows),
+                    }
+                    if eq_del_files
+                    else {}
+                ),
+                **(
+                    {
+                        "added-position-delete-files": str(pos_del_files),
+                        "added-position-deletes": str(pos_del_rows),
+                    }
+                    if pos_del_files
+                    else {}
+                ),
+            },
+            "schema-id": 0,
+        }
+        return snapshot_json
 
-    # ----- metadata.json
-    snapshot_json = {
-        "snapshot-id": sid,
-        "sequence-number": seq,
-        "timestamp-ms": snap["timestamp_ms"] if snap else now_ms,
-        "manifest-list": "file://" + os.path.abspath(list_path),
-        "summary": {
-            "operation": "overwrite" if del_entries else "append",
-            "added-data-files": str(len(entries)),
-            "added-records": str(total_rows),
-            **(
-                {
-                    "added-equality-delete-files": str(eq_del_files),
-                    "added-equality-deletes": str(eq_del_rows),
-                }
-                if eq_del_files
-                else {}
-            ),
-            **(
-                {
-                    "added-position-delete-files": str(pos_del_files),
-                    "added-position-deletes": str(pos_del_rows),
-                }
-                if pos_del_files
-                else {}
-            ),
-        },
-        "schema-id": 0,
-    }
+    # ----- refs: main + named branches + tags (Iceberg v2 refs share one
+    # namespace; a tag colliding with a branch name is skipped). Each
+    # distinct target snapshot exports exactly one manifest-list tree.
+    trees: dict[str, dict] = {}
+
+    def _tree_for(shex: str) -> dict:
+        if shex not in trees:
+            trees[shex] = _snapshot_tree(table._snapshot_by_id(meta, shex))
+        return trees[shex]
+
+    refs_json: dict[str, dict] = {}
+    if snap is not None:
+        refs_json["main"] = {
+            "snapshot-id": _tree_for(snap["snapshot_id"])["snapshot-id"],
+            "type": "branch",
+        }
+    for bname, shex in (meta.get("refs") or {}).items():
+        if bname == "main" or not shex:
+            continue
+        refs_json.setdefault(
+            bname,
+            {"snapshot-id": _tree_for(shex)["snapshot-id"], "type": "branch"},
+        )
+    for tname, shex in (meta.get("tags") or {}).items():
+        if not shex:
+            continue
+        refs_json.setdefault(
+            tname,
+            {"snapshot-id": _tree_for(shex)["snapshot-id"], "type": "tag"},
+        )
+    snapshots_json = sorted(
+        trees.values(), key=lambda s: (s["sequence-number"], s["snapshot-id"])
+    )
+    sid = refs_json.get("main", {}).get("snapshot-id")
+    seq = max((s["sequence-number"] for s in snapshots_json), default=0)
+    commit_uuid = uuid.uuid4().hex
     metadata = {
         "format-version": 2,
         "table-uuid": meta.get("table_uuid", str(uuid.uuid4())),
@@ -1049,11 +1150,7 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         "schemas": [ice_schema],
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_json}]
-        + (
-            [{"spec-id": 1, "fields": []}]
-            if del_entries and delete_spec_id == 1
-            else []
-        ),
+        + ([{"spec-id": 1, "fields": []}] if used_delete_spec[0] else []),
         "last-partition-id": 999 + len(spec_json),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
@@ -1071,15 +1168,12 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
             },
         },
         "current-snapshot-id": sid,
-        "refs": (
-            {"main": {"snapshot-id": sid, "type": "branch"}} if sid else {}
-        ),
-        "snapshots": [snapshot_json] if sid else [],
-        "snapshot-log": (
-            [{"timestamp-ms": snapshot_json["timestamp-ms"], "snapshot-id": sid}]
-            if sid
-            else []
-        ),
+        "refs": refs_json,
+        "snapshots": snapshots_json,
+        "snapshot-log": [
+            {"timestamp-ms": s["timestamp-ms"], "snapshot-id": s["snapshot-id"]}
+            for s in sorted(snapshots_json, key=lambda s: s["timestamp-ms"])
+        ],
         "metadata-log": [],
     }
     metadata_path = os.path.join(out, f"00000-{commit_uuid}.metadata.json")
@@ -1091,7 +1185,7 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
 
 
 # -------------------------------------------------------------- validation
-def read_exported(metadata_path: str) -> dict:
+def read_exported(metadata_path: str, ref: str | None = None) -> dict:
     """Independently re-parse an exported metadata tree layer by layer.
 
     Returns {"schema", "file_paths", "record_counts", "total_rows",
@@ -1102,10 +1196,11 @@ def read_exported(metadata_path: str) -> dict:
     with open(metadata_path) as f:
         md = json.load(f)
     assert md["format-version"] == 2
+    target_sid = (
+        md["refs"][ref]["snapshot-id"] if ref else md["current-snapshot-id"]
+    )
     snap = next(
-        s
-        for s in md["snapshots"]
-        if s["snapshot-id"] == md["current-snapshot-id"]
+        s for s in md["snapshots"] if s["snapshot-id"] == target_sid
     )
     _, _, manifests = _read_ocf(snap["manifest-list"].removeprefix("file://"))
     files: list[dict] = []
@@ -1143,5 +1238,6 @@ def read_exported(metadata_path: str) -> dict:
             for f in deletes
         ],
         "total_rows": sum(f["record_count"] for f in files),
-        "snapshot_id": md["current-snapshot-id"],
+        "snapshot_id": target_sid,
+        "refs": md.get("refs", {}),
     }

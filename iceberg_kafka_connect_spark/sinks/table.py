@@ -75,6 +75,27 @@ def _fp_norm(col: Column) -> Column:
         )
     )
 
+
+def _fp_store(col: Column, prefix: str) -> Column:
+    """Position-delete storage form of a scanned row's file path: root-
+    relative when the data file lives under the table root, absolute
+    otherwise (imported Iceberg tables reference external data files in
+    place — sinks/iceberg_import.py)."""
+    n = _fp_norm(col)
+    return F.when(
+        n.startswith(prefix),
+        n.substr(F.lit(len(prefix) + 1), F.lit(1 << 30)),
+    ).otherwise(n)
+
+
+def _fp_load(col: Column, prefix: str) -> Column:
+    """Inverse of _fp_store: reconstruct the absolute path of a stored
+    position-delete file_path (relative → prefix with the table root,
+    absolute → as-is)."""
+    return F.when(col.startswith("/"), col).otherwise(
+        F.concat(F.lit(prefix), col)
+    )
+
 _WIDENINGS = {("integer", "long"), ("float", "double")}
 
 
@@ -967,9 +988,7 @@ class LakehouseTable:
         matched = (
             rows.filter(where)
             .select(
-                _fp_norm(F.col("__fp"))
-                .substr(F.lit(len(prefix) + 1), F.lit(1 << 30))
-                .alias("file_path"),
+                _fp_store(F.col("__fp"), prefix).alias("file_path"),
                 F.col("__pos").alias("pos"),
             )
             .persist()
@@ -1064,9 +1083,7 @@ class LakehouseTable:
             if matched.isEmpty():
                 return None
             positions = matched.select(
-                _fp_norm(F.col("__fp"))
-                .substr(F.lit(len(prefix) + 1), F.lit(1 << 30))
-                .alias("file_path"),
+                _fp_store(F.col("__fp"), prefix).alias("file_path"),
                 F.col("__pos").alias("pos"),
             )
             dfiles = [
@@ -1406,7 +1423,7 @@ class LakehouseTable:
                 )
             prefix = os.path.abspath(self.root) + "/"
             dpos = self._read_file_group(spark, pos_files, None).select(
-                F.concat(F.lit(prefix), F.col("file_path")).alias("__fpn"),
+                _fp_load(F.col("file_path"), prefix).alias("__fpn"),
                 F.col("pos").alias("__pos"),
             )
             data = (
@@ -1498,18 +1515,30 @@ class LakehouseTable:
                     T.StructField("__pos", T.LongType()),
                 ]
             )
-        # group by (seq, write base dir, format): basePath restores the
-        # partition directory columns partitionBy moved out of the files
-        by_group: dict[tuple[int, str, str], list[str]] = {}
+        # group by (seq, write base dir, format, partition tuple): basePath
+        # restores the partition directory columns partitionBy moved out of
+        # the files; imported Iceberg entries instead carry the manifest's
+        # identity partition tuple ("partition_values") and the missing
+        # columns are reconstituted from it below — the spec's
+        # identity-source rule (PartitionUtil semantics)
+        by_group: dict[tuple, list[str]] = {}
+        pv_of: dict[tuple, dict] = {}
         for f in files:
+            pv = f.get("partition_values") or {}
+            pv_key = tuple(
+                sorted((k, d["t"], d["v"]) for k, d in pv.items())
+            )
             key = (
                 f["seq"],
                 f.get("base", os.path.dirname(f["path"])),
                 f.get("format", "parquet"),
+                pv_key,
             )
             by_group.setdefault(key, []).append(os.path.join(self.root, f["path"]))
+            pv_of[key] = pv
         parts = []
-        for (seq, base, fmt), paths in sorted(by_group.items()):
+        for (seq, base, fmt, _pvk), paths in sorted(by_group.items()):
+            pvals = pv_of[(seq, base, fmt, _pvk)]
             if fmt == "avro":
                 from . import avro_io
 
@@ -1527,6 +1556,18 @@ class LakehouseTable:
                     F.col("_metadata.file_path").alias("__fp"),
                     F.col("_metadata.row_index").alias("__pos"),
                 )
+            for col, d in pvals.items():
+                if col in df.columns:
+                    continue
+                # Iceberg single-value partition representations: dates are
+                # epoch days, timestamps epoch micros, the rest literal
+                if d["t"] == "date":
+                    lit = F.date_add(F.lit("1970-01-01").cast("date"), d["v"])
+                elif d["t"] == "ts":
+                    lit = F.timestamp_micros(F.lit(d["v"]))
+                else:
+                    lit = F.lit(d["v"])
+                df = df.withColumn(col, lit)
             if target is not None:
                 # name mapping lets files written before a rename_column
                 # resolve under their old physical column names — applied

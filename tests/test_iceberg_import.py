@@ -1,0 +1,565 @@
+"""Iceberg import (read direction): external v2 metadata trees →
+Lakehouse tables. Covers (1) full round-trips through our own exporter —
+read() hash-equal to the source table, including equality AND position
+deletes and identity partitioning — and (2) a fixture metadata tree that
+was NOT produced by this engine's exporter (hand-authored per the public
+spec, with deflate-coded Avro, map-typed bounds, and v2 sequence-number
+inheritance) to pin the reader to the spec rather than to our writer's
+habits. Reference behavior being re-expressed: loading any pre-existing
+table through the catalog (data/Utilities.java:68-121,
+IcebergWriterFactory.java:51-66)."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+    export_iceberg_metadata,
+)
+from iceberg_kafka_connect_spark.sinks.iceberg_import import (
+    IcebergImportUnsupported,
+    iceberg_type_to_spark,
+    import_iceberg_table,
+    resolve_metadata_file,
+)
+from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("g", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------- round trips
+def test_roundtrip_plain_append(spark, tmp_path):
+    t = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    t.append(
+        spark.createDataFrame([(i, f"g{i % 3}", i * 10) for i in range(40)], SCHEMA)
+    )
+    out = export_iceberg_metadata(t)
+    imp = import_iceberg_table(out, str(tmp_path / "dst"))
+    assert _rows(imp.read(spark)) == _rows(t.read(spark))
+    assert imp.schema().fieldNames() == ["k", "g", "v"]
+
+
+def test_roundtrip_equality_deletes(spark, tmp_path):
+    t = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    t.append(spark.createDataFrame([(i, "a", i) for i in range(20)], SCHEMA))
+    t.delete_where(spark, "k % 4 = 0", key_cols=["k"])
+    out = export_iceberg_metadata(t)
+    imp = import_iceberg_table(out, str(tmp_path / "dst"))
+    assert _rows(imp.read(spark)) == _rows(t.read(spark))
+    assert imp.read(spark).count() == 15
+
+
+def test_roundtrip_position_deletes(spark, tmp_path):
+    t = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (1, "a", 10), (2, "b", 20), (3, "c", 30)], SCHEMA
+        )
+    )
+    t.delete_where_positions(spark, "v = 10")  # both duplicate copies
+    out = export_iceberg_metadata(t)
+    imp = import_iceberg_table(out, str(tmp_path / "dst"))
+    assert _rows(imp.read(spark)) == [(2, "b", 20), (3, "c", 30)]
+
+
+def test_roundtrip_identity_partitioned(spark, tmp_path):
+    t = LakehouseTable.create(
+        str(tmp_path / "src"), SCHEMA, partition_by=["g"]
+    )
+    t.append(
+        spark.createDataFrame([(i, f"p{i % 4}", i) for i in range(40)], SCHEMA)
+    )
+    out = export_iceberg_metadata(t)
+    imp = import_iceberg_table(out, str(tmp_path / "dst"))
+    assert _rows(imp.read(spark)) == _rows(t.read(spark))
+    # identity partition spec survives the trip
+    assert [(p.source, p.transform) for p in imp.partition_spec()] == [
+        ("g", "identity")
+    ]
+
+
+def test_roundtrip_then_reexport(spark, tmp_path):
+    """import → export → import again: the snapshot model is closed under
+    the two directions."""
+    t = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    t.append(spark.createDataFrame([(i, "x", i) for i in range(10)], SCHEMA))
+    t.delete_where(spark, "k = 3", key_cols=["k"])
+    imp1 = import_iceberg_table(
+        export_iceberg_metadata(t), str(tmp_path / "d1")
+    )
+    imp2 = import_iceberg_table(
+        export_iceberg_metadata(imp1), str(tmp_path / "d2")
+    )
+    assert _rows(imp2.read(spark)) == _rows(t.read(spark))
+
+
+def test_imported_table_accepts_further_dml(spark, tmp_path):
+    """The import isn't a dead snapshot: appends, equality deletes, and
+    position deletes keep working, with sequence numbers above the
+    imported history."""
+    t = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    t.append(spark.createDataFrame([(i, "a", i) for i in range(10)], SCHEMA))
+    t.delete_where(spark, "k = 1", key_cols=["k"])  # seq 2
+    imp = import_iceberg_table(
+        export_iceberg_metadata(t), str(tmp_path / "dst")
+    )
+    imp.append(spark.createDataFrame([(100, "z", 0)], SCHEMA))
+    imp.delete_where(spark, "k = 2", key_cols=["k"])
+    imp.delete_where_positions(spark, "k = 3")
+    got = sorted(r.k for r in imp.read(spark).collect())
+    assert got == [0, 4, 5, 6, 7, 8, 9, 100]
+
+
+def test_import_stats_enable_pruning(spark, tmp_path):
+    """Manifest lower/upper bounds translate into file-level stats, so the
+    imported table prunes scans without reopening parquet footers."""
+    t = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(i, "g", i) for i in range(lo, lo + 100)], SCHEMA
+            ).coalesce(1)
+        )
+    imp = import_iceberg_table(
+        export_iceberg_metadata(t), str(tmp_path / "dst")
+    )
+    kept, total = imp.scan_files("k >= 250")
+    assert total == 3 and len(kept) == 1
+    assert imp.read(spark, where="k >= 250").count() == 50
+
+
+# ------------------------------------- fixture tree NOT from our exporter
+MAGIC = b"Obj\x01"
+
+
+def _zz(buf, n):
+    n = (n << 1) ^ (n >> 63)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _enc(buf, schema, v):
+    """Minimal Avro binary encoder for the fixture schemas (deliberately
+    independent of the engine's encoder)."""
+    if isinstance(schema, list):
+        if v is None:
+            _zz(buf, 0)
+        else:
+            _zz(buf, 1)
+            _enc(buf, schema[1], v)
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        for f in schema["fields"]:
+            _enc(buf, f["type"], v.get(f["name"]))
+    elif t in ("int", "long"):
+        _zz(buf, v)
+    elif t == "string":
+        raw = v.encode()
+        _zz(buf, len(raw))
+        buf.extend(raw)
+    elif t == "bytes":
+        _zz(buf, len(v))
+        buf.extend(v)
+    elif t == "boolean":
+        buf.append(1 if v else 0)
+    elif t == "double":
+        buf.extend(struct.pack("<d", v))
+    elif t == "map":  # true Avro map (string keys) — exporter never emits
+        if v:
+            _zz(buf, len(v))
+            for k, val in v.items():
+                raw = k.encode()
+                _zz(buf, len(raw))
+                buf.extend(raw)
+                _enc(buf, schema["values"], val)
+        _zz(buf, 0)
+    elif t == "array":
+        if v:
+            _zz(buf, len(v))
+            for it in v:
+                _enc(buf, schema["items"], it)
+        _zz(buf, 0)
+    else:
+        raise AssertionError(t)
+
+
+def _write_deflate_ocf(path, schema, rows):
+    """Deflate-coded OCF — a codec the exporter never writes, proving the
+    reader handles externally-produced files."""
+    body = bytearray()
+    for row in rows:
+        _enc(body, schema, row)
+    packed = zlib.compressobj(9, zlib.DEFLATED, -15)
+    block = packed.compress(bytes(body)) + packed.flush()
+    sync = b"\x07" * 16
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": "deflate"}
+    head = bytearray()
+    _zz(head, len(meta))
+    for k, v in meta.items():
+        rk, rv = k.encode(), v.encode()
+        _zz(head, len(rk))
+        head.extend(rk)
+        _zz(head, len(rv))
+        head.extend(rv)
+    _zz(head, 0)
+    out.write(bytes(head))
+    out.write(sync)
+    tail = bytearray()
+    _zz(tail, len(rows))
+    _zz(tail, len(block))
+    out.write(bytes(tail))
+    out.write(block)
+    out.write(sync)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+
+MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        # fixture entries leave sequence_number null on ADDED rows → the
+        # reader must apply v2 inheritance from the manifest-list entry
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file_r",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
+                    # bounds as a TRUE avro map keyed by stringified
+                    # field-id — the other legal encoding; the exporter
+                    # always writes array<key_value>
+                    {
+                        "name": "lower_bounds",
+                        "type": ["null", {"type": "map", "values": "bytes"}],
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": ["null", {"type": "map", "values": "bytes"}],
+                        "default": None,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+@pytest.fixture()
+def external_tree(spark, tmp_path):
+    """A v2 metadata tree laid out by hand: two data parquet files (one
+    with a stale 'deleted' entry), an equality-delete file, a position-
+    delete file, deflate Avro, map-typed bounds, v1-style naming."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "ext"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+
+    f1 = str(root / "data" / "part-0001.parquet")
+    f2 = str(root / "data" / "part-0002.parquet")
+    f3 = str(root / "data" / "dead.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "s": ["a", "b", "c"]}),
+        f1,
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([10, 11], pa.int64()), "s": ["x", "y"]}), f2
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([99], pa.int64()), "s": ["dead"]}), f3
+    )
+    eq_del = str(root / "data" / "eq-delete.parquet")
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), eq_del)
+    pos_del = str(root / "data" / "pos-delete.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": ["file://" + f2],
+                "pos": pa.array([1], pa.int64()),
+            }
+        ),
+        pos_del,
+    )
+
+    def bounds(lo, hi):
+        return (
+            {"1": struct.pack("<q", lo)},
+            {"1": struct.pack("<q", hi)},
+        )
+
+    lo1, hi1 = bounds(1, 3)
+    lo2, hi2 = bounds(10, 11)
+    man_data = str(root / "metadata" / "m0.avro")
+    _write_deflate_ocf(
+        man_data,
+        MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 77,
+                "sequence_number": None,  # inherit 1
+                "data_file": {
+                    "content": 0,
+                    "file_path": "file://" + f1,
+                    "file_format": "PARQUET",
+                    "record_count": 3,
+                    "file_size_in_bytes": os.path.getsize(f1),
+                    "equality_ids": None,
+                    "lower_bounds": lo1,
+                    "upper_bounds": hi1,
+                },
+            },
+            {
+                "status": 1,
+                "snapshot_id": 77,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "file://" + f2,
+                    "file_format": "PARQUET",
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(f2),
+                    "equality_ids": None,
+                    "lower_bounds": lo2,
+                    "upper_bounds": hi2,
+                },
+            },
+            {
+                "status": 2,  # DELETED — must be skipped
+                "snapshot_id": 70,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "file://" + f3,
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(f3),
+                    "equality_ids": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            },
+        ],
+    )
+    man_del = str(root / "metadata" / "m1.avro")
+    _write_deflate_ocf(
+        man_del,
+        MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 77,
+                "sequence_number": None,  # inherit 2
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": "file://" + eq_del,
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(eq_del),
+                    "equality_ids": [1],
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            },
+            {
+                "status": 1,
+                "snapshot_id": 77,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": "file://" + pos_del,
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(pos_del),
+                    "equality_ids": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            },
+        ],
+    )
+    mlist = str(root / "metadata" / "snap-77.avro")
+    _write_deflate_ocf(
+        mlist,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": "file://" + man_data,
+                "manifest_length": os.path.getsize(man_data),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 77,
+            },
+            {
+                "manifest_path": "file://" + man_del,
+                "manifest_length": os.path.getsize(man_del),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": 2,
+                "min_sequence_number": 2,
+                "added_snapshot_id": 77,
+            },
+        ],
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "0f2cd834-5cb7-46ff-9cbb-0000deadbeef",
+        "location": "file://" + str(root),
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "identifier-field-ids": [1],
+                "fields": [
+                    {"id": 1, "name": "k", "required": True, "type": "long"},
+                    {"id": 2, "name": "s", "required": False, "type": "string"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "properties": {"owner": "someone-else"},
+        "current-snapshot-id": 77,
+        "refs": {"main": {"snapshot-id": 77, "type": "branch"}},
+        "snapshots": [
+            {
+                "snapshot-id": 77,
+                "sequence-number": 2,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": "file://" + mlist,
+                "summary": {"operation": "overwrite"},
+                "schema-id": 0,
+            }
+        ],
+    }
+    # external v1-style filename, no version-hint — resolver must pick it
+    with open(root / "metadata" / "00004-abcd.metadata.json", "w") as f:
+        json.dump(metadata, f)
+    return root
+
+
+def test_external_fixture_imports(spark, tmp_path, external_tree):
+    imp = import_iceberg_table(str(external_tree), str(tmp_path / "dst"))
+    # rows: f1 {1,2,3} + f2 {10,11}; equality delete k=2 (seq 2 > data seq
+    # 1); position delete (f2, pos 1) removes k=11; dead file skipped
+    got = sorted((r.k, r.s) for r in imp.read(spark).collect())
+    assert got == [(1, "a"), (3, "c"), (10, "x")]
+    assert imp.properties()["owner"] == "someone-else"
+    assert imp.properties()["import.source-uuid"].endswith("deadbeef")
+    assert imp.identifier_fields() == ["k"]
+
+
+def test_external_fixture_bounds_prune(spark, tmp_path, external_tree):
+    imp = import_iceberg_table(str(external_tree), str(tmp_path / "dst"))
+    kept, total = imp.scan_files("k >= 10")
+    assert total == 2 and len(kept) == 1
+
+
+def test_resolver_picks_highest_version(tmp_path, external_tree):
+    # add a lower-versioned metadata file; resolver must prefer 00004
+    with open(external_tree / "metadata" / "00001-old.metadata.json", "w") as f:
+        json.dump({"format-version": 2}, f)
+    picked = resolve_metadata_file(str(external_tree))
+    assert picked.endswith("00004-abcd.metadata.json")
+
+
+def test_type_mapping():
+    assert iceberg_type_to_spark("long") == T.LongType()
+    assert iceberg_type_to_spark("decimal(10, 2)") == T.DecimalType(10, 2)
+    assert iceberg_type_to_spark("timestamptz") == T.TimestampType()
+    assert iceberg_type_to_spark("timestamp") == T.TimestampNTZType()
+    assert iceberg_type_to_spark(
+        {"type": "list", "element": "string", "element-required": False}
+    ) == T.ArrayType(T.StringType(), True)
+    nested = iceberg_type_to_spark(
+        {
+            "type": "struct",
+            "fields": [
+                {"id": 9, "name": "a", "required": True, "type": "int"},
+                {
+                    "id": 10,
+                    "name": "m",
+                    "required": False,
+                    "type": {
+                        "type": "map",
+                        "key": "string",
+                        "value": "double",
+                        "value-required": True,
+                    },
+                },
+            ],
+        }
+    )
+    assert nested == T.StructType(
+        [
+            T.StructField("a", T.IntegerType(), False),
+            T.StructField(
+                "m", T.MapType(T.StringType(), T.DoubleType(), False), True
+            ),
+        ]
+    )
+    with pytest.raises(IcebergImportUnsupported):
+        iceberg_type_to_spark("geometry")
