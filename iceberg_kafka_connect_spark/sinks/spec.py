@@ -10,7 +10,10 @@ derived partition column; writes partitionBy those columns, so reads get
 directory-level partition pruning for free.
 
 Note: bucket() here is xxhash64-based — same semantics (stable hash mod n),
-not byte-compatible with Iceberg's murmur3 bucket transform.
+not byte-compatible with Iceberg's murmur3 bucket transform. For faithful
+interop use ``iceberg_bucket(col, n)``: the spec's murmur3 hash
+(functions/murmur3.py), which exports as a real ``bucket[n]`` spec instead
+of ``void`` and prunes correctly in external engines.
 """
 
 from __future__ import annotations
@@ -18,10 +21,44 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _TRANSFORM_RE = re.compile(r"(\w+)\((.+)\)")
+
+
+def _iceberg_bucket_col(c: Column, n: int) -> Column:
+    """Iceberg-spec ``bucket[n]`` (murmur3 over the single-value binary
+    serialization, spec Appendix B) as an Arrow-batched pandas UDF —
+    byte-compatible with external Iceberg engines so exported bucket specs
+    prune correctly (reference partitions through Iceberg's own transform,
+    data/SchemaUtils.java:150-199). Integer-typed batches (int/long) take
+    a fully vectorized numpy path; strings/dates/timestamps/decimals fall
+    back to the scalar serializer. A UDF (not a builtin) is unavoidable:
+    Spark's F.hash is murmur3 with seed 42 over Spark's own layout, not
+    Iceberg's seed-0 hash of the serialized form."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.murmur3 import iceberg_bucket_value, murmur3_32_long
+
+    @pandas_udf("int")
+    def _bucket(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if pd.api.types.is_integer_dtype(s.dtype) and not s.isna().any():
+            ids = (
+                murmur3_32_long(s.to_numpy(np.int64)).astype(np.int64)
+                & 0x7FFFFFFF
+            ) % n
+            return pd.Series(ids, index=s.index)
+        return s.map(
+            lambda v: None if v is None or pd.isna(v)
+            else iceberg_bucket_value(v, n)
+        )
+
+    return _bucket(c)
 
 
 @dataclass(frozen=True)
@@ -52,6 +89,8 @@ class PartitionField:
             return F.date_format(c, "yyyy-MM-dd-HH")
         if self.transform == "bucket":
             return F.pmod(F.xxhash64(c), F.lit(self.param))
+        if self.transform == "iceberg_bucket":
+            return _iceberg_bucket_col(c, self.param)
         if self.transform == "truncate":
             return F.substring(c.cast("string"), 1, self.param)
         raise ValueError(f"unknown partition transform: {self.transform}")
@@ -65,6 +104,7 @@ class PartitionField:
             "day": "string",
             "hour": "string",
             "bucket": "bigint",
+            "iceberg_bucket": "int",
             "truncate": "string",
         }[self.transform]
 
@@ -110,6 +150,15 @@ def parse_partition_spec(spec: list[str] | str | None) -> list[PartitionField]:
                 fields.append(PartitionField(args[1], "bucket", int(args[0])))
             else:
                 fields.append(PartitionField(args[0], "bucket", int(args[1])))
+        elif fn == "iceberg_bucket":
+            if args[0].isdigit():
+                fields.append(
+                    PartitionField(args[1], "iceberg_bucket", int(args[0]))
+                )
+            else:
+                fields.append(
+                    PartitionField(args[0], "iceberg_bucket", int(args[1]))
+                )
         elif fn == "truncate":
             if args[0].isdigit():
                 fields.append(PartitionField(args[1], "truncate", int(args[0])))

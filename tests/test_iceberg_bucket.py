@@ -1,0 +1,161 @@
+"""Iceberg-spec murmur3 bucket transform: hash test vectors straight from
+the public table-spec Appendix B, Spark-expression agreement with the
+scalar serializer, faithful (non-void) export of bucket partition specs,
+and import-side preservation. Reference partitions through Iceberg's own
+transform (data/SchemaUtils.java:150-199)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import struct
+import uuid as uuidmod
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.functions.murmur3 import (
+    iceberg_bucket_value,
+    murmur3_32,
+    murmur3_32_long,
+)
+from iceberg_kafka_connect_spark.sinks.spec import (
+    PartitionField,
+    parse_partition_spec,
+)
+from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+
+# ------------------------------------------------ spec Appendix B vectors
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        (struct.pack("<q", 34), 2017239379),  # int and long 34
+        (b"iceberg", 1210000089),  # string
+        (struct.pack("<q", 17486), -653330422),  # date 2017-11-16
+        (struct.pack("<q", 81068000000), -662762989),  # time 22:31:08
+        (struct.pack("<q", 1510871468000000), -2047944441),  # timestamp
+        (int(1420).to_bytes(2, "big", signed=True), -500754589),  # 14.20
+        (
+            uuidmod.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7").bytes,
+            1488055340,
+        ),
+        (b"\x00\x01\x02\x03", -188683207),  # fixed/binary
+    ],
+)
+def test_spec_appendix_b_hashes(raw, expect):
+    assert murmur3_32(raw) == expect
+
+
+def test_vectorized_long_path_matches_scalar():
+    vals = np.array([34, -1, 0, 17486, 1510871468000000, 2**62], np.int64)
+    vec = murmur3_32_long(vals)
+    for v, h in zip(vals.tolist(), vec.tolist()):
+        assert h == murmur3_32(struct.pack("<q", v))
+
+
+def test_scalar_bucket_values():
+    assert iceberg_bucket_value(34, 16) == (2017239379 & 0x7FFFFFFF) % 16
+    assert iceberg_bucket_value("iceberg", 8) == (1210000089 & 0x7FFFFFFF) % 8
+    assert iceberg_bucket_value(None, 8) is None
+    assert (
+        iceberg_bucket_value(decimal.Decimal("14.20"), 32)
+        == (-500754589 & 0x7FFFFFFF) % 32
+    )
+    assert (
+        iceberg_bucket_value(dt.date(2017, 11, 16), 32)
+        == (-653330422 & 0x7FFFFFFF) % 32
+    )
+    assert (
+        iceberg_bucket_value(dt.datetime(2017, 11, 16, 22, 31, 8), 32)
+        == (-2047944441 & 0x7FFFFFFF) % 32
+    )
+    with pytest.raises(ValueError):
+        iceberg_bucket_value(True, 4)
+
+
+def test_parse_and_expr(spark):
+    fields = parse_partition_spec("iceberg_bucket(id, 16)")
+    assert fields == [PartitionField("id", "iceberg_bucket", 16)]
+    df = spark.createDataFrame(
+        [(34,), (0,), (None,), (2**40,)], "id long"
+    ).withColumn("b", fields[0].expr())
+    got = {r.id: r.b for r in df.collect()}
+    assert got[34] == (2017239379 & 0x7FFFFFFF) % 16
+    assert got[None] is None
+    assert got[0] == iceberg_bucket_value(0, 16)
+    assert got[2**40] == iceberg_bucket_value(2**40, 16)
+
+
+def test_expr_string_column(spark):
+    f = PartitionField("s", "iceberg_bucket", 8)
+    df = spark.createDataFrame(
+        [("iceberg",), (None,)], "s string"
+    ).withColumn("b", f.expr())
+    got = {r.s: r.b for r in df.collect()}
+    assert got["iceberg"] == (1210000089 & 0x7FFFFFFF) % 8
+    assert got[None] is None
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def test_bucket_spec_exports_non_void_and_roundtrips(spark, tmp_path):
+    """Verdict item: a bucket-partitioned table's spec exports as a real
+    ``bucket[N]`` (not void) and per-file partition tuples carry the
+    correct bucket ids that round-trip through read_exported."""
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        export_iceberg_metadata,
+        read_exported,
+    )
+
+    t = LakehouseTable.create(
+        str(tmp_path / "t"), SCHEMA, partition_by=["iceberg_bucket(k, 4)"]
+    )
+    t.append(
+        spark.createDataFrame([(i, f"r{i}") for i in range(40)], SCHEMA)
+    )
+    info = read_exported(export_iceberg_metadata(t))
+    spec_fields = info["partition_spec"]["fields"]
+    assert [f["transform"] for f in spec_fields] == ["bucket[4]"]
+    assert spec_fields[0]["field-id"] == 1000
+    # every file's recorded tuple matches recomputing the bucket from the
+    # rows actually inside that file
+    name = spec_fields[0]["name"]
+    for path, part in zip(info["file_paths"], info["partitions"]):
+        rows = spark.read.parquet(path).select("k").collect()
+        expect = {iceberg_bucket_value(r.k, 4) for r in rows}
+        assert expect == {part[name]}
+    # all four buckets materialized for 40 keys
+    assert {p[name] for p in info["partitions"]} == {0, 1, 2, 3}
+
+
+def test_bucket_spec_survives_import(spark, tmp_path):
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from iceberg_kafka_connect_spark.sinks.iceberg_import import (
+        import_iceberg_table,
+    )
+
+    t = LakehouseTable.create(
+        str(tmp_path / "t"), SCHEMA, partition_by=["iceberg_bucket(k, 4)"]
+    )
+    t.append(spark.createDataFrame([(i, "x") for i in range(20)], SCHEMA))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(t), str(tmp_path / "dst")
+    )
+    assert [(p.source, p.transform, p.param) for p in imp.partition_spec()] == [
+        ("k", "iceberg_bucket", 4)
+    ]
+    assert sorted(r.k for r in imp.read(spark).collect()) == list(range(20))
+    # further writes keep bucketing identically
+    imp.append(spark.createDataFrame([(100, "y")], SCHEMA))
+    assert imp.read(spark).count() == 21
