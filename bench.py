@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "dml_position_delete",
     "spec_evolution",
     "wap_publish",
+    # round-4 additions
+    "iceberg_interop_roundtrip",
 ]
 
 

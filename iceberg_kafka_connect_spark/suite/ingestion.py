@@ -1802,3 +1802,50 @@ def dml_position_delete(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Iceberg interop round-trip: export the table as a spec-conformant v2
+# metadata tree (sinks/iceberg_export.py), re-import it purely from that
+# tree (sinks/iceberg_import.py — the reference instead loads existing
+# tables through a real catalog, data/Utilities.java:68-121), and read the
+# imported copy. Exercises murmur3 bucket partitioning, equality deletes,
+# and position deletes across the boundary; the oracle recomputes the
+# surviving rows straight from the source parquet.
+# --------------------------------------------------------------------------
+@register(
+    "iceberg_interop_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    WHERE event_id < 500
+      AND event_id % 7 != 0
+      AND event_id % 11 != 3
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def iceberg_interop_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.iceberg_export import export_iceberg_metadata
+    from ..sinks.iceberg_import import import_iceberg_table
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="interop_gate_")
+    t = LakehouseTable.create(
+        base + "/src",
+        e.schema,
+        partition_by=["iceberg_bucket(event_id, 4)"],
+    )
+    t.append(e.filter(F.col("event_id") < 500))
+    t.delete_where(spark, "event_id % 7 = 0", key_cols=["event_id"])
+    t.delete_where_positions(spark, "event_id % 11 = 3")
+    imp = import_iceberg_table(export_iceberg_metadata(t), base + "/dst")
+    return imp.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )

@@ -496,3 +496,71 @@ def test_identity_timestamp_partition_typed_as_epoch_micros(spark, sf_dir):
         .collect()
     }
     assert avro_micros == want
+
+
+def test_export_branches_and_tags_as_refs(spark, tmp_path):
+    """Verdict item: named branches/tags export as Iceberg v2 refs, each
+    resolving to a distinct (or shared) snapshot whose manifest list
+    reaches exactly that ref's file set."""
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        export_iceberg_metadata,
+        read_exported,
+    )
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = LakehouseTable.create(str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(i, i) for i in range(10)], schema))
+    t.create_tag("v1")                       # tag at 10 rows
+    t.create_branch("audit")
+    t.append(
+        spark.createDataFrame([(i, i) for i in range(10, 30)], schema),
+        branch="audit",
+    )                                        # audit: 30 rows, main: 10
+    t.append(spark.createDataFrame([(99, 99)], schema))  # main: 11
+
+    out = export_iceberg_metadata(t)
+    main = read_exported(out)
+    assert set(main["refs"]) == {"main", "audit", "v1"}
+    assert main["refs"]["audit"]["type"] == "branch"
+    assert main["refs"]["v1"]["type"] == "tag"
+
+    audit = read_exported(out, ref="audit")
+    v1 = read_exported(out, ref="v1")
+    assert main["total_rows"] == 11
+    assert audit["total_rows"] == 30
+    assert v1["total_rows"] == 10
+    # distinct refs → distinct snapshots and file sets
+    assert len({main["snapshot_id"], audit["snapshot_id"], v1["snapshot_id"]}) == 3
+    assert set(v1["file_paths"]) < set(audit["file_paths"])
+    # the shared base files appear in every ref's tree (referenced in
+    # place, no duplication)
+    assert set(v1["file_paths"]) < set(main["file_paths"])
+
+
+def test_export_shared_ref_snapshot_reuses_tree(spark, tmp_path):
+    """A tag pointing at the main head shares the head's exported
+    snapshot instead of duplicating the manifest tree."""
+    import json
+
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = LakehouseTable.create(str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1,), (2,)], schema))
+    t.create_tag("release")
+    out = export_iceberg_metadata(t)
+    with open(out) as f:
+        md = json.load(f)
+    assert (
+        md["refs"]["release"]["snapshot-id"]
+        == md["refs"]["main"]["snapshot-id"]
+    )
+    assert len(md["snapshots"]) == 1
