@@ -1014,6 +1014,16 @@ def span_dedup(
     measurably slower already at sf0.1. A 64-bit hash collision merging two
     spans' counts is ~2⁻⁶⁴ per span pair — the same accepted risk as the
     shingle-hash verifier.
+
+    Measurement note (round 4): the round-3 bench artifact showed this
+    rewrite as a 1.57× regression (1.39s → 2.18s). Re-measured per the
+    interleaved protocol (old shape from the pre-rewrite commit imported
+    side by side, ONE clean session, best-of-3 at sf0.1, warmed): old
+    2.06s vs current 1.98s — the rewrite is not slower; the cross-session
+    delta was suite-length/GC noise, the same artifact class as round 2's
+    phantom minhash regression. The text-free shuffle stands on its scale
+    argument: at 100 TB the old shape moves the corpus text through two
+    shuffles, this one moves 8-byte hashes plus one doc-keyed join.
     """
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     starts = F.sequence(
