@@ -177,9 +177,39 @@ def table_main(argv: list[str]) -> int:
     ei.add_argument(
         "--out", help="metadata output dir (default <table>/iceberg-metadata)"
     )
+    ii = sub.add_parser("import-iceberg")
+    ii.add_argument(
+        "--source",
+        required=True,
+        help="external Iceberg table dir, metadata dir, or metadata.json",
+    )
+    ii.add_argument(
+        "--snapshot-id", type=int, help="import a specific snapshot"
+    )
     args = ap.parse_args(argv)
 
     catalog = Catalog(args.warehouse)
+    if args.action == "import-iceberg":
+        from .sinks.iceberg_import import import_iceberg_table
+
+        t = import_iceberg_table(
+            args.source,
+            catalog._path(args.name),
+            snapshot_id=args.snapshot_id,
+        )
+        data_f, del_f = t.live_files()
+        print(
+            json.dumps(
+                {
+                    "table": args.name,
+                    "data_files": len(data_f),
+                    "delete_files": len(del_f),
+                    "snapshot_id": t.current_snapshot()["snapshot_id"],
+                },
+                default=str,
+            )
+        )
+        return 0
     t = catalog.load_table(args.name)
     out: object
     if args.action == "snapshots":

@@ -8,8 +8,10 @@ has no Iceberg runtime available, so the import path parses the public
 spec's metadata tree directly:
 
 - ``metadata.json`` (format-version 1 or 2): current schema (field-ids),
-  partition specs, snapshots, refs, properties;
-- the current snapshot's manifest list (Avro OCF) → manifest files;
+  partition specs, snapshots, refs, properties. Every ref imports: named
+  branches land on same-named branches, tags become tags (via a scratch
+  branch commit when the tagged snapshot isn't any branch head);
+- each ref snapshot's manifest list (Avro OCF) → manifest files;
 - each manifest (Avro OCF) → data / delete file entries, with v2
   sequence-number inheritance (a null ``sequence_number`` on an ADDED entry
   inherits the manifest's) and spec Appendix-D bound deserialization so
@@ -332,8 +334,6 @@ def import_iceberg_table(
         raise IcebergImportUnsupported(f"snapshot {snapshot_id} not found")
     snapshot = snaps[snapshot_id]
 
-    data_entries, delete_entries = _scan_manifests(snapshot)
-
     # ----- identity partition fields → native spec (derived columns are
     # recomputed from source values on read; non-identity transforms don't
     # affect read correctness — files are listed explicitly — so they
@@ -398,103 +398,155 @@ def import_iceberg_table(
         identifier_fields=ident or None,
     )
 
-    # ----- translate entries
-    data_files: list[dict] = []
-    for e in data_entries:
-        path = _uri_to_path(e["file_path"])
-        fmt = (e.get("file_format") or "PARQUET").lower()
-        if fmt not in ("parquet", "orc", "avro"):
-            raise IcebergImportUnsupported(f"data file format {fmt}")
-        entry = {
-            "path": path,
-            "base": os.path.dirname(path),
-            "format": fmt,
-            "bytes": e.get("file_size_in_bytes"),
-            "seq": e["_seq"],
-        }
-        st = _entry_stats(e, id_names, id_types)
-        if st is not None:
-            entry["stats"] = st
-        # manifest identity partition tuple → JSON-safe typed values; the
-        # read path reconstitutes identity-source columns a writer moved
-        # out of the data files (spec PartitionUtil rule). Files that DO
-        # carry the column (real Iceberg writers always do) ignore it.
-        part_rec = e.get("partition") or {}
-        pvals = {}
-        for tuple_name, col, itype in ident_tuple_fields:
-            v = part_rec.get(tuple_name)
-            if v is None:
-                continue
-            if itype == "date":
-                pvals[col] = {"t": "date", "v": int(v)}
-            elif itype in ("timestamp", "timestamptz"):
-                pvals[col] = {"t": "ts", "v": int(v)}
-            elif isinstance(v, (int, float, str, bool)):
-                pvals[col] = {"t": "raw", "v": v}
-        if pvals:
-            entry["partition_values"] = pvals
-        data_files.append(entry)
+    # ----- translate one external snapshot's entries into the internal
+    # file-entry shape (shared by main and every other imported ref)
+    def _translate(snap_x: dict) -> tuple[list[dict], list[dict]]:
+        data_entries, delete_entries = _scan_manifests(snap_x)
+        data_files: list[dict] = []
+        for e in data_entries:
+            path = _uri_to_path(e["file_path"])
+            fmt = (e.get("file_format") or "PARQUET").lower()
+            if fmt not in ("parquet", "orc", "avro"):
+                raise IcebergImportUnsupported(f"data file format {fmt}")
+            entry = {
+                "path": path,
+                "base": os.path.dirname(path),
+                "format": fmt,
+                "bytes": e.get("file_size_in_bytes"),
+                "seq": e["_seq"],
+            }
+            st = _entry_stats(e, id_names, id_types)
+            if st is not None:
+                entry["stats"] = st
+            # manifest identity partition tuple → JSON-safe typed values; the
+            # read path reconstitutes identity-source columns a writer moved
+            # out of the data files (spec PartitionUtil rule). Files that DO
+            # carry the column (real Iceberg writers always do) ignore it.
+            part_rec = e.get("partition") or {}
+            pvals = {}
+            for tuple_name, col, itype in ident_tuple_fields:
+                v = part_rec.get(tuple_name)
+                if v is None:
+                    continue
+                if itype == "date":
+                    pvals[col] = {"t": "date", "v": int(v)}
+                elif itype in ("timestamp", "timestamptz"):
+                    pvals[col] = {"t": "ts", "v": int(v)}
+                elif isinstance(v, (int, float, str, bool)):
+                    pvals[col] = {"t": "raw", "v": v}
+            if pvals:
+                entry["partition_values"] = pvals
+            data_files.append(entry)
 
-    delete_files: list[dict] = []
-    for e in delete_entries:
-        path = _uri_to_path(e["file_path"])
-        fmt = (e.get("file_format") or "PARQUET").lower()
-        content = e.get("_content", e.get("content", 0))
-        if content == 1:  # POSITION_DELETES
-            internal = _rewrite_position_delete_to_internal(
-                path, os.path.join(dest_root, "deletes", "import")
-            )
-            delete_files.append(
-                {
-                    "path": os.path.relpath(internal, dest_root),
-                    "format": "parquet",
-                    "bytes": os.path.getsize(internal),
-                    "delete_type": "position",
-                    "seq": e["_seq"],
-                }
-            )
-        elif content == 2:  # EQUALITY_DELETES
-            eq_ids = e.get("equality_ids") or []
-            key_cols = [id_names[i] for i in eq_ids if i in id_names]
-            if len(key_cols) != len(eq_ids):
-                raise IcebergImportUnsupported(
-                    f"equality ids {eq_ids} reference non-top-level fields"
+        delete_files: list[dict] = []
+        for e in delete_entries:
+            path = _uri_to_path(e["file_path"])
+            fmt = (e.get("file_format") or "PARQUET").lower()
+            content = e.get("_content", e.get("content", 0))
+            if content == 1:  # POSITION_DELETES
+                internal = _rewrite_position_delete_to_internal(
+                    path, os.path.join(dest_root, "deletes", "import")
                 )
-            delete_files.append(
-                {
-                    "path": path,
-                    "format": fmt,
-                    "bytes": e.get("file_size_in_bytes"),
-                    "key_cols": key_cols,
-                    "seq": e["_seq"],
-                }
-            )
-        else:
-            raise IcebergImportUnsupported(
-                f"delete file content id {content}"
-            )
+                delete_files.append(
+                    {
+                        "path": os.path.relpath(internal, dest_root),
+                        "format": "parquet",
+                        "bytes": os.path.getsize(internal),
+                        "delete_type": "position",
+                        "seq": e["_seq"],
+                    }
+                )
+            elif content == 2:  # EQUALITY_DELETES
+                eq_ids = e.get("equality_ids") or []
+                key_cols = [id_names[i] for i in eq_ids if i in id_names]
+                if len(key_cols) != len(eq_ids):
+                    raise IcebergImportUnsupported(
+                        f"equality ids {eq_ids} reference non-top-level fields"
+                    )
+                delete_files.append(
+                    {
+                        "path": path,
+                        "format": fmt,
+                        "bytes": e.get("file_size_in_bytes"),
+                        "key_cols": key_cols,
+                        "seq": e["_seq"],
+                    }
+                )
+            else:
+                raise IcebergImportUnsupported(
+                    f"delete file content id {content}"
+                )
+        return data_files, delete_files
 
-    summary = {
-        "operation": "import",
-        "import.source": os.path.abspath(meta_file),
-        "import.snapshot-id": str(snapshot_id),
-        "import.data-files": str(len(data_files)),
-        "import.delete-files": str(len(delete_files)),
-    }
-    snap = table._commit_snapshot(
-        "append", data_files, delete_files, summary, MAIN, preserve_seq=True
-    )
-    # the commit's own sequence number must sit at (or above) the highest
-    # imported entry seq: later equality deletes are assigned
-    # parent_seq + 1 and only suppress data with a STRICTLY LOWER seq, so
-    # leaving it at 1 would orphan imported multi-sequence history
-    max_seq = max(
-        (e["seq"] for e in data_files + delete_files), default=1
-    )
-    if max_seq > snap["sequence_number"]:
+    def _commit_ref(ext_sid: int, branch: str) -> dict:
+        snap_x = snaps[ext_sid]
+        data_files, delete_files = _translate(snap_x)
+        summary = {
+            "operation": "import",
+            "import.source": os.path.abspath(meta_file),
+            "import.snapshot-id": str(ext_sid),
+            "import.data-files": str(len(data_files)),
+            "import.delete-files": str(len(delete_files)),
+        }
+        snap_int = table._commit_snapshot(
+            "append", data_files, delete_files, summary, branch,
+            preserve_seq=True,
+        )
+        # the commit's own sequence number must sit at (or above) the
+        # highest imported entry seq: later equality deletes are assigned
+        # parent_seq + 1 and only suppress data with a STRICTLY LOWER seq,
+        # so leaving it at 1 would orphan imported multi-sequence history
+        max_seq = max(
+            (e["seq"] for e in data_files + delete_files), default=1
+        )
+        if max_seq > snap_int["sequence_number"]:
+            meta2 = table.metadata()
+            for s in meta2["snapshots"]:
+                if s["snapshot_id"] == snap_int["snapshot_id"]:
+                    s["sequence_number"] = max_seq
+                    snap_int = s
+            table._write_version(meta2["version"] + 1, meta2)
+        return snap_int
+
+    imported: dict[int, dict] = {snapshot_id: _commit_ref(snapshot_id, MAIN)}
+
+    # ----- other refs: branches commit their own live set on the same
+    # branch name (a parentless commit = standalone replace lineage);
+    # tags point at an internal snapshot, committed via a scratch branch
+    # ref that is removed once the tag exists. Refs whose snapshot is no
+    # longer in the metadata's snapshot list are skipped by name.
+    skipped_refs: list[str] = []
+    for rname, ref in (meta.get("refs") or {}).items():
+        ext_sid = ref.get("snapshot-id")
+        if rname == "main":
+            continue
+        if ext_sid not in snaps:
+            skipped_refs.append(rname)
+            continue
+        rtype = ref.get("type", "branch")
+        if rtype == "branch":
+            if ext_sid in imported:
+                # ref shares a snapshot already imported on another branch
+                # — point this branch ref at the internal snapshot directly
+                meta2 = table.metadata()
+                meta2["refs"][rname] = imported[ext_sid]["snapshot_id"]
+                table._write_version(meta2["version"] + 1, meta2)
+            else:
+                imported[ext_sid] = _commit_ref(ext_sid, rname)
+        else:  # tag
+            if ext_sid not in imported:
+                scratch = f"__import__{rname}"
+                imported[ext_sid] = _commit_ref(ext_sid, scratch)
+                meta2 = table.metadata()
+                meta2["refs"].pop(scratch, None)
+                table._write_version(meta2["version"] + 1, meta2)
+            table.create_tag(
+                rname, snapshot_id=imported[ext_sid]["snapshot_id"]
+            )
+    if skipped_refs:
         meta2 = table.metadata()
-        for s in meta2["snapshots"]:
-            if s["snapshot_id"] == snap["snapshot_id"]:
-                s["sequence_number"] = max_seq
+        meta2["properties"]["import.skipped-refs"] = ",".join(
+            sorted(skipped_refs)
+        )
         table._write_version(meta2["version"] + 1, meta2)
     return table

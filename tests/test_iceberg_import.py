@@ -563,3 +563,71 @@ def test_type_mapping():
     )
     with pytest.raises(IcebergImportUnsupported):
         iceberg_type_to_spark("geometry")
+
+
+def test_refs_roundtrip_branches_and_tags(spark, tmp_path):
+    """Branches/tags exported as Iceberg refs import back: same-named
+    branches with their own file sets, tags readable via read(tag=...)."""
+    t = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    t.append(spark.createDataFrame([(i, "a", i) for i in range(10)], SCHEMA))
+    t.create_tag("v1")
+    t.create_branch("audit")
+    t.append(
+        spark.createDataFrame([(i, "b", i) for i in range(10, 30)], SCHEMA),
+        branch="audit",
+    )
+    t.append(spark.createDataFrame([(99, "z", 99)], SCHEMA))
+
+    imp = import_iceberg_table(
+        export_iceberg_metadata(t), str(tmp_path / "dst")
+    )
+    assert imp.read(spark).count() == 11
+    assert imp.read(spark, branch="audit").count() == 30
+    assert imp.read(spark, tag="v1").count() == 10
+    assert _rows(imp.read(spark, branch="audit")) == _rows(
+        t.read(spark, branch="audit")
+    )
+    assert _rows(imp.read(spark, tag="v1")) == _rows(t.read(spark, tag="v1"))
+    # no scratch refs leak
+    assert not [
+        r for r in imp.metadata()["refs"] if r.startswith("__import__")
+    ]
+
+
+def test_tag_at_head_shares_snapshot(spark, tmp_path):
+    t = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    t.append(spark.createDataFrame([(1, "a", 1)], SCHEMA))
+    t.create_tag("rel")
+    imp = import_iceberg_table(
+        export_iceberg_metadata(t), str(tmp_path / "dst")
+    )
+    m = imp.metadata()
+    assert m["tags"]["rel"] == m["refs"]["main"]
+    assert imp.read(spark, tag="rel").count() == 1
+
+
+def test_cli_import_iceberg(spark, tmp_path, capsys):
+    import json as _json
+
+    from iceberg_kafka_connect_spark.cli import main
+
+    t = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    t.append(spark.createDataFrame([(i, "g", i) for i in range(7)], SCHEMA))
+    t.delete_where(spark, "k = 2", key_cols=["k"])
+    out = export_iceberg_metadata(t)
+    wh = str(tmp_path / "wh")
+    assert (
+        main(
+            [
+                "table", "--warehouse", wh, "--name", "default.imp",
+                "import-iceberg", "--source", out,
+            ]
+        )
+        == 0
+    )
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["data_files"] >= 1 and got["delete_files"] >= 1
+    from iceberg_kafka_connect_spark.sinks import Catalog
+
+    imp = Catalog(wh).load_table("default.imp")
+    assert imp.read(spark).count() == 6
