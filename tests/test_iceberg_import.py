@@ -631,3 +631,129 @@ def test_cli_import_iceberg(spark, tmp_path, capsys):
 
     imp = Catalog(wh).load_table("default.imp")
     assert imp.read(spark).count() == 6
+
+
+def test_v1_metadata_imports(spark, tmp_path):
+    """format-version 1 metadata (inline 'schema' + 'partition-spec' keys,
+    v1 manifest entries without content fields) imports as data-only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "v1"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    f1 = str(root / "data" / "d1.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([5, 6], pa.int64()), "s": ["p", "q"]}), f1
+    )
+    man = str(root / "metadata" / "m.avro")
+    v1_entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "df_v1",
+                    "fields": [
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    _write_deflate_ocf(
+        man,
+        v1_entry_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 11,
+                "data_file": {
+                    "file_path": "file://" + f1,
+                    "file_format": "PARQUET",
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(f1),
+                },
+            }
+        ],
+    )
+    v1_list_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+        ],
+    }
+    mlist = str(root / "metadata" / "snap-11.avro")
+    _write_deflate_ocf(
+        mlist,
+        v1_list_schema,
+        [
+            {
+                "manifest_path": "file://" + man,
+                "manifest_length": os.path.getsize(man),
+                "partition_spec_id": 0,
+                "added_snapshot_id": 11,
+            }
+        ],
+    )
+    metadata = {
+        "format-version": 1,
+        "table-uuid": "11111111-2222-3333-4444-555555555555",
+        "location": "file://" + str(root),
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "k", "required": True, "type": "long"},
+                {"id": 2, "name": "s", "required": False, "type": "string"},
+            ],
+        },
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": 11,
+        "snapshots": [
+            {
+                "snapshot-id": 11,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": "file://" + mlist,
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    with open(root / "metadata" / "v1.metadata.json", "w") as f:
+        json.dump(metadata, f)
+    imp = import_iceberg_table(str(root), str(tmp_path / "dst"))
+    got = sorted((r.k, r.s) for r in imp.read(spark).collect())
+    assert got == [(5, "p"), (6, "q")]
+
+
+def test_import_null_fills_added_columns(spark, tmp_path, external_tree):
+    """Iceberg add-column semantics: data files written before a column
+    existed read the new column as NULL (projection null-fill)."""
+    meta_path = resolve_metadata_file(str(external_tree))
+    with open(meta_path) as f:
+        md = json.load(f)
+    md["schemas"][0]["fields"].append(
+        {"id": 3, "name": "added_later", "required": False, "type": "double"}
+    )
+    md["last-column-id"] = 3
+    with open(
+        external_tree / "metadata" / "00005-widen.metadata.json", "w"
+    ) as f:
+        json.dump(md, f)
+    imp = import_iceberg_table(str(external_tree), str(tmp_path / "dst"))
+    rows = imp.read(spark).collect()
+    assert {r.added_later for r in rows} == {None}
+    assert len(rows) == 3  # deletes still apply under the widened schema
