@@ -369,6 +369,23 @@ class SinkPipeline:
                 case_insensitive=cfg.schema_case_insensitive,
             )
 
+        # continuous Iceberg mirror: with the table property
+        # ``iceberg.mirror.enabled=true`` every committed batch refreshes a
+        # spec-conformant v2 metadata tree under <root>/iceberg-metadata,
+        # so external Iceberg engines can follow the stream's output — the
+        # reference gets this for free by writing through the Iceberg
+        # library (IcebergWriterFactory.java:51-66). Export cost is
+        # O(live files) metadata per commit, no data IO; at very high
+        # commit cadence set the property on a timer-driven maintenance
+        # job instead.
+        mirror = str(
+            table.properties().get("iceberg.mirror.enabled", "")
+        ).lower()
+        if mirror == "true":
+            from ..sinks.iceberg_export import export_iceberg_metadata
+
+            export_iceberg_metadata(table)
+
     def _last_batch_id(self, table, branch: str) -> int | None:
         meta = table.metadata()
         sid = meta["refs"].get(branch)

@@ -683,3 +683,45 @@ def test_schema_force_optional_auto_create(spark, tmp_path, catalog):
     _run(spark, pipe, src, tmp_path / "ckpt")
     t = catalog.load_table("default.forced_opt")
     assert all(f.nullable for f in t.schema().fields)
+
+
+def test_iceberg_mirror_follows_commits(spark, tmp_path, catalog):
+    """iceberg.mirror.enabled=true: every committed batch refreshes the
+    table's external Iceberg v2 metadata tree, and an external-style import
+    of that tree matches the table state."""
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import read_exported
+    from iceberg_kafka_connect_spark.sinks.iceberg_import import (
+        import_iceberg_table,
+        resolve_metadata_file,
+    )
+
+    cfg = SinkConfig(
+        tables=[TableConfig("default.mirrored")],
+        auto_create=True,
+        auto_create_props={"iceberg.mirror.enabled": "true"},
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-mirror", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(
+        src,
+        [{"id": i, "type": "t", "payload": f"p{i}", "op": None} for i in range(6)],
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+
+    t = catalog.load_table("default.mirrored")
+    tree = f"{t.root}/iceberg-metadata"
+    info = read_exported(resolve_metadata_file(tree))
+    assert info["total_rows"] == 6
+
+    # a second batch refreshes the mirror
+    _write_records(
+        src,
+        [{"id": i, "type": "t", "payload": "x", "op": None} for i in range(6, 10)],
+        offset0=6,
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    info2 = read_exported(resolve_metadata_file(tree))
+    assert info2["total_rows"] == 10
+
+    imp = import_iceberg_table(tree, str(tmp_path / "imported"))
+    assert imp.read(spark).count() == 10
