@@ -35,6 +35,7 @@ from __future__ import annotations
 import glob as globmod
 import json
 import os
+import re
 import time
 import uuid
 
@@ -974,7 +975,9 @@ class LakehouseTable:
         if snap is None:
             return None
         data_files, delete_files = self._live_files(meta, snap)
-        data_files = [f for f in data_files if file_may_match(f, where)]
+        data_files = self._prune_bucket_partitions(
+            [f for f in data_files if file_may_match(f, where)], where
+        )
         if not data_files:
             return None
         target = self.read_schema()
@@ -1070,7 +1073,9 @@ class LakehouseTable:
         if snap is None:
             return None
         data_files, delete_files = self._live_files(meta, snap)
-        data_files = [f for f in data_files if file_may_match(f, where)]
+        data_files = self._prune_bucket_partitions(
+            [f for f in data_files if file_may_match(f, where)], where
+        )
         if not data_files:
             return None
         rows = self._read_file_group(
@@ -1377,7 +1382,9 @@ class LakehouseTable:
             snap = self._snapshot_by_id(meta, sid)
         data_files, delete_files = self._live_files(meta, snap)
         if where is not None:
-            data_files = [f for f in data_files if file_may_match(f, where)]
+            data_files = self._prune_bucket_partitions(
+                [f for f in data_files if file_may_match(f, where)], where
+            )
             if not data_files:
                 return spark.createDataFrame([], target)
         with_pos = _has_positional(delete_files)
@@ -1486,6 +1493,56 @@ class LakehouseTable:
             return [f.name for f in avro_io.read_header_schema(path).fields]
         return spark.read.format(fmt).load(path).columns
 
+    @staticmethod
+    def _fill_partition_tuples(
+        df: DataFrame, pvals: dict[str, dict]
+    ) -> DataFrame:
+        """Reconstitute identity partition columns recorded only in an
+        imported manifest's partition tuples (``{abs_path: {col: {t, v}}}``):
+        one broadcast (path → values) join over ``_metadata.file_path``.
+        Columns already present in the files are left alone. Iceberg
+        single-value representations: dates are epoch days, timestamps
+        epoch micros, the rest literal."""
+        if not pvals:
+            return df
+        import datetime as _dt
+
+        cols = sorted({c for pv in pvals.values() for c in pv})
+        cols = [
+            c
+            for c in cols
+            if c not in df.columns
+            # all-null columns can't type-infer and add nothing anyway
+            and any(pv.get(c) is not None for pv in pvals.values())
+        ]
+        if not cols:
+            return df
+
+        def _py(d):
+            if d is None:
+                return None
+            if d["t"] == "date":
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=d["v"])
+            if d["t"] == "ts":
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    microseconds=d["v"]
+                )
+            return d["v"]
+
+        spark = df.sparkSession
+        rows = [
+            (path, *[_py(pv.get(c)) for c in cols])
+            for path, pv in pvals.items()
+        ]
+        pv_df = spark.createDataFrame(rows, ["__pv_path", *cols])
+        return (
+            df.withColumn(
+                "__pv_path", _fp_norm(F.col("_metadata.file_path"))
+            )
+            .join(F.broadcast(pv_df), "__pv_path", "left")
+            .drop("__pv_path")
+        )
+
     def _read_file_group(
         self,
         spark: SparkSession,
@@ -1515,30 +1572,30 @@ class LakehouseTable:
                     T.StructField("__pos", T.LongType()),
                 ]
             )
-        # group by (seq, write base dir, format, partition tuple): basePath
-        # restores the partition directory columns partitionBy moved out of
-        # the files; imported Iceberg entries instead carry the manifest's
-        # identity partition tuple ("partition_values") and the missing
-        # columns are reconstituted from it below — the spec's
-        # identity-source rule (PartitionUtil semantics)
+        # group by (seq, write base dir, format): basePath restores the
+        # partition directory columns partitionBy moved out of the files.
+        # Imported Iceberg entries instead carry the manifest's identity
+        # partition tuple ("partition_values"); those columns are
+        # reconstituted below via ONE broadcast (file path → tuple) join
+        # per group — grouping by tuple value instead would degenerate to
+        # one scan per file on a large imported table (the spec's
+        # PartitionUtil rule, done scan-shaped).
         by_group: dict[tuple, list[str]] = {}
-        pv_of: dict[tuple, dict] = {}
+        pv_by_path: dict[tuple, dict[str, dict]] = {}
         for f in files:
-            pv = f.get("partition_values") or {}
-            pv_key = tuple(
-                sorted((k, d["t"], d["v"]) for k, d in pv.items())
-            )
             key = (
                 f["seq"],
                 f.get("base", os.path.dirname(f["path"])),
                 f.get("format", "parquet"),
-                pv_key,
             )
-            by_group.setdefault(key, []).append(os.path.join(self.root, f["path"]))
-            pv_of[key] = pv
+            abs_path = os.path.join(self.root, f["path"])
+            by_group.setdefault(key, []).append(abs_path)
+            pv = f.get("partition_values")
+            if pv:
+                pv_by_path.setdefault(key, {})[abs_path] = pv
         parts = []
-        for (seq, base, fmt, _pvk), paths in sorted(by_group.items()):
-            pvals = pv_of[(seq, base, fmt, _pvk)]
+        for (seq, base, fmt), paths in sorted(by_group.items()):
+            pvals = pv_by_path.get((seq, base, fmt), {})
             if fmt == "avro":
                 from . import avro_io
 
@@ -1556,18 +1613,7 @@ class LakehouseTable:
                     F.col("_metadata.file_path").alias("__fp"),
                     F.col("_metadata.row_index").alias("__pos"),
                 )
-            for col, d in pvals.items():
-                if col in df.columns:
-                    continue
-                # Iceberg single-value partition representations: dates are
-                # epoch days, timestamps epoch micros, the rest literal
-                if d["t"] == "date":
-                    lit = F.date_add(F.lit("1970-01-01").cast("date"), d["v"])
-                elif d["t"] == "ts":
-                    lit = F.timestamp_micros(F.lit(d["v"]))
-                else:
-                    lit = F.lit(d["v"])
-                df = df.withColumn(col, lit)
+            df = self._fill_partition_tuples(df, pvals)
             if target is not None:
                 # name mapping lets files written before a rename_column
                 # resolve under their old physical column names — applied
@@ -1616,7 +1662,66 @@ class LakehouseTable:
         predicate's pruning ratio before paying for the scan."""
         data_files, _ = self.live_files(branch=branch)
         kept = [f for f in data_files if file_may_match(f, where)]
-        return kept, len(data_files)
+        return self._prune_bucket_partitions(kept, where), len(data_files)
+
+    _EQ_RE = re.compile(
+        r"^\s*(?P<col>[A-Za-z_][A-Za-z_0-9]*)\s*=\s*"
+        r"(?:'(?P<str>[^']*)'|(?P<num>-?\d+))\s*$"
+    )
+
+    def _prune_bucket_partitions(
+        self, files: list[dict], where: str
+    ) -> list[dict]:
+        """Iceberg bucket-transform pruning: an equality conjunct on an
+        ``iceberg_bucket(col, n)`` source keeps only the files whose
+        recorded bucket dir matches murmur3(value) % n — a point lookup on
+        a bucket-partitioned table opens 1/n of the files instead of all
+        of them (min/max stats can't help: every bucket file spans the full
+        key range). Conservative: files without a recognizable bucket dir,
+        OR-predicates, and non-equality conjuncts keep everything. Only
+        the spec-conformant murmur3 transform participates — the xxhash64
+        ``bucket`` has no driver-side hash to evaluate."""
+        bfields = [
+            pf
+            for pf in self.partition_spec()
+            if pf.transform == "iceberg_bucket"
+        ]
+        if not bfields or re.search(r"\bor\b", where, re.IGNORECASE):
+            return files
+        from ..functions.murmur3 import iceberg_bucket_value
+
+        eqs: dict[str, object] = {}
+        for conj in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
+            m = self._EQ_RE.fullmatch(conj)
+            if not m:
+                continue
+            eqs[m.group("col")] = (
+                m.group("str")
+                if m.group("str") is not None
+                else int(m.group("num"))
+            )
+        for pf in bfields:
+            if pf.source not in eqs:
+                continue
+            try:
+                bid = iceberg_bucket_value(eqs[pf.source], pf.param)
+            except ValueError:
+                continue
+            seg = f"{pf.name}="
+            keep = []
+            for f in files:
+                rec = None
+                for part in f["path"].split(os.sep):
+                    if part.startswith(seg):
+                        try:
+                            rec = int(part[len(seg):])
+                        except ValueError:
+                            rec = None
+                        break
+                if rec is None or rec == bid:
+                    keep.append(f)
+            files = keep
+        return files
 
     def appends_between(
         self,

@@ -159,3 +159,48 @@ def test_bucket_spec_survives_import(spark, tmp_path):
     # further writes keep bucketing identically
     imp.append(spark.createDataFrame([(100, "y")], SCHEMA))
     assert imp.read(spark).count() == 21
+
+
+def test_bucket_partition_pruning(spark, tmp_path):
+    """A point lookup on a bucket-partitioned table opens only the target
+    bucket's files — the pruning min/max stats can't provide (every bucket
+    spans the full key range)."""
+    t = LakehouseTable.create(
+        str(tmp_path / "t"), SCHEMA, partition_by=["iceberg_bucket(k, 8)"]
+    )
+    t.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(400)], SCHEMA)
+    )
+    kept, total = t.scan_files("k = 34")
+    assert total >= 8  # at least one file per materialized bucket
+    target = iceberg_bucket_value(34, 8)
+    assert kept, "the target bucket's file must survive"
+    assert all(f"k_iceberg_bucket8={target}" in f["path"] for f in kept)
+    assert len(kept) < total
+    # correctness unchanged
+    got = t.read(spark, where="k = 34").collect()
+    assert [(r.k, r.v) for r in got] == [(34, "v34")]
+    # string-typed bucket keys prune the same way
+    t2 = LakehouseTable.create(
+        str(tmp_path / "t2"), SCHEMA, partition_by=["iceberg_bucket(v, 4)"]
+    )
+    t2.append(
+        spark.createDataFrame([(i, f"s{i}") for i in range(100)], SCHEMA)
+    )
+    kept2, total2 = t2.scan_files("v = 's7' AND k >= 0")
+    assert len(kept2) < total2
+    assert t2.read(spark, where="v = 's7'").count() == 1
+
+
+def test_bucket_pruning_is_conservative(spark, tmp_path):
+    t = LakehouseTable.create(
+        str(tmp_path / "t"), SCHEMA, partition_by=["iceberg_bucket(k, 4)"]
+    )
+    t.append(spark.createDataFrame([(i, "x") for i in range(50)], SCHEMA))
+    # OR disables bucket pruning entirely (a disjunct could rescue rows)
+    kept_or, total = t.scan_files("k = 3 OR k = 40")
+    assert len(kept_or) == total
+    # range conjuncts never trigger the bucket rule (min/max stats may
+    # still prune legitimately) — correctness is the invariant
+    assert t.read(spark, where="k >= 10").count() == 40
+    assert t.read(spark, where="k = 3 OR k = 40").count() == 2
