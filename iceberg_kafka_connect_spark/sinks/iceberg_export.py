@@ -830,6 +830,16 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
     os.makedirs(out, exist_ok=True)
 
     ice_schema, last_col_id = iceberg_schema(table.schema())
+    # row identity (Iceberg identifier-field-ids): upsert key defaults
+    # survive the round trip (IcebergSinkConfig uses the schema's
+    # identifierFieldIds when no id-columns are configured)
+    ident_ids = [
+        f["id"]
+        for f in ice_schema["fields"]
+        if f["name"] in set(table.identifier_fields())
+    ]
+    if ident_ids:
+        ice_schema = {**ice_schema, "identifier-field-ids": ident_ids}
     snap = table.current_snapshot()
     now_ms = int(time.time() * 1000)
 

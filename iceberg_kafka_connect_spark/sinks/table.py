@@ -610,7 +610,7 @@ class LakehouseTable:
     def upsert(
         self,
         df: DataFrame,
-        key_cols: list[str],
+        key_cols: list[str] | None = None,
         op_col: str | None = None,
         order_cols: list[str] | None = None,
         branch: str = MAIN,
@@ -643,6 +643,14 @@ class LakehouseTable:
         """
         from ..operators.cdc import DELETE, collapse_last_wins
 
+        if key_cols is None:
+            # BaseDeltaTaskWriter parity: the schema's identifier fields
+            # are the default row identity when no id-columns are given
+            key_cols = self.identifier_fields()
+            if not key_cols:
+                raise ValueError(
+                    "upsert needs key_cols (table has no identifier fields)"
+                )
         if op_col is not None and op_col in df.columns and not upsert_mode:
             return self._upsert_per_op(
                 df, key_cols, op_col, order_cols, branch, snapshot_props,

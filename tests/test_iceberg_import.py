@@ -757,3 +757,23 @@ def test_import_null_fills_added_columns(spark, tmp_path, external_tree):
     rows = imp.read(spark).collect()
     assert {r.added_later for r in rows} == {None}
     assert len(rows) == 3  # deletes still apply under the widened schema
+
+
+def test_identifier_fields_roundtrip(spark, tmp_path):
+    """Row identity (identifier-field-ids) survives export → import, so
+    upsert-by-default keeps working on the imported table."""
+    t = LakehouseTable.create(
+        str(tmp_path / "src"), SCHEMA, identifier_fields=["k"]
+    )
+    t.append(spark.createDataFrame([(1, "a", 1), (2, "b", 2)], SCHEMA))
+    out = export_iceberg_metadata(t)
+    with open(out) as f:
+        md = json.load(f)
+    sch = md["schemas"][0]
+    kid = next(fl["id"] for fl in sch["fields"] if fl["name"] == "k")
+    assert sch["identifier-field-ids"] == [kid]
+    imp = import_iceberg_table(out, str(tmp_path / "dst"))
+    assert imp.identifier_fields() == ["k"]
+    imp.upsert(spark.createDataFrame([(1, "z", 9)], SCHEMA), key_cols=None)
+    got = sorted((r.k, r.g) for r in imp.read(spark).collect())
+    assert got == [(1, "z"), (2, "b")]
