@@ -52,15 +52,20 @@ Deliberate exporter limits (each a named ``IcebergExportUnsupported``):
 - partition specs: ``identity`` fields export faithfully — per-file
   partition tuples parse from the writer's hive-style directories, so
   external readers both prune on them and reconstitute the identity
-  columns ``partitionBy`` dropped from the data files — and
+  columns ``partitionBy`` dropped from the data files;
   ``iceberg_bucket`` fields export as real ``bucket[N]`` specs (the
   murmur3 transform in functions/murmur3.py is byte-compatible with the
-  spec's Appendix B). The remaining transforms export as ``void``
-  (always-null partition value): xxhash64 ``bucket`` and the string-typed
-  time transforms are deliberately not byte-compatible with Iceberg's
-  (sinks/spec.py), and exporting their names would make external engines
-  prune WRONGLY — void keeps correctness (their source columns remain in
-  the files) at the cost of transform pruning on those dimensions.
+  spec's Appendix B); ``year``/``month``/``day``/``hour`` fields export
+  faithfully too — the writer's calendar-string directory values map
+  bijectively onto Iceberg's epoch ordinals (``_time_transform_parser``,
+  exact under the engine's pinned-UTC sessions) — as does ``truncate``
+  on string sources (codepoint-prefix in both systems). The remaining
+  transforms export as ``void`` (always-null partition value): xxhash64
+  ``bucket`` and non-string ``truncate`` are deliberately not
+  byte-compatible with Iceberg's (sinks/spec.py), and exporting their
+  names would make external engines prune WRONGLY — void keeps
+  correctness (their source columns remain in the files) at the cost of
+  transform pruning on those dimensions.
 
 Validation in this sandbox is structural (``read_exported`` independently
 re-parses every layer; tests hash-compare the files it reaches against
@@ -453,13 +458,17 @@ def _partition_export_plan(spec_fields, col_ids, col_types):
     export a CORRECTNESS requirement whenever an identity field exists:
     with an unpartitioned spec those columns would read as null.
 
-    Non-identity transforms here are deliberately NOT byte-compatible with
-    Iceberg's (bucket is xxhash64 not murmur3; time transforms yield
-    strings not epoch ordinals — see sinks/spec.py note), so exporting
-    their transform names would make external engines prune WRONGLY. They
-    export as ``void`` instead: always-null partition value, no pruning on
-    that dimension, full correctness (their source columns remain in the
-    data files).
+    ``iceberg_bucket`` (murmur3, byte-compatible), the time transforms
+    (``year``/``month``/``day``/``hour`` — calendar-string directory
+    values convert exactly to Iceberg's epoch ordinals via
+    ``_time_transform_parser``) and string-source ``truncate``
+    (codepoint-prefix in both systems) export faithfully. The rest —
+    xxhash64 ``bucket``, non-string ``truncate`` — are deliberately NOT
+    byte-compatible with Iceberg's transforms (see sinks/spec.py note),
+    so exporting their names would make external engines prune WRONGLY.
+    They export as ``void`` instead: always-null partition value, no
+    pruning on that dimension, full correctness (their source columns
+    remain in the data files).
 
     Returns (spec_json_fields, avro_fields, identity_parsers) where
     identity_parsers maps derived dir name -> (avro field name, str->value).
@@ -515,6 +524,69 @@ def _partition_export_plan(spec_fields, col_ids, col_types):
                 }
             )
             parsers[pf.name] = (pf.name, int)
+        elif (
+            pf.transform in ("year", "month", "day", "hour")
+            and col_types.get(pf.source)
+            in (
+                ("timestamp", "timestamptz")
+                if pf.transform == "hour"
+                else ("date", "timestamp", "timestamptz")
+            )
+        ):
+            # the writer's human-readable directory values ("1995",
+            # "1995-03", "1995-03-15", "1995-03-15-07" — sinks/spec.py
+            # date_format under the engine's pinned-UTC sessions) map
+            # BIJECTIVELY onto Iceberg's epoch-ordinal transform values
+            # (years/months/days/hours since 1970-01-01 00:00 UTC, spec
+            # "Partition Transforms"), so the spec exports faithfully and
+            # external engines prune time predicates on these dimensions.
+            spec_json.append(
+                {
+                    "name": pf.name,
+                    "transform": pf.transform,
+                    "source-id": col_ids[pf.source],
+                    "field-id": fid,
+                }
+            )
+            avro_fields.append(
+                {
+                    "name": pf.name,
+                    # the day transform's manifest value is date-typed per
+                    # spec; year/month/hour are plain ordinals
+                    "type": [
+                        "null",
+                        {"type": "int", "logicalType": "date"}
+                        if pf.transform == "day"
+                        else "int",
+                    ],
+                    "default": None,
+                    "field-id": fid,
+                }
+            )
+            parsers[pf.name] = (pf.name, _time_transform_parser(pf.transform))
+        elif pf.transform == "truncate" and col_types.get(pf.source) == "string":
+            # string truncate is codepoint-prefix in both systems
+            # (Spark substring ≡ Iceberg TruncateUtil on strings), so the
+            # directory value IS the Iceberg partition value. Non-string
+            # sources stay void: sinks/spec.py truncates the CAST STRING,
+            # Iceberg floors numerics to width multiples — different values.
+            spec_json.append(
+                {
+                    "name": pf.name,
+                    "transform": f"truncate[{pf.param}]",
+                    "source-id": col_ids[pf.source],
+                    "field-id": fid,
+                }
+            )
+            avro_fields.append(
+                {
+                    "name": pf.name,
+                    "type": ["null", "string"],
+                    "default": None,
+                    "field-id": fid,
+                }
+            )
+            parsers[pf.name] = (pf.name, str)
         else:
             spec_json.append(
                 {
@@ -556,6 +628,33 @@ def _partition_value_parser(ice_type: str):
             t = dt.datetime.fromisoformat(v)
             return int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
         raise IcebergExportUnsupported(f"partition value type {ice_type!r}")
+
+    return parse
+
+
+def _time_transform_parser(transform: str):
+    """Writer directory value -> Iceberg epoch-ordinal partition value.
+
+    sinks/spec.py renders time partitions as calendar strings under the
+    engine's pinned-UTC sessions (session.py); Iceberg's transforms count
+    ordinals since 1970-01-01 00:00 UTC — the mapping is exact, including
+    pre-epoch values (negative ordinals: 1969-12-31T23:00 is hour -1).
+    """
+    import datetime as dt
+
+    epoch = dt.date(1970, 1, 1)
+
+    def parse(v: str):
+        if transform == "year":
+            return int(v) - 1970
+        if transform == "month":
+            y, _, m = v.partition("-")
+            return (int(y) - 1970) * 12 + (int(m) - 1)
+        if transform == "day":
+            return (dt.date.fromisoformat(v) - epoch).days
+        # hour: "yyyy-MM-dd-HH"; hour-of-day is 0..23 even pre-epoch, so
+        # days*24 + HH is the true hours-since-epoch for negative days too
+        return (dt.date.fromisoformat(v[:10]) - epoch).days * 24 + int(v[11:13])
 
     return parse
 

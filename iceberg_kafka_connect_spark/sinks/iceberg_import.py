@@ -334,10 +334,12 @@ def import_iceberg_table(
         raise IcebergImportUnsupported(f"snapshot {snapshot_id} not found")
     snapshot = snaps[snapshot_id]
 
-    # ----- identity partition fields → native spec (derived columns are
-    # recomputed from source values on read; non-identity transforms don't
-    # affect read correctness — files are listed explicitly — so they
-    # import as unpartitioned with a recorded note)
+    # ----- partition fields → native spec. identity / bucket[n] /
+    # year / month / day / hour / string-truncate[w] all have
+    # value-equivalent native transforms, so the layout survives the
+    # import. Transforms without one don't affect read correctness —
+    # files are listed explicitly — so they import as unpartitioned
+    # with a recorded note.
     part_fields: list[PartitionField] = []
     skipped_transforms: list[str] = []
     specs = meta.get("partition-specs") or (
@@ -366,6 +368,23 @@ def import_iceberg_table(
                     src_name, "iceberg_bucket", int(bucket_m.group(1))
                 )
             )
+        elif transform in ("year", "month", "day", "hour") and src_name:
+            # the native time transforms are value-equivalent to Iceberg's
+            # (calendar strings <-> epoch ordinals bijectively, see
+            # iceberg_export._time_transform_parser), so the time
+            # partitioning survives the import: future writes to the
+            # imported table keep the layout, and a re-export round-trips
+            # the spec instead of degrading it to void
+            part_fields.append(PartitionField(src_name, transform))
+        elif (
+            (m := re.fullmatch(r"truncate\[(\d+)\]", transform))
+            and src_name
+            and id_types.get(pf.get("source-id")) == "string"
+        ):
+            # string truncate is codepoint-prefix in both systems
+            part_fields.append(
+                PartitionField(src_name, "truncate", int(m.group(1)))
+            )
         else:
             skipped_transforms.append(
                 f"{transform}({src_name or pf.get('source-id')})"
@@ -390,6 +409,7 @@ def import_iceberg_table(
         spark_schema,
         partition_by=[
             p.source if p.transform == "identity"
+            else f"{p.transform}({p.source})" if p.param is None
             else f"{p.transform}({p.source}, {p.param})"
             for p in part_fields
         ]
