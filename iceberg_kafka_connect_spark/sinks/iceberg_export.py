@@ -32,12 +32,15 @@ Named branches and tags export as Iceberg v2 ``refs``: every distinct
 snapshot reachable from a ref gets its own manifest-list tree, shared when
 refs coincide, so external readers see each branch/tag's file set.
 
+Snapshot history exports in full: every retained ancestor of every ref
+gets its own manifest-list tree with ``parent-snapshot-id`` links, and
+``snapshot-log`` records the main-branch ancestry — external readers
+time-travel (VERSION AS OF) to any unexpired snapshot. The
+``export.history-depth`` table property caps the per-ref chain length
+(continuous mirrors of long-lived tables keep per-commit export cost
+flat that way); a depth-capped or expired parent is simply not linked.
+
 Deliberate exporter limits (each a named ``IcebergExportUnsupported``):
-- ref heads only: intermediate history collapses to one snapshot per ref
-  (the live file set), because per-era manifest reconstruction adds
-  nothing a reader can see — but every file entry keeps its TRUE sequence
-  number, which is what makes delete application ordering survive the
-  collapse;
 - equality deletes export as real content=2 delete files in a content=1
   manifest: the table's delete-key parquet files are exactly Iceberg
   equality-delete files (key columns only, ``equality_ids`` resolved
@@ -963,6 +966,14 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         return rows
 
     used_delete_spec = [False]
+    # sequence number → exported snapshot id, for stamping EXISTING entries
+    # with their ADDING snapshot. Sequence numbers are unique per chain;
+    # a cross-branch collision falls back to the current tree's id (the
+    # dict keeps the first writer), which readers tolerate.
+    seq_to_int = {
+        s["sequence_number"]: _snapshot_id_int(s["snapshot_id"])
+        for s in reversed(meta.get("snapshots", []))
+    }
 
     def _snapshot_tree(snap_x: dict) -> dict:
         """Export one snapshot's manifests + manifest list; returns its
@@ -992,10 +1003,15 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
             # table's own merge-on-read uses (sinks/table.py module docstring),
             # so same-snapshot upsert inserts correctly survive their deletes.
             fseq = fentry.get("seq", seq)
+            # files carried over from an ancestor are EXISTING (status 0,
+            # stamped with their ADDING snapshot when resolvable): external
+            # incremental consumers (changelog readers, streaming scans)
+            # take each snapshot's ADDED set — every-file-ADDED in every
+            # historical snapshot would double-count rows downstream
             entries.append(
                 {
-                    "status": 1,  # ADDED
-                    "snapshot_id": sid,
+                    "status": 1 if fseq == seq else 0,
+                    "snapshot_id": sid if fseq == seq else seq_to_int.get(fseq, sid),
                     "sequence_number": fseq,
                     "file_sequence_number": fseq,
                     "data_file": {
@@ -1020,16 +1036,11 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         # (never partitioned — table.py _write_files), so their manifest uses
         # an unpartitioned spec of its own when the table's spec isn't empty.
         del_entries = []
-        total_del_rows = 0
-        pos_del_files = pos_del_rows = eq_del_files = eq_del_rows = 0
         for fentry in delete_files:
             path = os.path.join(table.root, fentry["path"])
             rows = _rows_of(fentry, path)
-            total_del_rows += rows
             fseq = fentry.get("seq", seq)
             if fentry.get("delete_type") == "position":
-                pos_del_files += 1
-                pos_del_rows += rows
                 # positional files REWRITE on export: the internal form stores
                 # root-relative paths and id-less columns; Iceberg readers need
                 # absolute URIs matching the exported data entries plus the
@@ -1042,8 +1053,10 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
                 )
                 del_entries.append(
                     {
-                        "status": 1,
-                        "snapshot_id": sid,
+                        "status": 1 if fseq == seq else 0,
+                        "snapshot_id": sid
+                        if fseq == seq
+                        else seq_to_int.get(fseq, sid),
                         "sequence_number": fseq,
                         "file_sequence_number": fseq,
                         "data_file": {
@@ -1057,8 +1070,6 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
                     }
                 )
                 continue
-            eq_del_files += 1
-            eq_del_rows += rows
             key_cols = fentry.get("key_cols")
             if key_cols is None:
                 raise IcebergExportUnsupported(
@@ -1076,8 +1087,10 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
                 ) from None
             del_entries.append(
                 {
-                    "status": 1,
-                    "snapshot_id": sid,
+                    "status": 1 if fseq == seq else 0,
+                    "snapshot_id": sid
+                    if fseq == seq
+                    else seq_to_int.get(fseq, sid),
                     "sequence_number": fseq,
                     "file_sequence_number": fseq,
                     "data_file": {
@@ -1112,6 +1125,22 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
             },
         )
 
+        def _counts(ents: list[dict]) -> dict:
+            added = [e for e in ents if e["status"] == 1]
+            existing = [e for e in ents if e["status"] == 0]
+            return {
+                "added_files_count": len(added),
+                "existing_files_count": len(existing),
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in added
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in existing
+                ),
+                "deleted_rows_count": 0,
+            }
+
         manifest_rows = [
             {
                 "manifest_path": "file://" + os.path.abspath(manifest_path),
@@ -1123,12 +1152,7 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
                     (e["sequence_number"] for e in entries), default=seq
                 ),
                 "added_snapshot_id": sid or 0,
-                "added_files_count": len(entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": total_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
+                **_counts(entries),
             }
         ]
         if del_entries:
@@ -1158,12 +1182,7 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
                         e["sequence_number"] for e in del_entries
                     ),
                     "added_snapshot_id": sid or 0,
-                    "added_files_count": len(del_entries),
-                    "existing_files_count": 0,
-                    "deleted_files_count": 0,
-                    "added_rows_count": total_del_rows,
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": 0,
+                    **_counts(del_entries),
                 }
             )
 
@@ -1176,12 +1195,24 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
             {
                 "format-version": "2",
                 "snapshot-id": str(sid),
-                "parent-snapshot-id": "null",
+                "parent-snapshot-id": (
+                    str(_snapshot_id_int(snap_x["parent"]))
+                    if snap_x.get("parent")
+                    else "null"
+                ),
                 "sequence-number": str(seq),
             },
         )
 
-        # ----- metadata.json
+        # ----- metadata.json. Summary "added-*" props count THIS
+        # snapshot's additions (status=1), not the carried-over EXISTING
+        # entries; total-* props cover the full reachable state.
+        added_data = [e for e in entries if e["status"] == 1]
+        added_del = [e for e in del_entries if e["status"] == 1]
+        n_added_eq = sum(
+            1 for e in added_del if e["data_file"]["content"] == 2
+        )
+        n_added_pos = len(added_del) - n_added_eq
         snapshot_json = {
             "snapshot-id": sid,
             "sequence-number": seq,
@@ -1189,22 +1220,39 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
             "manifest-list": "file://" + os.path.abspath(list_path),
             "summary": {
                 "operation": "overwrite" if del_entries else "append",
-                "added-data-files": str(len(entries)),
-                "added-records": str(total_rows),
+                "added-data-files": str(len(added_data)),
+                "added-records": str(
+                    sum(e["data_file"]["record_count"] for e in added_data)
+                ),
+                "total-data-files": str(len(entries)),
+                "total-records": str(total_rows),
+                "total-delete-files": str(len(del_entries)),
                 **(
                     {
-                        "added-equality-delete-files": str(eq_del_files),
-                        "added-equality-deletes": str(eq_del_rows),
+                        "added-equality-delete-files": str(n_added_eq),
+                        "added-equality-deletes": str(
+                            sum(
+                                e["data_file"]["record_count"]
+                                for e in added_del
+                                if e["data_file"]["content"] == 2
+                            )
+                        ),
                     }
-                    if eq_del_files
+                    if n_added_eq
                     else {}
                 ),
                 **(
                     {
-                        "added-position-delete-files": str(pos_del_files),
-                        "added-position-deletes": str(pos_del_rows),
+                        "added-position-delete-files": str(n_added_pos),
+                        "added-position-deletes": str(
+                            sum(
+                                e["data_file"]["record_count"]
+                                for e in added_del
+                                if e["data_file"]["content"] == 1
+                            )
+                        ),
                     }
-                    if pos_del_files
+                    if n_added_pos
                     else {}
                 ),
             },
@@ -1242,6 +1290,40 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
             tname,
             {"snapshot-id": _tree_for(shex)["snapshot-id"], "type": "tag"},
         )
+
+    # ----- snapshot history: walk each ref's parent chain so external
+    # readers time-travel (VERSION AS OF any ancestor, snapshot-log
+    # rollback). Every retained ancestor's files are still on disk —
+    # expire_snapshots is the only thing that drops history, and expired
+    # snapshots are gone from meta["snapshots"] entirely. Depth is bounded
+    # by the export.history-depth table property (default: full history;
+    # continuous mirrors of long-lived tables set a small depth to keep
+    # per-commit export cost flat).
+    depth_prop = (meta.get("properties") or {}).get("export.history-depth")
+    depth = int(depth_prop) if depth_prop is not None else None
+    main_chain: list[str] = []
+    heads = ([snap["snapshot_id"]] if snap is not None else []) + [
+        shex
+        for bname, shex in (meta.get("refs") or {}).items()
+        if bname != "main" and shex
+    ]
+    known = {s["snapshot_id"] for s in meta.get("snapshots", [])}
+    for i, head_hex in enumerate(heads):
+        cur, n = head_hex, 0
+        # a parent pointing at an expired snapshot ends the chain
+        while cur in known and (depth is None or n < depth):
+            _tree_for(cur)
+            if i == 0 and snap is not None:
+                main_chain.append(cur)
+            cur = table._snapshot_by_id(meta, cur).get("parent")
+            n += 1
+
+    # parent links, only between snapshots that are both exported (an
+    # expired or depth-capped parent must not dangle)
+    for shex, tree in trees.items():
+        phex = table._snapshot_by_id(meta, shex).get("parent")
+        if phex in trees:
+            tree["parent-snapshot-id"] = trees[phex]["snapshot-id"]
     snapshots_json = sorted(
         trees.values(), key=lambda s: (s["sequence-number"], s["snapshot-id"])
     )
@@ -1279,9 +1361,14 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         "current-snapshot-id": sid,
         "refs": refs_json,
         "snapshots": snapshots_json,
+        # the spec's snapshot-log records changes to the CURRENT snapshot —
+        # i.e. the main-branch ancestry oldest-first, not branch snapshots
         "snapshot-log": [
-            {"timestamp-ms": s["timestamp-ms"], "snapshot-id": s["snapshot-id"]}
-            for s in sorted(snapshots_json, key=lambda s: s["timestamp-ms"])
+            {
+                "timestamp-ms": trees[shex]["timestamp-ms"],
+                "snapshot-id": trees[shex]["snapshot-id"],
+            }
+            for shex in reversed(main_chain)
         ],
         "metadata-log": [],
     }
@@ -1294,19 +1381,29 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
 
 
 # -------------------------------------------------------------- validation
-def read_exported(metadata_path: str, ref: str | None = None) -> dict:
+def read_exported(
+    metadata_path: str,
+    ref: str | None = None,
+    snapshot_id: int | None = None,
+) -> dict:
     """Independently re-parse an exported metadata tree layer by layer.
 
     Returns {"schema", "file_paths", "record_counts", "total_rows",
     "snapshot_id"} — everything a reader needs to scan the table — using
     only the exported artifacts (never the source table's internal state),
     so tests can hash-compare the reachable data against ``table.read()``.
+    ``snapshot_id`` reads a historical snapshot (external VERSION AS OF);
+    ``ref`` reads a named branch/tag head.
     """
     with open(metadata_path) as f:
         md = json.load(f)
     assert md["format-version"] == 2
     target_sid = (
-        md["refs"][ref]["snapshot-id"] if ref else md["current-snapshot-id"]
+        snapshot_id
+        if snapshot_id is not None
+        else md["refs"][ref]["snapshot-id"]
+        if ref
+        else md["current-snapshot-id"]
     )
     snap = next(
         s for s in md["snapshots"] if s["snapshot-id"] == target_sid
@@ -1349,4 +1446,9 @@ def read_exported(metadata_path: str, ref: str | None = None) -> dict:
         "total_rows": sum(f["record_count"] for f in files),
         "snapshot_id": target_sid,
         "refs": md.get("refs", {}),
+        "snapshot_log": md.get("snapshot-log", []),
+        "snapshot_parents": {
+            s["snapshot-id"]: s.get("parent-snapshot-id")
+            for s in md["snapshots"]
+        },
     }

@@ -2438,6 +2438,27 @@ class LakehouseTable:
     def tags(self) -> dict[str, str]:
         return dict(self.metadata().get("tags", {}))
 
+    def set_properties(self, props: dict[str, str | None]) -> None:
+        """Iceberg ``updateProperties`` parity: set (or, with a None value,
+        unset) table properties in one metadata commit. The reference's
+        tables take runtime behavior from properties the same way
+        (write modes, commit knobs — SchemaUtils.java applies config onto
+        the live table)."""
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            for k, v in props.items():
+                if v is None:
+                    meta["properties"].pop(k, None)
+                else:
+                    meta["properties"][k] = str(v)
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
     def create_tag(
         self,
         name: str,

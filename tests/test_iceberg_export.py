@@ -68,7 +68,10 @@ def test_manifest_avro_field_ids(exported):
     _, path = exported
     with open(path) as f:
         md = json.load(f)
-    mlist = md["snapshots"][0]["manifest-list"].removeprefix("file://")
+    mlist = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )["manifest-list"].removeprefix("file://")
     meta, schema, rows = _read_ocf(mlist)
     by_name = {f["name"]: f["field-id"] for f in schema["fields"]}
     assert by_name["manifest_path"] == 500
@@ -323,7 +326,10 @@ def test_manifest_column_bounds(spark, sf_dir):
         fld["id"] for fld in md["schemas"][0]["fields"]
         if fld["name"] == "o_orderkey"
     )
-    mlist = md["snapshots"][0]["manifest-list"].removeprefix("file://")
+    mlist = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )["manifest-list"].removeprefix("file://")
     _, _, manifests = _read_ocf(mlist)
     _, _, entries = _read_ocf(
         manifests[0]["manifest_path"].removeprefix("file://")
