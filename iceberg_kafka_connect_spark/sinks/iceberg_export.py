@@ -741,6 +741,12 @@ def _manifest_entry_schema(partition_avro_fields: list | None = None) -> dict:
                 "default": None,
                 "field-id": 128,
             },
+            {
+                "name": "sort_order_id",
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": 140,
+            },
         ],
     }
     return {
@@ -910,14 +916,19 @@ def _rewrite_position_delete(
     return new_path, rewritten.num_rows, os.path.getsize(new_path)
 
 
-def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
+def export_iceberg_metadata(
+    table, out_dir: str | None = None, history_depth: int | None = None
+) -> str:
     """Write an Iceberg v2 metadata tree for ``table``'s current main-branch
     state; returns the path of the ``metadata.json`` written.
 
     The metadata lands in ``<table.root>/iceberg-metadata`` (or ``out_dir``)
     and references the existing parquet data files in place via absolute
-    ``file://`` URIs — export cost is O(files) metadata, zero data IO
-    beyond a footer read for files missing a row count, at any scale.
+    ``file://`` URIs — export cost is O(files × exported snapshots)
+    metadata, zero data IO beyond a footer read for files missing a row
+    count, at any scale. ``history_depth`` overrides the
+    ``export.history-depth`` table property (None → property → full
+    history); callers on a per-commit cadence pass 1 to keep cost flat.
     """
     meta = table.metadata()
     # {current field name -> retired physical names} from rename/DDL history
@@ -964,6 +975,30 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
 
             rows = pq.ParquetFile(path).metadata.num_rows
         return rows
+
+    # write.sort-order exports as a real Iceberg sort order (identity/asc/
+    # nulls-first — exactly what sortWithinPartitions produced in the data
+    # files); files stamp sort_order_id only when their RECORDED in-file
+    # sort (table.py _write_files) matches, so external engines exploit
+    # sortedness on exactly the files that have it.
+    sort_prop = (meta.get("properties") or {}).get("write.sort-order")
+    export_sort_cols = (
+        [c.strip() for c in sort_prop.split(",") if c.strip()]
+        if isinstance(sort_prop, str)
+        else []
+    )
+    sort_fields_json = [
+        {
+            "transform": "identity",
+            "source-id": col_ids[c],
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+        for c in export_sort_cols
+        if c in col_ids
+    ]
+    if len(sort_fields_json) != len(export_sort_cols):
+        sort_fields_json = []  # a retired sort column → don't claim order
 
     used_delete_spec = [False]
     # sequence number → exported snapshot id, for stamping EXISTING entries
@@ -1024,6 +1059,12 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
                         "record_count": rows,
                         "file_size_in_bytes": fentry.get("bytes")
                         or os.path.getsize(path),
+                        **(
+                            {"sort_order_id": 1}
+                            if sort_fields_json
+                            and fentry.get("sort") == export_sort_cols
+                            else {}
+                        ),
                         **_file_column_stats(fentry, col_ids, col_types, rows),
                     },
                 }
@@ -1213,13 +1254,21 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
             1 for e in added_del if e["data_file"]["content"] == 2
         )
         n_added_pos = len(added_del) - n_added_eq
+        # the internal snapshot's own operation, clamped to the spec's
+        # vocabulary (e.g. an imported table's "import" commit reads as
+        # overwrite — files + deletes landed in one go)
+        op = snap_x.get("operation") or (
+            "overwrite" if added_del else "append"
+        )
+        if op not in ("append", "replace", "overwrite", "delete"):
+            op = "overwrite"
         snapshot_json = {
             "snapshot-id": sid,
             "sequence-number": seq,
             "timestamp-ms": snap_x["timestamp_ms"],
             "manifest-list": "file://" + os.path.abspath(list_path),
             "summary": {
-                "operation": "overwrite" if del_entries else "append",
+                "operation": op,
                 "added-data-files": str(len(added_data)),
                 "added-records": str(
                     sum(e["data_file"]["record_count"] for e in added_data)
@@ -1300,7 +1349,13 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
     # continuous mirrors of long-lived tables set a small depth to keep
     # per-commit export cost flat).
     depth_prop = (meta.get("properties") or {}).get("export.history-depth")
-    depth = int(depth_prop) if depth_prop is not None else None
+    depth = (
+        history_depth
+        if history_depth is not None
+        else int(depth_prop)
+        if depth_prop is not None
+        else None
+    )
     main_chain: list[str] = []
     heads = ([snap["snapshot_id"]] if snap is not None else []) + [
         shex
@@ -1343,8 +1398,13 @@ def export_iceberg_metadata(table, out_dir: str | None = None) -> str:
         "partition-specs": [{"spec-id": 0, "fields": spec_json}]
         + ([{"spec-id": 1, "fields": []}] if used_delete_spec[0] else []),
         "last-partition-id": 999 + len(spec_json),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 1 if sort_fields_json else 0,
+        "sort-orders": [{"order-id": 0, "fields": []}]
+        + (
+            [{"order-id": 1, "fields": sort_fields_json}]
+            if sort_fields_json
+            else []
+        ),
         "properties": {
             "schema.name-mapping.default": json.dumps(
                 name_mapping(ice_schema, aliases)

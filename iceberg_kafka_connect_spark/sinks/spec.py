@@ -41,7 +41,19 @@ def _iceberg_bucket_col(c: Column, n: int) -> Column:
     Iceberg's seed-0 hash of the serialized form."""
     from pyspark.sql.functions import pandas_udf
 
+    from ..functions import murmur3 as _murmur3_mod
     from ..functions.murmur3 import iceberg_bucket_value, murmur3_32_long
+
+    # The closure below captures package functions; serialize them BY VALUE
+    # so Python workers never need this package importable (the driver may
+    # run from any cwd — repo convention is self-contained worker closures,
+    # see operators/multimodal.py).
+    try:
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_murmur3_mod)
+    except Exception:  # pragma: no cover — older cloudpickle without the API
+        pass
 
     @pandas_udf("int")
     def _bucket(s: pd.Series) -> pd.Series:

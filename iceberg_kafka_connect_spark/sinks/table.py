@@ -517,6 +517,11 @@ class LakehouseTable:
         ]
         for entry in files:
             entry["bytes"] = os.path.getsize(os.path.join(self.root, entry["path"]))
+            # record the file's in-file sort so metadata consumers
+            # (iceberg_export sort_order_id) claim only files actually
+            # written under the current order
+            if sort_cols and subdir == "data":
+                entry["sort"] = list(sort_cols)
         if fmt == "parquet" and subdir == "data":
             # Iceberg manifests carry per-column lower/upper bounds per data
             # file; scan planning skips files those bounds rule out. Fold
@@ -1940,6 +1945,37 @@ class LakehouseTable:
             "snapshot_id string, parent string, sequence_number long, "
             "timestamp_ms long, operation string, n_data_files int, "
             "n_delete_files int, summary map<string,string>",
+        )
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """Iceberg `table.refs` metadata-table parity: one row per named
+        branch/tag with its head snapshot — what external tooling lists
+        before picking a ref to read (`SELECT * FROM t.refs`)."""
+        meta = self.metadata()
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        rows = [
+            (
+                name,
+                "BRANCH",
+                sid,
+                by_id[sid]["sequence_number"] if sid in by_id else None,
+                by_id[sid]["timestamp_ms"] if sid in by_id else None,
+            )
+            for name, sid in meta["refs"].items()
+        ] + [
+            (
+                name,
+                "TAG",
+                sid,
+                by_id[sid]["sequence_number"] if sid in by_id else None,
+                by_id[sid]["timestamp_ms"] if sid in by_id else None,
+            )
+            for name, sid in meta.get("tags", {}).items()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id string, "
+            "sequence_number long, timestamp_ms long",
         )
 
     def files_df(self, spark: SparkSession, branch: str = MAIN) -> DataFrame:

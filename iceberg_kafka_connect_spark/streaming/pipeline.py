@@ -384,7 +384,18 @@ class SinkPipeline:
         if mirror == "true":
             from ..sinks.iceberg_export import export_iceberg_metadata
 
-            export_iceberg_metadata(table)
+            # per-commit cadence: default to heads-only (depth 1) so the
+            # mirror stays O(live files) per commit instead of
+            # O(files × snapshots); an explicit export.history-depth
+            # property takes over when the user wants exported history
+            export_iceberg_metadata(
+                table,
+                history_depth=(
+                    None
+                    if "export.history-depth" in table.properties()
+                    else 1
+                ),
+            )
 
     def _last_batch_id(self, table, branch: str) -> int | None:
         meta = table.metadata()

@@ -135,3 +135,20 @@ def test_expire_older_than_retains_recent(spark, catalog):
     cutoff_future = int(_time.time() * 1000) + 3_600_000
     assert t.expire_snapshots(keep_last=1, older_than_ms=cutoff_future) == 3
     assert t.read(spark).count() == 20
+
+
+def test_refs_df(spark, catalog):
+    t = catalog.create_table("default.refsmeta", SCHEMA)
+    s1 = t.append(_df(spark, 0, 5))
+    t.create_tag("v1")
+    t.create_branch("audit")
+    t.append(_df(spark, 5, 10))
+    rows = {r.name: r for r in t.refs_df(spark).collect()}
+    assert rows["main"].type == "BRANCH"
+    assert rows["audit"].type == "BRANCH"
+    assert rows["v1"].type == "TAG"
+    # tag and branch stay at the first snapshot; main moved on
+    assert rows["v1"].snapshot_id == s1["snapshot_id"]
+    assert rows["audit"].snapshot_id == s1["snapshot_id"]
+    assert rows["main"].snapshot_id != s1["snapshot_id"]
+    assert rows["main"].sequence_number == 2
