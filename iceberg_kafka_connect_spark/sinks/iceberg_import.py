@@ -390,8 +390,40 @@ def import_iceberg_table(
                 f"{transform}({src_name or pf.get('source-id')})"
             )
 
+    # ----- default sort order → write.sort-order property. Only
+    # identity/ascending orders import (the one form the native writer
+    # produces and can maintain); anything else is ignored — sortedness
+    # is an optimization claim, never a correctness input. Files whose
+    # sort_order_id matches keep the claim, so a re-export stamps them
+    # again (round-trip) and future writes stay sorted.
+    sort_cols: list[str] = []
+    default_order_id = meta.get("default-sort-order-id", 0) or 0
+    if default_order_id:
+        order = next(
+            (
+                o
+                for o in meta.get("sort-orders", [])
+                if o.get("order-id") == default_order_id
+            ),
+            None,
+        )
+        if order and order.get("fields"):
+            cols = [
+                id_names.get(f.get("source-id"))
+                for f in order["fields"]
+                if f.get("transform") == "identity"
+                and f.get("direction", "asc") == "asc"
+            ]
+            if len(cols) == len(order["fields"]) and all(cols):
+                sort_cols = cols
+
     # ----- create the destination table
     props = dict(meta.get("properties") or {})
+    if sort_cols:
+        props["write.sort-order"] = ",".join(sort_cols)
+    else:
+        # a stale property must not outlive a dropped/unsupported order
+        props.pop("write.sort-order", None)
     props["import.source-metadata"] = os.path.abspath(meta_file)
     props["import.source-snapshot-id"] = str(snapshot_id)
     props["import.source-uuid"] = meta.get("table-uuid", "")
@@ -438,6 +470,8 @@ def import_iceberg_table(
             st = _entry_stats(e, id_names, id_types)
             if st is not None:
                 entry["stats"] = st
+            if sort_cols and e.get("sort_order_id") == default_order_id:
+                entry["sort"] = list(sort_cols)
             # manifest identity partition tuple → JSON-safe typed values; the
             # read path reconstitutes identity-source columns a writer moved
             # out of the data files (spec PartitionUtil rule). Files that DO

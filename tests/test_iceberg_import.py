@@ -777,3 +777,68 @@ def test_identifier_fields_roundtrip(spark, tmp_path):
     imp.upsert(spark.createDataFrame([(1, "z", 9)], SCHEMA), key_cols=None)
     got = sorted((r.k, r.g) for r in imp.read(spark).collect())
     assert got == [(1, "z"), (2, "b")]
+
+
+def test_sort_order_roundtrip(spark, tmp_path):
+    """An exported identity/asc sort order imports as write.sort-order,
+    files keep their sortedness claim, and a re-export stamps
+    sort_order_id again instead of degrading to unsorted."""
+    t = LakehouseTable.create(
+        str(tmp_path / "src"), SCHEMA, properties={"write.sort-order": "k"}
+    )
+    t.append(
+        spark.createDataFrame([(i % 5, f"g{i}", i) for i in range(30)], SCHEMA)
+    )
+    out = export_iceberg_metadata(t)
+    imp = import_iceberg_table(out, str(tmp_path / "dst"))
+    assert imp.properties()["write.sort-order"] == "k"
+    with open(export_iceberg_metadata(imp)) as f:
+        md = json.load(f)
+    assert md["default-sort-order-id"] == 1
+    order = next(o for o in md["sort-orders"] if o["order-id"] == 1)
+    kid = next(
+        fl["id"] for fl in md["schemas"][0]["fields"] if fl["name"] == "k"
+    )
+    assert order["fields"][0]["source-id"] == kid
+    # further writes to the imported table stay sorted under the order:
+    # a fresh export stamps sort_order_id on the new file too
+    imp.append(spark.createDataFrame([(9, "x", 99)], SCHEMA))
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import _read_ocf
+
+    with open(export_iceberg_metadata(imp)) as f:
+        md3 = json.load(f)
+    snap = next(
+        s
+        for s in md3["snapshots"]
+        if s["snapshot-id"] == md3["current-snapshot-id"]
+    )
+    _, _, manifests = _read_ocf(snap["manifest-list"].removeprefix("file://"))
+    ids = [
+        e["data_file"]["sort_order_id"]
+        for m in manifests
+        if m["content"] == 0
+        for e in _read_ocf(m["manifest_path"].removeprefix("file://"))[2]
+    ]
+    assert ids and all(i == 1 for i in ids)
+
+
+def test_desc_sort_order_not_claimed(spark, tmp_path):
+    """A descending external order has no native equivalent — import it
+    as unsorted rather than claiming an order the writer won't maintain."""
+    t = LakehouseTable.create(
+        str(tmp_path / "src"), SCHEMA, properties={"write.sort-order": "k"}
+    )
+    t.append(spark.createDataFrame([(1, "a", 1)], SCHEMA))
+    out = export_iceberg_metadata(t)
+    with open(out) as f:
+        md = json.load(f)
+    for o in md["sort-orders"]:
+        for fld in o["fields"]:
+            fld["direction"] = "desc"
+    with open(out, "w") as f:
+        json.dump(md, f)
+    imp = import_iceberg_table(out, str(tmp_path / "dst"))
+    assert "write.sort-order" not in imp.properties()
+    with open(export_iceberg_metadata(imp)) as f:
+        md2 = json.load(f)
+    assert md2["default-sort-order-id"] == 0
