@@ -102,13 +102,23 @@ def iceberg_bucket_value(value, n: int) -> int | None:
         raw = value
     elif isinstance(value, decimal.Decimal):
         unscaled = int(value.scaleb(-value.as_tuple().exponent))
-        length = max(1, (unscaled.bit_length() + 8) // 8)
-        raw = unscaled.to_bytes(length, "big", signed=True)
+        # minimal two's-complement, exactly Java BigInteger.toByteArray():
+        # length = bitLength//8 + 1 where bitLength excludes the sign bit
+        # (bitLength(-128)=7 → 1 byte 0x80; bitLength(255)=8 → 2 bytes)
+        jbl = (
+            unscaled.bit_length()
+            if unscaled >= 0
+            else (-unscaled - 1).bit_length()
+        )
+        raw = unscaled.to_bytes(jbl // 8 + 1, "big", signed=True)
     elif isinstance(value, dt.datetime):
         if value.tzinfo is not None:
             value = value.astimezone(dt.timezone.utc).replace(tzinfo=None)
-        micros = int(
-            (value - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        # integer arithmetic: total_seconds() is a float whose rounding
+        # truncates microseconds past ~2^53/1e6 and even at small epochs
+        # (epoch+1.000001s floats to 1_000_000 micros)
+        micros = (value - dt.datetime(1970, 1, 1)) // dt.timedelta(
+            microseconds=1
         )
         raw = struct.pack("<q", micros)
     elif isinstance(value, dt.date):

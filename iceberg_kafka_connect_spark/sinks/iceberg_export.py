@@ -83,6 +83,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -917,7 +918,10 @@ def _rewrite_position_delete(
 
 
 def export_iceberg_metadata(
-    table, out_dir: str | None = None, history_depth: int | None = None
+    table,
+    out_dir: str | None = None,
+    history_depth: int | None = None,
+    delete_after_commit: bool | None = None,
 ) -> str:
     """Write an Iceberg v2 metadata tree for ``table``'s current main-branch
     state; returns the path of the ``metadata.json`` written.
@@ -929,6 +933,11 @@ def export_iceberg_metadata(
     count, at any scale. ``history_depth`` overrides the
     ``export.history-depth`` table property (None → property → full
     history); callers on a per-commit cadence pass 1 to keep cost flat.
+    ``delete_after_commit`` overrides
+    ``write.metadata.delete-after-commit.enabled`` (None → property →
+    off): when on, only the newest
+    ``write.metadata.previous-versions-max`` (default 100) previous
+    metadata versions — each with its tree file subdirectory — are kept.
     """
     meta = table.metadata()
     # {current field name -> retired physical names} from rename/DDL history
@@ -941,6 +950,26 @@ def export_iceberg_metadata(
 
     out = out_dir or os.path.join(table.root, "iceberg-metadata")
     os.makedirs(out, exist_ok=True)
+    # monotone metadata version (Iceberg's NNNNN-<uuid>.metadata.json
+    # convention): a reader that lists the directory — version-hint.text
+    # holds an absolute path, useless once the tree is copied elsewhere —
+    # picks the true latest instead of an arbitrary uuid-lexicographic one
+    export_version = 1 + max(
+        (
+            int(m.group(1))
+            for p in os.listdir(out)
+            if (m := re.match(r"(\d+)-[0-9a-f]+\.metadata\.json$", p))
+        ),
+        default=-1,
+    )
+    # each export's avro manifests / rewritten pos-deletes live in their
+    # own subdirectory so superseded trees can be dropped with one rmtree
+    # (metadata.json references absolute paths — readers don't care)
+    export_uuid = uuid.uuid4().hex
+    tree_dir = os.path.join(
+        out, f"tree-{export_version:05d}-{export_uuid[:8]}"
+    )
+    os.makedirs(tree_dir, exist_ok=True)
 
     ice_schema, last_col_id = iceberg_schema(table.schema())
     # row identity (Iceberg identifier-field-ids): upsert key defaults
@@ -1001,6 +1030,9 @@ def export_iceberg_metadata(
         sort_fields_json = []  # a retired sort column → don't claim order
 
     used_delete_spec = [False]
+    # internal pos-delete path → (exported path, rows, bytes); shared by
+    # every snapshot tree in this export (see the rewrite call site)
+    pos_rewrites: dict[str, tuple[str, int, int]] = {}
     # sequence number → exported snapshot id, for stamping EXISTING entries
     # with their ADDING snapshot. Sequence numbers are unique per chain;
     # a cross-branch collision falls back to the current tree's id (the
@@ -1089,9 +1121,17 @@ def export_iceberg_metadata(
                 # 2147483545 pos) embedded in the parquet itself — name mapping
                 # never covers reserved columns. Rows sort by (path, pos) as
                 # the spec requires. Tiny files: O(deleted rows) each.
-                new_path, rows, size = _rewrite_position_delete(
-                    path, table.root, out
-                )
+                # memoized per source file: a delete carried across N
+                # exported ancestor snapshots keeps ONE rewritten path, so
+                # its EXISTING entries reference the same file its ADDED
+                # entry introduced (path-identity matters to external
+                # incremental consumers) and the export writes O(deletes)
+                # files, not O(deletes × snapshots)
+                if path not in pos_rewrites:
+                    pos_rewrites[path] = _rewrite_position_delete(
+                        path, table.root, tree_dir
+                    )
+                new_path, rows, size = pos_rewrites[path]
                 del_entries.append(
                     {
                         "status": 1 if fseq == seq else 0,
@@ -1151,7 +1191,7 @@ def export_iceberg_metadata(
             used_delete_spec[0] = True
 
         commit_uuid = uuid.uuid4().hex
-        manifest_path = os.path.join(out, f"{commit_uuid}-m0.avro")
+        manifest_path = os.path.join(tree_dir, f"{commit_uuid}-m0.avro")
         manifest_len = _write_ocf(
             manifest_path,
             _manifest_entry_schema(part_avro),
@@ -1197,7 +1237,7 @@ def export_iceberg_metadata(
             }
         ]
         if del_entries:
-            del_manifest_path = os.path.join(out, f"{commit_uuid}-m1.avro")
+            del_manifest_path = os.path.join(tree_dir, f"{commit_uuid}-m1.avro")
             del_manifest_len = _write_ocf(
                 del_manifest_path,
                 _manifest_entry_schema(),
@@ -1228,7 +1268,7 @@ def export_iceberg_metadata(
             )
 
         # ----- manifest list
-        list_path = os.path.join(out, f"snap-{sid}-1-{commit_uuid}.avro")
+        list_path = os.path.join(tree_dir, f"snap-{sid}-1-{commit_uuid}.avro")
         _write_ocf(
             list_path,
             _manifest_list_schema(),
@@ -1325,20 +1365,22 @@ def export_iceberg_metadata(
             "snapshot-id": _tree_for(snap["snapshot_id"])["snapshot-id"],
             "type": "branch",
         }
+    # name collisions skip WITHOUT building the loser's tree — setdefault
+    # would evaluate _tree_for eagerly and export an orphan snapshot
     for bname, shex in (meta.get("refs") or {}).items():
-        if bname == "main" or not shex:
+        if bname == "main" or not shex or bname in refs_json:
             continue
-        refs_json.setdefault(
-            bname,
-            {"snapshot-id": _tree_for(shex)["snapshot-id"], "type": "branch"},
-        )
+        refs_json[bname] = {
+            "snapshot-id": _tree_for(shex)["snapshot-id"],
+            "type": "branch",
+        }
     for tname, shex in (meta.get("tags") or {}).items():
-        if not shex:
+        if not shex or tname in refs_json:
             continue
-        refs_json.setdefault(
-            tname,
-            {"snapshot-id": _tree_for(shex)["snapshot-id"], "type": "tag"},
-        )
+        refs_json[tname] = {
+            "snapshot-id": _tree_for(shex)["snapshot-id"],
+            "type": "tag",
+        }
 
     # ----- snapshot history: walk each ref's parent chain so external
     # readers time-travel (VERSION AS OF any ancestor, snapshot-log
@@ -1432,11 +1474,50 @@ def export_iceberg_metadata(
         ],
         "metadata-log": [],
     }
-    metadata_path = os.path.join(out, f"00000-{commit_uuid}.metadata.json")
+    metadata_path = os.path.join(
+        out, f"{export_version:05d}-{export_uuid}.metadata.json"
+    )
     with open(metadata_path, "w") as f:
         json.dump(metadata, f, indent=2)
     with open(os.path.join(out, "version-hint.text"), "w") as f:
         f.write(metadata_path)
+
+    # Iceberg's own metadata retention surface: when
+    # write.metadata.delete-after-commit.enabled is set, keep the newest
+    # write.metadata.previous-versions-max (default 100) PREVIOUS metadata
+    # versions and drop older ones together with their tree-NNNNN-* file
+    # subdirectories — a continuous per-commit mirror stays bounded on
+    # disk instead of accreting one full tree per batch forever. Exports
+    # never share tree files across versions (each writes its own), so a
+    # dropped version's subdirectory is garbage by construction.
+    props = meta.get("properties") or {}
+    cleanup = (
+        delete_after_commit
+        if delete_after_commit is not None
+        else str(
+            props.get("write.metadata.delete-after-commit.enabled", "")
+        ).lower()
+        == "true"
+    )
+    if cleanup:
+        keep = int(props.get("write.metadata.previous-versions-max", 100))
+        versions = sorted(
+            (
+                (int(m.group(1)), p)
+                for p in os.listdir(out)
+                if (m := re.match(r"(\d+)-[0-9a-f]+\.metadata\.json$", p))
+            ),
+            reverse=True,
+        )
+        import shutil
+
+        for ver, fname in versions[keep + 1:]:
+            os.unlink(os.path.join(out, fname))
+            for d in os.listdir(out):
+                if re.fullmatch(
+                    rf"tree-{ver:05d}-[0-9a-f]{{8}}", d
+                ) and os.path.isdir(os.path.join(out, d)):
+                    shutil.rmtree(os.path.join(out, d))
     return metadata_path
 
 

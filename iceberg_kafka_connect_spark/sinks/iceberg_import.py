@@ -53,11 +53,25 @@ class IcebergImportUnsupported(Exception):
 
 # ------------------------------------------------------------------ paths
 def _uri_to_path(uri: str) -> str:
-    """file:// URI (or bare path) → absolute raw filesystem path."""
+    """file:// URI (or bare path) → absolute raw filesystem path.
+
+    Iceberg implementations (and our exporter) store RAW location strings
+    — a path containing a literal '%' (e.g. Spark's hive-escaped
+    partition dir ``g=c%25d``) must round-trip untouched. Percent-decode
+    only as a fallback, when the raw form doesn't resolve but the decoded
+    one does (a tree whose writer stored Spark's URI-encoded
+    ``_metadata.file_path``)."""
     if uri.startswith("file:"):
-        p = urlparse(uri)
-        return unquote(p.path)
-    return unquote(uri) if "%" in uri and "://" not in uri else uri
+        raw = urlparse(uri).path
+    elif "://" not in uri:
+        raw = uri
+    else:
+        return uri
+    if "%" in raw and not os.path.exists(raw):
+        dec = unquote(raw)
+        if os.path.exists(dec):
+            return dec
+    return raw
 
 
 def resolve_metadata_file(src: str) -> str:
@@ -236,7 +250,9 @@ def _entry_stats(df_entry: dict, id_names: dict, id_types: dict) -> dict | None:
 
 
 # -------------------------------------------------------------- manifests
-def _scan_manifests(snapshot: dict) -> tuple[list[dict], list[dict]]:
+def _scan_manifests(
+    snapshot: dict, fv: int = 2
+) -> tuple[list[dict], list[dict]]:
     """Walk the snapshot's manifest list → (data_entries, delete_entries)
     in raw manifest form, v2 sequence-number inheritance applied, deleted
     entries (status=2) dropped."""
@@ -260,8 +276,16 @@ def _scan_manifests(snapshot: dict) -> tuple[list[dict], list[dict]]:
             seq = e.get("sequence_number")
             if seq is None:
                 # v2 inheritance: ADDED entries inherit the manifest's
-                # sequence number; EXISTING entries must carry their own
-                seq = m_seq if e.get("status") != 0 else m_seq
+                # sequence number; EXISTING entries must carry their own —
+                # inheriting the (newer) manifest seq would wrongly stop
+                # older equality deletes from applying (strict < compare).
+                # v1 has no sequence numbers at all: everything is seq 0.
+                if fv >= 2 and e.get("status") == 0:
+                    raise IcebergImportUnsupported(
+                        "EXISTING (status 0) manifest entry lacks an "
+                        "explicit sequence number"
+                    )
+                seq = m_seq
             df_entry = e["data_file"]
             df_entry["_seq"] = seq
             content = df_entry.get("content", 0) or 0
@@ -453,7 +477,7 @@ def import_iceberg_table(
     # ----- translate one external snapshot's entries into the internal
     # file-entry shape (shared by main and every other imported ref)
     def _translate(snap_x: dict) -> tuple[list[dict], list[dict]]:
-        data_entries, delete_entries = _scan_manifests(snap_x)
+        data_entries, delete_entries = _scan_manifests(snap_x, fv)
         data_files: list[dict] = []
         for e in data_entries:
             path = _uri_to_path(e["file_path"])

@@ -65,6 +65,34 @@ def _iceberg_bucket_col(c: Column, n: int) -> Column:
                 & 0x7FFFFFFF
             ) % n
             return pd.Series(ids, index=s.index)
+        if pd.api.types.is_integer_dtype(s.dtype) or pd.api.types.is_float_dtype(
+            s.dtype
+        ):
+            # Arrow hands an int/long batch containing nulls over as
+            # float64; bucket is undefined on real float/double sources
+            # (Iceberg spec), so a float batch can only be a nullable
+            # integer column — vectorize with a null mask.
+            mask = s.isna().to_numpy()
+            filled = s.fillna(0)
+            fvals = filled.to_numpy(np.float64)
+            if not np.all(np.mod(fvals, 1) == 0):
+                raise ValueError(
+                    "bucket transform on a floating-point source column"
+                )
+            if np.any(np.abs(fvals) >= 2.0**53):
+                # the float64 handoff already rounded these — refuse to
+                # hash a degraded key rather than bucket it silently wrong
+                raise ValueError(
+                    "bucket key beyond 2^53 in a null-containing batch "
+                    "(Arrow→pandas float64 conversion loses precision)"
+                )
+            ids = (
+                murmur3_32_long(filled.to_numpy(np.int64)).astype(np.int64)
+                & 0x7FFFFFFF
+            ) % n
+            out = pd.Series(ids.astype("int32"), index=s.index, dtype="Int32")
+            out[mask] = pd.NA
+            return out
         return s.map(
             lambda v: None if v is None or pd.isna(v)
             else iceberg_bucket_value(v, n)

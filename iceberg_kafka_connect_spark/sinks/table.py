@@ -137,6 +137,50 @@ def _evolve_type(cur: T.DataType, inc: T.DataType) -> tuple[T.DataType, bool]:
     return cur, False
 
 
+def _coerce_bucket_literal(value, dtype: T.DataType | None):
+    """Coerce a parsed predicate literal to the bucket SOURCE column's
+    python type for spec-hash evaluation; None = not coercible → the
+    caller skips pruning (conservative). A bare-number literal against a
+    string column stays unprunable: Spark's comparison casts the COLUMN
+    to the number ('034' = 34 matches), so no single string hash covers
+    the matching rows."""
+    import datetime as dt
+    import decimal
+
+    if dtype is None:
+        return None
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        try:
+            return int(value)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(dtype, T.StringType):
+        return value if isinstance(value, str) else None
+    if isinstance(dtype, T.DateType) and isinstance(value, str):
+        try:
+            return dt.date.fromisoformat(value)
+        except ValueError:
+            return None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)) and isinstance(
+        value, str
+    ):
+        try:
+            return dt.datetime.fromisoformat(value.replace(" ", "T"))
+        except ValueError:
+            return None
+    if isinstance(dtype, T.DecimalType):
+        try:
+            # rescale to the column's scale: Iceberg hashes the unscaled
+            # value AT THE TYPE's scale ('14.2' at scale 2 is 1420, not 142)
+            return decimal.Decimal(str(value)).quantize(
+                decimal.Decimal(1).scaleb(-dtype.scale),
+                context=decimal.Context(traps=[decimal.Inexact]),
+            )
+        except (decimal.InvalidOperation, decimal.Inexact, ValueError):
+            return None
+    return None
+
+
 class CommitConflict(Exception):
     pass
 
@@ -1713,11 +1757,22 @@ class LakehouseTable:
                 if m.group("str") is not None
                 else int(m.group("num"))
             )
+        schema_types = {f.name: f.dataType for f in self.schema().fields}
         for pf in bfields:
             if pf.source not in eqs:
                 continue
+            # hash by the SOURCE COLUMN's type, not the literal's syntax:
+            # a quoted '2020-06-01' on a date column must hash epoch-days,
+            # and '34' on a long column must hash the long — hashing the
+            # utf-8 string would prune to the wrong bucket and silently
+            # drop matching rows
+            lit = _coerce_bucket_literal(
+                eqs[pf.source], schema_types.get(pf.source)
+            )
+            if lit is None:
+                continue
             try:
-                bid = iceberg_bucket_value(eqs[pf.source], pf.param)
+                bid = iceberg_bucket_value(lit, pf.param)
             except ValueError:
                 continue
             seg = f"{pf.name}="

@@ -387,13 +387,21 @@ class SinkPipeline:
             # per-commit cadence: default to heads-only (depth 1) so the
             # mirror stays O(live files) per commit instead of
             # O(files × snapshots); an explicit export.history-depth
-            # property takes over when the user wants exported history
+            # property takes over when the user wants exported history.
+            # Likewise default metadata retention ON (Iceberg's
+            # write.metadata.delete-after-commit.enabled surface) so a
+            # long-lived stream doesn't accrete one full metadata tree
+            # per batch forever — an explicit property wins either way.
+            props = table.properties()
             export_iceberg_metadata(
                 table,
                 history_depth=(
+                    None if "export.history-depth" in props else 1
+                ),
+                delete_after_commit=(
                     None
-                    if "export.history-depth" in table.properties()
-                    else 1
+                    if "write.metadata.delete-after-commit.enabled" in props
+                    else True
                 ),
             )
 

@@ -204,3 +204,86 @@ def test_bucket_pruning_is_conservative(spark, tmp_path):
     # still prune legitimately) — correctness is the invariant
     assert t.read(spark, where="k >= 10").count() == 40
     assert t.read(spark, where="k = 3 OR k = 40").count() == 2
+
+
+def test_timestamp_micros_integer_arithmetic():
+    """Float total_seconds() truncates micros (epoch+1.000001s floats to
+    1_000_000); the serializer must use integer arithmetic."""
+    v = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=1_000_001)
+    want = (murmur3_32(struct.pack("<q", 1_000_001)) & 0x7FFFFFFF) % 1024
+    assert iceberg_bucket_value(v, 1024) == want
+
+
+def test_decimal_minimal_twos_complement():
+    """Java BigInteger.toByteArray() minimal form: -128 is ONE byte 0x80,
+    not 0xFF80 — boundary negatives must hash the minimal serialization."""
+    cases = [(-128, b"\x80"), (255, b"\x00\xff"), (-1, b"\xff"),
+             (0, b"\x00"), (-32768, b"\x80\x00")]
+    for unscaled, raw in cases:
+        want = (murmur3_32(raw) & 0x7FFFFFFF) % 1000
+        assert (
+            iceberg_bucket_value(decimal.Decimal(unscaled), 1000) == want
+        ), unscaled
+
+
+def test_nullable_long_batch(spark):
+    """A batch mixing NULL and non-NULL long keys arrives as float64 in
+    the pandas UDF — it must bucket the longs and null the nulls, not
+    crash."""
+    f = PartitionField("k", "iceberg_bucket", 16)
+    df = spark.createDataFrame(
+        [(None,), (34,), (None,), (2**40,)], "k long"
+    ).coalesce(1)
+    got = [r.b for r in df.select(f.expr().alias("b")).collect()]
+    assert got == [
+        None,
+        iceberg_bucket_value(34, 16),
+        None,
+        iceberg_bucket_value(2**40, 16),
+    ]
+
+
+def test_bucket_pruning_hashes_by_column_type(spark, tmp_path):
+    """Pruning must hash the literal AS THE SOURCE COLUMN's type: a quoted
+    date on a date-bucketed table hashes epoch-days (not the utf-8
+    string), and a quoted number on a long-bucketed table hashes the long
+    — otherwise the point lookup prunes to the wrong bucket and silently
+    returns no rows."""
+    dsch = T.StructType(
+        [T.StructField("d", T.DateType()), T.StructField("x", T.LongType())]
+    )
+    t = LakehouseTable.create(
+        str(tmp_path / "td"), dsch, partition_by=["iceberg_bucket(d, 8)"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(dt.date(2020, 6, 1) + dt.timedelta(days=i), i) for i in range(64)],
+            dsch,
+        )
+    )
+    kept, total = t.scan_files("d = '2020-06-10'")
+    target = iceberg_bucket_value(dt.date(2020, 6, 10), 8)
+    assert kept and all(f"d_iceberg_bucket8={target}" in f["path"] for f in kept)
+    assert t.read(spark, where="d = '2020-06-10'").count() == 1
+    # quoted number on a long bucket column
+    t2 = LakehouseTable.create(
+        str(tmp_path / "tl"),
+        T.StructType([T.StructField("k", T.LongType())]),
+        partition_by=["iceberg_bucket(k, 8)"],
+    )
+    t2.append(spark.createDataFrame([(i,) for i in range(64)], "k long"))
+    kept2, _ = t2.scan_files("k = '34'")
+    tgt2 = iceberg_bucket_value(34, 8)
+    assert kept2 and all(f"k_iceberg_bucket8={tgt2}" in f["path"] for f in kept2)
+    assert t2.read(spark, where="k = '34'").count() == 1
+    # bare number on a STRING bucket column must NOT prune (Spark casts the
+    # column, so '034' = 34 matches outside the literal's bucket)
+    t3 = LakehouseTable.create(
+        str(tmp_path / "ts"),
+        T.StructType([T.StructField("s", T.StringType())]),
+        partition_by=["iceberg_bucket(s, 4)"],
+    )
+    t3.append(spark.createDataFrame([("034",), ("34",)], "s string"))
+    kept3, total3 = t3.scan_files("s = 34")
+    assert len(kept3) == total3
+    assert t3.read(spark, where="s = 34").count() == 2

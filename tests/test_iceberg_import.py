@@ -842,3 +842,61 @@ def test_desc_sort_order_not_claimed(spark, tmp_path):
     with open(export_iceberg_metadata(imp)) as f:
         md2 = json.load(f)
     assert md2["default-sort-order-id"] == 0
+
+
+def test_percent_in_partition_value_roundtrips(spark, tmp_path):
+    """A partition value containing '%' (hive-escaped to %25 in the
+    directory name) must round-trip: the importer may not blindly
+    percent-decode raw stored paths."""
+    t = LakehouseTable.create(
+        str(tmp_path / "src"), SCHEMA, partition_by=["g"]
+    )
+    t.append(
+        spark.createDataFrame([(1, "c%d", 10), (2, "plain", 20)], SCHEMA)
+    )
+    out = export_iceberg_metadata(t)
+    imp = import_iceberg_table(out, str(tmp_path / "dst"))
+    assert _rows(imp.read(spark)) == _rows(t.read(spark))
+
+
+def test_existing_entry_without_seq_rejected(spark, tmp_path):
+    """A v2 EXISTING (status 0) manifest entry with a null sequence number
+    is invalid metadata — inheriting the manifest's (newer) seq would
+    wrongly stop older equality deletes from applying. Reject it."""
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        _read_ocf,
+        _write_ocf,
+    )
+
+    t = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    t.append(spark.createDataFrame([(1, "a", 1)], SCHEMA))
+    t.append(spark.createDataFrame([(2, "b", 2)], SCHEMA))
+    out = export_iceberg_metadata(t)
+    with open(out) as f:
+        md = json.load(f)
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    mlist = snap["manifest-list"].removeprefix("file://")
+    _, _, manifests = _read_ocf(mlist)
+    # find a manifest holding an EXISTING entry and null its seq
+    for m in manifests:
+        mp = m["manifest_path"].removeprefix("file://")
+        fmeta, schema_m, entries = _read_ocf(mp)
+        hit = False
+        for e in entries:
+            if e["status"] == 0:
+                e["sequence_number"] = None
+                hit = True
+        if hit:
+            extra = {
+                k: v
+                for k, v in fmeta.items()
+                if not k.startswith("avro.")
+            }
+            _write_ocf(mp, schema_m, entries, extra)
+            break
+    else:
+        pytest.skip("no EXISTING entry in this layout")
+    with pytest.raises(IcebergImportUnsupported, match="EXISTING"):
+        import_iceberg_table(out, str(tmp_path / "dst"))
