@@ -186,6 +186,11 @@ def table_main(argv: list[str]) -> int:
     ii.add_argument(
         "--snapshot-id", type=int, help="import a specific snapshot"
     )
+    ri = sub.add_parser("refresh-iceberg")
+    ri.add_argument(
+        "--source",
+        help="override the recorded import.source-metadata location",
+    )
     args = ap.parse_args(argv)
 
     catalog = Catalog(args.warehouse)
@@ -212,6 +217,11 @@ def table_main(argv: list[str]) -> int:
         return 0
     t = catalog.load_table(args.name)
     out: object
+    if args.action == "refresh-iceberg":
+        from .sinks.iceberg_import import refresh_from_iceberg
+
+        print(json.dumps(refresh_from_iceberg(t, source=args.source)))
+        return 0
     if args.action == "snapshots":
         out = t.snapshots()
     elif args.action == "files":

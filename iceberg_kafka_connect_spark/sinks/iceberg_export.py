@@ -1472,7 +1472,23 @@ def export_iceberg_metadata(
             }
             for shex in reversed(main_chain)
         ],
-        "metadata-log": [],
+        # previous metadata versions still on disk, oldest first — the
+        # spec's metadata-log lets external readers time-travel across
+        # METADATA versions ("FOR SYSTEM_VERSION AS OF" on files), not
+        # just snapshots
+        "metadata-log": [
+            {
+                "timestamp-ms": int(
+                    os.path.getmtime(os.path.join(out, p)) * 1000
+                ),
+                "metadata-file": "file://" + os.path.join(out, p),
+            }
+            for p in sorted(
+                p
+                for p in os.listdir(out)
+                if re.match(r"(\d+)-[0-9a-f]+\.metadata\.json$", p)
+            )
+        ],
     }
     metadata_path = os.path.join(
         out, f"{export_version:05d}-{export_uuid}.metadata.json"

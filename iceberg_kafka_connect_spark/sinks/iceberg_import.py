@@ -315,6 +315,145 @@ def _rewrite_position_delete_to_internal(src_path: str, out_dir: str) -> str:
     return path
 
 
+# (dest table root, external delete-file path) → re-encoded internal path;
+# spec delete files are immutable, so one re-encode per destination suffices
+_POS_DELETE_REENCODES: dict[tuple[str, str], str] = {}
+
+
+def _default_sort_cols(
+    meta: dict, id_names: dict[int, str]
+) -> tuple[list[str], int]:
+    """(importable sort columns, default order id). Only identity/ascending
+    orders import (the one form the native writer produces and can
+    maintain); anything else → ([], order id)."""
+    default_order_id = meta.get("default-sort-order-id", 0) or 0
+    if not default_order_id:
+        return [], 0
+    order = next(
+        (
+            o
+            for o in meta.get("sort-orders", [])
+            if o.get("order-id") == default_order_id
+        ),
+        None,
+    )
+    if not order or not order.get("fields"):
+        return [], default_order_id
+    cols = [
+        id_names.get(f.get("source-id"))
+        for f in order["fields"]
+        if f.get("transform") == "identity"
+        and f.get("direction", "asc") == "asc"
+    ]
+    if len(cols) != len(order["fields"]) or not all(cols):
+        return [], default_order_id
+    return cols, default_order_id
+
+
+def _translate_snapshot(
+    snap_x: dict,
+    *,
+    fv: int,
+    id_names: dict[int, str],
+    id_types: dict[int, str],
+    ident_tuple_fields: list[tuple[str, str, str]],
+    dest_root: str,
+    sort_cols: list[str],
+    default_order_id: int,
+) -> tuple[list[dict], list[dict]]:
+    """One external snapshot's manifest entries → internal (data_files,
+    delete_files) shape."""
+    data_entries, delete_entries = _scan_manifests(snap_x, fv)
+    data_files: list[dict] = []
+    for e in data_entries:
+        path = _uri_to_path(e["file_path"])
+        fmt = (e.get("file_format") or "PARQUET").lower()
+        if fmt not in ("parquet", "orc", "avro"):
+            raise IcebergImportUnsupported(f"data file format {fmt}")
+        entry = {
+            "path": path,
+            "base": os.path.dirname(path),
+            "format": fmt,
+            "bytes": e.get("file_size_in_bytes"),
+            "seq": e["_seq"],
+        }
+        st = _entry_stats(e, id_names, id_types)
+        if st is not None:
+            entry["stats"] = st
+        if sort_cols and e.get("sort_order_id") == default_order_id:
+            entry["sort"] = list(sort_cols)
+        # manifest identity partition tuple → JSON-safe typed values; the
+        # read path reconstitutes identity-source columns a writer moved
+        # out of the data files (spec PartitionUtil rule). Files that DO
+        # carry the column (real Iceberg writers always do) ignore it.
+        part_rec = e.get("partition") or {}
+        pvals = {}
+        for tuple_name, col, itype in ident_tuple_fields:
+            v = part_rec.get(tuple_name)
+            if v is None:
+                continue
+            if itype == "date":
+                pvals[col] = {"t": "date", "v": int(v)}
+            elif itype in ("timestamp", "timestamptz"):
+                pvals[col] = {"t": "ts", "v": int(v)}
+            elif isinstance(v, (int, float, str, bool)):
+                pvals[col] = {"t": "raw", "v": v}
+        if pvals:
+            entry["partition_values"] = pvals
+        data_files.append(entry)
+
+    delete_files: list[dict] = []
+    for e in delete_entries:
+        path = _uri_to_path(e["file_path"])
+        fmt = (e.get("file_format") or "PARQUET").lower()
+        content = e.get("_content", e.get("content", 0))
+        if content == 1:  # POSITION_DELETES
+            # memoized per external file: spec delete files are immutable
+            # (new content = new file), so refreshes and multi-ref imports
+            # re-encode each one exactly once per destination table
+            memo_key = (dest_root, path)
+            if not os.path.exists(_POS_DELETE_REENCODES.get(memo_key, "")):
+                _POS_DELETE_REENCODES[memo_key] = (
+                    _rewrite_position_delete_to_internal(
+                        path, os.path.join(dest_root, "deletes", "import")
+                    )
+                )
+            internal = _POS_DELETE_REENCODES[memo_key]
+            delete_files.append(
+                {
+                    "path": os.path.relpath(internal, dest_root),
+                    "format": "parquet",
+                    "bytes": os.path.getsize(internal),
+                    "delete_type": "position",
+                    "seq": e["_seq"],
+                    # original external path = stable identity across
+                    # refreshes (each re-encode gets a fresh uuid name)
+                    "src": path,
+                }
+            )
+        elif content == 2:  # EQUALITY_DELETES
+            eq_ids = e.get("equality_ids") or []
+            key_cols = [id_names[i] for i in eq_ids if i in id_names]
+            if len(key_cols) != len(eq_ids):
+                raise IcebergImportUnsupported(
+                    f"equality ids {eq_ids} reference non-top-level fields"
+                )
+            delete_files.append(
+                {
+                    "path": path,
+                    "format": fmt,
+                    "bytes": e.get("file_size_in_bytes"),
+                    "key_cols": key_cols,
+                    "seq": e["_seq"],
+                }
+            )
+        else:
+            raise IcebergImportUnsupported(
+                f"delete file content id {content}"
+            )
+    return data_files, delete_files
+
+
 # ------------------------------------------------------------------ import
 def import_iceberg_table(
     source: str,
@@ -420,26 +559,7 @@ def import_iceberg_table(
     # is an optimization claim, never a correctness input. Files whose
     # sort_order_id matches keep the claim, so a re-export stamps them
     # again (round-trip) and future writes stay sorted.
-    sort_cols: list[str] = []
-    default_order_id = meta.get("default-sort-order-id", 0) or 0
-    if default_order_id:
-        order = next(
-            (
-                o
-                for o in meta.get("sort-orders", [])
-                if o.get("order-id") == default_order_id
-            ),
-            None,
-        )
-        if order and order.get("fields"):
-            cols = [
-                id_names.get(f.get("source-id"))
-                for f in order["fields"]
-                if f.get("transform") == "identity"
-                and f.get("direction", "asc") == "asc"
-            ]
-            if len(cols) == len(order["fields"]) and all(cols):
-                sort_cols = cols
+    sort_cols, default_order_id = _default_sort_cols(meta, id_names)
 
     # ----- create the destination table
     props = dict(meta.get("properties") or {})
@@ -475,86 +595,19 @@ def import_iceberg_table(
     )
 
     # ----- translate one external snapshot's entries into the internal
-    # file-entry shape (shared by main and every other imported ref)
+    # file-entry shape (shared by main and every other imported ref, and
+    # by refresh_from_iceberg's incremental sync)
     def _translate(snap_x: dict) -> tuple[list[dict], list[dict]]:
-        data_entries, delete_entries = _scan_manifests(snap_x, fv)
-        data_files: list[dict] = []
-        for e in data_entries:
-            path = _uri_to_path(e["file_path"])
-            fmt = (e.get("file_format") or "PARQUET").lower()
-            if fmt not in ("parquet", "orc", "avro"):
-                raise IcebergImportUnsupported(f"data file format {fmt}")
-            entry = {
-                "path": path,
-                "base": os.path.dirname(path),
-                "format": fmt,
-                "bytes": e.get("file_size_in_bytes"),
-                "seq": e["_seq"],
-            }
-            st = _entry_stats(e, id_names, id_types)
-            if st is not None:
-                entry["stats"] = st
-            if sort_cols and e.get("sort_order_id") == default_order_id:
-                entry["sort"] = list(sort_cols)
-            # manifest identity partition tuple → JSON-safe typed values; the
-            # read path reconstitutes identity-source columns a writer moved
-            # out of the data files (spec PartitionUtil rule). Files that DO
-            # carry the column (real Iceberg writers always do) ignore it.
-            part_rec = e.get("partition") or {}
-            pvals = {}
-            for tuple_name, col, itype in ident_tuple_fields:
-                v = part_rec.get(tuple_name)
-                if v is None:
-                    continue
-                if itype == "date":
-                    pvals[col] = {"t": "date", "v": int(v)}
-                elif itype in ("timestamp", "timestamptz"):
-                    pvals[col] = {"t": "ts", "v": int(v)}
-                elif isinstance(v, (int, float, str, bool)):
-                    pvals[col] = {"t": "raw", "v": v}
-            if pvals:
-                entry["partition_values"] = pvals
-            data_files.append(entry)
-
-        delete_files: list[dict] = []
-        for e in delete_entries:
-            path = _uri_to_path(e["file_path"])
-            fmt = (e.get("file_format") or "PARQUET").lower()
-            content = e.get("_content", e.get("content", 0))
-            if content == 1:  # POSITION_DELETES
-                internal = _rewrite_position_delete_to_internal(
-                    path, os.path.join(dest_root, "deletes", "import")
-                )
-                delete_files.append(
-                    {
-                        "path": os.path.relpath(internal, dest_root),
-                        "format": "parquet",
-                        "bytes": os.path.getsize(internal),
-                        "delete_type": "position",
-                        "seq": e["_seq"],
-                    }
-                )
-            elif content == 2:  # EQUALITY_DELETES
-                eq_ids = e.get("equality_ids") or []
-                key_cols = [id_names[i] for i in eq_ids if i in id_names]
-                if len(key_cols) != len(eq_ids):
-                    raise IcebergImportUnsupported(
-                        f"equality ids {eq_ids} reference non-top-level fields"
-                    )
-                delete_files.append(
-                    {
-                        "path": path,
-                        "format": fmt,
-                        "bytes": e.get("file_size_in_bytes"),
-                        "key_cols": key_cols,
-                        "seq": e["_seq"],
-                    }
-                )
-            else:
-                raise IcebergImportUnsupported(
-                    f"delete file content id {content}"
-                )
-        return data_files, delete_files
+        return _translate_snapshot(
+            snap_x,
+            fv=fv,
+            id_names=id_names,
+            id_types=id_types,
+            ident_tuple_fields=ident_tuple_fields,
+            dest_root=dest_root,
+            sort_cols=sort_cols,
+            default_order_id=default_order_id,
+        )
 
     def _commit_ref(ext_sid: int, branch: str) -> dict:
         snap_x = snaps[ext_sid]
@@ -628,3 +681,167 @@ def import_iceberg_table(
         )
         table._write_version(meta2["version"] + 1, meta2)
     return table
+
+
+# ----------------------------------------------------------------- refresh
+def refresh_from_iceberg(
+    table: LakehouseTable, source: str | None = None
+) -> dict:
+    """Incrementally sync an IMPORTED table with its external Iceberg
+    source: commit every new main-branch snapshot since the last
+    import/refresh — the continuous READ direction of the Iceberg mirror
+    (the reference keeps reading the live table through its catalog,
+    data/Utilities.java:68-121; here the "catalog" is the metadata tree).
+
+    Pure-append external snapshots commit as appends of exactly their
+    added entries; snapshots that also removed files (rewrites, expired
+    data) commit as a REPLACE of the snapshot's full live set. External
+    schema additions/widenings evolve the internal schema first. Main
+    branch only; refs sync at full import time.
+
+    Returns {"synced": n, "from": <ext sid>, "to": <ext sid>}.
+    """
+    props = table.properties()
+    stored = source or props.get("import.source-metadata")
+    if not stored:
+        raise IcebergImportUnsupported(
+            "table has no import.source-metadata property — only imported "
+            "tables can refresh"
+        )
+    # re-resolve from the directory so a NEW metadata version is found
+    src_dir = stored if os.path.isdir(stored) else os.path.dirname(stored)
+    meta_file = resolve_metadata_file(src_dir)
+    with open(meta_file) as f:
+        meta = json.load(f)
+    fv = meta.get("format-version", 1)
+    src_uuid = props.get("import.source-uuid", "")
+    if src_uuid and meta.get("table-uuid", "") not in ("", src_uuid):
+        raise IcebergImportUnsupported(
+            f"source table-uuid changed ({src_uuid} → "
+            f"{meta.get('table-uuid')}) — refusing to sync from a "
+            "different table; re-import instead"
+        )
+
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    cur_sid = meta.get("current-snapshot-id")
+    refs = meta.get("refs") or {}
+    if cur_sid in (None, -1) and "main" in refs:
+        cur_sid = refs["main"]["snapshot-id"]
+    last_sid = int(props.get("import.source-snapshot-id", 0))
+    if cur_sid == last_sid:
+        return {"synced": 0, "from": last_sid, "to": last_sid}
+
+    # new main-branch ancestry, oldest first, ending at the recorded sid
+    chain: list[int] = []
+    walk = cur_sid
+    while walk is not None and walk != last_sid:
+        if walk not in snaps:
+            raise IcebergImportUnsupported(
+                f"snapshot {last_sid} is no longer an ancestor of the "
+                f"source head {cur_sid} (expired or rewritten history) — "
+                "re-import instead"
+            )
+        chain.append(walk)
+        walk = snaps[walk].get("parent-snapshot-id")
+    if walk is None:
+        raise IcebergImportUnsupported(
+            f"snapshot {last_sid} is not in the source head's ancestry — "
+            "re-import instead"
+        )
+    chain.reverse()
+
+    # external schema may have evolved — adds/widenings apply first
+    ice_schema = _current_schema(meta)
+    id_names, id_types = _field_maps(ice_schema)
+    spark_schema = iceberg_type_to_spark(
+        {"type": "struct", "fields": ice_schema["fields"]}
+    )
+    if isinstance(spark_schema, T.StructType):
+        table.evolve_schema(spark_schema)
+
+    specs = meta.get("partition-specs") or (
+        [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+    )
+    spec_id = meta.get("default-spec-id", 0)
+    cur_spec = next(
+        (s for s in specs if s.get("spec-id", 0) == spec_id), {"fields": []}
+    )
+    ident_tuple_fields = [
+        (
+            pf.get("name", id_names.get(pf.get("source-id"), "")),
+            id_names[pf["source-id"]],
+            id_types.get(pf.get("source-id"), ""),
+        )
+        for pf in cur_spec.get("fields", [])
+        if pf.get("transform") == "identity"
+        and pf.get("source-id") in id_names
+    ]
+    sort_cols, default_order_id = _default_sort_cols(meta, id_names)
+
+    def _files_of(ext_sid: int) -> tuple[list[dict], list[dict]]:
+        return _translate_snapshot(
+            snaps[ext_sid],
+            fv=fv,
+            id_names=id_names,
+            id_types=id_types,
+            ident_tuple_fields=ident_tuple_fields,
+            dest_root=table.root,
+            sort_cols=sort_cols,
+            default_order_id=default_order_id,
+        )
+
+    prev_data, prev_del = _files_of(last_sid)
+    synced = 0
+    for ext_sid in chain:
+        cur_data, cur_del = _files_of(ext_sid)
+        prev_dp = {e["path"] for e in prev_data}
+        # refreshed position deletes re-encode to fresh internal files, so
+        # delete identity is the ORIGINAL external path when recorded,
+        # else (path, seq)
+        def _dkey(e):
+            return (e.get("src") or e["path"], e["seq"])
+
+        prev_dk = {_dkey(e) for e in prev_del}
+        added_data = [e for e in cur_data if e["path"] not in prev_dp]
+        added_del = [e for e in cur_del if _dkey(e) not in prev_dk]
+        removed = (prev_dp - {e["path"] for e in cur_data}) or (
+            prev_dk - {_dkey(e) for e in cur_del}
+        )
+        summary = {
+            "operation": "import-refresh",
+            "import.source": os.path.abspath(meta_file),
+            "import.snapshot-id": str(ext_sid),
+            "import.data-files": str(len(added_data)),
+            "import.delete-files": str(len(added_del)),
+        }
+        if removed:
+            # the external snapshot dropped files (rewrite/expire):
+            # mirror its FULL live set as a replace commit
+            snap_int = table._commit_snapshot(
+                "replace", cur_data, cur_del, summary, MAIN,
+                replace=True, preserve_seq=True,
+            )
+        else:
+            snap_int = table._commit_snapshot(
+                "append", added_data, added_del, summary, MAIN,
+                preserve_seq=True,
+            )
+        max_seq = max(
+            (e["seq"] for e in cur_data + cur_del), default=1
+        )
+        if max_seq > snap_int["sequence_number"]:
+            meta2 = table.metadata()
+            for s in meta2["snapshots"]:
+                if s["snapshot_id"] == snap_int["snapshot_id"]:
+                    s["sequence_number"] = max_seq
+            table._write_version(meta2["version"] + 1, meta2)
+        prev_data, prev_del = cur_data, cur_del
+        synced += 1
+
+    table.set_properties(
+        {
+            "import.source-metadata": os.path.abspath(meta_file),
+            "import.source-snapshot-id": str(cur_sid),
+        }
+    )
+    return {"synced": synced, "from": last_sid, "to": cur_sid}

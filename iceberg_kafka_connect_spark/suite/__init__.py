@@ -83,9 +83,9 @@ def load_all() -> dict[str, QuerySpec]:
     # Round-5 rotation queue (oracle-checked, never gated): the TPC-H tail
     # — tpch_q2, tpch_q4, tpch_q8, tpch_q9, tpch_q11, tpch_q12, tpch_q16,
     # tpch_q20, tpch_q21, lineitem_grouping_sets, orders_rank_stats — plus
-    # any round-4 additions (iceberg_import round-trip, bucket-spec export)
-    # once their CORRECTNESS_r04 rows land. The r4-gated 13 below keep r04
-    # as their evidence and rotate out.
+    # the round-4 interop additions `iceberg_interop_roundtrip` and
+    # `iceberg_mirror_refresh`. The r4-gated 13 below keep r04 as their
+    # evidence and rotate out.
     if "tpch_q1" not in QUERIES:
         window = (
             # — SURVEY §2 rows (keep every round) —

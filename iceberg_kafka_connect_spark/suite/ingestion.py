@@ -1849,3 +1849,50 @@ def iceberg_interop_roundtrip(spark, sf_dir):
         F.sum("event_id").cast("bigint").alias("sum_ids"),
         F.countDistinct("event_type").cast("bigint").alias("n_types"),
     )
+
+
+# --------------------------------------------------------------------------
+# Iceberg mirror refresh (read direction, continuous): import an external
+# tree, let the external writer commit more (append + equality delete),
+# re-export, refresh_from_iceberg — the imported copy converges on the
+# source without a re-import. The reference keeps reading live tables
+# through its catalog (data/Utilities.java:68-121); this is that loop over
+# metadata trees. Oracle recomputes the final surviving rows from parquet.
+# --------------------------------------------------------------------------
+@register(
+    "iceberg_mirror_refresh",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    WHERE event_id < 600
+      AND event_id % 5 != 2
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def iceberg_mirror_refresh(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.iceberg_export import export_iceberg_metadata
+    from ..sinks.iceberg_import import (
+        import_iceberg_table,
+        refresh_from_iceberg,
+    )
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="mirror_refresh_gate_")
+    src = LakehouseTable.create(base + "/src", e.schema)
+    src.append(e.filter(F.col("event_id") < 300))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(src), base + "/dst"
+    )
+    # external writer moves on: append + equality delete, then re-export
+    src.append(e.filter((F.col("event_id") >= 300) & (F.col("event_id") < 600)))
+    src.delete_where(spark, "event_id % 5 = 2", key_cols=["event_id"])
+    export_iceberg_metadata(src)
+    refresh_from_iceberg(imp)
+    return imp.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    )

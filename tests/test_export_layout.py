@@ -135,3 +135,17 @@ def test_ref_collision_exports_no_orphan_tree(spark, tmp_path):
     assert md["refs"]["audit"]["type"] == "branch"
     # every exported snapshot is reachable from some ref (depth 1)
     assert {s["snapshot-id"] for s in md["snapshots"]} == ref_sids
+
+
+def test_metadata_log_records_previous_versions(spark, tmp_path):
+    t = LakehouseTable.create(str(tmp_path / "t"), SCHEMA)
+    t.append(_df(spark, 0, 5))
+    p1 = export_iceberg_metadata(t)
+    t.append(_df(spark, 5, 10))
+    p2 = export_iceberg_metadata(t)
+    with open(p1) as f:
+        assert json.load(f)["metadata-log"] == []
+    with open(p2) as f:
+        log = json.load(f)["metadata-log"]
+    assert [e["metadata-file"] for e in log] == ["file://" + p1]
+    assert all(e["timestamp-ms"] > 0 for e in log)

@@ -1,0 +1,129 @@
+"""refresh_from_iceberg: incremental sync of new external main-branch
+snapshots into an imported table — the continuous READ direction of the
+Iceberg mirror (the reference keeps reading live tables through its
+catalog, data/Utilities.java:68-121)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+    export_iceberg_metadata,
+)
+from iceberg_kafka_connect_spark.sinks.iceberg_import import (
+    IcebergImportUnsupported,
+    import_iceberg_table,
+    refresh_from_iceberg,
+)
+from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+SCHEMA = T.StructType(
+    [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+
+def _df(spark, a, b):
+    return spark.createDataFrame([(i, f"v{i}") for i in range(a, b)], SCHEMA)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_refresh_appends(spark, tmp_path):
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(_df(spark, 0, 10))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(src), str(tmp_path / "dst")
+    )
+    # external writer commits twice more
+    src.append(_df(spark, 10, 20))
+    src.append(_df(spark, 20, 30))
+    export_iceberg_metadata(src)
+    res = refresh_from_iceberg(imp)
+    assert res["synced"] == 2
+    assert _rows(imp.read(spark)) == _rows(src.read(spark))
+    # new external snapshots commit as appends, not replaces
+    ops = [
+        s["summary"].get("operation")
+        for s in imp.metadata()["snapshots"]
+    ]
+    assert ops.count("import-refresh") == 2
+    # idempotent: nothing new → no-op
+    res2 = refresh_from_iceberg(imp)
+    assert res2["synced"] == 0
+    assert res2["from"] == res2["to"]
+
+
+def test_refresh_with_deletes(spark, tmp_path):
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(_df(spark, 0, 20))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(src), str(tmp_path / "dst")
+    )
+    src.delete_where(spark, "k % 4 = 0", key_cols=["k"])
+    src.delete_where_positions(spark, "k = 7")
+    export_iceberg_metadata(src)
+    res = refresh_from_iceberg(imp)
+    assert res["synced"] == 2
+    assert _rows(imp.read(spark)) == _rows(src.read(spark))
+    assert imp.read(spark).count() == 14
+
+
+def test_refresh_after_external_rewrite(spark, tmp_path):
+    """An external snapshot that REMOVED files (compaction) mirrors as a
+    replace of its full live set."""
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(_df(spark, 0, 10))
+    src.append(_df(spark, 10, 20))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(src), str(tmp_path / "dst")
+    )
+    src.compact(spark)
+    src.append(_df(spark, 20, 25))
+    export_iceberg_metadata(src)
+    res = refresh_from_iceberg(imp)
+    assert res["synced"] >= 1
+    assert _rows(imp.read(spark)) == _rows(src.read(spark))
+
+
+def test_refresh_schema_evolution(spark, tmp_path):
+    """External column additions evolve the imported table first."""
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(_df(spark, 0, 5))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(src), str(tmp_path / "dst")
+    )
+    wide = T.StructType(
+        SCHEMA.fields + [T.StructField("extra", T.LongType())]
+    )
+    src.evolve_schema(wide)
+    src.append(
+        spark.createDataFrame([(100, "w", 42)], wide)
+    )
+    export_iceberg_metadata(src)
+    refresh_from_iceberg(imp)
+    got = {r.k: r.extra for r in imp.read(spark).collect()}
+    assert got[100] == 42
+    assert got[0] is None
+
+
+def test_refresh_refuses_foreign_table(spark, tmp_path):
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(_df(spark, 0, 5))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(src), str(tmp_path / "dst")
+    )
+    other = LakehouseTable.create(str(tmp_path / "other"), SCHEMA)
+    other.append(_df(spark, 0, 5))
+    out2 = export_iceberg_metadata(other)
+    with pytest.raises(IcebergImportUnsupported, match="table-uuid"):
+        refresh_from_iceberg(imp, source=out2)
+
+
+def test_refresh_requires_imported_table(spark, tmp_path):
+    t = LakehouseTable.create(str(tmp_path / "t"), SCHEMA)
+    t.append(_df(spark, 0, 5))
+    with pytest.raises(IcebergImportUnsupported, match="import"):
+        refresh_from_iceberg(t)
