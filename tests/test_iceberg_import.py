@@ -900,3 +900,103 @@ def test_existing_entry_without_seq_rejected(spark, tmp_path):
         pytest.skip("no EXISTING entry in this layout")
     with pytest.raises(IcebergImportUnsupported, match="EXISTING"):
         import_iceberg_table(out, str(tmp_path / "dst"))
+
+
+def test_external_fixture_refresh(spark, tmp_path, external_tree):
+    """refresh_from_iceberg over a hand-authored tree: a second metadata
+    version adds snapshot 78 (parent 77) with one new data file; the
+    imported copy converges without re-import."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_kafka_connect_spark.sinks.iceberg_import import (
+        refresh_from_iceberg,
+    )
+
+    root = external_tree
+    imp = import_iceberg_table(str(root), str(tmp_path / "dst"))
+    assert imp.read(spark).count() == 3
+
+    f4 = str(root / "data" / "part-0004.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([20, 21], pa.int64()), "s": ["p", "q"]}), f4
+    )
+    man2 = str(root / "metadata" / "m2.avro")
+    _write_deflate_ocf(
+        man2,
+        MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 78,
+                "sequence_number": None,  # inherit 3
+                "data_file": {
+                    "content": 0,
+                    "file_path": "file://" + f4,
+                    "file_format": "PARQUET",
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(f4),
+                    "equality_ids": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        ],
+    )
+    with open(root / "metadata" / "00004-abcd.metadata.json") as f:
+        md = json.load(f)
+    old_mlist = md["snapshots"][0]["manifest-list"].removeprefix("file://")
+    mlist2 = str(root / "metadata" / "snap-78.avro")
+    # new manifest list = old manifests + the new one
+    _, _, old_manifests = __import__(
+        "iceberg_kafka_connect_spark.sinks.iceberg_export",
+        fromlist=["_read_ocf"],
+    )._read_ocf(old_mlist)
+    _write_deflate_ocf(
+        mlist2,
+        MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": m["manifest_path"],
+                "manifest_length": m["manifest_length"],
+                "partition_spec_id": m["partition_spec_id"],
+                "content": m["content"],
+                "sequence_number": m["sequence_number"],
+                "min_sequence_number": m["min_sequence_number"],
+                "added_snapshot_id": m["added_snapshot_id"],
+            }
+            for m in old_manifests
+        ]
+        + [
+            {
+                "manifest_path": "file://" + man2,
+                "manifest_length": os.path.getsize(man2),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 3,
+                "min_sequence_number": 3,
+                "added_snapshot_id": 78,
+            }
+        ],
+    )
+    md["last-sequence-number"] = 3
+    md["current-snapshot-id"] = 78
+    md["refs"]["main"]["snapshot-id"] = 78
+    md["snapshots"].append(
+        {
+            "snapshot-id": 78,
+            "sequence-number": 3,
+            "parent-snapshot-id": 77,
+            "timestamp-ms": 1700000001000,
+            "manifest-list": "file://" + mlist2,
+            "summary": {"operation": "append"},
+            "schema-id": 0,
+        }
+    )
+    with open(root / "metadata" / "00005-abce.metadata.json", "w") as f:
+        json.dump(md, f)
+
+    res = refresh_from_iceberg(imp)
+    assert res == {"synced": 1, "from": 77, "to": 78}
+    got = sorted((r.k, r.s) for r in imp.read(spark).collect())
+    assert got == [(1, "a"), (3, "c"), (10, "x"), (20, "p"), (21, "q")]

@@ -127,3 +127,31 @@ def test_refresh_requires_imported_table(spark, tmp_path):
     t.append(_df(spark, 0, 5))
     with pytest.raises(IcebergImportUnsupported, match="import"):
         refresh_from_iceberg(t)
+
+
+def test_sync_loop_catches_up_and_stops(spark, tmp_path):
+    from iceberg_kafka_connect_spark.streaming.iceberg_sync import (
+        iceberg_sync_loop,
+    )
+
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(_df(spark, 0, 5))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(src), str(tmp_path / "dst")
+    )
+    src.append(_df(spark, 5, 10))
+    export_iceberg_metadata(src)
+    src.append(_df(spark, 10, 15))
+    export_iceberg_metadata(src)
+    seen = []
+    res = iceberg_sync_loop(
+        imp,
+        poll_interval_s=0.01,
+        max_polls=10,
+        on_refresh=seen.append,
+        stop_when_current=True,
+    )
+    assert res["synced"] == 2
+    assert res["polls"] == 2  # one catch-up poll + one no-op poll
+    assert seen and seen[0]["synced"] == 2
+    assert _rows(imp.read(spark)) == _rows(src.read(spark))
