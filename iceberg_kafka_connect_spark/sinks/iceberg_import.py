@@ -315,6 +315,34 @@ def _rewrite_position_delete_to_internal(src_path: str, out_dir: str) -> str:
     return path
 
 
+def _name_mapping_from_schema_history(
+    meta: dict, current: dict
+) -> list[dict] | None:
+    """Reconstruct an Iceberg NameMapping from metadata schema history:
+    for each top-level field-id in the CURRENT schema, every name it held
+    in an older schema becomes an alias. Returns None when no field was
+    ever renamed (no mapping needed)."""
+    cur_names = {f["id"]: f["name"] for f in current.get("fields", [])}
+    aliases: dict[int, list[str]] = {fid: [] for fid in cur_names}
+    for sch in meta.get("schemas", []):
+        if sch is current:
+            continue
+        for f in sch.get("fields", []):
+            fid, name = f.get("id"), f.get("name")
+            if (
+                fid in cur_names
+                and name != cur_names[fid]
+                and name not in aliases[fid]
+            ):
+                aliases[fid].append(name)
+    if not any(aliases.values()):
+        return None
+    return [
+        {"field-id": fid, "names": [cur_names[fid], *aliases[fid]]}
+        for fid in cur_names
+    ]
+
+
 # (dest table root, external delete-file path) → re-encoded internal path;
 # spec delete files are immutable, so one re-encode per destination suffices
 _POS_DELETE_REENCODES: dict[tuple[str, str], str] = {}
@@ -568,6 +596,15 @@ def import_iceberg_table(
     else:
         # a stale property must not outlive a dropped/unsupported order
         props.pop("write.sort-order", None)
+    if "schema.name-mapping.default" not in props:
+        # Java writers resolve renamed columns through parquet field-ids
+        # and often carry no name-mapping; the metadata's SCHEMA HISTORY
+        # records every name each field-id ever had, so synthesize the
+        # mapping — old-named files then resolve through the ordinary
+        # alias path, zero footer reads
+        synth = _name_mapping_from_schema_history(meta, ice_schema)
+        if synth:
+            props["schema.name-mapping.default"] = json.dumps(synth)
     props["import.source-metadata"] = os.path.abspath(meta_file)
     props["import.source-snapshot-id"] = str(snapshot_id)
     props["import.source-uuid"] = meta.get("table-uuid", "")

@@ -1000,3 +1000,161 @@ def test_external_fixture_refresh(spark, tmp_path, external_tree):
     assert res == {"synced": 1, "from": 77, "to": 78}
     got = sorted((r.k, r.s) for r in imp.read(spark).collect())
     assert got == [(1, "a"), (3, "c"), (10, "x"), (20, "p"), (21, "q")]
+
+
+def test_renamed_table_roundtrip(spark, tmp_path):
+    """Files written BEFORE a rename_column resolve after export → import:
+    the external name-mapping (old physical name on the same field-id)
+    imports with the properties and drives the read-path alias
+    resolution."""
+    t = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    t.append(spark.createDataFrame([(1, "a", 10)], SCHEMA))
+    t.rename_column("v", "val")
+    wide = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("g", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    t.append(spark.createDataFrame([(2, "b", 20)], wide))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(t), str(tmp_path / "dst")
+    )
+    assert imp.schema().fieldNames() == ["k", "g", "val"]
+    got = sorted((r.k, r.val) for r in imp.read(spark).collect())
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_name_mapping_synthesized_from_schema_history(spark, tmp_path):
+    """An external tree WITHOUT a name-mapping property but WITH schema
+    history (a rename recorded across schema-ids) imports with a
+    synthesized mapping, so old-named files resolve."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        _write_ocf,
+        _manifest_entry_schema,
+        _manifest_list_schema,
+    )
+
+    root = tmp_path / "ext"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    # file written under the OLD schema: column named "s"
+    f_old = str(root / "data" / "old.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1], pa.int64()), "s": ["before"]}), f_old
+    )
+    # file written under the NEW schema: column renamed to "txt"
+    f_new = str(root / "data" / "new.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([2], pa.int64()), "txt": ["after"]}), f_new
+    )
+    man = str(root / "metadata" / "m0.avro")
+    # the old-named file was written in an earlier snapshot (seq 1,
+    # EXISTING here); the renamed-schema file is this snapshot's ADDED
+    # (seq 2) — files within one sequence always share a schema
+    entries = [
+        {
+            "status": 0,
+            "snapshot_id": 4,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": "file://" + f_old,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(f_old),
+            },
+        },
+        {
+            "status": 1,
+            "snapshot_id": 5,
+            "sequence_number": 2,
+            "file_sequence_number": 2,
+            "data_file": {
+                "content": 0,
+                "file_path": "file://" + f_new,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(f_new),
+            },
+        },
+    ]
+    _write_ocf(man, _manifest_entry_schema(), entries, {"format-version": "2"})
+    mlist = str(root / "metadata" / "snap-5.avro")
+    _write_ocf(
+        mlist,
+        _manifest_list_schema(),
+        [
+            {
+                "manifest_path": "file://" + man,
+                "manifest_length": os.path.getsize(man),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 2,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 5,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 2,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        {"format-version": "2"},
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "0f2cd834-5cb7-46ff-9cbb-00000000cafe",
+        "location": "file://" + str(root),
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "current-schema-id": 1,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {"id": 2, "name": "s", "required": False, "type": "string"},
+                ],
+            },
+            {
+                "type": "struct",
+                "schema-id": 1,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {"id": 2, "name": "txt", "required": False,
+                     "type": "string"},
+                ],
+            },
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "properties": {},  # NO name-mapping — must be synthesized
+        "current-snapshot-id": 5,
+        "refs": {"main": {"snapshot-id": 5, "type": "branch"}},
+        "snapshots": [
+            {
+                "snapshot-id": 5,
+                "sequence-number": 2,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": "file://" + mlist,
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    with open(root / "metadata" / "00001-ffff.metadata.json", "w") as f:
+        json.dump(metadata, f)
+    imp = import_iceberg_table(str(root), str(tmp_path / "dst"))
+    assert imp.schema().fieldNames() == ["k", "txt"]
+    got = sorted((r.k, r.txt) for r in imp.read(spark).collect())
+    assert got == [(1, "before"), (2, "after")]
