@@ -191,6 +191,17 @@ def table_main(argv: list[str]) -> int:
         "--source",
         help="override the recorded import.source-metadata location",
     )
+    ri.add_argument(
+        "--follow",
+        action="store_true",
+        help="poll until caught up (iceberg_sync_loop, stop when current)",
+    )
+    ri.add_argument(
+        "--poll-interval", type=float, default=5.0, help="seconds per poll"
+    )
+    ri.add_argument(
+        "--max-polls", type=int, default=None, help="bound the follow loop"
+    )
     args = ap.parse_args(argv)
 
     catalog = Catalog(args.warehouse)
@@ -218,6 +229,21 @@ def table_main(argv: list[str]) -> int:
     t = catalog.load_table(args.name)
     out: object
     if args.action == "refresh-iceberg":
+        if args.follow:
+            from .streaming.iceberg_sync import iceberg_sync_loop
+
+            print(
+                json.dumps(
+                    iceberg_sync_loop(
+                        t,
+                        source=args.source,
+                        poll_interval_s=args.poll_interval,
+                        max_polls=args.max_polls,
+                        stop_when_current=True,
+                    )
+                )
+            )
+            return 0
         from .sinks.iceberg_import import refresh_from_iceberg
 
         print(json.dumps(refresh_from_iceberg(t, source=args.source)))

@@ -608,6 +608,12 @@ def import_iceberg_table(
     props["import.source-metadata"] = os.path.abspath(meta_file)
     props["import.source-snapshot-id"] = str(snapshot_id)
     props["import.source-uuid"] = meta.get("table-uuid", "")
+    # top-level {field-id: name} at import time — refresh diffs it against
+    # the source's current schema to apply external RENAMES by field-id
+    # (evolve_schema alone would read a rename as add-new-column)
+    props["import.source-field-names"] = json.dumps(
+        {str(i): n for i, n in id_names.items()}
+    )
     if skipped_transforms:
         props["import.skipped-partition-transforms"] = ",".join(
             skipped_transforms
@@ -787,9 +793,24 @@ def refresh_from_iceberg(
         )
     chain.reverse()
 
-    # external schema may have evolved — adds/widenings apply first
+    # external schema may have evolved — renames (diffed by field-id
+    # against the names recorded at import) apply first, then
+    # adds/widenings via evolve_schema
     ice_schema = _current_schema(meta)
     id_names, id_types = _field_maps(ice_schema)
+    recorded = json.loads(props.get("import.source-field-names", "{}"))
+    live = {f.name for f in table.schema().fields}
+    for fid_s, old_name in recorded.items():
+        new_name = id_names.get(int(fid_s))
+        if (
+            new_name
+            and new_name != old_name
+            and old_name in live
+            and new_name not in live
+        ):
+            table.rename_column(old_name, new_name)
+            live.discard(old_name)
+            live.add(new_name)
     spark_schema = iceberg_type_to_spark(
         {"type": "struct", "fields": ice_schema["fields"]}
     )
@@ -879,6 +900,9 @@ def refresh_from_iceberg(
         {
             "import.source-metadata": os.path.abspath(meta_file),
             "import.source-snapshot-id": str(cur_sid),
+            "import.source-field-names": json.dumps(
+                {str(i): n for i, n in id_names.items()}
+            ),
         }
     )
     return {"synced": synced, "from": last_sid, "to": cur_sid}

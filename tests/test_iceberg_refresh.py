@@ -155,3 +155,59 @@ def test_sync_loop_catches_up_and_stops(spark, tmp_path):
     assert res["polls"] == 2  # one catch-up poll + one no-op poll
     assert seen and seen[0]["synced"] == 2
     assert _rows(imp.read(spark)) == _rows(src.read(spark))
+
+
+def test_refresh_applies_external_rename(spark, tmp_path):
+    """An external rename between refreshes applies by FIELD-ID diff
+    against the names recorded at import — not as an added column."""
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(_df(spark, 0, 5))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(src), str(tmp_path / "dst")
+    )
+    src.rename_column("v", "label")
+    renamed = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("label", T.StringType())]
+    )
+    src.append(spark.createDataFrame([(100, "x")], renamed))
+    export_iceberg_metadata(src)
+    refresh_from_iceberg(imp)
+    assert imp.schema().fieldNames() == ["k", "label"]
+    got = {r.k: r.label for r in imp.read(spark).collect()}
+    assert got[0] == "v0" and got[100] == "x"
+
+
+def test_cli_refresh_iceberg(spark, tmp_path, capsys):
+    import json as _json
+
+    from iceberg_kafka_connect_spark.cli import main
+
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(_df(spark, 0, 5))
+    out = export_iceberg_metadata(src)
+    wh = str(tmp_path / "wh")
+    assert main(
+        ["table", "--warehouse", wh, "--name", "default.m",
+         "import-iceberg", "--source", out]
+    ) == 0
+    src.append(_df(spark, 5, 10))
+    export_iceberg_metadata(src)
+    assert main(
+        ["table", "--warehouse", wh, "--name", "default.m",
+         "refresh-iceberg"]
+    ) == 0
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["synced"] == 1
+    # --follow drains then stops when current
+    src.append(_df(spark, 10, 15))
+    export_iceberg_metadata(src)
+    assert main(
+        ["table", "--warehouse", wh, "--name", "default.m",
+         "refresh-iceberg", "--follow", "--poll-interval", "0.01",
+         "--max-polls", "5"]
+    ) == 0
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["synced"] == 1 and got["polls"] == 2
+    from iceberg_kafka_connect_spark.sinks import Catalog
+
+    assert Catalog(wh).load_table("default.m").read(spark).count() == 15
