@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "wap_publish",
     # round-4 additions
     "iceberg_interop_roundtrip",
+    "iceberg_mirror_refresh",
 ]
 
 
