@@ -917,6 +917,23 @@ def _rewrite_position_delete(
     return new_path, rewritten.num_rows, os.path.getsize(new_path)
 
 
+def _metadata_log_keep(meta: dict, delete_after_commit: bool | None) -> int:
+    """How many previous metadata versions this export will leave on disk
+    (a huge number when retention is off)."""
+    props = meta.get("properties") or {}
+    cleanup = (
+        delete_after_commit
+        if delete_after_commit is not None
+        else str(
+            props.get("write.metadata.delete-after-commit.enabled", "")
+        ).lower()
+        == "true"
+    )
+    if not cleanup:
+        return 10**9
+    return int(props.get("write.metadata.previous-versions-max", 100))
+
+
 def export_iceberg_metadata(
     table,
     out_dir: str | None = None,
@@ -1415,12 +1432,26 @@ def export_iceberg_metadata(
             cur = table._snapshot_by_id(meta, cur).get("parent")
             n += 1
 
-    # parent links, only between snapshots that are both exported (an
-    # expired or depth-capped parent must not dangle)
+    # parent links: the TRUE parent id always (the external id is a
+    # deterministic function of the internal hex id, so it's stable even
+    # for a parent outside this export). Iceberg itself keeps
+    # parent-snapshot-id pointing at expired snapshots — readers handle
+    # absence — and a depth-capped continuous mirror NEEDS the dangling
+    # link so refresh_from_iceberg can recognize "head's parent is
+    # exactly my recorded snapshot" and sync incrementally.
     for shex, tree in trees.items():
         phex = table._snapshot_by_id(meta, shex).get("parent")
-        if phex in trees:
-            tree["parent-snapshot-id"] = trees[phex]["snapshot-id"]
+        if phex is not None:
+            tree["parent-snapshot-id"] = (
+                trees[phex]["snapshot-id"]
+                if phex in trees
+                else _snapshot_id_int(phex)
+            )
+    prev_meta_versions = sorted(
+        (int(m.group(1)), p)
+        for p in os.listdir(out)
+        if (m := re.match(r"(\d+)-[0-9a-f]+\.metadata\.json$", p))
+    )
     snapshots_json = sorted(
         trees.values(), key=lambda s: (s["sequence-number"], s["snapshot-id"])
     )
@@ -1472,10 +1503,10 @@ def export_iceberg_metadata(
             }
             for shex in reversed(main_chain)
         ],
-        # previous metadata versions still on disk, oldest first — the
-        # spec's metadata-log lets external readers time-travel across
-        # METADATA versions ("FOR SYSTEM_VERSION AS OF" on files), not
-        # just snapshots
+        # previous metadata versions, oldest first, TRIMMED to the set
+        # that survives this export's own retention pass (an entry citing
+        # a file the cleanup below deletes would break external metadata
+        # time-travel) — the same trim Iceberg applies
         "metadata-log": [
             {
                 "timestamp-ms": int(
@@ -1483,11 +1514,13 @@ def export_iceberg_metadata(
                 ),
                 "metadata-file": "file://" + os.path.join(out, p),
             }
-            for p in sorted(
-                p
-                for p in os.listdir(out)
-                if re.match(r"(\d+)-[0-9a-f]+\.metadata\.json$", p)
-            )
+            for _, p in prev_meta_versions[
+                len(prev_meta_versions)
+                - min(
+                    len(prev_meta_versions),
+                    _metadata_log_keep(meta, delete_after_commit),
+                ):
+            ]
         ],
     }
     metadata_path = os.path.join(

@@ -288,6 +288,14 @@ def _scan_manifests(
                 seq = m_seq
             df_entry = e["data_file"]
             df_entry["_seq"] = seq
+            # effective ADDING snapshot (v2 inheritance: a null entry
+            # snapshot_id inherits the manifest's added_snapshot_id) —
+            # refresh uses it to pick out exactly one snapshot's additions
+            df_entry["_snap"] = (
+                e.get("snapshot_id")
+                if e.get("snapshot_id") is not None
+                else mf.get("added_snapshot_id")
+            )
             content = df_entry.get("content", 0) or 0
             if m_content == 1 or content in (1, 2):
                 df_entry["_content"] = content
@@ -388,10 +396,19 @@ def _translate_snapshot(
     dest_root: str,
     sort_cols: list[str],
     default_order_id: int,
+    only_added_by: int | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """One external snapshot's manifest entries → internal (data_files,
-    delete_files) shape."""
+    delete_files) shape. ``only_added_by`` keeps only entries whose
+    effective adding snapshot is that id (refresh's append-only path)."""
     data_entries, delete_entries = _scan_manifests(snap_x, fv)
+    if only_added_by is not None:
+        data_entries = [
+            e for e in data_entries if e.get("_snap") == only_added_by
+        ]
+        delete_entries = [
+            e for e in delete_entries if e.get("_snap") == only_added_by
+        ]
     data_files: list[dict] = []
     for e in data_entries:
         path = _uri_to_path(e["file_path"])
@@ -446,6 +463,10 @@ def _translate_snapshot(
                         path, os.path.join(dest_root, "deletes", "import")
                     )
                 )
+                while len(_POS_DELETE_REENCODES) > 4096:  # bound the cache
+                    _POS_DELETE_REENCODES.pop(
+                        next(iter(_POS_DELETE_REENCODES))
+                    )
             internal = _POS_DELETE_REENCODES[memo_key]
             delete_files.append(
                 {
@@ -739,8 +760,19 @@ def refresh_from_iceberg(
     Pure-append external snapshots commit as appends of exactly their
     added entries; snapshots that also removed files (rewrites, expired
     data) commit as a REPLACE of the snapshot's full live set. External
-    schema additions/widenings evolve the internal schema first. Main
-    branch only; refs sync at full import time.
+    schema renames (field-id diff) and additions/widenings apply first.
+    Main branch only; refs sync at full import time.
+
+    Crash safety: each applied snapshot's commit stamps
+    ``import.snapshot-id`` in its own summary, and the NEXT refresh reads
+    the marker from snapshot ancestry — marker and data advance in one
+    atomic commit, so a crash anywhere re-applies nothing.
+
+    Depth-capped sources (a continuous mirror exporting heads only) sync
+    as long as each poll catches every head: the head's dangling
+    parent-snapshot-id proves ancestry, and append snapshots carry their
+    own added entries. A non-append snapshot whose parent state wasn't
+    exported raises (raise export.history-depth or re-import).
 
     Returns {"synced": n, "from": <ext sid>, "to": <ext sid>}.
     """
@@ -770,19 +802,32 @@ def refresh_from_iceberg(
     refs = meta.get("refs") or {}
     if cur_sid in (None, -1) and "main" in refs:
         cur_sid = refs["main"]["snapshot-id"]
-    last_sid = int(props.get("import.source-snapshot-id", 0))
+    # the authoritative sync marker is the latest import.snapshot-id in
+    # OUR snapshot summaries — stamped atomically with each applied
+    # snapshot's commit, so a crash between commit and any property write
+    # can never cause a re-apply (the property is only a fallback cache)
+    marker = table.last_summary_value("import.snapshot-id")
+    last_sid = (
+        int(marker)
+        if marker is not None
+        else int(props.get("import.source-snapshot-id", 0))
+    )
     if cur_sid == last_sid:
         return {"synced": 0, "from": last_sid, "to": last_sid}
 
-    # new main-branch ancestry, oldest first, ending at the recorded sid
+    # new main-branch ancestry, oldest first, ending at the recorded sid.
+    # The recorded snapshot itself may be absent from the metadata (a
+    # depth-capped continuous mirror exports heads only; expire drops old
+    # entries) — a DANGLING parent link naming it still proves ancestry.
     chain: list[int] = []
     walk = cur_sid
     while walk is not None and walk != last_sid:
         if walk not in snaps:
             raise IcebergImportUnsupported(
                 f"snapshot {last_sid} is no longer an ancestor of the "
-                f"source head {cur_sid} (expired or rewritten history) — "
-                "re-import instead"
+                f"source head {cur_sid} (expired, rewritten, or beyond the "
+                "exported history depth) — raise export.history-depth on "
+                "the source or re-import"
             )
         chain.append(walk)
         walk = snaps[walk].get("parent-snapshot-id")
@@ -836,7 +881,9 @@ def refresh_from_iceberg(
     ]
     sort_cols, default_order_id = _default_sort_cols(meta, id_names)
 
-    def _files_of(ext_sid: int) -> tuple[list[dict], list[dict]]:
+    def _files_of(
+        ext_sid: int, only_added_by: int | None = None
+    ) -> tuple[list[dict], list[dict]]:
         return _translate_snapshot(
             snaps[ext_sid],
             fv=fv,
@@ -846,25 +893,48 @@ def refresh_from_iceberg(
             dest_root=table.root,
             sort_cols=sort_cols,
             default_order_id=default_order_id,
+            only_added_by=only_added_by,
         )
 
-    prev_data, prev_del = _files_of(last_sid)
-    synced = 0
-    for ext_sid in chain:
-        cur_data, cur_del = _files_of(ext_sid)
-        prev_dp = {e["path"] for e in prev_data}
+    def _dkey(e):
         # refreshed position deletes re-encode to fresh internal files, so
         # delete identity is the ORIGINAL external path when recorded,
         # else (path, seq)
-        def _dkey(e):
-            return (e.get("src") or e["path"], e["seq"])
+        return (e.get("src") or e["path"], e["seq"])
 
-        prev_dk = {_dkey(e) for e in prev_del}
-        added_data = [e for e in cur_data if e["path"] not in prev_dp]
-        added_del = [e for e in cur_del if _dkey(e) not in prev_dk]
-        removed = (prev_dp - {e["path"] for e in cur_data}) or (
-            prev_dk - {_dkey(e) for e in cur_del}
+    # the recorded snapshot's own state, when the metadata still has it —
+    # a depth-capped mirror exports heads only, so it may not (then the
+    # first chain element syncs via its ADDED entries, append-only)
+    prev_data, prev_del = (
+        _files_of(last_sid) if last_sid in snaps else (None, None)
+    )
+    synced = 0
+    for ext_sid in chain:
+        cur_data, cur_del = _files_of(ext_sid)
+        op = (snaps[ext_sid].get("summary") or {}).get(
+            "operation", "append"
         )
+        if prev_data is not None:
+            prev_dp = {e["path"] for e in prev_data}
+            prev_dk = {_dkey(e) for e in prev_del}
+            added_data = [e for e in cur_data if e["path"] not in prev_dp]
+            added_del = [e for e in cur_del if _dkey(e) not in prev_dk]
+            removed = (prev_dp - {e["path"] for e in cur_data}) or (
+                prev_dk - {_dkey(e) for e in cur_del}
+            )
+        elif op == "append":
+            # no parent state exported: an append snapshot's own additions
+            # are exactly its entries whose adding snapshot is this one
+            added_data, added_del = _files_of(
+                ext_sid, only_added_by=ext_sid
+            )
+            removed = set()
+        else:
+            raise IcebergImportUnsupported(
+                f"snapshot {ext_sid} ({op}) may have removed files but "
+                "its parent's state is not in the exported metadata — "
+                "raise export.history-depth on the source or re-import"
+            )
         summary = {
             "operation": "import-refresh",
             "import.source": os.path.abspath(meta_file),

@@ -172,9 +172,14 @@ def _coerce_bucket_literal(value, dtype: T.DataType | None):
         try:
             # rescale to the column's scale: Iceberg hashes the unscaled
             # value AT THE TYPE's scale ('14.2' at scale 2 is 1420, not 142)
+            # trap BOTH: a bare Context() traps Inexact only by request,
+            # and leaving InvalidOperation untrapped makes quantize of a
+            # >28-digit literal return NaN instead of raising
             return decimal.Decimal(str(value)).quantize(
                 decimal.Decimal(1).scaleb(-dtype.scale),
-                context=decimal.Context(traps=[decimal.Inexact]),
+                context=decimal.Context(
+                    traps=[decimal.Inexact, decimal.InvalidOperation]
+                ),
             )
         except (decimal.InvalidOperation, decimal.Inexact, ValueError):
             return None

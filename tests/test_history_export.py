@@ -130,9 +130,13 @@ def test_history_depth_cap(spark, tmp_path):
     with open(path) as f:
         md = json.load(f)
     assert len(md["snapshots"]) == 2
-    # the depth-capped parent is not linked (no dangling reference)
+    # the depth-capped parent IS linked, dangling — Iceberg itself keeps
+    # parent ids of expired snapshots, and refresh_from_iceberg needs the
+    # link to prove ancestry against a heads-only mirror
     oldest = min(md["snapshots"], key=lambda s: s["sequence-number"])
-    assert oldest.get("parent-snapshot-id") is None
+    exported = {s["snapshot-id"] for s in md["snapshots"]}
+    assert oldest.get("parent-snapshot-id") is not None
+    assert oldest["parent-snapshot-id"] not in exported
     assert len(md["snapshot-log"]) == 2
 
 

@@ -5,6 +5,8 @@ catalog, data/Utilities.java:68-121)."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import types as T
 
@@ -211,3 +213,69 @@ def test_cli_refresh_iceberg(spark, tmp_path, capsys):
     from iceberg_kafka_connect_spark.sinks import Catalog
 
     assert Catalog(wh).load_table("default.m").read(spark).count() == 15
+
+
+def test_refresh_from_depth_capped_mirror(spark, tmp_path):
+    """The write-direction mirror exports heads only (history_depth=1);
+    refresh must still sync append commits via the head's dangling
+    parent link + its own ADDED entries."""
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(_df(spark, 0, 5))
+    export_iceberg_metadata(src, history_depth=1)
+    imp = import_iceberg_table(
+        str(tmp_path / "src" / "iceberg-metadata"), str(tmp_path / "dst")
+    )
+    src.append(_df(spark, 5, 10))
+    export_iceberg_metadata(src, history_depth=1)
+    res = refresh_from_iceberg(imp)
+    assert res["synced"] == 1
+    assert _rows(imp.read(spark)) == _rows(src.read(spark))
+    # a file-removing commit under depth-1 raises with guidance
+    src.compact(spark)
+    export_iceberg_metadata(src, history_depth=1)
+    with pytest.raises(IcebergImportUnsupported, match="history-depth"):
+        refresh_from_iceberg(imp)
+    # ...and full-history export unblocks the same sync
+    export_iceberg_metadata(src)
+    res = refresh_from_iceberg(imp)
+    assert res["synced"] >= 1
+    assert _rows(imp.read(spark)) == _rows(src.read(spark))
+
+
+def test_refresh_marker_rides_commits(spark, tmp_path):
+    """The sync marker lives in snapshot summaries (atomic with each
+    commit): wiping the property cache must not cause re-application."""
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(_df(spark, 0, 5))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(src), str(tmp_path / "dst")
+    )
+    src.append(_df(spark, 5, 10))
+    export_iceberg_metadata(src)
+    refresh_from_iceberg(imp)
+    # simulate the crash window: property write lost after the commit
+    imp.set_properties({"import.source-snapshot-id": "0"})
+    res = refresh_from_iceberg(imp)
+    assert res["synced"] == 0
+    assert imp.read(spark).count() == 10  # no duplication
+
+
+def test_refresh_expired_marker_raises_cleanly(spark, tmp_path):
+    """A marker that left the source's ancestry (expired + unreferenced)
+    raises the designed error, not a KeyError."""
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(_df(spark, 0, 5))
+    imp = import_iceberg_table(
+        export_iceberg_metadata(src), str(tmp_path / "dst")
+    )
+    src.append(_df(spark, 5, 10))
+    out = export_iceberg_metadata(src, history_depth=1)
+    # sever ancestry: drop the parent link from the only exported snapshot
+    with open(out) as f:
+        md = json.load(f)
+    for s in md["snapshots"]:
+        s.pop("parent-snapshot-id", None)
+    with open(out, "w") as f:
+        json.dump(md, f)
+    with pytest.raises(IcebergImportUnsupported, match="ancestry"):
+        refresh_from_iceberg(imp)
