@@ -2117,6 +2117,67 @@ class LakehouseTable:
             "partition string, n_files long, n_rows long",
         )
 
+    def all_files_df(self, spark: SparkSession) -> DataFrame:
+        """Iceberg `table.all_data_files`/`all_delete_files` parity in one
+        frame: every file any retained snapshot ADDED, with its adding
+        snapshot and sequence number — what external tooling scans to
+        audit storage across history (live files of every snapshot =
+        `files_df` per ref head). Metadata-only: reads the per-snapshot
+        side manifests, never the data."""
+        rows = []
+        for s in self.snapshots():
+            d, dl = self._load_manifest(s)
+            for f in d:
+                rows.append(
+                    (
+                        s["snapshot_id"],
+                        s["sequence_number"],
+                        "data",
+                        f["path"],
+                        f.get("format", "parquet"),
+                        f.get("bytes"),
+                    )
+                )
+            for f in dl:
+                rows.append(
+                    (
+                        s["snapshot_id"],
+                        s["sequence_number"],
+                        "position-deletes"
+                        if f.get("delete_type") == "position"
+                        else "equality-deletes",
+                        f["path"],
+                        f.get("format", "parquet"),
+                        f.get("bytes"),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id string, sequence_number long, content string, "
+            "path string, format string, bytes long",
+        )
+
+    def metadata_log_df(self, spark: SparkSession) -> DataFrame:
+        """Iceberg `table.metadata_log_entries` parity: one row per
+        metadata version file still on disk, oldest first."""
+        rows = []
+        for p in sorted(
+            globmod.glob(os.path.join(self._meta_dir, "v*.json")),
+            key=lambda p: int(
+                os.path.basename(p)[1:].split(".")[0]
+            ),
+        ):
+            rows.append(
+                (
+                    int(os.path.basename(p)[1:].split(".")[0]),
+                    p,
+                    int(os.path.getmtime(p) * 1000),
+                )
+            )
+        return spark.createDataFrame(
+            rows, "version long, file string, timestamp_ms long"
+        )
+
     # ----------------------------------------------------------- maintenance
     def compact(
         self,

@@ -725,3 +725,47 @@ def test_iceberg_mirror_follows_commits(spark, tmp_path, catalog):
 
     imp = import_iceberg_table(tree, str(tmp_path / "imported"))
     assert imp.read(spark).count() == 10
+
+
+def test_mirror_chain_stream_to_synced_copy(spark, tmp_path, catalog):
+    """Full continuous-mirror chain: the streaming pipeline ingests and
+    exports per commit (write direction, heads-only by default);
+    refresh_from_iceberg keeps an imported COPY converging on the stream
+    (read direction) — two engines, one metadata tree between them."""
+    from iceberg_kafka_connect_spark.sinks.iceberg_import import (
+        import_iceberg_table,
+        refresh_from_iceberg,
+    )
+
+    cfg = SinkConfig(
+        tables=[TableConfig("default.chain")],
+        auto_create=True,
+        auto_create_props={"iceberg.mirror.enabled": "true"},
+    )
+    pipe = SinkPipeline(catalog, cfg, "p-chain", value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(
+        src,
+        [{"id": i, "type": "t", "payload": f"p{i}", "op": None} for i in range(5)],
+    )
+    _run(spark, pipe, src, tmp_path / "ckpt")
+    t = catalog.load_table("default.chain")
+    tree = f"{t.root}/iceberg-metadata"
+    copy = import_iceberg_table(tree, str(tmp_path / "copy"))
+    assert copy.read(spark).count() == 5
+
+    # two more streamed batches → two more heads-only exports; the copy
+    # catches up across BOTH (each export carries its dangling parent)
+    for lo in (5, 8):
+        _write_records(
+            src,
+            [{"id": i, "type": "t", "payload": "x", "op": None}
+             for i in range(lo, lo + 3)],
+            offset0=lo,
+        )
+        _run(spark, pipe, src, tmp_path / "ckpt")
+        res = refresh_from_iceberg(copy)
+        assert res["synced"] == 1
+    assert copy.read(spark).count() == 11
+    got = sorted(r.id for r in copy.read(spark).collect())
+    assert got == list(range(11))

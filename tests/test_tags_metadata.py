@@ -152,3 +152,32 @@ def test_refs_df(spark, catalog):
     assert rows["audit"].snapshot_id == s1["snapshot_id"]
     assert rows["main"].snapshot_id != s1["snapshot_id"]
     assert rows["main"].sequence_number == 2
+
+
+def test_all_files_df(spark, catalog):
+    t = catalog.create_table("default.allfiles", SCHEMA)
+    t.append(_df(spark, 0, 5))
+    t.append(_df(spark, 5, 10))
+    t.delete_where(spark, "id = 1", key_cols=["id"])
+    af = t.all_files_df(spark)
+    by_content = {
+        r["content"]: r["n"]
+        for r in af.groupBy("content").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_content["data"] >= 2
+    assert by_content["equality-deletes"] >= 1
+    # every adding snapshot is a real snapshot
+    sids = {s["snapshot_id"] for s in t.snapshots()}
+    assert {r.snapshot_id for r in af.collect()} <= sids
+
+
+def test_metadata_log_df(spark, catalog):
+    t = catalog.create_table("default.mlog", SCHEMA)
+    t.append(_df(spark, 0, 5))
+    t.append(_df(spark, 5, 10))
+    log = t.metadata_log_df(spark).collect()
+    assert [r.version for r in log] == sorted(r.version for r in log)
+    assert len(log) == t.current_version() + 1 - log[0].version
+    import os as _os
+
+    assert all(_os.path.isfile(r.file) for r in log)
