@@ -2117,6 +2117,76 @@ class LakehouseTable:
             "partition string, n_files long, n_rows long",
         )
 
+    def add_files(
+        self, source, fmt: str = "parquet", check_schema: bool = True
+    ) -> dict:
+        """Register EXISTING data files in place — Iceberg's ``add_files``
+        procedure / ``snapshot``-table migration (SparkActions), the only
+        sane migration shape at 100 TB: zero data rewrite, one metadata
+        commit. ``source`` is a directory (recursively globbed for
+        ``*.{fmt}``) or an explicit list of paths; files are referenced
+        absolutely, per-file column bounds come from the parquet footers
+        (O(files) metadata reads) so min/max scan pruning works
+        immediately, and a hive-partitioned source keeps directory-derived
+        columns via the recorded base dir (Spark ``basePath``)."""
+        if isinstance(source, str):
+            base_dir = os.path.abspath(source)
+            paths = sorted(
+                globmod.glob(
+                    os.path.join(base_dir, "**", f"*.{fmt}"), recursive=True
+                )
+            )
+        else:
+            paths = [os.path.abspath(p) for p in source]
+            base_dir = (
+                os.path.commonpath([os.path.dirname(p) for p in paths])
+                if paths
+                else ""
+            )
+        if not paths:
+            raise ValueError(f"add_files: no *.{fmt} files under {source!r}")
+        if check_schema and fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            file_cols = set(pq.ParquetFile(paths[0]).schema_arrow.names)
+            ident_sources = {
+                f.source
+                for f in self.partition_spec()
+                if f.transform == "identity"
+            }
+            missing = {
+                f.name for f in self.schema().fields
+                if f.name not in file_cols and f.name not in ident_sources
+            }
+            if missing:
+                raise ValueError(
+                    f"add_files: source files lack table columns {sorted(missing)}"
+                )
+        entries = []
+        for p in paths:
+            e = {
+                "path": p,
+                "base": base_dir,
+                "format": fmt,
+                "bytes": os.path.getsize(p),
+            }
+            if fmt == "parquet":
+                st = collect_parquet_stats(p)
+                if st:
+                    e["stats"] = st
+            entries.append(e)
+        return self._commit_snapshot(
+            "append",
+            entries,
+            [],
+            {
+                "operation": "add-files",
+                "add-files.count": str(len(entries)),
+                "add-files.source": base_dir,
+            },
+            MAIN,
+        )
+
     def all_files_df(self, spark: SparkSession) -> DataFrame:
         """Iceberg `table.all_data_files`/`all_delete_files` parity in one
         frame: every file any retained snapshot ADDED, with its adding

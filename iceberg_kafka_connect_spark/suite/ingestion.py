@@ -1896,3 +1896,49 @@ def iceberg_mirror_refresh(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("event_id").cast("bigint").alias("sum_ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zero-copy migration: register the driver's events parquet IN PLACE as a
+# lakehouse table (Iceberg's add_files procedure / snapshot-table
+# migration — SparkActions.migrateTable/snapshotTable; the reference
+# instead auto-creates and rewrites through the connector,
+# IcebergWriterFactory.java:69-117) and query it with merge-on-read DML on
+# top. The oracle recomputes the surviving aggregate straight from the
+# source parquet.
+# --------------------------------------------------------------------------
+@register(
+    "add_files_migrate",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    WHERE event_id % 13 != 4
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def add_files_migrate(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="add_files_gate_") + "/t",
+        e.schema,
+    )
+    t.add_files([os.path.join(sf_dir, "events.parquet")])
+    t.delete_where(spark, "event_id % 13 = 4", key_cols=["event_id"])
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )
