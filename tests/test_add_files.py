@@ -82,3 +82,25 @@ def test_add_files_explicit_paths_and_export(spark, tmp_path):
     info = read_exported(export_iceberg_metadata(t))
     assert info["total_rows"] == 20
     assert info["file_paths"] == paths
+
+
+def test_maintenance_never_touches_external_files(spark, tmp_path):
+    """expire_snapshots + remove_orphan_files operate under the table
+    root; files registered in place from OUTSIDE stay untouched even
+    after their snapshots expire."""
+    ext = str(tmp_path / "ext")
+    spark.createDataFrame(
+        [(i, "x") for i in range(10)], SCHEMA
+    ).coalesce(1).write.parquet(ext)
+    t = LakehouseTable.create(str(tmp_path / "t"), SCHEMA)
+    t.add_files(ext)
+    for lo in range(3):  # push the add-files snapshot off the chain
+        t.append(
+            spark.createDataFrame([(100 + lo, "y")], SCHEMA)
+        )
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphan_files()
+    ext_files = [p for p in os.listdir(ext) if p.endswith(".parquet")]
+    assert ext_files, "external source files must survive maintenance"
+    # the sealed chain root still reads everything
+    assert t.read(spark).count() == 13
