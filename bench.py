@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     # round-4 additions
     "iceberg_interop_roundtrip",
     "iceberg_mirror_refresh",
+    "add_files_migrate",
 ]
 
 
