@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "iceberg_interop_roundtrip",
     "iceberg_mirror_refresh",
     "add_files_migrate",
+    "rest_catalog_roundtrip",
 ]
 
 

@@ -118,6 +118,17 @@ class CatalogSpec:
                 f"custom catalog-impl {self.catalog_impl!r} requires the "
                 "implementation jar on an Iceberg runtime classpath"
             )
+        if self.type == "rest":
+            # executable leg: speak the public REST catalog protocol to
+            # the configured uri (rest_catalog.py); an unreachable
+            # endpoint keeps the missing-runtime error contract
+            if not self.uri:
+                raise ValueError("rest catalog requires iceberg.catalog.uri")
+            from .rest_catalog import build_rest_catalog
+
+            return build_rest_catalog(
+                self.uri, token=self.props.get("token")
+            )
         if self.type in _KNOWN_CATALOG_TYPES:
             raise UnsupportedCatalogError(
                 f"catalog type {self.type!r} requires an external service "

@@ -1,0 +1,394 @@
+"""REST catalog client — ``iceberg.catalog.type=rest`` made executable.
+
+Reference parity: data/Utilities.java:68-121 resolves
+``iceberg.catalog.type=rest`` to Iceberg's ``RESTCatalog`` and the sink
+then loads/creates tables through it (IcebergWriterFactory.java:51-66).
+This client speaks the same public REST Catalog protocol (stdlib
+``urllib`` — no SDK) against any conformant service, including this
+package's :class:`~.rest_server.IcebergRestServer`:
+
+- table discovery and lifecycle (``list / exists / load / create / drop /
+  rename``) go over HTTP;
+- ``loadTable`` returns Iceberg metadata whose ``location`` points at
+  shared storage, and data IO happens directly against that location —
+  the catalog never proxies data, which is what lets one catalog front a
+  1000-executor cluster;
+- property and ref changes route through the commit endpoint with the
+  protocol's optimistic requirements (``assert-table-uuid``,
+  ``assert-ref-snapshot-id``) and retry on 409, so concurrent writers
+  serialize at the catalog exactly as Iceberg prescribes.
+
+Auth: a static ``token`` becomes ``Authorization: Bearer <token>`` on
+every request — the reference's ``iceberg.catalog.token`` passthrough.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from urllib.parse import quote
+
+from pyspark.sql import types as T
+
+from .catalog import (
+    NoSuchTableError,
+    TableAlreadyExistsError,
+    UnsupportedCatalogError,
+)
+from .table import LakehouseTable
+
+
+class RestCommitFailed(Exception):
+    """The server rejected a commit's requirements (HTTP 409) and retries
+    were exhausted."""
+
+
+class RestCatalogError(Exception):
+    """Non-retryable REST error (the server's error object, flattened)."""
+
+    def __init__(self, code: int, etype: str, message: str):
+        super().__init__(f"{etype} ({code}): {message}")
+        self.code = code
+        self.etype = etype
+
+
+def _uri_to_path(uri: str) -> str:
+    for prefix in ("file://", "file:"):
+        if uri.startswith(prefix):
+            return uri[len(prefix) :]
+    return uri
+
+
+class RestCatalog:
+    """Catalog over a REST endpoint; same surface as the directory
+    :class:`~.catalog.Catalog` so pipelines swap backends by config."""
+
+    def __init__(self, uri: str, token: str | None = None, timeout: float = 10.0):
+        self.uri = uri.rstrip("/")
+        self.token = token
+        self.timeout = timeout
+        # config handshake — also the reachability probe build() relies on
+        self.config = self._request("GET", "/v1/config")
+
+    # ------------------------------------------------------------ transport
+    def _request(
+        self, method: str, path: str, body: dict | None = None
+    ) -> dict:
+        req = urllib.request.Request(
+            self.uri + path,
+            method=method,
+            data=None if body is None else json.dumps(body).encode(),
+            headers={
+                "Content-Type": "application/json",
+                **(
+                    {"Authorization": f"Bearer {self.token}"}
+                    if self.token
+                    else {}
+                ),
+            },
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                raw = resp.read()
+                return json.loads(raw) if raw else {}
+        except urllib.error.HTTPError as e:
+            raw = e.read()
+            try:
+                err = json.loads(raw)["error"]
+            except Exception:
+                err = {"message": raw.decode(errors="replace"), "type": "HTTPError"}
+            raise RestCatalogError(
+                e.code, err.get("type", "HTTPError"), err.get("message", "")
+            ) from None
+
+    @staticmethod
+    def _ident(name: str) -> tuple[str, str]:
+        parts = name.split(".")
+        if len(parts) == 1:
+            parts = ["default", parts[0]]
+        if len(parts) != 2:
+            raise ValueError(f"expected db.table, got {name!r}")
+        return parts[0], parts[1]
+
+    def _table_path(self, name: str) -> str:
+        ns, t = self._ident(name)
+        return f"/v1/namespaces/{quote(ns)}/tables/{quote(t)}"
+
+    def _ensure_namespace(self, ns: str) -> None:
+        try:
+            self._request(
+                "POST", "/v1/namespaces", {"namespace": [ns], "properties": {}}
+            )
+        except RestCatalogError as e:
+            if e.code != 409:  # already exists is fine
+                raise
+
+    # -------------------------------------------------------------- surface
+    def list_namespaces(self) -> list[str]:
+        out = self._request("GET", "/v1/namespaces")
+        return [".".join(n) for n in out.get("namespaces", [])]
+
+    def list_tables(self) -> list[str]:
+        names = []
+        for ns in self.list_namespaces():
+            out = self._request(
+                "GET", f"/v1/namespaces/{quote(ns)}/tables"
+            )
+            names += [
+                f"{ns}.{i['name']}" for i in out.get("identifiers", [])
+            ]
+        return sorted(names)
+
+    def table_exists(self, name: str) -> bool:
+        try:
+            self._request("HEAD", self._table_path(name))
+            return True
+        except RestCatalogError as e:
+            if e.code == 404:
+                return False
+            raise
+
+    def load_table(self, name: str) -> LakehouseTable:
+        """loadTable → open the table at the metadata's ``location`` on
+        shared storage (the REST split: pointer from the catalog, IO
+        direct)."""
+        try:
+            out = self._request("GET", self._table_path(name))
+        except RestCatalogError as e:
+            if e.code == 404:
+                raise NoSuchTableError(name) from None
+            raise
+        loc = _uri_to_path(out["metadata"]["location"])
+        return LakehouseTable(loc)
+
+    def load_table_metadata(self, name: str) -> tuple[str, dict]:
+        """(metadata-location, Iceberg v2 metadata JSON) — the raw
+        LoadTableResult, for clients that consume spec metadata instead of
+        opening the Lakehouse table (e.g. feeding
+        ``iceberg_import.import_iceberg_table`` on another cluster)."""
+        out = self._request("GET", self._table_path(name))
+        return _uri_to_path(out["metadata-location"]), out["metadata"]
+
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType,
+        partition_by: list[str] | str | None = None,
+        properties: dict | None = None,
+        identifier_fields: list[str] | None = None,
+    ) -> LakehouseTable:
+        from .iceberg_export import iceberg_schema
+        from .spec import parse_partition_spec
+
+        ns, t = self._ident(name)
+        self._ensure_namespace(ns)
+        schema_json, _ = iceberg_schema(schema)
+        name_ids = {f["name"]: f["id"] for f in schema_json["fields"]}
+        if identifier_fields:
+            schema_json["identifier-field-ids"] = [
+                name_ids[c] for c in identifier_fields
+            ]
+        spec_fields = []
+        for i, pf in enumerate(parse_partition_spec(partition_by)):
+            if pf.source not in name_ids:
+                raise ValueError(f"partition source {pf.source!r} not in schema")
+            transform = {
+                "identity": "identity",
+                "year": "year",
+                "month": "month",
+                "day": "day",
+                "hour": "hour",
+                "iceberg_bucket": f"bucket[{pf.param}]",
+                "truncate": f"truncate[{pf.param}]",
+            }.get(pf.transform)
+            if transform is None:
+                # xxhash64 bucket is not an Iceberg spec transform — the
+                # REST protocol can only carry spec transforms
+                raise ValueError(
+                    f"transform {pf.transform!r} has no Iceberg spec form; "
+                    "use iceberg_bucket(n, col) for REST-created tables"
+                )
+            spec_fields.append(
+                {
+                    "source-id": name_ids[pf.source],
+                    "field-id": 1000 + i,
+                    "name": pf.name,
+                    "transform": transform,
+                }
+            )
+        body = {
+            "name": t,
+            "schema": schema_json,
+            "properties": dict(properties or {}),
+        }
+        if spec_fields:
+            body["partition-spec"] = {"spec-id": 0, "fields": spec_fields}
+        try:
+            out = self._request(
+                "POST", f"/v1/namespaces/{quote(ns)}/tables", body
+            )
+        except RestCatalogError as e:
+            if e.code == 409:
+                raise TableAlreadyExistsError(name) from None
+            raise
+        return LakehouseTable(_uri_to_path(out["metadata"]["location"]))
+
+    def create_table_if_not_exists(
+        self,
+        name: str,
+        schema: T.StructType,
+        partition_by: list[str] | str | None = None,
+        properties: dict | None = None,
+        identifier_fields: list[str] | None = None,
+    ) -> LakehouseTable:
+        """Auto-create with race tolerance — the REST analogue of
+        IcebergWriterFactory.java:69-117 (create, and on a concurrent 409,
+        load)."""
+        if self.table_exists(name):
+            return self.load_table(name)
+        try:
+            return self.create_table(
+                name, schema, partition_by, properties, identifier_fields
+            )
+        except TableAlreadyExistsError:
+            return self.load_table(name)
+
+    def drop_table(self, name: str, purge: bool = True) -> None:
+        if not purge:
+            raise ValueError("purge=False is not supported over REST here")
+        try:
+            self._request(
+                "DELETE", self._table_path(name) + "?purgeRequested=true"
+            )
+        except RestCatalogError as e:
+            if e.code == 404:
+                raise NoSuchTableError(name) from None
+            raise
+
+    def rename_table(self, src: str, dst: str) -> LakehouseTable:
+        sns, st = self._ident(src)
+        dns, dt = self._ident(dst)
+        self._ensure_namespace(dns)
+        try:
+            self._request(
+                "POST",
+                "/v1/tables/rename",
+                {
+                    "source": {"namespace": [sns], "name": st},
+                    "destination": {"namespace": [dns], "name": dt},
+                },
+            )
+        except RestCatalogError as e:
+            if e.code == 404:
+                raise NoSuchTableError(src) from None
+            if e.code == 409:
+                raise TableAlreadyExistsError(dst) from None
+            raise
+        return self.load_table(dst)
+
+    # -------------------------------------------------- catalog-side commits
+    def _commit(
+        self,
+        name: str,
+        updates: list[dict],
+        requirements: list[dict] | None = None,
+        retries: int = 3,
+    ) -> dict:
+        last: RestCatalogError | None = None
+        for attempt in range(retries):
+            reqs = requirements
+            if reqs is None:
+                # default optimistic guard: same table identity
+                _, meta = self.load_table_metadata(name)
+                reqs = [
+                    {"type": "assert-table-uuid", "uuid": meta["table-uuid"]}
+                ]
+            try:
+                return self._request(
+                    "POST",
+                    self._table_path(name),
+                    {"requirements": reqs, "updates": updates},
+                )
+            except RestCatalogError as e:
+                if e.code != 409 or attempt == retries - 1:
+                    if e.code == 409:
+                        break
+                    raise
+                last = e
+                time.sleep(0.05 * (attempt + 1))
+        raise RestCommitFailed(str(last) if last else "commit rejected")
+
+    def set_properties(self, name: str, props: dict[str, str | None]) -> None:
+        """updateProperties through the catalog (set, or None-valued unset),
+        under the protocol's uuid requirement."""
+        sets = {k: str(v) for k, v in props.items() if v is not None}
+        removes = [k for k, v in props.items() if v is None]
+        updates: list[dict] = []
+        if sets:
+            updates.append({"action": "set-properties", "updates": sets})
+        if removes:
+            updates.append({"action": "remove-properties", "removals": removes})
+        if updates:
+            self._commit(name, updates)
+
+    def set_ref(
+        self,
+        name: str,
+        ref: str,
+        snapshot_id: int,
+        ref_type: str = "branch",
+        expected_snapshot_id: int | None = ...,  # type: ignore[assignment]
+    ) -> None:
+        """``set-snapshot-ref`` with compare-and-swap: the commit carries
+        ``assert-ref-snapshot-id`` so a concurrently-moved ref is a clean
+        409, not a lost update. ``expected_snapshot_id``: the int
+        snapshot-id the ref must currently hold (None = must not exist;
+        omit for unconditional)."""
+        reqs: list[dict] | None = None
+        if expected_snapshot_id is not ...:
+            reqs = [
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": ref,
+                    "snapshot-id": expected_snapshot_id,
+                }
+            ]
+        self._commit(
+            name,
+            [
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": ref,
+                    "snapshot-id": snapshot_id,
+                    "type": ref_type,
+                }
+            ],
+            requirements=reqs,
+            retries=1 if reqs else 3,
+        )
+
+    def register_views(self, spark, prefix: str = "") -> list[str]:
+        registered = []
+        for name in self.list_tables():
+            view = (prefix + name).replace(".", "_")
+            self.load_table(name).read(spark).createOrReplaceTempView(view)
+            registered.append(view)
+        return registered
+
+
+def build_rest_catalog(
+    uri: str, token: str | None = None
+) -> RestCatalog:
+    """Probe-and-build for :meth:`CatalogSpec.build`: an unreachable
+    endpoint stays an :class:`UnsupportedCatalogError` (the pre-existing
+    contract for missing runtimes), a reachable one returns a live
+    catalog."""
+    try:
+        return RestCatalog(uri, token=token)
+    except (urllib.error.URLError, OSError, TimeoutError) as e:
+        raise UnsupportedCatalogError(
+            f"rest catalog at {uri!r} is unreachable in this deployment: "
+            f"{e}"
+        ) from None

@@ -1,0 +1,657 @@
+"""Iceberg REST catalog server — serve the warehouse over the public
+REST catalog API.
+
+Reference parity: the reference builds a ``RESTCatalog`` whenever the
+connector config says ``iceberg.catalog.type=rest``
+(data/Utilities.java:68-121 → Iceberg ``CatalogUtil.buildIcebergCatalog``),
+and every managed deployment of the reference fronts its warehouse with a
+REST catalog service. This module is the service side: a dependency-free
+(stdlib ``http.server``) implementation of the Iceberg REST Catalog
+OpenAPI surface (public spec: ``rest-catalog-open-api.yaml`` in
+apache/iceberg) over a directory warehouse:
+
+- ``GET  /v1/config`` — catalog config handshake
+- ``GET/POST /v1/namespaces``, ``GET/HEAD/DELETE /v1/namespaces/{ns}``
+- ``GET/POST /v1/namespaces/{ns}/tables`` — list / create
+- ``GET/HEAD/DELETE /v1/namespaces/{ns}/tables/{t}`` — load / exists / drop
+- ``POST /v1/namespaces/{ns}/tables/{t}`` — commit (requirements + updates)
+- ``POST /v1/tables/rename``
+
+``loadTable`` responses carry REAL Iceberg v2 metadata: the server keeps a
+per-table export (``iceberg_export.export_iceberg_metadata``) current with
+the Lakehouse table version and serves that ``metadata.json`` verbatim, so
+any spec-conformant client — not just this package's ``RestCatalog`` —
+can read the returned ``metadata-location``/``metadata`` and scan the data
+files directly from shared storage, exactly the split the REST protocol
+prescribes (catalog arbitrates metadata pointers; data IO goes straight to
+storage).
+
+The commit endpoint implements the protocol's optimistic-concurrency
+contract: requirements (``assert-create`` / ``assert-table-uuid`` /
+``assert-ref-snapshot-id``) are checked under a per-table lock and a
+failed check returns the spec's 409 ``CommitFailedException`` shape, so a
+client that lost the race retries against fresh metadata. Supported
+updates are the metadata-pointer operations a catalog arbitrates —
+``set-properties`` / ``remove-properties`` / ``set-snapshot-ref`` /
+``remove-snapshot-ref`` — everything else returns an explicit 400 rather
+than pretending (file-level commits go through the storage-side Lakehouse
+commit, which is already atomic here; on object stores without atomic
+rename, this endpoint is exactly where those commits would route).
+
+Scale note: the server only ever touches metadata — listing, pointer CAS,
+and O(live files) export on table-version change. No data IO, no Spark
+session; a single instance fronts any number of concurrently-committing
+writers the same way Iceberg's REST catalog does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from .catalog import Catalog, NoSuchTableError, TableAlreadyExistsError
+from .iceberg_export import (
+    _snapshot_id_int,
+    export_iceberg_metadata,
+)
+from .table import CommitConflict
+
+# multipart namespaces are joined with the unit separator (0x1F) in URLs,
+# per the REST spec's `namespace` path-param encoding
+_NS_SEP = "\x1f"
+
+
+class RestError(Exception):
+    def __init__(self, code: int, etype: str, message: str):
+        super().__init__(message)
+        self.code = code
+        self.etype = etype
+        self.message = message
+
+
+def _err(code: int, etype: str, message: str) -> RestError:
+    return RestError(code, etype, message)
+
+
+# ------------------------------------------------------------ spec → DSL
+def _ice_spec_to_dsl(
+    spec_json: dict | None, id_names: dict[int, str]
+) -> list[str]:
+    """Posted Iceberg partition-spec JSON → this package's spec-DSL strings
+    (the inverse of the client's DSL → spec translation; same transform
+    subset as ``iceberg_import.import_iceberg_table``)."""
+    if not spec_json or not spec_json.get("fields"):
+        return []
+    out = []
+    for pf in spec_json["fields"]:
+        src = id_names.get(pf.get("source-id"))
+        transform = pf.get("transform", "")
+        if src is None:
+            raise _err(
+                400,
+                "BadRequestException",
+                f"partition source-id {pf.get('source-id')} is not a "
+                "top-level schema field",
+            )
+        if transform == "identity":
+            out.append(src)
+        elif transform in ("year", "month", "day", "hour"):
+            out.append(f"{transform}({src})")
+        elif m := re.fullmatch(r"bucket\[(\d+)\]", transform):
+            out.append(f"iceberg_bucket({m.group(1)}, {src})")
+        elif m := re.fullmatch(r"truncate\[(\d+)\]", transform):
+            out.append(f"truncate({m.group(1)}, {src})")
+        else:
+            raise _err(
+                400,
+                "BadRequestException",
+                f"unsupported partition transform {transform!r}",
+            )
+    return out
+
+
+class _State:
+    """Server-side warehouse state shared across handler threads."""
+
+    def __init__(self, warehouse: str):
+        self.catalog = Catalog(warehouse)
+        self.lock = threading.Lock()  # guards _table_locks / _meta_cache
+        self._table_locks: dict[str, threading.Lock] = {}
+        # table name -> (lakehouse version, served metadata.json path)
+        self._meta_cache: dict[str, tuple[int, str]] = {}
+
+    def table_lock(self, name: str) -> threading.Lock:
+        with self.lock:
+            return self._table_locks.setdefault(name, threading.Lock())
+
+    # ---------------------------------------------------------- metadata
+    def current_metadata(self, name: str) -> tuple[str, dict]:
+        """(metadata-location, metadata JSON) for the table's CURRENT
+        version — re-export only when the Lakehouse version moved."""
+        table = self.catalog.load_table(name)
+        v = table.current_version()
+        with self.lock:
+            cached = self._meta_cache.get(name)
+        if cached is None or cached[0] != v or not os.path.isfile(cached[1]):
+            path = export_iceberg_metadata(table)
+            with self.lock:
+                self._meta_cache[name] = (v, path)
+        else:
+            path = cached[1]
+        with open(path) as f:
+            return path, json.load(f)
+
+    def invalidate(self, name: str) -> None:
+        with self.lock:
+            self._meta_cache.pop(name, None)
+
+    # --------------------------------------------------------- namespaces
+    def ns_dir(self, ns: str) -> str:
+        return os.path.join(self.catalog.warehouse, ns)
+
+    def ns_exists(self, ns: str) -> bool:
+        return os.path.isdir(self.ns_dir(ns))
+
+    def ns_properties(self, ns: str) -> dict:
+        p = os.path.join(self.ns_dir(ns), ".namespace.json")
+        if os.path.isfile(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def list_namespaces(self) -> list[list[str]]:
+        wh = self.catalog.warehouse
+        return [
+            [d]
+            for d in sorted(os.listdir(wh))
+            if os.path.isdir(os.path.join(wh, d)) and not d.startswith(".")
+        ]
+
+
+def _single_level(ns_raw: str) -> str:
+    ns = unquote(ns_raw)
+    parts = ns.split(_NS_SEP)
+    if len(parts) != 1:
+        # the directory warehouse is single-level (db.table), like the
+        # reference's Hadoop-catalog deployments
+        raise _err(
+            400,
+            "BadRequestException",
+            f"multi-level namespaces are not supported: {parts!r}",
+        )
+    if not re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_\-]*", parts[0]):
+        raise _err(400, "BadRequestException", f"invalid namespace {ns!r}")
+    return parts[0]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # the server instance stuffs these in via type() subclassing
+    state: _State = None  # type: ignore[assignment]
+    token: str | None = None
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    # ------------------------------------------------------------- plumbing
+    def _json_body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if n == 0:
+            return {}
+        try:
+            return json.loads(self.rfile.read(n))
+        except json.JSONDecodeError as e:
+            raise _err(400, "BadRequestException", f"invalid JSON body: {e}")
+
+    def _send(self, code: int, payload: dict | None = None) -> None:
+        body = b"" if payload is None else json.dumps(payload).encode()
+        if self.command == "HEAD":  # advertised length must match the wire
+            body = b""
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if body:
+            self.wfile.write(body)
+
+    def _send_error_obj(self, e: RestError) -> None:
+        self._send(
+            e.code,
+            {
+                "error": {
+                    "message": e.message,
+                    "type": e.etype,
+                    "code": e.code,
+                }
+            },
+        )
+
+    def _auth(self) -> None:
+        if self.token is None:
+            return
+        got = self.headers.get("Authorization", "")
+        if got != f"Bearer {self.token}":
+            raise _err(401, "NotAuthorizedException", "invalid or missing token")
+
+    # ------------------------------------------------------------- dispatch
+    def _route(self):
+        u = urlparse(self.path)
+        path, q = u.path.rstrip("/"), parse_qs(u.query)
+        self._auth()
+        m = self.command
+
+        if path == "/v1/config" and m == "GET":
+            return self._send(200, {"defaults": {}, "overrides": {}})
+        if path == "/v1/namespaces":
+            if m == "GET":
+                return self._send(
+                    200, {"namespaces": self.state.list_namespaces()}
+                )
+            if m == "POST":
+                return self._create_namespace()
+        if mt := re.fullmatch(r"/v1/namespaces/([^/]+)", path):
+            return self._namespace(_single_level(mt.group(1)))
+        if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/tables", path):
+            return self._tables(_single_level(mt.group(1)))
+        if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/tables/([^/]+)", path):
+            return self._table(
+                _single_level(mt.group(1)), unquote(mt.group(2)), q
+            )
+        if path == "/v1/tables/rename" and m == "POST":
+            return self._rename()
+        raise _err(404, "NoSuchEndpointException", f"{m} {path}")
+
+    # ----------------------------------------------------------- namespaces
+    def _create_namespace(self):
+        body = self._json_body()
+        ns_parts = body.get("namespace") or []
+        if len(ns_parts) != 1:
+            raise _err(
+                400,
+                "BadRequestException",
+                f"single-level namespaces only, got {ns_parts!r}",
+            )
+        ns = _single_level(ns_parts[0])
+        d = self.state.ns_dir(ns)
+        if os.path.isdir(d):
+            raise _err(
+                409,
+                "AlreadyExistsException",
+                f"namespace {ns!r} already exists",
+            )
+        os.makedirs(d)
+        props = body.get("properties") or {}
+        if props:
+            with open(os.path.join(d, ".namespace.json"), "w") as f:
+                json.dump(props, f)
+        self._send(200, {"namespace": [ns], "properties": props})
+
+    def _namespace(self, ns: str):
+        if not self.state.ns_exists(ns):
+            raise _err(
+                404, "NoSuchNamespaceException", f"namespace {ns!r} not found"
+            )
+        if self.command in ("GET", "HEAD"):
+            return self._send(
+                200,
+                {"namespace": [ns], "properties": self.state.ns_properties(ns)},
+            )
+        if self.command == "DELETE":
+            tables = [
+                t
+                for t in self.state.catalog.list_tables()
+                if t.startswith(ns + ".")
+            ]
+            if tables:
+                raise _err(
+                    409,
+                    "NamespaceNotEmptyException",
+                    f"namespace {ns!r} still holds {len(tables)} table(s)",
+                )
+            import shutil
+
+            shutil.rmtree(self.state.ns_dir(ns))
+            return self._send(204)
+        raise _err(405, "BadRequestException", f"{self.command} on namespace")
+
+    # --------------------------------------------------------------- tables
+    def _tables(self, ns: str):
+        if not self.state.ns_exists(ns):
+            raise _err(
+                404, "NoSuchNamespaceException", f"namespace {ns!r} not found"
+            )
+        if self.command == "GET":
+            idents = [
+                {"namespace": [ns], "name": t.split(".", 1)[1]}
+                for t in self.state.catalog.list_tables()
+                if t.startswith(ns + ".")
+            ]
+            return self._send(200, {"identifiers": idents})
+        if self.command == "POST":
+            return self._create_table(ns)
+        raise _err(405, "BadRequestException", f"{self.command} on tables")
+
+    def _create_table(self, ns: str):
+        from .iceberg_import import iceberg_type_to_spark
+
+        body = self._json_body()
+        if body.get("stage-create"):
+            raise _err(
+                400,
+                "BadRequestException",
+                "stage-create (transactional create) is not supported",
+            )
+        name = body.get("name")
+        schema_json = body.get("schema")
+        if not name or not schema_json:
+            raise _err(400, "BadRequestException", "name and schema required")
+        full = f"{ns}.{name}"
+        if self.state.catalog.table_exists(full):
+            raise _err(
+                409, "AlreadyExistsException", f"table {full!r} already exists"
+            )
+
+        from pyspark.sql import types as T
+
+        id_names: dict[int, str] = {}
+        fields = []
+        for f in schema_json.get("fields", []):
+            id_names[f["id"]] = f["name"]
+            fields.append(
+                T.StructField(
+                    f["name"],
+                    iceberg_type_to_spark(f["type"]),
+                    not f.get("required", False),
+                )
+            )
+        schema = T.StructType(fields)
+        ident_ids = schema_json.get("identifier-field-ids") or []
+        identifier_fields = [
+            id_names[i] for i in ident_ids if i in id_names
+        ] or None
+        partition_by = _ice_spec_to_dsl(body.get("partition-spec"), id_names)
+        lock = self.state.table_lock(full)
+        with lock:
+            try:
+                self.state.catalog.create_table(
+                    full,
+                    schema,
+                    partition_by or None,
+                    body.get("properties") or None,
+                    identifier_fields,
+                )
+            except (TableAlreadyExistsError, FileExistsError, CommitConflict):
+                raise _err(
+                    409,
+                    "AlreadyExistsException",
+                    f"table {full!r} already exists",
+                )
+            loc, meta = self.state.current_metadata(full)
+        self._send(
+            200,
+            {
+                "metadata-location": f"file://{loc}",
+                "metadata": meta,
+                "config": {},
+            },
+        )
+
+    def _table(self, ns: str, name: str, q: dict):
+        full = f"{ns}.{name}"
+        if self.command in ("GET", "HEAD"):
+            if not self.state.catalog.table_exists(full):
+                raise _err(
+                    404, "NoSuchTableException", f"table {full!r} not found"
+                )
+            if self.command == "HEAD":
+                return self._send(200)
+            loc, meta = self.state.current_metadata(full)
+            return self._send(
+                200,
+                {
+                    "metadata-location": f"file://{loc}",
+                    "metadata": meta,
+                    "config": {},
+                },
+            )
+        if self.command == "DELETE":
+            try:
+                self.state.catalog.drop_table(full, purge=True)
+            except NoSuchTableError:
+                raise _err(
+                    404, "NoSuchTableException", f"table {full!r} not found"
+                )
+            self.state.invalidate(full)
+            return self._send(204)
+        if self.command == "POST":
+            return self._commit(full)
+        raise _err(405, "BadRequestException", f"{self.command} on table")
+
+    def _rename(self):
+        body = self._json_body()
+        try:
+            src = body["source"]
+            dst = body["destination"]
+            src_full = f"{_single_level(src['namespace'][0])}.{src['name']}"
+            dst_ns = _single_level(dst["namespace"][0])
+            dst_full = f"{dst_ns}.{dst['name']}"
+        except (KeyError, IndexError, TypeError):
+            raise _err(
+                400,
+                "BadRequestException",
+                "rename needs source/destination {namespace, name}",
+            )
+        os.makedirs(self.state.ns_dir(dst_ns), exist_ok=True)
+        try:
+            self.state.catalog.rename_table(src_full, dst_full)
+        except NoSuchTableError:
+            raise _err(
+                404, "NoSuchTableException", f"table {src_full!r} not found"
+            )
+        except TableAlreadyExistsError:
+            raise _err(
+                409,
+                "AlreadyExistsException",
+                f"table {dst_full!r} already exists",
+            )
+        self.state.invalidate(src_full)
+        self.state.invalidate(dst_full)
+        self._send(204)
+
+    # --------------------------------------------------------------- commit
+    def _commit(self, full: str):
+        body = self._json_body()
+        if not self.state.catalog.table_exists(full):
+            raise _err(404, "NoSuchTableException", f"table {full!r} not found")
+        lock = self.state.table_lock(full)
+        with lock:
+            table = self.state.catalog.load_table(full)
+            meta = table.metadata()
+            # int snapshot-id (exported form) -> internal hex id
+            int_to_hex = {
+                _snapshot_id_int(s["snapshot_id"]): s["snapshot_id"]
+                for s in meta.get("snapshots", [])
+            }
+            self._check_requirements(
+                body.get("requirements") or [], table, meta, int_to_hex
+            )
+            for up in body.get("updates") or []:
+                self._apply_update(table, up, int_to_hex)
+            self.state.invalidate(full)
+            loc, served = self.state.current_metadata(full)
+        self._send(
+            200, {"metadata-location": f"file://{loc}", "metadata": served}
+        )
+
+    def _check_requirements(
+        self, reqs: list[dict], table, meta: dict, int_to_hex: dict
+    ):
+        for r in reqs:
+            rt = r.get("type")
+            if rt == "assert-create":
+                # commit path only reaches existing tables
+                raise _err(
+                    409,
+                    "CommitFailedException",
+                    "assert-create failed: table already exists",
+                )
+            elif rt == "assert-table-uuid":
+                if r.get("uuid") != meta.get("table_uuid"):
+                    raise _err(
+                        409,
+                        "CommitFailedException",
+                        f"table uuid changed: expected {r.get('uuid')!r}, "
+                        f"found {meta.get('table_uuid')!r}",
+                    )
+            elif rt == "assert-ref-snapshot-id":
+                ref = r.get("ref")
+                cur_hex = meta["refs"].get(ref) or (meta.get("tags") or {}).get(
+                    ref
+                )
+                want = r.get("snapshot-id")
+                want_hex = int_to_hex.get(want) if want is not None else None
+                if want is None:
+                    if cur_hex is not None:
+                        raise _err(
+                            409,
+                            "CommitFailedException",
+                            f"ref {ref!r} expected absent, found "
+                            f"{cur_hex!r}",
+                        )
+                elif cur_hex != want_hex:
+                    raise _err(
+                        409,
+                        "CommitFailedException",
+                        f"ref {ref!r} moved: expected snapshot {want}, "
+                        f"found {cur_hex!r}",
+                    )
+            else:
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    f"unsupported commit requirement {rt!r}",
+                )
+
+    def _apply_update(self, table, up: dict, int_to_hex: dict):
+        ut = up.get("action") or up.get("type")
+        if ut == "set-properties":
+            table.set_properties(dict(up.get("updates") or {}))
+        elif ut == "remove-properties":
+            table.set_properties(
+                {k: None for k in up.get("removals") or []}
+            )
+        elif ut == "set-snapshot-ref":
+            ref = up.get("ref-name")
+            sid = int_to_hex.get(up.get("snapshot-id"))
+            if sid is None:
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    f"unknown snapshot-id {up.get('snapshot-id')!r}",
+                )
+            if up.get("type") == "tag":
+                try:
+                    table.create_tag(ref, sid)
+                except ValueError as e:
+                    raise _err(409, "CommitFailedException", str(e))
+            else:
+                table.set_branch(ref, sid)
+        elif ut == "remove-snapshot-ref":
+            ref = up.get("ref-name")
+            try:
+                if ref in (table.metadata().get("tags") or {}):
+                    table.drop_tag(ref)
+                else:
+                    table.drop_branch(ref)
+            except ValueError as e:  # e.g. main is protected
+                raise _err(400, "BadRequestException", str(e))
+        elif ut == "assign-uuid":
+            pass  # uuid is assigned at create and immutable here
+        else:
+            raise _err(
+                400,
+                "BadRequestException",
+                f"unsupported metadata update {ut!r} (this catalog "
+                "arbitrates pointers; file-level commits go through the "
+                "storage-side table commit)",
+            )
+
+    # --------------------------------------------------------- http methods
+    def _handle(self):
+        try:
+            self._route()
+        except RestError as e:
+            self._send_error_obj(e)
+        except NoSuchTableError as e:
+            self._send_error_obj(
+                _err(404, "NoSuchTableException", str(e))
+            )
+        except Exception as e:  # noqa: BLE001 — spec error shape, not a 500 page
+            self._send_error_obj(
+                _err(500, "InternalServerError", f"{type(e).__name__}: {e}")
+            )
+
+    do_GET = do_POST = do_DELETE = do_HEAD = _handle
+
+
+class IcebergRestServer:
+    """In-process Iceberg REST catalog service over a directory warehouse.
+
+    >>> srv = IcebergRestServer("/path/warehouse").start()
+    >>> srv.uri
+    'http://127.0.0.1:<port>'
+    >>> srv.stop()
+
+    ``token`` (optional) enables the protocol's static-Bearer auth mode —
+    the same surface the reference configures via
+    ``iceberg.catalog.token`` (IcebergSinkConfig's passthrough catalog
+    props).
+    """
+
+    def __init__(
+        self,
+        warehouse: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        token: str | None = None,
+    ):
+        self._state = _State(warehouse)
+        handler = type(
+            "BoundHandler", (_Handler,), {"state": self._state, "token": token}
+        )
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._httpd.daemon_threads = True
+        self._thread: threading.Thread | None = None
+
+    @property
+    def uri(self) -> str:
+        h, p = self._httpd.server_address[:2]
+        return f"http://{h}:{p}"
+
+    @property
+    def catalog(self) -> Catalog:
+        """The directory catalog the server fronts (server-side handle)."""
+        return self._state.catalog
+
+    def start(self) -> "IcebergRestServer":
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        self._thread = t
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "IcebergRestServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

@@ -2621,6 +2621,45 @@ class LakehouseTable:
                 if attempt == COMMIT_RETRIES - 1:
                     raise
 
+    def set_branch(self, name: str, snapshot_id: str) -> None:
+        """Point ``name`` at an arbitrary EXISTING snapshot — Iceberg
+        ``manageSnapshots().replaceBranch(name, snapshotId)`` semantics
+        (also the REST catalog's ``set-snapshot-ref`` update for branches).
+        Unlike :meth:`rollback` there is no ancestry requirement: this is
+        the re-point primitive branches exist for; the old head stays
+        readable via time travel until ``expire_snapshots``."""
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            self._snapshot_by_id(meta, snapshot_id)  # must exist
+            if meta["refs"].get(name) == snapshot_id:
+                return
+            meta["refs"][name] = snapshot_id
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
+    def drop_branch(self, name: str) -> None:
+        """Iceberg ``manageSnapshots().removeBranch`` parity. ``main`` is
+        protected, as in Iceberg."""
+        if name == MAIN:
+            raise ValueError("cannot drop the main branch")
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            if name not in meta["refs"]:
+                return
+            del meta["refs"][name]
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
     def fast_forward(self, branch: str, to_branch: str) -> dict:
         """Fast-forward ``branch`` to ``to_branch``'s head — Iceberg
         ``manageSnapshots().fastForwardBranch()``, the publish step of the

@@ -1942,3 +1942,68 @@ def add_files_migrate(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# REST catalog round-trip: serve the warehouse over the public Iceberg
+# REST catalog protocol (sinks/rest_server.py), drive the full lifecycle
+# through the HTTP client (sinks/rest_catalog.py) — create a
+# bucket-partitioned table, ingest, merge-on-read delete, commit
+# properties and a tag through the catalog's CAS endpoint — then read the
+# catalog-loaded table. The reference resolves iceberg.catalog.type=rest
+# to Iceberg's RESTCatalog (data/Utilities.java:68-121); here both halves
+# run in-process. The oracle recomputes the surviving rows from parquet.
+# --------------------------------------------------------------------------
+@register(
+    "rest_catalog_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    WHERE event_id < 400
+      AND event_id % 6 != 1
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def rest_catalog_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.catalog import catalog_from_properties
+    from ..sinks.iceberg_export import _snapshot_id_int
+    from ..sinks.rest_server import IcebergRestServer
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    wh = tempfile.mkdtemp(prefix="rest_gate_")
+    with IcebergRestServer(wh) as srv:
+        # the connector-config path: iceberg.catalog.* -> live REST client
+        cat = catalog_from_properties(
+            {
+                "iceberg.catalog.type": "rest",
+                "iceberg.catalog.uri": srv.uri,
+            }
+        )
+        t = cat.create_table(
+            "db.events",
+            e.schema,
+            partition_by=["iceberg_bucket(4, event_id)"],
+        )
+        t.append(e.filter(F.col("event_id") < 400))
+        t.delete_where(spark, "event_id % 6 = 1", key_cols=["event_id"])
+        # catalog-side commits: properties + a tag on the head, both CAS'd
+        cat.set_properties("db.events", {"owner": "rest-gate"})
+        head = t.current_snapshot()["snapshot_id"]
+        cat.set_ref(
+            "db.events", "audited", _snapshot_id_int(head), ref_type="tag"
+        )
+        loaded = cat.load_table("db.events")
+        assert loaded.properties().get("owner") == "rest-gate"
+        assert loaded.tags().get("audited") == head
+        df = loaded.read(spark)
+    # the server only arbitrates metadata — the scan below goes straight
+    # to storage, so it stays valid after the catalog is gone
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
