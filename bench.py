@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "iceberg_mirror_refresh",
     "add_files_migrate",
     "rest_catalog_roundtrip",
+    "jdbc_catalog_roundtrip",
 ]
 
 

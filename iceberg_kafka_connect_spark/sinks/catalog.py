@@ -129,6 +129,21 @@ class CatalogSpec:
             return build_rest_catalog(
                 self.uri, token=self.props.get("token")
             )
+        if self.type == "jdbc":
+            # executable leg: Iceberg's JDBC pointer schema on sqlite3
+            # (jdbc_catalog.py); other drivers name their missing runtime
+            if not self.uri:
+                raise ValueError("jdbc catalog requires iceberg.catalog.uri")
+            from .jdbc_catalog import JdbcCatalog, parse_jdbc_uri
+
+            wh = self.warehouse
+            for prefix in ("file://", "file:"):
+                if wh and wh.startswith(prefix):
+                    wh = wh[len(prefix) :]
+                    break
+            return JdbcCatalog(
+                parse_jdbc_uri(self.uri), warehouse=wh, catalog_name=self.name
+            )
         if self.type in _KNOWN_CATALOG_TYPES:
             raise UnsupportedCatalogError(
                 f"catalog type {self.type!r} requires an external service "

@@ -1482,13 +1482,19 @@ def export_iceberg_metadata(
             "schema.name-mapping.default": json.dumps(
                 name_mapping(ice_schema, aliases)
             ),
+            # source Lakehouse metadata version at export time: lets a
+            # catalog serving this tree (rest_server / jdbc_catalog)
+            # decide staleness with one string compare instead of an
+            # in-memory cache
+            "export.source-version": str(meta["version"]),
             **{
                 k: str(v)
                 for k, v in meta["properties"].items()
                 # the internal mapping has no field-ids — it must not
                 # shadow the id-carrying one exported above
                 if isinstance(v, (str, int, float))
-                and k != "schema.name-mapping.default"
+                and k
+                not in ("schema.name-mapping.default", "export.source-version")
             },
         },
         "current-snapshot-id": sid,

@@ -84,9 +84,9 @@ def load_all() -> dict[str, QuerySpec]:
     # — tpch_q2, tpch_q4, tpch_q8, tpch_q9, tpch_q11, tpch_q12, tpch_q16,
     # tpch_q20, tpch_q21, lineitem_grouping_sets, orders_rank_stats — plus
     # the round-4 interop additions `iceberg_interop_roundtrip`,
-    # `iceberg_mirror_refresh`, `add_files_migrate`, and
-    # `rest_catalog_roundtrip`. The r4-gated 13 below keep r04 as their
-    # evidence and rotate out.
+    # `iceberg_mirror_refresh`, `add_files_migrate`,
+    # `rest_catalog_roundtrip`, and `jdbc_catalog_roundtrip`. The
+    # r4-gated 13 below keep r04 as their evidence and rotate out.
     if "tpch_q1" not in QUERIES:
         window = (
             # — SURVEY §2 rows (keep every round) —

@@ -2007,3 +2007,49 @@ def rest_catalog_roundtrip(spark, sf_dir):
         F.sum("event_id").cast("bigint").alias("sum_ids"),
         F.countDistinct("event_type").cast("bigint").alias("n_types"),
     )
+
+
+# --------------------------------------------------------------------------
+# JDBC catalog round-trip: Iceberg's SQL-pointer catalog protocol
+# (public two-table schema + single-UPDATE CAS, apache/iceberg
+# jdbc/JdbcUtil.java) executable on stdlib sqlite3
+# (sinks/jdbc_catalog.py). The connector-config path resolves
+# iceberg.catalog.type=jdbc (data/Utilities.java:68-121), the table is
+# created and loaded through the catalog, and the pointer republishes as
+# the table moves. The oracle recomputes surviving rows from parquet.
+# --------------------------------------------------------------------------
+@register(
+    "jdbc_catalog_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    WHERE event_id < 500
+      AND event_id % 9 != 2
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def jdbc_catalog_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.catalog import catalog_from_properties
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="jdbc_gate_")
+    cat = catalog_from_properties(
+        {
+            "iceberg.catalog.type": "jdbc",
+            "iceberg.catalog.uri": f"jdbc:sqlite:{base}/catalog.sqlite",
+            "iceberg.catalog.warehouse": f"{base}/wh",
+        }
+    )
+    t = cat.create_table("db.events", e.schema)
+    t.append(e.filter(F.col("event_id") < 500))
+    t.delete_where(spark, "event_id % 9 = 2", key_cols=["event_id"])
+    # the pointer republishes on load: the catalog-loaded view sees the
+    # delete without any explicit publish step
+    loaded = cat.load_table("db.events")
+    return loaded.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    )
