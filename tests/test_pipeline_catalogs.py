@@ -1,0 +1,100 @@
+"""Connector pipeline over the network-catalog backends.
+
+The reference's sink task runs unchanged whatever catalog
+``iceberg.catalog.type`` resolves to (data/Utilities.java:68-121 hands
+the built catalog to IcebergWriterFactory). Same here: ``SinkPipeline``
+takes the catalog interface, so the REST and JDBC backends drop in —
+these tests run the kafka-shaped stream end-to-end through each and
+check the result through the catalog's own view."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.config import SinkConfig, TableConfig
+from iceberg_kafka_connect_spark.sinks.jdbc_catalog import JdbcCatalog
+from iceberg_kafka_connect_spark.sinks.rest_catalog import RestCatalog
+from iceberg_kafka_connect_spark.sinks.rest_server import IcebergRestServer
+from iceberg_kafka_connect_spark.sources.stream import file_stream_source
+from iceberg_kafka_connect_spark.streaming import SinkPipeline
+
+VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ]
+)
+
+
+def _write_records(path, records, offset0=0, partition=0, topic="events"):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / f"chunk-{offset0}.json", "w") as f:
+        for i, rec in enumerate(records):
+            f.write(
+                json.dumps(
+                    {
+                        "key": str(rec.get("id", i)),
+                        "value": json.dumps(rec),
+                        "topic": topic,
+                        "partition": partition,
+                        "offset": offset0 + i,
+                        "timestamp": "2024-01-01T00:00:00.000Z",
+                    }
+                )
+                + "\n"
+            )
+
+
+def _stream_through(spark, tmp_path, catalog, pipeline_id):
+    cfg = SinkConfig(
+        tables=[TableConfig("default.events_sink")], auto_create=True
+    )
+    pipe = SinkPipeline(catalog, cfg, pipeline_id, value_schema=VALUE_SCHEMA)
+    src = tmp_path / "src"
+    _write_records(
+        src,
+        [
+            {"id": i, "type": "t", "payload": f"p{i}", "op": None}
+            for i in range(10)
+        ],
+    )
+    stream = file_stream_source(spark, str(src))
+    q = pipe.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+
+def test_pipeline_through_rest_catalog(spark, tmp_path):
+    with IcebergRestServer(str(tmp_path / "wh")) as srv:
+        cat = RestCatalog(srv.uri)
+        _stream_through(spark, tmp_path, cat, "p-rest")
+        t = cat.load_table("default.events_sink")
+        assert t.read(spark).count() == 10
+        offs = json.loads(
+            t.current_snapshot()["summary"]["kafka.connect.offsets"]
+        )
+        assert offs == {"events-0": 10}
+        # the catalog's served Iceberg metadata reflects the stream commit
+        _, meta = cat.load_table_metadata("default.events_sink")
+        assert meta["current-snapshot-id"] is not None
+        assert meta["refs"]["main"]["snapshot-id"] == meta[
+            "current-snapshot-id"
+        ]
+
+
+def test_pipeline_through_jdbc_catalog(spark, tmp_path):
+    cat = JdbcCatalog(
+        str(tmp_path / "catalog.sqlite"), warehouse=str(tmp_path / "wh")
+    )
+    _stream_through(spark, tmp_path, cat, "p-jdbc")
+    t = cat.load_table("default.events_sink")
+    assert t.read(spark).count() == 10
+    # published pointer names metadata whose snapshot is the stream commit
+    _, meta = cat.load_table_metadata("default.events_sink")
+    assert meta["current-snapshot-id"] is not None
+    with pytest.raises(Exception):
+        cat.create_table("default.events_sink", VALUE_SCHEMA)
