@@ -391,11 +391,49 @@ def table_main(argv: list[str]) -> int:
     return 0
 
 
+def serve_rest_main(argv: list[str]) -> int:
+    """Front a warehouse with the Iceberg REST catalog protocol:
+
+        python -m iceberg_kafka_connect_spark.cli serve-rest \\
+            --warehouse WH [--host H] [--port P] [--token T]
+
+    Prints one JSON line with the bound uri, then serves until
+    interrupted. Any REST-catalog client (including this package's
+    ``RestCatalog`` and external engines configured with
+    ``iceberg.catalog.type=rest``) can then load/create/commit tables.
+    """
+    ap = argparse.ArgumentParser(prog="cli serve-rest")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8181)
+    ap.add_argument("--token", default=None)
+    args = ap.parse_args(argv)
+    from .sinks.rest_server import IcebergRestServer
+
+    srv = IcebergRestServer(
+        args.warehouse, host=args.host, port=args.port, token=args.token
+    ).start()
+    print(
+        json.dumps({"uri": srv.uri, "warehouse": args.warehouse}), flush=True
+    )
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "table":
         return table_main(argv[1:])
+    if argv and argv[0] == "serve-rest":
+        return serve_rest_main(argv[1:])
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("job_spec", help="path to the job spec JSON")
     ap.add_argument(

@@ -240,6 +240,19 @@ class Catalog:
             registered.append(view)
         return registered
 
+    def register_table(
+        self, name: str, metadata_location: str
+    ) -> LakehouseTable:
+        """Iceberg ``Catalog.registerTable`` parity: bring an EXISTING
+        Iceberg table (its ``metadata.json`` / metadata tree) under this
+        catalog. Zero data copy — ``iceberg_import`` references the data
+        files in place; only metadata materializes under the warehouse."""
+        from .iceberg_import import import_iceberg_table
+
+        if self.table_exists(name):
+            raise TableAlreadyExistsError(name)
+        return import_iceberg_table(metadata_location, self._path(name))
+
     def create_table_if_not_exists(
         self,
         name: str,

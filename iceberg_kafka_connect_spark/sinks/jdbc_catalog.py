@@ -247,6 +247,40 @@ class JdbcCatalog:
         self._ensure_namespace_row(ns)
         return table
 
+    def register_table(
+        self, name: str, metadata_location: str
+    ) -> LakehouseTable:
+        """Iceberg ``registerTable`` parity: adopt an existing Iceberg
+        metadata tree — import (zero data copy) into the warehouse, then
+        publish the pointer row."""
+        from .iceberg_export import export_iceberg_metadata
+        from .iceberg_import import import_iceberg_table
+
+        if not self.warehouse:
+            raise ValueError(
+                "jdbc catalog requires iceberg.catalog.warehouse to "
+                "register tables"
+            )
+        ns, t = self._ident(name)
+        if self._pointer(ns, t) is not None:
+            raise TableAlreadyExistsError(name)
+        table = import_iceberg_table(
+            metadata_location, os.path.join(self.warehouse, ns, t)
+        )
+        loc = export_iceberg_metadata(table)
+        try:
+            with self._conn() as con:
+                con.execute(
+                    "INSERT INTO iceberg_tables (catalog_name, "
+                    "table_namespace, table_name, metadata_location, "
+                    "previous_metadata_location) VALUES (?,?,?,?,NULL)",
+                    (self.name, ns, t, loc),
+                )
+        except sqlite3.IntegrityError:
+            raise TableAlreadyExistsError(name) from None
+        self._ensure_namespace_row(ns)
+        return table
+
     def create_table_if_not_exists(
         self,
         name: str,

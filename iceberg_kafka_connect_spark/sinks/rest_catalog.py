@@ -255,6 +255,26 @@ class RestCatalog:
         except TableAlreadyExistsError:
             return self.load_table(name)
 
+    def register_table(
+        self, name: str, metadata_location: str
+    ) -> LakehouseTable:
+        """Iceberg ``registerTable`` over the spec endpoint
+        (``POST /v1/namespaces/{ns}/register``): adopt an existing
+        Iceberg metadata tree into the catalog, zero data copy."""
+        ns, t = self._ident(name)
+        self._ensure_namespace(ns)
+        try:
+            out = self._request(
+                "POST",
+                f"/v1/namespaces/{quote(ns)}/register",
+                {"name": t, "metadata-location": metadata_location},
+            )
+        except RestCatalogError as e:
+            if e.code == 409:
+                raise TableAlreadyExistsError(name) from None
+            raise
+        return LakehouseTable(_uri_to_path(out["metadata"]["location"]))
+
     def drop_table(self, name: str, purge: bool = True) -> None:
         if not purge:
             raise ValueError("purge=False is not supported over REST here")

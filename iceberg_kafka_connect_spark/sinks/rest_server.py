@@ -258,6 +258,9 @@ class _Handler(BaseHTTPRequestHandler):
             return self._namespace(_single_level(mt.group(1)))
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/tables", path):
             return self._tables(_single_level(mt.group(1)))
+        if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/register", path):
+            if m == "POST":
+                return self._register(_single_level(mt.group(1)))
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/tables/([^/]+)", path):
             return self._table(
                 _single_level(mt.group(1)), unquote(mt.group(2)), q
@@ -396,6 +399,49 @@ class _Handler(BaseHTTPRequestHandler):
             200,
             {
                 "metadata-location": f"file://{loc}",
+                "metadata": meta,
+                "config": {},
+            },
+        )
+
+    def _register(self, ns: str):
+        """``registerTable``: adopt an existing Iceberg metadata tree
+        (spec endpoint ``POST /v1/{prefix}/namespaces/{ns}/register``)."""
+        body = self._json_body()
+        name = body.get("name")
+        loc = body.get("metadata-location")
+        if not name or not loc:
+            raise _err(
+                400,
+                "BadRequestException",
+                "name and metadata-location required",
+            )
+        full = f"{ns}.{name}"
+        for prefix in ("file://", "file:"):
+            if loc.startswith(prefix):
+                loc = loc[len(prefix) :]
+                break
+        lock = self.state.table_lock(full)
+        with lock:
+            try:
+                self.state.catalog.register_table(full, loc)
+            except TableAlreadyExistsError:
+                raise _err(
+                    409,
+                    "AlreadyExistsException",
+                    f"table {full!r} already exists",
+                )
+            except Exception as e:
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    f"cannot register {loc!r}: {type(e).__name__}: {e}",
+                )
+            mloc, meta = self.state.current_metadata(full)
+        self._send(
+            200,
+            {
+                "metadata-location": f"file://{mloc}",
                 "metadata": meta,
                 "config": {},
             },

@@ -330,3 +330,36 @@ def test_racing_creates_one_winner(client):
     for th in threads:
         th.join()
     assert len(set(roots)) == 1 and len(roots) == 4
+
+
+def test_cli_serve_rest(tmp_path):
+    """`cli serve-rest` binds, prints its uri, and serves a real client."""
+    import json as jsonmod
+    import subprocess
+    import sys
+    import time
+
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "iceberg_kafka_connect_spark.cli",
+            "serve-rest",
+            "--warehouse",
+            str(tmp_path / "wh"),
+            "--port",
+            "0",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        uri = jsonmod.loads(line)["uri"]
+        cat = RestCatalog(uri)
+        cat.create_table("db.from_cli", SCHEMA)
+        assert cat.table_exists("db.from_cli")
+        time.sleep(0)  # (no extra wait needed; calls above are synchronous)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
