@@ -332,11 +332,11 @@ class RestCatalog:
                     {"requirements": reqs, "updates": updates},
                 )
             except RestCatalogError as e:
-                if e.code != 409 or attempt == retries - 1:
-                    if e.code == 409:
-                        break
+                if e.code != 409:
                     raise
                 last = e
+                if attempt == retries - 1:
+                    break
                 time.sleep(0.05 * (attempt + 1))
         raise RestCommitFailed(str(last) if last else "commit rejected")
 
