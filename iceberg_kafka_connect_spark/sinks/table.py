@@ -2248,6 +2248,101 @@ class LakehouseTable:
             rows, "version long, file string, timestamp_ms long"
         )
 
+    def delete_files_df(
+        self, spark: SparkSession, branch: str = MAIN
+    ) -> DataFrame:
+        """Iceberg `table.delete_files` parity: live delete files at the
+        branch head — content kind (equality vs position), apply sequence,
+        and the equality key columns readers anti-join on. Metadata-only."""
+        snap = self.current_snapshot(branch)
+        schema = (
+            "path string, content string, seq long, format string, "
+            "bytes long, key_cols array<string>"
+        )
+        if snap is None:
+            return spark.createDataFrame([], schema)
+        _, delete_files = self._live_files(self.metadata(), snap)
+        rows = [
+            (
+                f["path"],
+                "position-deletes"
+                if f.get("delete_type") == "position"
+                else "equality-deletes",
+                f["seq"],
+                f.get("format", "parquet"),
+                f.get("bytes"),
+                f.get("key_cols"),
+            )
+            for f in delete_files
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    def position_deletes_df(
+        self, spark: SparkSession, branch: str = MAIN
+    ) -> DataFrame:
+        """Iceberg `table.position_deletes` parity: the live position-delete
+        ROWS — (data file path, row ordinal) pairs with their apply
+        sequence. file_path is reconstructed to the absolute form readers
+        see (stored root-relative so the table stays relocatable). Scales
+        as a plain scan of the delete files; no data files are opened."""
+        snap = self.current_snapshot(branch)
+        schema = "file_path string, pos long, seq long"
+        if snap is None:
+            return spark.createDataFrame([], schema)
+        _, delete_files = self._live_files(self.metadata(), snap)
+        pos_files = [
+            f for f in delete_files if f.get("delete_type") == "position"
+        ]
+        if not pos_files:
+            return spark.createDataFrame([], schema)
+        prefix = os.path.abspath(self.root) + "/"
+        return self._read_file_group(spark, pos_files, None).select(
+            _fp_load(F.col("file_path"), prefix).alias("file_path"),
+            F.col("pos").cast("long").alias("pos"),
+            F.col("__seq").cast("long").alias("seq"),
+        )
+
+    def entries_df(self, spark: SparkSession) -> DataFrame:
+        """Iceberg `table.entries` parity (added/existing statuses): one
+        row per manifest entry of every retained snapshot. A file listed
+        by a snapshot whose own sequence number is newer than the file's
+        was carried over by a replace commit (compaction) — status
+        `existing`, like Iceberg's manifest-entry status 0; a file whose
+        sequence matches the listing snapshot's was `added` (status 1).
+        Removals are implicit in this model (a replace snapshot simply
+        stops listing the file), so no `deleted` rows — audit removals by
+        diffing `all_files_df` against live `files_df`. Metadata-only."""
+        rows = []
+        for s in self.snapshots():
+            d, dl = self._load_manifest(s)
+            for f, content in [(f, "data") for f in d] + [
+                (
+                    f,
+                    "position-deletes"
+                    if f.get("delete_type") == "position"
+                    else "equality-deletes",
+                )
+                for f in dl
+            ]:
+                rows.append(
+                    (
+                        "added"
+                        if f.get("seq", s["sequence_number"])
+                        == s["sequence_number"]
+                        else "existing",
+                        s["snapshot_id"],
+                        s["sequence_number"],
+                        content,
+                        f["path"],
+                        f.get("seq"),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "status string, snapshot_id string, snapshot_sequence long, "
+            "content string, path string, file_sequence long",
+        )
+
     # ----------------------------------------------------------- maintenance
     def compact(
         self,

@@ -181,3 +181,60 @@ def test_metadata_log_df(spark, catalog):
     import os as _os
 
     assert all(_os.path.isfile(r.file) for r in log)
+
+
+def test_delete_files_df(spark, catalog):
+    t = catalog.create_table(
+        "default.delfiles", SCHEMA, identifier_fields=["id"]
+    )
+    t.append(_df(spark, 0, 20))
+    t.delete_where(spark, "id < 3", ["id"])          # equality deletes
+    t.delete_where_positions(spark, "id >= 18")      # position deletes
+    df = t.delete_files_df(spark).collect()
+    kinds = {r.content for r in df}
+    assert kinds == {"equality-deletes", "position-deletes"}
+    eq = [r for r in df if r.content == "equality-deletes"]
+    assert all(r.key_cols == ["id"] for r in eq)
+    assert all(r.seq is not None and r.path for r in df)
+    # compaction folds merge-on-read state -> no live delete files
+    t.compact(spark)
+    assert t.delete_files_df(spark).count() == 0
+    assert t.read(spark).count() == 15
+
+
+def test_entries_df_statuses(spark, catalog):
+    t = catalog.create_table("default.entries", SCHEMA)
+    t.append(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20))
+    before = {
+        r.path for r in t.entries_df(spark).collect() if r.status == "added"
+    }
+    assert len(before) >= 2
+    t.compact(spark)
+    ent = t.entries_df(spark).collect()
+    # the replace snapshot's own listing: rewritten output is `added` at
+    # the new sequence; nothing in this history is carried with an older
+    # seq unless compaction kept it
+    latest_seq = max(r.snapshot_sequence for r in ent)
+    latest = [r for r in ent if r.snapshot_sequence == latest_seq]
+    assert latest and all(r.status in ("added", "existing") for r in latest)
+    added_latest = [r for r in latest if r.status == "added"]
+    assert added_latest, "replace snapshot lists its rewritten files"
+    # every original append's rows remain visible as their own snapshots
+    assert {r.status for r in ent} <= {"added", "existing"}
+    assert t.read(spark).count() == 20
+
+
+def test_position_deletes_df(spark, catalog):
+    t = catalog.create_table("default.posdel", SCHEMA)
+    t.append(_df(spark, 0, 20))
+    t.delete_where_positions(spark, "id % 4 = 0")
+    pd_rows = t.position_deletes_df(spark).collect()
+    assert len(pd_rows) == 5  # ids 0,4,8,12,16
+    assert all(r.file_path.startswith("/") and r.pos >= 0 for r in pd_rows)
+    assert t.read(spark).count() == 15
+    # the (file, pos) pairs are exactly the rows the scan now skips
+    assert t.position_deletes_df(spark).count() == 20 - t.read(spark).count()
+    # empty cases
+    t2 = catalog.create_table("default.posdel2", SCHEMA)
+    assert t2.position_deletes_df(spark).count() == 0
