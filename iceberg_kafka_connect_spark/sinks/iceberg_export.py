@@ -1398,6 +1398,21 @@ def export_iceberg_metadata(
             "snapshot-id": _tree_for(shex)["snapshot-id"],
             "type": "tag",
         }
+    # per-ref retention rides the ref object, spec field names verbatim
+    for rname, ret in (meta.get("ref_retention") or {}).items():
+        if rname in refs_json:
+            refs_json[rname].update(
+                {
+                    k: int(v)
+                    for k, v in ret.items()
+                    if k
+                    in (
+                        "max-ref-age-ms",
+                        "min-snapshots-to-keep",
+                        "max-snapshot-age-ms",
+                    )
+                }
+            )
 
     # ----- snapshot history: walk each ref's parent chain so external
     # readers time-travel (VERSION AS OF any ancestor, snapshot-log

@@ -738,6 +738,27 @@ def import_iceberg_table(
             table.create_tag(
                 rname, snapshot_id=imported[ext_sid]["snapshot_id"]
             )
+    # per-ref retention fields (spec names on the ref object) survive the
+    # import so a later expire_snapshots honors the external policy
+    retention = {
+        rname: {
+            k: int(ref[k])
+            for k in (
+                "max-ref-age-ms",
+                "min-snapshots-to-keep",
+                "max-snapshot-age-ms",
+            )
+            if ref.get(k) is not None
+        }
+        for rname, ref in (meta.get("refs") or {}).items()
+        if rname not in skipped_refs
+    }
+    retention = {r: v for r, v in retention.items() if v}
+    if retention:
+        meta2 = table.metadata()
+        meta2["ref_retention"] = retention
+        table._write_version(meta2["version"] + 1, meta2)
+
     if skipped_refs:
         meta2 = table.metadata()
         meta2["properties"]["import.skipped-refs"] = ",".join(

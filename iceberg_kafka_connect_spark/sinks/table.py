@@ -2599,22 +2599,97 @@ class LakehouseTable:
                 time.sleep(0.05 * (attempt + 1))
         raise CommitConflict("unreachable")
 
+    def set_ref_retention(
+        self,
+        name: str,
+        max_ref_age_ms: int | None = None,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
+    ) -> None:
+        """Iceberg per-ref retention parity (the spec's snapshot-ref
+        fields): ``max-ref-age-ms`` retires the ref itself during expire
+        (never ``main``); for branches, ``min-snapshots-to-keep`` and
+        ``max-snapshot-age-ms`` override the global depth/age for that
+        branch's chain. Stored on the ref, exported/imported in spec
+        form."""
+        if name == MAIN and max_ref_age_ms is not None:
+            raise ValueError("main cannot carry max-ref-age-ms")
+        fields = {
+            "max-ref-age-ms": max_ref_age_ms,
+            "min-snapshots-to-keep": min_snapshots_to_keep,
+            "max-snapshot-age-ms": max_snapshot_age_ms,
+        }
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            if name not in meta["refs"] and name not in meta.get("tags", {}):
+                raise ValueError(f"no such ref {name!r}")
+            ret = meta.setdefault("ref_retention", {}).setdefault(name, {})
+            for k, v in fields.items():
+                if v is None:
+                    ret.pop(k, None)
+                else:
+                    ret[k] = int(v)
+            if not ret:
+                del meta["ref_retention"][name]
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
+    def ref_retention(self) -> dict[str, dict]:
+        return dict(self.metadata().get("ref_retention") or {})
+
     def expire_snapshots(
-        self, keep_last: int = 10, older_than_ms: int | None = None
+        self,
+        keep_last: int = 10,
+        older_than_ms: int | None = None,
+        now_ms: int | None = None,
     ) -> int:
         """Iceberg expire_snapshots parity: drop snapshot metadata beyond the
         last ``keep_last`` per branch-reachable chain; with ``older_than_ms``
         (expireOlderThan), snapshots at or after the cutoff are additionally
-        retained even off-chain. Returns the number of expired snapshots.
-        File cleanup is remove_orphan_files' job."""
+        retained even off-chain. Per-ref retention (set_ref_retention)
+        applies first: refs past their max-ref-age-ms are retired, and a
+        branch's min-snapshots-to-keep / max-snapshot-age-ms override the
+        global depth for its chain. Returns the number of expired
+        snapshots. File cleanup is remove_orphan_files' job."""
+        now = int(time.time() * 1000) if now_ms is None else now_ms
         for attempt in range(COMMIT_RETRIES):
             meta = self.metadata()
+            retention = meta.get("ref_retention") or {}
+            # retire aged-out refs (never main; Iceberg max-ref-age-ms)
+            for store_key in ("refs", "tags"):
+                store = meta.get(store_key) or {}
+                for rname in list(store):
+                    age_cap = (retention.get(rname) or {}).get(
+                        "max-ref-age-ms"
+                    )
+                    if rname == MAIN or age_cap is None:
+                        continue
+                    head = store[rname]
+                    ts = self._snapshot_by_id(meta, head)["timestamp_ms"]
+                    if now - ts > age_cap:
+                        del store[rname]
+                        meta["ref_retention"].pop(rname, None)
             keep: set[str] = set()
-            for sid in meta["refs"].values():
+            for rname, sid in meta["refs"].items():
+                ret = retention.get(rname) or {}
+                depth = ret.get("min-snapshots-to-keep", keep_last)
+                age_cap = ret.get("max-snapshot-age-ms")
                 n = 0
-                while sid is not None and n < keep_last:
-                    keep.add(sid)
+                while sid is not None:
                     snap = self._snapshot_by_id(meta, sid)
+                    within_depth = n < depth
+                    within_age = (
+                        age_cap is not None
+                        and now - snap["timestamp_ms"] <= age_cap
+                    )
+                    if not (within_depth or within_age):
+                        break
+                    keep.add(sid)
                     sid = snap["parent"]
                     n += 1
             # tagged snapshots are retained regardless of age; when their
