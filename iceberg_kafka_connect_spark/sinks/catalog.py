@@ -164,7 +164,8 @@ class Catalog:
         os.makedirs(warehouse, exist_ok=True)
 
     def _path(self, name: str) -> str:
-        # name = "db.table" or bare "table" (default db)
+        # name = "db.table", "a.b.c.table" (multi-level namespace, Iceberg
+        # SupportsNamespaces semantics) or bare "table" (default db)
         parts = name.split(".")
         if len(parts) == 1:
             parts = ["default", parts[0]]
@@ -218,15 +219,19 @@ class Catalog:
         return LakehouseTable(dst_path)
 
     def list_tables(self) -> list[str]:
-        import glob as globmod
-
+        # a table dir is any dir under the warehouse holding `metadata`;
+        # everything between the warehouse root and it is the (possibly
+        # multi-level) namespace
         out = []
-        for meta in globmod.glob(
-            os.path.join(self.warehouse, "*", "*", "metadata")
-        ):
-            tdir = os.path.dirname(meta)
-            db = os.path.basename(os.path.dirname(tdir))
-            out.append(f"{db}.{os.path.basename(tdir)}")
+        for dirpath, dirnames, _ in os.walk(self.warehouse):
+            if dirpath == self.warehouse:
+                continue
+            if LakehouseTable.exists(dirpath):
+                rel = os.path.relpath(dirpath, self.warehouse)
+                parts = rel.split(os.sep)
+                if len(parts) >= 2:
+                    out.append(".".join(parts))
+                dirnames.clear()  # don't descend into table internals
         return sorted(out)
 
     def register_views(self, spark, prefix: str = "") -> list[str]:

@@ -135,12 +135,12 @@ class JdbcCatalog:
 
     @staticmethod
     def _ident(name: str) -> tuple[str, str]:
+        """(dotted namespace, table) — JdbcUtil stores multi-level
+        namespaces as the dotted string in `table_namespace`, same here."""
         parts = name.split(".")
         if len(parts) == 1:
             parts = ["default", parts[0]]
-        if len(parts) != 2:
-            raise ValueError(f"expected db.table, got {name!r}")
-        return parts[0], parts[1]
+        return ".".join(parts[:-1]), parts[-1]
 
     # ------------------------------------------------------------ pointers
     def _pointer(self, ns: str, t: str) -> str | None:
@@ -224,7 +224,7 @@ class JdbcCatalog:
         ns, t = self._ident(name)
         if self._pointer(ns, t) is not None:
             raise TableAlreadyExistsError(name)
-        root = os.path.join(self.warehouse, ns, t)
+        root = os.path.join(self.warehouse, *ns.split("."), t)
         try:
             table = LakehouseTable.create(
                 root, schema, partition_by, properties, identifier_fields
@@ -265,7 +265,7 @@ class JdbcCatalog:
         if self._pointer(ns, t) is not None:
             raise TableAlreadyExistsError(name)
         table = import_iceberg_table(
-            metadata_location, os.path.join(self.warehouse, ns, t)
+            metadata_location, os.path.join(self.warehouse, *ns.split("."), t)
         )
         loc = export_iceberg_metadata(table)
         try:
@@ -329,7 +329,7 @@ class JdbcCatalog:
         with open(_uri_to_path(loc)) as f:
             old_root = _uri_to_path(json.load(f)["location"])
         new_root = (
-            os.path.join(self.warehouse, dns, dt)
+            os.path.join(self.warehouse, *dns.split("."), dt)
             if self.warehouse
             else os.path.join(os.path.dirname(old_root), dt)
         )

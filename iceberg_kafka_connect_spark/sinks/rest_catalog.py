@@ -105,12 +105,12 @@ class RestCatalog:
 
     @staticmethod
     def _ident(name: str) -> tuple[str, str]:
+        """(dotted namespace, table): the namespace may be multi-level
+        ("a.b.c.t" → ns "a.b.c")."""
         parts = name.split(".")
         if len(parts) == 1:
             parts = ["default", parts[0]]
-        if len(parts) != 2:
-            raise ValueError(f"expected db.table, got {name!r}")
-        return parts[0], parts[1]
+        return ".".join(parts[:-1]), parts[-1]
 
     def _table_path(self, name: str) -> str:
         ns, t = self._ident(name)
@@ -119,7 +119,9 @@ class RestCatalog:
     def _ensure_namespace(self, ns: str) -> None:
         try:
             self._request(
-                "POST", "/v1/namespaces", {"namespace": [ns], "properties": {}}
+                "POST",
+                "/v1/namespaces",
+                {"namespace": ns.split("."), "properties": {}},
             )
         except RestCatalogError as e:
             if e.code != 409:  # already exists is fine
@@ -296,8 +298,8 @@ class RestCatalog:
                 "POST",
                 "/v1/tables/rename",
                 {
-                    "source": {"namespace": [sns], "name": st},
-                    "destination": {"namespace": [dns], "name": dt},
+                    "source": {"namespace": sns.split("."), "name": st},
+                    "destination": {"namespace": dns.split("."), "name": dt},
                 },
             )
         except RestCatalogError as e:

@@ -151,7 +151,7 @@ class _State:
 
     # --------------------------------------------------------- namespaces
     def ns_dir(self, ns: str) -> str:
-        return os.path.join(self.catalog.warehouse, ns)
+        return os.path.join(self.catalog.warehouse, *ns.split("."))
 
     def ns_exists(self, ns: str) -> bool:
         return os.path.isdir(self.ns_dir(ns))
@@ -164,28 +164,44 @@ class _State:
         return {}
 
     def list_namespaces(self) -> list[list[str]]:
+        """Every namespace at any depth (multi-level Iceberg namespaces):
+        a namespace dir is any non-hidden dir under the warehouse that is
+        not itself a table root, excluding table internals."""
+        from .table import LakehouseTable
+
         wh = self.catalog.warehouse
-        return [
-            [d]
-            for d in sorted(os.listdir(wh))
-            if os.path.isdir(os.path.join(wh, d)) and not d.startswith(".")
-        ]
+        out: list[list[str]] = []
+        for dirpath, dirnames, _ in os.walk(wh):
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+            if dirpath != wh and LakehouseTable.exists(dirpath):
+                dirnames.clear()  # table internals are not namespaces
+                continue
+            if dirpath != wh:
+                out.append(
+                    os.path.relpath(dirpath, wh).split(os.sep)
+                )
+        return sorted(out)
 
 
-def _single_level(ns_raw: str) -> str:
+def _ns_levels(ns_raw: str) -> list[str]:
+    """URL namespace segment → levels. The spec joins multipart namespaces
+    with the unit separator (0x1F); dotted form is accepted too since a
+    level can never contain '.' here (it is the level separator in table
+    identifiers)."""
     ns = unquote(ns_raw)
-    parts = ns.split(_NS_SEP)
-    if len(parts) != 1:
-        # the directory warehouse is single-level (db.table), like the
-        # reference's Hadoop-catalog deployments
-        raise _err(
-            400,
-            "BadRequestException",
-            f"multi-level namespaces are not supported: {parts!r}",
-        )
-    if not re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_\-]*", parts[0]):
-        raise _err(400, "BadRequestException", f"invalid namespace {ns!r}")
-    return parts[0]
+    parts = [p for seg in ns.split(_NS_SEP) for p in seg.split(".")]
+    if not parts:
+        raise _err(400, "BadRequestException", "empty namespace")
+    for p in parts:
+        if not re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_\-]*", p):
+            raise _err(
+                400, "BadRequestException", f"invalid namespace level {p!r}"
+            )
+    return parts
+
+
+def _ns_name(levels: list[str]) -> str:
+    return ".".join(levels)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -255,15 +271,15 @@ class _Handler(BaseHTTPRequestHandler):
             if m == "POST":
                 return self._create_namespace()
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)", path):
-            return self._namespace(_single_level(mt.group(1)))
+            return self._namespace(_ns_name(_ns_levels(mt.group(1))))
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/tables", path):
-            return self._tables(_single_level(mt.group(1)))
+            return self._tables(_ns_name(_ns_levels(mt.group(1))))
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/register", path):
             if m == "POST":
-                return self._register(_single_level(mt.group(1)))
+                return self._register(_ns_name(_ns_levels(mt.group(1))))
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/tables/([^/]+)", path):
             return self._table(
-                _single_level(mt.group(1)), unquote(mt.group(2)), q
+                _ns_name(_ns_levels(mt.group(1))), unquote(mt.group(2)), q
             )
         if path == "/v1/tables/rename" and m == "POST":
             return self._rename()
@@ -273,13 +289,10 @@ class _Handler(BaseHTTPRequestHandler):
     def _create_namespace(self):
         body = self._json_body()
         ns_parts = body.get("namespace") or []
-        if len(ns_parts) != 1:
-            raise _err(
-                400,
-                "BadRequestException",
-                f"single-level namespaces only, got {ns_parts!r}",
-            )
-        ns = _single_level(ns_parts[0])
+        if not ns_parts:
+            raise _err(400, "BadRequestException", "namespace required")
+        levels = _ns_levels(_NS_SEP.join(ns_parts))
+        ns = _ns_name(levels)
         d = self.state.ns_dir(ns)
         if os.path.isdir(d):
             raise _err(
@@ -292,7 +305,7 @@ class _Handler(BaseHTTPRequestHandler):
         if props:
             with open(os.path.join(d, ".namespace.json"), "w") as f:
                 json.dump(props, f)
-        self._send(200, {"namespace": [ns], "properties": props})
+        self._send(200, {"namespace": levels, "properties": props})
 
     def _namespace(self, ns: str):
         if not self.state.ns_exists(ns):
@@ -302,7 +315,10 @@ class _Handler(BaseHTTPRequestHandler):
         if self.command in ("GET", "HEAD"):
             return self._send(
                 200,
-                {"namespace": [ns], "properties": self.state.ns_properties(ns)},
+                {
+                    "namespace": ns.split("."),
+                    "properties": self.state.ns_properties(ns),
+                },
             )
         if self.command == "DELETE":
             tables = [
@@ -330,9 +346,11 @@ class _Handler(BaseHTTPRequestHandler):
             )
         if self.command == "GET":
             idents = [
-                {"namespace": [ns], "name": t.split(".", 1)[1]}
+                {"namespace": ns.split("."), "name": t[len(ns) + 1 :]}
                 for t in self.state.catalog.list_tables()
-                if t.startswith(ns + ".")
+                # direct children only — deeper tables belong to child
+                # namespaces (Iceberg listTables semantics)
+                if t.startswith(ns + ".") and "." not in t[len(ns) + 1 :]
             ]
             return self._send(200, {"identifiers": idents})
         if self.command == "POST":
@@ -483,8 +501,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             src = body["source"]
             dst = body["destination"]
-            src_full = f"{_single_level(src['namespace'][0])}.{src['name']}"
-            dst_ns = _single_level(dst["namespace"][0])
+            src_ns = _ns_name(_ns_levels(_NS_SEP.join(src["namespace"])))
+            src_full = f"{src_ns}.{src['name']}"
+            dst_ns = _ns_name(_ns_levels(_NS_SEP.join(dst["namespace"])))
             dst_full = f"{dst_ns}.{dst['name']}"
         except (KeyError, IndexError, TypeError):
             raise _err(
