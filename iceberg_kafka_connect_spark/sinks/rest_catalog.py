@@ -362,12 +362,17 @@ class RestCatalog:
         snapshot_id: int,
         ref_type: str = "branch",
         expected_snapshot_id: int | None = ...,  # type: ignore[assignment]
+        max_ref_age_ms: int | None = None,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
     ) -> None:
         """``set-snapshot-ref`` with compare-and-swap: the commit carries
         ``assert-ref-snapshot-id`` so a concurrently-moved ref is a clean
         409, not a lost update. ``expected_snapshot_id``: the int
         snapshot-id the ref must currently hold (None = must not exist;
-        omit for unconditional)."""
+        omit for unconditional). The optional spec retention fields
+        (max-ref-age-ms / min-snapshots-to-keep / max-snapshot-age-ms)
+        ride the same update, as in the protocol."""
         reqs: list[dict] | None = None
         if expected_snapshot_id is not ...:
             reqs = [
@@ -377,16 +382,22 @@ class RestCatalog:
                     "snapshot-id": expected_snapshot_id,
                 }
             ]
+        update = {
+            "action": "set-snapshot-ref",
+            "ref-name": ref,
+            "snapshot-id": snapshot_id,
+            "type": ref_type,
+        }
+        for k, v in (
+            ("max-ref-age-ms", max_ref_age_ms),
+            ("min-snapshots-to-keep", min_snapshots_to_keep),
+            ("max-snapshot-age-ms", max_snapshot_age_ms),
+        ):
+            if v is not None:
+                update[k] = int(v)
         self._commit(
             name,
-            [
-                {
-                    "action": "set-snapshot-ref",
-                    "ref-name": ref,
-                    "snapshot-id": snapshot_id,
-                    "type": ref_type,
-                }
-            ],
+            [update],
             requirements=reqs,
             retries=1 if reqs else 3,
         )

@@ -626,6 +626,21 @@ class _Handler(BaseHTTPRequestHandler):
                     raise _err(409, "CommitFailedException", str(e))
             else:
                 table.set_branch(ref, sid)
+            # optional spec retention fields ride the same update
+            retention = {
+                k.replace("-", "_"): up[k]
+                for k in (
+                    "max-ref-age-ms",
+                    "min-snapshots-to-keep",
+                    "max-snapshot-age-ms",
+                )
+                if up.get(k) is not None
+            }
+            if retention:
+                try:
+                    table.set_ref_retention(ref, **retention)
+                except ValueError as e:
+                    raise _err(400, "BadRequestException", str(e))
         elif ut == "remove-snapshot-ref":
             ref = up.get("ref-name")
             try:

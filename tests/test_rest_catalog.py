@@ -363,3 +363,35 @@ def test_cli_serve_rest(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_set_ref_carries_retention_fields(spark, client):
+    t = client.create_table("db.ret", SCHEMA)
+    t.append(spark.createDataFrame(_rows(4), SCHEMA))
+    head = _snapshot_id_int(t.snapshots()[-1]["snapshot_id"])
+    client.set_ref(
+        "db.ret",
+        "nightly",
+        head,
+        min_snapshots_to_keep=3,
+        max_snapshot_age_ms=86_400_000,
+    )
+    client.set_ref(
+        "db.ret", "v1", head, ref_type="tag", max_ref_age_ms=3_600_000
+    )
+    assert t.ref_retention() == {
+        "nightly": {
+            "min-snapshots-to-keep": 3,
+            "max-snapshot-age-ms": 86_400_000,
+        },
+        "v1": {"max-ref-age-ms": 3_600_000},
+    }
+    # served Iceberg metadata exposes them on the ref objects
+    _, meta = client.load_table_metadata("db.ret")
+    assert meta["refs"]["nightly"]["min-snapshots-to-keep"] == 3
+    assert meta["refs"]["v1"]["max-ref-age-ms"] == 3_600_000
+    # main cannot age out -> clean 400, not a silent accept
+    with pytest.raises((RestCatalogError, RestCommitFailed)):
+        client.set_ref(
+            "db.ret", "main", head, max_ref_age_ms=10, expected_snapshot_id=head
+        )
