@@ -402,6 +402,66 @@ class RestCatalog:
             retries=1 if reqs else 3,
         )
 
+    def update_schema(self, name: str, schema: T.StructType) -> None:
+        """Additive schema evolution through the commit endpoint: the
+        protocol's ``add-schema`` + ``set-current-schema`` pair."""
+        from .iceberg_export import iceberg_schema
+
+        schema_json, _ = iceberg_schema(schema)
+        self._commit(
+            name,
+            [
+                {"action": "add-schema", "schema": schema_json},
+                {"action": "set-current-schema", "schema-id": -1},
+            ],
+        )
+
+    def update_spec(
+        self, name: str, partition_by: list[str] | str | None
+    ) -> None:
+        """Partition-spec evolution through the commit endpoint
+        (``add-spec`` + ``set-default-spec``); affects future writes, like
+        Iceberg spec evolution."""
+        from .iceberg_export import iceberg_schema
+        from .spec import parse_partition_spec
+
+        _, meta = self.load_table_metadata(name)
+        name_ids = {
+            f["name"]: f["id"]
+            for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        }
+        fields = []
+        for i, pf in enumerate(parse_partition_spec(partition_by)):
+            transform = {
+                "identity": "identity",
+                "year": "year",
+                "month": "month",
+                "day": "day",
+                "hour": "hour",
+                "iceberg_bucket": f"bucket[{pf.param}]",
+                "truncate": f"truncate[{pf.param}]",
+            }.get(pf.transform)
+            if transform is None or pf.source not in name_ids:
+                raise ValueError(
+                    f"cannot express {pf.transform}({pf.source}) as an "
+                    "Iceberg spec transform over the current schema"
+                )
+            fields.append(
+                {
+                    "source-id": name_ids[pf.source],
+                    "field-id": 1000 + i,
+                    "name": pf.name,
+                    "transform": transform,
+                }
+            )
+        self._commit(
+            name,
+            [
+                {"action": "add-spec", "spec": {"spec-id": -1, "fields": fields}},
+                {"action": "set-default-spec", "spec-id": -1},
+            ],
+        )
+
     def register_views(self, spark, prefix: str = "") -> list[str]:
         registered = []
         for name in self.list_tables():

@@ -650,6 +650,75 @@ class _Handler(BaseHTTPRequestHandler):
                     table.drop_branch(ref)
             except ValueError as e:  # e.g. main is protected
                 raise _err(400, "BadRequestException", str(e))
+        elif ut == "add-schema":
+            # additive schema evolution: the posted Iceberg schema unions
+            # into the current one (new columns, widenings). Renames/drops
+            # have their own DDL (rename_column/drop_column) — a schema
+            # that needs them here is refused rather than half-applied.
+            from pyspark.sql import types as T
+
+            from .iceberg_import import iceberg_type_to_spark
+
+            schema_json = up.get("schema") or {}
+            try:
+                incoming = T.StructType(
+                    [
+                        T.StructField(
+                            f["name"],
+                            iceberg_type_to_spark(f["type"]),
+                            not f.get("required", False),
+                        )
+                        for f in schema_json.get("fields", [])
+                    ]
+                )
+            except Exception as e:
+                raise _err(
+                    400, "BadRequestException", f"bad schema: {e}"
+                )
+            cur = {f.name for f in table.schema().fields}
+            if not cur <= {f.name for f in incoming.fields}:
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    "add-schema must be additive here — dropped/renamed "
+                    "columns go through rename_column/drop_column DDL",
+                )
+            try:
+                table.evolve_schema(incoming)
+            except Exception as e:
+                raise _err(400, "BadRequestException", f"evolve: {e}")
+        elif ut in ("set-current-schema", "set-default-spec"):
+            pass  # add-schema/add-spec apply immediately; -1 acks the last
+        elif ut == "add-spec":
+            from .iceberg_export import iceberg_schema as _ice_schema
+
+            ice, _ = _ice_schema(table.schema())
+            id_names = {f["id"]: f["name"] for f in ice["fields"]}
+            dsl = _ice_spec_to_dsl(up.get("spec") or {}, id_names)
+            # REST commits must stay atomic: loadTable serves exported
+            # metadata, and the exporter stamps ONE spec — files written
+            # under the old layout cannot re-export under the new one, so
+            # a live-data spec change would half-apply (commit lands, the
+            # next loadTable 500s). Refuse up front with the remedy; the
+            # direct API (update_partition_spec) still evolves freely for
+            # tables read natively.
+            from .spec import parse_partition_spec
+
+            snap_now = table.current_snapshot()
+            if snap_now is not None:
+                data_now, _dl = table._live_files(table.metadata(), snap_now)
+                if data_now and parse_partition_spec(dsl) != list(
+                    table.partition_spec()
+                ):
+                    raise _err(
+                        400,
+                        "BadRequestException",
+                        "spec evolution over live data is not servable as "
+                        "exported metadata (files keep the old layout) — "
+                        "compact() to the new spec first, or evolve via "
+                        "the direct table API for natively-read tables",
+                    )
+            table.update_partition_spec(dsl or None)
         elif ut == "assign-uuid":
             pass  # uuid is assigned at create and immutable here
         else:

@@ -395,3 +395,47 @@ def test_set_ref_carries_retention_fields(spark, client):
         client.set_ref(
             "db.ret", "main", head, max_ref_age_ms=10, expected_snapshot_id=head
         )
+
+
+def test_rest_ddl_schema_and_spec_evolution(spark, client):
+    """add-schema / add-spec through the commit endpoint: REST-driven
+    column adds and partition-spec evolution."""
+    t = client.create_table("db.ddl", SCHEMA)
+    t.append(spark.createDataFrame(_rows(4), SCHEMA))
+    wider = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("score", T.DoubleType(), True)]
+    )
+    client.update_schema("db.ddl", wider)
+    t2 = client.load_table("db.ddl")
+    assert "score" in [f.name for f in t2.schema().fields]
+    # pre-evolution rows read back with the new column null-filled
+    rows = t2.read(spark).collect()
+    assert len(rows) == 4 and all(r.score is None for r in rows)
+    # non-additive evolution is refused whole
+    with pytest.raises((RestCatalogError, RestCommitFailed)):
+        client.update_schema(
+            "db.ddl",
+            T.StructType([T.StructField("id", T.LongType(), False)]),
+        )
+    # spec evolution over LIVE data is refused whole: the commit would
+    # land but the next loadTable couldn't serve exported metadata (old
+    # files keep the old layout) — compact() is the documented remedy
+    with pytest.raises((RestCatalogError, RestCommitFailed)):
+        client.update_spec("db.ddl", ["iceberg_bucket(4, id)"])
+    # on an empty table it applies and future writes use the new layout
+    empty = client.create_table("db.ddl2", wider)
+    client.update_spec("db.ddl2", ["iceberg_bucket(4, id)"])
+    t3 = client.load_table("db.ddl2")
+    assert [p.transform for p in t3.partition_spec()] == ["iceberg_bucket"]
+    import datetime as dt
+
+    t3.append(
+        spark.createDataFrame(
+            [(100, "n", dt.datetime(2024, 2, 1), 0.5)], wider
+        )
+    )
+    assert t3.read(spark).count() == 1
+    # served metadata's default spec carries the bucket transform
+    _, meta = client.load_table_metadata("db.ddl2")
+    spec = meta["partition-specs"][meta["default-spec-id"]]
+    assert any(f["transform"] == "bucket[4]" for f in spec["fields"])
