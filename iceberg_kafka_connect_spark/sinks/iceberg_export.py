@@ -1014,6 +1014,44 @@ def export_iceberg_metadata(
     spec_json, part_avro, part_parsers = _partition_export_plan(
         table.partition_spec(), col_ids, col_types
     )
+    # Historical specs (partition evolution): files written before an
+    # update_partition_spec keep their old directory layout. Iceberg
+    # represents this natively — one partition-spec entry per generation,
+    # each manifest stamped with its spec id — so each retired spec gets
+    # its own export plan (ids 2+; 0 is current, 1 is the delete spec) and
+    # files that don't parse under the current layout fall back through
+    # the history, newest first. A retired spec whose source column was
+    # since dropped simply yields no plan; its files then fail with the
+    # compact() message as before.
+    hist_plans: list[tuple[int, list, list, dict]] = []
+    from .spec import PartitionField as _PF
+
+    for j, hist in enumerate(meta.get("partition_spec_history") or []):
+        try:
+            h_fields = [_PF.from_json(d) for d in hist]
+            h_spec, h_avro, h_parsers = _partition_export_plan(
+                h_fields, col_ids, col_types
+            )
+        except IcebergExportUnsupported:
+            continue
+        hist_plans.append((2 + j, h_spec, h_avro, h_parsers))
+    hist_plans.reverse()  # newest retired spec first
+    used_hist_ids: set[int] = set()
+
+    def _tuple_and_spec(rel_path: str) -> tuple[dict, int, int]:
+        """(partition tuple, spec id, plan index into _all_plans) for a
+        data file, trying current spec then retired ones."""
+        try:
+            return _partition_tuple(rel_path, part_parsers), 0, 0
+        except IcebergExportUnsupported:
+            for idx, (hid, _sj, _av, h_parsers) in enumerate(hist_plans):
+                try:
+                    t = _partition_tuple(rel_path, h_parsers)
+                    used_hist_ids.add(hid)
+                    return t, hid, idx + 1
+                except IcebergExportUnsupported:
+                    continue
+            raise
     def _rows_of(fentry: dict, path: str) -> int:
         rows = (fentry.get("stats") or {}).get("rows")
         if rows is None:
@@ -1076,6 +1114,7 @@ def export_iceberg_metadata(
                 )
         commit_uuid = uuid.uuid4().hex
         entries = []
+        entries_by_spec: dict[int, list] = {}
         total_rows = 0
         for fentry in data_files:
             path = os.path.join(table.root, fentry["path"])
@@ -1092,32 +1131,35 @@ def export_iceberg_metadata(
             # incremental consumers (changelog readers, streaming scans)
             # take each snapshot's ADDED set — every-file-ADDED in every
             # historical snapshot would double-count rows downstream
-            entries.append(
-                {
-                    "status": 1 if fseq == seq else 0,
-                    "snapshot_id": sid if fseq == seq else seq_to_int.get(fseq, sid),
-                    "sequence_number": fseq,
-                    "file_sequence_number": fseq,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": "file://" + os.path.abspath(path),
-                        "file_format": "PARQUET",
-                        "partition": _partition_tuple(
-                            fentry["path"], part_parsers
-                        ),
-                        "record_count": rows,
-                        "file_size_in_bytes": fentry.get("bytes")
-                        or os.path.getsize(path),
-                        **(
-                            {"sort_order_id": 1}
-                            if sort_fields_json
-                            and fentry.get("sort") == export_sort_cols
-                            else {}
-                        ),
-                        **_file_column_stats(fentry, col_ids, col_types, rows),
-                    },
-                }
+            part_tuple, part_spec_id, _plan_idx = _tuple_and_spec(
+                fentry["path"]
             )
+            entry = {
+                "status": 1 if fseq == seq else 0,
+                "snapshot_id": sid if fseq == seq else seq_to_int.get(fseq, sid),
+                "sequence_number": fseq,
+                "file_sequence_number": fseq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "file://" + os.path.abspath(path),
+                    "file_format": "PARQUET",
+                    "partition": part_tuple,
+                    "record_count": rows,
+                    "file_size_in_bytes": fentry.get("bytes")
+                    or os.path.getsize(path),
+                    **(
+                        {"sort_order_id": 1}
+                        if sort_fields_json
+                        and fentry.get("sort") == export_sort_cols
+                        else {}
+                    ),
+                    **_file_column_stats(fentry, col_ids, col_types, rows),
+                },
+            }
+            if part_spec_id == 0:
+                entries.append(entry)
+            else:
+                entries_by_spec.setdefault(part_spec_id, []).append(entry)
 
         # ----- equality-delete manifest: the table's delete-key parquet files
         # ARE Iceberg equality-delete files — they carry exactly the key columns
@@ -1253,6 +1295,40 @@ def export_iceberg_metadata(
                 **_counts(entries),
             }
         ]
+        # one extra manifest per retired spec with files in this snapshot —
+        # a manifest holds entries of exactly one spec (Iceberg invariant)
+        for hid, h_spec, h_avro, _pp in hist_plans:
+            group = entries_by_spec.get(hid)
+            if not group:
+                continue
+            h_path = os.path.join(tree_dir, f"{commit_uuid}-mh{hid}.avro")
+            h_len = _write_ocf(
+                h_path,
+                _manifest_entry_schema(h_avro),
+                group,
+                {
+                    "schema": json.dumps(ice_schema),
+                    "schema-id": "0",
+                    "partition-spec": json.dumps(h_spec),
+                    "partition-spec-id": str(hid),
+                    "format-version": "2",
+                    "content": "data",
+                },
+            )
+            manifest_rows.append(
+                {
+                    "manifest_path": "file://" + os.path.abspath(h_path),
+                    "manifest_length": h_len,
+                    "partition_spec_id": hid,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        e["sequence_number"] for e in group
+                    ),
+                    "added_snapshot_id": sid or 0,
+                    **_counts(group),
+                }
+            )
         if del_entries:
             del_manifest_path = os.path.join(tree_dir, f"{commit_uuid}-m1.avro")
             del_manifest_len = _write_ocf(
@@ -1484,8 +1560,21 @@ def export_iceberg_metadata(
         "schemas": [ice_schema],
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_json}]
-        + ([{"spec-id": 1, "fields": []}] if used_delete_spec[0] else []),
-        "last-partition-id": 999 + len(spec_json),
+        + ([{"spec-id": 1, "fields": []}] if used_delete_spec[0] else [])
+        + [
+            {"spec-id": hid, "fields": h_spec}
+            for hid, h_spec, _av, _pp in sorted(hist_plans)
+            if hid in used_hist_ids
+        ],
+        "last-partition-id": 999
+        + max(
+            [len(spec_json)]
+            + [
+                len(h_spec)
+                for hid, h_spec, _av, _pp in hist_plans
+                if hid in used_hist_ids
+            ]
+        ),
         "default-sort-order-id": 1 if sort_fields_json else 0,
         "sort-orders": [{"order-id": 0, "fields": []}]
         + (

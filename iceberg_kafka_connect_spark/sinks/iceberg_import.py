@@ -288,6 +288,10 @@ def _scan_manifests(
                 seq = m_seq
             df_entry = e["data_file"]
             df_entry["_seq"] = seq
+            # the manifest's spec id: identity-column reconstruction must
+            # use the spec the FILE was written under (partition
+            # evolution), not the table's default
+            df_entry["_spec_id"] = mf.get("partition_spec_id", 0) or 0
             # effective ADDING snapshot (v2 inheritance: a null entry
             # snapshot_id inherits the manifest's added_snapshot_id) —
             # refresh uses it to pick out exactly one snapshot's additions
@@ -303,6 +307,31 @@ def _scan_manifests(
             else:
                 data_entries.append(df_entry)
     return data_entries, delete_entries
+
+
+def _ident_fields_by_spec(
+    meta: dict, id_names: dict[int, str], id_types: dict[int, str]
+) -> dict[int, list[tuple[str, str, str]]]:
+    """{spec-id → [(tuple field name, column, iceberg type)]} for every
+    spec in the metadata — partition evolution means entries of one
+    snapshot can span specs, and each reconstructs identity columns under
+    its OWN spec."""
+    specs = meta.get("partition-specs") or [
+        {"spec-id": 0, "fields": meta.get("partition-spec", [])}
+    ]
+    out: dict[int, list[tuple[str, str, str]]] = {}
+    for s in specs:
+        out[s.get("spec-id", 0)] = [
+            (
+                pf.get("name", id_names.get(pf.get("source-id"), "")),
+                id_names[pf["source-id"]],
+                id_types.get(pf.get("source-id"), ""),
+            )
+            for pf in s.get("fields", [])
+            if pf.get("transform") == "identity"
+            and pf.get("source-id") in id_names
+        ]
+    return out
 
 
 def _rewrite_position_delete_to_internal(src_path: str, out_dir: str) -> str:
@@ -392,7 +421,7 @@ def _translate_snapshot(
     fv: int,
     id_names: dict[int, str],
     id_types: dict[int, str],
-    ident_tuple_fields: list[tuple[str, str, str]],
+    ident_tuple_fields: dict[int, list[tuple[str, str, str]]],
     dest_root: str,
     sort_cols: list[str],
     default_order_id: int,
@@ -433,7 +462,9 @@ def _translate_snapshot(
         # carry the column (real Iceberg writers always do) ignore it.
         part_rec = e.get("partition") or {}
         pvals = {}
-        for tuple_name, col, itype in ident_tuple_fields:
+        for tuple_name, col, itype in ident_tuple_fields.get(
+            e.get("_spec_id", 0), ()
+        ):
             v = part_rec.get(tuple_name)
             if v is None:
                 continue
@@ -561,17 +592,13 @@ def import_iceberg_table(
     cur_spec = next(
         (s for s in specs if s.get("spec-id", 0) == spec_id), {"fields": []}
     )
-    ident_tuple_fields: list[tuple[str, str, str]] = []
+    ident_tuple_fields = _ident_fields_by_spec(meta, id_names, id_types)
     for pf in cur_spec.get("fields", []):
         src_name = id_names.get(pf.get("source-id"))
         transform = pf.get("transform", "")
         bucket_m = re.fullmatch(r"bucket\[(\d+)\]", transform)
         if transform == "identity" and src_name:
             part_fields.append(PartitionField(src_name, "identity"))
-            ident_tuple_fields.append(
-                (pf.get("name", src_name), src_name,
-                 id_types.get(pf.get("source-id"), ""))
-            )
         elif bucket_m and src_name:
             # murmur3 bucket is spec-conformant here (functions/murmur3.py)
             # so the layout transform survives the import
@@ -883,23 +910,7 @@ def refresh_from_iceberg(
     if isinstance(spark_schema, T.StructType):
         table.evolve_schema(spark_schema)
 
-    specs = meta.get("partition-specs") or (
-        [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
-    )
-    spec_id = meta.get("default-spec-id", 0)
-    cur_spec = next(
-        (s for s in specs if s.get("spec-id", 0) == spec_id), {"fields": []}
-    )
-    ident_tuple_fields = [
-        (
-            pf.get("name", id_names.get(pf.get("source-id"), "")),
-            id_names[pf["source-id"]],
-            id_types.get(pf.get("source-id"), ""),
-        )
-        for pf in cur_spec.get("fields", [])
-        if pf.get("transform") == "identity"
-        and pf.get("source-id") in id_names
-    ]
+    ident_tuple_fields = _ident_fields_by_spec(meta, id_names, id_types)
     sort_cols, default_order_id = _default_sort_cols(meta, id_names)
 
     def _files_of(

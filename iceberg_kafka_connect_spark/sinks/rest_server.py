@@ -695,29 +695,10 @@ class _Handler(BaseHTTPRequestHandler):
             ice, _ = _ice_schema(table.schema())
             id_names = {f["id"]: f["name"] for f in ice["fields"]}
             dsl = _ice_spec_to_dsl(up.get("spec") or {}, id_names)
-            # REST commits must stay atomic: loadTable serves exported
-            # metadata, and the exporter stamps ONE spec — files written
-            # under the old layout cannot re-export under the new one, so
-            # a live-data spec change would half-apply (commit lands, the
-            # next loadTable 500s). Refuse up front with the remedy; the
-            # direct API (update_partition_spec) still evolves freely for
-            # tables read natively.
-            from .spec import parse_partition_spec
-
-            snap_now = table.current_snapshot()
-            if snap_now is not None:
-                data_now, _dl = table._live_files(table.metadata(), snap_now)
-                if data_now and parse_partition_spec(dsl) != list(
-                    table.partition_spec()
-                ):
-                    raise _err(
-                        400,
-                        "BadRequestException",
-                        "spec evolution over live data is not servable as "
-                        "exported metadata (files keep the old layout) — "
-                        "compact() to the new spec first, or evolve via "
-                        "the direct table API for natively-read tables",
-                    )
+            # live files keep their old layout; the exporter emits retired
+            # specs as additional partition-specs with per-manifest spec
+            # ids (multi-spec export), so loadTable keeps serving after
+            # the evolution — no compact() required
             table.update_partition_spec(dsl or None)
         elif ut == "assign-uuid":
             pass  # uuid is assigned at create and immutable here

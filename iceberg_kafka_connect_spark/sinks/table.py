@@ -1264,7 +1264,17 @@ class LakehouseTable:
                     raise ValueError(
                         f"partition source column {pf.source!r} not in schema"
                     )
-            meta["partition_spec"] = [f.to_json() for f in new_spec]
+            new_json = [f.to_json() for f in new_spec]
+            if new_json == meta["partition_spec"]:
+                return
+            # retired specs are kept: files written under them keep their
+            # layout, and the Iceberg exporter emits them as additional
+            # partition-specs with per-manifest spec ids (multi-spec
+            # export), exactly the spec's representation of evolution
+            hist = meta.setdefault("partition_spec_history", [])
+            if meta["partition_spec"] not in hist:
+                hist.append(meta["partition_spec"])
+            meta["partition_spec"] = new_json
             try:
                 self._write_version(meta["version"] + 1, meta)
                 return

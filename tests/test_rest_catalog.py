@@ -417,15 +417,11 @@ def test_rest_ddl_schema_and_spec_evolution(spark, client):
             "db.ddl",
             T.StructType([T.StructField("id", T.LongType(), False)]),
         )
-    # spec evolution over LIVE data is refused whole: the commit would
-    # land but the next loadTable couldn't serve exported metadata (old
-    # files keep the old layout) — compact() is the documented remedy
-    with pytest.raises((RestCatalogError, RestCommitFailed)):
-        client.update_spec("db.ddl", ["iceberg_bucket(4, id)"])
-    # on an empty table it applies and future writes use the new layout
-    empty = client.create_table("db.ddl2", wider)
-    client.update_spec("db.ddl2", ["iceberg_bucket(4, id)"])
-    t3 = client.load_table("db.ddl2")
+    # spec evolution over LIVE data: old files keep their layout and the
+    # served metadata represents them under a retired spec id
+    # (multi-spec export) — loadTable keeps working, no compact needed
+    client.update_spec("db.ddl", ["iceberg_bucket(4, id)"])
+    t3 = client.load_table("db.ddl")
     assert [p.transform for p in t3.partition_spec()] == ["iceberg_bucket"]
     import datetime as dt
 
@@ -434,8 +430,9 @@ def test_rest_ddl_schema_and_spec_evolution(spark, client):
             [(100, "n", dt.datetime(2024, 2, 1), 0.5)], wider
         )
     )
-    assert t3.read(spark).count() == 1
+    assert t3.read(spark).count() == 5
     # served metadata's default spec carries the bucket transform
-    _, meta = client.load_table_metadata("db.ddl2")
-    spec = meta["partition-specs"][meta["default-spec-id"]]
+    _, meta = client.load_table_metadata("db.ddl")
+    by_id = {s["spec-id"]: s for s in meta["partition-specs"]}
+    spec = by_id[meta["default-spec-id"]]
     assert any(f["transform"] == "bucket[4]" for f in spec["fields"])
