@@ -67,7 +67,16 @@ def _resolve_transforms(names: list[str]):
 def build_pipeline(spec: dict, spark=None):
     spark = spark or get_spark(app_name=spec.get("name", "iceberg-sink"))
     cfg = from_properties(spec["config"])
-    catalog = Catalog(spec["warehouse"])
+    # catalog selection exactly as the reference does it: when the
+    # connector config carries iceberg.catalog.* properties, they pick
+    # the backend (hadoop dir / rest / jdbc — Utilities.loadCatalog);
+    # the plain spec["warehouse"] shortcut stays for bare dir jobs
+    if any(k.startswith("iceberg.catalog.") for k in spec["config"]):
+        from .sinks.catalog import catalog_from_properties
+
+        catalog = catalog_from_properties(spec["config"])
+    else:
+        catalog = Catalog(spec["warehouse"])
     schema = None
     if spec.get("value_schema"):
         schema = T.StructType.fromDDL(spec["value_schema"])

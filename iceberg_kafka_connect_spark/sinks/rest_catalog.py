@@ -402,12 +402,11 @@ class RestCatalog:
             retries=1 if reqs else 3,
         )
 
-    def update_schema(self, name: str, schema: T.StructType) -> None:
-        """Additive schema evolution through the commit endpoint: the
-        protocol's ``add-schema`` + ``set-current-schema`` pair."""
-        from .iceberg_export import iceberg_schema
+    def _current_served_schema(self, name: str) -> dict:
+        _, meta = self.load_table_metadata(name)
+        return meta["schemas"][meta["current-schema-id"]]
 
-        schema_json, _ = iceberg_schema(schema)
+    def _post_schema(self, name: str, schema_json: dict) -> None:
         self._commit(
             name,
             [
@@ -415,6 +414,48 @@ class RestCatalog:
                 {"action": "set-current-schema", "schema-id": -1},
             ],
         )
+
+    def update_schema(self, name: str, schema: T.StructType) -> None:
+        """Additive schema evolution through the commit endpoint
+        (``add-schema`` + ``set-current-schema``). Existing columns keep
+        their served field ids — the id is what makes the server's diff
+        well-defined — and new columns get fresh ids."""
+        from .iceberg_export import iceberg_schema
+
+        served = self._current_served_schema(name)
+        by_name = {f["name"]: f for f in served["fields"]}
+        next_id = 1 + max((f["id"] for f in served["fields"]), default=0)
+        draft, _ = iceberg_schema(schema)
+        fields = []
+        for f in draft["fields"]:
+            if f["name"] in by_name:
+                fields.append({**f, "id": by_name[f["name"]]["id"]})
+            else:
+                fields.append({**f, "id": next_id})
+                next_id += 1
+        self._post_schema(name, {**served, "fields": fields})
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        """Iceberg ``updateSchema().renameColumn`` over REST: same field
+        id, new name — the server reads it as a rename, and old data
+        files keep resolving through the exported name mapping."""
+        served = self._current_served_schema(name)
+        if old not in {f["name"] for f in served["fields"]}:
+            raise ValueError(f"no such column {old!r}")
+        fields = [
+            {**f, "name": new} if f["name"] == old else f
+            for f in served["fields"]
+        ]
+        self._post_schema(name, {**served, "fields": fields})
+
+    def drop_column(self, name: str, col: str) -> None:
+        """Iceberg ``updateSchema().deleteColumn`` over REST: the field id
+        disappears from the posted schema."""
+        served = self._current_served_schema(name)
+        if col not in {f["name"] for f in served["fields"]}:
+            raise ValueError(f"no such column {col!r}")
+        fields = [f for f in served["fields"] if f["name"] != col]
+        self._post_schema(name, {**served, "fields": fields})
 
     def update_spec(
         self, name: str, partition_by: list[str] | str | None

@@ -651,16 +651,32 @@ class _Handler(BaseHTTPRequestHandler):
             except ValueError as e:  # e.g. main is protected
                 raise _err(400, "BadRequestException", str(e))
         elif ut == "add-schema":
-            # additive schema evolution: the posted Iceberg schema unions
-            # into the current one (new columns, widenings). Renames/drops
-            # have their own DDL (rename_column/drop_column) — a schema
-            # that needs them here is refused rather than half-applied.
+            # full UpdateSchema semantics, diffed BY FIELD ID like Iceberg:
+            # same id + new name = rename; id absent = drop; new field =
+            # add (union evolve). The client works against the served
+            # schema's ids (update_schema/rename_column/drop_column
+            # helpers), so the diff is well-defined; guards (partition
+            # source, identifier fields, live delete keys) surface as 400.
             from pyspark.sql import types as T
 
+            from .iceberg_export import iceberg_schema as _ice_schema
             from .iceberg_import import iceberg_type_to_spark
 
             schema_json = up.get("schema") or {}
+            inc_fields = schema_json.get("fields", [])
+            cur_ice, _ = _ice_schema(table.schema())
+            cur_by_id = {f["id"]: f["name"] for f in cur_ice["fields"]}
+            inc_by_id = {
+                f["id"]: f["name"] for f in inc_fields if "id" in f
+            }
             try:
+                for fid, new_name in inc_by_id.items():
+                    old_name = cur_by_id.get(fid)
+                    if old_name is not None and old_name != new_name:
+                        table.rename_column(old_name, new_name)
+                for fid, old_name in cur_by_id.items():
+                    if fid not in inc_by_id:
+                        table.drop_column(old_name)
                 incoming = T.StructType(
                     [
                         T.StructField(
@@ -668,25 +684,14 @@ class _Handler(BaseHTTPRequestHandler):
                             iceberg_type_to_spark(f["type"]),
                             not f.get("required", False),
                         )
-                        for f in schema_json.get("fields", [])
+                        for f in inc_fields
                     ]
                 )
-            except Exception as e:
-                raise _err(
-                    400, "BadRequestException", f"bad schema: {e}"
-                )
-            cur = {f.name for f in table.schema().fields}
-            if not cur <= {f.name for f in incoming.fields}:
-                raise _err(
-                    400,
-                    "BadRequestException",
-                    "add-schema must be additive here — dropped/renamed "
-                    "columns go through rename_column/drop_column DDL",
-                )
-            try:
                 table.evolve_schema(incoming)
+            except ValueError as e:  # DDL guards / widening refusals
+                raise _err(400, "BadRequestException", str(e))
             except Exception as e:
-                raise _err(400, "BadRequestException", f"evolve: {e}")
+                raise _err(400, "BadRequestException", f"schema: {e}")
         elif ut in ("set-current-schema", "set-default-spec"):
             pass  # add-schema/add-spec apply immediately; -1 acks the last
         elif ut == "add-spec":

@@ -201,3 +201,26 @@ def test_cli_delete_where_positional(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "snapshot_id" in out
     assert t.read(spark).count() == 6  # ids 0,1,2 x2 copies each
+
+
+def test_job_spec_catalog_properties_pick_backend(spark, tmp_path):
+    """iceberg.catalog.* in the connector config selects the catalog
+    backend, exactly the reference's Utilities.loadCatalog path."""
+    from iceberg_kafka_connect_spark.cli import build_pipeline
+    from iceberg_kafka_connect_spark.sinks.jdbc_catalog import JdbcCatalog
+
+    spec = {
+        "name": "jdbc-job",
+        "config": {
+            "iceberg.tables": "default.sink",
+            "iceberg.tables.auto-create-enabled": "true",
+            "iceberg.catalog.type": "jdbc",
+            "iceberg.catalog.uri": f"jdbc:sqlite:{tmp_path}/cat.sqlite",
+            "iceberg.catalog.warehouse": str(tmp_path / "wh"),
+        },
+        "source": {"type": "files", "path": str(tmp_path / "in")},
+        "warehouse": str(tmp_path / "ignored"),
+    }
+    (tmp_path / "in").mkdir()
+    _spark, pipeline, _stream = build_pipeline(spec, spark=spark)
+    assert isinstance(pipeline.catalog, JdbcCatalog)

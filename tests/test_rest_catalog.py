@@ -411,12 +411,17 @@ def test_rest_ddl_schema_and_spec_evolution(spark, client):
     # pre-evolution rows read back with the new column null-filled
     rows = t2.read(spark).collect()
     assert len(rows) == 4 and all(r.score is None for r in rows)
-    # non-additive evolution is refused whole
-    with pytest.raises((RestCatalogError, RestCommitFailed)):
-        client.update_schema(
-            "db.ddl",
-            T.StructType([T.StructField("id", T.LongType(), False)]),
-        )
+    # a reduced schema is a legitimate UpdateSchema: ids absent from the
+    # posted schema drop (Iceberg deleteColumn semantics) — on a separate
+    # table so the spec-evolution block below keeps its columns
+    reduced = client.create_table("db.ddl_red", wider)
+    client.update_schema(
+        "db.ddl_red",
+        T.StructType([T.StructField("id", T.LongType(), False)]),
+    )
+    assert [f.name for f in client.load_table("db.ddl_red").schema().fields] == [
+        "id"
+    ]
     # spec evolution over LIVE data: old files keep their layout and the
     # served metadata represents them under a retired spec id
     # (multi-spec export) — loadTable keeps working, no compact needed
@@ -436,3 +441,29 @@ def test_rest_ddl_schema_and_spec_evolution(spark, client):
     by_id = {s["spec-id"]: s for s in meta["partition-specs"]}
     spec = by_id[meta["default-spec-id"]]
     assert any(f["transform"] == "bucket[4]" for f in spec["fields"])
+
+
+def test_rest_rename_and_drop_column(spark, client):
+    """Rename and drop land through add-schema diffs keyed by field id —
+    the full UpdateSchema surface over the wire."""
+    t = client.create_table("db.cols", SCHEMA)
+    t.append(spark.createDataFrame(_rows(4), SCHEMA))
+    client.rename_column("db.cols", "name", "label")
+    t2 = client.load_table("db.cols")
+    assert [f.name for f in t2.schema().fields] == ["id", "label", "ts"]
+    # pre-rename files resolve through the name mapping
+    assert {r.label for r in t2.read(spark).collect()} == {
+        f"n{i}" for i in range(4)
+    }
+    client.drop_column("db.cols", "ts")
+    t3 = client.load_table("db.cols")
+    assert [f.name for f in t3.schema().fields] == ["id", "label"]
+    assert t3.read(spark).count() == 4
+    # guards surface as clean errors: identifier/partition-source columns
+    guarded = client.create_table(
+        "db.cols2", SCHEMA, partition_by=["iceberg_bucket(4, id)"]
+    )
+    with pytest.raises((RestCatalogError, RestCommitFailed)):
+        client.drop_column("db.cols2", "id")
+    with pytest.raises(ValueError):
+        client.rename_column("db.cols", "nope", "x")
