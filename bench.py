@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",
+    "iceberg_multispec_roundtrip",
 ]
 
 

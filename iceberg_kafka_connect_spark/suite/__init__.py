@@ -85,8 +85,9 @@ def load_all() -> dict[str, QuerySpec]:
     # tpch_q20, tpch_q21, lineitem_grouping_sets, orders_rank_stats — plus
     # the round-4 interop additions `iceberg_interop_roundtrip`,
     # `iceberg_mirror_refresh`, `add_files_migrate`,
-    # `rest_catalog_roundtrip`, and `jdbc_catalog_roundtrip`. The
-    # r4-gated 13 below keep r04 as their evidence and rotate out.
+    # `rest_catalog_roundtrip`, `jdbc_catalog_roundtrip`, and
+    # `iceberg_multispec_roundtrip`. The r4-gated 13 below keep r04 as
+    # their evidence and rotate out.
     if "tpch_q1" not in QUERIES:
         window = (
             # — SURVEY §2 rows (keep every round) —

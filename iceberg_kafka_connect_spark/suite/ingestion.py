@@ -2053,3 +2053,54 @@ def jdbc_catalog_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("event_id").cast("bigint").alias("sum_ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-spec interop round-trip: write under identity(event_type), evolve
+# to iceberg_bucket(event_id), write more, equality-delete across both
+# eras, export (one manifest per spec generation —
+# sinks/iceberg_export.py), re-import, and read. The identity era's
+# event_type column only exists as partition directories — a wrong-spec
+# tuple read would null it — so grouping on it IS the correctness check.
+# Oracle recomputes from the source parquet.
+# --------------------------------------------------------------------------
+@register(
+    "iceberg_multispec_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    WHERE event_id < 600
+      AND event_id % 7 != 5
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def iceberg_multispec_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.iceberg_export import export_iceberg_metadata
+    from ..sinks.iceberg_import import import_iceberg_table
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="multispec_gate_")
+    t = LakehouseTable.create(
+        base + "/src", e.schema, partition_by=["event_type"]
+    )
+    t.append(e.filter(F.col("event_id") < 300))
+    t.update_partition_spec(["iceberg_bucket(4, event_id)"])
+    t.append(e.filter((F.col("event_id") >= 300) & (F.col("event_id") < 600)))
+    t.delete_where(spark, "event_id % 7 = 5", key_cols=["event_id"])
+    imp = import_iceberg_table(export_iceberg_metadata(t), base + "/dst")
+    return (
+        imp.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )
