@@ -1381,7 +1381,10 @@ def export_iceberg_metadata(
         # ----- metadata.json. Summary "added-*" props count THIS
         # snapshot's additions (status=1), not the carried-over EXISTING
         # entries; total-* props cover the full reachable state.
-        added_data = [e for e in entries if e["status"] == 1]
+        all_data_entries = entries + [
+            e for grp in entries_by_spec.values() for e in grp
+        ]
+        added_data = [e for e in all_data_entries if e["status"] == 1]
         added_del = [e for e in del_entries if e["status"] == 1]
         n_added_eq = sum(
             1 for e in added_del if e["data_file"]["content"] == 2
@@ -1406,7 +1409,7 @@ def export_iceberg_metadata(
                 "added-records": str(
                     sum(e["data_file"]["record_count"] for e in added_data)
                 ),
-                "total-data-files": str(len(entries)),
+                "total-data-files": str(len(all_data_entries)),
                 "total-records": str(total_rows),
                 "total-delete-files": str(len(del_entries)),
                 **(

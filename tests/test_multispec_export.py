@@ -97,3 +97,19 @@ def test_refresh_follows_multispec_source(spark, evolved, tmp_path):
     got = {(r.id, r.region) for r in imp.read(spark).collect()}
     want = {(r.id, r.region) for r in evolved.read(spark).collect()}
     assert got == want and len(got) == 72
+
+
+def test_summary_counts_span_specs(spark, evolved):
+    meta_path = export_iceberg_metadata(evolved)
+    with open(meta_path) as f:
+        md = json.load(f)
+    head = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    # both eras' files are in the totals, not just the current spec's
+    assert int(head["summary"]["total-records"]) == 60
+    total_files = int(head["summary"]["total-data-files"])
+    out = read_exported(meta_path)
+    assert total_files == len(out["file_paths"])
