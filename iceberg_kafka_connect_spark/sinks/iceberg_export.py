@@ -450,7 +450,7 @@ _PARTITION_AVRO = {
 }
 
 
-def _partition_export_plan(spec_fields, col_ids, col_types):
+def _partition_export_plan(spec_fields, col_ids, col_types, fid_base=1000):
     """Decide how the table's partition spec exports (spec appendix:
     partition field-ids start at 1000).
 
@@ -479,7 +479,7 @@ def _partition_export_plan(spec_fields, col_ids, col_types):
     """
     spec_json, avro_fields, parsers = [], [], {}
     for i, pf in enumerate(spec_fields):
-        fid = 1000 + i
+        fid = fid_base + i
         if pf.source not in col_ids:
             raise IcebergExportUnsupported(
                 f"partition source column {pf.source!r} not in current schema"
@@ -1026,32 +1026,61 @@ def export_iceberg_metadata(
     hist_plans: list[tuple[int, list, list, dict]] = []
     from .spec import PartitionField as _PF
 
+    # Iceberg v2 requires partition field ids unique ACROSS specs (real
+    # engines build a unified partition type by field id) — each retired
+    # spec's plan continues numbering after the previous one
+    next_fid = 1000 + len(table.partition_spec())
     for j, hist in enumerate(meta.get("partition_spec_history") or []):
         try:
             h_fields = [_PF.from_json(d) for d in hist]
             h_spec, h_avro, h_parsers = _partition_export_plan(
-                h_fields, col_ids, col_types
+                h_fields, col_ids, col_types, fid_base=next_fid
             )
         except IcebergExportUnsupported:
             continue
+        next_fid += len(h_fields)
         hist_plans.append((2 + j, h_spec, h_avro, h_parsers))
     hist_plans.reverse()  # newest retired spec first
     used_hist_ids: set[int] = set()
 
     def _tuple_and_spec(rel_path: str) -> tuple[dict, int, int]:
-        """(partition tuple, spec id, plan index into _all_plans) for a
-        data file, trying current spec then retired ones."""
+        """(partition tuple, spec id, plan index) for a data file.
+
+        BEST match wins, not first match: a retired spec whose directory
+        set is a superset of the current one (spec narrowing) must claim
+        its files — the current spec's parsers would also succeed on them
+        but drop the extra dirs, and the dropped identity column would
+        then import as null. Most parsed dirs = most specific layout;
+        ties prefer the current spec (0), then the newest retired."""
+        candidates: list[tuple[int, int, int, dict]] = []
         try:
-            return _partition_tuple(rel_path, part_parsers), 0, 0
+            candidates.append(
+                (len(part_parsers), 1, 0, _partition_tuple(rel_path, part_parsers))
+            )
         except IcebergExportUnsupported:
-            for idx, (hid, _sj, _av, h_parsers) in enumerate(hist_plans):
-                try:
-                    t = _partition_tuple(rel_path, h_parsers)
-                    used_hist_ids.add(hid)
-                    return t, hid, idx + 1
-                except IcebergExportUnsupported:
-                    continue
-            raise
+            pass
+        for idx, (hid, _sj, _av, h_parsers) in enumerate(hist_plans):
+            try:
+                candidates.append(
+                    (
+                        len(h_parsers),
+                        0,
+                        hid,
+                        _partition_tuple(rel_path, h_parsers),
+                    )
+                )
+            except IcebergExportUnsupported:
+                continue
+        if not candidates:
+            # re-raise the current spec's error message (compact() hint)
+            _partition_tuple(rel_path, part_parsers)
+        n_dirs, is_current, hid, t = max(
+            candidates, key=lambda c: (c[0], c[1], c[2])
+        )
+        if is_current:
+            return t, 0, 0
+        used_hist_ids.add(hid)
+        return t, hid, 1
     def _rows_of(fentry: dict, path: str) -> int:
         rows = (fentry.get("stats") or {}).get("rows")
         if rows is None:
@@ -1569,15 +1598,9 @@ def export_iceberg_metadata(
             for hid, h_spec, _av, _pp in sorted(hist_plans)
             if hid in used_hist_ids
         ],
-        "last-partition-id": 999
-        + max(
-            [len(spec_json)]
-            + [
-                len(h_spec)
-                for hid, h_spec, _av, _pp in hist_plans
-                if hid in used_hist_ids
-            ]
-        ),
+        # highest assigned partition field id across ALL specs (ids are
+        # globally sequential, so the last handed out bounds them all)
+        "last-partition-id": max(999 + len(spec_json), next_fid - 1),
         "default-sort-order-id": 1 if sort_fields_json else 0,
         "sort-orders": [{"order-id": 0, "fields": []}]
         + (

@@ -173,6 +173,24 @@ class JdbcCatalog:
         self._swap_pointer(ns, t, old, new)
         return new
 
+    def _insert_pointer(self, name: str, ns: str, t: str, loc: str) -> None:
+        """First pointer row for a table; a racing INSERT loses on the
+        primary key and surfaces as TableAlreadyExistsError (the loser's
+        just-exported metadata tree under the shared root stays — it
+        describes the same table state and the next publish supersedes
+        it)."""
+        try:
+            with self._conn() as con:
+                con.execute(
+                    "INSERT INTO iceberg_tables (catalog_name, "
+                    "table_namespace, table_name, metadata_location, "
+                    "previous_metadata_location) VALUES (?,?,?,?,NULL)",
+                    (self.name, ns, t, loc),
+                )
+        except sqlite3.IntegrityError:
+            raise TableAlreadyExistsError(name) from None
+        self._ensure_namespace_row(ns)
+
     # ------------------------------------------------------------- surface
     def table_exists(self, name: str) -> bool:
         ns, t = self._ident(name)
@@ -234,17 +252,7 @@ class JdbcCatalog:
         from .iceberg_export import export_iceberg_metadata
 
         loc = export_iceberg_metadata(table)
-        try:
-            with self._conn() as con:
-                con.execute(
-                    "INSERT INTO iceberg_tables (catalog_name, "
-                    "table_namespace, table_name, metadata_location, "
-                    "previous_metadata_location) VALUES (?,?,?,?,NULL)",
-                    (self.name, ns, t, loc),
-                )
-        except sqlite3.IntegrityError:
-            raise TableAlreadyExistsError(name) from None
-        self._ensure_namespace_row(ns)
+        self._insert_pointer(name, ns, t, loc)
         return table
 
     def register_table(
@@ -268,17 +276,7 @@ class JdbcCatalog:
             metadata_location, os.path.join(self.warehouse, *ns.split("."), t)
         )
         loc = export_iceberg_metadata(table)
-        try:
-            with self._conn() as con:
-                con.execute(
-                    "INSERT INTO iceberg_tables (catalog_name, "
-                    "table_namespace, table_name, metadata_location, "
-                    "previous_metadata_location) VALUES (?,?,?,?,NULL)",
-                    (self.name, ns, t, loc),
-                )
-        except sqlite3.IntegrityError:
-            raise TableAlreadyExistsError(name) from None
-        self._ensure_namespace_row(ns)
+        self._insert_pointer(name, ns, t, loc)
         return table
 
     def create_table_if_not_exists(

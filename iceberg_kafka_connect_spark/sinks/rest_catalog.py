@@ -128,13 +128,29 @@ class RestCatalog:
                 raise
 
     # -------------------------------------------------------------- surface
-    def list_namespaces(self) -> list[str]:
-        out = self._request("GET", "/v1/namespaces")
+    def list_namespaces(self, parent: str | None = None) -> list[str]:
+        """One level, spec semantics: top-level namespaces, or ``parent``'s
+        direct children (dotted names either way)."""
+        path = "/v1/namespaces"
+        if parent:
+            path += "?parent=" + quote(parent.replace(".", "\x1f"))
+        out = self._request("GET", path)
         return [".".join(n) for n in out.get("namespaces", [])]
+
+    def all_namespaces(self) -> list[str]:
+        """Every namespace at every depth (breadth-first over the
+        level-at-a-time listing)."""
+        found: list[str] = []
+        queue: list[str | None] = [None]
+        while queue:
+            for ns in self.list_namespaces(queue.pop(0)):
+                found.append(ns)
+                queue.append(ns)
+        return sorted(found)
 
     def list_tables(self) -> list[str]:
         names = []
-        for ns in self.list_namespaces():
+        for ns in self.all_namespaces():
             out = self._request(
                 "GET", f"/v1/namespaces/{quote(ns)}/tables"
             )
@@ -404,7 +420,12 @@ class RestCatalog:
 
     def _current_served_schema(self, name: str) -> dict:
         _, meta = self.load_table_metadata(name)
-        return meta["schemas"][meta["current-schema-id"]]
+        # schema-id is an ID, not a list position — an evolved external
+        # table's schemas list is neither dense nor id-ordered
+        cur = meta["current-schema-id"]
+        return next(
+            s for s in meta["schemas"] if s.get("schema-id") == cur
+        )
 
     def _post_schema(self, name: str, schema_json: dict) -> None:
         self._commit(
@@ -415,24 +436,91 @@ class RestCatalog:
             ],
         )
 
+    @staticmethod
+    def _max_field_id(node) -> int:
+        """Highest field id anywhere in an Iceberg schema/type JSON node."""
+        m = 0
+        if isinstance(node, dict):
+            for k in ("id", "element-id", "key-id", "value-id"):
+                if isinstance(node.get(k), int):
+                    m = max(m, node[k])
+            for k in ("fields", "element", "key", "value", "type"):
+                v = node.get(k)
+                if isinstance(v, list):
+                    for c in v:
+                        m = max(m, RestCatalog._max_field_id(c))
+                elif isinstance(v, dict):
+                    m = max(m, RestCatalog._max_field_id(v))
+        return m
+
+    @staticmethod
+    def _renumber(t, alloc):
+        """Fresh ids for a new column's entire subtree — draft ids from
+        iceberg_schema are positional and would collide with served ids."""
+        if isinstance(t, dict) and t.get("type") == "struct":
+            return {
+                **t,
+                "fields": [
+                    {
+                        **f,
+                        "id": alloc(),
+                        "type": RestCatalog._renumber(f["type"], alloc),
+                    }
+                    for f in t["fields"]
+                ],
+            }
+        if isinstance(t, dict) and t.get("type") == "list":
+            return {
+                **t,
+                "element-id": alloc(),
+                "element": RestCatalog._renumber(t["element"], alloc),
+            }
+        if isinstance(t, dict) and t.get("type") == "map":
+            return {
+                **t,
+                "key-id": alloc(),
+                "value-id": alloc(),
+                "key": RestCatalog._renumber(t["key"], alloc),
+                "value": RestCatalog._renumber(t["value"], alloc),
+            }
+        return t
+
     def update_schema(self, name: str, schema: T.StructType) -> None:
         """Additive schema evolution through the commit endpoint
         (``add-schema`` + ``set-current-schema``). Existing columns keep
         their served field ids — the id is what makes the server's diff
-        well-defined — and new columns get fresh ids."""
+        well-defined — and new columns (including their nested fields)
+        get fresh ids past everything in the served schema."""
         from .iceberg_export import iceberg_schema
 
         served = self._current_served_schema(name)
         by_name = {f["name"]: f for f in served["fields"]}
-        next_id = 1 + max((f["id"] for f in served["fields"]), default=0)
+        counter = [self._max_field_id(served)]
+
+        def alloc() -> int:
+            counter[0] += 1
+            return counter[0]
+
         draft, _ = iceberg_schema(schema)
         fields = []
         for f in draft["fields"]:
             if f["name"] in by_name:
-                fields.append({**f, "id": by_name[f["name"]]["id"]})
+                served_f = by_name[f["name"]]
+                if isinstance(f["type"], str):
+                    # primitive: keep the served id, allow widening
+                    fields.append({**served_f, "type": f["type"]})
+                else:
+                    # nested: the served entry is authoritative (draft
+                    # nested ids are positional and would collide)
+                    fields.append(served_f)
             else:
-                fields.append({**f, "id": next_id})
-                next_id += 1
+                fields.append(
+                    {
+                        **f,
+                        "id": alloc(),
+                        "type": self._renumber(f["type"], alloc),
+                    }
+                )
         self._post_schema(name, {**served, "fields": fields})
 
     def rename_column(self, name: str, old: str, new: str) -> None:
@@ -466,10 +554,9 @@ class RestCatalog:
         from .iceberg_export import iceberg_schema
         from .spec import parse_partition_spec
 
-        _, meta = self.load_table_metadata(name)
         name_ids = {
             f["name"]: f["id"]
-            for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+            for f in self._current_served_schema(name)["fields"]
         }
         fields = []
         for i, pf in enumerate(parse_partition_spec(partition_by)):

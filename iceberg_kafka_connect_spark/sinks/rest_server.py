@@ -265,9 +265,26 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, {"defaults": {}, "overrides": {}})
         if path == "/v1/namespaces":
             if m == "GET":
-                return self._send(
-                    200, {"namespaces": self.state.list_namespaces()}
-                )
+                # spec semantics: one LEVEL per call — top-level without
+                # `parent`, direct children with it
+                all_ns = self.state.list_namespaces()
+                parent = (q.get("parent") or [None])[0]
+                if parent:
+                    plv = _ns_levels(parent)
+                    if not self.state.ns_exists(_ns_name(plv)):
+                        raise _err(
+                            404,
+                            "NoSuchNamespaceException",
+                            f"namespace {_ns_name(plv)!r} not found",
+                        )
+                    out = [
+                        n
+                        for n in all_ns
+                        if len(n) == len(plv) + 1 and n[: len(plv)] == plv
+                    ]
+                else:
+                    out = [n for n in all_ns if len(n) == 1]
+                return self._send(200, {"namespaces": out})
             if m == "POST":
                 return self._create_namespace()
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)", path):
@@ -326,11 +343,19 @@ class _Handler(BaseHTTPRequestHandler):
                 for t in self.state.catalog.list_tables()
                 if t.startswith(ns + ".")
             ]
-            if tables:
+            children = [
+                n
+                for n in self.state.list_namespaces()
+                if len(n) > ns.count(".") + 1
+                and ".".join(n).startswith(ns + ".")
+            ]
+            if tables or children:
                 raise _err(
                     409,
                     "NamespaceNotEmptyException",
-                    f"namespace {ns!r} still holds {len(tables)} table(s)",
+                    f"namespace {ns!r} still holds "
+                    f"{len(tables)} table(s) / "
+                    f"{len(children)} child namespace(s)",
                 )
             import shutil
 

@@ -2671,6 +2671,7 @@ class LakehouseTable:
             meta = self.metadata()
             retention = meta.get("ref_retention") or {}
             # retire aged-out refs (never main; Iceberg max-ref-age-ms)
+            refs_retired = False
             for store_key in ("refs", "tags"):
                 store = meta.get(store_key) or {}
                 for rname in list(store):
@@ -2684,6 +2685,7 @@ class LakehouseTable:
                     if now - ts > age_cap:
                         del store[rname]
                         meta["ref_retention"].pop(rname, None)
+                        refs_retired = True
             keep: set[str] = set()
             for rname, sid in meta["refs"].items():
                 ret = retention.get(rname) or {}
@@ -2716,6 +2718,18 @@ class LakehouseTable:
                 s for s in meta["snapshots"] if s["snapshot_id"] not in keep
             ]
             if not expired:
+                # ref retirement must still persist even when every
+                # snapshot survives (e.g. the aged-out ref shares a kept
+                # chain) — an early return here would silently undo it
+                if refs_retired:
+                    try:
+                        self._write_version(meta["version"] + 1, meta)
+                        return 0
+                    except CommitConflict:
+                        if attempt == COMMIT_RETRIES - 1:
+                            raise
+                        time.sleep(0.05 * (attempt + 1))
+                        continue
                 return 0
             # seal the oldest kept snapshot of each chain: its ancestry (and
             # the delta manifests along it) is about to disappear, so rewrite

@@ -78,3 +78,88 @@ def test_jdbc_nested_namespaces(spark, tmp_path):
     ).fetchone()[0]
     con.close()
     assert ns == "prod.eu"  # JdbcUtil's dotted storage form
+
+
+def test_rest_namespace_listing_is_level_scoped(tmp_path):
+    """Spec semantics: GET /v1/namespaces returns top-level only;
+    ?parent= returns direct children; deleting a namespace holding an
+    empty CHILD namespace is a 409, not a recursive rmtree."""
+    from iceberg_kafka_connect_spark.sinks.rest_catalog import (
+        RestCatalogError,
+    )
+
+    with IcebergRestServer(str(tmp_path / "wh")) as srv:
+        cat = RestCatalog(srv.uri)
+        cat._ensure_namespace("prod")
+        cat._ensure_namespace("prod.eu")
+        cat._ensure_namespace("prod.eu.sales")
+        cat._ensure_namespace("dev")
+        assert cat.list_namespaces() == ["dev", "prod"]
+        assert cat.list_namespaces("prod") == ["prod.eu"]
+        assert cat.list_namespaces("prod.eu") == ["prod.eu.sales"]
+        assert cat.all_namespaces() == [
+            "dev",
+            "prod",
+            "prod.eu",
+            "prod.eu.sales",
+        ]
+        with pytest.raises(RestCatalogError) as ei:
+            cat._request("GET", "/v1/namespaces?parent=nope")
+        assert ei.value.code == 404
+        # parent with children refuses deletion; leaf deletes fine
+        with pytest.raises(RestCatalogError) as ei:
+            cat._request("DELETE", "/v1/namespaces/prod.eu")
+        assert ei.value.code == 409
+        cat._request("DELETE", "/v1/namespaces/prod.eu.sales")
+        cat._request("DELETE", "/v1/namespaces/prod.eu")
+        assert cat.all_namespaces() == ["dev", "prod"]
+
+
+def test_update_schema_nested_column_gets_unique_ids(spark, tmp_path):
+    """A newly added struct column's NESTED field ids must not collide
+    with served ids (the positional draft numbering would)."""
+    from pyspark.sql import types as T
+
+    with IcebergRestServer(str(tmp_path / "wh")) as srv:
+        cat = RestCatalog(srv.uri)
+        cat.create_table("db.n", SCHEMA)
+        wider = T.StructType(
+            list(SCHEMA.fields)
+            + [
+                T.StructField(
+                    "meta",
+                    T.StructType(
+                        [
+                            T.StructField("k", T.StringType()),
+                            T.StructField("w", T.LongType()),
+                        ]
+                    ),
+                )
+            ]
+        )
+        cat.update_schema("db.n", wider)
+        _, meta = cat.load_table_metadata("db.n")
+        sch = next(
+            s
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+
+        ids = []
+
+        def walk(node):
+            if isinstance(node, dict):
+                for k in ("id", "element-id", "key-id", "value-id"):
+                    if isinstance(node.get(k), int):
+                        ids.append(node[k])
+                for k in ("fields", "element", "key", "value", "type"):
+                    v = node.get(k)
+                    if isinstance(v, list):
+                        for c in v:
+                            walk(c)
+                    elif isinstance(v, dict):
+                        walk(v)
+
+        walk(sch)
+        assert len(ids) == len(set(ids)), f"duplicate field ids: {ids}"
+        assert "meta" in [f["name"] for f in sch["fields"]]

@@ -113,3 +113,58 @@ def test_summary_counts_span_specs(spark, evolved):
     total_files = int(head["summary"]["total-data-files"])
     out = read_exported(meta_path)
     assert total_files == len(out["file_paths"])
+
+
+def test_spec_narrowing_prefers_retired_superset(spark, tmp_path):
+    """Narrowing [region, cat] → [region]: old-era files parse under BOTH
+    specs' parsers, but the retired superset must claim them — the
+    current spec would drop the cat dir and cat (removed from old files
+    by partitionBy) would import as null."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("region", T.StringType(), True),
+            T.StructField("cat", T.StringType(), True),
+        ]
+    )
+    rows = [
+        (i, ["amer", "emea"][i % 2], ["x", "y", "z"][i % 3], )
+        for i in range(30)
+    ]
+    t = LakehouseTable.create(
+        str(tmp_path / "t"), schema, partition_by=["region", "cat"]
+    )
+    t.append(spark.createDataFrame(rows, schema))
+    t.update_partition_spec(["region"])
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, "apac", "w") for i in range(5)], schema
+        )
+    )
+    meta_path = export_iceberg_metadata(t)
+    imp = import_iceberg_table(meta_path, str(tmp_path / "imp"))
+    got = imp.read(spark).collect()
+    assert len(got) == 35
+    assert all(r.cat is not None for r in got)
+    assert {(r.id, r.region, r.cat) for r in got} == {
+        (r.id, r.region, r.cat) for r in t.read(spark).collect()
+    }
+
+
+def test_partition_field_ids_unique_across_specs(spark, evolved):
+    """Iceberg v2: partition field ids are global — engines union the
+    partition type by id, so a collision breaks external readers."""
+    meta_path = export_iceberg_metadata(evolved)
+    with open(meta_path) as f:
+        md = json.load(f)
+    seen = {}
+    for s in md["partition-specs"]:
+        for f in s["fields"]:
+            fid = f["field-id"]
+            assert fid not in seen or seen[fid] == (
+                f["name"], f["transform"]
+            ), f"field-id {fid} reused across specs with different fields"
+            seen[fid] = (f["name"], f["transform"])
+    all_ids = [f["field-id"] for s in md["partition-specs"] for f in s["fields"]]
+    assert len(all_ids) == len(set(all_ids))
+    assert md["last-partition-id"] >= max(all_ids)

@@ -115,3 +115,14 @@ def test_retention_round_trips_through_iceberg(spark, table, tmp_path):
     }
     assert ret["v1"] == {"max-ref-age-ms": 999999}
     assert imported.read(spark).count() == 30
+
+
+def test_ref_retirement_persists_without_snapshot_expiry(spark, table):
+    """An aged-out ref sharing a fully-kept chain must still retire —
+    the early no-expiry return used to drop the in-memory retirement."""
+    head_ts = table.snapshots()[-1]["timestamp_ms"]
+    table.create_branch("stale-dev")  # shares main's head
+    table.set_ref_retention("stale-dev", max_ref_age_ms=1000)
+    # keep_last spans the whole history -> zero snapshots expire
+    assert table.expire_snapshots(keep_last=100, now_ms=head_ts + 10_000) == 0
+    assert "stale-dev" not in table.metadata()["refs"]
