@@ -1023,64 +1023,81 @@ def export_iceberg_metadata(
     # the history, newest first. A retired spec whose source column was
     # since dropped simply yields no plan; its files then fail with the
     # compact() message as before.
-    hist_plans: list[tuple[int, list, list, dict]] = []
+    hist_plans: list[tuple[int, list, list, dict, frozenset]] = []
     from .spec import PartitionField as _PF
 
-    # Iceberg v2 requires partition field ids unique ACROSS specs (real
-    # engines build a unified partition type by field id) — each retired
-    # spec's plan continues numbering after the previous one
-    next_fid = 1000 + len(table.partition_spec())
-    for j, hist in enumerate(meta.get("partition_spec_history") or []):
+    # Iceberg v2 id rules across specs: field ids are globally unique,
+    # AND equivalent fields (same source + transform) in different spec
+    # generations must REUSE their id — real engines union the partition
+    # type by field id, so both violations break external readers.
+    assigned_fids: dict[tuple, int] = {
+        (f["source-id"], f["transform"]): f["field-id"] for f in spec_json
+    }
+    next_fid = 1000 + len(spec_json)
+    spec_history = meta.get("partition_spec_history") or []
+    for j, hist in enumerate(spec_history):
         try:
             h_fields = [_PF.from_json(d) for d in hist]
             h_spec, h_avro, h_parsers = _partition_export_plan(
-                h_fields, col_ids, col_types, fid_base=next_fid
+                h_fields, col_ids, col_types
             )
         except IcebergExportUnsupported:
             continue
-        next_fid += len(h_fields)
-        hist_plans.append((2 + j, h_spec, h_avro, h_parsers))
+        for f, av in zip(h_spec, h_avro):
+            key = (f["source-id"], f["transform"])
+            if key in assigned_fids:
+                fid = assigned_fids[key]
+            else:
+                fid = next_fid
+                next_fid += 1
+                assigned_fids[key] = fid
+            f["field-id"] = fid
+            av["field-id"] = fid
+        # a plan's claim on a file is decided by the spec's FULL dir-name
+        # set (void-exported fields have dirs but no parser)
+        h_dirs = frozenset(pf.name for pf in h_fields)
+        hist_plans.append((2 + j, h_spec, h_avro, h_parsers, h_dirs))
     hist_plans.reverse()  # newest retired spec first
     used_hist_ids: set[int] = set()
+    # every partition dir name any spec generation EVER used — including
+    # generations whose plan failed (e.g. a since-dropped source column):
+    # names come straight from the stored spec JSON, no schema needed
+    cur_fields = table.partition_spec()
+    cur_dirs = frozenset(pf.name for pf in cur_fields)
+    known_dirs = set(cur_dirs) | {
+        _PF.from_json(d).name for hist in spec_history for d in hist
+    }
 
     def _tuple_and_spec(rel_path: str) -> tuple[dict, int, int]:
-        """(partition tuple, spec id, plan index) for a data file.
+        """(partition tuple, spec id, plan flag) for a data file.
 
-        BEST match wins, not first match: a retired spec whose directory
-        set is a superset of the current one (spec narrowing) must claim
-        its files — the current spec's parsers would also succeed on them
-        but drop the extra dirs, and the dropped identity column would
-        then import as null. Most parsed dirs = most specific layout;
-        ties prefer the current spec (0), then the newest retired."""
-        candidates: list[tuple[int, int, int, dict]] = []
-        try:
-            candidates.append(
-                (len(part_parsers), 1, 0, _partition_tuple(rel_path, part_parsers))
-            )
-        except IcebergExportUnsupported:
-            pass
-        for idx, (hid, _sj, _av, h_parsers) in enumerate(hist_plans):
-            try:
-                candidates.append(
-                    (
-                        len(h_parsers),
-                        0,
-                        hid,
-                        _partition_tuple(rel_path, h_parsers),
-                    )
-                )
-            except IcebergExportUnsupported:
-                continue
-        if not candidates:
-            # re-raise the current spec's error message (compact() hint)
-            _partition_tuple(rel_path, part_parsers)
-        n_dirs, is_current, hid, t = max(
-            candidates, key=lambda c: (c[0], c[1], c[2])
+        A plan claims a file only when its parser dirs EXACTLY equal the
+        known partition dirs present in the path: subset matches are
+        wrong both ways (a narrowed current spec would silently drop the
+        retired layout's extra dir and null-fill its identity column on
+        import; an empty retired spec would swallow files of an
+        unplannable generation that must fail loud). Ties — identical
+        dir sets across generations — prefer the current spec, then the
+        newest retired."""
+        present = frozenset(
+            seg.split("=", 1)[0]
+            for seg in rel_path.split(os.sep)
+            if "=" in seg
+        ) & frozenset(known_dirs)
+        if present == cur_dirs:
+            return _partition_tuple(rel_path, part_parsers), 0, 0
+        for hid, _sj, _av, h_parsers, h_dirs in hist_plans:
+            if present == h_dirs:
+                used_hist_ids.add(hid)
+                return _partition_tuple(rel_path, h_parsers), hid, 1
+        # no generation matches (typically: the file's spec referenced a
+        # since-dropped column, so its plan was skipped) — fail with the
+        # current spec's compact() message rather than mis-filing it
+        _partition_tuple(rel_path, part_parsers)
+        raise IcebergExportUnsupported(
+            f"data file {rel_path!r} matches no exportable partition "
+            "spec generation — compact() to rewrite"
         )
-        if is_current:
-            return t, 0, 0
-        used_hist_ids.add(hid)
-        return t, hid, 1
     def _rows_of(fentry: dict, path: str) -> int:
         rows = (fentry.get("stats") or {}).get("rows")
         if rows is None:
@@ -1326,7 +1343,7 @@ def export_iceberg_metadata(
         ]
         # one extra manifest per retired spec with files in this snapshot —
         # a manifest holds entries of exactly one spec (Iceberg invariant)
-        for hid, h_spec, h_avro, _pp in hist_plans:
+        for hid, h_spec, h_avro, _pp, _dirs in hist_plans:
             group = entries_by_spec.get(hid)
             if not group:
                 continue
@@ -1506,20 +1523,22 @@ def export_iceberg_metadata(
             "snapshot-id": _tree_for(shex)["snapshot-id"],
             "type": "tag",
         }
-    # per-ref retention rides the ref object, spec field names verbatim
+    # per-ref retention rides the ref object, spec field names verbatim;
+    # tags may carry ONLY max-ref-age-ms (SnapshotRefParser refuses the
+    # branch fields on a tag, which would brick the whole metadata.json)
     for rname, ret in (meta.get("ref_retention") or {}).items():
         if rname in refs_json:
+            allowed = (
+                ("max-ref-age-ms",)
+                if refs_json[rname]["type"] == "tag"
+                else (
+                    "max-ref-age-ms",
+                    "min-snapshots-to-keep",
+                    "max-snapshot-age-ms",
+                )
+            )
             refs_json[rname].update(
-                {
-                    k: int(v)
-                    for k, v in ret.items()
-                    if k
-                    in (
-                        "max-ref-age-ms",
-                        "min-snapshots-to-keep",
-                        "max-snapshot-age-ms",
-                    )
-                }
+                {k: int(v) for k, v in ret.items() if k in allowed}
             )
 
     # ----- snapshot history: walk each ref's parent chain so external
@@ -1595,7 +1614,7 @@ def export_iceberg_metadata(
         + ([{"spec-id": 1, "fields": []}] if used_delete_spec[0] else [])
         + [
             {"spec-id": hid, "fields": h_spec}
-            for hid, h_spec, _av, _pp in sorted(hist_plans)
+            for hid, h_spec, _av, _pp, _dirs in sorted(hist_plans)
             if hid in used_hist_ids
         ],
         # highest assigned partition field id across ALL specs (ids are

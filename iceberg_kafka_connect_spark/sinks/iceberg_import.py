@@ -771,9 +771,15 @@ def import_iceberg_table(
         rname: {
             k: int(ref[k])
             for k in (
-                "max-ref-age-ms",
-                "min-snapshots-to-keep",
-                "max-snapshot-age-ms",
+                # tags legally carry only max-ref-age-ms; tolerate (and
+                # drop) branch fields a non-conformant writer put there
+                ("max-ref-age-ms",)
+                if ref.get("type") == "tag"
+                else (
+                    "max-ref-age-ms",
+                    "min-snapshots-to-keep",
+                    "max-snapshot-age-ms",
+                )
             )
             if ref.get(k) is not None
         }

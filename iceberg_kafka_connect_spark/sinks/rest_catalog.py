@@ -485,17 +485,88 @@ class RestCatalog:
             }
         return t
 
+    @staticmethod
+    def _merge_type(served_t, draft_t, alloc):
+        """Draft type merged onto the served one: existing nested fields
+        keep their served ids (matched by name), new nested fields get
+        fresh ids, primitive positions take the draft's (widenings pass
+        through to the server's evolve)."""
+        if (
+            isinstance(served_t, dict)
+            and isinstance(draft_t, dict)
+            and served_t.get("type") == draft_t.get("type") == "struct"
+        ):
+            by_name = {f["name"]: f for f in served_t["fields"]}
+            out = []
+            for f in draft_t["fields"]:
+                sf = by_name.get(f["name"])
+                if sf is None:
+                    out.append(
+                        {
+                            **f,
+                            "id": alloc(),
+                            "type": RestCatalog._renumber(f["type"], alloc),
+                        }
+                    )
+                else:
+                    out.append(
+                        {
+                            **sf,
+                            "type": RestCatalog._merge_type(
+                                sf["type"], f["type"], alloc
+                            ),
+                        }
+                    )
+            return {**served_t, "fields": out}
+        if (
+            isinstance(served_t, dict)
+            and isinstance(draft_t, dict)
+            and served_t.get("type") == draft_t.get("type") == "list"
+        ):
+            return {
+                **served_t,
+                "element": RestCatalog._merge_type(
+                    served_t["element"], draft_t["element"], alloc
+                ),
+            }
+        if (
+            isinstance(served_t, dict)
+            and isinstance(draft_t, dict)
+            and served_t.get("type") == draft_t.get("type") == "map"
+        ):
+            return {
+                **served_t,
+                "key": RestCatalog._merge_type(
+                    served_t["key"], draft_t["key"], alloc
+                ),
+                "value": RestCatalog._merge_type(
+                    served_t["value"], draft_t["value"], alloc
+                ),
+            }
+        return draft_t if isinstance(draft_t, str) else served_t
+
     def update_schema(self, name: str, schema: T.StructType) -> None:
         """Additive schema evolution through the commit endpoint
-        (``add-schema`` + ``set-current-schema``). Existing columns keep
-        their served field ids — the id is what makes the server's diff
-        well-defined — and new columns (including their nested fields)
-        get fresh ids past everything in the served schema."""
+        (``add-schema`` + ``set-current-schema``). Existing columns —
+        including fields inside existing structs — keep their served
+        field ids; new columns and new nested fields get fresh ids past
+        BOTH the served schema's max and the metadata's last-column-id
+        (Iceberg forbids reusing a dropped column's id: old files would
+        resolve the dead column's data into the new field)."""
         from .iceberg_export import iceberg_schema
 
-        served = self._current_served_schema(name)
+        loc_meta = self.load_table_metadata(name)[1]
+        cur = loc_meta["current-schema-id"]
+        served = next(
+            s for s in loc_meta["schemas"] if s.get("schema-id") == cur
+        )
         by_name = {f["name"]: f for f in served["fields"]}
-        counter = [self._max_field_id(served)]
+        counter = [
+            max(
+                self._max_field_id(served),
+                int(loc_meta.get("last-column-id") or 0),
+            )
+        ]
 
         def alloc() -> int:
             counter[0] += 1
@@ -506,13 +577,14 @@ class RestCatalog:
         for f in draft["fields"]:
             if f["name"] in by_name:
                 served_f = by_name[f["name"]]
-                if isinstance(f["type"], str):
-                    # primitive: keep the served id, allow widening
-                    fields.append({**served_f, "type": f["type"]})
-                else:
-                    # nested: the served entry is authoritative (draft
-                    # nested ids are positional and would collide)
-                    fields.append(served_f)
+                fields.append(
+                    {
+                        **served_f,
+                        "type": self._merge_type(
+                            served_f["type"], f["type"], alloc
+                        ),
+                    }
+                )
             else:
                 fields.append(
                     {

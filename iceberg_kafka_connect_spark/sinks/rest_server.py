@@ -343,11 +343,11 @@ class _Handler(BaseHTTPRequestHandler):
                 for t in self.state.catalog.list_tables()
                 if t.startswith(ns + ".")
             ]
+            lv = ns.split(".")
             children = [
                 n
                 for n in self.state.list_namespaces()
-                if len(n) > ns.count(".") + 1
-                and ".".join(n).startswith(ns + ".")
+                if len(n) > len(lv) and n[: len(lv)] == lv
             ]
             if tables or children:
                 raise _err(

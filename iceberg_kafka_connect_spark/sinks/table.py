@@ -2631,8 +2631,19 @@ class LakehouseTable:
         }
         for attempt in range(COMMIT_RETRIES):
             meta = self.metadata()
-            if name not in meta["refs"] and name not in meta.get("tags", {}):
+            is_tag = name in meta.get("tags", {})
+            if name not in meta["refs"] and not is_tag:
                 raise ValueError(f"no such ref {name!r}")
+            if is_tag and (
+                min_snapshots_to_keep is not None
+                or max_snapshot_age_ms is not None
+            ):
+                # Iceberg SnapshotRef: tags carry max-ref-age-ms ONLY;
+                # exporting branch fields on a tag makes the whole
+                # metadata.json unparseable to Java's SnapshotRefParser
+                raise ValueError(
+                    f"{name!r} is a tag — tags support only max-ref-age-ms"
+                )
             ret = meta.setdefault("ref_retention", {}).setdefault(name, {})
             for k, v in fields.items():
                 if v is None:

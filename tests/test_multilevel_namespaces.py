@@ -163,3 +163,35 @@ def test_update_schema_nested_column_gets_unique_ids(spark, tmp_path):
         walk(sch)
         assert len(ids) == len(set(ids)), f"duplicate field ids: {ids}"
         assert "meta" in [f["name"] for f in sch["fields"]]
+        # evolution INSIDE the existing struct also lands: add meta.extra
+        wider2 = T.StructType(
+            list(SCHEMA.fields)
+            + [
+                T.StructField(
+                    "meta",
+                    T.StructType(
+                        [
+                            T.StructField("k", T.StringType()),
+                            T.StructField("w", T.LongType()),
+                            T.StructField("extra", T.DoubleType()),
+                        ]
+                    ),
+                )
+            ]
+        )
+        cat.update_schema("db.n", wider2)
+        t = cat.load_table("db.n")
+        meta_f = next(
+            f for f in t.schema().fields if f.name == "meta"
+        )
+        assert "extra" in [c.name for c in meta_f.dataType.fields]
+        # nested ids still unique after the nested addition
+        _, meta2 = cat.load_table_metadata("db.n")
+        sch2 = next(
+            s
+            for s in meta2["schemas"]
+            if s["schema-id"] == meta2["current-schema-id"]
+        )
+        ids.clear()
+        walk(sch2)
+        assert len(ids) == len(set(ids)), f"dup ids after nested add: {ids}"

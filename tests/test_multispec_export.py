@@ -151,20 +151,82 @@ def test_spec_narrowing_prefers_retired_superset(spark, tmp_path):
     }
 
 
-def test_partition_field_ids_unique_across_specs(spark, evolved):
-    """Iceberg v2: partition field ids are global — engines union the
-    partition type by id, so a collision breaks external readers."""
+def test_partition_field_ids_follow_iceberg_rules(spark, evolved, tmp_path):
+    """Iceberg v2, both directions: DIFFERENT fields never share a
+    field-id across specs, and EQUIVALENT fields (same source +
+    transform) in different spec generations REUSE theirs — engines
+    union the partition type by id."""
     meta_path = export_iceberg_metadata(evolved)
     with open(meta_path) as f:
         md = json.load(f)
     seen = {}
     for s in md["partition-specs"]:
+        ids_in_spec = [f["field-id"] for f in s["fields"]]
+        assert len(ids_in_spec) == len(set(ids_in_spec))
         for f in s["fields"]:
-            fid = f["field-id"]
-            assert fid not in seen or seen[fid] == (
-                f["name"], f["transform"]
-            ), f"field-id {fid} reused across specs with different fields"
-            seen[fid] = (f["name"], f["transform"])
-    all_ids = [f["field-id"] for s in md["partition-specs"] for f in s["fields"]]
-    assert len(all_ids) == len(set(all_ids))
-    assert md["last-partition-id"] >= max(all_ids)
+            key = (f["source-id"], f["transform"])
+            ident = f["field-id"]
+            assert seen.get(key, ident) == ident, (
+                f"equivalent field {key} got two ids"
+            )
+            for k2, id2 in seen.items():
+                if k2 != key:
+                    assert id2 != ident, (
+                        f"field-id {ident} shared by {k2} and {key}"
+                    )
+            seen[key] = ident
+    assert md["last-partition-id"] >= max(seen.values())
+    # the shared-field case directly: [region, cat] -> [region] keeps
+    # region's id identical in both generations
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("region", T.StringType(), True),
+            T.StructField("cat", T.StringType(), True),
+        ]
+    )
+    t = LakehouseTable.create(
+        str(tmp_path / "shared"), schema, partition_by=["region", "cat"]
+    )
+    t.append(
+        spark.createDataFrame([(1, "amer", "x"), (2, "emea", "y")], schema)
+    )
+    t.update_partition_spec(["region"])
+    t.append(spark.createDataFrame([(3, "apac", "z")], schema))
+    with open(export_iceberg_metadata(t)) as f:
+        md2 = json.load(f)
+    by_spec = {
+        s["spec-id"]: {f["name"]: f["field-id"] for f in s["fields"]}
+        for s in md2["partition-specs"]
+    }
+    retired_id = next(k for k in by_spec if k >= 2)
+    assert by_spec[0]["region"] == by_spec[retired_id]["region"]
+    assert by_spec[retired_id]["cat"] != by_spec[0]["region"]
+
+
+def test_unplannable_generation_fails_loud(spark, tmp_path):
+    """Files whose spec generation can no longer be planned (identity
+    source column dropped AFTER the spec was retired) must raise the
+    compact() error — an empty retired spec must not swallow them."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("x", T.StringType(), True),
+            T.StructField("y", T.StringType(), True),
+        ]
+    )
+    t = LakehouseTable.create(
+        str(tmp_path / "t"), schema, partition_by=["x", "y"]
+    )
+    t.append(
+        spark.createDataFrame([(1, "a", "p"), (2, "b", "q")], schema)
+    )
+    t.update_partition_spec(None)  # now unpartitioned; [x, y] retired
+    t.append(spark.createDataFrame([(3, "c", "r")], schema))
+    t.drop_column("y")  # retired spec's source gone -> its plan fails
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        IcebergExportUnsupported,
+    )
+
+    with pytest.raises(IcebergExportUnsupported, match="compact"):
+        export_iceberg_metadata(t)

@@ -126,3 +126,20 @@ def test_ref_retirement_persists_without_snapshot_expiry(spark, table):
     # keep_last spans the whole history -> zero snapshots expire
     assert table.expire_snapshots(keep_last=100, now_ms=head_ts + 10_000) == 0
     assert "stale-dev" not in table.metadata()["refs"]
+
+
+def test_tags_reject_branch_retention_fields(table):
+    """Java's SnapshotRefParser throws on branch fields riding a tag —
+    one mis-set tag would make the whole exported metadata unreadable,
+    so the setter refuses up front."""
+    table.create_tag("v9")
+    with pytest.raises(ValueError, match="tag"):
+        table.set_ref_retention("v9", min_snapshots_to_keep=3)
+    with pytest.raises(ValueError, match="tag"):
+        table.set_ref_retention("v9", max_snapshot_age_ms=1000)
+    table.set_ref_retention("v9", max_ref_age_ms=5000)  # the legal field
+    with open(export_iceberg_metadata(table)) as f:
+        ref = json.load(f)["refs"]["v9"]
+    assert ref["max-ref-age-ms"] == 5000
+    assert "min-snapshots-to-keep" not in ref
+    assert "max-snapshot-age-ms" not in ref
