@@ -289,6 +289,11 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._create_namespace()
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)", path):
             return self._namespace(_ns_name(_ns_levels(mt.group(1))))
+        if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/properties", path):
+            if m == "POST":
+                return self._ns_properties_update(
+                    _ns_name(_ns_levels(mt.group(1)))
+                )
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/tables", path):
             return self._tables(_ns_name(_ns_levels(mt.group(1))))
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/register", path):
@@ -362,6 +367,43 @@ class _Handler(BaseHTTPRequestHandler):
             shutil.rmtree(self.state.ns_dir(ns))
             return self._send(204)
         raise _err(405, "BadRequestException", f"{self.command} on namespace")
+
+    def _ns_properties_update(self, ns: str):
+        """Spec endpoint ``POST /v1/namespaces/{ns}/properties``:
+        ``{"updates": {...}, "removals": [...]}`` — a key in both is a
+        422, per the OpenAPI contract."""
+        if not self.state.ns_exists(ns):
+            raise _err(
+                404, "NoSuchNamespaceException", f"namespace {ns!r} not found"
+            )
+        body = self._json_body()
+        updates = body.get("updates") or {}
+        removals = body.get("removals") or []
+        both = sorted(set(updates) & set(removals))
+        if both:
+            raise _err(
+                422,
+                "UnprocessableEntityException",
+                f"keys in both updates and removals: {both}",
+            )
+        props = self.state.ns_properties(ns)
+        removed = [k for k in removals if k in props]
+        missing = [k for k in removals if k not in props]
+        for k in removed:
+            del props[k]
+        props.update({k: str(v) for k, v in updates.items()})
+        with open(
+            os.path.join(self.state.ns_dir(ns), ".namespace.json"), "w"
+        ) as f:
+            json.dump(props, f)
+        self._send(
+            200,
+            {
+                "updated": sorted(updates),
+                "removed": removed,
+                "missing": missing,
+            },
+        )
 
     # --------------------------------------------------------------- tables
     def _tables(self, ns: str):

@@ -467,3 +467,37 @@ def test_rest_rename_and_drop_column(spark, client):
         client.drop_column("db.cols2", "id")
     with pytest.raises(ValueError):
         client.rename_column("db.cols", "nope", "x")
+
+
+def test_namespace_properties_endpoint(client):
+    """POST /v1/namespaces/{ns}/properties: updates + removals with the
+    spec's updated/removed/missing response and the both-lists 422."""
+    client._request(
+        "POST",
+        "/v1/namespaces",
+        {"namespace": ["nsp"], "properties": {"a": "1", "b": "2"}},
+    )
+    out = client._request(
+        "POST",
+        "/v1/namespaces/nsp/properties",
+        {"updates": {"c": "3", "b": "20"}, "removals": ["a", "ghost"]},
+    )
+    assert out == {
+        "updated": ["b", "c"],
+        "removed": ["a"],
+        "missing": ["ghost"],
+    }
+    got = client._request("GET", "/v1/namespaces/nsp")["properties"]
+    assert got == {"b": "20", "c": "3"}
+    with pytest.raises(RestCatalogError) as ei:
+        client._request(
+            "POST",
+            "/v1/namespaces/nsp/properties",
+            {"updates": {"x": "1"}, "removals": ["x"]},
+        )
+    assert ei.value.code == 422
+    with pytest.raises(RestCatalogError) as ei:
+        client._request(
+            "POST", "/v1/namespaces/nope/properties", {"updates": {}}
+        )
+    assert ei.value.code == 404
