@@ -808,6 +808,16 @@ def _snapshot_id_int(sid_hex: str) -> int:
     return int(sid_hex[:15], 16)
 
 
+def _export_snapshot_id(snap_x: dict) -> int:
+    """Exported int snapshot id. A snapshot committed THROUGH the REST
+    catalog keeps the id the external writer assigned (summary
+    ``rest.assigned-id``) so the writer's subsequent loadTable /
+    assert-ref-snapshot-id see exactly the id it committed; everything
+    else derives deterministically from the internal hex id."""
+    rid = (snap_x.get("summary") or {}).get("rest.assigned-id")
+    return int(rid) if rid else _snapshot_id_int(snap_x["snapshot_id"])
+
+
 # ------------------------------------------------- column-stats serialization
 _EPOCH_DATE = None  # lazy: datetime import only when bounds exist
 
@@ -1139,8 +1149,14 @@ def export_iceberg_metadata(
     # a cross-branch collision falls back to the current tree's id (the
     # dict keeps the first writer), which readers tolerate.
     seq_to_int = {
-        s["sequence_number"]: _snapshot_id_int(s["snapshot_id"])
+        s["sequence_number"]: _export_snapshot_id(s)
         for s in reversed(meta.get("snapshots", []))
+    }
+    # internal hex id → exported int id (rest.assigned-id aware), for
+    # parent links to snapshots inside OR outside this export's ref set
+    hex_to_int = {
+        s["snapshot_id"]: _export_snapshot_id(s)
+        for s in meta.get("snapshots", [])
     }
 
     def _snapshot_tree(snap_x: dict) -> dict:
@@ -1149,7 +1165,7 @@ def export_iceberg_metadata(
         reachable from a ref (main, named branches, tags) — each gets its
         own file tree, shared when refs point at the same snapshot."""
         seq = snap_x["sequence_number"]
-        sid = _snapshot_id_int(snap_x["snapshot_id"])
+        sid = _export_snapshot_id(snap_x)
         data_files, delete_files = table.live_files(snap=snap_x)
         for fentry in data_files + delete_files:
             if fentry.get("format", "parquet") != "parquet":
@@ -1416,7 +1432,12 @@ def export_iceberg_metadata(
                 "format-version": "2",
                 "snapshot-id": str(sid),
                 "parent-snapshot-id": (
-                    str(_snapshot_id_int(snap_x["parent"]))
+                    str(
+                        hex_to_int.get(
+                            snap_x["parent"],
+                            _snapshot_id_int(snap_x["parent"]),
+                        )
+                    )
                     if snap_x.get("parent")
                     else "null"
                 ),
@@ -1587,7 +1608,7 @@ def export_iceberg_metadata(
             tree["parent-snapshot-id"] = (
                 trees[phex]["snapshot-id"]
                 if phex in trees
-                else _snapshot_id_int(phex)
+                else hex_to_int.get(phex, _snapshot_id_int(phex))
             )
     prev_meta_versions = sorted(
         (int(m.group(1)), p)

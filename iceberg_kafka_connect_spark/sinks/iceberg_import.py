@@ -1014,3 +1014,108 @@ def refresh_from_iceberg(
         }
     )
     return {"synced": synced, "from": last_sid, "to": cur_sid}
+
+
+# ----------------------------------------------------- REST commit adoption
+def translate_rest_snapshot(
+    table: "LakehouseTable", served_meta: dict, snap_x: dict
+) -> dict:
+    """Validate and translate an externally-written snapshot (REST catalog
+    ``add-snapshot`` update) into this table's internal commit shape — the
+    side-effect-free PREPARE half of the REST server's atomic commit.
+
+    The external writer worked against the SERVED (exported) metadata: it
+    wrote data files + Avro manifests + a manifest list under the table
+    location, then posted the snapshot JSON (public Iceberg REST spec,
+    ``rest-catalog-open-api.yaml`` TableUpdate/AddSnapshotUpdate; the
+    reference commits through real Iceberg catalogs the same way,
+    data/IcebergWriterFactory.java:51-66). Here we read the posted
+    manifest list with the same machinery the Iceberg-table import uses
+    and diff against the snapshot's parent as served, yielding the added
+    (or, when files were removed, full replacement) file sets for one
+    native commit. Raises IcebergImportUnsupported on anything malformed —
+    the server maps that to 400 BEFORE any update in the commit applies.
+    """
+    fv = served_meta.get("format-version", 2)
+    ice_schema = _current_schema(served_meta)
+    id_names, id_types = _field_maps(ice_schema)
+    ident_tuple_fields = _ident_fields_by_spec(served_meta, id_names, id_types)
+    sort_cols, default_order_id = _default_sort_cols(served_meta, id_names)
+
+    def _tr(s: dict) -> tuple[list[dict], list[dict]]:
+        return _translate_snapshot(
+            s,
+            fv=fv,
+            id_names=id_names,
+            id_types=id_types,
+            ident_tuple_fields=ident_tuple_fields,
+            dest_root=table.root,
+            sort_cols=sort_cols,
+            default_order_id=default_order_id,
+        )
+
+    try:
+        ext_sid = int(snap_x["snapshot-id"])
+    except (KeyError, TypeError, ValueError):
+        raise IcebergImportUnsupported(
+            "add-snapshot: integer snapshot-id required"
+        )
+    ml = snap_x.get("manifest-list")
+    if not ml or not os.path.isfile(_uri_to_path(ml)):
+        raise IcebergImportUnsupported(
+            f"add-snapshot: manifest-list {ml!r} not found"
+        )
+    cur_data, cur_del = _tr(snap_x)
+    # every referenced file must exist NOW — a commit pointing at files
+    # that were never written must fail before it lands, not at read time
+    for e in cur_data + cur_del:
+        p = e["path"]
+        if not os.path.isabs(p):
+            p = os.path.join(table.root, p)
+        if not os.path.isfile(p):
+            raise IcebergImportUnsupported(
+                f"add-snapshot: data file {e['path']!r} does not exist"
+            )
+
+    parent = snap_x.get("parent-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in served_meta.get("snapshots", [])}
+    if parent in (None, -1):
+        prev_data, prev_del = [], []
+    elif parent in snaps:
+        prev_data, prev_del = _tr(snaps[parent])
+    else:
+        raise IcebergImportUnsupported(
+            f"add-snapshot: parent snapshot {parent} is not in the current "
+            "table metadata"
+        )
+
+    def _dkey(e: dict):
+        return (e.get("src") or e["path"], e["seq"])
+
+    prev_dp = {e["path"] for e in prev_data}
+    prev_dk = {_dkey(e) for e in prev_del}
+    added_data = [e for e in cur_data if e["path"] not in prev_dp]
+    added_del = [e for e in cur_del if _dkey(e) not in prev_dk]
+    removed = bool(
+        (prev_dp - {e["path"] for e in cur_data})
+        or (prev_dk - {_dkey(e) for e in cur_del})
+    )
+    return {
+        "ext_sid": ext_sid,
+        "parent": None if parent in (None, -1) else int(parent),
+        "operation": (snap_x.get("summary") or {}).get(
+            "operation", "append"
+        ),
+        "replace": removed,
+        # removed files → mirror the snapshot's FULL live set as a replace
+        # commit (same rule as refresh_from_iceberg); pure adds commit as
+        # exactly their added entries
+        "data": cur_data if removed else added_data,
+        "deletes": cur_del if removed else added_del,
+        # full live set, for commits that can't build on a branch head
+        # (staged/unreferenced snapshots, new branches) and so must be
+        # self-contained replace snapshots
+        "full_data": cur_data,
+        "full_deletes": cur_del,
+        "max_seq": max((e["seq"] for e in cur_data + cur_del), default=1),
+    }

@@ -338,14 +338,24 @@ class JdbcCatalog:
         table = LakehouseTable(new_root)
         new_loc = export_iceberg_metadata(table)
         with self._conn() as con:
+            # CAS on the OLD metadata location: a concurrent drop/rename/
+            # publish makes rowcount 0, and the directory move above must
+            # then roll back — otherwise the surviving catalog row would
+            # dangle, pointing at a location whose data already moved
+            # (r4 advice)
             cur = con.execute(
                 "UPDATE iceberg_tables SET table_namespace=?, table_name=?, "
                 "metadata_location=?, previous_metadata_location=? WHERE "
-                "catalog_name=? AND table_namespace=? AND table_name=?",
-                (dns, dt, new_loc, loc, self.name, sns, st),
+                "catalog_name=? AND table_namespace=? AND table_name=? "
+                "AND metadata_location=?",
+                (dns, dt, new_loc, loc, self.name, sns, st, loc),
             )
             if cur.rowcount != 1:
-                raise CommitConflict(f"{src} disappeared during rename")
+                os.rename(new_root, old_root)
+                raise CommitConflict(
+                    f"{src} changed concurrently during rename; "
+                    "directory move rolled back"
+                )
         self._ensure_namespace_row(dns)
         return table
 

@@ -30,13 +30,21 @@ The commit endpoint implements the protocol's optimistic-concurrency
 contract: requirements (``assert-create`` / ``assert-table-uuid`` /
 ``assert-ref-snapshot-id``) are checked under a per-table lock and a
 failed check returns the spec's 409 ``CommitFailedException`` shape, so a
-client that lost the race retries against fresh metadata. Supported
-updates are the metadata-pointer operations a catalog arbitrates —
-``set-properties`` / ``remove-properties`` / ``set-snapshot-ref`` /
-``remove-snapshot-ref`` — everything else returns an explicit 400 rather
-than pretending (file-level commits go through the storage-side Lakehouse
-commit, which is already atomic here; on object stores without atomic
-rename, this endpoint is exactly where those commits would route).
+client that lost the race retries against fresh metadata. Commits are
+ATOMIC: every update in the body is validated and prepared before any
+applies, so a malformed update rejects the whole commit with nothing
+written. Supported updates cover both the pointer operations
+(``set-properties`` / ``remove-properties`` / ``set-snapshot-ref`` /
+``remove-snapshot-ref`` / ``add-schema`` / ``add-spec``) AND the
+protocol's write side: ``add-snapshot`` adopts a snapshot an external
+spec-conformant writer produced (data files + Avro manifests + manifest
+list written against the served metadata) as one native commit — paired
+with ``set-snapshot-ref`` it lands on that branch; unpaired it stages
+WAP-style on a hidden ``rest-staged-<id>`` branch until a later commit
+publishes it. ``remove-snapshots`` retires unreferenced (orphaned)
+snapshots; referenced history goes through expireSnapshots. The writer's
+assigned snapshot id round-trips: the exporter serves the snapshot back
+under exactly the id the client committed (``rest.assigned-id``).
 
 Scale note: the server only ever touches metadata — listing, pointer CAS,
 and O(live files) export on table-version change. No data IO, no Spark
@@ -55,10 +63,21 @@ from urllib.parse import parse_qs, unquote, urlparse
 
 from .catalog import Catalog, NoSuchTableError, TableAlreadyExistsError
 from .iceberg_export import (
+    _export_snapshot_id,
     _snapshot_id_int,
     export_iceberg_metadata,
 )
-from .table import CommitConflict
+from .table import MAIN, CommitConflict
+
+
+def _int_id_map(meta: dict) -> dict[int, str]:
+    """Exported int snapshot id → internal hex id. Uses the same id
+    derivation the exporter serves (``rest.assigned-id`` aware), so the
+    ids a client read from loadTable resolve here."""
+    return {
+        _export_snapshot_id(s): s["snapshot_id"]
+        for s in meta.get("snapshots", [])
+    }
 
 # multipart namespaces are joined with the unit separator (0x1F) in URLs,
 # per the REST spec's `namespace` path-param encoding
@@ -604,16 +623,43 @@ class _Handler(BaseHTTPRequestHandler):
         with lock:
             table = self.state.catalog.load_table(full)
             meta = table.metadata()
-            # int snapshot-id (exported form) -> internal hex id
-            int_to_hex = {
-                _snapshot_id_int(s["snapshot_id"]): s["snapshot_id"]
-                for s in meta.get("snapshots", [])
-            }
+            int_to_hex = _int_id_map(meta)
             self._check_requirements(
                 body.get("requirements") or [], table, meta, int_to_hex
             )
-            for up in body.get("updates") or []:
-                self._apply_update(table, up, int_to_hex)
+            updates = body.get("updates") or []
+            needs_served = any(
+                (u.get("action") or u.get("type")) == "add-snapshot"
+                for u in updates
+            )
+            ctx = {
+                "meta": meta,
+                "int_to_hex": int_to_hex,
+                "hex_to_int": {h: i for i, h in int_to_hex.items()},
+                "staged": {},   # ext int sid -> prepared commit (add-snapshot)
+                "claimed": {},  # ext int sid -> ref-name that commits it
+                # the exported metadata the external writer worked against;
+                # only materialized when a snapshot-producing update needs it
+                "served": (
+                    self.state.current_metadata(full)[1]
+                    if needs_served
+                    else None
+                ),
+            }
+            # phase 1 — validate and PREPARE every update before applying
+            # any: a malformed update rejects the whole commit with nothing
+            # applied (the protocol's atomic-commit contract; previously
+            # updates applied one at a time, so a late failure left earlier
+            # ones committed and a retry double-applied them)
+            actions = [self._prepare_update(table, up, ctx) for up in updates]
+            # phase 2 — apply in order (validation already done; the only
+            # failures left are storage-level CAS races, surfaced as 409)
+            try:
+                for act in actions:
+                    if act is not None:
+                        act()
+            except CommitConflict as e:
+                raise _err(409, "CommitFailedException", str(e))
             self.state.invalidate(full)
             loc, served = self.state.current_metadata(full)
         self._send(
@@ -669,99 +715,88 @@ class _Handler(BaseHTTPRequestHandler):
                     f"unsupported commit requirement {rt!r}",
                 )
 
-    def _apply_update(self, table, up: dict, int_to_hex: dict):
+    # ------------------------------------------------- commit update prep
+    _RETENTION_KEYS = (
+        "max-ref-age-ms",
+        "min-snapshots-to-keep",
+        "max-snapshot-age-ms",
+    )
+
+    def _prepare_update(self, table, up: dict, ctx: dict):
+        """Phase 1 of the atomic commit: validate ``up`` and return a
+        zero-argument apply callable (or None for acknowledged no-ops).
+        Everything that can fail for a malformed request fails HERE, before
+        any update in the body has touched the table."""
         ut = up.get("action") or up.get("type")
         if ut == "set-properties":
-            table.set_properties(dict(up.get("updates") or {}))
-        elif ut == "remove-properties":
-            table.set_properties(
-                {k: None for k in up.get("removals") or []}
+            props = dict(up.get("updates") or {})
+            return lambda: table.set_properties(props)
+        if ut == "remove-properties":
+            removals = list(up.get("removals") or [])
+            return lambda: table.set_properties(
+                {k: None for k in removals}
             )
-        elif ut == "set-snapshot-ref":
+        if ut == "add-snapshot":
+            return self._prepare_add_snapshot(table, up, ctx)
+        if ut == "set-snapshot-ref":
+            return self._prepare_set_ref(table, up, ctx)
+        if ut == "remove-snapshot-ref":
             ref = up.get("ref-name")
-            sid = int_to_hex.get(up.get("snapshot-id"))
-            if sid is None:
+            if not ref:
+                raise _err(400, "BadRequestException", "ref-name required")
+            if ref == MAIN:
+                raise _err(
+                    400, "BadRequestException", "cannot drop the main branch"
+                )
+            is_tag = ref in (ctx["meta"].get("tags") or {})
+            # remove-snapshots later in this same body sees the drop
+            ctx.setdefault("dropped_refs", set()).add(ref)
+
+            def act():
+                try:
+                    (table.drop_tag if is_tag else table.drop_branch)(ref)
+                except ValueError as e:
+                    raise _err(400, "BadRequestException", str(e))
+
+            return act
+        if ut == "remove-snapshots":
+            ids = list(up.get("snapshot-ids") or [])
+            hexes = [
+                ctx["int_to_hex"][i] for i in ids if i in ctx["int_to_hex"]
+            ]
+            # reachability as of AFTER the ref-drops earlier in this body
+            # (drop-staging-ref + remove-snapshot is one atomic commit)
+            dropped = ctx.get("dropped_refs", set())
+            meta_view = dict(
+                ctx["meta"],
+                refs={
+                    k: v
+                    for k, v in ctx["meta"].get("refs", {}).items()
+                    if k not in dropped
+                },
+                tags={
+                    k: v
+                    for k, v in (ctx["meta"].get("tags") or {}).items()
+                    if k not in dropped
+                },
+            )
+            reachable = table._reachable_snapshots(meta_view)
+            bad = sorted(
+                i
+                for i in ids
+                if ctx["int_to_hex"].get(i) in reachable
+            )
+            if bad:
                 raise _err(
                     400,
                     "BadRequestException",
-                    f"unknown snapshot-id {up.get('snapshot-id')!r}",
+                    f"snapshots {bad} are referenced by a branch or tag; "
+                    "referenced history retires via expireSnapshots",
                 )
-            if up.get("type") == "tag":
-                try:
-                    table.create_tag(ref, sid)
-                except ValueError as e:
-                    raise _err(409, "CommitFailedException", str(e))
-            else:
-                table.set_branch(ref, sid)
-            # optional spec retention fields ride the same update
-            retention = {
-                k.replace("-", "_"): up[k]
-                for k in (
-                    "max-ref-age-ms",
-                    "min-snapshots-to-keep",
-                    "max-snapshot-age-ms",
-                )
-                if up.get(k) is not None
-            }
-            if retention:
-                try:
-                    table.set_ref_retention(ref, **retention)
-                except ValueError as e:
-                    raise _err(400, "BadRequestException", str(e))
-        elif ut == "remove-snapshot-ref":
-            ref = up.get("ref-name")
-            try:
-                if ref in (table.metadata().get("tags") or {}):
-                    table.drop_tag(ref)
-                else:
-                    table.drop_branch(ref)
-            except ValueError as e:  # e.g. main is protected
-                raise _err(400, "BadRequestException", str(e))
-        elif ut == "add-schema":
-            # full UpdateSchema semantics, diffed BY FIELD ID like Iceberg:
-            # same id + new name = rename; id absent = drop; new field =
-            # add (union evolve). The client works against the served
-            # schema's ids (update_schema/rename_column/drop_column
-            # helpers), so the diff is well-defined; guards (partition
-            # source, identifier fields, live delete keys) surface as 400.
-            from pyspark.sql import types as T
-
-            from .iceberg_export import iceberg_schema as _ice_schema
-            from .iceberg_import import iceberg_type_to_spark
-
-            schema_json = up.get("schema") or {}
-            inc_fields = schema_json.get("fields", [])
-            cur_ice, _ = _ice_schema(table.schema())
-            cur_by_id = {f["id"]: f["name"] for f in cur_ice["fields"]}
-            inc_by_id = {
-                f["id"]: f["name"] for f in inc_fields if "id" in f
-            }
-            try:
-                for fid, new_name in inc_by_id.items():
-                    old_name = cur_by_id.get(fid)
-                    if old_name is not None and old_name != new_name:
-                        table.rename_column(old_name, new_name)
-                for fid, old_name in cur_by_id.items():
-                    if fid not in inc_by_id:
-                        table.drop_column(old_name)
-                incoming = T.StructType(
-                    [
-                        T.StructField(
-                            f["name"],
-                            iceberg_type_to_spark(f["type"]),
-                            not f.get("required", False),
-                        )
-                        for f in inc_fields
-                    ]
-                )
-                table.evolve_schema(incoming)
-            except ValueError as e:  # DDL guards / widening refusals
-                raise _err(400, "BadRequestException", str(e))
-            except Exception as e:
-                raise _err(400, "BadRequestException", f"schema: {e}")
-        elif ut in ("set-current-schema", "set-default-spec"):
-            pass  # add-schema/add-spec apply immediately; -1 acks the last
-        elif ut == "add-spec":
+            return (lambda: table.remove_snapshots(hexes)) if hexes else None
+        if ut == "add-schema":
+            return self._prepare_add_schema(table, up)
+        if ut == "add-spec":
             from .iceberg_export import iceberg_schema as _ice_schema
 
             ice, _ = _ice_schema(table.schema())
@@ -771,17 +806,292 @@ class _Handler(BaseHTTPRequestHandler):
             # specs as additional partition-specs with per-manifest spec
             # ids (multi-spec export), so loadTable keeps serving after
             # the evolution — no compact() required
-            table.update_partition_spec(dsl or None)
-        elif ut == "assign-uuid":
-            pass  # uuid is assigned at create and immutable here
-        else:
+            return lambda: table.update_partition_spec(dsl or None)
+        if ut in ("set-current-schema", "set-default-spec", "assign-uuid"):
+            # add-schema/add-spec apply immediately; -1 acks the last;
+            # uuid is assigned at create and immutable here
+            return None
+        raise _err(
+            400,
+            "BadRequestException",
+            f"unsupported metadata update {ut!r}",
+        )
+
+    def _prepare_add_snapshot(self, table, up: dict, ctx: dict):
+        """Snapshot-producing commits: an external spec-conformant writer
+        wrote data files + Avro manifests + a manifest list against the
+        served metadata and posts the snapshot JSON (public REST spec
+        AddSnapshotUpdate). Translation + validation (manifest scan, file
+        existence, parent lookup) all happen here in phase 1; the apply
+        half is one native atomic commit."""
+        from .iceberg_import import (
+            IcebergImportUnsupported,
+            translate_rest_snapshot,
+        )
+
+        try:
+            prep = translate_rest_snapshot(
+                table, ctx["served"], up.get("snapshot") or {}
+            )
+        except IcebergImportUnsupported as e:
+            raise _err(400, "BadRequestException", str(e))
+        sid = prep["ext_sid"]
+        if sid in ctx["int_to_hex"] or sid in ctx["staged"]:
             raise _err(
                 400,
                 "BadRequestException",
-                f"unsupported metadata update {ut!r} (this catalog "
-                "arbitrates pointers; file-level commits go through the "
-                "storage-side table commit)",
+                f"snapshot id {sid} already exists",
             )
+        ctx["staged"][sid] = prep
+
+        def act():
+            if sid in ctx["claimed"]:
+                return  # the claiming set-snapshot-ref action commits it
+            # no ref in this body names the snapshot: commit it
+            # self-contained on a hidden staging branch (WAP shape) so a
+            # later commit's set-snapshot-ref can publish it
+            self._commit_staged(table, ctx, sid, ref=None, rtype=None)
+
+        return act
+
+    def _prepare_set_ref(self, table, up: dict, ctx: dict):
+        ref = up.get("ref-name")
+        if not ref:
+            raise _err(400, "BadRequestException", "ref-name required")
+        rtype = (up.get("type") or "branch").lower()
+        if rtype not in ("branch", "tag"):
+            raise _err(
+                400, "BadRequestException", f"unknown ref type {rtype!r}"
+            )
+        sid = up.get("snapshot-id")
+        retention = {
+            k.replace("-", "_"): up[k]
+            for k in self._RETENTION_KEYS
+            if up.get(k) is not None
+        }
+        for k, v in retention.items():
+            if not isinstance(v, int) or v < 0:
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    f"{k.replace('_', '-')} must be a non-negative int",
+                )
+        if sid in ctx["staged"]:
+            # publishing a snapshot added in THIS commit body
+            prep = ctx["staged"][sid]
+            if ctx["claimed"].get(sid) is not None:
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    f"snapshot {sid} already referenced in this commit",
+                )
+            ctx["claimed"][sid] = ref
+            if rtype == "branch":
+                head_hex = ctx["meta"]["refs"].get(ref)
+                head_int = (
+                    ctx["hex_to_int"].get(head_hex) if head_hex else None
+                )
+                if head_hex is not None and prep["parent"] != head_int:
+                    raise _err(
+                        409,
+                        "CommitFailedException",
+                        f"snapshot {sid} parent {prep['parent']} is not "
+                        f"the current head of branch {ref!r}",
+                    )
+            return lambda: self._commit_staged(
+                table, ctx, sid, ref=ref, rtype=rtype, retention=retention
+            )
+        hexsid = ctx["int_to_hex"].get(sid)
+        if hexsid is None:
+            raise _err(
+                400,
+                "BadRequestException",
+                f"unknown snapshot-id {sid!r}",
+            )
+        if rtype == "tag":
+            tags = ctx["meta"].get("tags") or {}
+            if ref in tags and tags[ref] != hexsid:
+                raise _err(
+                    409,
+                    "CommitFailedException",
+                    f"tag {ref!r} already exists (immutable)",
+                )
+
+            def act():
+                try:
+                    table.create_tag(ref, hexsid)
+                except ValueError as e:
+                    raise _err(409, "CommitFailedException", str(e))
+                self._apply_retention(table, ref, retention)
+
+            return act
+
+        def act():
+            table.set_branch(ref, hexsid)
+            # publishing a previously-staged snapshot retires its hidden
+            # staging ref
+            staging = f"rest-staged-{sid}"
+            if staging != ref and staging in table.metadata().get(
+                "refs", {}
+            ):
+                table.drop_branch(staging)
+            self._apply_retention(table, ref, retention)
+
+        return act
+
+    def _apply_retention(self, table, ref: str, retention: dict):
+        if retention:
+            try:
+                table.set_ref_retention(ref, **retention)
+            except ValueError as e:
+                raise _err(400, "BadRequestException", str(e))
+
+    def _commit_staged(
+        self,
+        table,
+        ctx: dict,
+        sid: int,
+        ref: str | None,
+        rtype: str | None,
+        retention: dict | None = None,
+    ):
+        """Apply half of add-snapshot: ONE native atomic commit. The
+        summary records the writer's assigned id so the exporter serves
+        the snapshot back under exactly that id (rest.assigned-id)."""
+        prep = ctx["staged"][sid]
+        summary = {
+            "operation": prep["operation"],
+            "rest.assigned-id": str(sid),
+            "rest.commit": "true",
+        }
+        on_branch = (
+            rtype == "branch"
+            and ref is not None
+            and ctx["meta"]["refs"].get(ref) is not None
+        )
+        if on_branch:
+            # in-place commit onto the existing branch head; expected_parent
+            # turns a storage-side race into the protocol's 409
+            snap_int = table._commit_snapshot(
+                prep["operation"],
+                prep["data"],
+                prep["deletes"],
+                summary,
+                ref,
+                replace=prep["replace"],
+                preserve_seq=True,
+                expected_parent=ctx["meta"]["refs"].get(ref),
+            )
+        elif rtype == "branch" and ref is not None:
+            # brand-new branch: self-contained full-set snapshot
+            snap_int = table._commit_snapshot(
+                prep["operation"],
+                prep["full_data"],
+                prep["full_deletes"],
+                summary,
+                ref,
+                replace=True,
+                preserve_seq=True,
+            )
+        else:
+            # unreferenced or tag target: full set on a hidden staging
+            # branch (dropped below for tags; kept for later publication
+            # when nothing references the snapshot yet)
+            staging = f"rest-staged-{sid}"
+            snap_int = table._commit_snapshot(
+                prep["operation"],
+                prep["full_data"],
+                prep["full_deletes"],
+                summary,
+                staging,
+                replace=True,
+                preserve_seq=True,
+            )
+        # mirror refresh_from_iceberg: entries may carry external sequence
+        # numbers beyond the native counter — the snapshot's own sequence
+        # number must cover them so later deletes order correctly
+        if prep["max_seq"] > snap_int["sequence_number"]:
+            meta2 = table.metadata()
+            for s in meta2["snapshots"]:
+                if s["snapshot_id"] == snap_int["snapshot_id"]:
+                    s["sequence_number"] = prep["max_seq"]
+            table._write_version(meta2["version"] + 1, meta2)
+        if rtype == "tag" and ref is not None:
+            try:
+                table.create_tag(ref, snap_int["snapshot_id"])
+            except ValueError as e:
+                raise _err(409, "CommitFailedException", str(e))
+            table.drop_branch(f"rest-staged-{sid}")
+        if ref is not None:
+            self._apply_retention(table, ref, retention or {})
+
+    def _prepare_add_schema(self, table, up: dict):
+        """Full UpdateSchema semantics, diffed BY FIELD ID like Iceberg:
+        same id + new name = rename; id absent = drop; new field = add
+        (union evolve). All structural validation happens here; Iceberg
+        schema JSON requires an id on every field, so an id-less field is
+        a 400, not a silent drop-and-re-add of the same-named column."""
+        from pyspark.sql import types as T
+
+        from .iceberg_export import iceberg_schema as _ice_schema
+        from .iceberg_import import iceberg_type_to_spark
+
+        schema_json = up.get("schema") or {}
+        inc_fields = schema_json.get("fields", [])
+        idless = [f.get("name") for f in inc_fields if "id" not in f]
+        if idless:
+            raise _err(
+                400,
+                "BadRequestException",
+                f"add-schema fields missing required ids: {idless}",
+            )
+        cur_ice, _ = _ice_schema(table.schema())
+        cur_by_id = {f["id"]: f["name"] for f in cur_ice["fields"]}
+        inc_by_id = {f["id"]: f["name"] for f in inc_fields}
+        renames = [
+            (cur_by_id[fid], new_name)
+            for fid, new_name in inc_by_id.items()
+            if fid in cur_by_id and cur_by_id[fid] != new_name
+        ]
+        drops = [
+            old_name
+            for fid, old_name in cur_by_id.items()
+            if fid not in inc_by_id
+        ]
+        # pre-check the DDL guards that drop/rename would hit at apply time
+        part_sources = {pf.source for pf in table.partition_spec()}
+        blocked = [c for c in drops if c in part_sources]
+        if blocked:
+            raise _err(
+                400,
+                "BadRequestException",
+                f"cannot drop partition source column(s) {blocked}",
+            )
+        try:
+            incoming = T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        iceberg_type_to_spark(f["type"]),
+                        not f.get("required", False),
+                    )
+                    for f in inc_fields
+                ]
+            )
+        except Exception as e:
+            raise _err(400, "BadRequestException", f"schema: {e}")
+
+        def act():
+            try:
+                for old_name, new_name in renames:
+                    table.rename_column(old_name, new_name)
+                for old_name in drops:
+                    table.drop_column(old_name)
+                table.evolve_schema(incoming)
+            except ValueError as e:  # DDL guards / widening refusals
+                raise _err(400, "BadRequestException", str(e))
+
+        return act
 
     # --------------------------------------------------------- http methods
     def _handle(self):

@@ -216,19 +216,64 @@ def _conjunct_may_match(expr: str, cols: dict[str, dict]) -> bool:
     return hi >= v  # >=
 
 
+def split_conjuncts(where: str) -> list[str] | None:
+    """Split a predicate on top-level AND, respecting single-quoted string
+    literals. A literal like ``'x AND event_id = 3 AND y'`` must NOT yield
+    phantom conjuncts — a naive ``re.split(r"\\bAND\\b")`` extracts
+    ``event_id = 3`` from inside the quotes and silently prunes files/
+    buckets that DO match (r4 advice). Returns None — caller keeps
+    everything — when a top-level OR appears (a disjunct could rescue rows
+    a conjunct rules out) or on an unbalanced quote.
+    """
+    parts: list[str] = []
+    buf: list[str] = []
+    i, n, in_q = 0, len(where), False
+    while i < n:
+        ch = where[i]
+        if ch == "'":
+            if in_q and i + 1 < n and where[i + 1] == "'":
+                buf.append("''")  # SQL doubled-quote escape stays inside
+                i += 2
+                continue
+            in_q = not in_q
+            buf.append(ch)
+            i += 1
+            continue
+        if not in_q and (ch.isalpha()):
+            prev = where[i - 1] if i else ""
+            if not (prev.isalnum() or prev == "_"):
+                word = where[i : i + 3].upper()
+                nxt3 = where[i + 3] if i + 3 < n else ""
+                nxt2 = where[i + 2] if i + 2 < n else ""
+                if word == "AND" and not (nxt3.isalnum() or nxt3 == "_"):
+                    parts.append("".join(buf))
+                    buf = []
+                    i += 3
+                    continue
+                if word[:2] == "OR" and not (nxt2.isalnum() or nxt2 == "_"):
+                    return None
+        buf.append(ch)
+        i += 1
+    if in_q:
+        return None
+    parts.append("".join(buf))
+    return parts
+
+
 def file_may_match(entry: dict, where: str) -> bool:
     """True unless ``entry``'s recorded bounds prove ``where`` unsatisfiable.
 
-    OR anywhere disables pruning (a disjunct could rescue rows a conjunct
-    rules out, e.g. ``a=1 AND b=2 OR c=3``). Otherwise a naive AND-split is
-    conservative by construction: every fragment either parses as a real
-    conjunct (safe to test intervally) or doesn't parse and keeps the file —
-    BETWEEN / NOT / parenthesized groups all fall through to "keep".
+    OR anywhere outside quotes disables pruning (a disjunct could rescue
+    rows a conjunct rules out, e.g. ``a=1 AND b=2 OR c=3``). Otherwise the
+    quote-aware AND-split is conservative by construction: every fragment
+    either parses as a real conjunct (safe to test intervally) or doesn't
+    parse and keeps the file — BETWEEN / NOT / parenthesized groups all
+    fall through to "keep".
     """
     stats = entry.get("stats")
     if not stats or not stats.get("cols"):
         return True
-    if re.search(r"\bor\b", where, re.IGNORECASE):
+    conjuncts = split_conjuncts(where)
+    if conjuncts is None:
         return True
-    conjuncts = re.split(r"\bAND\b", where, flags=re.IGNORECASE)
     return all(_conjunct_may_match(c, stats["cols"]) for c in conjuncts)

@@ -45,7 +45,7 @@ from pyspark.sql import types as T
 
 from ..convert import project_to_schema
 from .spec import PartitionField, parse_partition_spec
-from .stats import collect_parquet_stats, file_may_match
+from .stats import collect_parquet_stats, file_may_match, split_conjuncts
 
 COMMIT_RETRIES = 3  # IcebergSinkConfig.java:103-104 (schema/create retries)
 MAIN = "main"
@@ -1758,12 +1758,19 @@ class LakehouseTable:
             for pf in self.partition_spec()
             if pf.transform == "iceberg_bucket"
         ]
-        if not bfields or re.search(r"\bor\b", where, re.IGNORECASE):
+        if not bfields:
+            return files
+        # quote-aware split (sinks/stats.py): a string literal containing
+        # " AND col = 3 " must not produce a phantom equality that prunes
+        # to the wrong bucket (r4 advice); None → OR or unbalanced quote →
+        # keep everything
+        conjuncts = split_conjuncts(where)
+        if conjuncts is None:
             return files
         from ..functions.murmur3 import iceberg_bucket_value
 
         eqs: dict[str, object] = {}
-        for conj in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
+        for conj in conjuncts:
             m = self._EQ_RE.fullmatch(conj)
             if not m:
                 continue
@@ -2700,8 +2707,21 @@ class LakehouseTable:
             keep: set[str] = set()
             for rname, sid in meta["refs"].items():
                 ret = retention.get(rname) or {}
-                depth = ret.get("min-snapshots-to-keep", keep_last)
+                min_keep = ret.get("min-snapshots-to-keep")
                 age_cap = ret.get("max-snapshot-age-ms")
+                # Iceberg semantics: min-snapshots-to-keep is a FLOOR on
+                # the age-driven expire, not an exact retention depth. It
+                # only SHRINKS retention below the global keep_last when
+                # the ref also sets max-snapshot-age-ms (age decides, with
+                # the count floor); alone it can only deepen retention
+                # (r4 advice: treating it as a cap expired history users
+                # expected kept).
+                if min_keep is None:
+                    depth = keep_last
+                elif age_cap is not None:
+                    depth = min_keep
+                else:
+                    depth = max(keep_last, min_keep)
                 n = 0
                 while sid is not None:
                     snap = self._snapshot_by_id(meta, sid)
@@ -2971,3 +2991,69 @@ class LakehouseTable:
                 if attempt == COMMIT_RETRIES - 1:
                     raise
                 time.sleep(0.05 * (attempt + 1))
+
+    def _reachable_snapshots(self, meta: dict) -> set[str]:
+        """Hex ids of every snapshot reachable from any ref or tag head by
+        parent links (full ancestry walk — conservative: history/time
+        travel may walk past replace snapshots)."""
+        out: set[str] = set()
+        by_id = {s["snapshot_id"]: s for s in meta.get("snapshots", [])}
+        heads = list(meta.get("refs", {}).values()) + list(
+            meta.get("tags", {}).values()
+        )
+        for head in heads:
+            cur = head
+            while cur is not None and cur not in out:
+                out.add(cur)
+                cur = by_id.get(cur, {}).get("parent")
+        return out
+
+    def remove_snapshots(self, snapshot_ids: list[str]) -> int:
+        """Remove UNREFERENCED snapshots by id — Iceberg's
+        ``RemoveSnapshots`` / the REST catalog's ``remove-snapshots``
+        update, scoped to orphans: a snapshot reachable from any ref or
+        tag (including via ancestry) raises instead of silently breaking
+        the chain — referenced history retires through
+        :meth:`expire_snapshots`, which understands retention. Returns the
+        number actually removed (absent ids are idempotent no-ops)."""
+        targets = set(snapshot_ids)
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            present = [
+                s for s in meta["snapshots"] if s["snapshot_id"] in targets
+            ]
+            if not present:
+                return 0
+            reachable = self._reachable_snapshots(meta)
+            bad = [
+                s["snapshot_id"]
+                for s in present
+                if s["snapshot_id"] in reachable
+            ]
+            if bad:
+                raise ValueError(
+                    f"snapshots {bad} are referenced by a branch or tag "
+                    "(directly or via ancestry); use expire_snapshots"
+                )
+            removed_manifests = [
+                s["manifest"] for s in present if "manifest" in s
+            ]
+            meta["snapshots"] = [
+                s
+                for s in meta["snapshots"]
+                if s["snapshot_id"] not in targets
+            ]
+            try:
+                self._write_version(meta["version"] + 1, meta)
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+                continue
+            for rel in removed_manifests:
+                try:
+                    os.unlink(os.path.join(self.root, rel))
+                except OSError:
+                    pass  # manifest cleanup is best-effort after the CAS
+            return len(present)
+        raise CommitConflict("unreachable")

@@ -183,9 +183,12 @@ def multimodal_resize_plan(spark, sf_dir):
     ),
     sig AS (
         SELECT doc_id,
-               SUM(CASE WHEN f > 0.125
-                        THEN CAST(1 AS BIGINT) << dim
-                        ELSE 0 END) AS phash
+               -- CAST: DuckDB promotes SUM(BIGINT) to HUGEINT, which the
+               -- driver's fetch materializes as float64 (1.0 vs int64 1)
+               -- and hash-mismatches despite identical values (r4 verdict).
+               CAST(SUM(CASE WHEN f > 0.125
+                             THEN CAST(1 AS BIGINT) << dim
+                             ELSE 0 END) AS BIGINT) AS phash
         FROM feat
         GROUP BY doc_id
     )

@@ -166,3 +166,53 @@ def test_external_engine_view_is_importable(spark, cat, tmp_path):
     loc, _ = cat.load_table_metadata("db.x")
     imported = import_iceberg_table(loc, str(tmp_path / "imp"))
     assert {r.id for r in imported.read(spark).collect()} == set(range(6))
+
+
+def test_rename_rolls_back_move_on_concurrent_change(
+    spark, tmp_path, monkeypatch
+):
+    """r4 advice: if the pointer CAS loses (a concurrent publish moved the
+    pointer between the directory move and the row UPDATE), the move must
+    roll back — no dangling catalog row pointing at a moved-away
+    location."""
+    import os
+    import shutil
+
+    from iceberg_kafka_connect_spark.sinks import jdbc_catalog as jmod
+
+    cat = JdbcCatalog(
+        str(tmp_path / "cat.db"), warehouse=str(tmp_path / "wh")
+    )
+    t = cat.create_table("db.mv", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    old_root = t.root
+    loc = cat._pointer("db", "mv")
+    # a second, equally valid metadata file the "concurrent publisher"
+    # points the row at mid-rename
+    loc2_path = loc.removeprefix("file://") + ".racer"
+    shutil.copyfile(loc.removeprefix("file://"), loc2_path)
+
+    real_rename = os.rename
+
+    def racing_rename(a, b):
+        real_rename(a, b)
+        if os.path.basename(b) != os.path.basename(old_root):
+            # inject the race only on the FORWARD move, not the rollback
+            con = sqlite3.connect(str(tmp_path / "cat.db"))
+            con.execute(
+                "UPDATE iceberg_tables SET metadata_location=? "
+                "WHERE table_name='mv'",
+                ("file://" + loc2_path,),
+            )
+            con.commit()
+            con.close()
+
+    monkeypatch.setattr(jmod.os, "rename", racing_rename)
+    with pytest.raises(CommitConflict):
+        cat.rename_table("db.mv", "db.mv2")
+    monkeypatch.undo()
+    # the data directory is back where the winning pointer expects it,
+    # and the row still carries the concurrent publisher's location
+    assert os.path.isdir(old_root)
+    assert not os.path.isdir(os.path.join(str(tmp_path / "wh"), "db", "mv2"))
+    assert cat._pointer("db", "mv") == "file://" + loc2_path

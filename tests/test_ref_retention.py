@@ -47,14 +47,20 @@ def test_validation(table):
     assert table.ref_retention() == {}
 
 
-def test_min_snapshots_to_keep_overrides_global_depth(spark, table):
+def test_min_snapshots_to_keep_is_a_floor(spark, table):
+    """Iceberg semantics (r4 advice): min-snapshots-to-keep is a FLOOR on
+    retention, not an exact depth — without max-snapshot-age-ms it can
+    only deepen retention, never expire history below the global
+    keep_last."""
     table.create_branch("dev")
-    # dev keeps only its head even when the global depth is larger
     table.set_ref_retention("dev", min_snapshots_to_keep=1)
     table.set_ref_retention("main", min_snapshots_to_keep=2)
-    expired = table.expire_snapshots(keep_last=10)
-    # main chain keeps 2, dev keeps 1 (shared head) -> 6 - 2 = 4 expired
-    assert expired == 4
+    # global depth 10 covers all 6 snapshots: the per-ref floors must NOT
+    # shrink retention below it
+    assert table.expire_snapshots(keep_last=10) == 0
+    # global depth 1: the floors now deepen main's chain to 2
+    expired = table.expire_snapshots(keep_last=1)
+    assert expired == 4  # main keeps 2, dev keeps its (shared) head
     assert table.read(spark).count() == 30  # live data unaffected
     assert table.read(spark, branch="dev").count() == 30
 

@@ -501,3 +501,334 @@ def test_namespace_properties_endpoint(client):
             "POST", "/v1/namespaces/nope/properties", {"updates": {}}
         )
     assert ei.value.code == 404
+
+
+# ----------------------------------------------------- protocol write side
+def _external_write_snapshot(meta, new_sid, n_rows=3, base=1000):
+    """Act as an INDEPENDENT spec-conformant Iceberg writer: write a
+    parquet data file + an Avro manifest + a manifest list under the
+    table location served by loadTable, and return the snapshot JSON to
+    post as an ``add-snapshot`` update (public REST spec
+    AddSnapshotUpdate). Uses only the served metadata — no engine
+    internals beyond the repo's Avro OCF codec to author the files."""
+    import datetime as dt
+    import os
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        _manifest_entry_schema,
+        _manifest_list_schema,
+        _write_ocf,
+    )
+
+    root = meta["location"].removeprefix("file://")
+    seq = meta.get("last-sequence-number", 0) + 1
+    parent = meta.get("current-snapshot-id")
+    parent = None if parent in (None, -1) else parent
+
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    dpath = os.path.join(data_dir, f"ext-{_uuid.uuid4().hex}.parquet")
+    tbl = pa.table(
+        {
+            "id": pa.array(
+                [base + i for i in range(n_rows)], type=pa.int64()
+            ),
+            "name": pa.array([f"ext{base + i}" for i in range(n_rows)]),
+            "ts": pa.array(
+                [dt.datetime(2025, 1, 1 + i) for i in range(n_rows)],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, dpath)
+
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    mpath = os.path.join(meta_dir, f"ext-m-{_uuid.uuid4().hex}.avro")
+    entry = {
+        "status": 1,
+        "snapshot_id": new_sid,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 0,
+            "file_path": "file://" + dpath,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "equality_ids": None,
+            "value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "sort_order_id": None,
+        },
+    }
+    _write_ocf(mpath, _manifest_entry_schema(), [entry], {})
+
+    # a snapshot's manifest list is the COMPLETE live set: carry over the
+    # parent snapshot's manifests (reusing their files, as real writers
+    # do) and append the new one
+    carried = []
+    if parent is not None:
+        from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+            _read_ocf,
+        )
+
+        parent_snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == parent
+        )
+        _, _, carried = _read_ocf(
+            parent_snap["manifest-list"].removeprefix("file://")
+        )
+    mlpath = os.path.join(
+        meta_dir, f"snap-{new_sid}-1-{_uuid.uuid4().hex}.avro"
+    )
+    _write_ocf(
+        mlpath,
+        _manifest_list_schema(),
+        carried
+        + [
+            {
+                "manifest_path": "file://" + mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": new_sid,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        {},
+    )
+    snap = {
+        "snapshot-id": new_sid,
+        "sequence-number": seq,
+        "timestamp-ms": int(_time.time() * 1000),
+        "manifest-list": "file://" + mlpath,
+        "summary": {"operation": "append"},
+        "schema-id": 0,
+    }
+    if parent is not None:
+        snap["parent-snapshot-id"] = parent
+    return snap
+
+
+def test_external_writer_commits_snapshot(spark, server, client):
+    """An external spec-conformant writer commits data THROUGH the
+    catalog: add-snapshot + set-snapshot-ref in one atomic commit. The
+    engine's next read sees the rows, and the snapshot keeps the id the
+    writer assigned."""
+    t = client.create_table("db.w", SCHEMA)
+    t.append(spark.createDataFrame(_rows(5), SCHEMA))
+    _, meta = client.load_table_metadata("db.w")
+    head = meta["current-snapshot-id"]
+    new_sid = 9_900_000_001
+    snap = _external_write_snapshot(meta, new_sid)
+    client._commit(
+        "db.w",
+        updates=[
+            {"action": "add-snapshot", "snapshot": snap},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": new_sid,
+            },
+        ],
+        requirements=[
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": head,
+            }
+        ],
+        retries=1,
+    )
+    # the engine reads the externally-committed rows
+    got = {r.id for r in server.catalog.load_table("db.w").read(spark).collect()}
+    assert got == set(range(5)) | {1000, 1001, 1002}
+    # served metadata shows the writer's OWN snapshot id as head, with the
+    # parent link intact
+    _, meta2 = client.load_table_metadata("db.w")
+    assert meta2["current-snapshot-id"] == new_sid
+    cur = next(
+        s for s in meta2["snapshots"] if s["snapshot-id"] == new_sid
+    )
+    assert cur["parent-snapshot-id"] == head
+    assert meta2["last-sequence-number"] >= snap["sequence-number"]
+    # a racer replaying the SAME requirement loses with a clean 409
+    snap2 = _external_write_snapshot(meta, 9_900_000_002, base=2000)
+    with pytest.raises(RestCommitFailed):
+        client._commit(
+            "db.w",
+            updates=[
+                {"action": "add-snapshot", "snapshot": snap2},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": 9_900_000_002,
+                },
+            ],
+            requirements=[
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": head,
+                }
+            ],
+            retries=1,
+        )
+    # ...and the losing snapshot did NOT land
+    assert {
+        r.id for r in server.catalog.load_table("db.w").read(spark).collect()
+    } == set(range(5)) | {1000, 1001, 1002}
+
+
+def test_external_writer_stages_then_publishes(spark, server, client):
+    """add-snapshot WITHOUT a ref update stages the snapshot (WAP shape);
+    a later commit's set-snapshot-ref publishes it and retires the hidden
+    staging ref."""
+    t = client.create_table("db.wap", SCHEMA)
+    t.append(spark.createDataFrame(_rows(4), SCHEMA))
+    _, meta = client.load_table_metadata("db.wap")
+    head = meta["current-snapshot-id"]
+    new_sid = 9_900_000_003
+    snap = _external_write_snapshot(meta, new_sid)
+    client._commit(
+        "db.wap",
+        updates=[{"action": "add-snapshot", "snapshot": snap}],
+        retries=1,
+    )
+    _, meta2 = client.load_table_metadata("db.wap")
+    # main unmoved; the snapshot exists under its assigned id
+    assert meta2["current-snapshot-id"] == head
+    assert any(
+        s["snapshot-id"] == new_sid for s in meta2["snapshots"]
+    )
+    assert f"rest-staged-{new_sid}" in meta2["refs"]
+    # publish
+    client._commit(
+        "db.wap",
+        updates=[
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": new_sid,
+            }
+        ],
+        retries=1,
+    )
+    _, meta3 = client.load_table_metadata("db.wap")
+    assert meta3["current-snapshot-id"] == new_sid
+    assert f"rest-staged-{new_sid}" not in meta3["refs"]
+    got = {
+        r.id for r in server.catalog.load_table("db.wap").read(spark).collect()
+    }
+    assert got == set(range(4)) | {1000, 1001, 1002}
+
+
+def test_commit_is_atomic_on_late_failure(spark, server, client):
+    """A commit whose SECOND update is invalid applies nothing (the
+    protocol's atomic-commit contract): previously set-properties landed
+    one-at-a-time before the failing update was even looked at."""
+    client.create_table("db.atomic", SCHEMA)
+    with pytest.raises((RestCatalogError, RestCommitFailed)):
+        client._commit(
+            "db.atomic",
+            updates=[
+                {"action": "set-properties", "updates": {"leak": "yes"}},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": 123456789,
+                },
+            ],
+            retries=1,
+        )
+    props = server.catalog.load_table("db.atomic").properties()
+    assert "leak" not in props
+
+
+def test_add_schema_rejects_idless_fields(spark, server, client):
+    """Iceberg schema JSON requires an id on every field: a field missing
+    its id is a 400, NOT a silent drop-and-re-add of the same-named
+    column (which would destroy column identity)."""
+    t = client.create_table("db.ids", SCHEMA)
+    t.append(spark.createDataFrame(_rows(2), SCHEMA))
+    _, meta = client.load_table_metadata("db.ids")
+    fields = [dict(f) for f in meta["schemas"][-1]["fields"]]
+    fields[1].pop("id")  # same names, one id missing
+    with pytest.raises(RestCatalogError) as ei:
+        client._commit(
+            "db.ids",
+            updates=[
+                {
+                    "action": "add-schema",
+                    "schema": {"type": "struct", "fields": fields},
+                }
+            ],
+            retries=1,
+        )
+    assert ei.value.code == 400
+    # schema unchanged
+    assert [f.name for f in server.catalog.load_table("db.ids").schema()] == [
+        "id",
+        "name",
+        "ts",
+    ]
+
+
+def test_remove_snapshots_orphan_only(spark, server, client):
+    """remove-snapshots retires an orphaned (staged, never published)
+    snapshot; anything referenced by a ref — directly or via ancestry —
+    is a 400 pointing at expireSnapshots."""
+    t = client.create_table("db.rm", SCHEMA)
+    t.append(spark.createDataFrame(_rows(3), SCHEMA))
+    _, meta = client.load_table_metadata("db.rm")
+    head = meta["current-snapshot-id"]
+    # referenced head: refused
+    with pytest.raises((RestCatalogError, RestCommitFailed)) as ei:
+        client._commit(
+            "db.rm",
+            updates=[
+                {"action": "remove-snapshots", "snapshot-ids": [head]}
+            ],
+            retries=1,
+        )
+    # stage a snapshot, drop its staging ref, then remove it
+    new_sid = 9_900_000_004
+    snap = _external_write_snapshot(meta, new_sid)
+    client._commit(
+        "db.rm",
+        updates=[{"action": "add-snapshot", "snapshot": snap}],
+        retries=1,
+    )
+    client._commit(
+        "db.rm",
+        updates=[
+            {
+                "action": "remove-snapshot-ref",
+                "ref-name": f"rest-staged-{new_sid}",
+            },
+            {"action": "remove-snapshots", "snapshot-ids": [new_sid]},
+        ],
+        retries=1,
+    )
+    _, meta2 = client.load_table_metadata("db.rm")
+    assert all(s["snapshot-id"] != new_sid for s in meta2["snapshots"])
+    assert meta2["current-snapshot-id"] == head

@@ -390,3 +390,75 @@ def test_zorder_rejects_bad_args(spark, catalog):
         t.compact(spark, sort_by=["id"], zorder_by=["id", "id"])
     with pytest.raises(ValueError):
         t.compact(spark, zorder_by=["id"])  # needs 2+ columns
+
+
+def test_quoted_literals_do_not_yield_phantom_conjuncts():
+    """r4 advice: a naive AND-split extracted ``id = 9`` from INSIDE a
+    quoted string literal and wrongly pruned files (stats here prove
+    id=9 impossible, but the real predicate never asserts it). The
+    quote-aware split keeps the file."""
+    from iceberg_kafka_connect_spark.sinks.stats import split_conjuncts
+
+    entry = {
+        "stats": {
+            "rows": 10,
+            "cols": {
+                "id": {"t": "i", "min": 10, "max": 20},
+                "name": {"t": "s", "min": "alpha", "max": "beta"},
+            },
+        }
+    }
+    # the whole thing is ONE conjunct: name = '<literal containing AND>';
+    # the literal sorts inside [alpha, beta], so only a phantom id=9
+    # conjunct could prune it
+    assert file_may_match(entry, "name = 'b AND id = 9 AND c'")
+    # real conjunct outside quotes still prunes
+    assert not file_may_match(entry, "name = 'x AND y' AND id = 9")
+    # top-level OR disables pruning even when quotes are present
+    assert file_may_match(entry, "name = 'q' OR id = 9")
+    # OR inside quotes does NOT disable the other conjunct's pruning
+    assert not file_may_match(entry, "name = 'a OR b' AND id = 9")
+    # doubled-quote escape stays inside the literal
+    assert file_may_match(entry, "name = 'b''s AND id = 9'")
+    # splitter unit behavior
+    assert split_conjuncts("a = 1 AND b = 'x AND c = 2'") == [
+        "a = 1 ",
+        " b = 'x AND c = 2'",
+    ]
+    assert split_conjuncts("a = 1 OR b = 2") is None
+    assert split_conjuncts("a = 'unbalanced") is None
+    # ANDrew is a column name, not a conjunction boundary
+    assert split_conjuncts("ANDrew = 1 AND banda = 2") == [
+        "ANDrew = 1 ",
+        " banda = 2",
+    ]
+
+
+def test_bucket_prune_ignores_quoted_and(spark, catalog):
+    """A bucket-partitioned table must not prune to a phantom bucket when
+    an equality appears inside a string literal (r4 advice: silent wrong
+    bucket in read/delete_where/update)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("note", T.StringType(), True),
+        ]
+    )
+    t = catalog.create_table(
+        "db.bq", schema, partition_by=["iceberg_bucket(4, event_id)"]
+    )
+    # every file carries note bounds [a, zz], so column stats never
+    # prune — only the bucket transform (or a phantom conjunct) could
+    rows = [(i, n) for i in range(16) for n in ("a", "zz")]
+    t.append(spark.createDataFrame(rows, schema))
+    # literal contains an equality on the bucket source column: the scan
+    # must keep every bucket (no phantom event_id=3 extraction)
+    kept, total = t.scan_files("note = 'b AND event_id = 3 AND c'")
+    assert len(kept) == total
+    # a REAL equality still prunes to ~1/4 of the files
+    kept2, total2 = t.scan_files("event_id = 3")
+    assert len(kept2) < total2
+    got = {r.event_id for r in t.read(spark, where="event_id = 3").collect()}
+    assert got == {3}
