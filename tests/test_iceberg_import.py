@@ -1158,3 +1158,181 @@ def test_name_mapping_synthesized_from_schema_history(spark, tmp_path):
     assert imp.schema().fieldNames() == ["k", "txt"]
     got = sorted((r.k, r.txt) for r in imp.read(spark).collect())
     assert got == [(1, "before"), (2, "after")]
+
+
+# ----------------------------------------- time / uuid / fixed type lanes
+def _typed_lane_tree(tmp_path):
+    """Minimal v2 tree with SURVEY §1.2's Spark-less types: ``time``
+    (long micros since midnight), ``uuid`` (string form), ``fixed[8]``
+    (binary). The physical parquet carries exactly the documented
+    degraded representations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        _manifest_entry_schema,
+        _manifest_list_schema,
+        _write_ocf,
+    )
+
+    root = tmp_path / "typed"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    dpath = str(root / "data" / "d0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "t": pa.array([3_600_000_000, 7_200_000_000], pa.int64()),
+                "u": pa.array(
+                    [
+                        "0f2cd834-5cb7-46ff-9cbb-000000000001",
+                        "0f2cd834-5cb7-46ff-9cbb-000000000002",
+                    ]
+                ),
+                "f": pa.array([b"\x01" * 8, b"\x02" * 8], pa.binary()),
+            }
+        ),
+        dpath,
+    )
+    mpath = str(root / "metadata" / "m0.avro")
+    _write_ocf(
+        mpath,
+        _manifest_entry_schema(),
+        [
+            {
+                "status": 1,
+                "snapshot_id": 42,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "file://" + dpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "equality_ids": None,
+                    "value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "sort_order_id": None,
+                },
+            }
+        ],
+        {},
+    )
+    mlist = str(root / "metadata" / "snap-42.avro")
+    _write_ocf(
+        mlist,
+        _manifest_list_schema(),
+        [
+            {
+                "manifest_path": "file://" + mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 42,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 2,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        {},
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "0f2cd834-5cb7-46ff-9cbb-00000000beef",
+        "location": "file://" + str(root),
+        "last-sequence-number": 1,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 4,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": True, "type": "long"},
+                    {"id": 2, "name": "t", "required": False, "type": "time"},
+                    {"id": 3, "name": "u", "required": False, "type": "uuid"},
+                    {
+                        "id": 4,
+                        "name": "f",
+                        "required": False,
+                        "type": "fixed[8]",
+                    },
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 42,
+        "refs": {"main": {"snapshot-id": 42, "type": "branch"}},
+        "snapshots": [
+            {
+                "snapshot-id": 42,
+                "sequence-number": 1,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": "file://" + mlist,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+    }
+    mf = root / "metadata" / "00001-typed.metadata.json"
+    with open(mf, "w") as f:
+        json.dump(metadata, f)
+    return str(mf)
+
+
+def test_time_uuid_fixed_import_read_reexport(spark, tmp_path):
+    """SURVEY §1.2 lanes Spark has no native type for: time → long
+    micros-since-midnight, uuid → string, fixed[N] → binary. The tree
+    imports, reads the documented degraded values, and re-exports with
+    the field-ids preserved (no silent drops)."""
+    from pyspark.sql import types as T
+
+    mf = _typed_lane_tree(tmp_path)
+    t = import_iceberg_table(mf, str(tmp_path / "dst"))
+    by_name = {f.name: f.dataType for f in t.schema().fields}
+    assert by_name["t"] == T.LongType()
+    assert by_name["u"] == T.StringType()
+    assert by_name["f"] == T.BinaryType()
+    rows = {r.k: r for r in t.read(spark).collect()}
+    assert rows[1].t == 3_600_000_000  # 01:00:00 in micros
+    assert rows[2].u.endswith("02")
+    assert bytes(rows[1].f) == b"\x01" * 8
+    # re-export: field ids survive (fresh assignment is depth-first in
+    # declaration order, matching the fixture's sequential ids); the
+    # degraded types are what the data files actually hold
+    out = export_iceberg_metadata(t)
+    with open(out) as f:
+        md = json.load(f)
+    exp = {
+        f["id"]: (f["name"], f["type"])
+        for f in md["schemas"][-1]["fields"]
+    }
+    assert exp == {
+        1: ("k", "long"),
+        2: ("t", "long"),
+        3: ("u", "string"),
+        4: ("f", "binary"),
+    }
+
+
+def test_unknown_iceberg_type_raises_named_error(tmp_path):
+    """An unmappable type is a named IcebergImportUnsupported, never a
+    silent drop."""
+    from iceberg_kafka_connect_spark.sinks.iceberg_import import (
+        iceberg_type_to_spark,
+    )
+
+    with pytest.raises(IcebergImportUnsupported, match="geometry"):
+        iceberg_type_to_spark("geometry")
