@@ -418,6 +418,36 @@ class RestCatalog:
             retries=1 if reqs else 3,
         )
 
+    def commit_transaction(
+        self,
+        changes: list[tuple[str, list[dict], list[dict] | None]],
+    ) -> None:
+        """Multi-table transaction (``POST /v1/transactions/commit``):
+        ``changes`` is a list of (table name, updates, requirements).
+        The server validates EVERY table's requirements and updates
+        before applying any — a stale CAS or malformed update anywhere
+        rejects the whole transaction (409/400) with nothing written."""
+        table_changes = []
+        for name, updates, reqs in changes:
+            ns, t = self._ident(name)
+            table_changes.append(
+                {
+                    "identifier": {"namespace": ns.split("."), "name": t},
+                    "requirements": reqs or [],
+                    "updates": updates,
+                }
+            )
+        try:
+            self._request(
+                "POST",
+                "/v1/transactions/commit",
+                {"table-changes": table_changes},
+            )
+        except RestCatalogError as e:
+            if e.code == 409:
+                raise RestCommitFailed(str(e)) from None
+            raise
+
     def _current_served_schema(self, name: str) -> dict:
         _, meta = self.load_table_metadata(name)
         # schema-id is an ID, not a list position — an evolved external

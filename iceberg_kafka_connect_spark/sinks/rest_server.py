@@ -318,12 +318,32 @@ class _Handler(BaseHTTPRequestHandler):
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/register", path):
             if m == "POST":
                 return self._register(_ns_name(_ns_levels(mt.group(1))))
+        if mt := re.fullmatch(
+            r"/v1/namespaces/([^/]+)/tables/([^/]+)/metrics", path
+        ):
+            if m == "POST":
+                # spec reportMetrics: clients push scan/commit reports;
+                # acknowledging is conformant (servers MAY ignore), and a
+                # 404 here would error strict clients after every scan
+                full = ".".join(
+                    [*_ns_levels(mt.group(1)), unquote(mt.group(2))]
+                )
+                if not self.state.catalog.table_exists(full):
+                    raise _err(
+                        404,
+                        "NoSuchTableException",
+                        f"table {full!r} not found",
+                    )
+                self._json_body()  # must still be valid JSON
+                return self._send(204)
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/tables/([^/]+)", path):
             return self._table(
                 _ns_name(_ns_levels(mt.group(1))), unquote(mt.group(2)), q
             )
         if path == "/v1/tables/rename" and m == "POST":
             return self._rename()
+        if path == "/v1/transactions/commit" and m == "POST":
+            return self._commit_transaction()
         raise _err(404, "NoSuchEndpointException", f"{m} {path}")
 
     # ----------------------------------------------------------- namespaces
@@ -615,6 +635,89 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(204)
 
     # --------------------------------------------------------------- commit
+    def _commit_transaction(self):
+        """Multi-table transaction commit — the public REST spec's
+        ``POST /v1/transactions/commit`` (CommitTransactionRequest), the
+        protocol face of the reference's multi-table coordinated commit
+        (T8; the committer lands one commit per table under a single
+        coordination round). Per-table locks are taken in sorted order
+        (no deadlock between concurrent transactions), EVERY table's
+        requirements are checked and EVERY update prepared before any
+        table applies — a stale CAS or malformed update anywhere rejects
+        the whole transaction with nothing written. Apply is then
+        per-table atomic storage commits; only a server crash mid-apply
+        can leave a prefix applied (single-arbiter scope, documented)."""
+        from contextlib import ExitStack
+
+        body = self._json_body()
+        changes = body.get("table-changes") or []
+        if not changes:
+            raise _err(400, "BadRequestException", "table-changes required")
+        per_table: list[tuple[str, dict]] = []
+        for ch in changes:
+            ident = ch.get("identifier") or {}
+            ns_levels = ident.get("namespace") or []
+            nm = ident.get("name")
+            if not ns_levels or not nm:
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    "table-changes entries need identifier.namespace "
+                    "and identifier.name",
+                )
+            full = ".".join([*ns_levels, nm])
+            if not self.state.catalog.table_exists(full):
+                raise _err(
+                    404, "NoSuchTableException", f"table {full!r} not found"
+                )
+            per_table.append((full, ch))
+        with ExitStack() as stack:
+            for full in sorted({f for f, _ in per_table}):
+                stack.enter_context(self.state.table_lock(full))
+            prepared: list[tuple[str, list]] = []
+            for full, ch in per_table:
+                table = self.state.catalog.load_table(full)
+                meta = table.metadata()
+                int_to_hex = _int_id_map(meta)
+                self._check_requirements(
+                    ch.get("requirements") or [], table, meta, int_to_hex
+                )
+                updates = ch.get("updates") or []
+                needs_served = any(
+                    (u.get("action") or u.get("type")) == "add-snapshot"
+                    for u in updates
+                )
+                ctx = {
+                    "meta": meta,
+                    "int_to_hex": int_to_hex,
+                    "hex_to_int": {h: i for i, h in int_to_hex.items()},
+                    "staged": {},
+                    "claimed": {},
+                    "served": (
+                        self.state.current_metadata(full)[1]
+                        if needs_served
+                        else None
+                    ),
+                }
+                prepared.append(
+                    (
+                        full,
+                        [
+                            self._prepare_update(table, up, ctx)
+                            for up in updates
+                        ],
+                    )
+                )
+            try:
+                for full, actions in prepared:
+                    for act in actions:
+                        if act is not None:
+                            act()
+                    self.state.invalidate(full)
+            except CommitConflict as e:
+                raise _err(409, "CommitFailedException", str(e))
+        self._send(204)
+
     def _commit(self, full: str):
         body = self._json_body()
         if not self.state.catalog.table_exists(full):
@@ -701,6 +804,17 @@ class _Handler(BaseHTTPRequestHandler):
                             f"ref {ref!r} expected absent, found "
                             f"{cur_hex!r}",
                         )
+                elif want_hex is None:
+                    # the asserted id doesn't name any snapshot of THIS
+                    # table — it cannot be the ref's current head, so the
+                    # requirement fails (previously this passed vacuously
+                    # when the ref was also absent: None == None)
+                    raise _err(
+                        409,
+                        "CommitFailedException",
+                        f"ref {ref!r}: asserted snapshot {want} does not "
+                        "exist in this table",
+                    )
                 elif cur_hex != want_hex:
                     raise _err(
                         409,

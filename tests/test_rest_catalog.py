@@ -832,3 +832,195 @@ def test_remove_snapshots_orphan_only(spark, server, client):
     _, meta2 = client.load_table_metadata("db.rm")
     assert all(s["snapshot-id"] != new_sid for s in meta2["snapshots"])
     assert meta2["current-snapshot-id"] == head
+
+
+# ------------------------------------------------- multi-table transactions
+def test_transaction_commits_across_tables(spark, server, client):
+    """POST /v1/transactions/commit: every table's requirements and
+    updates validate before ANY applies — the protocol face of the
+    multi-table coordinated commit (T8)."""
+    client.create_table("db.tx1", SCHEMA)
+    client.create_table("db.tx2", SCHEMA)
+    client.commit_transaction(
+        [
+            ("db.tx1", [{"action": "set-properties", "updates": {"a": "1"}}], None),
+            ("db.tx2", [{"action": "set-properties", "updates": {"b": "2"}}], None),
+        ]
+    )
+    assert server.catalog.load_table("db.tx1").properties()["a"] == "1"
+    assert server.catalog.load_table("db.tx2").properties()["b"] == "2"
+
+    # malformed update on the SECOND table → nothing applies on the first
+    with pytest.raises(RestCatalogError) as ei:
+        client.commit_transaction(
+            [
+                ("db.tx1", [{"action": "set-properties", "updates": {"leak": "y"}}], None),
+                ("db.tx2", [{"action": "set-snapshot-ref", "ref-name": "main",
+                             "type": "branch", "snapshot-id": 424242}], None),
+            ]
+        )
+    assert ei.value.code == 400
+    assert "leak" not in server.catalog.load_table("db.tx1").properties()
+
+    # stale CAS on the second table → clean 409, nothing applies
+    t1 = server.catalog.load_table("db.tx1")
+    t1.append(spark.createDataFrame(_rows(2), SCHEMA))
+    head1 = _snapshot_id_int(t1.current_snapshot()["snapshot_id"])
+    with pytest.raises(RestCommitFailed):
+        client.commit_transaction(
+            [
+                ("db.tx1", [{"action": "set-properties", "updates": {"leak2": "y"}}], None),
+                (
+                    "db.tx2",
+                    [{"action": "set-properties", "updates": {"c": "3"}}],
+                    [{"type": "assert-ref-snapshot-id", "ref": "main",
+                      "snapshot-id": head1}],  # tx2's main is empty → stale
+                ),
+            ]
+        )
+    assert "leak2" not in server.catalog.load_table("db.tx1").properties()
+    # unknown table → 404 before any lock is taken
+    with pytest.raises(RestCatalogError) as ei:
+        client.commit_transaction(
+            [("db.nope", [{"action": "set-properties", "updates": {}}], None)]
+        )
+    assert ei.value.code == 404
+
+
+def test_external_writer_commits_equality_delete(spark, server, client):
+    """The write side handles DELETE commits too: an external writer posts
+    a snapshot whose new manifest is an equality-delete file; the engine's
+    merge-on-read applies it (delete at seq N hits data with seq < N)."""
+    import os
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        _manifest_entry_schema,
+        _manifest_list_schema,
+        _read_ocf,
+        _write_ocf,
+    )
+
+    t = client.create_table("db.ed", SCHEMA)
+    t.append(spark.createDataFrame(_rows(6), SCHEMA))
+    _, meta = client.load_table_metadata("db.ed")
+    head = meta["current-snapshot-id"]
+    root = meta["location"].removeprefix("file://")
+    seq = meta["last-sequence-number"] + 1
+    new_sid = 9_900_000_021
+
+    # equality-delete parquet on the id column (field id 1)
+    dpath = os.path.join(root, "data", f"eqdel-{_uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.table({"id": pa.array([2, 4], pa.int64())}), dpath)
+    mpath = os.path.join(root, "metadata", f"ext-d-{_uuid.uuid4().hex}.avro")
+    _write_ocf(
+        mpath,
+        _manifest_entry_schema(),
+        [
+            {
+                "status": 1,
+                "snapshot_id": new_sid,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": "file://" + dpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "equality_ids": [1],
+                    "value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "sort_order_id": None,
+                },
+            }
+        ],
+        {},
+    )
+    parent_snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == head
+    )
+    _, _, carried = _read_ocf(
+        parent_snap["manifest-list"].removeprefix("file://")
+    )
+    mlpath = os.path.join(
+        root, "metadata", f"snap-{new_sid}-1-{_uuid.uuid4().hex}.avro"
+    )
+    _write_ocf(
+        mlpath,
+        _manifest_list_schema(),
+        carried
+        + [
+            {
+                "manifest_path": "file://" + mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 1,  # deletes manifest
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": new_sid,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 2,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        {},
+    )
+    client._commit(
+        "db.ed",
+        updates=[
+            {
+                "action": "add-snapshot",
+                "snapshot": {
+                    "snapshot-id": new_sid,
+                    "parent-snapshot-id": head,
+                    "sequence-number": seq,
+                    "timestamp-ms": int(_time.time() * 1000),
+                    "manifest-list": "file://" + mlpath,
+                    "summary": {"operation": "delete"},
+                    "schema-id": 0,
+                },
+            },
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": new_sid,
+            },
+        ],
+        requirements=[
+            {"type": "assert-ref-snapshot-id", "ref": "main",
+             "snapshot-id": head}
+        ],
+        retries=1,
+    )
+    got = sorted(
+        r.id for r in server.catalog.load_table("db.ed").read(spark).collect()
+    )
+    assert got == [0, 1, 3, 5]
+
+
+def test_metrics_endpoint_acknowledged(spark, client):
+    """reportMetrics is acknowledged (204) so strict clients that push
+    scan reports after every read don't error; unknown table is 404."""
+    client.create_table("db.m", SCHEMA)
+    out = client._request(
+        "POST",
+        "/v1/namespaces/db/tables/m/metrics",
+        {"report-type": "scan-report", "table-name": "db.m", "snapshot-id": 1},
+    )
+    assert out == {}
+    with pytest.raises(RestCatalogError) as ei:
+        client._request(
+            "POST", "/v1/namespaces/db/tables/nope/metrics", {"x": 1}
+        )
+    assert ei.value.code == 404
