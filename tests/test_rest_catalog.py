@@ -1024,3 +1024,141 @@ def test_metrics_endpoint_acknowledged(spark, client):
             "POST", "/v1/namespaces/db/tables/nope/metrics", {"x": 1}
         )
     assert ei.value.code == 404
+
+
+def test_external_writer_commits_position_delete(spark, server, client):
+    """Position-delete commits through add-snapshot: the posted delete
+    file references the SERVED data-file path (spec file_path + pos);
+    the engine re-encodes it internally and merge-on-read drops exactly
+    that row."""
+    import os
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        _manifest_entry_schema,
+        _manifest_list_schema,
+        _read_ocf,
+        _write_ocf,
+    )
+
+    t = client.create_table("db.pd", SCHEMA)
+    t.append(
+        spark.createDataFrame(sorted(_rows(4)), SCHEMA)
+        .coalesce(1)
+        .sortWithinPartitions("id")
+    )
+    _, meta = client.load_table_metadata("db.pd")
+    head = meta["current-snapshot-id"]
+    root = meta["location"].removeprefix("file://")
+    seq = meta["last-sequence-number"] + 1
+    new_sid = 9_900_000_031
+
+    # find the served data file and the row ordinal of id=1 within it
+    parent_snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == head
+    )
+    _, _, carried = _read_ocf(
+        parent_snap["manifest-list"].removeprefix("file://")
+    )
+    _, _, entries = _read_ocf(
+        carried[0]["manifest_path"].removeprefix("file://")
+    )
+    target = entries[0]["data_file"]["file_path"]
+    ordered = pq.read_table(target.removeprefix("file://")).to_pydict()["id"]
+    pos = ordered.index(1)
+
+    dpath = os.path.join(root, "data", f"posdel-{_uuid.uuid4().hex}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([target]),
+                "pos": pa.array([pos], pa.int64()),
+            }
+        ),
+        dpath,
+    )
+    mpath = os.path.join(root, "metadata", f"ext-p-{_uuid.uuid4().hex}.avro")
+    _write_ocf(
+        mpath,
+        _manifest_entry_schema(),
+        [
+            {
+                "status": 1,
+                "snapshot_id": new_sid,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": "file://" + dpath,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "equality_ids": None,
+                    "value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "sort_order_id": None,
+                },
+            }
+        ],
+        {},
+    )
+    mlpath = os.path.join(
+        root, "metadata", f"snap-{new_sid}-1-{_uuid.uuid4().hex}.avro"
+    )
+    _write_ocf(
+        mlpath,
+        _manifest_list_schema(),
+        carried
+        + [
+            {
+                "manifest_path": "file://" + mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": new_sid,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 1,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        {},
+    )
+    client._commit(
+        "db.pd",
+        updates=[
+            {
+                "action": "add-snapshot",
+                "snapshot": {
+                    "snapshot-id": new_sid,
+                    "parent-snapshot-id": head,
+                    "sequence-number": seq,
+                    "timestamp-ms": int(_time.time() * 1000),
+                    "manifest-list": "file://" + mlpath,
+                    "summary": {"operation": "delete"},
+                    "schema-id": 0,
+                },
+            },
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": new_sid,
+            },
+        ],
+        retries=1,
+    )
+    got = sorted(
+        r.id for r in server.catalog.load_table("db.pd").read(spark).collect()
+    )
+    assert got == [0, 2, 3]
