@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "name_mapping_resolve",
     "text_pii_scrub",
     "docs_pack_sequences",
+    "docs_bm25_topk",
     "asof_join_purchase",
     "range_join_attribution",
     "text_repetition",

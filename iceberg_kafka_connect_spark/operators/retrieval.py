@@ -1,0 +1,138 @@
+"""BM25 top-k retrieval over a document table.
+
+A training-data pipeline retrieves constantly: nearest-neighbor probes for
+contamination sweeps, example selection for targeted curation, query-based
+corpus audits ("what does the corpus say about X"). The embedding side is
+covered by the ANN operators (similarity.py / ivf.py / pq.py); this module
+is the LEXICAL side — Okapi BM25 (Robertson et al., TREC-3; the Lucene
+default scoring function) expressed as pure DataFrame algebra.
+
+Scale shape (the whole point — no search library, no driver loops):
+
+- the posting list (doc, term, tf) is ONE tokenize+groupBy pass over the
+  corpus, shuffled by (doc, term) with map-side partial aggregation;
+- per-term document frequencies are computed only for the QUERY terms —
+  the query set joins the postings BROADCAST, so the 100 TB posting table
+  is filtered map-side to matching terms and never reshuffles by term;
+- global stats (N, avgdl) ride a broadcast 1-row crossJoin, never a
+  driver ``.collect()``;
+- scoring aggregates by (query, doc) — cardinality bounded by
+  |queries| × matched docs, tiny next to the corpus;
+- top-k election is a window over each query's partition (ROW_NUMBER,
+  score DESC, doc id ASC tie-break) — there is NO global sort anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["bm25_topk", "tokenize_terms"]
+
+
+def tokenize_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term) posting rows: lowercase, split on non-alphanumerics,
+    drop empties. Deliberately the same tokenizer the text-analysis
+    operators use so retrieval and dedup agree on what a term is."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25.
+
+    ``queries`` is a (query_id, term) DataFrame — one row per query term,
+    duplicates meaningful (a repeated term scores twice, matching the
+    classic formulation over bag-of-words queries). It is assumed SMALL
+    (thousands of terms, not millions) and is broadcast.
+
+    score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) /
+                  (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))   (Lucene's variant,
+    always positive).
+
+    Returns (query_id, doc_id, rank) with rank 1..k per query; ties break
+    on the smaller doc id so results are deterministic.
+    """
+    tok = tokenize_terms(docs, id_col, text_col)
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(term_col).alias("term")
+    )
+    # df(t) only for query terms: postings filter against the broadcast
+    # query vocabulary map-side, then a tiny groupBy over the survivors
+    qvocab = q.select("term").distinct()
+    dft = (
+        tf.join(F.broadcast(qvocab), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qterms = q.join(F.broadcast(dft), "term", "left").fillna(
+        {"df": 0}
+    )  # a term absent from the corpus scores nothing but keeps the query
+
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+        .groupBy("qid", "id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -521,3 +521,88 @@ def docs_winnow_fingerprints(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval (operators/retrieval.py). The compared columns are
+# (query_id, doc_id, rank) — identical (tf, df, dl) integer inputs produce
+# identical doubles in both engines for every arithmetic step except ln,
+# whose last ULP may differ between libm and the JVM; ranks are compared
+# instead of raw scores so a ULP never flips the hash (ties break on
+# doc_id in both engines). Queries are a fixed literal term list over the
+# synthetic vocabulary.
+# --------------------------------------------------------------------------
+_BM25_QUERIES = [
+    (0, "spark"), (0, "join"),
+    (1, "window"), (1, "merge"), (1, "sort"),
+    (2, "customer"), (2, "filter"),
+    (3, "stream"), (3, "batch"), (3, "nosuchterm"),
+]
+_BM25_Q_SQL = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+
+@register(
+    "docs_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             UNNEST(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> ''
+             )) AS t(term)
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM dl
+    ),
+    q(query_id, term) AS (VALUES {_BM25_Q_SQL}),
+    dft AS (
+        SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM q)
+        GROUP BY 1
+    ),
+    qterms AS (
+        SELECT q.query_id, q.term, COALESCE(dft.df, 0) AS df
+        FROM q LEFT JOIN dft USING (term)
+    ),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               SUM(
+                   ln(1.0 + (s.n_docs - qt.df + 0.5) / (qt.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               ) AS score
+        FROM tf
+        JOIN qterms qt USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rank FROM (
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC
+               ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+    tags=("text", "retrieval"),
+)
+def docs_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval, the corpus-audit / contamination-probe
+    primitive (operators/retrieval.py docstring has the 100 TB shape:
+    broadcast query vocabulary, no posting reshuffle, no global sort)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, term string"
+    )
+    return bm25_topk(docs, queries, k=10)

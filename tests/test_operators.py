@@ -605,3 +605,53 @@ def test_phash_real_branch_or_skip(spark):
     )
     out = phash_groups(df, use_fake=False).collect()
     assert len(out) == 1 and out[0]["n_imgs"] == 2
+
+
+def test_bm25_matches_hand_computed_reference(spark):
+    """Pin the exact Okapi BM25 formula (Lucene idf variant) against a
+    from-scratch python computation on a tiny corpus."""
+    import math
+
+    from iceberg_kafka_connect_spark.operators.retrieval import bm25_topk
+
+    corpus = {
+        1: "spark join join window",
+        2: "join filter",
+        3: "window window window spark",
+        4: "merge sort",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [(0, "join"), (0, "window")], "query_id long, term string"
+    )
+    got = {
+        (r.query_id, r.doc_id): r.rank
+        for r in bm25_topk(docs, queries, k=4).collect()
+    }
+
+    # reference computation
+    tok = {i: t.split() for i, t in corpus.items()}
+    n, avgdl = len(tok), sum(len(v) for v in tok.values()) / len(tok)
+    k1, b = 1.2, 0.75
+
+    def score(doc, terms):
+        s = 0.0
+        for t in terms:
+            tf = tok[doc].count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for d in tok.values() if t in d)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tok[doc]) / avgdl))
+        return s
+
+    matching = [d for d in corpus if score(d, ["join", "window"]) > 0]
+    expected = sorted(
+        matching, key=lambda d: (-score(d, ["join", "window"]), d)
+    )
+    # docs containing NO query term never join and are not ranked —
+    # retrieval returns matches only
+    want = {(0, d): i + 1 for i, d in enumerate(expected)}
+    assert got == want

@@ -382,3 +382,16 @@ def test_incremental_refresh_images_never_shuffle(spark):
     # of the two partial aggs (the only SinglePartition-free exchange is
     # the final group merge)
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_broadcast_queries_no_global_sort(spark, sf_dir):
+    """BM25 retrieval at 100 TB: the query vocabulary joins the posting
+    table broadcast (the corpus never reshuffles by term for scoring) and
+    top-k election is a per-query window — no global sort anywhere."""
+    df = SPECS["docs_bm25_topk"].fn(spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    # window sort is within hashpartitioning(qid); a global ordering would
+    # show a rangepartitioning exchange
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "PythonUDF" not in plan
