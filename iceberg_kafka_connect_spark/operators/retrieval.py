@@ -75,7 +75,10 @@ def bm25_topk(
     """
     tok = tokenize_terms(docs, id_col, text_col)
     tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # document length = Σ tf by definition: derive dl from the already-
+    # aggregated (and far smaller) tf relation instead of a second full
+    # tokenize pass over the corpus
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -802,6 +802,33 @@ def import_iceberg_table(
 
 
 # ----------------------------------------------------------------- refresh
+def _diff_file_sets(
+    prev_data: list[dict],
+    prev_del: list[dict],
+    cur_data: list[dict],
+    cur_del: list[dict],
+) -> tuple[list[dict], list[dict], bool]:
+    """(added_data, added_deletes, any_removed) between two translated
+    live file sets — the append-vs-replace rule SHARED by
+    refresh_from_iceberg and translate_rest_snapshot (one copy so the
+    subtle delete-identity rule can't drift): re-encoded position deletes
+    get fresh internal names per refresh, so delete identity is the
+    ORIGINAL external path when recorded, else (path, seq)."""
+
+    def _dkey(e: dict):
+        return (e.get("src") or e["path"], e["seq"])
+
+    prev_dp = {e["path"] for e in prev_data}
+    prev_dk = {_dkey(e) for e in prev_del}
+    added_data = [e for e in cur_data if e["path"] not in prev_dp]
+    added_del = [e for e in cur_del if _dkey(e) not in prev_dk]
+    removed = bool(
+        (prev_dp - {e["path"] for e in cur_data})
+        or (prev_dk - {_dkey(e) for e in cur_del})
+    )
+    return added_data, added_del, removed
+
+
 def refresh_from_iceberg(
     table: LakehouseTable, source: str | None = None
 ) -> dict:
@@ -934,12 +961,6 @@ def refresh_from_iceberg(
             only_added_by=only_added_by,
         )
 
-    def _dkey(e):
-        # refreshed position deletes re-encode to fresh internal files, so
-        # delete identity is the ORIGINAL external path when recorded,
-        # else (path, seq)
-        return (e.get("src") or e["path"], e["seq"])
-
     # the recorded snapshot's own state, when the metadata still has it —
     # a depth-capped mirror exports heads only, so it may not (then the
     # first chain element syncs via its ADDED entries, append-only)
@@ -953,12 +974,8 @@ def refresh_from_iceberg(
             "operation", "append"
         )
         if prev_data is not None:
-            prev_dp = {e["path"] for e in prev_data}
-            prev_dk = {_dkey(e) for e in prev_del}
-            added_data = [e for e in cur_data if e["path"] not in prev_dp]
-            added_del = [e for e in cur_del if _dkey(e) not in prev_dk]
-            removed = (prev_dp - {e["path"] for e in cur_data}) or (
-                prev_dk - {_dkey(e) for e in cur_del}
+            added_data, added_del, removed = _diff_file_sets(
+                prev_data, prev_del, cur_data, cur_del
             )
         elif op == "append":
             # no parent state exported: an append snapshot's own additions
@@ -966,7 +983,7 @@ def refresh_from_iceberg(
             added_data, added_del = _files_of(
                 ext_sid, only_added_by=ext_sid
             )
-            removed = set()
+            removed = False
         else:
             raise IcebergImportUnsupported(
                 f"snapshot {ext_sid} ({op}) may have removed files but "
@@ -1089,16 +1106,8 @@ def translate_rest_snapshot(
             "table metadata"
         )
 
-    def _dkey(e: dict):
-        return (e.get("src") or e["path"], e["seq"])
-
-    prev_dp = {e["path"] for e in prev_data}
-    prev_dk = {_dkey(e) for e in prev_del}
-    added_data = [e for e in cur_data if e["path"] not in prev_dp]
-    added_del = [e for e in cur_del if _dkey(e) not in prev_dk]
-    removed = bool(
-        (prev_dp - {e["path"] for e in cur_data})
-        or (prev_dk - {_dkey(e) for e in cur_del})
+    added_data, added_del, removed = _diff_file_sets(
+        prev_data, prev_del, cur_data, cur_del
     )
     return {
         "ext_sid": ext_sid,

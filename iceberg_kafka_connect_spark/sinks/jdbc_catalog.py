@@ -351,6 +351,14 @@ class JdbcCatalog:
                 (dns, dt, new_loc, loc, self.name, sns, st, loc),
             )
             if cur.rowcount != 1:
+                # the aborted export's metadata file embeds absolute URIs
+                # under new_root — it must not ride back with the rollback
+                # or the next export's metadata-log would point readers at
+                # the dead location
+                try:
+                    os.unlink(new_loc)
+                except OSError:
+                    pass
                 os.rename(new_root, old_root)
                 raise CommitConflict(
                     f"{src} changed concurrently during rename; "

@@ -426,7 +426,10 @@ class RestCatalog:
         ``changes`` is a list of (table name, updates, requirements).
         The server validates EVERY table's requirements and updates
         before applying any — a stale CAS or malformed update anywhere
-        rejects the whole transaction (409/400) with nothing written."""
+        rejects the whole transaction (409/400) with nothing written.
+        (Exception: an out-of-band storage-side conflict DURING apply
+        returns 409 with an already-applied prefix committed — reload
+        the tables and reconcile before retrying.)"""
         table_changes = []
         for name, updates, reqs in changes:
             ns, t = self._ident(name)

@@ -64,7 +64,6 @@ from urllib.parse import parse_qs, unquote, urlparse
 from .catalog import Catalog, NoSuchTableError, TableAlreadyExistsError
 from .iceberg_export import (
     _export_snapshot_id,
-    _snapshot_id_int,
     export_iceberg_metadata,
 )
 from .table import MAIN, CommitConflict
@@ -328,13 +327,16 @@ class _Handler(BaseHTTPRequestHandler):
                 full = ".".join(
                     [*_ns_levels(mt.group(1)), unquote(mt.group(2))]
                 )
+                # drain (and validate) the body BEFORE any error return:
+                # on HTTP/1.1 keep-alive an unread body desyncs the next
+                # request on the connection
+                self._json_body()
                 if not self.state.catalog.table_exists(full):
                     raise _err(
                         404,
                         "NoSuchTableException",
                         f"table {full!r} not found",
                     )
-                self._json_body()  # must still be valid JSON
                 return self._send(204)
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/tables/([^/]+)", path):
             return self._table(
@@ -645,8 +647,10 @@ class _Handler(BaseHTTPRequestHandler):
         requirements are checked and EVERY update prepared before any
         table applies — a stale CAS or malformed update anywhere rejects
         the whole transaction with nothing written. Apply is then
-        per-table atomic storage commits; only a server crash mid-apply
-        can leave a prefix applied (single-arbiter scope, documented)."""
+        per-table atomic storage commits; a server crash or an
+        out-of-band storage-side CommitConflict mid-apply can leave an
+        already-applied prefix of tables committed (single-arbiter
+        scope — the 409 tells the client to reload and reconcile)."""
         from contextlib import ExitStack
 
         body = self._json_body()
@@ -990,6 +994,22 @@ class _Handler(BaseHTTPRequestHandler):
                     "BadRequestException",
                     f"{k.replace('_', '-')} must be a non-negative int",
                 )
+        # mirror set_ref_retention's guards HERE so they can never fire
+        # after the snapshot commit already applied (atomic contract): main
+        # never carries max-ref-age-ms; tags carry max-ref-age-ms ONLY
+        if retention:
+            if ref == MAIN and "max_ref_age_ms" in retention:
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    "main cannot carry max-ref-age-ms",
+                )
+            if rtype == "tag" and set(retention) - {"max_ref_age_ms"}:
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    f"{ref!r} is a tag — tags support only max-ref-age-ms",
+                )
         if sid in ctx["staged"]:
             # publishing a snapshot added in THIS commit body
             prep = ctx["staged"][sid]
@@ -1036,6 +1056,13 @@ class _Handler(BaseHTTPRequestHandler):
                     table.create_tag(ref, hexsid)
                 except ValueError as e:
                     raise _err(409, "CommitFailedException", str(e))
+                # publishing a previously-staged snapshot as a tag retires
+                # its hidden staging branch too (the branch path below does
+                # the same) — otherwise the stale ref is served forever and
+                # blocks remove-snapshots as "referenced"
+                staging = f"rest-staged-{sid}"
+                if staging in table.metadata().get("refs", {}):
+                    table.drop_branch(staging)
                 self._apply_retention(table, ref, retention)
 
             return act
@@ -1172,15 +1199,20 @@ class _Handler(BaseHTTPRequestHandler):
             for fid, old_name in cur_by_id.items()
             if fid not in inc_by_id
         ]
-        # pre-check the DDL guards that drop/rename would hit at apply time
-        part_sources = {pf.source for pf in table.partition_spec()}
-        blocked = [c for c in drops if c in part_sources]
-        if blocked:
-            raise _err(
-                400,
-                "BadRequestException",
-                f"cannot drop partition source column(s) {blocked}",
-            )
+        # run the FULL column-DDL guards (partition sources, identifier
+        # fields, live equality-delete keys) here in prepare — a guard that
+        # fired at apply time would land earlier renames and then 400,
+        # breaking the atomic contract. _evolve_struct itself never raises
+        # (union evolve is total), so with these pre-checks the apply
+        # closure below cannot fail for a malformed request.
+        meta = table.metadata()
+        try:
+            for old_name, _new_name in renames:
+                table._guard_column_ddl(meta, old_name, "rename")
+            for old_name in drops:
+                table._guard_column_ddl(meta, old_name, "drop")
+        except ValueError as e:
+            raise _err(400, "BadRequestException", str(e))
         try:
             incoming = T.StructType(
                 [

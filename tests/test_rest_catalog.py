@@ -1162,3 +1162,134 @@ def test_external_writer_commits_position_delete(spark, server, client):
         r.id for r in server.catalog.load_table("db.pd").read(spark).collect()
     )
     assert got == [0, 2, 3]
+
+
+def test_retention_guards_fire_before_snapshot_lands(spark, server, client):
+    """Review fix: a retention guard violation (main + max-ref-age-ms) in
+    the SAME body as add-snapshot must reject in the prepare pass — the
+    snapshot must NOT land first, and the corrected body must succeed
+    afterwards (no 'snapshot id already exists' wedge)."""
+    t = client.create_table("db.rg", SCHEMA)
+    t.append(spark.createDataFrame(_rows(3), SCHEMA))
+    _, meta = client.load_table_metadata("db.rg")
+    head = meta["current-snapshot-id"]
+    new_sid = 9_900_000_041
+    snap = _external_write_snapshot(meta, new_sid)
+    bad_ref = {
+        "action": "set-snapshot-ref",
+        "ref-name": "main",
+        "type": "branch",
+        "snapshot-id": new_sid,
+        "max-ref-age-ms": 1000,  # main never carries max-ref-age-ms
+    }
+    with pytest.raises(RestCatalogError) as ei:
+        client._commit(
+            "db.rg",
+            updates=[{"action": "add-snapshot", "snapshot": snap}, bad_ref],
+            retries=1,
+        )
+    assert ei.value.code == 400
+    _, meta2 = client.load_table_metadata("db.rg")
+    assert meta2["current-snapshot-id"] == head
+    assert all(s["snapshot-id"] != new_sid for s in meta2["snapshots"])
+    # corrected body succeeds — the failed commit left nothing behind
+    good_ref = {k: v for k, v in bad_ref.items() if k != "max-ref-age-ms"}
+    client._commit(
+        "db.rg",
+        updates=[{"action": "add-snapshot", "snapshot": snap}, good_ref],
+        retries=1,
+    )
+    _, meta3 = client.load_table_metadata("db.rg")
+    assert meta3["current-snapshot-id"] == new_sid
+    # tag guard: branch-only retention keys on a tag reject in prepare too
+    with pytest.raises(RestCatalogError) as ei:
+        client._commit(
+            "db.rg",
+            updates=[
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "rel",
+                    "type": "tag",
+                    "snapshot-id": new_sid,
+                    "min-snapshots-to-keep": 2,
+                }
+            ],
+            retries=1,
+        )
+    assert ei.value.code == 400
+    assert "rel" not in client.load_table_metadata("db.rg")[1]["refs"]
+
+
+def test_add_schema_ddl_guards_fire_in_prepare(spark, server, client):
+    """Review fix: dropping an identifier column via add-schema must 400
+    with NO partial renames applied (full _guard_column_ddl mirror in the
+    prepare pass)."""
+    t = client.create_table("db.ig", SCHEMA, identifier_fields=["id"])
+    t.append(spark.createDataFrame(_rows(2), SCHEMA))
+    _, meta = client.load_table_metadata("db.ig")
+    fields = [dict(f) for f in meta["schemas"][-1]["fields"]]
+    # rename 'name' AND drop the identifier column 'id' in one schema
+    fields[1]["name"] = "renamed_name"
+    fields = [f for f in fields if f["name"] != "id"]
+    with pytest.raises(RestCatalogError) as ei:
+        client._commit(
+            "db.ig",
+            updates=[
+                {
+                    "action": "add-schema",
+                    "schema": {"type": "struct", "fields": fields},
+                }
+            ],
+            retries=1,
+        )
+    assert ei.value.code == 400
+    cols = [f.name for f in server.catalog.load_table("db.ig").schema()]
+    assert cols == ["id", "name", "ts"]  # the rename did NOT land
+
+
+def test_tag_publish_of_staged_snapshot_drops_staging_ref(
+    spark, server, client
+):
+    """Review fix: publishing a previously-staged snapshot as a TAG (not
+    a branch) retires the hidden rest-staged ref too."""
+    t = client.create_table("db.tg", SCHEMA)
+    t.append(spark.createDataFrame(_rows(3), SCHEMA))
+    _, meta = client.load_table_metadata("db.tg")
+    new_sid = 9_900_000_042
+    snap = _external_write_snapshot(meta, new_sid)
+    client._commit(
+        "db.tg",
+        updates=[{"action": "add-snapshot", "snapshot": snap}],
+        retries=1,
+    )
+    assert f"rest-staged-{new_sid}" in client.load_table_metadata("db.tg")[1][
+        "refs"
+    ]
+    client._commit(
+        "db.tg",
+        updates=[
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "audited",
+                "type": "tag",
+                "snapshot-id": new_sid,
+            }
+        ],
+        retries=1,
+    )
+    _, meta2 = client.load_table_metadata("db.tg")
+    assert f"rest-staged-{new_sid}" not in meta2["refs"]
+    assert meta2["refs"]["audited"]["type"] == "tag"
+    # and the snapshot can now be removed after dropping the tag
+    client._commit(
+        "db.tg",
+        updates=[
+            {"action": "remove-snapshot-ref", "ref-name": "audited"},
+            {"action": "remove-snapshots", "snapshot-ids": [new_sid]},
+        ],
+        retries=1,
+    )
+    assert all(
+        s["snapshot-id"] != new_sid
+        for s in client.load_table_metadata("db.tg")[1]["snapshots"]
+    )
