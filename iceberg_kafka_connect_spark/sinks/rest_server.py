@@ -276,6 +276,7 @@ class _Handler(BaseHTTPRequestHandler):
     def _route(self):
         u = urlparse(self.path)
         path, q = u.path.rstrip("/"), parse_qs(u.query)
+        self._query = q  # list handlers read pageToken/pageSize from here
         self._auth()
         m = self.command
 
@@ -302,7 +303,9 @@ class _Handler(BaseHTTPRequestHandler):
                     ]
                 else:
                     out = [n for n in all_ns if len(n) == 1]
-                return self._send(200, {"namespaces": out})
+                return self._send(
+                    200, self._paginate("namespaces", out)
+                )
             if m == "POST":
                 return self._create_namespace()
         if mt := re.fullmatch(r"/v1/namespaces/([^/]+)", path):
@@ -460,7 +463,7 @@ class _Handler(BaseHTTPRequestHandler):
                 # namespaces (Iceberg listTables semantics)
                 if t.startswith(ns + ".") and "." not in t[len(ns) + 1 :]
             ]
-            return self._send(200, {"identifiers": idents})
+            return self._send(200, self._paginate("identifiers", idents))
         if self.command == "POST":
             return self._create_table(ns)
         raise _err(405, "BadRequestException", f"{self.command} on tables")
@@ -573,6 +576,29 @@ class _Handler(BaseHTTPRequestHandler):
             },
         )
 
+    def _paginate(self, key: str, items: list) -> dict:
+        """Spec list pagination: an opaque ``pageToken`` (here: the start
+        index) plus ``pageSize`` window over the deterministic full list;
+        ``next-page-token`` rides the response while items remain. Without
+        ``pageSize`` the full list returns in one page, exactly like a
+        server that does not paginate — clients per the spec treat the
+        absent token as end-of-listing."""
+        q = getattr(self, "_query", {}) or {}
+        try:
+            start = int((q.get("pageToken") or ["0"])[0])
+            size = int((q.get("pageSize") or ["0"])[0])
+        except ValueError:
+            raise _err(
+                400, "BadRequestException", "malformed pageToken/pageSize"
+            )
+        if size <= 0:
+            return {key: items}
+        page = items[start : start + size]
+        out = {key: page}
+        if start + size < len(items):
+            out["next-page-token"] = str(start + size)
+        return out
+
     def _table(self, ns: str, name: str, q: dict):
         full = f"{ns}.{name}"
         if self.command in ("GET", "HEAD"):
@@ -583,6 +609,33 @@ class _Handler(BaseHTTPRequestHandler):
             if self.command == "HEAD":
                 return self._send(200)
             loc, meta = self.state.current_metadata(full)
+            # spec `snapshots` param: "all" (default) serves every
+            # snapshot; "refs" trims to those reachable from a ref or tag
+            # by parent links — what engines ask for when they only plan
+            # current reads and want O(refs) metadata, not O(history)
+            mode = (q.get("snapshots") or ["all"])[0].lower()
+            if mode == "refs" and meta.get("snapshots"):
+                by_id = {
+                    s["snapshot-id"]: s for s in meta["snapshots"]
+                }
+                keep: set[int] = set()
+                heads = [
+                    r.get("snapshot-id")
+                    for r in (meta.get("refs") or {}).values()
+                ]
+                for head in heads:
+                    cur = head
+                    while cur in by_id and cur not in keep:
+                        keep.add(cur)
+                        cur = by_id[cur].get("parent-snapshot-id")
+                meta = dict(
+                    meta,
+                    snapshots=[
+                        s
+                        for s in meta["snapshots"]
+                        if s["snapshot-id"] in keep
+                    ],
+                )
             return self._send(
                 200,
                 {

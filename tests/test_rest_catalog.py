@@ -1293,3 +1293,51 @@ def test_tag_publish_of_staged_snapshot_drops_staging_ref(
         s["snapshot-id"] != new_sid
         for s in client.load_table_metadata("db.tg")[1]["snapshots"]
     )
+
+
+def test_snapshots_refs_mode_and_pagination(spark, client):
+    """Spec conformance: loadTable?snapshots=refs trims history to
+    ref-reachable snapshots; list endpoints honor pageSize/pageToken with
+    an opaque next-page-token."""
+    t = client.create_table("db.sp", SCHEMA)
+    for i in range(3):
+        t.append(spark.createDataFrame(_rows(2, base=10 * i), SCHEMA))
+    all_meta = client._request("GET", "/v1/namespaces/db/tables/sp")[
+        "metadata"
+    ]
+    refs_meta = client._request(
+        "GET", "/v1/namespaces/db/tables/sp?snapshots=refs"
+    )["metadata"]
+    # this exporter serves ref-reachable history only, so refs-mode is a
+    # (correct) subset that here equals the full set; every served
+    # snapshot must be reachable from a ref and the head must be present
+    served = {s["snapshot-id"] for s in all_meta["snapshots"]}
+    reachable = {s["snapshot-id"] for s in refs_meta["snapshots"]}
+    assert reachable <= served
+    assert refs_meta["refs"]["main"]["snapshot-id"] in reachable
+    by_id = {s["snapshot-id"]: s for s in refs_meta["snapshots"]}
+    for s in refs_meta["snapshots"]:
+        p_ = s.get("parent-snapshot-id")
+        assert p_ is None or p_ in by_id or p_ not in served
+
+    # pagination over tables
+    for n in ("a1", "a2", "a3"):
+        client.create_table(f"db.{n}", SCHEMA)
+    page1 = client._request(
+        "GET", "/v1/namespaces/db/tables?pageSize=2"
+    )
+    assert len(page1["identifiers"]) == 2
+    tok = page1["next-page-token"]
+    page2 = client._request(
+        "GET", f"/v1/namespaces/db/tables?pageSize=2&pageToken={tok}"
+    )
+    assert len(page2["identifiers"]) == 2
+    names = {
+        i["name"] for i in page1["identifiers"] + page2["identifiers"]
+    }
+    assert names == {"a1", "a2", "a3", "sp"}
+    assert "next-page-token" not in page2
+    # namespaces listing paginates the same way
+    client._request("POST", "/v1/namespaces", {"namespace": ["zb"]})
+    p = client._request("GET", "/v1/namespaces?pageSize=1")
+    assert len(p["namespaces"]) == 1 and "next-page-token" in p
