@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "docs_pack_sequences",
     "docs_bm25_topk",
+    "docs_boilerplate_ngrams",
+    "dedup_cluster_histogram",
     "asof_join_purchase",
     "range_join_attribution",
     "text_repetition",

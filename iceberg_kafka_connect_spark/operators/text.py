@@ -778,3 +778,42 @@ def winnow_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 5,
+    top: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide boilerplate mining: the word n-grams that recur across
+    the MOST documents. Template headers/footers, license blurbs, and
+    scraped navigation chrome show up as high-document-frequency n-grams
+    long before any pairwise dedup finds them (the C4/RefinedWeb
+    line-dedup motivation, applied corpus-wide) — the output is a
+    blocklist feeding span dedup (`span_dedup_filter`) or a line filter.
+
+    Scale shape: per-doc DISTINCT n-grams (a doc repeating its own header
+    counts once — df semantics), one groupBy(gram) count with map-side
+    partial aggregation, df >= min_df filter BEFORE any ordering, then a
+    single top-``top`` election over the tiny surviving set. Integer
+    counts only — no float comparisons anywhere.
+    """
+    w = _lower_words(docs[text_col])
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(gram_array(w, n)).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    df_counts = (
+        grams.distinct()  # df semantics: one vote per (doc, gram)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    return (
+        df_counts.orderBy(F.col("df").desc(), F.col("gram"))
+        .limit(top)
+        .select("gram", "df")
+    )
