@@ -395,3 +395,13 @@ def test_bm25_broadcast_queries_no_global_sort(spark, sf_dir):
     # show a rangepartitioning exchange
     assert "rangepartitioning" not in plan.lower(), plan
     assert "PythonUDF" not in plan
+
+
+def test_boilerplate_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """The df >= min_df filter runs before any ordering and the final
+    top-20 compiles to TakeOrderedAndProject (per-partition heaps + one
+    driver merge), never a rangepartitioning full sort of the gram set."""
+    df = SPECS["docs_boilerplate_ngrams"].fn(spark, sf_dir)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
