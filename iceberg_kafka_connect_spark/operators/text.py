@@ -785,7 +785,6 @@ def boilerplate_ngrams(
     n: int = 5,
     min_df: int = 5,
     top: int = 20,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Corpus-wide boilerplate mining: the word n-grams that recur across
@@ -795,20 +794,21 @@ def boilerplate_ngrams(
     line-dedup motivation, applied corpus-wide) — the output is a
     blocklist feeding span dedup (`span_dedup_filter`) or a line filter.
 
-    Scale shape: per-doc DISTINCT n-grams (a doc repeating its own header
-    counts once — df semantics), one groupBy(gram) count with map-side
-    partial aggregation, df >= min_df filter BEFORE any ordering, then a
-    single top-``top`` election over the tiny surviving set. Integer
-    counts only — no float comparisons anywhere.
+    Scale shape: df semantics (a doc repeating its own header counts
+    once) come from ``array_distinct`` BEFORE the explode — all of a
+    doc's grams live in its single input row, so dedup is per-row and
+    free, the same idiom as ``operators/dedup.shingles``; the ONLY
+    shuffle is the groupBy(gram) count with map-side partial
+    aggregation. df >= min_df filters BEFORE any ordering, then a single
+    top-``top`` election over the tiny surviving set. Integer counts
+    only — no float comparisons anywhere.
     """
     w = _lower_words(docs[text_col])
     grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(gram_array(w, n)).alias("gram"),
-    ).filter(F.col("gram").isNotNull())
+        F.explode(F.array_distinct(gram_array(w, n))).alias("gram")
+    )
     df_counts = (
-        grams.distinct()  # df semantics: one vote per (doc, gram)
-        .groupBy("gram")
+        grams.groupBy("gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
         .filter(F.col("df") >= min_df)
     )

@@ -591,8 +591,19 @@ class _Handler(BaseHTTPRequestHandler):
             raise _err(
                 400, "BadRequestException", "malformed pageToken/pageSize"
             )
-        if size <= 0:
-            return {key: items}
+        if start < 0 or size < 0:
+            # a negative start would flow into Python negative slicing and
+            # silently skip entries; negative size is equally malformed
+            raise _err(
+                400, "BadRequestException", "malformed pageToken/pageSize"
+            )
+        if size == 0:
+            if start == 0:
+                return {key: items}
+            # resuming with only the server-issued token (pageSize is an
+            # optional bound a client may omit): serve the remainder —
+            # restarting from 0 would hand the client duplicate entries
+            return {key: items[start:]}
         page = items[start : start + size]
         out = {key: page}
         if start + size < len(items):

@@ -482,3 +482,49 @@ def dedup_simhash_md5(spark, sf_dir):
         feature_hash=dedup.md5_hash60,
         bits=60,
     ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Dup-cluster size histogram: the corpus-health view of exact dedup —
+# "how much of the corpus sits in clusters of size k". Shares
+# operators/dedup.normalize_text with dedup_exact (one normalization,
+# no drift point). Pure integer aggs; two shuffles, the second over
+# |distinct digests| ≪ n.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_cluster_histogram",
+    oracle=r"""
+    WITH clusters AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM documents GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    tags=("dedup", "quality"),
+)
+def dedup_cluster_histogram(spark, sf_dir):
+    """Histogram of exact-duplicate cluster sizes over the SAME
+    normalized digest dedup_exact uses (operators/dedup.normalize_text):
+    cluster_size -> how many clusters and how many documents."""
+    docs = table(spark, sf_dir, "documents")
+    clusters = (
+        docs.select(F.md5(dedup.normalize_text(F.col("text"))).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -642,51 +642,3 @@ def docs_boilerplate_ngrams(spark, sf_dir):
     span dedup / line filtering."""
     docs = table(spark, sf_dir, "documents")
     return tx.boilerplate_ngrams(docs, n=5, min_df=5, top=20)
-
-
-# --------------------------------------------------------------------------
-# Dup-cluster size histogram: the corpus-health view of exact dedup —
-# "how much of the corpus sits in clusters of size k". Pure integer aggs
-# over the same normalized digest the exact-dedup path uses.
-# --------------------------------------------------------------------------
-@register(
-    "dedup_cluster_histogram",
-    oracle=r"""
-    WITH clusters AS (
-        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS d,
-               CAST(COUNT(*) AS BIGINT) AS cluster_size
-        FROM documents GROUP BY 1
-    )
-    SELECT cluster_size,
-           CAST(COUNT(*) AS BIGINT) AS n_clusters,
-           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
-    FROM clusters GROUP BY cluster_size ORDER BY cluster_size
-    """,
-    tags=("dedup", "quality"),
-)
-def dedup_cluster_histogram(spark, sf_dir):
-    """Histogram of exact-duplicate cluster sizes over the normalized
-    digest (same normalization as dedup_exact): cluster_size -> how many
-    clusters and how many documents. Two integer groupBys, shuffle keyed
-    by digest then by size; the second input is |distinct digests| ≪ n."""
-    docs = table(spark, sf_dir, "documents")
-    digest = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    )
-    clusters = (
-        docs.select(digest.alias("d"))
-        .groupBy("d")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
-    )
-    return (
-        clusters.groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
-        .select(
-            "cluster_size",
-            "n_clusters",
-            (F.col("cluster_size") * F.col("n_clusters"))
-            .cast("bigint")
-            .alias("n_docs"),
-        )
-        .orderBy("cluster_size")
-    )

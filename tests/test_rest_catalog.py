@@ -1341,3 +1341,25 @@ def test_snapshots_refs_mode_and_pagination(spark, client):
     client._request("POST", "/v1/namespaces", {"namespace": ["zb"]})
     p = client._request("GET", "/v1/namespaces?pageSize=1")
     assert len(p["namespaces"]) == 1 and "next-page-token" in p
+
+
+def test_pagination_token_without_size_and_negative_token(spark, client):
+    """Review fixes: resuming with only the server-issued pageToken (no
+    pageSize) serves the remainder, never the full list again; negative
+    tokens are 400, not silent entry-skipping."""
+    for n in ("b1", "b2", "b3"):
+        client.create_table(f"dbp.{n}", SCHEMA)
+    page1 = client._request("GET", "/v1/namespaces/dbp/tables?pageSize=2")
+    tok = page1["next-page-token"]
+    rest = client._request(
+        "GET", f"/v1/namespaces/dbp/tables?pageToken={tok}"
+    )
+    names = {i["name"] for i in page1["identifiers"] + rest["identifiers"]}
+    assert names == {"b1", "b2", "b3"}
+    assert len(page1["identifiers"]) + len(rest["identifiers"]) == 3
+    assert "next-page-token" not in rest
+    with pytest.raises(RestCatalogError) as ei:
+        client._request(
+            "GET", "/v1/namespaces/dbp/tables?pageToken=-1&pageSize=2"
+        )
+    assert ei.value.code == 400
