@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "docs_bm25_topk",
     "docs_boilerplate_ngrams",
     "dedup_cluster_histogram",
+    "docs_skew_profile",
     "asof_join_purchase",
     "range_join_attribution",
     "text_repetition",

@@ -54,3 +54,54 @@ def salted_agg_count(
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     return partial.groupBy(key).agg(F.sum("__c").cast("bigint").alias("n"))
+
+
+def skew_profile(
+    df: DataFrame,
+    key: str,
+    heavy_factor: float = 4.0,
+    sample_fraction: float | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """The DIAGNOSIS half of skew handling: profile a join/agg key and
+    recommend per-key salt bucket counts (``salted_join``/AQE are the
+    remedy). A key is flagged heavy when its row count exceeds
+    ``heavy_factor`` × the mean rows-per-key; the recommended salt is
+    ceil(n_rows / mean) — enough buckets that each salted task carries
+    roughly an average key's load.
+
+    Scale shape: one groupBy(key) count (map-side combine), the global
+    mean rides a broadcast 1-row crossJoin (never a driver collect), and
+    the output is only the heavy tail — tiny by definition. At 100 TB
+    profile a SAMPLE: ``sample_fraction`` pushes a Bernoulli sample into
+    the scan before any shuffle; counts and the mean scale together, so
+    skew factors are unbiased (exact path when None — the oracle-checked
+    mode).
+
+    Output: (key, n_rows, skew_factor, salt_buckets) ordered by n_rows
+    DESC then key.
+    """
+    src = df
+    if sample_fraction is not None:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    counts = src.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    stats = counts.agg(
+        (F.sum("n_rows") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("__mean")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(F.col("n_rows") > F.lit(heavy_factor) * F.col("__mean"))
+        .select(
+            "key",
+            "n_rows",
+            (F.col("n_rows") / F.col("__mean")).alias("skew_factor"),
+            F.ceil(F.col("n_rows") / F.col("__mean"))
+            .cast("bigint")
+            .alias("salt_buckets"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+    )

@@ -158,3 +158,40 @@ def skew_salted_join(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew profiling: the DIAGNOSIS half of skew handling (skew_salted_join
+# above is the remedy). One groupBy(key) count; the global mean rides a
+# broadcast 1-row crossJoin. Exact integer counts; the two double columns
+# derive from one exact integer division identically in both engines. The
+# suite uses a LOW heavy_factor so several languages clear the bar and the
+# check covers multiple rows (production use: 4.0 → only true hot keys).
+# --------------------------------------------------------------------------
+@register(
+    "docs_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(SUM(n_rows) AS DOUBLE) / COUNT(*) AS m FROM counts
+    )
+    SELECT key, n_rows,
+           n_rows / s.m AS skew_factor,
+           CAST(CEIL(n_rows / s.m) AS BIGINT) AS salt_buckets
+    FROM counts, stats s
+    WHERE n_rows > 0.5 * s.m
+    ORDER BY n_rows DESC, key
+    """,
+    tags=("relational", "skew"),
+)
+def docs_skew_profile(spark, sf_dir):
+    """operators/skew.skew_profile over documents.lang: flags keys above
+    heavy_factor × mean rows-per-key and recommends per-key salt bucket
+    counts for salted_join."""
+    from ..operators.skew import skew_profile
+
+    docs = table(spark, sf_dir, "documents")
+    return skew_profile(docs, "lang", heavy_factor=0.5)

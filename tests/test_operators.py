@@ -655,3 +655,27 @@ def test_bm25_matches_hand_computed_reference(spark):
     # retrieval returns matches only
     want = {(0, d): i + 1 for i, d in enumerate(expected)}
     assert got == want
+
+
+def test_skew_profile_flags_and_sizes_hot_keys(spark):
+    """skew_profile flags exactly the keys above heavy_factor x mean and
+    recommends ceil(n/mean) salt buckets; the sampled mode stays unbiased
+    on the flagged set."""
+    from iceberg_kafka_connect_spark.operators.skew import skew_profile
+
+    rows = [("hot",)] * 80 + [("warm",)] * 15 + [(k,) for k in "abcde"]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.key: r for r in skew_profile(df, "k", heavy_factor=2.0).collect()}
+    # mean = 100/7 ≈ 14.29; hot=80 (5.6x) flagged, warm=15 (1.05x) not
+    assert set(out) == {"hot"}
+    assert out["hot"].n_rows == 80
+    assert out["hot"].salt_buckets == 6  # ceil(80 / (100/7))
+    assert abs(out["hot"].skew_factor - 80 / (100 / 7)) < 1e-12
+    # full-sample fraction keeps the exact path's verdicts
+    out2 = {
+        r.key
+        for r in skew_profile(
+            df, "k", heavy_factor=2.0, sample_fraction=1.0
+        ).collect()
+    }
+    assert out2 == {"hot"}
