@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "docs_boilerplate_ngrams",
     "dedup_cluster_histogram",
     "docs_skew_profile",
+    "docs_source_similarity",
     "asof_join_purchase",
     "range_join_attribution",
     "text_repetition",

@@ -1121,3 +1121,76 @@ def incremental_exact_dedup_bloom(
         .select("id")
     )
     return fresh.unionByName(survivors).select(F.col("id").alias(id_col))
+
+
+def source_similarity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise Jaccard similarity BETWEEN CORPUS GROUPS (sources, dumps,
+    crawls) over their distinct shingle sets — the mixture-planning and
+    contamination-triage view: two sources with high overlap add less
+    diversity than their row counts suggest, and a test source
+    overlapping a train source flags leakage at the corpus level before
+    any per-document sweep.
+
+    Exact and integer-only: |A∩B| comes from one equality join keyed by
+    shingle over per-group DISTINCT shingles (group count is small — the
+    join output is bounded by shared vocabulary, never |A|×|B|), sizes
+    from one groupBy, and jaccard = inter / (|A| + |B| − inter). The
+    per-group distinct IS a shuffle of (group, shingle) — at 100 TB the
+    estimated sibling is per-group MinHash signatures (minhash_signatures
+    + per-group min-fold: fixed 128 numbers per group, one map-side-
+    combinable pass); this exact form is the oracle-checkable ground
+    truth the estimate converges to.
+
+    Output: (source_a, source_b, n_common, n_a, n_b, jaccard) for a < b,
+    ordered by jaccard DESC then the pair.
+    """
+    from .text import gram_array
+
+    sh = (
+        docs.select(
+            F.col(group_col).alias("g"), words(F.col(text_col)).alias("__w")
+        )
+        .select(
+            "g",
+            F.explode(F.array_distinct(gram_array(F.col("__w"), n))).alias(
+                "shingle"
+            ),
+        )
+        .distinct()  # per-GROUP distinct: docs in a group share shingles
+    )
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = sh.select(F.col("g").alias("source_a"), "shingle")
+    b = sh.select(F.col("g").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"g": "source_a", "n": "n_a"})),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"g": "source_b", "n": "n_b"})),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "source_a", "source_b")
+    )

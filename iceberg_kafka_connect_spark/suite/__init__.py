@@ -98,9 +98,9 @@ def load_all() -> dict[str, QuerySpec]:
     # docs_sample_topk, docs_shard_shuffle, docs_export_jsonl,
     # docs_chunk_sliding, docs_lm_surprise, docs_source_mix_epochs,
     # docs_token_stats, docs_compression_ratio, docs_bm25_topk,
-    # docs_boilerplate_ngrams, dedup_cluster_histogram, docs_skew_profile
-    # (the four new in r5), plus re-admitting the five §2 rows rotated
-    # out this round.
+    # docs_boilerplate_ngrams, dedup_cluster_histogram, docs_skew_profile,
+    # docs_source_similarity (the five new in r5), plus re-admitting the
+    # five §2 rows rotated out this round.
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).

@@ -528,3 +528,46 @@ def dedup_cluster_histogram(spark, sf_dir):
         )
         .orderBy("cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# Source-pair Jaccard: corpus-group overlap for mixture planning and
+# corpus-level contamination triage. Exact integer intersection over
+# per-group distinct 3-shingles; jaccard is one identical IEEE division
+# in both engines. The 100 TB sibling is per-group MinHash signatures
+# (fixed 128 numbers per group) — this exact form is the ground truth.
+# --------------------------------------------------------------------------
+@register(
+    "docs_source_similarity",
+    oracle=r"""
+    WITH sh AS (
+        SELECT DISTINCT source AS g,
+               array_to_string(ws[i + 1 : i + 3], ' ') AS shingle
+        FROM (
+            SELECT source, string_split_regex(trim(text), '\s+') AS ws
+            FROM documents
+        ), UNNEST(range(len(ws) - 2)) AS t(i)
+    ),
+    sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.g AS source_a, b.g AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           n_common / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.g = source_a
+    JOIN sizes sb ON sb.g = source_b
+    ORDER BY jaccard DESC, source_a, source_b
+    """,
+    tags=("dedup", "quality"),
+)
+def docs_source_similarity(spark, sf_dir):
+    """operators/dedup.source_similarity over documents.source: pairwise
+    shingle-set Jaccard between corpus sources."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.source_similarity(docs, group_col="source", n=3)
