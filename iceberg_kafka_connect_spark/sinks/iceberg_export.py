@@ -97,6 +97,17 @@ class IcebergExportUnsupported(Exception):
     """The table state has no faithful Iceberg v2 representation here."""
 
 
+# rest_server's WAP staging convention: an add-snapshot with no ref lands
+# on a hidden branch named with this prefix until a set-snapshot-ref
+# publishes it. In the Iceberg spec a staged snapshot simply appends to
+# the snapshots list with NO ref — so the exporter serves staged snapshots
+# in ``snapshots`` but keeps the staging ref OUT of the exported ``refs``
+# map (r5 advice: a leaked staging ref shows up in loadTable refs,
+# snapshots=refs trimming, and remove-snapshots reachability for every
+# external client).
+STAGED_REF_PREFIX = "rest-staged-"
+
+
 # ---------------------------------------------------------------- schema →
 _PRIMITIVES = {
     T.BooleanType: "boolean",
@@ -1532,6 +1543,11 @@ def export_iceberg_metadata(
     # would evaluate _tree_for eagerly and export an orphan snapshot
     for bname, shex in (meta.get("refs") or {}).items():
         if bname == "main" or not shex or bname in refs_json:
+            continue
+        if bname.startswith(STAGED_REF_PREFIX):
+            # staged snapshot: exported in `snapshots` (tree built via the
+            # history walk below) but invisible as a ref, matching the
+            # spec's unreferenced add-snapshot
             continue
         refs_json[bname] = {
             "snapshot-id": _tree_for(shex)["snapshot-id"],

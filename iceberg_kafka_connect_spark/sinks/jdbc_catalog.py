@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import shutil
 import sqlite3
 from contextlib import contextmanager
@@ -336,6 +337,17 @@ class JdbcCatalog:
         from .iceberg_export import export_iceberg_metadata
 
         table = LakehouseTable(new_root)
+        # the export below rewrites version-hint.text; keep the prior
+        # content so a CAS-failure rollback can restore it (r5 advice —
+        # a rolled-back rename used to leave the hint pointing at the
+        # unlinked new_root metadata path, bricking hint-based readers)
+        hint_path = os.path.join(
+            new_root, "iceberg-metadata", "version-hint.text"
+        )
+        prev_hint = None
+        if os.path.isfile(hint_path):
+            with open(hint_path) as f:
+                prev_hint = f.read()
         new_loc = export_iceberg_metadata(table)
         with self._conn() as con:
             # CAS on the OLD metadata location: a concurrent drop/rename/
@@ -359,6 +371,29 @@ class JdbcCatalog:
                     os.unlink(new_loc)
                 except OSError:
                     pass
+                # drop the aborted export's tree-* subdirectory and restore
+                # (or remove) version-hint.text before moving back — the
+                # moved-back table must look exactly as it did pre-rename
+                base = os.path.basename(new_loc)
+                m = _re.match(
+                    r"(\d+)-([0-9a-f]+)\.metadata\.json$", base
+                )
+                if m:
+                    shutil.rmtree(
+                        os.path.join(
+                            os.path.dirname(new_loc),
+                            f"tree-{m.group(1)}-{m.group(2)[:8]}",
+                        ),
+                        ignore_errors=True,
+                    )
+                if prev_hint is not None:
+                    with open(hint_path, "w") as f:
+                        f.write(prev_hint)
+                else:
+                    try:
+                        os.unlink(hint_path)
+                    except OSError:
+                        pass
                 os.rename(new_root, old_root)
                 raise CommitConflict(
                     f"{src} changed concurrently during rename; "

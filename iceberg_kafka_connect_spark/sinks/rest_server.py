@@ -63,6 +63,7 @@ from urllib.parse import parse_qs, unquote, urlparse
 
 from .catalog import Catalog, NoSuchTableError, TableAlreadyExistsError
 from .iceberg_export import (
+    STAGED_REF_PREFIX,
     _export_snapshot_id,
     export_iceberg_metadata,
 )
@@ -947,14 +948,25 @@ class _Handler(BaseHTTPRequestHandler):
                 ctx["int_to_hex"][i] for i in ids if i in ctx["int_to_hex"]
             ]
             # reachability as of AFTER the ref-drops earlier in this body
-            # (drop-staging-ref + remove-snapshot is one atomic commit)
+            # (drop-staging-ref + remove-snapshot is one atomic commit).
+            # A hidden rest-staged-* ref is a server implementation detail,
+            # not a client-visible reference (spec: a staged add-snapshot
+            # has NO ref) — removing a snapshot whose only reference is its
+            # own staging branch is therefore allowed and retires the
+            # staging branch with it (r5 advice).
             dropped = ctx.get("dropped_refs", set())
+            target_hexes = set(hexes)
+            staged_refs = [
+                r
+                for r, v in ctx["meta"].get("refs", {}).items()
+                if r.startswith(STAGED_REF_PREFIX) and v in target_hexes
+            ]
             meta_view = dict(
                 ctx["meta"],
                 refs={
                     k: v
                     for k, v in ctx["meta"].get("refs", {}).items()
-                    if k not in dropped
+                    if k not in dropped and k not in staged_refs
                 },
                 tags={
                     k: v
@@ -975,7 +987,16 @@ class _Handler(BaseHTTPRequestHandler):
                     f"snapshots {bad} are referenced by a branch or tag; "
                     "referenced history retires via expireSnapshots",
                 )
-            return (lambda: table.remove_snapshots(hexes)) if hexes else None
+            if not hexes:
+                return None
+
+            def act():
+                for r in staged_refs:
+                    if r in table.metadata().get("refs", {}):
+                        table.drop_branch(r)
+                table.remove_snapshots(hexes)
+
+            return act
         if ut == "add-schema":
             return self._prepare_add_schema(table, up)
         if ut == "add-spec":
@@ -1124,7 +1145,7 @@ class _Handler(BaseHTTPRequestHandler):
                 # its hidden staging branch too (the branch path below does
                 # the same) — otherwise the stale ref is served forever and
                 # blocks remove-snapshots as "referenced"
-                staging = f"rest-staged-{sid}"
+                staging = f"{STAGED_REF_PREFIX}{sid}"
                 if staging in table.metadata().get("refs", {}):
                     table.drop_branch(staging)
                 self._apply_retention(table, ref, retention)
@@ -1135,7 +1156,7 @@ class _Handler(BaseHTTPRequestHandler):
             table.set_branch(ref, hexsid)
             # publishing a previously-staged snapshot retires its hidden
             # staging ref
-            staging = f"rest-staged-{sid}"
+            staging = f"{STAGED_REF_PREFIX}{sid}"
             if staging != ref and staging in table.metadata().get(
                 "refs", {}
             ):
@@ -1202,7 +1223,7 @@ class _Handler(BaseHTTPRequestHandler):
             # unreferenced or tag target: full set on a hidden staging
             # branch (dropped below for tags; kept for later publication
             # when nothing references the snapshot yet)
-            staging = f"rest-staged-{sid}"
+            staging = f"{STAGED_REF_PREFIX}{sid}"
             snap_int = table._commit_snapshot(
                 prep["operation"],
                 prep["full_data"],
@@ -1226,7 +1247,7 @@ class _Handler(BaseHTTPRequestHandler):
                 table.create_tag(ref, snap_int["snapshot_id"])
             except ValueError as e:
                 raise _err(409, "CommitFailedException", str(e))
-            table.drop_branch(f"rest-staged-{sid}")
+            table.drop_branch(f"{STAGED_REF_PREFIX}{sid}")
         if ref is not None:
             self._apply_retention(table, ref, retention or {})
 
@@ -1277,6 +1298,61 @@ class _Handler(BaseHTTPRequestHandler):
                 table._guard_column_ddl(meta, old_name, "drop")
         except ValueError as e:
             raise _err(400, "BadRequestException", str(e))
+        # mirror rename_column/drop_column's REMAINING apply-time raises
+        # (r5 advice): 'column already exists', the retired-name-mapping
+        # rule, and 'cannot drop the last column' must all reject here in
+        # prepare, not after earlier updates in the body have applied.
+        inc_names = [f["name"] for f in inc_fields]
+        dup = sorted({n for n in inc_names if inc_names.count(n) > 1})
+        if dup:
+            raise _err(
+                400,
+                "BadRequestException",
+                f"add-schema has duplicate field names: {dup}",
+            )
+        if drops and len(drops) == len(cur_by_id):
+            raise _err(
+                400,
+                "BadRequestException",
+                "add-schema drops every current column",
+            )
+        raw_map = meta["properties"].get("schema.name-mapping.default")
+        retired: set[str] = set()
+        for e in json.loads(raw_map) if raw_map else []:
+            retired.update(e.get("names", []))
+        live_names = set(cur_by_id.values())
+        freed = {old for old, _new in renames} | set(drops)
+        for old_name, new_name in renames:
+            if new_name in live_names:
+                # even when this same update frees the target name (swap
+                # rename id1->b,id2->a, chain a->b,b->c, or rename onto a
+                # simultaneously-dropped name), data/delete files on disk
+                # still carry the physical name for the OLD field — the
+                # name mapping would ambiguously resolve both fields, the
+                # exact wrong-reads class rename_column's guards exist for.
+                # Refuse atomically at prepare; split into two commits with
+                # a fresh intermediate name instead.
+                hint = (
+                    " (the name is freed only within this same update — "
+                    "swap/chained renames are not supported; split into "
+                    "two commits via a fresh intermediate name)"
+                    if new_name in freed
+                    else ""
+                )
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    f"cannot rename {old_name!r} to {new_name!r}: column "
+                    f"already exists{hint}",
+                )
+            if new_name in retired:
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    f"cannot rename {old_name!r} to {new_name!r}: the name "
+                    "is retired in the table's name mapping (files on disk "
+                    "still use it); pick a fresh name",
+                )
         try:
             incoming = T.StructType(
                 [

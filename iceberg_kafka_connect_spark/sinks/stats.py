@@ -223,13 +223,20 @@ def split_conjuncts(where: str) -> list[str] | None:
     ``event_id = 3`` from inside the quotes and silently prunes files/
     buckets that DO match (r4 advice). Returns None — caller keeps
     everything — when a top-level OR appears (a disjunct could rescue rows
-    a conjunct rules out) or on an unbalanced quote.
+    a conjunct rules out), on an unbalanced quote, or when a backslash
+    appears inside a quoted literal: under Spark SQL's default parser
+    ``\\'`` is an escaped quote (so ``'x\\' AND b = 1 AND c = \\'y'`` is ONE
+    literal), while under ANSI doubling it is not — the dialect of the
+    caller-supplied predicate is unknowable here, so any in-quote backslash
+    disables pruning rather than risking a phantom conjunct (r5 advice).
     """
     parts: list[str] = []
     buf: list[str] = []
     i, n, in_q = 0, len(where), False
     while i < n:
         ch = where[i]
+        if in_q and ch == "\\":
+            return None
         if ch == "'":
             if in_q and i + 1 < n and where[i + 1] == "'":
                 buf.append("''")  # SQL doubled-quote escape stays inside

@@ -91,16 +91,19 @@ def load_all() -> dict[str, QuerySpec]:
     # smt_copy_value, smt_kafka_metadata — all single-projection operators
     # whose r04 rows remain their evidence. The r4-gated 13 keep r04 as
     # their evidence and rotate out.
-    # Round-6 rotation queue (oracle-checked, never gated — schedule so
-    # every oracle-checked query has a driver row by r6): dedup_collapse,
-    # dedup_simhash (xxhash variant), docs_keyterms, docs_top_terms_global,
-    # embedding_quantize, docs_quality_bins, docs_sample_stratified,
-    # docs_sample_topk, docs_shard_shuffle, docs_export_jsonl,
-    # docs_chunk_sliding, docs_lm_surprise, docs_source_mix_epochs,
-    # docs_token_stats, docs_compression_ratio, docs_bm25_topk,
+    # Round-6 window (ACTIVE below): the r5 verdict corrected the queue
+    # names — the 19 oracle-checked never-gated queries are dedup_collapse,
+    # dedup_signal_agreement, docs_keyterms, docs_chunk_overlap,
+    # docs_lm_surprise, docs_sample_stratified, docs_sample_topk_per_source,
+    # docs_shard_shuffle, docs_source_epochs, embedding_quantize,
+    # multimodal_frame_sample, multimodal_resize_plan,
+    # quality_bins_by_source, text_token_stats, docs_bm25_topk,
     # docs_boilerplate_ngrams, dedup_cluster_histogram, docs_skew_profile,
-    # docs_source_similarity (the five new in r5), plus re-admitting the
-    # five §2 rows rotated out this round.
+    # docs_source_similarity. To fit 19 flex slots in the 50-row window the
+    # r5-gated 17 + the multimodal_phash_dedup re-gate keep r05 as their
+    # evidence and rotate out, and smt_json_infer_parse rotates out on five
+    # consecutive green rounds (r1–r5; its sibling smt_json_to_map_root
+    # stays). After r6, ever-gated = 139 = every oracle-checked query.
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).
@@ -119,7 +122,7 @@ def load_all() -> dict[str, QuerySpec]:
             "cdc_last_wins", "cdc_apply", "route_static", "route_dynamic",
             "route_broadcast",
             "smt_debezium_unwrap", "smt_dms_unwrap", "smt_json_to_map_root",
-            "smt_json_infer_parse", "partition_fanout", "vtts",
+            "partition_fanout", "vtts",
             "offset_tracking", "dedup_files_by_path",
             "convert_special_types", "schema_evolution_union",
             "schema_rename_drop", "convert_decimal_rescale",
@@ -128,18 +131,17 @@ def load_all() -> dict[str, QuerySpec]:
             "incremental_scan", "stats_pruned_scan", "merge_into",
             "dml_delete_update", "changelog_read", "metadata_count_bounds",
             "cdc_mirror", "wap_publish",
-            # — re-gate: r4's one red row, oracle CAST fixed —
-            "multimodal_phash_dedup",
-            # — round-5 rotation: first-time rows —
-            "tpch_q2", "tpch_q4", "tpch_q8", "tpch_q9", "tpch_q11",
-            "tpch_q12", "tpch_q16", "tpch_q20", "tpch_q21",
-            "lineitem_grouping_sets", "orders_rank_stats",
-            "iceberg_interop_roundtrip",
-            "iceberg_mirror_refresh",
-            "iceberg_multispec_roundtrip",
-            "add_files_migrate",
-            "rest_catalog_roundtrip",
-            "jdbc_catalog_roundtrip",
+            # — round-6 rotation: the 19 oracle-checked never-gated
+            #   queries (verdict r5 "Next round" #1) — first-time rows —
+            "dedup_collapse", "dedup_signal_agreement", "docs_keyterms",
+            "docs_chunk_overlap", "docs_lm_surprise",
+            "docs_sample_stratified", "docs_sample_topk_per_source",
+            "docs_shard_shuffle", "docs_source_epochs",
+            "embedding_quantize", "multimodal_frame_sample",
+            "multimodal_resize_plan", "quality_bins_by_source",
+            "text_token_stats", "docs_bm25_topk", "docs_boilerplate_ngrams",
+            "dedup_cluster_histogram", "docs_skew_profile",
+            "docs_source_similarity",
         )
         for k in [k for k in window if k in QUERIES][::-1]:
             spec = QUERIES.pop(k)

@@ -216,3 +216,68 @@ def test_rename_rolls_back_move_on_concurrent_change(
     assert os.path.isdir(old_root)
     assert not os.path.isdir(os.path.join(str(tmp_path / "wh"), "db", "mv2"))
     assert cat._pointer("db", "mv") == "file://" + loc2_path
+
+
+def test_rename_rollback_restores_version_hint(
+    spark, tmp_path, monkeypatch
+):
+    """r5 advice: the aborted rename's export had already rewritten
+    version-hint.text to the new_root metadata path (unlinked by the
+    rollback) and left its tree-* subdirectory behind — the rollback must
+    restore the hint to the previous metadata path and drop the aborted
+    tree, so hint-based readers of the moved-back table keep working."""
+    import os
+    import re
+    import shutil
+
+    from iceberg_kafka_connect_spark.sinks import jdbc_catalog as jmod
+
+    cat = JdbcCatalog(
+        str(tmp_path / "cat.db"), warehouse=str(tmp_path / "wh")
+    )
+    t = cat.create_table("db.hv", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    old_root = t.root
+    # materialize an export at the OLD location so a prior hint exists
+    loc = cat._pointer("db", "hv")
+    hint = os.path.join(old_root, "iceberg-metadata", "version-hint.text")
+    with open(hint) as f:
+        prev_hint = f.read()
+    assert prev_hint == loc.removeprefix("file://")
+    loc2_path = loc.removeprefix("file://") + ".racer"
+    shutil.copyfile(loc.removeprefix("file://"), loc2_path)
+
+    real_rename = os.rename
+
+    def racing_rename(a, b):
+        real_rename(a, b)
+        if os.path.basename(b) != os.path.basename(old_root):
+            con = sqlite3.connect(str(tmp_path / "cat.db"))
+            con.execute(
+                "UPDATE iceberg_tables SET metadata_location=? "
+                "WHERE table_name='hv'",
+                ("file://" + loc2_path,),
+            )
+            con.commit()
+            con.close()
+
+    monkeypatch.setattr(jmod.os, "rename", racing_rename)
+    with pytest.raises(CommitConflict):
+        cat.rename_table("db.hv", "db.hv2")
+    monkeypatch.undo()
+    # hint points at the pre-rename metadata path again (valid file)
+    with open(hint) as f:
+        restored = f.read()
+    assert restored == prev_hint
+    assert os.path.isfile(restored)
+    # no aborted-export leftovers: every tree-* dir pairs with a
+    # surviving metadata.json of the same version
+    meta_dir = os.path.join(old_root, "iceberg-metadata")
+    vers = {
+        m.group(1)
+        for p in os.listdir(meta_dir)
+        if (m := re.match(r"(\d+)-[0-9a-f]+\.metadata\.json$", p))
+    }
+    for p in os.listdir(meta_dir):
+        if m := re.match(r"tree-(\d+)-[0-9a-f]+$", p):
+            assert m.group(1) in vers, f"orphan tree dir {p}"

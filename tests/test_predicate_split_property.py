@@ -89,3 +89,27 @@ def test_agrees_with_naive_split_when_no_quoted_literals(conjuncts):
     where = " AND ".join(conjuncts)
     naive = re.split(r"\bAND\b", where, flags=re.IGNORECASE)
     assert split_conjuncts(where) == naive
+
+
+def test_backslash_inside_quotes_bails():
+    """r5 advice: under Spark's default parser ``\\'`` escapes the quote,
+    so this whole WHERE is ONE literal comparison — the doubled-quote-only
+    splitter used to emit a phantom conjunct ``b = 1``. Any in-quote
+    backslash now disables pruning (dialect unknowable → conservative)."""
+    assert split_conjuncts(r"a = 'x\' AND b = 1 AND c = \'y'") is None
+    assert split_conjuncts(r"a = 'x\\y' AND b = 1") is None
+    assert split_conjuncts(r"a = '\n' AND b = 1") is None
+    # backslash OUTSIDE quotes does not bail (not a literal-escape context)
+    assert split_conjuncts(r"a = 1 AND b = 2") == ["a = 1 ", " b = 2"]
+
+
+@given(_lit_inner, st.integers(0, 10))
+@settings(max_examples=150, deadline=None)
+def test_any_backslash_in_literal_bails(inner, pos):
+    # a "''" token in inner is a doubled-quote escape — inserting the
+    # backslash between the pair would land it OUTSIDE the literal under
+    # doubling semantics, so keep inner quote-free for this property
+    inner = inner.replace("'", "")
+    cut = pos % (len(inner) + 1)
+    inner = inner[:cut] + "\\" + inner[cut:]
+    assert split_conjuncts(f"name = '{inner}' AND id = 1") is None

@@ -713,12 +713,19 @@ def test_external_writer_stages_then_publishes(spark, server, client):
         retries=1,
     )
     _, meta2 = client.load_table_metadata("db.wap")
-    # main unmoved; the snapshot exists under its assigned id
+    # main unmoved; the snapshot exists under its assigned id — with NO
+    # ref: the spec's unreferenced add-snapshot just appends to the
+    # snapshots list, and the server's rest-staged-* branch is an
+    # implementation detail that must stay invisible to clients (r5
+    # advice — a leaked staging ref polluted loadTable refs,
+    # snapshots=refs trimming, and remove-snapshots reachability)
     assert meta2["current-snapshot-id"] == head
     assert any(
         s["snapshot-id"] == new_sid for s in meta2["snapshots"]
     )
-    assert f"rest-staged-{new_sid}" in meta2["refs"]
+    assert not any(
+        r.startswith("rest-staged-") for r in meta2["refs"]
+    )
     # publish
     client._commit(
         "db.wap",
@@ -1262,9 +1269,15 @@ def test_tag_publish_of_staged_snapshot_drops_staging_ref(
         updates=[{"action": "add-snapshot", "snapshot": snap}],
         retries=1,
     )
-    assert f"rest-staged-{new_sid}" in client.load_table_metadata("db.tg")[1][
-        "refs"
-    ]
+    # the staging branch exists SERVER-side only; clients never see it
+    # (r5 advice — exported refs filter)
+    assert f"rest-staged-{new_sid}" in server.catalog.load_table(
+        "db.tg"
+    ).metadata().get("refs", {})
+    assert not any(
+        r.startswith("rest-staged-")
+        for r in client.load_table_metadata("db.tg")[1]["refs"]
+    )
     client._commit(
         "db.tg",
         updates=[
@@ -1279,6 +1292,10 @@ def test_tag_publish_of_staged_snapshot_drops_staging_ref(
     )
     _, meta2 = client.load_table_metadata("db.tg")
     assert f"rest-staged-{new_sid}" not in meta2["refs"]
+    # ...and retired server-side by the tag publication
+    assert f"rest-staged-{new_sid}" not in server.catalog.load_table(
+        "db.tg"
+    ).metadata().get("refs", {})
     assert meta2["refs"]["audited"]["type"] == "tag"
     # and the snapshot can now be removed after dropping the tag
     client._commit(
@@ -1363,3 +1380,151 @@ def test_pagination_token_without_size_and_negative_token(spark, client):
             "GET", "/v1/namespaces/dbp/tables?pageToken=-1&pageSize=2"
         )
     assert ei.value.code == 400
+
+
+def test_staged_snapshot_invisible_and_directly_removable(
+    spark, server, client
+):
+    """r5 advice pair: (a) the hidden rest-staged-* branch never leaks to
+    clients — absent from loadTable refs and from snapshots=refs trimming
+    (spec: an unreferenced add-snapshot appends to `snapshots` with no
+    ref); (b) remove-snapshots retires a staged snapshot WITHOUT the
+    client first naming the server-internal staging ref, dropping the
+    staging branch with it."""
+    t = client.create_table("db.stg", SCHEMA)
+    t.append(spark.createDataFrame(_rows(3), SCHEMA))
+    _, meta = client.load_table_metadata("db.stg")
+    head = meta["current-snapshot-id"]
+    new_sid = 9_900_000_021
+    snap = _external_write_snapshot(meta, new_sid)
+    client._commit(
+        "db.stg",
+        updates=[{"action": "add-snapshot", "snapshot": snap}],
+        retries=1,
+    )
+    _, meta2 = client.load_table_metadata("db.stg")
+    assert any(s["snapshot-id"] == new_sid for s in meta2["snapshots"])
+    assert not any(r.startswith("rest-staged-") for r in meta2["refs"])
+    # snapshots=refs: staged snapshot not reachable from any served ref
+    refs_meta = client._request(
+        "GET", "/v1/namespaces/db/tables/stg?snapshots=refs"
+    )["metadata"]
+    assert all(
+        s["snapshot-id"] != new_sid for s in refs_meta["snapshots"]
+    )
+    assert refs_meta["refs"]["main"]["snapshot-id"] == head
+    # direct removal — no remove-snapshot-ref on the internal staging ref
+    client._commit(
+        "db.stg",
+        updates=[
+            {"action": "remove-snapshots", "snapshot-ids": [new_sid]}
+        ],
+        retries=1,
+    )
+    _, meta3 = client.load_table_metadata("db.stg")
+    assert all(s["snapshot-id"] != new_sid for s in meta3["snapshots"])
+    assert meta3["current-snapshot-id"] == head
+    # staging branch retired server-side too
+    assert not any(
+        r.startswith("rest-staged-")
+        for r in server.catalog.load_table("db.stg").metadata().get(
+            "refs", {}
+        )
+    )
+
+
+def _schema_fields(client, name):
+    _, meta = client.load_table_metadata(name)
+    return [dict(f) for f in meta["schemas"][-1]["fields"]]
+
+
+def test_add_schema_swap_rename_rejects_at_prepare(spark, server, client):
+    """r5 advice: a swap-rename (id1->name2, id2->name1) used to pass
+    prepare, land earlier updates plus the first rename, then 400
+    mid-apply — breaking the atomic-commit contract. It must reject at
+    prepare with nothing applied (and the refusal is also semantically
+    right: files on disk still carry each physical name for the OLD
+    field, so the name mapping would resolve both ambiguously)."""
+    t = client.create_table("db.swap", SCHEMA)
+    t.append(spark.createDataFrame(_rows(2), SCHEMA))
+    fields = _schema_fields(client, "db.swap")
+    names = [f["name"] for f in fields]
+    assert names == ["id", "name", "ts"]
+    fields[1]["name"], fields[2]["name"] = fields[2]["name"], fields[1]["name"]
+    with pytest.raises(RestCatalogError) as ei:
+        client._commit(
+            "db.swap",
+            updates=[
+                {"action": "set-properties", "updates": {"leak": "y"}},
+                {
+                    "action": "add-schema",
+                    "schema": {"type": "struct", "fields": fields},
+                },
+            ],
+            retries=1,
+        )
+    assert ei.value.code == 400
+    tbl = server.catalog.load_table("db.swap")
+    assert [f.name for f in tbl.schema().fields] == ["id", "name", "ts"]
+    assert "leak" not in tbl.properties()
+
+
+def test_add_schema_rename_onto_retired_name_rejects_at_prepare(
+    spark, server, client
+):
+    """The retired-name-mapping rule (files on disk still carry the old
+    physical name) must fire at prepare, not after earlier updates in the
+    body applied."""
+    t = client.create_table("db.ret", SCHEMA)
+    t.append(spark.createDataFrame(_rows(2), SCHEMA))
+    client.rename_column("db.ret", "name", "label")  # retires 'name'
+    fields = _schema_fields(client, "db.ret")
+    for f in fields:
+        if f["name"] == "ts":
+            f["name"] = "name"  # rename onto the retired physical name
+    with pytest.raises(RestCatalogError) as ei:
+        client._commit(
+            "db.ret",
+            updates=[
+                {"action": "set-properties", "updates": {"leak2": "y"}},
+                {
+                    "action": "add-schema",
+                    "schema": {"type": "struct", "fields": fields},
+                },
+            ],
+            retries=1,
+        )
+    assert ei.value.code == 400
+    tbl = server.catalog.load_table("db.ret")
+    assert [f.name for f in tbl.schema().fields] == ["id", "label", "ts"]
+    assert "leak2" not in tbl.properties()
+
+
+def test_add_schema_rename_onto_dropped_name_rejects(spark, server, client):
+    """Renaming onto a name freed only by a simultaneous drop in the SAME
+    update is refused at prepare: the dropped column's physical name is
+    still in data files, so the mapping would resolve old bytes into the
+    new field."""
+    t = client.create_table("db.rod", SCHEMA)
+    t.append(spark.createDataFrame(_rows(2), SCHEMA))
+    fields = _schema_fields(client, "db.rod")
+    # drop 'name' (omit id) and rename 'ts' -> 'name' in one schema
+    fields = [f for f in fields if f["name"] != "name"]
+    for f in fields:
+        if f["name"] == "ts":
+            f["name"] = "name"
+    with pytest.raises(RestCatalogError) as ei:
+        client._commit(
+            "db.rod",
+            updates=[
+                {
+                    "action": "add-schema",
+                    "schema": {"type": "struct", "fields": fields},
+                }
+            ],
+            retries=1,
+        )
+    assert ei.value.code == 400
+    assert [
+        f.name for f in server.catalog.load_table("db.rod").schema().fields
+    ] == ["id", "name", "ts"]
