@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",
     "iceberg_multispec_roundtrip",
+    # round-6 additions
+    "maintenance_orphan_sweep",
 ]
 
 

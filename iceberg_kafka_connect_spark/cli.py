@@ -142,6 +142,13 @@ def table_main(argv: list[str]) -> int:
     e.add_argument("--older-than-ms", type=int, default=None)
     o = sub.add_parser("orphans")
     o.add_argument("--delete", action="store_true")
+    o.add_argument(
+        "--older-than-ms",
+        type=int,
+        default=None,
+        help="age threshold; unreferenced files younger than this are "
+        "kept (default: 3 days, Iceberg's olderThan default)",
+    )
     tg = sub.add_parser("tag")
     tg.add_argument("tag_name")
     tg.add_argument("--snapshot")
@@ -291,7 +298,11 @@ def table_main(argv: list[str]) -> int:
             )
         }
     elif args.action == "orphans":
-        out = {"orphans": t.remove_orphan_files(dry_run=not args.delete)}
+        out = {
+            "orphans": t.remove_orphan_files(
+                dry_run=not args.delete, older_than_ms=args.older_than_ms
+            )
+        }
     elif args.action == "tag":
         t.create_tag(args.tag_name, snapshot_id=args.snapshot)
         out = t.tags()

@@ -2806,33 +2806,72 @@ class LakehouseTable:
                 time.sleep(0.05 * (attempt + 1))
         return 0
 
-    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
-        """Iceberg remove_orphan_files parity: delete data/delete files not
-        referenced by any live snapshot."""
+    def remove_orphan_files(
+        self,
+        dry_run: bool = False,
+        older_than_ms: int | None = None,
+        now_ms: int | None = None,
+    ) -> list[str]:
+        """Iceberg ``remove_orphan_files`` parity: delete files under the
+        table root that no retained snapshot references (any snapshot in
+        the metadata — reachable or staged — keeps its files; only
+        ``expire_snapshots`` / ``remove_snapshots`` retire references).
+
+        Safety rules, matching Iceberg's procedure:
+
+        - **Age threshold** (``olderThan``, default 3 days): a file whose
+          mtime is within the window is kept even if unreferenced — an
+          in-flight writer creates data files BEFORE its metadata commit
+          lands, and sweeping those loses the commit. Pass
+          ``older_than_ms=0`` only in tests / single-writer maintenance.
+        - **Scope = the table root.** Externally-registered files
+          (``add_files`` in-place registration) live outside the root and
+          are never even listed; a registered file that happens to sit
+          INSIDE the root is referenced by its absolute path in the
+          manifest and is recognized live under either path form.
+        """
+        three_days_ms = 3 * 24 * 3600 * 1000
+        cutoff = (
+            (int(time.time() * 1000) if now_ms is None else now_ms)
+            - (three_days_ms if older_than_ms is None else older_than_ms)
+        )
         meta = self.metadata()
         live: set[str] = set()
         live_manifests: set[str] = set()
         for s in meta["snapshots"]:
             d, dl = self._load_manifest(s)
-            live.update(f["path"] for f in d + dl)
+            for f in d + dl:
+                # manifests store internally-written files root-relative
+                # and add_files registrations absolutely — index BOTH
+                # forms so an absolute registration under the root never
+                # reads as an orphan of its relative twin
+                live.add(f["path"])
+                if os.path.isabs(f["path"]):
+                    live.add(os.path.relpath(f["path"], self.root))
+                else:
+                    live.add(os.path.join(self.root, f["path"]))
             if "manifest" in s:
                 live_manifests.add(s["manifest"])
         orphans = []
+
+        def _sweep(p: str, rel: str):
+            if os.path.getmtime(p) * 1000 > cutoff:
+                return
+            orphans.append(rel)
+            if not dry_run:
+                os.unlink(p)
+
         for sub in ("data", "deletes"):
             base = os.path.join(self.root, sub)
             for p in globmod.glob(os.path.join(base, "**", "*.*"), recursive=True):
                 rel = os.path.relpath(p, self.root)
                 if rel not in live and not os.path.basename(p).startswith("_"):
-                    orphans.append(rel)
-                    if not dry_run:
-                        os.unlink(p)
+                    _sweep(p, rel)
         # manifests of expired snapshots are orphans too
         for p in globmod.glob(os.path.join(self._meta_dir, "man-*.json")):
             rel = os.path.relpath(p, self.root)
             if rel not in live_manifests:
-                orphans.append(rel)
-                if not dry_run:
-                    os.unlink(p)
+                _sweep(p, rel)
         return orphans
 
     def create_branch(self, name: str, from_branch: str = MAIN) -> None:

@@ -103,7 +103,11 @@ def load_all() -> dict[str, QuerySpec]:
     # r5-gated 17 + the multimodal_phash_dedup re-gate keep r05 as their
     # evidence and rotate out, and smt_json_infer_parse rotates out on five
     # consecutive green rounds (r1–r5; its sibling smt_json_to_map_root
-    # stays). After r6, ever-gated = 139 = every oracle-checked query.
+    # stays). After r6, ever-gated = 139 = every oracle-checked query that
+    # existed at r6's start.
+    # Round-7 rotation queue (oracle-checked, registered in r6, never
+    # gated): maintenance_orphan_sweep — plus any further r6 additions;
+    # verify names against QUERIES before editing the window.
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).

@@ -99,7 +99,7 @@ def test_maintenance_never_touches_external_files(spark, tmp_path):
             spark.createDataFrame([(100 + lo, "y")], SCHEMA)
         )
     t.expire_snapshots(keep_last=1)
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_ms=0)
     ext_files = [p for p in os.listdir(ext) if p.endswith(".parquet")]
     assert ext_files, "external source files must survive maintenance"
     # the sealed chain root still reads everything

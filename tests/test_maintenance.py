@@ -42,13 +42,13 @@ def test_expire_snapshots_and_orphans(spark, catalog):
     assert t.read(spark).count() == 5
     # expired snapshots' DATA files are NOT orphans (still referenced via
     # the sealed manifest); only the expired snapshots' delta manifests are
-    orphans = t.remove_orphan_files(dry_run=True)
+    orphans = t.remove_orphan_files(dry_run=True, older_than_ms=0)
     assert all(o.startswith("metadata/man-") for o in orphans)
     # but after a compaction, the pre-compaction files become orphans once
     # older snapshots expire
     t.compact(spark)
     t.expire_snapshots(keep_last=1)
-    orphans = t.remove_orphan_files()
+    orphans = t.remove_orphan_files(older_than_ms=0)
     assert len(orphans) > 0
     assert t.read(spark).count() == 5
 
@@ -343,3 +343,68 @@ def test_column_bounds_from_metadata(spark, tmp_path):
     assert t.column_bounds("nope") is None
     t.upsert(spark.createDataFrame([(10, 0)], schema), key_cols=["id"])
     assert t.column_bounds("id") is None  # deletes → fall back to scan
+
+
+def test_orphan_age_threshold_protects_inflight_files(spark, catalog):
+    """Iceberg olderThan semantics: an unreferenced file younger than the
+    threshold is KEPT — an in-flight writer creates data files before its
+    metadata commit lands, and sweeping them loses the commit. The default
+    threshold is 3 days."""
+    import os
+
+    t = catalog.create_table("default.age", SCHEMA)
+    t.append(spark.createDataFrame([(1, "x")], SCHEMA))
+    # simulate an in-flight writer: a file under data/ with no manifest
+    stray = os.path.join(t.root, "data", "inflight-000.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"PAR1")
+    # default threshold: the seconds-old stray is protected
+    assert t.remove_orphan_files(dry_run=True) == []
+    assert t.remove_orphan_files() == []
+    assert os.path.isfile(stray)
+    # explicit zero threshold: the stray is an orphan and is removed
+    orphans = t.remove_orphan_files(older_than_ms=0)
+    assert orphans == [os.path.join("data", "inflight-000.parquet")]
+    assert not os.path.isfile(stray)
+    assert t.read(spark).count() == 1
+
+
+def test_orphan_sweep_keeps_absolute_registrations_under_root(
+    spark, catalog, tmp_path
+):
+    """add_files records absolute paths; a registered file that happens to
+    live INSIDE the table root must be recognized as live under either
+    path form, not swept as an orphan of its relative twin."""
+    import os
+
+    t = catalog.create_table("default.absreg", SCHEMA)
+    t.append(spark.createDataFrame([(1, "x")], SCHEMA))
+    # write a parquet INSIDE the table root, then register it in place
+    src = str(tmp_path / "stage")
+    spark.createDataFrame([(2, "y"), (3, "z")], SCHEMA).coalesce(
+        1
+    ).write.parquet(src)
+    inner = os.path.join(t.root, "data", "imported")
+    os.makedirs(inner, exist_ok=True)
+    pq_files = [p for p in os.listdir(src) if p.endswith(".parquet")]
+    import shutil as _sh
+
+    for p in pq_files:
+        _sh.copyfile(os.path.join(src, p), os.path.join(inner, p))
+    t.add_files(inner)
+    assert t.read(spark).count() == 3
+    orphans = t.remove_orphan_files(older_than_ms=0)
+    assert orphans == [], "registered-in-place files must never be orphans"
+    assert t.read(spark).count() == 3
+
+
+def test_orphan_sweep_keeps_staged_snapshot_files(spark, catalog):
+    """A snapshot present in metadata but unreachable from main (e.g. a
+    WAP/staged branch) keeps its files — only expire/remove-snapshots
+    retire references, matching Iceberg (orphan = referenced by NOTHING)."""
+    t = catalog.create_table("default.stg", SCHEMA)
+    t.append(spark.createDataFrame([(1, "x")], SCHEMA))
+    t.create_branch("audit")
+    t.append(spark.createDataFrame([(2, "y")], SCHEMA), branch="audit")
+    assert t.remove_orphan_files(older_than_ms=0, dry_run=True) == []
+    assert {r.id for r in t.read(spark, branch="audit").collect()} == {1, 2}
