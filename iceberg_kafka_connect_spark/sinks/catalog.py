@@ -127,7 +127,9 @@ class CatalogSpec:
             from .rest_catalog import build_rest_catalog
 
             return build_rest_catalog(
-                self.uri, token=self.props.get("token")
+                self.uri,
+                token=self.props.get("token"),
+                credential=self.props.get("credential"),
             )
         if self.type == "jdbc":
             # executable leg: Iceberg's JDBC pointer schema on sqlite3

@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
 from urllib.parse import quote
 
@@ -65,43 +66,99 @@ class RestCatalog:
     """Catalog over a REST endpoint; same surface as the directory
     :class:`~.catalog.Catalog` so pipelines swap backends by config."""
 
-    def __init__(self, uri: str, token: str | None = None, timeout: float = 10.0):
+    def __init__(
+        self,
+        uri: str,
+        token: str | None = None,
+        credential: str | None = None,
+        timeout: float = 10.0,
+    ):
+        """``token`` is the protocol's static-Bearer mode
+        (``iceberg.catalog.token``); ``credential`` is the OAuth2
+        client-credentials mode (``iceberg.catalog.credential``,
+        Iceberg's ``client_id:client_secret`` format) — the client
+        exchanges it at ``/v1/oauth/tokens`` for the Bearer token it then
+        presents, re-fetching once on a 401 (expiry)."""
         self.uri = uri.rstrip("/")
         self.token = token
+        self.credential = credential
         self.timeout = timeout
+        if credential is not None and token is None:
+            self.token = self._fetch_oauth_token()
         # config handshake — also the reachability probe build() relies on
         self.config = self._request("GET", "/v1/config")
 
     # ------------------------------------------------------------ transport
-    def _request(
-        self, method: str, path: str, body: dict | None = None
-    ) -> dict:
+    def _fetch_oauth_token(self) -> str:
+        cid, _, secret = (self.credential or "").partition(":")
+        form = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": cid,
+                "client_secret": secret,
+                "scope": "catalog",
+            }
+        ).encode()
         req = urllib.request.Request(
-            self.uri + path,
-            method=method,
-            data=None if body is None else json.dumps(body).encode(),
-            headers={
-                "Content-Type": "application/json",
-                **(
-                    {"Authorization": f"Bearer {self.token}"}
-                    if self.token
-                    else {}
-                ),
-            },
+            self.uri + "/v1/oauth/tokens",
+            method="POST",
+            data=form,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                raw = resp.read()
-                return json.loads(raw) if raw else {}
+                return json.loads(resp.read())["access_token"]
         except urllib.error.HTTPError as e:
             raw = e.read()
             try:
-                err = json.loads(raw)["error"]
+                err = json.loads(raw)
             except Exception:
-                err = {"message": raw.decode(errors="replace"), "type": "HTTPError"}
+                err = {"error": "HTTPError", "error_description": raw.decode(errors="replace")}
             raise RestCatalogError(
-                e.code, err.get("type", "HTTPError"), err.get("message", "")
+                e.code,
+                err.get("error", "HTTPError"),
+                err.get("error_description", ""),
             ) from None
+
+    def _request(
+        self, method: str, path: str, body: dict | None = None
+    ) -> dict:
+        for attempt in range(2):
+            req = urllib.request.Request(
+                self.uri + path,
+                method=method,
+                data=None if body is None else json.dumps(body).encode(),
+                headers={
+                    "Content-Type": "application/json",
+                    **(
+                        {"Authorization": f"Bearer {self.token}"}
+                        if self.token
+                        else {}
+                    ),
+                },
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    raw = resp.read()
+                    return json.loads(raw) if raw else {}
+            except urllib.error.HTTPError as e:
+                raw = e.read()
+                try:
+                    err = json.loads(raw)["error"]
+                except Exception:
+                    err = {
+                        "message": raw.decode(errors="replace"),
+                        "type": "HTTPError",
+                    }
+                # an issued token can expire mid-session: re-fetch ONCE
+                # through the credential and replay the request
+                if e.code == 401 and self.credential and attempt == 0:
+                    self.token = self._fetch_oauth_token()
+                    continue
+                raise RestCatalogError(
+                    e.code, err.get("type", "HTTPError"), err.get("message", "")
+                ) from None
+        raise AssertionError("unreachable")  # pragma: no cover
 
     @staticmethod
     def _ident(name: str) -> tuple[str, str]:
@@ -705,14 +762,14 @@ class RestCatalog:
 
 
 def build_rest_catalog(
-    uri: str, token: str | None = None
+    uri: str, token: str | None = None, credential: str | None = None
 ) -> RestCatalog:
     """Probe-and-build for :meth:`CatalogSpec.build`: an unreachable
     endpoint stays an :class:`UnsupportedCatalogError` (the pre-existing
     contract for missing runtimes), a reachable one returns a live
     catalog."""
     try:
-        return RestCatalog(uri, token=token)
+        return RestCatalog(uri, token=token, credential=credential)
     except (urllib.error.URLError, OSError, TimeoutError) as e:
         raise UnsupportedCatalogError(
             f"rest catalog at {uri!r} is unreachable in this deployment: "

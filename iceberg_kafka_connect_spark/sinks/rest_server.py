@@ -58,8 +58,10 @@ import json
 import os
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
+from uuid import uuid4
 
 from .catalog import Catalog, NoSuchTableError, TableAlreadyExistsError
 from .iceberg_export import (
@@ -142,6 +144,8 @@ class _State:
         self._table_locks: dict[str, threading.Lock] = {}
         # table name -> (lakehouse version, served metadata.json path)
         self._meta_cache: dict[str, tuple[int, str]] = {}
+        # OAuth2 client-credentials tokens: token -> expiry epoch-seconds
+        self.issued_tokens: dict[str, float] = {}
 
     def table_lock(self, name: str) -> threading.Lock:
         with self.lock:
@@ -227,6 +231,8 @@ class _Handler(BaseHTTPRequestHandler):
     # the server instance stuffs these in via type() subclassing
     state: _State = None  # type: ignore[assignment]
     token: str | None = None
+    credentials: dict[str, str] | None = None  # client_id -> client_secret
+    token_ttl_s: float = 3600.0
 
     protocol_version = "HTTP/1.1"
 
@@ -267,17 +273,91 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def _auth(self) -> None:
-        if self.token is None:
+        if self.token is None and not self.credentials:
             return
         got = self.headers.get("Authorization", "")
-        if got != f"Bearer {self.token}":
-            raise _err(401, "NotAuthorizedException", "invalid or missing token")
+        if self.token is not None and got == f"Bearer {self.token}":
+            return
+        if self.credentials and got.startswith("Bearer "):
+            presented = got.removeprefix("Bearer ")
+            exp = self.state.issued_tokens.get(presented)
+            if exp is not None:
+                if exp > time.time():
+                    return
+                # expired: retire so the store stays bounded
+                self.state.issued_tokens.pop(presented, None)
+                raise _err(
+                    401, "NotAuthorizedException", "token expired"
+                )
+        raise _err(401, "NotAuthorizedException", "invalid or missing token")
+
+    def _oauth_tokens(self) -> None:
+        """POST /v1/oauth/tokens — the REST spec's OAuth2 client-credentials
+        grant (RFC 6749 §4.4; public ``rest-catalog-open-api.yaml``
+        getToken): a configured client exchanges id+secret for the Bearer
+        token every other endpoint requires. Errors use the spec's
+        OAuthTokenResponse error shape (RFC 6749 §5.2), not the catalog's
+        ErrorModel. This endpoint itself is unauthenticated by definition."""
+        n = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(n).decode() if n else ""
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+        if ctype == "application/json":
+            try:
+                form = {
+                    k: [str(v)] for k, v in (json.loads(raw) or {}).items()
+                }
+            except json.JSONDecodeError:
+                form = {}
+        else:  # the spec's application/x-www-form-urlencoded
+            form = parse_qs(raw)
+
+        def _f(k: str) -> str | None:
+            return (form.get(k) or [None])[0]
+
+        def _oauth_err(code: int, error: str, desc: str) -> None:
+            self._send(
+                code, {"error": error, "error_description": desc}
+            )
+
+        if _f("grant_type") != "client_credentials":
+            return _oauth_err(
+                400,
+                "unsupported_grant_type",
+                "only client_credentials is supported",
+            )
+        cid, secret = _f("client_id"), _f("client_secret")
+        if not self.credentials:
+            return _oauth_err(
+                400,
+                "invalid_request",
+                "this catalog issues no tokens (static-token or open mode)",
+            )
+        if cid is None or self.credentials.get(cid) != secret:
+            return _oauth_err(
+                401, "invalid_client", "unknown client or bad secret"
+            )
+        tok = f"iks-{uuid4().hex}"
+        self.state.issued_tokens[tok] = time.time() + self.token_ttl_s
+        return self._send(
+            200,
+            {
+                "access_token": tok,
+                "token_type": "bearer",
+                "expires_in": int(self.token_ttl_s),
+                "issued_token_type": (
+                    "urn:ietf:params:oauth:token-type:access_token"
+                ),
+                "scope": _f("scope") or "catalog",
+            },
+        )
 
     # ------------------------------------------------------------- dispatch
     def _route(self):
         u = urlparse(self.path)
         path, q = u.path.rstrip("/"), parse_qs(u.query)
         self._query = q  # list handlers read pageToken/pageSize from here
+        if path == "/v1/oauth/tokens" and self.command == "POST":
+            return self._oauth_tokens()
         self._auth()
         m = self.command
 
@@ -1417,10 +1497,19 @@ class IcebergRestServer:
         host: str = "127.0.0.1",
         port: int = 0,
         token: str | None = None,
+        credentials: dict[str, str] | None = None,
+        token_ttl_s: float = 3600.0,
     ):
         self._state = _State(warehouse)
         handler = type(
-            "BoundHandler", (_Handler,), {"state": self._state, "token": token}
+            "BoundHandler",
+            (_Handler,),
+            {
+                "state": self._state,
+                "token": token,
+                "credentials": dict(credentials) if credentials else None,
+                "token_ttl_s": token_ttl_s,
+            },
         )
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._httpd.daemon_threads = True

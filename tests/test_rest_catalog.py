@@ -1528,3 +1528,102 @@ def test_add_schema_rename_onto_dropped_name_rejects(spark, server, client):
     assert [
         f.name for f in server.catalog.load_table("db.rod").schema().fields
     ] == ["id", "name", "ts"]
+
+
+# -------------------------------------------------------- OAuth2 handshake
+def test_oauth2_client_credentials_flow(spark, tmp_path):
+    """r5 verdict #6: /v1/oauth/tokens completes the handshake the Bearer
+    enforcement already assumed — a spec-conformant client exchanges
+    client-credentials for the token it presents, commits through it, and
+    expired/garbage tokens 401."""
+    import json as _json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    with IcebergRestServer(
+        str(tmp_path / "wh"),
+        credentials={"svc": "hunter2"},
+        token_ttl_s=3600,
+    ) as srv:
+        # unauthenticated requests are refused (credentials mode)
+        with pytest.raises(RestCatalogError) as ei:
+            RestCatalog(srv.uri)
+        assert ei.value.code == 401
+        # raw spec-shaped handshake: form-encoded client_credentials grant
+        form = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": "svc",
+                "client_secret": "hunter2",
+                "scope": "catalog",
+            }
+        ).encode()
+        req = urllib.request.Request(
+            srv.uri + "/v1/oauth/tokens",
+            method="POST",
+            data=form,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            tok = _json.loads(resp.read())
+        assert tok["token_type"] == "bearer"
+        assert tok["expires_in"] == 3600
+        # the issued token authorizes real work: create + commit + load
+        cat = RestCatalog(srv.uri, token=tok["access_token"])
+        t = cat.create_table("db.oauth", SCHEMA)
+        t.append(spark.createDataFrame(_rows(3), SCHEMA))
+        cat.set_properties("db.oauth", {"owner": "svc"})
+        assert cat.load_table("db.oauth").properties()["owner"] == "svc"
+        # client-side credential mode does the exchange itself
+        cat2 = RestCatalog(srv.uri, credential="svc:hunter2")
+        assert cat2.list_tables() == ["db.oauth"]
+        # config passthrough (iceberg.catalog.credential)
+        cat3 = catalog_from_properties(
+            {
+                "iceberg.catalog.type": "rest",
+                "iceberg.catalog.uri": srv.uri,
+                "iceberg.catalog.credential": "svc:hunter2",
+            }
+        )
+        assert isinstance(cat3, RestCatalog)
+        # bad secret -> OAuth 401 invalid_client
+        with pytest.raises(RestCatalogError) as ei:
+            RestCatalog(srv.uri, credential="svc:wrong")
+        assert ei.value.code == 401
+        # unsupported grant -> 400
+        bad = urllib.request.Request(
+            srv.uri + "/v1/oauth/tokens",
+            method="POST",
+            data=urllib.parse.urlencode({"grant_type": "password"}).encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as he:
+            urllib.request.urlopen(bad, timeout=5)
+        assert he.value.code == 400
+        # garbage bearer -> 401
+        with pytest.raises(RestCatalogError) as ei:
+            RestCatalog(srv.uri, token="iks-garbage")
+        assert ei.value.code == 401
+
+
+def test_oauth2_token_expiry_and_refresh(spark, tmp_path):
+    """An expired issued token 401s; a credential-mode client re-fetches
+    once and replays, so expiry is invisible to callers."""
+    with IcebergRestServer(
+        str(tmp_path / "wh"),
+        credentials={"svc": "s3cr3t"},
+        token_ttl_s=3600,
+    ) as srv:
+        cat = RestCatalog(srv.uri, credential="svc:s3cr3t")
+        cat.create_table("db.exp", SCHEMA)
+        first = cat.token
+        # expire the issued token server-side
+        srv._state.issued_tokens[first] = 0.0
+        # static-token client with the expired token: hard 401
+        with pytest.raises(RestCatalogError) as ei:
+            RestCatalog(srv.uri, token=first).list_tables()
+        assert ei.value.code == 401
+        # credential-mode client refreshes transparently and proceeds
+        assert cat.list_tables() == ["db.exp"]
+        assert cat.token != first
