@@ -1,0 +1,149 @@
+"""Streaming changelog source (streaming/changelog_source.py): resumable
+per-snapshot CDC consumption with checkpointed resume — the read-side twin
+of iceberg_sync_loop. The r5 verdict's bar: kill/restart mid-stream
+replays no row and misses no row across append + delete snapshots."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+from iceberg_kafka_connect_spark.streaming.changelog_source import (
+    ChangelogStream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _mk_src(spark, tmp_path):
+    """3 snapshots: append, upsert (delete+insert), equality delete."""
+    src = LakehouseTable.create(str(tmp_path / "src"), SCHEMA)
+    src.append(spark.createDataFrame([(i, f"a{i}") for i in range(6)], SCHEMA))
+    src.upsert(
+        spark.createDataFrame([(2, "B2"), (7, "B7")], SCHEMA),
+        key_cols=["id"],
+    )
+    src.delete_where(spark, "id >= 4 AND id < 6", key_cols=["id"])
+    return src
+
+
+def test_per_snapshot_batches_and_generic_resume(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    stream = ChangelogStream(src, str(tmp_path / "ckpt"))
+    assert [s["snapshot_id"] for s in stream.pending()] == [
+        s["snapshot_id"] for s in src.snapshots()
+    ]
+    seen: list[tuple[str, list]] = []
+
+    def on_batch(df, sid):
+        seen.append(
+            (sid, sorted((r.id, r._change_type) for r in df.collect()))
+        )
+
+    # consume one snapshot, then "restart" with a fresh stream object
+    assert stream.process_available(spark, on_batch, max_snapshots=1) == 1
+    stream2 = ChangelogStream(src, str(tmp_path / "ckpt"))
+    assert stream2.process_available(spark, on_batch) == 2
+    assert [s for s, _ in seen] == [
+        s["snapshot_id"] for s in src.snapshots()
+    ]
+    # batch 1: the 6 inserts; batch 2: upsert = 2 deletes + 2 inserts;
+    # batch 3: equality delete of ids 4,5
+    assert seen[0][1] == [(i, "insert") for i in range(6)]
+    assert seen[1][1] == [
+        (2, "delete"),
+        (2, "insert"),
+        (7, "delete"),
+        (7, "insert"),
+    ]
+    assert seen[2][1] == [(4, "delete"), (5, "delete")]
+    # drained: nothing pending, a further poll is a no-op
+    assert stream2.process_available(spark, on_batch) == 0
+
+
+def test_kill_restart_table_sink_exactly_once(spark, tmp_path):
+    """The worst-case crash window — AFTER the sink commit, BEFORE the
+    local checkpoint write — must neither replay nor miss a row: the
+    consumed snapshot id rides the sink commit itself, and resume trusts
+    the sink's marker over the stale local file."""
+    src = _mk_src(spark, tmp_path)
+    dst = LakehouseTable.create(str(tmp_path / "dst"), SCHEMA)
+    stream = ChangelogStream(src, str(tmp_path / "ckpt2"))
+
+    real_commit = stream._commit_offset
+    calls = {"n": 0}
+
+    def crashing_commit(sid):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("killed between sink commit and checkpoint")
+        real_commit(sid)
+
+    stream._commit_offset = crashing_commit
+    with pytest.raises(RuntimeError):
+        stream.sync_to_table(spark, dst, key_cols=["id"])
+    # crash landed after the 2nd sink commit: dst has the upsert applied
+    # but the local checkpoint still points at snapshot 1
+    assert len(dst.snapshots()) == 2
+    ck = ChangelogStream(src, str(tmp_path / "ckpt2")).last_processed()
+    assert ck == src.snapshots()[0]["snapshot_id"]
+    # restart with a fresh stream: resumes from the SINK's marker
+    stream3 = ChangelogStream(src, str(tmp_path / "ckpt2"))
+    assert stream3.sync_to_table(spark, dst, key_cols=["id"]) == 1
+    got = sorted((r.id, r.v) for r in dst.read(spark).collect())
+    want = sorted((r.id, r.v) for r in src.read(spark).collect())
+    assert got == want == [
+        (0, "a0"),
+        (1, "a1"),
+        (2, "B2"),
+        (3, "a3"),
+        (7, "B7"),
+    ]
+    # one sink commit per source snapshot — no duplicate application
+    assert len(dst.snapshots()) == len(src.snapshots())
+    # drained
+    assert stream3.sync_to_table(spark, dst, key_cols=["id"]) == 0
+
+
+def test_callback_crash_replays_inflight_snapshot_only(spark, tmp_path):
+    """Generic-callback mode is at-least-once: a crash INSIDE the callback
+    replays exactly the in-flight snapshot (identical rows), never the
+    already-checkpointed ones."""
+    src = _mk_src(spark, tmp_path)
+    stream = ChangelogStream(src, str(tmp_path / "ckpt3"))
+    seen_first: list[str] = []
+
+    def first(df, sid):
+        df.collect()
+        seen_first.append(sid)
+        if len(seen_first) == 2:
+            raise RuntimeError("consumer died mid-snapshot")
+
+    with pytest.raises(RuntimeError):
+        stream.process_available(spark, first)
+    # restart: snapshot 2 replays (its callback never completed), 1 doesn't
+    replayed: list[str] = []
+    ChangelogStream(src, str(tmp_path / "ckpt3")).process_available(
+        spark, lambda df, sid: replayed.append(sid)
+    )
+    sids = [s["snapshot_id"] for s in src.snapshots()]
+    assert seen_first == sids[:2]
+    assert replayed == sids[1:]
+
+
+def test_history_rewrite_under_stream_is_detected(spark, tmp_path):
+    """Compaction + expire rewrites ancestry; a checkpoint pointing at an
+    expired snapshot must fail loudly, not silently re-deliver history."""
+    src = _mk_src(spark, tmp_path)
+    stream = ChangelogStream(src, str(tmp_path / "ckpt4"))
+    stream.process_available(spark, lambda df, sid: df.collect(), max_snapshots=1)
+    src.compact(spark)
+    src.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="not an ancestor|rewritten"):
+        ChangelogStream(src, str(tmp_path / "ckpt4")).pending()
