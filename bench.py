@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "iceberg_multispec_roundtrip",
     # round-6 additions
     "maintenance_orphan_sweep",
+    "wap_cherry_pick",
 ]
 
 

@@ -2964,6 +2964,71 @@ class LakehouseTable:
                     raise
                 time.sleep(0.05 * (attempt + 1))
 
+    def cherry_pick(self, snapshot_id: str, branch: str = MAIN) -> dict:
+        """Iceberg ``manageSnapshots().cherrypick(snapshotId)`` parity:
+        replay ONE snapshot's added files as a NEW commit on ``branch``'s
+        current head — the WAP publish path when the branch has moved past
+        the staged snapshot's parent (``fast_forward`` covers the
+        no-divergence case; Iceberg's WAP docs pair the two the same way).
+
+        The picked snapshot's data files AND delete files re-commit with
+        fresh sequence numbers, so replayed equality deletes apply to
+        everything on the target head — the changes, not the byte state,
+        are what a cherry-pick carries. Refused: replace/sealed snapshots
+        (they rewrite history rather than change data — the
+        ``changes_between`` rule) and a snapshot already in the branch's
+        ancestry or already cherry-picked onto it (Iceberg's
+        duplicate-publication check).
+
+        Scale: one O(files-in-snapshot) metadata commit; no data IO."""
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            snap = self._snapshot_by_id(meta, snapshot_id)
+            if snap.get("sealed") or (
+                snap.get("replace") and snap.get("parent") is not None
+            ):
+                raise ValueError(
+                    f"snapshot {snapshot_id!r} rewrites history (replace/"
+                    "compaction/expiry-sealed) — cherry-pick carries "
+                    "changes, not rewrites"
+                )
+            sid = meta["refs"].get(branch)
+            while sid is not None:
+                cur = self._snapshot_by_id(meta, sid)
+                already = (
+                    sid == snapshot_id
+                    or cur.get("summary", {}).get("cherry-pick.snapshot-id")
+                    == snapshot_id
+                )
+                if already:
+                    raise ValueError(
+                        f"snapshot {snapshot_id!r} is already published on "
+                        f"branch {branch!r}"
+                    )
+                sid = cur["parent"]
+            d, dl = self._load_manifest(snap)
+            try:
+                return self._commit_snapshot(
+                    snap.get("operation", "append"),
+                    d,
+                    dl,
+                    {
+                        **{
+                            k: v
+                            for k, v in (snap.get("summary") or {}).items()
+                            if not k.startswith("cherry-pick.")
+                        },
+                        "cherry-pick.snapshot-id": snapshot_id,
+                    },
+                    branch,
+                    expected_parent=meta["refs"].get(branch),
+                )
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        raise AssertionError("unreachable")  # pragma: no cover
+
     # ------------------------------------------------------------------ tags
     def tags(self) -> dict[str, str]:
         return dict(self.metadata().get("tags", {}))

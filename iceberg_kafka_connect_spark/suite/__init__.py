@@ -106,8 +106,9 @@ def load_all() -> dict[str, QuerySpec]:
     # stays). After r6, ever-gated = 139 = every oracle-checked query that
     # existed at r6's start.
     # Round-7 rotation queue (oracle-checked, registered in r6, never
-    # gated): maintenance_orphan_sweep — plus any further r6 additions;
-    # verify names against QUERIES before editing the window.
+    # gated): maintenance_orphan_sweep, wap_cherry_pick — plus any further
+    # r6 additions; verify names against QUERIES before editing the
+    # window.
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).

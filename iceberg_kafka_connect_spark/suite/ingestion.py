@@ -2166,3 +2166,58 @@ def maintenance_orphan_sweep(spark, sf_dir):
         F.lit(swept_clean).alias("swept_clean"),
         F.lit(external_safe).alias("external_safe"),
     )
+
+
+# --------------------------------------------------------------------------
+# WAP publish by cherry-pick (Iceberg cherrypickSnapshot): stage on an audit
+# branch, let main MOVE ON (fast_forward now refuses — diverged), then
+# publish the staged snapshot by replaying its files as a new commit on the
+# moved head. 'before' reads main post-divergence pre-publish; 'after'
+# proves the staged rows landed without losing the divergent ones.
+# --------------------------------------------------------------------------
+@register(
+    "wap_cherry_pick",
+    oracle="""
+    SELECT 'before' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    WHERE event_id < 300 OR (event_id >= 500 AND event_id < 600)
+    UNION ALL
+    SELECT 'after' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id < 600
+    ORDER BY stage
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def wap_cherry_pick(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="cpk_gate_") + "/t", e.schema
+    )
+    t.append(e.filter(F.col("event_id") < 300))
+    t.create_branch("audit")
+    staged = t.append(
+        e.filter((F.col("event_id") >= 300) & (F.col("event_id") < 500)),
+        branch="audit",
+    )
+    # main diverges while the audit runs
+    t.append(e.filter((F.col("event_id") >= 500) & (F.col("event_id") < 600)))
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    ]
+    before = t.read(spark).agg(*agg).select(
+        F.lit("before").alias("stage"), "n_rows", "sum_ids"
+    )
+    t.cherry_pick(staged["snapshot_id"])
+    after = t.read(spark).agg(*agg).select(
+        F.lit("after").alias("stage"), "n_rows", "sum_ids"
+    )
+    return before.unionAll(after).orderBy("stage")

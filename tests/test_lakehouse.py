@@ -549,3 +549,60 @@ def test_partition_spec_evolution_requires_known_source(spark, catalog):
     t = catalog.create_table("default.specevo2", SCHEMA)
     with pytest.raises(ValueError, match="not in schema"):
         t.update_partition_spec("day(nope)")
+
+
+def test_cherry_pick_publishes_staged_after_divergence(spark, catalog):
+    """Iceberg cherrypickSnapshot: the WAP publish path once main has
+    moved past the staged snapshot's parent (where fast_forward refuses).
+    The staged changes replay as a NEW commit on the moved head."""
+    t = catalog.create_table("default.cp", SCHEMA)
+    t.append(_rows(spark, [(1, "base", None, None)]))
+    t.create_branch("staging")
+    staged = t.append(
+        _rows(spark, [(2, "staged", None, None)]), branch="staging"
+    )
+    t.append(_rows(spark, [(9, "diverged", None, None)]))  # main moved on
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.fast_forward("main", "staging")
+    out = t.cherry_pick(staged["snapshot_id"])
+    assert out["summary"]["cherry-pick.snapshot-id"] == staged["snapshot_id"]
+    assert {r.id for r in t.read(spark).collect()} == {1, 2, 9}
+    # staging branch itself is untouched
+    assert {r.id for r in t.read(spark, branch="staging").collect()} == {1, 2}
+    # duplicate publication is refused (Iceberg's check)
+    with pytest.raises(ValueError, match="already published"):
+        t.cherry_pick(staged["snapshot_id"])
+
+
+def test_cherry_pick_replays_equality_deletes_on_new_head(spark, catalog):
+    """A cherry-picked delete snapshot re-commits its delete files with a
+    FRESH sequence number: the deletes apply to everything on the target
+    head, including rows the branch gained after the staging point."""
+    t = catalog.create_table("default.cpd", SCHEMA)
+    t.append(_rows(spark, [(1, "a", None, None), (2, "b", None, None)]))
+    t.create_branch("fix")
+    staged = t.delete_where(
+        spark, "id = 2", key_cols=["id"], branch="fix"
+    )
+    # main gains ANOTHER row with id=2 after the staging point
+    t.append(_rows(spark, [(2, "b-respawned", None, None)]))
+    assert {r.type for r in t.read(spark).collect()} == {
+        "a", "b", "b-respawned"
+    }
+    t.cherry_pick(staged["snapshot_id"])
+    # the replayed equality delete kills BOTH id=2 rows on main
+    assert sorted(r.id for r in t.read(spark).collect()) == [1]
+
+
+def test_cherry_pick_refuses_history_rewrites_and_ancestors(spark, catalog):
+    t = catalog.create_table("default.cpr", SCHEMA)
+    head = t.append(_rows(spark, [(1, "a", None, None)]))
+    t.append(_rows(spark, [(2, "b", None, None)]))
+    # a snapshot already in the branch ancestry
+    with pytest.raises(ValueError, match="already published"):
+        t.cherry_pick(head["snapshot_id"])
+    t.compact(spark)
+    replace = t.current_snapshot()
+    t.append(_rows(spark, [(3, "c", None, None)]))
+    with pytest.raises(ValueError, match="rewrites history"):
+        t.cherry_pick(replace["snapshot_id"])
