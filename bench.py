@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     # round-6 additions
     "maintenance_orphan_sweep",
     "wap_cherry_pick",
+    "docs_quality_linear",
 ]
 
 

@@ -817,3 +817,62 @@ def boilerplate_ngrams(
         .limit(top)
         .select("gram", "df")
     )
+
+
+def hashed_linear_score(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> "DataFrame":
+    """fastText-style hashed linear quality scorer — the shape of every
+    production quality classifier (CCNet/RefinedWeb fasttext filters,
+    DCLM's fastText gate): tokens hash into ``dim`` feature buckets, the
+    document's score is the token-frequency-weighted sum of per-bucket
+    weights, and a threshold on the score keeps/drops the document.
+
+    The weights here are a PINNED deterministic function of the bucket
+    (``W_j = (j * 2654435761) % 1000 - 500``, a Knuth-hash spread over
+    [-500, 500)) standing in for trained parameters: the distributed
+    scoring machinery — the expensive, scale-sensitive part — is identical
+    whether weights come from training or a formula, and the pinned form
+    makes the whole pipeline integer-exact and SQL-oracle-checkable
+    (bucket = md5 hex prefix, the same engine-independent hash as
+    ``operators/dedup.md5_hash60``).
+
+    Output per document: ``n_tokens`` (BIGINT), ``score_num`` (BIGINT,
+    Σ_tokens W(bucket(token))), and ``keep`` (score_num > 0 — the
+    mean-weight-positive decision; the real-valued score is
+    score_num / (500·n_tokens), recoverable exactly).
+
+    Scale shape: one scan; the explode fans out tokens but the per-token
+    weight is a pure expression (md5 + integer ops, whole-stage codegen),
+    and the ONLY shuffle is the groupBy(id) sum with map-side partial
+    aggregation — at 100 TB this is a single pass like token counting.
+    A trained-weights variant swaps the formula for a broadcast
+    ``dim``-entry map lookup; nothing else changes.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_lower_words(F.col(text_col))).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("long")
+        % dim
+    )
+    w = (bucket * F.lit(2654435761)) % 1000 - 500
+    return (
+        toks.select("id", w.alias("w"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("score_num"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "score_num",
+            (F.col("score_num") > 0).alias("keep"),
+        )
+    )

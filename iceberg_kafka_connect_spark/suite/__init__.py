@@ -106,7 +106,8 @@ def load_all() -> dict[str, QuerySpec]:
     # stays). After r6, ever-gated = 139 = every oracle-checked query that
     # existed at r6's start.
     # Round-7 rotation queue (oracle-checked, registered in r6, never
-    # gated): maintenance_orphan_sweep, wap_cherry_pick — plus any further
+    # gated): maintenance_orphan_sweep, wap_cherry_pick,
+    # docs_quality_linear — plus any further
     # r6 additions; verify names against QUERIES before editing the
     # window.
     # Round 5 pulls TPC-H tail queries into the window, so the analytics

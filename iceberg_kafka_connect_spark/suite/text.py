@@ -642,3 +642,37 @@ def docs_boilerplate_ngrams(spark, sf_dir):
     span dedup / line filtering."""
     docs = table(spark, sf_dir, "documents")
     return tx.boilerplate_ngrams(docs, n=5, min_df=5, top=20)
+
+
+# --------------------------------------------------------------------------
+# Hashed linear quality scorer (fastText-shape, operators/text.py
+# hashed_linear_score): per-doc token-hash feature sum under pinned
+# weights — integer-exact, so the full pipeline (tokenize → md5 bucket →
+# weight → per-doc sum → keep decision) is oracle-checked end to end.
+# --------------------------------------------------------------------------
+@register(
+    "docs_quality_linear",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    wt AS (
+        SELECT doc_id,
+               ((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64)
+                * 2654435761) % 1000 - 500 AS w
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w) AS BIGINT) AS score_num,
+           SUM(w) > 0 AS keep
+    FROM wt
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def docs_quality_linear(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return tx.hashed_linear_score(docs, dim=64)
