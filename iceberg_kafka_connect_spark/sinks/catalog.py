@@ -260,6 +260,51 @@ class Catalog:
             raise TableAlreadyExistsError(name)
         return import_iceberg_table(metadata_location, self._path(name))
 
+    # ------------------------------------------------------------- SQL views
+    @property
+    def views(self):
+        """Iceberg SQL views over this warehouse (sinks/views.py) — the
+        catalog-level view surface engines expect next to tables."""
+        from .views import ViewStore
+
+        return ViewStore(self.warehouse)
+
+    def create_view(
+        self,
+        name: str,
+        sql: str,
+        spark=None,
+        dialect: str = "spark",
+        properties: dict | None = None,
+    ) -> dict:
+        """Create a SQL view. With a ``spark`` session the view's schema is
+        inferred by planning the SQL against the warehouse's registered
+        temp views (``db.t`` → ``db_t``) — the same derivation engines do
+        at CREATE VIEW time; without one the schema is recorded empty."""
+        from .iceberg_export import iceberg_schema
+        from .views import sql_view_version
+
+        schema_json: dict = {"type": "struct", "schema-id": 0, "fields": []}
+        if spark is not None:
+            self.register_views(spark)
+            schema_json, _ = iceberg_schema(spark.sql(sql).schema)
+            schema_json["schema-id"] = 0
+        return self.views.create(
+            name,
+            schema_json,
+            sql_view_version(sql, dialect=dialect),
+            properties,
+        )
+
+    def read_view(self, spark, name: str):
+        """Execute the view's current SQL representation against the
+        warehouse (tables registered as ``db_t`` temp views)."""
+        from .views import ViewStore
+
+        _, meta = self.views.load(name)
+        self.register_views(spark)
+        return spark.sql(ViewStore.current_sql(meta, dialect="spark"))
+
     def create_table_if_not_exists(
         self,
         name: str,

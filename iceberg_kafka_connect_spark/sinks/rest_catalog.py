@@ -760,6 +760,125 @@ class RestCatalog:
             registered.append(view)
         return registered
 
+    # --------------------------------------------------------- SQL views
+    def _view_path(self, name: str) -> str:
+        ns, v = self._ident(name)
+        return f"/v1/namespaces/{quote(ns)}/views/{quote(v)}"
+
+    def create_view(
+        self,
+        name: str,
+        sql: str,
+        schema: T.StructType | None = None,
+        dialect: str = "spark",
+        properties: dict | None = None,
+    ) -> dict:
+        """createView (public REST spec): the view-version carries the SQL
+        representation; an optional Spark schema is sent in Iceberg form."""
+        from .iceberg_export import iceberg_schema
+        from .views import sql_view_version
+
+        ns, v = self._ident(name)
+        self._ensure_namespace(ns)
+        schema_json: dict = {"type": "struct", "schema-id": 0, "fields": []}
+        if schema is not None:
+            schema_json, _ = iceberg_schema(schema)
+            schema_json["schema-id"] = 0
+        out = self._request(
+            "POST",
+            f"/v1/namespaces/{quote(ns)}/views",
+            {
+                "name": v,
+                "schema": schema_json,
+                "view-version": sql_view_version(
+                    sql, dialect=dialect, default_namespace=ns.split(".")
+                ),
+                "properties": properties or {},
+            },
+        )
+        return out["metadata"]
+
+    def load_view(self, name: str) -> tuple[str, dict]:
+        out = self._request("GET", self._view_path(name))
+        return out["metadata-location"], out["metadata"]
+
+    def view_exists(self, name: str) -> bool:
+        try:
+            self._request("HEAD", self._view_path(name))
+            return True
+        except RestCatalogError as e:
+            if e.code == 404:
+                return False
+            raise
+
+    def drop_view(self, name: str) -> None:
+        self._request("DELETE", self._view_path(name))
+
+    def list_views(self, namespace: str = "default") -> list[str]:
+        out = self._request(
+            "GET", f"/v1/namespaces/{quote(namespace)}/views"
+        )
+        return [
+            ".".join([*i["namespace"], i["name"]])
+            for i in out.get("identifiers", [])
+        ]
+
+    def rename_view(self, src: str, dst: str) -> None:
+        sns, sv = self._ident(src)
+        dns, dv = self._ident(dst)
+        self._request(
+            "POST",
+            "/v1/views/rename",
+            {
+                "source": {"namespace": sns.split("."), "name": sv},
+                "destination": {"namespace": dns.split("."), "name": dv},
+            },
+        )
+
+    def replace_view(
+        self, name: str, sql: str, dialect: str = "spark"
+    ) -> dict:
+        """The spec's replace-view flow in one commit: assert-view-uuid,
+        add-view-version, set-current-view-version -1."""
+        from .views import sql_view_version
+
+        _, meta = self.load_view(name)
+        ns, _v = self._ident(name)
+        out = self._request(
+            "POST",
+            self._view_path(name),
+            {
+                "requirements": [
+                    {"type": "assert-view-uuid", "uuid": meta["view-uuid"]}
+                ],
+                "updates": [
+                    {
+                        "action": "add-view-version",
+                        "view-version": sql_view_version(
+                            sql,
+                            dialect=dialect,
+                            default_namespace=ns.split("."),
+                        ),
+                    },
+                    {
+                        "action": "set-current-view-version",
+                        "view-version-id": -1,
+                    },
+                ],
+            },
+        )
+        return out["metadata"]
+
+    def read_view(self, spark, name: str):
+        """Execute the view's current SQL against the catalog's tables
+        (registered as ``db_t`` temp views — the same naming
+        ``register_views`` gives interactive users)."""
+        from .views import ViewStore
+
+        _, meta = self.load_view(name)
+        self.register_views(spark)
+        return spark.sql(ViewStore.current_sql(meta, dialect="spark"))
+
 
 def build_rest_catalog(
     uri: str, token: str | None = None, credential: str | None = None

@@ -430,6 +430,14 @@ class _Handler(BaseHTTPRequestHandler):
             return self._rename()
         if path == "/v1/transactions/commit" and m == "POST":
             return self._commit_transaction()
+        if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/views", path):
+            return self._views(_ns_name(_ns_levels(mt.group(1))))
+        if mt := re.fullmatch(r"/v1/namespaces/([^/]+)/views/([^/]+)", path):
+            return self._view(
+                _ns_name(_ns_levels(mt.group(1))), unquote(mt.group(2))
+            )
+        if path == "/v1/views/rename" and m == "POST":
+            return self._rename_view()
         raise _err(404, "NoSuchEndpointException", f"{m} {path}")
 
     # ----------------------------------------------------------- namespaces
@@ -1458,6 +1466,253 @@ class _Handler(BaseHTTPRequestHandler):
                 raise _err(400, "BadRequestException", str(e))
 
         return act
+
+    # ----------------------------------------------------------------- views
+    def _view_store(self):
+        from .views import ViewStore
+
+        return ViewStore(self.state.catalog.warehouse)
+
+    def _views(self, ns: str):
+        """GET = listViews, POST = createView (public REST spec
+        ``/v1/{prefix}/namespaces/{ns}/views``)."""
+        if not self.state.ns_exists(ns):
+            raise _err(
+                404, "NoSuchNamespaceException", f"namespace {ns!r} not found"
+            )
+        store = self._view_store()
+        if self.command == "GET":
+            idents = [
+                {"namespace": ns.split("."), "name": v[len(ns) + 1 :]}
+                for v in store.list(namespace=ns)
+            ]
+            return self._send(200, self._paginate("identifiers", idents))
+        if self.command == "POST":
+            from .views import ViewAlreadyExistsError
+
+            body = self._json_body()
+            name = body.get("name")
+            vv = body.get("view-version") or {}
+            if not name or not vv.get("representations"):
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    "createView needs name and view-version.representations",
+                )
+            full = f"{ns}.{name}"
+            if self.state.catalog.table_exists(full):
+                raise _err(
+                    409,
+                    "AlreadyExistsException",
+                    f"a table named {full!r} already exists",
+                )
+            with self.state.table_lock("view:" + full):
+                try:
+                    meta = store.create(
+                        full,
+                        body.get("schema")
+                        or {"type": "struct", "schema-id": 0, "fields": []},
+                        vv,
+                        body.get("properties"),
+                    )
+                except ViewAlreadyExistsError:
+                    raise _err(
+                        409,
+                        "AlreadyExistsException",
+                        f"view {full!r} already exists",
+                    )
+            return self._send_view(full, meta)
+        raise _err(405, "BadRequestException", f"{self.command} on views")
+
+    def _send_view(self, full: str, meta: dict):
+        from .views import view_path
+
+        return self._send(
+            200,
+            {
+                "metadata-location": "file://"
+                + os.path.abspath(
+                    view_path(self.state.catalog.warehouse, full)
+                ),
+                "metadata": meta,
+                "config": {},
+            },
+        )
+
+    def _view(self, ns: str, name: str):
+        full = f"{ns}.{name}"
+        store = self._view_store()
+        if self.command in ("GET", "HEAD"):
+            if not store.exists(full):
+                raise _err(
+                    404, "NoSuchViewException", f"view {full!r} not found"
+                )
+            if self.command == "HEAD":
+                return self._send(200)
+            _, meta = store.load(full)
+            return self._send_view(full, meta)
+        if self.command == "DELETE":
+            from .views import NoSuchViewError
+
+            try:
+                store.drop(full)
+            except NoSuchViewError:
+                raise _err(
+                    404, "NoSuchViewException", f"view {full!r} not found"
+                )
+            return self._send(204)
+        if self.command == "POST":
+            return self._commit_view(full)
+        raise _err(405, "BadRequestException", f"{self.command} on view")
+
+    def _commit_view(self, full: str):
+        """UpdateViewRequest: assert-view-uuid requirements; updates
+        assign-uuid / set-properties / remove-properties / add-schema /
+        add-view-version / set-current-view-version (-1 = the version just
+        added) — the spec's replace-view flow. Validated fully before any
+        write (same atomic contract as the table commit path)."""
+        store = self._view_store()
+        body = self._json_body()
+        with self.state.table_lock("view:" + full):
+            if not store.exists(full):
+                raise _err(
+                    404, "NoSuchViewException", f"view {full!r} not found"
+                )
+            _, meta = store.load(full)
+            for req in body.get("requirements") or []:
+                rtype = req.get("type")
+                if rtype == "assert-view-uuid":
+                    if req.get("uuid") != meta["view-uuid"]:
+                        raise _err(
+                            409,
+                            "CommitFailedException",
+                            "view uuid mismatch: requirement "
+                            f"{req.get('uuid')!r} != {meta['view-uuid']!r}",
+                        )
+                else:
+                    raise _err(
+                        400,
+                        "BadRequestException",
+                        f"unknown view requirement {rtype!r}",
+                    )
+            updates = body.get("updates") or []
+            # validate shapes BEFORE applying anything
+            known = {
+                "assign-uuid",
+                "set-properties",
+                "remove-properties",
+                "add-schema",
+                "add-view-version",
+                "set-current-view-version",
+            }
+            for up in updates:
+                ut = up.get("action") or up.get("type")
+                if ut not in known:
+                    raise _err(
+                        400,
+                        "BadRequestException",
+                        f"unknown view update {ut!r}",
+                    )
+                if ut == "add-view-version" and not (
+                    up.get("view-version") or {}
+                ).get("representations"):
+                    raise _err(
+                        400,
+                        "BadRequestException",
+                        "add-view-version needs representations",
+                    )
+            # set-current must target an existing version, -1, or a version
+            # this same body adds — checked HERE so a bad id rejects the
+            # whole commit before any update applies
+            existing_ids = {v["version-id"] for v in meta["versions"]}
+            max_id = max(existing_ids)
+            n_added = sum(
+                1
+                for up in updates
+                if (up.get("action") or up.get("type")) == "add-view-version"
+            )
+            future_ids = existing_ids | set(
+                range(max_id + 1, max_id + 1 + n_added)
+            )
+            for up in updates:
+                ut = up.get("action") or up.get("type")
+                if ut == "set-current-view-version":
+                    vid = int(up.get("view-version-id", -1))
+                    if vid != -1 and vid not in future_ids:
+                        raise _err(
+                            400,
+                            "BadRequestException",
+                            f"no view version {vid} (existing or added in "
+                            "this commit)",
+                        )
+            pending_schema: dict | None = None
+            for up in updates:
+                ut = up.get("action") or up.get("type")
+                if ut == "assign-uuid":
+                    continue  # uuid is server-assigned and immutable here
+                if ut == "set-properties":
+                    meta = store.update_properties(
+                        full, up.get("updates") or {}
+                    )
+                elif ut == "remove-properties":
+                    meta = store.update_properties(
+                        full, {}, up.get("removals") or []
+                    )
+                elif ut == "add-schema":
+                    pending_schema = up.get("schema") or {}
+                elif ut == "add-view-version":
+                    vv = dict(up["view-version"])
+                    # spec: schema-id -1 binds to the schema added in this
+                    # same commit
+                    if vv.get("schema-id") == -1 and pending_schema is None:
+                        raise _err(
+                            400,
+                            "BadRequestException",
+                            "view-version schema-id -1 without add-schema",
+                        )
+                    sj = (
+                        pending_schema if vv.get("schema-id") == -1 else None
+                    )
+                    if vv.get("schema-id") == -1:
+                        vv.pop("schema-id")
+                    meta = store.add_version(
+                        full, vv, schema_json=sj, make_current=False
+                    )
+                    pending_schema = None
+                elif ut == "set-current-view-version":
+                    meta = store.set_current(
+                        full, int(up.get("view-version-id", -1))
+                    )
+            return self._send_view(full, meta)
+
+    def _rename_view(self):
+        from .views import NoSuchViewError, ViewAlreadyExistsError
+
+        body = self._json_body()
+        try:
+            src = body["source"]
+            dst = body["destination"]
+            src_full = ".".join([*src["namespace"], src["name"]])
+            dst_full = ".".join([*dst["namespace"], dst["name"]])
+        except (KeyError, TypeError):
+            raise _err(
+                400,
+                "BadRequestException",
+                "renameView needs source/destination {namespace, name}",
+            )
+        try:
+            self._view_store().rename(src_full, dst_full)
+        except NoSuchViewError:
+            raise _err(
+                404, "NoSuchViewException", f"view {src_full!r} not found"
+            )
+        except ViewAlreadyExistsError:
+            raise _err(
+                409,
+                "AlreadyExistsException",
+                f"view {dst_full!r} already exists",
+            )
+        return self._send(204)
 
     # --------------------------------------------------------- http methods
     def _handle(self):

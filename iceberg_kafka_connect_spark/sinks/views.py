@@ -1,0 +1,248 @@
+"""Iceberg SQL views over the directory warehouse.
+
+Public-spec parity: the Iceberg *view spec* (format-version 1
+``view-metadata.json``: ``view-uuid`` / ``location`` /
+``current-version-id`` / ``versions`` (each with SQL ``representations``)
+/ ``version-log`` / ``schemas`` / ``properties``) and the REST catalog's
+``/v1/namespaces/{ns}/views`` surface (public
+``rest-catalog-open-api.yaml``: CreateViewRequest / LoadViewResult /
+UpdateViewRequest with ``add-view-version`` + ``set-current-view-version``).
+The reference itself is a table sink, but every catalog it fronts
+(``data/Utilities.java:68-121`` → RESTCatalog) serves views to the engines
+downstream — an engine swap needs the surface.
+
+Storage: one spec-shaped JSON document per view at
+``<warehouse>/<ns-dirs>/<name>.view.json`` — replace-view appends a new
+version and advances ``current-version-id`` (versions are retained, the
+spec's version-log time travel), written atomically via tmp+rename. A
+``.view.json`` file can never collide with a table (tables are
+directories holding ``metadata/``).
+
+Execution: a view's SQL runs against the warehouse's registered temp
+views (``Catalog.register_views``: table ``db.t`` → temp view ``db_t``),
+the same naming a user of ``spark.sql`` over this engine already uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class NoSuchViewError(Exception):
+    pass
+
+
+class ViewAlreadyExistsError(Exception):
+    pass
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def view_path(warehouse: str, name: str) -> str:
+    parts = name.split(".")
+    if len(parts) == 1:
+        parts = ["default", parts[0]]
+    return os.path.join(warehouse, *parts[:-1], parts[-1] + ".view.json")
+
+
+def _write_atomic(path: str, doc: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=2)
+    os.replace(tmp, path)
+
+
+def new_view_metadata(
+    location: str,
+    schema_json: dict,
+    view_version: dict,
+    properties: dict | None = None,
+) -> dict:
+    """Spec-shaped format-version-1 view metadata with one version."""
+    vv = dict(view_version)
+    vv.setdefault("version-id", 1)
+    vv.setdefault("timestamp-ms", _now_ms())
+    vv.setdefault("schema-id", schema_json.get("schema-id", 0))
+    vv.setdefault("summary", {})
+    sj = dict(schema_json)
+    sj.setdefault("schema-id", vv["schema-id"])
+    return {
+        "view-uuid": str(uuid.uuid4()),
+        "format-version": 1,
+        "location": location,
+        "current-version-id": vv["version-id"],
+        "versions": [vv],
+        "version-log": [
+            {"timestamp-ms": vv["timestamp-ms"], "version-id": vv["version-id"]}
+        ],
+        "schemas": [sj],
+        "properties": dict(properties or {}),
+    }
+
+
+def sql_view_version(
+    sql: str,
+    dialect: str = "spark",
+    default_namespace: list[str] | None = None,
+    version_id: int = 1,
+    schema_id: int = 0,
+) -> dict:
+    return {
+        "version-id": version_id,
+        "timestamp-ms": _now_ms(),
+        "schema-id": schema_id,
+        "summary": {"engine-name": "iceberg-kafka-connect-spark"},
+        "representations": [
+            {"type": "sql", "sql": sql, "dialect": dialect}
+        ],
+        "default-namespace": default_namespace or ["default"],
+    }
+
+
+class ViewStore:
+    """View CRUD over a warehouse directory — the piece both the directory
+    Catalog and the REST server share."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+
+    # ------------------------------------------------------------- basics
+    def exists(self, name: str) -> bool:
+        return os.path.isfile(view_path(self.warehouse, name))
+
+    def load(self, name: str) -> tuple[str, dict]:
+        p = view_path(self.warehouse, name)
+        if not os.path.isfile(p):
+            raise NoSuchViewError(name)
+        with open(p) as f:
+            return p, json.load(f)
+
+    def drop(self, name: str) -> None:
+        p = view_path(self.warehouse, name)
+        if not os.path.isfile(p):
+            raise NoSuchViewError(name)
+        os.unlink(p)
+
+    def list(self, namespace: str | None = None) -> list[str]:
+        out = []
+        for dirpath, _dirnames, files in os.walk(self.warehouse):
+            for fn in files:
+                if not fn.endswith(".view.json"):
+                    continue
+                rel = os.path.relpath(dirpath, self.warehouse)
+                ns = [] if rel == "." else rel.split(os.sep)
+                full = ".".join([*ns, fn[: -len(".view.json")]])
+                if namespace is None or full.rsplit(".", 1)[0] == namespace:
+                    out.append(full)
+        return sorted(out)
+
+    def rename(self, src: str, dst: str) -> None:
+        sp = view_path(self.warehouse, src)
+        dp = view_path(self.warehouse, dst)
+        if not os.path.isfile(sp):
+            raise NoSuchViewError(src)
+        if os.path.isfile(dp):
+            raise ViewAlreadyExistsError(dst)
+        os.makedirs(os.path.dirname(dp), exist_ok=True)
+        os.rename(sp, dp)
+
+    # -------------------------------------------------------------- create
+    def create(
+        self,
+        name: str,
+        schema_json: dict,
+        view_version: dict,
+        properties: dict | None = None,
+    ) -> dict:
+        p = view_path(self.warehouse, name)
+        if os.path.isfile(p):
+            raise ViewAlreadyExistsError(name)
+        meta = new_view_metadata(
+            "file://" + os.path.abspath(os.path.dirname(p)),
+            schema_json,
+            view_version,
+            properties,
+        )
+        _write_atomic(p, meta)
+        return meta
+
+    # -------------------------------------------------------- replace/commit
+    def add_version(
+        self,
+        name: str,
+        view_version: dict,
+        schema_json: dict | None = None,
+        make_current: bool = True,
+    ) -> dict:
+        """The spec's replace-view flow: ``add-view-version`` (+ optional
+        ``add-schema``) then ``set-current-view-version``. Old versions are
+        retained in ``versions``/``version-log`` — the spec's history."""
+        p, meta = self.load(name)
+        vv = dict(view_version)
+        next_id = 1 + max(v["version-id"] for v in meta["versions"])
+        vv["version-id"] = next_id
+        vv.setdefault("timestamp-ms", _now_ms())
+        if schema_json is not None:
+            sj = dict(schema_json)
+            sj["schema-id"] = 1 + max(
+                s.get("schema-id", 0) for s in meta["schemas"]
+            )
+            meta["schemas"].append(sj)
+            vv["schema-id"] = sj["schema-id"]
+        else:
+            vv.setdefault("schema-id", meta["versions"][-1]["schema-id"])
+        vv.setdefault("summary", {})
+        meta["versions"].append(vv)
+        if make_current:
+            meta["current-version-id"] = next_id
+            meta["version-log"].append(
+                {"timestamp-ms": vv["timestamp-ms"], "version-id": next_id}
+            )
+        _write_atomic(p, meta)
+        return meta
+
+    def set_current(self, name: str, version_id: int) -> dict:
+        p, meta = self.load(name)
+        if version_id == -1:  # spec: -1 = the version just added
+            version_id = meta["versions"][-1]["version-id"]
+        if version_id not in {v["version-id"] for v in meta["versions"]}:
+            raise ValueError(f"view {name!r} has no version {version_id}")
+        if meta["current-version-id"] != version_id:
+            meta["current-version-id"] = version_id
+            meta["version-log"].append(
+                {"timestamp-ms": _now_ms(), "version-id": version_id}
+            )
+            _write_atomic(p, meta)
+        return meta
+
+    def update_properties(
+        self, name: str, updates: dict | None, removals: list | None = None
+    ) -> dict:
+        p, meta = self.load(name)
+        for k in removals or []:
+            meta["properties"].pop(k, None)
+        meta["properties"].update(updates or {})
+        _write_atomic(p, meta)
+        return meta
+
+    # ----------------------------------------------------------- execution
+    @staticmethod
+    def current_sql(meta: dict, dialect: str | None = None) -> str:
+        cur = next(
+            v
+            for v in meta["versions"]
+            if v["version-id"] == meta["current-version-id"]
+        )
+        reps = [r for r in cur.get("representations", []) if r["type"] == "sql"]
+        if dialect is not None:
+            exact = [r for r in reps if r.get("dialect") == dialect]
+            reps = exact or reps  # spec: fall back to any SQL representation
+        if not reps:
+            raise ValueError("view has no SQL representation")
+        return reps[0]["sql"]

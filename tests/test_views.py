@@ -1,0 +1,231 @@
+"""Iceberg SQL views: view-spec metadata over the warehouse + the REST
+catalog's /v1/namespaces/{ns}/views surface (sinks/views.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.sinks.catalog import Catalog
+from iceberg_kafka_connect_spark.sinks.rest_catalog import (
+    RestCatalog,
+    RestCatalogError,
+)
+from iceberg_kafka_connect_spark.sinks.rest_server import IcebergRestServer
+from iceberg_kafka_connect_spark.sinks.views import (
+    NoSuchViewError,
+    ViewAlreadyExistsError,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+def _seed(spark, cat):
+    t = cat.create_table("db.base", SCHEMA)
+    t.append(spark.createDataFrame([(i, f"x{i}") for i in range(10)], SCHEMA))
+    return t
+
+
+def test_directory_catalog_view_lifecycle(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"))
+    _seed(spark, cat)
+    meta = cat.create_view(
+        "db.evens",
+        "SELECT id, v FROM db_base WHERE id % 2 = 0",
+        spark=spark,
+        properties={"comment": "even ids"},
+    )
+    # spec-shaped metadata with the inferred schema
+    assert meta["format-version"] == 1
+    assert meta["current-version-id"] == 1
+    assert [f["name"] for f in meta["schemas"][0]["fields"]] == ["id", "v"]
+    rep = meta["versions"][0]["representations"][0]
+    assert rep["type"] == "sql" and rep["dialect"] == "spark"
+    assert cat.views.list() == ["db.evens"]
+    # executes against the warehouse
+    got = sorted(r.id for r in cat.read_view(spark, "db.evens").collect())
+    assert got == [0, 2, 4, 6, 8]
+    # replace: new version becomes current, history retained
+    cat.views.add_version(
+        "db.evens",
+        {
+            "representations": [
+                {
+                    "type": "sql",
+                    "sql": "SELECT id FROM db_base WHERE id > 7",
+                    "dialect": "spark",
+                }
+            ]
+        },
+    )
+    _, meta2 = cat.views.load("db.evens")
+    assert meta2["current-version-id"] == 2
+    assert len(meta2["versions"]) == 2
+    assert sorted(
+        r.id for r in cat.read_view(spark, "db.evens").collect()
+    ) == [8, 9]
+    # time-travel rollback: set-current back to version 1
+    cat.views.set_current("db.evens", 1)
+    assert sorted(
+        r.id for r in cat.read_view(spark, "db.evens").collect()
+    ) == [0, 2, 4, 6, 8]
+    # rename + duplicate + drop
+    cat.views.rename("db.evens", "db2.evens")
+    assert cat.views.list() == ["db2.evens"]
+    with pytest.raises(ViewAlreadyExistsError):
+        cat.create_view("db2.evens", "SELECT 1")
+    cat.views.drop("db2.evens")
+    with pytest.raises(NoSuchViewError):
+        cat.views.load("db2.evens")
+
+
+def test_rest_view_lifecycle(spark, tmp_path):
+    with IcebergRestServer(str(tmp_path / "wh")) as srv:
+        client = RestCatalog(srv.uri)
+        _seed(spark, client)
+        meta = client.create_view(
+            "db.top",
+            "SELECT id, v FROM db_base WHERE id >= 5",
+            schema=SCHEMA,
+        )
+        assert meta["current-version-id"] == 1
+        assert client.view_exists("db.top")
+        assert not client.view_exists("db.nope")
+        assert client.list_views("db") == ["db.top"]
+        loc, meta_l = client.load_view("db.top")
+        assert loc.endswith("top.view.json")
+        assert meta_l["view-uuid"] == meta["view-uuid"]
+        # execute through the client
+        got = sorted(r.id for r in client.read_view(spark, "db.top").collect())
+        assert got == [5, 6, 7, 8, 9]
+        # replace-view flow (assert-view-uuid + add + set-current -1)
+        meta2 = client.replace_view(
+            "db.top", "SELECT id FROM db_base WHERE id < 2"
+        )
+        assert meta2["current-version-id"] == 2
+        assert sorted(
+            r.id for r in client.read_view(spark, "db.top").collect()
+        ) == [0, 1]
+        # stale uuid requirement -> 409, nothing applied
+        with pytest.raises(RestCatalogError) as ei:
+            client._request(
+                "POST",
+                client._view_path("db.top"),
+                {
+                    "requirements": [
+                        {"type": "assert-view-uuid", "uuid": "wrong"}
+                    ],
+                    "updates": [
+                        {
+                            "action": "set-properties",
+                            "updates": {"leak": "y"},
+                        }
+                    ],
+                },
+            )
+        assert ei.value.code == 409
+        assert "leak" not in client.load_view("db.top")[1]["properties"]
+        # set-current to a nonexistent version -> 400, atomic
+        with pytest.raises(RestCatalogError) as ei:
+            client._request(
+                "POST",
+                client._view_path("db.top"),
+                {
+                    "updates": [
+                        {"action": "set-properties", "updates": {"l2": "y"}},
+                        {
+                            "action": "set-current-view-version",
+                            "view-version-id": 99,
+                        },
+                    ]
+                },
+            )
+        assert ei.value.code == 400
+        assert "l2" not in client.load_view("db.top")[1]["properties"]
+        # rollback to version 1 via the commit endpoint
+        client._request(
+            "POST",
+            client._view_path("db.top"),
+            {
+                "updates": [
+                    {
+                        "action": "set-current-view-version",
+                        "view-version-id": 1,
+                    }
+                ]
+            },
+        )
+        assert sorted(
+            r.id for r in client.read_view(spark, "db.top").collect()
+        ) == [5, 6, 7, 8, 9]
+        # rename + name-collision rules + drop
+        client.rename_view("db.top", "db.renamed")
+        assert client.view_exists("db.renamed")
+        with pytest.raises(RestCatalogError) as ei:
+            client.create_view("db.base", "SELECT 1")  # table name taken
+        assert ei.value.code == 409
+        client.drop_view("db.renamed")
+        with pytest.raises(RestCatalogError) as ei:
+            client.load_view("db.renamed")
+        assert ei.value.code == 404
+
+
+def test_rest_view_add_schema_binding(spark, tmp_path):
+    """add-schema + add-view-version with schema-id -1 binds the version
+    to the schema added in the SAME commit (spec semantics)."""
+    with IcebergRestServer(str(tmp_path / "wh")) as srv:
+        client = RestCatalog(srv.uri)
+        _seed(spark, client)
+        client.create_view("db.s", "SELECT id FROM db_base", schema=None)
+        new_schema = {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": True, "type": "long"},
+                {"id": 2, "name": "twice", "required": False, "type": "long"},
+            ],
+        }
+        out = client._request(
+            "POST",
+            client._view_path("db.s"),
+            {
+                "updates": [
+                    {"action": "add-schema", "schema": new_schema},
+                    {
+                        "action": "add-view-version",
+                        "view-version": {
+                            "schema-id": -1,
+                            "representations": [
+                                {
+                                    "type": "sql",
+                                    "sql": "SELECT id, id * 2 AS twice "
+                                    "FROM db_base",
+                                    "dialect": "spark",
+                                }
+                            ],
+                        },
+                    },
+                    {
+                        "action": "set-current-view-version",
+                        "view-version-id": -1,
+                    },
+                ]
+            },
+        )["metadata"]
+        assert out["current-version-id"] == 2
+        cur = next(
+            v
+            for v in out["versions"]
+            if v["version-id"] == out["current-version-id"]
+        )
+        sid = cur["schema-id"]
+        bound = next(s for s in out["schemas"] if s.get("schema-id") == sid)
+        assert [f["name"] for f in bound["fields"]] == ["id", "twice"]
+        rows = client.read_view(spark, "db.s").collect()
+        assert {(r.id, r.twice) for r in rows} == {
+            (i, 2 * i) for i in range(10)
+        }
