@@ -2,14 +2,17 @@
 
 Reference parity: ``iceberg.catalog.type=jdbc`` resolves to Iceberg's
 ``JdbcCatalog`` (data/Utilities.java:68-121 → CatalogUtil), whose entire
-protocol is two public SQL tables (apache/iceberg
+protocol is three public SQL tables (apache/iceberg
 ``jdbc/JdbcUtil.java``):
 
 - ``iceberg_tables(catalog_name, table_namespace, table_name,
   metadata_location, previous_metadata_location)`` — one row per table,
   the row IS the table's current-metadata pointer;
 - ``iceberg_namespace_properties(catalog_name, namespace, property_key,
-  property_value)`` — namespace existence + properties.
+  property_value)`` — namespace existence + properties;
+- ``iceberg_views(catalog_name, view_namespace, view_name,
+  metadata_location, previous_metadata_location)`` — one pointer row per
+  SQL view (metadata doc in the warehouse, sinks/views.py).
 
 A commit is one compare-and-swap::
 
@@ -76,6 +79,19 @@ CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
 # JdbcUtil marks property-less namespaces with this sentinel row
 _NS_EXISTS_KEY = "exists"
 
+# JdbcUtil's third table (apache/iceberg jdbc/JdbcUtil.java): one pointer
+# row per SQL view — same CAS protocol as iceberg_tables
+_VIEWS_DDL = """
+CREATE TABLE IF NOT EXISTS iceberg_views (
+  catalog_name VARCHAR(255) NOT NULL,
+  view_namespace VARCHAR(255) NOT NULL,
+  view_name VARCHAR(255) NOT NULL,
+  metadata_location VARCHAR(1000),
+  previous_metadata_location VARCHAR(1000),
+  PRIMARY KEY (catalog_name, view_namespace, view_name)
+)
+"""
+
 
 def parse_jdbc_uri(uri: str) -> str:
     """``jdbc:sqlite:<path>`` (or ``sqlite:<path>`` / bare path) → sqlite
@@ -124,6 +140,7 @@ class JdbcCatalog:
         with self._conn() as con:
             con.execute(_TABLES_DDL)
             con.execute(_NS_DDL)
+            con.execute(_VIEWS_DDL)
 
     @contextmanager
     def _conn(self):
@@ -471,3 +488,152 @@ class JdbcCatalog:
             self.load_table(name).read(spark).createOrReplaceTempView(view)
             registered.append(view)
         return registered
+
+    # --------------------------------------------------------- SQL views
+    # The view's metadata doc lives in the warehouse (sinks/views.py, the
+    # Iceberg view-spec shape); the iceberg_views row is the POINTER, same
+    # split as tables. Requires a warehouse for the metadata files.
+    def _view_store(self):
+        from .views import ViewStore
+
+        if not self.warehouse:
+            raise ValueError("view operations need a warehouse directory")
+        return ViewStore(self.warehouse)
+
+    def _view_pointer(self, ns: str, v: str) -> str | None:
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT metadata_location FROM iceberg_views WHERE "
+                "catalog_name=? AND view_namespace=? AND view_name=?",
+                (self.name, ns, v),
+            ).fetchone()
+        return row[0] if row else None
+
+    def create_view(
+        self,
+        name: str,
+        sql: str,
+        spark=None,
+        dialect: str = "spark",
+        properties: dict | None = None,
+    ) -> dict:
+        from .iceberg_export import iceberg_schema
+        from .views import ViewAlreadyExistsError, sql_view_version, view_path
+
+        ns, v = self._ident(name)
+        if self._view_pointer(ns, v) is not None:
+            raise ViewAlreadyExistsError(name)
+        schema_json: dict = {"type": "struct", "schema-id": 0, "fields": []}
+        if spark is not None:
+            self.register_views(spark)
+            schema_json, _ = iceberg_schema(spark.sql(sql).schema)
+            schema_json["schema-id"] = 0
+        store = self._view_store()
+        meta = store.create(
+            name, schema_json, sql_view_version(sql, dialect=dialect), properties
+        )
+        loc = "file://" + os.path.abspath(view_path(self.warehouse, name))
+        with self._conn() as con:
+            try:
+                con.execute(
+                    "INSERT INTO iceberg_views (catalog_name, view_namespace,"
+                    " view_name, metadata_location,"
+                    " previous_metadata_location) VALUES (?,?,?,?,NULL)",
+                    (self.name, ns, v, loc),
+                )
+            except sqlite3.IntegrityError:
+                store.drop(name)
+                raise ViewAlreadyExistsError(name) from None
+        self._ensure_namespace_row(ns)
+        return meta
+
+    def load_view(self, name: str) -> tuple[str, dict]:
+        from .views import NoSuchViewError
+
+        ns, v = self._ident(name)
+        loc = self._view_pointer(ns, v)
+        if loc is None:
+            raise NoSuchViewError(name)
+        with open(_uri_to_path(loc)) as f:
+            return loc, json.load(f)
+
+    def view_exists(self, name: str) -> bool:
+        ns, v = self._ident(name)
+        return self._view_pointer(ns, v) is not None
+
+    def drop_view(self, name: str) -> None:
+        from .views import NoSuchViewError
+
+        ns, v = self._ident(name)
+        loc = self._view_pointer(ns, v)
+        if loc is None:
+            raise NoSuchViewError(name)
+        with self._conn() as con:
+            con.execute(
+                "DELETE FROM iceberg_views WHERE catalog_name=? AND "
+                "view_namespace=? AND view_name=?",
+                (self.name, ns, v),
+            )
+        try:
+            os.unlink(_uri_to_path(loc))
+        except OSError:
+            pass
+
+    def list_views(self, namespace: str | None = None) -> list[str]:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT view_namespace, view_name FROM iceberg_views "
+                "WHERE catalog_name=? ORDER BY 1, 2",
+                (self.name,),
+            ).fetchall()
+        out = [f"{ns}.{v}" for ns, v in rows]
+        if namespace is not None:
+            out = [n for n in out if n.rsplit(".", 1)[0] == namespace]
+        return out
+
+    def rename_view(self, src: str, dst: str) -> None:
+        from .views import NoSuchViewError, ViewAlreadyExistsError, view_path
+
+        sns, sv = self._ident(src)
+        dns, dv = self._ident(dst)
+        loc = self._view_pointer(sns, sv)
+        if loc is None:
+            raise NoSuchViewError(src)
+        if self._view_pointer(dns, dv) is not None:
+            raise ViewAlreadyExistsError(dst)
+        self._view_store().rename(src, dst)
+        new_loc = "file://" + os.path.abspath(view_path(self.warehouse, dst))
+        with self._conn() as con:
+            cur = con.execute(
+                "UPDATE iceberg_views SET view_namespace=?, view_name=?, "
+                "metadata_location=?, previous_metadata_location=? WHERE "
+                "catalog_name=? AND view_namespace=? AND view_name=? AND "
+                "metadata_location=?",
+                (dns, dv, new_loc, loc, self.name, sns, sv, loc),
+            )
+            if cur.rowcount != 1:
+                self._view_store().rename(dst, src)  # roll the file back
+                raise CommitConflict(
+                    f"view {src} changed concurrently during rename"
+                )
+        self._ensure_namespace_row(dns)
+
+    def replace_view(
+        self, name: str, sql: str, dialect: str = "spark"
+    ) -> dict:
+        from .views import NoSuchViewError, sql_view_version
+
+        ns, v = self._ident(name)
+        if self._view_pointer(ns, v) is None:
+            raise NoSuchViewError(name)
+        return self._view_store().add_version(
+            name,
+            sql_view_version(sql, dialect=dialect),
+        )
+
+    def read_view(self, spark, name: str):
+        from .views import ViewStore
+
+        _, meta = self.load_view(name)
+        self.register_views(spark)
+        return spark.sql(ViewStore.current_sql(meta, dialect="spark"))

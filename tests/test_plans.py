@@ -405,3 +405,17 @@ def test_boilerplate_topk_is_take_ordered_not_global_sort(spark, sf_dir):
     plan = plan_string(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_quality_linear_single_shuffle_no_python(spark, sf_dir):
+    """The hashed linear scorer at 100 TB is one pass: per-token weights
+    are pure JVM expressions (md5 + integer ops, whole-stage codegen),
+    the ONLY exchange is the groupBy(id) hash aggregation with a map-side
+    partial, and no Python ever runs."""
+    df = SPECS["docs_quality_linear"].fn(spark, sf_dir)
+    plan = plan_string(df)
+    assert "PythonUDF" not in plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("hashpartitioning") == 1, plan
+    # partial_count/partial_sum before the exchange = map-side combine
+    assert "partial_count" in plan and "partial_sum" in plan, plan

@@ -229,3 +229,46 @@ def test_rest_view_add_schema_binding(spark, tmp_path):
         assert {(r.id, r.twice) for r in rows} == {
             (i, 2 * i) for i in range(10)
         }
+
+
+def test_jdbc_catalog_views(spark, tmp_path):
+    """JdbcUtil's third pointer table (iceberg_views): view rows visible
+    to raw SQL, metadata doc in the warehouse, rename CAS-protected."""
+    import sqlite3
+
+    from iceberg_kafka_connect_spark.sinks.jdbc_catalog import JdbcCatalog
+
+    cat = JdbcCatalog(
+        str(tmp_path / "cat.db"), warehouse=str(tmp_path / "wh")
+    )
+    _seed(spark, cat)
+    meta = cat.create_view(
+        "db.odds", "SELECT id FROM db_base WHERE id % 2 = 1", spark=spark
+    )
+    assert meta["current-version-id"] == 1
+    assert cat.view_exists("db.odds")
+    assert cat.list_views() == ["db.odds"]
+    # the pointer row is plain SQL, readable by any JDBC client
+    con = sqlite3.connect(str(tmp_path / "cat.db"))
+    rows = con.execute(
+        "SELECT view_namespace, view_name, metadata_location "
+        "FROM iceberg_views"
+    ).fetchall()
+    con.close()
+    assert len(rows) == 1 and rows[0][:2] == ("db", "odds")
+    assert rows[0][2].endswith("odds.view.json")
+    # executes; replace advances the version
+    assert sorted(
+        r.id for r in cat.read_view(spark, "db.odds").collect()
+    ) == [1, 3, 5, 7, 9]
+    cat.replace_view("db.odds", "SELECT id FROM db_base WHERE id = 1")
+    assert [r.id for r in cat.read_view(spark, "db.odds").collect()] == [1]
+    # rename + duplicate + drop
+    cat.rename_view("db.odds", "db2.odds")
+    assert cat.list_views() == ["db2.odds"]
+    with pytest.raises(ViewAlreadyExistsError):
+        cat.create_view("db2.odds", "SELECT 1")
+    cat.drop_view("db2.odds")
+    assert not cat.view_exists("db2.odds")
+    with pytest.raises(NoSuchViewError):
+        cat.load_view("db2.odds")
