@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "maintenance_orphan_sweep",
     "wap_cherry_pick",
     "docs_quality_linear",
+    "lakehouse_view_read",
 ]
 
 

@@ -447,11 +447,61 @@ def serve_rest_main(argv: list[str]) -> int:
     return 0
 
 
+def views_main(argv: list[str]) -> int:
+    """SQL-view subcommand over a warehouse (sinks/views.py):
+
+        python -m iceberg_kafka_connect_spark.cli views \\
+            --warehouse WH {list | show NAME | create NAME SQL |
+                            replace NAME SQL | drop NAME |
+                            rename SRC DST}
+    """
+    from .sinks.views import ViewStore, sql_view_version
+
+    ap = argparse.ArgumentParser(prog="cli views")
+    ap.add_argument("--warehouse", required=True)
+    sub = ap.add_subparsers(dest="action", required=True)
+    sub.add_parser("list")
+    for a in ("show", "drop"):
+        p = sub.add_parser(a)
+        p.add_argument("name")
+    for a in ("create", "replace"):
+        p = sub.add_parser(a)
+        p.add_argument("name")
+        p.add_argument("sql")
+    rn = sub.add_parser("rename")
+    rn.add_argument("src")
+    rn.add_argument("dst")
+    args = ap.parse_args(argv)
+    store = ViewStore(args.warehouse)
+    if args.action == "list":
+        out: object = store.list()
+    elif args.action == "show":
+        out = store.load(args.name)[1]
+    elif args.action == "create":
+        out = store.create(
+            args.name,
+            {"type": "struct", "schema-id": 0, "fields": []},
+            sql_view_version(args.sql),
+        )
+    elif args.action == "replace":
+        out = store.add_version(args.name, sql_view_version(args.sql))
+    elif args.action == "drop":
+        store.drop(args.name)
+        out = {"dropped": args.name}
+    else:  # rename
+        store.rename(args.src, args.dst)
+        out = {"renamed": [args.src, args.dst]}
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "table":
         return table_main(argv[1:])
+    if argv and argv[0] == "views":
+        return views_main(argv[1:])
     if argv and argv[0] == "serve-rest":
         return serve_rest_main(argv[1:])
     ap = argparse.ArgumentParser(description=__doc__)

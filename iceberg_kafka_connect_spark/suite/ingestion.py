@@ -2221,3 +2221,65 @@ def wap_cherry_pick(spark, sf_dir):
         F.lit("after").alias("stage"), "n_rows", "sum_ids"
     )
     return before.unionAll(after).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# SQL view over the lakehouse (Iceberg view spec + catalog view surface):
+# create a view whose SQL aggregates a warehouse table, read it, replace
+# it, read again — the result proves version selection (current-version-id)
+# drives execution.
+# --------------------------------------------------------------------------
+@register(
+    "lakehouse_view_read",
+    oracle="""
+    SELECT 'v1' AS version, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events WHERE event_id < 400
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'v2' AS version, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events WHERE event_id < 150
+    GROUP BY event_type
+    ORDER BY version, event_type
+    """,
+    tags=("ingestion", "lakehouse", "views"),
+)
+def lakehouse_view_read(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.catalog import Catalog
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    cat = Catalog(tempfile.mkdtemp(prefix="view_gate_"))
+    t = cat.create_table("db.ev", e.schema)
+    t.append(e.filter(F.col("event_id") < 400))
+    cat.create_view(
+        "db.by_type",
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "FROM db_ev GROUP BY event_type",
+        spark=spark,
+    )
+    v1 = cat.read_view(spark, "db.by_type").select(
+        F.lit("v1").alias("version"), "event_type", "n_rows"
+    )
+    r1 = v1.collect()  # materialize BEFORE the replace flips the SQL
+    cat.views.add_version(
+        "db.by_type",
+        {
+            "representations": [
+                {
+                    "type": "sql",
+                    "sql": "SELECT event_type, CAST(COUNT(*) AS BIGINT) "
+                    "AS n_rows FROM db_ev WHERE event_id < 150 "
+                    "GROUP BY event_type",
+                    "dialect": "spark",
+                }
+            ]
+        },
+    )
+    v2 = cat.read_view(spark, "db.by_type").select(
+        F.lit("v2").alias("version"), "event_type", "n_rows"
+    )
+    v1_frozen = spark.createDataFrame(r1, v2.schema)
+    return v1_frozen.unionAll(v2).orderBy("version", "event_type")
