@@ -3007,19 +3007,28 @@ class LakehouseTable:
                     )
                 sid = cur["parent"]
             d, dl = self._load_manifest(snap)
+            src_summary = dict(snap.get("summary") or {})
+            # Iceberg records the staged snapshot's wap.id as
+            # published-wap-id on the published copy — keeping wap.id
+            # itself unique to the staged snapshot so publish_wap stays
+            # unambiguous after publication
+            wap = src_summary.pop("wap.id", None)
+            summary = {
+                **{
+                    k: v
+                    for k, v in src_summary.items()
+                    if not k.startswith("cherry-pick.")
+                },
+                "cherry-pick.snapshot-id": snapshot_id,
+            }
+            if wap is not None:
+                summary["published-wap-id"] = wap
             try:
                 return self._commit_snapshot(
                     snap.get("operation", "append"),
                     d,
                     dl,
-                    {
-                        **{
-                            k: v
-                            for k, v in (snap.get("summary") or {}).items()
-                            if not k.startswith("cherry-pick.")
-                        },
-                        "cherry-pick.snapshot-id": snapshot_id,
-                    },
+                    summary,
                     branch,
                     expected_parent=meta["refs"].get(branch),
                 )
@@ -3028,6 +3037,28 @@ class LakehouseTable:
                     raise
                 time.sleep(0.05 * (attempt + 1))
         raise AssertionError("unreachable")  # pragma: no cover
+
+    def publish_wap(self, wap_id: str, branch: str = MAIN) -> dict:
+        """Iceberg's publish-by-``wap.id`` (the ``spark.wap.id`` flow:
+        ``cherrypick_snapshot`` resolved by the staged snapshot's summary
+        instead of its id). Stage with
+        ``append(df, branch="audit", snapshot_props={"wap.id": ...})``,
+        audit the branch, then publish here — works whether or not the
+        target branch moved meanwhile (cherry-pick semantics)."""
+        meta = self.metadata()
+        matches = [
+            s
+            for s in meta["snapshots"]
+            if (s.get("summary") or {}).get("wap.id") == wap_id
+        ]
+        if not matches:
+            raise ValueError(f"no staged snapshot carries wap.id {wap_id!r}")
+        if len(matches) > 1:
+            raise ValueError(
+                f"wap.id {wap_id!r} is ambiguous: "
+                f"{[s['snapshot_id'] for s in matches]}"
+            )
+        return self.cherry_pick(matches[0]["snapshot_id"], branch=branch)
 
     # ------------------------------------------------------------------ tags
     def tags(self) -> dict[str, str]:

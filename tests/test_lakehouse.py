@@ -606,3 +606,41 @@ def test_cherry_pick_refuses_history_rewrites_and_ancestors(spark, catalog):
     t.append(_rows(spark, [(3, "c", None, None)]))
     with pytest.raises(ValueError, match="rewrites history"):
         t.cherry_pick(replace["snapshot_id"])
+
+
+def test_publish_wap_by_id(spark, catalog):
+    """spark.wap.id flow: stage with a wap.id summary on an audit branch,
+    publish by id — even after main diverged. Duplicate/unknown ids fail
+    loudly."""
+    t = catalog.create_table("default.wapid", SCHEMA)
+    t.append(_rows(spark, [(1, "base", None, None)]))
+    t.create_branch("audit")
+    t.append(
+        _rows(spark, [(2, "staged", None, None)]),
+        branch="audit",
+        snapshot_props={"wap.id": "batch-42"},
+    )
+    t.append(_rows(spark, [(9, "diverged", None, None)]))
+    out = t.publish_wap("batch-42")
+    # Iceberg records the published copy's origin as published-wap-id;
+    # wap.id stays unique to the staged snapshot
+    assert out["summary"]["published-wap-id"] == "batch-42"
+    assert "wap.id" not in out["summary"]
+    assert {r.id for r in t.read(spark).collect()} == {1, 2, 9}
+    with pytest.raises(ValueError, match="already published"):
+        t.publish_wap("batch-42")
+    with pytest.raises(ValueError, match="no staged snapshot"):
+        t.publish_wap("nope")
+    # ambiguous wap ids are refused
+    t.append(
+        _rows(spark, [(3, "s3", None, None)]),
+        branch="audit",
+        snapshot_props={"wap.id": "dup"},
+    )
+    t.append(
+        _rows(spark, [(4, "s4", None, None)]),
+        branch="audit",
+        snapshot_props={"wap.id": "dup"},
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        t.publish_wap("dup")
