@@ -284,6 +284,10 @@ class Catalog:
         from .iceberg_export import iceberg_schema
         from .views import sql_view_version
 
+        if self.table_exists(name):
+            raise TableAlreadyExistsError(
+                f"a table named {name!r} already exists"
+            )
         schema_json: dict = {"type": "struct", "schema-id": 0, "fields": []}
         if spark is not None:
             self.register_views(spark)

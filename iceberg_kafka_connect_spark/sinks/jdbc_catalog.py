@@ -523,6 +523,10 @@ class JdbcCatalog:
         ns, v = self._ident(name)
         if self._view_pointer(ns, v) is not None:
             raise ViewAlreadyExistsError(name)
+        if self._pointer(ns, v) is not None:
+            raise TableAlreadyExistsError(
+                f"a table named {name!r} already exists"
+            )
         schema_json: dict = {"type": "struct", "schema-id": 0, "fields": []}
         if spark is not None:
             self.register_views(spark)
@@ -601,6 +605,10 @@ class JdbcCatalog:
             raise NoSuchViewError(src)
         if self._view_pointer(dns, dv) is not None:
             raise ViewAlreadyExistsError(dst)
+        if self._pointer(dns, dv) is not None:
+            raise TableAlreadyExistsError(
+                f"a table named {dst!r} already exists"
+            )
         self._view_store().rename(src, dst)
         new_loc = "file://" + os.path.abspath(view_path(self.warehouse, dst))
         with self._conn() as con:

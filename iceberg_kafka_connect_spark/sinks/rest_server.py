@@ -337,7 +337,13 @@ class _Handler(BaseHTTPRequestHandler):
                 401, "invalid_client", "unknown client or bad secret"
             )
         tok = f"iks-{uuid4().hex}"
-        self.state.issued_tokens[tok] = time.time() + self.token_ttl_s
+        now = time.time()
+        # sweep tokens already past expiry — clients that never re-present
+        # their token (one-shot jobs) would otherwise grow the store forever
+        for t, exp in list(self.state.issued_tokens.items()):
+            if exp <= now:
+                self.state.issued_tokens.pop(t, None)
+        self.state.issued_tokens[tok] = now + self.token_ttl_s
         return self._send(
             200,
             {
@@ -561,6 +567,14 @@ class _Handler(BaseHTTPRequestHandler):
         from .iceberg_import import iceberg_type_to_spark
 
         body = self._json_body()
+        if (nm0 := body.get("name")) and self._view_store().exists(
+            f"{ns}.{nm0}"
+        ):
+            raise _err(
+                409,
+                "AlreadyExistsException",
+                f"a view named {ns}.{nm0} already exists",
+            )
         if body.get("stage-create"):
             raise _err(
                 400,
@@ -771,6 +785,12 @@ class _Handler(BaseHTTPRequestHandler):
                 400,
                 "BadRequestException",
                 "rename needs source/destination {namespace, name}",
+            )
+        if self._view_store().exists(dst_full):
+            raise _err(
+                409,
+                "AlreadyExistsException",
+                f"a view named {dst_full!r} already exists",
             )
         os.makedirs(self.state.ns_dir(dst_ns), exist_ok=True)
         try:
@@ -1554,12 +1574,13 @@ class _Handler(BaseHTTPRequestHandler):
         if self.command == "DELETE":
             from .views import NoSuchViewError
 
-            try:
-                store.drop(full)
-            except NoSuchViewError:
-                raise _err(
-                    404, "NoSuchViewException", f"view {full!r} not found"
-                )
+            with self.state.table_lock("view:" + full):
+                try:
+                    store.drop(full)
+                except NoSuchViewError:
+                    raise _err(
+                        404, "NoSuchViewException", f"view {full!r} not found"
+                    )
             return self._send(204)
         if self.command == "POST":
             return self._commit_view(full)
@@ -1596,7 +1617,14 @@ class _Handler(BaseHTTPRequestHandler):
                         f"unknown view requirement {rtype!r}",
                     )
             updates = body.get("updates") or []
-            # validate shapes BEFORE applying anything
+            # validate the WHOLE body before applying anything — a
+            # positional simulation, not just shape checks: set-current
+            # must target a version that exists AT ITS POSITION in the
+            # body (an id added only later would 500 mid-apply), -1
+            # requires an add-view-version earlier in this same commit,
+            # and a trailing add-schema with no consuming
+            # add-view-version is a silent no-op the client didn't ask
+            # for — all 400 here with nothing written.
             known = {
                 "assign-uuid",
                 "set-properties",
@@ -1605,6 +1633,10 @@ class _Handler(BaseHTTPRequestHandler):
                 "add-view-version",
                 "set-current-view-version",
             }
+            sim_ids = {v["version-id"] for v in meta["versions"]}
+            next_id = max(sim_ids) + 1
+            added_any = False
+            pending_add_schema = False
             for up in updates:
                 ut = up.get("action") or up.get("type")
                 if ut not in known:
@@ -1613,38 +1645,57 @@ class _Handler(BaseHTTPRequestHandler):
                         "BadRequestException",
                         f"unknown view update {ut!r}",
                     )
-                if ut == "add-view-version" and not (
-                    up.get("view-version") or {}
-                ).get("representations"):
-                    raise _err(
-                        400,
-                        "BadRequestException",
-                        "add-view-version needs representations",
-                    )
-            # set-current must target an existing version, -1, or a version
-            # this same body adds — checked HERE so a bad id rejects the
-            # whole commit before any update applies
-            existing_ids = {v["version-id"] for v in meta["versions"]}
-            max_id = max(existing_ids)
-            n_added = sum(
-                1
-                for up in updates
-                if (up.get("action") or up.get("type")) == "add-view-version"
-            )
-            future_ids = existing_ids | set(
-                range(max_id + 1, max_id + 1 + n_added)
-            )
-            for up in updates:
-                ut = up.get("action") or up.get("type")
-                if ut == "set-current-view-version":
-                    vid = int(up.get("view-version-id", -1))
-                    if vid != -1 and vid not in future_ids:
+                if ut == "add-schema":
+                    pending_add_schema = True
+                elif ut == "add-view-version":
+                    vv = up.get("view-version") or {}
+                    if not vv.get("representations"):
                         raise _err(
                             400,
                             "BadRequestException",
-                            f"no view version {vid} (existing or added in "
-                            "this commit)",
+                            "add-view-version needs representations",
                         )
+                    if vv.get("schema-id") == -1 and not pending_add_schema:
+                        raise _err(
+                            400,
+                            "BadRequestException",
+                            "view-version schema-id -1 without add-schema",
+                        )
+                    pending_add_schema = False
+                    sim_ids.add(next_id)
+                    next_id += 1
+                    added_any = True
+                elif ut == "set-current-view-version":
+                    try:
+                        vid = int(up.get("view-version-id", -1))
+                    except (TypeError, ValueError):
+                        raise _err(
+                            400,
+                            "BadRequestException",
+                            "view-version-id must be an integer",
+                        )
+                    if vid == -1 and not added_any:
+                        raise _err(
+                            400,
+                            "BadRequestException",
+                            "set-current-view-version -1 refers to the "
+                            "version added in this commit, but the body "
+                            "adds none",
+                        )
+                    if vid != -1 and vid not in sim_ids:
+                        raise _err(
+                            400,
+                            "BadRequestException",
+                            f"no view version {vid} at this point in the "
+                            "commit (existing or added earlier in the body)",
+                        )
+            if pending_add_schema:
+                raise _err(
+                    400,
+                    "BadRequestException",
+                    "add-schema without a consuming add-view-version "
+                    "(bind it via schema-id -1)",
+                )
             pending_schema: dict | None = None
             for up in updates:
                 ut = up.get("action") or up.get("type")
@@ -1700,8 +1751,16 @@ class _Handler(BaseHTTPRequestHandler):
                 "BadRequestException",
                 "renameView needs source/destination {namespace, name}",
             )
+        if self.state.catalog.table_exists(dst_full):
+            raise _err(
+                409,
+                "AlreadyExistsException",
+                f"a table named {dst_full!r} already exists",
+            )
         try:
-            self._view_store().rename(src_full, dst_full)
+            with self.state.table_lock("view:" + src_full), \
+                    self.state.table_lock("view:" + dst_full):
+                self._view_store().rename(src_full, dst_full)
         except NoSuchViewError:
             raise _err(
                 404, "NoSuchViewException", f"view {src_full!r} not found"

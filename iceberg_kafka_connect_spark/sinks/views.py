@@ -58,6 +58,46 @@ def _write_atomic(path: str, doc: dict) -> None:
     os.replace(tmp, path)
 
 
+class _ViewLock:
+    """Cross-process writer lock for one view's read-modify-write commits
+    (replace / set-current / properties): an ``os.mkdir`` on
+    ``<doc>.lock`` is atomic on POSIX, so two processes can't interleave
+    load→mutate→write and silently drop a version. Stale locks (a writer
+    died mid-commit) break after ``stale_s``. Readers never lock — the
+    doc itself is replaced atomically."""
+
+    def __init__(self, doc_path: str, timeout_s: float = 10.0, stale_s: float = 10.0):
+        self.path = doc_path + ".lock"
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s
+
+    def __enter__(self):
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                os.makedirs(os.path.dirname(self.path), exist_ok=True)
+                os.mkdir(self.path)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.path) > self.stale_s:
+                        os.rmdir(self.path)
+                        continue
+                except OSError:
+                    continue  # raced with the holder's release
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"view commit lock busy: {self.path}"
+                    ) from None
+                time.sleep(0.02)
+
+    def __exit__(self, *exc):
+        try:
+            os.rmdir(self.path)
+        except OSError:
+            pass
+
+
 def new_view_metadata(
     location: str,
     schema_json: dict,
@@ -131,7 +171,14 @@ class ViewStore:
 
     def list(self, namespace: str | None = None) -> list[str]:
         out = []
-        for dirpath, _dirnames, files in os.walk(self.warehouse):
+        for dirpath, dirnames, files in os.walk(self.warehouse):
+            # view docs live at namespace level, never inside a table —
+            # prune table directories (they hold `metadata/`) so listing
+            # stays O(namespaces + views), not O(every data file in the
+            # warehouse)
+            if "metadata" in dirnames and dirpath != self.warehouse:
+                dirnames.clear()
+                continue
             for fn in files:
                 if not fn.endswith(".view.json"):
                     continue
@@ -182,7 +229,21 @@ class ViewStore:
     ) -> dict:
         """The spec's replace-view flow: ``add-view-version`` (+ optional
         ``add-schema``) then ``set-current-view-version``. Old versions are
-        retained in ``versions``/``version-log`` — the spec's history."""
+        retained in ``versions``/``version-log`` — the spec's history.
+        Serialized against concurrent writers by the per-view lock, so two
+        replaces can't both read versions=[..,N] and silently drop one."""
+        with _ViewLock(view_path(self.warehouse, name)):
+            return self._add_version_locked(
+                name, view_version, schema_json, make_current
+            )
+
+    def _add_version_locked(
+        self,
+        name: str,
+        view_version: dict,
+        schema_json: dict | None = None,
+        make_current: bool = True,
+    ) -> dict:
         p, meta = self.load(name)
         vv = dict(view_version)
         next_id = 1 + max(v["version-id"] for v in meta["versions"])
@@ -208,6 +269,10 @@ class ViewStore:
         return meta
 
     def set_current(self, name: str, version_id: int) -> dict:
+        with _ViewLock(view_path(self.warehouse, name)):
+            return self._set_current_locked(name, version_id)
+
+    def _set_current_locked(self, name: str, version_id: int) -> dict:
         p, meta = self.load(name)
         if version_id == -1:  # spec: -1 = the version just added
             version_id = meta["versions"][-1]["version-id"]
@@ -222,6 +287,12 @@ class ViewStore:
         return meta
 
     def update_properties(
+        self, name: str, updates: dict | None, removals: list | None = None
+    ) -> dict:
+        with _ViewLock(view_path(self.warehouse, name)):
+            return self._update_properties_locked(name, updates, removals)
+
+    def _update_properties_locked(
         self, name: str, updates: dict | None, removals: list | None = None
     ) -> dict:
         p, meta = self.load(name)

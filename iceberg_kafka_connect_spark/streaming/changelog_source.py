@@ -27,7 +27,8 @@ Two consumption modes:
 
 Scale shape: each poll lists snapshots (metadata only) and reads exactly
 the files the new snapshots added — O(new data) per interval, never a
-rescan; the per-snapshot key collapse shuffles only the changed keys.
+rescan; the replay is shuffle-free (delete keys and appended rows pass
+straight through to the sink's per-op writer).
 """
 
 from __future__ import annotations
@@ -38,9 +39,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from ..operators.cdc import DELETE, UPDATE
+from ..operators.cdc import DELETE, INSERT
 from ..sinks.table import MAIN
 
 _MARKER = "changelog.src-snapshot-id"
@@ -135,22 +135,21 @@ class ChangelogStream:
             ch = self.table.changes_between(
                 spark, prev, sid, branch=self.branch
             )
-            # net per-key effect WITHIN this one snapshot (delete+insert at
-            # one ordinal = upsert; the insert survives) — same collapse as
-            # streaming/replicate.py but at per-snapshot granularity so the
-            # sink's history mirrors the source's commit points
-            w = Window.partitionBy(*key_cols).orderBy(
-                (F.col("_change_type") == "insert").desc()
-            )
+            # replay the snapshot VERBATIM, no per-key collapse: delete
+            # rows become equality-delete keys, insert rows append blindly
+            # (per-op mode) — a collapse keyed on key_cols would pick one
+            # arbitrary survivor when a source append legitimately carries
+            # duplicate keys, nondeterministically dropping rows. The
+            # delete file sequences before the appended rows inside the
+            # one sink commit, so delete+insert at one ordinal (an upsert)
+            # replays exactly.
             net = (
-                ch.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn", "_change_snapshot_id", "_change_ordinal")
+                ch.drop("_change_snapshot_id", "_change_ordinal")
                 .withColumn(
                     "__op",
                     F.when(
                         F.col("_change_type") == "delete", F.lit(DELETE)
-                    ).otherwise(F.lit(UPDATE)),
+                    ).otherwise(F.lit(INSERT)),
                 )
                 .drop("_change_type")
                 .persist()

@@ -147,3 +147,21 @@ def test_history_rewrite_under_stream_is_detected(spark, tmp_path):
     src.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="not an ancestor|rewritten"):
         ChangelogStream(src, str(tmp_path / "ckpt4")).pending()
+
+
+def test_sync_replays_duplicate_key_appends_verbatim(spark, tmp_path):
+    """An append can legitimately carry duplicate keys (appends never
+    dedup); the sink must replay the snapshot verbatim — a per-key
+    collapse would nondeterministically drop one of the rows."""
+    src = LakehouseTable.create(str(tmp_path / "src2"), SCHEMA)
+    src.append(
+        spark.createDataFrame(
+            [(5, "first"), (5, "second"), (6, "only")], SCHEMA
+        )
+    )
+    dst = LakehouseTable.create(str(tmp_path / "dst2"), SCHEMA)
+    stream = ChangelogStream(src, str(tmp_path / "ckpt5"))
+    assert stream.sync_to_table(spark, dst, key_cols=["id"]) == 1
+    got = sorted((r.id, r.v) for r in dst.read(spark).collect())
+    want = sorted((r.id, r.v) for r in src.read(spark).collect())
+    assert got == want == [(5, "first"), (5, "second"), (6, "only")]

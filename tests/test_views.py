@@ -272,3 +272,106 @@ def test_jdbc_catalog_views(spark, tmp_path):
     assert not cat.view_exists("db2.odds")
     with pytest.raises(NoSuchViewError):
         cat.load_view("db2.odds")
+
+
+def test_rest_view_commit_validation_is_atomic(spark, tmp_path):
+    """Review fixes: every malformed body 400s at prepare with nothing
+    written — set-current -1 with no add in the body, a dangling
+    add-schema, a set-current targeting a version added only LATER in the
+    body, a non-integer id — and renameView refuses a table name."""
+    with IcebergRestServer(str(tmp_path / "wh")) as srv:
+        client = RestCatalog(srv.uri)
+        _seed(spark, client)
+        client.create_view("db.w", "SELECT id FROM db_base")
+
+        def commit(updates):
+            return client._request(
+                "POST", client._view_path("db.w"), {"updates": updates}
+            )
+
+        add = {
+            "action": "add-view-version",
+            "view-version": {
+                "representations": [
+                    {"type": "sql", "sql": "SELECT 1 AS one",
+                     "dialect": "spark"}
+                ]
+            },
+        }
+        for bad in (
+            # -1 means "the version added in this commit" — none added
+            [{"action": "set-current-view-version", "view-version-id": -1}],
+            # dangling add-schema: nothing consumes it -> silent no-op
+            [{"action": "add-schema",
+              "schema": {"type": "struct", "fields": []}}],
+            # positional: version 2 exists only AFTER the add that follows
+            [
+                {"action": "set-properties", "updates": {"leak3": "y"}},
+                {"action": "set-current-view-version", "view-version-id": 2},
+                add,
+            ],
+            # non-integer id
+            [{"action": "set-current-view-version",
+              "view-version-id": "two"}],
+        ):
+            with pytest.raises(RestCatalogError) as ei:
+                commit(bad)
+            assert ei.value.code == 400, bad
+        _, meta = client.load_view("db.w")
+        assert meta["current-version-id"] == 1
+        assert len(meta["versions"]) == 1
+        assert "leak3" not in meta["properties"]
+        # renaming a view onto an existing TABLE name is a 409
+        with pytest.raises(RestCatalogError) as ei:
+            client.rename_view("db.w", "db.base")
+        assert ei.value.code == 409
+        # ...and renaming a TABLE onto an existing view name is a 409
+        # (the client maps the table-rename 409 to TableAlreadyExistsError)
+        from iceberg_kafka_connect_spark.sinks.catalog import (
+            TableAlreadyExistsError,
+        )
+
+        with pytest.raises(TableAlreadyExistsError):
+            client.rename_table("db.base", "db.w")
+
+
+def test_concurrent_view_replaces_never_lose_a_version(spark, tmp_path):
+    """Review fix: add_version is serialized by a cross-process lock —
+    N concurrent replaces yield exactly N new versions, none lost."""
+    import threading
+
+    cat = Catalog(str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.create_view("db.cc", "SELECT id FROM db_base")
+    n = 8
+    errs = []
+
+    def rep(i):
+        try:
+            cat.views.add_version(
+                "db.cc",
+                {
+                    "representations": [
+                        {
+                            "type": "sql",
+                            "sql": f"SELECT {i} AS i",
+                            "dialect": "spark",
+                        }
+                    ]
+                },
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=rep, args=(i,)) for i in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    _, meta = cat.views.load("db.cc")
+    assert len(meta["versions"]) == 1 + n
+    assert meta["current-version-id"] == 1 + n
+    assert {v["version-id"] for v in meta["versions"]} == set(
+        range(1, n + 2)
+    )
