@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "wap_cherry_pick",
     "docs_quality_linear",
     "lakehouse_view_read",
+    "spj_bucket_join",
 ]
 
 

@@ -2283,3 +2283,51 @@ def lakehouse_view_read(spark, sf_dir):
     )
     v1_frozen = spark.createDataFrame(r1, v2.schema)
     return v1_frozen.unionAll(v2).orderBy("version", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Storage-partitioned join (operators/spj.py; Spark SPARK-37375's SPJ shape
+# at the table layer): fact and dim land bucket-co-partitioned on the join
+# key, and the join is a union of per-bucket broadcast joins — no join-key
+# shuffle of either table (plan-pinned in tests/test_spj.py). Oracle: the
+# plain SQL join.
+# --------------------------------------------------------------------------
+@register(
+    "spj_bucket_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CAST(c.n AS BIGINT) AS n_events
+    FROM events e
+    JOIN (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ) c USING (user_id)
+    WHERE e.event_id < 2000
+    """,
+    tags=("ingestion", "lakehouse", "join"),
+)
+def spj_bucket_join(spark, sf_dir):
+    import tempfile
+
+    from ..operators.spj import storage_partitioned_join
+    from ..sinks.catalog import Catalog
+
+    e = table(spark, sf_dir, "events")
+    cat = Catalog(tempfile.mkdtemp(prefix="spj_gate_"))
+    fact = cat.create_table(
+        "db.fact",
+        e.select("event_id", "user_id").filter(F.col("event_id") < 2000).schema,
+        partition_by=["iceberg_bucket(8, user_id)"],
+    )
+    fact.append(
+        e.select("event_id", "user_id").filter(F.col("event_id") < 2000)
+    )
+    dim_df = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    dim = cat.create_table(
+        "db.dim", dim_df.schema, partition_by=["iceberg_bucket(8, user_id)"]
+    )
+    dim.append(dim_df)
+    return storage_partitioned_join(spark, fact, dim, key="user_id").select(
+        "event_id", "user_id", "n_events"
+    )

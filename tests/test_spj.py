@@ -1,0 +1,102 @@
+"""Storage-partitioned join (operators/spj.py): bucket-co-partitioned
+tables join with no join-key shuffle — Spark SPARK-37375's SPJ shape at
+the table layer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.operators.spj import (
+    storage_partitioned_join,
+)
+from iceberg_kafka_connect_spark.sinks import Catalog
+
+FACT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+DIM = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("tier", T.StringType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def tables(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"))
+    fact = cat.create_table(
+        "db.fact", FACT, partition_by=["iceberg_bucket(4, user_id)"]
+    )
+    dim = cat.create_table(
+        "db.dim", DIM, partition_by=["iceberg_bucket(4, user_id)"]
+    )
+    fact.append(
+        spark.createDataFrame(
+            [(i, i % 37, f"e{i}") for i in range(300)], FACT
+        )
+    )
+    dim.append(
+        spark.createDataFrame(
+            [(u, f"d{u}", "gold" if u % 2 else "basic") for u in range(30)],
+            DIM,
+        )
+    )
+    return cat, fact, dim
+
+
+def test_spj_matches_plain_join_and_never_shuffles_by_key(
+    spark, tables
+):
+    cat, fact, dim = tables
+    out = storage_partitioned_join(spark, fact, dim, key="user_id")
+    plain = fact.read(spark).join(
+        dim.read(spark)
+        .withColumnRenamed("v", "v_r"),
+        "user_id",
+        "inner",
+    )
+    got = sorted(
+        (r.event_id, r.user_id, r.v, r.v_r, r.tier) for r in out.collect()
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.v, r.v_r, r.tier)
+        for r in plain.collect()
+    )
+    assert got == want and len(got) > 0
+    # the SPJ plan moves data only via broadcasts — no join-key shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_spj_refusals(spark, tmp_path, tables):
+    cat, fact, dim = tables
+    # unbucketed side
+    plain = cat.create_table("db.plain", DIM)
+    plain.append(spark.createDataFrame([(1, "d", "t")], DIM))
+    with pytest.raises(ValueError, match="not bucket-partitioned"):
+        storage_partitioned_join(spark, fact, plain, key="user_id")
+    # mismatched bucket counts
+    dim8 = cat.create_table(
+        "db.dim8", DIM, partition_by=["iceberg_bucket(8, user_id)"]
+    )
+    dim8.append(spark.createDataFrame([(1, "d", "t")], DIM))
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        storage_partitioned_join(spark, fact, dim8, key="user_id")
+    # live merge-on-read delete state
+    dim.delete_where(spark, "user_id = 3", key_cols=["user_id"])
+    with pytest.raises(ValueError, match="delete files"):
+        storage_partitioned_join(spark, fact, dim, key="user_id")
+    # compact folds the delete state and the join works again
+    dim.compact(spark)
+    out = storage_partitioned_join(spark, fact, dim, key="user_id")
+    assert out.filter(F.col("user_id") == 3).count() == 0
+    assert out.count() > 0
