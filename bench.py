@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "docs_quality_linear",
     "lakehouse_view_read",
     "spj_bucket_join",
+    "docs_token_budget",
 ]
 
 

@@ -676,3 +676,51 @@ def docs_boilerplate_ngrams(spark, sf_dir):
 def docs_quality_linear(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return tx.hashed_linear_score(docs, dim=64)
+
+
+# --------------------------------------------------------------------------
+# Per-source token-budget selection: keep each source's documents (in
+# deterministic doc_id order) until a token budget fills — the mixture
+# allocator step between source weighting (docs_source_mix) and shard
+# export. One window per source; at 100 TB the shuffle key is `source`
+# (tens of groups), with skewed sources handled by the profile/salt
+# machinery (docs_skew_profile / skew_salted_join).
+# --------------------------------------------------------------------------
+@register(
+    "docs_token_budget",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 20000
+    """,
+    tags=("text", "curation"),
+)
+def docs_token_budget(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    t = docs.select(
+        "doc_id",
+        "source",
+        tx.word_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        t.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") <= 20000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
