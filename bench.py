@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "lakehouse_view_read",
     "spj_bucket_join",
     "docs_token_budget",
+    "changelog_stream_sync",
 ]
 
 

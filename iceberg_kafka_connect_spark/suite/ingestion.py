@@ -2331,3 +2331,56 @@ def spj_bucket_join(spark, sf_dir):
     return storage_partitioned_join(spark, fact, dim, key="user_id").select(
         "event_id", "user_id", "n_events"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming changelog source (streaming/changelog_source.py): a second
+# table consumes the first's committed snapshots per micro-batch with a
+# checkpointed offset, surviving a simulated restart between batches —
+# the read-side twin of the mirror. The result reads the SINK after the
+# stream drains; the oracle is the source's expected final state.
+# --------------------------------------------------------------------------
+@register(
+    "changelog_stream_sync",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE event_id < 400 AND NOT (event_id >= 100 AND event_id < 200)
+    UNION ALL
+    SELECT event_id, 'patched' AS event_type
+    FROM events
+    WHERE event_id >= 500 AND event_id < 600
+    ORDER BY event_id
+    """,
+    tags=("ingestion", "streaming", "cdc"),
+)
+def changelog_stream_sync(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+    from ..streaming.changelog_source import ChangelogStream
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="clsync_gate_")
+    src = LakehouseTable.create(base + "/src", e.schema)
+    src.append(e.filter(F.col("event_id") < 400))
+    src.upsert(
+        e.filter((F.col("event_id") >= 500) & (F.col("event_id") < 600))
+        .withColumn("event_type", F.lit("patched")),
+        key_cols=["event_id"],
+    )
+    src.delete_where(
+        spark,
+        "event_id >= 100 AND event_id < 200",
+        key_cols=["event_id"],
+    )
+    dst = LakehouseTable.create(base + "/dst", e.schema)
+    # consume the first snapshot, then "restart" with a fresh stream
+    # object (stale local checkpoint — resume trusts the sink's marker)
+    ChangelogStream(src, base + "/ckpt").sync_to_table(
+        spark, dst, key_cols=["event_id"], max_snapshots=1
+    )
+    ChangelogStream(src, base + "/ckpt").sync_to_table(
+        spark, dst, key_cols=["event_id"]
+    )
+    return dst.read(spark).orderBy("event_id")
