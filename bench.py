@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "spj_bucket_join",
     "docs_token_budget",
     "changelog_stream_sync",
+    "rest_view_oauth_roundtrip",
 ]
 
 

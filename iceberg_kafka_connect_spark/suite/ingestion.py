@@ -2384,3 +2384,73 @@ def changelog_stream_sync(spark, sf_dir):
         spark, dst, key_cols=["event_id"]
     )
     return dst.read(spark).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# OAuth2 + REST views end-to-end: the client exchanges client-credentials
+# at /v1/oauth/tokens (iceberg.catalog.credential passthrough), creates a
+# table and a SQL view through the authenticated catalog, reads the view,
+# replaces its SQL (the spec's add-view-version + set-current -1 commit),
+# and reads again — the result proves both the handshake and view
+# versioning drive real execution.
+# --------------------------------------------------------------------------
+@register(
+    "rest_view_oauth_roundtrip",
+    oracle="""
+    SELECT 'v1' AS version, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events WHERE event_id < 300
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'v2' AS version, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events WHERE event_id >= 300 AND event_id < 450
+    GROUP BY event_type
+    ORDER BY version, event_type
+    """,
+    tags=("ingestion", "lakehouse", "views"),
+)
+def rest_view_oauth_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.catalog import catalog_from_properties
+    from ..sinks.rest_server import IcebergRestServer
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    wh = tempfile.mkdtemp(prefix="oauth_view_gate_")
+    with IcebergRestServer(
+        wh, credentials={"gate": "s3cr3t"}, token_ttl_s=3600
+    ) as srv:
+        cat = catalog_from_properties(
+            {
+                "iceberg.catalog.type": "rest",
+                "iceberg.catalog.uri": srv.uri,
+                "iceberg.catalog.credential": "gate:s3cr3t",
+            }
+        )
+        t = cat.create_table("db.ev", e.schema)
+        t.append(e.filter(F.col("event_id") < 450))
+        cat.create_view(
+            "db.by_type",
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM db_ev WHERE event_id < 300 GROUP BY event_type",
+        )
+        v1_rows = cat.read_view(spark, "db.by_type").select(
+            F.lit("v1").alias("version"), "event_type", "n_rows"
+        )
+        r1 = v1_rows.collect()
+        cat.replace_view(
+            "db.by_type",
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM db_ev WHERE event_id >= 300 AND event_id < 450 "
+            "GROUP BY event_type",
+        )
+        v2 = cat.read_view(spark, "db.by_type").select(
+            F.lit("v2").alias("version"), "event_type", "n_rows"
+        )
+        v1_frozen = spark.createDataFrame(r1, v2.schema)
+        out = v1_frozen.unionAll(v2).orderBy("version", "event_type")
+        # force execution while the server lives (view SQL resolution
+        # needs the catalog; the underlying scans are plain storage)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
