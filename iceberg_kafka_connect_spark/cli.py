@@ -174,6 +174,12 @@ def table_main(argv: list[str]) -> int:
     ff = sub.add_parser("fast-forward")
     ff.add_argument("branch")
     ff.add_argument("to_branch")
+    cp = sub.add_parser("cherry-pick")
+    cp.add_argument("snapshot")
+    cp.add_argument("--branch", default="main")
+    pw = sub.add_parser("publish-wap")
+    pw.add_argument("wap_id")
+    pw.add_argument("--branch", default="main")
     rc = sub.add_parser("rename-column")
     rc.add_argument("old")
     rc.add_argument("new")
@@ -332,6 +338,12 @@ def table_main(argv: list[str]) -> int:
     elif args.action == "rollback":
         snap = t.rollback(args.snapshot)
         out = {"snapshot_id": snap["snapshot_id"]}
+    elif args.action == "cherry-pick":
+        snap = t.cherry_pick(args.snapshot, branch=args.branch)
+        out = {"snapshot_id": snap["snapshot_id"], "summary": snap["summary"]}
+    elif args.action == "publish-wap":
+        snap = t.publish_wap(args.wap_id, branch=args.branch)
+        out = {"snapshot_id": snap["snapshot_id"], "summary": snap["summary"]}
     elif args.action == "rewrite-where":
         spark = get_spark(app_name="table-maintenance")
         sort_by = (

@@ -174,3 +174,33 @@ class ChangelogStream:
             prev = sid
             applied += 1
         return applied
+
+
+def changelog_sync_loop(
+    stream: ChangelogStream,
+    spark: SparkSession,
+    dst,
+    key_cols: list[str],
+    poll_interval_s: float = 1.0,
+    max_polls: int | None = None,
+    stop_when_current: bool = False,
+) -> dict:
+    """Continuous table-to-table CDC: poll the source and apply new
+    snapshots to ``dst`` until stopped — the changelog-side twin of
+    ``iceberg_sync_loop`` (streaming/iceberg_sync.py), with the same
+    loop controls (``max_polls`` for tests/batch catch-up,
+    ``stop_when_current`` to drain and return). A poll at an unchanged
+    head costs one metadata read. Returns {"polls": n, "synced": total
+    snapshots applied}."""
+    import time as _time
+
+    polls = synced = 0
+    while max_polls is None or polls < max_polls:
+        polls += 1
+        n = stream.sync_to_table(spark, dst, key_cols)
+        synced += n
+        if n == 0 and stop_when_current:
+            break
+        if max_polls is None or polls < max_polls:
+            _time.sleep(poll_interval_s)
+    return {"polls": polls, "synced": synced}

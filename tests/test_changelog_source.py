@@ -165,3 +165,25 @@ def test_sync_replays_duplicate_key_appends_verbatim(spark, tmp_path):
     got = sorted((r.id, r.v) for r in dst.read(spark).collect())
     want = sorted((r.id, r.v) for r in src.read(spark).collect())
     assert got == want == [(5, "first"), (5, "second"), (6, "only")]
+
+
+def test_changelog_sync_loop_drains_and_stops(spark, tmp_path):
+    from iceberg_kafka_connect_spark.streaming.changelog_source import (
+        changelog_sync_loop,
+    )
+
+    src = _mk_src(spark, tmp_path)
+    dst = LakehouseTable.create(str(tmp_path / "dstL"), SCHEMA)
+    stream = ChangelogStream(src, str(tmp_path / "ckptL"))
+    out = changelog_sync_loop(
+        stream,
+        spark,
+        dst,
+        key_cols=["id"],
+        poll_interval_s=0.01,
+        stop_when_current=True,
+    )
+    assert out["synced"] == 3
+    got = sorted((r.id, r.v) for r in dst.read(spark).collect())
+    want = sorted((r.id, r.v) for r in src.read(spark).collect())
+    assert got == want

@@ -224,3 +224,62 @@ def test_job_spec_catalog_properties_pick_backend(spark, tmp_path):
     (tmp_path / "in").mkdir()
     _spark, pipeline, _stream = build_pipeline(spec, spark=spark)
     assert isinstance(pipeline.catalog, JdbcCatalog)
+
+
+def test_cli_cherry_pick_and_publish_wap(spark, tmp_path, capsys):
+    """table cherry-pick / publish-wap verbs publish staged snapshots onto
+    a diverged main from the ops surface."""
+    import json as _json
+
+    from iceberg_kafka_connect_spark.cli import main
+    from iceberg_kafka_connect_spark.sinks import Catalog
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(wh)
+    t = cat.create_table(
+        "db.cp",
+        spark.createDataFrame([(1, "a")], "id long, v string").schema,
+    )
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.create_branch("audit")
+    staged = t.append(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        branch="audit",
+        snapshot_props={"wap.id": "cli-7"},
+    )
+    t.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+    assert (
+        main(
+            [
+                "table",
+                "--warehouse",
+                wh,
+                "--name",
+                "db.cp",
+                "publish-wap",
+                "cli-7",
+            ]
+        )
+        == 0
+    )
+    out = _json.loads(capsys.readouterr().out)
+    assert out["summary"]["published-wap-id"] == "cli-7"
+    assert {r.id for r in t.read(spark).collect()} == {1, 2, 9}
+    # cherry-pick by snapshot id is refused for already-published
+    rc_ok = True
+    try:
+        main(
+            [
+                "table",
+                "--warehouse",
+                wh,
+                "--name",
+                "db.cp",
+                "cherry-pick",
+                staged["snapshot_id"],
+            ]
+        )
+        rc_ok = False
+    except ValueError:
+        pass
+    assert rc_ok
