@@ -375,3 +375,86 @@ def test_concurrent_view_replaces_never_lose_a_version(spark, tmp_path):
     assert {v["version-id"] for v in meta["versions"]} == set(
         range(1, n + 2)
     )
+
+
+# ------------------------------------------------------- property testing
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("add"), st.booleans()),
+        st.tuples(st.just("set_current"), st.integers(1, 12)),
+        st.tuples(
+            st.just("props"),
+            st.sampled_from(["a", "b", "c"]),
+            st.text(alphabet="xyz", min_size=0, max_size=3),
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(_ops)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_view_store_matches_model(ops):
+    """Random add_version / set_current / update_properties sequences
+    against a trivial in-memory model: version ids are dense and
+    monotonic, history is never lost, current always points at a real
+    version, and the version-log records every current change."""
+    import tempfile
+
+    from iceberg_kafka_connect_spark.sinks.views import (
+        ViewStore,
+        sql_view_version,
+    )
+
+    with tempfile.TemporaryDirectory() as wh:
+        store = ViewStore(wh)
+        store.create(
+            "db.m",
+            {"type": "struct", "schema-id": 0, "fields": []},
+            sql_view_version("SELECT 1"),
+        )
+        versions = [1]
+        current = 1
+        props: dict = {}
+        for op in ops:
+            if op[0] == "add":
+                make_current = op[1]
+                store.add_version(
+                    "db.m",
+                    {
+                        "representations": [
+                            {"type": "sql", "sql": "SELECT 2",
+                             "dialect": "spark"}
+                        ]
+                    },
+                    make_current=make_current,
+                )
+                versions.append(versions[-1] + 1)
+                if make_current:
+                    current = versions[-1]
+            elif op[0] == "set_current":
+                vid = op[1]
+                if vid in versions:
+                    store.set_current("db.m", vid)
+                    current = vid
+                else:
+                    with pytest.raises(ValueError):
+                        store.set_current("db.m", vid)
+            else:
+                store.update_properties("db.m", {op[1]: op[2]})
+                props[op[1]] = op[2]
+        _, meta = store.load("db.m")
+        assert [v["version-id"] for v in meta["versions"]] == versions
+        assert meta["current-version-id"] == current
+        assert meta["properties"] == props
+        assert current in {v["version-id"] for v in meta["versions"]}
+        # version-log's last entry is the current version
+        assert meta["version-log"][-1]["version-id"] == current
