@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "docs_token_budget",
     "changelog_stream_sync",
     "rest_view_oauth_roundtrip",
+    "embedding_outliers",
 ]
 
 

@@ -576,3 +576,53 @@ def knn_graph_blocked(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def centroid_similarity(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 12,
+) -> DataFrame:
+    """Per-vector cosine similarity to its group's centroid — the
+    CLIP-filtering / cluster-outlier curation signal: vectors far from
+    their cluster's mean are candidate mislabels/noise to drop before
+    training. Output: (id, label, centroid_cos).
+
+    Engine-reproducible on purpose: every floating aggregation goes
+    through DECIMAL (the suite's order-independence convention), so the
+    resulting doubles are bit-identical across engines and the downstream
+    keep/drop decision is hash-checkable.
+
+    Scale shape: the vectors explode to (n·dim) skinny rows ONCE;
+    centroids are one groupBy(label, pos) with map-side combine; the
+    centroid table (labels × dim rows) broadcasts back; per-vector dot
+    and norms are one groupBy(id). No whole-array shuffle anywhere.
+    """
+    dec = f"decimal(27,{scale})"
+    ex = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+
+    def dsum(c):
+        return F.sum(c.cast(dec)).cast("double")
+
+    cent = ex.groupBy("lbl", "pos").agg(
+        (dsum(F.col("val")) / F.count(F.lit(1)).cast("double")).alias("c")
+    )
+    j = ex.join(F.broadcast(cent), ["lbl", "pos"])
+    per = j.groupBy("id", "lbl").agg(
+        dsum(F.col("val") * F.col("c")).alias("dot"),
+        dsum(F.col("val") * F.col("val")).alias("nv"),
+        dsum(F.col("c") * F.col("c")).alias("nc"),
+    )
+    return per.select(
+        F.col("id").alias(id_col),
+        F.col("lbl").alias(label_col),
+        (F.col("dot") / F.sqrt(F.col("nv") * F.col("nc"))).alias(
+            "centroid_cos"
+        ),
+    )

@@ -255,3 +255,73 @@ def ann_knn_graph(spark, sf_dir):
     return similarity.knn_graph_blocked(emb, k=5, num_blocks=8).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# Centroid-outlier detection (CLIP-filtering shape): per-vector cosine to
+# its label's centroid, decimal-exact so the keep/drop decision (< 0.5)
+# hash-checks end to end. Output per label: counts + an order-insensitive
+# id checksum of the flagged outliers + the mean similarity.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_outliers",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS val,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos,
+               (CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) AS c
+        FROM ex GROUP BY label, pos
+    ),
+    per AS (
+        SELECT e.vec_id, e.label,
+               CAST(SUM(CAST((e.val * c.c) AS DECIMAL(27,12))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST((e.val * e.val) AS DECIMAL(27,12))) AS DOUBLE) AS nv,
+               CAST(SUM(CAST((c.c * c.c) AS DECIMAL(27,12))) AS DOUBLE) AS nc
+        FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+        GROUP BY e.vec_id, e.label
+    ),
+    cos AS (
+        SELECT vec_id, label, dot / sqrt(nv * nc) AS cc FROM per
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN cc < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           CAST(SUM(CASE WHEN cc < 0.5 THEN vec_id ELSE 0 END) AS BIGINT)
+               AS sum_outlier_ids,
+           ROUND(CAST(SUM(CAST(cc AS DECIMAL(27,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cos
+    FROM cos GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "curation"),
+)
+def embedding_outliers(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    cc = similarity.centroid_similarity(emb)
+    is_out = F.col("centroid_cos") < 0.5
+    return (
+        cc.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias(
+                "n_outliers"
+            ),
+            F.sum(F.when(is_out, F.col("vec_id")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_outlier_ids"),
+            F.round(
+                F.sum(F.col("centroid_cos").cast("decimal(27,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_cos"),
+        )
+        .orderBy("label")
+    )

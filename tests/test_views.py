@@ -458,3 +458,38 @@ def test_view_store_matches_model(ops):
         assert current in {v["version-id"] for v in meta["versions"]}
         # version-log's last entry is the current version
         assert meta["version-log"][-1]["version-id"] == current
+
+
+def test_concurrent_rest_view_replaces_serialize(spark, tmp_path):
+    """N threads race replace_view through the HTTP server: the per-view
+    lock serializes the read-modify-write commits, so all N versions land
+    (none lost) and current advances to the last one."""
+    import threading
+
+    with IcebergRestServer(str(tmp_path / "wh")) as srv:
+        client = RestCatalog(srv.uri)
+        _seed(spark, client)
+        client.create_view("db.race", "SELECT id FROM db_base")
+        n = 6
+        errs = []
+
+        def rep(i):
+            try:
+                RestCatalog(srv.uri).replace_view(
+                    "db.race", f"SELECT {i} AS i"
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=rep, args=(i,)) for i in range(n)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        _, meta = client.load_view("db.race")
+        assert len(meta["versions"]) == 1 + n
+        assert {v["version-id"] for v in meta["versions"]} == set(
+            range(1, n + 2)
+        )
+        assert meta["current-version-id"] == 1 + n
