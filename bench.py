@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "changelog_stream_sync",
     "rest_view_oauth_roundtrip",
     "embedding_outliers",
+    "events_hourly_anomaly",
+    "embedding_dim_stats",
 ]
 
 

@@ -109,7 +109,8 @@ def load_all() -> dict[str, QuerySpec]:
     # gated): maintenance_orphan_sweep, wap_cherry_pick,
     # docs_quality_linear, lakehouse_view_read, spj_bucket_join,
     # docs_token_budget, changelog_stream_sync,
-    # rest_view_oauth_roundtrip, embedding_outliers — plus any further
+    # rest_view_oauth_roundtrip, embedding_outliers,
+    # events_hourly_anomaly, embedding_dim_stats — plus any further
     # r6 additions; verify names against QUERIES before editing the
     # window.
     # Round 5 pulls TPC-H tail queries into the window, so the analytics

@@ -471,3 +471,74 @@ def events_sessionize(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Hourly volume anomaly detection: per-hour event counts vs the trailing
+# 24-hour mean/std (ROWS window), flagging z > 3 spikes — the monitoring
+# rollup a pipeline owner runs over the landed events table. Counts are
+# integers, so mean/variance over the trailing window are exact rationals;
+# rendered at 6 dp. One shuffle (the hourly groupBy); the window runs over
+# the tiny hourly series.
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT hour, n,
+               CAST(SUM(n) OVER win AS BIGINT) AS s,
+               CAST(SUM(n * n) OVER win AS BIGINT) AS ss,
+               CAST(COUNT(*) OVER win AS BIGINT) AS k
+        FROM hourly
+        WINDOW win AS (
+            ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT hour, n,
+           ROUND(CAST(s AS DOUBLE) / CAST(k AS DOUBLE), 6) AS trail_mean,
+           (k >= 6 AND
+            CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) ** 2 > 0 AND
+            (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / k)
+              / sqrt(CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) ** 2)
+              > 3.0) AS is_spike
+    FROM w WHERE k > 0
+    ORDER BY hour
+    """,
+    tags=("analytics",),
+)
+def events_hourly_anomaly(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+            "hour"
+        )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    win = Window.orderBy("hour").rowsBetween(-24, -1)
+    s = F.sum("n").over(win).cast("bigint")
+    ss = F.sum(F.col("n") * F.col("n")).over(win).cast("bigint")
+    k = F.count(F.lit(1)).over(win).cast("bigint")
+    mean = s.cast("double") / k.cast("double")
+    var = ss.cast("double") / k.cast("double") - mean * mean
+    return (
+        hourly.select(
+            "hour",
+            "n",
+            F.round(mean, 6).alias("trail_mean"),
+            (
+                (k >= 6)
+                & (var > 0)
+                & ((F.col("n").cast("double") - mean) / F.sqrt(var) > 3.0)
+            ).alias("is_spike"),
+            k.alias("__k"),
+        )
+        .filter(F.col("__k") > 0)
+        .drop("__k")
+        .orderBy("hour")
+    )

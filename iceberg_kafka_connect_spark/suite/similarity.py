@@ -325,3 +325,54 @@ def embedding_outliers(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding audit (training-data QA: dead dimensions,
+# mis-scaled features, normalization drift): mean/variance/min/max per
+# vector position, decimal-exact. One explode + one groupBy(pos) with
+# map-side combine — dim rows out.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH ex AS (
+        SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+    SELECT pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_val,
+           ROUND(CAST(SUM(CAST((val * val) AS DECIMAL(27,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)
+                 - (CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) ** 2, 6) AS var_val,
+           ROUND(MIN(val), 6) AS min_val,
+           ROUND(MAX(val), 6) AS max_val
+    FROM ex GROUP BY pos ORDER BY pos
+    """,
+    tags=("similarity", "curation"),
+)
+def embedding_dim_stats(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    dec = "decimal(27,12)"
+    s = F.sum(F.col("val").cast(dec)).cast("double")
+    ss = F.sum((F.col("val") * F.col("val")).cast(dec)).cast("double")
+    n = F.count(F.lit(1)).cast("bigint")
+    mean = s / n.cast("double")
+    return (
+        ex.groupBy("pos")
+        .agg(
+            n.alias("n"),
+            F.round(mean, 6).alias("mean_val"),
+            F.round(ss / n.cast("double") - mean * mean, 6).alias("var_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("pos")
+    )
