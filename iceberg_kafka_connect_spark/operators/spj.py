@@ -27,10 +27,10 @@ Constraints, refused loudly rather than silently degraded:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..sinks.spec import HIVE_NULL_PARTITION, partition_dir_value
 
 
 def _bucket_field(table, key: str):
@@ -51,24 +51,20 @@ def _files_by_bucket(table, pf) -> dict[int, list[dict]]:
             "state is not bucket-scoped; compact() before a "
             "storage-partitioned join"
         )
-    seg = f"{pf.name}="
     out: dict[int, list[dict]] = {}
     for f in data_files:
-        rec = None
-        for part in f["path"].split(os.sep):
-            if part.startswith(seg):
-                try:
-                    rec = int(part[len(seg) :])
-                except ValueError:
-                    rec = None
-                break
-        if rec is None:
+        raw = partition_dir_value(f["path"], pf.name)
+        if raw is None:
             raise ValueError(
                 f"data file {f['path']!r} predates the bucket spec "
-                "(no {seg}<n> directory) — compact() to rewrite it under "
-                "the current spec"
+                f"(no {pf.name}=<n> directory) — compact() to rewrite it "
+                "under the current spec"
             )
-        out.setdefault(rec, []).append(f)
+        if raw == HIVE_NULL_PARTITION:
+            # a NULL join key can never satisfy an inner equality join —
+            # the null partition's files are correctly skipped entirely
+            continue
+        out.setdefault(int(raw), []).append(f)
     return out
 
 

@@ -18,6 +18,7 @@ of ``void`` and prunes correctly in external engines.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 
@@ -207,3 +208,22 @@ def parse_partition_spec(spec: list[str] | str | None) -> list[PartitionField]:
         else:
             raise ValueError(f"unknown partition transform: {fn}")
     return fields
+
+
+# Spark's partitionBy writes NULL partition values under this directory
+# name (Hive convention) — shared by every path-based partition parser.
+HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def partition_dir_value(path: str, field_name: str) -> str | None:
+    """The raw recorded value of the ``field_name=`` partition directory
+    embedded in ``path``, or None when the path has no such directory
+    (file written before the spec existed). The ONE parser of the
+    directory-name contract — table-scan bucket pruning and the
+    storage-partitioned join both resolve through it, so the contract
+    can't drift between them."""
+    seg = field_name + "="
+    for part in path.split(os.sep):
+        if part.startswith(seg):
+            return part[len(seg) :]
+    return None

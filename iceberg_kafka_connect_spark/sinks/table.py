@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..convert import project_to_schema
-from .spec import PartitionField, parse_partition_spec
+from .spec import PartitionField, parse_partition_spec, partition_dir_value
 from .stats import collect_parquet_stats, file_may_match, split_conjuncts
 
 COMMIT_RETRIES = 3  # IcebergSinkConfig.java:103-104 (schema/create retries)
@@ -1797,17 +1797,13 @@ class LakehouseTable:
                 bid = iceberg_bucket_value(lit, pf.param)
             except ValueError:
                 continue
-            seg = f"{pf.name}="
             keep = []
             for f in files:
-                rec = None
-                for part in f["path"].split(os.sep):
-                    if part.startswith(seg):
-                        try:
-                            rec = int(part[len(seg):])
-                        except ValueError:
-                            rec = None
-                        break
+                raw = partition_dir_value(f["path"], pf.name)
+                try:
+                    rec = int(raw) if raw is not None else None
+                except ValueError:
+                    rec = None  # hive null dir / foreign layout: keep
                 if rec is None or rec == bid:
                     keep.append(f)
             files = keep

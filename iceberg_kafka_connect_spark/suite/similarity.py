@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import sql_cosine
 from ..operators import similarity
 from . import register
-from .core import table
+from .core import davg, dsum, table
 
 
 # --------------------------------------------------------------------------
@@ -315,13 +315,7 @@ def embedding_outliers(spark, sf_dir):
             F.sum(F.when(is_out, F.col("vec_id")).otherwise(0))
             .cast("bigint")
             .alias("sum_outlier_ids"),
-            F.round(
-                F.sum(F.col("centroid_cos").cast("decimal(27,12)")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("mean_cos"),
+            F.round(davg(F.col("centroid_cos"), 12), 6).alias("mean_cos"),
         )
         .orderBy("label")
     )
@@ -360,17 +354,15 @@ def embedding_dim_stats(spark, sf_dir):
     ex = emb.select(
         F.posexplode("embedding").alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))
-    dec = "decimal(27,12)"
-    s = F.sum(F.col("val").cast(dec)).cast("double")
-    ss = F.sum((F.col("val") * F.col("val")).cast(dec)).cast("double")
     n = F.count(F.lit(1)).cast("bigint")
-    mean = s / n.cast("double")
+    mean = davg(F.col("val"), 12)
+    msq = davg(F.col("val") * F.col("val"), 12)
     return (
         ex.groupBy("pos")
         .agg(
             n.alias("n"),
             F.round(mean, 6).alias("mean_val"),
-            F.round(ss / n.cast("double") - mean * mean, 6).alias("var_val"),
+            F.round(msq - mean * mean, 6).alias("var_val"),
             F.round(F.min("val"), 6).alias("min_val"),
             F.round(F.max("val"), 6).alias("max_val"),
         )

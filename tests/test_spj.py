@@ -100,3 +100,38 @@ def test_spj_refusals(spark, tmp_path, tables):
     out = storage_partitioned_join(spark, fact, dim, key="user_id")
     assert out.filter(F.col("user_id") == 3).count() == 0
     assert out.count() > 0
+
+
+def test_spj_skips_null_key_partition(spark, tmp_path):
+    """NULL join keys land in the Hive default partition; an inner join
+    can never match them, so SPJ skips that partition rather than failing
+    with a false predates-the-spec diagnosis (review fix)."""
+    import pyspark.sql.types as T2
+
+    cat = Catalog(str(tmp_path / "whn"))
+    nfact = T2.StructType(
+        [
+            T2.StructField("event_id", T2.LongType(), False),
+            T2.StructField("user_id", T2.LongType(), True),
+            T2.StructField("v", T2.StringType(), True),
+        ]
+    )
+    fact = cat.create_table(
+        "db.nf", nfact, partition_by=["iceberg_bucket(4, user_id)"]
+    )
+    dim = cat.create_table(
+        "db.nd", DIM, partition_by=["iceberg_bucket(4, user_id)"]
+    )
+    fact.append(
+        spark.createDataFrame(
+            [(1, 7, "a"), (2, None, "null-key"), (3, 8, "c")], nfact
+        )
+    )
+    dim.append(
+        spark.createDataFrame([(7, "d7", "t"), (8, "d8", "t")], DIM)
+    )
+    out = storage_partitioned_join(spark, fact, dim, key="user_id")
+    assert sorted((r.event_id, r.user_id) for r in out.collect()) == [
+        (1, 7),
+        (3, 8),
+    ]
