@@ -105,14 +105,15 @@ def load_all() -> dict[str, QuerySpec]:
     # consecutive green rounds (r1–r5; its sibling smt_json_to_map_root
     # stays). After r6, ever-gated = 139 = every oracle-checked query that
     # existed at r6's start.
-    # Round-7 rotation queue (oracle-checked, registered in r6, never
-    # gated): maintenance_orphan_sweep, wap_cherry_pick,
-    # docs_quality_linear, lakehouse_view_read, spj_bucket_join,
-    # docs_token_budget, changelog_stream_sync,
-    # rest_view_oauth_roundtrip, embedding_outliers,
-    # events_hourly_anomaly, embedding_dim_stats — plus any further
-    # r6 additions; verify names against QUERIES before editing the
-    # window.
+    # Round-7 rotation queue — VERIFIED against QUERIES and the
+    # CORRECTNESS_r0* union at the end of round 6; these are the exact 11
+    # oracle-checked never-gated names: changelog_stream_sync,
+    # docs_quality_linear, docs_token_budget, embedding_dim_stats,
+    # embedding_outliers, events_hourly_anomaly, lakehouse_view_read,
+    # maintenance_orphan_sweep, rest_view_oauth_roundtrip,
+    # spj_bucket_join, wap_cherry_pick. 11 flex slots needed; re-verify
+    # with the never-gated computation (oracle set minus gated union
+    # minus current window) before editing.
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).
