@@ -1886,9 +1886,11 @@ class LakehouseTable:
 
         Equality-delete rows carry the key columns and NULL elsewhere (the
         delete file records keys, not full rows — same projection Iceberg's
-        changelog emits for equality deletes). Replace/compaction snapshots
-        raise: they rewrite history rather than change data; fall back to a
-        full-snapshot diff.
+        changelog emits for equality deletes). POSITION deletes emit the
+        FULL deleted rows, reconstructed exactly by re-reading only the
+        referenced files with row identity and semi-joining on (file,
+        ordinal). Replace/compaction snapshots raise: they rewrite history
+        rather than change data; fall back to a full-snapshot diff.
 
         Scale shape: reads exactly the files each snapshot added — a CDC
         consumer polls O(new data) per interval, never rescanning."""
@@ -1931,19 +1933,58 @@ class LakehouseTable:
                     "express it; diff full snapshots instead"
                 )
             d, dl = self._load_manifest(snap)
-            if _has_positional(dl):
-                # a position delete has no key tuple to emit as a changelog
-                # delete row — consumers must diff full snapshots instead
-                # (streaming/mv.py catches this and recomputes fully)
-                raise ValueError(
-                    f"snapshot {snap['snapshot_id']!r} contains position "
-                    "deletes — changelog cannot express them; diff full "
-                    "snapshots instead"
-                )
             stamp = [
                 F.lit(snap["snapshot_id"]).alias("_change_snapshot_id"),
                 F.lit(ordinal).alias("_change_ordinal"),
             ]
+            pos_dl = [
+                f for f in dl if f.get("delete_type") == "position"
+            ]
+            dl = [f for f in dl if f.get("delete_type") != "position"]
+            if pos_dl:
+                # position deletes name (file, ordinal) pairs; the deleted
+                # ROWS are reconstructed exactly by re-reading only the
+                # referenced files with row identity and semi-joining on
+                # it — so the changelog emits FULL deleted rows (richer
+                # than an equality delete's key-only rows). Iceberg's
+                # changelog does the same for position deletes. Cost:
+                # O(referenced files), never a table scan.
+                prefix = os.path.abspath(self.root) + "/"
+                dpos = self._read_file_group(spark, pos_dl, None).select(
+                    _fp_load(F.col("file_path"), prefix).alias("__fpn"),
+                    F.col("pos").alias("__pos"),
+                )
+                ref_paths = {
+                    r["__fpn"]
+                    for r in dpos.select("__fpn").distinct().collect()
+                }
+                live_d, _ = self._live_files(meta, snap)
+                targets = [
+                    f
+                    for f in live_d
+                    if (
+                        f["path"]
+                        if os.path.isabs(f["path"])
+                        else os.path.join(self.root, f["path"])
+                    )
+                    in ref_paths
+                ]
+                rows = self._read_file_group(
+                    spark, targets, target, with_position=True
+                )
+                if rows is not None:
+                    deleted = (
+                        rows.withColumn("__fpn", _fp_norm(F.col("__fp")))
+                        .join(dpos, ["__fpn", "__pos"], "left_semi")
+                        .drop("__seq", "__fp", "__pos", "__fpn")
+                    )
+                    parts.append(
+                        deleted.select(
+                            *[F.col(f.name) for f in target.fields],
+                            F.lit("delete").alias("_change_type"),
+                            *stamp,
+                        )
+                    )
             dels = self._read_file_group(spark, dl, None)
             if dels is not None:
                 # delete files written before a rename_column carry old

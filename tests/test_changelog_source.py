@@ -187,3 +187,37 @@ def test_changelog_sync_loop_drains_and_stops(spark, tmp_path):
     got = sorted((r.id, r.v) for r in dst.read(spark).collect())
     want = sorted((r.id, r.v) for r in src.read(spark).collect())
     assert got == want
+
+
+def test_changelog_expresses_position_deletes_as_full_rows(spark, tmp_path):
+    """Position-delete snapshots stream exactly: the changelog emits the
+    FULL deleted rows (reconstructed from the referenced files by row
+    identity), and sync_to_table applies them — previously these
+    snapshots raised and CDC consumers had to full-diff."""
+    src = LakehouseTable.create(str(tmp_path / "srcp"), SCHEMA)
+    # duplicate keys on purpose — the case position deletes exist for
+    src.append(
+        spark.createDataFrame(
+            [(1, "keep"), (2, "kill-a"), (2, "keep-b"), (3, "kill")],
+            SCHEMA,
+        )
+    )
+    src.delete_where_positions(spark, "v = 'kill-a' OR v = 'kill'")
+    stream = ChangelogStream(src, str(tmp_path / "ckptp"))
+    batches = []
+    stream.process_available(
+        spark,
+        lambda df, sid: batches.append(
+            sorted(
+                (r.id, r.v, r._change_type) for r in df.collect()
+            )
+        ),
+    )
+    assert batches[0] == [
+        (1, "keep", "insert"),
+        (2, "keep-b", "insert"),
+        (2, "kill-a", "insert"),
+        (3, "kill", "insert"),
+    ]
+    # the position-delete snapshot emits the full deleted rows
+    assert batches[1] == [(2, "kill-a", "delete"), (3, "kill", "delete")]

@@ -97,15 +97,23 @@ def test_binpack_folds_position_deletes_for_rewritten(spark, tmp_path):
     assert t.read(spark).count() == 180  # nothing resurrected
 
 
-def test_changelog_refuses_position_delete_snapshots(spark, tmp_path):
+def test_changelog_expresses_position_deletes(spark, tmp_path):
+    """Round 6: position-delete snapshots are changelog-expressible — the
+    deleted ROWS are reconstructed exactly (full content, not key-only)
+    from the referenced files by row identity."""
     t = _table(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
     s1 = t.current_snapshot()
     t.delete_where_positions(spark, "k = 1")
-    with pytest.raises(ValueError, match="position"):
-        t.changes_between(spark, s1["snapshot_id"]).collect()
+    ch = t.changes_between(spark, s1["snapshot_id"]).collect()
+    assert [(r.k, r.g, r.v, r._change_type) for r in ch] == [
+        (1, "a", 10, "delete")
+    ]
 
 
-def test_mv_refresh_falls_back_on_position_deletes(spark, tmp_path):
+def test_mv_refresh_incremental_over_position_deletes(spark, tmp_path):
+    """Round 6: with position deletes changelog-expressible, the MV
+    refresh stays INCREMENTAL (it only needs the touched keys, which the
+    reconstructed full delete rows carry) — and the values are exact."""
     from iceberg_kafka_connect_spark.streaming.mv import (
         MV_REFRESH_MODE_PROP,
         refresh_materialized_agg,
@@ -125,7 +133,7 @@ def test_mv_refresh_falls_back_on_position_deletes(spark, tmp_path):
     refresh_materialized_agg(spark, src, mv, ["k"], ["g"], ["v"])
     src.delete_where_positions(spark, "k = 2")
     s = refresh_materialized_agg(spark, src, mv, ["k"], ["g"], ["v"])
-    assert s["summary"][MV_REFRESH_MODE_PROP] == "full"
+    assert s["summary"][MV_REFRESH_MODE_PROP] == "incremental"
     got = {r.g: (r.n_rows, r.sum_v) for r in mv.read(spark).collect()}
     assert got == {"a": (1, 10), "b": (1, 30)}
 
