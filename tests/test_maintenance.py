@@ -362,7 +362,14 @@ def test_orphan_age_threshold_protects_inflight_files(spark, catalog):
     assert t.remove_orphan_files(dry_run=True) == []
     assert t.remove_orphan_files() == []
     assert os.path.isfile(stray)
-    # explicit zero threshold: the stray is an orphan and is removed
+    # explicit zero threshold: the stray is an orphan and is removed.
+    # Backdate its mtime first — filesystem timestamp granularity can
+    # otherwise land a just-written file a few ms AFTER the sweep's
+    # sampled `now`, flaking the ==0 boundary.
+    import time as _time
+
+    past = _time.time() - 60
+    os.utime(stray, (past, past))
     orphans = t.remove_orphan_files(older_than_ms=0)
     assert orphans == [os.path.join("data", "inflight-000.parquet")]
     assert not os.path.isfile(stray)
