@@ -49,11 +49,13 @@ class CatalogSpec:
     - ``iceberg.hadoop.*``           → Hadoop Configuration overrides
     - ``iceberg.hadoop-conf-dir``    → directory with core-site.xml etc.
 
-    Only the path-based warehouse backend (type=hadoop with a local or
-    file:// warehouse) is executable in this deployment; every other
-    backend parses cleanly and raises ``UnsupportedCatalogError`` at build
-    time, so an existing connector config fails loud and early with the
-    exact missing runtime named.
+    Executable backends in this deployment: the path-based warehouse
+    (type=hadoop with a local or file:// warehouse), type=rest (live
+    client against a reachable REST catalog, incl. token/credential
+    auth), and type=jdbc (sqlite driver). Every other backend parses
+    cleanly and raises ``UnsupportedCatalogError`` at build time, so an
+    existing connector config fails loud and early with the exact
+    missing runtime named.
     """
 
     name: str = "iceberg"
