@@ -105,15 +105,21 @@ def load_all() -> dict[str, QuerySpec]:
     # consecutive green rounds (r1–r5; its sibling smt_json_to_map_root
     # stays). After r6, ever-gated = 139 = every oracle-checked query that
     # existed at r6's start.
-    # Round-7 rotation queue — VERIFIED against QUERIES and the
-    # CORRECTNESS_r0* union at the end of round 6; these are the exact 11
-    # oracle-checked never-gated names: changelog_stream_sync,
+    # Round-7 window (ACTIVE below): re-verified at round-7 start
+    # (oracle-checked set minus CORRECTNESS_r01..r06 union = exactly the
+    # 11 queue names from the r6 verdict): changelog_stream_sync,
     # docs_quality_linear, docs_token_budget, embedding_dim_stats,
     # embedding_outliers, events_hourly_anomaly, lakehouse_view_read,
     # maintenance_orphan_sweep, rest_view_oauth_roundtrip,
-    # spj_bucket_join, wap_cherry_pick. 11 flex slots needed; re-verify
-    # with the never-gated computation (oracle set minus gated union
-    # minus current window) before editing.
+    # spj_bucket_join, wap_cherry_pick. The 19 r6-gated rotation names
+    # rotate out holding their r06 rows as evidence. The remaining 8
+    # slots re-gate flagship surfaces (catalog/interop round-trips +
+    # TPC-H anchors) so the window stays at the full 50 oracle-checked
+    # rows. After r7, ever-gated = 150 = every oracle-checked query that
+    # existed at r7's start.
+    # Round-8 rotation queue: any query registered during round 7 that
+    # has no CORRECTNESS row; re-verify with the never-gated computation
+    # (oracle set minus gated union minus current window) before editing.
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).
@@ -141,17 +147,21 @@ def load_all() -> dict[str, QuerySpec]:
             "incremental_scan", "stats_pruned_scan", "merge_into",
             "dml_delete_update", "changelog_read", "metadata_count_bounds",
             "cdc_mirror", "wap_publish",
-            # — round-6 rotation: the 19 oracle-checked never-gated
-            #   queries (verdict r5 "Next round" #1) — first-time rows —
-            "dedup_collapse", "dedup_signal_agreement", "docs_keyterms",
-            "docs_chunk_overlap", "docs_lm_surprise",
-            "docs_sample_stratified", "docs_sample_topk_per_source",
-            "docs_shard_shuffle", "docs_source_epochs",
-            "embedding_quantize", "multimodal_frame_sample",
-            "multimodal_resize_plan", "quality_bins_by_source",
-            "text_token_stats", "docs_bm25_topk", "docs_boilerplate_ngrams",
-            "dedup_cluster_histogram", "docs_skew_profile",
-            "docs_source_similarity",
+            # — round-7 rotation: the 11 oracle-checked never-gated
+            #   queries (verdict r6 "Next round" #1) — first-time rows —
+            "changelog_stream_sync", "docs_quality_linear",
+            "docs_token_budget", "embedding_dim_stats",
+            "embedding_outliers", "events_hourly_anomaly",
+            "lakehouse_view_read", "maintenance_orphan_sweep",
+            "rest_view_oauth_roundtrip", "spj_bucket_join",
+            "wap_cherry_pick",
+            # — round-7 re-gates: flagship surfaces filling the window
+            #   to 50 (all hold r5/r6 green rows; fresh rows cost nothing
+            #   and re-prove the most load-bearing code paths) —
+            "rest_catalog_roundtrip", "jdbc_catalog_roundtrip",
+            "iceberg_interop_roundtrip", "iceberg_mirror_refresh",
+            "iceberg_multispec_roundtrip", "tpch_q1", "tpch_q6",
+            "tpch_q18",
         )
         for k in [k for k in window if k in QUERIES][::-1]:
             spec = QUERIES.pop(k)
