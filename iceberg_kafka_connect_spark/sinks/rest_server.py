@@ -54,6 +54,8 @@ writers the same way Iceberg's REST catalog does.
 
 from __future__ import annotations
 
+import contextlib
+import hmac
 import json
 import os
 import re
@@ -96,6 +98,15 @@ class RestError(Exception):
 
 def _err(code: int, etype: str, message: str) -> RestError:
     return RestError(code, etype, message)
+
+
+def _ct_eq(a: str | None, b: str | None) -> bool:
+    """Timing-independent string equality for tokens and client secrets
+    (RFC 6749 §10.2's credential-guessing hardening; ordinary ``==`` leaks
+    match length through comparison time)."""
+    if a is None or b is None:
+        return False
+    return hmac.compare_digest(a.encode(), b.encode())
 
 
 # ------------------------------------------------------------ spec → DSL
@@ -276,11 +287,20 @@ class _Handler(BaseHTTPRequestHandler):
         if self.token is None and not self.credentials:
             return
         got = self.headers.get("Authorization", "")
-        if self.token is not None and got == f"Bearer {self.token}":
+        if self.token is not None and _ct_eq(got, f"Bearer {self.token}"):
             return
         if self.credentials and got.startswith("Bearer "):
             presented = got.removeprefix("Bearer ")
-            exp = self.state.issued_tokens.get(presented)
+            # constant-time scan: the store is bounded (expired tokens are
+            # swept on issue), so O(issued) per request is fine
+            exp = next(
+                (
+                    e
+                    for t, e in list(self.state.issued_tokens.items())
+                    if _ct_eq(presented, t)
+                ),
+                None,
+            )
             if exp is not None:
                 if exp > time.time():
                     return
@@ -332,7 +352,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "invalid_request",
                 "this catalog issues no tokens (static-token or open mode)",
             )
-        if cid is None or self.credentials.get(cid) != secret:
+        if cid is None or not _ct_eq(self.credentials.get(cid), secret):
             return _oauth_err(
                 401, "invalid_client", "unknown client or bad secret"
             )
@@ -1591,10 +1611,13 @@ class _Handler(BaseHTTPRequestHandler):
         assign-uuid / set-properties / remove-properties / add-schema /
         add-view-version / set-current-view-version (-1 = the version just
         added) — the spec's replace-view flow. Validated fully before any
-        write (same atomic contract as the table commit path)."""
+        write, then applied to the in-memory document and written to disk
+        exactly once, so a crash mid-body can't leave a partially applied
+        UpdateViewRequest and readers never observe intermediate states
+        (same atomic contract as the table commit path)."""
         store = self._view_store()
         body = self._json_body()
-        with self.state.table_lock("view:" + full):
+        with self.state.table_lock("view:" + full), store.locked(full):
             if not store.exists(full):
                 raise _err(
                     404, "NoSuchViewException", f"view {full!r} not found"
@@ -1696,19 +1719,26 @@ class _Handler(BaseHTTPRequestHandler):
                     "add-schema without a consuming add-view-version "
                     "(bind it via schema-id -1)",
                 )
+            from .views import (
+                apply_add_version,
+                apply_set_current,
+                apply_update_properties,
+            )
+
             pending_schema: dict | None = None
+            dirty = False
             for up in updates:
                 ut = up.get("action") or up.get("type")
                 if ut == "assign-uuid":
                     continue  # uuid is server-assigned and immutable here
                 if ut == "set-properties":
-                    meta = store.update_properties(
-                        full, up.get("updates") or {}
-                    )
+                    apply_update_properties(meta, up.get("updates") or {})
+                    dirty = True
                 elif ut == "remove-properties":
-                    meta = store.update_properties(
-                        full, {}, up.get("removals") or []
+                    apply_update_properties(
+                        meta, {}, up.get("removals") or []
                     )
+                    dirty = True
                 elif ut == "add-schema":
                     pending_schema = up.get("schema") or {}
                 elif ut == "add-view-version":
@@ -1726,14 +1756,23 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                     if vv.get("schema-id") == -1:
                         vv.pop("schema-id")
-                    meta = store.add_version(
-                        full, vv, schema_json=sj, make_current=False
+                    apply_add_version(
+                        meta, vv, schema_json=sj, make_current=False
                     )
                     pending_schema = None
+                    dirty = True
                 elif ut == "set-current-view-version":
-                    meta = store.set_current(
-                        full, int(up.get("view-version-id", -1))
-                    )
+                    try:
+                        dirty = (
+                            apply_set_current(
+                                meta, int(up.get("view-version-id", -1))
+                            )
+                            or dirty
+                        )
+                    except ValueError as e:
+                        raise _err(400, "BadRequestException", str(e))
+            if dirty:
+                store.write(full, meta)
             return self._send_view(full, meta)
 
     def _rename_view(self):
@@ -1757,9 +1796,14 @@ class _Handler(BaseHTTPRequestHandler):
                 "AlreadyExistsException",
                 f"a table named {dst_full!r} already exists",
             )
+        # acquire the two per-view locks in canonical (sorted) order so two
+        # concurrent opposite renames (A→B and B→A) can't deadlock by
+        # grabbing them in reverse orders
+        keys = sorted({"view:" + src_full, "view:" + dst_full})
         try:
-            with self.state.table_lock("view:" + src_full), \
-                    self.state.table_lock("view:" + dst_full):
+            with contextlib.ExitStack() as locks:
+                for k in keys:  # self-rename: one key, locked once
+                    locks.enter_context(self.state.table_lock(k))
                 self._view_store().rename(src_full, dst_full)
         except NoSuchViewError:
             raise _err(

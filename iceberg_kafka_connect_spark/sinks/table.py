@@ -3001,6 +3001,42 @@ class LakehouseTable:
                     raise
                 time.sleep(0.05 * (attempt + 1))
 
+    def _position_delete_refs(self, pos_files: list[dict]) -> set[str]:
+        """Distinct data-file paths (storage form: root-relative, absolute
+        for external files) referenced by position delete files. Driver-side
+        local read of only the ``file_path`` column — position delete files
+        are metadata-sized (one row per deleted row ordinal), never table
+        data, so this stays off the Spark path."""
+        refs: set[str] = set()
+        for f in pos_files:
+            p = os.path.join(self.root, f["path"])
+            fmt = f.get("format", "parquet")
+            if fmt == "parquet":
+                import pyarrow.parquet as pq
+
+                refs.update(
+                    pq.read_table(p, columns=["file_path"])
+                    .column("file_path")
+                    .to_pylist()
+                )
+            elif fmt == "orc":
+                from pyarrow import orc as pa_orc
+
+                refs.update(
+                    pa_orc.ORCFile(p)
+                    .read(columns=["file_path"])
+                    .column("file_path")
+                    .to_pylist()
+                )
+            else:  # avro OCF (self-contained codec)
+                from . import avro_io
+
+                schema = avro_io.read_header_schema(p)
+                idx = [fld.name for fld in schema.fields].index("file_path")
+                for row in avro_io._read_container(p, schema):
+                    refs.add(row[idx])
+        return refs
+
     def cherry_pick(self, snapshot_id: str, branch: str = MAIN) -> dict:
         """Iceberg ``manageSnapshots().cherrypick(snapshotId)`` parity:
         replay ONE snapshot's added files as a NEW commit on ``branch``'s
@@ -3044,6 +3080,30 @@ class LakehouseTable:
                     )
                 sid = cur["parent"]
             d, dl = self._load_manifest(snap)
+            pos_files = [
+                f for f in dl if f.get("delete_type") == "position"
+            ]
+            if pos_files:
+                # Iceberg's cherrypickSnapshot restricts itself to appends /
+                # WAP dynamic overwrites because replayed (file, pos)
+                # references can dangle: if the target head compacted or
+                # never contained a referenced data file, the delete would
+                # silently drop instead of applying. Allow the replay only
+                # when every referenced path is live on the target head (or
+                # arrives with this snapshot); refuse loudly otherwise.
+                live = {f["path"] for f in d}
+                head_id = meta["refs"].get(branch)
+                if head_id is not None:
+                    head = self._snapshot_by_id(meta, head_id)
+                    live |= {f["path"] for f in self._live_files(meta, head)[0]}
+                dangling = sorted(self._position_delete_refs(pos_files) - live)
+                if dangling:
+                    raise ValueError(
+                        f"cannot cherry-pick {snapshot_id!r} onto "
+                        f"{branch!r}: its position deletes reference data "
+                        f"files not live on the target head (replayed "
+                        f"deletes would silently drop): {dangling[:5]}"
+                    )
             src_summary = dict(snap.get("summary") or {})
             # Iceberg records the staged snapshot's wap.id as
             # published-wap-id on the published copy — keeping wap.id

@@ -25,6 +25,7 @@ the same naming a user of ``spark.sql`` over this engine already uses.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -145,6 +146,63 @@ def sql_view_version(
     }
 
 
+def apply_add_version(
+    meta: dict,
+    view_version: dict,
+    schema_json: dict | None = None,
+    make_current: bool = True,
+) -> dict:
+    """Append a view version (and optional schema) to ``meta`` in place —
+    the pure half of the spec's replace-view flow, shared by the one-shot
+    ``ViewStore.add_version`` and multi-update commits that must write the
+    document exactly once."""
+    vv = dict(view_version)
+    next_id = 1 + max(v["version-id"] for v in meta["versions"])
+    vv["version-id"] = next_id
+    vv.setdefault("timestamp-ms", _now_ms())
+    if schema_json is not None:
+        sj = dict(schema_json)
+        sj["schema-id"] = 1 + max(
+            s.get("schema-id", 0) for s in meta["schemas"]
+        )
+        meta["schemas"].append(sj)
+        vv["schema-id"] = sj["schema-id"]
+    else:
+        vv.setdefault("schema-id", meta["versions"][-1]["schema-id"])
+    vv.setdefault("summary", {})
+    meta["versions"].append(vv)
+    if make_current:
+        meta["current-version-id"] = next_id
+        meta["version-log"].append(
+            {"timestamp-ms": vv["timestamp-ms"], "version-id": next_id}
+        )
+    return vv
+
+
+def apply_set_current(meta: dict, version_id: int) -> bool:
+    """Advance ``current-version-id`` in place; returns whether ``meta``
+    changed. ``-1`` = the version added last (the spec's same-commit ref)."""
+    if version_id == -1:
+        version_id = meta["versions"][-1]["version-id"]
+    if version_id not in {v["version-id"] for v in meta["versions"]}:
+        raise ValueError(f"view has no version {version_id}")
+    if meta["current-version-id"] == version_id:
+        return False
+    meta["current-version-id"] = version_id
+    meta["version-log"].append(
+        {"timestamp-ms": _now_ms(), "version-id": version_id}
+    )
+    return True
+
+
+def apply_update_properties(
+    meta: dict, updates: dict | None, removals: list | None = None
+) -> None:
+    for k in removals or []:
+        meta["properties"].pop(k, None)
+    meta["properties"].update(updates or {})
+
+
 class ViewStore:
     """View CRUD over a warehouse directory — the piece both the directory
     Catalog and the REST server share."""
@@ -173,12 +231,21 @@ class ViewStore:
         out = []
         for dirpath, dirnames, files in os.walk(self.warehouse):
             # view docs live at namespace level, never inside a table —
-            # prune table directories (they hold `metadata/`) so listing
-            # stays O(namespaces + views), not O(every data file in the
-            # warehouse)
-            if "metadata" in dirnames and dirpath != self.warehouse:
-                dirnames.clear()
-                continue
+            # prune table directories BEFORE descending, so listing stays
+            # O(namespaces + views). Prune the child, not the parent:
+            # skipping the parent's own file scan would hide sibling
+            # *.view.json whenever any child is named `metadata`. A table
+            # is identified by LakehouseTable.exists's exact signature
+            # (`metadata/v*.json`), not the mere presence of a `metadata`
+            # child — a namespace holding a TABLE named `metadata` has
+            # `<ns>/metadata/metadata/` but no `<ns>/metadata/v*.json`.
+            dirnames[:] = [
+                d
+                for d in dirnames
+                if not glob.glob(
+                    os.path.join(dirpath, d, "metadata", "v*.json")
+                )
+            ]
             for fn in files:
                 if not fn.endswith(".view.json"):
                     continue
@@ -245,26 +312,7 @@ class ViewStore:
         make_current: bool = True,
     ) -> dict:
         p, meta = self.load(name)
-        vv = dict(view_version)
-        next_id = 1 + max(v["version-id"] for v in meta["versions"])
-        vv["version-id"] = next_id
-        vv.setdefault("timestamp-ms", _now_ms())
-        if schema_json is not None:
-            sj = dict(schema_json)
-            sj["schema-id"] = 1 + max(
-                s.get("schema-id", 0) for s in meta["schemas"]
-            )
-            meta["schemas"].append(sj)
-            vv["schema-id"] = sj["schema-id"]
-        else:
-            vv.setdefault("schema-id", meta["versions"][-1]["schema-id"])
-        vv.setdefault("summary", {})
-        meta["versions"].append(vv)
-        if make_current:
-            meta["current-version-id"] = next_id
-            meta["version-log"].append(
-                {"timestamp-ms": vv["timestamp-ms"], "version-id": next_id}
-            )
+        apply_add_version(meta, view_version, schema_json, make_current)
         _write_atomic(p, meta)
         return meta
 
@@ -274,15 +322,7 @@ class ViewStore:
 
     def _set_current_locked(self, name: str, version_id: int) -> dict:
         p, meta = self.load(name)
-        if version_id == -1:  # spec: -1 = the version just added
-            version_id = meta["versions"][-1]["version-id"]
-        if version_id not in {v["version-id"] for v in meta["versions"]}:
-            raise ValueError(f"view {name!r} has no version {version_id}")
-        if meta["current-version-id"] != version_id:
-            meta["current-version-id"] = version_id
-            meta["version-log"].append(
-                {"timestamp-ms": _now_ms(), "version-id": version_id}
-            )
+        if apply_set_current(meta, version_id):
             _write_atomic(p, meta)
         return meta
 
@@ -296,11 +336,20 @@ class ViewStore:
         self, name: str, updates: dict | None, removals: list | None = None
     ) -> dict:
         p, meta = self.load(name)
-        for k in removals or []:
-            meta["properties"].pop(k, None)
-        meta["properties"].update(updates or {})
+        apply_update_properties(meta, updates, removals)
         _write_atomic(p, meta)
         return meta
+
+    # ------------------------------------------------- multi-update commits
+    def locked(self, name: str) -> _ViewLock:
+        """The per-view cross-process writer lock, for callers composing a
+        multi-update commit (load → apply_* in memory → write once)."""
+        return _ViewLock(view_path(self.warehouse, name))
+
+    def write(self, name: str, meta: dict) -> None:
+        """Replace the view document atomically. Hold ``locked(name)``
+        around the enclosing load→apply→write."""
+        _write_atomic(view_path(self.warehouse, name), meta)
 
     # ----------------------------------------------------------- execution
     @staticmethod

@@ -644,3 +644,33 @@ def test_publish_wap_by_id(spark, catalog):
     )
     with pytest.raises(ValueError, match="ambiguous"):
         t.publish_wap("dup")
+
+
+def test_cherry_pick_position_deletes_live_refs_ok(spark, catalog):
+    """A position-delete snapshot cherry-picks fine when every referenced
+    data file is still live on the target head — the (file, pos) identities
+    resolve and the delete applies."""
+    t = catalog.create_table("default.cppd_ok", SCHEMA)
+    t.append(_rows(spark, [(1, "a", None, None), (2, "b", None, None)]))
+    t.create_branch("fix")
+    staged = t.delete_where_positions(spark, "id = 2", branch="fix")
+    t.append(_rows(spark, [(3, "c", None, None)]))  # main moves on
+    t.cherry_pick(staged["snapshot_id"])
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3]
+
+
+def test_cherry_pick_refuses_dangling_position_deletes(spark, catalog):
+    """Iceberg's cherrypickSnapshot restricts itself to appends/WAP
+    overwrites because replayed (file, pos) references can dangle; here the
+    target head COMPACTED after staging, so the staged position deletes
+    reference files no longer live — replaying would silently drop them."""
+    t = catalog.create_table("default.cppd_bad", SCHEMA)
+    t.append(_rows(spark, [(1, "a", None, None), (2, "b", None, None)]))
+    t.create_branch("fix")
+    staged = t.delete_where_positions(spark, "id = 2", branch="fix")
+    t.compact(spark)  # main rewrote the referenced data file
+    t.append(_rows(spark, [(3, "c", None, None)]))
+    with pytest.raises(ValueError, match="position deletes reference"):
+        t.cherry_pick(staged["snapshot_id"])
+    # nothing was committed: both rows still visible on main
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]

@@ -493,3 +493,114 @@ def test_concurrent_rest_view_replaces_serialize(spark, tmp_path):
             range(1, n + 2)
         )
         assert meta["current-version-id"] == 1 + n
+
+
+def test_view_list_survives_child_named_metadata(tmp_path):
+    """Pruning must skip the TABLE directory (the child holding metadata/),
+    not the parent's own file scan — a table or sub-namespace literally
+    named 'metadata' must not hide its sibling *.view.json docs."""
+    from iceberg_kafka_connect_spark.sinks.views import (
+        ViewStore,
+        sql_view_version,
+    )
+
+    wh = tmp_path / "wh"
+    store = ViewStore(str(wh))
+    store.create(
+        "db.v1", {"schema-id": 0, "fields": []}, sql_view_version("SELECT 1")
+    )
+    # a table named `metadata` inside the same namespace
+    (wh / "db" / "metadata" / "metadata").mkdir(parents=True)
+    (wh / "db" / "metadata" / "metadata" / "v0.json").write_text("{}")
+    # and a plain table sibling whose data must still be pruned
+    (wh / "db" / "t" / "metadata").mkdir(parents=True)
+    (wh / "db" / "t" / "metadata" / "v0.json").write_text("{}")
+    (wh / "db" / "t" / "data").mkdir()
+    (wh / "db" / "t" / "data" / "junk.view.json").write_text("{}")
+    assert store.list("db") == ["db.v1"]
+    assert store.list() == ["db.v1"]
+
+
+def test_rest_view_multi_update_commit_writes_once(spark, tmp_path, monkeypatch):
+    """The UpdateViewRequest body applies to the in-memory document and
+    hits disk exactly once — a crash mid-body can never leave a partially
+    applied commit, and readers never observe intermediate states."""
+    from iceberg_kafka_connect_spark.sinks import views as views_mod
+
+    with IcebergRestServer(str(tmp_path / "wh")) as srv:
+        client = RestCatalog(srv.uri)
+        _seed(spark, client)
+        client.create_view(
+            "db.w", "SELECT id FROM db_base", schema=SCHEMA
+        )
+        writes = []
+        real = views_mod._write_atomic
+        monkeypatch.setattr(
+            views_mod,
+            "_write_atomic",
+            lambda p, doc: (writes.append(p), real(p, doc)),
+        )
+        meta = client._request(
+            "POST",
+            client._view_path("db.w"),
+            {
+                "updates": [
+                    {"action": "set-properties", "updates": {"a": "1"}},
+                    {
+                        "action": "add-view-version",
+                        "view-version": {
+                            "representations": [
+                                {
+                                    "type": "sql",
+                                    "sql": "SELECT id FROM db_base WHERE id < 3",
+                                    "dialect": "spark",
+                                }
+                            ],
+                            "schema-id": 0,
+                            "default-namespace": ["db"],
+                        },
+                    },
+                    {
+                        "action": "set-current-view-version",
+                        "view-version-id": -1,
+                    },
+                ]
+            },
+        )["metadata"]
+        assert len(writes) == 1
+        assert meta["current-version-id"] == 2
+        assert meta["properties"]["a"] == "1"
+        got = sorted(r.id for r in client.read_view(spark, "db.w").collect())
+        assert got == [0, 1, 2]
+
+
+def test_rest_opposite_view_renames_never_deadlock(spark, tmp_path):
+    """Two concurrent opposite renames (A→B and B→A) grab the two per-view
+    locks in canonical order, so they serialize instead of deadlocking the
+    handler threads forever."""
+    import threading
+
+    with IcebergRestServer(str(tmp_path / "wh")) as srv:
+        client = RestCatalog(srv.uri)
+        _seed(spark, client)
+        client.create_view("db.a", "SELECT id FROM db_base", schema=SCHEMA)
+        client.create_view("db.b", "SELECT v FROM db_base", schema=SCHEMA)
+        errs: list[Exception] = []
+
+        def _ren(src, dst):
+            for _ in range(10):
+                try:
+                    client.rename_view(src, dst)
+                except RestCatalogError:
+                    pass  # losing the race is fine; hanging is not
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+
+        t1 = threading.Thread(target=_ren, args=("db.a", "db.b"))
+        t2 = threading.Thread(target=_ren, args=("db.b", "db.a"))
+        t1.start(); t2.start()
+        t1.join(timeout=30); t2.join(timeout=30)
+        assert not t1.is_alive() and not t2.is_alive(), "rename deadlocked"
+        assert not errs
+        # exactly the two views still exist, under some pairing of names
+        assert len(client.list_views("db")) == 2
