@@ -292,7 +292,7 @@ class Catalog:
             )
         schema_json: dict = {"type": "struct", "schema-id": 0, "fields": []}
         if spark is not None:
-            self.register_views(spark)
+            self._register_view_relations(spark, sql)
             schema_json, _ = iceberg_schema(spark.sql(sql).schema)
             schema_json["schema-id"] = 0
         return self.views.create(
@@ -302,14 +302,39 @@ class Catalog:
             properties,
         )
 
+    def _register_view_relations(
+        self, spark, sql: str, stack: tuple = ()
+    ) -> None:
+        """Register only the relations ``sql`` references — tables
+        directly, sibling views recursively (layered views resolve in
+        dependency order; cycles raise ViewCycleError) — instead of
+        materializing every table in the warehouse per view read."""
+        from .views import ViewStore, register_relations
+
+        store = self.views
+        register_relations(
+            spark,
+            sql,
+            list_tables=self.list_tables,
+            read_table=lambda t: self.load_table(t).read(spark),
+            view_names=store.list,
+            view_sql=lambda v: ViewStore.current_sql(
+                store.load(v)[1], dialect="spark"
+            ),
+            _stack=stack,
+        )
+
     def read_view(self, spark, name: str):
         """Execute the view's current SQL representation against the
-        warehouse (tables registered as ``db_t`` temp views)."""
+        warehouse. Only the relations the SQL references are registered
+        (``db.t`` → temp view ``db_t``); views referenced by this view
+        resolve recursively."""
         from .views import ViewStore
 
         _, meta = self.views.load(name)
-        self.register_views(spark)
-        return spark.sql(ViewStore.current_sql(meta, dialect="spark"))
+        sql = ViewStore.current_sql(meta, dialect="spark")
+        self._register_view_relations(spark, sql, stack=(name,))
+        return spark.sql(sql)
 
     def create_table_if_not_exists(
         self,

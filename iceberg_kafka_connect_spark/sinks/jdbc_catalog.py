@@ -529,7 +529,18 @@ class JdbcCatalog:
             )
         schema_json: dict = {"type": "struct", "schema-id": 0, "fields": []}
         if spark is not None:
-            self.register_views(spark)
+            from .views import ViewStore, register_relations
+
+            register_relations(
+                spark,
+                sql,
+                list_tables=self.list_tables,
+                read_table=lambda t: self.load_table(t).read(spark),
+                view_names=self.list_views,
+                view_sql=lambda v: ViewStore.current_sql(
+                    self.load_view(v)[1], dialect="spark"
+                ),
+            )
             schema_json, _ = iceberg_schema(spark.sql(sql).schema)
             schema_json["schema-id"] = 0
         store = self._view_store()
@@ -640,8 +651,21 @@ class JdbcCatalog:
         )
 
     def read_view(self, spark, name: str):
-        from .views import ViewStore
+        """Execute the view's SQL; only referenced relations register,
+        sibling views resolve recursively (cycle → ViewCycleError)."""
+        from .views import ViewStore, register_relations
 
         _, meta = self.load_view(name)
-        self.register_views(spark)
-        return spark.sql(ViewStore.current_sql(meta, dialect="spark"))
+        sql = ViewStore.current_sql(meta, dialect="spark")
+        register_relations(
+            spark,
+            sql,
+            list_tables=self.list_tables,
+            read_table=lambda t: self.load_table(t).read(spark),
+            view_names=self.list_views,
+            view_sql=lambda v: ViewStore.current_sql(
+                self.load_view(v)[1], dialect="spark"
+            ),
+            _stack=(name,),
+        )
+        return spark.sql(sql)

@@ -869,15 +869,34 @@ class RestCatalog:
         )
         return out["metadata"]
 
+    def _all_view_names(self) -> list[str]:
+        out: list[str] = []
+        for ns in self.all_namespaces():
+            out.extend(self.list_views(ns))
+        return out
+
     def read_view(self, spark, name: str):
         """Execute the view's current SQL against the catalog's tables
         (registered as ``db_t`` temp views — the same naming
-        ``register_views`` gives interactive users)."""
-        from .views import ViewStore
+        ``register_views`` gives interactive users). Only referenced
+        relations are registered; views over views resolve recursively
+        (cycle → ViewCycleError)."""
+        from .views import ViewStore, register_relations
 
         _, meta = self.load_view(name)
-        self.register_views(spark)
-        return spark.sql(ViewStore.current_sql(meta, dialect="spark"))
+        sql = ViewStore.current_sql(meta, dialect="spark")
+        register_relations(
+            spark,
+            sql,
+            list_tables=self.list_tables,
+            read_table=lambda t: self.load_table(t).read(spark),
+            view_names=self._all_view_names,
+            view_sql=lambda v: ViewStore.current_sql(
+                self.load_view(v)[1], dialect="spark"
+            ),
+            _stack=(name,),
+        )
+        return spark.sql(sql)
 
 
 def build_rest_catalog(

@@ -40,6 +40,75 @@ class ViewAlreadyExistsError(Exception):
     pass
 
 
+class ViewCycleError(Exception):
+    """A view's SQL (transitively) references itself — layered view
+    resolution would recurse forever. The message carries the cycle path."""
+
+
+def referenced_identifiers(sql: str) -> set[str]:
+    """Candidate relation tokens in a SQL text: every identifier-shaped
+    word (including inside backticks). Over-approximating is harmless —
+    the resolver intersects with the catalog's actual table/view names —
+    while under-approximating would fail resolution, so no attempt is made
+    to skip keywords or strings."""
+    import re
+
+    return set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql))
+
+
+def register_relations(
+    spark,
+    sql: str,
+    *,
+    list_tables,
+    read_table,
+    view_names,
+    view_sql,
+    prefix: str = "",
+    _stack: tuple = (),
+) -> None:
+    """Register exactly the relations ``sql`` references as temp views
+    (table ``db.t`` → ``db_t``): tables directly, sibling views recursively
+    in dependency order — the Iceberg view spec's engine-agnostic SQL
+    representation allows layered views, so a view over a view must plan.
+
+    Scale: O(relations the SQL references) DataFrame constructions, never
+    O(tables in warehouse) — listing names stays cheap (directory walk /
+    one catalog request), it's materializing unreferenced DataFrames that
+    the previous register-everything approach wasted per view read.
+
+    ``list_tables``/``view_names`` are zero-arg callables returning dotted
+    names; ``read_table(name)`` returns the table's DataFrame;
+    ``view_sql(name)`` the sibling view's current SQL. A reference cycle
+    raises :class:`ViewCycleError` naming the path."""
+    tables = list(list_tables())  # names listed once, not per level
+    views = list(view_names())
+    done: set[str] = set()
+
+    def _resolve(s: str, stack: tuple) -> None:
+        tokens = referenced_identifiers(s)
+        for tname in tables:
+            tv = (prefix + tname).replace(".", "_")
+            if tv in tokens and tv not in done:
+                read_table(tname).createOrReplaceTempView(tv)
+                done.add(tv)
+        for vname in views:
+            tv = (prefix + vname).replace(".", "_")
+            if tv not in tokens or tv in done:
+                continue
+            if vname in stack:
+                raise ViewCycleError(
+                    "view reference cycle: "
+                    + " -> ".join([*stack[stack.index(vname):], vname])
+                )
+            vsql = view_sql(vname)
+            _resolve(vsql, (*stack, vname))
+            spark.sql(vsql).createOrReplaceTempView(tv)
+            done.add(tv)
+
+    _resolve(sql, _stack)
+
+
 def _now_ms() -> int:
     return int(time.time() * 1000)
 

@@ -2264,6 +2264,14 @@ def lakehouse_view_read(spark, sf_dir):
         F.lit("v1").alias("version"), "event_type", "n_rows"
     )
     r1 = v1.collect()  # materialize BEFORE the replace flips the SQL
+    # v2 is a LAYERED view: its SQL references another view (db.narrow),
+    # which references the table — the resolver must register the chain
+    # in dependency order (views.py register_relations)
+    cat.create_view(
+        "db.narrow",
+        "SELECT event_type, event_id FROM db_ev WHERE event_id < 150",
+        spark=spark,
+    )
     cat.views.add_version(
         "db.by_type",
         {
@@ -2271,8 +2279,7 @@ def lakehouse_view_read(spark, sf_dir):
                 {
                     "type": "sql",
                     "sql": "SELECT event_type, CAST(COUNT(*) AS BIGINT) "
-                    "AS n_rows FROM db_ev WHERE event_id < 150 "
-                    "GROUP BY event_type",
+                    "AS n_rows FROM db_narrow GROUP BY event_type",
                     "dialect": "spark",
                 }
             ]

@@ -682,9 +682,10 @@ def docs_quality_linear(spark, sf_dir):
 # Per-source token-budget selection: keep each source's documents (in
 # deterministic doc_id order) until a token budget fills — the mixture
 # allocator step between source weighting (docs_source_mix) and shard
-# export. One window per source; at 100 TB the shuffle key is `source`
-# (tens of groups), with skewed sources handled by the profile/salt
-# machinery (docs_skew_profile / skew_salted_join).
+# export. Production form: operators/budget.py's shard-partial-sums +
+# broadcast-prefix-offsets shape — a dominant source at 100 TB spans many
+# range shards instead of one giant single-task sorted window partition.
+# The DuckDB oracle below is the plain-window verification twin.
 # --------------------------------------------------------------------------
 @register(
     "docs_token_budget",
@@ -708,19 +709,19 @@ def docs_quality_linear(spark, sf_dir):
     tags=("text", "curation"),
 )
 def docs_token_budget(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from ..operators.budget import grouped_cumulative_sum
 
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("doc_id")
     t = docs.select(
         "doc_id",
         "source",
         tx.word_count(F.col("text")).cast("bigint").alias("n_tokens"),
     )
-    return (
-        t.withColumn(
-            "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
-        )
-        .filter(F.col("cum_tokens") <= 20000)
-        .select("doc_id", "source", "n_tokens", "cum_tokens")
-    )
+    return grouped_cumulative_sum(
+        t,
+        "source",
+        ["doc_id"],
+        "n_tokens",
+        cum_col="cum_tokens",
+        budget=20000,
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")

@@ -679,3 +679,71 @@ def test_skew_profile_flags_and_sizes_hot_keys(spark):
         ).collect()
     }
     assert out2 == {"hot"}
+
+
+def test_grouped_cumulative_sum_matches_window_form(spark):
+    """The shard-partial-sums production form produces cumulative sums
+    IDENTICAL to SUM() OVER (PARTITION BY g ORDER BY k) — including a
+    dominant group spanning many range shards, null groups, and the
+    budget filter."""
+    from iceberg_kafka_connect_spark.operators.budget import (
+        grouped_cumulative_sum,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(0, 20_000, 1, 16).select(
+        F.col("id").alias("k"),
+        # one dominant group (~90%), a few small ones, and nulls
+        F.when(F.col("id") % 10 < 9, F.lit("big"))
+        .when(F.col("id") % 10 == 9, (F.col("id") % 3).cast("string"))
+        .otherwise(F.lit(None))
+        .alias("g"),
+        (F.col("id") % 97 + 1).alias("v"),
+    )
+    got = {
+        (r.g, r.k): r.cum
+        for r in grouped_cumulative_sum(
+            df, "g", ["k"], "v", num_partitions=16
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("k")
+    want = {
+        (r.g, r.k): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    # with a budget: exactly the window-form rows with cum <= budget
+    budget = 50_000
+    got_b = {
+        (r.g, r.k)
+        for r in grouped_cumulative_sum(
+            df, "g", ["k"], "v", budget=budget, num_partitions=16
+        ).collect()
+    }
+    want_b = {key for key, cum in want.items() if cum <= budget}
+    assert got_b == want_b
+
+
+def test_grouped_cumulative_sum_never_single_group_sort(spark):
+    """Plan shape: the only window is partitioned by (__shard, g) — no
+    task ever sorts a whole group, and nothing funnels to a single
+    partition (the 100-TB dominant-source hazard the window form has)."""
+    from iceberg_kafka_connect_spark.operators.budget import (
+        grouped_cumulative_sum,
+    )
+    from iceberg_kafka_connect_spark.plans import plan_string
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000, 1, 8).select(
+        F.col("id").alias("k"), F.lit("one_source").alias("g"),
+        F.lit(1).alias("v"),
+    )
+    plan = plan_string(
+        grouped_cumulative_sum(df, "g", ["k"], "v", materialize=False)
+    )
+    assert "SinglePartition" not in plan, plan
+    # every window partition spec carries __shard alongside the group key
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__shard" in line, line

@@ -604,3 +604,85 @@ def test_rest_opposite_view_renames_never_deadlock(spark, tmp_path):
         assert not errs
         # exactly the two views still exist, under some pairing of names
         assert len(client.list_views("db")) == 2
+
+
+def test_view_over_view_resolves(spark, tmp_path):
+    """Layered views (standard in semantic models; the Iceberg view spec's
+    SQL representations are engine-agnostic text, so views may reference
+    views): resolution registers dependencies in topological order."""
+    cat = Catalog(str(tmp_path / "wh"))
+    _seed(spark, cat)
+    cat.create_view(
+        "db.lo", "SELECT id, v FROM db_base WHERE id >= 5", spark=spark
+    )
+    # schema inference at CREATE time must also resolve the sibling view
+    meta = cat.create_view(
+        "db.hi", "SELECT id FROM db_lo WHERE id < 8", spark=spark
+    )
+    assert [f["name"] for f in meta["schemas"][0]["fields"]] == ["id"]
+    got = sorted(r.id for r in cat.read_view(spark, "db.hi").collect())
+    assert got == [5, 6, 7]
+    # three layers deep
+    cat.create_view("db.top", "SELECT count(*) AS n FROM db_hi", spark=spark)
+    assert cat.read_view(spark, "db.top").collect()[0].n == 3
+
+
+def test_view_cycle_raises_typed_error(spark, tmp_path):
+    from iceberg_kafka_connect_spark.sinks.views import ViewCycleError
+
+    cat = Catalog(str(tmp_path / "wh"))
+    _seed(spark, cat)
+    # cycles can only be built without planning (spark=None)
+    cat.create_view("db.a", "SELECT * FROM db_b")
+    cat.create_view("db.b", "SELECT * FROM db_a")
+    with pytest.raises(ViewCycleError, match="db.a -> db.b -> db.a"):
+        cat.read_view(spark, "db.a")
+    cat.create_view("db.selfy", "SELECT * FROM db_selfy")
+    with pytest.raises(ViewCycleError, match="cycle"):
+        cat.read_view(spark, "db.selfy")
+
+
+def test_read_view_registers_only_referenced_relations(
+    spark, tmp_path, monkeypatch
+):
+    """A warehouse with many tables must not be re-materialized per view
+    read — only the relations the view SQL (transitively) references are
+    loaded."""
+    cat = Catalog(str(tmp_path / "wh"))
+    _seed(spark, cat)
+    for i in range(3):
+        cat.create_table(f"db.unrelated{i}", SCHEMA)
+    cat.create_view("db.only", "SELECT id FROM db_base")
+    loaded: list[str] = []
+    orig = Catalog.load_table
+    monkeypatch.setattr(
+        Catalog,
+        "load_table",
+        lambda self, n: (loaded.append(n), orig(self, n))[1],
+    )
+    assert cat.read_view(spark, "db.only").count() == 10
+    assert set(loaded) == {"db.base"}
+
+
+def test_view_over_view_rest_and_jdbc(spark, tmp_path):
+    """Layered views resolve through the REST and JDBC catalogs too."""
+    from iceberg_kafka_connect_spark.sinks.jdbc_catalog import JdbcCatalog
+
+    with IcebergRestServer(str(tmp_path / "rwh")) as srv:
+        client = RestCatalog(srv.uri)
+        _seed(spark, client)
+        client.create_view(
+            "db.lo", "SELECT id FROM db_base WHERE id >= 5", schema=SCHEMA
+        )
+        client.create_view("db.hi", "SELECT id FROM db_lo WHERE id < 8")
+        got = sorted(r.id for r in client.read_view(spark, "db.hi").collect())
+        assert got == [5, 6, 7]
+
+    jcat = JdbcCatalog(
+        str(tmp_path / "cat.sqlite"), warehouse=str(tmp_path / "jwh")
+    )
+    _seed(spark, jcat)
+    jcat.create_view("db.lo", "SELECT id FROM db_base WHERE id >= 7", spark=spark)
+    jcat.create_view("db.hi", "SELECT id FROM db_lo WHERE id < 9", spark=spark)
+    got = sorted(r.id for r in jcat.read_view(spark, "db.hi").collect())
+    assert got == [7, 8]
