@@ -16,13 +16,23 @@ a shuffle join moves BOTH tables across the cluster; here the only data
 movement is the broadcast of the small side's 1/N slices. (The same
 layout also serves point lookups via bucket pruning — sinks/stats.py.)
 
-Constraints, refused loudly rather than silently degraded:
-- both tables' partition specs must carry ``iceberg_bucket`` on the join
-  key with the SAME bucket count;
-- no live delete files on either side (merge-on-read delete state is not
-  bucket-scoped — ``compact()`` first folds it);
-- inner joins only (an outer row's bucket is still well-defined, but
-  keeping the semantics airtight beats generality here).
+Outer joins are supported: a key's bucket is deterministic on BOTH sides,
+so every match still happens inside one bucket and unmatched rows are
+preserved per bucket (buckets present on only one side, and the NULL
+partition — whose keys can never equality-match — short-circuit to a
+typed-null projection without running a join at all).
+
+Merge-on-read tables join without compacting first: each side's live
+delete state applies per bucket before the join (position deletes by
+(file, pos) identity, equality deletes by keyset anti-join — exactly
+``LakehouseTable.read``'s semantics via ``_apply_deletes``). Delete rows
+targeting other buckets are anti-join no-ops, so correctness is
+unconditional; cost is O(delete state) per bucket, so compact when the
+delete state stops being small relative to a bucket.
+
+Constraint, refused loudly rather than silently degraded: both tables'
+partition specs must carry ``iceberg_bucket`` on the join key with the
+SAME bucket count.
 """
 
 from __future__ import annotations
@@ -31,6 +41,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sinks.spec import HIVE_NULL_PARTITION, partition_dir_value
+from ..sinks.table import _has_positional
+
+_HOW = {
+    "inner": "inner",
+    "left": "left",
+    "left_outer": "left",
+    "leftouter": "left",
+    "right": "right",
+    "right_outer": "right",
+    "rightouter": "right",
+    "full": "full",
+    "outer": "full",
+    "full_outer": "full",
+    "fullouter": "full",
+}
 
 
 def _bucket_field(table, key: str):
@@ -43,15 +68,12 @@ def _bucket_field(table, key: str):
     )
 
 
-def _files_by_bucket(table, pf) -> dict[int, list[dict]]:
+def _files_by_bucket(table, pf) -> tuple[dict[int, list[dict]], list[dict], list[dict]]:
+    """Live data files keyed by bucket id, plus the NULL-partition files
+    and the table's live delete files (applied per bucket by the caller)."""
     data_files, delete_files = table.live_files()
-    if delete_files:
-        raise ValueError(
-            f"table at {table.root!r} has live delete files — merge-on-read "
-            "state is not bucket-scoped; compact() before a "
-            "storage-partitioned join"
-        )
     out: dict[int, list[dict]] = {}
+    null_files: list[dict] = []
     for f in data_files:
         raw = partition_dir_value(f["path"], pf.name)
         if raw is None:
@@ -61,11 +83,38 @@ def _files_by_bucket(table, pf) -> dict[int, list[dict]]:
                 "under the current spec"
             )
         if raw == HIVE_NULL_PARTITION:
-            # a NULL join key can never satisfy an inner equality join —
-            # the null partition's files are correctly skipped entirely
+            # a NULL join key can never satisfy an equality join — these
+            # rows are skipped for inner joins and null-extended for the
+            # preserving outer sides
+            null_files.append(f)
             continue
         out.setdefault(int(raw), []).append(f)
-    return out
+    return out, null_files, delete_files
+
+
+def _read_bucket(spark, table, files, deletes) -> DataFrame:
+    """One bucket's rows with the table's merge-on-read delete state
+    applied (read semantics identical to LakehouseTable.read)."""
+    df = table._read_file_group(
+        spark,
+        files,
+        table.read_schema(),
+        with_position=_has_positional(deletes),
+    )
+    if deletes:
+        df = table._apply_deletes(spark, df, deletes)
+    return df.drop("__seq", "__fp", "__pos")
+
+
+def _null_extend(df: DataFrame, schema, skip: set[str], rename: dict) -> DataFrame:
+    """Append the other side's columns as typed nulls — the no-match
+    projection for one-sided buckets and NULL partitions."""
+    extra = [
+        F.lit(None).cast(f.dataType).alias(rename.get(f.name, f.name))
+        for f in schema.fields
+        if f.name not in skip
+    ]
+    return df.select("*", *extra)
 
 
 def storage_partitioned_join(
@@ -74,43 +123,92 @@ def storage_partitioned_join(
     right,
     key: str,
     broadcast_right: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two bucket-co-partitioned tables with no join-key
-    shuffle: a union of per-bucket joins, right side broadcast per bucket
-    by default. Output columns: all left columns + the right table's
-    non-key columns (suffixed ``_r`` on collision)."""
+    """Join two bucket-co-partitioned tables with no join-key shuffle: a
+    union of per-bucket joins. ``how``: inner (default), left, right, or
+    full — outer semantics match the plain shuffle join because matching
+    keys always share a bucket. Output columns: join key, left columns,
+    then the right table's non-key columns (suffixed ``_r`` on collision).
+
+    Per-bucket broadcast hints follow Spark's build-side rules: right side
+    for inner/left, left side for right; full-outer buckets run unhinted
+    (each bucket is 1/N of the data — sort-merge locally is fine)."""
+    norm = _HOW.get(how.lower().replace("-", "_"))
+    if norm is None:
+        raise ValueError(f"unsupported join type {how!r} for SPJ")
+    how = norm
     pa, pb = _bucket_field(left, key), _bucket_field(right, key)
     if int(pa.param) != int(pb.param):
         raise ValueError(
             f"bucket counts differ: left {pa.param} vs right {pb.param} — "
             "co-location needs identical specs"
         )
-    la, lb = _files_by_bucket(left, pa), _files_by_bucket(right, pb)
-    lcols = [f.name for f in left.read_schema().fields]
-    rcols = [f.name for f in right.read_schema().fields]
+    la, lnull, ldel = _files_by_bucket(left, pa)
+    lb, rnull, rdel = _files_by_bucket(right, pb)
+    lschema, rschema = left.read_schema(), right.read_schema()
+    lcols = {f.name for f in lschema.fields}
     rename = {
-        c: f"{c}_r" for c in rcols if c != key and c in set(lcols)
+        f.name: f"{f.name}_r"
+        for f in rschema.fields
+        if f.name != key and f.name in lcols
     }
-    parts: list[DataFrame] = []
-    for b in sorted(set(la) & set(lb)):
-        da = left._read_file_group(spark, la[b], left.read_schema()).drop(
-            "__seq"
-        )
-        db = right._read_file_group(
-            spark, lb[b], right.read_schema()
-        ).drop("__seq")
+
+    def _right_frame(files) -> DataFrame:
+        db = _read_bucket(spark, right, files, rdel)
         for old, new in rename.items():
             db = db.withColumnRenamed(old, new)
+        return db
+
+    def _left_only(df: DataFrame) -> DataFrame:
+        return _null_extend(df, rschema, {key}, rename)
+
+    def _right_only(df: DataFrame) -> DataFrame:
+        # key first, then left columns as nulls, then right columns —
+        # unionByName aligns by name so ordering is cosmetic
+        nulls = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in lschema.fields
+            if f.name != key
+        ]
+        rest = [
+            F.col(rename.get(f.name, f.name))
+            for f in rschema.fields
+            if f.name != key
+        ]
+        return df.select(F.col(key), *nulls, *rest)
+
+    parts: list[DataFrame] = []
+    for b in sorted(set(la) | set(lb)):
+        in_l, in_r = b in la, b in lb
+        if in_l and not in_r:
+            if how in ("left", "full"):
+                parts.append(_left_only(_read_bucket(spark, left, la[b], ldel)))
+            continue
+        if in_r and not in_l:
+            if how in ("right", "full"):
+                parts.append(_right_only(_right_frame(lb[b])))
+            continue
+        da = _read_bucket(spark, left, la[b], ldel)
+        db = _right_frame(lb[b])
         if broadcast_right:
-            db = F.broadcast(db)
-        parts.append(da.join(db, key, "inner"))
+            if how in ("inner", "left"):
+                db = F.broadcast(db)
+            elif how == "right":
+                da = F.broadcast(da)
+        parts.append(da.join(db, key, how))
+    # NULL join keys never match: preserved sides emit them null-extended
+    if lnull and how in ("left", "full"):
+        parts.append(_left_only(_read_bucket(spark, left, lnull, ldel)))
+    if rnull and how in ("right", "full"):
+        parts.append(_right_only(_right_frame(rnull)))
     if not parts:
-        # no shared buckets → empty result with the joined schema
+        # no live files on either relevant side → empty joined schema
         da = left.read(spark).limit(0)
         db = right.read(spark).limit(0)
         for old, new in rename.items():
             db = db.withColumnRenamed(old, new)
-        return da.join(db, key, "inner")
+        return da.join(db, key, how)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

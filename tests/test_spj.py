@@ -91,15 +91,24 @@ def test_spj_refusals(spark, tmp_path, tables):
     dim8.append(spark.createDataFrame([(1, "d", "t")], DIM))
     with pytest.raises(ValueError, match="bucket counts differ"):
         storage_partitioned_join(spark, fact, dim8, key="user_id")
-    # live merge-on-read delete state
+    # live merge-on-read delete state applies per bucket — no compaction
+    # demanded (delete rows for other buckets are anti-join no-ops)
     dim.delete_where(spark, "user_id = 3", key_cols=["user_id"])
-    with pytest.raises(ValueError, match="delete files"):
-        storage_partitioned_join(spark, fact, dim, key="user_id")
-    # compact folds the delete state and the join works again
-    dim.compact(spark)
     out = storage_partitioned_join(spark, fact, dim, key="user_id")
     assert out.filter(F.col("user_id") == 3).count() == 0
     assert out.count() > 0
+    # and the answer is identical after compaction folds the delete state
+    pre = sorted(map(tuple, out.collect()))
+    dim.compact(spark)
+    post = sorted(
+        map(
+            tuple,
+            storage_partitioned_join(
+                spark, fact, dim, key="user_id"
+            ).collect(),
+        )
+    )
+    assert pre == post
 
 
 def test_spj_skips_null_key_partition(spark, tmp_path):
@@ -135,3 +144,108 @@ def test_spj_skips_null_key_partition(spark, tmp_path):
         (1, 7),
         (3, 8),
     ]
+
+
+def _multiset(df):
+    from collections import Counter
+
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_spj_outer_joins_match_shuffle_join(spark, tmp_path):
+    """Left/right/full-outer SPJ agree with the plain shuffle join: a
+    key's bucket is deterministic on both sides, so per-bucket outer
+    preservation (plus one-sided buckets and NULL partitions) covers
+    exactly the unmatched rows."""
+    cat = Catalog(str(tmp_path / "who"))
+    nfact = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    ndim = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("tier", T.StringType(), True),
+        ]
+    )
+    fact = cat.create_table(
+        "db.of", nfact, partition_by=["iceberg_bucket(4, user_id)"]
+    )
+    dim = cat.create_table(
+        "db.od", ndim, partition_by=["iceberg_bucket(4, user_id)"]
+    )
+    # fact: users 0..19 plus fact-only 90..93 plus two NULL keys
+    fact.append(
+        spark.createDataFrame(
+            [(i, i % 20, f"e{i}") for i in range(100)]
+            + [(200 + u, 90 + u, "fact-only") for u in range(4)]
+            + [(300, None, "n1"), (301, None, "n2")],
+            nfact,
+        )
+    )
+    # dim: users 0..14 plus dim-only 500..502 plus a NULL key
+    dim.append(
+        spark.createDataFrame(
+            [(u, f"d{u}", "gold" if u % 2 else "basic") for u in range(15)]
+            + [(500 + u, f"x{u}", "dim-only") for u in range(3)]
+            + [(None, "dnull", "t")],
+            ndim,
+        )
+    )
+    cols = ["user_id", "event_id", "v", "v_r", "tier"]
+    for how in ("inner", "left", "right", "full"):
+        out = storage_partitioned_join(spark, fact, dim, key="user_id", how=how)
+        plain = fact.read(spark).join(
+            dim.read(spark).withColumnRenamed("v", "v_r"), "user_id", how
+        )
+        assert _multiset(out.select(*cols)) == _multiset(
+            plain.select(*cols)
+        ), how
+    with pytest.raises(ValueError, match="unsupported join type"):
+        storage_partitioned_join(spark, fact, dim, key="user_id", how="cross")
+
+
+def test_spj_merge_on_read_without_compaction(spark, tmp_path):
+    """MoR tables SPJ directly: each side's delete state (equality AND
+    position deletes) applies per bucket before the join — same rows as
+    the shuffle join over table reads, no compact() demanded."""
+    cat = Catalog(str(tmp_path / "whm"))
+    fact = cat.create_table(
+        "db.mf", FACT, partition_by=["iceberg_bucket(4, user_id)"]
+    )
+    dim = cat.create_table(
+        "db.md", DIM, partition_by=["iceberg_bucket(4, user_id)"]
+    )
+    fact.append(
+        spark.createDataFrame(
+            [(i, i % 11, f"e{i}") for i in range(120)], FACT
+        )
+    )
+    dim.append(
+        spark.createDataFrame(
+            [(u, f"d{u}", "gold" if u % 2 else "basic") for u in range(11)],
+            DIM,
+        )
+    )
+    # position deletes on the fact, equality deletes on the dim
+    fact.delete_where_positions(spark, "event_id % 7 = 0")
+    dim.delete_where(spark, "user_id = 4", key_cols=["user_id"])
+    cols = ["user_id", "event_id", "v", "v_r", "tier"]
+    for how in ("inner", "left"):
+        out = storage_partitioned_join(spark, fact, dim, key="user_id", how=how)
+        plain = fact.read(spark).join(
+            dim.read(spark).withColumnRenamed("v", "v_r"), "user_id", how
+        )
+        assert _multiset(out.select(*cols)) == _multiset(
+            plain.select(*cols)
+        ), how
+    assert (
+        storage_partitioned_join(spark, fact, dim, key="user_id")
+        .filter(F.col("user_id") == 4)
+        .count()
+        == 0
+    )
