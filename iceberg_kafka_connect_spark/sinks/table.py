@@ -1930,7 +1930,8 @@ class LakehouseTable:
                 raise ValueError(
                     f"snapshot {snap['snapshot_id']!r} rewrites history "
                     "(replace/compaction/expiry-sealed) — changelog cannot "
-                    "express it; diff full snapshots instead"
+                    "express it; snapshot_diff(from, to) computes the net "
+                    "change across the rewrite"
                 )
             d, dl = self._load_manifest(snap)
             stamp = [
@@ -2022,6 +2023,61 @@ class LakehouseTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def snapshot_diff(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: str | None,
+        to_snapshot_id: str | None = None,
+        branch: str = MAIN,
+    ) -> DataFrame:
+        """Full-state diff between two snapshots, emitting the SAME
+        ``_change_type`` / ``_change_snapshot_id`` / ``_change_ordinal``
+        columns as :meth:`changes_between` — the fallback that method's
+        refusal points at for ranges containing replace/compaction/
+        expiry-sealed snapshots: a rewrite has no per-snapshot changelog,
+        but the NET change between the endpoint states is well-defined.
+
+        Multiset semantics via ``exceptAll``: a row with three copies
+        before and one after yields two delete rows; an updated row yields
+        delete(old state) + insert(new state). A pure compaction diffs to
+        zero rows. ``from_snapshot_id=None`` diffs from the empty table.
+
+        Scale: two snapshot reads + one ``exceptAll`` shuffle each way —
+        O(live data at the endpoints), the honest cost of diffing across a
+        history rewrite; contiguous append/delete ranges stay on the
+        O(new data) ``changes_between`` fast path."""
+        target = self.read_schema()
+        out_schema = T.StructType(
+            list(target.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_change_snapshot_id", T.StringType()),
+                T.StructField("_change_ordinal", T.IntegerType()),
+            ]
+        )
+        if to_snapshot_id is None:
+            to_snapshot_id = self.metadata()["refs"].get(branch)
+            if to_snapshot_id is None:
+                return spark.createDataFrame([], out_schema)
+        cols = [f.name for f in target.fields]
+        new = self.read(spark, snapshot_id=to_snapshot_id).select(*cols)
+        old = (
+            self.read(spark, snapshot_id=from_snapshot_id).select(*cols)
+            if from_snapshot_id is not None
+            else spark.createDataFrame([], target)
+        )
+        stamp = [
+            F.lit(to_snapshot_id).alias("_change_snapshot_id"),
+            F.lit(0).alias("_change_ordinal"),
+        ]
+        deletes = old.exceptAll(new).select(
+            "*", F.lit("delete").alias("_change_type"), *stamp
+        )
+        inserts = new.exceptAll(old).select(
+            "*", F.lit("insert").alias("_change_type"), *stamp
+        )
+        return deletes.unionByName(inserts)
 
     # ------------------------------------------------------ metadata tables
     def snapshots_df(self, spark: SparkSession) -> DataFrame:

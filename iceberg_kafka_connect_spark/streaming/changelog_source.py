@@ -47,11 +47,39 @@ _MARKER = "changelog.src-snapshot-id"
 
 
 class ChangelogStream:
-    def __init__(self, table, checkpoint_dir: str, branch: str = MAIN):
+    def __init__(
+        self,
+        table,
+        checkpoint_dir: str,
+        branch: str = MAIN,
+        on_rewrite: str = "error",
+    ):
+        """``on_rewrite`` decides what happens when a pending snapshot is a
+        history rewrite (compaction/expiry seal) that ``changes_between``
+        refuses: ``"error"`` (default) surfaces the refusal — the operator
+        must decide; ``"diff"`` hops over it with
+        :meth:`LakehouseTable.snapshot_diff` — the net change across the
+        rewrite (zero rows for a pure compaction) flows as that snapshot's
+        batch and the stream continues."""
+        if on_rewrite not in ("error", "diff"):
+            raise ValueError(f"on_rewrite must be 'error' or 'diff', got {on_rewrite!r}")
         self.table = table
         self.branch = branch
+        self.on_rewrite = on_rewrite
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._ckpt = os.path.join(checkpoint_dir, "changelog-offset.json")
+
+    def _changes(self, spark: SparkSession, prev: str | None, sid: str) -> DataFrame:
+        try:
+            return self.table.changes_between(
+                spark, prev, sid, branch=self.branch
+            )
+        except ValueError as e:
+            if self.on_rewrite == "diff" and "rewrites history" in str(e):
+                return self.table.snapshot_diff(
+                    spark, prev, sid, branch=self.branch
+                )
+            raise
 
     # ------------------------------------------------------------ offsets
     def last_processed(self) -> str | None:
@@ -102,9 +130,7 @@ class ChangelogStream:
             if max_snapshots is not None and done >= max_snapshots:
                 break
             sid = snap["snapshot_id"]
-            df = self.table.changes_between(
-                spark, prev, sid, branch=self.branch
-            )
+            df = self._changes(spark, prev, sid)
             on_batch(df, sid)
             self._commit_offset(sid)
             prev = sid
@@ -132,9 +158,7 @@ class ChangelogStream:
             if max_snapshots is not None and applied >= max_snapshots:
                 break
             sid = snap["snapshot_id"]
-            ch = self.table.changes_between(
-                spark, prev, sid, branch=self.branch
-            )
+            ch = self._changes(spark, prev, sid)
             # replay the snapshot VERBATIM, no per-key collapse: delete
             # rows become equality-delete keys, insert rows append blindly
             # (per-op mode) — a collapse keyed on key_cols would pick one

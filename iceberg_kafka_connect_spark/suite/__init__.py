@@ -155,13 +155,15 @@ def load_all() -> dict[str, QuerySpec]:
             "lakehouse_view_read", "maintenance_orphan_sweep",
             "rest_view_oauth_roundtrip", "spj_bucket_join",
             "wap_cherry_pick",
+            # — round-7 NEW query (registered this round): full-snapshot
+            #   diff across a history rewrite —
+            "snapshot_diff_changes",
             # — round-7 re-gates: flagship surfaces filling the window
             #   to 50 (all hold r5/r6 green rows; fresh rows cost nothing
             #   and re-prove the most load-bearing code paths) —
             "rest_catalog_roundtrip", "jdbc_catalog_roundtrip",
             "iceberg_interop_roundtrip", "iceberg_mirror_refresh",
             "iceberg_multispec_roundtrip", "tpch_q1", "tpch_q6",
-            "tpch_q18",
         )
         for k in [k for k in window if k in QUERIES][::-1]:
             spec = QUERIES.pop(k)

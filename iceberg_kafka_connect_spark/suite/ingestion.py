@@ -2461,3 +2461,46 @@ def rest_view_oauth_roundtrip(spark, sf_dir):
         # needs the catalog; the underlying scans are plain storage)
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+# --------------------------------------------------------------------------
+# Full-snapshot diff across a history rewrite (sinks/table.py
+# snapshot_diff): changes_between refuses replace/compaction snapshots —
+# the net change between the endpoint STATES is still well-defined, and
+# this is the fallback it points at (plus ChangelogStream's
+# on_rewrite="diff" hop). The scenario compacts mid-history, so the diffed
+# range contains a rewrite by construction. Oracle: the net change
+# computed directly from the predicates.
+# --------------------------------------------------------------------------
+@register(
+    "snapshot_diff_changes",
+    oracle="""
+    SELECT event_id, event_type, 'delete' AS _change_type
+    FROM events WHERE event_id < 300 AND event_id % 7 = 0
+    UNION ALL
+    SELECT event_id, event_type, 'insert' AS _change_type
+    FROM events
+    WHERE event_id >= 300 AND event_id < 500 AND event_id % 7 <> 0
+    ORDER BY _change_type, event_id
+    """,
+    tags=("ingestion", "lakehouse", "cdc"),
+)
+def snapshot_diff_changes(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="sdiff_gate_") + "/t", e.schema
+    )
+    t.append(e.filter(F.col("event_id") < 300))
+    from_sid = t.current_snapshot()["snapshot_id"]
+    t.append(e.filter((F.col("event_id") >= 300) & (F.col("event_id") < 500)))
+    t.compact(spark)  # the rewrite changes_between cannot cross
+    t.delete_where(spark, "event_id % 7 = 0", key_cols=["event_id"])
+    return (
+        t.snapshot_diff(spark, from_sid)
+        .select("event_id", "event_type", "_change_type")
+        .orderBy("_change_type", "event_id")
+    )

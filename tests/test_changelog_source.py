@@ -221,3 +221,75 @@ def test_changelog_expresses_position_deletes_as_full_rows(spark, tmp_path):
     ]
     # the position-delete snapshot emits the full deleted rows
     assert batches[1] == [(2, "kill-a", "delete"), (3, "kill", "delete")]
+
+
+def test_stream_hops_over_compaction_with_snapshot_diff(spark, tmp_path):
+    """A mid-history compaction no longer stalls the stream: with
+    on_rewrite='diff' the replace snapshot's batch is the NET change
+    across the rewrite (zero rows for a pure compaction) via
+    snapshot_diff, and the synced table still converges to the source's
+    final state. The default ('error') keeps the loud refusal."""
+    src = LakehouseTable.create(str(tmp_path / "srk"), SCHEMA)
+    src.append(spark.createDataFrame([(i, f"a{i}") for i in range(6)], SCHEMA))
+    dst = LakehouseTable.create(str(tmp_path / "dstk"), SCHEMA)
+    stream = ChangelogStream(
+        src, str(tmp_path / "ckk"), on_rewrite="diff"
+    )
+    assert stream.sync_to_table(spark, dst, key_cols=["id"]) == 1
+    # source history rewrites under the stream: delete + compact + append
+    src.delete_where(spark, "id >= 4", key_cols=["id"])
+    src.compact(spark)
+    src.append(spark.createDataFrame([(10, "z")], SCHEMA))
+    # default mode refuses at the replace snapshot
+    strict = ChangelogStream(src, str(tmp_path / "ck_strict"))
+    with pytest.raises(ValueError, match="rewrites history"):
+        strict.process_available(spark, lambda df, sid: df.count())
+    # diff mode hops it and converges
+    assert stream.sync_to_table(spark, dst, key_cols=["id"]) == 3
+    got = sorted((r.id, r.v) for r in dst.read(spark).collect())
+    want = sorted((r.id, r.v) for r in src.read(spark).collect())
+    assert got == want == [(0, "a0"), (1, "a1"), (2, "a2"), (3, "a3"), (10, "z")]
+    # the compaction batch itself carried zero net changes
+    sids = [s["snapshot_id"] for s in src.snapshots()]
+    compaction_sid = sids[2]
+    diff = src.snapshot_diff(spark, sids[1], compaction_sid)
+    assert diff.count() == 0
+
+
+def test_snapshot_diff_multiset_and_updates(spark, tmp_path):
+    """snapshot_diff is a multiset diff: duplicate copies count, an
+    update emits delete(old)+insert(new), and a from=None diff is the
+    full insert set."""
+    t = LakehouseTable.create(str(tmp_path / "sd"), SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(1, "x"), (1, "x"), (1, "x"), (2, "y")], SCHEMA
+        )
+    )
+    a = t.current_snapshot()["snapshot_id"]
+    # rewrite state across a compaction + upsert: one (1,x) copy survives
+    t.delete_where_positions(spark, "id = 1")
+    t.append(spark.createDataFrame([(1, "x")], SCHEMA))
+    t.compact(spark)
+    t.upsert(spark.createDataFrame([(2, "Y2")], SCHEMA), key_cols=["id"])
+    changes = {
+        (r.id, r.v, r._change_type)
+        for r in t.snapshot_diff(spark, a).collect()
+    }
+    assert changes == {
+        (1, "x", "delete"),  # 3 copies -> 1: net two delete rows (multiset)
+        (2, "y", "delete"),
+        (2, "Y2", "insert"),
+    }
+    n_del_1x = (
+        t.snapshot_diff(spark, a)
+        .filter("id = 1 AND _change_type = 'delete'")
+        .count()
+    )
+    assert n_del_1x == 2
+    # from=None: the whole current state as inserts
+    full = t.snapshot_diff(spark, None)
+    assert sorted((r.id, r.v, r._change_type) for r in full.collect()) == [
+        (1, "x", "insert"),
+        (2, "Y2", "insert"),
+    ]
