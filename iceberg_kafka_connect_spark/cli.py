@@ -13,7 +13,11 @@ with an envelope, not a rewrite:
         "iceberg.table.default.events_sink.id-columns": "id",
         "iceberg.tables.auto-create-enabled": "true"
       },
-      "source": {"type": "files", "path": "/data/in"},          # or kafka
+      "source": {"type": "files", "path": "/data/in"},          # or kafka,
+                                         # or {"type": "table"} — a lakehouse
+                                         # table as the CDC source, paired
+                                         # with iceberg.source.table in config
+                                         # (streaming/changelog_source.py)
       "value_schema": "id long, type string, ts timestamp, op string",
       "transforms": ["debezium"],                               # SMT chain
       "warehouse": "/data/warehouse",
@@ -527,8 +531,39 @@ def main(argv: list[str] | None = None) -> int:
     with open(args.job_spec) as f:
         spec = json.load(f)
 
-    spark, pipeline, stream = build_pipeline(spec)
     available_now = args.once or spec.get("run_mode", "continuous") == "available_now"
+    if spec.get("source", {}).get("type") == "table":
+        # table→table CDC: a lakehouse table as the pipeline SOURCE
+        # (streaming/changelog_source.py), symmetric with kafka/files
+        from .streaming.changelog_source import ChangelogPipeline
+
+        spark = get_spark(app_name=spec.get("name", "iceberg-table-sync"))
+        if any(k.startswith("iceberg.catalog.") for k in spec["config"]):
+            from .sinks.catalog import catalog_from_properties
+
+            catalog = catalog_from_properties(spec["config"])
+        else:
+            catalog = Catalog(spec["warehouse"])
+        cp = ChangelogPipeline.from_properties(
+            catalog, spec["config"], spec["checkpoint"]
+        )
+        out = cp.run(
+            spark,
+            available_now=available_now,
+            max_polls=spec.get("max_polls"),
+        )
+        print(
+            json.dumps(
+                {
+                    "name": spec.get("name"),
+                    "status": "drained" if available_now else "terminated",
+                    **out,
+                }
+            )
+        )
+        return 0
+
+    spark, pipeline, stream = build_pipeline(spec)
     query = pipeline.start(stream, spec["checkpoint"], available_now=available_now)
     query.awaitTermination()
     print(

@@ -228,3 +228,129 @@ def changelog_sync_loop(
         if max_polls is None or polls < max_polls:
             _time.sleep(poll_interval_s)
     return {"polls": polls, "synced": synced}
+
+
+class ChangelogPipeline:
+    """Config-driven table→table CDC: a Lakehouse table as the SOURCE of a
+    pipeline, symmetric with ``sources/stream.py``'s kafka/file sources and
+    driven by the same connector-style property names the sink pipeline
+    uses. Wraps :class:`ChangelogStream` + :func:`changelog_sync_loop` as a
+    rate-limited driver: the poll interval is the commit-interval trigger
+    (``iceberg.control.commit.interval-ms``, T1's idiom) and resume is the
+    stream's exactly-once sink-marker protocol — kill/restart replays no
+    snapshot and misses none.
+
+    Property surface (``from_properties``)::
+
+        iceberg.source.table        source table name (required)
+        iceberg.source.branch       source branch        (default main)
+        iceberg.source.on-rewrite   error | diff         (default error)
+        iceberg.tables              destination table    (required, one)
+        iceberg.tables.default-id-columns   upsert key   (required)
+        iceberg.tables.auto-create-enabled  create dst from source schema
+        iceberg.control.commit.interval-ms  poll interval (default 300000)
+    """
+
+    def __init__(
+        self,
+        catalog,
+        src_name: str,
+        dst_name: str,
+        key_cols: list[str],
+        checkpoint_dir: str,
+        branch: str = MAIN,
+        on_rewrite: str = "error",
+        poll_interval_s: float = 300.0,
+        auto_create: bool = False,
+    ):
+        self.catalog = catalog
+        self.src_name = src_name
+        self.dst_name = dst_name
+        self.key_cols = list(key_cols)
+        self.checkpoint_dir = checkpoint_dir
+        self.branch = branch
+        self.on_rewrite = on_rewrite
+        self.poll_interval_s = poll_interval_s
+        self.auto_create = auto_create
+
+    @classmethod
+    def from_properties(
+        cls, catalog, props: dict[str, str], checkpoint_dir: str
+    ) -> "ChangelogPipeline":
+        src = props.get("iceberg.source.table")
+        if not src:
+            raise ValueError(
+                "a table-source pipeline needs iceberg.source.table"
+            )
+        dst_raw = props.get("iceberg.tables", "")
+        dsts = [t.strip() for t in dst_raw.split(",") if t.strip()]
+        if len(dsts) != 1:
+            raise ValueError(
+                "a table-source pipeline routes to exactly one destination "
+                f"(iceberg.tables), got {dst_raw!r}"
+            )
+        dst = dsts[0]
+        keys = [
+            k.strip()
+            for k in (
+                props.get(f"iceberg.table.{dst}.id-columns")
+                or props.get("iceberg.tables.default-id-columns", "")
+            ).split(",")
+            if k.strip()
+        ]
+        if not keys:
+            raise ValueError(
+                "a table-source pipeline needs id columns "
+                "(iceberg.tables.default-id-columns) for its CDC replay"
+            )
+        return cls(
+            catalog,
+            src,
+            dst,
+            keys,
+            checkpoint_dir,
+            branch=props.get("iceberg.source.branch", MAIN),
+            on_rewrite=props.get("iceberg.source.on-rewrite", "error"),
+            poll_interval_s=(
+                int(props.get("iceberg.control.commit.interval-ms", "300000"))
+                / 1000.0
+            ),
+            auto_create=props.get(
+                "iceberg.tables.auto-create-enabled", "false"
+            ).lower()
+            == "true",
+        )
+
+    def run(
+        self,
+        spark: SparkSession,
+        available_now: bool = False,
+        max_polls: int | None = None,
+    ) -> dict:
+        """Drive the sync loop: ``available_now`` drains pending snapshots
+        and returns (the CLI's --once semantics); otherwise polls at the
+        commit interval until ``max_polls``."""
+        src = self.catalog.load_table(self.src_name)
+        if not self.catalog.table_exists(self.dst_name):
+            if not self.auto_create:
+                raise ValueError(
+                    f"destination {self.dst_name!r} does not exist "
+                    "(set iceberg.tables.auto-create-enabled=true)"
+                )
+            # logical schema only — a partitioned source's derived
+            # partition columns are layout, not data
+            self.catalog.create_table(self.dst_name, src.schema())
+        dst = self.catalog.load_table(self.dst_name)
+        stream = ChangelogStream(
+            src, self.checkpoint_dir, branch=self.branch,
+            on_rewrite=self.on_rewrite,
+        )
+        return changelog_sync_loop(
+            stream,
+            spark,
+            dst,
+            self.key_cols,
+            poll_interval_s=self.poll_interval_s,
+            max_polls=1 if available_now else max_polls,
+            stop_when_current=available_now,
+        )

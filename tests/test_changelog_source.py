@@ -293,3 +293,62 @@ def test_snapshot_diff_multiset_and_updates(spark, tmp_path):
         (1, "x", "insert"),
         (2, "Y2", "insert"),
     ]
+
+
+def test_config_driven_table_pipeline_kill_restart(spark, tmp_path):
+    """A lakehouse table declared as the pipeline SOURCE via connector
+    properties (ChangelogPipeline.from_properties): drain, kill, mutate
+    the source (including a compaction with on-rewrite=diff), restart —
+    exactly-once, same bar as the raw ChangelogStream tests."""
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.streaming.changelog_source import (
+        ChangelogPipeline,
+    )
+
+    cat = Catalog(str(tmp_path / "wh"))
+    src = cat.create_table("db.src", SCHEMA)
+    src.append(spark.createDataFrame([(i, f"a{i}") for i in range(5)], SCHEMA))
+    props = {
+        "iceberg.source.table": "db.src",
+        "iceberg.source.on-rewrite": "diff",
+        "iceberg.tables": "db.dst",
+        "iceberg.tables.default-id-columns": "id",
+        "iceberg.tables.auto-create-enabled": "true",
+        "iceberg.control.commit.interval-ms": "100",
+    }
+    ck = str(tmp_path / "ck")
+    out = ChangelogPipeline.from_properties(cat, props, ck).run(
+        spark, available_now=True
+    )
+    assert out["synced"] == 1
+    dst = cat.load_table("db.dst")
+    assert dst.read(spark).count() == 5
+    # source mutates: upsert + delete + compaction (history rewrite)
+    src.upsert(spark.createDataFrame([(1, "B1"), (9, "B9")], SCHEMA), key_cols=["id"])
+    src.delete_where(spark, "id = 3", key_cols=["id"])
+    src.compact(spark)
+    # "restart": a FRESH pipeline object over the same checkpoint dir
+    out2 = ChangelogPipeline.from_properties(cat, props, ck).run(
+        spark, available_now=True
+    )
+    assert out2["synced"] == 3
+    got = sorted((r.id, r.v) for r in dst.read(spark).collect())
+    want = sorted((r.id, r.v) for r in src.read(spark).collect())
+    assert got == want
+    # idle restart: nothing replays (exactly-once)
+    out3 = ChangelogPipeline.from_properties(cat, props, ck).run(
+        spark, available_now=True
+    )
+    assert out3["synced"] == 0
+    assert sorted((r.id, r.v) for r in dst.read(spark).collect()) == want
+    # config validation is loud
+    with pytest.raises(ValueError, match="iceberg.source.table"):
+        ChangelogPipeline.from_properties(
+            cat, {"iceberg.tables": "db.x"}, ck
+        )
+    with pytest.raises(ValueError, match="id columns"):
+        ChangelogPipeline.from_properties(
+            cat,
+            {"iceberg.source.table": "db.src", "iceberg.tables": "db.x"},
+            ck,
+        )

@@ -283,3 +283,54 @@ def test_cli_cherry_pick_and_publish_wap(spark, tmp_path, capsys):
     except ValueError:
         pass
     assert rc_ok
+
+
+def test_cli_job_spec_table_source(spark, tmp_path, capsys):
+    """source.type='table': the job spec drives a table→table CDC
+    pipeline (changelog source → upsert sink) through the same CLI
+    entrypoint as kafka/files jobs."""
+    from iceberg_kafka_connect_spark.cli import main
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    cat = Catalog(str(tmp_path / "wh"))
+    src = cat.create_table("db.src", schema)
+    src.append(
+        spark.createDataFrame([(i, f"a{i}") for i in range(4)], schema)
+    )
+    spec = {
+        "name": "table-sync",
+        "config": {
+            "iceberg.source.table": "db.src",
+            "iceberg.tables": "db.dst",
+            "iceberg.tables.default-id-columns": "id",
+            "iceberg.tables.auto-create-enabled": "true",
+        },
+        "source": {"type": "table"},
+        "warehouse": str(tmp_path / "wh"),
+        "checkpoint": str(tmp_path / "ck"),
+        "run_mode": "available_now",
+    }
+    spec_path = tmp_path / "job.json"
+    spec_path.write_text(json.dumps(spec))
+    assert main([str(spec_path)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "drained" and out["synced"] == 1
+    got = sorted(
+        (r.id, r.v) for r in cat.load_table("db.dst").read(spark).collect()
+    )
+    assert got == [(0, "a0"), (1, "a1"), (2, "a2"), (3, "a3")]
+    # second run over the same checkpoint: drained again, zero replay
+    src.delete_where(spark, "id = 2", key_cols=["id"])
+    assert main([str(spec_path)]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["synced"] == 1
+    assert sorted(
+        r.id for r in cat.load_table("db.dst").read(spark).collect()
+    ) == [0, 1, 3]
