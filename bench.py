@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "events_hourly_anomaly",
     "embedding_dim_stats",
+    # round-7 additions
+    "snapshot_diff_changes",
 ]
 
 
