@@ -80,3 +80,42 @@ def apply_cdc_batch(
     survivors = base.join(keys, on=key_cols, how="left_anti")
     upserts = last.filter(F.col(op_col) != DELETE).select(*base.columns)
     return survivors.unionByName(upserts)
+
+
+def compute_updates(changes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Iceberg ``create_changelog_view(..., identifier_columns=...)``
+    parity: within one change ordinal, a key carrying EXACTLY one delete
+    and one insert is an update — the pair relabels to ``update_before``
+    / ``update_after``. Other shapes (pure insert, pure delete, duplicate
+    copies of a key) pass through unchanged, exactly as Iceberg's
+    changelog procedure leaves non-pairable rows as insert/delete.
+
+    Note the equality-delete caveat shared with Iceberg: an upsert's
+    delete file records keys whether or not a row existed, so a
+    first-time key still pairs into an update (the net apply semantics
+    are identical); and an ``update_before`` carries only the key columns
+    (equality deletes record keys, not pre-images).
+
+    Scale: one window shuffle on (ordinal, key) — the same key
+    distribution the downstream merge/apply shuffles on, so the exchange
+    is reused."""
+    w = Window.partitionBy("_change_ordinal", *key_cols)
+    n_del = F.sum(
+        F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+    ).over(w)
+    n_ins = F.sum(
+        F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+    ).over(w)
+    pair = (n_del == F.lit(1)) & (n_ins == F.lit(1))
+    return changes.withColumn(
+        "_change_type",
+        F.when(
+            pair & (F.col("_change_type") == "delete"),
+            F.lit("update_before"),
+        )
+        .when(
+            pair & (F.col("_change_type") == "insert"),
+            F.lit("update_after"),
+        )
+        .otherwise(F.col("_change_type")),
+    )

@@ -2504,3 +2504,66 @@ def snapshot_diff_changes(spark, sf_dir):
         .select("event_id", "event_type", "_change_type")
         .orderBy("_change_type", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Changelog compute-updates (operators/cdc.py compute_updates; Iceberg's
+# create_changelog_view(..., identifier_columns)): within one ordinal a
+# key with exactly one delete + one insert relabels to update_before /
+# update_after; pure inserts and pure deletes pass through. The oracle
+# encodes the engine-independent expectation directly: the upsert ordinal
+# pairs every incoming key (equality deletes record keys whether or not a
+# row existed — Iceberg's caveat too), the append ordinal stays insert,
+# the delete ordinal stays delete with key-only rows.
+# --------------------------------------------------------------------------
+@register(
+    "changelog_compute_updates",
+    oracle="""
+    SELECT event_id, event_type, 'insert' AS _change_type,
+           0 AS _change_ordinal
+    FROM events WHERE event_id < 300
+    UNION ALL
+    SELECT event_id, CAST(NULL AS VARCHAR) AS event_type,
+           'update_before' AS _change_type, 1 AS _change_ordinal
+    FROM events
+    WHERE (event_id >= 100 AND event_id < 200)
+       OR (event_id >= 500 AND event_id < 550)
+    UNION ALL
+    SELECT event_id, 'patched' AS event_type,
+           'update_after' AS _change_type, 1 AS _change_ordinal
+    FROM events
+    WHERE (event_id >= 100 AND event_id < 200)
+       OR (event_id >= 500 AND event_id < 550)
+    UNION ALL
+    SELECT event_id, CAST(NULL AS VARCHAR) AS event_type,
+           'delete' AS _change_type, 2 AS _change_ordinal
+    FROM events WHERE event_id < 50
+    ORDER BY _change_ordinal, _change_type, event_id
+    """,
+    tags=("ingestion", "lakehouse", "cdc"),
+)
+def changelog_compute_updates(spark, sf_dir):
+    import tempfile
+
+    from ..operators.cdc import compute_updates
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="cupd_gate_") + "/t", e.schema
+    )
+    t.append(e.filter(F.col("event_id") < 300))
+    t.upsert(
+        e.filter(
+            ((F.col("event_id") >= 100) & (F.col("event_id") < 200))
+            | ((F.col("event_id") >= 500) & (F.col("event_id") < 550))
+        ).withColumn("event_type", F.lit("patched")),
+        key_cols=["event_id"],
+    )
+    t.delete_where(spark, "event_id < 50", key_cols=["event_id"])
+    ch = t.changes_between(spark, None)
+    return (
+        compute_updates(ch, ["event_id"])
+        .select("event_id", "event_type", "_change_type", "_change_ordinal")
+        .orderBy("_change_ordinal", "_change_type", "event_id")
+    )

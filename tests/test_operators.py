@@ -747,3 +747,46 @@ def test_grouped_cumulative_sum_never_single_group_sort(spark):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "__shard" in line, line
+
+
+def test_compute_updates_pairs_and_passthrough(spark):
+    """Exactly-one-delete + exactly-one-insert per (ordinal, key) becomes
+    update_before/update_after; duplicate copies, pure inserts, pure
+    deletes, and same-key rows at OTHER ordinals pass through."""
+    from iceberg_kafka_connect_spark.operators.cdc import compute_updates
+
+    rows = [
+        # ordinal 0: pure insert (new key)
+        (1, "a", "insert", 0),
+        # ordinal 1: a clean update pair on key 1
+        (1, None, "delete", 1),
+        (1, "b", "insert", 1),
+        # ordinal 1: pure delete of key 2
+        (2, None, "delete", 1),
+        # ordinal 1: duplicate inserts of key 3 (1 delete + 2 inserts:
+        # NOT a pair, everything passes through)
+        (3, None, "delete", 1),
+        (3, "x", "insert", 1),
+        (3, "x", "insert", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k long, v string, _change_type string, _change_ordinal int",
+    )
+    from collections import Counter
+
+    got = Counter(
+        (r.k, r.v, r._change_type, r._change_ordinal)
+        for r in compute_updates(df, ["k"]).collect()
+    )
+    assert got == Counter(
+        [
+            (1, "a", "insert", 0),
+            (1, None, "update_before", 1),
+            (1, "b", "update_after", 1),
+            (2, None, "delete", 1),
+            (3, None, "delete", 1),
+            (3, "x", "insert", 1),
+            (3, "x", "insert", 1),
+        ]
+    )
