@@ -1855,7 +1855,8 @@ class LakehouseTable:
                 raise ValueError(
                     f"snapshot {snap['snapshot_id']!r} is {what} — "
                     "incremental scan cannot express it; read a full "
-                    "snapshot instead"
+                    "snapshot, or snapshot_diff(from, to) for the net "
+                    "change across the rewrite"
                 )
             d, dl = self._load_manifest(snap)
             if dl:

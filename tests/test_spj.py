@@ -249,3 +249,15 @@ def test_spj_merge_on_read_without_compaction(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_spj_left_outer_plan_stays_broadcast_per_bucket(spark, tables):
+    """Outer SPJ keeps the zero-join-key-shuffle shape: per-bucket
+    BroadcastHashJoin (LeftOuter), no SortMergeJoin, no hashpartitioning
+    exchange."""
+    cat, fact, dim = tables
+    out = storage_partitioned_join(spark, fact, dim, key="user_id", how="left")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
