@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "embedding_dim_stats",
     # round-7 additions
     "snapshot_diff_changes",
+    "changelog_compute_updates",
+    "changelog_reconcile",
 ]
 
 

@@ -354,3 +354,58 @@ class ChangelogPipeline:
             max_polls=1 if available_now else max_polls,
             stop_when_current=available_now,
         )
+
+
+# ------------------------------------------------------------- full repair
+def reconcile(
+    stream: ChangelogStream, spark: SparkSession, dst, key_cols: list[str]
+) -> dict:
+    """Full-state repair for when incremental resume is impossible — the
+    checkpointed snapshot was EXPIRED from source history (``pending``'s
+    not-an-ancestor refusal), or the destination was mutated out-of-band.
+    Computes the minimal delta between the source and destination CURRENT
+    states (multiset ``exceptAll`` both ways) and applies it as ONE sink
+    commit carrying the source head marker — incremental sync re-arms
+    from that head on the next poll.
+
+    Contract: ``key_cols`` must identify rows uniquely on both sides (the
+    same key-unique contract ``sync_to_table``'s upsert replay already
+    assumes) — the repair deletes by key then re-inserts the source's
+    row, so duplicate keys would over-delete.
+
+    Scale: two full scans + two exceptAll shuffles — the honest cost of a
+    repair; the applied delta (and the sink commit) is only as large as
+    the actual divergence. Returns {"deletes": n, "inserts": n,
+    "src_snapshot_id": head}.
+    """
+    head = stream.table.metadata()["refs"].get(stream.branch)
+    cols = [f.name for f in stream.table.schema().fields]
+    src_state = stream.table.read(spark, branch=stream.branch).select(*cols)
+    dst_state = dst.read(spark).select(*cols)
+    stale = dst_state.exceptAll(src_state).withColumn("__op", F.lit(DELETE))
+    missing = src_state.exceptAll(dst_state).withColumn(
+        "__op", F.lit(INSERT)
+    )
+    delta = stale.unionByName(missing).persist()
+    try:
+        n_del = delta.filter(F.col("__op") == DELETE).count()
+        n_ins = delta.filter(F.col("__op") == INSERT).count()
+        props = {_MARKER: head} if head is not None else {}
+        if n_del or n_ins:
+            dst.upsert(
+                delta,
+                key_cols=key_cols,
+                op_col="__op",
+                upsert_mode=False,
+                snapshot_props=props,
+                assume_unique=True,
+            )
+        elif head is not None:
+            # states already agree: still stamp the marker so incremental
+            # resume starts from the verified head
+            dst._commit_snapshot("append", [], [], props, MAIN)
+    finally:
+        delta.unpersist()
+    if head is not None:
+        stream._commit_offset(head)
+    return {"deletes": n_del, "inserts": n_ins, "src_snapshot_id": head}

@@ -118,11 +118,12 @@ def load_all() -> dict[str, QuerySpec]:
     # rows. After r7, ever-gated = 150 = every oracle-checked query that
     # existed at r7's start.
     # Round-8 rotation queue: the oracle-checked queries registered in
-    # round 7 WITHOUT a gate row — as of round-7 end that is exactly
-    # `changelog_compute_updates` (snapshot_diff_changes, the other r7
-    # registration, is in the active window below). Re-verify with the
-    # never-gated computation (oracle set minus CORRECTNESS_r0* union
-    # minus current window) before editing.
+    # round 7 WITHOUT a gate row — as of round-7 end exactly
+    # `changelog_compute_updates` and `changelog_reconcile`
+    # (snapshot_diff_changes, the third r7 registration, is in the
+    # active window below). Re-verify with the never-gated computation
+    # (oracle set minus CORRECTNESS_r0* union minus current window)
+    # before editing.
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).

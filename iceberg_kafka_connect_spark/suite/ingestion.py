@@ -2567,3 +2567,50 @@ def changelog_compute_updates(spark, sf_dir):
         .select("event_id", "event_type", "_change_type", "_change_ordinal")
         .orderBy("_change_ordinal", "_change_type", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Changelog reconcile (streaming/changelog_source.py reconcile): full-state
+# repair when snapshot EXPIRY removed the checkpointed snapshot from source
+# history — the one stall neither incremental scan nor the on_rewrite=diff
+# hop can cross (the snapshot is gone). The minimal current-state delta
+# applies as one marker-carrying commit and incremental sync re-arms.
+# Oracle: the source's expected final state.
+# --------------------------------------------------------------------------
+@register(
+    "changelog_reconcile",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE event_id < 300 AND event_id % 5 <> 0
+    UNION ALL
+    SELECT event_id, 'patched' AS event_type
+    FROM events
+    WHERE event_id >= 400 AND event_id < 450 AND event_id % 5 <> 0
+    ORDER BY event_id
+    """,
+    tags=("ingestion", "streaming", "cdc"),
+)
+def changelog_reconcile(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+    from ..streaming.changelog_source import ChangelogStream, reconcile
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="recon_gate_")
+    src = LakehouseTable.create(base + "/src", e.schema)
+    src.append(e.filter(F.col("event_id") < 300))
+    dst = LakehouseTable.create(base + "/dst", e.schema)
+    stream = ChangelogStream(src, base + "/ckpt")
+    stream.sync_to_table(spark, dst, key_cols=["event_id"])
+    # source evolves, then expires the checkpointed snapshot from history
+    src.upsert(
+        e.filter((F.col("event_id") >= 400) & (F.col("event_id") < 450))
+        .withColumn("event_type", F.lit("patched")),
+        key_cols=["event_id"],
+    )
+    src.delete_where(spark, "event_id % 5 = 0", key_cols=["event_id"])
+    src.expire_snapshots(keep_last=1)
+    reconcile(stream, spark, dst, key_cols=["event_id"])
+    return dst.read(spark).orderBy("event_id")

@@ -352,3 +352,42 @@ def test_config_driven_table_pipeline_kill_restart(spark, tmp_path):
             {"iceberg.source.table": "db.src", "iceberg.tables": "db.x"},
             ck,
         )
+
+
+def test_reconcile_repairs_after_expiry_breaks_resume(spark, tmp_path):
+    """Snapshot expiry under the stream removes the checkpointed snapshot
+    from history — pending() refuses with not-an-ancestor, and neither
+    changes_between nor the on_rewrite hop can help (the snapshot is
+    GONE). reconcile() computes the minimal current-state delta, applies
+    it as one marker-carrying commit, and re-arms incremental sync."""
+    from iceberg_kafka_connect_spark.streaming.changelog_source import (
+        reconcile,
+    )
+
+    src = LakehouseTable.create(str(tmp_path / "srcx"), SCHEMA)
+    src.append(spark.createDataFrame([(i, f"a{i}") for i in range(4)], SCHEMA))
+    dst = LakehouseTable.create(str(tmp_path / "dstx"), SCHEMA)
+    stream = ChangelogStream(src, str(tmp_path / "ckx"), on_rewrite="diff")
+    assert stream.sync_to_table(spark, dst, key_cols=["id"]) == 1
+    # source moves on, then expires history past the checkpoint
+    src.upsert(spark.createDataFrame([(1, "B1")], SCHEMA), key_cols=["id"])
+    src.append(spark.createDataFrame([(7, "c7")], SCHEMA))
+    src.delete_where(spark, "id = 0", key_cols=["id"])
+    assert src.expire_snapshots(keep_last=1) > 0
+    with pytest.raises(ValueError, match="not an ancestor"):
+        stream.sync_to_table(spark, dst, key_cols=["id"])
+    out = reconcile(stream, spark, dst, key_cols=["id"])
+    assert out["deletes"] >= 1 and out["inserts"] >= 1
+    got = sorted((r.id, r.v) for r in dst.read(spark).collect())
+    want = sorted((r.id, r.v) for r in src.read(spark).collect())
+    assert got == want
+    # incremental sync is re-armed from the verified head
+    src.append(spark.createDataFrame([(20, "z")], SCHEMA))
+    assert stream.sync_to_table(spark, dst, key_cols=["id"]) == 1
+    assert sorted(r.id for r in dst.read(spark).collect()) == sorted(
+        r.id for r in src.read(spark).collect()
+    )
+    # agreeing states: reconcile is marker-stamp only, zero delta
+    out2 = reconcile(stream, spark, dst, key_cols=["id"])
+    assert out2["deletes"] == 0 and out2["inserts"] == 0
+    assert stream.sync_to_table(spark, dst, key_cols=["id"]) == 0
