@@ -141,6 +141,8 @@ def table_main(argv: list[str]) -> int:
     )
     bp = sub.add_parser("binpack")
     bp.add_argument("--min-size", type=int, default=32 * 1024 * 1024)
+    rm = sub.add_parser("rewrite-manifests")
+    rm.add_argument("--min-manifests", type=int, default=2)
     e = sub.add_parser("expire")
     e.add_argument("--keep", type=int, default=10)
     e.add_argument("--older-than-ms", type=int, default=None)
@@ -338,6 +340,13 @@ def table_main(argv: list[str]) -> int:
             {"snapshot_id": snap["snapshot_id"], "summary": snap["summary"]}
             if snap
             else {"status": "nothing to rewrite"}
+        )
+    elif args.action == "rewrite-manifests":
+        snap = t.rewrite_manifests(min_manifests=args.min_manifests)
+        out = (
+            {"snapshot_id": snap["snapshot_id"], "summary": snap["summary"]}
+            if snap
+            else {"status": "nothing to squash"}
         )
     elif args.action == "rollback":
         snap = t.rollback(args.snapshot)

@@ -1845,6 +1845,15 @@ class LakehouseTable:
             )
         files: list[dict] = []
         for snap in reversed(snaps):
+            if (
+                snap["operation"] == "rewrite-manifests"
+                and snap["parent"] is not None
+            ):
+                # metadata-only manifest squash: adds no rows, so the
+                # incremental scan streams straight across it (a parentless
+                # one post-expiry IS the base state and falls through to
+                # the refusal below — the increment is no longer expressible)
+                continue
             if snap["operation"] != "append" or snap.get("sealed"):
                 what = (
                     "sealed by snapshot expiry (its manifest is the full "
@@ -1922,6 +1931,14 @@ class LakehouseTable:
             )
         parts: list[DataFrame] = []
         for ordinal, snap in enumerate(reversed(snaps)):
+            if (
+                snap["operation"] == "rewrite-manifests"
+                and snap["parent"] is not None
+            ):
+                # metadata-only manifest squash: zero data change, so the
+                # changelog emits nothing for it (Iceberg's changelog does
+                # the same for RewriteManifests commits)
+                continue
             # a parentless replace is the root snapshot: its "full list" IS
             # the insert set. Any later replace (compaction, expiry seal)
             # rewrites history instead of changing data.
@@ -2602,6 +2619,66 @@ class LakehouseTable:
             replace=True,
             preserve_seq=True,
             expected_parent=snap["snapshot_id"],
+        )
+
+    def rewrite_manifests(
+        self, branch: str = MAIN, min_manifests: int = 2
+    ) -> dict | None:
+        """Iceberg ``rewrite_manifests`` parity: squash the metadata read
+        path WITHOUT touching data. Reads reconstruct the live file set by
+        walking one side manifest per ancestor snapshot (``_live_files``);
+        after thousands of streaming commits that walk is thousands of
+        small metadata reads per query plan. This commits a single
+        ``rewrite-manifests`` snapshot whose manifest IS the full live
+        (data, delete) set — entries verbatim, sequence numbers preserved
+        so merge-on-read delete application is bit-identical — and marks
+        it ``replace`` so the ancestry walk terminates at depth 1.
+
+        Unlike ``compact()`` nothing is rewritten on the data plane: cost
+        is O(live file entries) of JSON, zero bytes of data I/O — the
+        maintenance job you can afford hourly at 100 TB. History stays
+        intact (parents survive for time travel / changelog until
+        ``expire_snapshots``), and because the snapshot changes no rows,
+        ``appends_between`` / ``changes_between`` skip it instead of
+        refusing the range, so incremental consumers stream straight
+        across it (Iceberg's changelog likewise emits nothing for
+        RewriteManifests commits).
+
+        Returns the new snapshot, or None when the head already plans with
+        fewer than ``min_manifests`` manifests (nothing to squash).
+        Reference analogue: table maintenance is delegated to engines
+        (README.md "Iceberg table maintenance"); this is that engine-side
+        procedure, per Iceberg spec's manifest-list compaction story.
+        """
+        meta = self.metadata()
+        head = self.current_snapshot(branch)
+        if head is None:
+            return None
+        depth = 0
+        cur: dict | None = head
+        while cur is not None:
+            depth += 1
+            if cur.get("replace") or "manifest" not in cur:
+                break
+            pid = cur["parent"]
+            cur = self._snapshot_by_id(meta, pid) if pid else None
+        if depth < min_manifests:
+            return None
+        data, deletes = self._live_files(meta, head)
+        return self._commit_snapshot(
+            "rewrite-manifests",
+            data,
+            deletes,
+            {
+                "rewrite-manifests": "true",
+                "manifests-squashed": str(depth),
+                "data-files": str(len(data)),
+                "delete-files": str(len(deletes)),
+            },
+            branch,
+            replace=True,
+            preserve_seq=True,
+            expected_parent=head["snapshot_id"],
         )
 
     def rewrite_where(

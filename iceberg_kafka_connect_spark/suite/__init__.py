@@ -118,8 +118,9 @@ def load_all() -> dict[str, QuerySpec]:
     # rows. After r7, ever-gated = 150 = every oracle-checked query that
     # existed at r7's start.
     # Round-8 rotation queue: the oracle-checked queries registered in
-    # round 7 WITHOUT a gate row — as of round-7 end exactly
-    # `changelog_compute_updates` and `changelog_reconcile`
+    # round 7 WITHOUT a gate row — as of round-7 end:
+    # `changelog_compute_updates`, `changelog_reconcile`, and the
+    # late-round-7 addition `maintenance_rewrite_manifests`
     # (snapshot_diff_changes, the third r7 registration, is in the
     # active window below). Re-verify with the never-gated computation
     # (oracle set minus CORRECTNESS_r0* union minus current window)

@@ -2614,3 +2614,71 @@ def changelog_reconcile(spark, sf_dir):
     src.expire_snapshots(keep_last=1)
     reconcile(stream, spark, dst, key_cols=["event_id"])
     return dst.read(spark).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# rewrite_manifests (Iceberg's metadata-only rewrite_manifests procedure):
+# squash the per-snapshot manifest walk into one full manifest WITHOUT
+# touching data files. The gate proves (a) reads are bit-identical, (b) the
+# data plane is untouched (identical file paths), (c) the metadata walk
+# collapses to depth 1, and (d) incremental/changelog consumers stream
+# straight across the squash snapshot. Row facts come from the table itself;
+# the metadata facts are literal booleans.
+# --------------------------------------------------------------------------
+@register(
+    "maintenance_rewrite_manifests",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+           TRUE AS squash_metadata_only,
+           TRUE AS walk_collapsed,
+           TRUE AS incremental_transparent,
+           TRUE AS history_intact
+    FROM events WHERE event_id < 900
+    """,
+    tags=("ingestion", "lakehouse", "maintenance"),
+)
+def maintenance_rewrite_manifests(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="rwm_gate_")
+    t = LakehouseTable.create(base + "/t", e.schema)
+    for lo in (0, 200, 400, 600):
+        t.append(
+            e.filter((F.col("event_id") >= lo) & (F.col("event_id") < lo + 200))
+        )
+    mark = t.current_snapshot()["snapshot_id"]
+    paths_before = sorted(f["path"] for f in t.live_files()[0])
+    n_snaps_before = len(t.snapshots())
+    snap = t.rewrite_manifests()
+    squash_metadata_only = (
+        snap is not None
+        and snap["operation"] == "rewrite-manifests"
+        and sorted(f["path"] for f in t.live_files()[0]) == paths_before
+    )
+    # the ancestry walk now terminates at the squash snapshot
+    walk_collapsed = t.current_snapshot().get("replace") is True
+    history_intact = len(t.snapshots()) == n_snaps_before + 1
+    # a post-squash append streams across the squash: incremental scan
+    # from the pre-squash head sees ONLY the new rows
+    t.append(e.filter((F.col("event_id") >= 800) & (F.col("event_id") < 900)))
+    inc = t.appends_between(spark, mark)
+    ch = t.changes_between(spark, mark)
+    incremental_transparent = (
+        inc.count() == ch.count()
+        and inc.agg(F.min("event_id")).first()[0] >= 800
+    )
+    return t.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    ).select(
+        "n_rows",
+        "sum_ids",
+        F.lit(bool(squash_metadata_only)).alias("squash_metadata_only"),
+        F.lit(bool(walk_collapsed)).alias("walk_collapsed"),
+        F.lit(bool(incremental_transparent)).alias("incremental_transparent"),
+        F.lit(bool(history_intact)).alias("history_intact"),
+    )

