@@ -103,3 +103,166 @@ def curation_pipeline(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# URL curation (RefinedWeb/CCNet-style §3.1): the documents table carries no
+# URL column, so both engines synthesize the same deterministic crawl-shaped
+# URL per doc (case noise, www/media prefixes, default ports implied,
+# tracking params, unsorted queries, duplicate slashes, fragments) and the
+# gate checks the CANONICALIZATION itself — Spark's regex-primitive
+# canonicalize_url vs the identical transform spelled in DuckDB SQL.
+# --------------------------------------------------------------------------
+_URL_SYNTH_SQL = """
+        'HTTPS://'
+        || CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'WWW.'
+                WHEN 1 THEN 'Media.' ELSE '' END
+        || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+        || CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.CO.UK' END
+        || '/Articles//' || CAST(doc_id % 5 AS VARCHAR)
+        || CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN '/?utm_source=feed&b=2&a=1'
+                WHEN 1 THEN '?b=2&a=1' ELSE '/' END
+        || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END
+"""
+
+# DuckDB mirror of operators/urls.py (same regexes; 'g' everywhere since
+# Spark's regexp_replace is always global)
+_URL_CANON_SQL = r"""
+    parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(nu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   AS scheme,
+               regexp_replace(lower(regexp_replace(regexp_replace(
+                   regexp_extract(nu,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                   '^[^@]*@', '', 'g'), ':[0-9]*$', '', 'g')),
+                   '^www\.', '', 'g') AS host,
+               regexp_replace(regexp_replace(
+                   regexp_extract(nu,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                   '/{2,}', '/', 'g'), '/+$', '', 'g') AS path,
+               array_to_string(list_sort(list_filter(
+                   string_split(regexp_extract(nu, '\?([^#]*)', 1), '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                       '^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)=')
+               )), '&') AS q
+        FROM stripped
+    ),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' || host || path
+               || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
+               host
+        FROM parts
+    )
+"""
+
+
+def _synth_url_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 4 == 0, F.lit("WWW."))
+        .when(d % 4 == 1, F.lit("Media."))
+        .otherwise(F.lit("")),
+        F.col("source"), F.lit("-"), (d % 7).cast("string"),
+        F.when(d % 2 == 0, F.lit(".COM")).otherwise(F.lit(".CO.UK")),
+        F.lit("/Articles//"), (d % 5).cast("string"),
+        F.when(d % 3 == 0, F.lit("/?utm_source=feed&b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("/")),
+        F.when(d % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "docs_url_canonical_dedup",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, {_URL_SYNTH_SQL} AS u FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, regexp_replace(trim(u), '#.*$', '', 'g') AS nu FROM d
+    ),
+    {_URL_CANON_SQL}
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+    tags=("curation", "urls"),
+)
+def docs_url_canonical_dedup(spark, sf_dir):
+    """Exact-URL dedup on the canonical form: tracking params, fragments,
+    case/slash/port noise and www/userinfo prefixes collapse, duplicates
+    group on the canonical key, the lowest doc_id is kept. One scan + one
+    map-side-combined groupBy on the canonical string — the canonical key
+    is also a valid bucket/shuffle key at 100 TB."""
+    from ..operators.urls import canonicalize_url
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", canonicalize_url(_synth_url_col()).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+    )
+
+
+@register(
+    "docs_domain_caps",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, n_chars, {_URL_SYNTH_SQL} AS u FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, regexp_replace(trim(u), '#.*$', '', 'g') AS nu FROM d
+    ),
+    {_URL_CANON_SQL},
+    dom AS (
+        SELECT c.doc_id, d.n_chars,
+               CASE WHEN c.host LIKE '%.co.uk' THEN
+                   CASE WHEN len(string_split(c.host, '.')) > 3
+                        THEN array_to_string(string_split(c.host, '.')[-3:], '.')
+                        ELSE c.host END
+               ELSE
+                   CASE WHEN len(string_split(c.host, '.')) > 2
+                        THEN array_to_string(string_split(c.host, '.')[-2:], '.')
+                        ELSE c.host END
+               END AS domain
+        FROM canon c JOIN d USING (doc_id)
+    )
+    SELECT domain, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars, rk
+    FROM (
+        SELECT domain, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY n_chars DESC, doc_id
+               ) AS INT) AS rk
+        FROM dom
+    ) WHERE rk <= 20
+    """,
+    tags=("curation", "urls"),
+)
+def docs_domain_caps(spark, sf_dir):
+    """Per-domain caps (keep the best K docs per registrable domain — the
+    RefinedWeb anti-SEO-farm step), via the bounded two-level top-K of
+    operators/topk.py instead of a window: no single task ever sorts a
+    mega-domain. The oracle is the ROW_NUMBER window twin."""
+    from ..operators.topk import topk_per_group
+    from ..operators.urls import registrable_domain, url_host
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        registrable_domain(url_host(_synth_url_col())).alias("domain"),
+    )
+    return topk_per_group(
+        d, ["domain"], [("n_chars", "desc"), ("doc_id", "asc")], k=20
+    ).select("domain", "doc_id", "n_chars", "rk")

@@ -1,0 +1,143 @@
+"""URL canonicalization / registrable-domain / bounded top-K-per-group."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_kafka_connect_spark.operators.topk import topk_per_group
+from iceberg_kafka_connect_spark.operators.urls import (
+    canonicalize_url,
+    registrable_domain,
+    url_host,
+)
+from iceberg_kafka_connect_spark.plans import assert_plan, count_in_plan
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    return [
+        r.c
+        for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()
+    ]
+
+
+def test_canonicalize_url_contract(spark):
+    cases = {
+        # case noise, tracking params, fragment, duplicate + trailing slash
+        "HTTPS://WWW.News-3.Example.COM/Path//Sub/?utm_source=f&b=2&a=1#x":
+            "https://news-3.example.com/Path/Sub?a=1&b=2",
+        # userinfo + explicit port dropped; single-segment path slash kept
+        "http://user:pw@media.site.co.uk:8080/a/":
+            "http://media.site.co.uk/a",
+        # bare host; empty query's '?' dropped
+        "https://Example.com?": "https://example.com",
+        # query survives sorted; fbclid dropped; path case preserved
+        "https://h.io/A/B?z=1&fbclid=abc&a=2": "https://h.io/A/B?a=2&z=1",
+        # only-tracking query collapses entirely
+        "https://h.io/?utm_campaign=x&utm_medium=y": "https://h.io",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_canonicalize_url_null_for_non_urls(spark):
+    assert _canon(spark, ["not a url", "/relative/path", ""]) == [
+        None,
+        None,
+        None,
+    ]
+
+
+def test_canonical_form_is_idempotent(spark):
+    urls = [
+        "HTTPS://WWW.A.COM//x/?b=2&a=1#f",
+        "http://u@B.co.uk:80/p/",
+        "https://c.io",
+    ]
+    once = _canon(spark, urls)
+    assert _canon(spark, once) == once
+
+
+def test_registrable_domain(spark):
+    cases = {
+        "a.b.example.com": "example.com",
+        "media.news-3.co.uk": "news-3.co.uk",
+        "example.com": "example.com",
+        "co.uk": "co.uk",  # host IS a suffix: pass through
+        "localhost": "localhost",
+        "x.com.au": "x.com.au",
+        "deep.x.com.au": "x.com.au",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["h"])
+    got = [
+        r.d
+        for r in df.select(registrable_domain(F.col("h")).alias("d")).collect()
+    ]
+    assert got == list(cases.values())
+
+
+def test_url_host_none_vs_port_only(spark):
+    df = spark.createDataFrame(
+        [("https://WWW.X.io:443/p",), ("nope",)], ["u"]
+    )
+    got = [r.h for r in df.select(url_host(F.col("u")).alias("h")).collect()]
+    assert got == ["x.io", None]
+
+
+def test_topk_per_group_matches_window(spark):
+    import random
+
+    random.seed(11)
+    rows = [
+        (f"g{random.randint(0, 7)}", random.randint(0, 500), i)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "score", "id"])
+    got = topk_per_group(df, ["g"], [("score", "desc"), ("id", "asc")], 15)
+    w = Window.partitionBy("g").orderBy(F.desc("score"), F.asc("id"))
+    want = (
+        df.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 15)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_topk_per_group_small_groups_and_k1(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("b", 9, 3)], ["g", "score", "id"]
+    )
+    got = topk_per_group(df, ["g"], [("score", "asc"), ("id", "asc")], 1)
+    assert sorted((r.g, r.score, r.rk) for r in got.collect()) == [
+        ("a", 1, 1),
+        ("b", 9, 1),
+    ]
+
+
+def test_topk_per_group_rejects_desc_strings(spark):
+    df = spark.createDataFrame([("a", "x", 1)], ["g", "s", "id"])
+    with pytest.raises(ValueError, match="desc order on non-numeric"):
+        topk_per_group(df, ["g"], [("s", "desc"), ("id", "asc")], 3)
+
+
+def test_topk_per_group_plan_no_window_sort(spark):
+    """The scale contract: no Window operator (whose sort is per-group in
+    one task) — two bounded aggregation levels instead."""
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 97).alias("score"),
+        F.col("id"),
+    )
+    out = topk_per_group(df, ["g"], [("score", "desc"), ("id", "asc")], 10)
+    assert_plan(out, absent=["Window"])
+    assert count_in_plan(out, "ObjectHashAggregate") >= 2
+
+
+def test_docs_domain_caps_plan_no_window(spark, sf_dir):
+    from iceberg_kafka_connect_spark.suite import load_all
+
+    df = load_all()["docs_domain_caps"].fn(spark, sf_dir)
+    assert_plan(df, absent=["Window", "BatchEvalPython"])
