@@ -130,7 +130,9 @@ def table_main(argv: list[str]) -> int:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--name", required=True)
     sub = ap.add_subparsers(dest="action", required=True)
-    for meta_action in ("snapshots", "files", "history", "partitions", "tags"):
+    for meta_action in (
+        "snapshots", "files", "history", "partitions", "tags", "stats"
+    ):
         sub.add_parser(meta_action)
     c = sub.add_parser("compact")
     c.add_argument("--sort-by", help="comma-separated sort columns")
@@ -143,6 +145,9 @@ def table_main(argv: list[str]) -> int:
     bp.add_argument("--min-size", type=int, default=32 * 1024 * 1024)
     rm = sub.add_parser("rewrite-manifests")
     rm.add_argument("--min-manifests", type=int, default=2)
+    an = sub.add_parser("analyze")
+    an.add_argument("--columns", help="comma-separated subset (default: all)")
+    an.add_argument("--exact", action="store_true")
     e = sub.add_parser("expire")
     e.add_argument("--keep", type=int, default=10)
     e.add_argument("--older-than-ms", type=int, default=None)
@@ -303,6 +308,15 @@ def table_main(argv: list[str]) -> int:
         ]
     elif args.action == "tags":
         out = t.tags()
+    elif args.action == "stats":
+        out = t.column_stats() or {"status": "never analyzed"}
+    elif args.action == "analyze":
+        spark = get_spark(app_name="table-maintenance")
+        out = t.analyze(
+            spark,
+            columns=args.columns.split(",") if args.columns else None,
+            mode="exact" if args.exact else "approx",
+        )
     elif args.action == "expire":
         out = {
             "expired": t.expire_snapshots(

@@ -1246,6 +1246,175 @@ class LakehouseTable:
             hi = st["max"] if hi is None else max(hi, st["max"])
         return lo, hi
 
+    def analyze(
+        self,
+        spark: SparkSession,
+        columns: list[str] | None = None,
+        mode: str = "approx",
+        branch: str = MAIN,
+    ) -> dict:
+        """Iceberg ``compute_table_stats`` / ANALYZE parity: one
+        column-pruned pass over the table computing per-column NDV,
+        null count, and min/max, persisted as a statistics file
+        (``metadata/stats-<snapshot>.json``) referenced from the version
+        metadata's ``statistics`` list — the same shape as Iceberg's
+        puffin statistics files keyed by snapshot (Iceberg table-spec
+        "Table statistics"; SparkActions.computeTableStats writes
+        apache-datasketches-theta-v1 NDV blobs the same way).
+
+        ``mode="approx"`` uses ``approx_count_distinct`` (HyperLogLog++,
+        one pass, mergeable — the 100 TB path, exactly what the theta
+        sketch buys Iceberg); ``mode="exact"`` uses ``count_distinct``
+        for verification-scale runs. All aggregates run in ONE ``agg``
+        over one scan — Catalyst fuses them into a single
+        partial/final hash aggregation, so cost is one table pass
+        regardless of column count.
+
+        Consumers: join planners read ``column_stats()`` NDV to choose
+        broadcast sides and pre-size shuffle partitions; ``stats_df``
+        exposes the same rows as a metadata table.
+        """
+        if mode not in ("approx", "exact"):
+            raise ValueError(f"mode must be approx|exact, got {mode!r}")
+        snap = self.current_snapshot(branch)
+        if snap is None:
+            raise ValueError(f"branch {branch!r} has no snapshot to analyze")
+        atomic = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+            T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType,
+        )
+        fields = [
+            f
+            for f in self.read_schema().fields
+            if isinstance(f.dataType, atomic)
+            and (columns is None or f.name in columns)
+        ]
+        if columns is not None:
+            missing = set(columns) - {f.name for f in fields}
+            if missing:
+                raise ValueError(
+                    f"cannot analyze {sorted(missing)}: not atomic columns "
+                    "of the table schema"
+                )
+        df = self.read(spark, branch=branch).select(
+            *[f.name for f in fields]
+        )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, f in enumerate(fields):
+            c = F.col(f.name)
+            ndv = (
+                F.count_distinct(c)
+                if mode == "exact"
+                else F.approx_count_distinct(c)
+            )
+            aggs += [
+                ndv.alias(f"__ndv{i}"),
+                F.count(F.when(c.isNull(), 1)).alias(f"__nulls{i}"),
+                F.min(c).alias(f"__lo{i}"),
+                F.max(c).alias(f"__hi{i}"),
+            ]
+        row = df.agg(*aggs).first()
+
+        def _render(v):
+            if v is None or isinstance(v, (bool, int, float, str)):
+                return v
+            return str(v)  # dates/timestamps/decimals → ISO-ish strings
+
+        doc = {
+            "snapshot-id": snap["snapshot_id"],
+            "mode": mode,
+            "row-count": row["__rows"],
+            "columns": {
+                f.name: {
+                    "ndv": row[f"__ndv{i}"],
+                    "null-count": row[f"__nulls{i}"],
+                    "lower-bound": _render(row[f"__lo{i}"]),
+                    "upper-bound": _render(row[f"__hi{i}"]),
+                }
+                for i, f in enumerate(fields)
+            },
+        }
+        rel = os.path.join(
+            "metadata", f"stats-{snap['snapshot_id']}-{uuid.uuid4().hex[:8]}.json"
+        )
+        with open(os.path.join(self.root, rel), "w") as f:
+            json.dump(doc, f)
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            stats = [
+                s
+                for s in meta.get("statistics", [])
+                if s["snapshot-id"] != snap["snapshot_id"]
+            ]
+            stats.append(
+                {"snapshot-id": snap["snapshot_id"], "statistics-path": rel}
+            )
+            meta["statistics"] = stats
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return doc
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    os.unlink(os.path.join(self.root, rel))
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        raise CommitConflict("unreachable")
+
+    def column_stats(self, branch: str = MAIN) -> dict | None:
+        """The analyze() stats doc for the branch head's snapshot — walks
+        the ancestry to the NEAREST analyzed ancestor (Iceberg engines do
+        the same: stats age gracefully until the next ANALYZE) and returns
+        None when no ancestor has been analyzed."""
+        meta = self.metadata()
+        by_sid = {
+            s["snapshot-id"]: s["statistics-path"]
+            for s in meta.get("statistics", [])
+        }
+        cur = self.current_snapshot(branch)
+        while cur is not None:
+            rel = by_sid.get(cur["snapshot_id"])
+            if rel is not None:
+                with open(os.path.join(self.root, rel)) as f:
+                    return json.load(f)
+            pid = cur["parent"]
+            cur = self._snapshot_by_id(meta, pid) if pid else None
+        return None
+
+    def stats_df(self, spark: SparkSession, branch: str = MAIN) -> DataFrame:
+        """Metadata table over column_stats(): one row per analyzed column
+        (bounds rendered as strings), empty with the right schema when the
+        table was never analyzed."""
+        schema = T.StructType(
+            [
+                T.StructField("column_name", T.StringType()),
+                T.StructField("ndv", T.LongType()),
+                T.StructField("null_count", T.LongType()),
+                T.StructField("lower_bound", T.StringType()),
+                T.StructField("upper_bound", T.StringType()),
+                T.StructField("row_count", T.LongType()),
+                T.StructField("mode", T.StringType()),
+                T.StructField("snapshot_id", T.StringType()),
+            ]
+        )
+        doc = self.column_stats(branch)
+        if doc is None:
+            return spark.createDataFrame([], schema)
+        rows = [
+            (
+                name,
+                st["ndv"],
+                st["null-count"],
+                None if st["lower-bound"] is None else str(st["lower-bound"]),
+                None if st["upper-bound"] is None else str(st["upper-bound"]),
+                doc["row-count"],
+                doc["mode"],
+                doc["snapshot-id"],
+            )
+            for name, st in doc["columns"].items()
+        ]
+        return spark.createDataFrame(rows, schema)
+
     def update_partition_spec(self, partition_by: list[str] | str | None) -> None:
         """Iceberg partition-spec evolution (``updateSpec()``): the new spec
         applies to FUTURE writes only; existing data files keep their old
@@ -2966,6 +3135,12 @@ class LakehouseTable:
             meta["snapshots"] = [
                 s for s in meta["snapshots"] if s["snapshot_id"] in keep
             ]
+            if meta.get("statistics"):
+                # analyze() stats of expired snapshots expire with them
+                # (files are the orphan sweep's job, like manifests)
+                meta["statistics"] = [
+                    s for s in meta["statistics"] if s["snapshot-id"] in keep
+                ]
             try:
                 self._write_version(meta["version"] + 1, meta)
                 return len(expired)
@@ -3042,6 +3217,15 @@ class LakehouseTable:
         for p in globmod.glob(os.path.join(self._meta_dir, "man-*.json")):
             rel = os.path.relpath(p, self.root)
             if rel not in live_manifests:
+                _sweep(p, rel)
+        # statistics files whose snapshot expired (or whose entry was
+        # superseded by a re-analyze) are orphans too
+        live_stats = {
+            s["statistics-path"] for s in meta.get("statistics", [])
+        }
+        for p in globmod.glob(os.path.join(self._meta_dir, "stats-*.json")):
+            rel = os.path.relpath(p, self.root)
+            if rel not in live_stats:
                 _sweep(p, rel)
         return orphans
 

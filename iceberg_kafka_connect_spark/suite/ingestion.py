@@ -2682,3 +2682,67 @@ def maintenance_rewrite_manifests(spark, sf_dir):
         F.lit(bool(incremental_transparent)).alias("incremental_transparent"),
         F.lit(bool(history_intact)).alias("history_intact"),
     )
+
+
+# --------------------------------------------------------------------------
+# analyze / compute_table_stats (Iceberg's ANALYZE + puffin NDV statistics):
+# one column-pruned pass computes per-column NDV / null-count / bounds and
+# persists them as a snapshot-keyed statistics file referenced from the
+# version metadata. Gate runs mode="exact" (the verification twin of the
+# production HLL mode, same single-pass plan shape) and checks the stats
+# themselves against DuckDB aggregates; the double column's bounds are
+# nulled on both sides (float-to-string rendering is engine-specific).
+# --------------------------------------------------------------------------
+@register(
+    "table_column_stats",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, value FROM events WHERE event_id < 700
+    )
+    SELECT 'event_id' AS column_name,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS ndv,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_count,
+           CAST(MIN(event_id) AS VARCHAR) AS lower_bound,
+           CAST(MAX(event_id) AS VARCHAR) AS upper_bound,
+           CAST(COUNT(*) AS BIGINT) AS row_count
+    FROM e
+    UNION ALL
+    SELECT 'event_type',
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           MIN(event_type), MAX(event_type), CAST(COUNT(*) AS BIGINT)
+    FROM e
+    UNION ALL
+    SELECT 'value',
+           CAST(COUNT(DISTINCT value) AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           NULL, NULL, CAST(COUNT(*) AS BIGINT)
+    FROM e
+    """,
+    tags=("ingestion", "lakehouse", "maintenance"),
+)
+def table_column_stats(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="stats_gate_")
+    t = LakehouseTable.create(base + "/t", e.schema)
+    t.append(e.filter(F.col("event_id") < 400))
+    t.append(e.filter((F.col("event_id") >= 400) & (F.col("event_id") < 700)))
+    t.analyze(spark, mode="exact")
+    s = t.stats_df(spark)
+    return s.select(
+        "column_name",
+        "ndv",
+        "null_count",
+        F.when(F.col("column_name") != "value", F.col("lower_bound")).alias(
+            "lower_bound"
+        ),
+        F.when(F.col("column_name") != "value", F.col("upper_bound")).alias(
+            "upper_bound"
+        ),
+        "row_count",
+    )

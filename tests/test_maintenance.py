@@ -515,3 +515,77 @@ def test_rewrite_manifests_survives_expiry(spark, catalog):
     # the squash snapshot's manifest survived the orphan sweep
     assert t.remove_orphan_files(older_than_ms=0) != [] or True
     assert t.read(spark).count() == 5
+
+
+# ---------------------------------------------------------------- X79
+# analyze / compute_table_stats: snapshot-keyed column statistics
+# ----------------------------------------------------------------
+def test_analyze_exact_and_stats_df(spark, catalog):
+    t = catalog.create_table("default.an1", SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(i % 7, "v" + str(i % 3)) for i in range(100)]
+            + [(None, None)],
+            SCHEMA,
+        )
+    )
+    doc = t.analyze(spark, mode="exact")
+    assert doc["row-count"] == 101
+    assert doc["columns"]["id"]["ndv"] == 7
+    assert doc["columns"]["id"]["null-count"] == 1
+    assert doc["columns"]["id"]["lower-bound"] == 0
+    assert doc["columns"]["id"]["upper-bound"] == 6
+    assert doc["columns"]["v"]["ndv"] == 3
+    rows = {r.column_name: r for r in t.stats_df(spark).collect()}
+    assert rows["v"].lower_bound == "v0" and rows["v"].upper_bound == "v2"
+    assert rows["id"].mode == "exact"
+
+
+def test_analyze_approx_close_and_nearest_ancestor(spark, catalog):
+    t = catalog.create_table("default.an2", SCHEMA)
+    t.append(
+        spark.createDataFrame([(i, "x") for i in range(2000)], SCHEMA)
+    )
+    t.analyze(spark, mode="approx")
+    ndv = t.column_stats()["columns"]["id"]["ndv"]
+    assert abs(ndv - 2000) / 2000 < 0.05  # HLL++ default rsd
+    # stats age gracefully: a later append still reads the ancestor's doc
+    analyzed_sid = t.current_snapshot()["snapshot_id"]
+    t.append(spark.createDataFrame([(99999, "y")], SCHEMA))
+    doc = t.column_stats()
+    assert doc is not None and doc["snapshot-id"] == analyzed_sid
+    # re-analyze at the new head supersedes
+    t.analyze(spark, mode="exact")
+    assert t.column_stats()["snapshot-id"] == t.current_snapshot()["snapshot_id"]
+    assert t.column_stats()["columns"]["id"]["ndv"] == 2001
+
+
+def test_analyze_column_subset_and_validation(spark, catalog):
+    import pytest as _pt
+
+    t = catalog.create_table("default.an3", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    doc = t.analyze(spark, columns=["id"], mode="exact")
+    assert list(doc["columns"]) == ["id"]
+    with _pt.raises(ValueError, match="not atomic columns"):
+        t.analyze(spark, columns=["nope"])
+
+
+def test_analyze_stats_expire_and_orphan_sweep(spark, catalog):
+    import os as _os
+
+    t = catalog.create_table("default.an4", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    t.analyze(spark, mode="exact")
+    old_path = t.metadata()["statistics"][0]["statistics-path"]
+    for i in range(3):
+        t.append(spark.createDataFrame([(i + 10, "b")], SCHEMA))
+    t.expire_snapshots(keep_last=2)
+    # the analyzed snapshot expired → its statistics entry is gone and the
+    # sweep removes the file; column_stats falls back to None
+    assert t.metadata().get("statistics", []) == []
+    assert t.column_stats() is None
+    removed = t.remove_orphan_files(older_than_ms=0)
+    assert old_path in removed
+    assert not _os.path.exists(_os.path.join(t.root, old_path))
+    assert t.stats_df(spark).count() == 0
