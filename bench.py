@@ -144,6 +144,10 @@ BENCH_QUERIES = [
     "snapshot_diff_changes",
     "changelog_compute_updates",
     "changelog_reconcile",
+    "maintenance_rewrite_manifests",
+    "docs_url_canonical_dedup",
+    "docs_domain_caps",
+    "table_column_stats",
 ]
 
 
