@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "docs_url_canonical_dedup",
     "docs_domain_caps",
     "table_column_stats",
+    "table_zero_copy_clone",
 ]
 
 

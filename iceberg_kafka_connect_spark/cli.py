@@ -148,6 +148,8 @@ def table_main(argv: list[str]) -> int:
     an = sub.add_parser("analyze")
     an.add_argument("--columns", help="comma-separated subset (default: all)")
     an.add_argument("--exact", action="store_true")
+    cl = sub.add_parser("clone")
+    cl.add_argument("dst", help="destination table name in this warehouse")
     e = sub.add_parser("expire")
     e.add_argument("--keep", type=int, default=10)
     e.add_argument("--older-than-ms", type=int, default=None)
@@ -317,6 +319,14 @@ def table_main(argv: list[str]) -> int:
             columns=args.columns.split(",") if args.columns else None,
             mode="exact" if args.exact else "approx",
         )
+    elif args.action == "clone":
+        dst = catalog.clone_table(args.name, args.dst)
+        head = dst.current_snapshot()
+        out = {
+            "root": dst.root,
+            "snapshot_id": head["snapshot_id"] if head else None,
+            "data_files": len(dst.live_files()[0]),
+        }
     elif args.action == "expire":
         out = {
             "expired": t.expire_snapshots(

@@ -336,6 +336,16 @@ class Catalog:
         self._register_view_relations(spark, sql, stack=(name,))
         return spark.sql(sql)
 
+    def clone_table(self, src: str, dst: str) -> LakehouseTable:
+        """Zero-copy clone (Iceberg ``snapshot`` procedure shape): ``dst``
+        references ``src``'s live files in place — see
+        ``LakehouseTable.clone_to`` for semantics and the shared-files
+        caveat."""
+        t = self.load_table(src)
+        path = self._path(dst)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return t.clone_to(path)
+
     def create_table_if_not_exists(
         self,
         name: str,

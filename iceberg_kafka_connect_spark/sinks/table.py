@@ -2484,6 +2484,83 @@ class LakehouseTable:
             MAIN,
         )
 
+    def clone_to(self, dst_root: str, branch: str = MAIN) -> "LakehouseTable":
+        """Iceberg ``snapshot`` procedure parity (SparkActions
+        snapshotTable / Delta shallow clone): create an INDEPENDENT table
+        at ``dst_root`` whose first snapshot references this table's live
+        (data, equality-delete) files IN PLACE — zero bytes copied, one
+        metadata commit, the only sane way to stand up a test/staging
+        twin of a 100 TB table. Schema, partition spec, properties,
+        identifier fields and name mapping carry over; sequence numbers
+        are preserved verbatim so equality-delete masking reads
+        identically. The clone then lives its own life: appends, upserts,
+        compaction and expiry on either side never touch the other
+        (re-rooted entries are absolute, and this engine's orphan sweep
+        never deletes absolutely-registered files outside the table
+        root).
+
+        Same caveat Iceberg documents for snapshot tables: the SOURCE's
+        ``remove_orphan_files``/``expire_snapshots``+compaction can
+        delete files the clone still references — treat the source as
+        the owner of shared files.
+
+        Live POSITION-delete files are refused (their row-pointer file
+        paths are stored relative to the source root and cannot be
+        re-rooted); ``compact()`` the source first.
+        """
+        if LakehouseTable.exists(dst_root):
+            raise ValueError(f"table already exists at {dst_root!r}")
+        meta = self.metadata()
+        head = self.current_snapshot(branch)
+        data, deletes = (
+            ([], []) if head is None else self._live_files(meta, head)
+        )
+        if _has_positional(deletes):
+            raise ValueError(
+                "clone_to cannot re-root live position-delete files "
+                "(their row pointers are source-root-relative); run "
+                "compact() on the source first"
+            )
+        dst = LakehouseTable(dst_root)
+        os.makedirs(dst._meta_dir, exist_ok=True)
+        dst._write_version(
+            0,
+            {
+                "table_uuid": str(uuid.uuid4()),
+                "schema": meta["schema"],
+                "partition_spec": meta["partition_spec"],
+                "properties": dict(meta.get("properties", {})),
+                "identifier_fields": list(meta.get("identifier_fields", [])),
+                "snapshots": [],
+                "refs": {},
+                "version": 0,
+            },
+        )
+
+        def _reroot(e: dict) -> dict:
+            e = dict(e)
+            if not os.path.isabs(e["path"]):
+                e["path"] = os.path.join(self.root, e["path"])
+            if "base" in e and not os.path.isabs(e["base"]):
+                e["base"] = os.path.join(self.root, e["base"])
+            return e
+
+        if data or deletes:
+            dst._commit_snapshot(
+                "clone",
+                [_reroot(e) for e in data],
+                [_reroot(e) for e in deletes],
+                {
+                    "operation": "clone",
+                    "source-root": os.path.abspath(self.root),
+                    "source-snapshot-id": head["snapshot_id"],
+                },
+                MAIN,
+                replace=True,
+                preserve_seq=True,
+            )
+        return dst
+
     def all_files_df(self, spark: SparkSession) -> DataFrame:
         """Iceberg `table.all_data_files`/`all_delete_files` parity in one
         frame: every file any retained snapshot ADDED, with its adding

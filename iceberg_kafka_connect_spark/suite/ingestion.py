@@ -2746,3 +2746,101 @@ def table_column_stats(spark, sf_dir):
         ),
         "row_count",
     )
+
+
+# --------------------------------------------------------------------------
+# Zero-copy clone (Iceberg `snapshot` procedure / Delta shallow clone): a
+# staging twin referencing the source's live files in place. The gate builds
+# a source with merge-on-read state (equality deletes), clones it, diverges
+# BOTH sides, and checks: clone reads = source state at clone time (deletes
+# still masking), divergence is isolated, and the clone root holds zero data
+# files of its own.
+# --------------------------------------------------------------------------
+@register(
+    "table_zero_copy_clone",
+    oracle="""
+    WITH base AS (
+        SELECT event_id,
+               CASE WHEN event_id >= 100 AND event_id < 150
+                    THEN 'patched' ELSE event_type END AS event_type
+        FROM events WHERE event_id < 500
+    )
+    SELECT 'clone' AS side,
+           CAST(COUNT(*) + 50 AS BIGINT) AS n_rows,
+           CAST(SUM(event_id)
+                + (SELECT SUM(event_id) FROM events
+                   WHERE event_id >= 500 AND event_id < 550)
+                AS BIGINT) AS sum_ids,
+           CAST(SUM(CASE WHEN event_type = 'patched' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_patched,
+           TRUE AS zero_copy, TRUE AS isolated
+    FROM base
+    UNION ALL
+    SELECT 'src',
+           CAST(COUNT(*) + 50 AS BIGINT),
+           CAST(SUM(event_id)
+                + (SELECT SUM(event_id) FROM events
+                   WHERE event_id >= 600 AND event_id < 650)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN event_type = 'patched' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           TRUE, TRUE
+    FROM base
+    """,
+    tags=("ingestion", "lakehouse", "maintenance"),
+)
+def table_zero_copy_clone(spark, sf_dir):
+    import glob as globmod
+    import os
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="clone_gate_")
+    src = LakehouseTable.create(
+        base + "/src", e.schema, identifier_fields=["event_id"]
+    )
+    src.append(e.filter(F.col("event_id") < 500))
+    src.upsert(
+        e.filter((F.col("event_id") >= 100) & (F.col("event_id") < 150))
+        .withColumn("event_type", F.lit("patched"))
+    )
+    clone = src.clone_to(base + "/clone")
+    zero_copy = (
+        globmod.glob(
+            os.path.join(clone.root, "data", "**", "*.parquet"), recursive=True
+        )
+        == []
+    )
+    # diverge both sides; neither sees the other's rows
+    clone.append(
+        e.filter((F.col("event_id") >= 500) & (F.col("event_id") < 550))
+    )
+    src.append(
+        e.filter((F.col("event_id") >= 600) & (F.col("event_id") < 650))
+    )
+    isolated = (
+        clone.read(spark).filter(F.col("event_id") >= 600).count() == 0
+        and src.read(spark).filter(
+            (F.col("event_id") >= 500) & (F.col("event_id") < 600)
+        ).count() == 0
+    )
+
+    def _agg(t, side):
+        return t.read(spark).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+            F.sum(
+                F.when(F.col("event_type") == "patched", 1).otherwise(0)
+            ).cast("bigint").alias("n_patched"),
+        ).select(
+            F.lit(side).alias("side"),
+            "n_rows",
+            "sum_ids",
+            "n_patched",
+            F.lit(bool(zero_copy)).alias("zero_copy"),
+            F.lit(bool(isolated)).alias("isolated"),
+        )
+
+    return _agg(clone, "clone").unionByName(_agg(src, "src"))

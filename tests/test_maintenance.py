@@ -589,3 +589,59 @@ def test_analyze_stats_expire_and_orphan_sweep(spark, catalog):
     assert old_path in removed
     assert not _os.path.exists(_os.path.join(t.root, old_path))
     assert t.stats_df(spark).count() == 0
+
+
+# ---------------------------------------------------------------- X80
+# clone_to: zero-copy table clone (Iceberg snapshot procedure shape)
+# ----------------------------------------------------------------
+def test_clone_zero_copy_and_isolated(spark, catalog, tmp_path):
+    import glob as _glob
+    import os as _os
+
+    t = catalog.create_table(
+        "default.clone_src", SCHEMA, identifier_fields=["id"]
+    )
+    t.append(spark.createDataFrame([(i, "old") for i in range(10)], SCHEMA))
+    t.upsert(spark.createDataFrame([(3, "new")], SCHEMA))  # equality deletes
+    c = catalog.clone_table("default.clone_src", "default.clone_dst")
+    src_rows = sorted(map(tuple, t.read(spark).collect()))
+    assert sorted(map(tuple, c.read(spark).collect())) == src_rows
+    # zero-copy: the clone root holds NO data files of its own
+    assert _glob.glob(_os.path.join(c.root, "data", "**", "*.parquet"),
+                      recursive=True) == []
+    # equality-delete masking carried (id=3 reads 'new' through the clone)
+    assert {r.v for r in c.read(spark).filter(F.col("id") == 3).collect()} == {
+        "new"
+    }
+    # independence: divergent writes never cross
+    c.append(spark.createDataFrame([(100, "clone-only")], SCHEMA))
+    t.append(spark.createDataFrame([(200, "src-only")], SCHEMA))
+    assert {r.id for r in c.read(spark).collect()} == set(range(10)) | {100}
+    assert {r.id for r in t.read(spark).collect()} == set(range(10)) | {200}
+    # the clone's orphan sweep never touches the source's files
+    assert c.remove_orphan_files(older_than_ms=0, dry_run=True) == []
+    assert t.read(spark).count() == 11
+
+
+def test_clone_refuses_position_deletes_and_existing_dst(spark, catalog):
+    t = catalog.create_table("default.clone_pd", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    t.delete_where_positions(spark, "id = 1")
+    with pytest.raises(ValueError, match="position-delete"):
+        catalog.clone_table("default.clone_pd", "default.clone_pd2")
+    t.compact(spark)
+    c = catalog.clone_table("default.clone_pd", "default.clone_pd2")
+    assert {r.id for r in c.read(spark).collect()} == {2}
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.clone_table("default.clone_pd", "default.clone_pd2")
+
+
+def test_clone_empty_table_and_upsert_after(spark, catalog):
+    t = catalog.create_table(
+        "default.clone_empty", SCHEMA, identifier_fields=["id"]
+    )
+    c = catalog.clone_table("default.clone_empty", "default.clone_empty2")
+    assert c.read(spark).count() == 0
+    # schema/identity carried: upsert works on the clone directly
+    c.upsert(spark.createDataFrame([(1, "x")], SCHEMA))
+    assert c.read(spark).count() == 1
