@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "docs_domain_caps",
     "table_column_stats",
     "table_zero_copy_clone",
+    "docs_heavy_hitters",
 ]
 
 

@@ -421,6 +421,7 @@ class LakehouseTable:
                 meta["schema"] = new_schema
             try:
                 self._write_version(meta["version"] + 1, meta)
+                self._maybe_merge_manifests(operation, branch)
                 return snap
             except CommitConflict:
                 os.unlink(os.path.join(self.root, manifest_rel))
@@ -428,6 +429,36 @@ class LakehouseTable:
                     raise
                 time.sleep(0.05 * (attempt + 1))
         raise CommitConflict("unreachable")
+
+    def _maybe_merge_manifests(self, operation: str, branch: str) -> None:
+        """Iceberg's automatic manifest merging on commit
+        (``commit.manifest.min-count-to-merge``, TableProperties default
+        100 — merge when the manifest count crosses the threshold): when
+        the property is set on this table and the metadata walk behind
+        ``branch`` is at least that deep, squash it with
+        ``rewrite_manifests()`` right after the commit. Opt-in (unset =
+        never), self-guarding (a rewrite-manifests commit never
+        re-triggers), and never fails the data commit it piggybacks on —
+        a concurrent writer racing the squash just leaves the merge for
+        the next commit."""
+        if operation == "rewrite-manifests":
+            return
+        raw = self.properties().get("commit.manifest.min-count-to-merge")
+        if raw is None:
+            return
+        try:
+            threshold = int(raw)
+        except ValueError:
+            raise ValueError(
+                "commit.manifest.min-count-to-merge must be an int, got "
+                f"{raw!r}"
+            ) from None
+        if threshold < 2:
+            return
+        try:
+            self.rewrite_manifests(branch=branch, min_manifests=threshold)
+        except CommitConflict:
+            pass  # a concurrent commit won; merge again next time
 
     # ------------------------------------------------------ manifest access
     def _load_manifest(self, snap: dict) -> tuple[list[dict], list[dict]]:

@@ -725,3 +725,43 @@ def docs_token_budget(spark, sf_dir):
         cum_col="cum_tokens",
         budget=20000,
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+# --------------------------------------------------------------------------
+# Frequent terms with bounded memory: Misra-Gries candidate generation per
+# partition + exact recount of candidates only (operators/sketch.py). The
+# result is EXACT — identical to GROUP BY ... HAVING count >= support — so
+# the oracle is the plain SQL; the difference is the physical plan: MG keeps
+# per-task state at O(total/support) regardless of vocabulary size, and the
+# shuffle carries candidates only. Support = 0.5% of the token stream.
+# --------------------------------------------------------------------------
+@register(
+    "docs_heavy_hitters",
+    oracle=r"""
+    WITH terms AS (
+        SELECT u.term AS term
+        FROM documents,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS u(term)
+    ),
+    thr AS (
+        SELECT GREATEST(1, CAST(floor(COUNT(*) / 200.0) AS BIGINT)) AS s
+        FROM terms
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM terms GROUP BY term
+    HAVING COUNT(*) >= (SELECT s FROM thr)
+    """,
+    tags=("text", "sketch"),
+)
+def docs_heavy_hitters(spark, sf_dir):
+    from ..operators.sketch import frequent_items
+
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    total = terms.count()
+    support = max(1, total // 200)
+    return frequent_items(terms, "term", support, total=total).select(
+        "term", F.col("n").cast("bigint").alias("n")
+    )

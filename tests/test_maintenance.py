@@ -645,3 +645,26 @@ def test_clone_empty_table_and_upsert_after(spark, catalog):
     # schema/identity carried: upsert works on the clone directly
     c.upsert(spark.createDataFrame([(1, "x")], SCHEMA))
     assert c.read(spark).count() == 1
+
+
+def test_auto_manifest_merge_property(spark, catalog):
+    """commit.manifest.min-count-to-merge: commits self-squash the
+    metadata walk once it reaches the threshold; unset tables never do."""
+    t = catalog.create_table(
+        "default.automerge",
+        SCHEMA,
+        properties={"commit.manifest.min-count-to-merge": "4"},
+    )
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, "x")], SCHEMA))
+    assert _walk_depth(t) == 3  # below threshold: untouched
+    t.append(spark.createDataFrame([(3, "x")], SCHEMA))
+    # 4th commit crossed the threshold → auto-squashed right after
+    assert _walk_depth(t) == 1
+    assert t.current_snapshot()["operation"] == "rewrite-manifests"
+    assert t.read(spark).count() == 4
+    # plain tables never auto-merge
+    u = catalog.create_table("default.noautomerge", SCHEMA)
+    for i in range(6):
+        u.append(spark.createDataFrame([(i, "x")], SCHEMA))
+    assert _walk_depth(u) == 6

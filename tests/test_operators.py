@@ -790,3 +790,63 @@ def test_compute_updates_pairs_and_passthrough(spark):
             (3, "x", "insert", 1),
         ]
     )
+
+
+# ---------------------------------------------------------------- X81
+# frequent_items: Misra-Gries candidates + exact recount
+# ----------------------------------------------------------------
+def test_frequent_items_exact_on_skewed_many_distinct(spark):
+    """Vocabulary far above MG capacity (forces evictions), zipf-ish skew:
+    output must equal the exact GROUP BY ... HAVING answer."""
+    import pyspark.sql.functions as F
+
+    from iceberg_kafka_connect_spark.operators.sketch import frequent_items
+
+    # 40k rows: 10 hot items (1000+ each), 30k distinct cold items
+    hot = spark.range(0, 10000).select(
+        F.concat(F.lit("hot"), (F.col("id") % 10).cast("string")).alias("item")
+    )
+    cold = spark.range(0, 30000).select(
+        F.concat(F.lit("cold"), F.col("id").cast("string")).alias("item")
+    )
+    df = hot.unionAll(cold).repartition(8)
+    total = 40000
+    support = 500  # capacity = 4*80+1 = 321 << 30010 distinct
+    got = {
+        (r.item, r.n)
+        for r in frequent_items(df, "item", support, total=total).collect()
+    }
+    want = {
+        (r.item, r.n)
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= support)
+        .collect()
+    }
+    assert got == want and len(got) == 10
+
+
+def test_frequent_items_validation_and_empty(spark):
+    import pytest as _pt
+
+    from iceberg_kafka_connect_spark.operators.sketch import frequent_items
+
+    df = spark.createDataFrame([("a",)], ["item"])
+    with _pt.raises(ValueError, match="support must be positive"):
+        frequent_items(df, "item", 0)
+    empty = df.filter("item = 'nope'")
+    assert frequent_items(empty, "item", 5).count() == 0
+
+
+def test_frequent_items_broadcasts_candidates(spark):
+    import pyspark.sql.functions as F
+
+    from iceberg_kafka_connect_spark.operators.sketch import frequent_items
+    from iceberg_kafka_connect_spark.plans import assert_plan, count_in_plan
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 7).cast("string").alias("item")
+    )
+    out = frequent_items(df, "item", 100, total=2000)
+    assert count_in_plan(out, "BroadcastHashJoin") >= 1
+    assert_plan(out, absent=["SortMergeJoin"])
