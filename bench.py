@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "table_column_stats",
     "table_zero_copy_clone",
     "docs_heavy_hitters",
+    "stats_planned_join",
 ]
 
 

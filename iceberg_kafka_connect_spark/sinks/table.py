@@ -1626,10 +1626,19 @@ class LakehouseTable:
         snapshot_id: str | None = None,
         where: str | None = None,
         tag: str | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Merge-on-read scan: data files grouped by sequence number, each
         group projected onto the current schema, minus keys equality-deleted
         at a later sequence.
+
+        ``as_of_ms`` is timestamp time travel (Iceberg / SQL
+        ``FOR SYSTEM_TIME AS OF``): reads the LATEST snapshot on
+        ``branch`` committed at or before the instant — the snapshot a
+        reader at that wall-clock time would have seen. Mutually
+        exclusive with ``snapshot_id``/``tag``; raises when the branch
+        has no snapshot that old (same contract as Iceberg's
+        SnapshotUtil.snapshotIdAsOfTime).
 
         ``where`` is a SQL predicate applied to the result — and, first,
         evaluated against each data file's recorded column bounds so files
@@ -1640,6 +1649,25 @@ class LakehouseTable:
         """
         meta = self.metadata()
         target = self.read_schema()
+        if as_of_ms is not None:
+            if snapshot_id is not None or tag is not None:
+                raise ValueError(
+                    "as_of_ms is mutually exclusive with snapshot_id/tag"
+                )
+            sid = meta["refs"].get(branch)
+            found = None
+            while sid is not None:
+                s = self._snapshot_by_id(meta, sid)
+                if s["timestamp_ms"] <= as_of_ms:
+                    found = s["snapshot_id"]
+                    break
+                sid = s["parent"]
+            if found is None:
+                raise ValueError(
+                    f"branch {branch!r} has no snapshot at or before "
+                    f"{as_of_ms} (oldest history may have been expired)"
+                )
+            snapshot_id = found
         if tag is not None:
             tagged = meta.get("tags", {})
             if tag not in tagged:

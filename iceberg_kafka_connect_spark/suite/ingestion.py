@@ -2844,3 +2844,57 @@ def table_zero_copy_clone(spark, sf_dir):
         )
 
     return _agg(clone, "clone").unionByName(_agg(src, "src"))
+
+
+# --------------------------------------------------------------------------
+# Statistics-driven join planning: the consumer side of analyze()/manifest
+# byte counts — strategy decided from table METADATA before any task runs
+# (broadcast here: the dim side's live bytes are under threshold). The gate
+# checks both the join result and that the planner actually chose broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "stats_planned_join",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type FROM events WHERE event_id < 2000
+    ),
+    d AS (
+        SELECT DISTINCT event_type, upper(event_type) AS category FROM events
+    )
+    SELECT d.category,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(e.event_id) AS BIGINT) AS sum_ids,
+           TRUE AS broadcast_planned
+    FROM e JOIN d USING (event_type)
+    GROUP BY d.category
+    """,
+    tags=("ingestion", "lakehouse", "analytics"),
+)
+def stats_planned_join(spark, sf_dir):
+    import tempfile
+
+    from ..operators.joinplan import stats_join
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="joinplan_gate_")
+    big = LakehouseTable.create(base + "/big", e.schema)
+    big.append(e.filter(F.col("event_id") < 2000))
+    dim_df = (
+        table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("category", F.upper("event_type"))
+    )
+    dim = LakehouseTable.create(base + "/dim", dim_df.schema)
+    dim.append(dim_df)
+    joined, decision = stats_join(spark, big, dim, "event_type")
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    ).select(
+        "category",
+        "n_rows",
+        "sum_ids",
+        F.lit(decision["strategy"] == "broadcast").alias("broadcast_planned"),
+    )

@@ -674,3 +674,28 @@ def test_cherry_pick_refuses_dangling_position_deletes(spark, catalog):
         t.cherry_pick(staged["snapshot_id"])
     # nothing was committed: both rows still visible on main
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """FOR SYSTEM_TIME AS OF: latest snapshot at or before the instant."""
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LakehouseTable.create(str(tmp_path / "asof"), schema)
+    t.append(spark.createDataFrame([(1, "a")], schema))
+    ts1 = t.current_snapshot()["timestamp_ms"]
+    t.append(spark.createDataFrame([(2, "b")], schema))
+    ts2 = t.current_snapshot()["timestamp_ms"]
+    assert {r.id for r in t.read(spark, as_of_ms=ts1).collect()} == {1}
+    assert {r.id for r in t.read(spark, as_of_ms=ts2 + 10).collect()} == {1, 2}
+    # exact boundary is inclusive
+    assert {r.id for r in t.read(spark, as_of_ms=ts2).collect()} == {1, 2}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no snapshot at or before"):
+        t.read(spark, as_of_ms=ts1 - 100000)
+    with _pt.raises(ValueError, match="mutually exclusive"):
+        t.read(spark, as_of_ms=ts1, snapshot_id="x")

@@ -850,3 +850,79 @@ def test_frequent_items_broadcasts_candidates(spark):
     out = frequent_items(df, "item", 100, total=2000)
     assert count_in_plan(out, "BroadcastHashJoin") >= 1
     assert_plan(out, absent=["SortMergeJoin"])
+
+
+# ---------------------------------------------------------------- X83
+# plan_join / stats_join: metadata-driven join strategy
+# ----------------------------------------------------------------
+def _mk_tables(spark, tmp_path, partition_by=None):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    big_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("payload", T.LongType())]
+    )
+    dim_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    big = LakehouseTable.create(
+        str(tmp_path / "big"), big_schema, partition_by=partition_by
+    )
+    big.append(
+        spark.range(0, 5000).select(
+            (F.col("id") % 40).alias("k"), F.col("id").alias("payload")
+        )
+    )
+    dim = LakehouseTable.create(
+        str(tmp_path / "dim"), dim_schema, partition_by=partition_by
+    )
+    dim.append(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("d"), F.col("id").cast("string")).alias("name"),
+        )
+    )
+    return big, dim
+
+
+def test_stats_join_broadcasts_small_side(spark, tmp_path):
+    from iceberg_kafka_connect_spark.operators.joinplan import stats_join
+    from iceberg_kafka_connect_spark.plans import count_in_plan
+
+    big, dim = _mk_tables(spark, tmp_path)
+    joined, decision = stats_join(spark, big, dim, "k")
+    assert decision["strategy"] == "broadcast"
+    assert decision["build_side"] == "right"
+    assert count_in_plan(joined, "BroadcastHashJoin") >= 1
+    # agreement with the plain join
+    want = big.read(spark).join(dim.read(spark), "k").count()
+    assert joined.count() == want == 5000
+
+
+def test_plan_join_spj_when_cobucketed(spark, tmp_path):
+    from iceberg_kafka_connect_spark.operators.joinplan import (
+        plan_join,
+        stats_join,
+    )
+
+    big, dim = _mk_tables(spark, tmp_path, partition_by="iceberg_bucket(8, k)")
+    d = plan_join(big, dim, "k", broadcast_threshold_bytes=0)
+    assert d["strategy"] == "spj"
+    joined, _ = stats_join(
+        spark, big, dim, "k", broadcast_threshold_bytes=0
+    )
+    assert joined.count() == 5000
+
+
+def test_plan_join_shuffle_with_skew_risk_from_ndv(spark, tmp_path):
+    from iceberg_kafka_connect_spark.operators.joinplan import plan_join
+
+    big, dim = _mk_tables(spark, tmp_path)
+    big.analyze(spark, mode="exact")
+    dim.analyze(spark, mode="exact")
+    d = plan_join(big, dim, "k", broadcast_threshold_bytes=0)
+    assert d["strategy"] == "shuffle"
+    assert d["key_ndv"] == 40
+    assert d["skew_risk"] is True  # 40 distinct keys << 4*200
