@@ -334,3 +334,43 @@ def test_cli_job_spec_table_source(spark, tmp_path, capsys):
     assert sorted(
         r.id for r in cat.load_table("db.dst").read(spark).collect()
     ) == [0, 1, 3]
+
+
+def test_cli_rewrite_manifests_analyze_stats_clone(spark, tmp_path, capsys):
+    """Round-7 CLI verbs: rewrite-manifests, analyze/stats, clone."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.cli import main
+    from iceberg_kafka_connect_spark.sinks import Catalog
+
+    wh = str(tmp_path / "wh")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    cat = Catalog(wh)
+    t = cat.create_table("default.r7", schema)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, "x")], schema))
+
+    def run(*argv, name="default.r7"):
+        assert main(["table", "--warehouse", wh, "--name", name, *argv]) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run("rewrite-manifests")
+    assert out["summary"]["manifests-squashed"] == "3"
+    assert run("rewrite-manifests") == {"status": "nothing to squash"}
+
+    out = run("analyze", "--exact")
+    assert out["columns"]["id"]["ndv"] == 3
+    out = run("stats")
+    assert out["mode"] == "exact" and out["row-count"] == 3
+    out = run("analyze", "--columns", "id")
+    assert list(out["columns"]) == ["id"]
+
+    out = run("clone", "default.r7copy")
+    assert out["data_files"] == len(t.live_files()[0])
+    c = cat.load_table("default.r7copy")
+    assert c.read(spark).count() == 3
+    assert run("stats", name="default.r7copy") == {"status": "never analyzed"}
