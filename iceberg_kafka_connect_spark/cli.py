@@ -460,6 +460,69 @@ def table_main(argv: list[str]) -> int:
     return 0
 
 
+def maintain_main(argv: list[str]) -> int:
+    """Warehouse-wide maintenance sweep — the cron job a lakehouse fleet
+    runs: per table (in dependency-safe order) squash manifests, binpack
+    small files, expire snapshots, remove orphans, refresh column stats.
+    Each step is opt-in via its flag; per-table failures are recorded and
+    the sweep continues (exit 1 if anything failed)."""
+    ap = argparse.ArgumentParser(prog="maintain")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument(
+        "--rewrite-manifests", type=int, default=None, metavar="MIN",
+        help="squash metadata walks at least MIN manifests deep",
+    )
+    ap.add_argument("--binpack-min-size", type=int, default=None)
+    ap.add_argument("--expire-keep", type=int, default=None)
+    ap.add_argument("--orphans-older-than-ms", type=int, default=None)
+    ap.add_argument("--analyze", action="store_true")
+    args = ap.parse_args(argv)
+    catalog = Catalog(args.warehouse)
+    spark = None
+
+    def _spark():
+        nonlocal spark
+        if spark is None:
+            spark = get_spark(app_name="warehouse-maintenance")
+        return spark
+
+    report: dict = {}
+    failed = False
+    for name in sorted(catalog.list_tables()):
+        t = catalog.load_table(name)
+        r: dict = {}
+        try:
+            if args.rewrite_manifests is not None:
+                snap = t.rewrite_manifests(
+                    min_manifests=args.rewrite_manifests
+                )
+                r["manifests_squashed"] = (
+                    int(snap["summary"]["manifests-squashed"]) if snap else 0
+                )
+            if args.binpack_min_size is not None:
+                snap = t.rewrite_small_files(
+                    _spark(), min_file_size=args.binpack_min_size
+                )
+                r["binpacked"] = snap is not None
+            if args.expire_keep is not None:
+                r["expired"] = t.expire_snapshots(keep_last=args.expire_keep)
+            if args.orphans_older_than_ms is not None:
+                r["orphans_removed"] = len(
+                    t.remove_orphan_files(
+                        older_than_ms=args.orphans_older_than_ms
+                    )
+                )
+            if args.analyze:
+                t.analyze(_spark())
+                r["analyzed"] = True
+        except Exception as e:  # noqa: BLE001 — sweep must finish the fleet
+            r["error"] = f"{type(e).__name__}: {e}"
+            failed = True
+        report[name] = r
+    print(json.dumps(report))
+    return 1 if failed else 0
+
+
 def serve_rest_main(argv: list[str]) -> int:
     """Front a warehouse with the Iceberg REST catalog protocol:
 
@@ -553,6 +616,8 @@ def main(argv: list[str] | None = None) -> int:
         return views_main(argv[1:])
     if argv and argv[0] == "serve-rest":
         return serve_rest_main(argv[1:])
+    if argv and argv[0] == "maintain":
+        return maintain_main(argv[1:])
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("job_spec", help="path to the job spec JSON")
     ap.add_argument(

@@ -374,3 +374,57 @@ def test_cli_rewrite_manifests_analyze_stats_clone(spark, tmp_path, capsys):
     c = cat.load_table("default.r7copy")
     assert c.read(spark).count() == 3
     assert run("stats", name="default.r7copy") == {"status": "never analyzed"}
+
+
+def test_cli_warehouse_maintain_sweep(spark, tmp_path, capsys):
+    """`maintain`: one warehouse-wide pass over every table, steps opt-in,
+    per-table errors don't stop the fleet."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.cli import main
+    from iceberg_kafka_connect_spark.sinks import Catalog
+
+    wh = str(tmp_path / "wh")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    cat = Catalog(wh)
+    a = cat.create_table("default.ma", schema)
+    for i in range(4):
+        a.append(spark.createDataFrame([(i, "x")], schema))
+    b = cat.create_table("default.mb", schema)
+    b.append(spark.createDataFrame([(1, "y")], schema))
+
+    rc = main(
+        [
+            "maintain",
+            "--warehouse", wh,
+            "--rewrite-manifests", "3",
+            "--expire-keep", "2",
+            "--orphans-older-than-ms", "0",
+            "--analyze",
+        ]
+    )
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["default.ma"]["manifests_squashed"] == 4
+    assert report["default.mb"]["manifests_squashed"] == 0
+    assert report["default.ma"]["expired"] >= 1
+    assert report["default.ma"]["analyzed"] is True
+    assert a.read(spark).count() == 4
+    assert a.column_stats() is not None
+    # a poisoned table is recorded, not fatal
+    import os as _os
+
+    vpath = b._version_path(b.current_version())
+    with open(vpath) as f:
+        raw = f.read()
+    with open(vpath, "w") as f:
+        f.write(raw[: len(raw) // 2])  # truncate: metadata unreadable
+    rc = main(["maintain", "--warehouse", wh, "--expire-keep", "1"])
+    assert rc == 1
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in report["default.mb"]
+    assert "expired" in report["default.ma"]
