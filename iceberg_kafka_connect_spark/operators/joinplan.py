@@ -60,6 +60,7 @@ def plan_join(
     left,
     right,
     key: str,
+    how: str = "inner",
     branch: str = "main",
     broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
     skew_ndv_per_partition: int = 4,
@@ -77,7 +78,16 @@ def plan_join(
     """
     lb, rb = _live_bytes(left, branch), _live_bytes(right, branch)
     decision: dict = {"key": key, "left_bytes": lb, "right_bytes": rb}
-    sides = [(rb, "right"), (lb, "left")]  # prefer right build (Spark-ish)
+    # a broadcast build side must be the NON-preserved side: right for
+    # inner/left joins, left for inner/right joins, neither for full outer
+    # (Spark's build-side legality — an illegal hint is silently ignored,
+    # so the planner never emits one)
+    h = how.lower().replace("-", "_")
+    sides = []  # prefer right build (Spark-ish) when both are legal
+    if h in ("inner", "left", "left_outer", "leftouter", "cross"):
+        sides.append((rb, "right"))
+    if h in ("inner", "right", "right_outer", "rightouter", "cross"):
+        sides.append((lb, "left"))
     for size, side in sides:
         if size is not None and size <= broadcast_threshold_bytes:
             decision.update(strategy="broadcast", build_side=side,
@@ -115,7 +125,7 @@ def stats_join(
     suffix on collision) — the SPJ column contract, matched here for all
     strategies so the caller's shape is plan-independent."""
     decision = plan_join(
-        left, right, key, branch=branch,
+        left, right, key, how=how, branch=branch,
         broadcast_threshold_bytes=broadcast_threshold_bytes,
     )
     if decision["strategy"] == "spj":

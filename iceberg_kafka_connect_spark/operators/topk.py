@@ -55,8 +55,11 @@ def topk_per_group(
 
     ``order_by`` is ``[(col, "asc"|"desc"), ...]``; descending columns
     must be numeric (negated into the ascending struct sort), and the
-    last entry must be a unique tiebreaker. Output: the input columns
-    plus ``rank_col`` (INT, 1-based).
+    last entry must be a unique tiebreaker. Order keys must be non-null:
+    ``array_sort`` and the window form place struct-field nulls
+    differently, so null keys would diverge from the window twin —
+    filter or coalesce them upstream. Output: the input columns plus
+    ``rank_col`` (INT, 1-based).
     """
     if not order_by:
         raise ValueError("order_by must name at least one column")

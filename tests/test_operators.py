@@ -926,3 +926,25 @@ def test_plan_join_shuffle_with_skew_risk_from_ndv(spark, tmp_path):
     assert d["strategy"] == "shuffle"
     assert d["key_ndv"] == 40
     assert d["skew_risk"] is True  # 40 distinct keys << 4*200
+
+
+def test_plan_join_never_broadcasts_preserved_side(spark, tmp_path):
+    """Build-side legality: full outer never broadcasts; a right join only
+    broadcasts the left side (so a tiny dim on the preserved side falls
+    through to shuffle instead of an ignored hint)."""
+    from iceberg_kafka_connect_spark.operators.joinplan import (
+        plan_join,
+        stats_join,
+    )
+
+    big, dim = _mk_tables(spark, tmp_path)
+    assert plan_join(big, dim, "k", how="full")["strategy"] == "shuffle"
+    # right join: dim (right side) is tiny but preserved → only the LEFT
+    # side may build, and big exceeds the threshold → shuffle
+    d = plan_join(big, dim, "k", how="right",
+                  broadcast_threshold_bytes=1024)
+    assert d["strategy"] == "shuffle"
+    # results still correct on the outer paths
+    joined, _ = stats_join(spark, big, dim, "k", how="full")
+    want = big.read(spark).join(dim.read(spark), "k", "full").count()
+    assert joined.count() == want
