@@ -109,6 +109,22 @@ def main() -> None:
         }
         assert replica == live_rows, "changelog replay reconstructs the table"
         print("changelog mirror matches live table:", len(replica), "rows")
+
+        # 7. round-7 maintenance surface: squash the metadata walk without
+        # touching data, refresh column stats, stand up a zero-copy twin
+        snap = t.rewrite_manifests()
+        print("manifests squashed:", snap["summary"]["manifests-squashed"])
+        t.analyze(spark, mode="exact")
+        stats = t.column_stats()
+        print("order_id ndv:", stats["columns"]["order_id"]["ndv"])
+        twin = t.clone_to(wh + "/orders_staging")
+        assert twin.read(spark).count() == t.read(spark).count()
+        twin.append(
+            spark.createDataFrame([(9000, "TEST", 1)], "order_id long, "
+                                  "status string, total_cents long")
+        )
+        assert twin.read(spark).count() == t.read(spark).count() + 1
+        print("zero-copy staging twin diverged safely")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
         spark.stop()
