@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "table_zero_copy_clone",
     "docs_heavy_hitters",
     "stats_planned_join",
+    "maintenance_dangling_deletes",
 ]
 
 

@@ -150,6 +150,8 @@ def table_main(argv: list[str]) -> int:
     an.add_argument("--exact", action="store_true")
     cl = sub.add_parser("clone")
     cl.add_argument("dst", help="destination table name in this warehouse")
+    sub.add_parser("remove-dangling-deletes")
+    sub.add_parser("truncate")
     e = sub.add_parser("expire")
     e.add_argument("--keep", type=int, default=10)
     e.add_argument("--older-than-ms", type=int, default=None)
@@ -319,6 +321,16 @@ def table_main(argv: list[str]) -> int:
             columns=args.columns.split(",") if args.columns else None,
             mode="exact" if args.exact else "approx",
         )
+    elif args.action == "remove-dangling-deletes":
+        snap = t.remove_dangling_deletes()
+        out = (
+            {"snapshot_id": snap["snapshot_id"], "summary": snap["summary"]}
+            if snap
+            else {"status": "nothing dangling"}
+        )
+    elif args.action == "truncate":
+        snap = t.truncate()
+        out = {"snapshot_id": snap["snapshot_id"]}
     elif args.action == "clone":
         dst = catalog.clone_table(args.name, args.dst)
         head = dst.current_snapshot()
@@ -473,6 +485,7 @@ def maintain_main(argv: list[str]) -> int:
         help="squash metadata walks at least MIN manifests deep",
     )
     ap.add_argument("--binpack-min-size", type=int, default=None)
+    ap.add_argument("--remove-dangling-deletes", action="store_true")
     ap.add_argument("--expire-keep", type=int, default=None)
     ap.add_argument("--orphans-older-than-ms", type=int, default=None)
     ap.add_argument("--analyze", action="store_true")
@@ -504,6 +517,13 @@ def maintain_main(argv: list[str]) -> int:
                     _spark(), min_file_size=args.binpack_min_size
                 )
                 r["binpacked"] = snap is not None
+            if args.remove_dangling_deletes:
+                snap = t.remove_dangling_deletes()
+                r["dangling_deletes_removed"] = (
+                    int(snap["summary"]["dangling-deletes-removed"])
+                    if snap
+                    else 0
+                )
             if args.expire_keep is not None:
                 r["expired"] = t.expire_snapshots(keep_last=args.expire_keep)
             if args.orphans_older_than_ms is not None:

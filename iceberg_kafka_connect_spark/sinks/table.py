@@ -2986,6 +2986,80 @@ class LakehouseTable:
             expected_parent=head["snapshot_id"],
         )
 
+    def remove_dangling_deletes(self, branch: str = MAIN) -> dict | None:
+        """Iceberg's removeDanglingDeletes (a RewriteDataFiles option, also
+        what rewrite_position_delete_files prunes): drop live delete files
+        that can no longer mask anything — metadata-only, zero data I/O.
+
+        A delete file is dangling when:
+        - equality: no live data file has a LOWER sequence number (an
+          equality delete at seq s masks only rows with seq < s — after
+          compaction folded everything to the top seq, the delete is dead
+          weight every scan still reads);
+        - position: none of its referenced data-file paths are live (the
+          files were rewritten or expired out from under it).
+
+        Commits one ``remove-dangling-deletes`` replace snapshot carrying
+        the data files verbatim and only the still-effective delete files
+        (sequence numbers preserved). Returns the snapshot, or None when
+        nothing dangles. Why it matters at 100 TB: dangling deletes are
+        pure read amplification — every merge-on-read scan loads and
+        anti-joins them forever until something prunes them.
+        """
+        meta = self.metadata()
+        head = self.current_snapshot(branch)
+        if head is None:
+            return None
+        data, deletes = self._live_files(meta, head)
+        if not deletes:
+            return None
+        min_data_seq = min((f["seq"] for f in data), default=None)
+        live_paths = {f["path"] for f in data}
+        kept: list[dict] = []
+        dropped = 0
+        for d in deletes:
+            if d.get("delete_type") == "position":
+                alive = self._position_delete_refs([d]) & live_paths
+                keep = bool(alive)
+            else:
+                keep = min_data_seq is not None and min_data_seq < d["seq"]
+            if keep:
+                kept.append(d)
+            else:
+                dropped += 1
+        if dropped == 0:
+            return None
+        return self._commit_snapshot(
+            "remove-dangling-deletes",
+            data,
+            kept,
+            {
+                "dangling-deletes-removed": str(dropped),
+                "delete-files-kept": str(len(kept)),
+            },
+            branch,
+            replace=True,
+            preserve_seq=True,
+            expected_parent=head["snapshot_id"],
+        )
+
+    def truncate(self, branch: str = MAIN) -> dict:
+        """SQL TRUNCATE TABLE — one metadata commit, no data I/O: a
+        replace snapshot with an empty live set. History (and the data
+        files) survive for time travel until ``expire_snapshots`` +
+        ``remove_orphan_files``; rollback undoes it. Iceberg implements
+        TRUNCATE exactly this way (a deleteAll overwrite commit)."""
+        head = self.current_snapshot(branch)
+        return self._commit_snapshot(
+            "truncate",
+            [],
+            [],
+            {"truncate": "true"},
+            branch,
+            replace=True,
+            expected_parent=head["snapshot_id"] if head else None,
+        )
+
     def rewrite_where(
         self,
         spark: SparkSession,

@@ -2898,3 +2898,68 @@ def stats_planned_join(spark, sf_dir):
         "sum_ids",
         F.lit(decision["strategy"] == "broadcast").alias("broadcast_planned"),
     )
+
+
+# --------------------------------------------------------------------------
+# remove_dangling_deletes (Iceberg RewriteDataFiles removeDanglingDeletes):
+# after a binpack rewrote every data file to the top sequence, the upsert's
+# equality-delete files mask nothing but are still loaded by every scan.
+# The gate proves the prune is metadata-only and read-neutral: rows after =
+# rows before = the upsert-patched state, with the delete files gone.
+# --------------------------------------------------------------------------
+@register(
+    "maintenance_dangling_deletes",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_type = 'patched' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_patched,
+           TRUE AS deletes_pruned,
+           TRUE AS reads_unchanged
+    FROM (
+        SELECT event_id,
+               CASE WHEN event_id >= 100 AND event_id < 150
+                    THEN 'patched' ELSE event_type END AS event_type
+        FROM events WHERE event_id < 400
+    )
+    """,
+    tags=("ingestion", "lakehouse", "maintenance"),
+)
+def maintenance_dangling_deletes(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="dangle_gate_")
+    t = LakehouseTable.create(
+        base + "/t", e.schema, identifier_fields=["event_id"]
+    )
+    t.append(e.filter(F.col("event_id") < 400))
+    t.upsert(
+        e.filter((F.col("event_id") >= 100) & (F.col("event_id") < 150))
+        .withColumn("event_type", F.lit("patched"))
+    )
+    t.rewrite_small_files(spark, min_file_size=1 << 40)  # all → top seq
+    had_deletes = len(t.live_files()[1]) >= 1
+    before = t.read(spark).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.crc32("event_type")).alias("h")
+    ).first()
+    snap = t.remove_dangling_deletes()
+    after = t.read(spark).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.crc32("event_type")).alias("h")
+    ).first()
+    deletes_pruned = (
+        had_deletes and snap is not None and t.live_files()[1] == []
+    )
+    reads_unchanged = (before.n, before.h) == (after.n, after.h)
+    return t.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("event_type") == "patched", 1).otherwise(0)
+        ).cast("bigint").alias("n_patched"),
+    ).select(
+        "n_rows",
+        "n_patched",
+        F.lit(bool(deletes_pruned)).alias("deletes_pruned"),
+        F.lit(bool(reads_unchanged)).alias("reads_unchanged"),
+    )

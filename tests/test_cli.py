@@ -375,6 +375,12 @@ def test_cli_rewrite_manifests_analyze_stats_clone(spark, tmp_path, capsys):
     assert c.read(spark).count() == 3
     assert run("stats", name="default.r7copy") == {"status": "never analyzed"}
 
+    assert run("remove-dangling-deletes") == {"status": "nothing dangling"}
+    out = run("truncate", name="default.r7copy")
+    assert "snapshot_id" in out
+    assert c.read(spark).count() == 0
+    assert t.read(spark).count() == 3  # zero-copy source untouched
+
 
 def test_cli_warehouse_maintain_sweep(spark, tmp_path, capsys):
     """`maintain`: one warehouse-wide pass over every table, steps opt-in,

@@ -668,3 +668,55 @@ def test_auto_manifest_merge_property(spark, catalog):
     for i in range(6):
         u.append(spark.createDataFrame([(i, "x")], SCHEMA))
     assert _walk_depth(u) == 6
+
+
+# ---------------------------------------------------------------- X86
+# remove_dangling_deletes + truncate: metadata-only MoR hygiene / DDL
+# ----------------------------------------------------------------
+def test_remove_dangling_equality_deletes_after_compaction(spark, catalog):
+    t = catalog.create_table(
+        "default.dangle", SCHEMA, identifier_fields=["id"]
+    )
+    t.append(spark.createDataFrame([(i, "old") for i in range(10)], SCHEMA))
+    t.upsert(spark.createDataFrame([(3, "new")], SCHEMA))
+    assert len(t.live_files()[1]) >= 1
+    # binpack everything: data rewritten to the TOP sequence with deletes
+    # folded in, but the delete files themselves stay in the manifest —
+    # they now mask nothing (no live data below their seq) = dangling
+    t.rewrite_small_files(spark, min_file_size=1 << 40)
+    assert len(t.live_files()[1]) >= 1
+    before = sorted(map(tuple, t.read(spark).collect()))
+    snap = t.remove_dangling_deletes()
+    assert snap is not None
+    assert t.live_files()[1] == []
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    assert (3, "new") in before and len(before) == 10
+    # idempotent
+    assert t.remove_dangling_deletes() is None
+
+
+def test_remove_dangling_deletes_keeps_effective_ones(spark, catalog):
+    t = catalog.create_table(
+        "default.dangle2", SCHEMA, identifier_fields=["id"]
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    t.upsert(spark.createDataFrame([(1, "patched")], SCHEMA))
+    # the delete still masks seq-1 data: nothing to prune
+    assert t.remove_dangling_deletes() is None
+    assert {r.v for r in t.read(spark).filter(F.col("id") == 1).collect()} == {
+        "patched"
+    }
+
+
+def test_truncate_metadata_only_and_time_travel(spark, catalog):
+    t = catalog.create_table("default.trunc", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    pre = t.current_snapshot()["snapshot_id"]
+    snap = t.truncate()
+    assert snap["operation"] == "truncate"
+    assert t.read(spark).count() == 0
+    assert t.count_rows() == 0
+    # data survives for time travel; rollback restores
+    assert t.read(spark, snapshot_id=pre).count() == 2
+    t.rollback(pre)
+    assert t.read(spark).count() == 2
