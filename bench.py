@@ -376,6 +376,14 @@ def main() -> None:
     #   probe DEGRADED during the ingest segment in all three (0.26/0.23
     #   starts) — the twice-closed phantom pattern (r5, r6); re-measure
     #   in a calm window before believing it.
+    # Late-r7 full session (2026-08-16, probes 0.09-0.12 START TO END —
+    # cleanest window yet, 122 queries incl. the 11 late-r7 additions):
+    # ingest_cdc_upsert 2.29s = 0.99x of r6's 2.31 — third phantom
+    # CLOSED; spj_bucket_join 2.89s = 1.25x of r6 (inside the ±25-30%
+    # band, not the hot-window 3.13) — watch CLOSED;
+    # changelog_stream_sync 4.44s (below r6's 5.28); docs_token_budget
+    # 0.93s, matching the documented deliberate scale-safe band. No
+    # other query >1.5x of its r6 value at healthy probes.
     for name, runs in spread.items():
         if (max(runs) - min(runs)) / max(min(runs), 0.01) > 0.5:
             t0 = time.perf_counter()
