@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "docs_heavy_hitters",
     "stats_planned_join",
     "maintenance_dangling_deletes",
+    "smt_json_variant_extract",
 ]
 
 

@@ -2963,3 +2963,38 @@ def maintenance_dangling_deletes(spark, sf_dir):
         F.lit(bool(deletes_pruned)).alias("deletes_pruned"),
         F.lit(bool(reads_unchanged)).alias("reads_unchanged"),
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT extraction (Spark 4's native schemaless-JSON lane, the modern
+# sibling of the JsonToMap SMT family): events.props parses once into a
+# VariantType value; typed fields come out via variant_get paths. The
+# oracle is DuckDB's json_extract on the same payloads.
+# --------------------------------------------------------------------------
+@register(
+    "smt_json_variant_extract",
+    oracle="""
+    SELECT CAST(k % 10 AS BIGINT) AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+    )
+    WHERE k IS NOT NULL
+    GROUP BY k % 10
+    """,
+    tags=("ingestion", "smt"),
+)
+def smt_json_variant_extract(spark, sf_dir):
+    from ..transforms.json_to_map import json_variant_columns
+
+    e = table(spark, sf_dir, "events").select("event_id", "props")
+    extracted = json_variant_columns("props", {"k": ("$.k", "bigint")})(e)
+    return (
+        extracted.filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).cast("bigint").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )

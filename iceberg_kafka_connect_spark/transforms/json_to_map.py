@@ -86,3 +86,30 @@ def json_keys_as_strings(column: str):
         )
 
     return _apply
+
+
+def json_variant_columns(column: str, fields: dict[str, tuple[str, str]]):
+    """The VARIANT lane of the JSON transforms (Spark 4 native): parse the
+    JSON payload ONCE into a VariantType value and extract the requested
+    fields as typed columns via ``variant_get`` paths.
+
+    ``fields`` maps output column name → (variant path, spark type), e.g.
+    ``{"k": ("$.k", "bigint"), "first_tag": ("$.tags[0]", "string")}``.
+
+    Versus the two existing lanes (JsonToMapTransform parity,
+    transforms/json_to_map.py): schema inference needs a sample pass and
+    locks a schema; map<string,string> stringifies everything. Variant
+    parses once into a binary-encoded value, keeps the full structure, and
+    extraction is codegen'd path access with per-field typed casts — the
+    right schemaless lane at 100 TB (no inference job, no per-query
+    re-parse when the variant column is materialized upstream).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        v = F.parse_json(F.col(column))
+        out = df
+        for name, (path, dtype) in fields.items():
+            out = out.withColumn(name, F.variant_get(v, path, dtype))
+        return out
+
+    return _apply

@@ -362,3 +362,38 @@ def test_extension_smt_bad_splits_raises(spark):
                 "transforms.s.splits": "train-0.8",
             }
         )
+
+
+def test_json_variant_columns_typed_paths(spark):
+    from iceberg_kafka_connect_spark.transforms.json_to_map import (
+        json_variant_columns,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 7, "tags": ["x", "y"], "meta": {"depth": 2}}',),
+            ('{"k": "8"}',),          # variant_get casts string → bigint
+            ('{"other": true}',),     # missing path → NULL
+            (None,),                   # null payload → NULL
+        ],
+        ["props"],
+    )
+    out = json_variant_columns(
+        "props",
+        {
+            "k": ("$.k", "bigint"),
+            "first_tag": ("$.tags[0]", "string"),
+            "depth": ("$.meta.depth", "int"),
+        },
+    )(df)
+    rows = out.select("k", "first_tag", "depth").collect()
+    assert [tuple(r) for r in rows] == [
+        (7, "x", 2),
+        (8, None, None),
+        (None, None, None),
+        (None, None, None),
+    ]
+    # stays JVM-side: no Python evaluation in the plan
+    from iceberg_kafka_connect_spark.plans import assert_plan
+
+    assert_plan(out, absent=["BatchEvalPython", "ArrowEvalPython"])
