@@ -148,6 +148,12 @@ def table_main(argv: list[str]) -> int:
     an = sub.add_parser("analyze")
     an.add_argument("--columns", help="comma-separated subset (default: all)")
     an.add_argument("--exact", action="store_true")
+    an.add_argument(
+        "--incremental",
+        action="store_true",
+        help="scan only files appended since the last sketch-bearing "
+        "ANALYZE and union the HLL sketches (falls back to full approx)",
+    )
     cl = sub.add_parser("clone")
     cl.add_argument("dst", help="destination table name in this warehouse")
     sub.add_parser("remove-dangling-deletes")
@@ -316,11 +322,20 @@ def table_main(argv: list[str]) -> int:
         out = t.column_stats() or {"status": "never analyzed"}
     elif args.action == "analyze":
         spark = get_spark(app_name="table-maintenance")
+        if args.exact and args.incremental:
+            raise SystemExit("--exact and --incremental are mutually exclusive")
         out = t.analyze(
             spark,
             columns=args.columns.split(",") if args.columns else None,
-            mode="exact" if args.exact else "approx",
+            mode="exact" if args.exact
+            else ("incremental" if args.incremental else "approx"),
         )
+        out = {k: v for k, v in out.items() if k != "columns"} | {
+            "columns": {
+                c: {k: v for k, v in st.items() if k != "sketch"}
+                for c, st in out["columns"].items()
+            }
+        }
     elif args.action == "remove-dangling-deletes":
         snap = t.remove_dangling_deletes()
         out = (
@@ -533,7 +548,9 @@ def maintain_main(argv: list[str]) -> int:
                     )
                 )
             if args.analyze:
-                t.analyze(_spark())
+                # incremental: a sweep re-analyzes the fleet every run —
+                # only the newly appended files should pay
+                t.analyze(_spark(), mode="incremental")
                 r["analyzed"] = True
         except Exception as e:  # noqa: BLE001 — sweep must finish the fleet
             r["error"] = f"{type(e).__name__}: {e}"

@@ -1293,20 +1293,32 @@ class LakehouseTable:
         "Table statistics"; SparkActions.computeTableStats writes
         apache-datasketches-theta-v1 NDV blobs the same way).
 
-        ``mode="approx"`` uses ``approx_count_distinct`` (HyperLogLog++,
-        one pass, mergeable — the 100 TB path, exactly what the theta
-        sketch buys Iceberg); ``mode="exact"`` uses ``count_distinct``
-        for verification-scale runs. All aggregates run in ONE ``agg``
-        over one scan — Catalyst fuses them into a single
-        partial/final hash aggregation, so cost is one table pass
-        regardless of column count.
+        ``mode="approx"`` computes Apache Datasketches HLL sketches
+        (``hll_sketch_agg`` — one pass, MERGEABLE binaries, exactly what
+        the theta sketch buys Iceberg) and stores them base64 in the doc;
+        ``mode="exact"`` uses ``count_distinct`` for verification-scale
+        runs. ``mode="incremental"`` is the 100 TB refresh path: when the
+        nearest analyzed ancestor carries sketches and the history since
+        it is append-only, ONLY the newly appended files are scanned and
+        the sketches are unioned — stats refresh cost is O(new data), not
+        O(table). Null counts and row counts merge exactly; bounds fold
+        (decimal bounds degrade to None on the merge path — their string
+        rendering doesn't order). Falls back to a full approx rebuild
+        when no sketch-bearing ancestor exists or the range contains a
+        rewrite/delete. All aggregates run in ONE ``agg`` over one scan —
+        Catalyst fuses them into a single partial/final hash aggregation,
+        so cost is one pass regardless of column count.
 
         Consumers: join planners read ``column_stats()`` NDV to choose
         broadcast sides and pre-size shuffle partitions; ``stats_df``
         exposes the same rows as a metadata table.
         """
-        if mode not in ("approx", "exact"):
-            raise ValueError(f"mode must be approx|exact, got {mode!r}")
+        import base64
+
+        if mode not in ("approx", "exact", "incremental"):
+            raise ValueError(
+                f"mode must be approx|exact|incremental, got {mode!r}"
+            )
         snap = self.current_snapshot(branch)
         if snap is None:
             raise ValueError(f"branch {branch!r} has no snapshot to analyze")
@@ -1328,19 +1340,53 @@ class LakehouseTable:
                     f"cannot analyze {sorted(missing)}: not atomic columns "
                     "of the table schema"
                 )
-        df = self.read(spark, branch=branch).select(
-            *[f.name for f in fields]
-        )
+
+        def _sk(f: T.StructField) -> Column:
+            # hll_sketch_agg accepts int/long/string/binary; everything
+            # else sketches its string rendering (distinct-preserving)
+            c = F.col(f.name)
+            if isinstance(f.dataType, (T.IntegerType, T.LongType, T.StringType)):
+                return c
+            return c.cast("string")
+
+        prev = None
+        if mode == "incremental":
+            cand = self.column_stats(branch)
+            usable = cand is not None and all(
+                (cand["columns"].get(f.name) or {}).get("sketch") is not None
+                for f in fields
+            )
+            if usable and cand["snapshot-id"] == snap["snapshot_id"]:
+                return cand  # stats already current for this head
+            if usable:
+                try:
+                    inc_df = self.appends_between(
+                        spark, cand["snapshot-id"], branch=branch
+                    )
+                    prev = cand
+                except ValueError:
+                    prev = None  # rewrite/delete in range → full rebuild
+
+        with_sketch = mode in ("approx", "incremental")
+        if prev is not None:
+            df = inc_df.select(*[f.name for f in fields])
+        else:
+            df = self.read(spark, branch=branch).select(
+                *[f.name for f in fields]
+            )
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for i, f in enumerate(fields):
             c = F.col(f.name)
-            ndv = (
-                F.count_distinct(c)
-                if mode == "exact"
-                else F.approx_count_distinct(c)
-            )
+            if with_sketch:
+                aggs += [
+                    F.hll_sketch_estimate(F.hll_sketch_agg(_sk(f))).alias(
+                        f"__ndv{i}"
+                    ),
+                    F.hll_sketch_agg(_sk(f)).alias(f"__sk{i}"),
+                ]
+            else:
+                aggs.append(F.count_distinct(c).alias(f"__ndv{i}"))
             aggs += [
-                ndv.alias(f"__ndv{i}"),
                 F.count(F.when(c.isNull(), 1)).alias(f"__nulls{i}"),
                 F.min(c).alias(f"__lo{i}"),
                 F.max(c).alias(f"__hi{i}"),
@@ -1352,20 +1398,87 @@ class LakehouseTable:
                 return v
             return str(v)  # dates/timestamps/decimals → ISO-ish strings
 
-        doc = {
-            "snapshot-id": snap["snapshot_id"],
-            "mode": mode,
-            "row-count": row["__rows"],
-            "columns": {
-                f.name: {
-                    "ndv": row[f"__ndv{i}"],
-                    "null-count": row[f"__nulls{i}"],
-                    "lower-bound": _render(row[f"__lo{i}"]),
-                    "upper-bound": _render(row[f"__hi{i}"]),
+        def _b64(sk) -> str | None:
+            return (
+                base64.b64encode(bytes(sk)).decode() if sk is not None else None
+            )
+
+        if prev is None:
+            doc = {
+                "snapshot-id": snap["snapshot_id"],
+                "mode": mode,
+                "row-count": row["__rows"],
+                "columns": {
+                    f.name: {
+                        "ndv": row[f"__ndv{i}"],
+                        "null-count": row[f"__nulls{i}"],
+                        "lower-bound": _render(row[f"__lo{i}"]),
+                        "upper-bound": _render(row[f"__hi{i}"]),
+                        **(
+                            {"sketch": _b64(row[f"__sk{i}"])}
+                            if with_sketch
+                            else {}
+                        ),
+                    }
+                    for i, f in enumerate(fields)
+                },
+            }
+        else:
+            # merge: union sketches (one tiny Spark job over ≤2 rows per
+            # column), add counts, fold bounds
+            pairs = []
+            for i, f in enumerate(fields):
+                psk = prev["columns"][f.name].get("sketch")
+                if psk is not None:
+                    pairs.append((f.name, base64.b64decode(psk)))
+                nsk = row[f"__sk{i}"]
+                if nsk is not None:
+                    pairs.append((f.name, bytes(nsk)))
+            merged: dict = {}
+            if pairs:
+                u = spark.createDataFrame(pairs, "name string, sk binary")
+                merged = {
+                    r["name"]: (r["est"], r["sk"])
+                    for r in u.groupBy("name")
+                    .agg(
+                        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                            "est"
+                        ),
+                        F.hll_union_agg("sk").alias("sk"),
+                    )
+                    .collect()
                 }
-                for i, f in enumerate(fields)
-            },
-        }
+
+            def _fold(a, b, pick, f):
+                if isinstance(f.dataType, T.DecimalType):
+                    return None  # rendered decimals don't order; degrade
+                if a is None:
+                    return b
+                if b is None:
+                    return a
+                return pick(a, b)
+
+            doc = {
+                "snapshot-id": snap["snapshot_id"],
+                "mode": "incremental",
+                "base-snapshot": prev["snapshot-id"],
+                "row-count": prev["row-count"] + row["__rows"],
+                "columns": {},
+            }
+            for i, f in enumerate(fields):
+                p = prev["columns"][f.name]
+                est, sk = merged.get(f.name, (p["ndv"], None))
+                doc["columns"][f.name] = {
+                    "ndv": est,
+                    "null-count": p["null-count"] + row[f"__nulls{i}"],
+                    "lower-bound": _fold(
+                        p["lower-bound"], _render(row[f"__lo{i}"]), min, f
+                    ),
+                    "upper-bound": _fold(
+                        p["upper-bound"], _render(row[f"__hi{i}"]), max, f
+                    ),
+                    "sketch": _b64(sk) if sk is not None else p.get("sketch"),
+                }
         rel = os.path.join(
             "metadata", f"stats-{snap['snapshot_id']}-{uuid.uuid4().hex[:8]}.json"
         )

@@ -720,3 +720,52 @@ def test_truncate_metadata_only_and_time_travel(spark, catalog):
     assert t.read(spark, snapshot_id=pre).count() == 2
     t.rollback(pre)
     assert t.read(spark).count() == 2
+
+
+def test_analyze_incremental_merges_sketches(spark, catalog):
+    """Incremental ANALYZE scans only appended files and unions sketches:
+    counts/bounds merge exactly, NDV estimate tracks the union."""
+    t = catalog.create_table("default.an_inc", SCHEMA)
+    t.append(spark.createDataFrame([(i, "a") for i in range(500)], SCHEMA))
+    base = t.analyze(spark, mode="approx")
+    assert base["columns"]["id"]["sketch"] is not None
+    t.append(
+        spark.createDataFrame(
+            [(i, "b") for i in range(400, 900)] + [(None, None)], SCHEMA
+        )
+    )
+    doc = t.analyze(spark, mode="incremental")
+    assert doc["mode"] == "incremental"
+    assert doc["base-snapshot"] == base["snapshot-id"]
+    assert doc["row-count"] == 1001
+    assert doc["columns"]["id"]["null-count"] == 1
+    assert doc["columns"]["id"]["lower-bound"] == 0
+    assert doc["columns"]["id"]["upper-bound"] == 899
+    assert abs(doc["columns"]["id"]["ndv"] - 900) / 900 < 0.05
+    assert set(doc["columns"]["v"].keys()) >= {"ndv", "sketch"}
+    assert doc["columns"]["v"]["ndv"] == 2
+    # idempotent: already-current head returns the same doc
+    again = t.analyze(spark, mode="incremental")
+    assert again["snapshot-id"] == doc["snapshot-id"]
+
+
+def test_analyze_incremental_falls_back_across_rewrites(spark, catalog):
+    t = catalog.create_table(
+        "default.an_inc2", SCHEMA, identifier_fields=["id"]
+    )
+    t.append(spark.createDataFrame([(i, "a") for i in range(100)], SCHEMA))
+    t.analyze(spark, mode="approx")
+    t.upsert(spark.createDataFrame([(5, "patched")], SCHEMA))
+    t.compact(spark)  # rewrite: the increment is no longer expressible
+    doc = t.analyze(spark, mode="incremental")
+    # full rebuild: mode recorded as requested-but-rebuilt → no base
+    assert "base-snapshot" not in doc
+    assert doc["row-count"] == 100
+    assert abs(doc["columns"]["id"]["ndv"] - 100) <= 5
+    # exact-mode ancestor (no sketches) also forces a full rebuild
+    u = catalog.create_table("default.an_inc3", SCHEMA)
+    u.append(spark.createDataFrame([(1, "x")], SCHEMA))
+    u.analyze(spark, mode="exact")
+    u.append(spark.createDataFrame([(2, "y")], SCHEMA))
+    doc = u.analyze(spark, mode="incremental")
+    assert doc["row-count"] == 2 and "base-snapshot" not in doc
