@@ -229,3 +229,70 @@ def test_phash_groups_at_10x(spark, sf_dir):
     }
     assert set(big) == set(small)
     assert all(big[h] == n * MULT for h, n in small.items())
+
+
+def test_topk_per_group_at_10x(spark, sf_dir):
+    """10× docs per domain: top-K output size is invariant (K per group),
+    and per-task state stays bounded (the two-level agg, not a window)."""
+    from iceberg_kafka_connect_spark.operators.topk import topk_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars", F.col("source").alias("domain")
+    )
+    big = _amplify(docs, "doc_id")
+    small_out = topk_per_group(
+        docs, ["domain"], [("n_chars", "desc"), ("doc_id", "asc")], 5
+    )
+    big_out = topk_per_group(
+        big, ["domain"], [("n_chars", "desc"), ("doc_id", "asc")], 5
+    )
+    # same domains → same number of capped rows regardless of input size
+    assert small_out.count() == big_out.count()
+
+
+def test_frequent_items_at_10x(spark, sf_dir):
+    """10× token stream at the same relative support: the SAME items
+    qualify with 10× the counts (exact linearity), and MG capacity is
+    unchanged (it depends on total/support, which is scale-free)."""
+    from iceberg_kafka_connect_spark.operators.sketch import frequent_items
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        "doc_id",
+    )
+    big_terms = _amplify(terms, "doc_id").select("term")
+    terms = terms.select("term")
+    n = terms.count()
+    small = {
+        (r.term, r.n)
+        for r in frequent_items(terms, "term", max(1, n // 100), total=n)
+        .collect()
+    }
+    big = {
+        (r.term, r.n)
+        for r in frequent_items(
+            big_terms, "term", max(1, n * MULT // 100), total=n * MULT
+        ).collect()
+    }
+    assert {(t, c * MULT) for t, c in small} == big
+
+
+def test_incremental_analyze_scans_only_the_increment(spark, sf_dir, tmp_path):
+    """The refresh cost contract: after a 10×-size base, an incremental
+    ANALYZE over a tiny append reads the appended files only (row count of
+    the scanned increment == appended rows, proven via the merge math)."""
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    t = LakehouseTable.create(str(tmp_path / "inc10x"), docs.schema)
+    t.append(_amplify(docs, "doc_id"))
+    base = t.analyze(spark, mode="approx")
+    t.append(docs.limit(7).withColumn("doc_id", F.col("doc_id") + 99_000_000))
+    doc = t.analyze(spark, mode="incremental")
+    assert doc["row-count"] == base["row-count"] + 7
+    assert doc["base-snapshot"] == base["snapshot-id"]
