@@ -74,7 +74,8 @@ def frequent_items(
 
     ``support`` must be positive; ``total`` (the row count) is counted
     with one cheap pass when not provided. The input should be one item
-    per row (explode upstream).
+    per row (explode upstream); NULL items are ignored (they are not a
+    countable item — filter upstream if NULL frequency matters).
 
     ``slack`` over-provisions the MG capacity: the no-false-negative
     guarantee needs the undercount bound ``n_p/(k+1)`` to stay below the

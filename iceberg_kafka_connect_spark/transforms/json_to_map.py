@@ -106,7 +106,10 @@ def json_variant_columns(column: str, fields: dict[str, tuple[str, str]]):
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        v = F.parse_json(F.col(column))
+        # try_parse_json: malformed payloads are routine on a kafka topic —
+        # they extract as NULLs instead of failing the batch (the same
+        # tolerance the reference's JSON transforms have)
+        v = F.try_parse_json(F.col(column))
         out = df
         for name, (path, dtype) in fields.items():
             out = out.withColumn(name, F.variant_get(v, path, dtype))

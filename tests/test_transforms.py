@@ -374,6 +374,7 @@ def test_json_variant_columns_typed_paths(spark):
             ('{"k": 7, "tags": ["x", "y"], "meta": {"depth": 2}}',),
             ('{"k": "8"}',),          # variant_get casts string → bigint
             ('{"other": true}',),     # missing path → NULL
+            ("not json {",),          # malformed payload → NULL, not error
             (None,),                   # null payload → NULL
         ],
         ["props"],
@@ -390,6 +391,7 @@ def test_json_variant_columns_typed_paths(spark):
     assert [tuple(r) for r in rows] == [
         (7, "x", 2),
         (8, None, None),
+        (None, None, None),
         (None, None, None),
         (None, None, None),
     ]
