@@ -16,9 +16,10 @@ Canonical form (documented contract, in order):
 1. trim; strip the fragment (``#...``);
 2. scheme and host lowercased; path/query case preserved (case-sensitive
    per RFC 3986);
-3. host: strip one leading ``www.``; ports are dropped entirely (crawl
-   URLs on non-default ports are near-noise; a canonical KEY may merge
-   them);
+3. host: strip every leading ``www.`` label (one-shot ``^(www\.)+`` so
+   the transform is idempotent — a dedup KEY may merge the odd
+   ``www.www.x`` host); ports are dropped entirely (crawl URLs on
+   non-default ports are near-noise);
 4. path: collapse ``//+`` runs to ``/``, strip trailing slashes;
 5. query: split on ``&``, drop empty pairs and tracking params
    (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``mc_cid``,
@@ -71,7 +72,7 @@ def url_host(url: Column) -> Column:
     h = F.regexp_extract(_strip_fragment(url), _AUTHORITY_RE, 1)
     h = F.regexp_replace(h, r"^[^@]*@", "")   # userinfo
     h = F.lower(F.regexp_replace(h, r":[0-9]*$", ""))  # port
-    h = F.regexp_replace(h, r"^www\.", "")
+    h = F.regexp_replace(h, r"^(www\.)+", "")
     return F.when(h != "", h)
 
 
@@ -121,3 +122,30 @@ def registrable_domain(host: Column) -> Column:
     return F.when(
         n > take, F.array_join(F.slice(labels, -take, take), ".")
     ).otherwise(host)
+
+
+def filter_blocked_domains(
+    df, url_col: str, blocklist, keep_unparseable: bool = False
+):
+    """Drop rows whose registrable domain is on ``blocklist`` (the
+    URL-filtering stage of RefinedWeb §3.1: adult/malware/spam domain
+    lists). ``blocklist`` is a small collection of registrable domains —
+    broadcast anti-join, so the corpus never shuffles. Unparseable URLs
+    (no scheme://host) drop by default; ``keep_unparseable`` retains them
+    for a later text-level filter."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    dom = registrable_domain(url_host(F.col(url_col)))
+    tagged = df.withColumn("__dom", dom)
+    blocked = F.broadcast(
+        spark.createDataFrame([(d,) for d in blocklist], "__dom string")
+    )
+    out = tagged.join(blocked, on="__dom", how="left_anti")
+    if not keep_unparseable:
+        out = out.filter(F.col("__dom").isNotNull())
+    else:
+        # left_anti keeps NULL __dom rows (NULL never matches) — nothing
+        # further to do
+        pass
+    return out.drop("__dom")

@@ -137,7 +137,7 @@ _URL_CANON_SQL = r"""
                    regexp_extract(nu,
                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
                    '^[^@]*@', '', 'g'), ':[0-9]*$', '', 'g')),
-                   '^www\.', '', 'g') AS host,
+                   '^(www\.)+', '', 'g') AS host,
                regexp_replace(regexp_replace(
                    regexp_extract(nu,
                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),

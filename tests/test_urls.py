@@ -141,3 +141,50 @@ def test_docs_domain_caps_plan_no_window(spark, sf_dir):
 
     df = load_all()["docs_domain_caps"].fn(spark, sf_dir)
     assert_plan(df, absent=["Window", "BatchEvalPython"])
+
+
+def test_filter_blocked_domains(spark):
+    from iceberg_kafka_connect_spark.operators.urls import (
+        filter_blocked_domains,
+    )
+    from iceberg_kafka_connect_spark.plans import assert_plan, count_in_plan
+
+    df = spark.createDataFrame(
+        [
+            ("https://www.spam-farm.com/x", 1),
+            ("https://sub.spam-farm.com/y", 2),   # subdomain blocked too
+            ("https://fine.org/z", 3),
+            ("not a url", 4),
+        ],
+        ["url", "id"],
+    )
+    out = filter_blocked_domains(df, "url", ["spam-farm.com"])
+    assert {r.id for r in out.collect()} == {3}
+    kept = filter_blocked_domains(df, "url", ["spam-farm.com"],
+                                  keep_unparseable=True)
+    assert {r.id for r in kept.collect()} == {3, 4}
+    assert count_in_plan(out, "BroadcastHashJoin") >= 1
+    assert_plan(out, absent=["SortMergeJoin", "BatchEvalPython"])
+
+
+def test_canonicalize_idempotent_property(spark):
+    """Hypothesis: canonicalize(canonicalize(u)) == canonicalize(u) over
+    generated URL-ish strings (noise prefixes, ports, params, fragments)."""
+    from hypothesis import given, settings, strategies as st
+
+    host_label = st.sampled_from(["Ex-1", "news", "WWW", "a.b"])
+    tld = st.sampled_from([".COM", ".co.uk", ".io"])
+    prefix = st.sampled_from(["", "www.", "USER:pw@", "Media."])
+    port = st.sampled_from(["", ":443", ":8080"])
+    path = st.sampled_from(["", "/", "/A//b/", "/x"])
+    query = st.sampled_from(["", "?", "?b=2&a=1", "?utm_x=1", "?a=1&utm_y=2&a=1"])
+    frag = st.sampled_from(["", "#f", "#"])
+
+    @settings(max_examples=20, deadline=None)
+    @given(prefix, host_label, tld, port, path, query, frag)
+    def check(pre, label, t, po, pa, q, fr):
+        u = f"HTTPS://{pre}{label}{t}{po}{pa}{q}{fr}"
+        once = _canon(spark, [u])
+        assert _canon(spark, once) == once
+
+    check()
