@@ -1474,6 +1474,13 @@ def export_iceberg_metadata(
         op = snap_x.get("operation") or (
             "overwrite" if added_del else "append"
         )
+        # maintenance operations have exact Iceberg analogues
+        op = {
+            "rewrite-manifests": "replace",   # metadata-only squash
+            "remove-dangling-deletes": "replace",
+            "truncate": "delete",             # Iceberg TRUNCATE = deleteAll
+            "clone": "append",                # zero-copy registration
+        }.get(op, op)
         if op not in ("append", "replace", "overwrite", "delete"):
             op = "overwrite"
         snapshot_json = {
