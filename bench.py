@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "stats_planned_join",
     "maintenance_dangling_deletes",
     "smt_json_variant_extract",
+    "curation_pipeline_web",
 ]
 
 

@@ -266,3 +266,101 @@ def docs_domain_caps(spark, sf_dir):
     return topk_per_group(
         d, ["domain"], [("n_chars", "desc"), ("doc_id", "asc")], k=20
     ).select("domain", "doc_id", "n_chars", "rk")
+
+
+# --------------------------------------------------------------------------
+# The WEB curation pipeline composed end-to-end (RefinedWeb §3.1 order):
+# domain blocklist → canonical-URL exact dedup (keep lowest doc_id) →
+# per-domain caps → per-source corpus stats. Every stage is the engine
+# operator; the oracle reproduces the identical pipeline in SQL CTEs. Scale
+# shape: blocklist is a broadcast anti-join, dedup is groupBy + semi-join
+# (no window), caps is the bounded two-level top-K — the pipeline adds no
+# shuffle beyond its parts and never sorts a whole domain in one task.
+# --------------------------------------------------------------------------
+@register(
+    "curation_pipeline_web",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, n_chars, source, {_URL_SYNTH_SQL} AS u FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, regexp_replace(trim(u), '#.*$', '', 'g') AS nu FROM d
+    ),
+    {_URL_CANON_SQL},
+    dom AS (
+        SELECT c.doc_id, c.canonical_url,
+               CASE WHEN c.host LIKE '%.co.uk' THEN
+                   CASE WHEN len(string_split(c.host, '.')) > 3
+                        THEN array_to_string(string_split(c.host, '.')[-3:], '.')
+                        ELSE c.host END
+               ELSE
+                   CASE WHEN len(string_split(c.host, '.')) > 2
+                        THEN array_to_string(string_split(c.host, '.')[-2:], '.')
+                        ELSE c.host END
+               END AS domain
+        FROM canon c
+    ),
+    unblocked AS (
+        SELECT d.doc_id, d.n_chars, d.source, m.canonical_url, m.domain
+        FROM d JOIN dom m USING (doc_id)
+        WHERE m.domain NOT IN ('src0-0.com', 'src0-0.co.uk', 'src1-3.com')
+    ),
+    dedup AS (
+        SELECT * FROM (
+            SELECT u.*, MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep
+            FROM unblocked u
+        ) WHERE doc_id = keep
+    ),
+    caps AS (
+        SELECT * FROM (
+            SELECT dedup.*,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY domain ORDER BY n_chars DESC, doc_id
+                   ) AS rk
+            FROM dedup
+        ) WHERE rk <= 10
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM caps GROUP BY source
+    """,
+    tags=("curation", "urls"),
+)
+def curation_pipeline_web(spark, sf_dir):
+    from ..operators.topk import topk_per_group
+    from ..operators.urls import (
+        canonicalize_url,
+        filter_blocked_domains,
+        registrable_domain,
+        url_host,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "source")
+        .withColumn("url", _synth_url_col())
+    )
+    unblocked = filter_blocked_domains(
+        docs, "url", ["src0-0.com", "src0-0.co.uk", "src1-3.com"]
+    )
+    canon = unblocked.withColumn(
+        "canonical_url", canonicalize_url(F.col("url"))
+    )
+    # window-free keep-lowest-doc_id per canonical URL: map-side-combined
+    # min + semi-join back (the canonical key never sorts in one task)
+    keep = canon.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id"))
+    dedup = canon.join(keep, ["canonical_url", "doc_id"], "left_semi")
+    dom = dedup.withColumn(
+        "domain", registrable_domain(url_host(F.col("url")))
+    )
+    caps = topk_per_group(
+        dom.select("doc_id", "n_chars", "source", "domain"),
+        ["domain"],
+        [("n_chars", "desc"), ("doc_id", "asc")],
+        k=10,
+    )
+    return caps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
