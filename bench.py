@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "maintenance_dangling_deletes",
     "smt_json_variant_extract",
     "curation_pipeline_web",
+    "merge_full_sync",
 ]
 
 

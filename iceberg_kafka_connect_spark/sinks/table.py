@@ -869,6 +869,9 @@ class LakehouseTable:
         branch: str = MAIN,
         snapshot_props: dict | None = None,
         assume_unique: bool = False,
+        when_not_matched_by_source: str | None = None,
+        not_matched_by_source_condition: str | None = None,
+        not_matched_by_source_set: dict[str, str] | None = None,
     ) -> dict:
         """MERGE INTO semantics over equality deletes (the statement Iceberg
         users run for CDC; the reference's delta writer is its streaming
@@ -879,6 +882,13 @@ class LakehouseTable:
         - ``when_not_matched``: "insert" or None.
         - ``matched_condition``: extra predicate on the *source* row gating
           the matched action (MERGE's ``WHEN MATCHED AND <cond>``).
+        - ``when_not_matched_by_source``: "delete", "update", or None —
+          SQL:2023's ``WHEN NOT MATCHED BY SOURCE`` (Spark 3.4+ MERGE):
+          target rows whose key has NO source row are deleted, or updated
+          with ``not_matched_by_source_set`` ({column: SQL expression over
+          the target row}); ``not_matched_by_source_condition`` gates on
+          the target row. This is the full-sync clause (mirror a source
+          into a target INCLUDING removals) — one atomic commit.
 
         Scale shape: the update+insert case never reads the target — an
         equality delete for an absent key is a no-op, so it degenerates to
@@ -898,6 +908,17 @@ class LakehouseTable:
             raise ValueError(f"when_matched: {when_matched!r}")
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched: {when_not_matched!r}")
+        if when_not_matched_by_source not in ("delete", "update", None):
+            raise ValueError(
+                f"when_not_matched_by_source: {when_not_matched_by_source!r}"
+            )
+        if when_not_matched_by_source == "update" and not (
+            not_matched_by_source_set
+        ):
+            raise ValueError(
+                "when_not_matched_by_source='update' needs "
+                "not_matched_by_source_set ({column: SQL expr})"
+            )
 
         def _raise_dup():
             raise ValueError(
@@ -909,6 +930,7 @@ class LakehouseTable:
         cond = F.expr(matched_condition) if matched_condition else F.lit(True)
         if when_matched == "update" and when_not_matched == "insert" and (
             matched_condition is None
+            and when_not_matched_by_source is None
         ):
             # fast path: blind upsert, no target scan. The duplicate-key
             # guard rides the SAME groupBy shuffle that collapses the batch
@@ -974,6 +996,33 @@ class LakehouseTable:
                 appends = (
                     inserts if appends is None else appends.unionByName(inserts)
                 )
+            if when_not_matched_by_source is not None:
+                # target rows with NO source key: scan target, anti-join
+                # the (distinct) source keys — key columns only reach the
+                # join; the row payload is needed only for the update form
+                tgt = self.read(spark, branch=branch)
+                if not_matched_by_source_condition:
+                    tgt = tgt.filter(not_matched_by_source_condition)
+                orphan = tgt.join(
+                    src.select(*on).distinct(), on=on, how="left_anti"
+                ).select(*[f.name for f in self.schema().fields])
+                if not orphan.isEmpty():
+                    delete_files += self._write_delete_files(
+                        orphan.select(*on).distinct(), on
+                    )
+                    if when_not_matched_by_source == "update":
+                        upd = orphan
+                        for c, expr_sql in not_matched_by_source_set.items():
+                            if c in on:
+                                raise ValueError(
+                                    f"cannot SET key column {c!r}"
+                                )
+                            upd = upd.withColumn(c, F.expr(expr_sql))
+                        appends = (
+                            upd
+                            if appends is None
+                            else appends.unionByName(upd)
+                        )
             data_files = (
                 self._write_files(self._project(appends), "data")
                 if appends is not None

@@ -2998,3 +2998,41 @@ def smt_json_variant_extract(spark, sf_dir):
             F.sum("k").cast("bigint").alias("sum_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MERGE ... WHEN NOT MATCHED BY SOURCE (SQL:2023, Spark 3.4+): the full-sync
+# statement — one atomic commit makes the target equal the source, deletes
+# included. Target starts as events<300, the source is events 100-400 with
+# patched types; after the merge the target must BE the source.
+# --------------------------------------------------------------------------
+@register(
+    "merge_full_sync",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           'patched' AS event_type
+    FROM events WHERE event_id >= 100 AND event_id < 400
+    """,
+    tags=("ingestion", "dml"),
+)
+def merge_full_sync(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="fullsync_gate_")
+    t = LakehouseTable.create(base + "/t", e.schema)
+    t.append(e.filter(F.col("event_id") < 300))
+    src = (
+        e.filter((F.col("event_id") >= 100) & (F.col("event_id") < 400))
+        .withColumn("event_type", F.lit("patched"))
+    )
+    t.merge(
+        spark, src, on=["event_id"],
+        when_matched="update", when_not_matched="insert",
+        when_not_matched_by_source="delete",
+    )
+    return t.read(spark).select(
+        F.col("event_id").cast("bigint").alias("event_id"), "event_type"
+    )

@@ -229,3 +229,93 @@ def test_rewrite_small_files_binpack(spark, catalog):
     assert (0, "DEL") in after and (10_000, "DEL") in after
     # idempotent-ish: a second pass has at most one small file left
     assert t.rewrite_small_files(spark, min_file_size=100_000) is None
+
+
+# ---------------------------------------------------------------- X89
+# WHEN NOT MATCHED BY SOURCE (SQL:2023 / Spark 3.4 MERGE extension)
+# ----------------------------------------------------------------
+def test_merge_not_matched_by_source_delete_full_sync(spark, catalog):
+    """The mirror primitive: one MERGE makes target == source."""
+    t = catalog.create_table("default.mbs1", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], SCHEMA))
+    src = spark.createDataFrame([(2, "B"), (4, "D")], SCHEMA)
+    t.merge(
+        spark, src, on=["id"],
+        when_matched="update", when_not_matched="insert",
+        when_not_matched_by_source="delete",
+    )
+    assert sorted((r.id, r.v) for r in t.read(spark).collect()) == [
+        (2, "B"),
+        (4, "D"),
+    ]
+
+
+def test_merge_not_matched_by_source_conditional_delete(spark, catalog):
+    t = catalog.create_table("default.mbs2", SCHEMA)
+    t.append(
+        spark.createDataFrame([(1, "stale"), (2, "b"), (3, "keep")], SCHEMA)
+    )
+    src = spark.createDataFrame([(2, "B")], SCHEMA)
+    t.merge(
+        spark, src, on=["id"],
+        when_matched="update", when_not_matched=None,
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition="v = 'stale'",
+    )
+    # only the stale unmatched row deleted; id=3 survives untouched
+    assert sorted((r.id, r.v) for r in t.read(spark).collect()) == [
+        (2, "B"),
+        (3, "keep"),
+    ]
+
+
+def test_merge_not_matched_by_source_update_set(spark, catalog):
+    t = catalog.create_table("default.mbs3", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    src = spark.createDataFrame([(2, "B")], SCHEMA)
+    t.merge(
+        spark, src, on=["id"],
+        when_matched="update", when_not_matched=None,
+        when_not_matched_by_source="update",
+        not_matched_by_source_set={"v": "concat(v, '-retired')"},
+    )
+    assert sorted((r.id, r.v) for r in t.read(spark).collect()) == [
+        (1, "a-retired"),
+        (2, "B"),
+    ]
+
+
+def test_merge_by_source_validation(spark, catalog):
+    t = catalog.create_table("default.mbs4", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    src = spark.createDataFrame([(1, "A")], SCHEMA)
+    with pytest.raises(ValueError, match="when_not_matched_by_source"):
+        t.merge(spark, src, on=["id"], when_not_matched_by_source="nope")
+    with pytest.raises(ValueError, match="needs\n?.*not_matched_by_source_set|needs"):
+        t.merge(
+            spark, src, on=["id"], when_not_matched_by_source="update"
+        )
+    with pytest.raises(ValueError, match="cannot SET key column"):
+        t.merge(
+            spark,
+            spark.createDataFrame([(9, "Z")], SCHEMA),
+            on=["id"],
+            when_not_matched_by_source="update",
+            not_matched_by_source_set={"id": "id + 1"},
+        )
+
+
+def test_merge_by_source_no_orphans_is_plain_merge(spark, catalog):
+    """When every target key matches, the by-source clause is a no-op and
+    the commit shape is unchanged."""
+    t = catalog.create_table("default.mbs5", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    src = spark.createDataFrame([(1, "A"), (2, "B")], SCHEMA)
+    t.merge(
+        spark, src, on=["id"],
+        when_not_matched_by_source="delete",
+    )
+    assert sorted((r.id, r.v) for r in t.read(spark).collect()) == [
+        (1, "A"),
+        (2, "B"),
+    ]
