@@ -188,3 +188,14 @@ def test_canonicalize_idempotent_property(spark):
         assert _canon(spark, once) == once
 
     check()
+
+
+def test_curation_pipeline_web_plan(spark, sf_dir):
+    """The composite keeps every stage's scale shape: no Window anywhere
+    (dedup is groupBy+semi-join, caps is the two-level top-K), blocklist
+    joins broadcast, nothing drops to Python."""
+    from iceberg_kafka_connect_spark.suite import load_all
+
+    df = load_all()["curation_pipeline_web"].fn(spark, sf_dir)
+    assert_plan(df, absent=["Window", "BatchEvalPython", "CartesianProduct"])
+    assert count_in_plan(df, "BroadcastHashJoin") >= 1
