@@ -408,6 +408,7 @@ def test_cli_warehouse_maintain_sweep(spark, tmp_path, capsys):
             "maintain",
             "--warehouse", wh,
             "--rewrite-manifests", "3",
+            "--remove-dangling-deletes",
             "--expire-keep", "2",
             "--orphans-older-than-ms", "0",
             "--analyze",
@@ -417,6 +418,7 @@ def test_cli_warehouse_maintain_sweep(spark, tmp_path, capsys):
     report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["default.ma"]["manifests_squashed"] == 4
     assert report["default.mb"]["manifests_squashed"] == 0
+    assert report["default.ma"]["dangling_deletes_removed"] == 0
     assert report["default.ma"]["expired"] >= 1
     assert report["default.ma"]["analyzed"] is True
     assert a.read(spark).count() == 4
