@@ -2205,6 +2205,7 @@ class LakehouseTable:
         from_snapshot_id: str | None,
         to_snapshot_id: str | None = None,
         branch: str = MAIN,
+        where: str | None = None,
     ) -> DataFrame:
         """Incremental append scan: rows added by snapshots AFTER
         ``from_snapshot_id`` up to and including ``to_snapshot_id`` (default:
@@ -2214,7 +2215,11 @@ class LakehouseTable:
         to a full diff), matching Iceberg's IncrementalDataTableScan.
 
         This is the cheap CDC-consumer path at scale: each poll reads only
-        the new files, never rescans the table.
+        the new files, never rescans the table. ``where`` additionally
+        prunes the new files by their recorded column bounds before any
+        open (same conservative planner as ``read(where=)``) and
+        re-applies the predicate to rows — a selective consumer (one
+        tenant, one key range) reads only the new files that can match.
         """
         meta = self.metadata()
         target = self.read_schema()
@@ -2264,10 +2269,13 @@ class LakehouseTable:
                     "files — incremental scan cannot express it"
                 )
             files.extend(d)
+        if where is not None:
+            files = [f for f in files if file_may_match(f, where)]
         df = self._read_file_group(spark, files, target)
         if df is None:
             return spark.createDataFrame([], target)
-        return df.drop("__seq")
+        df = df.drop("__seq")
+        return df.filter(where) if where is not None else df
 
     def changes_between(
         self,
@@ -2275,6 +2283,7 @@ class LakehouseTable:
         from_snapshot_id: str | None,
         to_snapshot_id: str | None = None,
         branch: str = MAIN,
+        where: str | None = None,
     ) -> DataFrame:
         """Changelog scan — Iceberg ``create_changelog_view`` parity: every
         row added or equality-deleted by snapshots after ``from_snapshot_id``
@@ -2293,7 +2302,15 @@ class LakehouseTable:
         rather than change data; fall back to a full-snapshot diff.
 
         Scale shape: reads exactly the files each snapshot added — a CDC
-        consumer polls O(new data) per interval, never rescanning."""
+        consumer polls O(new data) per interval, never rescanning.
+
+        ``where`` is the consumer's filter over the EMITTED change rows:
+        added data/delete files are bounds-pruned before any open (missing
+        stats keep the file — conservative), and the predicate re-applies
+        to rows. Caveat for equality-delete rows: they carry NULL non-key
+        columns, so a filtered changelog predicate should reference the
+        table's key/identifier columns (the standard CDC shard filter);
+        a non-key predicate silently drops those delete rows."""
         meta = self.metadata()
         target = self.read_schema()
         out_schema = T.StructType(
@@ -2342,6 +2359,9 @@ class LakehouseTable:
                     "change across the rewrite"
                 )
             d, dl = self._load_manifest(snap)
+            if where is not None:
+                d = [f for f in d if file_may_match(f, where)]
+                dl = [f for f in dl if file_may_match(f, where)]
             stamp = [
                 F.lit(snap["snapshot_id"]).alias("_change_snapshot_id"),
                 F.lit(ordinal).alias("_change_ordinal"),
@@ -2430,7 +2450,7 @@ class LakehouseTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return out.filter(where) if where is not None else out
 
     def snapshot_diff(
         self,
