@@ -2284,6 +2284,7 @@ class LakehouseTable:
         to_snapshot_id: str | None = None,
         branch: str = MAIN,
         where: str | None = None,
+        where_mode: str = "strict",
     ) -> DataFrame:
         """Changelog scan — Iceberg ``create_changelog_view`` parity: every
         row added or equality-deleted by snapshots after ``from_snapshot_id``
@@ -2307,10 +2308,13 @@ class LakehouseTable:
         ``where`` is the consumer's filter over the EMITTED change rows:
         added data/delete files are bounds-pruned before any open (missing
         stats keep the file — conservative), and the predicate re-applies
-        to rows. Caveat for equality-delete rows: they carry NULL non-key
-        columns, so a filtered changelog predicate should reference the
-        table's key/identifier columns (the standard CDC shard filter);
-        a non-key predicate silently drops those delete rows."""
+        to rows. Equality-delete rows carry NULL non-key columns, so a
+        non-key predicate evaluates to NULL on them; ``where_mode``
+        decides their fate: ``"strict"`` (default — plain row filter)
+        drops them, ``"lenient"`` passes DELETE rows through when the
+        predicate can't be evaluated — the right choice for a filtered
+        sync, where a delete for a key outside the shard no-ops at the
+        destination instead of being lost for keys inside it."""
         meta = self.metadata()
         target = self.read_schema()
         out_schema = T.StructType(
@@ -2450,7 +2454,22 @@ class LakehouseTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.filter(where) if where is not None else out
+        if where is not None:
+            pred = F.expr(where)
+            if where_mode == "lenient":
+                out = out.filter(
+                    F.when(
+                        F.col("_change_type") == "delete",
+                        F.coalesce(pred, F.lit(True)),
+                    ).otherwise(pred)
+                )
+            elif where_mode == "strict":
+                out = out.filter(pred)
+            else:
+                raise ValueError(
+                    f"where_mode must be strict|lenient, got {where_mode!r}"
+                )
+        return out
 
     def snapshot_diff(
         self,

@@ -53,6 +53,7 @@ class ChangelogStream:
         checkpoint_dir: str,
         branch: str = MAIN,
         on_rewrite: str = "error",
+        where: str | None = None,
     ):
         """``on_rewrite`` decides what happens when a pending snapshot is a
         history rewrite (compaction/expiry seal) that ``changes_between``
@@ -60,25 +61,36 @@ class ChangelogStream:
         must decide; ``"diff"`` hops over it with
         :meth:`LakehouseTable.snapshot_diff` — the net change across the
         rewrite (zero rows for a pure compaction) flows as that snapshot's
-        batch and the stream continues."""
+        batch and the stream continues.
+
+        ``where`` makes this a FILTERED changelog source (a tenant-sharded
+        mirror): each batch carries only matching change rows, with the
+        added files bounds-pruned before any open
+        (``changes_between(where=)``, lenient mode): DELETE rows whose
+        non-key columns are NULL pass through unevaluated and no-op at
+        the destination when their key is outside the shard — nothing
+        inside the shard is ever lost."""
         if on_rewrite not in ("error", "diff"):
             raise ValueError(f"on_rewrite must be 'error' or 'diff', got {on_rewrite!r}")
         self.table = table
         self.branch = branch
         self.on_rewrite = on_rewrite
+        self.where = where
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._ckpt = os.path.join(checkpoint_dir, "changelog-offset.json")
 
     def _changes(self, spark: SparkSession, prev: str | None, sid: str) -> DataFrame:
         try:
             return self.table.changes_between(
-                spark, prev, sid, branch=self.branch
+                spark, prev, sid, branch=self.branch, where=self.where,
+                where_mode="lenient",
             )
         except ValueError as e:
             if self.on_rewrite == "diff" and "rewrites history" in str(e):
-                return self.table.snapshot_diff(
+                diff = self.table.snapshot_diff(
                     spark, prev, sid, branch=self.branch
                 )
+                return diff.filter(self.where) if self.where else diff
             raise
 
     # ------------------------------------------------------------ offsets
@@ -245,6 +257,7 @@ class ChangelogPipeline:
         iceberg.source.table        source table name (required)
         iceberg.source.branch       source branch        (default main)
         iceberg.source.on-rewrite   error | diff         (default error)
+        iceberg.source.where        filter over change rows (tenant shard)
         iceberg.tables              destination table    (required, one)
         iceberg.tables.default-id-columns   upsert key   (required)
         iceberg.tables.auto-create-enabled  create dst from source schema
@@ -262,6 +275,7 @@ class ChangelogPipeline:
         on_rewrite: str = "error",
         poll_interval_s: float = 300.0,
         auto_create: bool = False,
+        where: str | None = None,
     ):
         self.catalog = catalog
         self.src_name = src_name
@@ -272,6 +286,7 @@ class ChangelogPipeline:
         self.on_rewrite = on_rewrite
         self.poll_interval_s = poll_interval_s
         self.auto_create = auto_create
+        self.where = where
 
     @classmethod
     def from_properties(
@@ -319,6 +334,7 @@ class ChangelogPipeline:
                 "iceberg.tables.auto-create-enabled", "false"
             ).lower()
             == "true",
+            where=props.get("iceberg.source.where"),
         )
 
     def run(
@@ -343,7 +359,7 @@ class ChangelogPipeline:
         dst = self.catalog.load_table(self.dst_name)
         stream = ChangelogStream(
             src, self.checkpoint_dir, branch=self.branch,
-            on_rewrite=self.on_rewrite,
+            on_rewrite=self.on_rewrite, where=self.where,
         )
         return changelog_sync_loop(
             stream,
@@ -380,7 +396,9 @@ def reconcile(
     """
     head = stream.table.metadata()["refs"].get(stream.branch)
     cols = [f.name for f in stream.table.schema().fields]
-    src_state = stream.table.read(spark, branch=stream.branch).select(*cols)
+    src_state = stream.table.read(
+        spark, branch=stream.branch, where=stream.where
+    ).select(*cols)
     dst_state = dst.read(spark).select(*cols)
     stale = dst_state.exceptAll(src_state).withColumn("__op", F.lit(DELETE))
     missing = src_state.exceptAll(dst_state).withColumn(

@@ -391,3 +391,84 @@ def test_reconcile_repairs_after_expiry_breaks_resume(spark, tmp_path):
     out2 = reconcile(stream, spark, dst, key_cols=["id"])
     assert out2["deletes"] == 0 and out2["inserts"] == 0
     assert stream.sync_to_table(spark, dst, key_cols=["id"]) == 0
+
+
+# ---------------------------------------------------------------- X91
+# Filtered changelog source: a tenant-sharded mirror
+# ----------------------------------------------------------------
+def test_filtered_changelog_pipeline_tenant_shard(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.streaming.changelog_source import (
+        ChangelogPipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tenant", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    cat = Catalog(str(tmp_path / "wh"))
+    src = cat.create_table("default.src", schema, identifier_fields=["id"])
+    src.append(
+        spark.createDataFrame(
+            [(i, i % 3, "a") for i in range(30)], schema
+        )
+    )
+    props = {
+        "iceberg.source.table": "default.src",
+        "iceberg.source.where": "tenant = 1",
+        "iceberg.tables": "default.t1_mirror",
+        "iceberg.tables.default-id-columns": "id",
+        "iceberg.tables.auto-create-enabled": "true",
+    }
+    cp = ChangelogPipeline.from_properties(
+        cat, props, str(tmp_path / "ck")
+    )
+    cp.run(spark, available_now=True)
+    dst = cat.load_table("default.t1_mirror")
+    got = {r.id for r in dst.read(spark).collect()}
+    assert got == {i for i in range(30) if i % 3 == 1}
+    # incremental poll: mixed append + key delete; only tenant 1 flows
+    src.append(
+        spark.createDataFrame([(100, 1, "new"), (101, 2, "new")], schema)
+    )
+    src.delete_where(spark, "id = 4 OR id = 5", key_cols=["id"])  # 4:t1 5:t2
+    cp.run(spark, available_now=True)
+    got = {r.id for r in dst.read(spark).collect()}
+    assert got == ({i for i in range(30) if i % 3 == 1} | {100}) - {4}
+
+
+def test_filtered_reconcile_repairs_only_the_shard(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.streaming.changelog_source import (
+        ChangelogStream,
+        reconcile,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tenant", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    cat = Catalog(str(tmp_path / "wh"))
+    src = cat.create_table("default.rsrc", schema, identifier_fields=["id"])
+    src.append(
+        spark.createDataFrame([(i, i % 2, "a") for i in range(10)], schema)
+    )
+    dst = cat.create_table("default.rdst", schema, identifier_fields=["id"])
+    stream = ChangelogStream(
+        src, str(tmp_path / "ck2"), where="tenant = 0"
+    )
+    out = reconcile(stream, spark, dst, key_cols=["id"])
+    assert out["inserts"] == 5 and out["deletes"] == 0
+    assert {r.id for r in dst.read(spark).collect()} == {0, 2, 4, 6, 8}
