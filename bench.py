@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "smt_json_variant_extract",
     "curation_pipeline_web",
     "merge_full_sync",
+    "embedding_mrl_energy",
 ]
 
 

@@ -626,3 +626,45 @@ def centroid_similarity(
             "centroid_cos"
         ),
     )
+
+
+def truncate_renorm(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Matryoshka-style embedding truncation (Kusupati et al. 2022,
+    arXiv:2205.13147): keep the first ``dim`` coordinates and re-normalize
+    to unit length — the storage/serving trade every MRL-trained embedding
+    column is built for (store 64d, serve 16d at 4× less ANN memory).
+
+    Pure Column expressions: ``slice`` + one ``aggregate`` fold for the
+    norm, zero shuffles, zero Python — runs at scan speed over 100 TB of
+    vectors. Zero-norm prefixes return NULL (no direction to keep).
+    ``retained_energy`` = |prefix|²/|full|² is appended as the quality
+    signal (how much of the vector's mass the prefix keeps).
+    """
+    out_col = out_col or vec_col
+    v = F.col(vec_col)
+    pre = F.slice(v, 1, dim)
+
+    def _sq_sum(arr: Column) -> Column:
+        return F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+
+    pn, fn = _sq_sum(pre), _sq_sum(v)
+    norm = F.sqrt(pn)
+    return df.withColumn(
+        "retained_energy",
+        F.when(fn > 0, pn / fn),
+    ).withColumn(
+        out_col,
+        F.when(
+            norm > 0,
+            F.transform(pre, lambda x: x.cast("double") / norm),
+        ),
+    )

@@ -368,3 +368,76 @@ def embedding_dim_stats(spark, sf_dir):
         )
         .orderBy("pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation audit (MRL, arXiv:2205.13147): how much of each
+# vector's energy the 16-of-64 prefix retains, per label — the measurement
+# that decides which serving dimension an MRL embedding column can afford.
+# Decimal-exact sums so the per-label means hash-check; the production
+# truncation itself (slice + aggregate fold + renorm, zero shuffles) is
+# operators/similarity.truncate_renorm, pinned by pytest.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_mrl_energy",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS val,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos
+        FROM embeddings
+    ),
+    per AS (
+        SELECT vec_id, label,
+               CAST(SUM(CASE WHEN pos < 16
+                   THEN CAST((val * val) AS DECIMAL(27,12))
+                   ELSE CAST(0 AS DECIMAL(27,12)) END) AS DOUBLE) AS pn,
+               CAST(SUM(CAST((val * val) AS DECIMAL(27,12))) AS DOUBLE) AS fn
+        FROM ex GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST((pn / fn) AS DECIMAL(27,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_retained,
+           CAST(SUM(CASE WHEN pn / fn < 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_energy
+    FROM per GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "curation"),
+)
+def embedding_mrl_energy(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    dec = "decimal(27,12)"
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id", "label", "pos", F.col("val").cast("double").alias("val")
+    )
+    per = ex.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.when(
+                F.col("pos") < 16, (F.col("val") * F.col("val")).cast(dec)
+            ).otherwise(F.lit(0).cast(dec))
+        ).cast("double").alias("pn"),
+        F.sum((F.col("val") * F.col("val")).cast(dec)).cast("double").alias(
+            "fn"
+        ),
+    )
+    ratio = F.col("pn") / F.col("fn")
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(ratio.cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_retained"),
+            F.sum(F.when(ratio < 0.2, 1).otherwise(0)).cast("bigint").alias(
+                "n_low_energy"
+            ),
+        )
+        .orderBy("label")
+    )

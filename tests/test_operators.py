@@ -948,3 +948,32 @@ def test_plan_join_never_broadcasts_preserved_side(spark, tmp_path):
     joined, _ = stats_join(spark, big, dim, "k", how="full")
     want = big.read(spark).join(dim.read(spark), "k", "full").count()
     assert joined.count() == want
+
+
+def test_truncate_renorm_unit_norm_and_energy(spark):
+    import math
+
+    from iceberg_kafka_connect_spark.operators.similarity import (
+        truncate_renorm,
+    )
+    from iceberg_kafka_connect_spark.plans import assert_plan
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0, 0.0, 0.0]),   # prefix(2) keeps all energy
+            (2, [1.0, 0.0, 2.0, 2.0]),   # prefix keeps 1/9
+            (3, [0.0, 0.0, 5.0, 5.0]),   # zero prefix → NULL vector
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    out = truncate_renorm(df, dim=2).orderBy("vec_id").collect()
+    assert out[0].retained_energy == 1.0
+    assert [round(x, 9) for x in out[0].embedding] == [0.6, 0.8]
+    assert abs(out[1].retained_energy - 1 / 9) < 1e-12
+    assert abs(
+        math.sqrt(sum(x * x for x in out[1].embedding)) - 1.0
+    ) < 1e-12
+    assert out[2].embedding is None and out[2].retained_energy == 0.0
+    plan_df = truncate_renorm(df, dim=2)
+    assert_plan(plan_df, absent=["BatchEvalPython", "ArrowEvalPython",
+                                 "Exchange"])
