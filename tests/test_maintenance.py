@@ -417,7 +417,7 @@ def test_orphan_sweep_keeps_staged_snapshot_files(spark, catalog):
     assert {r.id for r in t.read(spark, branch="audit").collect()} == {1, 2}
 
 
-# ---------------------------------------------------------------- X75
+# ---------------------------------------------------------------- X76
 # rewrite_manifests: metadata-only manifest squash (Iceberg's
 # rewrite_manifests procedure). Data plane untouched, sequence numbers
 # preserved, history intact, changelog/incremental scans skip it.
