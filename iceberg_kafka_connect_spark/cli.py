@@ -158,6 +158,13 @@ def table_main(argv: list[str]) -> int:
     cl.add_argument("dst", help="destination table name in this warehouse")
     sub.add_parser("remove-dangling-deletes")
     sub.add_parser("truncate")
+    rd = sub.add_parser("read")
+    rd.add_argument("--where", default=None)
+    rd.add_argument("--limit", type=int, default=20)
+    rd.add_argument("--count", action="store_true",
+                    help="print only the row count")
+    rd.add_argument("--snapshot", default=None)
+    rd.add_argument("--as-of-ms", type=int, default=None)
     e = sub.add_parser("expire")
     e.add_argument("--keep", type=int, default=10)
     e.add_argument("--older-than-ms", type=int, default=None)
@@ -336,6 +343,18 @@ def table_main(argv: list[str]) -> int:
                 for c, st in out["columns"].items()
             }
         }
+    elif args.action == "read":
+        spark = get_spark(app_name="table-read")
+        df = t.read(
+            spark,
+            where=args.where,
+            snapshot_id=args.snapshot,
+            as_of_ms=args.as_of_ms,
+        )
+        if args.count:
+            out = {"count": df.count()}
+        else:
+            out = [r.asDict() for r in df.limit(args.limit).collect()]
     elif args.action == "remove-dangling-deletes":
         snap = t.remove_dangling_deletes()
         out = (

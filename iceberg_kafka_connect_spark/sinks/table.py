@@ -2477,6 +2477,7 @@ class LakehouseTable:
         from_snapshot_id: str | None,
         to_snapshot_id: str | None = None,
         branch: str = MAIN,
+        where: str | None = None,
     ) -> DataFrame:
         """Full-state diff between two snapshots, emitting the SAME
         ``_change_type`` / ``_change_snapshot_id`` / ``_change_ordinal``
@@ -2493,7 +2494,12 @@ class LakehouseTable:
         Scale: two snapshot reads + one ``exceptAll`` shuffle each way —
         O(live data at the endpoints), the honest cost of diffing across a
         history rewrite; contiguous append/delete ranges stay on the
-        O(new data) ``changes_between`` fast path."""
+        O(new data) ``changes_between`` fast path. ``where`` pushes into
+        BOTH endpoint reads (file pruning + row filter): filtering
+        commutes with the multiset difference when the same deterministic
+        predicate applies to both sides, so the result is exactly the
+        filtered diff — rows where the predicate is NULL drop from both
+        states equally."""
         target = self.read_schema()
         out_schema = T.StructType(
             list(target.fields)
@@ -2508,9 +2514,13 @@ class LakehouseTable:
             if to_snapshot_id is None:
                 return spark.createDataFrame([], out_schema)
         cols = [f.name for f in target.fields]
-        new = self.read(spark, snapshot_id=to_snapshot_id).select(*cols)
+        new = self.read(
+            spark, snapshot_id=to_snapshot_id, where=where
+        ).select(*cols)
         old = (
-            self.read(spark, snapshot_id=from_snapshot_id).select(*cols)
+            self.read(
+                spark, snapshot_id=from_snapshot_id, where=where
+            ).select(*cols)
             if from_snapshot_id is not None
             else spark.createDataFrame([], target)
         )

@@ -87,10 +87,11 @@ class ChangelogStream:
             )
         except ValueError as e:
             if self.on_rewrite == "diff" and "rewrites history" in str(e):
-                diff = self.table.snapshot_diff(
-                    spark, prev, sid, branch=self.branch
+                # pushed into both endpoint reads (file pruning); diff rows
+                # are FULL rows, so the predicate always evaluates
+                return self.table.snapshot_diff(
+                    spark, prev, sid, branch=self.branch, where=self.where
                 )
-                return diff.filter(self.where) if self.where else diff
             raise
 
     # ------------------------------------------------------------ offsets

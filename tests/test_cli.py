@@ -376,6 +376,9 @@ def test_cli_rewrite_manifests_analyze_stats_clone(spark, tmp_path, capsys):
     assert run("stats", name="default.r7copy") == {"status": "never analyzed"}
 
     assert run("remove-dangling-deletes") == {"status": "nothing dangling"}
+    assert run("read", "--count", "--where", "id >= 1") == {"count": 2}
+    rows = run("read", "--limit", "2")
+    assert len(rows) == 2 and {"id", "v"} <= set(rows[0])
     out = run("truncate", name="default.r7copy")
     assert "snapshot_id" in out
     assert c.read(spark).count() == 0

@@ -186,3 +186,24 @@ def test_changes_between_where_filters_inserts_and_key_deletes(
     rows = sorted((r.id, r._change_type) for r in ch.collect())
     # insert 100, insert 200, delete 100 — the id=3 delete is filtered out
     assert rows == [(100, "delete"), (100, "insert"), (200, "insert")]
+
+
+def test_snapshot_diff_where_pushes_into_both_endpoints(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LakehouseTable.create(str(tmp_path / "sdw"), schema)
+    t.append(spark.createDataFrame([(i, "a") for i in range(10)], schema))
+    mark = t.current_snapshot()["snapshot_id"]
+    t.append(spark.createDataFrame([(100, "b"), (900, "b")], schema))
+    t.compact(spark)  # forces the diff path for the range
+    t.delete_where(spark, "id = 3 OR id = 900", key_cols=["id"])
+    diff = t.snapshot_diff(spark, mark, where="id >= 100")
+    rows = sorted((r.id, r._change_type) for r in diff.collect())
+    assert rows == [(100, "insert")]  # 900 inserted+deleted nets out; id<100 filtered
+    unfiltered = t.snapshot_diff(spark, mark)
+    assert (3, "delete") in {(r.id, r._change_type) for r in unfiltered.collect()}
