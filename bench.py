@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "curation_pipeline_web",
     "merge_full_sync",
     "embedding_mrl_energy",
+    "docs_langid_confusion",
 ]
 
 

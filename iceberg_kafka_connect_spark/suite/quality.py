@@ -541,3 +541,52 @@ def docs_split_assign(spark, sf_dir):
         )
         .orderBy("split", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix: labeled lang (truth column) vs the n-gram/
+# stopword predictor, with per-truth-language accuracy — the QA readout
+# that decides whether the cheap classifier is good enough to route
+# curation decisions at corpus scale. One scan, one map-side-combined
+# groupBy over (truth, pred).
+# --------------------------------------------------------------------------
+@register(
+    "docs_langid_confusion",
+    oracle=rf"""
+    WITH {PROFILE_CTE},
+    joined AS (
+        SELECT d.lang AS lang_true, p.lang_pred
+        FROM documents d JOIN profile p USING (doc_id)
+    )
+    SELECT lang_true, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER (
+               PARTITION BY lang_true) AS DOUBLE), 6) AS frac_of_true
+    FROM joined GROUP BY lang_true, lang_pred
+    """,
+    tags=("quality", "text"),
+)
+def docs_langid_confusion(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ..operators import text as tx
+
+    docs = table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_true"),
+        tx.detect_language(F.col("text")).alias("lang_pred"),
+    )
+    counted = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # the window runs over the CONFUSION MATRIX (≤ |langs|² rows), not the
+    # corpus — per-group totals on the aggregated frame are free
+    w = Window.partitionBy("lang_true")
+    return counted.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("frac_of_true"),
+    )
