@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "merge_full_sync",
     "embedding_mrl_energy",
     "docs_langid_confusion",
+    "docs_dup_rate_by_source",
 ]
 
 

@@ -124,7 +124,8 @@ def load_all() -> dict[str, QuerySpec]:
     # `docs_url_canonical_dedup`, `docs_domain_caps`, `table_column_stats`,
     # `table_zero_copy_clone`, `docs_heavy_hitters`, `stats_planned_join`,
     # `maintenance_dangling_deletes`, `smt_json_variant_extract`,
-    # `curation_pipeline_web`, `merge_full_sync`, `embedding_mrl_energy`, `docs_langid_confusion`
+    # `curation_pipeline_web`, `merge_full_sync`, `embedding_mrl_energy`, `docs_langid_confusion`,
+    # `docs_dup_rate_by_source`
     # (snapshot_diff_changes, the third r7 registration, is in the
     # active window below). Re-verify with the never-gated computation
     # (oracle set minus CORRECTNESS_r0* union minus current window)

@@ -590,3 +590,48 @@ def docs_langid_confusion(spark, sf_dir):
             F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
         ).alias("frac_of_true"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source duplication rate (curation monitoring: which feeds are
+# flooding the corpus with copies): exact-dup fraction per source from the
+# normalized content fingerprint. Two map-side-combined aggregations over
+# one scan — count + distinct-fingerprint count per source.
+# --------------------------------------------------------------------------
+@register(
+    "docs_dup_rate_by_source",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text),
+                '\s+', ' ', 'g')))) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(trim(regexp_replace(
+                lower(text), '\s+', ' ', 'g')))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+    tags=("quality", "dedup"),
+)
+def docs_dup_rate_by_source(spark, sf_dir):
+    from ..operators import text as tx
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", tx.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("fp").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.round(
+                1.0
+                - F.col("n_distinct").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
