@@ -11,11 +11,14 @@ to grouped sums:
 
 1. range-partition by ``(group, *order_cols)`` — a big group spans
    several consecutive shards, each shard locally sorted and bounded;
-2. per-(shard, group) partial sums: one map-side-combined aggregation,
-   collecting one row per (shard, group) pair to the driver — bounded by
-   ``#shards + #group boundaries``, never O(rows);
-3. prefix-sum the partials into per-(shard, group) starting offsets,
-   broadcast them back;
+2. per-(shard, group) partial sums: one map-side-combined aggregation —
+   range partitioning makes each group a contiguous shard run, so the
+   partials frame is bounded by ``#groups + #shards`` rows, never O(rows);
+3. prefix-sum the partials into per-(shard, group) starting offsets
+   DISTRIBUTIVELY — a window over the partials frame partitioned by
+   group (each partition is just that group's few shard rows; nothing
+   is collected to the driver, so millions of fine-grained groups cost
+   a tiny shuffle, not driver memory) — and broadcast them back;
 4. per-shard windows (``partitionBy(shard, group)``) add the local
    running sum to the shard's offset.
 
@@ -34,7 +37,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -61,7 +63,6 @@ def grouped_cumulative_sum(
     can inspect the live plan; production callers keep the default, which
     pins the sampled range partitioning across the two passes.
     """
-    spark = df.sparkSession
     keys = [group_col, *order_cols]
     ordered = (
         df.repartitionByRange(num_partitions, *keys)
@@ -73,28 +74,25 @@ def grouped_cumulative_sum(
         # the partial-sum pass and the window pass must see the SAME
         # sampled range boundaries (ids.py's determinism note)
         shard = shard.persist()
-    partials = (
-        shard.groupBy("__shard", group_col)
-        .agg(F.sum(value_col).alias("__sum"))
-        .collect()
+    partials = shard.groupBy("__shard", group_col).agg(
+        F.sum(value_col).alias("__sum")
     )
-    # prefix offsets per group across its (sorted) shard span
-    acc: dict = {}
-    offs = []
-    for r in sorted(partials, key=lambda r: r["__shard"]):
-        g = r[group_col]
-        offs.append((r["__shard"], g, acc.get(g, 0)))
-        acc[g] = acc.get(g, 0) + (r["__sum"] or 0)
+    # prefix offsets per group across its (sorted) shard span, computed
+    # as a window over the PARTIALS frame — each window partition holds
+    # one group's handful of shard rows, so no task ever sorts more than
+    # a group's shard count and the driver materializes nothing
+    wp = (
+        Window.partitionBy(group_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     off_df = F.broadcast(
-        spark.createDataFrame(
-            offs,
-            T.StructType(
-                [
-                    T.StructField("__oshard", T.IntegerType()),
-                    T.StructField("__g", df.schema[group_col].dataType),
-                    T.StructField("__offset", T.LongType()),
-                ]
-            ),
+        partials.select(
+            F.col("__shard").alias("__oshard"),
+            F.col(group_col).alias("__g"),
+            F.coalesce(F.sum("__sum").over(wp), F.lit(0))
+            .cast("long")
+            .alias("__offset"),
         )
     )
     joined = shard.join(

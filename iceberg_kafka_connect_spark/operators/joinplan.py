@@ -93,7 +93,8 @@ def plan_join(
             decision.update(strategy="broadcast", build_side=side,
                             skew_risk=False)
             return decision
-    if _spj_eligible(left, right, key):
+    # cross joins have no equi-key, so bucket co-location buys nothing
+    if h != "cross" and _spj_eligible(left, right, key):
         decision.update(strategy="spj", build_side=None, skew_risk=False)
         return decision
     ndvs = [n for n in (_ndv(left, key, branch), _ndv(right, key, branch))
@@ -132,7 +133,9 @@ def stats_join(
         from .spj import storage_partitioned_join
 
         return (
-            storage_partitioned_join(spark, left, right, key, how=how),
+            storage_partitioned_join(
+                spark, left, right, key, how=how, branch=branch
+            ),
             decision,
         )
     ldf, rdf = left.read(spark, branch=branch), right.read(spark, branch=branch)
@@ -150,4 +153,9 @@ def stats_join(
             rdf = F.broadcast(rdf)
         else:
             ldf = F.broadcast(ldf)
+    if how.lower().replace("-", "_") == "cross":
+        # a using-column join rejects joinType=cross; the SPJ column
+        # contract (key, left cols, right non-key cols) needs the right
+        # key column dropped after the cartesian product
+        return ldf.crossJoin(rdf.drop(key)), decision
     return ldf.join(rdf, on=key, how=how), decision

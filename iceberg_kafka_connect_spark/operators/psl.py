@@ -1,0 +1,249 @@
+r"""Public-Suffix-List registrable domains, evaluated inside Catalyst.
+
+Per-domain caps, blocklists and host-level dedup all key on the
+REGISTRABLE domain (the label directly under the public suffix), and
+getting that right needs the full Mozilla Public Suffix List — a
+two-level heuristic mis-groups every ``github.io`` site into one
+"domain" and splits ``*.kawasaki.jp`` municipalities wrongly.
+
+The vendored snapshot (``data/public_suffix_list.dat``, MPL 2.0, from
+the Debian ``publicsuffix`` package — the standard
+https://publicsuffix.org/list/ file) parses once per process into
+per-level rule sets:
+
+- exact rules (``co.uk``, ``github.io``) at label-levels 1..5;
+- wildcard rules (``*.ck``, ``*.kawasaki.jp``) as their base suffix —
+  a match at base level ``b`` makes the public suffix ``b+1`` labels;
+- exception rules (``!www.ck``, ``!city.kawasaki.jp``) which punch
+  through a wildcard: a level-``k`` exception match caps the public
+  suffix at ``k-1`` labels;
+- the implicit default rule ``*`` (an unknown TLD is its own suffix).
+
+Longest matching rule wins; exceptions beat wildcards (the standard
+PSL algorithm, https://publicsuffix.org/list/ "Algorithm").
+
+Two evaluation forms, same results:
+
+- ``registrable_domain(host)`` — a pure ``Column`` expression. The
+  exact-rule sets become ``isin`` predicates, which Catalyst converts
+  to ``InSet`` (hash-set membership, NOT unrolled comparisons) above
+  the 10-item threshold, so the ~9.4k-rule list costs one set probe
+  per level at execution time. Plan-size cost: the rule strings ride
+  in the serialized plan (~250 KB) — fine for normal queries.
+- ``with_registrable_domain(df, host_col)`` — broadcast-join form for
+  plan-size-sensitive pipelines: the exact rules become a tiny
+  broadcast table joined per candidate level (map-side only, no
+  shuffle), so the query plan stays small no matter the list size.
+
+Hosts with no labels under their public suffix (``co.uk`` itself,
+``localhost``) pass through unchanged — same contract as the previous
+two-level subset, so existing dedup keys are stable.
+
+Reference analogue: none (curation-layer extension; RefinedWeb §3.1
+keys its URL stages on exactly this grouping).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DATA_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+
+
+@dataclass(frozen=True)
+class PSLRules:
+    """Parsed rule sets, keyed by label count ("level")."""
+
+    exact: dict[int, frozenset[str]]      # rule text, e.g. {"co.uk", ...}
+    wild_bases: dict[int, frozenset[str]]  # "*.ck" stored as {"ck"}
+    exceptions: dict[int, frozenset[str]]  # "!www.ck" stored as {"www.ck"}
+
+    @property
+    def max_exact_level(self) -> int:
+        return max(self.exact, default=1)
+
+    @property
+    def max_wild_base_level(self) -> int:
+        return max(self.wild_bases, default=0)
+
+    @property
+    def max_exception_level(self) -> int:
+        return max(self.exceptions, default=0)
+
+
+def parse_psl(text: str) -> PSLRules:
+    """Parse the standard PSL file format: one rule per line, ``//``
+    comment lines, blank lines ignored; ``*.`` wildcard and ``!``
+    exception markers; ICANN and PRIVATE sections both included (the
+    Mozilla algorithm's default)."""
+    exact: dict[int, set[str]] = {}
+    wild: dict[int, set[str]] = {}
+    exc: dict[int, set[str]] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        # rules are defined lowercase; hosts are lowercased by callers
+        line = line.lower()
+        if line.startswith("!"):
+            rule = line[1:]
+            exc.setdefault(rule.count(".") + 1, set()).add(rule)
+        elif line.startswith("*."):
+            base = line[2:]
+            wild.setdefault(base.count(".") + 1, set()).add(base)
+        else:
+            exact.setdefault(line.count(".") + 1, set()).add(line)
+    return PSLRules(
+        exact={k: frozenset(v) for k, v in exact.items()},
+        wild_bases={k: frozenset(v) for k, v in wild.items()},
+        exceptions={k: frozenset(v) for k, v in exc.items()},
+    )
+
+
+@lru_cache(maxsize=1)
+def default_rules() -> PSLRules:
+    with open(_DATA_PATH, encoding="utf-8") as f:
+        return parse_psl(f.read())
+
+
+def _last_k(labels: Column, k: int) -> Column:
+    """The last ``k`` labels joined — '' when the host is shorter."""
+    return F.array_join(F.slice(labels, -k, k), ".")
+
+
+def public_suffix_len(host: Column, rules: PSLRules | None = None) -> Column:
+    """Label count of ``host``'s public suffix under ``rules`` (INT).
+    Pure expression form; see module docstring for the InSet shape."""
+    rules = rules or default_rules()
+    labels = F.split(host, r"\.")
+    last = {
+        k: _last_k(labels, k)
+        for k in range(
+            1,
+            max(
+                rules.max_exact_level,
+                rules.max_wild_base_level + 1,
+                rules.max_exception_level,
+            )
+            + 1,
+        )
+    }
+    # longest matching rule wins → the when-chain must TEST longest
+    # levels first (chained .when evaluates in construction order); exact
+    # level-1 rules coincide with the implicit default '*' (ps_len 1)
+    def _chain(conds: list[tuple[Column, int]], default: int) -> Column:
+        expr = None
+        for cond, val in conds:  # callers pass longest-first
+            expr = F.when(cond, F.lit(val)) if expr is None else expr.when(
+                cond, F.lit(val)
+            )
+        return F.lit(default) if expr is None else expr.otherwise(F.lit(default))
+
+    matched = _chain(
+        [
+            (last[k].isin(*sorted(rules.exact[k])), k)
+            for k in sorted(rules.exact, reverse=True)
+            if k != 1
+        ],
+        1,
+    )
+    wild_ps = _chain(
+        [
+            (last[b].isin(*sorted(rules.wild_bases[b])), b + 1)
+            for b in sorted(rules.wild_bases, reverse=True)
+        ],
+        1,
+    )
+    ps = F.greatest(matched, wild_ps)
+    # exceptions beat wildcards: a level-k exception match caps at k-1;
+    # longest exception first, then fall through to the wildcard result
+    for k in sorted(rules.exceptions):
+        ps = F.when(
+            last[k].isin(*sorted(rules.exceptions[k])), F.lit(k - 1)
+        ).otherwise(ps)
+    return ps.cast("int")
+
+
+def registrable_domain(host: Column, rules: PSLRules | None = None) -> Column:
+    """The registrable domain of a (lowercased) host under the full PSL:
+    ``a.b.example.com`` → ``example.com``; ``me.github.io`` →
+    ``me.github.io`` (``github.io`` is a public suffix);
+    ``x.www.ck`` → ``www.ck`` (the ``!www.ck`` exception). Hosts that
+    ARE a public suffix (or have no dots under it) pass through."""
+    rules = rules or default_rules()
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    ps = public_suffix_len(host, rules)
+    take = ps + F.lit(1)
+    return F.when(n > ps, F.array_join(F.slice(labels, -take, take), ".")).otherwise(
+        host
+    )
+
+
+def _rules_frame(spark, rules: PSLRules):
+    """(suffix, level, ps_len) rows for exact rules of level >= 2 — the
+    only rule class big enough to need a join; wildcards/exceptions stay
+    literal ``isin`` sets (107 / 8 entries)."""
+    rows = [
+        (s, k, k)
+        for k, ss in rules.exact.items()
+        if k >= 2
+        for s in sorted(ss)
+    ]
+    return spark.createDataFrame(rows, "suffix string, level int, ps_len int")
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    host_col: str,
+    out: str = "domain",
+    rules: PSLRules | None = None,
+) -> DataFrame:
+    """Broadcast-join form of ``registrable_domain``: appends ``out``
+    without growing the query plan by the rule list. One broadcast left
+    join per exact-rule level (map-side, no shuffle of ``df``)."""
+    rules = rules or default_rules()
+    spark = df.sparkSession
+    rf = _rules_frame(spark, rules)
+    labels = F.split(F.col(host_col), r"\.")
+    work = df
+    ps_cols: list[Column] = []
+    for k in sorted(lv for lv in rules.exact if lv >= 2):
+        cand, got = f"__psl_c{k}", f"__psl_m{k}"
+        work = work.withColumn(cand, _last_k(labels, k))
+        side = F.broadcast(
+            rf.filter(F.col("level") == k).select(
+                F.col("suffix").alias(cand), F.col("ps_len").alias(got)
+            )
+        )
+        work = work.join(side, on=cand, how="left").drop(cand)
+        ps_cols.append(F.col(got))
+    # ascending iteration + wrapping ⇒ the LONGEST level is the
+    # outermost (first-evaluated) branch — longest matching rule wins
+    wild_ps = F.lit(1)
+    for b in sorted(rules.wild_bases):
+        wild_ps = F.when(
+            _last_k(labels, b).isin(*sorted(rules.wild_bases[b])), F.lit(b + 1)
+        ).otherwise(wild_ps)
+    ps = F.greatest(F.lit(1), wild_ps, *[F.coalesce(c, F.lit(1)) for c in ps_cols])
+    for k in sorted(rules.exceptions):
+        ps = F.when(
+            _last_k(labels, k).isin(*sorted(rules.exceptions[k])), F.lit(k - 1)
+        ).otherwise(ps)
+    n = F.size(labels)
+    take = ps + F.lit(1)
+    dom = F.when(
+        n > ps, F.array_join(F.slice(labels, -take, take), ".")
+    ).otherwise(F.col(host_col))
+    return work.withColumn(out, dom).drop(
+        *[f"__psl_m{k}" for k in sorted(lv for lv in rules.exact if lv >= 2)]
+    )

@@ -68,10 +68,12 @@ def _bucket_field(table, key: str):
     )
 
 
-def _files_by_bucket(table, pf) -> tuple[dict[int, list[dict]], list[dict], list[dict]]:
+def _files_by_bucket(
+    table, pf, branch: str = "main"
+) -> tuple[dict[int, list[dict]], list[dict], list[dict]]:
     """Live data files keyed by bucket id, plus the NULL-partition files
     and the table's live delete files (applied per bucket by the caller)."""
-    data_files, delete_files = table.live_files()
+    data_files, delete_files = table.live_files(branch=branch)
     out: dict[int, list[dict]] = {}
     null_files: list[dict] = []
     for f in data_files:
@@ -124,28 +126,41 @@ def storage_partitioned_join(
     key: str,
     broadcast_right: bool = True,
     how: str = "inner",
+    branch: str = "main",
+    max_join_groups: int = 32,
 ) -> DataFrame:
     """Join two bucket-co-partitioned tables with no join-key shuffle: a
-    union of per-bucket joins. ``how``: inner (default), left, right, or
-    full — outer semantics match the plain shuffle join because matching
+    union of per-bucket-group joins. ``how``: inner (default), left, right,
+    or full — outer semantics match the plain shuffle join because matching
     keys always share a bucket. Output columns: join key, left columns,
     then the right table's non-key columns (suffixed ``_r`` on collision).
 
-    Per-bucket broadcast hints follow Spark's build-side rules: right side
-    for inner/left, left side for right; full-outer buckets run unhinted
-    (each bucket is 1/N of the data — sort-merge locally is fine)."""
+    Per-group broadcast hints follow Spark's build-side rules: right side
+    for inner/left, left side for right; full-outer groups run unhinted
+    (each group is ~1/K of the data — sort-merge locally is fine).
+
+    ``max_join_groups`` caps plan width: with wide specs (say 512 buckets)
+    a strictly per-bucket union would build a 512-way plan, so buckets fold
+    into at most this many grouped sub-joins. Grouping preserves results
+    exactly — equal keys hash to the same bucket on both sides, so joining
+    the union of a bucket set's files on each side yields precisely the
+    union of the per-bucket joins (no cross-bucket key can ever match).
+    Both sides are read with matched bucket sets, so the no-shuffle
+    co-location property is kept per group."""
     norm = _HOW.get(how.lower().replace("-", "_"))
     if norm is None:
         raise ValueError(f"unsupported join type {how!r} for SPJ")
     how = norm
+    if max_join_groups < 1:
+        raise ValueError("max_join_groups must be >= 1")
     pa, pb = _bucket_field(left, key), _bucket_field(right, key)
     if int(pa.param) != int(pb.param):
         raise ValueError(
             f"bucket counts differ: left {pa.param} vs right {pb.param} — "
             "co-location needs identical specs"
         )
-    la, lnull, ldel = _files_by_bucket(left, pa)
-    lb, rnull, rdel = _files_by_bucket(right, pb)
+    la, lnull, ldel = _files_by_bucket(left, pa, branch)
+    lb, rnull, rdel = _files_by_bucket(right, pb, branch)
     lschema, rschema = left.read_schema(), right.read_schema()
     lcols = {f.name for f in lschema.fields}
     rename = {
@@ -178,25 +193,39 @@ def storage_partitioned_join(
         ]
         return df.select(F.col(key), *nulls, *rest)
 
+    # fold buckets into at most max_join_groups grouped sub-joins per
+    # class (both-sided / left-only / right-only) — matched bucket sets
+    # on both sides keep the join co-located, and equal keys can never
+    # cross buckets, so group results == union of per-bucket results
+    both = sorted(b for b in la if b in lb)
+    lonly = sorted(b for b in la if b not in lb)
+    ronly = sorted(b for b in lb if b not in la)
+
+    def _groups(ids: list[int]) -> list[list[int]]:
+        if not ids:
+            return []
+        size = -(-len(ids) // max_join_groups)  # ceil
+        return [ids[i : i + size] for i in range(0, len(ids), size)]
+
     parts: list[DataFrame] = []
-    for b in sorted(set(la) | set(lb)):
-        in_l, in_r = b in la, b in lb
-        if in_l and not in_r:
-            if how in ("left", "full"):
-                parts.append(_left_only(_read_bucket(spark, left, la[b], ldel)))
-            continue
-        if in_r and not in_l:
-            if how in ("right", "full"):
-                parts.append(_right_only(_right_frame(lb[b])))
-            continue
-        da = _read_bucket(spark, left, la[b], ldel)
-        db = _right_frame(lb[b])
+    for grp in _groups(both):
+        da = _read_bucket(
+            spark, left, [f for b in grp for f in la[b]], ldel
+        )
+        db = _right_frame([f for b in grp for f in lb[b]])
         if broadcast_right:
             if how in ("inner", "left"):
                 db = F.broadcast(db)
             elif how == "right":
                 da = F.broadcast(da)
         parts.append(da.join(db, key, how))
+    if how in ("left", "full"):
+        for grp in _groups(lonly):
+            files = [f for b in grp for f in la[b]]
+            parts.append(_left_only(_read_bucket(spark, left, files, ldel)))
+    if how in ("right", "full"):
+        for grp in _groups(ronly):
+            parts.append(_right_only(_right_frame([f for b in grp for f in lb[b]])))
     # NULL join keys never match: preserved sides emit them null-extended
     if lnull and how in ("left", "full"):
         parts.append(_left_only(_read_bucket(spark, left, lnull, ldel)))
@@ -204,8 +233,8 @@ def storage_partitioned_join(
         parts.append(_right_only(_right_frame(rnull)))
     if not parts:
         # no live files on either relevant side → empty joined schema
-        da = left.read(spark).limit(0)
-        db = right.read(spark).limit(0)
+        da = left.read(spark, branch=branch).limit(0)
+        db = right.read(spark, branch=branch).limit(0)
         for old, new in rename.items():
             db = db.withColumnRenamed(old, new)
         return da.join(db, key, how)

@@ -17,10 +17,14 @@ everywhere:
    bounded by ``shards × K`` per group — re-sorts, slices K, and
    ``posexplode`` assigns the final rank.
 
-The ordering struct sorts ascending; descending keys must be numeric and
-are negated (the standard struct-sort idiom). The LAST order column must
-be a unique tiebreaker (same contract as the window form — ties would
-make ranks nondeterministic).
+The ordering struct sorts ascending; descending keys are rewritten into
+ascending encodings: numerics negate (the standard struct-sort idiom,
+with an explicit NaN pre-key on float/double so NaN ranks first exactly
+like ``ORDER BY col DESC``), and strings byte-complement through a hex
+``translate`` (pure Catalyst, no UDF) with a terminator character so
+prefix pairs invert correctly. The LAST order column must be a unique
+tiebreaker (same contract as the window form — ties would make ranks
+nondeterministic).
 
 Same family as ``operators/ids.py`` (global ids) and
 ``operators/budget.py`` (grouped cumulative sums): replace a per-group
@@ -54,12 +58,15 @@ def topk_per_group(
     any whole group in one task.
 
     ``order_by`` is ``[(col, "asc"|"desc"), ...]``; descending columns
-    must be numeric (negated into the ascending struct sort), and the
-    last entry must be a unique tiebreaker. Order keys must be non-null:
-    ``array_sort`` and the window form place struct-field nulls
-    differently, so null keys would diverge from the window twin —
-    filter or coalesce them upstream. Output: the input columns plus
-    ``rank_col`` (INT, 1-based).
+    may be numeric (negated into the ascending struct sort; float/double
+    get an explicit NaN pre-key so NaN ranks FIRST under desc, matching
+    ``ORDER BY col DESC``) or string (byte-complemented via a hex
+    ``translate`` so "newest first" / "z before a" caps stay on the
+    bounded path). The last entry must be a unique tiebreaker. Order
+    keys must be non-null: ``array_sort`` and the window form place
+    struct-field nulls differently, so null keys would diverge from the
+    window twin — filter or coalesce them upstream. Output: the input
+    columns plus ``rank_col`` (INT, 1-based).
     """
     if not order_by:
         raise ValueError("order_by must name at least one column")
@@ -70,13 +77,40 @@ def topk_per_group(
             raise ValueError(f"direction must be asc|desc, got {direction!r}")
         col = F.col(name)
         if direction == "desc":
-            if not isinstance(schema[name], _NUMERIC):
-                raise ValueError(
-                    f"desc order on non-numeric column {name!r} is not "
-                    "supported (struct-sort negation idiom); flip the sign "
-                    "or map it to a sortable numeric first"
+            dt = schema[name]
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                # -NaN is still NaN (sorts LAST ascending), but ORDER BY
+                # col DESC puts NaN FIRST — a 0/1 pre-key restores that,
+                # and NaN's negated value is zeroed so NaN rows tie
+                # exactly (the tiebreaker then decides, as in the window)
+                keys.append(
+                    F.when(F.isnan(col), F.lit(0))
+                    .otherwise(F.lit(1))
+                    .alias(f"__k{i}n")
                 )
-            col = -col
+                col = F.when(F.isnan(col), F.lit(0.0)).otherwise(-col)
+            elif isinstance(dt, _NUMERIC):
+                col = -col
+            elif isinstance(dt, T.StringType):
+                # order-reversing string encoding, pure Catalyst: hex the
+                # UTF-8 bytes (hex-char order == unsigned byte order),
+                # complement every hex digit, append a terminator that
+                # sorts AFTER any hex char ('~' > 'F') so a prefix pair
+                # ("ab" vs "abc") inverts correctly
+                col = F.concat(
+                    F.translate(
+                        F.hex(F.encode(col, "UTF-8")),
+                        "0123456789ABCDEF",
+                        "FEDCBA9876543210",
+                    ),
+                    F.lit("~"),
+                )
+            else:
+                raise ValueError(
+                    f"desc order on column {name!r} of type {dt} is not "
+                    "supported (numeric negation / string byte-complement "
+                    "idioms); map it to a sortable numeric or string first"
+                )
         keys.append(col.alias(f"__k{i}"))
     tiebreak = order_by[-1][0]
     payload = F.struct(*[F.col(c) for c in df.columns]).alias("__row")

@@ -1,4 +1,4 @@
-"""URL canonicalization and domain extraction for web-corpus curation.
+r"""URL canonicalization and domain extraction for web-corpus curation.
 
 A crawl-derived training corpus keys most of its curation on URLs: exact
 URL dedup needs a canonical form (tracking params, fragments, case and
@@ -44,10 +44,9 @@ _AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
-# minimal multi-label public-suffix subset: enough for registrable-domain
-# grouping on the major two-level suffixes; a production deployment swaps
-# in the full Mozilla public-suffix list as a broadcast join or a larger
-# literal array — the expression shape is unchanged.
+# retained for callers that want the tiny-literal expression shape; the
+# real registrable_domain below uses the full vendored Mozilla PSL
+# (operators/psl.py — wildcard + exception rules included)
 TWO_LEVEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "co.jp", "ne.jp", "or.jp",
@@ -112,16 +111,14 @@ def canonicalize_url(url: Column) -> Column:
 def registrable_domain(host: Column) -> Column:
     """The registrable domain of a host: the label directly under the
     public suffix plus the suffix (``media.news-3.co.uk`` →
-    ``news-3.co.uk``; ``a.b.example.com`` → ``example.com``). Hosts with
+    ``news-3.co.uk``; ``a.b.example.com`` → ``example.com``;
+    ``me.github.io`` stays ``me.github.io`` — ``github.io`` is a public
+    suffix). Full Mozilla PSL semantics incl. wildcard (``*.ck``) and
+    exception (``!www.ck``) rules — see ``operators/psl.py``. Hosts with
     fewer labels than the suffix needs pass through unchanged."""
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    last2 = F.array_join(F.slice(labels, -2, 2), ".")
-    is_two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
-    take = F.when(is_two_level, F.lit(3)).otherwise(F.lit(2))
-    return F.when(
-        n > take, F.array_join(F.slice(labels, -take, take), ".")
-    ).otherwise(host)
+    from .psl import registrable_domain as _psl_registrable
+
+    return _psl_registrable(host)
 
 
 def filter_blocked_domains(

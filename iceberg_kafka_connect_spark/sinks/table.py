@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import glob as globmod
 import json
+import logging
 import os
 import re
 import time
@@ -438,9 +439,15 @@ class LakehouseTable:
         ``branch`` is at least that deep, squash it with
         ``rewrite_manifests()`` right after the commit. Opt-in (unset =
         never), self-guarding (a rewrite-manifests commit never
-        re-triggers), and never fails the data commit it piggybacks on —
-        a concurrent writer racing the squash just leaves the merge for
-        the next commit."""
+        re-triggers), and never fails the data commit it piggybacks on.
+
+        This runs AFTER ``_write_version`` succeeds, i.e. the data commit
+        is already durable — so NOTHING here may raise: a caller seeing an
+        exception would retry the "failed" write and double-commit. A
+        malformed property value is logged and ignored (the table keeps
+        accepting writes, just without auto-merge), and any unexpected
+        rewrite failure — including a concurrent writer racing the squash —
+        just leaves the merge for the next commit."""
         if operation == "rewrite-manifests":
             return
         raw = self.properties().get("commit.manifest.min-count-to-merge")
@@ -448,17 +455,23 @@ class LakehouseTable:
             return
         try:
             threshold = int(raw)
-        except ValueError:
-            raise ValueError(
-                "commit.manifest.min-count-to-merge must be an int, got "
-                f"{raw!r}"
-            ) from None
+        except (ValueError, TypeError):
+            logging.getLogger(__name__).warning(
+                "ignoring malformed commit.manifest.min-count-to-merge=%r "
+                "(must be an int); auto manifest merge skipped",
+                raw,
+            )
+            return
         if threshold < 2:
             return
         try:
             self.rewrite_manifests(branch=branch, min_manifests=threshold)
-        except CommitConflict:
-            pass  # a concurrent commit won; merge again next time
+        except Exception:  # noqa: BLE001 — post-commit: must never escape
+            logging.getLogger(__name__).warning(
+                "auto manifest merge failed after a durable commit; "
+                "leaving the merge for the next commit",
+                exc_info=True,
+            )
 
     # ------------------------------------------------------ manifest access
     def _load_manifest(self, snap: dict) -> tuple[list[dict], list[dict]]:

@@ -117,19 +117,13 @@ def load_all() -> dict[str, QuerySpec]:
     # TPC-H anchors) so the window stays at the full 50 oracle-checked
     # rows. After r7, ever-gated = 150 = every oracle-checked query that
     # existed at r7's start.
-    # Round-8 rotation queue: the oracle-checked queries registered in
-    # round 7 WITHOUT a gate row — as of round-7 end:
-    # `changelog_compute_updates`, `changelog_reconcile`, and the
-    # late-round-7 additions `maintenance_rewrite_manifests`,
-    # `docs_url_canonical_dedup`, `docs_domain_caps`, `table_column_stats`,
-    # `table_zero_copy_clone`, `docs_heavy_hitters`, `stats_planned_join`,
-    # `maintenance_dangling_deletes`, `smt_json_variant_extract`,
-    # `curation_pipeline_web`, `merge_full_sync`, `embedding_mrl_energy`, `docs_langid_confusion`,
-    # `docs_dup_rate_by_source`
-    # (snapshot_diff_changes, the third r7 registration, is in the
-    # active window below). Re-verify with the never-gated computation
+    # Round-9 rotation queue: the oracle-checked queries registered in
+    # round 8 WITHOUT a gate row (they register at the END of the
+    # registry, outside the 50-row window). Maintained as queries are
+    # added this round; re-verify with the never-gated computation
     # (oracle set minus CORRECTNESS_r0* union minus current window)
-    # before editing.
+    # before editing the round-9 window:
+    #   (none yet)
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).
@@ -157,23 +151,24 @@ def load_all() -> dict[str, QuerySpec]:
             "incremental_scan", "stats_pruned_scan", "merge_into",
             "dml_delete_update", "changelog_read", "metadata_count_bounds",
             "cdc_mirror", "wap_publish",
-            # — round-7 rotation: the 11 oracle-checked never-gated
-            #   queries (verdict r6 "Next round" #1) — first-time rows —
-            "changelog_stream_sync", "docs_quality_linear",
-            "docs_token_budget", "embedding_dim_stats",
-            "embedding_outliers", "events_hourly_anomaly",
-            "lakehouse_view_read", "maintenance_orphan_sweep",
-            "rest_view_oauth_roundtrip", "spj_bucket_join",
-            "wap_cherry_pick",
-            # — round-7 NEW query (registered this round): full-snapshot
-            #   diff across a history rewrite —
-            "snapshot_diff_changes",
-            # — round-7 re-gates: flagship surfaces filling the window
-            #   to 50 (all hold r5/r6 green rows; fresh rows cost nothing
-            #   and re-prove the most load-bearing code paths) —
-            "rest_catalog_roundtrip", "jdbc_catalog_roundtrip",
-            "iceberg_interop_roundtrip", "iceberg_mirror_refresh",
-            "iceberg_multispec_roundtrip", "tpch_q1", "tpch_q6",
+            # — round-8 rotation: the 16 oracle-checked never-gated
+            #   queries (verdict r7 "Next round" #1; re-verified at
+            #   round-8 start: oracle set minus CORRECTNESS_r01..r07
+            #   union = exactly these 16) — first-time rows —
+            "changelog_compute_updates", "changelog_reconcile",
+            "maintenance_rewrite_manifests", "table_column_stats",
+            "table_zero_copy_clone", "stats_planned_join",
+            "maintenance_dangling_deletes", "smt_json_variant_extract",
+            "merge_full_sync", "embedding_mrl_energy",
+            "docs_heavy_hitters", "docs_url_canonical_dedup",
+            "docs_domain_caps", "curation_pipeline_web",
+            "docs_langid_confusion", "docs_dup_rate_by_source",
+            # — round-8 re-gates: flagship surfaces filling the window
+            #   to 50 (all hold r7 green rows; fresh rows cost nothing
+            #   and re-prove the most load-bearing code paths). The 12
+            #   r7-rotated names hold their r07 rows and rotate out. —
+            "rest_catalog_roundtrip",
+            "iceberg_interop_roundtrip", "tpch_q1",
         )
         for k in [k for k in window if k in QUERIES][::-1]:
             spec = QUERIES.pop(k)

@@ -670,6 +670,22 @@ def test_auto_manifest_merge_property(spark, catalog):
     assert _walk_depth(u) == 6
 
 
+def test_auto_manifest_merge_never_fails_a_durable_commit(spark, catalog):
+    """The merge piggybacks AFTER _write_version succeeds — if anything in
+    it raised, a caller would retry the 'failed' append and double-write.
+    A malformed property value must therefore be ignored (logged), and
+    the append must commit normally."""
+    t = catalog.create_table(
+        "default.badmerge",
+        SCHEMA,
+        properties={"commit.manifest.min-count-to-merge": "not-an-int"},
+    )
+    for i in range(5):
+        t.append(spark.createDataFrame([(i, "x")], SCHEMA))  # must not raise
+    assert t.read(spark).count() == 5
+    assert _walk_depth(t) == 5  # merge skipped, never attempted
+
+
 # ---------------------------------------------------------------- X86
 # remove_dangling_deletes + truncate: metadata-only MoR hygiene / DDL
 # ----------------------------------------------------------------

@@ -725,6 +725,36 @@ def test_grouped_cumulative_sum_matches_window_form(spark):
     assert got_b == want_b
 
 
+def test_grouped_cumulative_sum_fine_grained_groups(spark):
+    """10⁵ distinct groups: the prefix offsets are computed by a window
+    over the partials frame (nothing driver-side), so fine-grained group
+    keys cost a tiny shuffle instead of a driver materialization. Values
+    still match the window form exactly."""
+    from iceberg_kafka_connect_spark.operators.budget import (
+        grouped_cumulative_sum,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n_groups = 100_000
+    df = spark.range(0, 3 * n_groups, 1, 16).select(
+        F.col("id").alias("k"),
+        (F.col("id") % n_groups).cast("string").alias("g"),
+        (F.col("id") % 7 + 1).alias("v"),
+    )
+    out = grouped_cumulative_sum(df, "g", ["k"], "v", num_partitions=16)
+    w = Window.partitionBy("g").orderBy("k")
+    want = df.withColumn("cum", F.sum("v").over(w).cast("long"))
+    diff = (
+        out.withColumnRenamed("cum", "got")
+        .join(want, ["g", "k", "v"])
+        .filter(F.col("got") != F.col("cum"))
+        .count()
+    )
+    assert diff == 0
+    assert out.count() == 3 * n_groups
+
+
 def test_grouped_cumulative_sum_never_single_group_sort(spark):
     """Plan shape: the only window is partitioned by (__shard, g) — no
     task ever sorts a whole group, and nothing funnels to a single
@@ -735,8 +765,14 @@ def test_grouped_cumulative_sum_never_single_group_sort(spark):
     from iceberg_kafka_connect_spark.plans import plan_string
     from pyspark.sql import functions as F
 
+    # one group, but NOT a foldable literal — a constant would be
+    # optimized out of the window partition specs entirely
     df = spark.range(0, 1000, 1, 8).select(
-        F.col("id").alias("k"), F.lit("one_source").alias("g"),
+        F.col("id").alias("k"),
+        F.concat(
+            F.lit("src"),
+            F.substring(F.col("id").cast("string"), 1, 0),
+        ).alias("g"),
         F.lit(1).alias("v"),
     )
     plan = plan_string(
@@ -948,6 +984,41 @@ def test_plan_join_never_broadcasts_preserved_side(spark, tmp_path):
     joined, _ = stats_join(spark, big, dim, "k", how="full")
     want = big.read(spark).join(dim.read(spark), "k", "full").count()
     assert joined.count() == want
+
+
+def test_stats_join_cross(spark, tmp_path):
+    """how='cross' executes as crossJoin (a using-column join rejects the
+    cross type) while keeping the SPJ column contract; a tiny side still
+    broadcasts (nested-loop build)."""
+    from iceberg_kafka_connect_spark.operators.joinplan import stats_join
+
+    big, dim = _mk_tables(spark, tmp_path)
+    joined, decision = stats_join(spark, big, dim, "k", how="cross")
+    assert decision["strategy"] == "broadcast"
+    assert joined.count() == 5000 * 40
+    assert joined.columns == ["k", "payload", "name"]
+
+
+def test_stats_join_spj_respects_branch(spark, tmp_path):
+    """The SPJ path must read the REQUESTED branch: a branch with extra
+    rows joins branch data, not main-head data."""
+    from iceberg_kafka_connect_spark.operators.joinplan import stats_join
+    from pyspark.sql import functions as F
+
+    big, dim = _mk_tables(spark, tmp_path, partition_by="iceberg_bucket(8, k)")
+    big.create_branch("audit")
+    dim.create_branch("audit")
+    big.append(
+        spark.range(5000, 5400).select(
+            (F.col("id") % 40).alias("k"), F.col("id").alias("payload")
+        ),
+        branch="audit",
+    )
+    joined, decision = stats_join(
+        spark, big, dim, "k", branch="audit", broadcast_threshold_bytes=0
+    )
+    assert decision["strategy"] == "spj"
+    assert joined.count() == 5400  # main head would give 5000
 
 
 def test_truncate_renorm_unit_norm_and_energy(spark):

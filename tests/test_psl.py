@@ -1,0 +1,99 @@
+"""Full-PSL registrable domains: wildcard/exception rules, the
+broadcast-join form, and agreement between both evaluation forms."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_kafka_connect_spark.operators.psl import (
+    default_rules,
+    parse_psl,
+    registrable_domain,
+    with_registrable_domain,
+)
+
+CASES = {
+    # plain ICANN rules
+    "a.b.example.com": "example.com",
+    "example.com": "example.com",
+    "media.news-3.co.uk": "news-3.co.uk",
+    "deep.x.com.au": "x.com.au",
+    # private-section suffix: every *.github.io site is its own domain
+    "me.github.io": "me.github.io",
+    "pages.me.github.io": "me.github.io",
+    "github.io": "github.io",  # host IS a suffix: pass through
+    # wildcard rule *.ck: any <x>.ck is a public suffix
+    "www.anything.ck": "www.anything.ck",
+    "a.b.anything.ck": "b.anything.ck",
+    # exception rule !www.ck punches through the wildcard
+    "www.ck": "www.ck",
+    "sub.www.ck": "www.ck",
+    # wildcard *.kawasaki.jp with exception !city.kawasaki.jp
+    "x.host.kawasaki.jp": "x.host.kawasaki.jp",
+    "city.kawasaki.jp": "city.kawasaki.jp",
+    "sub.city.kawasaki.jp": "city.kawasaki.jp",
+    # ordinary .jp (kawasaki.miyagi.jp is an EXACT rule, not wildcard)
+    "x.kawasaki.miyagi.jp": "x.kawasaki.miyagi.jp",
+    # unknown TLD → implicit '*' rule
+    "foo.bar.internal": "bar.internal",
+    "localhost": "localhost",
+}
+
+
+def test_rules_parse_shape():
+    r = default_rules()
+    assert "co.uk" in r.exact[2]
+    assert "github.io" in r.exact[2]
+    assert "ck" in r.wild_bases[1]
+    assert "kawasaki.jp" in r.wild_bases[2]
+    assert "www.ck" in r.exceptions[2]
+    assert "city.kawasaki.jp" in r.exceptions[3]
+    assert sum(len(s) for s in r.exact.values()) > 9000  # full list, not a stub
+
+
+def test_registrable_domain_expression(spark):
+    df = spark.createDataFrame([(h,) for h in CASES], ["h"])
+    got = [
+        r.d
+        for r in df.select(registrable_domain(F.col("h")).alias("d")).collect()
+    ]
+    assert got == list(CASES.values())
+
+
+def test_registrable_domain_broadcast_join_agrees(spark):
+    df = spark.createDataFrame([(h,) for h in CASES], ["h"])
+    got = {
+        r.h: r.domain
+        for r in with_registrable_domain(df, "h").collect()
+    }
+    assert got == CASES
+
+
+def test_parse_psl_custom_rules(spark):
+    rules = parse_psl(
+        """
+        // comment
+        com
+        *.zz
+        !ok.zz
+        deep.multi.level.example
+        """
+    )
+    df = spark.createDataFrame(
+        [("a.b.zz",), ("sub.ok.zz",), ("x.deep.multi.level.example",)], ["h"]
+    )
+    got = [
+        r.d
+        for r in df.select(
+            registrable_domain(F.col("h"), rules).alias("d")
+        ).collect()
+    ]
+    assert got == ["a.b.zz", "ok.zz", "x.deep.multi.level.example"]
+
+
+@pytest.mark.parametrize("host", ["", "nodots"])
+def test_degenerate_hosts_pass_through(spark, host):
+    df = spark.createDataFrame([(host,)], ["h"])
+    [row] = df.select(registrable_domain(F.col("h")).alias("d")).collect()
+    assert row.d == host

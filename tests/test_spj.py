@@ -261,3 +261,99 @@ def test_spj_left_outer_plan_stays_broadcast_per_bucket(spark, tables):
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_spj_wide_spec_folds_into_grouped_unions(spark, tmp_path):
+    """A 64-bucket spec must NOT build a 64-way union of per-bucket joins:
+    buckets fold into at most max_join_groups grouped sub-joins (default
+    32), the plan stays shuffle-free on the join key, and results still
+    match the plain join exactly."""
+    from iceberg_kafka_connect_spark.plans import count_in_plan
+
+    cat = Catalog(str(tmp_path / "wh64"))
+    fact = cat.create_table(
+        "db.fact64", FACT, partition_by=["iceberg_bucket(64, user_id)"]
+    )
+    dim = cat.create_table(
+        "db.dim64", DIM, partition_by=["iceberg_bucket(64, user_id)"]
+    )
+    fact.append(
+        spark.createDataFrame(
+            [(i, i % 200, f"e{i}") for i in range(2000)], FACT
+        )
+    )
+    dim.append(
+        spark.createDataFrame(
+            [(u, f"d{u}", "gold" if u % 2 else "basic") for u in range(150)],
+            DIM,
+        )
+    )
+    out = storage_partitioned_join(spark, fact, dim, key="user_id")
+    # simple mode prints each node once (formatted repeats it in details)
+    assert 1 <= count_in_plan(out, "BroadcastHashJoin", mode="simple") <= 32
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    want = sorted(
+        map(
+            tuple,
+            fact.read(spark)
+            .join(
+                dim.read(spark).withColumnRenamed("v", "v_r"), "user_id"
+            )
+            .select("user_id", "event_id", "v", "v_r", "tier")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            out.select("user_id", "event_id", "v", "v_r", "tier").collect(),
+        )
+    )
+    assert got == want
+
+
+def test_spj_group_fold_outer_agrees(spark, tmp_path):
+    """Grouped folding with one-sided buckets: full outer at
+    max_join_groups=3 equals the plain full-outer join row-for-row."""
+    cat = Catalog(str(tmp_path / "wh16"))
+    fact = cat.create_table(
+        "db.fact16", FACT, partition_by=["iceberg_bucket(16, user_id)"]
+    )
+    dim = cat.create_table(
+        "db.dim16", DIM, partition_by=["iceberg_bucket(16, user_id)"]
+    )
+    # disjoint-ish key ranges so several buckets are one-sided
+    fact.append(
+        spark.createDataFrame([(i, i % 23, f"e{i}") for i in range(400)], FACT)
+    )
+    dim.append(
+        spark.createDataFrame(
+            [(u, f"d{u}", "t") for u in range(15, 40)], DIM
+        )
+    )
+    out = storage_partitioned_join(
+        spark, fact, dim, key="user_id", how="full", max_join_groups=3
+    )
+    want = sorted(
+        map(
+            tuple,
+            fact.read(spark)
+            .join(
+                dim.read(spark).withColumnRenamed("v", "v_r"),
+                "user_id",
+                "full",
+            )
+            .select("user_id", "event_id", "v", "v_r", "tier")
+            .collect(),
+        ),
+        key=str,
+    )
+    got = sorted(
+        map(
+            tuple,
+            out.select("user_id", "event_id", "v", "v_r", "tier").collect(),
+        ),
+        key=str,
+    )
+    assert got == want

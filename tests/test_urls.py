@@ -117,10 +117,49 @@ def test_topk_per_group_small_groups_and_k1(spark):
     ]
 
 
-def test_topk_per_group_rejects_desc_strings(spark):
-    df = spark.createDataFrame([("a", "x", 1)], ["g", "s", "id"])
-    with pytest.raises(ValueError, match="desc order on non-numeric"):
-        topk_per_group(df, ["g"], [("s", "desc"), ("id", "asc")], 3)
+def test_topk_per_group_desc_strings_match_window(spark):
+    """Desc STRING keys (the hex byte-complement encoding) — including
+    prefix pairs like 'ab' vs 'abc', which a naive complement without a
+    terminator would invert wrongly."""
+    import random
+
+    random.seed(13)
+    words = ["ab", "abc", "a", "zz", "z", "m", "mm", "mmm", ""]
+    rows = [
+        (f"g{random.randint(0, 5)}", random.choice(words), i)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "id"])
+    got = topk_per_group(df, ["g"], [("s", "desc"), ("id", "asc")], 7)
+    w = Window.partitionBy("g").orderBy(F.desc("s"), F.asc("id"))
+    want = (
+        df.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 7)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_topk_per_group_desc_float_nan_matches_window(spark):
+    """NaN sorts FIRST under ORDER BY col DESC; the NaN pre-key keeps the
+    bounded form identical to the window twin."""
+    nan = float("nan")
+    rows = [
+        ("g", 1.5, 1), ("g", nan, 2), ("g", -2.0, 3), ("g", nan, 4),
+        ("g", float("inf"), 5), ("g", float("-inf"), 6), ("g", 0.0, 7),
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "id"])
+    got = topk_per_group(df, ["g"], [("x", "desc"), ("id", "asc")], 5)
+    assert [(r.id, r.rk) for r in sorted(got.collect(), key=lambda r: r.rk)] == [
+        (2, 1), (4, 2), (5, 3), (1, 4), (7, 5)
+    ]
+
+
+def test_topk_per_group_rejects_desc_unsupported_type(spark):
+    df = spark.createDataFrame([("a", [1], 1)], ["g", "arr", "id"])
+    with pytest.raises(ValueError, match="desc order on column"):
+        topk_per_group(df, ["g"], [("arr", "desc"), ("id", "asc")], 3)
 
 
 def test_topk_per_group_plan_no_window_sort(spark):
