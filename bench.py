@@ -158,6 +158,13 @@ BENCH_QUERIES = [
     "embedding_mrl_energy",
     "docs_langid_confusion",
     "docs_dup_rate_by_source",
+    # round-8 additions: the heaviest previously-unbenched registry rows
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_topk_ivf",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "docs_sample_stratified",
 ]
 
 
