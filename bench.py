@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "docs_sample_stratified",
+    "docs_psl_registrable",
+    "docs_domain_caps_recent",
 ]
 
 

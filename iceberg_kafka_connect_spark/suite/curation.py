@@ -364,3 +364,144 @@ def curation_pipeline_web(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# X95: full-PSL registrable domains. Hosts hitting every PSL rule class —
+# plain ICANN, private-section suffix (github.io), wildcard (*.ck),
+# exception (!www.ck), Japanese city wildcard + its exception — are
+# synthesized per doc; Spark runs the real PSL expression
+# (operators/psl.py, vendored Mozilla list) and the oracle states the
+# hand-derived expected registrable domain for each host class, so the
+# gate pins the ALGORITHM (longest rule, wildcards, exceptions), not a
+# reimplementation of it.
+# --------------------------------------------------------------------------
+_PSL_HOSTS = [
+    # (host, expected registrable domain)
+    ("a.b.example.com", "example.com"),          # plain ICANN
+    ("pages.me.github.io", "me.github.io"),      # private-section suffix
+    ("sub.www.ck", "www.ck"),                    # !www.ck exception
+    ("a.b.anything.ck", "b.anything.ck"),        # *.ck wildcard
+    ("sub.city.kawasaki.jp", "city.kawasaki.jp"),  # !city.kawasaki.jp
+    ("x.host.kawasaki.jp", "x.host.kawasaki.jp"),  # *.kawasaki.jp wildcard
+    ("x.kawasaki.miyagi.jp", "x.kawasaki.miyagi.jp"),  # exact 3-label rule
+    ("deep.x.com.au", "x.com.au"),               # exact 2-label rule
+    ("foo.bar.internal", "bar.internal"),        # unknown TLD → default '*'
+]
+
+
+def _psl_host_col():
+    d = F.col("doc_id") % len(_PSL_HOSTS)
+    expr = None
+    for i, (h, _) in enumerate(_PSL_HOSTS):
+        expr = (
+            F.when(d == i, F.lit(h))
+            if expr is None
+            else expr.when(d == i, F.lit(h))
+        )
+    return expr
+
+
+_PSL_HOST_SQL = "CASE CAST(doc_id % {n} AS INT) {whens} END".format(
+    n=len(_PSL_HOSTS),
+    whens=" ".join(
+        f"WHEN {i} THEN '{h}'" for i, (h, _) in enumerate(_PSL_HOSTS)
+    ),
+)
+_PSL_EXPECT_SQL = "CASE CAST(doc_id % {n} AS INT) {whens} END".format(
+    n=len(_PSL_HOSTS),
+    whens=" ".join(
+        f"WHEN {i} THEN '{e}'" for i, (_, e) in enumerate(_PSL_HOSTS)
+    ),
+)
+
+
+@register(
+    "docs_psl_registrable",
+    oracle=f"""
+    SELECT {_PSL_HOST_SQL} AS host,
+           {_PSL_EXPECT_SQL} AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("curation", "urls"),
+)
+def docs_psl_registrable(spark, sf_dir):
+    """Registrable-domain extraction under the full vendored Mozilla PSL:
+    one whole-stage-codegen'd expression (InSet probes per rule level —
+    no UDF, no join), grouped to per-domain counts. The oracle hand-states
+    the expected domain per host class."""
+    from ..operators.urls import registrable_domain
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(_psl_host_col().alias("host"))
+        .withColumn("domain", registrable_domain(F.col("host")))
+        .groupBy("host", "domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# X96: per-domain "newest first" caps — the desc-STRING ordering path of
+# the bounded top-K (hex byte-complement encoding; operators/topk.py). A
+# crawl keeps the K most RECENT pages per registrable domain: order by a
+# date string descending, doc_id ascending tiebreak. The oracle is the
+# ROW_NUMBER window twin, so the gate pins the string-desc encoding
+# against the engine-independent semantics.
+# --------------------------------------------------------------------------
+@register(
+    "docs_domain_caps_recent",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, n_chars, {_URL_SYNTH_SQL} AS u,
+               strftime(DATE '2025-01-01' + INTERVAL (doc_id % 400) DAY,
+                        '%Y-%m-%d') AS crawl_date
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, regexp_replace(trim(u), '#.*$', '', 'g') AS nu FROM d
+    ),
+    {_URL_CANON_SQL},
+    dom AS (
+        SELECT c.doc_id, d.crawl_date,
+               CASE WHEN c.host LIKE '%.co.uk' THEN
+                   CASE WHEN len(string_split(c.host, '.')) > 3
+                        THEN array_to_string(string_split(c.host, '.')[-3:], '.')
+                        ELSE c.host END
+               ELSE
+                   CASE WHEN len(string_split(c.host, '.')) > 2
+                        THEN array_to_string(string_split(c.host, '.')[-2:], '.')
+                        ELSE c.host END
+               END AS domain
+        FROM canon c JOIN d USING (doc_id)
+    )
+    SELECT domain, CAST(doc_id AS BIGINT) AS doc_id, crawl_date, rk
+    FROM (
+        SELECT domain, doc_id, crawl_date,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY crawl_date DESC, doc_id
+               ) AS INT) AS rk
+        FROM dom
+    ) WHERE rk <= 5
+    """,
+    tags=("curation", "urls"),
+)
+def docs_domain_caps_recent(spark, sf_dir):
+    from ..operators.topk import topk_per_group
+    from ..operators.urls import registrable_domain, url_host
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.date_format(
+            F.date_add(F.lit("2025-01-01").cast("date"),
+                       (F.col("doc_id") % 400).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("crawl_date"),
+        registrable_domain(url_host(_synth_url_col())).alias("domain"),
+    )
+    return topk_per_group(
+        d, ["domain"], [("crawl_date", "desc"), ("doc_id", "asc")], k=5
+    ).select("domain", "doc_id", "crawl_date", "rk")
