@@ -24,16 +24,18 @@ PSL algorithm, https://publicsuffix.org/list/ "Algorithm").
 
 Two evaluation forms, same results:
 
-- ``registrable_domain(host)`` — a pure ``Column`` expression. The
-  exact-rule sets become ``isin`` predicates, which Catalyst converts
-  to ``InSet`` (hash-set membership, NOT unrolled comparisons) above
-  the 10-item threshold, so the ~9.4k-rule list costs one set probe
-  per level at execution time. Plan-size cost: the rule strings ride
-  in the serialized plan (~250 KB) — fine for normal queries.
-- ``with_registrable_domain(df, host_col)`` — broadcast-join form for
-  plan-size-sensitive pipelines: the exact rules become a tiny
-  broadcast table joined per candidate level (map-side only, no
-  shuffle), so the query plan stays small no matter the list size.
+- ``with_registrable_domain(df, host_col)`` — THE production form: the
+  exact rules become a tiny broadcast table joined per candidate level
+  (map-side only, no shuffle of ``df``), so the query plan stays small
+  no matter the list size and the rule set ships to executors once as
+  a broadcast, not per-task in the serialized plan. The rules frame is
+  cached per session, so repeated calls pay nothing to build.
+- ``registrable_domain(host)`` — a pure ``Column`` expression for
+  ad-hoc use and tests. The exact-rule sets become ``isin``
+  predicates, which Catalyst converts to ``InSet`` (hash-set
+  membership, NOT unrolled comparisons), so EXECUTION is one set probe
+  per level — but CONSTRUCTION crosses py4j once per literal (~6 s for
+  the ~9.4k rules), so hot paths should use the join form above.
 
 Hosts with no labels under their public suffix (``co.uk`` itself,
 ``localhost``) pass through unchanged — same contract as the previous
@@ -189,17 +191,34 @@ def registrable_domain(host: Column, rules: PSLRules | None = None) -> Column:
     )
 
 
+_RULES_DF_CACHE: dict[tuple[int, int], object] = {}
+
+
 def _rules_frame(spark, rules: PSLRules):
-    """(suffix, level, ps_len) rows for exact rules of level >= 2 — the
-    only rule class big enough to need a join; wildcards/exceptions stay
-    literal ``isin`` sets (107 / 8 entries)."""
-    rows = [
-        (s, k, k)
-        for k, ss in rules.exact.items()
-        if k >= 2
-        for s in sorted(ss)
-    ]
-    return spark.createDataFrame(rows, "suffix string, level int, ps_len int")
+    """Every exact rule of level >= 2, grouped by its last-2-label tail:
+    ``(tail2, rs: array<struct<suffix, ps_len>>)``. A host's own last-2
+    candidate probes the table ONCE (one broadcast hash join); the ≤5
+    rules sharing that tail are then tested per row with a tiny array
+    filter. Wildcards/exceptions (107 / 8 rules) stay literal ``isin``
+    sets. Cached per (session, rules) so repeated queries reuse the same
+    local relation."""
+    key = (id(spark), id(rules))
+    cached = _RULES_DF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    grouped: dict[str, list[tuple[str, int]]] = {}
+    for k, ss in rules.exact.items():
+        if k < 2:
+            continue
+        for s in ss:
+            tail2 = ".".join(s.split(".")[-2:])
+            grouped.setdefault(tail2, []).append((s, k))
+    df = spark.createDataFrame(
+        sorted((t, sorted(v)) for t, v in grouped.items()),
+        "__psl_tail2 string, __psl_rs array<struct<suffix string, ps_len int>>",
+    )
+    _RULES_DF_CACHE[key] = df
+    return df
 
 
 def with_registrable_domain(
@@ -209,24 +228,34 @@ def with_registrable_domain(
     rules: PSLRules | None = None,
 ) -> DataFrame:
     """Broadcast-join form of ``registrable_domain``: appends ``out``
-    without growing the query plan by the rule list. One broadcast left
-    join per exact-rule level (map-side, no shuffle of ``df``)."""
+    without growing the query plan by the rule list. ONE broadcast hash
+    join (on the host's last-2-label tail; map-side, no shuffle of
+    ``df``) retrieves the ≤5 exact rules sharing that tail, which a tiny
+    per-row array filter then tests — every exact rule of any level is
+    found through its tail, so one probe replaces one-join-per-level."""
     rules = rules or default_rules()
     spark = df.sparkSession
     rf = _rules_frame(spark, rules)
     labels = F.split(F.col(host_col), r"\.")
-    work = df
-    ps_cols: list[Column] = []
-    for k in sorted(lv for lv in rules.exact if lv >= 2):
-        cand, got = f"__psl_c{k}", f"__psl_m{k}"
-        work = work.withColumn(cand, _last_k(labels, k))
-        side = F.broadcast(
-            rf.filter(F.col("level") == k).select(
-                F.col("suffix").alias(cand), F.col("ps_len").alias(got)
-            )
+    work = (
+        df.withColumn("__psl_tail2", _last_k(labels, 2))
+        .join(F.broadcast(rf), on="__psl_tail2", how="left")
+        .drop("__psl_tail2")
+    )
+    # a candidate rule matches when the host's last ps_len labels ARE the
+    # rule; the longest match wins (array_max), other lanes merge below
+    exact_ps = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("__psl_rs"),
+                lambda e: F.array_join(
+                    F.slice(labels, -e["ps_len"], e["ps_len"]), "."
+                )
+                == e["suffix"],
+            ),
+            lambda e: e["ps_len"],
         )
-        work = work.join(side, on=cand, how="left").drop(cand)
-        ps_cols.append(F.col(got))
+    )
     # ascending iteration + wrapping ⇒ the LONGEST level is the
     # outermost (first-evaluated) branch — longest matching rule wins
     wild_ps = F.lit(1)
@@ -234,7 +263,7 @@ def with_registrable_domain(
         wild_ps = F.when(
             _last_k(labels, b).isin(*sorted(rules.wild_bases[b])), F.lit(b + 1)
         ).otherwise(wild_ps)
-    ps = F.greatest(F.lit(1), wild_ps, *[F.coalesce(c, F.lit(1)) for c in ps_cols])
+    ps = F.greatest(F.lit(1), wild_ps, F.coalesce(exact_ps, F.lit(1)))
     for k in sorted(rules.exceptions):
         ps = F.when(
             _last_k(labels, k).isin(*sorted(rules.exceptions[k])), F.lit(k - 1)
@@ -244,6 +273,4 @@ def with_registrable_domain(
     dom = F.when(
         n > ps, F.array_join(F.slice(labels, -take, take), ".")
     ).otherwise(F.col(host_col))
-    return work.withColumn(out, dom).drop(
-        *[f"__psl_m{k}" for k in sorted(lv for lv in rules.exact if lv >= 2)]
-    )
+    return work.withColumn(out, dom).drop("__psl_rs")

@@ -132,9 +132,13 @@ def filter_blocked_domains(
     for a later text-level filter."""
     from pyspark.sql import functions as F
 
+    from .psl import with_registrable_domain
+
     spark = df.sparkSession
-    dom = registrable_domain(url_host(F.col(url_col)))
-    tagged = df.withColumn("__dom", dom)
+    tagged = with_registrable_domain(
+        df.withColumn("__host", url_host(F.col(url_col))), "__host",
+        out="__dom",
+    ).drop("__host")
     blocked = F.broadcast(
         spark.createDataFrame([(d,) for d in blocklist], "__dom string")
     )

@@ -254,15 +254,20 @@ def docs_domain_caps(spark, sf_dir):
     RefinedWeb anti-SEO-farm step), via the bounded two-level top-K of
     operators/topk.py instead of a window: no single task ever sorts a
     mega-domain. The oracle is the ROW_NUMBER window twin."""
+    from ..operators.psl import with_registrable_domain
     from ..operators.topk import topk_per_group
-    from ..operators.urls import registrable_domain, url_host
+    from ..operators.urls import url_host
 
     docs = table(spark, sf_dir, "documents")
-    d = docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        registrable_domain(url_host(_synth_url_col())).alias("domain"),
-    )
+    d = with_registrable_domain(
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            url_host(_synth_url_col()).alias("host"),
+        ),
+        "host",
+        out="domain",
+    ).drop("host")
     return topk_per_group(
         d, ["domain"], [("n_chars", "desc"), ("doc_id", "asc")], k=20
     ).select("domain", "doc_id", "n_chars", "rk")
@@ -328,11 +333,11 @@ def docs_domain_caps(spark, sf_dir):
     tags=("curation", "urls"),
 )
 def curation_pipeline_web(spark, sf_dir):
+    from ..operators.psl import with_registrable_domain
     from ..operators.topk import topk_per_group
     from ..operators.urls import (
         canonicalize_url,
         filter_blocked_domains,
-        registrable_domain,
         url_host,
     )
 
@@ -351,9 +356,10 @@ def curation_pipeline_web(spark, sf_dir):
     # min + semi-join back (the canonical key never sorts in one task)
     keep = canon.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id"))
     dedup = canon.join(keep, ["canonical_url", "doc_id"], "left_semi")
-    dom = dedup.withColumn(
-        "domain", registrable_domain(url_host(F.col("url")))
-    )
+    dom = with_registrable_domain(
+        dedup.withColumn("host", url_host(F.col("url"))), "host",
+        out="domain",
+    ).drop("host")
     caps = topk_per_group(
         dom.select("doc_id", "n_chars", "source", "domain"),
         ["domain"],
@@ -428,16 +434,18 @@ _PSL_EXPECT_SQL = "CASE CAST(doc_id % {n} AS INT) {whens} END".format(
     tags=("curation", "urls"),
 )
 def docs_psl_registrable(spark, sf_dir):
-    """Registrable-domain extraction under the full vendored Mozilla PSL:
-    one whole-stage-codegen'd expression (InSet probes per rule level —
-    no UDF, no join), grouped to per-domain counts. The oracle hand-states
-    the expected domain per host class."""
-    from ..operators.urls import registrable_domain
+    """Registrable-domain extraction under the full vendored Mozilla PSL
+    (broadcast-join form: exact rules as a per-level broadcast lookup,
+    wildcard/exception rules as tiny InSet probes — no UDF, no shuffle of
+    the corpus), grouped to per-domain counts. The oracle hand-states the
+    expected domain per host class."""
+    from ..operators.psl import with_registrable_domain
 
     docs = table(spark, sf_dir, "documents")
     return (
-        docs.select(_psl_host_col().alias("host"))
-        .withColumn("domain", registrable_domain(F.col("host")))
+        with_registrable_domain(
+            docs.select(_psl_host_col().alias("host")), "host"
+        )
         .groupBy("host", "domain")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
@@ -489,19 +497,24 @@ def docs_psl_registrable(spark, sf_dir):
     tags=("curation", "urls"),
 )
 def docs_domain_caps_recent(spark, sf_dir):
+    from ..operators.psl import with_registrable_domain
     from ..operators.topk import topk_per_group
-    from ..operators.urls import registrable_domain, url_host
+    from ..operators.urls import url_host
 
     docs = table(spark, sf_dir, "documents")
-    d = docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.date_format(
-            F.date_add(F.lit("2025-01-01").cast("date"),
-                       (F.col("doc_id") % 400).cast("int")),
-            "yyyy-MM-dd",
-        ).alias("crawl_date"),
-        registrable_domain(url_host(_synth_url_col())).alias("domain"),
-    )
+    d = with_registrable_domain(
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.date_format(
+                F.date_add(F.lit("2025-01-01").cast("date"),
+                           (F.col("doc_id") % 400).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("crawl_date"),
+            url_host(_synth_url_col()).alias("host"),
+        ),
+        "host",
+        out="domain",
+    ).drop("host")
     return topk_per_group(
         d, ["domain"], [("crawl_date", "desc"), ("doc_id", "asc")], k=5
     ).select("domain", "doc_id", "crawl_date", "rk")
