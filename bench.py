@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "docs_sample_stratified",
     "docs_psl_registrable",
     "docs_domain_caps_recent",
+    "dml_deletion_vectors",
 ]
 
 

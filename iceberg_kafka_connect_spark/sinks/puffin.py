@@ -1,0 +1,132 @@
+"""Puffin file format (Iceberg spec "Puffin file format"): a container
+for statistics and deletion-vector blobs.
+
+Layout (all per the public spec):
+
+    Magic  Blob1  Blob2 ...  Magic  FooterPayload  FooterPayloadSize  Flags  Magic
+
+- ``Magic`` is the 4 bytes ``0x50 0x46 0x41 0x31`` ("PFA1").
+- ``FooterPayload`` is UTF-8 JSON (optionally gzip — this writer emits
+  it uncompressed, flag bit 0 clear) describing the blobs:
+  ``{"blobs": [{"type": ..., "fields": [...], "snapshot-id": ...,
+  "sequence-number": ..., "offset": ..., "length": ...,
+  "properties": {...}}, ...], "properties": {...}}``.
+- ``FooterPayloadSize`` is a 4-byte little-endian int; ``Flags`` is 4
+  bytes (bit 0 of byte 0 = footer payload gzip-compressed).
+
+Deletion-vector blobs use type ``deletion-vector-v1`` whose data is the
+portable 64-bit roaring serialization (``functions/roaring.py``) of the
+deleted row ordinals of ONE data file, with the referenced file and
+cardinality recorded in the blob properties — the Iceberg v3 DV shape.
+
+Reference analogue: none (the connector predates v3 DVs); format per the
+public Iceberg Puffin spec, re-implemented here.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import struct
+from dataclasses import dataclass, field
+
+MAGIC = b"PFA1"
+FLAG_FOOTER_COMPRESSED = 0x01  # byte 0, bit 0
+
+DV_BLOB_TYPE = "deletion-vector-v1"
+
+
+@dataclass
+class BlobMeta:
+    type: str
+    offset: int
+    length: int
+    properties: dict = field(default_factory=dict)
+    fields: list = field(default_factory=list)
+    snapshot_id: str | None = None
+    sequence_number: int | None = None
+
+
+def write_puffin(
+    path: str,
+    blobs: list[tuple[str, dict, bytes]],
+    file_properties: dict | None = None,
+    snapshot_id: str | None = None,
+    sequence_number: int | None = None,
+) -> list[BlobMeta]:
+    """Write ``blobs`` as ``(type, properties, data)`` triples; returns
+    their recorded metadata (offsets/lengths for manifest entries)."""
+    metas: list[BlobMeta] = []
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        for btype, props, data in blobs:
+            off = f.tell()
+            f.write(data)
+            metas.append(
+                BlobMeta(
+                    type=btype,
+                    offset=off,
+                    length=len(data),
+                    properties=dict(props),
+                    snapshot_id=snapshot_id,
+                    sequence_number=sequence_number,
+                )
+            )
+        payload = json.dumps(
+            {
+                "blobs": [
+                    {
+                        "type": m.type,
+                        "fields": m.fields,
+                        "snapshot-id": m.snapshot_id,
+                        "sequence-number": m.sequence_number,
+                        "offset": m.offset,
+                        "length": m.length,
+                        "properties": m.properties,
+                    }
+                    for m in metas
+                ],
+                "properties": dict(file_properties or {}),
+            }
+        ).encode("utf-8")
+        f.write(MAGIC)
+        f.write(payload)
+        f.write(struct.pack("<I", len(payload)))
+        f.write(struct.pack("<I", 0))  # flags: footer uncompressed
+        f.write(MAGIC)
+    return metas
+
+
+def read_puffin_footer(path: str) -> dict:
+    """Parse the footer; returns the payload JSON dict."""
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        if size < 4 + 12 + 4:
+            raise ValueError(f"{path}: too small to be a puffin file")
+        f.seek(0)
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: bad leading magic")
+        f.seek(size - 12)
+        tail = f.read(12)
+        payload_size, flags = struct.unpack("<II", tail[:8])
+        if tail[8:] != MAGIC:
+            raise ValueError(f"{path}: bad trailing magic")
+        f.seek(size - 12 - payload_size)
+        payload = f.read(payload_size)
+        # FooterPayload is preceded by its own Magic
+        f.seek(size - 12 - payload_size - 4)
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: bad footer magic")
+    if flags & FLAG_FOOTER_COMPRESSED:
+        payload = gzip.decompress(payload)
+    return json.loads(payload.decode("utf-8"))
+
+
+def read_blob(path: str, offset: int, length: int) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read(length)
+    if len(data) != length:
+        raise ValueError(f"{path}: truncated blob at {offset}+{length}")
+    return data

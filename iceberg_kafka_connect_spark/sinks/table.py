@@ -52,8 +52,25 @@ COMMIT_RETRIES = 3  # IcebergSinkConfig.java:103-104 (schema/create retries)
 MAIN = "main"
 
 
+def _register_codecs_by_value() -> None:
+    """Make the roaring/puffin codec modules cloudpickle BY VALUE, so
+    delete-vector UDF closures carry the (pure-stdlib, ~200-line) code to
+    Python workers that don't have the package on their sys.path."""
+    from pyspark import cloudpickle
+
+    from ..functions import roaring
+    from . import puffin
+
+    cloudpickle.register_pickle_by_value(roaring)
+    cloudpickle.register_pickle_by_value(puffin)
+
+
 def _has_positional(delete_files: list[dict]) -> bool:
-    return any(f.get("delete_type") == "position" for f in delete_files)
+    # deletion vectors are position deletes in bitmap clothing: both need
+    # the scan to carry (file, ordinal) row identity
+    return any(
+        f.get("delete_type") in ("position", "dv") for f in delete_files
+    )
 
 
 def _fp_norm(col: Column) -> Column:
@@ -1894,20 +1911,32 @@ class LakehouseTable:
         pos_files = [
             f for f in delete_files if f.get("delete_type") == "position"
         ]
+        dv_files = [f for f in delete_files if f.get("delete_type") == "dv"]
         delete_files = [
-            f for f in delete_files if f.get("delete_type") != "position"
+            f
+            for f in delete_files
+            if f.get("delete_type") not in ("position", "dv")
         ]
-        if pos_files:
+        if pos_files or dv_files:
             if "__fp" not in data.columns:
                 raise RuntimeError(
                     "positional delete files present but the scan did not "
                     "carry row identity — read with with_position=True"
                 )
             prefix = os.path.abspath(self.root) + "/"
-            dpos = self._read_file_group(spark, pos_files, None).select(
-                _fp_load(F.col("file_path"), prefix).alias("__fpn"),
-                F.col("pos").alias("__pos"),
-            )
+            dpos_parts = []
+            if pos_files:
+                dpos_parts.append(
+                    self._read_file_group(spark, pos_files, None).select(
+                        _fp_load(F.col("file_path"), prefix).alias("__fpn"),
+                        F.col("pos").alias("__pos"),
+                    )
+                )
+            if dv_files:
+                dpos_parts.append(self._dv_positions(spark, dv_files, prefix))
+            dpos = dpos_parts[0]
+            for p in dpos_parts[1:]:
+                dpos = dpos.unionByName(p)
             data = (
                 data.withColumn("__fpn", _fp_norm(F.col("__fp")))
                 .join(dpos, ["__fpn", "__pos"], "left_anti")
@@ -1958,6 +1987,176 @@ class LakehouseTable:
                 .drop("__max_dseq")
             )
         return out
+
+    def _dv_positions(
+        self, spark: SparkSession, dv_files: list[dict], prefix: str
+    ) -> DataFrame:
+        """Deleted (file, ordinal) pairs from deletion-vector entries.
+        The driver ships only the tiny blob descriptors (one row per
+        referenced data file); the roaring bitmaps decode EXECUTOR-side
+        in ``mapInPandas``, so a table with millions of deleted ordinals
+        never materializes them on the driver."""
+        rows = [
+            (
+                f["referenced_data_file"]
+                if f["referenced_data_file"].startswith("/")
+                else prefix + f["referenced_data_file"],
+                os.path.join(self.root, f["path"]),
+                int(f["content_offset"]),
+                int(f["content_size_in_bytes"]),
+            )
+            for f in dv_files
+        ]
+        meta_df = spark.createDataFrame(
+            rows, "__fpn string, puffin string, off long, len long"
+        )
+        # Python workers don't share the driver's sys.path — ship the
+        # (pure-stdlib, tiny) codec modules BY VALUE inside the closure
+        _register_codecs_by_value()
+        from ..functions.roaring import deserialize_bitmap64
+        from .puffin import read_blob
+
+        def _expand(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for fpn, puffin, off, length in pdf.itertuples(
+                    index=False, name=None
+                ):
+                    positions = deserialize_bitmap64(
+                        read_blob(puffin, int(off), int(length))
+                    )
+                    yield pd.DataFrame({"__fpn": fpn, "__pos": positions})
+
+        return meta_df.mapInPandas(_expand, "__fpn string, __pos long")
+
+    def rewrite_position_deletes(
+        self, spark: SparkSession, branch: str = MAIN
+    ) -> dict | None:
+        """Iceberg v3 ``rewrite_position_delete_files``: consolidate the
+        accumulated position-delete files into ONE deletion vector per
+        referenced data file, stored as ``deletion-vector-v1`` blobs of a
+        single Puffin file (``sinks/puffin.py``; portable 64-bit roaring
+        bitmaps, ``functions/roaring.py``).
+
+        Why it matters at 100 TB: every streaming DELETE appends another
+        position-delete file, and each merge-on-read scan must read ALL
+        of them forever — the v2 read-amplification spiral. After this
+        rewrite a scan reads exactly one compact bitmap per touched data
+        file, and the blob descriptors live in one Puffin file.
+
+        Scale shape: position-delete rows never hit the driver — a
+        map-side-combined ``applyInPandas`` per referenced file builds
+        each roaring bitmap executor-side; only the per-file (path,
+        blob bytes, cardinality) rows return to the driver (bounded by
+        the touched-file count), which writes the Puffin file and commits
+        a ``rewrite-deletes`` REPLACE snapshot carrying data files and
+        equality deletes verbatim (sequence numbers preserved). Returns
+        the snapshot, or None when no position deletes exist.
+        """
+        _register_codecs_by_value()
+        from ..functions.roaring import serialize_bitmap64
+        from .puffin import DV_BLOB_TYPE, write_puffin
+
+        meta = self.metadata()
+        head = self.current_snapshot(branch)
+        if head is None:
+            return None
+        data_files, delete_files = self._live_files(meta, head)
+        pos_files = [
+            f for f in delete_files if f.get("delete_type") == "position"
+        ]
+        old_dvs = [f for f in delete_files if f.get("delete_type") == "dv"]
+        others = [
+            f
+            for f in delete_files
+            if f.get("delete_type") not in ("position", "dv")
+        ]
+        if not pos_files:
+            return None
+        prefix = os.path.abspath(self.root) + "/"
+        pos = self._read_file_group(spark, pos_files, None).select(
+            F.col("file_path"), F.col("pos")
+        )
+        if old_dvs:
+            # fold previous vectors in, so repeated rewrites stay one
+            # DV per file: decode to the same (file_path, pos) shape
+            # (storage-form file_path: strip the root prefix again)
+            prev = self._dv_positions(spark, old_dvs, prefix).select(
+                F.regexp_replace(
+                    F.col("__fpn"), "^" + re.escape(prefix), ""
+                ).alias("file_path"),
+                F.col("__pos").alias("pos"),
+            )
+            pos = pos.unionByName(prev)
+
+        def _to_dv(pdf):
+            import pandas as pd
+
+            fp = pdf["file_path"].iloc[0]
+            blob = serialize_bitmap64(int(p) for p in pdf["pos"])
+            return pd.DataFrame(
+                {
+                    "file_path": [fp],
+                    "dv": [blob],
+                    "cardinality": [int(pdf["pos"].nunique())],
+                }
+            )
+
+        per_file = (
+            pos.groupBy("file_path")
+            .applyInPandas(
+                _to_dv, "file_path string, dv binary, cardinality long"
+            )
+            .collect()
+        )
+        rel_puffin = os.path.join(
+            "data", f"dv-{uuid.uuid4().hex}.puffin"
+        )
+        blobs = [
+            (
+                DV_BLOB_TYPE,
+                {
+                    "referenced-data-file": r["file_path"],
+                    "cardinality": str(r["cardinality"]),
+                },
+                bytes(r["dv"]),
+            )
+            for r in sorted(per_file, key=lambda r: r["file_path"])
+        ]
+        metas = write_puffin(
+            os.path.join(self.root, rel_puffin),
+            blobs,
+            snapshot_id=head["snapshot_id"],
+        )
+        dv_entries = [
+            {
+                "path": rel_puffin,
+                "bytes": m.length,
+                "delete_type": "dv",
+                "format": "puffin",
+                "referenced_data_file": m.properties["referenced-data-file"],
+                "content_offset": m.offset,
+                "content_size_in_bytes": m.length,
+                "cardinality": int(m.properties["cardinality"]),
+            }
+            for m in metas
+        ]
+        return self._commit_snapshot(
+            "rewrite-deletes",
+            data_files,
+            others + dv_entries,
+            {
+                "position-delete-files-rewritten": str(
+                    len(pos_files) + len(old_dvs)
+                ),
+                "deletion-vectors-written": str(len(dv_entries)),
+            },
+            branch,
+            replace=True,
+            preserve_seq=True,
+            expected_parent=head["snapshot_id"],
+        )
 
     def _delete_key_cols(self, spark: SparkSession, dfile: dict) -> list[str]:
         fmt = dfile.get("format", "parquet")
@@ -3245,6 +3444,10 @@ class LakehouseTable:
             if d.get("delete_type") == "position":
                 alive = self._position_delete_refs([d]) & live_paths
                 keep = bool(alive)
+            elif d.get("delete_type") == "dv":
+                # a vector names its referenced file in the manifest
+                # entry itself — no file read needed to decide liveness
+                keep = d["referenced_data_file"] in live_paths
             else:
                 keep = min_data_seq is not None and min_data_seq < d["seq"]
             if keep:

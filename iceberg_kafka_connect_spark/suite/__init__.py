@@ -123,7 +123,8 @@ def load_all() -> dict[str, QuerySpec]:
     # added this round; re-verify with the never-gated computation
     # (oracle set minus CORRECTNESS_r0* union minus current window)
     # before editing the round-9 window:
-    #   docs_psl_registrable, docs_domain_caps_recent
+    #   docs_psl_registrable, docs_domain_caps_recent,
+    #   dml_deletion_vectors
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).

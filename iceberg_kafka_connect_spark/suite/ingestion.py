@@ -3036,3 +3036,60 @@ def merge_full_sync(spark, sf_dir):
     return t.read(spark).select(
         F.col("event_id").cast("bigint").alias("event_id"), "event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# X97: Iceberg v3 deletion vectors. Position deletes accumulate one file
+# per DELETE; rewrite_position_deletes consolidates them into ONE portable
+# 64-bit roaring bitmap per referenced data file, stored as
+# deletion-vector-v1 blobs of a single Puffin file — then a second DELETE
+# lands on top and a second rewrite folds the old vectors in. The read
+# both before and after must equal the plain SQL twin; the bitmaps decode
+# executor-side (mapInPandas), never on the driver.
+# --------------------------------------------------------------------------
+@register(
+    "dml_deletion_vectors",
+    oracle="""
+    WITH doubled AS (
+        SELECT event_id, event_type FROM events WHERE event_id < 600
+        UNION ALL
+        SELECT event_id, event_type FROM events WHERE event_id < 600
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM doubled
+    WHERE NOT (event_id % 3 = 0) AND NOT (event_id % 7 = 1)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def dml_deletion_vectors(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 600).select(
+        "event_id", "event_type"
+    )
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="dv_gate_") + "/t", e.schema
+    )
+    t.append(e.unionAll(e))  # duplicates: only positional identity works
+    t.delete_where_positions(spark, "event_id % 3 = 0")
+    snap = t.rewrite_position_deletes(spark)
+    assert snap is not None and snap["operation"] == "rewrite-deletes"
+    # more deletes on top of the vectors, then fold those in too
+    t.delete_where_positions(spark, "event_id % 7 = 1")
+    t.rewrite_position_deletes(spark)
+    _, deletes = t.live_files()
+    assert {d.get("delete_type") for d in deletes} == {"dv"}
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,188 @@
+"""Iceberg v3 deletion vectors: portable roaring serialization, the
+Puffin container, rewrite_position_deletes, and merge-on-read equivalence
+before/after the rewrite."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.functions.roaring import (
+    deserialize_bitmap64,
+    serialize_bitmap64,
+)
+from iceberg_kafka_connect_spark.sinks.puffin import (
+    DV_BLOB_TYPE,
+    read_blob,
+    read_puffin_footer,
+    write_puffin,
+)
+from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("grp", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+    ]
+)
+
+
+def test_roaring_roundtrip_container_shapes():
+    random.seed(3)
+    cases = [
+        [],
+        [0],
+        [65535, 65536, 65537],                     # container boundary
+        list(range(4096)),                          # max array container
+        list(range(4097)),                          # flips to bitmap
+        list(range(0, 200_000, 3)),                 # many containers
+        [random.randrange(2**40) for _ in range(2500)],  # 64-bit buckets
+        [2**32 - 1, 2**32, 2**32 + 1],
+    ]
+    for c in cases:
+        assert deserialize_bitmap64(serialize_bitmap64(c)) == sorted(set(c))
+
+
+def test_roaring_rejects_negative():
+    with pytest.raises(ValueError, match="non-negative"):
+        serialize_bitmap64([-1])
+
+
+def test_puffin_roundtrip(tmp_path):
+    p = str(tmp_path / "x.puffin")
+    b1 = serialize_bitmap64([1, 5, 9])
+    b2 = serialize_bitmap64(range(10_000))
+    metas = write_puffin(
+        p,
+        [
+            (DV_BLOB_TYPE, {"referenced-data-file": "data/a.parquet"}, b1),
+            (DV_BLOB_TYPE, {"referenced-data-file": "data/b.parquet"}, b2),
+        ],
+        snapshot_id="snap1",
+    )
+    footer = read_puffin_footer(p)
+    assert [b["type"] for b in footer["blobs"]] == [DV_BLOB_TYPE] * 2
+    assert footer["blobs"][0]["offset"] == 4  # right after the magic
+    for m, want in zip(metas, (b1, b2)):
+        assert read_blob(p, m.offset, m.length) == want
+    got = deserialize_bitmap64(read_blob(p, metas[1].offset, metas[1].length))
+    assert got == list(range(10_000))
+
+
+@pytest.fixture()
+def table_with_position_deletes(spark, tmp_path):
+    t = LakehouseTable.create(str(tmp_path / "t"), SCHEMA)
+    # several appends → several data files; duplicate (grp, v) rows so
+    # only POSITION deletes can express the removal exactly
+    for i in range(3):
+        t.append(
+            spark.range(i * 1000, (i + 1) * 1000).select(
+                F.col("id"),
+                (F.col("id") % 7).cast("string").alias("grp"),
+                (F.col("id") % 13).alias("v"),
+            )
+        )
+    t.delete_where_positions(spark, "v = 3")
+    t.delete_where_positions(spark, "grp = '5'")
+    return t
+
+
+def test_rewrite_position_deletes_preserves_reads(
+    spark, table_with_position_deletes
+):
+    t = table_with_position_deletes
+    before = sorted(map(tuple, t.read(spark).collect()))
+    snap = t.rewrite_position_deletes(spark)
+    assert snap is not None and snap["operation"] == "rewrite-deletes"
+    _, deletes = t.live_files()
+    kinds = {d.get("delete_type") for d in deletes}
+    assert kinds == {"dv"}
+    # one vector per touched data file, all in ONE puffin file
+    assert len({d["path"] for d in deletes}) == 1
+    assert all(d["format"] == "puffin" for d in deletes)
+    after = sorted(map(tuple, t.read(spark).collect()))
+    assert after == before
+    # the deletes actually removed rows (the fixture predicates match)
+    assert 0 < len(after) < 3000
+
+
+def test_rewrite_is_idempotent_and_folds_previous_dvs(
+    spark, table_with_position_deletes
+):
+    t = table_with_position_deletes
+    t.rewrite_position_deletes(spark)
+    # no position deletes left → no-op
+    assert t.rewrite_position_deletes(spark) is None
+    before = sorted(map(tuple, t.read(spark).collect()))
+    # new position deletes accumulate, second rewrite folds old DVs in
+    t.delete_where_positions(spark, "v = 4")
+    snap = t.rewrite_position_deletes(spark)
+    assert snap is not None
+    _, deletes = t.live_files()
+    assert {d.get("delete_type") for d in deletes} == {"dv"}
+    want = [r for r in before if r[2] != 4]
+    assert sorted(map(tuple, t.read(spark).collect())) == want
+
+
+def test_dv_coexists_with_equality_deletes(spark, tmp_path):
+    t = LakehouseTable.create(
+        str(tmp_path / "eq"), SCHEMA, identifier_fields=["id"]
+    )
+    t.append(
+        spark.range(0, 500).select(
+            "id",
+            (F.col("id") % 3).cast("string").alias("grp"),
+            (F.col("id") % 5).alias("v"),
+        )
+    )
+    t.delete_where_positions(spark, "v = 1")
+    t.rewrite_position_deletes(spark)
+    # an equality delete on top of the vectors
+    t.delete_where(spark, "grp = '2'", key_cols=["id"])
+    got = t.read(spark)
+    assert got.filter("v = 1 OR grp = '2'").count() == 0
+    # exactly the rows matching neither predicate survive
+    want = sum(1 for i in range(500) if i % 5 != 1 and i % 3 != 2)
+    assert got.count() == want
+    _, deletes = t.live_files()
+    # equality-delete entries carry no delete_type stamp (legacy None)
+    assert {d.get("delete_type") for d in deletes} == {"dv", None}
+
+
+def test_compaction_then_dangling_dv_pruned(
+    spark, table_with_position_deletes
+):
+    t = table_with_position_deletes
+    t.rewrite_position_deletes(spark)
+    before = sorted(map(tuple, t.read(spark).collect()))
+    t.compact(spark)  # folds DVs in; vectors now reference dead files
+    _, deletes = t.live_files()
+    if deletes:  # compaction carries nothing; if it did, prune them
+        t.remove_dangling_deletes()
+        _, deletes = t.live_files()
+        assert deletes == []
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+
+
+def test_dv_cardinality_recorded(spark, table_with_position_deletes):
+    t = table_with_position_deletes
+    t.rewrite_position_deletes(spark)
+    _, deletes = t.live_files()
+    # cardinalities sum to the number of deleted ordinals
+    deleted = 3000 - t.read(spark).count()
+    assert sum(d["cardinality"] for d in deletes) == deleted
+    # the puffin footer agrees with the manifest entries
+    p = os.path.join(t.root, deletes[0]["path"])
+    footer = read_puffin_footer(p)
+    by_ref = {
+        b["properties"]["referenced-data-file"]: b for b in footer["blobs"]
+    }
+    for d in deletes:
+        blob = by_ref[d["referenced_data_file"]]
+        assert blob["offset"] == d["content_offset"]
+        assert blob["length"] == d["content_size_in_bytes"]
