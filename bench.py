@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "docs_psl_registrable",
     "docs_domain_caps_recent",
     "dml_deletion_vectors",
+    "schema_add_column_default",
 ]
 
 

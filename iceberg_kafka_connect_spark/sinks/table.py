@@ -674,9 +674,11 @@ class LakehouseTable:
     # ---------------------------------------------------------------- write
     def _project(self, df: DataFrame, case_insensitive: bool = False) -> DataFrame:
         """Schema-directed projection with the table's name mapping applied
-        (RecordConverter.java:100-103)."""
+        (RecordConverter.java:100-103); columns the writer omitted fill
+        with their ``write-default`` (v3 default values) before the
+        projection NULL-fills what remains."""
         return project_to_schema(
-            df,
+            self._apply_write_defaults(df),
             self.schema(),
             case_insensitive=case_insensitive,
             name_mapping=self.name_mapping(),
@@ -1297,6 +1299,64 @@ class LakehouseTable:
                     raise
                 time.sleep(0.05 * (attempt + 1))
         return False
+
+    def add_column(
+        self,
+        name: str,
+        dtype: T.DataType,
+        initial_default=None,
+        write_default=None,
+        doc: str | None = None,
+    ) -> None:
+        """Iceberg v3 default values (table-spec "Default values"): add a
+        top-level column whose ``initial-default`` backfills rows written
+        BEFORE the column existed (applied at READ time to files that
+        lack the column — no data rewrite, the whole point at 100 TB) and
+        whose ``write-default`` fills the column when an APPEND omits it.
+        Both stored as field metadata in the table schema; either may be
+        None (Iceberg: a required column would demand an initial-default,
+        but columns here add as nullable, so NULL remains the default
+        default). Optimistic-retry commit like ``evolve_schema``."""
+        md: dict = {}
+        if initial_default is not None:
+            md["initial-default"] = initial_default
+        if write_default is not None:
+            md["write-default"] = write_default
+        if doc:
+            md["doc"] = doc
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            current = T.StructType.fromJson(meta["schema"])
+            if name in {f.name for f in current.fields}:
+                raise ValueError(f"column {name!r} already exists")
+            evolved = T.StructType(
+                list(current.fields) + [T.StructField(name, dtype, True, md)]
+            )
+            meta["schema"] = json.loads(evolved.json())
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
+    def _apply_write_defaults(self, df: DataFrame) -> DataFrame:
+        """Fill columns an append omitted entirely with their
+        ``write-default`` (a column present under an alias counts as
+        present — name mapping resolves it in the projection)."""
+        mapping = self.name_mapping()
+        for f in self.schema().fields:
+            if not f.metadata or "write-default" not in f.metadata:
+                continue
+            alts = mapping.get(f.name, [])
+            alts = [alts] if isinstance(alts, str) else list(alts)
+            if f.name in df.columns or any(a in df.columns for a in alts):
+                continue
+            df = df.withColumn(
+                f.name, F.lit(f.metadata["write-default"]).cast(f.dataType)
+            )
+        return df
 
     def count_rows(self, branch: str = MAIN) -> int | None:
         """Metadata-only COUNT(*): sum of per-file row counts recorded in
@@ -2308,6 +2368,22 @@ class LakehouseTable:
                 for pf in self.partition_spec():
                     if pf.name not in df.columns and pf.source in df.columns:
                         df = df.withColumn(pf.name, pf.expr())
+                # v3 default values: a file written before add_column
+                # lacks the column physically — fill its initial-default
+                # at read time (no data rewrite) before the projection
+                # NULL-fills whatever has no default
+                for tf in target.fields:
+                    if (
+                        tf.metadata
+                        and "initial-default" in tf.metadata
+                        and tf.name not in df.columns
+                    ):
+                        df = df.withColumn(
+                            tf.name,
+                            F.lit(tf.metadata["initial-default"]).cast(
+                                tf.dataType
+                            ),
+                        )
                 df = project_to_schema(df, target)
             parts.append(df.withColumn("__seq", F.lit(seq)))
         out = parts[0]

@@ -3093,3 +3093,58 @@ def dml_deletion_vectors(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# X98: v3 default column values. A column added mid-history backfills
+# files written before it existed with its initial-default AT READ TIME
+# (zero data rewrite), while appends that omit it fill with the
+# write-default and explicit values win — the oracle states the expected
+# region per event_id range directly.
+# --------------------------------------------------------------------------
+@register(
+    "schema_add_column_default",
+    oracle="""
+    SELECT CASE
+             WHEN event_id < 250 THEN 'unassigned'
+             WHEN event_id < 500 THEN 'web'
+             ELSE event_type
+           END AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events WHERE event_id < 750
+    GROUP BY 1 ORDER BY region
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def schema_add_column_default(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="coldef_gate_") + "/t",
+        e.filter(F.col("event_id") < 0).schema,
+    )
+    t.append(e.filter(F.col("event_id") < 250))
+    t.add_column(
+        "region",
+        T.StringType(),
+        initial_default="unassigned",
+        write_default="web",
+    )
+    t.append(e.filter((F.col("event_id") >= 250) & (F.col("event_id") < 500)))
+    t.append(
+        e.filter((F.col("event_id") >= 500) & (F.col("event_id") < 750))
+        .withColumn("region", F.col("event_type"))
+    )
+    return (
+        t.read(spark)
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("region")
+    )
