@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "docs_domain_caps_recent",
     "dml_deletion_vectors",
     "schema_add_column_default",
+    "docs_bpe_token_stats",
 ]
 
 

@@ -765,3 +765,24 @@ def docs_heavy_hitters(spark, sf_dir):
     return frequent_items(terms, "term", support, total=total).select(
         "term", F.col("n").cast("bigint").alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# X99: real BPE tokenization. Train merges from the corpus's word-frequency
+# table (ONE distributed count pass; the merge loop runs over the bounded
+# vocabulary table) and report per-source token statistics under the
+# trained tokenizer — the budget numbers that match a serving tokenizer
+# instead of a whitespace proxy. Rows-only (an iterative merge loop has no
+# SQL twin); value-level evidence is the pinned agreement test in
+# tests/test_rows_only_agreement.py.
+# --------------------------------------------------------------------------
+@register("docs_bpe_token_stats", oracle=None, tags=("text", "tokenize"))
+def docs_bpe_token_stats(spark, sf_dir):
+    from ..operators.bpe import bpe_token_stats, fit_bpe
+    from .core import table
+
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    merges = fit_bpe(
+        docs, "text", num_merges=64, min_word_freq=2, max_words=50_000
+    )
+    return bpe_token_stats(docs, "text", "source", merges).orderBy("source")

@@ -359,3 +359,61 @@ def test_embedding_pca_suite_matches_numpy_eigenvalues(spark, sf_dir, emb_rows):
     for r, ev in zip(rows, top):
         assert r.n == len(mat)
         assert abs(r.projected_variance - ev) < 1e-5, (r.component, ev)
+
+
+# ------------------------------------------------------ docs_bpe_token_stats
+def test_docs_bpe_token_stats_matches_pure_python(spark, sf_dir):
+    """The suite query trains 64 merges from the word-frequency table and
+    reports per-source token stats; this recomputes BOTH stages in pure
+    Python (Counter + the same classic merge loop + a naive encoder) and
+    demands identical totals."""
+    from collections import Counter
+
+    from iceberg_kafka_connect_spark.operators.bpe import END, train_bpe
+
+    docs = [
+        (r.source, r.text or "")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    ]
+    c = Counter(w for _, t in docs for w in t.lower().split())
+    wf = sorted(
+        ((w, f) for w, f in c.items() if f >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:50_000]
+    merges = train_bpe(wf, 64)
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def enc_word(word):
+        syms = list(word) + [END]
+        while len(syms) > 1:
+            cand = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in ranks
+            ]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    cache = {}
+    expected = {}
+    for src, text in docs:
+        n = 0
+        for w in text.lower().split():
+            if w not in cache:
+                cache[w] = len(enc_word(w))
+            n += cache[w]
+        d = expected.setdefault(src, [0, 0, 0])
+        d[0] += 1
+        d[1] += n
+        d[2] = max(d[2], n)
+
+    got = {
+        r.source: (r.n_docs, r.total_tokens, r.max_tokens)
+        for r in _run("docs_bpe_token_stats", spark, sf_dir).collect()
+    }
+    assert got == {s: tuple(v) for s, v in expected.items()}
