@@ -938,6 +938,56 @@ def _rewrite_position_delete(
     return new_path, rewritten.num_rows, os.path.getsize(new_path)
 
 
+def _materialize_dv_as_position_delete(
+    fentry: dict, root: str, out: str
+) -> tuple[str, int, int]:
+    """v2-compatible export of a v3 deletion vector: decode the roaring
+    blob back to (file_path, pos) rows and write them in the spec's
+    position-delete parquet form (absolute URIs, reserved field-ids,
+    sorted). Readers that don't speak DVs read the same deletes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.roaring import deserialize_bitmap64
+    from .puffin import read_blob
+
+    blob = read_blob(
+        os.path.join(root, fentry["path"]),
+        int(fentry["content_offset"]),
+        int(fentry["content_size_in_bytes"]),
+    )
+    positions = deserialize_bitmap64(blob)
+    ref = fentry["referenced_data_file"]
+    uri = ("file://" + ref) if ref.startswith("/") else (
+        "file://" + os.path.abspath(root) + "/" + ref
+    )
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483546"},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483545"},
+            ),
+        ]
+    )
+    t = pa.table(
+        {
+            "file_path": pa.array([uri] * len(positions), type=pa.string()),
+            "pos": pa.array(positions, type=pa.int64()),
+        }
+    ).cast(schema)
+    new_path = os.path.join(out, f"pos-delete-{uuid.uuid4().hex}.parquet")
+    pq.write_table(t, new_path)
+    return new_path, t.num_rows, os.path.getsize(new_path)
+
+
 def _metadata_log_keep(meta: dict, delete_after_commit: bool | None) -> int:
     """How many previous metadata versions this export will leave on disk
     (a huge number when retention is off)."""
@@ -1179,6 +1229,8 @@ def export_iceberg_metadata(
         sid = _export_snapshot_id(snap_x)
         data_files, delete_files = table.live_files(snap=snap_x)
         for fentry in data_files + delete_files:
+            if fentry.get("delete_type") == "dv":
+                continue  # vectors materialize to parquet below
             if fentry.get("format", "parquet") != "parquet":
                 raise IcebergExportUnsupported(
                     f"data file format {fentry.get('format')!r} not "
@@ -1243,8 +1295,37 @@ def export_iceberg_metadata(
         del_entries = []
         for fentry in delete_files:
             path = os.path.join(table.root, fentry["path"])
-            rows = _rows_of(fentry, path)
             fseq = fentry.get("seq", seq)
+            if fentry.get("delete_type") == "dv":
+                # v3 deletion vectors materialize as v2 position-delete
+                # parquet on export (one file per vector, memoized by
+                # blob identity across ancestor snapshots)
+                dv_key = (path, fentry["content_offset"])
+                if dv_key not in pos_rewrites:
+                    pos_rewrites[dv_key] = _materialize_dv_as_position_delete(
+                        fentry, table.root, tree_dir
+                    )
+                new_path, rows, size = pos_rewrites[dv_key]
+                del_entries.append(
+                    {
+                        "status": 1 if fseq == seq else 0,
+                        "snapshot_id": sid
+                        if fseq == seq
+                        else seq_to_int.get(fseq, sid),
+                        "sequence_number": fseq,
+                        "file_sequence_number": fseq,
+                        "data_file": {
+                            "content": 1,  # POSITION_DELETES
+                            "file_path": "file://" + os.path.abspath(new_path),
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": rows,
+                            "file_size_in_bytes": size,
+                        },
+                    }
+                )
+                continue
+            rows = _rows_of(fentry, path)
             if fentry.get("delete_type") == "position":
                 # positional files REWRITE on export: the internal form stores
                 # root-relative paths and id-less columns; Iceberg readers need

@@ -2631,12 +2631,21 @@ class LakehouseTable:
         parts: list[DataFrame] = []
         for ordinal, snap in enumerate(reversed(snaps)):
             if (
-                snap["operation"] == "rewrite-manifests"
+                snap["operation"]
+                in (
+                    "rewrite-manifests",
+                    # delete-representation rewrites (position files → DVs)
+                    # and dangling-delete pruning re-encode the SAME live
+                    # row set — data-neutral by construction, so the
+                    # changelog emits nothing for them either
+                    "rewrite-deletes",
+                    "remove-dangling-deletes",
+                )
                 and snap["parent"] is not None
             ):
-                # metadata-only manifest squash: zero data change, so the
-                # changelog emits nothing for it (Iceberg's changelog does
-                # the same for RewriteManifests commits)
+                # metadata-only squash: zero data change, so the changelog
+                # emits nothing for it (Iceberg's changelog does the same
+                # for RewriteManifests commits)
                 continue
             # a parentless replace is the root snapshot: its "full list" IS
             # the insert set. Any later replace (compaction, expiry seal)
@@ -3146,7 +3155,7 @@ class LakehouseTable:
                         s["snapshot_id"],
                         s["sequence_number"],
                         "position-deletes"
-                        if f.get("delete_type") == "position"
+                        if f.get("delete_type") in ("position", "dv")
                         else "equality-deletes",
                         f["path"],
                         f.get("format", "parquet"),
@@ -3198,7 +3207,7 @@ class LakehouseTable:
             (
                 f["path"],
                 "position-deletes"
-                if f.get("delete_type") == "position"
+                if f.get("delete_type") in ("position", "dv")
                 else "equality-deletes",
                 f["seq"],
                 f.get("format", "parquet"),
@@ -3225,14 +3234,35 @@ class LakehouseTable:
         pos_files = [
             f for f in delete_files if f.get("delete_type") == "position"
         ]
-        if not pos_files:
+        dv_files = [
+            f for f in delete_files if f.get("delete_type") == "dv"
+        ]
+        if not pos_files and not dv_files:
             return spark.createDataFrame([], schema)
         prefix = os.path.abspath(self.root) + "/"
-        return self._read_file_group(spark, pos_files, None).select(
-            _fp_load(F.col("file_path"), prefix).alias("file_path"),
-            F.col("pos").cast("long").alias("pos"),
-            F.col("__seq").cast("long").alias("seq"),
-        )
+        parts = []
+        if pos_files:
+            parts.append(
+                self._read_file_group(spark, pos_files, None).select(
+                    _fp_load(F.col("file_path"), prefix).alias("file_path"),
+                    F.col("pos").cast("long").alias("pos"),
+                    F.col("__seq").cast("long").alias("seq"),
+                )
+            )
+        for f in dv_files:
+            # deletion vectors hold the same (file, ordinal) pairs —
+            # surface them through the same metadata table
+            parts.append(
+                self._dv_positions(spark, [f], prefix).select(
+                    F.col("__fpn").alias("file_path"),
+                    F.col("__pos").cast("long").alias("pos"),
+                    F.lit(f.get("seq")).cast("long").alias("seq"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def entries_df(self, spark: SparkSession) -> DataFrame:
         """Iceberg `table.entries` parity (added/existing statuses): one
@@ -3251,7 +3281,7 @@ class LakehouseTable:
                 (
                     f,
                     "position-deletes"
-                    if f.get("delete_type") == "position"
+                    if f.get("delete_type") in ("position", "dv")
                     else "equality-deletes",
                 )
                 for f in dl
@@ -4040,6 +4070,10 @@ class LakehouseTable:
         data, so this stays off the Spark path."""
         refs: set[str] = set()
         for f in pos_files:
+            if f.get("delete_type") == "dv":
+                # a vector names its referenced file in the manifest entry
+                refs.add(f["referenced_data_file"])
+                continue
             p = os.path.join(self.root, f["path"])
             fmt = f.get("format", "parquet")
             if fmt == "parquet":
@@ -4112,7 +4146,9 @@ class LakehouseTable:
                 sid = cur["parent"]
             d, dl = self._load_manifest(snap)
             pos_files = [
-                f for f in dl if f.get("delete_type") == "position"
+                f
+                for f in dl
+                if f.get("delete_type") in ("position", "dv")
             ]
             if pos_files:
                 # Iceberg's cherrypickSnapshot restricts itself to appends /
