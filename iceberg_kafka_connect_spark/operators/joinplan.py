@@ -120,11 +120,21 @@ def stats_join(
     how: str = "inner",
     branch: str = "main",
     broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
+    runtime_filter: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Execute the ``plan_join`` decision: returns ``(joined, decision)``.
     Output columns: key, left columns, right's non-key columns (``_r``
     suffix on collision) — the SPJ column contract, matched here for all
-    strategies so the caller's shape is plan-independent."""
+    strategies so the caller's shape is plan-independent.
+
+    ``runtime_filter`` (dynamic file pruning, the Spark 3.3 runtime
+    filtering / Databricks DFP idea done from table metadata): on an
+    INNER broadcast join, the build side's metadata key bounds become a
+    ``key BETWEEN lo AND hi`` predicate on the probe side's SCAN — files
+    whose recorded bounds fall outside never open. Zero extra jobs (both
+    the decision and the bounds come from manifests); inner-only because
+    a preserved side must keep its unmatched rows. The predicate lands in
+    ``decision["runtime_filter"]`` when applied."""
     decision = plan_join(
         left, right, key, how=how, branch=branch,
         broadcast_threshold_bytes=broadcast_threshold_bytes,
@@ -138,7 +148,29 @@ def stats_join(
             ),
             decision,
         )
-    ldf, rdf = left.read(spark, branch=branch), right.read(spark, branch=branch)
+    rf_left = rf_right = None
+    if (
+        runtime_filter
+        and decision["strategy"] == "broadcast"
+        and how.lower().replace("-", "_") == "inner"
+    ):
+        build = right if decision["build_side"] == "right" else left
+        bounds = build.column_bounds(key, branch=branch)
+        if bounds is not None:
+            lo, hi = bounds
+            numeric = all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in (lo, hi)
+            )
+            if numeric:
+                pred = f"{key} >= {lo!r} AND {key} <= {hi!r}"
+                decision["runtime_filter"] = pred
+                if decision["build_side"] == "right":
+                    rf_left = pred
+                else:
+                    rf_right = pred
+    ldf = left.read(spark, branch=branch, where=rf_left)
+    rdf = right.read(spark, branch=branch, where=rf_right)
     lcols = set(ldf.columns)
     rdf = rdf.select(
         key,

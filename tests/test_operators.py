@@ -1021,6 +1021,49 @@ def test_stats_join_spj_respects_branch(spark, tmp_path):
     assert joined.count() == 5400  # main head would give 5000
 
 
+def test_stats_join_runtime_filter_prunes_probe_files(spark, tmp_path):
+    """Inner broadcast join: the build side's metadata key bounds prune
+    the probe side's files before any open (DPP-style, zero extra jobs).
+    Results match the unfiltered join exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.operators.joinplan import stats_join
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    big_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("p", T.LongType())]
+    )
+    big = LakehouseTable.create(str(tmp_path / "big"), big_schema)
+    # four appends with DISJOINT key ranges → four prunable file groups
+    for lo in (0, 1000, 2000, 3000):
+        big.append(
+            spark.range(lo, lo + 1000).coalesce(1).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("p")
+            )
+        )
+    dim_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    dim = LakehouseTable.create(str(tmp_path / "dim"), dim_schema)
+    dim.append(
+        spark.range(2100, 2200).select(
+            F.col("id").alias("k"), F.lit("d").alias("name")
+        )
+    )
+    joined, decision = stats_join(spark, big, dim, "k")
+    assert decision["strategy"] == "broadcast"
+    assert decision["runtime_filter"] == "k >= 2100 AND k <= 2199"
+    # the predicate really prunes: only the 2000-2999 file group survives
+    kept, total = big.scan_files(decision["runtime_filter"])
+    assert total == 4 and len(kept) == 1
+    assert joined.count() == 100
+    # outer joins never runtime-filter (preserved side keeps its rows)
+    outer, d2 = stats_join(spark, big, dim, "k", how="left")
+    assert "runtime_filter" not in d2
+    assert outer.count() == 4000
+
+
 def test_truncate_renorm_unit_norm_and_energy(spark):
     import math
 
