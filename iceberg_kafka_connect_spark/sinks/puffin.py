@@ -47,31 +47,40 @@ class BlobMeta:
     sequence_number: int | None = None
 
 
-def write_puffin(
-    path: str,
-    blobs: list[tuple[str, dict, bytes]],
-    file_properties: dict | None = None,
-    snapshot_id: str | None = None,
-    sequence_number: int | None = None,
-) -> list[BlobMeta]:
-    """Write ``blobs`` as ``(type, properties, data)`` triples; returns
-    their recorded metadata (offsets/lengths for manifest entries)."""
-    metas: list[BlobMeta] = []
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        for btype, props, data in blobs:
-            off = f.tell()
-            f.write(data)
-            metas.append(
-                BlobMeta(
-                    type=btype,
-                    offset=off,
-                    length=len(data),
-                    properties=dict(props),
-                    snapshot_id=snapshot_id,
-                    sequence_number=sequence_number,
-                )
-            )
+class PuffinWriter:
+    """Incremental writer: blobs stream in one at a time (bounded
+    memory — a maintenance job over millions of files never holds more
+    than one blob), footer written on close."""
+
+    def __init__(
+        self,
+        path: str,
+        file_properties: dict | None = None,
+        snapshot_id: str | None = None,
+        sequence_number: int | None = None,
+    ):
+        self._f = open(path, "wb")
+        self._f.write(MAGIC)
+        self._props = dict(file_properties or {})
+        self._snapshot_id = snapshot_id
+        self._sequence_number = sequence_number
+        self.metas: list[BlobMeta] = []
+
+    def add_blob(self, btype: str, properties: dict, data: bytes) -> BlobMeta:
+        off = self._f.tell()
+        self._f.write(data)
+        meta = BlobMeta(
+            type=btype,
+            offset=off,
+            length=len(data),
+            properties=dict(properties),
+            snapshot_id=self._snapshot_id,
+            sequence_number=self._sequence_number,
+        )
+        self.metas.append(meta)
+        return meta
+
+    def close(self) -> list[BlobMeta]:
         payload = json.dumps(
             {
                 "blobs": [
@@ -84,17 +93,47 @@ def write_puffin(
                         "length": m.length,
                         "properties": m.properties,
                     }
-                    for m in metas
+                    for m in self.metas
                 ],
-                "properties": dict(file_properties or {}),
+                "properties": self._props,
             }
         ).encode("utf-8")
-        f.write(MAGIC)
-        f.write(payload)
-        f.write(struct.pack("<I", len(payload)))
-        f.write(struct.pack("<I", 0))  # flags: footer uncompressed
-        f.write(MAGIC)
-    return metas
+        self._f.write(MAGIC)
+        self._f.write(payload)
+        self._f.write(struct.pack("<I", len(payload)))
+        self._f.write(struct.pack("<I", 0))  # flags: footer uncompressed
+        self._f.write(MAGIC)
+        self._f.close()
+        return self.metas
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:
+            self.close()
+        else:
+            self._f.close()
+
+
+def write_puffin(
+    path: str,
+    blobs: list[tuple[str, dict, bytes]],
+    file_properties: dict | None = None,
+    snapshot_id: str | None = None,
+    sequence_number: int | None = None,
+) -> list[BlobMeta]:
+    """Write ``blobs`` as ``(type, properties, data)`` triples; returns
+    their recorded metadata (offsets/lengths for manifest entries)."""
+    w = PuffinWriter(
+        path,
+        file_properties=file_properties,
+        snapshot_id=snapshot_id,
+        sequence_number=sequence_number,
+    )
+    for btype, props, data in blobs:
+        w.add_blob(btype, props, data)
+    return w.close()
 
 
 def read_puffin_footer(path: str) -> dict:

@@ -2116,7 +2116,7 @@ class LakehouseTable:
         """
         _register_codecs_by_value()
         from ..functions.roaring import serialize_bitmap64
-        from .puffin import DV_BLOB_TYPE, write_puffin
+        from .puffin import DV_BLOB_TYPE, PuffinWriter
 
         meta = self.metadata()
         head = self.current_snapshot(branch)
@@ -2163,45 +2163,48 @@ class LakehouseTable:
                 }
             )
 
-        per_file = (
-            pos.groupBy("file_path")
-            .applyInPandas(
-                _to_dv, "file_path string, dv binary, cardinality long"
-            )
-            .collect()
+        per_file = pos.groupBy("file_path").applyInPandas(
+            _to_dv, "file_path string, dv binary, cardinality long"
         )
         rel_puffin = os.path.join(
             "data", f"dv-{uuid.uuid4().hex}.puffin"
         )
-        blobs = [
-            (
-                DV_BLOB_TYPE,
-                {
-                    "referenced-data-file": r["file_path"],
-                    "cardinality": str(r["cardinality"]),
-                },
-                bytes(r["dv"]),
-            )
-            for r in sorted(per_file, key=lambda r: r["file_path"])
-        ]
-        metas = write_puffin(
+        # stream the vectors into ONE puffin file: toLocalIterator holds
+        # one blob on the driver at a time, so a rewrite touching millions
+        # of files is bounded by the largest single vector, not their sum
+        dv_entries: list[dict] = []
+        writer = PuffinWriter(
             os.path.join(self.root, rel_puffin),
-            blobs,
             snapshot_id=head["snapshot_id"],
         )
-        dv_entries = [
-            {
-                "path": rel_puffin,
-                "bytes": m.length,
-                "delete_type": "dv",
-                "format": "puffin",
-                "referenced_data_file": m.properties["referenced-data-file"],
-                "content_offset": m.offset,
-                "content_size_in_bytes": m.length,
-                "cardinality": int(m.properties["cardinality"]),
-            }
-            for m in metas
-        ]
+        try:
+            for r in per_file.toLocalIterator():
+                m = writer.add_blob(
+                    DV_BLOB_TYPE,
+                    {
+                        "referenced-data-file": r["file_path"],
+                        "cardinality": str(r["cardinality"]),
+                    },
+                    bytes(r["dv"]),
+                )
+                dv_entries.append(
+                    {
+                        "path": rel_puffin,
+                        "bytes": m.length,
+                        "delete_type": "dv",
+                        "format": "puffin",
+                        "referenced_data_file": r["file_path"],
+                        "content_offset": m.offset,
+                        "content_size_in_bytes": m.length,
+                        "cardinality": int(r["cardinality"]),
+                    }
+                )
+            writer.close()
+        except BaseException:
+            writer._f.close()
+            os.unlink(os.path.join(self.root, rel_puffin))
+            raise
+        dv_entries.sort(key=lambda e: e["referenced_data_file"])
         return self._commit_snapshot(
             "rewrite-deletes",
             data_files,
