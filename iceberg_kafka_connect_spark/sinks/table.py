@@ -1993,7 +1993,11 @@ class LakehouseTable:
                     )
                 )
             if dv_files:
-                dpos_parts.append(self._dv_positions(spark, dv_files, prefix))
+                dpos_parts.append(
+                    self._dv_positions(spark, dv_files, prefix).select(
+                        "__fpn", "__pos"
+                    )
+                )
             dpos = dpos_parts[0]
             for p in dpos_parts[1:]:
                 dpos = dpos.unionByName(p)
@@ -2051,11 +2055,13 @@ class LakehouseTable:
     def _dv_positions(
         self, spark: SparkSession, dv_files: list[dict], prefix: str
     ) -> DataFrame:
-        """Deleted (file, ordinal) pairs from deletion-vector entries.
-        The driver ships only the tiny blob descriptors (one row per
-        referenced data file); the roaring bitmaps decode EXECUTOR-side
-        in ``mapInPandas``, so a table with millions of deleted ordinals
-        never materializes them on the driver."""
+        """Deleted (file, ordinal, seq) rows from deletion-vector entries
+        — ONE DataFrame regardless of how many entries (a large table has
+        one entry per referenced file; a per-entry frame would explode
+        the plan). The driver ships only the tiny blob descriptors; the
+        roaring bitmaps decode EXECUTOR-side in ``mapInPandas``, so a
+        table with millions of deleted ordinals never materializes them
+        on the driver."""
         rows = [
             (
                 f["referenced_data_file"]
@@ -2064,11 +2070,13 @@ class LakehouseTable:
                 os.path.join(self.root, f["path"]),
                 int(f["content_offset"]),
                 int(f["content_size_in_bytes"]),
+                f.get("seq"),
             )
             for f in dv_files
         ]
         meta_df = spark.createDataFrame(
-            rows, "__fpn string, puffin string, off long, len long"
+            rows,
+            "__fpn string, puffin string, off long, len long, __dvseq long",
         )
         # Python workers don't share the driver's sys.path — ship the
         # (pure-stdlib, tiny) codec modules BY VALUE inside the closure
@@ -2080,15 +2088,23 @@ class LakehouseTable:
             import pandas as pd
 
             for pdf in batches:
-                for fpn, puffin, off, length in pdf.itertuples(
+                for fpn, puffin, off, length, dvseq in pdf.itertuples(
                     index=False, name=None
                 ):
                     positions = deserialize_bitmap64(
                         read_blob(puffin, int(off), int(length))
                     )
-                    yield pd.DataFrame({"__fpn": fpn, "__pos": positions})
+                    yield pd.DataFrame(
+                        {
+                            "__fpn": fpn,
+                            "__pos": positions,
+                            "__dvseq": dvseq,
+                        }
+                    )
 
-        return meta_df.mapInPandas(_expand, "__fpn string, __pos long")
+        return meta_df.mapInPandas(
+            _expand, "__fpn string, __pos long, __dvseq long"
+        )
 
     def rewrite_position_deletes(
         self, spark: SparkSession, branch: str = MAIN
@@ -3252,14 +3268,15 @@ class LakehouseTable:
                     F.col("__seq").cast("long").alias("seq"),
                 )
             )
-        for f in dv_files:
+        if dv_files:
             # deletion vectors hold the same (file, ordinal) pairs —
-            # surface them through the same metadata table
+            # surface them through the same metadata table (one frame
+            # for ALL vector entries; never a union per entry)
             parts.append(
-                self._dv_positions(spark, [f], prefix).select(
+                self._dv_positions(spark, dv_files, prefix).select(
                     F.col("__fpn").alias("file_path"),
                     F.col("__pos").cast("long").alias("pos"),
-                    F.lit(f.get("seq")).cast("long").alias("seq"),
+                    F.col("__dvseq").cast("long").alias("seq"),
                 )
             )
         out = parts[0]
