@@ -2437,6 +2437,36 @@ class LakehouseTable:
         r"^\s*(?P<col>[A-Za-z_][A-Za-z_0-9]*)\s*=\s*"
         r"(?:'(?P<str>[^']*)'|(?P<num>-?\d+))\s*$"
     )
+    _IN_RE = re.compile(
+        r"^\s*(?P<col>[A-Za-z_][A-Za-z_0-9]*)\s+IN\s*\("
+        r"(?P<items>[^()]*)\)\s*$",
+        re.IGNORECASE,
+    )
+    _IN_ITEM_RE = re.compile(
+        r"\s*(?:'(?P<str>[^']*)'|(?P<num>-?\d+))\s*(?P<sep>,|$)"
+    )
+
+    @classmethod
+    def _parse_in_list(cls, items: str) -> list | None:
+        """Literal atoms of an IN-list, or None when anything doesn't
+        parse (conservative: unparsed → no pruning)."""
+        vals: list = []
+        pos = 0
+        while pos < len(items):
+            m = cls._IN_ITEM_RE.match(items, pos)
+            if m is None:
+                return None
+            vals.append(
+                m.group("str")
+                if m.group("str") is not None
+                else int(m.group("num"))
+            )
+            if m.group("sep") == "" and m.end() < len(items):
+                return None
+            pos = m.end()
+            if m.group("sep") == "":
+                break
+        return vals or None
 
     def _prune_bucket_partitions(
         self, files: list[dict], where: str
@@ -2466,16 +2496,23 @@ class LakehouseTable:
             return files
         from ..functions.murmur3 import iceberg_bucket_value
 
-        eqs: dict[str, object] = {}
+        eqs: dict[str, list] = {}
         for conj in conjuncts:
             m = self._EQ_RE.fullmatch(conj)
-            if not m:
+            if m:
+                eqs[m.group("col")] = [
+                    m.group("str")
+                    if m.group("str") is not None
+                    else int(m.group("num"))
+                ]
                 continue
-            eqs[m.group("col")] = (
-                m.group("str")
-                if m.group("str") is not None
-                else int(m.group("num"))
-            )
+            # IN-list point lookups prune to the union of their buckets
+            # (an eq on the same column wins — it's more selective)
+            m = self._IN_RE.fullmatch(conj)
+            if m and m.group("col") not in eqs:
+                vals = self._parse_in_list(m.group("items"))
+                if vals is not None:
+                    eqs[m.group("col")] = vals
         schema_types = {f.name: f.dataType for f in self.schema().fields}
         for pf in bfields:
             if pf.source not in eqs:
@@ -2485,14 +2522,19 @@ class LakehouseTable:
             # and '34' on a long column must hash the long — hashing the
             # utf-8 string would prune to the wrong bucket and silently
             # drop matching rows
-            lit = _coerce_bucket_literal(
-                eqs[pf.source], schema_types.get(pf.source)
-            )
-            if lit is None:
-                continue
-            try:
-                bid = iceberg_bucket_value(lit, pf.param)
-            except ValueError:
+            allowed: set[int] = set()
+            ok = True
+            for v in eqs[pf.source]:
+                lit = _coerce_bucket_literal(v, schema_types.get(pf.source))
+                if lit is None:
+                    ok = False  # any un-coercible atom → no pruning
+                    break
+                try:
+                    allowed.add(iceberg_bucket_value(lit, pf.param))
+                except ValueError:
+                    ok = False
+                    break
+            if not ok:
                 continue
             keep = []
             for f in files:
@@ -2501,7 +2543,7 @@ class LakehouseTable:
                     rec = int(raw) if raw is not None else None
                 except ValueError:
                     rec = None  # hive null dir / foreign layout: keep
-                if rec is None or rec == bid:
+                if rec is None or rec in allowed:
                     keep.append(f)
             files = keep
         return files

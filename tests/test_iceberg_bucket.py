@@ -287,3 +287,40 @@ def test_bucket_pruning_hashes_by_column_type(spark, tmp_path):
     kept3, total3 = t3.scan_files("s = 34")
     assert len(kept3) == total3
     assert t3.read(spark, where="s = 34").count() == 2
+
+
+def test_bucket_pruning_in_list(spark, tmp_path):
+    """IN-list point lookups prune to the UNION of the listed values'
+    buckets; unparsable atoms and subqueries keep everything."""
+    t = LakehouseTable.create(
+        str(tmp_path / "tin"), SCHEMA, partition_by=["iceberg_bucket(k, 8)"]
+    )
+    t.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(400)], SCHEMA)
+    )
+    kept, total = t.scan_files("k IN (34, 35, 36)")
+    allowed = {iceberg_bucket_value(v, 8) for v in (34, 35, 36)}
+    assert kept and len(kept) < total
+    for f in kept:
+        assert any(f"k_iceberg_bucket8={b}" in f["path"] for b in allowed)
+    got = sorted(r.k for r in t.read(spark, where="k IN (34, 35, 36)").collect())
+    assert got == [34, 35, 36]
+    # string atoms participate; an eq on the same column wins over IN
+    kept2, total2 = t.scan_files("k IN (34, 35) AND k = 34")
+    assert all(
+        f"k_iceberg_bucket8={iceberg_bucket_value(34, 8)}" in f["path"]
+        for f in kept2
+    )
+    # non-literal items (subquery / expression): conservative, keep all
+    kept3, total3 = t.scan_files("k IN (SELECT x FROM y)")
+    assert len(kept3) == total3
+    # string literal containing a comma must not split into phantom atoms
+    t2 = LakehouseTable.create(
+        str(tmp_path / "tin2"), SCHEMA, partition_by=["iceberg_bucket(v, 4)"]
+    )
+    t2.append(
+        spark.createDataFrame([(i, f"s{i}") for i in range(100)], SCHEMA)
+    )
+    kept4, total4 = t2.scan_files("v IN ('s7', 's9')")
+    assert len(kept4) < total4
+    assert t2.read(spark, where="v IN ('s7', 's9')").count() == 2
