@@ -24,6 +24,27 @@ def dot(a: Column, b: Column) -> Column:
     return _fold_sum(prods)
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Bit-identical to ``dot()`` for ``dim``-length arrays — same double
+    products, same left-to-right addition order (``(t0 + t1) + t2 …``
+    equals the fold's ``((0.0 + t0) + t1) + t2 …`` bitwise) — but as an
+    UNROLLED ``getItem`` expression chain. Why it exists: Spark's
+    higher-order functions (zip_with / aggregate) are interpreted per
+    element and never enter whole-stage codegen, so in a pairwise join
+    the fold dominates; the unrolled chain compiles into the generated
+    code. Rows whose arrays are shorter than ``dim`` yield NULL (getItem
+    out of range), matching the fold's NULL propagation on
+    length-mismatched zips."""
+    terms = [
+        a.getItem(i).cast("double") * b.getItem(i).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def norm2(a: Column) -> Column:
     sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(_fold_sum(sq))

@@ -123,22 +123,81 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefilter_margin: float = 1e-6,
 ) -> DataFrame:
     """Exact all-pairs cosine near-duplicates (id_a < id_b). Quadratic —
-    correct at verification scale; use srp_lsh_pairs at corpus scale."""
-    a = emb.select(
+    correct at verification scale; use srp_lsh_pairs at corpus scale.
+
+    Two phases, same exact results as the naive cross join:
+
+    1. **GEMM prefilter.** The normalized matrix broadcasts once; each
+       Arrow batch computes ``batch @ allᵀ`` in numpy and keeps pairs
+       with ``cos ≥ threshold − prefilter_margin``. The margin (1e-6 ≫
+       the ~1e-12 float divergence between numpy's pairwise summation
+       and a sequential fold) makes the prefilter a strict superset of
+       the exact answer — same candidates-then-verify shape as the LSH
+       operators.
+    2. **Exact verify.** Only the candidates evaluate the sequential
+       left-fold cosine (``cosine_with_norms``) that the DuckDB oracle
+       mirrors bit-identically, and that exact value decides inclusion
+       and is what's returned.
+
+    So the O(n²·dim) work runs as BLAS instead of an interpreted
+    per-element fold in the join condition, and bit-exact engine parity
+    is untouched."""
+    import numpy as np  # noqa: PLC0415
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(rows) == 0:
+        return (
+            emb.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cos_sim"),
+            ).limit(0)
+        )
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0  # zero vectors can't reach any threshold > 0
+    normed = mat / norms[:, None]
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((ids, normed))
+    cut = threshold - prefilter_margin
+
+    def _candidates(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        all_ids, all_normed = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bn = np.linalg.norm(bm, axis=1)
+            bn[bn == 0] = 1.0
+            sims = (bm / bn[:, None]) @ all_normed.T
+            ii, jj = np.nonzero(sims >= cut)
+            a, b = bids[ii], all_ids[jj]
+            keep = a < b
+            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        _candidates, "id_a long, id_b long"
+    )
+    va = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         norm2(F.col(vec_col)).alias("na"),
     )
-    b = emb.select(
+    vb = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         norm2(F.col(vec_col)).alias("nb"),
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
