@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "dml_deletion_vectors",
     "schema_add_column_default",
     "docs_bpe_token_stats",
+    "row_lineage_ids",
 ]
 
 

@@ -412,11 +412,29 @@ class LakehouseTable:
                         return entry["seq"]
                     return seq
 
+                # v3 row lineage: every added data file claims a
+                # first_row_id range [next-row-id, next-row-id + rows);
+                # carried-over files (preserve_seq rewrites) keep theirs.
+                # Files without a recorded row count (avro) get None —
+                # their rows read _row_id NULL, the spec's "unknown"
+                # (next-row-id only ever grows, even across deletes)
+                next_row_id = meta.get("next-row-id", 0)
+                stamped_data = []
+                for df_ in data_files:
+                    e = {**df_, "seq": _seq(df_)}
+                    if not (preserve_seq and "first_row_id" in df_):
+                        nrows = (df_.get("stats") or {}).get("rows")
+                        if nrows is None:
+                            e["first_row_id"] = None
+                        else:
+                            e["first_row_id"] = next_row_id
+                            next_row_id += int(nrows)
+                    stamped_data.append(e)
+                meta["next-row-id"] = next_row_id
+
                 json.dump(
                     {
-                        "added_data_files": [
-                            {**df_, "seq": _seq(df_)} for df_ in data_files
-                        ],
+                        "added_data_files": stamped_data,
                         "added_delete_files": [
                             {**df_, "seq": _seq(df_)} for df_ in delete_files
                         ],
@@ -1951,6 +1969,83 @@ class LakehouseTable:
             "__seq", "__fp", "__pos"
         )
 
+    LINEAGE_FIELDS = (
+        T.StructField("_row_id", T.LongType()),
+        T.StructField("_last_updated_sequence_number", T.LongType()),
+    )
+
+    def read_with_lineage(
+        self, spark: SparkSession, branch: str = MAIN
+    ) -> DataFrame:
+        """Iceberg v3 row lineage (table-spec "Row Lineage"): the normal
+        merge-on-read scan plus ``_row_id`` (a table-unique id stable for
+        a row's lifetime) and ``_last_updated_sequence_number``.
+
+        Assignment is the spec's: each added data file claims
+        ``[first_row_id, first_row_id + record_count)`` at commit time
+        from the table-level ``next-row-id`` counter, and a row's id is
+        ``first_row_id + its ordinal in the file`` — derived at read
+        time, never stored, so appends pay NOTHING for lineage.
+        ``compact()`` / ``rewrite_small_files()`` preserve ids across
+        rewrites by materializing both fields as physical columns in the
+        rewritten files (the spec's rule for engines rewriting data);
+        derived values fill files that don't carry the columns. Rows
+        written without a recorded row count (avro) read NULL ids.
+        ``rewrite_where`` replaces rows (update semantics) — its output
+        rows are new rows with fresh ids."""
+        meta = self.metadata()
+        target = T.StructType(
+            list(self.read_schema().fields) + list(self.LINEAGE_FIELDS)
+        )
+        sid = meta["refs"].get(branch)
+        if sid is None:
+            return spark.createDataFrame([], target)
+        snap = self._snapshot_by_id(meta, sid)
+        data_files, delete_files = self._live_files(meta, snap)
+        data = self._read_file_group(
+            spark, data_files, target, with_position=True
+        )
+        if data is None:
+            return spark.createDataFrame([], target)
+        data = self._derive_lineage(spark, data, data_files)
+        return self._apply_deletes(spark, data, delete_files).drop(
+            "__seq", "__fp", "__pos"
+        )
+
+    def _derive_lineage(
+        self, spark: SparkSession, data: DataFrame, data_files: list[dict]
+    ) -> DataFrame:
+        """Fill NULL ``_row_id`` / ``_last_updated_sequence_number`` from
+        the per-file lineage map (files that materialized the columns —
+        compaction output — keep their stored values). ``data`` must
+        carry ``__fp``/``__pos``/``__seq``."""
+        prefix = os.path.abspath(self.root) + "/"
+        rows = [
+            (
+                f["path"] if f["path"].startswith("/") else prefix + f["path"],
+                f.get("first_row_id"),
+            )
+            for f in data_files
+        ]
+        lmap = F.broadcast(
+            spark.createDataFrame(rows, "__fpn string, __frid long")
+        )
+        return (
+            data.withColumn("__fpn", _fp_norm(F.col("__fp")))
+            .join(lmap, "__fpn", "left")
+            .withColumn(
+                "_row_id",
+                F.coalesce(F.col("_row_id"), F.col("__frid") + F.col("__pos")),
+            )
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"), F.col("__seq")
+                ),
+            )
+            .drop("__fpn", "__frid")
+        )
+
     def _apply_deletes(
         self, spark: SparkSession, data: DataFrame, delete_files: list[dict]
     ) -> DataFrame:
@@ -3395,7 +3490,14 @@ class LakehouseTable:
         if sort_by and zorder_by:
             raise ValueError("pass either sort_by or zorder_by, not both")
         head = self.current_snapshot(branch)
-        current = self.read(spark, branch=branch)
+        # v3 row lineage: a rewrite must not change row identity — the
+        # lineage fields MATERIALIZE into the rewritten parquet (reads
+        # prefer the stored columns over per-file derivation). Avro/orc
+        # carry no row ordinals, so those rewrites re-assign.
+        if self.file_format() == "parquet":
+            current = self.read_with_lineage(spark, branch=branch)
+        else:
+            current = self.read(spark, branch=branch)
         summary = {"compaction": "true"}
         if sort_by or zorder_by:
             # explicit partition count: an unsized repartitionByRange lets
@@ -3479,12 +3581,23 @@ class LakehouseTable:
             return None
         small_paths = {f["path"] for f in small}
         kept = [f for f in data_files if f["path"] not in small_paths]
-        merged = self._read_file_group(
-            spark,
-            small,
-            self.read_schema(),
-            with_position=_has_positional(delete_files),
-        )
+        if self.file_format() == "parquet":
+            # rewrites preserve row lineage by materializing the fields
+            # into the coalesced files (see read_with_lineage)
+            target = T.StructType(
+                list(self.read_schema().fields) + list(self.LINEAGE_FIELDS)
+            )
+            merged = self._read_file_group(
+                spark, small, target, with_position=True
+            )
+            merged = self._derive_lineage(spark, merged, small)
+        else:
+            merged = self._read_file_group(
+                spark,
+                small,
+                self.read_schema(),
+                with_position=_has_positional(delete_files),
+            )
         merged = self._apply_deletes(spark, merged, delete_files).drop(
             "__seq", "__fp", "__pos"
         )

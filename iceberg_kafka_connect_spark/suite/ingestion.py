@@ -3148,3 +3148,55 @@ def schema_add_column_default(spark, sf_dir):
         )
         .orderBy("region")
     )
+
+
+# --------------------------------------------------------------------------
+# X100: v3 row lineage. Chunks append OUT of key order (so _row_id is a
+# genuine insertion-order id, not the key), a positional DELETE removes
+# rows (survivors keep their ids — deleted ids are never reused), and a
+# compaction rewrites every file (ids survive because the rewrite
+# materializes the lineage fields). The oracle states the expected id and
+# last-updated sequence per event_id range directly.
+# --------------------------------------------------------------------------
+@register(
+    "row_lineage_ids",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(CASE
+             WHEN event_id >= 400 THEN event_id - 400
+             WHEN event_id < 200 THEN event_id + 200
+             ELSE event_id + 200
+           END AS BIGINT) AS row_id,
+           CAST(CASE
+             WHEN event_id >= 400 THEN 1
+             WHEN event_id < 200 THEN 2
+             ELSE 3
+           END AS BIGINT) AS last_seq
+    FROM events
+    WHERE event_id < 600 AND event_id % 7 != 0
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def row_lineage_ids(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="lineage_gate_") + "/t",
+        e.filter(F.col("event_id") < 0).schema,
+    )
+    for lo, hi in ((400, 600), (0, 200), (200, 400)):
+        t.append(
+            e.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .coalesce(1)
+            .sortWithinPartitions("event_id")
+        )
+    t.delete_where_positions(spark, "event_id % 7 = 0")
+    t.compact(spark)
+    return t.read_with_lineage(spark).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("_row_id").cast("bigint").alias("row_id"),
+        F.col("_last_updated_sequence_number").cast("bigint").alias("last_seq"),
+    )
