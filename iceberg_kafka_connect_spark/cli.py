@@ -157,6 +157,7 @@ def table_main(argv: list[str]) -> int:
     cl = sub.add_parser("clone")
     cl.add_argument("dst", help="destination table name in this warehouse")
     sub.add_parser("remove-dangling-deletes")
+    sub.add_parser("rewrite-position-deletes")
     sub.add_parser("truncate")
     rd = sub.add_parser("read")
     rd.add_argument("--where", default=None)
@@ -362,6 +363,13 @@ def table_main(argv: list[str]) -> int:
             if snap
             else {"status": "nothing dangling"}
         )
+    elif args.action == "rewrite-position-deletes":
+        snap = t.rewrite_position_deletes(get_spark(app_name="dv-rewrite"))
+        out = (
+            {"snapshot_id": snap["snapshot_id"], "summary": snap["summary"]}
+            if snap
+            else {"status": "no position deletes"}
+        )
     elif args.action == "truncate":
         snap = t.truncate()
         out = {"snapshot_id": snap["snapshot_id"]}
@@ -519,6 +527,11 @@ def maintain_main(argv: list[str]) -> int:
         help="squash metadata walks at least MIN manifests deep",
     )
     ap.add_argument("--binpack-min-size", type=int, default=None)
+    ap.add_argument(
+        "--rewrite-position-deletes", type=int, default=None, metavar="MIN",
+        help="consolidate MIN+ position-delete files into deletion "
+        "vectors (one roaring bitmap per referenced data file)",
+    )
     ap.add_argument("--remove-dangling-deletes", action="store_true")
     ap.add_argument("--expire-keep", type=int, default=None)
     ap.add_argument("--orphans-older-than-ms", type=int, default=None)
@@ -551,6 +564,19 @@ def maintain_main(argv: list[str]) -> int:
                     _spark(), min_file_size=args.binpack_min_size
                 )
                 r["binpacked"] = snap is not None
+            if args.rewrite_position_deletes is not None:
+                n_pos = sum(
+                    1
+                    for f in t.live_files()[1]
+                    if f.get("delete_type") == "position"
+                )
+                if n_pos >= args.rewrite_position_deletes:
+                    snap = t.rewrite_position_deletes(_spark())
+                    r["deletion_vectors_written"] = (
+                        int(snap["summary"]["deletion-vectors-written"])
+                        if snap
+                        else 0
+                    )
             if args.remove_dangling_deletes:
                 snap = t.remove_dangling_deletes()
                 r["dangling_deletes_removed"] = (

@@ -439,3 +439,51 @@ def test_cli_warehouse_maintain_sweep(spark, tmp_path, capsys):
     report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "error" in report["default.mb"]
     assert "expired" in report["default.ma"]
+
+
+def test_cli_rewrite_position_deletes_verb_and_maintain_flag(
+    spark, tmp_path, capsys
+):
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from iceberg_kafka_connect_spark.cli import main
+    from iceberg_kafka_connect_spark.sinks import Catalog
+
+    wh = str(tmp_path / "wh")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = Catalog(wh).create_table("default.dv", schema)
+    t.append(spark.createDataFrame([(i, i % 3) for i in range(60)], schema))
+    t.delete_where_positions(spark, "v = 1")
+    t.delete_where_positions(spark, "v = 2")
+
+    assert main(
+        ["table", "--warehouse", wh, "--name", "default.dv",
+         "rewrite-position-deletes"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert int(out["summary"]["deletion-vectors-written"]) >= 1
+    assert t.read(spark).count() == 20
+    # idempotent: second run reports nothing to do
+    assert main(
+        ["table", "--warehouse", wh, "--name", "default.dv",
+         "rewrite-position-deletes"]
+    ) == 0
+    assert _json.loads(capsys.readouterr().out.strip()) == {
+        "status": "no position deletes"
+    }
+
+    # the warehouse sweep consolidates once the file count crosses MIN
+    t.delete_where_positions(spark, "v = 0 AND id < 10")
+    t.delete_where_positions(spark, "v = 0 AND id >= 10")
+    assert main(
+        ["maintain", "--warehouse", wh, "--rewrite-position-deletes", "2"]
+    ) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["default.dv"]["deletion_vectors_written"] >= 1
+    _, deletes = t.live_files()
+    assert {d.get("delete_type") for d in deletes} == {"dv"}
+    assert t.read(spark).count() == 0
