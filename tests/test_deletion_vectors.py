@@ -267,3 +267,15 @@ def test_changelog_skips_rewrite_deletes(spark, tmp_path):
     assert inserts == 10
     deletes = ch.filter("_change_type like 'delete%'").count()
     assert deletes == 5
+
+
+def test_orphan_sweep_keeps_referenced_puffin(spark, table_with_position_deletes):
+    t = table_with_position_deletes
+    t.rewrite_position_deletes(spark)
+    _, deletes = t.live_files()
+    puffin = deletes[0]["path"]
+    removed = t.remove_orphan_files(older_than_ms=0)
+    assert all(not p.endswith(".puffin") for p in removed)
+    assert os.path.exists(os.path.join(t.root, puffin))
+    before = sorted(map(tuple, t.read(spark).collect()))
+    assert 0 < len(before) < 3000
