@@ -97,3 +97,18 @@ def test_degenerate_hosts_pass_through(spark, host):
     df = spark.createDataFrame([(host,)], ["h"])
     [row] = df.select(registrable_domain(F.col("h")).alias("d")).collect()
     assert row.d == host
+
+
+def test_with_registrable_domain_plan_no_corpus_shuffle(spark):
+    """The scale contract: ONE broadcast hash join on the tail key — the
+    corpus side never exchanges by hash, and no per-level join chain."""
+    from iceberg_kafka_connect_spark.plans import count_in_plan, plan_string
+
+    df = spark.range(0, 10_000).selectExpr(
+        "concat('h', id % 97, '.example.com') AS host"
+    )
+    out = with_registrable_domain(df, "host")
+    plan = plan_string(out)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert count_in_plan(out, "BroadcastHashJoin", mode="simple") == 1
+    assert "Exchange hashpartitioning" not in plan, plan
