@@ -2650,6 +2650,7 @@ class LakehouseTable:
         to_snapshot_id: str | None = None,
         branch: str = MAIN,
         where: str | None = None,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Incremental append scan: rows added by snapshots AFTER
         ``from_snapshot_id`` up to and including ``to_snapshot_id`` (default:
@@ -2667,6 +2668,12 @@ class LakehouseTable:
         """
         meta = self.metadata()
         target = self.read_schema()
+        if with_lineage:
+            # v3 row lineage: incremental consumers keying downstream
+            # state on _row_id get ids that stay stable across rewrites
+            target = T.StructType(
+                list(target.fields) + list(self.LINEAGE_FIELDS)
+            )
         if to_snapshot_id is None:
             to_snapshot_id = meta["refs"].get(branch)
             if to_snapshot_id is None:
@@ -2715,9 +2722,13 @@ class LakehouseTable:
             files.extend(d)
         if where is not None:
             files = [f for f in files if file_may_match(f, where)]
-        df = self._read_file_group(spark, files, target)
+        df = self._read_file_group(
+            spark, files, target, with_position=with_lineage
+        )
         if df is None:
             return spark.createDataFrame([], target)
+        if with_lineage:
+            df = self._derive_lineage(spark, df, files).drop("__fp", "__pos")
         df = df.drop("__seq")
         return df.filter(where) if where is not None else df
 

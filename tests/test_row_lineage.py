@@ -87,3 +87,24 @@ def test_lineage_seq_tracks_file_sequence(spark, tmp_path):
     seqs = {r.id: r._last_updated_sequence_number for r in rows}
     assert all(seqs[i] == 1 for i in range(10))
     assert all(seqs[i] == 2 for i in range(10, 20))
+
+
+def test_appends_between_with_lineage(spark, tmp_path):
+    """Incremental consumers get stable _row_id per polled increment: the
+    second poll's ids continue exactly where the first left off."""
+    t = LakehouseTable.create(str(tmp_path / "t6"), SCHEMA)
+    _ordered_append(spark, t, 0, 50)
+    s1 = t.current_snapshot()["snapshot_id"]
+    _ordered_append(spark, t, 50, 90)
+    inc1 = {
+        r.id: r._row_id
+        for r in t.appends_between(spark, None, s1, with_lineage=True).collect()
+    }
+    assert inc1 == {i: i for i in range(50)}
+    inc2 = {
+        r.id: r._row_id
+        for r in t.appends_between(spark, s1, with_lineage=True).collect()
+    }
+    assert inc2 == {i: i for i in range(50, 90)}
+    # default shape unchanged
+    assert t.appends_between(spark, s1).columns == ["id", "v"]
