@@ -279,3 +279,25 @@ def test_orphan_sweep_keeps_referenced_puffin(spark, table_with_position_deletes
     assert os.path.exists(os.path.join(t.root, puffin))
     before = sorted(map(tuple, t.read(spark).collect()))
     assert 0 < len(before) < 3000
+
+
+def test_roaring_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.integers(0, 2**16),          # dense low containers
+                st.integers(0, 2**32 - 1),       # full 32-bit space
+                st.integers(0, 2**40),           # multiple 64-bit buckets
+            ),
+            max_size=6000,
+        )
+    )
+    def prop(vals):
+        assert deserialize_bitmap64(serialize_bitmap64(vals)) == sorted(
+            set(vals)
+        )
+
+    prop()
