@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "schema_add_column_default",
     "docs_bpe_token_stats",
     "row_lineage_ids",
+    "appends_lineage_poll",
 ]
 
 

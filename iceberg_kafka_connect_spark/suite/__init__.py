@@ -124,7 +124,8 @@ def load_all() -> dict[str, QuerySpec]:
     # (oracle set minus CORRECTNESS_r0* union minus current window)
     # before editing the round-9 window:
     #   docs_psl_registrable, docs_domain_caps_recent,
-    #   dml_deletion_vectors, schema_add_column_default, row_lineage_ids
+    #   dml_deletion_vectors, schema_add_column_default, row_lineage_ids,
+    #   appends_lineage_poll
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).

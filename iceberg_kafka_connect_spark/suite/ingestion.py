@@ -3200,3 +3200,47 @@ def row_lineage_ids(spark, sf_dir):
         F.col("_row_id").cast("bigint").alias("row_id"),
         F.col("_last_updated_sequence_number").cast("bigint").alias("last_seq"),
     )
+
+
+# --------------------------------------------------------------------------
+# X100b: incremental poll WITH row lineage — the CDC-consumer pattern
+# lineage exists for: poll only the appends since a snapshot and key
+# downstream state on _row_id. Chunks land out of key order, so the ids
+# prove insertion-order assignment; the poll covers chunks 2+3 only.
+# --------------------------------------------------------------------------
+@register(
+    "appends_lineage_poll",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(CASE WHEN event_id < 150 THEN event_id + 300
+                     ELSE event_id - 150 END AS BIGINT) AS row_id
+    FROM events WHERE event_id < 450 AND event_id >= 300 OR event_id < 150
+    """,
+    tags=("ingestion", "lakehouse"),
+)
+def appends_lineage_poll(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="lineage_poll_") + "/t",
+        e.filter(F.col("event_id") < 0).schema,
+    )
+
+    def chunk(lo, hi):
+        return (
+            e.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .coalesce(1)
+            .sortWithinPartitions("event_id")
+        )
+
+    t.append(chunk(150, 300))  # ids 0..149 — before the poll window
+    s1 = t.current_snapshot()["snapshot_id"]
+    t.append(chunk(300, 450))  # ids 150..299
+    t.append(chunk(0, 150))  # ids 300..449
+    return t.appends_between(spark, s1, with_lineage=True).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("_row_id").cast("bigint").alias("row_id"),
+    )
