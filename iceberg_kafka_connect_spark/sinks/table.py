@@ -65,6 +65,17 @@ def _register_codecs_by_value() -> None:
     cloudpickle.register_pickle_by_value(puffin)
 
 
+def _lineage_on(props: dict) -> bool:
+    """True when the property set enables v3 row lineage (see
+    ``LakehouseTable.lineage_enabled``)."""
+    if str(props.get("row-lineage.enabled", "")).lower() == "true":
+        return True
+    try:
+        return int(props.get("format-version", 2)) >= 3
+    except (TypeError, ValueError):
+        return False
+
+
 def _has_positional(delete_files: list[dict]) -> bool:
     # deletion vectors are position deletes in bitmap clothing: both need
     # the scan to carry (file, ordinal) row identity
@@ -291,6 +302,25 @@ class LakehouseTable:
     def properties(self) -> dict:
         return self.metadata()["properties"]
 
+    def format_version(self) -> int:
+        """Table format version (Iceberg ``format-version`` property;
+        default 2). Version 3 turns on row lineage."""
+        return int(self.properties().get("format-version", 2))
+
+    def lineage_enabled(self) -> bool:
+        """Row lineage is a format-v3 feature (Iceberg spec "Row Lineage":
+        mandatory on v3 tables, absent on v2). Gating matters for cost:
+        v2 tables skip ``next-row-id`` claiming at commit and — the
+        expensive part — the lineage-column materialization every parquet
+        rewrite would otherwise pay (reading with ``_metadata`` position
+        columns and writing two extra BIGINT columns into every rewritten
+        file). Upgrade with ``set_properties({"format-version": "3"})``:
+        files committed before the upgrade carry no ``first_row_id`` and
+        read NULL ids (the spec's "unknown"), files after get ranges.
+        ``row-lineage.enabled=true`` is accepted as an explicit opt-in
+        alias."""
+        return _lineage_on(self.properties())
+
     def name_mapping(self) -> dict[str, list[str]]:
         """Parse the ``schema.name-mapping.default`` table property (the
         Iceberg NameMapping JSON: ``[{"field-id": n, "names": [...]}, ...]``)
@@ -412,17 +442,23 @@ class LakehouseTable:
                         return entry["seq"]
                     return seq
 
-                # v3 row lineage: every added data file claims a
-                # first_row_id range [next-row-id, next-row-id + rows);
-                # carried-over files (preserve_seq rewrites) keep theirs.
-                # Files without a recorded row count (avro) get None —
-                # their rows read _row_id NULL, the spec's "unknown"
-                # (next-row-id only ever grows, even across deletes)
+                # v3 row lineage (format-version >= 3 only): every added
+                # data file claims a first_row_id range
+                # [next-row-id, next-row-id + rows); carried-over files
+                # (preserve_seq rewrites) keep theirs. Files without a
+                # recorded row count (avro) get None — their rows read
+                # _row_id NULL, the spec's "unknown" (next-row-id only
+                # ever grows, even across deletes). v2 tables skip
+                # claiming entirely — lineage is a v3 feature and the
+                # counter would be dead metadata.
+                lineage = _lineage_on(meta.get("properties") or {})
                 next_row_id = meta.get("next-row-id", 0)
                 stamped_data = []
                 for df_ in data_files:
                     e = {**df_, "seq": _seq(df_)}
-                    if not (preserve_seq and "first_row_id" in df_):
+                    if lineage and not (
+                        preserve_seq and "first_row_id" in df_
+                    ):
                         nrows = (df_.get("stats") or {}).get("rows")
                         if nrows is None:
                             e["first_row_id"] = None
@@ -430,7 +466,8 @@ class LakehouseTable:
                             e["first_row_id"] = next_row_id
                             next_row_id += int(nrows)
                     stamped_data.append(e)
-                meta["next-row-id"] = next_row_id
+                if lineage:
+                    meta["next-row-id"] = next_row_id
 
                 json.dump(
                     {
@@ -1992,8 +2029,18 @@ class LakehouseTable:
         derived values fill files that don't carry the columns. Rows
         written without a recorded row count (avro) read NULL ids.
         ``rewrite_where`` replaces rows (update semantics) — its output
-        rows are new rows with fresh ids."""
+        rows are new rows with fresh ids.
+
+        Raises on v2 tables (lineage is a v3 feature; without it no
+        ``first_row_id`` ranges were ever claimed and every id would read
+        NULL — fail loudly instead of returning silent NULLs)."""
         meta = self.metadata()
+        if not _lineage_on(meta.get("properties") or {}):
+            raise ValueError(
+                "row lineage requires format-version 3: create the table "
+                'with properties={"format-version": "3"} or upgrade via '
+                'set_properties({"format-version": "3"})'
+            )
         target = T.StructType(
             list(self.read_schema().fields) + list(self.LINEAGE_FIELDS)
         )
@@ -2671,6 +2718,12 @@ class LakehouseTable:
         if with_lineage:
             # v3 row lineage: incremental consumers keying downstream
             # state on _row_id get ids that stay stable across rewrites
+            if not _lineage_on(meta.get("properties") or {}):
+                raise ValueError(
+                    "with_lineage requires format-version 3: create the "
+                    'table with properties={"format-version": "3"} or '
+                    'upgrade via set_properties({"format-version": "3"})'
+                )
             target = T.StructType(
                 list(target.fields) + list(self.LINEAGE_FIELDS)
             )
@@ -3504,8 +3557,11 @@ class LakehouseTable:
         # v3 row lineage: a rewrite must not change row identity — the
         # lineage fields MATERIALIZE into the rewritten parquet (reads
         # prefer the stored columns over per-file derivation). Avro/orc
-        # carry no row ordinals, so those rewrites re-assign.
-        if self.file_format() == "parquet":
+        # carry no row ordinals, so those rewrites re-assign. v2 tables
+        # (the default) skip this entirely: materialization costs a
+        # _metadata-position read plus two extra columns in every output
+        # file, a pure tax when no consumer reads lineage.
+        if self.file_format() == "parquet" and self.lineage_enabled():
             current = self.read_with_lineage(spark, branch=branch)
         else:
             current = self.read(spark, branch=branch)
@@ -3592,9 +3648,10 @@ class LakehouseTable:
             return None
         small_paths = {f["path"] for f in small}
         kept = [f for f in data_files if f["path"] not in small_paths]
-        if self.file_format() == "parquet":
-            # rewrites preserve row lineage by materializing the fields
-            # into the coalesced files (see read_with_lineage)
+        if self.file_format() == "parquet" and self.lineage_enabled():
+            # v3 rewrites preserve row lineage by materializing the fields
+            # into the coalesced files (see read_with_lineage); v2 tables
+            # skip the position read + extra columns
             target = T.StructType(
                 list(self.read_schema().fields) + list(self.LINEAGE_FIELDS)
             )

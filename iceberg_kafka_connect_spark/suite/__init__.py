@@ -117,15 +117,22 @@ def load_all() -> dict[str, QuerySpec]:
     # TPC-H anchors) so the window stays at the full 50 oracle-checked
     # rows. After r7, ever-gated = 150 = every oracle-checked query that
     # existed at r7's start.
-    # Round-9 rotation queue: the oracle-checked queries registered in
-    # round 8 WITHOUT a gate row (they register at the END of the
+    # Round-9 window (ACTIVE below): re-verified at round-9 start — the
+    # r8 verdict's queue (oracle set minus CORRECTNESS_r01..r08 union =
+    # exactly 6 names, judge hash-checked all 6): dml_deletion_vectors,
+    # schema_add_column_default, row_lineage_ids, appends_lineage_poll,
+    # docs_psl_registrable, docs_domain_caps_recent. The 16 r8-rotated
+    # names hold their r08 rows; 13 flagship re-gates fill the window.
+    # Round-10 rotation queue: the oracle-checked queries registered in
+    # round 9 WITHOUT a gate row (they register at the END of the
     # registry, outside the 50-row window). Maintained as queries are
     # added this round; re-verify with the never-gated computation
     # (oracle set minus CORRECTNESS_r0* union minus current window)
-    # before editing the round-9 window:
-    #   docs_psl_registrable, docs_domain_caps_recent,
-    #   dml_deletion_vectors, schema_add_column_default, row_lineage_ids,
-    #   appends_lineage_poll
+    # before editing the round-10 window:
+    #   iceberg_v3_roundtrip, changelog_lineage, docs_minhash_ccomp_ids,
+    #   docs_quality_isotonic, docs_anchor_text_graph,
+    #   events_session_funnel, docs_ngram_lm_perplexity,
+    #   docs_dedup_url_fingerprint
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).
@@ -153,24 +160,25 @@ def load_all() -> dict[str, QuerySpec]:
             "incremental_scan", "stats_pruned_scan", "merge_into",
             "dml_delete_update", "changelog_read", "metadata_count_bounds",
             "cdc_mirror", "wap_publish",
-            # — round-8 rotation: the 16 oracle-checked never-gated
-            #   queries (verdict r7 "Next round" #1; re-verified at
-            #   round-8 start: oracle set minus CORRECTNESS_r01..r07
-            #   union = exactly these 16) — first-time rows —
-            "changelog_compute_updates", "changelog_reconcile",
-            "maintenance_rewrite_manifests", "table_column_stats",
-            "table_zero_copy_clone", "stats_planned_join",
-            "maintenance_dangling_deletes", "smt_json_variant_extract",
-            "merge_full_sync", "embedding_mrl_energy",
-            "docs_heavy_hitters", "docs_url_canonical_dedup",
-            "docs_domain_caps", "curation_pipeline_web",
-            "docs_langid_confusion", "docs_dup_rate_by_source",
-            # — round-8 re-gates: flagship surfaces filling the window
-            #   to 50 (all hold r7 green rows; fresh rows cost nothing
-            #   and re-prove the most load-bearing code paths). The 12
-            #   r7-rotated names hold their r07 rows and rotate out. —
-            "rest_catalog_roundtrip",
-            "iceberg_interop_roundtrip", "tpch_q1",
+            # — round-9 rotation: the 6 oracle-checked never-gated
+            #   round-8 queries (verdict r8 "Next round" #1; the judge
+            #   re-verified the never-gated computation AND hash-checked
+            #   all 6 against the oracle) — first-time rows —
+            "dml_deletion_vectors", "schema_add_column_default",
+            "row_lineage_ids", "appends_lineage_poll",
+            "docs_psl_registrable", "docs_domain_caps_recent",
+            # — round-9 re-gates: flagship surfaces filling the window
+            #   to 50 (all hold prior green rows; fresh rows cost
+            #   nothing and re-prove the most load-bearing code paths).
+            #   The 16 r8-rotated names hold their r08 rows and rotate
+            #   out. Catalog/interop/view round-trips, the dedup + text
+            #   + curation flagships, and TPC-H anchors. —
+            "rest_catalog_roundtrip", "jdbc_catalog_roundtrip",
+            "iceberg_interop_roundtrip", "lakehouse_view_read",
+            "wap_cherry_pick", "spj_bucket_join",
+            "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
+            "text_langid", "docs_token_budget",
+            "tpch_q1", "tpch_q6",
         )
         for k in [k for k in window if k in QUERIES][::-1]:
             spec = QUERIES.pop(k)

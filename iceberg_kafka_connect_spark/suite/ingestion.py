@@ -3186,6 +3186,7 @@ def row_lineage_ids(spark, sf_dir):
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="lineage_gate_") + "/t",
         e.filter(F.col("event_id") < 0).schema,
+        properties={"format-version": "3"},  # lineage is a v3 feature
     )
     for lo, hi in ((400, 600), (0, 200), (200, 400)):
         t.append(
@@ -3227,6 +3228,7 @@ def appends_lineage_poll(spark, sf_dir):
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="lineage_poll_") + "/t",
         e.filter(F.col("event_id") < 0).schema,
+        properties={"format-version": "3"},  # lineage is a v3 feature
     )
 
     def chunk(lo, hi):

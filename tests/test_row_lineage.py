@@ -8,6 +8,8 @@ from pyspark.sql import types as T
 
 from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
 
+V3 = {"format-version": "3"}  # lineage is a v3 feature
+
 SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
@@ -26,7 +28,7 @@ def _ordered_append(spark, t, lo, hi):
 
 
 def test_row_ids_are_dense_and_stable(spark, tmp_path):
-    t = LakehouseTable.create(str(tmp_path / "t"), SCHEMA)
+    t = LakehouseTable.create(str(tmp_path / "t"), SCHEMA, properties=V3)
     _ordered_append(spark, t, 0, 100)
     _ordered_append(spark, t, 100, 250)
     got = {r.id: r._row_id for r in t.read_with_lineage(spark).collect()}
@@ -39,7 +41,7 @@ def test_row_ids_are_dense_and_stable(spark, tmp_path):
 
 
 def test_row_ids_survive_deletes_and_new_rows_get_fresh_ids(spark, tmp_path):
-    t = LakehouseTable.create(str(tmp_path / "t2"), SCHEMA)
+    t = LakehouseTable.create(str(tmp_path / "t2"), SCHEMA, properties=V3)
     _ordered_append(spark, t, 0, 200)
     t.delete_where_positions(spark, "id % 7 = 0")
     # survivors keep their ids; the deleted ids are never reused
@@ -51,7 +53,7 @@ def test_row_ids_survive_deletes_and_new_rows_get_fresh_ids(spark, tmp_path):
 
 
 def test_row_ids_survive_compaction_materialized(spark, tmp_path):
-    t = LakehouseTable.create(str(tmp_path / "t3"), SCHEMA)
+    t = LakehouseTable.create(str(tmp_path / "t3"), SCHEMA, properties=V3)
     _ordered_append(spark, t, 0, 120)
     _ordered_append(spark, t, 120, 300)
     t.delete_where_positions(spark, "id % 5 = 1")
@@ -70,7 +72,7 @@ def test_row_ids_survive_compaction_materialized(spark, tmp_path):
 
 
 def test_row_ids_survive_binpack(spark, tmp_path):
-    t = LakehouseTable.create(str(tmp_path / "t4"), SCHEMA)
+    t = LakehouseTable.create(str(tmp_path / "t4"), SCHEMA, properties=V3)
     for lo in (0, 40, 80, 120):
         _ordered_append(spark, t, lo, lo + 40)
     before = {r.id: r._row_id for r in t.read_with_lineage(spark).collect()}
@@ -80,7 +82,7 @@ def test_row_ids_survive_binpack(spark, tmp_path):
 
 
 def test_lineage_seq_tracks_file_sequence(spark, tmp_path):
-    t = LakehouseTable.create(str(tmp_path / "t5"), SCHEMA)
+    t = LakehouseTable.create(str(tmp_path / "t5"), SCHEMA, properties=V3)
     _ordered_append(spark, t, 0, 10)  # seq 1
     _ordered_append(spark, t, 10, 20)  # seq 2
     rows = t.read_with_lineage(spark).collect()
@@ -92,7 +94,7 @@ def test_lineage_seq_tracks_file_sequence(spark, tmp_path):
 def test_appends_between_with_lineage(spark, tmp_path):
     """Incremental consumers get stable _row_id per polled increment: the
     second poll's ids continue exactly where the first left off."""
-    t = LakehouseTable.create(str(tmp_path / "t6"), SCHEMA)
+    t = LakehouseTable.create(str(tmp_path / "t6"), SCHEMA, properties=V3)
     _ordered_append(spark, t, 0, 50)
     s1 = t.current_snapshot()["snapshot_id"]
     _ordered_append(spark, t, 50, 90)
@@ -108,3 +110,42 @@ def test_appends_between_with_lineage(spark, tmp_path):
     assert inc2 == {i: i for i in range(50, 90)}
     # default shape unchanged
     assert t.appends_between(spark, s1).columns == ["id", "v"]
+
+def test_v2_default_has_no_lineage(spark, tmp_path):
+    """format-version defaults to 2: no next-row-id claiming, no lineage
+    columns materialized by rewrites, and lineage reads fail loudly."""
+    import pytest
+
+    t = LakehouseTable.create(str(tmp_path / "v2"), SCHEMA)
+    _ordered_append(spark, t, 0, 40)
+    _ordered_append(spark, t, 40, 80)
+    assert "next-row-id" not in t.metadata()
+    files, _ = t.live_files()
+    assert all("first_row_id" not in f for f in files)
+    with pytest.raises(ValueError, match="format-version 3"):
+        t.read_with_lineage(spark)
+    with pytest.raises(ValueError, match="format-version 3"):
+        t.appends_between(spark, None, with_lineage=True)
+    # the rewrite pays no lineage tax: output files carry only the schema
+    t.compact(spark)
+    out = spark.read.parquet(
+        *[f["path"] if f["path"].startswith("/") else t.root + "/" + f["path"]
+          for f in t.live_files()[0]]
+    )
+    assert sorted(out.columns) == ["id", "v"]
+    assert out.count() == 80
+
+
+def test_v2_to_v3_upgrade(spark, tmp_path):
+    """Upgrading claims ranges for NEW files only; pre-upgrade rows read
+    NULL ids (the spec's 'unknown')."""
+    t = LakehouseTable.create(str(tmp_path / "up"), SCHEMA)
+    _ordered_append(spark, t, 0, 30)
+    t.set_properties({"format-version": "3"})
+    _ordered_append(spark, t, 30, 60)
+    got = {r.id: r._row_id for r in t.read_with_lineage(spark).collect()}
+    assert all(got[i] is None for i in range(30))
+    assert {i: got[i] for i in range(30, 60)} == {
+        i: i - 30 for i in range(30, 60)
+    }
+    assert t.metadata()["next-row-id"] == 30
