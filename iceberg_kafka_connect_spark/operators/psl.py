@@ -48,6 +48,7 @@ keys its URL stages on exactly this grouping).
 from __future__ import annotations
 
 import os
+import uuid
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -82,14 +83,40 @@ class PSLRules:
         return max(self.exceptions, default=0)
 
 
+def _punycode_twin(rule: str) -> str | None:
+    """ASCII (xn--) twin of a rule containing non-ASCII labels, or None
+    when the rule is pure ASCII / unencodable. Crawled hostnames arrive
+    punycoded (IDNA wire form), while the PSL publishes unicode rules —
+    registering both spellings lets either form of a host match
+    (publicsuffix.org test corpus: ``xn--85x722f.xn--55qx5d.cn`` groups
+    exactly like ``食狮.公司.cn``)."""
+    if rule.isascii():
+        return None
+    try:
+        return ".".join(
+            lbl if lbl.isascii() else lbl.encode("idna").decode("ascii")
+            for lbl in rule.split(".")
+        )
+    except UnicodeError:
+        return None
+
+
 def parse_psl(text: str) -> PSLRules:
     """Parse the standard PSL file format: one rule per line, ``//``
     comment lines, blank lines ignored; ``*.`` wildcard and ``!``
     exception markers; ICANN and PRIVATE sections both included (the
-    Mozilla algorithm's default)."""
+    Mozilla algorithm's default). Non-ASCII rules also register their
+    punycode twins so IDNA-wire-form hosts match."""
     exact: dict[int, set[str]] = {}
     wild: dict[int, set[str]] = {}
     exc: dict[int, set[str]] = {}
+
+    def _add(sets: dict[int, set[str]], rule: str) -> None:
+        sets.setdefault(rule.count(".") + 1, set()).add(rule)
+        twin = _punycode_twin(rule)
+        if twin:
+            sets.setdefault(twin.count(".") + 1, set()).add(twin)
+
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("//"):
@@ -97,13 +124,11 @@ def parse_psl(text: str) -> PSLRules:
         # rules are defined lowercase; hosts are lowercased by callers
         line = line.lower()
         if line.startswith("!"):
-            rule = line[1:]
-            exc.setdefault(rule.count(".") + 1, set()).add(rule)
+            _add(exc, line[1:])
         elif line.startswith("*."):
-            base = line[2:]
-            wild.setdefault(base.count(".") + 1, set()).add(base)
+            _add(wild, line[2:])
         else:
-            exact.setdefault(line.count(".") + 1, set()).add(line)
+            _add(exact, line)
     return PSLRules(
         exact={k: frozenset(v) for k, v in exact.items()},
         wild_bases={k: frozenset(v) for k, v in wild.items()},
@@ -191,7 +216,7 @@ def registrable_domain(host: Column, rules: PSLRules | None = None) -> Column:
     )
 
 
-_RULES_DF_CACHE: dict[tuple[int, int], object] = {}
+_RULES_DF_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _rules_frame(spark, rules: PSLRules):
@@ -201,11 +226,24 @@ def _rules_frame(spark, rules: PSLRules):
     rules sharing that tail are then tested per row with a tiny array
     filter. Wildcards/exceptions (107 / 8 rules) stay literal ``isin``
     sets. Cached per (session, rules) so repeated queries reuse the same
-    local relation."""
-    key = (id(spark), id(rules))
+    local relation. Neither key half uses ``id()`` — CPython reuses ids
+    after GC, which could hand a new session a DataFrame bound to a
+    stopped one (or the wrong rule set): the session half is the JVM
+    application id, the rules half a uuid token minted once per rules
+    object (dies with it, never reused). Entries from other applications
+    are evicted on the next miss."""
+    tok = getattr(rules, "_df_cache_token", None)
+    if tok is None:
+        tok = uuid.uuid4().hex
+        object.__setattr__(rules, "_df_cache_token", tok)
+    key = (spark.sparkContext.applicationId, tok)
     cached = _RULES_DF_CACHE.get(key)
     if cached is not None:
         return cached
+    # one app at a time in practice: drop entries from other sessions so
+    # the cache can't accumulate dead-session frames across restarts
+    for k in [k for k in _RULES_DF_CACHE if k[0] != key[0]]:
+        del _RULES_DF_CACHE[k]
     grouped: dict[str, list[tuple[str, int]]] = {}
     for k, ss in rules.exact.items():
         if k < 2:

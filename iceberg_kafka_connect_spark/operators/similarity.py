@@ -124,9 +124,18 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prefilter_margin: float = 1e-6,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact all-pairs cosine near-duplicates (id_a < id_b). Quadratic —
     correct at verification scale; use srp_lsh_pairs at corpus scale.
+
+    ``max_rows`` bounds the driver collect (the embedding matrix is
+    gathered and broadcast for the GEMM prefilter — 1M × 768-dim float64
+    ≈ 6 GiB, the sensible ceiling for a default driver). A larger input
+    raises instead of OOMing the driver; raise the bound explicitly or
+    switch to ``srp_lsh_pairs``, the corpus-scale sibling that banding
+    keeps linear. ``id_col`` must be integer-typed (the prefilter packs
+    ids into an int64 vector).
 
     Two phases, same exact results as the naive cross join:
 
@@ -147,6 +156,14 @@ def cosine_pairs(
     is untouched."""
     import numpy as np  # noqa: PLC0415
 
+    n_rows = emb.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs collects the embedding matrix to the driver "
+            f"({n_rows} rows > max_rows={max_rows}); use srp_lsh_pairs "
+            f"at corpus scale, or pass a larger max_rows if the driver "
+            f"can hold the matrix"
+        )
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

@@ -949,14 +949,14 @@ def _materialize_dv_as_position_delete(
     import pyarrow.parquet as pq
 
     from ..functions.roaring import deserialize_bitmap64
-    from .puffin import read_blob
+    from .puffin import dv_payload, read_blob
 
     blob = read_blob(
         os.path.join(root, fentry["path"]),
         int(fentry["content_offset"]),
         int(fentry["content_size_in_bytes"]),
     )
-    positions = deserialize_bitmap64(blob)
+    positions = deserialize_bitmap64(dv_payload(blob))
     ref = fentry["referenced_data_file"]
     uri = ("file://" + ref) if ref.startswith("/") else (
         "file://" + os.path.abspath(root) + "/" + ref

@@ -14,10 +14,18 @@ Layout (all per the public spec):
 - ``FooterPayloadSize`` is a 4-byte little-endian int; ``Flags`` is 4
   bytes (bit 0 of byte 0 = footer payload gzip-compressed).
 
-Deletion-vector blobs use type ``deletion-vector-v1`` whose data is the
-portable 64-bit roaring serialization (``functions/roaring.py``) of the
-deleted row ordinals of ONE data file, with the referenced file and
-cardinality recorded in the blob properties — the Iceberg v3 DV shape.
+Deletion-vector blobs use type ``deletion-vector-v1`` framed exactly as
+the Iceberg v3 spec ("Deletion vector serialization") prescribes:
+
+    length(4B big-endian) | magic D1 D3 39 64 | portable-64-bit-roaring
+    vector | CRC-32(4B big-endian, over magic+vector)
+
+where ``length`` counts the magic + vector bytes (not itself, not the
+CRC). The vector payload is the portable 64-bit roaring serialization
+(``functions/roaring.py``) of the deleted row ordinals of ONE data
+file, with the referenced file and cardinality recorded in the blob
+properties. ``frame_dv_blob``/``unframe_dv_blob`` apply/validate the
+framing, so a conforming v3 reader can parse these blobs byte-for-byte.
 
 Reference analogue: none (the connector predates v3 DVs); format per the
 public Iceberg Puffin spec, re-implemented here.
@@ -28,12 +36,43 @@ from __future__ import annotations
 import gzip
 import json
 import struct
+import zlib
 from dataclasses import dataclass, field
 
 MAGIC = b"PFA1"
 FLAG_FOOTER_COMPRESSED = 0x01  # byte 0, bit 0
 
 DV_BLOB_TYPE = "deletion-vector-v1"
+DV_MAGIC = b"\xd1\xd3\x39\x64"  # spec: "a 4-byte magic sequence, D1 D3 39 64"
+
+
+def frame_dv_blob(vector: bytes) -> bytes:
+    """Wrap a portable-serialized bitmap in the v3 DV blob framing."""
+    body = DV_MAGIC + vector
+    return (
+        struct.pack(">I", len(body))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def unframe_dv_blob(blob: bytes) -> bytes:
+    """Validate the v3 DV framing and return the bitmap payload."""
+    if len(blob) < 12:
+        raise ValueError(f"DV blob too small ({len(blob)} bytes)")
+    (body_len,) = struct.unpack(">I", blob[:4])
+    if len(blob) != 4 + body_len + 4:
+        raise ValueError(
+            f"DV blob length mismatch: header says {body_len}, "
+            f"blob holds {len(blob) - 8}"
+        )
+    body = blob[4 : 4 + body_len]
+    if body[:4] != DV_MAGIC:
+        raise ValueError(f"bad DV magic {body[:4]!r}")
+    (crc,) = struct.unpack(">I", blob[4 + body_len :])
+    if crc != (zlib.crc32(body) & 0xFFFFFFFF):
+        raise ValueError("DV blob CRC-32 mismatch")
+    return body[4:]
 
 
 @dataclass
@@ -160,6 +199,17 @@ def read_puffin_footer(path: str) -> dict:
     if flags & FLAG_FOOTER_COMPRESSED:
         payload = gzip.decompress(payload)
     return json.loads(payload.decode("utf-8"))
+
+
+def dv_payload(blob: bytes) -> bytes:
+    """Bitmap payload of a DV blob: the framed v3 form is validated and
+    unwrapped; a bare portable bitmap (written before the framing landed)
+    passes through. Detection is unambiguous — a bare bitmap starts with
+    an 8-byte little-endian map count, so bytes 4:8 are the count's high
+    half (zero for any realistic map count), never the DV magic."""
+    if len(blob) >= 8 and blob[4:8] == DV_MAGIC:
+        return unframe_dv_blob(blob)
+    return blob
 
 
 def read_blob(path: str, offset: int, length: int) -> bytes:

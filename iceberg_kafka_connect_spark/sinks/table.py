@@ -2224,7 +2224,7 @@ class LakehouseTable:
         # (pure-stdlib, tiny) codec modules BY VALUE inside the closure
         _register_codecs_by_value()
         from ..functions.roaring import deserialize_bitmap64
-        from .puffin import read_blob
+        from .puffin import dv_payload, read_blob
 
         def _expand(batches):
             import pandas as pd
@@ -2234,7 +2234,7 @@ class LakehouseTable:
                     index=False, name=None
                 ):
                     positions = deserialize_bitmap64(
-                        read_blob(puffin, int(off), int(length))
+                        dv_payload(read_blob(puffin, int(off), int(length)))
                     )
                     yield pd.DataFrame(
                         {
@@ -2274,7 +2274,7 @@ class LakehouseTable:
         """
         _register_codecs_by_value()
         from ..functions.roaring import serialize_bitmap64
-        from .puffin import DV_BLOB_TYPE, PuffinWriter
+        from .puffin import DV_BLOB_TYPE, PuffinWriter, frame_dv_blob
 
         meta = self.metadata()
         head = self.current_snapshot(branch)
@@ -2293,8 +2293,16 @@ class LakehouseTable:
         if not pos_files:
             return None
         prefix = os.path.abspath(self.root) + "/"
+        # normalize to storage form (root-relative) BEFORE the groupBy:
+        # position-delete files may record the same referenced data file
+        # absolute in one batch and root-relative in another, and mixed
+        # forms would yield two vectors for one file — reads stay correct
+        # (both apply) but the one-DV-per-referenced-file invariant breaks
         pos = self._read_file_group(spark, pos_files, None).select(
-            F.col("file_path"), F.col("pos")
+            F.regexp_replace(
+                F.col("file_path"), "^" + re.escape(prefix), ""
+            ).alias("file_path"),
+            F.col("pos"),
         )
         if old_dvs:
             # fold previous vectors in, so repeated rewrites stay one
@@ -2312,7 +2320,11 @@ class LakehouseTable:
             import pandas as pd
 
             fp = pdf["file_path"].iloc[0]
-            blob = serialize_bitmap64(int(p) for p in pdf["pos"])
+            # spec framing (length | magic | vector | crc32) so the blob
+            # is byte-for-byte what a conforming v3 reader expects
+            blob = frame_dv_blob(
+                serialize_bitmap64(int(p) for p in pdf["pos"])
+            )
             return pd.DataFrame(
                 {
                     "file_path": [fp],

@@ -301,3 +301,106 @@ def test_roaring_roundtrip_property():
         )
 
     prop()
+
+
+def test_dv_blob_framing_roundtrip():
+    """Spec framing: length(4B BE) | D1 D3 39 64 | vector | CRC-32(4B BE)."""
+    import struct
+    import zlib
+
+    from iceberg_kafka_connect_spark.sinks.puffin import (
+        DV_MAGIC,
+        dv_payload,
+        frame_dv_blob,
+        unframe_dv_blob,
+    )
+
+    vec = serialize_bitmap64([3, 7, 65536, 2**33])
+    blob = frame_dv_blob(vec)
+    # byte-level shape a conforming v3 reader expects
+    (body_len,) = struct.unpack(">I", blob[:4])
+    assert body_len == 4 + len(vec)
+    assert blob[4:8] == DV_MAGIC == b"\xd1\xd3\x39\x64"
+    assert blob[8 : 8 + len(vec)] == vec
+    (crc,) = struct.unpack(">I", blob[-4:])
+    assert crc == (zlib.crc32(blob[4:-4]) & 0xFFFFFFFF)
+    assert unframe_dv_blob(blob) == vec
+    # dv_payload handles both the framed and the legacy bare form
+    assert dv_payload(blob) == vec
+    assert dv_payload(vec) == vec
+    # corruption is caught, not silently decoded
+    bad = blob[:-1] + bytes([blob[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC"):
+        unframe_dv_blob(bad)
+    with pytest.raises(ValueError, match="magic"):
+        unframe_dv_blob(blob[:4] + b"XXXX" + blob[8:])
+
+
+def test_rewrite_writes_framed_blobs(spark, table_with_position_deletes):
+    """The committed manifest entries point at spec-framed blobs."""
+    from iceberg_kafka_connect_spark.sinks.puffin import (
+        DV_MAGIC,
+        dv_payload,
+    )
+
+    t = table_with_position_deletes
+    before = {
+        (r["grp"], r["v"]) for r in t.read(spark).collect()
+    }
+    t.rewrite_position_deletes(spark)
+    _, deletes = t.live_files()
+    dvs = [d for d in deletes if d.get("delete_type") == "dv"]
+    assert dvs
+    for d in dvs:
+        blob = read_blob(
+            os.path.join(t.root, d["path"]),
+            int(d["content_offset"]),
+            int(d["content_size_in_bytes"]),
+        )
+        assert blob[4:8] == DV_MAGIC
+        assert len(deserialize_bitmap64(dv_payload(blob))) == d["cardinality"]
+    after = {(r["grp"], r["v"]) for r in t.read(spark).collect()}
+    assert after == before
+
+
+def test_rewrite_normalizes_mixed_path_forms(spark, tmp_path):
+    """One DV per referenced data file even when position-delete files
+    recorded the same file absolute in one batch and root-relative in
+    another (ADVICE r8: the groupBy must key on the storage form)."""
+    t = LakehouseTable.create(str(tmp_path / "mix"), SCHEMA)
+    t.append(
+        spark.range(0, 100)
+        .coalesce(1)
+        .selectExpr("id % 4 as grp", "id as v")
+    )
+    t.delete_where_positions(spark, "v % 10 = 1")  # form as stored
+    # force a second position-delete file whose file_path is ABSOLUTE
+    _, deletes = t.live_files()
+    pos = [f for f in deletes if f.get("delete_type") == "position"]
+    assert pos
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    src = os.path.join(t.root, pos[0]["path"])
+    pdf = pq.read_table(src).to_pandas()
+    pdf["file_path"] = [
+        p if p.startswith("/") else os.path.abspath(t.root) + "/" + p
+        for p in pdf["file_path"]
+    ]
+    pdf["pos"] = pdf["pos"] + 1  # delete the NEXT row of each file too
+    # sibling of the existing delete file (the reader groups by basePath)
+    dst_rel = os.path.join(
+        os.path.dirname(pos[0]["path"]), "abs-form-delete.parquet"
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(t.root, dst_rel))
+    entry = dict(pos[0])
+    entry["path"] = dst_rel
+    entry.pop("first_row_id", None)
+    t._commit_snapshot("delete", [], [entry], {}, "main")
+    survivors = {r["v"] for r in t.read(spark).collect()}
+    t.rewrite_position_deletes(spark)
+    _, deletes2 = t.live_files()
+    dvs = [f for f in deletes2 if f.get("delete_type") == "dv"]
+    refs = [d["referenced_data_file"] for d in dvs]
+    assert len(refs) == len(set(refs)), "two DVs for one data file"
+    assert {r["v"] for r in t.read(spark).collect()} == survivors

@@ -1091,3 +1091,22 @@ def test_truncate_renorm_unit_norm_and_energy(spark):
     plan_df = truncate_renorm(df, dim=2)
     assert_plan(plan_df, absent=["BatchEvalPython", "ArrowEvalPython",
                                  "Exchange"])
+
+
+def test_cosine_pairs_max_rows_guard(spark):
+    """The GEMM prefilter collects the matrix to the driver; inputs past
+    max_rows must raise with a pointer to the corpus-scale sibling,
+    never OOM silently."""
+    import pytest
+
+    emb = spark.range(0, 50).selectExpr(
+        "id as vec_id", "array(cast(id as double), 1.0d) as embedding"
+    )
+    with pytest.raises(ValueError, match="srp_lsh_pairs"):
+        similarity.cosine_pairs(emb, threshold=0.9, max_rows=10)
+    # at/under the bound the exact path still runs
+    assert (
+        similarity.cosine_pairs(emb, threshold=0.999999, max_rows=50)
+        .count()
+        >= 0
+    )

@@ -112,3 +112,26 @@ def test_with_registrable_domain_plan_no_corpus_shuffle(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert count_in_plan(out, "BroadcastHashJoin", mode="simple") == 1
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_rules_frame_cache_keys_are_stable(spark):
+    """Cache keys must survive id() reuse: the session half is the JVM
+    application id, the rules half a token minted on the rules object."""
+    from iceberg_kafka_connect_spark.operators.psl import (
+        _RULES_DF_CACHE,
+        _rules_frame,
+        default_rules,
+    )
+
+    rules = default_rules()
+    f1 = _rules_frame(spark, rules)
+    f2 = _rules_frame(spark, rules)
+    assert f1 is f2  # cache hit on repeated calls
+    app_id = spark.sparkContext.applicationId
+    tok = rules._df_cache_token
+    assert (app_id, tok) in _RULES_DF_CACHE
+    # a stale entry from another application is evicted on the next miss
+    _RULES_DF_CACHE[("dead-app", "t")] = object()
+    _RULES_DF_CACHE.pop((app_id, tok))
+    _rules_frame(spark, rules)
+    assert ("dead-app", "t") not in _RULES_DF_CACHE

@@ -67,3 +67,115 @@ def test_psl_forms_match_python_reference(spark, hosts):
     }
     assert col_form == want
     assert join_form == want
+
+
+# ---------------------------------------------------------------------------
+# Adversarial cases from the publicsuffix.org "Test data" corpus
+# (https://publicsuffix.org/list/ → checkPublicSuffix vectors), adapted to
+# this module's contract: hosts are lowercased by callers, and a host that
+# IS a public suffix (the corpus' null cases) passes through unchanged.
+# Mixed case exercises the caller-side lower(); IDN rows exercise
+# unicode-label rules (the vendored list carries them verbatim) and their
+# punycode twins exercise xn-- labels.
+# ---------------------------------------------------------------------------
+PSL_CORPUS = [
+    # (host-as-seen, expected registrable domain after lower())
+    ("COM", "com"),
+    ("example.COM", "example.com"),
+    ("WwW.example.COM", "example.com"),
+    ("example", "example"),
+    ("example.example", "example.example"),
+    ("biz", "biz"),
+    ("domain.biz", "domain.biz"),
+    ("uk.com", "uk.com"),
+    ("example.uk.com", "example.uk.com"),
+    ("b.example.uk.com", "example.uk.com"),
+    ("test.ac", "test.ac"),
+    # *.mm wildcard
+    ("mm", "mm"),
+    ("c.mm", "c.mm"),
+    ("b.c.mm", "b.c.mm"),
+    ("a.b.c.mm", "b.c.mm"),
+    # jp with geo rules
+    ("jp", "jp"),
+    ("test.jp", "test.jp"),
+    ("www.test.jp", "test.jp"),
+    ("ac.jp", "ac.jp"),
+    ("test.ac.jp", "test.ac.jp"),
+    ("www.test.ac.jp", "test.ac.jp"),
+    ("kyoto.jp", "kyoto.jp"),
+    ("test.kyoto.jp", "test.kyoto.jp"),
+    ("ide.kyoto.jp", "ide.kyoto.jp"),
+    ("b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+    ("a.b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+    # *.kobe.jp wildcard + !city.kobe.jp exception
+    ("c.kobe.jp", "c.kobe.jp"),
+    ("b.c.kobe.jp", "b.c.kobe.jp"),
+    ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+    ("city.kobe.jp", "city.kobe.jp"),
+    ("www.city.kobe.jp", "city.kobe.jp"),
+    # *.ck wildcard + !www.ck exception
+    ("ck", "ck"),
+    ("test.ck", "test.ck"),
+    ("b.test.ck", "b.test.ck"),
+    ("a.b.test.ck", "b.test.ck"),
+    ("www.ck", "www.ck"),
+    ("www.www.ck", "www.ck"),
+    # us k12
+    ("us", "us"),
+    ("test.us", "test.us"),
+    ("www.test.us", "test.us"),
+    ("ak.us", "ak.us"),
+    ("test.ak.us", "test.ak.us"),
+    ("www.test.ak.us", "test.ak.us"),
+    ("k12.ak.us", "k12.ak.us"),
+    ("test.k12.ak.us", "test.k12.ak.us"),
+    ("www.test.k12.ak.us", "test.k12.ak.us"),
+    # IDN labels (unicode rules are in the list verbatim)
+    ("食狮.com.cn", "食狮.com.cn"),
+    ("食狮.公司.cn", "食狮.公司.cn"),
+    ("www.食狮.公司.cn", "食狮.公司.cn"),
+    ("shishi.公司.cn", "shishi.公司.cn"),
+    ("公司.cn", "公司.cn"),
+    ("食狮.中国", "食狮.中国"),
+    ("www.食狮.中国", "食狮.中国"),
+    ("shishi.中国", "shishi.中国"),
+    ("中国", "中国"),
+    # punycoded twins
+    ("xn--85x722f.com.cn", "xn--85x722f.com.cn"),
+    ("xn--85x722f.xn--55qx5d.cn", "xn--85x722f.xn--55qx5d.cn"),
+    ("www.xn--85x722f.xn--55qx5d.cn", "xn--85x722f.xn--55qx5d.cn"),
+    ("shishi.xn--55qx5d.cn", "shishi.xn--55qx5d.cn"),
+    ("xn--55qx5d.cn", "xn--55qx5d.cn"),
+    ("xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s"),
+    ("www.xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s"),
+    ("shishi.xn--fiqs8s", "shishi.xn--fiqs8s"),
+    ("xn--fiqs8s", "xn--fiqs8s"),
+]
+
+
+def test_psl_corpus_vectors_both_forms(spark):
+    """Both evaluation forms agree with the corpus AND the pure-Python
+    reference on every adversarial vector."""
+    import pyspark.sql.functions as F
+
+    rows = [(raw.lower(), want) for raw, want in PSL_CORPUS]
+    for host, want in rows:
+        assert _py_registrable(host) == want, host
+    df = spark.createDataFrame(rows, ["h", "want"])
+    col_form = df.select(
+        "h", "want", registrable_domain(F.col("h")).alias("d")
+    )
+    bad = [
+        (r.h, r.want, r.d)
+        for r in col_form.collect()
+        if r.d != r.want
+    ]
+    assert not bad, f"Column form mismatches: {bad}"
+    join_form = with_registrable_domain(df, "h", out="d")
+    bad = [
+        (r.h, r.want, r.d)
+        for r in join_form.collect()
+        if r.d != r.want
+    ]
+    assert not bad, f"Join form mismatches: {bad}"
