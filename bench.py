@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     # round-4 additions
     "iceberg_interop_roundtrip",
     "iceberg_mirror_refresh",
+    # round-9 additions
+    "iceberg_v3_roundtrip",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

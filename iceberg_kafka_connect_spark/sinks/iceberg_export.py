@@ -1,4 +1,9 @@
-"""Export a ``LakehouseTable`` as real Apache Iceberg v2 table metadata.
+"""Export a ``LakehouseTable`` as real Apache Iceberg table metadata
+(format-version 2, or 3 for tables whose ``format-version`` property is 3
+— v3 trees keep deletion vectors native as Puffin-blob manifest entries
+with ``referenced_data_file``/``content_offset``/``content_size_in_bytes``
+and carry row lineage: top-level ``next-row-id``, per-snapshot
+``first-row-id``, per-file ``first_row_id`` field 142).
 
 The reference's entire output is standard Iceberg metadata — tables it
 writes are readable by every Iceberg-aware engine
@@ -698,7 +703,15 @@ def _partition_tuple(rel_path: str, parsers: dict) -> dict:
     return out
 
 
-def _manifest_entry_schema(partition_avro_fields: list | None = None) -> dict:
+def _manifest_entry_schema(
+    partition_avro_fields: list | None = None, v3: bool = False
+) -> dict:
+    """``manifest_entry`` Avro schema (spec field-ids 0-4 / 100-140).
+    ``v3`` adds the format-version-3 data_file fields: ``first_row_id``
+    (142, row lineage) and the deletion-vector triple
+    ``referenced_data_file``/``content_offset``/``content_size_in_bytes``
+    (143/144/145) that lets a DV manifest entry point INTO a Puffin file
+    instead of materializing positions."""
     data_file = {
         "type": "record",
         "name": "r2",
@@ -759,6 +772,36 @@ def _manifest_entry_schema(partition_avro_fields: list | None = None) -> dict:
                 "default": None,
                 "field-id": 140,
             },
+            *(
+                [
+                    {
+                        "name": "first_row_id",
+                        "type": ["null", "long"],
+                        "default": None,
+                        "field-id": 142,
+                    },
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                        "default": None,
+                        "field-id": 143,
+                    },
+                    {
+                        "name": "content_offset",
+                        "type": ["null", "long"],
+                        "default": None,
+                        "field-id": 144,
+                    },
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
+                        "default": None,
+                        "field-id": 145,
+                    },
+                ]
+                if v3
+                else []
+            ),
         ],
     }
     return {
@@ -789,7 +832,7 @@ def _manifest_entry_schema(partition_avro_fields: list | None = None) -> dict:
     }
 
 
-def _manifest_list_schema() -> dict:
+def _manifest_list_schema(v3: bool = False) -> dict:
     f = [
         ("manifest_path", "string", 500),
         ("manifest_length", "long", 501),
@@ -805,12 +848,24 @@ def _manifest_list_schema() -> dict:
         ("existing_rows_count", "long", 513),
         ("deleted_rows_count", "long", 514),
     ]
+    fields = [{"name": n, "type": t, "field-id": i} for n, t, i in f]
+    if v3:
+        # v3 row lineage: the manifest-level starting row id (the
+        # inheritance base for files without an explicit first_row_id).
+        # This exporter stamps EVERY data file's first_row_id explicitly,
+        # so the manifest value is informational null (no inheritance).
+        fields.append(
+            {
+                "name": "first_row_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 520,
+            }
+        )
     return {
         "type": "record",
         "name": "manifest_file",
-        "fields": [
-            {"name": n, "type": t, "field-id": i} for n, t, i in f
-        ],
+        "fields": fields,
     }
 
 
@@ -1028,6 +1083,16 @@ def export_iceberg_metadata(
     metadata versions — each with its tree file subdirectory — are kept.
     """
     meta = table.metadata()
+    # export format version follows the table's own format-version
+    # property: v3 tables export format-version 3 — deletion vectors
+    # stay native (manifest entries point into the Puffin blobs, zero
+    # rewrite) and row lineage crosses the boundary (next-row-id +
+    # per-file first_row_id) — while v2 tables keep the byte-stable v2
+    # tree (DVs materialize to spec-form position-delete parquet)
+    try:
+        fv = 3 if int(meta["properties"].get("format-version", 2)) >= 3 else 2
+    except (TypeError, ValueError):
+        fv = 2
     # {current field name -> retired physical names} from rename/DDL history
     # (table.py rename_column maintains the Iceberg NameMapping shape).
     # Exported as extra names on the same field-id: files written before a
@@ -1278,6 +1343,14 @@ def export_iceberg_metadata(
                         and fentry.get("sort") == export_sort_cols
                         else {}
                     ),
+                    # v3 row lineage: the claimed first_row_id range
+                    # crosses the boundary (schema carries field 142 only
+                    # on v3 exports; encoder ignores the key otherwise)
+                    **(
+                        {"first_row_id": fentry["first_row_id"]}
+                        if fv >= 3 and fentry.get("first_row_id") is not None
+                        else {}
+                    ),
                     **_file_column_stats(fentry, col_ids, col_types, rows),
                 },
             }
@@ -1296,10 +1369,47 @@ def export_iceberg_metadata(
         for fentry in delete_files:
             path = os.path.join(table.root, fentry["path"])
             fseq = fentry.get("seq", seq)
+            if fentry.get("delete_type") == "dv" and fv >= 3:
+                # native v3 export: the manifest entry references the DV
+                # blob inside the Puffin file (content-offset/size), no
+                # materialization — the spec's deletion-vector entry shape
+                ref = fentry["referenced_data_file"]
+                ref_abs = (
+                    ref
+                    if ref.startswith("/")
+                    else os.path.abspath(os.path.join(table.root, ref))
+                )
+                del_entries.append(
+                    {
+                        "status": 1 if fseq == seq else 0,
+                        "snapshot_id": sid
+                        if fseq == seq
+                        else seq_to_int.get(fseq, sid),
+                        "sequence_number": fseq,
+                        "file_sequence_number": fseq,
+                        "data_file": {
+                            "content": 1,  # POSITION_DELETES (DV form)
+                            "file_path": "file://" + os.path.abspath(path),
+                            "file_format": "PUFFIN",
+                            "partition": {},
+                            # spec: record_count = the DV's cardinality
+                            "record_count": fentry.get("cardinality", 0),
+                            "file_size_in_bytes": fentry.get("bytes")
+                            or os.path.getsize(path),
+                            # must equal the data entry's file_path exactly
+                            "referenced_data_file": "file://" + ref_abs,
+                            "content_offset": int(fentry["content_offset"]),
+                            "content_size_in_bytes": int(
+                                fentry["content_size_in_bytes"]
+                            ),
+                        },
+                    }
+                )
+                continue
             if fentry.get("delete_type") == "dv":
-                # v3 deletion vectors materialize as v2 position-delete
-                # parquet on export (one file per vector, memoized by
-                # blob identity across ancestor snapshots)
+                # v2 export: deletion vectors materialize as position-
+                # delete parquet (one file per vector, memoized by blob
+                # identity across ancestor snapshots)
                 dv_key = (path, fentry["content_offset"])
                 if dv_key not in pos_rewrites:
                     pos_rewrites[dv_key] = _materialize_dv_as_position_delete(
@@ -1407,14 +1517,14 @@ def export_iceberg_metadata(
         manifest_path = os.path.join(tree_dir, f"{commit_uuid}-m0.avro")
         manifest_len = _write_ocf(
             manifest_path,
-            _manifest_entry_schema(part_avro),
+            _manifest_entry_schema(part_avro, v3=fv >= 3),
             entries,
             {
                 "schema": json.dumps(ice_schema),
                 "schema-id": "0",
                 "partition-spec": json.dumps(spec_json),
                 "partition-spec-id": "0",
-                "format-version": "2",
+                "format-version": str(fv),
                 "content": "data",
             },
         )
@@ -1458,14 +1568,14 @@ def export_iceberg_metadata(
             h_path = os.path.join(tree_dir, f"{commit_uuid}-mh{hid}.avro")
             h_len = _write_ocf(
                 h_path,
-                _manifest_entry_schema(h_avro),
+                _manifest_entry_schema(h_avro, v3=fv >= 3),
                 group,
                 {
                     "schema": json.dumps(ice_schema),
                     "schema-id": "0",
                     "partition-spec": json.dumps(h_spec),
                     "partition-spec-id": str(hid),
-                    "format-version": "2",
+                    "format-version": str(fv),
                     "content": "data",
                 },
             )
@@ -1487,14 +1597,14 @@ def export_iceberg_metadata(
             del_manifest_path = os.path.join(tree_dir, f"{commit_uuid}-m1.avro")
             del_manifest_len = _write_ocf(
                 del_manifest_path,
-                _manifest_entry_schema(),
+                _manifest_entry_schema(v3=fv >= 3),
                 del_entries,
                 {
                     "schema": json.dumps(ice_schema),
                     "schema-id": "0",
                     "partition-spec": "[]",
                     "partition-spec-id": str(delete_spec_id),
-                    "format-version": "2",
+                    "format-version": str(fv),
                     "content": "deletes",
                 },
             )
@@ -1518,10 +1628,10 @@ def export_iceberg_metadata(
         list_path = os.path.join(tree_dir, f"snap-{sid}-1-{commit_uuid}.avro")
         _write_ocf(
             list_path,
-            _manifest_list_schema(),
+            _manifest_list_schema(v3=fv >= 3),
             manifest_rows,
             {
-                "format-version": "2",
+                "format-version": str(fv),
                 "snapshot-id": str(sid),
                 "parent-snapshot-id": (
                     str(
@@ -1564,9 +1674,18 @@ def export_iceberg_metadata(
         }.get(op, op)
         if op not in ("append", "replace", "overwrite", "delete"):
             op = "overwrite"
+        # v3: the snapshot's starting row id = the smallest range this
+        # snapshot's ADDED files claimed (the spec assigns it at commit;
+        # our per-file claims make it the min of their first_row_ids)
+        frids = [
+            e["data_file"]["first_row_id"]
+            for e in added_data
+            if e["data_file"].get("first_row_id") is not None
+        ]
         snapshot_json = {
             "snapshot-id": sid,
             "sequence-number": seq,
+            **({"first-row-id": min(frids)} if fv >= 3 and frids else {}),
             "timestamp-ms": snap_x["timestamp_ms"],
             "manifest-list": "file://" + os.path.abspath(list_path),
             "summary": {
@@ -1726,9 +1845,12 @@ def export_iceberg_metadata(
     seq = max((s["sequence-number"] for s in snapshots_json), default=0)
     commit_uuid = uuid.uuid4().hex
     metadata = {
-        "format-version": 2,
+        "format-version": fv,
         "table-uuid": meta.get("table_uuid", str(uuid.uuid4())),
         "location": "file://" + os.path.abspath(table.root),
+        # v3 row lineage: the table-level row-id counter crosses the
+        # boundary so an importer continues claiming where we left off
+        **({"next-row-id": meta.get("next-row-id", 0)} if fv >= 3 else {}),
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
         "last-column-id": last_col_id,
@@ -1867,7 +1989,7 @@ def read_exported(
     """
     with open(metadata_path) as f:
         md = json.load(f)
-    assert md["format-version"] == 2
+    assert md["format-version"] in (2, 3)
     target_sid = (
         snapshot_id
         if snapshot_id is not None
@@ -1885,7 +2007,7 @@ def read_exported(
         fmeta, _, entries = _read_ocf(
             m["manifest_path"].removeprefix("file://")
         )
-        assert fmeta["format-version"] == "2"
+        assert fmeta["format-version"] == str(md["format-version"])
         for e in entries:
             if e["status"] not in (0, 1):
                 continue
@@ -1910,9 +2032,26 @@ def read_exported(
                 "equality_ids": f["equality_ids"],
                 "sequence_number": f["sequence_number"],
                 "record_count": f["record_count"],
+                **(
+                    {
+                        "file_format": f["file_format"],
+                        "referenced_data_file": f[
+                            "referenced_data_file"
+                        ].removeprefix("file://"),
+                        "content_offset": f["content_offset"],
+                        "content_size_in_bytes": f["content_size_in_bytes"],
+                    }
+                    if f.get("file_format") == "PUFFIN"
+                    else {}
+                ),
             }
             for f in deletes
         ],
+        "first_row_ids": {
+            f["file_path"].removeprefix("file://"): f["first_row_id"]
+            for f in files
+            if f.get("first_row_id") is not None
+        },
         "total_rows": sum(f["record_count"] for f in files),
         "snapshot_id": target_sid,
         "refs": md.get("refs", {}),

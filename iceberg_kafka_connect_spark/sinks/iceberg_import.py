@@ -454,6 +454,10 @@ def _translate_snapshot(
         st = _entry_stats(e, id_names, id_types)
         if st is not None:
             entry["stats"] = st
+        # v3 row lineage: the file's claimed row-id range survives the
+        # import (commit path preserves explicit first_row_id entries)
+        if e.get("first_row_id") is not None:
+            entry["first_row_id"] = e["first_row_id"]
         if sort_cols and e.get("sort_order_id") == default_order_id:
             entry["sort"] = list(sort_cols)
         # manifest identity partition tuple → JSON-safe typed values; the
@@ -483,6 +487,28 @@ def _translate_snapshot(
         path = _uri_to_path(e["file_path"])
         fmt = (e.get("file_format") or "PARQUET").lower()
         content = e.get("_content", e.get("content", 0))
+        if content == 1 and fmt == "puffin":
+            # v3 deletion vector: the entry points at a blob inside a
+            # Puffin file — reference it in place (the internal DV read
+            # path accepts absolute paths), zero decode at import time
+            delete_files.append(
+                {
+                    "path": path,
+                    "bytes": e.get("file_size_in_bytes"),
+                    "format": "puffin",
+                    "delete_type": "dv",
+                    "referenced_data_file": _uri_to_path(
+                        e["referenced_data_file"]
+                    ),
+                    "content_offset": int(e["content_offset"]),
+                    "content_size_in_bytes": int(
+                        e["content_size_in_bytes"]
+                    ),
+                    "cardinality": int(e.get("record_count") or 0),
+                    "seq": e["_seq"],
+                }
+            )
+            continue
         if content == 1:  # POSITION_DELETES
             # memoized per external file: spec delete files are immutable
             # (new content = new file), so refreshes and multi-ref imports
@@ -553,7 +579,7 @@ def import_iceberg_table(
     with open(meta_file) as f:
         meta = json.load(f)
     fv = meta.get("format-version", 1)
-    if fv not in (1, 2):
+    if fv not in (1, 2, 3):
         raise IcebergImportUnsupported(f"format-version {fv}")
 
     ice_schema = _current_schema(meta)
@@ -653,6 +679,12 @@ def import_iceberg_table(
         synth = _name_mapping_from_schema_history(meta, ice_schema)
         if synth:
             props["schema.name-mapping.default"] = json.dumps(synth)
+    if fv >= 3:
+        # the table-level format version is top-level metadata in the
+        # spec, not a property; internally it IS the property — pin it
+        # so lineage/DV behavior survives even when the source writer
+        # didn't mirror it into properties
+        props["format-version"] = "3"
     props["import.source-metadata"] = os.path.abspath(meta_file)
     props["import.source-snapshot-id"] = str(snapshot_id)
     props["import.source-uuid"] = meta.get("table-uuid", "")
@@ -684,6 +716,12 @@ def import_iceberg_table(
         properties=props,
         identifier_fields=ident or None,
     )
+    if fv >= 3 and meta.get("next-row-id") is not None:
+        # continue claiming row-id ranges where the source left off —
+        # fresh appends after the import must never reuse imported ids
+        meta2 = table.metadata()
+        meta2["next-row-id"] = int(meta["next-row-id"])
+        table._write_version(meta2["version"] + 1, meta2)
 
     # ----- translate one external snapshot's entries into the internal
     # file-entry shape (shared by main and every other imported ref, and

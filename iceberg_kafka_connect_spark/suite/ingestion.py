@@ -3246,3 +3246,60 @@ def appends_lineage_poll(spark, sf_dir):
         F.col("event_id").cast("bigint").alias("event_id"),
         F.col("_row_id").cast("bigint").alias("row_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# X101: format-version-3 interop round-trip. A v3 table accumulates a
+# deletion vector (position deletes consolidated into one Puffin blob),
+# exports REAL Iceberg v3 metadata — the DV stays native: a content=1
+# manifest entry with file_format PUFFIN and referenced_data_file/
+# content_offset/content_size_in_bytes pointing into the blob, plus row
+# lineage (next-row-id, per-file first_row_id field 142) — and an import
+# of the exported tree preserves delete_type == "dv" (asserted in-query)
+# and reads identical rows WITH identical _row_ids. One sorted chunk
+# makes _row_id == ordinal == event_id, so the oracle states ids exactly.
+# --------------------------------------------------------------------------
+@register(
+    "iceberg_v3_roundtrip",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(event_id AS BIGINT) AS row_id,
+           CAST(1 AS BIGINT) AS n_dv
+    FROM events
+    WHERE event_id < 400 AND event_id % 6 != 1
+    """,
+    tags=("ingestion", "lakehouse", "interop"),
+)
+def iceberg_v3_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.iceberg_export import export_iceberg_metadata
+    from ..sinks.iceberg_import import import_iceberg_table
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="v3_interop_gate_")
+    t = LakehouseTable.create(
+        base + "/src",
+        e.schema,
+        properties={"format-version": "3"},
+    )
+    t.append(
+        e.filter(F.col("event_id") < 400)
+        .coalesce(1)
+        .sortWithinPartitions("event_id")
+    )
+    t.delete_where_positions(spark, "event_id % 6 = 1")
+    t.rewrite_position_deletes(spark)
+    imp = import_iceberg_table(export_iceberg_metadata(t), base + "/dst")
+    _, dels = imp.live_files()
+    n_dv = sum(1 for f in dels if f.get("delete_type") == "dv")
+    if n_dv != 1 or len(dels) != 1:
+        raise AssertionError(
+            f"v3 round-trip lost the native DV: {dels}"
+        )
+    return imp.read_with_lineage(spark).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("_row_id").cast("bigint").alias("row_id"),
+        F.lit(n_dv).cast("bigint").alias("n_dv"),
+    )

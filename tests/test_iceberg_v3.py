@@ -1,0 +1,131 @@
+"""Format-version-3 Iceberg export/import: deletion vectors cross the
+interop boundary natively (Puffin-blob manifest entries, no
+materialization) and row lineage survives (next-row-id, per-file
+first_row_id field 142, per-snapshot first-row-id)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+    export_iceberg_metadata,
+    read_exported,
+)
+from iceberg_kafka_connect_spark.sinks.iceberg_import import (
+    import_iceberg_table,
+)
+from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+V3 = {"format-version": "3"}
+
+
+def _mk(spark, root):
+    t = LakehouseTable.create(
+        root,
+        spark.range(0, 1).selectExpr(
+            "id", "cast(id as string) grp", "id v"
+        ).schema,
+        properties=V3,
+    )
+    t.append(
+        spark.range(0, 300)
+        .selectExpr("id", "cast(id % 4 as string) grp", "id % 9 v")
+        .coalesce(1)
+        .sortWithinPartitions("id")
+    )
+    t.delete_where_positions(spark, "v = 2")
+    t.rewrite_position_deletes(spark)
+    return t
+
+
+def test_v3_export_keeps_dvs_native(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "src"))
+    out = export_iceberg_metadata(t)
+    md = json.load(open(out))
+    assert md["format-version"] == 3
+    assert md["next-row-id"] == 300
+    # the append snapshot carries its starting row id
+    assert min(
+        s["first-row-id"] for s in md["snapshots"] if "first-row-id" in s
+    ) == 0
+    r = read_exported(out)
+    [dv] = r["delete_files"]
+    assert dv["file_format"] == "PUFFIN"
+    assert dv["path"].endswith(".puffin")
+    assert dv["content_offset"] >= 4
+    assert dv["content_size_in_bytes"] > 0
+    # referenced_data_file matches a data entry's file_path exactly
+    assert dv["referenced_data_file"] in r["file_paths"]
+    assert dv["record_count"] == 300 // 9 + (300 % 9 > 2)
+    # per-file lineage claims exported (field 142)
+    assert r["first_row_ids"] == {r["file_paths"][0]: 0}
+
+
+def test_v3_import_roundtrip_rows_dvs_lineage(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "src"))
+    out = export_iceberg_metadata(t)
+    imp = import_iceberg_table(out, str(tmp_path / "dst"))
+    # the DV survives as a DV (the done-criterion of the round)
+    _, dels = imp.live_files()
+    assert [f.get("delete_type") for f in dels] == ["dv"]
+    want = sorted(map(tuple, t.read(spark).collect()))
+    assert sorted(map(tuple, imp.read(spark).collect())) == want
+    # row ids are identical across the boundary
+    lw = {r.id: r._row_id for r in t.read_with_lineage(spark).collect()}
+    lg = {r.id: r._row_id for r in imp.read_with_lineage(spark).collect()}
+    assert lg == lw
+    # fresh appends claim NEW ranges (the imported counter continues)
+    assert imp.metadata()["next-row-id"] == 300
+    imp.append(
+        spark.range(1000, 1010)
+        .selectExpr("id", "'x' grp", "id v")
+        .coalesce(1)
+    )
+    lg2 = {r.id: r._row_id for r in imp.read_with_lineage(spark).collect()}
+    assert sorted(lg2[i] for i in range(1000, 1010)) == list(range(300, 310))
+
+
+def test_v2_tables_still_export_v2(spark, tmp_path):
+    """The default path is byte-shape-stable: v2 tables export
+    format-version 2 with DVs materialized to position-delete parquet."""
+    t = LakehouseTable.create(
+        str(tmp_path / "v2src"),
+        spark.range(0, 1).selectExpr("id", "id v").schema,
+    )
+    t.append(spark.range(0, 100).selectExpr("id", "id % 7 v").coalesce(1))
+    t.delete_where_positions(spark, "v = 3")
+    t.rewrite_position_deletes(spark)
+    out = export_iceberg_metadata(t)
+    md = json.load(open(out))
+    assert md["format-version"] == 2
+    assert "next-row-id" not in md
+    r = read_exported(out)
+    assert all(
+        d.get("file_format") != "PUFFIN" and d["path"].endswith(".parquet")
+        for d in r["delete_files"]
+    )
+    imp = import_iceberg_table(out, str(tmp_path / "v2dst"))
+    assert sorted(map(tuple, imp.read(spark).collect())) == sorted(
+        map(tuple, t.read(spark).collect())
+    )
+
+
+def test_v3_reexport_of_imported_table(spark, tmp_path):
+    """import → export round-trips again: the re-exported tree still
+    carries the DV natively and the same lineage claims."""
+    t = _mk(spark, str(tmp_path / "src"))
+    out = export_iceberg_metadata(t)
+    imp = import_iceberg_table(out, str(tmp_path / "dst"))
+    out2 = export_iceberg_metadata(imp)
+    md2 = json.load(open(out2))
+    assert md2["format-version"] == 3
+    assert md2["next-row-id"] == 300
+    r2 = read_exported(out2)
+    [dv] = r2["delete_files"]
+    assert dv["file_format"] == "PUFFIN"
+    imp2 = import_iceberg_table(out2, str(tmp_path / "dst2"))
+    assert sorted(map(tuple, imp2.read(spark).collect())) == sorted(
+        map(tuple, t.read(spark).collect())
+    )
