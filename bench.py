@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "iceberg_mirror_refresh",
     # round-9 additions
     "iceberg_v3_roundtrip",
+    "changelog_lineage",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

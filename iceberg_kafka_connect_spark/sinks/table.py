@@ -2805,6 +2805,7 @@ class LakehouseTable:
         branch: str = MAIN,
         where: str | None = None,
         where_mode: str = "strict",
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Changelog scan — Iceberg ``create_changelog_view`` parity: every
         row added or equality-deleted by snapshots after ``from_snapshot_id``
@@ -2834,9 +2835,28 @@ class LakehouseTable:
         drops them, ``"lenient"`` passes DELETE rows through when the
         predicate can't be evaluated — the right choice for a filtered
         sync, where a delete for a key outside the shard no-ops at the
-        destination instead of being lost for keys inside it."""
+        destination instead of being lost for keys inside it.
+
+        ``with_lineage`` (v3 tables only) appends ``_row_id`` /
+        ``_last_updated_sequence_number``: insert rows carry the ids they
+        create and position-delete rows carry the ids they KILL — the
+        CDC-consumer contract row lineage exists for (key downstream
+        state on ``_row_id``, apply deletes by id). Equality-delete rows
+        stay key-only with NULL lineage (the delete file names keys, not
+        row identities — resolving them to ids would cost a table scan,
+        which is exactly what equality deletes avoid)."""
         meta = self.metadata()
         target = self.read_schema()
+        if with_lineage:
+            if not _lineage_on(meta.get("properties") or {}):
+                raise ValueError(
+                    "with_lineage requires format-version 3: create the "
+                    'table with properties={"format-version": "3"} or '
+                    'upgrade via set_properties({"format-version": "3"})'
+                )
+            target = T.StructType(
+                list(target.fields) + list(self.LINEAGE_FIELDS)
+            )
         out_schema = T.StructType(
             list(target.fields)
             + [
@@ -2935,6 +2955,9 @@ class LakehouseTable:
                     spark, targets, target, with_position=True
                 )
                 if rows is not None:
+                    if with_lineage:
+                        # the deleted rows carry the ids they KILL
+                        rows = self._derive_lineage(spark, rows, targets)
                     deleted = (
                         rows.withColumn("__fpn", _fp_norm(F.col("__fp")))
                         .join(dpos, ["__fpn", "__pos"], "left_semi")
@@ -2971,8 +2994,14 @@ class LakehouseTable:
                         *proj, F.lit("delete").alias("_change_type"), *stamp
                     )
                 )
-            rows = self._read_file_group(spark, d, target)
+            rows = self._read_file_group(
+                spark, d, target, with_position=with_lineage
+            )
             if rows is not None:
+                if with_lineage:
+                    rows = self._derive_lineage(spark, rows, d).drop(
+                        "__fp", "__pos"
+                    )
                 parts.append(
                     rows.drop("__seq").select(
                         "*", F.lit("insert").alias("_change_type"), *stamp

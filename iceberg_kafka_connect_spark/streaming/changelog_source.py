@@ -54,6 +54,7 @@ class ChangelogStream:
         branch: str = MAIN,
         on_rewrite: str = "error",
         where: str | None = None,
+        with_lineage: bool = False,
     ):
         """``on_rewrite`` decides what happens when a pending snapshot is a
         history rewrite (compaction/expiry seal) that ``changes_between``
@@ -69,13 +70,22 @@ class ChangelogStream:
         (``changes_between(where=)``, lenient mode): DELETE rows whose
         non-key columns are NULL pass through unevaluated and no-op at
         the destination when their key is outside the shard — nothing
-        inside the shard is ever lost."""
+        inside the shard is ever lost.
+
+        ``with_lineage`` (v3 tables) adds ``_row_id`` /
+        ``_last_updated_sequence_number`` to every batch — inserts carry
+        the ids they create, position-delete rows the ids they kill —
+        so a consumer can key its state on row identity
+        (``changes_between(with_lineage=)``). Rewrite hops via
+        ``on_rewrite="diff"`` raise: a snapshot_diff has no per-row
+        change identity to attach ids to."""
         if on_rewrite not in ("error", "diff"):
             raise ValueError(f"on_rewrite must be 'error' or 'diff', got {on_rewrite!r}")
         self.table = table
         self.branch = branch
         self.on_rewrite = on_rewrite
         self.where = where
+        self.with_lineage = with_lineage
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._ckpt = os.path.join(checkpoint_dir, "changelog-offset.json")
 
@@ -83,10 +93,16 @@ class ChangelogStream:
         try:
             return self.table.changes_between(
                 spark, prev, sid, branch=self.branch, where=self.where,
-                where_mode="lenient",
+                where_mode="lenient", with_lineage=self.with_lineage,
             )
         except ValueError as e:
             if self.on_rewrite == "diff" and "rewrites history" in str(e):
+                if self.with_lineage:
+                    raise ValueError(
+                        "with_lineage cannot hop a history rewrite via "
+                        "snapshot_diff (diff rows carry no change "
+                        "identity); resolve the rewrite explicitly"
+                    ) from e
                 # pushed into both endpoint reads (file pruning); diff rows
                 # are FULL rows, so the predicate always evaluates
                 return self.table.snapshot_diff(
@@ -288,6 +304,7 @@ class ChangelogPipeline:
         self.poll_interval_s = poll_interval_s
         self.auto_create = auto_create
         self.where = where
+        self.with_lineage = with_lineage
 
     @classmethod
     def from_properties(

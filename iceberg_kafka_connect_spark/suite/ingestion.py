@@ -3303,3 +3303,57 @@ def iceberg_v3_roundtrip(spark, sf_dir):
         F.col("_row_id").cast("bigint").alias("row_id"),
         F.lit(n_dv).cast("bigint").alias("n_dv"),
     )
+
+
+# --------------------------------------------------------------------------
+# X102: row lineage through the changelog — the CDC-consumer contract the
+# v3 ids exist for. Chunks append out of key order (ids are insertion-
+# order, not key-order), then a positional DELETE; the changelog from the
+# first snapshot emits chunk-B inserts carrying the ids they CREATE and
+# delete rows carrying the ids they KILL (full deleted rows, both chunks).
+# The oracle states every (event_id, change_type, row_id) directly.
+# --------------------------------------------------------------------------
+@register(
+    "changelog_lineage",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           'insert' AS change_type,
+           CAST(event_id + 200 AS BIGINT) AS row_id
+    FROM events WHERE event_id < 100
+    UNION ALL
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           'delete' AS change_type,
+           CAST(CASE WHEN event_id < 100 THEN event_id + 200
+                     ELSE event_id - 100 END AS BIGINT) AS row_id
+    FROM events WHERE event_id < 300 AND event_id % 9 = 4
+    """,
+    tags=("ingestion", "lakehouse", "cdc"),
+)
+def changelog_lineage(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = LakehouseTable.create(
+        tempfile.mkdtemp(prefix="cl_lineage_gate_") + "/t",
+        e.schema,
+        properties={"format-version": "3"},
+    )
+
+    def chunk(lo, hi):
+        return (
+            e.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .coalesce(1)
+            .sortWithinPartitions("event_id")
+        )
+
+    t.append(chunk(100, 300))  # ids 0..199
+    s1 = t.current_snapshot()["snapshot_id"]
+    t.append(chunk(0, 100))  # ids 200..299 — out of key order
+    t.delete_where_positions(spark, "event_id % 9 = 4")
+    return t.changes_between(spark, s1, with_lineage=True).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_row_id").cast("bigint").alias("row_id"),
+    )

@@ -149,3 +149,63 @@ def test_v2_to_v3_upgrade(spark, tmp_path):
         i: i - 30 for i in range(30, 60)
     }
     assert t.metadata()["next-row-id"] == 30
+
+
+def test_changelog_with_lineage(spark, tmp_path):
+    """changes_between(with_lineage=True): inserts carry the ids they
+    create, position-delete rows the ids they kill, equality deletes
+    stay key-only with NULL ids; v2 tables raise."""
+    import pytest
+
+    t = LakehouseTable.create(str(tmp_path / "cl"), SCHEMA, properties=V3)
+    _ordered_append(spark, t, 0, 50)
+    s1 = t.current_snapshot()["snapshot_id"]
+    _ordered_append(spark, t, 50, 80)
+    t.delete_where_positions(spark, "id % 7 = 0")
+    rows = sorted(
+        (r.id, r._change_type, r._row_id)
+        for r in t.changes_between(spark, s1, with_lineage=True).collect()
+    )
+    ins = [(i, rid) for i, ct, rid in rows if ct == "insert"]
+    dels = [(i, rid) for i, ct, rid in rows if ct == "delete"]
+    assert ins == [(i, i) for i in range(50, 80)]
+    assert dels == [(i, i) for i in range(80) if i % 7 == 0]
+    # equality delete rows carry NULL lineage (key-only by design)
+    t.delete_where(spark, "id = 55", key_cols=["id"])
+    eq = [
+        r
+        for r in t.changes_between(spark, s1, with_lineage=True).collect()
+        if r._change_type == "delete" and r.id == 55 and r.v is None
+    ]
+    assert len(eq) == 1 and eq[0]._row_id is None
+    v2 = LakehouseTable.create(str(tmp_path / "clv2"), SCHEMA)
+    _ordered_append(spark, v2, 0, 5)
+    with pytest.raises(ValueError, match="format-version 3"):
+        v2.changes_between(spark, None, with_lineage=True)
+
+
+def test_changelog_stream_with_lineage(spark, tmp_path):
+    """ChangelogStream(with_lineage=True) threads ids through batches and
+    refuses to hop a rewrite via snapshot_diff."""
+    import pytest
+
+    from iceberg_kafka_connect_spark.streaming.changelog_source import (
+        ChangelogStream,
+    )
+
+    t = LakehouseTable.create(str(tmp_path / "cs"), SCHEMA, properties=V3)
+    _ordered_append(spark, t, 0, 40)
+    stream = ChangelogStream(
+        t,
+        str(tmp_path / "ckpt"),
+        on_rewrite="diff",
+        with_lineage=True,
+    )
+    [snap] = stream.pending()
+    batch = stream._changes(spark, None, snap["snapshot_id"])
+    got = sorted((r.id, r._row_id) for r in batch.collect())
+    assert got == [(i, i) for i in range(40)]
+    t.compact(spark)
+    [rw] = stream.pending(since=snap["snapshot_id"])
+    with pytest.raises(ValueError, match="change identity"):
+        stream._changes(spark, snap["snapshot_id"], rw["snapshot_id"])
