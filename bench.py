@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     # round-9 additions
     "iceberg_v3_roundtrip",
     "changelog_lineage",
+    "docs_bigram_surprise",
+    "events_session_funnel",
+    "docs_mmr_rerank",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

@@ -159,3 +159,73 @@ def interval_join(
         & (F.col(point_ts) < F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[Column],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel depth per user — ClickHouse ``windowFunnel``
+    semantics re-expressed as layered running-min windows: the deepest
+    step ``k`` such that step-1 … step-k events occur in order, each
+    strictly after the previous step's earliest completion (sort order:
+    (ts, tiebreak)), and — when ``within_us`` is set — all within that
+    many microseconds of the FIRST step's earliest event.
+
+    ``steps`` are boolean Columns over the event row (e.g.
+    ``[F.col("event_type") == "view", ...]``), so a step can be any
+    predicate, not just a type match.
+
+    Scale shape: ONE shuffle (the per-user window partition), k window
+    passes over the same partitioning — Catalyst collapses them into a
+    single sort — no joins, no per-user collect, no UDF. The naive
+    alternative (k-way self-join on user with ts inequalities) fans out
+    quadratically per step; this is linear in events for any k.
+
+    Returns (user, depth): depth 0 = user emitted events but none
+    matched step 1. Users with no events don't appear (no rows to scan).
+    """
+    if not steps:
+        raise ValueError("window_funnel needs at least one step")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = events
+    us = F.unix_micros(F.col(ts_col))
+    prev: list[str] = []  # running earliest-completion column per step
+    hits: list[str] = []  # per-row "this row completes step k" flags
+    for k, pred in enumerate(steps, start=1):
+        cond = pred
+        if k > 1:
+            cond = cond & F.col(prev[-1]).isNotNull()
+        if within_us is not None and k > 1:
+            cond = cond & (
+                us <= F.unix_micros(F.col(prev[0])) + F.lit(within_us)
+            )
+        hcol = f"__h{k}"
+        df = df.withColumn(hcol, cond)
+        hits.append(hcol)
+        if k < len(steps):
+            # later steps look back at this step's running earliest hit
+            tcol = f"__t{k}"
+            df = df.withColumn(
+                tcol,
+                F.min(F.when(F.col(hcol), F.col(ts_col))).over(w),
+            )
+            prev.append(tcol)
+    depth = F.greatest(
+        *[
+            F.when(F.col(c), F.lit(i))
+            for i, c in enumerate(hits, start=1)
+        ],
+        F.lit(0),
+    )
+    return df.groupBy(user_col).agg(
+        F.max(depth).cast("int").alias("depth")
+    )

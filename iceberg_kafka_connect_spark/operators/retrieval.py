@@ -139,3 +139,76 @@ def bm25_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): per query, greedily select ``k`` of its candidate rows
+    maximizing ``lam * score − (1 − lam) * max_cos_sim(selected)`` —
+    relevance traded against redundancy, the standard diversification
+    pass after a BM25/ANN candidate fetch (RAG retrieval, few-shot
+    example selection, dedup-aware sampling).
+
+    The greedy chain is inherently sequential PER QUERY, so it runs as
+    one Arrow-batched ``applyInPandas`` per query group over the
+    ALREADY-BOUNDED candidate set (the upstream top-N); queries
+    parallelize freely. Per-group cost O(N·k·dim) in vectorized numpy —
+    never a pairwise matrix beyond N², never a driver loop. Ties (equal
+    MMR value) break on ascending id for determinism.
+
+    Returns (query, rank 1..k, id, score, mmr_value).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+
+    out_schema = (
+        f"{query_col} long, rank int, {id_col} long, "
+        f"{score_col} double, mmr_value double"
+    )
+
+    def _rerank(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        normed = mat / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        selected: list[int] = []
+        max_sim = np.zeros(n)  # max cos-sim to the selected set so far
+        picked = np.zeros(n, dtype=bool)
+        values: list[float] = []
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr[picked] = -np.inf
+            # argmax with ascending-id tiebreak: ids are sorted, argmax
+            # returns the first (= smallest id) maximal entry
+            i = int(np.argmax(mmr))
+            selected.append(i)
+            values.append(float(mmr[i]))
+            picked[i] = True
+            max_sim = np.maximum(max_sim, normed @ normed[i])
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[selected].to_numpy(),
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+                id_col: pdf[id_col].iloc[selected].to_numpy(),
+                score_col: rel[selected],
+                "mmr_value": values,
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(_rerank, out_schema)

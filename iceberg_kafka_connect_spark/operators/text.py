@@ -876,3 +876,64 @@ def hashed_linear_score(
             (F.col("score_num") > 0).alias("keep"),
         )
     )
+
+
+def bigram_surprise(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_hex: int = 2,
+) -> DataFrame:
+    """Context-conditional LM surprise — the bigram step of CCNet-style
+    perplexity filtering (Wenzek et al. 2020, arXiv:1911.00359, which
+    scores documents with an n-gram LM; ``lm_surprise`` is the unigram
+    floor, this conditions each token on its predecessor):
+    info(w2 | w1) = −log2 p(w2 | w1) ≈ bits(c(w1 ·)) − bits(c(w1 w2)),
+    quantized to whole bits via bit_length arithmetic (length(bin(x)))
+    so no transcendental is ever evaluated and an ANSI-SQL oracle agrees
+    bit-for-bit. Repetitive/templated text (every bigram predictable
+    from its context) scores LOW even when its unigrams are rare —
+    exactly the head/tail split a unigram model misses.
+
+    Scale shape: ONE map-side-combined groupBy over exploded hashed
+    bigram buckets (≤ 16^(2·prefix_hex) rows out — 64k at the default,
+    Heaps-bounded in practice); context counts derive from the pair
+    frame (no second corpus pass); scoring is one broadcast hash join of
+    the tiny info frame onto the exploded corpus — no driver-side map
+    literal (a 64k-entry Column literal would cost seconds of py4j; the
+    PSL lesson), no UDF, no corpus shuffle. Documents with fewer than
+    two words emit nothing (no bigram to score).
+    """
+    words = _lower_words(F.col(text_col))
+    n = F.size(words)
+    bucket = lambda w: F.substring(F.md5(w), 1, prefix_hex)  # noqa: E731
+    grams = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(
+            bucket(a).alias("b1"), bucket(b).alias("b2")
+        ),
+    )
+    bg = docs.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(id_col, F.col("__g.b1").alias("__b1"), F.col("__g.b2").alias("__b2"))
+    pc = bg.groupBy("__b1", "__b2").agg(F.count(F.lit(1)).alias("__cp"))
+    cc = pc.groupBy("__b1").agg(F.sum("__cp").alias("__ctx"))
+    info = pc.join(cc, "__b1").select(
+        "__b1",
+        "__b2",
+        (F.length(F.bin(F.col("__ctx"))) - F.length(F.bin(F.col("__cp"))))
+        .cast("long")
+        .alias("__ib"),
+    )
+    s = F.sum("__ib")
+    nb = F.count(F.lit(1))
+    return (
+        bg.join(F.broadcast(info), ["__b1", "__b2"])
+        .groupBy(id_col)
+        .agg(
+            nb.cast("long").alias("n_bigrams"),
+            s.cast("long").alias("surprise_bits"),
+            (s.cast("double") / nb.cast("double")).alias("mean_surprise"),
+        )
+    )

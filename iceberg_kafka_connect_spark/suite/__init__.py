@@ -129,10 +129,9 @@ def load_all() -> dict[str, QuerySpec]:
     # added this round; re-verify with the never-gated computation
     # (oracle set minus CORRECTNESS_r0* union minus current window)
     # before editing the round-10 window:
-    #   iceberg_v3_roundtrip, changelog_lineage, docs_minhash_ccomp_ids,
-    #   docs_quality_isotonic, docs_anchor_text_graph,
-    #   events_session_funnel, docs_ngram_lm_perplexity,
-    #   docs_dedup_url_fingerprint
+    #   iceberg_v3_roundtrip, changelog_lineage, docs_bigram_surprise,
+    #   events_session_funnel
+    # (docs_mmr_rerank is rows-only -> never queued)
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).

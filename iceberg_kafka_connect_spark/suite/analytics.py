@@ -542,3 +542,64 @@ def events_hourly_anomaly(spark, sf_dir):
         .drop("__k")
         .orderBy("hour")
     )
+
+
+# --------------------------------------------------------------------------
+# X104: ordered window funnel (ClickHouse windowFunnel semantics): deepest
+# view -> click -> purchase chain per user, each step strictly after the
+# previous step's earliest completion and within 7 days of the first view.
+# Layered running-min windows over ONE per-user partitioning — no k-way
+# self-join fan-out, no UDF; the oracle states the identical layered
+# windows in SQL.
+# --------------------------------------------------------------------------
+@register(
+    "events_session_funnel",
+    oracle="""
+    WITH l1 AS (
+        SELECT user_id, ts, event_id, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS t1p
+        FROM events
+    ),
+    l2 AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'click' AND t1p IS NOT NULL
+                         AND epoch_us(ts) <= epoch_us(t1p) + 604800000000
+                        THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS t2p
+        FROM l1
+    ),
+    l3 AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' AND t2p IS NOT NULL
+                         AND epoch_us(ts) <= epoch_us(t1p) + 604800000000
+                    THEN 3
+                    WHEN event_type = 'click' AND t1p IS NOT NULL
+                         AND epoch_us(ts) <= epoch_us(t1p) + 604800000000
+                    THEN 2
+                    WHEN event_type = 'view' THEN 1
+                    ELSE 0 END AS hit
+        FROM l2
+    ),
+    d AS (SELECT user_id, MAX(hit) AS depth FROM l3 GROUP BY user_id)
+    SELECT CAST(depth AS INT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY depth
+    """,
+    tags=("analytics", "events"),
+)
+def events_session_funnel(spark, sf_dir):
+    from ..operators.relational import window_funnel
+
+    e = table(spark, sf_dir, "events")
+    per_user = window_funnel(
+        e,
+        [F.col("event_type") == s for s in ("view", "click", "purchase")],
+        within_us=7 * 86400 * 1_000_000,
+    )
+    return per_user.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

@@ -635,3 +635,48 @@ def docs_dup_rate_by_source(spark, sf_dir):
             ).alias("dup_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X103: bigram conditional surprise — the context step of CCNet perplexity
+# filtering. info(w2|w1) in whole bits (bit_length arithmetic, zero
+# transcendentals → bit-exact engine parity); stats in ONE pass over
+# hashed bigram buckets, context counts derived from the pair frame,
+# scoring as one broadcast join. Low mean = templated/repetitive text a
+# unigram model can't flag.
+# --------------------------------------------------------------------------
+@register(
+    "docs_bigram_surprise",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               substr(md5(z[1]), 1, 2) AS b1,
+               substr(md5(z[2]), 1, 2) AS b2
+        FROM w, UNNEST(list_zip(ws[:-2], ws[2:])) AS t(z)
+    ),
+    pc AS (SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS cp
+           FROM bg GROUP BY 1, 2),
+    cc AS (SELECT b1, CAST(SUM(cp) AS BIGINT) AS ctx FROM pc GROUP BY 1),
+    info AS (
+        SELECT pc.b1, pc.b2,
+               CAST(length(bin(cc.ctx)) - length(bin(pc.cp)) AS BIGINT)
+                   AS ib
+        FROM pc JOIN cc USING (b1)
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(i.ib) AS BIGINT) AS surprise_bits,
+           CAST(SUM(i.ib) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_surprise
+    FROM bg JOIN info i USING (b1, b2)
+    GROUP BY bg.doc_id
+    """,
+    tags=("quality",),
+)
+def docs_bigram_surprise(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return tx.bigram_surprise(docs)

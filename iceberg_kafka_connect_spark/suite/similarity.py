@@ -441,3 +441,28 @@ def embedding_mrl_energy(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# X105: MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98) after
+# an exact top-30 candidate fetch: per query, greedily pick 10 trading
+# relevance against redundancy. The greedy chain is sequential per query
+# (no SQL twin -> rows-only; pinned agreement test against a pure-Python
+# reference in test_rows_only_agreement.py), queries parallelize as
+# applyInPandas groups over the bounded candidate sets.
+# --------------------------------------------------------------------------
+@register("docs_mmr_rerank", oracle=None, tags=("similarity", "retrieval"))
+def docs_mmr_rerank(spark, sf_dir):
+    from ..operators.retrieval import mmr_rerank
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    cand = similarity.brute_force_topk(queries, emb, k=30).join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        ),
+        "neighbor_id",
+    )
+    return mmr_rerank(
+        cand, k=10, lam=0.7, score_col="cos_sim"
+    ).orderBy("query_id", "rank")

@@ -298,3 +298,108 @@ def test_doc_signatures_short_docs_null_bands(spark):
     assert rows[1].bands is None and rows[1].shingle_hashes is None
     assert rows[1].digest is not None
     assert len(rows[2].bands) == 64 and len(rows[2].shingle_hashes) == 3
+
+
+# ------------------------------------------------------------- window funnel
+def _funnel_events(spark, rows):
+    """rows: (user, seconds-offset, type) triples."""
+    return spark.createDataFrame(
+        [(u, f"2024-01-01 00:00:{s:02d}", i, t) for i, (u, s, t) in enumerate(rows)],
+        "user_id int, ts_s string, event_id int, event_type string",
+    ).selectExpr("user_id", "cast(ts_s as timestamp) ts", "event_id", "event_type")
+
+
+def test_window_funnel_depths(spark):
+    from iceberg_kafka_connect_spark.operators.relational import window_funnel
+
+    import pyspark.sql.functions as F
+
+    e = _funnel_events(
+        spark,
+        [
+            # u1: full ordered chain
+            (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+            # u2: purchase BEFORE click — depth stops at 2
+            (2, 1, "view"), (2, 2, "purchase"), (2, 3, "click"),
+            # u3: click with no prior view — depth 0
+            (3, 1, "click"), (3, 2, "purchase"),
+            # u4: only views
+            (4, 1, "view"), (4, 2, "view"),
+            # u5: no step-1 match at all
+            (5, 1, "error"),
+        ],
+    )
+    got = {
+        r.user_id: r.depth
+        for r in window_funnel(
+            e,
+            [F.col("event_type") == s for s in ("view", "click", "purchase")],
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1, 5: 0}
+
+
+def test_window_funnel_within_window(spark):
+    from iceberg_kafka_connect_spark.operators.relational import window_funnel
+
+    import pyspark.sql.functions as F
+
+    e = _funnel_events(
+        spark,
+        [
+            (1, 1, "view"), (1, 2, "click"), (1, 50, "purchase"),
+            (2, 1, "view"), (2, 40, "click"),
+        ],
+    )
+    got = {
+        r.user_id: r.depth
+        for r in window_funnel(
+            e,
+            [F.col("event_type") == s for s in ("view", "click", "purchase")],
+            within_us=10_000_000,  # 10 s of the first view
+        ).collect()
+    }
+    # u1's purchase and u2's click fall outside the 10 s window
+    assert got == {1: 2, 2: 1}
+
+
+def test_window_funnel_same_ts_ordering(spark):
+    """Same-timestamp events resolve by the tiebreak column: a click at
+    the same ts as the view counts only if its tiebreak sorts AFTER."""
+    from iceberg_kafka_connect_spark.operators.relational import window_funnel
+
+    import pyspark.sql.functions as F
+
+    e = _funnel_events(
+        spark,
+        [(1, 1, "view"), (1, 1, "click"), (2, 1, "click"), (2, 1, "view")],
+    )
+    # event_ids increase with list order: u1 view(0) then click(1) → 2;
+    # u2 click(2) sorts before view(3) → depth 1
+    got = {
+        r.user_id: r.depth
+        for r in window_funnel(
+            e, [F.col("event_type") == s for s in ("view", "click")]
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_window_funnel_predicate_steps(spark):
+    """Steps are arbitrary predicates, not just type matches."""
+    from iceberg_kafka_connect_spark.operators.relational import window_funnel
+
+    import pyspark.sql.functions as F
+
+    e = _funnel_events(spark, [(1, 1, "view"), (1, 2, "purchase")])
+    got = {
+        r.user_id: r.depth
+        for r in window_funnel(
+            e,
+            [
+                F.col("event_type").isin("view", "click"),
+                F.col("event_type") == "purchase",
+            ],
+        ).collect()
+    }
+    assert got == {1: 2}

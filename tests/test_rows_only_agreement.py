@@ -417,3 +417,42 @@ def test_docs_bpe_token_stats_matches_pure_python(spark, sf_dir):
         for r in _run("docs_bpe_token_stats", spark, sf_dir).collect()
     }
     assert got == {s: tuple(v) for s, v in expected.items()}
+
+
+# --------------------------------------------------------- docs_mmr_rerank
+def test_docs_mmr_rerank_matches_pure_python(spark, sf_dir, emb_rows):
+    """The exact suite query vs an independent greedy MMR in numpy over
+    the same exact-cosine top-30 candidates."""
+    ids, mat = emb_rows
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    x = mat / n
+    sims = x @ x.T
+    lam, k_cand, k_out = 0.7, 30, 10
+    want = []
+    for qi in np.nonzero(ids % 97 == 0)[0]:
+        order = sorted(
+            (j for j in range(len(ids)) if j != qi),
+            key=lambda j: (-sims[qi, j], ids[j]),
+        )[:k_cand]
+        # candidates sorted by ascending id (the operator's tiebreak frame)
+        cand = sorted(order, key=lambda j: ids[j])
+        rel = {j: float(sims[qi, j]) for j in cand}
+        picked, max_sim = [], {j: 0.0 for j in cand}
+        for rank in range(1, min(k_out, len(cand)) + 1):
+            best = max(
+                (j for j in cand if j not in picked),
+                key=lambda j: (
+                    lam * rel[j] - (1 - lam) * max_sim[j],
+                    -ids[j],
+                ),
+            )
+            picked.append(best)
+            want.append((int(ids[qi]), rank, int(ids[best])))
+            for j in cand:
+                max_sim[j] = max(max_sim[j], float(sims[best, j]))
+    got = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in _run("docs_mmr_rerank", spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
