@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "docs_bigram_surprise",
     "events_session_funnel",
     "docs_mmr_rerank",
+    "table_stats_ndv",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

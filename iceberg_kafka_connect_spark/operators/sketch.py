@@ -111,3 +111,77 @@ def frequent_items(
         .agg(F.count(F.lit(1)).alias(count_col))
         .filter(F.col(count_col) >= support)
     )
+
+
+def kmv_ndv(
+    df: DataFrame,
+    columns: list[str],
+    k: int = 4096,
+) -> dict[str, int]:
+    """Distinct-count per column via the KMV (k-minimum-values) bottom-k
+    sketch (Bar-Yossef et al., RANDOM'02) — INTEGER-EXACT and therefore
+    oracle-checkable, unlike HLL:
+
+    - h(v) = the first 15 hex chars of md5(v) as a 60-bit integer (the
+      same deterministic hash the shard-shuffle/epoch operators use);
+    - fewer than k distinct hashes → the sketch IS the distinct set and
+      the count is exact;
+    - otherwise ndv ≈ (k−1) · 2^60 / m_k where m_k is the k-th smallest
+      distinct hash — evaluated in pure integer arithmetic, so Spark and
+      an ANSI-SQL twin (ORDER BY hash LIMIT k) agree bit-for-bit.
+
+    Scale shape: ``distinct().orderBy(h).limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps only its bottom-k
+    hashes and the driver merges P·k values — the textbook mergeable
+    bottom-k execution, never a global sort, never a full distinct
+    collect. NULLs don't count (SQL NDV convention).
+    """
+    return {c: kmv_estimate(kmv_sketch(df, c, k), k) for c in columns}
+
+
+def kmv_sketch(df: DataFrame, column: str, k: int = 4096) -> list[int]:
+    """The bottom-k distinct 60-bit hashes of ``column`` (the KMV sketch
+    state), ascending. Mergeable: union two sketches' values and
+    re-truncate to the k smallest."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(F.md5(F.col(column).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return [
+        r[0]
+        for r in df.select(h.alias("__h"))
+        .filter(F.col(column).isNotNull())
+        .distinct()
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    ]
+
+
+def kmv_estimate(bottom: list[int], k: int) -> int:
+    """NDV from a sketch state: exact when the state holds fewer than k
+    values (the state IS the distinct hash set), else the integer KMV
+    estimator (k−1)·2^60 / m_k."""
+    if len(bottom) < k:
+        return len(bottom)
+    return (k - 1) * (1 << 60) // bottom[-1]
+
+
+def kmv_serialize(bottom: list[int], k: int) -> bytes:
+    """Sketch wire form: big-endian uint32 k, uint32 count, then the
+    ascending uint64 hash values — enough for a reader to merge or
+    re-estimate without rescanning."""
+    import struct
+
+    return struct.pack(">II", k, len(bottom)) + struct.pack(
+        f">{len(bottom)}Q", *bottom
+    )
+
+
+def kmv_deserialize(blob: bytes) -> tuple[list[int], int]:
+    """Inverse of :func:`kmv_serialize`; returns (values, k)."""
+    import struct
+
+    k, n = struct.unpack(">II", blob[:8])
+    return list(struct.unpack(f">{n}Q", blob[8 : 8 + 8 * n])), k

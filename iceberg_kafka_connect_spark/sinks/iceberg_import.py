@@ -836,6 +836,53 @@ def import_iceberg_table(
             sorted(skipped_refs)
         )
         table._write_version(meta2["version"] + 1, meta2)
+
+    # ----- table statistics: carry Puffin NDV entries for imported
+    # snapshots through (referenced in place; snapshot ids remapped to
+    # the internal commits). A planner on the imported table then sees
+    # the same per-column NDVs the source recorded.
+    stats_in = []
+    for s in meta.get("statistics") or []:
+        ext_sid = s.get("snapshot-id")
+        if ext_sid not in imported:
+            continue
+        spath = _uri_to_path(s["statistics-path"])
+        if not os.path.isfile(spath):
+            continue
+        blobs = []
+        for b in s.get("blob-metadata", []):
+            props = b.get("properties") or {}
+            col = props.get("column") or next(
+                (
+                    id_names[i]
+                    for i in b.get("fields", [])
+                    if i in id_names
+                ),
+                None,
+            )
+            if col is None or "ndv" not in props:
+                continue
+            entry = {
+                "type": b.get("type", ""),
+                "column": col,
+                "ndv": int(props["ndv"]),
+            }
+            if str(props.get("k") or "").isdigit():
+                entry["k"] = int(props["k"])
+            blobs.append(entry)
+        if blobs:
+            stats_in.append(
+                {
+                    "snapshot-id": imported[ext_sid]["snapshot_id"],
+                    "statistics-path": spath,
+                    "format": "puffin",
+                    "blobs": blobs,
+                }
+            )
+    if stats_in:
+        meta2 = table.metadata()
+        meta2["statistics"] = stats_in
+        table._write_version(meta2["version"] + 1, meta2)
     return table
 
 

@@ -3357,3 +3357,62 @@ def changelog_lineage(spark, sf_dir):
         F.col("_change_type").alias("change_type"),
         F.col("_row_id").cast("bigint").alias("row_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# X106: table statistics (Iceberg "Table statistics" parity): per-column
+# NDV via the KMV bottom-k sketch — exact below k distinct, INTEGER-exact
+# estimate above ((k-1)*2^60 // m_k, no floats) — written as blobs of a
+# Puffin statistics file keyed by snapshot, exported into metadata.json
+# `statistics` and re-imported; the query reads the NDVs back from the
+# IMPORTED table, so the value crosses the interop boundary. k=256 makes
+# event_id exercise the estimator while user_id/event_type stay exact.
+# --------------------------------------------------------------------------
+@register(
+    "table_stats_ndv",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT CAST(concat('0x',
+                   substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+        FROM events WHERE event_id < 3000
+    ),
+    b AS (SELECT h FROM h ORDER BY h LIMIT 256),
+    est AS (SELECT COUNT(*) AS n, MAX(h) AS m FROM b)
+    SELECT 'event_id' AS col,
+           CAST(CASE WHEN n < 256 THEN n
+                     ELSE (255::HUGEINT * (1::HUGEINT << 60)) // m
+                END AS BIGINT) AS ndv
+    FROM est
+    UNION ALL
+    SELECT 'event_type' AS col,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndv
+    FROM events WHERE event_id < 3000
+    UNION ALL
+    SELECT 'user_id' AS col,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv
+    FROM events WHERE event_id < 3000
+    """,
+    tags=("ingestion", "lakehouse", "stats"),
+)
+def table_stats_ndv(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.iceberg_export import export_iceberg_metadata
+    from ..sinks.iceberg_import import import_iceberg_table
+    from ..sinks.table import LakehouseTable
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="stats_ndv_gate_")
+    t = LakehouseTable.create(base + "/src", e.schema)
+    t.append(e.filter(F.col("event_id") < 3000))
+    t.compute_statistics(spark, k=256)
+    imp = import_iceberg_table(export_iceberg_metadata(t), base + "/dst")
+    stats = imp.statistics()
+    if not stats:
+        raise AssertionError("statistics did not survive the round-trip")
+    return spark.createDataFrame(
+        sorted((c, int(v)) for c, v in stats.items()), "col string, ndv long"
+    )
