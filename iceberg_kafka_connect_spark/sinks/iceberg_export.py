@@ -173,23 +173,40 @@ def _iceberg_type(dtype: T.DataType, ids: _IdGen):
     )
 
 
-def _iceberg_field(f: T.StructField, ids: _IdGen) -> dict:
+def _iceberg_field(f: T.StructField, ids: _IdGen, v3: bool = False) -> dict:
     fid = ids.next()
-    return {
+    d = {
         "id": fid,
         "name": f.name,
         "required": not f.nullable,
         "type": _iceberg_type(f.dataType, ids),
     }
+    if f.metadata:
+        if f.metadata.get("doc"):
+            d["doc"] = f.metadata["doc"]
+        if v3:
+            # v3 default values (spec "Default values"): initial-default
+            # backfills pre-existing rows at read time, write-default
+            # fills omitted columns on write. Primitive literals are
+            # already in the spec's JSON single-value form. v2 exports
+            # omit them (the keys are a v3 feature; a v2 reader would
+            # choke or silently drop them — the internal reads still
+            # apply the defaults either way).
+            for k in ("initial-default", "write-default"):
+                if k in f.metadata:
+                    d[k] = f.metadata[k]
+    return d
 
 
-def iceberg_schema(schema: T.StructType) -> tuple[dict, int]:
+def iceberg_schema(
+    schema: T.StructType, v3: bool = False
+) -> tuple[dict, int]:
     """(Iceberg JSON schema with assigned field-ids, last-column-id).
 
     Ids are assigned depth-first in declaration order — parent before
     children, matching Iceberg's fresh-schema assignment."""
     ids = _IdGen()
-    fields = [_iceberg_field(f, ids) for f in schema.fields]
+    fields = [_iceberg_field(f, ids, v3=v3) for f in schema.fields]
     return {"type": "struct", "schema-id": 0, "fields": fields}, ids.last
 
 
@@ -1124,7 +1141,7 @@ def export_iceberg_metadata(
     )
     os.makedirs(tree_dir, exist_ok=True)
 
-    ice_schema, last_col_id = iceberg_schema(table.schema())
+    ice_schema, last_col_id = iceberg_schema(table.schema(), v3=fv >= 3)
     # row identity (Iceberg identifier-field-ids): upsert key defaults
     # survive the round trip (IcebergSinkConfig uses the schema's
     # identifierFieldIds when no id-columns are configured)

@@ -140,12 +140,23 @@ def iceberg_type_to_spark(t) -> T.DataType:
         raise IcebergImportUnsupported(f"iceberg type {t!r}")
     tt = t["type"]
     if tt == "struct":
+        def _md(f: dict) -> dict:
+            # v3 default values + docs ride StructField metadata — the
+            # same keys add_column stores, so reads on the imported
+            # table backfill/fill exactly like the source's
+            md = {}
+            for k in ("initial-default", "write-default", "doc"):
+                if f.get(k) is not None:
+                    md[k] = f[k]
+            return md
+
         return T.StructType(
             [
                 T.StructField(
                     f["name"],
                     iceberg_type_to_spark(f["type"]),
                     not f.get("required", False),
+                    _md(f),
                 )
                 for f in t["fields"]
             ]

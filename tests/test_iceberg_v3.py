@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T
 
 from iceberg_kafka_connect_spark.sinks.iceberg_export import (
     export_iceberg_metadata,
@@ -129,3 +130,39 @@ def test_v3_reexport_of_imported_table(spark, tmp_path):
     assert sorted(map(tuple, imp2.read(spark).collect())) == sorted(
         map(tuple, t.read(spark).collect())
     )
+
+
+def test_v3_default_values_cross_the_boundary(spark, tmp_path):
+    """initial-default / write-default export as v3 schema field keys and
+    import back into field metadata, so reads on the imported table
+    backfill pre-column files identically — zero rewrite on both sides."""
+    t = LakehouseTable.create(
+        str(tmp_path / "dsrc"),
+        spark.range(0, 1).selectExpr("id", "id v").schema,
+        properties=V3,
+    )
+    t.append(spark.range(0, 50).selectExpr("id", "id v").coalesce(1))
+    t.add_column(
+        "region",
+        T.StringType(),
+        initial_default="unassigned",
+        write_default="eu",
+    )
+    t.append(spark.range(50, 80).selectExpr("id", "id v").coalesce(1))
+    out = export_iceberg_metadata(t)
+    md = json.load(open(out))
+    [rf] = [
+        f
+        for f in md["schemas"][0]["fields"]
+        if f["name"] == "region"
+    ]
+    assert rf["initial-default"] == "unassigned"
+    assert rf["write-default"] == "eu"
+    imp = import_iceberg_table(out, str(tmp_path / "ddst"))
+    got = {r.id: r.region for r in imp.read(spark).collect()}
+    assert all(got[i] == "unassigned" for i in range(50))
+    assert all(got[i] == "eu" for i in range(50, 80))
+    # the defaults keep working for writes AFTER the import
+    imp.append(spark.range(100, 110).selectExpr("id", "id v").coalesce(1))
+    got2 = {r.id: r.region for r in imp.read(spark).collect()}
+    assert all(got2[i] == "eu" for i in range(100, 110))
