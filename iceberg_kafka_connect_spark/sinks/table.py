@@ -4060,6 +4060,7 @@ class LakehouseTable:
         columns: list[str] | None = None,
         k: int = 4096,
         branch: str = MAIN,
+        mode: str = "full",
     ) -> dict[str, int]:
         """Iceberg "Table statistics" parity: per-column NDV computed by
         the KMV bottom-k sketch (``operators/sketch.kmv_ndv`` — exact
@@ -4082,7 +4083,14 @@ class LakehouseTable:
         Scale shape: one ``distinct().orderBy(h).limit(k)`` per column —
         TakeOrderedAndProject keeps only bottom-k per partition; the
         driver holds P·k longs, never the distinct set.
+
+        ``mode="incremental"`` scans ONLY the rows appended since the
+        nearest sketch-bearing ancestor and unions sketches (KMV
+        mergeability: union-and-truncate ≡ rescan, pinned by test);
+        falls back to a full rebuild across rewrites/deletes.
         """
+        if mode not in ("full", "incremental"):
+            raise ValueError(f"mode must be full|incremental, got {mode!r}")
         from ..operators.sketch import (
             kmv_estimate,
             kmv_serialize,
@@ -4094,21 +4102,61 @@ class LakehouseTable:
         if snap is None:
             raise ValueError("no snapshot to compute statistics for")
         cols = columns or [f.name for f in self.read_schema().fields]
-        current = self.read(spark, branch=branch)
-        sketches = {c: kmv_sketch(current, c, k=k) for c in cols}
-        ndv = {c: kmv_estimate(s, k) for c, s in sketches.items()}
         sid = snap["snapshot_id"]
+        sketches: dict[str, list[int]] | None = None
+        if mode == "incremental":
+            # the mergeability payoff: union the nearest ancestor's
+            # stored sketches with sketches of ONLY the appended rows —
+            # refresh cost O(new data), not O(table). Falls back to a
+            # full rebuild when no sketch-bearing puffin ancestor exists
+            # or the range contains a rewrite/delete (same contract as
+            # analyze(mode="incremental")).
+            base = self._nearest_kmv_stats(branch)
+            if base is not None and base["snapshot-id"] == sid:
+                return {
+                    b["column"]: int(b["ndv"]) for b in base["blobs"]
+                }
+            if base is not None:
+                try:
+                    inc = self.appends_between(
+                        spark, base["snapshot-id"], branch=branch
+                    )
+                except ValueError:
+                    base = None
+                else:
+                    from .puffin import read_blob
+
+                    from ..operators.sketch import kmv_deserialize
+
+                    spath = os.path.join(
+                        self.root, base["statistics-path"]
+                    )
+                    sketches, cols = {}, []
+                    for b in base["blobs"]:
+                        c = b["column"]
+                        cols.append(c)
+                        old, bk = kmv_deserialize(
+                            read_blob(spath, b["offset"], b["length"])
+                        )
+                        k = bk  # the stored k wins — sketches must agree
+                        new = kmv_sketch(inc, c, k=k)
+                        sketches[c] = sorted(set(old) | set(new))[:k]
+        if sketches is None:
+            current = self.read(spark, branch=branch)
+            sketches = {c: kmv_sketch(current, c, k=k) for c in cols}
+        ndv = {c: kmv_estimate(s, k) for c, s in sketches.items()}
         rel = os.path.join("metadata", f"stats-{sid}-{uuid.uuid4().hex[:8]}.puffin")
-        blobs = [
-            (
-                "ndv-kmv-v1",
-                {"ndv": str(ndv[c]), "k": str(k), "column": c},
-                kmv_serialize(sketches[c], k),
-            )
-            for c in cols
-        ]
-        write_puffin(
-            os.path.join(self.root, rel), blobs, snapshot_id=sid
+        metas = write_puffin(
+            os.path.join(self.root, rel),
+            [
+                (
+                    "ndv-kmv-v1",
+                    {"ndv": str(ndv[c]), "k": str(k), "column": c},
+                    kmv_serialize(sketches[c], k),
+                )
+                for c in cols
+            ],
+            snapshot_id=sid,
         )
         entry = {
             # same list and key shape as analyze()'s JSON-doc entries —
@@ -4118,9 +4166,17 @@ class LakehouseTable:
             "statistics-path": rel,
             "format": "puffin",
             "blobs": [
-                {"type": "ndv-kmv-v1", "column": c, "ndv": int(ndv[c]),
-                 "k": int(k)}
-                for c in cols
+                {
+                    "type": "ndv-kmv-v1",
+                    "column": c,
+                    "ndv": int(ndv[c]),
+                    "k": int(k),
+                    # blob location, so an incremental refresh can read
+                    # the sketch back without re-parsing the footer
+                    "offset": m.offset,
+                    "length": m.length,
+                }
+                for c, m in zip(cols, metas)
             ],
         }
         for attempt in range(COMMIT_RETRIES):
@@ -4138,6 +4194,26 @@ class LakehouseTable:
                 if attempt == COMMIT_RETRIES - 1:
                     raise
                 time.sleep(0.05 * (attempt + 1))
+
+    def _nearest_kmv_stats(self, branch: str = MAIN) -> dict | None:
+        """The nearest-ancestor puffin-format statistics entry whose
+        blobs carry sketch locations (written by compute_statistics —
+        imported entries reference external files and may lack offsets,
+        in which case incremental refresh falls back to full)."""
+        meta = self.metadata()
+        by_sid = {
+            s["snapshot-id"]: s
+            for s in meta.get("statistics", [])
+            if s.get("format") == "puffin"
+            and all("offset" in b for b in s.get("blobs", []))
+        }
+        cur = self.current_snapshot(branch)
+        while cur is not None:
+            if cur["snapshot_id"] in by_sid:
+                return by_sid[cur["snapshot_id"]]
+            pid = cur["parent"]
+            cur = self._snapshot_by_id(meta, pid) if pid else None
+        return None
 
     def statistics(self, branch: str = MAIN) -> dict[str, int] | None:
         """{column → ndv} recorded for the CURRENT snapshot of

@@ -1110,3 +1110,32 @@ def test_cosine_pairs_max_rows_guard(spark):
         .count()
         >= 0
     )
+
+
+def test_bigram_surprise_plan_broadcast_only(spark, sf_dir):
+    """Scoring joins the tiny info frame BROADCAST — the corpus never
+    sort-merge-joins, and no driver-side map literal exists to build."""
+    from iceberg_kafka_connect_spark.operators.text import bigram_surprise
+    from iceberg_kafka_connect_spark.plans.inspect import plan_string
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_string(bigram_surprise(d), mode="simple")
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 1, p
+
+
+def test_bigram_surprise_values(spark):
+    """Hand-checkable corpus: bigram info in whole bits."""
+    from iceberg_kafka_connect_spark.operators.text import bigram_surprise
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_surprise(docs).collect()}
+    # corpus bigrams: (a,b)x3 (b,a)x1 (b,c)x1 → ctx(a)=3, ctx(b)=2
+    # info(a→b) = bits(3)-bits(3) = 0; info(b→a) = bits(2)-bits(1) = 1
+    # info(b→c) = bits(2)-bits(1) = 1
+    assert rows[1].n_bigrams == 3 and rows[1].surprise_bits == 1
+    assert rows[2].n_bigrams == 2 and rows[2].surprise_bits == 1
+    assert 3 not in rows  # single-word doc has no bigram

@@ -403,3 +403,23 @@ def test_window_funnel_predicate_steps(spark):
         ).collect()
     }
     assert got == {1: 2}
+
+
+def test_window_funnel_plan_single_exchange(spark, sf_dir):
+    """The scale contract: layered running-min windows + the final
+    groupBy all reuse ONE per-user hash partitioning — a 3-step funnel
+    costs exactly one shuffle, not one per step and not a self-join."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from iceberg_kafka_connect_spark.operators.relational import window_funnel
+    from iceberg_kafka_connect_spark.plans.inspect import plan_string
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = window_funnel(
+        e, [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    )
+    p = plan_string(out, mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert set(re.findall(r"hashpartitioning\((\w+)#", p)) == {"user_id"}

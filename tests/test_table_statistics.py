@@ -156,3 +156,37 @@ def test_planner_uses_imported_ndv(spark, tmp_path):
     )
     assert decision["strategy"] == "shuffle"
     assert decision["skew_risk"] is True  # ndv 13 << 4 * 200
+
+
+def test_incremental_statistics_refresh(spark, tmp_path):
+    """mode='incremental' scans only the appended rows and unions the
+    stored sketches — the result equals a full rebuild exactly."""
+    t = _mk(spark, str(tmp_path / "inc"), n=2000)
+    t.compute_statistics(spark, k=256)
+    t.append(
+        spark.range(2000, 3500).selectExpr(
+            "id", "cast(id % 29 as string) grp", "id % 7 v"
+        )
+    )
+    inc = t.compute_statistics(spark, k=256, mode="incremental")
+    # incremental == full rebuild, bit for bit (KMV mergeability)
+    t2 = _mk(spark, str(tmp_path / "full"), n=2000)
+    t2.append(
+        spark.range(2000, 3500).selectExpr(
+            "id", "cast(id % 29 as string) grp", "id % 7 v"
+        )
+    )
+    assert inc == t2.compute_statistics(spark, k=256)
+    assert inc["grp"] == 29
+    # head already covered → served from the entry, no rescan
+    assert t.compute_statistics(spark, mode="incremental") == inc
+
+
+def test_incremental_falls_back_across_rewrites(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "rw"), n=1000)
+    t.compute_statistics(spark, k=256)
+    t.delete_where_positions(spark, "v = 3")
+    t.compact(spark)
+    # the range contains a replace — incremental silently rebuilds full
+    ndv = t.compute_statistics(spark, k=256, mode="incremental")
+    assert ndv["v"] == 6  # v=3 rows deleted
