@@ -293,6 +293,7 @@ class ChangelogPipeline:
         poll_interval_s: float = 300.0,
         auto_create: bool = False,
         where: str | None = None,
+        with_lineage: bool = False,
     ):
         self.catalog = catalog
         self.src_name = src_name
@@ -378,6 +379,7 @@ class ChangelogPipeline:
         stream = ChangelogStream(
             src, self.checkpoint_dir, branch=self.branch,
             on_rewrite=self.on_rewrite, where=self.where,
+            with_lineage=self.with_lineage,
         )
         return changelog_sync_loop(
             stream,
