@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "events_session_funnel",
     "docs_mmr_rerank",
     "table_stats_ndv",
+    "events_retention_cohorts",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

@@ -603,3 +603,58 @@ def events_session_funnel(spark, sf_dir):
     return per_user.groupBy("depth").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# X107: cohort retention matrix — users grouped by signup week, counted in
+# each later week they were active: the standard product-analytics rollup
+# over the landed events table. Two shuffles (per-user signup min + the
+# cohort-cell distinct/count); week arithmetic is exact integer day-diffs
+# on date_trunc boundaries, identical in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH signup AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS w0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, s.w0,
+               CAST(date_diff('day', s.w0, date_trunc('week', e.ts)) // 7
+                    AS INT) AS week_offset
+        FROM events e JOIN signup s USING (user_id)
+        WHERE e.ts >= s.w0
+    )
+    SELECT strftime(w0, '%Y-%m-%d') AS cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+    tags=("analytics", "events"),
+)
+def events_retention_cohorts(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("w0"))
+    )
+    activity = (
+        e.join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("w0"))
+        .select(
+            "user_id",
+            "w0",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("w0"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
