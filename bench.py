@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "docs_mmr_rerank",
     "table_stats_ndv",
     "events_retention_cohorts",
+    "docs_ccnet_buckets",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

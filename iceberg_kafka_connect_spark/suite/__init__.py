@@ -130,7 +130,8 @@ def load_all() -> dict[str, QuerySpec]:
     # (oracle set minus CORRECTNESS_r0* union minus current window)
     # before editing the round-10 window:
     #   iceberg_v3_roundtrip, changelog_lineage, docs_bigram_surprise,
-    #   events_session_funnel, table_stats_ndv, events_retention_cohorts
+    #   events_session_funnel, table_stats_ndv, events_retention_cohorts,
+    #   docs_ccnet_buckets
     # (docs_mmr_rerank is rows-only -> never queued)
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to

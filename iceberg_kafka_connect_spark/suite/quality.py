@@ -680,3 +680,72 @@ def docs_dup_rate_by_source(spark, sf_dir):
 def docs_bigram_surprise(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return tx.bigram_surprise(docs)
+
+
+# --------------------------------------------------------------------------
+# X108: CCNet-style perplexity bucketing (arXiv:1911.00359 §4.3 splits each
+# language's corpus into head/middle/tail by LM perplexity tertiles):
+# per-source NTILE(3) over the integer-scaled mean bigram surprise,
+# deterministic via the doc_id tiebreak. Composes X103's LM pass with one
+# per-source window — the curation stage that samples training data by
+# quality stratum.
+# --------------------------------------------------------------------------
+@register(
+    "docs_ccnet_buckets",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source,
+               substr(md5(z[1]), 1, 2) AS b1, substr(md5(z[2]), 1, 2) AS b2
+        FROM w, UNNEST(list_zip(ws[:-2], ws[2:])) AS t(z)
+    ),
+    pc AS (SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS cp
+           FROM bg GROUP BY 1, 2),
+    cc AS (SELECT b1, CAST(SUM(cp) AS BIGINT) AS ctx FROM pc GROUP BY 1),
+    info AS (SELECT pc.b1, pc.b2,
+                    CAST(length(bin(cc.ctx)) - length(bin(pc.cp)) AS BIGINT)
+                        AS ib
+             FROM pc JOIN cc USING (b1)),
+    score AS (
+        SELECT bg.doc_id, bg.source,
+               CAST(SUM(i.ib) AS BIGINT) AS bits,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM bg JOIN info i USING (b1, b2) GROUP BY 1, 2
+    ),
+    bucketed AS (
+        SELECT source,
+               NTILE(3) OVER (PARTITION BY source
+                              ORDER BY bits * 1000000 // nb, doc_id)
+                   AS tertile
+        FROM score
+    )
+    SELECT source,
+           CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM bucketed GROUP BY 1, 2
+    """,
+    tags=("quality", "curation"),
+)
+def docs_ccnet_buckets(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    score = tx.bigram_surprise(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.expr("surprise_bits * 1000000 div n_bigrams"), "doc_id"
+    )
+    bucketed = score.withColumn("tertile", F.ntile(3).over(w))
+    return bucketed.groupBy(
+        "source",
+        F.when(F.col("tertile") == 1, "head")
+        .when(F.col("tertile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
