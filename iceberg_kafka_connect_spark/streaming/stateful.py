@@ -124,3 +124,89 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def funnel_stream(
+    stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "timestamp",
+    type_col: str = "event_type",
+    within_us: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ordered funnel — the incremental twin of
+    ``operators/relational.window_funnel``: per user, the earliest
+    event-time each step completed (step k counts only strictly after
+    step k−1's earliest completion, and within ``within_us`` of step
+    1's when set), updated per micro-batch via applyInPandasWithState.
+
+    State per user is ONE row of k timestamps — O(users · steps), never
+    O(events) — and it is MONOTONE: a step's earliest completion only
+    ever moves earlier within a batch (events sort by event time before
+    applying), never retroactively across batches. An event arriving
+    later than the watermark that would have completed a step earlier
+    is the documented streaming approximation; the batch operator is
+    the exact form.
+
+    Emits (user, depth) in update mode whenever a user's state changes.
+    """
+    if not steps:
+        raise ValueError("funnel_stream needs at least one step")
+    k = len(steps)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("depth", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("step_ts_us", T.ArrayType(T.LongType()))]
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ts_steps: list = (
+            list(state.get[0]) if state.exists else [None] * k
+        )
+        rows: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            ts_us = (
+                pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+            ).tolist()
+            rows.extend(zip(ts_us, pdf[type_col].tolist()))
+        for t, ty in sorted(rows):
+            for i in range(k):
+                if steps[i] != ty or ts_steps[i] is not None:
+                    continue
+                if i > 0 and (
+                    ts_steps[i - 1] is None or t <= ts_steps[i - 1]
+                ):
+                    continue
+                if (
+                    within_us is not None
+                    and i > 0
+                    and t > ts_steps[0] + within_us
+                ):
+                    continue
+                ts_steps[i] = t
+        state.update((ts_steps,))
+        depth = 0
+        for v in ts_steps:
+            if v is None:
+                break
+            depth += 1
+        yield pd.DataFrame({"user_id": [key[0]], "depth": [depth]})
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -409,3 +409,94 @@ def test_curation_loop_rejects_unbackfilled_signature_table(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").json(str(src))
     with _pytest.raises(ValueError, match="[Bb]ackfill"):
         curation_loop(stream, table, signature_table=sigs)
+
+
+def _emit_typed(path, rows, offset0=0):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / f"f{offset0}.json", "w") as f:
+        for i, (user, ts, etype) in enumerate(rows):
+            f.write(
+                json.dumps(
+                    {
+                        "key": str(user),
+                        "value": json.dumps({"t": etype}),
+                        "topic": "t",
+                        "partition": 0,
+                        "offset": offset0 + i,
+                        "timestamp": ts,
+                        "event_type": etype,
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_funnel_stream_depths(spark, tmp_path):
+    from iceberg_kafka_connect_spark.streaming.stateful import funnel_stream
+
+    src = tmp_path / "src"
+    _emit_typed(
+        src,
+        [
+            (1, "2024-01-01T00:00:00.000Z", "view"),
+            (1, "2024-01-01T00:01:00.000Z", "click"),
+            (1, "2024-01-01T00:02:00.000Z", "purchase"),
+            # user 2: purchase before click — stops at 2
+            (2, "2024-01-01T00:00:00.000Z", "view"),
+            (2, "2024-01-01T00:01:00.000Z", "purchase"),
+            (2, "2024-01-01T00:02:00.000Z", "click"),
+            # user 3: click with no prior view
+            (3, "2024-01-01T00:00:00.000Z", "click"),
+        ],
+    )
+    stream = spark.readStream.schema(
+        "key string, value string, topic string, partition int, "
+        "offset long, timestamp timestamp, event_type string"
+    ).json(str(src))
+    out = funnel_stream(
+        stream, ["view", "click", "purchase"], user_col="key"
+    )
+    _run_to_memory(out, "funnel_t", tmp_path / "ck", "update")
+    got = {
+        int(r.user_id): r.depth
+        for r in spark.sql("select * from funnel_t").collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 0}
+
+
+def test_funnel_stream_state_survives_batches(spark, tmp_path):
+    """Step 2 arriving in a LATER micro-batch still chains off step 1's
+    stored earliest completion."""
+    from iceberg_kafka_connect_spark.streaming.stateful import funnel_stream
+
+    src = tmp_path / "src"
+    ck = tmp_path / "ck"
+    results: dict[int, int] = {}
+
+    def sink(batch, _bid):
+        for r in batch.collect():
+            results[int(r.user_id)] = r.depth
+
+    def run_batch():
+        stream = spark.readStream.schema(
+            "key string, value string, topic string, partition int, "
+            "offset long, timestamp timestamp, event_type string"
+        ).json(str(src))
+        q = (
+            funnel_stream(stream, ["view", "click"], user_col="key")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _emit_typed(src, [(1, "2024-01-01T00:00:00.000Z", "view")])
+    run_batch()
+    assert results[1] == 1
+    _emit_typed(
+        src, [(1, "2024-01-01T00:05:00.000Z", "click")], offset0=10
+    )
+    run_batch()
+    assert results[1] == 2
