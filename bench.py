@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "table_stats_ndv",
     "events_retention_cohorts",
     "docs_ccnet_buckets",
+    "nessie_catalog_roundtrip",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

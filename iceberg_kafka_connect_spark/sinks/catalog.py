@@ -148,6 +148,28 @@ class CatalogSpec:
             return JdbcCatalog(
                 parse_jdbc_uri(self.uri), warehouse=wh, catalog_name=self.name
             )
+        if self.type == "nessie":
+            # executable leg: speak the public Nessie REST API v2 to the
+            # configured uri (nessie_catalog.py; nessie_server.py is the
+            # in-process service twin). Unreachable endpoints keep the
+            # missing-runtime error contract.
+            if not self.uri:
+                raise ValueError(
+                    "nessie catalog requires iceberg.catalog.uri"
+                )
+            from .nessie_catalog import NessieCatalog
+
+            wh = self.warehouse
+            for prefix in ("file://", "file:"):
+                if wh and wh.startswith(prefix):
+                    wh = wh[len(prefix) :]
+                    break
+            return NessieCatalog(
+                self.uri,
+                warehouse=wh,
+                ref=self.props.get("ref", "main"),
+                token=self.props.get("token"),
+            )
         if self.type in _KNOWN_CATALOG_TYPES:
             raise UnsupportedCatalogError(
                 f"catalog type {self.type!r} requires an external service "
