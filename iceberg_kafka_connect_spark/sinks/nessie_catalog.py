@@ -207,6 +207,26 @@ class NessieCatalog:
             raise TableAlreadyExistsError(name) from None
         return table
 
+    def create_table_if_not_exists(
+        self,
+        name: str,
+        schema: T.StructType,
+        partition_by: list[str] | str | None = None,
+        properties: dict | None = None,
+        identifier_fields: list[str] | None = None,
+    ) -> LakehouseTable:
+        """The streaming pipeline's auto-create contract: idempotent
+        under races (the key-level CAS turns a lost create into
+        TableAlreadyExists, which loads the winner's table)."""
+        if self.table_exists(name):
+            return self.load_table(name)
+        try:
+            return self.create_table(
+                name, schema, partition_by, properties, identifier_fields
+            )
+        except TableAlreadyExistsError:
+            return self.load_table(name)
+
     def register_table(self, name: str, metadata_location: str):
         """Iceberg ``registerTable``: adopt an existing metadata tree."""
         from .iceberg_import import import_iceberg_table

@@ -200,3 +200,28 @@ def test_restart_cas_race_through_jdbc(spark, tmp_path, monkeypatch):
     )
     _, meta = cat.load_table_metadata("default.eo_sink")
     assert meta["current-snapshot-id"] is not None
+
+
+def test_pipeline_through_nessie_catalog(spark, tmp_path):
+    from iceberg_kafka_connect_spark.sinks.nessie_catalog import NessieCatalog
+    from iceberg_kafka_connect_spark.sinks.nessie_server import NessieServer
+
+    with NessieServer() as srv:
+        cat = NessieCatalog(srv.uri, warehouse=str(tmp_path / "wh"))
+        _stream_through(spark, tmp_path, cat, "p-nessie")
+        t = cat.load_table("default.events_sink")
+        assert t.read(spark).count() == 10
+        offs = json.loads(
+            t.current_snapshot()["summary"]["kafka.connect.offsets"]
+        )
+        assert offs == {"events-0": 10}
+        # the published pointer reflects the stream commit
+        _, meta = cat.load_table_metadata("default.events_sink")
+        assert meta["current-snapshot-id"] is not None
+        # the commit log shows the auto-create and republish history
+        ops = [
+            (o["type"], ".".join(o["key"]["elements"]))
+            for e in cat.history()
+            for o in e["operations"]
+        ]
+        assert ("PUT", "default.events_sink") in ops
