@@ -154,6 +154,15 @@ def table_main(argv: list[str]) -> int:
         help="scan only files appended since the last sketch-bearing "
         "ANALYZE and union the HLL sketches (falls back to full approx)",
     )
+    cs = sub.add_parser("compute-statistics")
+    cs.add_argument("--columns", help="comma-separated subset (default: all)")
+    cs.add_argument("--k", type=int, default=4096, help="KMV sketch size")
+    cs.add_argument(
+        "--incremental",
+        action="store_true",
+        help="union stored KMV sketches with sketches of only the rows "
+        "appended since (falls back to a full rebuild across rewrites)",
+    )
     cl = sub.add_parser("clone")
     cl.add_argument("dst", help="destination table name in this warehouse")
     sub.add_parser("remove-dangling-deletes")
@@ -344,6 +353,14 @@ def table_main(argv: list[str]) -> int:
                 for c, st in out["columns"].items()
             }
         }
+    elif args.action == "compute-statistics":
+        spark = get_spark(app_name="table-maintenance")
+        out = t.compute_statistics(
+            spark,
+            columns=args.columns.split(",") if args.columns else None,
+            k=args.k,
+            mode="incremental" if args.incremental else "full",
+        )
     elif args.action == "read":
         spark = get_spark(app_name="table-read")
         df = t.read(

@@ -487,3 +487,34 @@ def test_cli_rewrite_position_deletes_verb_and_maintain_flag(
     _, deletes = t.live_files()
     assert {d.get("delete_type") for d in deletes} == {"dv"}
     assert t.read(spark).count() == 0
+
+
+def test_cli_compute_statistics(spark, tmp_path, capsys):
+    import json as _json
+
+    from iceberg_kafka_connect_spark.cli import main
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from pyspark.sql import types as T
+
+    wh = str(tmp_path / "wh")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("g", T.StringType())]
+    )
+    t = Catalog(wh).create_table("default.s", schema)
+    t.append(
+        spark.range(0, 300).selectExpr("id", "cast(id % 11 as string) g")
+    )
+
+    def run(*argv):
+        assert (
+            main(["table", "--warehouse", wh, "--name", "default.s", *argv])
+            == 0
+        )
+        return _json.loads(capsys.readouterr().out.strip())
+
+    assert run("compute-statistics", "--k", "512") == {"id": 300, "g": 11}
+    t.append(
+        spark.range(300, 400).selectExpr("id", "cast(id % 17 as string) g")
+    )
+    out = run("compute-statistics", "--k", "512", "--incremental")
+    assert out["id"] == 400 and out["g"] == 17
