@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     "docs_ccnet_buckets",
     "nessie_catalog_roundtrip",
+    "dynamodb_catalog_roundtrip",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",
@@ -414,6 +415,14 @@ def main() -> None:
     # changelog_stream_sync 4.44s (below r6's 5.28); docs_token_budget
     # 0.93s, matching the documented deliberate scale-safe band. No
     # other query >1.5x of its r6 value at healthy probes.
+    #
+    # Round-9 re-baseline note (2026-08-16): stats_pruned_scan's r8
+    # stored mean (4.997s) reflected the row-lineage materialization tax
+    # compact() paid unconditionally; round 9 gates lineage on
+    # format-version (v2 default skips it) and the query returned to
+    # ~1.5-1.9s at sf0.1. The means regenerated by THIS run are the new
+    # baseline; a large "improvement" vs the r8 means on that one query
+    # is the fix, not noise.
     for name, runs in spread.items():
         if (max(runs) - min(runs)) / max(min(runs), 0.01) > 0.5:
             t0 = time.perf_counter()

@@ -115,6 +115,40 @@ class CatalogSpec:
                     f"{self.warehouse} (local paths / file:// only)"
                 )
             return Catalog(wh)
+        if self.type == "dynamodb" or (
+            self.type == "custom"
+            and (self.catalog_impl or "").endswith("DynamoDbCatalog")
+        ):
+            # executable leg: Iceberg's DynamoDB pointer catalog —
+            # identifier/namespace key schema, p.-prefixed properties,
+            # version-attribute conditional swaps — over a SigV4-signed
+            # stdlib HTTP client (dynamodb_catalog.py; the in-process
+            # service twin dynamodb_server.py VERIFIES signatures). The
+            # reference reaches this via catalog-impl=
+            # org.apache.iceberg.aws.dynamodb.DynamoDbCatalog.
+            uri = self.uri or self.props.get("dynamodb.endpoint")
+            if not uri:
+                raise ValueError(
+                    "dynamodb catalog requires iceberg.catalog.uri (or "
+                    "iceberg.catalog.dynamodb.endpoint)"
+                )
+            from .dynamodb_catalog import DynamoDbCatalog
+
+            wh = self.warehouse
+            for prefix in ("file://", "file:"):
+                if wh and wh.startswith(prefix):
+                    wh = wh[len(prefix) :]
+                    break
+            return DynamoDbCatalog(
+                uri,
+                warehouse=wh,
+                table_name=self.props.get(
+                    "dynamodb.table-name", "iceberg"
+                ),
+                access_key=self.props.get("s3.access-key-id"),
+                secret_key=self.props.get("s3.secret-access-key"),
+                region=self.props.get("client.region", "us-east-1"),
+            )
         if self.type == "custom":
             raise UnsupportedCatalogError(
                 f"custom catalog-impl {self.catalog_impl!r} requires the "

@@ -3479,3 +3479,54 @@ def nessie_catalog_roundtrip(spark, sf_dir):
         F.sum("event_id").cast("bigint").alias("sum_ids"),
         F.countDistinct("event_type").cast("bigint").alias("n_types"),
     )
+
+
+# --------------------------------------------------------------------------
+# X111: DynamoDB catalog round-trip — the reference's
+# catalog-impl=...DynamoDbCatalog leg executable end-to-end: SigV4-signed
+# stdlib client (full canonical-request -> string-to-sign -> derived-key
+# chain, pinned against AWS's published known-answer vector) against an
+# in-process DynamoDB-API stub that VERIFIES every signature; Iceberg's
+# identifier/namespace item layout with version-UUID conditional swaps
+# (the optimistic lock). The oracle recomputes surviving rows from
+# parquet.
+# --------------------------------------------------------------------------
+@register(
+    "dynamodb_catalog_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    WHERE event_id < 450 AND event_id % 10 != 4
+    """,
+    tags=("ingestion", "lakehouse", "catalog"),
+)
+def dynamodb_catalog_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.catalog import catalog_from_properties
+    from ..sinks.dynamodb_server import DynamoDbServer
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="ddb_gate_")
+    ak, sk = "AKIDGATE", "gate-secret-key"
+    with DynamoDbServer(access_key=ak, secret_key=sk) as srv:
+        cat = catalog_from_properties(
+            {
+                "iceberg.catalog.catalog-impl": (
+                    "org.apache.iceberg.aws.dynamodb.DynamoDbCatalog"
+                ),
+                "iceberg.catalog.uri": srv.uri,
+                "iceberg.catalog.warehouse": base + "/wh",
+                "iceberg.catalog.s3.access-key-id": ak,
+                "iceberg.catalog.s3.secret-access-key": sk,
+            }
+        )
+        t = cat.create_table("db.events", e.schema)
+        t.append(e.filter(F.col("event_id") < 450))
+        t.delete_where(spark, "event_id % 10 = 4", key_cols=["event_id"])
+        df = cat.load_table("db.events").read(spark)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    )
