@@ -658,6 +658,43 @@ def serve_rest_main(argv: list[str]) -> int:
     return 0
 
 
+def serve_nessie_main(argv: list[str]) -> int:
+    """Run the in-process Nessie REST v2 service:
+
+        python -m iceberg_kafka_connect_spark.cli serve-nessie \
+            [--host H] [--port P] [--token T] [--default-branch B]
+
+    Prints one JSON line with the bound /api/v2 uri, then serves until
+    interrupted. Clients configured with ``iceberg.catalog.type=nessie``
+    (including this package's ``NessieCatalog``) get the full versioned
+    surface: key-level-CAS commits, branches/tags, merge, commit log.
+    """
+    ap = argparse.ArgumentParser(prog="cli serve-nessie")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=19120)
+    ap.add_argument("--token", default=None)
+    ap.add_argument("--default-branch", default="main")
+    args = ap.parse_args(argv)
+    from .sinks.nessie_server import NessieServer
+
+    srv = NessieServer(
+        host=args.host,
+        port=args.port,
+        token=args.token,
+        default_branch=args.default_branch,
+    ).start()
+    print(json.dumps({"uri": srv.uri}), flush=True)
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
 def views_main(argv: list[str]) -> int:
     """SQL-view subcommand over a warehouse (sinks/views.py):
 
@@ -715,6 +752,8 @@ def main(argv: list[str] | None = None) -> int:
         return views_main(argv[1:])
     if argv and argv[0] == "serve-rest":
         return serve_rest_main(argv[1:])
+    if argv and argv[0] == "serve-nessie":
+        return serve_nessie_main(argv[1:])
     if argv and argv[0] == "maintain":
         return maintain_main(argv[1:])
     ap = argparse.ArgumentParser(description=__doc__)
