@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "docs_ccnet_buckets",
     "nessie_catalog_roundtrip",
     "dynamodb_catalog_roundtrip",
+    "glue_catalog_roundtrip",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

@@ -115,6 +115,35 @@ class CatalogSpec:
                     f"{self.warehouse} (local paths / file:// only)"
                 )
             return Catalog(wh)
+        if self.type == "glue":
+            # executable leg: Iceberg's Glue pointer catalog —
+            # EXTERNAL_TABLE items with table_type=ICEBERG parameters and
+            # VersionId optimistic locking — over the shared SigV4-signed
+            # client (glue_catalog.py; glue_server.py is the verifying
+            # in-process twin). Real AWS needs only the endpoint +
+            # credentials; absent a uri the missing-runtime contract
+            # holds.
+            uri = self.uri or self.props.get("glue.endpoint")
+            if not uri:
+                raise UnsupportedCatalogError(
+                    "glue catalog requires iceberg.catalog.uri (or "
+                    "iceberg.catalog.glue.endpoint) — no AWS endpoint "
+                    "is reachable from this deployment by default"
+                )
+            from .glue_catalog import GlueCatalog
+
+            wh = self.warehouse
+            for prefix in ("file://", "file:"):
+                if wh and wh.startswith(prefix):
+                    wh = wh[len(prefix) :]
+                    break
+            return GlueCatalog(
+                uri,
+                warehouse=wh,
+                access_key=self.props.get("s3.access-key-id"),
+                secret_key=self.props.get("s3.secret-access-key"),
+                region=self.props.get("client.region", "us-east-1"),
+            )
         if self.type == "dynamodb" or (
             self.type == "custom"
             and (self.catalog_impl or "").endswith("DynamoDbCatalog")

@@ -1,0 +1,308 @@
+"""AWS Glue catalog client — the ``iceberg.catalog.type=glue`` leg.
+
+Reference parity: ``data/Utilities.java:68-121`` builds Iceberg's
+``GlueCatalog`` for ``type=glue`` configs. Re-expressed here on the
+stdlib SigV4 signer (shared with ``dynamodb_catalog``) speaking the
+Glue JSON 1.1 protocol. Table shape per the public ``apache/iceberg``
+``GlueCatalog`` (cited for parity, re-implemented — not copied): an
+EXTERNAL_TABLE whose ``Parameters`` carry ``table_type=ICEBERG`` and
+``metadata_location`` / ``previous_metadata_location``; commits are
+``UpdateTable`` calls carrying the table's current ``VersionId`` —
+Glue's optimistic lock: a concurrent writer bumps the version and the
+stale committer fails with ``ConcurrentModificationException``, the
+lock-free protocol Iceberg uses on Glue.
+
+Pointer publication mirrors the other pointer catalogs (jdbc / nessie /
+dynamodb): real exported ``metadata.json`` locations, republished
+sync-on-read when the live table moved. ``glue_server.GlueServer`` is
+the in-process twin; with credentials set it VERIFIES each request's
+SigV4 signature.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import urllib.error
+import urllib.request
+from urllib.parse import urlparse
+
+from pyspark.sql import types as T
+
+from .catalog import NoSuchTableError, TableAlreadyExistsError
+from .dynamodb_server import (
+    canonical_request,
+    sigv4_signature,
+    string_to_sign,
+)
+from .table import CommitConflict, LakehouseTable
+
+
+def _uri_to_path(uri: str) -> str:
+    if uri.startswith("file://"):
+        return uri[len("file://") :]
+    return uri
+
+
+class GlueCatalog:
+    def __init__(
+        self,
+        uri: str,
+        warehouse: str | None = None,
+        access_key: str | None = None,
+        secret_key: str | None = None,
+        region: str = "us-east-1",
+        timeout: float = 10.0,
+    ):
+        self.uri = uri.rstrip("/")
+        self.warehouse = warehouse
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
+        self.timeout = timeout
+
+    # ----------------------------------------------------------- protocol
+    def _call(self, op: str, body: dict) -> dict:
+        payload = json.dumps(body).encode()
+        u = urlparse(self.uri)
+        headers = {
+            "Content-Type": "application/x-amz-json-1.1",
+            "X-Amz-Target": f"AWSGlue.{op}",
+            "Host": u.netloc,
+        }
+        if self.access_key and self.secret_key:
+            now = datetime.datetime.now(datetime.timezone.utc)
+            amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+            date_stamp = now.strftime("%Y%m%d")
+            headers["x-amz-date"] = amz_date
+            signed = sorted(
+                ["host", "x-amz-date", "x-amz-target", "content-type"]
+            )
+            canon_headers = {
+                "host": u.netloc,
+                "x-amz-date": amz_date,
+                "x-amz-target": headers["X-Amz-Target"],
+                "content-type": headers["Content-Type"],
+            }
+            canon = canonical_request(
+                "POST", u.path, "", canon_headers, signed, payload
+            )
+            scope = f"{date_stamp}/{self.region}/glue/aws4_request"
+            sts = string_to_sign(amz_date, scope, canon)
+            sig = sigv4_signature(
+                self.secret_key, date_stamp, self.region, "glue", sts
+            )
+            headers["Authorization"] = (
+                f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+                f"SignedHeaders={';'.join(signed)}, Signature={sig}"
+            )
+        req = urllib.request.Request(
+            self.uri, data=payload, method="POST", headers=headers
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            err = json.loads(e.read() or b"{}")
+            etype = (err.get("__type") or "").rpartition("#")[2]
+            if etype == "ConcurrentModificationException":
+                raise CommitConflict(err.get("message", etype)) from None
+            if etype == "AlreadyExistsException":
+                raise TableAlreadyExistsError(
+                    err.get("message", etype)
+                ) from None
+            if etype == "EntityNotFoundException":
+                raise NoSuchTableError(err.get("message", etype)) from None
+            raise RuntimeError(
+                f"glue {op}: {e.code} {err.get('message', err)}"
+            ) from None
+
+    # ------------------------------------------------------------ identity
+    @staticmethod
+    def _ident(name: str) -> tuple[str, str]:
+        parts = name.split(".")
+        if len(parts) == 1:
+            parts = ["default", parts[0]]
+        return ".".join(parts[:-1]), parts[-1]
+
+    def _ensure_database(self, db: str) -> None:
+        try:
+            self._call("GetDatabase", {"Name": db})
+        except NoSuchTableError:
+            try:
+                self._call(
+                    "CreateDatabase", {"DatabaseInput": {"Name": db}}
+                )
+            except TableAlreadyExistsError:
+                pass
+
+    def _get(self, db: str, t: str) -> dict | None:
+        try:
+            return self._call(
+                "GetTable", {"DatabaseName": db, "Name": t}
+            )["Table"]
+        except NoSuchTableError:
+            return None
+
+    def _table_input(self, name: str, loc: str, prev: str | None) -> dict:
+        return {
+            "Name": name,
+            "TableType": "EXTERNAL_TABLE",
+            "Parameters": {
+                "table_type": "ICEBERG",
+                "metadata_location": loc,
+                **(
+                    {"previous_metadata_location": prev} if prev else {}
+                ),
+            },
+        }
+
+    def _publish(
+        self, table: LakehouseTable, db: str, t: str, cur: dict
+    ) -> str:
+        from .iceberg_export import export_iceberg_metadata
+
+        new = "file://" + os.path.abspath(export_iceberg_metadata(table))
+        self._call(
+            "UpdateTable",
+            {
+                "DatabaseName": db,
+                "TableInput": self._table_input(
+                    t, new, cur["Parameters"]["metadata_location"]
+                ),
+                # the optimistic lock: stale version → CommitConflict
+                "VersionId": cur["VersionId"],
+            },
+        )
+        return new
+
+    # ------------------------------------------------------------- surface
+    def table_exists(self, name: str) -> bool:
+        db, t = self._ident(name)
+        return self._get(db, t) is not None
+
+    def load_table(self, name: str) -> LakehouseTable:
+        db, t = self._ident(name)
+        cur = self._get(db, t)
+        if cur is None:
+            raise NoSuchTableError(name)
+        loc = cur["Parameters"]["metadata_location"]
+        with open(_uri_to_path(loc)) as f:
+            meta = json.load(f)
+        table = LakehouseTable(_uri_to_path(meta["location"]))
+        stamped = meta.get("properties", {}).get("export.source-version")
+        if stamped != str(table.current_version()):
+            try:
+                self._publish(table, db, t, cur)
+            except CommitConflict:
+                pass  # concurrent republish is just as fresh
+        return table
+
+    def load_table_metadata(self, name: str) -> tuple[str, dict]:
+        db, t = self._ident(name)
+        self.load_table(name)  # republish if stale
+        cur = self._get(db, t)
+        if cur is None:
+            raise NoSuchTableError(name)
+        loc = cur["Parameters"]["metadata_location"]
+        with open(_uri_to_path(loc)) as f:
+            return loc, json.load(f)
+
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType,
+        partition_by: list[str] | str | None = None,
+        properties: dict | None = None,
+        identifier_fields: list[str] | None = None,
+    ) -> LakehouseTable:
+        if not self.warehouse:
+            raise ValueError(
+                "glue catalog requires iceberg.catalog.warehouse to "
+                "create tables"
+            )
+        db, t = self._ident(name)
+        self._ensure_database(db)
+        if self._get(db, t) is not None:
+            raise TableAlreadyExistsError(name)
+        root = os.path.join(self.warehouse, *db.split("."), t)
+        try:
+            table = LakehouseTable.create(
+                root, schema, partition_by, properties, identifier_fields
+            )
+        except (CommitConflict, FileExistsError):
+            raise TableAlreadyExistsError(name) from None
+        from .iceberg_export import export_iceberg_metadata
+
+        loc = "file://" + os.path.abspath(export_iceberg_metadata(table))
+        self._call(
+            "CreateTable",
+            {
+                "DatabaseName": db,
+                "TableInput": self._table_input(t, loc, None),
+            },
+        )
+        return table
+
+    def create_table_if_not_exists(
+        self,
+        name: str,
+        schema: T.StructType,
+        partition_by: list[str] | str | None = None,
+        properties: dict | None = None,
+        identifier_fields: list[str] | None = None,
+    ) -> LakehouseTable:
+        if self.table_exists(name):
+            return self.load_table(name)
+        try:
+            return self.create_table(
+                name, schema, partition_by, properties, identifier_fields
+            )
+        except TableAlreadyExistsError:
+            return self.load_table(name)
+
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        db, t = self._ident(name)
+        cur = self._get(db, t)
+        if cur is None:
+            raise NoSuchTableError(name)
+        self._call("DeleteTable", {"DatabaseName": db, "Name": t})
+        if purge:
+            import shutil
+
+            with open(
+                _uri_to_path(cur["Parameters"]["metadata_location"])
+            ) as f:
+                meta = json.load(f)
+            shutil.rmtree(_uri_to_path(meta["location"]), ignore_errors=True)
+
+    def rename_table(self, src: str, dst: str) -> LakehouseTable:
+        """Glue has no rename — Iceberg's GlueCatalog does create-new +
+        delete-old the same way; the create's AlreadyExists check keeps
+        the destination safe."""
+        sdb, st = self._ident(src)
+        ddb, dt = self._ident(dst)
+        cur = self._get(sdb, st)
+        if cur is None:
+            raise NoSuchTableError(src)
+        if self._get(ddb, dt) is not None:
+            raise TableAlreadyExistsError(dst)
+        self._ensure_database(ddb)
+        self._call(
+            "CreateTable",
+            {
+                "DatabaseName": ddb,
+                "TableInput": self._table_input(
+                    dt, cur["Parameters"]["metadata_location"], None
+                ),
+            },
+        )
+        self._call("DeleteTable", {"DatabaseName": sdb, "Name": st})
+        return self.load_table(dst)
+
+    def list_tables(self, namespace: str = "default") -> list[str]:
+        out = self._call("GetTables", {"DatabaseName": namespace})
+        return sorted(
+            f"{namespace}.{t['Name']}" for t in out.get("TableList", [])
+        )

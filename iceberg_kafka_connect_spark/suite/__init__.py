@@ -132,7 +132,7 @@ def load_all() -> dict[str, QuerySpec]:
     #   iceberg_v3_roundtrip, changelog_lineage, docs_bigram_surprise,
     #   events_session_funnel, table_stats_ndv, events_retention_cohorts,
     #   docs_ccnet_buckets, nessie_catalog_roundtrip,
-    #   dynamodb_catalog_roundtrip
+    #   dynamodb_catalog_roundtrip, glue_catalog_roundtrip
     # (docs_mmr_rerank is rows-only -> never queued)
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to

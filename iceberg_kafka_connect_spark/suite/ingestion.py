@@ -3530,3 +3530,50 @@ def dynamodb_catalog_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("event_id").cast("bigint").alias("sum_ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# X112: Glue catalog round-trip — the reference's type=glue leg executable
+# end-to-end: the shared SigV4 signer over Glue JSON 1.1, Iceberg's
+# EXTERNAL_TABLE/table_type=ICEBERG parameter layout, and Glue's VersionId
+# optimistic locking (a stale version fails the UpdateTable — Iceberg's
+# lock-free commit on Glue). Signature-verifying in-process stub. The
+# oracle recomputes surviving rows from parquet.
+# --------------------------------------------------------------------------
+@register(
+    "glue_catalog_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    WHERE event_id < 420 AND event_id % 12 != 5
+    """,
+    tags=("ingestion", "lakehouse", "catalog"),
+)
+def glue_catalog_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.catalog import catalog_from_properties
+    from ..sinks.glue_server import GlueServer
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="glue_gate_")
+    ak, sk = "AKIDGATE", "gate-secret-key"
+    with GlueServer(access_key=ak, secret_key=sk) as srv:
+        cat = catalog_from_properties(
+            {
+                "iceberg.catalog.type": "glue",
+                "iceberg.catalog.uri": srv.uri,
+                "iceberg.catalog.warehouse": base + "/wh",
+                "iceberg.catalog.s3.access-key-id": ak,
+                "iceberg.catalog.s3.secret-access-key": sk,
+            }
+        )
+        t = cat.create_table("db.events", e.schema)
+        t.append(e.filter(F.col("event_id") < 420))
+        t.delete_where(spark, "event_id % 12 = 5", key_cols=["event_id"])
+        df = cat.load_table("db.events").read(spark)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    )
