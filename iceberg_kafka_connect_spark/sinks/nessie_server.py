@@ -196,17 +196,29 @@ class _Store:
             base = self._merge_base(tgt["hash"], src_hash)
             src_changed = self._keys_changed_between(base, src_hash)
             tgt_changed = self._keys_changed_between(base, tgt["hash"])
-            conflict = sorted(src_changed & tgt_changed)
+            src_state = self._resolve(src_hash)
+            tgt_state = self._resolve(tgt["hash"])
+            # a key changed on both sides conflicts only when the two
+            # sides DISAGREE — content-identical keys (e.g. a previous
+            # squash-merge of the same branch) are no-ops, which keeps
+            # re-merges idempotent, like Nessie's content-aware merge
+            conflict = sorted(
+                k
+                for k in src_changed & tgt_changed
+                if src_state.get(k) != tgt_state.get(k)
+            )
             if conflict:
                 raise NessieConflict(
                     f"merge conflict on keys {conflict} (changed on both "
                     f"{from_name!r} and {target!r} since the merge base)"
                 )
-            src_state = self._resolve(src_hash)
             ops = {
                 k: src_state.get(k)  # None = deleted on source
                 for k in src_changed
+                if src_state.get(k) != tgt_state.get(k)
             }
+            if not ops:
+                return self.ref(target)  # nothing to merge — no-op
             return self.commit(
                 target,
                 None,

@@ -201,3 +201,20 @@ def test_history_records_operations(spark, srv, tmp_path):
     ops = [(o["type"], ".".join(o["key"]["elements"]))
            for e in log for o in e["operations"]]
     assert ("PUT", "db.h") in ops and ("DELETE", "db.h") in ops
+
+
+def test_store_remerge_is_idempotent():
+    """Re-merging the same branch (and merging content-identical keys)
+    is a no-op, never a conflict — Nessie's content-aware merge."""
+    s = _Store()
+    s.commit("main", None, {"db.a": {"v": 1}}, {})
+    s.create_ref("dev", "BRANCH", s.ref("main")["hash"])
+    s.commit("dev", None, {"db.a": {"v": 2}}, {})
+    h1 = s.merge("main", "dev", None)["hash"]
+    h2 = s.merge("main", "dev", None)["hash"]  # no-op, no conflict
+    assert h1 == h2
+    assert s._resolve(h2)["db.a"] == {"v": 2}
+    # new work on dev after the merge still lands
+    s.commit("dev", None, {"db.b": {"v": 9}}, {})
+    s.merge("main", "dev", None)
+    assert s._resolve(s.ref("main")["hash"])["db.b"] == {"v": 9}
