@@ -156,11 +156,13 @@ def cosine_pairs(
     is untouched."""
     import numpy as np  # noqa: PLC0415
 
-    n_rows = emb.count()
-    if n_rows > max_rows:
+    # limit(max_rows+1).count() answers "more than max_rows?" while
+    # scanning at most max_rows+1 rows — no second full pass over a
+    # possibly-expensive upstream plan
+    if emb.select(id_col).limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"cosine_pairs collects the embedding matrix to the driver "
-            f"({n_rows} rows > max_rows={max_rows}); use srp_lsh_pairs "
+            f"(input exceeds max_rows={max_rows}); use srp_lsh_pairs "
             f"at corpus scale, or pass a larger max_rows if the driver "
             f"can hold the matrix"
         )

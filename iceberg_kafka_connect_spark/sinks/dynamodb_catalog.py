@@ -26,8 +26,6 @@ same way — only the endpoint differs.
 
 from __future__ import annotations
 
-import datetime
-import hashlib
 import json
 import os
 import urllib.error
@@ -38,11 +36,7 @@ from urllib.parse import urlparse
 from pyspark.sql import types as T
 
 from .catalog import NoSuchTableError, TableAlreadyExistsError
-from .dynamodb_server import (
-    canonical_request,
-    sigv4_signature,
-    string_to_sign,
-)
+from .dynamodb_server import sign_aws_request
 from .table import CommitConflict, LakehouseTable
 
 _NAMESPACE_MARK = "NAMESPACE"
@@ -84,30 +78,18 @@ class DynamoDbCatalog:
             "Host": u.netloc,
         }
         if self.access_key and self.secret_key:
-            now = datetime.datetime.now(datetime.timezone.utc)
-            amz_date = now.strftime("%Y%m%dT%H%M%SZ")
-            date_stamp = now.strftime("%Y%m%d")
-            headers["x-amz-date"] = amz_date
-            signed = sorted(
-                ["host", "x-amz-date", "x-amz-target", "content-type"]
-            )
-            canon_headers = {
-                "host": u.netloc,
-                "x-amz-date": amz_date,
-                "x-amz-target": headers["X-Amz-Target"],
-                "content-type": headers["Content-Type"],
-            }
-            canon = canonical_request(
-                "POST", u.path, "", canon_headers, signed, payload
-            )
-            scope = f"{date_stamp}/{self.region}/dynamodb/aws4_request"
-            sts = string_to_sign(amz_date, scope, canon)
-            sig = sigv4_signature(
-                self.secret_key, date_stamp, self.region, "dynamodb", sts
-            )
-            headers["Authorization"] = (
-                f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
-                f"SignedHeaders={';'.join(signed)}, Signature={sig}"
+            headers.update(
+                sign_aws_request(
+                    u.netloc,
+                    u.path,
+                    headers["X-Amz-Target"],
+                    headers["Content-Type"],
+                    payload,
+                    self.access_key,
+                    self.secret_key,
+                    self.region,
+                    "dynamodb",
+                )
             )
         req = urllib.request.Request(
             self.uri, data=payload, method="POST", headers=headers
@@ -141,6 +123,26 @@ class DynamoDbCatalog:
                     "AttributeDefinitions": [
                         {"AttributeName": "identifier", "AttributeType": "S"},
                         {"AttributeName": "namespace", "AttributeType": "S"},
+                    ],
+                    # the namespace-identifier GSI Iceberg's
+                    # DynamoDbCatalog creates: listing a namespace is a
+                    # Query on this index (real DynamoDB rejects a Query
+                    # whose condition misses the index's HASH key)
+                    "GlobalSecondaryIndexes": [
+                        {
+                            "IndexName": "namespace-identifier",
+                            "KeySchema": [
+                                {
+                                    "AttributeName": "namespace",
+                                    "KeyType": "HASH",
+                                },
+                                {
+                                    "AttributeName": "identifier",
+                                    "KeyType": "RANGE",
+                                },
+                            ],
+                            "Projection": {"ProjectionType": "ALL"},
+                        }
                     ],
                     "BillingMode": "PAY_PER_REQUEST",
                 },
@@ -351,6 +353,7 @@ class DynamoDbCatalog:
             "Query",
             {
                 "TableName": self.table_name,
+                "IndexName": "namespace-identifier",
                 "KeyConditionExpression": "#ns = :ns",
                 "ExpressionAttributeNames": {"#ns": "namespace"},
                 "ExpressionAttributeValues": {":ns": {"S": namespace}},

@@ -91,6 +91,54 @@ def string_to_sign(amz_date: str, scope: str, canon_req: str) -> str:
     )
 
 
+def sign_aws_request(
+    host: str,
+    path: str,
+    target: str,
+    content_type: str,
+    payload: bytes,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    service: str,
+) -> dict[str, str]:
+    """The CLIENT side of SigV4 in one place (shared by the DynamoDB and
+    Glue catalogs): returns the x-amz-date + Authorization headers for a
+    POST of ``payload`` with the given ``X-Amz-Target``."""
+    now = datetime.datetime.now(datetime.timezone.utc)
+    amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+    date_stamp = now.strftime("%Y%m%d")
+    signed = sorted(["host", "x-amz-date", "x-amz-target", "content-type"])
+    canon = canonical_request(
+        "POST",
+        path,
+        "",
+        {
+            "host": host,
+            "x-amz-date": amz_date,
+            "x-amz-target": target,
+            "content-type": content_type,
+        },
+        signed,
+        payload,
+    )
+    scope = f"{date_stamp}/{region}/{service}/aws4_request"
+    sig = sigv4_signature(
+        secret_key,
+        date_stamp,
+        region,
+        service,
+        string_to_sign(amz_date, scope, canon),
+    )
+    return {
+        "x-amz-date": amz_date,
+        "Authorization": (
+            f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+            f"SignedHeaders={';'.join(signed)}, Signature={sig}"
+        ),
+    }
+
+
 # ---------------------------------------------------------------- store
 class _DynamoError(Exception):
     def __init__(self, code: str, msg: str):
@@ -120,14 +168,24 @@ class _Store:
                 raise _DynamoError(
                     "ResourceInUseException", f"table {name} exists"
                 )
-            keys = [
-                e["AttributeName"]
-                for e in sorted(
-                    body["KeySchema"],
-                    key=lambda e: e["KeyType"] != "HASH",
-                )
-            ]
-            self.tables[name] = {"keys": keys, "items": {}}
+
+            def _keys(schema: list) -> list[str]:
+                return [
+                    e["AttributeName"]
+                    for e in sorted(
+                        schema, key=lambda e: e["KeyType"] != "HASH"
+                    )
+                ]
+
+            gsis = {
+                g["IndexName"]: _keys(g["KeySchema"])
+                for g in body.get("GlobalSecondaryIndexes") or []
+            }
+            self.tables[name] = {
+                "keys": _keys(body["KeySchema"]),
+                "gsis": gsis,
+                "items": {},
+            }
             return {"TableDescription": {
                 "TableName": name, "TableStatus": "ACTIVE"}}
 
@@ -223,8 +281,11 @@ class _Store:
             return {}
 
     def query(self, body: dict) -> dict:
-        """Key-condition query on an attribute equality (the catalog
-        lists one namespace: ``namespace = :ns``)."""
+        """Key-condition query on an attribute equality. Enforces REAL
+        DynamoDB's rule: the constrained attribute must be the HASH key
+        of the queried index — the table's primary key, or the GSI named
+        by IndexName — so a client query that real DynamoDB would reject
+        fails here too instead of silently working against the stub."""
         t = self._table(body["TableName"])
         names = body.get("ExpressionAttributeNames") or {}
         values = body.get("ExpressionAttributeValues") or {}
@@ -232,6 +293,23 @@ class _Store:
         lhs, _, rhs = cond.partition(" = ")
         attr = names.get(lhs.strip(), lhs.strip())
         want = values[rhs.strip()]
+        index = body.get("IndexName")
+        if index is not None:
+            gsi = (t.get("gsis") or {}).get(index)
+            if gsi is None:
+                raise _DynamoError(
+                    "ValidationException",
+                    f"index {index} does not exist on the table",
+                )
+            hash_key = gsi[0]
+        else:
+            hash_key = t["keys"][0]
+        if attr != hash_key:
+            raise _DynamoError(
+                "ValidationException",
+                "Query condition missed key schema element: "
+                f"{hash_key}",
+            )
         items = [
             it
             for it in t["items"].values()

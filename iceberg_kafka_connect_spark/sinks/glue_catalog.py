@@ -21,7 +21,6 @@ SigV4 signature.
 
 from __future__ import annotations
 
-import datetime
 import json
 import os
 import urllib.error
@@ -31,11 +30,7 @@ from urllib.parse import urlparse
 from pyspark.sql import types as T
 
 from .catalog import NoSuchTableError, TableAlreadyExistsError
-from .dynamodb_server import (
-    canonical_request,
-    sigv4_signature,
-    string_to_sign,
-)
+from .dynamodb_server import sign_aws_request
 from .table import CommitConflict, LakehouseTable
 
 
@@ -72,30 +67,18 @@ class GlueCatalog:
             "Host": u.netloc,
         }
         if self.access_key and self.secret_key:
-            now = datetime.datetime.now(datetime.timezone.utc)
-            amz_date = now.strftime("%Y%m%dT%H%M%SZ")
-            date_stamp = now.strftime("%Y%m%d")
-            headers["x-amz-date"] = amz_date
-            signed = sorted(
-                ["host", "x-amz-date", "x-amz-target", "content-type"]
-            )
-            canon_headers = {
-                "host": u.netloc,
-                "x-amz-date": amz_date,
-                "x-amz-target": headers["X-Amz-Target"],
-                "content-type": headers["Content-Type"],
-            }
-            canon = canonical_request(
-                "POST", u.path, "", canon_headers, signed, payload
-            )
-            scope = f"{date_stamp}/{self.region}/glue/aws4_request"
-            sts = string_to_sign(amz_date, scope, canon)
-            sig = sigv4_signature(
-                self.secret_key, date_stamp, self.region, "glue", sts
-            )
-            headers["Authorization"] = (
-                f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
-                f"SignedHeaders={';'.join(signed)}, Signature={sig}"
+            headers.update(
+                sign_aws_request(
+                    u.netloc,
+                    u.path,
+                    headers["X-Amz-Target"],
+                    headers["Content-Type"],
+                    payload,
+                    self.access_key,
+                    self.secret_key,
+                    self.region,
+                    "glue",
+                )
             )
         req = urllib.request.Request(
             self.uri, data=payload, method="POST", headers=headers

@@ -280,6 +280,14 @@ def _scan_manifests(
     for mf in manifests:
         m_seq = mf.get("sequence_number", 0) or 0
         m_content = mf.get("content", 0) or 0
+        # v3 row-lineage inheritance base: data files with a null
+        # first_row_id take manifest.first_row_id + the record_counts of
+        # the ADDED data files before them in this manifest (the spec's
+        # assignment rule — real v3 writers commonly leave per-file
+        # values null and rely on it; without this an import would let
+        # the commit path claim FRESH ranges, silently changing row ids)
+        m_frid = mf.get("first_row_id")
+        frid_cursor = m_frid
         _, _, entries = _read_ocf(_uri_to_path(mf["manifest_path"]))
         for e in entries:
             if e.get("status") == 2:  # DELETED
@@ -316,6 +324,19 @@ def _scan_manifests(
                 df_entry["_content"] = content
                 delete_entries.append(df_entry)
             else:
+                if (
+                    fv >= 3
+                    and df_entry.get("first_row_id") is None
+                    and frid_cursor is not None
+                    and e.get("status") == 1  # ADDED files inherit
+                ):
+                    df_entry["first_row_id"] = frid_cursor
+                if (
+                    e.get("status") == 1
+                    and frid_cursor is not None
+                    and df_entry.get("record_count") is not None
+                ):
+                    frid_cursor += int(df_entry["record_count"])
                 data_entries.append(df_entry)
     return data_entries, delete_entries
 

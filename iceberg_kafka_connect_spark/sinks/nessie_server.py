@@ -417,9 +417,14 @@ class _Handler(BaseHTTPRequestHandler):
             ):
                 name, _ = _split_ref(rest[1])
                 body = self._body()
-                ref = s.merge(
-                    name, body["fromRefName"], body.get("fromHash")
-                )
+                try:
+                    ref = s.merge(
+                        name, body["fromRefName"], body.get("fromHash")
+                    )
+                except ValueError as e:
+                    # merging into a tag is a CLIENT error (the spec's
+                    # 400), not a server fault
+                    return self._err(400, str(e))
                 return self._send(
                     200,
                     {

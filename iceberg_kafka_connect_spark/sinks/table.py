@@ -4112,6 +4112,18 @@ class LakehouseTable:
             # or the range contains a rewrite/delete (same contract as
             # analyze(mode="incremental")).
             base = self._nearest_kmv_stats(branch)
+            if base is not None:
+                # the stored sketches bind the column set and k: a call
+                # asking for DIFFERENT columns or a different k cannot be
+                # answered by unioning them — rebuild full for exactly
+                # what the caller asked (silently serving the old column
+                # set would drop requested columns without an error)
+                base_cols = [b["column"] for b in base["blobs"]]
+                base_k = {b.get("k") for b in base["blobs"]}
+                if (
+                    columns is not None and list(columns) != base_cols
+                ) or base_k != {k}:
+                    base = None
             if base is not None and base["snapshot-id"] == sid:
                 return {
                     b["column"]: int(b["ndv"]) for b in base["blobs"]
@@ -4135,10 +4147,9 @@ class LakehouseTable:
                     for b in base["blobs"]:
                         c = b["column"]
                         cols.append(c)
-                        old, bk = kmv_deserialize(
+                        old, _bk = kmv_deserialize(
                             read_blob(spath, b["offset"], b["length"])
                         )
-                        k = bk  # the stored k wins — sketches must agree
                         new = kmv_sketch(inc, c, k=k)
                         sketches[c] = sorted(set(old) | set(new))[:k]
         if sketches is None:

@@ -196,8 +196,19 @@ class ChangelogStream:
             # delete file sequences before the appended rows inside the
             # one sink commit, so delete+insert at one ordinal (an upsert)
             # replays exactly.
+            # lineage columns (with_lineage=True) are change METADATA for
+            # callback/stream consumers keying state on row identity —
+            # never destination data: leaving them in would silently
+            # evolve the sink schema with _row_id columns and break a
+            # later read_with_lineage on a v3 destination (duplicate
+            # field against LINEAGE_FIELDS)
             net = (
-                ch.drop("_change_snapshot_id", "_change_ordinal")
+                ch.drop(
+                    "_change_snapshot_id",
+                    "_change_ordinal",
+                    "_row_id",
+                    "_last_updated_sequence_number",
+                )
                 .withColumn(
                     "__op",
                     F.when(

@@ -154,9 +154,13 @@ def funnel_stream(
     if not steps:
         raise ValueError("funnel_stream needs at least one step")
     k = len(steps)
+    # the output key column keeps the INPUT's name and type (a long
+    # user_id stays long — hardcoding string would fail the Arrow
+    # conversion for the events-table shape the batch twin handles)
+    user_field = stream.schema[user_col]
     out_schema = T.StructType(
         [
-            T.StructField("user_id", T.StringType()),
+            T.StructField(user_col, user_field.dataType),
             T.StructField("depth", T.IntegerType()),
         ]
     )
@@ -197,7 +201,7 @@ def funnel_stream(
             if v is None:
                 break
             depth += 1
-        yield pd.DataFrame({"user_id": [key[0]], "depth": [depth]})
+        yield pd.DataFrame({user_col: [key[0]], "depth": [depth]})
 
     return (
         stream.withWatermark(ts_col, watermark)

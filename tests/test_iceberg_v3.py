@@ -166,3 +166,50 @@ def test_v3_default_values_cross_the_boundary(spark, tmp_path):
     imp.append(spark.range(100, 110).selectExpr("id", "id v").coalesce(1))
     got2 = {r.id: r.region for r in imp.read(spark).collect()}
     assert all(got2[i] == "eu" for i in range(100, 110))
+
+
+def test_v3_import_inherits_manifest_first_row_id(spark, tmp_path):
+    """Spec inheritance: real v3 writers commonly leave per-file
+    first_row_id NULL and let ADDED files inherit manifest.first_row_id
+    + preceding added record_counts. Rewrite our exported tree into that
+    form and check the import derives identical row ids (not fresh
+    ranges)."""
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        _read_ocf,
+        _write_ocf,
+    )
+
+    t = LakehouseTable.create(
+        str(tmp_path / "isrc"),
+        spark.range(0, 1).selectExpr("id", "id v").schema,
+        properties=V3,
+    )
+    t.append(
+        spark.range(0, 120)
+        .selectExpr("id", "id v")
+        .coalesce(1)
+        .sortWithinPartitions("id")
+    )
+    out = export_iceberg_metadata(t)
+    md = json.load(open(out))
+    [snap] = md["snapshots"]
+    ml_path = snap["manifest-list"].removeprefix("file://")
+    ml_meta, ml_schema, manifests = _read_ocf(ml_path)
+    [mf] = manifests
+    m_path = mf["manifest_path"].removeprefix("file://")
+    m_meta, m_schema, entries = _read_ocf(m_path)
+    assert entries[0]["data_file"]["first_row_id"] == 0  # explicit today
+    # null the per-file value; move the base to the manifest level —
+    # the inheritance-reliant writer shape
+    entries[0]["data_file"]["first_row_id"] = None
+    mf["manifest_length"] = _write_ocf(m_path, m_schema, entries, m_meta)
+    mf["first_row_id"] = 0
+    _write_ocf(ml_path, ml_schema, manifests, ml_meta)
+    # the rewrite really took: per-file null, manifest-level 0
+    _, _, ents2 = _read_ocf(m_path)
+    assert ents2[0]["data_file"]["first_row_id"] is None
+    _, _, mfs2 = _read_ocf(ml_path)
+    assert mfs2[0]["first_row_id"] == 0
+    imp = import_iceberg_table(out, str(tmp_path / "idst"))
+    got = {r.id: r._row_id for r in imp.read_with_lineage(spark).collect()}
+    assert got == {i: i for i in range(120)}

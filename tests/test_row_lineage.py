@@ -209,3 +209,27 @@ def test_changelog_stream_with_lineage(spark, tmp_path):
     [rw] = stream.pending(since=snap["snapshot_id"])
     with pytest.raises(ValueError, match="change identity"):
         stream._changes(spark, snap["snapshot_id"], rw["snapshot_id"])
+
+
+def test_pipeline_lineage_sync_keeps_dst_schema_clean(spark, tmp_path):
+    """A lineage-enabled changelog sync never leaks _row_id columns into
+    the destination table's data schema."""
+    from iceberg_kafka_connect_spark.streaming.changelog_source import (
+        ChangelogStream,
+    )
+
+    src = LakehouseTable.create(
+        str(tmp_path / "lsync_src"), SCHEMA, properties=V3
+    )
+    _ordered_append(spark, src, 0, 30)
+    src.delete_where_positions(spark, "id % 5 = 0")
+    dst = LakehouseTable.create(str(tmp_path / "lsync_dst"), SCHEMA)
+    stream = ChangelogStream(
+        src, str(tmp_path / "lsync_ck"), with_lineage=True
+    )
+    applied = stream.sync_to_table(spark, dst, key_cols=["id"])
+    assert applied == 2
+    assert sorted(dst.read(spark).columns) == ["id", "v"]
+    assert {r.id for r in dst.read(spark).collect()} == {
+        i for i in range(30) if i % 5 != 0
+    }

@@ -458,7 +458,7 @@ def test_funnel_stream_depths(spark, tmp_path):
     )
     _run_to_memory(out, "funnel_t", tmp_path / "ck", "update")
     got = {
-        int(r.user_id): r.depth
+        int(r.key): r.depth
         for r in spark.sql("select * from funnel_t").collect()
     }
     assert got == {1: 3, 2: 2, 3: 0}
@@ -475,7 +475,7 @@ def test_funnel_stream_state_survives_batches(spark, tmp_path):
 
     def sink(batch, _bid):
         for r in batch.collect():
-            results[int(r.user_id)] = r.depth
+            results[int(r.key)] = r.depth
 
     def run_batch():
         stream = spark.readStream.schema(
@@ -500,3 +500,39 @@ def test_funnel_stream_state_survives_batches(spark, tmp_path):
     )
     run_batch()
     assert results[1] == 2
+
+
+def test_funnel_stream_long_keys(spark, tmp_path):
+    """A LongType user column — the events-table shape — types through:
+    the output key keeps the input's name and dtype."""
+    from iceberg_kafka_connect_spark.streaming.stateful import funnel_stream
+
+    src = tmp_path / "srcl"
+    src.mkdir(parents=True, exist_ok=True)
+    with open(src / "c0.json", "w") as f:
+        for i, (u, s_, ty) in enumerate(
+            [(7, 0, "view"), (7, 1, "click"), (8, 0, "click")]
+        ):
+            f.write(
+                json.dumps(
+                    {
+                        "user_id": u,
+                        "timestamp": f"2024-01-01T00:00:0{s_}.000Z",
+                        "event_type": ty,
+                        "offset": i,
+                    }
+                )
+                + "\n"
+            )
+    stream = spark.readStream.schema(
+        "user_id long, timestamp timestamp, event_type string, offset long"
+    ).json(str(src))
+    out = funnel_stream(stream, ["view", "click"])
+    assert [f.name for f in out.schema.fields[:1]] == ["user_id"]
+    assert out.schema["user_id"].dataType.simpleString() == "bigint"
+    _run_to_memory(out, "funnel_long", tmp_path / "ckl", "update")
+    got = {
+        r.user_id: r.depth
+        for r in spark.sql("select * from funnel_long").collect()
+    }
+    assert got == {7: 2, 8: 0}

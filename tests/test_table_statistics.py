@@ -178,8 +178,8 @@ def test_incremental_statistics_refresh(spark, tmp_path):
     )
     assert inc == t2.compute_statistics(spark, k=256)
     assert inc["grp"] == 29
-    # head already covered → served from the entry, no rescan
-    assert t.compute_statistics(spark, mode="incremental") == inc
+    # head already covered (same k) → served from the entry, no rescan
+    assert t.compute_statistics(spark, k=256, mode="incremental") == inc
 
 
 def test_incremental_falls_back_across_rewrites(spark, tmp_path):
@@ -190,3 +190,30 @@ def test_incremental_falls_back_across_rewrites(spark, tmp_path):
     # the range contains a replace — incremental silently rebuilds full
     ndv = t.compute_statistics(spark, k=256, mode="incremental")
     assert ndv["v"] == 6  # v=3 rows deleted
+
+
+def test_incremental_with_different_params_rebuilds_full(spark, tmp_path):
+    """Asking for different columns or a different k than the stored
+    sketches rebuilds full for exactly what was asked — never silently
+    serves the old column set."""
+    t = _mk(spark, str(tmp_path / "params"), n=1000)
+    t.compute_statistics(spark, columns=["grp"], k=256)
+    t.append(
+        spark.range(1000, 1200).selectExpr(
+            "id", "cast(id % 13 as string) grp", "id % 7 v"
+        )
+    )
+    out = t.compute_statistics(
+        spark, columns=["grp", "v"], k=256, mode="incremental"
+    )
+    assert set(out) == {"grp", "v"} and out["v"] == 7
+    # different k: also a full rebuild (exact at k=2048)
+    t.append(
+        spark.range(2000, 2100).selectExpr(
+            "id", "cast(id % 13 as string) grp", "id % 7 v"
+        )
+    )
+    out2 = t.compute_statistics(
+        spark, columns=["id"], k=2048, mode="incremental"
+    )
+    assert out2 == {"id": 1300}
