@@ -123,17 +123,23 @@ def load_all() -> dict[str, QuerySpec]:
     # schema_add_column_default, row_lineage_ids, appends_lineage_poll,
     # docs_psl_registrable, docs_domain_caps_recent. The 16 r8-rotated
     # names hold their r08 rows; 13 flagship re-gates fill the window.
-    # Round-10 rotation queue: the oracle-checked queries registered in
-    # round 9 WITHOUT a gate row (they register at the END of the
+    # Round-10 window (ACTIVE below): re-verified at round-10 start —
+    # the r9 verdict's queue (oracle set minus CORRECTNESS_r01..r09
+    # union = exactly 10 names, judge hash-checked all 10 against
+    # DuckDB, FAILURES: NONE): iceberg_v3_roundtrip, changelog_lineage,
+    # table_stats_ndv, nessie_catalog_roundtrip,
+    # dynamodb_catalog_roundtrip, glue_catalog_roundtrip,
+    # docs_bigram_surprise, docs_ccnet_buckets, events_session_funnel,
+    # events_retention_cohorts. The 6 r9 first-timers + 13 r9 re-gates
+    # hold their r09 rows and rotate out; 9 flagship re-gates fill the
+    # window to 50.
+    # Round-11 rotation queue: oracle-checked queries registered in
+    # round 10 WITHOUT a gate row (they register at the END of the
     # registry, outside the 50-row window). Maintained as queries are
     # added this round; re-verify with the never-gated computation
     # (oracle set minus CORRECTNESS_r0* union minus current window)
-    # before editing the round-10 window:
-    #   iceberg_v3_roundtrip, changelog_lineage, docs_bigram_surprise,
-    #   events_session_funnel, table_stats_ndv, events_retention_cohorts,
-    #   docs_ccnet_buckets, nessie_catalog_roundtrip,
-    #   dynamodb_catalog_roundtrip, glue_catalog_roundtrip
-    # (docs_mmr_rerank is rows-only -> never queued)
+    # before editing the round-11 window:
+    #   (empty so far)
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).
@@ -161,25 +167,24 @@ def load_all() -> dict[str, QuerySpec]:
             "incremental_scan", "stats_pruned_scan", "merge_into",
             "dml_delete_update", "changelog_read", "metadata_count_bounds",
             "cdc_mirror", "wap_publish",
-            # — round-9 rotation: the 6 oracle-checked never-gated
-            #   round-8 queries (verdict r8 "Next round" #1; the judge
+            # — round-10 rotation: the 10 oracle-checked never-gated
+            #   round-9 queries (verdict r9 "Next round" #1; the judge
             #   re-verified the never-gated computation AND hash-checked
-            #   all 6 against the oracle) — first-time rows —
-            "dml_deletion_vectors", "schema_add_column_default",
-            "row_lineage_ids", "appends_lineage_poll",
-            "docs_psl_registrable", "docs_domain_caps_recent",
-            # — round-9 re-gates: flagship surfaces filling the window
+            #   all 10 against DuckDB) — first-time rows —
+            "iceberg_v3_roundtrip", "changelog_lineage",
+            "table_stats_ndv", "nessie_catalog_roundtrip",
+            "dynamodb_catalog_roundtrip", "glue_catalog_roundtrip",
+            "docs_bigram_surprise", "docs_ccnet_buckets",
+            "events_session_funnel", "events_retention_cohorts",
+            # — round-10 re-gates: flagship surfaces filling the window
             #   to 50 (all hold prior green rows; fresh rows cost
             #   nothing and re-prove the most load-bearing code paths).
-            #   The 16 r8-rotated names hold their r08 rows and rotate
-            #   out. Catalog/interop/view round-trips, the dedup + text
-            #   + curation flagships, and TPC-H anchors. —
+            #   The 6 r9 first-timers + 13 r9 re-gates hold their r09
+            #   rows and rotate out. —
             "rest_catalog_roundtrip", "jdbc_catalog_roundtrip",
-            "iceberg_interop_roundtrip", "lakehouse_view_read",
-            "wap_cherry_pick", "spj_bucket_join",
-            "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
-            "text_langid", "docs_token_budget",
-            "tpch_q1", "tpch_q6",
+            "iceberg_interop_roundtrip", "dml_deletion_vectors",
+            "dedup_exact", "dedup_minhash_lsh",
+            "text_quality_by_lang", "tpch_q1", "tpch_q6",
         )
         for k in [k for k in window if k in QUERIES][::-1]:
             spec = QUERIES.pop(k)
