@@ -169,8 +169,13 @@ def mmr_rerank(
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
 
+    # query/id keep the INPUT column types (string or int ids work the
+    # same as long — Arrow conversion fails on a type mismatch, the same
+    # contract funnel_stream pins for its key column)
+    in_t = {f.name: f.dataType.simpleString() for f in candidates.schema}
     out_schema = (
-        f"{query_col} long, rank int, {id_col} long, "
+        f"{query_col} {in_t[query_col]}, rank int, "
+        f"{id_col} {in_t[id_col]}, "
         f"{score_col} double, mmr_value double"
     )
 

@@ -324,6 +324,15 @@ def _scan_manifests(
                 df_entry["_content"] = content
                 delete_entries.append(df_entry)
             else:
+                # v3 row-id inheritance: the manifest's first_row_id range
+                # is consumed ONLY by ADDED files whose first_row_id is
+                # null (spec: "assigned from the manifest's first_row_id,
+                # incremented by record_count for each data file with a
+                # null first_row_id"). Files carrying an explicit
+                # first_row_id keep it and do NOT advance the cursor —
+                # a mixed manifest (explicit + null entries, as an
+                # external writer may produce) must not shift the
+                # inherited ids of later null entries.
                 if (
                     fv >= 3
                     and df_entry.get("first_row_id") is None
@@ -331,12 +340,8 @@ def _scan_manifests(
                     and e.get("status") == 1  # ADDED files inherit
                 ):
                     df_entry["first_row_id"] = frid_cursor
-                if (
-                    e.get("status") == 1
-                    and frid_cursor is not None
-                    and df_entry.get("record_count") is not None
-                ):
-                    frid_cursor += int(df_entry["record_count"])
+                    if df_entry.get("record_count") is not None:
+                        frid_cursor += int(df_entry["record_count"])
                 data_entries.append(df_entry)
     return data_entries, delete_entries
 

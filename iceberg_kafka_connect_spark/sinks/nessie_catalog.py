@@ -132,12 +132,17 @@ class NessieCatalog:
         from .iceberg_export import export_iceberg_metadata
 
         loc = export_iceberg_metadata(table)
-        snap = table.current_snapshot()
+        # the content's snapshotId must equal the exported metadata.json's
+        # current-snapshot-id (a Nessie-aware reader cross-checks the two;
+        # the exporter remaps internal sequence numbers to Iceberg
+        # snapshot ids, so read the published value, don't recompute it)
+        with open(loc) as f:
+            exported_snap = json.load(f).get("current-snapshot-id", -1)
         body = {
             "type": "ICEBERG_TABLE",
             "id": (content or {}).get("id") or str(uuid.uuid4()),
             "metadataLocation": "file://" + os.path.abspath(loc),
-            "snapshotId": int(snap["sequence_number"]) if snap else -1,
+            "snapshotId": int(exported_snap if exported_snap is not None else -1),
             "schemaId": 0,
             "specId": 0,
             "sortOrderId": 0,

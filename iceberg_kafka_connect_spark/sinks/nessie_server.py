@@ -53,6 +53,7 @@ O(log) ancestry walks; content resolution is memoized per commit.
 from __future__ import annotations
 
 import hashlib
+import hmac
 import json
 import threading
 import uuid
@@ -284,7 +285,8 @@ class _Handler(BaseHTTPRequestHandler):
         if self.token is None:
             return True
         got = self.headers.get("Authorization", "")
-        return got == f"Bearer {self.token}"
+        # constant-time compare, same as the SigV4 stubs' signature check
+        return hmac.compare_digest(got, f"Bearer {self.token}")
 
     def _body(self) -> dict:
         n = int(self.headers.get("Content-Length") or 0)

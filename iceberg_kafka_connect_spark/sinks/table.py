@@ -4120,9 +4120,14 @@ class LakehouseTable:
                 # set would drop requested columns without an error)
                 base_cols = [b["column"] for b in base["blobs"]]
                 base_k = {b.get("k") for b in base["blobs"]}
-                if (
-                    columns is not None and list(columns) != base_cols
-                ) or base_k != {k}:
+                # columns=None means "all schema columns" (the default
+                # computed into ``cols`` above) — that request is just as
+                # binding as an explicit list, so a base sketch covering
+                # a narrower (or stale, post-add-column) set must also
+                # trigger the full rebuild instead of silently serving
+                # only the ancestor's column set
+                wanted = list(columns) if columns is not None else cols
+                if wanted != base_cols or base_k != {k}:
                     base = None
             if base is not None and base["snapshot-id"] == sid:
                 return {

@@ -213,3 +213,57 @@ def test_v3_import_inherits_manifest_first_row_id(spark, tmp_path):
     imp = import_iceberg_table(out, str(tmp_path / "idst"))
     got = {r.id: r._row_id for r in imp.read_with_lineage(spark).collect()}
     assert got == {i: i for i in range(120)}
+
+
+def test_v3_import_mixed_explicit_and_inherited_first_row_id(
+    spark, tmp_path
+):
+    """Mixed manifest (v3 spec): only entries with a NULL first_row_id
+    consume the manifest's first_row_id range. An entry carrying an
+    explicit value keeps it and must NOT advance the inheritance cursor
+    — otherwise the null entries after it get silently shifted ids."""
+    from iceberg_kafka_connect_spark.sinks.iceberg_export import (
+        _read_ocf,
+        _write_ocf,
+    )
+
+    t = LakehouseTable.create(
+        str(tmp_path / "msrc"),
+        spark.range(0, 1).selectExpr("id", "id v").schema,
+        properties=V3,
+    )
+    # three data files in ONE append → one manifest with three entries
+    t.append(
+        spark.range(0, 120)
+        .selectExpr("id", "id v")
+        .repartitionByRange(3, "id")
+        .sortWithinPartitions("id")
+    )
+    out = export_iceberg_metadata(t)
+    md = json.load(open(out))
+    [snap] = md["snapshots"]
+    ml_path = snap["manifest-list"].removeprefix("file://")
+    ml_meta, ml_schema, manifests = _read_ocf(ml_path)
+    [mf] = manifests
+    m_path = mf["manifest_path"].removeprefix("file://")
+    m_meta, m_schema, entries = _read_ocf(m_path)
+    assert len(entries) == 3
+    counts = [int(e["data_file"]["record_count"]) for e in entries]
+    # entry 0 keeps an explicit (foreign) id; entries 1 and 2 go null
+    # and rely on manifest-level inheritance from first_row_id = 0
+    entries[0]["data_file"]["first_row_id"] = 1000
+    entries[1]["data_file"]["first_row_id"] = None
+    entries[2]["data_file"]["first_row_id"] = None
+    mf["manifest_length"] = _write_ocf(m_path, m_schema, entries, m_meta)
+    mf["first_row_id"] = 0
+    _write_ocf(ml_path, ml_schema, manifests, ml_meta)
+    imp = import_iceberg_table(out, str(tmp_path / "mdst"))
+    got = sorted(
+        r._row_id for r in imp.read_with_lineage(spark).collect()
+    )
+    want = sorted(
+        list(range(1000, 1000 + counts[0]))  # explicit, untouched
+        + list(range(0, counts[1]))  # first null entry: base 0
+        + list(range(counts[1], counts[1] + counts[2]))  # second null
+    )
+    assert got == want

@@ -218,3 +218,24 @@ def test_store_remerge_is_idempotent():
     s.commit("dev", None, {"db.b": {"v": 9}}, {})
     s.merge("main", "dev", None)
     assert s._resolve(s.ref("main")["hash"])["db.b"] == {"v": 9}
+
+
+def test_published_snapshot_id_matches_exported_metadata(
+    spark, srv, tmp_path
+):
+    """The ICEBERG_TABLE content's snapshotId must equal the published
+    metadata.json's current-snapshot-id — a Nessie-aware reader
+    cross-checks the two (internal sequence numbers are NOT what the
+    exporter writes as snapshot ids)."""
+    cat = _cat(srv, tmp_path)
+    t = cat.create_table(
+        "db.snapid", spark.range(3).selectExpr("id", "id v").schema
+    )
+    t.append(spark.range(3).selectExpr("id", "id v"))
+    cat.load_table("db.snapid")  # republish after the append
+    content = cat._content(cat._key("db.snapid"))
+    loc, meta = cat.load_table_metadata("db.snapid")
+    assert content["snapshotId"] == meta["current-snapshot-id"]
+    assert content["snapshotId"] in {
+        s["snapshot-id"] for s in meta["snapshots"]
+    }

@@ -1139,3 +1139,26 @@ def test_bigram_surprise_values(spark):
     assert rows[1].n_bigrams == 3 and rows[1].surprise_bits == 1
     assert rows[2].n_bigrams == 2 and rows[2].surprise_bits == 1
     assert 3 not in rows  # single-word doc has no bigram
+
+
+def test_mmr_rerank_preserves_id_types(spark):
+    """String query/id columns survive the applyInPandas boundary — the
+    output schema derives from the input column types (a long-only
+    hardcode used to fail at Arrow conversion for string ids)."""
+    from iceberg_kafka_connect_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        ("q1", f"d{i}", 1.0 - 0.1 * i, [float(i), 1.0, 0.0])
+        for i in range(5)
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id string, neighbor_id string, score double, "
+        "embedding array<double>"
+    )
+    out = mmr_rerank(cand, k=3)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+    got = out.collect()
+    assert len(got) == 3
+    assert {r.query_id for r in got} == {"q1"}
+    assert got[0].rank == 1 and got[0].neighbor_id == "d0"

@@ -217,3 +217,22 @@ def test_incremental_with_different_params_rebuilds_full(spark, tmp_path):
         spark, columns=["id"], k=2048, mode="incremental"
     )
     assert out2 == {"id": 1300}
+
+
+def test_incremental_default_columns_rebuilds_on_narrower_base(
+    spark, tmp_path
+):
+    """columns=None means ALL schema columns — if the ancestor sketch
+    covers a narrower set, incremental must rebuild full instead of
+    silently serving only the ancestor's columns."""
+    t = _mk(spark, str(tmp_path / "defcols"), n=1000)
+    t.compute_statistics(spark, columns=["grp"], k=256)
+    t.append(
+        spark.range(1000, 1200).selectExpr(
+            "id", "cast(id % 13 as string) grp", "id % 7 v"
+        )
+    )
+    out = t.compute_statistics(spark, k=256, mode="incremental")
+    assert set(out) == {"id", "grp", "v"}
+    # id has 1200 distinct values > k=256 → KMV estimate, not exact
+    assert out["v"] == 7 and abs(out["id"] - 1200) / 1200 < 0.15
