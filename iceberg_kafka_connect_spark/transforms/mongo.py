@@ -39,7 +39,7 @@ def _op_col(op: Column) -> Column:
 
 
 def mongo_debezium_transform(
-    doc_schema: T.StructType,
+    doc_schema: "T.StructType | None" = None,
     key_field: str = "_id",
     op_col: str = "op",
     before_col: str = "before",
@@ -48,6 +48,7 @@ def mongo_debezium_transform(
     document_key_col: str = "documentKey",
     ts_col: str = "ts_ms",
     strict: bool = False,
+    shape=None,
 ):
     """Returns a transform producing one flat row per change event with a
     ``_cdc`` struct, from string-JSON envelope columns.
@@ -55,18 +56,42 @@ def mongo_debezium_transform(
     ``strict=True`` mirrors the reference's malformed-record check
     (MongoDebeziumTransform.java:110-115): a non-tombstone envelope with
     none of before/after/updateDescription fails the job instead of being
-    silently dropped."""
+    silently dropped.
+
+    ``shape`` (a :class:`~.mongo_arrays.MongoShape`, e.g. from
+    ``infer_mongo_shape(sample, array_encoding="document")``) replaces
+    ``doc_schema``: documents then parse through the BSON-faithful
+    variant path with the reference's ArrayEncoding semantics —
+    homogeneous arrays or ``_i``-keyed document encoding
+    (ArrayEncoding.java; MongoDataConverter.java:134-300)."""
+    if (doc_schema is None) == (shape is None):
+        raise ValueError("pass exactly one of doc_schema or shape")
+    if shape is not None:
+        doc_schema = shape.spark_type()
+
+    def _parse(c) -> Column:
+        if shape is not None:
+            return shape.parse(F.col(c) if isinstance(c, str) else c)
+        return F.from_json(F.col(c) if isinstance(c, str) else c, doc_schema)
 
     def _apply(df: DataFrame) -> DataFrame:
         op = F.col(op_col)
-        after = F.from_json(F.col(after_col), doc_schema)
-        before = F.from_json(F.col(before_col), doc_schema)
-        key = F.from_json(
-            F.col(document_key_col),
-            T.StructType([T.StructField(key_field, doc_schema[key_field].dataType)]),
-        )
+        after = _parse(after_col)
+        before = _parse(before_col)
+        if shape is not None:
+            key_shape = type(shape)(
+                "doc", fields={key_field: shape.fields[key_field]}
+            )
+            key = key_shape.parse(F.col(document_key_col))
+        else:
+            key = F.from_json(
+                F.col(document_key_col),
+                T.StructType(
+                    [T.StructField(key_field, doc_schema[key_field].dataType)]
+                ),
+            )
         upd = F.col(update_desc_col)
-        updated = F.from_json(upd.getField("updatedFields"), doc_schema)
+        updated = _parse(upd.getField("updatedFields"))
         removed = upd.getField("removedFields")
 
         # partial-update reconstruction, exactly the reference's
@@ -163,10 +188,21 @@ def normalize_extended_json(col: Column) -> Column:
     num = r'\{\s*"\$number(?:Long|Int)"\s*:\s*"(-?\d+)"\s*\}'
     dbl = r'\{\s*"\$number(?:Double|Decimal)"\s*:\s*"(-?[^"]+)"\s*\}'
     oid = r'\{\s*"\$oid"\s*:\s*("[0-9a-fA-F]+")\s*\}'
+    # BSON internal timestamp {"$timestamp": {"t": sec, "i": ord}} →
+    # bare seconds (the reference converts TIMESTAMP via 1000L * t,
+    # MongoDataConverter.java:120); binary v2 wrapper → its base64
+    # string payload (decoded downstream by the typed shape)
+    tsp = r'\{\s*"\$timestamp"\s*:\s*\{\s*"t"\s*:\s*(\d+)\s*,\s*"i"\s*:\s*\d+\s*\}\s*\}'
+    binv2 = (
+        r'\{\s*"\$binary"\s*:\s*\{\s*"base64"\s*:\s*("[A-Za-z0-9+/=]*")'
+        r'\s*,\s*"subType"\s*:\s*"[0-9a-fA-F]*"\s*\}\s*\}'
+    )
     out = F.regexp_replace(col, num, "$1")
     out = F.regexp_replace(out, dbl, "$1")
     # inner wrappers first ($date may nest $numberLong — handled by the
     # first pass), then bare numeric $date
     out = F.regexp_replace(out, r'\{\s*"\$date"\s*:\s*(-?\d+)\s*\}', "$1")
     out = F.regexp_replace(out, oid, "$1")
+    out = F.regexp_replace(out, tsp, "$1")
+    out = F.regexp_replace(out, binv2, "$1")
     return out
