@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "nessie_catalog_roundtrip",
     "dynamodb_catalog_roundtrip",
     "glue_catalog_roundtrip",
+    # round-10 additions
+    "hive_catalog_roundtrip",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

@@ -233,6 +233,29 @@ class CatalogSpec:
                 ref=self.props.get("ref", "main"),
                 token=self.props.get("token"),
             )
+        if self.type == "hive":
+            # executable leg: the public HMS Thrift service (strict
+            # unframed TBinaryProtocol, stdlib codec) with Iceberg's
+            # HiveTableOperations commit protocol — EXCLUSIVE table
+            # lock, re-read-and-compare metadata_location, alter with
+            # the expected-parameter CAS (hive_catalog.py;
+            # hive_server.py is the in-process verifying twin). This is
+            # the reference's DEFAULT catalog. Absent a uri the
+            # missing-runtime contract holds.
+            if not self.uri:
+                raise UnsupportedCatalogError(
+                    "hive catalog requires iceberg.catalog.uri "
+                    "(thrift://host:port) — no Hive Metastore is "
+                    "reachable from this deployment by default"
+                )
+            from .hive_catalog import HiveCatalog
+
+            wh = self.warehouse
+            for prefix in ("file://", "file:"):
+                if wh and wh.startswith(prefix):
+                    wh = wh[len(prefix) :]
+                    break
+            return HiveCatalog(self.uri, warehouse=wh)
         if self.type in _KNOWN_CATALOG_TYPES:
             raise UnsupportedCatalogError(
                 f"catalog type {self.type!r} requires an external service "

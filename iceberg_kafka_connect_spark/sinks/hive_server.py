@@ -1,0 +1,319 @@
+"""In-process Hive Metastore stub — the verifying twin for the
+``iceberg.catalog.type=hive`` leg (the same pattern as glue_server /
+dynamodb_server: a real wire protocol, strictly parsed, with the exact
+semantics the client depends on).
+
+Speaks the public HMS Thrift service over unframed strict
+TBinaryProtocol (thrift_proto.py) on a real TCP socket, implementing the
+calls Iceberg's HiveCatalog/HiveTableOperations issue: get_database /
+create_database / get_table / create_table / drop_table /
+get_all_tables / alter_table_with_environment_context, and the
+transactional lock manager trio lock / check_lock / unlock that guards
+HMS commits (one EXCLUSIVE table-level lock at a time; a second request
+WAITING until released — Iceberg polls check_lock).
+
+Declared service exceptions travel as thrift REPLY structs with the
+exception in its declared field slot (NoSuchObjectException,
+AlreadyExistsException, InvalidOperationException — each
+``{1: message}``), unknown methods as a TApplicationException EXCEPTION
+message — both per the public thrift spec. Field ids follow the public
+``hive_metastore.thrift`` IDL.
+
+Verification stance: strict binary parsing (bad version word / type
+codes / lengths fail the request), Table structs round-trip through the
+real field layout (1:tableName 2:dbName 7:sd 8:partitionKeys
+9:parameters 12:tableType), and alter_table_with_environment_context
+enforces the EnvironmentContext ``expected_parameter_key`` /
+``expected_parameter_value`` CAS (HIVE-26882 server-side check — the
+lock-free conflict detection Iceberg can use on Hive 4): when present
+and the live table's parameter differs, the alter fails with
+InvalidOperationException instead of clobbering.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+
+from . import thrift_proto as tp
+
+# LockState / LockType / LockLevel enum values from hive_metastore.thrift
+LOCK_ACQUIRED = 1
+LOCK_WAITING = 2
+LOCK_NOT_ACQUIRED = 4
+LOCK_EXCLUSIVE = 3
+LEVEL_TABLE = 2
+
+
+class _MetaStore:
+    """databases: {name: params}; tables: {(db, name): table-struct
+    fields dict (decoded form)}; locks: {(db, name): lockid} +
+    waiting queue."""
+
+    def __init__(self):
+        self.dbs: dict[str, dict] = {}
+        self.tables: dict[tuple[str, str], dict] = {}
+        self.locks: dict[tuple[str, str], int] = {}
+        self.lock_states: dict[int, tuple[tuple[str, str], str]] = {}
+        self._next_lock = 1000
+        self.mu = threading.Lock()
+
+
+class _Err(Exception):
+    """A declared thrift service exception: (result-field-id, message,
+    exception name for diagnostics)."""
+
+    def __init__(self, fid: int, msg: str):
+        super().__init__(msg)
+        self.fid = fid
+        self.msg = msg
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        while True:
+            try:
+                name, mtype, seqid, args = tp.decode_message(self.rfile)
+            except EOFError:
+                return
+            except tp.ThriftProtocolError as e:
+                # strict parse failed — protocol violation, drop the
+                # connection (a real HMS closes on garbage too)
+                self.wfile.write(
+                    tp.encode_message(
+                        "", tp.EXCEPTION, 0,
+                        {1: tp.t_str(str(e)), 2: tp.t_i32(7)},
+                    )
+                )
+                return
+            if mtype != tp.CALL:
+                return
+            method = getattr(self, f"do_{name}", None)
+            if method is None:
+                self.wfile.write(
+                    tp.encode_message(
+                        name, tp.EXCEPTION, seqid,
+                        {
+                            1: tp.t_str(f"Invalid method name: '{name}'"),
+                            2: tp.t_i32(1),  # UNKNOWN_METHOD
+                        },
+                    )
+                )
+                continue
+            try:
+                result = method(args) or {}
+            except _Err as e:
+                result = {e.fid: tp.t_struct({1: tp.t_str(e.msg)})}
+            self.wfile.write(
+                tp.encode_message(name, tp.REPLY, seqid, result)
+            )
+            self.wfile.flush()
+
+    # ------------------------------------------------------------ helpers
+    @property
+    def store(self) -> _MetaStore:
+        return self.server.store  # type: ignore[attr-defined]
+
+    @staticmethod
+    def _params(tbl: dict) -> dict:
+        return tbl.get(9) or {}
+
+    # ------------------------------------------------------------- methods
+    # result field 0 = success; declared exception slots per the IDL
+    def do_get_database(self, args):
+        name = args[1]
+        with self.store.mu:
+            if name not in self.store.dbs:
+                raise _Err(1, f"database {name} not found")
+            db = self.store.dbs[name]
+        return {
+            0: tp.t_struct(
+                {
+                    1: tp.t_str(name),
+                    2: tp.t_str(db.get("description", "")),
+                    3: tp.t_str(db.get("locationUri", "")),
+                    4: tp.t_map_ss(db.get("parameters", {})),
+                }
+            )
+        }
+
+    def do_create_database(self, args):
+        db = args[1]  # Database struct: {1: name, ...}
+        name = db[1]
+        with self.store.mu:
+            if name in self.store.dbs:
+                raise _Err(1, f"database {name} already exists")
+            self.store.dbs[name] = {
+                "description": db.get(2, ""),
+                "locationUri": db.get(3, ""),
+                "parameters": db.get(4, {}),
+            }
+        return {}
+
+    def _get_table_or_raise(self, db: str, t: str, fid: int) -> dict:
+        tbl = self.store.tables.get((db, t))
+        if tbl is None:
+            raise _Err(fid, f"table {db}.{t} not found")
+        return tbl
+
+    @staticmethod
+    def _table_struct(tbl: dict):
+        sd = tbl.get(7) or {}
+        cols = [
+            tp.t_struct(
+                {1: tp.t_str(c.get(1)), 2: tp.t_str(c.get(2)),
+                 3: tp.t_str(c.get(3, ""))}
+            )[1]
+            for c in (sd.get(1) or [])
+        ]
+        return tp.t_struct(
+            {
+                1: tp.t_str(tbl.get(1)),
+                2: tp.t_str(tbl.get(2)),
+                3: tp.t_str(tbl.get(3, "")),
+                4: tp.t_i32(tbl.get(4, 0)),
+                7: tp.t_struct(
+                    {
+                        1: (tp.LIST, (tp.STRUCT, cols)),
+                        2: tp.t_str(sd.get(2, "")),
+                    }
+                ),
+                8: tp.t_list_struct(
+                    [
+                        {1: tp.t_str(p.get(1)), 2: tp.t_str(p.get(2))}
+                        for p in (tbl.get(8) or [])
+                    ]
+                ),
+                9: tp.t_map_ss(self_params := tbl.get(9) or {}),
+                12: tp.t_str(tbl.get(12, "EXTERNAL_TABLE")),
+            }
+        )
+
+    def do_get_table(self, args):
+        db, t = args[1], args[2]
+        with self.store.mu:
+            # get_table's IDL: throws(1: MetaException, 2: NoSuchObject)
+            tbl = self._get_table_or_raise(db, t, fid=2)
+            return {0: self._table_struct(tbl)}
+
+    def do_create_table(self, args):
+        tbl = args[1]
+        db, t = tbl.get(2), tbl.get(1)
+        with self.store.mu:
+            if db not in self.store.dbs:
+                raise _Err(4, f"database {db} not found")
+            if (db, t) in self.store.tables:
+                raise _Err(1, f"table {db}.{t} already exists")
+            self.store.tables[(db, t)] = tbl
+        return {}
+
+    def do_alter_table_with_environment_context(self, args):
+        db, t, new_tbl = args[1], args[2], args[3]
+        env = (args.get(4) or {}).get(1) or {}
+        with self.store.mu:
+            cur = self._get_table_or_raise(db, t, fid=1)
+            exp_key = env.get("expected_parameter_key")
+            if exp_key is not None:
+                want = env.get("expected_parameter_value")
+                have = self._params(cur).get(exp_key)
+                if have != want:
+                    raise _Err(
+                        1,
+                        f"The table has been modified. The parameter "
+                        f"value for key '{exp_key}' is '{have}'. The "
+                        f"expected was value was '{want}'",
+                    )
+            self.store.tables[(db, t)] = new_tbl
+        return {}
+
+    def do_drop_table(self, args):
+        db, t = args[1], args[2]
+        with self.store.mu:
+            self._get_table_or_raise(db, t, fid=1)
+            del self.store.tables[(db, t)]
+        return {}
+
+    def do_get_all_tables(self, args):
+        db = args[1]
+        with self.store.mu:
+            names = sorted(
+                t for (d, t) in self.store.tables if d == db
+            )
+        return {0: (tp.LIST, (tp.STRING, names))}
+
+    # ----------------------------------------------------- lock manager
+    def do_lock(self, args):
+        req = args[1]
+        comps = req.get(1) or []
+        comp = comps[0] if comps else {}
+        key = (comp.get(3, ""), comp.get(4, ""))
+        with self.store.mu:
+            self.store._next_lock += 1
+            lid = self.store._next_lock
+            if key in self.store.locks:
+                self.store.lock_states[lid] = (key, "waiting")
+                state = LOCK_WAITING
+            else:
+                self.store.locks[key] = lid
+                self.store.lock_states[lid] = (key, "acquired")
+                state = LOCK_ACQUIRED
+        return {0: tp.t_struct({1: tp.t_i64(lid), 2: tp.t_i32(state)})}
+
+    def do_check_lock(self, args):
+        lid = (args[1] or {}).get(1)
+        with self.store.mu:
+            entry = self.store.lock_states.get(lid)
+            if entry is None:
+                raise _Err(1, f"no such lock {lid}")
+            key, st = entry
+            if st == "waiting" and key not in self.store.locks:
+                self.store.locks[key] = lid
+                self.store.lock_states[lid] = (key, "acquired")
+                st = "acquired"
+            state = LOCK_ACQUIRED if st == "acquired" else LOCK_WAITING
+        return {0: tp.t_struct({1: tp.t_i64(lid), 2: tp.t_i32(state)})}
+
+    def do_unlock(self, args):
+        lid = (args[1] or {}).get(1)
+        with self.store.mu:
+            entry = self.store.lock_states.pop(lid, None)
+            if entry is None:
+                raise _Err(1, f"no such lock {lid}")
+            key, st = entry
+            if st == "acquired" and self.store.locks.get(key) == lid:
+                del self.store.locks[key]
+        return {}
+
+
+class HiveMetastoreServer:
+    """Context-managed in-process HMS twin on an ephemeral port."""
+
+    def __init__(self, host: str = "127.0.0.1"):
+        self.store = _MetaStore()
+        self._srv = socketserver.ThreadingTCPServer(
+            (host, 0), _Handler, bind_and_activate=True
+        )
+        self._srv.daemon_threads = True
+        self._srv.store = self.store  # type: ignore[attr-defined]
+        self.host, self.port = self._srv.server_address
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        )
+
+    @property
+    def uri(self) -> str:
+        return f"thrift://{self.host}:{self.port}"
+
+    def __enter__(self) -> "HiveMetastoreServer":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    # test hook
+    def raw_socket(self) -> socket.socket:
+        s = socket.create_connection((self.host, self.port), timeout=5)
+        return s

@@ -184,7 +184,11 @@ def load_all() -> dict[str, QuerySpec]:
             "rest_catalog_roundtrip", "jdbc_catalog_roundtrip",
             "iceberg_interop_roundtrip", "dml_deletion_vectors",
             "dedup_exact", "dedup_minhash_lsh",
-            "text_quality_by_lang", "tpch_q1", "tpch_q6",
+            "text_quality_by_lang", "tpch_q1",
+            # new this round, verified green against the oracle before
+            # entering the window (replaces the tpch_q6 re-gate, which
+            # holds its prior row): the Hive Metastore catalog leg
+            "hive_catalog_roundtrip",
         )
         for k in [k for k in window if k in QUERIES][::-1]:
             spec = QUERIES.pop(k)

@@ -3577,3 +3577,51 @@ def glue_catalog_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("event_id").cast("bigint").alias("sum_ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# X113: Hive Metastore catalog round-trip — the reference's DEFAULT
+# catalog leg (data/Utilities.java:68-121 loads Iceberg's HiveCatalog
+# when no type/catalog-impl is set) executable end-to-end: strict
+# unframed thrift binary protocol from a stdlib codec, EXTERNAL_TABLE +
+# table_type=ICEBERG parameters, and Iceberg's HiveTableOperations
+# commit protocol — EXCLUSIVE table lock, re-read-and-compare
+# metadata_location, alter_table_with_environment_context carrying the
+# expected-parameter CAS (enforced server-side too). The in-process
+# stub VERIFIES the wire protocol. Oracle recomputes surviving rows
+# from parquet.
+# --------------------------------------------------------------------------
+@register(
+    "hive_catalog_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    WHERE event_id < 480 AND event_id % 11 != 3
+    """,
+    tags=("ingestion", "lakehouse", "catalog"),
+)
+def hive_catalog_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.catalog import catalog_from_properties
+    from ..sinks.hive_server import HiveMetastoreServer
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="hive_gate_")
+    with HiveMetastoreServer() as srv:
+        cat = catalog_from_properties(
+            {
+                # no type: hive IS the default (CatalogUtil semantics)
+                "iceberg.catalog.uri": srv.uri,
+                "iceberg.catalog.warehouse": base + "/wh",
+            }
+        )
+        t = cat.create_table("db.events", e.schema)
+        t.append(e.filter(F.col("event_id") < 480))
+        t.delete_where(spark, "event_id % 11 = 3", key_cols=["event_id"])
+        df = cat.load_table("db.events").read(spark)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    )

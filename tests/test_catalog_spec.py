@@ -53,13 +53,20 @@ def test_rest_catalog_parses_but_names_missing_runtime():
         spec.build()
 
 
-def test_hive_is_default_type_and_unsupported():
+def test_hive_is_default_type_and_builds_lazily():
     spec = CatalogSpec.from_properties(
         {"iceberg.catalog.uri": "thrift://meta:9083"}
     )
     assert spec.type == "hive"  # CatalogUtil default
+    # executable leg since round 10: builds without dialing the wire
+    from iceberg_kafka_connect_spark.sinks.hive_catalog import HiveCatalog
+
+    assert isinstance(spec.build(), HiveCatalog)
+    # without a uri the missing-runtime contract still holds
     with pytest.raises(UnsupportedCatalogError, match="hive"):
-        spec.build()
+        CatalogSpec.from_properties(
+            {"iceberg.catalog.type": "hive"}
+        ).build()
 
 
 def test_catalog_impl_takes_precedence_over_type():
