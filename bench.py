@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "glue_catalog_roundtrip",
     # round-10 additions
     "hive_catalog_roundtrip",
+    "events_rollup_exact",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

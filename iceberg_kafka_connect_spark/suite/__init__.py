@@ -139,7 +139,10 @@ def load_all() -> dict[str, QuerySpec]:
     # added this round; re-verify with the never-gated computation
     # (oracle set minus CORRECTNESS_r0* union minus current window)
     # before editing the round-11 window:
-    #   (empty so far)
+    #   events_rollup_exact (exact twin of the rows-only sketch rollup),
+    #   tpch_q6 (rotated out of the r10 window for
+    #   hive_catalog_roundtrip; holds prior green rows — re-gate only
+    #   if slots remain)
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).

@@ -625,6 +625,72 @@ def events_rollup_sketch(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Exact twin of events_rollup_sketch (the dedup_simhash_md5 pattern: the
+# approximate operator keeps its rows-only row, the twin pins the SAME
+# rollup shape value-exactly). Quantiles are rank-picked — the value at
+# row_number ceil(p*n) under a TOTAL order (value, event_id) — so both
+# engines select the identical element: no interpolation, no estimator.
+# One window partitioning serves rank and group size; distinct users stay
+# an exact COUNT(DISTINCT). This is also the exact-quantile form that
+# scales: rank-by-window, never a per-group sort collected anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "events_rollup_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, user_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(CASE WHEN r = CAST(CEIL(0.5 * n) AS BIGINT)
+                    THEN value END) AS p50,
+           MAX(CASE WHEN r = CAST(CEIL(0.95 * n) AS BIGINT)
+                    THEN value END) AS p95
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ingestion",),
+)
+def events_rollup_exact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max(
+                F.when(
+                    F.col("r") == F.ceil(F.lit(0.5) * F.col("n")),
+                    F.col("value"),
+                )
+            ).alias("p50"),
+            F.max(
+                F.when(
+                    F.col("r") == F.ceil(F.lit(0.95) * F.col("n")),
+                    F.col("value"),
+                )
+            ).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # A1 — partition fan-out (PartitionedAppendWriter.java:50-54): rows grouped
 # by the table's partition transform (day(ts) here) — the write-side
 # hash-distribution expressed as a group-by.
