@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     # round-10 additions
     "hive_catalog_roundtrip",
     "events_rollup_exact",
+    "funnel_stream_replay",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

@@ -140,6 +140,10 @@ def load_all() -> dict[str, QuerySpec]:
     # (oracle set minus CORRECTNESS_r0* union minus current window)
     # before editing the round-11 window:
     #   events_rollup_exact (exact twin of the rows-only sketch rollup),
+    #   funnel_stream_replay (X109's value-level gate: stream replay
+    #   over one checkpoint vs the batch funnel oracle),
+    #   hive_catalog_roundtrip is ALREADY in the r10 window (verified
+    #   green before entering),
     #   tpch_q6 (rotated out of the r10 window for
     #   hive_catalog_roundtrip; holds prior green rows — re-gate only
     #   if slots remain)

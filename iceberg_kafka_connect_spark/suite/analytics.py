@@ -658,3 +658,110 @@ def events_retention_cohorts(spark, sf_dir):
         F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# X114: streaming funnel replay — the value-level gate for X109
+# (funnel_stream, applyInPandasWithState): the events table replayed in
+# three chronological micro-batch runs over ONE checkpoint (each run a
+# fresh query resuming the stored per-user state — the kill/restart
+# shape), final per-user depths rolled into the SAME depth histogram the
+# batch operator (events_session_funnel) computes, against the SAME
+# layered-window oracle. Exactness holds because the testdata has no
+# per-user equal-timestamp pairs (verified), where stream-vs-batch tie
+# semantics could differ; state is one row of k timestamps per user.
+# --------------------------------------------------------------------------
+@register(
+    "funnel_stream_replay",
+    oracle="""
+    WITH l1 AS (
+        SELECT user_id, ts, event_id, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS t1p
+        FROM events
+    ),
+    l2 AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'click' AND t1p IS NOT NULL
+                         AND epoch_us(ts) <= epoch_us(t1p) + 604800000000
+                        THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS t2p
+        FROM l1
+    ),
+    l3 AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' AND t2p IS NOT NULL
+                         AND epoch_us(ts) <= epoch_us(t1p) + 604800000000
+                    THEN 3
+                    WHEN event_type = 'click' AND t1p IS NOT NULL
+                         AND epoch_us(ts) <= epoch_us(t1p) + 604800000000
+                    THEN 2
+                    WHEN event_type = 'view' THEN 1
+                    ELSE 0 END AS hit
+        FROM l2
+    ),
+    d AS (SELECT user_id, MAX(hit) AS depth FROM l3 GROUP BY user_id)
+    SELECT CAST(depth AS INT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY depth
+    """,
+    tags=("analytics", "events", "streaming"),
+)
+def funnel_stream_replay(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stateful import funnel_stream
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("timestamp"), "event_type"
+    )
+    lo, hi = e.agg(
+        F.min("timestamp"), F.max("timestamp")
+    ).collect()[0]
+    span = hi - lo
+    cuts = [lo + span / 3, lo + 2 * span / 3]
+    base = tempfile.mkdtemp(prefix="funnel_replay_")
+    src, ck = f"{base}/src", f"{base}/ck"
+    slices = [
+        e.filter(F.col("timestamp") < F.lit(cuts[0])),
+        e.filter(
+            (F.col("timestamp") >= F.lit(cuts[0]))
+            & (F.col("timestamp") < F.lit(cuts[1]))
+        ),
+        e.filter(F.col("timestamp") >= F.lit(cuts[1])),
+    ]
+    depths: dict = {}
+
+    def sink(batch, _bid):
+        for r in batch.collect():
+            depths[r.user_id] = r.depth
+
+    for i, sl in enumerate(slices):
+        # chronological arrival: each run sees exactly one new slice and
+        # resumes the per-user step state from the shared checkpoint
+        sl.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, timestamp timestamp, event_type string"
+        ).parquet(src)
+        q = (
+            funnel_stream(
+                stream,
+                ["view", "click", "purchase"],
+                within_us=7 * 86400 * 1_000_000,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    out = spark.createDataFrame(
+        [(int(d),) for d in depths.values()], "depth int"
+    )
+    return out.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
