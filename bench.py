@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "hive_catalog_roundtrip",
     "events_rollup_exact",
     "funnel_stream_replay",
+    "partition_stats_rollup",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

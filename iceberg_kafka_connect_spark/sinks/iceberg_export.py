@@ -2034,6 +2034,76 @@ def export_iceberg_metadata(
     if stats_json:
         metadata["statistics"] = stats_json
 
+    # ----- partition statistics (spec "Partition statistics"): rewrite
+    # each recorded file into the spec shape for exported snapshots —
+    # partition as a real struct (internally it is a JSON-keyed string),
+    # last_updated_snapshot_id remapped to the external int id — and
+    # register under the spec's ``partition-statistics`` metadata key.
+    pstats_json = []
+    for s in meta.get("partition-statistics", []):
+        shex = s["snapshot-id"]
+        if shex not in trees:
+            continue
+        src = os.path.join(table.root, s["statistics-path"])
+        if not os.path.isfile(src):
+            continue
+        rows = table._read_partition_stats_file(s)
+        ext_sid = trees[shex]["snapshot-id"]
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pkeys = sorted({k for r in rows for k in r["partition"]})
+        pspath = os.path.join(
+            tree_dir, f"partition-stats-{shex[:12]}.parquet"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "partition": pa.array(
+                        [
+                            {k: r["partition"].get(k) for k in pkeys}
+                            for r in rows
+                        ],
+                        pa.struct([(k, pa.string()) for k in pkeys]),
+                    )
+                    if pkeys
+                    else pa.nulls(len(rows), pa.struct([])),
+                    "spec_id": pa.array(
+                        [r["spec_id"] for r in rows], pa.int32()
+                    ),
+                    "data_record_count": pa.array(
+                        [r["data_record_count"] for r in rows], pa.int64()
+                    ),
+                    "data_file_count": pa.array(
+                        [r["data_file_count"] for r in rows], pa.int32()
+                    ),
+                    "total_data_file_size_in_bytes": pa.array(
+                        [
+                            r["total_data_file_size_in_bytes"]
+                            for r in rows
+                        ],
+                        pa.int64(),
+                    ),
+                    "last_updated_at": pa.array(
+                        [r["last_updated_at"] for r in rows], pa.int64()
+                    ),
+                    "last_updated_snapshot_id": pa.array(
+                        [ext_sid] * len(rows), pa.int64()
+                    ),
+                }
+            ),
+            pspath,
+        )
+        pstats_json.append(
+            {
+                "snapshot-id": ext_sid,
+                "statistics-path": "file://" + os.path.abspath(pspath),
+                "file-size-in-bytes": os.path.getsize(pspath),
+            }
+        )
+    if pstats_json:
+        metadata["partition-statistics"] = pstats_json
+
     metadata_path = os.path.join(
         out, f"{export_version:05d}-{export_uuid}.metadata.json"
     )

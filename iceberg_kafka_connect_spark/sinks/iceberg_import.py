@@ -920,6 +920,32 @@ def import_iceberg_table(
         meta2 = table.metadata()
         meta2["statistics"] = stats_in
         table._write_version(meta2["version"] + 1, meta2)
+
+    # ----- partition statistics: carry entries for imported snapshots
+    # through, referencing the external stats files in place (the reader
+    # tolerates both the spec's struct partition column and the internal
+    # JSON-string form; snapshot ids remap to the internal commits).
+    pstats_in = []
+    for s in meta.get("partition-statistics") or []:
+        ext_sid = s.get("snapshot-id")
+        if ext_sid not in imported:
+            continue
+        spath = _uri_to_path(s["statistics-path"])
+        if not os.path.isfile(spath):
+            continue
+        pstats_in.append(
+            {
+                "snapshot-id": imported[ext_sid]["snapshot_id"],
+                "statistics-path": spath,
+                "file-size-in-bytes": s.get(
+                    "file-size-in-bytes", os.path.getsize(spath)
+                ),
+            }
+        )
+    if pstats_in:
+        meta2 = table.metadata()
+        meta2["partition-statistics"] = pstats_in
+        table._write_version(meta2["version"] + 1, meta2)
     return table
 
 

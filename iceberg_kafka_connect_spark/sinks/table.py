@@ -4256,6 +4256,259 @@ class LakehouseTable:
             }
         return None
 
+    # ------------------------------------------------ partition statistics
+    @staticmethod
+    def _file_partition_tuple(f: dict) -> tuple[tuple[str, str | None], ...]:
+        """The partition tuple of one data-file entry, as sorted
+        (name, string-rendered value) pairs: imported Iceberg entries
+        carry the manifest's identity tuple (``partition_values``),
+        native files encode it in hive-style path segments (values
+        percent-escaped by the writer, ``__HIVE_DEFAULT_PARTITION__``
+        for null)."""
+        import urllib.parse
+
+        pv = f.get("partition_values")
+        if pv:
+            return tuple(
+                (k, None if v is None else str(v))
+                for k, v in sorted(pv.items())
+            )
+        out = []
+        for seg in f["path"].split(os.sep)[:-1]:
+            if "=" not in seg:
+                continue
+            k, _, v = seg.partition("=")
+            v = urllib.parse.unquote(v)
+            out.append(
+                (k, None if v == "__HIVE_DEFAULT_PARTITION__" else v)
+            )
+        return tuple(sorted(out))
+
+    def compute_partition_statistics(
+        self, branch: str = MAIN, mode: str = "full"
+    ) -> list[dict]:
+        """Iceberg "Partition statistics" parity: one persisted stats
+        file per snapshot with per-partition rollups of the live data
+        files — the spec's required fields (``partition``, ``spec_id``,
+        ``data_record_count``, ``data_file_count``,
+        ``total_data_file_size_in_bytes``) plus
+        ``last_updated_at``/``last_updated_snapshot_id`` — registered in
+        table metadata under ``partition-statistics`` with the same
+        replace-by-snapshot rule as the NDV ``statistics`` list.
+
+        Scale shape: this is a MANIFEST walk, O(live files) driver-side
+        metadata with O(partitions) output — no data is read, so the
+        refresh costs the same at sf0.001 and at 100 TB with the same
+        file count. The stats file is parquet (pyarrow, partition values
+        string-rendered; ``data_record_count`` is -1 when a file format
+        records no row counts, e.g. avro — documented sentinel, the spec
+        has no unknown marker).
+
+        ``mode="incremental"``: fold ONLY the files appended since the
+        nearest stats-bearing ancestor onto its rows (pure addition —
+        counts and sizes are mergeable); any replace/delete snapshot in
+        the range falls back to a full rebuild, the same contract as
+        compute_statistics.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if mode not in ("full", "incremental"):
+            raise ValueError(f"mode must be full|incremental, got {mode!r}")
+        meta = self.metadata()
+        snap = self.current_snapshot(branch)
+        if snap is None:
+            raise ValueError("no snapshot to compute partition stats for")
+        sid = snap["snapshot_id"]
+
+        def _fold(acc: dict, files: list[dict]) -> None:
+            for f in files:
+                key = self._file_partition_tuple(f)
+                cur = acc.setdefault(key, [0, 0, 0])  # rows, files, bytes
+                st = f.get("stats")
+                if cur[0] >= 0:
+                    cur[0] = cur[0] + st["rows"] if st and st.get(
+                        "rows"
+                    ) is not None else -1
+                cur[1] += 1
+                cur[2] += int(f.get("bytes") or 0)
+
+        acc: dict | None = None
+        if mode == "incremental":
+            base = self._nearest_partition_stats(branch)
+            if base is not None and base["snapshot-id"] == sid:
+                return self.partition_statistics(branch=branch)
+            if base is not None:
+                new_files: list[dict] = []
+                cur = snap
+                ok = True
+                while cur is not None and cur["snapshot_id"] != base[
+                    "snapshot-id"
+                ]:
+                    if cur.get("replace") or "manifest" not in cur:
+                        ok = False  # rewrite/delete in range → full
+                        break
+                    d, dl = self._load_manifest(cur)
+                    if dl:
+                        ok = False  # new delete files → full
+                        break
+                    new_files.extend(d)
+                    pid = cur["parent"]
+                    cur = self._snapshot_by_id(meta, pid) if pid else None
+                if ok and cur is not None:
+                    acc = {}
+                    for r in self._read_partition_stats_file(base):
+                        key = tuple(sorted(r["partition"].items()))
+                        acc[key] = [
+                            r["data_record_count"],
+                            r["data_file_count"],
+                            r["total_data_file_size_in_bytes"],
+                        ]
+                    _fold(acc, new_files)
+        if acc is None:
+            data_files, _ = self._live_files(meta, snap)
+            acc = {}
+            _fold(acc, data_files)
+
+        rows = [
+            {
+                "partition": dict(key),
+                "spec_id": 0,
+                "data_record_count": v[0],
+                "data_file_count": v[1],
+                "total_data_file_size_in_bytes": v[2],
+                "last_updated_at": snap["timestamp_ms"],
+                "last_updated_snapshot_id": sid,
+            }
+            for key, v in sorted(acc.items())
+        ]
+        rel = os.path.join(
+            "metadata", f"partition-stats-{sid}-{uuid.uuid4().hex[:8]}.parquet"
+        )
+        path = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "partition": pa.array(
+                        [json.dumps(r["partition"], sort_keys=True)
+                         for r in rows]
+                    ),
+                    "spec_id": pa.array(
+                        [r["spec_id"] for r in rows], pa.int32()
+                    ),
+                    "data_record_count": pa.array(
+                        [r["data_record_count"] for r in rows], pa.int64()
+                    ),
+                    "data_file_count": pa.array(
+                        [r["data_file_count"] for r in rows], pa.int32()
+                    ),
+                    "total_data_file_size_in_bytes": pa.array(
+                        [r["total_data_file_size_in_bytes"] for r in rows],
+                        pa.int64(),
+                    ),
+                    "last_updated_at": pa.array(
+                        [r["last_updated_at"] for r in rows], pa.int64()
+                    ),
+                    "last_updated_snapshot_id": pa.array(
+                        [r["last_updated_snapshot_id"] for r in rows]
+                    ),
+                }
+            ),
+            path,
+        )
+        entry = {
+            "snapshot-id": sid,
+            "statistics-path": rel,
+            "file-size-in-bytes": os.path.getsize(path),
+        }
+        for attempt in range(COMMIT_RETRIES):
+            meta = self.metadata()
+            pstats = [
+                s
+                for s in meta.get("partition-statistics", [])
+                if s["snapshot-id"] != sid
+            ]
+            meta["partition-statistics"] = pstats + [entry]
+            try:
+                self._write_version(meta["version"] + 1, meta)
+                return rows
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        return rows
+
+    def _nearest_partition_stats(self, branch: str = MAIN) -> dict | None:
+        meta = self.metadata()
+        by_sid = {
+            s["snapshot-id"]: s
+            for s in meta.get("partition-statistics", [])
+        }
+        cur = self.current_snapshot(branch)
+        while cur is not None:
+            if cur["snapshot_id"] in by_sid:
+                return by_sid[cur["snapshot_id"]]
+            pid = cur["parent"]
+            cur = self._snapshot_by_id(meta, pid) if pid else None
+        return None
+
+    def _read_partition_stats_file(self, entry: dict) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(self.root, entry["statistics-path"]))
+        out = []
+        for r in t.to_pylist():
+            p = r["partition"]
+            # internal files render the tuple as a JSON string; imported
+            # spec-shaped files carry a real struct (→ dict already)
+            if isinstance(p, str):
+                p = json.loads(p)
+            r["partition"] = {
+                k: None if v is None else str(v)
+                for k, v in (p or {}).items()
+            }
+            r["last_updated_snapshot_id"] = str(
+                r.get("last_updated_snapshot_id")
+            )
+            out.append(r)
+        return out
+
+    def partition_statistics(self, branch: str = MAIN) -> list[dict] | None:
+        """The recorded partition-stats rows for the CURRENT snapshot of
+        ``branch`` (stale entries from earlier snapshots are not served,
+        same contract as :meth:`statistics`)."""
+        snap = self.current_snapshot(branch)
+        if snap is None:
+            return None
+        for s in self.metadata().get("partition-statistics", []):
+            if s["snapshot-id"] == snap["snapshot_id"]:
+                return self._read_partition_stats_file(s)
+        return None
+
+    def partition_statistics_df(
+        self, spark: SparkSession, branch: str = MAIN
+    ) -> DataFrame:
+        rows = self.partition_statistics(branch=branch) or []
+        return spark.createDataFrame(
+            [
+                (
+                    r["partition"],
+                    r["spec_id"],
+                    r["data_record_count"],
+                    r["data_file_count"],
+                    r["total_data_file_size_in_bytes"],
+                    r["last_updated_at"],
+                    r["last_updated_snapshot_id"],
+                )
+                for r in rows
+            ],
+            "partition map<string,string>, spec_id int, "
+            "data_record_count long, data_file_count int, "
+            "total_data_file_size_in_bytes long, last_updated_at long, "
+            "last_updated_snapshot_id string",
+        )
+
     def expire_snapshots(
         self,
         keep_last: int = 10,

@@ -142,6 +142,8 @@ def load_all() -> dict[str, QuerySpec]:
     #   events_rollup_exact (exact twin of the rows-only sketch rollup),
     #   funnel_stream_replay (X109's value-level gate: stream replay
     #   over one checkpoint vs the batch funnel oracle),
+    #   partition_stats_rollup (X115 partition statistics files,
+    #   incremental refresh path),
     #   hive_catalog_roundtrip is ALREADY in the r10 window (verified
     #   green before entering),
     #   tpch_q6 (rotated out of the r10 window for

@@ -3691,3 +3691,53 @@ def hive_catalog_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("event_id").cast("bigint").alias("sum_ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# X115: partition statistics files — Iceberg's persisted per-snapshot
+# per-partition rollups (spec "Partition statistics"): a manifest-only
+# walk (no data read — the refresh costs the same at any data scale with
+# the same file count) producing one parquet stats file registered under
+# metadata["partition-statistics"] with replace-by-snapshot, incremental
+# refresh folding only appended manifests. The gate builds a
+# day-partitioned table from events, computes stats, and the oracle
+# recomputes the per-day record counts from the raw parquet.
+# --------------------------------------------------------------------------
+@register(
+    "partition_stats_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS data_record_count
+    FROM events WHERE event_id < 700
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ingestion", "lakehouse", "statistics"),
+)
+def partition_stats_rollup(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 700)
+        .select(
+            "event_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "value",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="pstats_gate_") + "/t"
+    t = LakehouseTable.create(root, e.schema, partition_by=["day"])
+    # two appends so the incremental path (fold only the second
+    # append's manifest onto the recorded rows) is what's gated
+    t.append(e.filter(F.col("event_id") < 350))
+    t.compute_partition_statistics()
+    t.append(e.filter(F.col("event_id") >= 350))
+    rows = t.compute_partition_statistics(mode="incremental")
+    return spark.createDataFrame(
+        [(r["partition"]["day"], r["data_record_count"]) for r in rows],
+        "day string, data_record_count long",
+    ).orderBy("day")
