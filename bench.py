@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     "events_rollup_exact",
     "funnel_stream_replay",
     "partition_stats_rollup",
+    "zorder_rewrite_scan",
+    "docs_temperature_mix",
+    "stream_interval_join_replay",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

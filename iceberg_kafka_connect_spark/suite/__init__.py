@@ -144,6 +144,10 @@ def load_all() -> dict[str, QuerySpec]:
     #   over one checkpoint vs the batch funnel oracle),
     #   partition_stats_rollup (X115 partition statistics files,
     #   incremental refresh path),
+    #   zorder_rewrite_scan (value gate for compact(zorder_by=...)),
+    #   docs_temperature_mix (X117 temperature-sampled source mix),
+    #   stream_interval_join_replay (X118 stream-stream interval join
+    #   with cross-run join-state restore),
     #   hive_catalog_roundtrip is ALREADY in the r10 window (verified
     #   green before entering),
     #   tpch_q6 (rotated out of the r10 window for

@@ -765,3 +765,95 @@ def funnel_stream_replay(spark, sf_dir):
     return out.groupBy("depth").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# X118: stream-stream interval join replay — click→purchase attribution
+# (purchase strictly after the click, within 1 hour, same user) as a
+# watermarked Structured Streaming self-join, replayed over the events
+# table in two chronological micro-batch runs sharing one checkpoint:
+# the second run's purchases join click STATE stored by the first — the
+# cross-run join-state restore is exactly what's gated. Append mode
+# emits each matched pair exactly once (checkpoint-idempotent), so the
+# accumulated pairs equal the batch interval join the oracle states.
+# The test watermark is generous (nothing drops — exactness); a
+# production deployment sets it to the real lateness bound to cap
+# join-state size.
+# --------------------------------------------------------------------------
+@register(
+    "stream_interval_join_replay",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(c.event_id + p.event_id) AS BIGINT) AS sum_ids
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+    """,
+    tags=("analytics", "events", "streaming"),
+)
+def stream_interval_join_replay(spark, sf_dir):
+    import tempfile
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").alias("timestamp"), "event_type"
+    )
+    lo, hi = e.agg(F.min("timestamp"), F.max("timestamp")).collect()[0]
+    cut = lo + (hi - lo) / 2
+    base = tempfile.mkdtemp(prefix="sj_replay_")
+    src, ck = f"{base}/src", f"{base}/ck"
+    acc = [0, 0]  # n_pairs, sum_ids
+
+    def sink(batch, _bid):
+        r = batch.agg(
+            F.count(F.lit(1)), F.sum(F.col("c_id") + F.col("p_id"))
+        ).collect()[0]
+        acc[0] += r[0] or 0
+        acc[1] += r[1] or 0
+
+    for sl in (
+        e.filter(F.col("timestamp") < F.lit(cut)),
+        e.filter(F.col("timestamp") >= F.lit(cut)),
+    ):
+        sl.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, timestamp timestamp, "
+            "event_type string"
+        ).parquet(src)
+        clicks = (
+            stream.filter("event_type = 'click'")
+            .withWatermark("timestamp", "365 days")
+            .select(
+                F.col("event_id").alias("c_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("timestamp").alias("c_ts"),
+            )
+        )
+        purchases = (
+            stream.filter("event_type = 'purchase'")
+            .withWatermark("timestamp", "365 days")
+            .select(
+                F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("timestamp").alias("p_ts"),
+            )
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND p_ts > c_ts "
+                "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.createDataFrame(
+        [(int(acc[0]), int(acc[1]))], "n_pairs bigint, sum_ids bigint"
+    )

@@ -3741,3 +3741,45 @@ def partition_stats_rollup(spark, sf_dir):
         [(r["partition"]["day"], r["data_record_count"]) for r in rows],
         "day string, data_record_count long",
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# X116 gate for the z-order rewrite (compact(zorder_by=...), Iceberg
+# rewrite_data_files strategy=sort with a z-order expression): rows
+# survive the Morton-interleave reclustering bit-exactly, and the
+# rewritten files carry tight per-file bounds on BOTH listed columns
+# (pruning sharpness itself is plan-pinned in test_scan_planning.py —
+# a value gate can't see file pruning, so it pins the data instead).
+# --------------------------------------------------------------------------
+@register(
+    "zorder_rewrite_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    WHERE event_id < 800 AND user_id BETWEEN 100 AND 300
+      AND value BETWEEN 10 AND 60
+    """,
+    tags=("ingestion", "lakehouse", "maintenance"),
+)
+def zorder_rewrite_scan(spark, sf_dir):
+    import tempfile
+
+    from ..sinks.table import LakehouseTable
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 800)
+        .select("event_id", "user_id", "value")
+    )
+    root = tempfile.mkdtemp(prefix="zorder_gate_") + "/t"
+    t = LakehouseTable.create(root, e.schema)
+    t.append(e.repartition(8))  # scatter first: the rewrite re-clusters
+    t.compact(spark, zorder_by=["user_id", "value"])
+    df = t.read(spark).filter(
+        "user_id BETWEEN 100 AND 300 AND value BETWEEN 10 AND 60"
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    )

@@ -786,3 +786,110 @@ def docs_bpe_token_stats(spark, sf_dir):
         docs, "text", num_merges=64, min_word_freq=2, max_words=50_000
     )
     return bpe_token_stats(docs, "text", "source", merges).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# X117: temperature-sampled source mix — the multilingual pretraining
+# staple (sample weight ∝ n^α, α=0.5 upsampling tail languages relative
+# to proportional). Deterministic and cross-engine exact end-to-end:
+# per-language inclusion probability p = min(1, q·N·√n / (S·n)) with
+# S = Σ√n summed through DECIMAL (order-independent — the one
+# float-ordering hazard), quantized to a 32-bit hex threshold, and
+# membership decided by md5(doc_id) prefix < threshold (the suite's
+# hash-sampling idiom). Scale shape: one tiny per-language agg
+# broadcast back over the corpus — no shuffle of the documents.
+# --------------------------------------------------------------------------
+@register(
+    "docs_temperature_mix",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SQRT(COUNT(*)) AS DECIMAL(28,10)) AS w
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS total,
+               CAST(SUM(w) AS DOUBLE) AS s
+        FROM stats
+    ),
+    thr AS (
+        SELECT lang, n,
+               LPAD(LOWER(TO_HEX(LEAST(CAST(FLOOR(
+                   LEAST(1.0, 0.6 * total * SQRT(n) / (s * n))
+                   * 4294967296.0) AS BIGINT), 4294967295))), 8, '0')
+                   AS h
+        FROM stats, tot
+    )
+    SELECT d.lang, CAST(t.n AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                              < t.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(SUM(CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                              < t.h THEN d.doc_id ELSE 0 END) AS BIGINT)
+               AS sum_sampled_ids
+    FROM documents d JOIN thr t USING (lang)
+    GROUP BY d.lang, t.n ORDER BY d.lang
+    """,
+    tags=("text", "sampling"),
+)
+def docs_temperature_mix(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sqrt(F.count(F.lit(1))).cast("decimal(28,10)").alias("w"),
+    )
+    tot = stats.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.sum("w").cast("double").alias("s"),
+    )
+    thr = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p",
+            F.least(
+                F.lit(1.0),
+                F.lit(0.6)
+                * F.col("total")
+                * F.sqrt("n")
+                / (F.col("s") * F.col("n")),
+            ),
+        )
+        .withColumn(
+            "h",
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.least(
+                            F.floor(F.col("p") * F.lit(4294967296.0)).cast(
+                                "bigint"
+                            ),
+                            F.lit(4294967295),
+                        )
+                    )
+                ),
+                8,
+                "0",
+            ),
+        )
+        .select("lang", "n", "h")
+    )
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < F.col(
+        "h"
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "n")
+        .agg(
+            F.sum(keep.cast("int")).cast("bigint").alias("n_sampled"),
+            F.sum(F.when(keep, F.col("doc_id")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("sum_sampled_ids"),
+        )
+        .select(
+            "lang",
+            F.col("n").alias("n_total"),
+            "n_sampled",
+            "sum_sampled_ids",
+        )
+        .orderBy("lang")
+    )
