@@ -3148,6 +3148,33 @@ class LakehouseTable:
             "n_delete_files int, summary map<string,string>",
         )
 
+    def manifests_df(self, spark: SparkSession) -> DataFrame:
+        """Iceberg `table.manifests` metadata-table parity: one row per
+        delta manifest (path, length, adding snapshot, entry counts) —
+        driver-side metadata only. Legacy inline-list snapshots surface
+        with a null path."""
+        meta = self.metadata()
+        rows = []
+        for s in meta["snapshots"]:
+            d, dl = self._load_manifest(s)
+            path = s.get("manifest")
+            rows.append(
+                (
+                    path,
+                    os.path.getsize(os.path.join(self.root, path))
+                    if path
+                    else None,
+                    s["snapshot_id"],
+                    len(d),
+                    len(dl),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, added_snapshot_id string, "
+            "added_data_files_count int, added_delete_files_count int",
+        )
+
     def refs_df(self, spark: SparkSession) -> DataFrame:
         """Iceberg `table.refs` metadata-table parity: one row per named
         branch/tag with its head snapshot — what external tooling lists

@@ -238,3 +238,20 @@ def test_position_deletes_df(spark, catalog):
     # empty cases
     t2 = catalog.create_table("default.posdel2", SCHEMA)
     assert t2.position_deletes_df(spark).count() == 0
+
+
+def test_manifests_df(spark, catalog):
+    t = catalog.create_table("default.mfs", SCHEMA)
+    t.append(_df(spark, 0, 30).repartition(2))
+    t.append(_df(spark, 30, 40).coalesce(1))
+    t.delete_where(spark, "id = 5", key_cols=["id"])
+    df = t.manifests_df(spark)
+    rows = df.collect()
+    assert len(rows) == 3  # one per snapshot
+    by_snap = {r.added_snapshot_id: r for r in rows}
+    sids = [s["snapshot_id"] for s in t.metadata()["snapshots"]]
+    assert set(by_snap) == set(sids)
+    assert by_snap[sids[0]].added_data_files_count == 2
+    assert by_snap[sids[1]].added_data_files_count == 1
+    assert by_snap[sids[2]].added_delete_files_count >= 1
+    assert all(r.length > 0 for r in rows if r.path)
