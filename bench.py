@@ -478,7 +478,14 @@ def main() -> None:
     # committed side file and the stdout line carries a curated headline
     # subset, size-guarded to stay parseable whatever the suite grows to.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+    # subset runs (SPARK_GRAFT_BENCH_QUERIES) are local iteration tools —
+    # they must never clobber the committed full-suite artifacts (this
+    # bit round 10: a one-query re-measure overwrote BENCH_MEANS)
+    subset_run = bool(os.environ.get("SPARK_GRAFT_BENCH_QUERIES"))
+    full_path = os.path.join(
+        here, "BENCH_SUBSET.json" if subset_run else "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
         json.dump(
             {
                 "metric": "suite_total_seconds",
@@ -498,10 +505,11 @@ def main() -> None:
             fh,
         )
     # kept for round-over-round tooling that already reads it
-    with open(os.path.join(here, "BENCH_MEANS.json"), "w") as fh:
-        json.dump(
-            {"queries_mean": means, "runs_per_query": 3, "sf": sf}, fh
-        )
+    if not subset_run:
+        with open(os.path.join(here, "BENCH_MEANS.json"), "w") as fh:
+            json.dump(
+                {"queries_mean": means, "runs_per_query": 3, "sf": sf}, fh
+            )
     headline = [
         # end-to-end ingestion + the analytics/curation flagships the
         # verdicts track round-over-round
