@@ -834,10 +834,19 @@ def docs_bpe_token_stats(spark, sf_dir):
 )
 def docs_temperature_mix(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    stats = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sqrt(F.count(F.lit(1))).cast("decimal(28,10)").alias("w"),
+    # ONE corpus scan computes the per-language sizes; the handful of
+    # rows (bounded by #languages) collects and the threshold arithmetic
+    # re-runs over a local frame — without this, the stats lineage feeds
+    # both the total and the thresholds and the corpus is scanned 3×
+    stats_rows = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sqrt(F.count(F.lit(1))).cast("decimal(28,10)").alias("w"),
+        )
+        .collect()
     )
+    stats = spark.createDataFrame(stats_rows, "lang string, n bigint, w decimal(28,10)")
     tot = stats.agg(
         F.sum("n").cast("double").alias("total"),
         F.sum("w").cast("double").alias("s"),
