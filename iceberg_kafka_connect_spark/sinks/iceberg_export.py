@@ -1411,8 +1411,10 @@ def export_iceberg_metadata(
                             "partition": {},
                             # spec: record_count = the DV's cardinality
                             "record_count": fentry.get("cardinality", 0),
-                            "file_size_in_bytes": fentry.get("bytes")
-                            or os.path.getsize(path),
+                            # field 104 is the TOTAL size of the (possibly
+                            # shared) puffin file; the blob's own extent
+                            # rides content_offset/content_size_in_bytes
+                            "file_size_in_bytes": os.path.getsize(path),
                             # must equal the data entry's file_path exactly
                             "referenced_data_file": "file://" + ref_abs,
                             "content_offset": int(fentry["content_offset"]),
@@ -1693,16 +1695,29 @@ def export_iceberg_metadata(
             op = "overwrite"
         # v3: the snapshot's starting row id = the smallest range this
         # snapshot's ADDED files claimed (the spec assigns it at commit;
-        # our per-file claims make it the min of their first_row_ids)
+        # our per-file claims make it the min of their first_row_ids).
+        # A snapshot adding NO data files (delete/replace-only) still
+        # carries the field — the spec assigns it the next-row-id that
+        # was current at commit, which under contiguous per-file claims
+        # is the highest (first_row_id + record_count) among the files
+        # live at this snapshot.
         frids = [
             e["data_file"]["first_row_id"]
             for e in added_data
             if e["data_file"].get("first_row_id") is not None
         ]
+        if fv >= 3 and not frids:
+            claimed = [
+                e["data_file"]["first_row_id"]
+                + e["data_file"]["record_count"]
+                for e in all_data_entries
+                if e["data_file"].get("first_row_id") is not None
+            ]
+            frids = [max(claimed)] if claimed else [0]
         snapshot_json = {
             "snapshot-id": sid,
             "sequence-number": seq,
-            **({"first-row-id": min(frids)} if fv >= 3 and frids else {}),
+            **({"first-row-id": min(frids)} if fv >= 3 else {}),
             "timestamp-ms": snap_x["timestamp_ms"],
             "manifest-list": "file://" + os.path.abspath(list_path),
             "summary": {
@@ -2053,6 +2068,14 @@ def export_iceberg_metadata(
         import pyarrow.parquet as pq
 
         pkeys = sorted({k for r in rows for k in r["partition"]})
+        if not pkeys:
+            # unpartitioned table: the unified partition tuple is an
+            # empty struct, which parquet cannot represent — and a
+            # single-row "partition stats" file carries nothing the
+            # snapshot summary doesn't. Keep the internal entry, skip
+            # the export (matching engines that only compute partition
+            # stats for partitioned tables).
+            continue
         pspath = os.path.join(
             tree_dir, f"partition-stats-{shex[:12]}.parquet"
         )
@@ -2065,9 +2088,7 @@ def export_iceberg_metadata(
                             for r in rows
                         ],
                         pa.struct([(k, pa.string()) for k in pkeys]),
-                    )
-                    if pkeys
-                    else pa.nulls(len(rows), pa.struct([])),
+                    ),
                     "spec_id": pa.array(
                         [r["spec_id"] for r in rows], pa.int32()
                     ),
