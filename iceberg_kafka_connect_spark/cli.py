@@ -237,6 +237,18 @@ def table_main(argv: list[str]) -> int:
     ei.add_argument(
         "--out", help="metadata output dir (default <table>/iceberg-metadata)"
     )
+    ei.add_argument(
+        "--validate",
+        action="store_true",
+        help="run the spec validator over the exported tree (fails on "
+        "any violation)",
+    )
+    va = sub.add_parser("validate-export")
+    va.add_argument(
+        "--metadata",
+        help="an exported metadata.json to validate (default: export "
+        "fresh, then validate)",
+    )
     ii = sub.add_parser("import-iceberg")
     ii.add_argument(
         "--source",
@@ -494,6 +506,27 @@ def table_main(argv: list[str]) -> int:
 
         path = export_iceberg_metadata(t, out_dir=args.out)
         out = {"metadata_json": path}
+        if args.validate:
+            from .sinks.spec_validator import validate_exported_tree
+
+            violations = validate_exported_tree(path)
+            out["spec_violations"] = violations
+            if violations:
+                print(json.dumps(out, indent=2))
+                return 1
+    elif args.action == "validate-export":
+        from .sinks.spec_validator import validate_exported_tree
+
+        path = args.metadata
+        if not path:
+            from .sinks.iceberg_export import export_iceberg_metadata
+
+            path = export_iceberg_metadata(t)
+        violations = validate_exported_tree(path)
+        out = {"metadata_json": path, "spec_violations": violations}
+        if violations:
+            print(json.dumps(out, indent=2))
+            return 1
     elif args.action == "mirror":
         from .streaming.replicate import mirror_changes
 

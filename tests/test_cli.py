@@ -518,3 +518,38 @@ def test_cli_compute_statistics(spark, tmp_path, capsys):
     )
     out = run("compute-statistics", "--k", "512", "--incremental")
     assert out["id"] == 400 and out["g"] == 17
+
+
+def test_cli_validate_export(spark, tmp_path, capsys):
+    import json as _json
+
+    from iceberg_kafka_connect_spark.cli import main
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from pyspark.sql import types as T
+
+    wh = str(tmp_path / "wh")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = Catalog(wh).create_table("default.ve", schema)
+    t.append(spark.createDataFrame([(1, 0), (2, 1)], schema))
+
+    def run(*argv):
+        rc = main(
+            ["table", "--warehouse", wh, "--name", "default.ve", *argv]
+        )
+        return rc, _json.loads(capsys.readouterr().out.strip())
+
+    rc, out = run("validate-export")
+    assert rc == 0 and out["spec_violations"] == []
+    # export --validate also sweeps and reports
+    rc, out = run("export-iceberg", "--validate")
+    assert rc == 0 and out["spec_violations"] == []
+    # corrupt: point current-snapshot-id at nothing → non-zero exit
+    md = _json.loads(open(out["metadata_json"]).read())
+    md["current-snapshot-id"] = 1234
+    with open(out["metadata_json"], "w") as f:
+        _json.dump(md, f)
+    rc, bad = run("validate-export", "--metadata", out["metadata_json"])
+    assert rc == 1
+    assert any("current-snapshot-id" in v for v in bad["spec_violations"])
