@@ -298,6 +298,22 @@ def table_main(argv: list[str]) -> int:
             )
         )
         return 0
+    if args.action == "validate-export" and args.metadata:
+        # standalone sweep of an existing exported metadata.json — the
+        # only input is the file, no live table needed
+        from .sinks.spec_validator import validate_exported_tree
+
+        violations = validate_exported_tree(args.metadata)
+        print(
+            json.dumps(
+                {
+                    "metadata_json": args.metadata,
+                    "spec_violations": violations,
+                },
+                indent=2 if violations else None,
+            )
+        )
+        return 1 if violations else 0
     t = catalog.load_table(args.name)
     out: object
     if args.action == "refresh-iceberg":
@@ -515,13 +531,12 @@ def table_main(argv: list[str]) -> int:
                 print(json.dumps(out, indent=2))
                 return 1
     elif args.action == "validate-export":
+        # --metadata short-circuits before the table load above; here:
+        # export fresh, then sweep
+        from .sinks.iceberg_export import export_iceberg_metadata
         from .sinks.spec_validator import validate_exported_tree
 
-        path = args.metadata
-        if not path:
-            from .sinks.iceberg_export import export_iceberg_metadata
-
-            path = export_iceberg_metadata(t)
+        path = export_iceberg_metadata(t)
         violations = validate_exported_tree(path)
         out = {"metadata_json": path, "spec_violations": violations}
         if violations:

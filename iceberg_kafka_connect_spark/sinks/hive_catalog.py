@@ -90,11 +90,35 @@ class _HmsClient:
         except OSError:
             pass
 
+    def _reset(self):
+        try:
+            if self._sock is not None:
+                self._rf.close()
+                self._sock.close()
+        except OSError:
+            pass
+        self._sock = None
+        self._rf = None
+
     def call(self, name: str, args: dict):
+        # one transparent reconnect: the server drops the connection on
+        # any protocol error (and a restarted HMS drops everything) —
+        # without this, one dropped socket poisons the long-lived
+        # catalog handle for every later micro-batch
+        try:
+            rname, mtype, seqid, fields = self._call_once(name, args)
+        except (OSError, EOFError, tp.ThriftProtocolError):
+            self._reset()
+            rname, mtype, seqid, fields = self._call_once(name, args)
+        return self._postprocess(name, rname, mtype, seqid, fields)
+
+    def _call_once(self, name: str, args: dict):
         self._connect()
         self._seq += 1
         self._sock.sendall(tp.encode_message(name, tp.CALL, self._seq, args))
-        rname, mtype, seqid, fields = tp.decode_message(self._rf)
+        return tp.decode_message(self._rf)
+
+    def _postprocess(self, name, rname, mtype, seqid, fields):
         if mtype == tp.EXCEPTION:
             raise HiveThriftError(
                 f"{name}: TApplicationException {fields.get(1)}"

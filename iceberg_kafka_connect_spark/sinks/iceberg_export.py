@@ -1301,6 +1301,24 @@ def export_iceberg_metadata(
         s["snapshot_id"]: _export_snapshot_id(s)
         for s in meta.get("snapshots", [])
     }
+    # v3: per-snapshot row-id high-water mark = the next-row-id that was
+    # current when the snapshot committed. Claims only grow, so it is
+    # max(parent's mark, this snapshot's own claims) — one forward pass
+    # (snapshots are append-ordered, parents first). Needed for the
+    # first-row-id of snapshots adding NO data files (delete/truncate):
+    # deriving it from live files would DECREASE after a file-removing
+    # snapshot, violating the spec's monotone row-id assignment.
+    rowid_hw: dict[str, int] = {}
+    if fv >= 3:
+        for s in meta.get("snapshots", []):
+            base = rowid_hw.get(s.get("parent") or "", 0)
+            d_added, _ = table._load_manifest(s)
+            for fe in d_added:
+                fr = fe.get("first_row_id")
+                nr = (fe.get("stats") or {}).get("rows")
+                if fr is not None and nr is not None:
+                    base = max(base, fr + int(nr))
+            rowid_hw[s["snapshot_id"]] = base
 
     def _snapshot_tree(snap_x: dict) -> dict:
         """Export one snapshot's manifests + manifest list; returns its
@@ -1707,13 +1725,7 @@ def export_iceberg_metadata(
             if e["data_file"].get("first_row_id") is not None
         ]
         if fv >= 3 and not frids:
-            claimed = [
-                e["data_file"]["first_row_id"]
-                + e["data_file"]["record_count"]
-                for e in all_data_entries
-                if e["data_file"].get("first_row_id") is not None
-            ]
-            frids = [max(claimed)] if claimed else [0]
+            frids = [rowid_hw.get(snap_x["snapshot_id"], 0)]
         snapshot_json = {
             "snapshot-id": sid,
             "sequence-number": seq,
@@ -2108,8 +2120,16 @@ def export_iceberg_metadata(
                     "last_updated_at": pa.array(
                         [r["last_updated_at"] for r in rows], pa.int64()
                     ),
+                    # per-row attribution: the snapshot that last changed
+                    # THAT partition, remapped to its exported int id
                     "last_updated_snapshot_id": pa.array(
-                        [ext_sid] * len(rows), pa.int64()
+                        [
+                            hex_to_int.get(
+                                r["last_updated_snapshot_id"], ext_sid
+                            )
+                            for r in rows
+                        ],
+                        pa.int64(),
                     ),
                 }
             ),

@@ -201,8 +201,20 @@ def validate_exported_tree(metadata_path: str) -> list[str]:
                 )
         if "summary" in s and "operation" not in s["summary"]:
             errs.append(f"snapshot {sid} summary lacks operation")
-        if fv >= 3 and s.get("first-row-id") is None:
-            errs.append(f"v3 snapshot {sid} lacks first-row-id")
+        if fv >= 3:
+            if s.get("first-row-id") is None:
+                errs.append(f"v3 snapshot {sid} lacks first-row-id")
+            elif parent in snaps and snaps[parent].get(
+                "first-row-id"
+            ) is not None and s["first-row-id"] < snaps[parent][
+                "first-row-id"
+            ]:
+                errs.append(
+                    f"v3 snapshot {sid} first-row-id "
+                    f"{s['first-row-id']} decreases below its parent's "
+                    f"{snaps[parent]['first-row-id']} (row-id assignment "
+                    "is monotone)"
+                )
     for ref, r in (md.get("refs") or {}).items():
         if r.get("snapshot-id") not in snaps:
             errs.append(f"ref {ref!r} points to an unknown snapshot")
@@ -312,6 +324,11 @@ def _validate_manifest(
     m_content = m_meta.get("content")
     if isinstance(m_content, bytes):
         m_content = m_content.decode()
+    if m_content not in ("data", "deletes"):
+        errs.append(
+            f"{where}: content metadata must be data|deletes, got "
+            f"{m_content!r}"
+        )
     for e in entries:
         st = e.get("status")
         if st not in (0, 1, 2):
@@ -325,6 +342,17 @@ def _validate_manifest(
         content = df.get("content", 0)
         if content not in (0, 1, 2):
             errs.append(f"{where}: data_file content {content} invalid")
+        # manifest content vs entry content consistency: a data manifest
+        # holds only data files, a deletes manifest only delete files
+        if m_content == "data" and content != 0:
+            errs.append(
+                f"{where}: delete entry (content={content}) inside a "
+                "data manifest"
+            )
+        if m_content == "deletes" and content == 0:
+            errs.append(
+                f"{where}: data entry inside a deletes manifest"
+            )
         fmt = (df.get("file_format") or "").upper()
         if fmt not in ("PARQUET", "ORC", "AVRO", "PUFFIN"):
             errs.append(f"{where}: file_format {fmt!r} invalid")

@@ -4348,10 +4348,19 @@ class LakehouseTable:
             raise ValueError("no snapshot to compute partition stats for")
         sid = snap["snapshot_id"]
 
+        # seq → (snapshot-id, timestamp): attributes each partition's
+        # last_updated_* to the snapshot that actually last added a file
+        # to it (the spec's definition), not to the computing snapshot
+        seq_to_snap = {
+            s["sequence_number"]: (s["snapshot_id"], s["timestamp_ms"])
+            for s in meta.get("snapshots", [])
+        }
+
         def _fold(acc: dict, files: list[dict]) -> None:
+            # per partition: [rows, files, bytes, max file seq]
             for f in files:
                 key = self._file_partition_tuple(f)
-                cur = acc.setdefault(key, [0, 0, 0])  # rows, files, bytes
+                cur = acc.setdefault(key, [0, 0, 0, None])
                 st = f.get("stats")
                 if cur[0] >= 0:
                     cur[0] = cur[0] + st["rows"] if st and st.get(
@@ -4359,6 +4368,11 @@ class LakehouseTable:
                     ) is not None else -1
                 cur[1] += 1
                 cur[2] += int(f.get("bytes") or 0)
+                fseq = f.get("seq")
+                if fseq is not None and (
+                    cur[3] is None or fseq > cur[3]
+                ):
+                    cur[3] = fseq
 
         acc: dict | None = None
         if mode == "incremental":
@@ -4384,31 +4398,79 @@ class LakehouseTable:
                     cur = self._snapshot_by_id(meta, pid) if pid else None
                 if ok and cur is not None:
                     acc = {}
+                    base_last = {}
                     for r in self._read_partition_stats_file(base):
                         key = tuple(sorted(r["partition"].items()))
+                        # seq None: untouched partitions KEEP the base
+                        # entry's last_updated_* (the spec attributes
+                        # them to the snapshot that last changed the
+                        # partition, not to the refresh)
                         acc[key] = [
                             r["data_record_count"],
                             r["data_file_count"],
                             r["total_data_file_size_in_bytes"],
+                            None,
                         ]
+                        base_last[key] = (
+                            r["last_updated_snapshot_id"],
+                            r["last_updated_at"],
+                        )
                     _fold(acc, new_files)
         if acc is None:
+            base_last = {}
             data_files, _ = self._live_files(meta, snap)
             acc = {}
             _fold(acc, data_files)
 
-        rows = [
-            {
-                "partition": dict(key),
-                "spec_id": 0,
-                "data_record_count": v[0],
-                "data_file_count": v[1],
-                "total_data_file_size_in_bytes": v[2],
-                "last_updated_at": snap["timestamp_ms"],
-                "last_updated_snapshot_id": sid,
-            }
-            for key, v in sorted(acc.items())
+        # spec ids follow the exporter's convention: 0 = current spec,
+        # 2+ = retired generations (partition evolution) — resolved by
+        # matching the partition tuple's field-name set
+        def _spec_names(spec_json: list[dict]) -> tuple[str, ...]:
+            return tuple(
+                sorted(
+                    PartitionField.from_json(d).name for d in spec_json
+                )
+            )
+
+        cur_names = _spec_names(meta.get("partition_spec") or [])
+        hist_names = [
+            _spec_names(h)
+            for h in meta.get("partition_spec_history") or []
         ]
+
+        def _spec_id(key: tuple) -> int:
+            names = tuple(sorted(k for k, _ in key))
+            if names == cur_names:
+                return 0
+            for j, h in enumerate(hist_names):
+                if names == h:
+                    return 2 + j
+            return 0
+
+        def _last(key: tuple, v: list) -> tuple[str, int]:
+            if v[3] is None:
+                got = base_last.get(key)
+                if got:
+                    return got
+                return sid, snap["timestamp_ms"]
+            got = seq_to_snap.get(v[3])
+            # expired adding snapshot: the head is the best attribution
+            return got if got else (sid, snap["timestamp_ms"])
+
+        rows = []
+        for key, v in sorted(acc.items()):
+            lsid, lts = _last(key, v)
+            rows.append(
+                {
+                    "partition": dict(key),
+                    "spec_id": _spec_id(key),
+                    "data_record_count": v[0],
+                    "data_file_count": v[1],
+                    "total_data_file_size_in_bytes": v[2],
+                    "last_updated_at": lts,
+                    "last_updated_snapshot_id": lsid,
+                }
+            )
         rel = os.path.join(
             "metadata", f"partition-stats-{sid}-{uuid.uuid4().hex[:8]}.parquet"
         )

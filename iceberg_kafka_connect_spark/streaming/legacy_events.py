@@ -205,6 +205,11 @@ def decode_legacy_event(data: bytes) -> dict:
 
     Returns ``{id, type, timestamp_ms, group_id, payload_type,
     payload}`` with the payload as plain python (record → dict)."""
+    if len(data) < 4:
+        raise LegacyEventError(
+            f"event too short ({len(data)} bytes) for magic + writeUTF "
+            "header"
+        )
     if data[:2] != MAGIC:
         raise LegacyEventError(
             f"Unrecognized header bytes: 0x{data[0]:02X} 0x{data[1]:02X}"
@@ -213,7 +218,13 @@ def decode_legacy_event(data: bytes) -> dict:
     # java writeUTF: u16 big-endian byte length, then (modified) UTF-8 —
     # avro schema JSON is ASCII so the modified encoding is plain UTF-8
     (slen,) = struct.unpack("!H", buf.read(2))
-    schema = json.loads(buf.read(slen).decode())
+    sjson = buf.read(slen)
+    if len(sjson) != slen:
+        raise LegacyEventError("truncated writeUTF schema header")
+    try:
+        schema = json.loads(sjson.decode())
+    except (ValueError, UnicodeDecodeError) as e:
+        raise LegacyEventError(f"embedded schema is not JSON: {e}") from None
     datum = decode_datum(buf, schema)
     if buf.read(1):
         raise LegacyEventError("trailing bytes after event datum")

@@ -758,7 +758,11 @@ def funnel_stream_replay(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "replay micro-batch run did not finish in 600s"
+            )
     out = spark.createDataFrame(
         [(int(d),) for d in depths.values()], "depth int"
     )
@@ -853,7 +857,11 @@ def stream_interval_join_replay(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "replay micro-batch run did not finish in 600s"
+            )
     return spark.createDataFrame(
         [(int(acc[0]), int(acc[1]))], "n_pairs bigint, sum_ids bigint"
     )

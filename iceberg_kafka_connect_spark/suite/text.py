@@ -813,11 +813,14 @@ def docs_bpe_token_stats(spark, sf_dir):
         FROM stats
     ),
     thr AS (
+        -- p >= 1 means KEEP EVERYTHING: 'g' sorts above every hex char,
+        -- so no md5 prefix (not even 'ffffffff') is excluded
         SELECT lang, n,
-               LPAD(LOWER(TO_HEX(LEAST(CAST(FLOOR(
-                   LEAST(1.0, 0.6 * total * SQRT(n) / (s * n))
-                   * 4294967296.0) AS BIGINT), 4294967295))), 8, '0')
-                   AS h
+               CASE WHEN 0.6 * total * SQRT(n) / (s * n) >= 1.0 THEN 'g'
+                    ELSE LPAD(LOWER(TO_HEX(CAST(FLOOR(
+                        (0.6 * total * SQRT(n) / (s * n))
+                        * 4294967296.0) AS BIGINT))), 8, '0')
+               END AS h
         FROM stats, tot
     )
     SELECT d.lang, CAST(t.n AS BIGINT) AS n_total,
@@ -855,29 +858,27 @@ def docs_temperature_mix(spark, sf_dir):
         stats.crossJoin(F.broadcast(tot))
         .withColumn(
             "p",
-            F.least(
-                F.lit(1.0),
-                F.lit(0.6)
-                * F.col("total")
-                * F.sqrt("n")
-                / (F.col("s") * F.col("n")),
-            ),
+            F.lit(0.6)
+            * F.col("total")
+            * F.sqrt("n")
+            / (F.col("s") * F.col("n")),
         )
         .withColumn(
             "h",
-            F.lpad(
-                F.lower(
-                    F.hex(
-                        F.least(
-                            F.floor(F.col("p") * F.lit(4294967296.0)).cast(
-                                "bigint"
-                            ),
-                            F.lit(4294967295),
+            # p >= 1 means KEEP EVERYTHING: 'g' sorts above every hex
+            # char, so no md5 prefix (not even 'ffffffff') is excluded
+            F.when(F.col("p") >= 1.0, F.lit("g")).otherwise(
+                F.lpad(
+                    F.lower(
+                        F.hex(
+                            F.floor(
+                                F.col("p") * F.lit(4294967296.0)
+                            ).cast("bigint")
                         )
-                    )
-                ),
-                8,
-                "0",
+                    ),
+                    8,
+                    "0",
+                )
             ),
         )
         .select("lang", "n", "h")

@@ -223,3 +223,16 @@ def test_pipeline_e2e_via_hive_catalog(spark, srv, tmp_path):
     got = cat.load_table("db.e2e").read(spark)
     assert got.count() == 45
     assert got.filter("id = 36").collect()[0].v == 36 % 7
+
+
+def test_client_reconnects_after_dropped_connection(spark, srv, tmp_path):
+    """A dropped socket must not poison the long-lived catalog handle:
+    the next call transparently reconnects (a restarted HMS or a
+    server-side protocol drop is routine in a streaming pipeline)."""
+    cat = _cat(srv, tmp_path)
+    df = spark.range(0, 5).selectExpr("id")
+    cat.create_table("db.rc", df.schema)
+    # kill the client's socket out from under it
+    cat._client._sock.close()
+    assert cat.table_exists("db.rc")  # reconnects and answers
+    assert cat.list_tables("db") == ["db.rc"]

@@ -139,3 +139,12 @@ def test_drain_dataframe_job(spark):
     assert {r.group_id for r in ok} == {"cg-a", "cg-b"}
     assert all(r.payload_type == "CommitRequestPayload" for r in ok)
     assert json.loads(ok[0].payload_json)  # payload survives as JSON
+
+
+def test_short_and_truncated_inputs_raise_contract_error():
+    """Every malformed input raises LegacyEventError, never IndexError /
+    struct.error — the documented contract for direct callers."""
+    for bad in (b"", b"\xc2", b"\xc2\x01", b"\xc2\x01\x00",
+                b"\xc2\x01\x00\x05abc", b"\xc2\x01\x00\x02[]"):
+        with pytest.raises(LegacyEventError):
+            decode_legacy_event(bad)

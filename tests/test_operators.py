@@ -1162,3 +1162,42 @@ def test_mmr_rerank_preserves_id_types(spark):
     assert len(got) == 3
     assert {r.query_id for r in got} == {"q1"}
     assert got[0].rank == 1 and got[0].neighbor_id == "d0"
+
+
+def test_temperature_mix_full_inclusion_branch(spark, tmp_path):
+    """A tail language whose temperature weight drives p >= 1 keeps ALL
+    its documents (threshold 'g' sorts above every hex md5 prefix), and
+    the Spark side still matches the DuckDB oracle bit-for-bit on the
+    synthetic skew that exercises that branch."""
+    import duckdb
+
+    from iceberg_kafka_connect_spark.suite import load_all
+
+    rows = [(i, f"t{i}", "en", "s", 10) for i in range(1000)] + [
+        (10_000 + i, f"x{i}", "xx", "s", 10) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spec = load_all()["docs_temperature_mix"]
+    got = {
+        r.lang: (r.n_total, r.n_sampled, r.sum_sampled_ids)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    # p_xx = 0.6·1004·√4/(S·4) ≈ 8.96 ≥ 1 → full inclusion
+    assert got["xx"] == (4, 4, sum(10_000 + i for i in range(4)))
+    assert 0 < got["en"][1] < 1000  # en genuinely downsampled
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(spec.oracle).fetchall()
+    }
+    assert got == want

@@ -163,3 +163,53 @@ def test_partition_stats_survive_export_import(spark, tmp_path):
         for r in rows
     }
     assert key(got) == key(want)
+
+
+def test_incremental_attribution_and_spec_ids(spark, tmp_path):
+    """last_updated_* names the snapshot that last added files to THAT
+    partition — untouched partitions keep their base attribution through
+    an incremental refresh — and spec_id reflects the spec generation a
+    partition's layout belongs to."""
+    df0 = spark.range(0, 100).selectExpr(
+        "id", "cast(id % 3 as string) grp", "id % 7 v"
+    )
+    t = LakehouseTable.create(
+        str(tmp_path / "attr"), df0.schema, partition_by=["grp"]
+    )
+    t.append(df0)
+    s1 = t.current_snapshot()["snapshot_id"]
+    t.compute_partition_statistics()
+    # second append touches ONLY grp=9 (new partition value)
+    t.append(
+        spark.range(1000, 1020).selectExpr(
+            "id", "cast(9 as string) grp", "id % 7 v"
+        )
+    )
+    s2 = t.current_snapshot()["snapshot_id"]
+    rows = t.compute_partition_statistics(mode="incremental")
+    by_grp = {r["partition"]["grp"]: r for r in rows}
+    for g in ("0", "1", "2"):
+        assert by_grp[g]["last_updated_snapshot_id"] == s1
+    assert by_grp["9"]["last_updated_snapshot_id"] == s2
+    # full rebuild attributes identically (from file seq numbers)
+    full = {
+        r["partition"]["grp"]: r["last_updated_snapshot_id"]
+        for r in t.compute_partition_statistics()
+    }
+    assert full == {
+        g: r["last_updated_snapshot_id"] for g, r in by_grp.items()
+    }
+    # spec evolution: files under the NEW layout carry a retired/current
+    # spec id split per the exporter's convention (current=0, retired=2+)
+    t.update_partition_spec(["bucket(id, 4)"])
+    t.append(
+        spark.range(2000, 2040).selectExpr(
+            "id", "cast(id % 3 as string) grp", "id % 7 v"
+        )
+    )
+    rows2 = t.compute_partition_statistics()
+    sids = {
+        tuple(sorted(r["partition"])): r["spec_id"] for r in rows2
+    }
+    assert any(v == 0 for k, v in sids.items() if "grp" not in k)
+    assert all(v != 0 for k, v in sids.items() if k == ("grp",))

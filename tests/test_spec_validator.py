@@ -148,3 +148,37 @@ def test_validator_catches_truncated_data_file(exported):
     assert any("file_size_in_bytes" in e for e in errs)
     os.truncate(fp, os.path.getsize(fp) - 1)
     assert validate_exported_tree(exported) == []
+
+
+def test_v3_delete_only_snapshot_first_row_id_monotone(spark, tmp_path):
+    """A file-REMOVING v3 snapshot (rewrite dropping rows) must export a
+    first-row-id >= its parent's (the next-row-id at commit), and the
+    validator flags a decreasing one."""
+    from iceberg_kafka_connect_spark.sinks.table import LakehouseTable
+
+    t = LakehouseTable.create(
+        str(tmp_path / "mono"), SCHEMA,
+        properties={"format-version": "3"},
+    )
+    t.append(_df(spark, 0, 100).coalesce(1))
+    t.append(_df(spark, 100, 200).coalesce(1))
+    t.delete_where(spark, "id >= 0", key_cols=["id"])  # delete-only snap
+    out = export_iceberg_metadata(t)
+    assert validate_exported_tree(out) == []
+    md = json.loads(open(out).read())
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    frids = []
+    for s in md["snapshots"]:
+        frids.append(s["first-row-id"])
+        p = s.get("parent-snapshot-id")
+        if p in by_id:
+            assert s["first-row-id"] >= by_id[p]["first-row-id"]
+    # the delete-only head carries the high-water mark, not 0
+    assert frids[-1] == 200
+    # validator non-vacuous for this rule: lower the head's below parent
+    _mutate(
+        out,
+        lambda m: m["snapshots"][-1].update({"first-row-id": 0}),
+    )
+    errs = validate_exported_tree(out)
+    assert any("monotone" in e for e in errs)
