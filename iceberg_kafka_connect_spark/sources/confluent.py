@@ -1,0 +1,674 @@
+"""Confluent wire-format converters: Avro / JSON-Schema / Protobuf.
+
+The reference connector consumes structs the Kafka Connect framework has
+already deserialized; its docs delegate that step to "the appropriate
+Kafka Connect converter" (`README.md:77`). On real clusters those are
+Confluent's converters, whose wire format is::
+
+    byte 0      magic 0x00
+    bytes 1-4   schema id, big-endian uint32
+    bytes 5+    payload (Avro binary / UTF-8 JSON / Protobuf message)
+
+Protobuf payloads additionally carry a *message-indexes* prefix after the
+schema id (a zigzag-varint count followed by that many zigzag-varint
+indexes, locating the message within the registered .proto file; the
+overwhelmingly common ``[0]`` — first top-level message — is serialized
+as the single byte ``0x00``).
+
+Spark-first split:
+- **JSON-Schema** records decode entirely JVM-side: strip the 5-byte
+  header with ``substring`` on the binary column, ``decode`` to UTF-8 and
+  ``from_json`` with the reader schema — whole-stage codegen, no Python.
+- **Avro / Protobuf** decode rides ``mapInPandas`` (Arrow batches): the
+  payloads are length-prefixed binary with per-record writer-schema ids,
+  which Spark's built-ins cannot interpret. Writer schemas resolve
+  against the registry with a per-executor cache (one HTTP fetch per
+  schema id per worker process — the standard consumer pattern), or from
+  a pre-fetched ``schemas`` dict for hermetic runs.
+
+Schema evolution follows Avro resolution: each record decodes with its
+OWN writer schema, then projects to the reader schema — reader fields
+missing from the writer fill with the reader default, writer fields
+unknown to the reader drop. Proto3 semantics are honored likewise:
+default-valued fields are omitted on encode and refilled on decode, and
+unknown field numbers are skipped by wire type.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sinks.avro_io import spark_to_avro_schema
+from ..streaming.legacy_events import decode_datum, encode_datum
+
+MAGIC = 0
+
+
+class WireFormatError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------ framing
+def frame(schema_id: int, payload: bytes) -> bytes:
+    return bytes([MAGIC]) + schema_id.to_bytes(4, "big") + payload
+
+
+def unframe(data: bytes) -> tuple[int, bytes]:
+    if len(data) < 5 or data[0] != MAGIC:
+        raise WireFormatError(
+            f"bad wire header: {data[:5].hex() if data else '<empty>'}"
+        )
+    return int.from_bytes(data[1:5], "big"), data[5:]
+
+
+def _zz_write(buf: io.BytesIO, v: int) -> None:
+    n = (v << 1) ^ (v >> 63)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def _zz_read(buf: io.BytesIO) -> int:
+    n, shift = 0, 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise WireFormatError("truncated varint")
+        n |= (b[0] & 0x7F) << shift
+        if not (b[0] & 0x80):
+            break
+        shift += 7
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_message_indexes(indexes: list[int]) -> bytes:
+    """Confluent protobuf message-indexes block; ``[0]`` optimizes to one
+    zero byte (the format's special case for the first message)."""
+    if indexes == [0]:
+        return b"\x00"
+    buf = io.BytesIO()
+    _zz_write(buf, len(indexes))
+    for i in indexes:
+        _zz_write(buf, i)
+    return buf.getvalue()
+
+
+def read_message_indexes(buf: io.BytesIO) -> list[int]:
+    n = _zz_read(buf)
+    if n == 0:
+        return [0]
+    return [_zz_read(buf) for _ in range(n)]
+
+
+# ------------------------------------------------- avro datum <-> row
+def _ts_micros(v: datetime) -> int:
+    if v.tzinfo is not None:
+        v = v.astimezone(timezone.utc).replace(tzinfo=None)
+    return int(
+        (v - datetime(1970, 1, 1)).days * 86_400_000_000
+        + v.hour * 3_600_000_000
+        + v.minute * 60_000_000
+        + v.second * 1_000_000
+        + v.microsecond
+    )
+
+
+def _datum_from_row(schema: dict, row: dict) -> dict:
+    """Project a python row dict onto the avro record schema, applying
+    the logical-type base encodings."""
+    out = {}
+    for f in schema["fields"]:
+        v = row.get(f["name"])
+        if isinstance(v, datetime):
+            v = _ts_micros(v)
+        elif isinstance(v, date):
+            v = (v - date(1970, 1, 1)).days
+        elif isinstance(v, Decimal):
+            unscaled = int(v.scaleb(-v.as_tuple().exponent))
+            length = max(1, (unscaled.bit_length() + 8) // 8)
+            v = unscaled.to_bytes(length, "big", signed=True)
+        out[f["name"]] = v
+    return out
+
+
+def _coerce_to_spark(v: Any, dtype: T.DataType) -> Any:
+    """Decoded avro base value -> python value for the reader column."""
+    if v is None:
+        return None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, (int, float)):
+            return datetime(1970, 1, 1) + timedelta(microseconds=int(v))
+        return v
+    if isinstance(dtype, T.DateType):
+        if isinstance(v, int):
+            return date(1970, 1, 1) + timedelta(days=v)
+        return v
+    if isinstance(dtype, T.DecimalType):
+        if isinstance(v, (bytes, bytearray)):
+            unscaled = int.from_bytes(v, "big", signed=True)
+            return Decimal(unscaled).scaleb(-dtype.scale)
+        return v
+    if isinstance(dtype, T.DoubleType) and isinstance(v, int):
+        return float(v)
+    return v
+
+
+def encode_avro_payload(schema: dict, row: dict) -> bytes:
+    buf = io.BytesIO()
+    encode_datum(buf, schema, _datum_from_row(schema, row))
+    return buf.getvalue()
+
+
+def decode_avro_payload(schema: dict, payload: bytes) -> dict:
+    return decode_datum(io.BytesIO(payload), schema)
+
+
+# per-executor writer-schema cache: one registry fetch per schema id per
+# python worker process (the CachedSchemaRegistryClient pattern)
+_EXECUTOR_SCHEMAS: dict[tuple[str, int], dict] = {}
+
+
+def _resolve_writer_schema(
+    schema_id: int,
+    prefetched: dict[int, dict] | None,
+    registry_url: str | None,
+    token: str | None,
+) -> dict:
+    if prefetched is not None and schema_id in prefetched:
+        return prefetched[schema_id]
+    if registry_url is None:
+        raise WireFormatError(
+            f"schema id {schema_id} not in prefetched schemas and no "
+            "registry url configured"
+        )
+    key = (registry_url, schema_id)
+    hit = _EXECUTOR_SCHEMAS.get(key)
+    if hit is not None:
+        return hit
+    from .registry import SchemaRegistryClient
+
+    client = SchemaRegistryClient(registry_url, token=token)
+    schema = json.loads(client.get_by_id(schema_id)["schema"])
+    _EXECUTOR_SCHEMAS[key] = schema
+    return schema
+
+
+def encode_confluent_avro(
+    df: DataFrame,
+    schema_id: int,
+    avro_schema: dict,
+    value_col: str = "value",
+) -> DataFrame:
+    """Rows -> one framed binary ``value`` column (the producer side;
+    used by gates/tests to build wire-faithful topics). The caller
+    registers the schema (``SchemaRegistryClient.register``) and passes
+    the assigned id — encoding itself is pure and distributed."""
+    import pandas as pd
+
+    fields = [f.name for f in df.schema.fields]
+    header = frame(schema_id, b"")
+
+    def _enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            vals = [
+                header + encode_avro_payload(avro_schema, _clean_row(r))
+                for r in rows
+            ]
+            yield pd.DataFrame({value_col: vals})
+
+    def _clean_row(r: dict) -> dict:
+        import pandas as pd
+
+        out = {}
+        for k in fields:
+            v = r.get(k)
+            if v is None or (
+                not isinstance(v, (list, tuple, dict, bytes, str))
+                and pd.isna(v)
+            ):
+                out[k] = None
+            elif isinstance(v, pd.Timestamp):
+                out[k] = v.to_pydatetime()
+            elif hasattr(v, "item"):  # numpy scalar -> python (exact
+                out[k] = v.item()  # shifts; no silent int64 wrap)
+            else:
+                out[k] = v
+        return out
+
+    return df.mapInPandas(
+        _enc, schema=T.StructType([T.StructField(value_col, T.BinaryType())])
+    )
+
+
+def decode_confluent_avro(
+    df: DataFrame,
+    reader_schema: T.StructType,
+    value_col: str = "value",
+    schemas: dict[int, dict] | None = None,
+    registry_url: str | None = None,
+    token: str | None = None,
+    defaults: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Framed binary column -> typed columns under the reader schema.
+
+    Per-record writer schemas resolve by embedded id — from ``schemas``
+    (pre-fetched, hermetic) or the registry with an executor-side cache.
+    Avro resolution applies: reader-only fields take ``defaults`` (or
+    null), writer-only fields drop.
+    """
+    import pandas as pd
+
+    defaults = defaults or {}
+    rfields = list(reader_schema.fields)
+
+    def _dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in rfields}
+            for raw in pdf[value_col]:
+                sid, payload = unframe(bytes(raw))
+                wschema = _resolve_writer_schema(
+                    sid, schemas, registry_url, token
+                )
+                datum = decode_avro_payload(wschema, payload)
+                for f in rfields:
+                    v = datum.get(f.name, defaults.get(f.name))
+                    cols[f.name].append(_coerce_to_spark(v, f.dataType))
+            out = {}
+            for f in rfields:
+                series = pd.Series(cols[f.name], dtype="object")
+                if isinstance(
+                    f.dataType, (T.TimestampType, T.TimestampNTZType)
+                ):
+                    series = pd.to_datetime(series)
+                out[f.name] = series
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_dec, schema=reader_schema)
+
+
+# ---------------------------------------------------------- json schema
+def json_schema_for(schema: T.StructType) -> dict:
+    """The JSON Schema document JsonSchemaConverter would register."""
+    type_map = {
+        T.StringType: "string",
+        T.BooleanType: "boolean",
+        T.LongType: "integer",
+        T.IntegerType: "integer",
+        T.DoubleType: "number",
+        T.FloatType: "number",
+    }
+    props = {}
+    for f in schema.fields:
+        jt = "string"
+        for cls, name in type_map.items():
+            if isinstance(f.dataType, cls):
+                jt = name
+                break
+        props[f.name] = {"type": jt}
+    return {
+        "type": "object",
+        "properties": props,
+        "additionalProperties": False,
+    }
+
+
+def encode_confluent_json(
+    df: DataFrame, schema_id: int, value_col: str = "value"
+) -> DataFrame:
+    """JVM-only producer twin: ``to_json`` + header concat — whole-stage
+    codegen, no Python worker."""
+    header = F.lit(bytearray(frame(schema_id, b"")))
+    return df.select(
+        F.concat(
+            header, F.encode(F.to_json(F.struct("*")), "UTF-8")
+        ).alias(value_col)
+    )
+
+
+def decode_confluent_json(
+    df: DataFrame,
+    reader_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """JVM-only decode: binary substring past the 5-byte header, UTF-8
+    decode, ``from_json`` under the reader schema. This is the scale
+    path — the whole decode stays inside whole-stage codegen."""
+    body = F.expr(
+        f"substring({value_col}, 6, length({value_col}) - 5)"
+    )
+    parsed = F.from_json(F.decode(body, "UTF-8"), reader_schema)
+    return df.select(parsed.alias("r")).select("r.*")
+
+
+# ------------------------------------------------------------- protobuf
+# descriptor: ordered {field_number: (name, ptype)}; ptype one of
+#   int32 int64 uint64 bool enum sint32 sint64        (varint)
+#   double fixed64 sfixed64                           (64-bit)
+#   float fixed32 sfixed32                            (32-bit)
+#   string bytes                                      (length-delimited)
+#   packed_int64 packed_sint64 packed_double          (packed repeated)
+#   message:<ignored> via ("name", "message", sub_descriptor)
+_WIRE_VARINT, _WIRE_I64, _WIRE_LEN, _WIRE_I32 = 0, 1, 2, 5
+
+_PROTO_DEFAULTS = {
+    "int32": 0,
+    "int64": 0,
+    "uint64": 0,
+    "sint32": 0,
+    "sint64": 0,
+    "bool": False,
+    "enum": 0,
+    "double": 0.0,
+    "float": 0.0,
+    "fixed64": 0,
+    "sfixed64": 0,
+    "fixed32": 0,
+    "sfixed32": 0,
+    "string": "",
+    "bytes": b"",
+}
+
+
+def _uvarint_write(buf: io.BytesIO, n: int) -> None:
+    if n < 0:
+        n &= (1 << 64) - 1  # proto two's-complement 10-byte negatives
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def _uvarint_read(buf: io.BytesIO) -> int:
+    n, shift = 0, 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise WireFormatError("truncated protobuf varint")
+        n |= (b[0] & 0x7F) << shift
+        if not (b[0] & 0x80):
+            return n
+        shift += 7
+        if shift > 70:
+            raise WireFormatError("protobuf varint overflow")
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _signed64(n: int) -> int:
+    return n - (1 << 64) if n >= (1 << 63) else n
+
+
+def encode_proto_message(descriptor: dict, row: dict) -> bytes:
+    """Proto3 encode: default-valued fields are omitted from the wire."""
+    buf = io.BytesIO()
+    for fno, spec in descriptor.items():
+        name, ptype = spec[0], spec[1]
+        v = row.get(name)
+        if v is None:
+            continue
+        if ptype == "message":
+            sub = encode_proto_message(spec[2], v)
+            _uvarint_write(buf, (fno << 3) | _WIRE_LEN)
+            _uvarint_write(buf, len(sub))
+            buf.write(sub)
+            continue
+        if ptype.startswith("packed_"):
+            if not v:
+                continue
+            inner = io.BytesIO()
+            et = ptype[len("packed_"):]
+            for e in v:
+                if et == "double":
+                    inner.write(struct.pack("<d", e))
+                elif et.startswith("sint"):
+                    _uvarint_write(inner, _zigzag(int(e)))
+                else:
+                    _uvarint_write(inner, int(e))
+            _uvarint_write(buf, (fno << 3) | _WIRE_LEN)
+            data = inner.getvalue()
+            _uvarint_write(buf, len(data))
+            buf.write(data)
+            continue
+        if v == _PROTO_DEFAULTS.get(ptype):
+            continue  # proto3: defaults stay off the wire
+        if ptype in ("int32", "int64", "uint64", "enum"):
+            _uvarint_write(buf, (fno << 3) | _WIRE_VARINT)
+            _uvarint_write(buf, int(v))
+        elif ptype in ("sint32", "sint64"):
+            _uvarint_write(buf, (fno << 3) | _WIRE_VARINT)
+            _uvarint_write(buf, _zigzag(int(v)))
+        elif ptype == "bool":
+            _uvarint_write(buf, (fno << 3) | _WIRE_VARINT)
+            _uvarint_write(buf, 1 if v else 0)
+        elif ptype == "double":
+            _uvarint_write(buf, (fno << 3) | _WIRE_I64)
+            buf.write(struct.pack("<d", v))
+        elif ptype in ("fixed64", "sfixed64"):
+            _uvarint_write(buf, (fno << 3) | _WIRE_I64)
+            buf.write(
+                struct.pack("<q" if ptype == "sfixed64" else "<Q", int(v))
+            )
+        elif ptype == "float":
+            _uvarint_write(buf, (fno << 3) | _WIRE_I32)
+            buf.write(struct.pack("<f", v))
+        elif ptype in ("fixed32", "sfixed32"):
+            _uvarint_write(buf, (fno << 3) | _WIRE_I32)
+            buf.write(
+                struct.pack("<i" if ptype == "sfixed32" else "<I", int(v))
+            )
+        elif ptype == "string":
+            raw = str(v).encode()
+            _uvarint_write(buf, (fno << 3) | _WIRE_LEN)
+            _uvarint_write(buf, len(raw))
+            buf.write(raw)
+        elif ptype == "bytes":
+            raw = bytes(v)
+            _uvarint_write(buf, (fno << 3) | _WIRE_LEN)
+            _uvarint_write(buf, len(raw))
+            buf.write(raw)
+        else:
+            raise WireFormatError(f"unsupported proto type {ptype!r}")
+    return buf.getvalue()
+
+
+def decode_proto_message(descriptor: dict, data: bytes) -> dict:
+    """Proto3 decode: missing fields refill with type defaults, unknown
+    field numbers skip by wire type (forward compatibility)."""
+    buf = io.BytesIO(data)
+    out: dict[str, Any] = {}
+    end = len(data)
+    while buf.tell() < end:
+        tag = _uvarint_read(buf)
+        fno, wire = tag >> 3, tag & 7
+        spec = descriptor.get(fno)
+        if spec is None:  # unknown field: skip by wire type
+            if wire == _WIRE_VARINT:
+                _uvarint_read(buf)
+            elif wire == _WIRE_I64:
+                buf.read(8)
+            elif wire == _WIRE_LEN:
+                buf.read(_uvarint_read(buf))
+            elif wire == _WIRE_I32:
+                buf.read(4)
+            else:
+                raise WireFormatError(f"bad wire type {wire}")
+            continue
+        name, ptype = spec[0], spec[1]
+        if ptype == "message":
+            sub = buf.read(_uvarint_read(buf))
+            out[name] = decode_proto_message(spec[2], sub)
+        elif ptype.startswith("packed_"):
+            et = ptype[len("packed_"):]
+            inner = io.BytesIO(buf.read(_uvarint_read(buf)))
+            vals = []
+            n = len(inner.getvalue())
+            while inner.tell() < n:
+                if et == "double":
+                    vals.append(struct.unpack("<d", inner.read(8))[0])
+                elif et.startswith("sint"):
+                    vals.append(_unzigzag(_uvarint_read(inner)))
+                else:
+                    vals.append(_signed64(_uvarint_read(inner)))
+            out[name] = vals
+        elif ptype in ("int32", "int64", "enum"):
+            out[name] = _signed64(_uvarint_read(buf))
+        elif ptype == "uint64":
+            out[name] = _uvarint_read(buf)
+        elif ptype in ("sint32", "sint64"):
+            out[name] = _unzigzag(_uvarint_read(buf))
+        elif ptype == "bool":
+            out[name] = bool(_uvarint_read(buf))
+        elif ptype == "double":
+            out[name] = struct.unpack("<d", buf.read(8))[0]
+        elif ptype == "fixed64":
+            out[name] = struct.unpack("<Q", buf.read(8))[0]
+        elif ptype == "sfixed64":
+            out[name] = struct.unpack("<q", buf.read(8))[0]
+        elif ptype == "float":
+            out[name] = struct.unpack("<f", buf.read(4))[0]
+        elif ptype == "fixed32":
+            out[name] = struct.unpack("<I", buf.read(4))[0]
+        elif ptype == "sfixed32":
+            out[name] = struct.unpack("<i", buf.read(4))[0]
+        elif ptype == "string":
+            out[name] = buf.read(_uvarint_read(buf)).decode()
+        elif ptype == "bytes":
+            out[name] = buf.read(_uvarint_read(buf))
+        else:
+            raise WireFormatError(f"unsupported proto type {ptype!r}")
+    # proto3: absent scalar fields mean the default value
+    for spec in descriptor.values():
+        name, ptype = spec[0], spec[1]
+        if name not in out:
+            if ptype == "message":
+                out[name] = None
+            elif ptype.startswith("packed_"):
+                out[name] = []
+            else:
+                out[name] = _PROTO_DEFAULTS.get(ptype)
+    return out
+
+
+def proto_descriptor_text(name: str, descriptor: dict) -> str:
+    """Render the .proto source the registry stores for this descriptor
+    (what ProtobufConverter registers as schemaType=PROTOBUF)."""
+    lines = ["syntax = \"proto3\";", f"message {name} {{"]
+    for fno, spec in descriptor.items():
+        fname, ptype = spec[0], spec[1]
+        if ptype == "message":
+            lines.append(f"  {fname}_t {fname} = {fno};")
+        elif ptype.startswith("packed_"):
+            lines.append(
+                f"  repeated {ptype[len('packed_'):]} {fname} = {fno};"
+            )
+        else:
+            lines.append(f"  {ptype} {fname} = {fno};")
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def encode_confluent_protobuf(
+    df: DataFrame,
+    schema_id: int,
+    descriptor: dict,
+    message_indexes: list[int] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    import pandas as pd
+
+    head = frame(schema_id, b"") + write_message_indexes(
+        message_indexes or [0]
+    )
+    fields = [f.name for f in df.schema.fields]
+
+    def _enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            vals = []
+            for r in pdf.to_dict("records"):
+                row = {
+                    k: (None if (isinstance(v, float) and v != v) else v)
+                    for k, v in r.items()
+                    if k in fields
+                }
+                vals.append(head + encode_proto_message(descriptor, row))
+            yield pd.DataFrame({value_col: vals})
+
+    return df.mapInPandas(
+        _enc, schema=T.StructType([T.StructField(value_col, T.BinaryType())])
+    )
+
+
+def decode_confluent_protobuf(
+    df: DataFrame,
+    reader_schema: T.StructType,
+    descriptor: dict,
+    value_col: str = "value",
+) -> DataFrame:
+    import pandas as pd
+
+    rfields = list(reader_schema.fields)
+
+    def _dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in rfields}
+            for raw in pdf[value_col]:
+                buf = io.BytesIO(bytes(raw))
+                head = buf.read(5)
+                if len(head) < 5 or head[0] != MAGIC:
+                    raise WireFormatError("bad wire header")
+                read_message_indexes(buf)
+                datum = decode_proto_message(descriptor, buf.read())
+                for f in rfields:
+                    cols[f.name].append(
+                        _coerce_to_spark(datum.get(f.name), f.dataType)
+                    )
+            yield pd.DataFrame(
+                {f.name: pd.Series(cols[f.name], dtype="object")
+                 for f in rfields}
+            )
+
+    return df.mapInPandas(_dec, schema=reader_schema)
+
+
+__all__ = [
+    "frame",
+    "unframe",
+    "write_message_indexes",
+    "read_message_indexes",
+    "encode_confluent_avro",
+    "decode_confluent_avro",
+    "encode_confluent_json",
+    "decode_confluent_json",
+    "encode_confluent_protobuf",
+    "decode_confluent_protobuf",
+    "encode_proto_message",
+    "decode_proto_message",
+    "proto_descriptor_text",
+    "json_schema_for",
+    "spark_to_avro_schema",
+]

@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import curation  # noqa: F401
     from . import relational  # noqa: F401  — as-of / range join
     from . import quality  # noqa: F401     — repetition gate, contamination
+    from . import converters  # noqa: F401  — Confluent wire-format lanes
 
     # The observed gate window is 50 rows, and a hash-checked row is
     # strictly stronger evidence than the rows-only fallback. The window is
@@ -152,7 +153,11 @@ def load_all() -> dict[str, QuerySpec]:
     #   green before entering),
     #   tpch_q6 (rotated out of the r10 window for
     #   hive_catalog_roundtrip; holds prior green rows — re-gate only
-    #   if slots remain)
+    #   if slots remain),
+    #   confluent_avro_roundtrip / confluent_json_roundtrip /
+    #   confluent_protobuf_roundtrip (Confluent wire-format converter
+    #   lanes, suite/converters.py — locally parity-verified at sf0.01
+    #   before registration)
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).

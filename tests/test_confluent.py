@@ -1,0 +1,303 @@
+"""Confluent wire-format converter layer (sources/registry.py +
+sources/confluent.py).
+
+The reference delegates deserialization to Kafka Connect converters
+(`README.md:77`); these tests pin the de-facto wire protocol those
+converters speak: the 5-byte magic+id header, Avro binary payloads with
+per-record writer schemas, proto3 wire semantics (known-answer vectors
+from the public protobuf encoding docs), and the registry REST protocol
+(global ids, idempotent registration, BACKWARD compatibility).
+"""
+
+import io
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_kafka_connect_spark.sources.confluent import (
+    WireFormatError,
+    decode_confluent_avro,
+    decode_confluent_json,
+    decode_confluent_protobuf,
+    decode_proto_message,
+    encode_confluent_avro,
+    encode_confluent_json,
+    encode_confluent_protobuf,
+    encode_proto_message,
+    frame,
+    json_schema_for,
+    proto_descriptor_text,
+    read_message_indexes,
+    spark_to_avro_schema,
+    unframe,
+    write_message_indexes,
+)
+from iceberg_kafka_connect_spark.sources.registry import (
+    SchemaRegistryClient,
+    SchemaRegistryServer,
+    backward_compatible,
+    canonical_schema,
+)
+
+
+# ----------------------------------------------------------- wire bytes
+def test_frame_layout_pinned():
+    assert frame(7, b"\x02hi") == b"\x00\x00\x00\x00\x07\x02hi"
+    sid, payload = unframe(b"\x00\x00\x00\x01\x00abc")
+    assert sid == 256 and payload == b"abc"
+
+
+def test_unframe_rejects_bad_magic_and_short():
+    with pytest.raises(WireFormatError):
+        unframe(b"\x01\x00\x00\x00\x07x")
+    with pytest.raises(WireFormatError):
+        unframe(b"\x00\x00")
+
+
+def test_message_indexes_special_case_and_roundtrip():
+    assert write_message_indexes([0]) == b"\x00"
+    assert read_message_indexes(io.BytesIO(b"\x00")) == [0]
+    blob = write_message_indexes([1, 2])
+    assert read_message_indexes(io.BytesIO(blob)) == [1, 2]
+
+
+# ------------------------------------------------------------- protobuf
+def test_proto_known_answer_vectors():
+    # protobuf encoding docs: message Test1 { int32 a = 1; } with a=150
+    # serializes to 08 96 01; Test2 { string b = 2; } b="testing" to
+    # 12 07 74 65 73 74 69 6e 67
+    assert encode_proto_message({1: ("a", "int32")}, {"a": 150}) == bytes.fromhex(
+        "089601"
+    )
+    assert encode_proto_message(
+        {2: ("b", "string")}, {"b": "testing"}
+    ) == bytes.fromhex("120774657374696e67")
+
+
+def test_proto3_defaults_off_wire_and_refilled():
+    desc = {1: ("a", "int64"), 2: ("b", "string"), 3: ("c", "bool")}
+    assert encode_proto_message(desc, {"a": 0, "b": "", "c": False}) == b""
+    assert decode_proto_message(desc, b"") == {"a": 0, "b": "", "c": False}
+
+
+def test_proto_unknown_field_skipped():
+    writer = {1: ("a", "int32"), 2: ("b", "string"), 3: ("d", "double")}
+    reader = {1: ("a", "int32")}
+    data = encode_proto_message(
+        writer, {"a": 7, "b": "drop me", "d": 2.5}
+    )
+    assert decode_proto_message(reader, data) == {"a": 7}
+
+
+def test_proto_negative_sint_and_packed():
+    desc = {1: ("s", "sint64"), 2: ("xs", "packed_int64")}
+    data = encode_proto_message(desc, {"s": -3, "xs": [1, 2, 300]})
+    assert decode_proto_message(desc, data) == {"s": -3, "xs": [1, 2, 300]}
+    # negative int64 (non-zigzag) takes the 10-byte two's-complement form
+    d2 = {1: ("v", "int64")}
+    enc = encode_proto_message(d2, {"v": -1})
+    assert len(enc) == 11  # tag + 10 varint bytes
+    assert decode_proto_message(d2, enc) == {"v": -1}
+
+
+def test_proto_nested_message():
+    inner = {1: ("x", "int32"), 2: ("y", "string")}
+    outer = {1: ("id", "int64"), 2: ("pt", "message", inner)}
+    row = {"id": 9, "pt": {"x": 4, "y": "n"}}
+    assert decode_proto_message(
+        outer, encode_proto_message(outer, row)
+    ) == row
+
+
+def test_proto_descriptor_text_renders():
+    txt = proto_descriptor_text(
+        "Order", {1: ("k", "int64"), 2: ("tags", "packed_int64")}
+    )
+    assert "syntax = \"proto3\";" in txt
+    assert "int64 k = 1;" in txt and "repeated int64 tags = 2;" in txt
+
+
+# ------------------------------------------------------------- registry
+def test_registry_global_ids_and_idempotent_register():
+    with SchemaRegistryServer() as srv:
+        c = SchemaRegistryClient(srv.uri)
+        s1 = {"type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"}]}
+        id_a = c.register("topic-a-value", s1)
+        # same schema, other subject -> SAME global id
+        assert SchemaRegistryClient(srv.uri).register(
+            "topic-b-value", s1
+        ) == id_a
+        # re-register under same subject -> same id, one version
+        assert c.register("topic-a-value", s1) == id_a
+        assert c._call("GET", "/subjects/topic-a-value/versions") == [1]
+        got = c.get_by_id(id_a)
+        assert canonical_schema(got["schema"]) == canonical_schema(s1)
+        assert sorted(c._call("GET", "/subjects")) == [
+            "topic-a-value", "topic-b-value",
+        ]
+
+
+def test_registry_versions_and_latest():
+    with SchemaRegistryServer() as srv:
+        c = SchemaRegistryClient(srv.uri)
+        v1 = {"type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"}]}
+        v2 = {"type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None}]}
+        c.register("s-value", v1)
+        id2 = c.register("s-value", v2)
+        latest = c.latest("s-value")
+        assert latest["version"] == 2 and latest["id"] == id2
+
+
+def test_registry_backward_compatibility_rule():
+    v1 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}]})
+    ok = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"], "default": None}]})
+    bad = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"}]})
+    assert backward_compatible(ok, v1)
+    assert not backward_compatible(bad, v1)
+    with SchemaRegistryServer() as srv:
+        c = SchemaRegistryClient(srv.uri)
+        c.register("s-value", v1)
+        assert c.check_compatibility("s-value", ok)
+        assert not c.check_compatibility("s-value", bad)
+
+
+def test_registry_bearer_auth():
+    import urllib.error
+
+    with SchemaRegistryServer(token="sekrit") as srv:
+        good = SchemaRegistryClient(srv.uri, token="sekrit")
+        sid = good.register("t-value", {"type": "record", "name": "r",
+                                        "fields": []})
+        assert sid == 1
+        with pytest.raises(urllib.error.HTTPError):
+            SchemaRegistryClient(srv.uri, token="wrong").latest("t-value")
+
+
+# ------------------------------------------------- spark integration
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "alpha", 2.5, True), (2, "beta", -1.0, False),
+         (3, None, 0.0, True)],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("flag", T.BooleanType()),
+        ]),
+    )
+
+
+def test_avro_encode_decode_roundtrip(spark, sample):
+    avro = spark_to_avro_schema(sample.schema, name="sample")
+    with SchemaRegistryServer() as srv:
+        c = SchemaRegistryClient(srv.uri)
+        sid = c.register("sample-value", avro)
+        framed = encode_confluent_avro(sample, sid, avro)
+        rows = framed.collect()
+        assert all(bytes(r.value)[0] == 0 for r in rows)
+        back = decode_confluent_avro(
+            framed, sample.schema, schemas={sid: avro}
+        )
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, sample.collect())
+        )
+
+
+def test_avro_decode_via_registry_url_and_evolution(spark, sample):
+    """Two writer generations on one topic; the reader schema adds a
+    column with a default — old records fill it, new records carry it."""
+    avro_v1 = spark_to_avro_schema(sample.schema, name="sample")
+    # fresh StructType — .add() would mutate the DataFrame's cached schema
+    v2_spark = T.StructType(
+        list(sample.schema.fields) + [T.StructField("src", T.StringType())]
+    )
+    avro_v2 = spark_to_avro_schema(v2_spark, name="sample")
+    with SchemaRegistryServer() as srv:
+        c = SchemaRegistryClient(srv.uri)
+        id1 = c.register("sample-value", avro_v1)
+        id2 = c.register("sample-value", avro_v2)
+        old = encode_confluent_avro(sample, id1, avro_v1)
+        new = encode_confluent_avro(
+            sample.withColumn("src", F.lit("k2")), id2, avro_v2
+        )
+        mixed = old.unionAll(new)
+        out = decode_confluent_avro(
+            mixed,
+            v2_spark,
+            registry_url=srv.uri,
+            defaults={"src": "legacy"},
+        ).collect()
+        srcs = sorted(r.src for r in out)
+        assert srcs == ["k2"] * 3 + ["legacy"] * 3
+
+
+def test_avro_timestamp_and_date_roundtrip(spark):
+    from datetime import date, datetime
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("d", T.DateType()),
+    ])
+    df = spark.createDataFrame(
+        [(datetime(2024, 3, 1, 12, 30, 45, 123456), date(2024, 3, 1))],
+        schema,
+    )
+    avro = spark_to_avro_schema(schema, name="t")
+    framed = encode_confluent_avro(df, 1, avro)
+    back = decode_confluent_avro(framed, schema, schemas={1: avro})
+    assert back.collect() == df.collect()
+
+
+def test_json_schema_converter_jvm_roundtrip(spark, sample):
+    with SchemaRegistryServer() as srv:
+        c = SchemaRegistryClient(srv.uri)
+        sid = c.register(
+            "sample-value",
+            json.dumps(json_schema_for(sample.schema)),
+            schema_type="JSON",
+        )
+        assert c.get_by_id(sid)["schemaType"] == "JSON"
+        framed = encode_confluent_json(sample, sid)
+    # registry closed: the decode plan is JVM-only, no executor fetches
+    back = decode_confluent_json(framed, sample.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, sample.collect())
+    )
+    # scale check: the decode plan contains no python evals
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_protobuf_spark_roundtrip(spark, sample):
+    desc = {
+        1: ("id", "int64"),
+        2: ("name", "string"),
+        3: ("score", "double"),
+        4: ("flag", "bool"),
+    }
+    with SchemaRegistryServer() as srv:
+        c = SchemaRegistryClient(srv.uri)
+        sid = c.register(
+            "sample-value",
+            proto_descriptor_text("Sample", desc),
+            schema_type="PROTOBUF",
+        )
+        # proto3 has no null string: null -> "" on the wire
+        src = sample.withColumn("name", F.coalesce("name", F.lit("")))
+        framed = encode_confluent_protobuf(src, sid, desc)
+        back = decode_confluent_protobuf(framed, src.schema, desc)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        )
