@@ -655,6 +655,165 @@ def decode_confluent_protobuf(
     return df.mapInPandas(_dec, schema=reader_schema)
 
 
+# ------------------------------------------- pipeline converter stage
+def _json_cell(v: Any) -> Any:
+    """Decoded datum value -> JSON-representable cell that Spark's
+    from_json maps back to the declared type (ISO timestamps, base64
+    binary — the JsonConverter conventions)."""
+    import base64
+
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode()
+    if isinstance(v, dict):
+        return {k: _json_cell(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_json_cell(x) for x in v]
+    return v
+
+
+def value_converter_from_properties(props: dict[str, str]):
+    """``value.converter`` config -> a null-safe batch transform.
+
+    The reference never decodes bytes itself — the Connect framework's
+    configured converter does (`README.md:77`); this maps the SAME
+    config keys onto the Spark pipeline. The returned callable rewrites
+    the kafka-shaped batch's ``value`` column (binary wire bytes -> the
+    JSON text the pipeline's single from_json parse consumes), leaving
+    every other column and NULL values (tombstones, P2) untouched:
+
+    - ``org.apache.kafka.connect.json.JsonConverter`` — UTF-8 decode
+      (JVM); with ``schemas.enable=true`` the Connect envelope's
+      ``payload`` field is extracted JVM-side too.
+    - ``io.confluent.connect.json.JsonSchemaConverter`` — strip the
+      5-byte header + UTF-8 decode, pure JVM.
+    - ``io.confluent.connect.avro.AvroConverter`` — Arrow-batched
+      pandas UDF: per-record writer schema via the executor-side
+      registry cache, datum -> JSON text (ISO timestamps / base64
+      bytes, the JsonConverter conventions, so the downstream parse is
+      identical across converters).
+    - ``io.confluent.connect.protobuf.ProtobufConverter`` — same lane
+      with the proto3 codec; pass the descriptor via
+      ``value.converter.proto.descriptor`` (JSON: {field_no: [name,
+      type]}) since no .proto compiler ships in this engine.
+
+    Returns None when no ``value.converter`` is configured (the
+    pipeline's default: value already holds JSON text).
+    """
+    cls = props.get("value.converter")
+    if not cls:
+        return None
+    short = cls.rsplit(".", 1)[-1]
+    registry_url = props.get("value.converter.schema.registry.url")
+    token = props.get("value.converter.bearer.auth.token")
+
+    if short == "JsonConverter":
+        envelope = (
+            props.get("value.converter.schemas.enable", "false") == "true"
+        )
+
+        def _json(batch: DataFrame) -> DataFrame:
+            v = F.col("value")
+            text = (
+                F.decode(v, "UTF-8")
+                if dict(batch.dtypes).get("value") == "binary"
+                else v
+            )
+            if envelope:
+                # Connect envelope {"schema": ..., "payload": {...}} —
+                # extract the payload object JVM-side
+                text = F.get_json_object(text, "$.payload")
+            return batch.withColumn(
+                "value", F.when(v.isNotNull(), text)
+            )
+
+        return _json
+
+    if short == "JsonSchemaConverter":
+
+        def _json_schema(batch: DataFrame) -> DataFrame:
+            v = F.col("value")
+            body = F.expr("substring(value, 6, length(value) - 5)")
+            return batch.withColumn(
+                "value", F.when(v.isNotNull(), F.decode(body, "UTF-8"))
+            )
+
+        return _json_schema
+
+    if short == "AvroConverter":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(T.StringType())
+        def _avro_to_json(col):
+            import pandas as pd
+
+            out = []
+            for raw in col:
+                if raw is None:
+                    out.append(None)
+                    continue
+                sid, payload = unframe(bytes(raw))
+                wschema = _resolve_writer_schema(
+                    sid, None, registry_url, token
+                )
+                datum = decode_avro_payload(wschema, payload)
+                out.append(
+                    json.dumps({k: _json_cell(v) for k, v in datum.items()})
+                )
+            return pd.Series(out, dtype="object")
+
+        def _avro(batch: DataFrame) -> DataFrame:
+            return batch.withColumn("value", _avro_to_json("value"))
+
+        return _avro
+
+    if short == "ProtobufConverter":
+        desc_json = props.get("value.converter.proto.descriptor")
+        if not desc_json:
+            raise ValueError(
+                "ProtobufConverter requires value.converter.proto."
+                "descriptor (JSON {field_no: [name, type]})"
+            )
+        parsed = json.loads(desc_json)
+        descriptor = {
+            int(k): tuple(v) if len(v) == 2 else (v[0], v[1], v[2])
+            for k, v in parsed.items()
+        }
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(T.StringType())
+        def _proto_to_json(col):
+            import pandas as pd
+
+            out = []
+            for raw in col:
+                if raw is None:
+                    out.append(None)
+                    continue
+                buf = io.BytesIO(bytes(raw))
+                head = buf.read(5)
+                if len(head) < 5 or head[0] != MAGIC:
+                    raise WireFormatError("bad wire header")
+                read_message_indexes(buf)
+                datum = decode_proto_message(descriptor, buf.read())
+                out.append(
+                    json.dumps({k: _json_cell(v) for k, v in datum.items()})
+                )
+            return pd.Series(out, dtype="object")
+
+        def _proto(batch: DataFrame) -> DataFrame:
+            return batch.withColumn("value", _proto_to_json("value"))
+
+        return _proto
+
+    raise ValueError(f"unsupported value.converter {cls!r}")
+
+
 __all__ = [
     "frame",
     "unframe",

@@ -51,12 +51,17 @@ class SinkPipeline:
         pipeline_id: str,
         value_schema: T.StructType | None = None,
         transforms: list | None = None,
+        value_converter=None,
     ):
         self.catalog = catalog
         self.config = config
         self.pipeline_id = pipeline_id
         self.value_schema = value_schema
         self.transforms = transforms or []
+        # the Connect framework's value.converter stage (README.md:77),
+        # built by sources.confluent.value_converter_from_properties:
+        # rewrites wire bytes -> JSON text, null-safe (tombstones pass)
+        self.value_converter = value_converter
 
     # ------------------------------------------------------------ batch body
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -64,6 +69,8 @@ class SinkPipeline:
         count; the only other full passes are the per-table writes. This is
         the hot path — a 100 TB pipeline lives here."""
         cfg = self.config
+        if self.value_converter is not None:
+            batch = self.value_converter(batch)
         # P1 entry: parse value into record fields, keep kafka metadata.
         # Offsets/VTTS are computed over the UNFILTERED batch (tombstones
         # included) so a partition whose trailing records are tombstones

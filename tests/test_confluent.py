@@ -301,3 +301,180 @@ def test_protobuf_spark_roundtrip(spark, sample):
         assert sorted(map(tuple, back.collect())) == sorted(
             map(tuple, src.collect())
         )
+
+
+# ------------------------------------------- pipeline converter stage
+def _kafka_batch(spark, rows):
+    """Kafka-shaped batch with a BINARY value column."""
+    return spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]),
+    )
+
+
+def test_pipeline_value_converter_avro_e2e(spark, tmp_path):
+    """A connector config with value.converter=AvroConverter lands
+    Schema-Registry-framed Avro bytes in the lakehouse; a tombstone
+    (null value) still advances offsets and deletes nothing."""
+    from datetime import datetime
+
+    from iceberg_kafka_connect_spark.config import (
+        SinkConfig, TableConfig,
+    )
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        encode_avro_payload,
+        frame as _frame,
+        value_converter_from_properties,
+    )
+    from iceberg_kafka_connect_spark.streaming import SinkPipeline
+
+    value_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    avro = spark_to_avro_schema(value_schema, name="rec")
+    with SchemaRegistryServer() as srv:
+        client = SchemaRegistryClient(srv.uri)
+        sid = client.register("events-value", avro)
+        ts = datetime(2024, 1, 1)
+        rows = [
+            ("k0", _frame(sid, encode_avro_payload(avro, {"id": 1, "name": "a"})),
+             "events", 0, 0, ts),
+            ("k1", _frame(sid, encode_avro_payload(avro, {"id": 2, "name": "b"})),
+             "events", 0, 1, ts),
+            ("k2", None, "events", 0, 2, ts),  # tombstone
+        ]
+        batch = _kafka_batch(spark, rows)
+        conv = value_converter_from_properties({
+            "value.converter": "io.confluent.connect.avro.AvroConverter",
+            "value.converter.schema.registry.url": srv.uri,
+        })
+        cat = Catalog(str(tmp_path / "wh"))
+        cfg = SinkConfig(tables=[TableConfig("default.ev")], auto_create=True)
+        pipe = SinkPipeline(cat, cfg, "pconv", value_schema=value_schema,
+                            value_converter=conv)
+        pipe.process_batch(batch, 0)
+    t = cat.load_table("default.ev")
+    got = sorted((r.id, r.name) for r in
+                 t.read(spark).select("id", "name").collect())
+    assert got == [(1, "a"), (2, "b")]
+    # the tombstone advanced the committed offset anyway (P2/A2 parity)
+    props = t.current_snapshot()["summary"]
+    offsets = json.loads(props["kafka.connect.offsets"])
+    assert offsets == {"events-0": 3}
+
+
+def test_pipeline_value_converter_json_schema_jvm(spark, tmp_path):
+    """JsonSchemaConverter lane: header strip is pure JVM — the batch
+    plan contains no Python evals from the converter stage."""
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        frame as _frame,
+        value_converter_from_properties,
+    )
+
+    conv = value_converter_from_properties({
+        "value.converter": "io.confluent.connect.json.JsonSchemaConverter",
+    })
+    from datetime import datetime
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("k0", _frame(9, b'{"id": 5}'), "t", 0, 0, ts),
+        ("k1", None, "t", 0, 1, ts),
+    ]
+    out = conv(_kafka_batch(spark, rows))
+    vals = [r.value for r in out.orderBy("offset").collect()]
+    assert vals == ['{"id": 5}', None]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_pipeline_value_converter_json_envelope(spark):
+    """Plain JsonConverter with schemas.enable=true: the Connect
+    envelope's payload extracts JVM-side."""
+    from datetime import datetime
+
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        value_converter_from_properties,
+    )
+
+    conv = value_converter_from_properties({
+        "value.converter": "org.apache.kafka.connect.json.JsonConverter",
+        "value.converter.schemas.enable": "true",
+    })
+    env = json.dumps({"schema": {"type": "struct"},
+                      "payload": {"id": 7, "name": "x"}}).encode()
+    ts = datetime(2024, 1, 1)
+    out = conv(_kafka_batch(spark, [("k", env, "t", 0, 0, ts)]))
+    got = json.loads(out.collect()[0].value)
+    assert got == {"id": 7, "name": "x"}
+
+
+def test_value_converter_unknown_class_raises():
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        value_converter_from_properties,
+    )
+
+    assert value_converter_from_properties({}) is None
+    with pytest.raises(ValueError):
+        value_converter_from_properties(
+            {"value.converter": "com.example.MysteryConverter"}
+        )
+    with pytest.raises(ValueError):
+        value_converter_from_properties(
+            {"value.converter":
+             "io.confluent.connect.protobuf.ProtobufConverter"}
+        )
+
+
+def test_pipeline_value_converter_protobuf_e2e(spark, tmp_path):
+    from datetime import datetime
+
+    from iceberg_kafka_connect_spark.config import (
+        SinkConfig, TableConfig,
+    )
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        encode_proto_message,
+        frame as _frame,
+        value_converter_from_properties,
+        write_message_indexes,
+    )
+    from iceberg_kafka_connect_spark.streaming import SinkPipeline
+
+    desc = {1: ("id", "int64"), 2: ("name", "string")}
+    value_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    conv = value_converter_from_properties({
+        "value.converter":
+            "io.confluent.connect.protobuf.ProtobufConverter",
+        "value.converter.proto.descriptor":
+            json.dumps({1: ["id", "int64"], 2: ["name", "string"]}),
+    })
+    ts = datetime(2024, 1, 1)
+    head = _frame(3, b"") + write_message_indexes([0])
+    rows = [
+        ("a", head + encode_proto_message(desc, {"id": 10, "name": "p"}),
+         "t", 0, 0, ts),
+        ("b", head + encode_proto_message(desc, {"id": 0, "name": ""}),
+         "t", 0, 1, ts),  # all-defaults record: empty payload
+    ]
+    cat = Catalog(str(tmp_path / "wh"))
+    cfg = SinkConfig(tables=[TableConfig("default.pv")], auto_create=True)
+    pipe = SinkPipeline(cat, cfg, "pproto", value_schema=value_schema,
+                        value_converter=conv)
+    pipe.process_batch(_kafka_batch(spark, rows), 0)
+    got = sorted((r.id, r.name) for r in
+                 cat.load_table("default.pv").read(spark)
+                 .select("id", "name").collect())
+    assert got == [(0, ""), (10, "p")]
