@@ -139,23 +139,34 @@ class _IdGen:
         return self.last
 
 
-def _iceberg_type(dtype: T.DataType, ids: _IdGen):
+def _iceberg_type(dtype: T.DataType, ids: _IdGen, v3: bool = False):
     for cls, name in _PRIMITIVES.items():
         if isinstance(dtype, cls):
             return name
+    if isinstance(dtype, T.VariantType):
+        # v3 spec "Schemas and Data Types": variant is a v3-only type;
+        # Spark's parquet writer already emits the standard Parquet
+        # VARIANT group (binary metadata + binary value), which is the
+        # physical layout v3 readers expect for unshredded columns
+        if not v3:
+            raise IcebergExportUnsupported(
+                "variant columns require format-version 3 "
+                "(export with format_version=3)"
+            )
+        return "variant"
     if isinstance(dtype, T.DecimalType):
         return f"decimal({dtype.precision}, {dtype.scale})"
     if isinstance(dtype, T.StructType):
         return {
             "type": "struct",
-            "fields": [_iceberg_field(f, ids) for f in dtype.fields],
+            "fields": [_iceberg_field(f, ids, v3=v3) for f in dtype.fields],
         }
     if isinstance(dtype, T.ArrayType):
         eid = ids.next()
         return {
             "type": "list",
             "element-id": eid,
-            "element": _iceberg_type(dtype.elementType, ids),
+            "element": _iceberg_type(dtype.elementType, ids, v3=v3),
             "element-required": not dtype.containsNull,
         }
     if isinstance(dtype, T.MapType):
@@ -163,9 +174,9 @@ def _iceberg_type(dtype: T.DataType, ids: _IdGen):
         return {
             "type": "map",
             "key-id": kid,
-            "key": _iceberg_type(dtype.keyType, ids),
+            "key": _iceberg_type(dtype.keyType, ids, v3=v3),
             "value-id": vid,
-            "value": _iceberg_type(dtype.valueType, ids),
+            "value": _iceberg_type(dtype.valueType, ids, v3=v3),
             "value-required": not dtype.valueContainsNull,
         }
     raise IcebergExportUnsupported(
@@ -179,7 +190,7 @@ def _iceberg_field(f: T.StructField, ids: _IdGen, v3: bool = False) -> dict:
         "id": fid,
         "name": f.name,
         "required": not f.nullable,
-        "type": _iceberg_type(f.dataType, ids),
+        "type": _iceberg_type(f.dataType, ids, v3=v3),
     }
     if f.metadata:
         if f.metadata.get("doc"):
@@ -1254,9 +1265,16 @@ def export_iceberg_metadata(
     def _rows_of(fentry: dict, path: str) -> int:
         rows = (fentry.get("stats") or {}).get("rows")
         if rows is None:
-            import pyarrow.parquet as pq
+            try:
+                import pyarrow.parquet as pq
 
-            rows = pq.ParquetFile(path).metadata.num_rows
+                rows = pq.ParquetFile(path).metadata.num_rows
+            except Exception:
+                # files pyarrow can't parse (logical types newer than
+                # the wheel, e.g. VARIANT): protocol-level footer walk
+                from .parquet_footer import footer_num_rows
+
+                rows = footer_num_rows(path)
         return rows
 
     # write.sort-order exports as a real Iceberg sort order (identity/asc/

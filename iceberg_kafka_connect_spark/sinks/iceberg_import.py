@@ -129,6 +129,9 @@ def iceberg_type_to_spark(t) -> T.DataType:
             "string": T.StringType(),
             "uuid": T.StringType(),
             "binary": T.BinaryType(),
+            # v3: semi-structured column; Spark's VariantType reads the
+            # Parquet VARIANT group the v3 writer produced
+            "variant": T.VariantType(),
         }
         if t in prim:
             return prim[t]

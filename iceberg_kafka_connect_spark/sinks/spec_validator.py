@@ -374,10 +374,24 @@ def _validate_manifest(
             try:
                 actual = pq.ParquetFile(fp).metadata.num_rows
             except Exception as ex:
-                errs.append(
-                    f"{where}: parquet footer unreadable for "
-                    f"{os.path.basename(fp)}: {ex}"
-                )
+                # pyarrow rejects logical types newer than the wheel
+                # (VARIANT); the protocol-level compact-thrift walk
+                # still reads num_rows for any footer
+                try:
+                    from .parquet_footer import footer_num_rows
+
+                    actual = footer_num_rows(fp)
+                except Exception:
+                    errs.append(
+                        f"{where}: parquet footer unreadable for "
+                        f"{os.path.basename(fp)}: {ex}"
+                    )
+                    actual = None
+                if actual is not None and actual != rc:
+                    errs.append(
+                        f"{where}: record_count {rc} != parquet rows "
+                        f"{actual} for {os.path.basename(fp)}"
+                    )
             else:
                 if actual != rc:
                     errs.append(

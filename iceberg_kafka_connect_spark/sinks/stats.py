@@ -73,7 +73,17 @@ def collect_parquet_stats(path: str) -> dict[str, dict] | None:
         pf = pq.ParquetFile(path)
         md = pf.metadata
     except Exception:
-        return None
+        # pyarrow's thrift deserializer rejects logical types newer than
+        # the wheel (Spark 4 VARIANT columns); thrift itself is
+        # forward-compatible, so fall back to the protocol-level footer
+        # walk for the one correctness-critical value — exact rows.
+        # Bounds are an optimization and stay absent (no pruning claims).
+        try:
+            from .parquet_footer import footer_num_rows
+
+            return {"rows": footer_num_rows(path), "cols": {}}
+        except Exception:
+            return None
     rows = md.num_rows
     agg: dict[str, dict] = {}
     dead: set[str] = set()

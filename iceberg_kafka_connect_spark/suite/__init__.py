@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import relational  # noqa: F401  — as-of / range join
     from . import quality  # noqa: F401     — repetition gate, contamination
     from . import converters  # noqa: F401  — Confluent wire-format lanes
+    from . import variant_suite  # noqa: F401  — v3 variant + shredding
 
     # The observed gate window is 50 rows, and a hash-checked row is
     # strictly stronger evidence than the rows-only fallback. The window is
@@ -157,7 +158,10 @@ def load_all() -> dict[str, QuerySpec]:
     #   confluent_avro_roundtrip / confluent_json_roundtrip /
     #   confluent_protobuf_roundtrip (Confluent wire-format converter
     #   lanes, suite/converters.py — locally parity-verified at sf0.01
-    #   before registration)
+    #   before registration),
+    #   variant_lakehouse_roundtrip / variant_shredded_scan (Iceberg v3
+    #   variant type + shredded typed scan, suite/variant_suite.py —
+    #   locally parity-verified at sf0.01 before registration)
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).
