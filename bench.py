@@ -144,6 +144,11 @@ BENCH_QUERIES = [
     "zorder_rewrite_scan",
     "docs_temperature_mix",
     "stream_interval_join_replay",
+    "confluent_avro_roundtrip",
+    "confluent_json_roundtrip",
+    "confluent_protobuf_roundtrip",
+    "variant_lakehouse_roundtrip",
+    "variant_shredded_scan",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

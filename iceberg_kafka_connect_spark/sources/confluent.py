@@ -574,6 +574,117 @@ def decode_proto_message(descriptor: dict, data: bytes) -> dict:
     return out
 
 
+_SCALARS = set(_PROTO_DEFAULTS) | {"float", "sint32", "sint64"}
+_PACKABLE = {
+    "int32", "int64", "uint64", "sint32", "sint64", "double", "float",
+    "bool", "enum",
+}
+
+
+def parse_proto_descriptor(text: str, message: str | None = None) -> dict:
+    """Proto3 source (the text ProtobufConverter registers) -> wire
+    descriptor {field_no: (name, type[, sub])}.
+
+    Supported subset: scalar fields, ``repeated`` packable numerics
+    (proto3 packs them by default), message-typed fields referencing
+    sibling or nested ``message`` definitions, comments. ``message``
+    picks a top-level message by name (default: the first — Confluent's
+    message-index ``[0]``)."""
+    import re
+
+    # strip comments
+    text = re.sub(r"//[^\n]*", "", text)
+    text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+
+    def _blocks(src: str) -> dict[str, str]:
+        """name -> body for every message at this nesting level."""
+        out = {}
+        i = 0
+        while True:
+            m = re.search(r"\bmessage\s+(\w+)\s*\{", src[i:])
+            if not m:
+                return out
+            start = i + m.end()
+            depth, j = 1, start
+            while depth and j < len(src):
+                if src[j] == "{":
+                    depth += 1
+                elif src[j] == "}":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise WireFormatError("unbalanced braces in .proto")
+            out[m.group(1)] = src[start : j - 1]
+            i = j
+        return out
+
+    top = _blocks(text)
+    if not top:
+        raise WireFormatError("no message definition in .proto text")
+    if message is None:
+        target = next(iter(top))
+    elif message in top:
+        target = message
+    else:
+        raise WireFormatError(f"message {message!r} not defined")
+
+    def _fields(body: str, scope: dict[str, str]) -> dict:
+        nested = _blocks(body)
+        # remove nested message bodies before scanning fields
+        flat = body
+        for nm in nested:
+            flat = re.sub(
+                r"\bmessage\s+" + nm + r"\s*\{", "\x00{", flat, count=1
+            )
+        # drop everything between the placeholder braces
+        out_chars, depth = [], 0
+        k = 0
+        while k < len(flat):
+            ch = flat[k]
+            if ch == "\x00":
+                depth_mark = 1
+                k += 2  # skip marker + '{'
+                while depth_mark and k < len(flat):
+                    if flat[k] == "{":
+                        depth_mark += 1
+                    elif flat[k] == "}":
+                        depth_mark -= 1
+                    k += 1
+                continue
+            out_chars.append(ch)
+            k += 1
+        flat = "".join(out_chars)
+        scope = {**scope, **nested}
+        desc = {}
+        for m in re.finditer(
+            r"(repeated\s+)?(\w+)\s+(\w+)\s*=\s*(\d+)\s*;", flat
+        ):
+            rep, ptype, fname, fno = (
+                bool(m.group(1)), m.group(2), m.group(3), int(m.group(4)),
+            )
+            if ptype in _SCALARS:
+                if rep:
+                    if ptype not in _PACKABLE:
+                        raise WireFormatError(
+                            f"repeated {ptype} not supported (only packed "
+                            "numerics)"
+                        )
+                    desc[fno] = (fname, f"packed_{ptype}")
+                else:
+                    desc[fno] = (fname, ptype)
+            elif ptype in scope:
+                if rep:
+                    raise WireFormatError(
+                        "repeated message fields not supported"
+                    )
+                desc[fno] = (fname, "message", _fields(scope[ptype], scope))
+            else:
+                raise WireFormatError(f"unknown proto type {ptype!r}")
+        return dict(sorted(desc.items()))
+
+    return _fields(top[target], top)
+
+
 def proto_descriptor_text(name: str, descriptor: dict) -> str:
     """Render the .proto source the registry stores for this descriptor
     (what ProtobufConverter registers as schemaType=PROTOBUF)."""
@@ -711,6 +822,25 @@ def value_converter_from_properties(props: dict[str, str]):
     short = cls.rsplit(".", 1)[-1]
     registry_url = props.get("value.converter.schema.registry.url")
     token = props.get("value.converter.bearer.auth.token")
+    # Connect's errant-record semantics extend to DESERIALIZATION: with
+    # errors.tolerance=all a record the converter can't decode diverts
+    # to the DLQ instead of failing the task. The python lanes map a
+    # decode failure to a deliberately-non-JSON marker string — the
+    # pipeline's corrupt-record parse then routes it through the same
+    # DLQ/fail logic as malformed JSON, with the reason preserved.
+    tolerate = props.get("errors.tolerance", "none") == "all"
+
+    def _decode_error(exc: Exception, raw: bytes) -> str:
+        if not tolerate:
+            raise exc
+        import base64
+
+        return (
+            "CONVERTER_ERROR "  # bare words: never valid JSON
+            + type(exc).__name__
+            + " "
+            + base64.b64encode(raw[:256]).decode()
+        )
 
     if short == "JsonConverter":
         envelope = (
@@ -757,14 +887,19 @@ def value_converter_from_properties(props: dict[str, str]):
                 if raw is None:
                     out.append(None)
                     continue
-                sid, payload = unframe(bytes(raw))
-                wschema = _resolve_writer_schema(
-                    sid, None, registry_url, token
-                )
-                datum = decode_avro_payload(wschema, payload)
-                out.append(
-                    json.dumps({k: _json_cell(v) for k, v in datum.items()})
-                )
+                try:
+                    sid, payload = unframe(bytes(raw))
+                    wschema = _resolve_writer_schema(
+                        sid, None, registry_url, token
+                    )
+                    datum = decode_avro_payload(wschema, payload)
+                    out.append(
+                        json.dumps(
+                            {k: _json_cell(v) for k, v in datum.items()}
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — mapped to DLQ
+                    out.append(_decode_error(exc, bytes(raw)))
             return pd.Series(out, dtype="object")
 
         def _avro(batch: DataFrame) -> DataFrame:
@@ -774,16 +909,23 @@ def value_converter_from_properties(props: dict[str, str]):
 
     if short == "ProtobufConverter":
         desc_json = props.get("value.converter.proto.descriptor")
-        if not desc_json:
-            raise ValueError(
-                "ProtobufConverter requires value.converter.proto."
-                "descriptor (JSON {field_no: [name, type]})"
+        proto_text = props.get("value.converter.proto.schema")
+        if desc_json:
+            parsed = json.loads(desc_json)
+            descriptor = {
+                int(k): tuple(v) if len(v) == 2 else (v[0], v[1], v[2])
+                for k, v in parsed.items()
+            }
+        elif proto_text:
+            descriptor = parse_proto_descriptor(
+                proto_text, props.get("value.converter.proto.message")
             )
-        parsed = json.loads(desc_json)
-        descriptor = {
-            int(k): tuple(v) if len(v) == 2 else (v[0], v[1], v[2])
-            for k, v in parsed.items()
-        }
+        else:
+            raise ValueError(
+                "ProtobufConverter requires value.converter.proto.schema "
+                "(.proto text) or value.converter.proto.descriptor "
+                "(JSON {field_no: [name, type]})"
+            )
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf(T.StringType())
@@ -795,15 +937,20 @@ def value_converter_from_properties(props: dict[str, str]):
                 if raw is None:
                     out.append(None)
                     continue
-                buf = io.BytesIO(bytes(raw))
-                head = buf.read(5)
-                if len(head) < 5 or head[0] != MAGIC:
-                    raise WireFormatError("bad wire header")
-                read_message_indexes(buf)
-                datum = decode_proto_message(descriptor, buf.read())
-                out.append(
-                    json.dumps({k: _json_cell(v) for k, v in datum.items()})
-                )
+                try:
+                    buf = io.BytesIO(bytes(raw))
+                    head = buf.read(5)
+                    if len(head) < 5 or head[0] != MAGIC:
+                        raise WireFormatError("bad wire header")
+                    read_message_indexes(buf)
+                    datum = decode_proto_message(descriptor, buf.read())
+                    out.append(
+                        json.dumps(
+                            {k: _json_cell(v) for k, v in datum.items()}
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — mapped to DLQ
+                    out.append(_decode_error(exc, bytes(raw)))
             return pd.Series(out, dtype="object")
 
         def _proto(batch: DataFrame) -> DataFrame:
@@ -828,6 +975,8 @@ __all__ = [
     "encode_proto_message",
     "decode_proto_message",
     "proto_descriptor_text",
+    "parse_proto_descriptor",
+    "value_converter_from_properties",
     "json_schema_for",
     "spark_to_avro_schema",
 ]

@@ -478,3 +478,113 @@ def test_pipeline_value_converter_protobuf_e2e(spark, tmp_path):
                  cat.load_table("default.pv").read(spark)
                  .select("id", "name").collect())
     assert got == [(0, ""), (10, "p")]
+
+
+def test_parse_proto_descriptor_roundtrip_and_subset():
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        parse_proto_descriptor,
+    )
+
+    desc = {1: ("k", "int64"), 2: ("name", "string"),
+            3: ("tags", "packed_int64")}
+    txt = proto_descriptor_text("Order", desc)
+    assert parse_proto_descriptor(txt) == desc
+
+    nested = """
+    // comment about the schema
+    syntax = "proto3";
+    message Point { int32 x = 1; int32 y = 2; }
+    message Click {
+      int64 user = 1;     /* who */
+      Point at = 2;
+      message Meta { string ua = 1; }
+      Meta meta = 3;
+      repeated double scores = 4;
+    }
+    """
+    d = parse_proto_descriptor(nested, message="Click")
+    assert d[1] == ("user", "int64")
+    assert d[2][0:2] == ("at", "message")
+    assert d[2][2] == {1: ("x", "int32"), 2: ("y", "int32")}
+    assert d[3][2] == {1: ("ua", "string")}
+    assert d[4] == ("scores", "packed_double")
+    # wire roundtrip through the parsed descriptor
+    row = {"user": 7, "at": {"x": 1, "y": 2},
+           "meta": {"ua": "z"}, "scores": [0.5, 2.0]}
+    assert decode_proto_message(d, encode_proto_message(d, row)) == row
+    with pytest.raises(WireFormatError):
+        parse_proto_descriptor("message M { repeated string xs = 1; }")
+    with pytest.raises(WireFormatError):
+        parse_proto_descriptor("message M { Unknown u = 1; }")
+    with pytest.raises(WireFormatError):
+        parse_proto_descriptor(nested, message="Nope")
+
+
+def test_converter_decode_error_tolerance_routes_to_dlq(spark, tmp_path):
+    """errors.tolerance=all: a record the converter can't decode lands
+    in the DLQ (Connect's errant-record semantics applied to
+    DESERIALIZATION), the good records commit; tolerance=none fails."""
+    from datetime import datetime
+
+    from iceberg_kafka_connect_spark.config import (
+        SinkConfig, TableConfig,
+    )
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        encode_avro_payload,
+        frame as _frame,
+        value_converter_from_properties,
+    )
+    from iceberg_kafka_connect_spark.streaming import SinkPipeline
+
+    value_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    avro = spark_to_avro_schema(value_schema, name="rec")
+    ts = datetime(2024, 1, 1)
+    with SchemaRegistryServer() as srv:
+        sid = SchemaRegistryClient(srv.uri).register("t-value", avro)
+        good = _frame(sid, encode_avro_payload(avro, {"id": 1, "name": "a"}))
+        bad_magic = b"\x07garbage-not-framed"
+        unknown_id = _frame(9999, b"\x02")
+        rows = [
+            ("k0", good, "t", 0, 0, ts),
+            ("k1", bad_magic, "t", 0, 1, ts),
+            ("k2", unknown_id, "t", 0, 2, ts),
+        ]
+        base = {
+            "value.converter": "io.confluent.connect.avro.AvroConverter",
+            "value.converter.schema.registry.url": srv.uri,
+        }
+        batch = spark.createDataFrame(
+            rows,
+            "key string, value binary, topic string, partition int, "
+            "offset long, timestamp timestamp",
+        )
+        # tolerance=all -> DLQ
+        cat = Catalog(str(tmp_path / "wh"))
+        cfg = SinkConfig(
+            tables=[TableConfig("default.ok")], auto_create=True,
+            errors_tolerance="all", dlq_table="default.dlq",
+        )
+        conv = value_converter_from_properties(
+            {**base, "errors.tolerance": "all"}
+        )
+        SinkPipeline(cat, cfg, "pd", value_schema=value_schema,
+                     value_converter=conv).process_batch(batch, 0)
+        assert [r.id for r in
+                cat.load_table("default.ok").read(spark).collect()] == [1]
+        dlq = cat.load_table("default.dlq").read(spark)
+        bad_rows = dlq.collect()
+        assert len(bad_rows) == 2
+        assert all("CONVERTER_ERROR" in r.value for r in bad_rows)
+        # tolerance=none -> the batch fails
+        cfg2 = SinkConfig(tables=[TableConfig("default.ok2")],
+                          auto_create=True)
+        conv2 = value_converter_from_properties(base)
+        with pytest.raises(Exception):
+            SinkPipeline(
+                Catalog(str(tmp_path / "wh2")), cfg2, "pf",
+                value_schema=value_schema, value_converter=conv2,
+            ).process_batch(batch, 0)
