@@ -81,18 +81,14 @@ def unshred_variant(
     ``out_col``)."""
     typed_name = typed_col or f"{col}_typed"
     target = out_col or col
-    has_value = col in df.columns
     if typed_name not in df.columns:
         raise ValueError(f"no shredded struct column {typed_name!r}")
     rebuilt = F.parse_json(F.to_json(F.col(typed_name)))
-    if has_value:
-        merged = F.coalesce(F.col(col), rebuilt)
-        return df.withColumn(target, merged).drop(
-            *(c for c in (typed_name,) if c != target)
-        )
-    return df.withColumn(target, rebuilt).drop(
-        *(c for c in (typed_name,) if c != target)
+    src = (
+        F.coalesce(F.col(col), rebuilt) if col in df.columns else rebuilt
     )
+    out = df.withColumn(target, src)
+    return out.drop(typed_name) if typed_name != target else out
 
 
 def shredded_filter_plan(df: DataFrame) -> str:

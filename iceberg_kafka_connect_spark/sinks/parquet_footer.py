@@ -81,19 +81,28 @@ def _skip(f: io.BytesIO, ttype: int) -> None:
             size = _uvarint(f)
         et = head & 0x0F
         for _ in range(size):
-            _skip(f, et)
+            _skip_elem(f, et)
     elif ttype == _MAP:
         size = _uvarint(f)
         if size:
             head = f.read(1)[0]
             kt, vt = head >> 4, head & 0x0F
             for _ in range(size):
-                _skip(f, kt)
-                _skip(f, vt)
+                _skip_elem(f, kt)
+                _skip_elem(f, vt)
     elif ttype == _STRUCT:
         _skip_struct(f)
     else:
         raise FooterError(f"bad compact type {ttype}")
+
+
+def _skip_elem(f: io.BytesIO, ttype: int) -> None:
+    """Collection elements: unlike field values (where true/false ride
+    the type nibble), bools inside list/set/map occupy one byte each."""
+    if ttype in (_BOOL_TRUE, _BOOL_FALSE):
+        f.read(1)
+    else:
+        _skip(f, ttype)
 
 
 def _skip_struct(f: io.BytesIO) -> None:

@@ -94,12 +94,21 @@ def collect_parquet_stats(path: str) -> dict[str, dict] | None:
             name = col.path_in_schema
             if "." in name or name in dead:
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                has = st is not None and st.has_min_max
+                # .min/.max cast lazily and can ALSO raise for types
+                # pyarrow can't extract (ArrowNotImplementedError)
+                lo, hi = (
+                    (_norm(st.min), _norm(st.max)) if has else (None, None)
+                )
+            except Exception:
+                # no bounds for this column, never a failed commit
+                has = False
+            if not has:
                 dead.add(name)
                 agg.pop(name, None)
                 continue
-            lo, hi = _norm(st.min), _norm(st.max)
             if lo is None or hi is None or lo[0] != hi[0]:
                 dead.add(name)
                 agg.pop(name, None)

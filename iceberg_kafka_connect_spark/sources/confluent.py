@@ -656,9 +656,23 @@ def parse_proto_descriptor(text: str, message: str | None = None) -> dict:
         flat = "".join(out_chars)
         scope = {**scope, **nested}
         desc = {}
-        for m in re.finditer(
-            r"(repeated\s+)?(\w+)\s+(\w+)\s*=\s*(\d+)\s*;", flat
-        ):
+        field_re = (
+            r"(repeated\s+)?(\w+)\s+(\w+)\s*=\s*(\d+)\s*"
+            r"(?:\[[^\]]*\])?\s*;"
+        )
+        # no silent drops: any '= N ;' statement the field grammar can't
+        # parse (map<...>, oneof, groups) must raise, not vanish — a
+        # dropped field would decode as unknown->skipped forever
+        residue = re.sub(field_re, "", flat)
+        residue = re.sub(
+            r"\b(syntax|package|option|import)\b[^;]*;", "", residue
+        )
+        leftover = re.search(r"[^\s]{1,40}\s*=\s*\d+", residue)
+        if leftover:
+            raise WireFormatError(
+                f"unsupported field syntax near {leftover.group(0)!r}"
+            )
+        for m in re.finditer(field_re, flat):
             rep, ptype, fname, fno = (
                 bool(m.group(1)), m.group(2), m.group(3), int(m.group(4)),
             )
@@ -687,20 +701,34 @@ def parse_proto_descriptor(text: str, message: str | None = None) -> dict:
 
 def proto_descriptor_text(name: str, descriptor: dict) -> str:
     """Render the .proto source the registry stores for this descriptor
-    (what ProtobufConverter registers as schemaType=PROTOBUF)."""
-    lines = ["syntax = \"proto3\";", f"message {name} {{"]
-    for fno, spec in descriptor.items():
-        fname, ptype = spec[0], spec[1]
-        if ptype == "message":
-            lines.append(f"  {fname}_t {fname} = {fno};")
-        elif ptype.startswith("packed_"):
-            lines.append(
-                f"  repeated {ptype[len('packed_'):]} {fname} = {fno};"
-            )
-        else:
-            lines.append(f"  {ptype} {fname} = {fno};")
-    lines.append("}")
-    return "\n".join(lines)
+    (what ProtobufConverter registers as schemaType=PROTOBUF).
+    Message-typed fields emit their nested ``message`` definitions, so
+    the output parses back through ``parse_proto_descriptor``."""
+
+    def _body(desc: dict, indent: str) -> list[str]:
+        lines = []
+        for fno, spec in desc.items():
+            fname, ptype = spec[0], spec[1]
+            if ptype == "message":
+                sub = f"{fname}_t"
+                lines.append(f"{indent}message {sub} {{")
+                lines.extend(_body(spec[2], indent + "  "))
+                lines.append(f"{indent}}}")
+                lines.append(f"{indent}{sub} {fname} = {fno};")
+            elif ptype.startswith("packed_"):
+                lines.append(
+                    f"{indent}repeated {ptype[len('packed_'):]} "
+                    f"{fname} = {fno};"
+                )
+            else:
+                lines.append(f"{indent}{ptype} {fname} = {fno};")
+        return lines
+
+    return "\n".join(
+        ["syntax = \"proto3\";", f"message {name} {{"]
+        + _body(descriptor, "  ")
+        + ["}"]
+    )
 
 
 def encode_confluent_protobuf(
@@ -767,6 +795,49 @@ def decode_confluent_protobuf(
 
 
 # ------------------------------------------- pipeline converter stage
+def _logical_of(avro_type: Any) -> tuple[str | None, Any]:
+    """(logicalType, schema-node) of an avro field type, unwrapping the
+    ["null", T] union shape the schema builder emits."""
+    t = avro_type
+    if isinstance(t, list):
+        non_null = [b for b in t if b != "null"]
+        t = non_null[0] if len(non_null) == 1 else None
+    if isinstance(t, dict):
+        return t.get("logicalType"), t
+    return None, t
+
+
+def _apply_logical(schema: Any, datum: Any) -> Any:
+    """Decoded avro base values -> python values carrying their LOGICAL
+    type (timestamps/dates/decimals), recursively, so the JSON handed to
+    from_json holds ISO strings and decimal strings — the JsonConverter
+    conventions — instead of raw micros/days/unscaled bytes."""
+    lt, node = _logical_of(schema)
+    if lt in ("timestamp-micros", "local-timestamp-micros") and isinstance(
+        datum, int
+    ):
+        return datetime(1970, 1, 1) + timedelta(microseconds=datum)
+    if lt == "timestamp-millis" and isinstance(datum, int):
+        return datetime(1970, 1, 1) + timedelta(milliseconds=datum)
+    if lt == "date" and isinstance(datum, int):
+        return date(1970, 1, 1) + timedelta(days=datum)
+    if lt == "decimal" and isinstance(datum, (bytes, bytearray)):
+        unscaled = int.from_bytes(datum, "big", signed=True)
+        return Decimal(unscaled).scaleb(-int(node.get("scale", 0)))
+    named = node.get("type") if isinstance(node, dict) else node
+    if named == "record" and isinstance(datum, dict):
+        ftypes = {f["name"]: f["type"] for f in node["fields"]}
+        return {
+            k: _apply_logical(ftypes[k], v) if k in ftypes else v
+            for k, v in datum.items()
+        }
+    if named == "array" and isinstance(datum, list):
+        return [_apply_logical(node["items"], e) for e in datum]
+    if named == "map" and isinstance(datum, dict):
+        return {k: _apply_logical(node["values"], v) for k, v in datum.items()}
+    return datum
+
+
 def _json_cell(v: Any) -> Any:
     """Decoded datum value -> JSON-representable cell that Spark's
     from_json maps back to the declared type (ISO timestamps, base64
@@ -856,8 +927,16 @@ def value_converter_from_properties(props: dict[str, str]):
             )
             if envelope:
                 # Connect envelope {"schema": ..., "payload": {...}} —
-                # extract the payload object JVM-side
-                text = F.get_json_object(text, "$.payload")
+                # extract the payload object JVM-side. A record WITHOUT
+                # the envelope must NOT become NULL (the pipeline reads
+                # NULL value as a tombstone and would silently drop it):
+                # it becomes a CONVERTER_ERROR marker that the corrupt-
+                # record parse routes to the DLQ / fails the batch,
+                # matching JsonConverter's DataException
+                text = F.coalesce(
+                    F.get_json_object(text, "$.payload"),
+                    F.lit("CONVERTER_ERROR JsonConverter missing $.payload"),
+                )
             return batch.withColumn(
                 "value", F.when(v.isNotNull(), text)
             )
@@ -876,6 +955,13 @@ def value_converter_from_properties(props: dict[str, str]):
         return _json_schema
 
     if short == "AvroConverter":
+        if not registry_url:
+            # config error, not a data error: fail at build time rather
+            # than diverting the entire topic to the DLQ per-record
+            raise ValueError(
+                "AvroConverter requires "
+                "value.converter.schema.registry.url"
+            )
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf(T.StringType())
@@ -892,7 +978,9 @@ def value_converter_from_properties(props: dict[str, str]):
                     wschema = _resolve_writer_schema(
                         sid, None, registry_url, token
                     )
-                    datum = decode_avro_payload(wschema, payload)
+                    datum = _apply_logical(
+                        wschema, decode_avro_payload(wschema, payload)
+                    )
                     out.append(
                         json.dumps(
                             {k: _json_cell(v) for k, v in datum.items()}
@@ -911,11 +999,20 @@ def value_converter_from_properties(props: dict[str, str]):
         desc_json = props.get("value.converter.proto.descriptor")
         proto_text = props.get("value.converter.proto.schema")
         if desc_json:
-            parsed = json.loads(desc_json)
-            descriptor = {
-                int(k): tuple(v) if len(v) == 2 else (v[0], v[1], v[2])
-                for k, v in parsed.items()
-            }
+
+            def _normalize(node: dict) -> dict:
+                # int-ify keys RECURSIVELY — JSON object keys are
+                # strings, and a string-keyed sub-descriptor would make
+                # every nested field decode as unknown->default
+                out = {}
+                for k, v in node.items():
+                    if len(v) == 2:
+                        out[int(k)] = (v[0], v[1])
+                    else:
+                        out[int(k)] = (v[0], v[1], _normalize(v[2]))
+                return out
+
+            descriptor = _normalize(json.loads(desc_json))
         elif proto_text:
             descriptor = parse_proto_descriptor(
                 proto_text, props.get("value.converter.proto.message")

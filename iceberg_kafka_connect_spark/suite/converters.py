@@ -86,8 +86,13 @@ def confluent_avro_roundtrip(spark, sf_dir):
     with SchemaRegistryServer() as srv:
         client = SchemaRegistryClient(srv.uri)
         id1 = client.register("orders-value", avro_v1)
+        # BACKWARD check against v1 BEFORE v2 registers: adding
+        # o_orderpriority without an avro default is NOT backward-
+        # compatible — which is exactly why the decode below must pass
+        # an explicit reader default for it. (Registration still
+        # proceeds: compatibility NONE, Confluent's permissive mode.)
+        assert not client.check_compatibility("orders-value", avro_v2)
         id2 = client.register("orders-value", avro_v2)
-        assert client.check_compatibility("orders-value", avro_v2)
     old_gen = encode_confluent_avro(
         v1_df.where(F.col("o_orderkey") % 8 == 1), id1, avro_v1
     )
