@@ -859,8 +859,13 @@ def _json_cell(v: Any) -> Any:
     return v
 
 
-def value_converter_from_properties(props: dict[str, str]):
-    """``value.converter`` config -> a null-safe batch transform.
+def converter_from_properties(
+    props: dict[str, str],
+    prefix: str = "value.converter",
+    column: str = "value",
+):
+    """``value.converter`` / ``key.converter`` config -> a null-safe
+    batch transform.
 
     The reference never decodes bytes itself — the Connect framework's
     configured converter does (`README.md:77`); this maps the SAME
@@ -884,15 +889,15 @@ def value_converter_from_properties(props: dict[str, str]):
       ``value.converter.proto.descriptor`` (JSON: {field_no: [name,
       type]}) since no .proto compiler ships in this engine.
 
-    Returns None when no ``value.converter`` is configured (the
-    pipeline's default: value already holds JSON text).
+    Returns None when the prefix is not configured (the pipeline's
+    default: the column already holds JSON/string content).
     """
-    cls = props.get("value.converter")
+    cls = props.get(prefix)
     if not cls:
         return None
     short = cls.rsplit(".", 1)[-1]
-    registry_url = props.get("value.converter.schema.registry.url")
-    token = props.get("value.converter.bearer.auth.token")
+    registry_url = props.get(f"{prefix}.schema.registry.url")
+    token = props.get(f"{prefix}.bearer.auth.token")
     # Connect's errant-record semantics extend to DESERIALIZATION: with
     # errors.tolerance=all a record the converter can't decode diverts
     # to the DLQ instead of failing the task. The python lanes map a
@@ -915,14 +920,14 @@ def value_converter_from_properties(props: dict[str, str]):
 
     if short == "JsonConverter":
         envelope = (
-            props.get("value.converter.schemas.enable", "false") == "true"
+            props.get(f"{prefix}.schemas.enable", "false") == "true"
         )
 
         def _json(batch: DataFrame) -> DataFrame:
-            v = F.col("value")
+            v = F.col(column)
             text = (
                 F.decode(v, "UTF-8")
-                if dict(batch.dtypes).get("value") == "binary"
+                if dict(batch.dtypes).get(column) == "binary"
                 else v
             )
             if envelope:
@@ -938,7 +943,7 @@ def value_converter_from_properties(props: dict[str, str]):
                     F.lit("CONVERTER_ERROR JsonConverter missing $.payload"),
                 )
             return batch.withColumn(
-                "value", F.when(v.isNotNull(), text)
+                column, F.when(v.isNotNull(), text)
             )
 
         return _json
@@ -946,10 +951,12 @@ def value_converter_from_properties(props: dict[str, str]):
     if short == "JsonSchemaConverter":
 
         def _json_schema(batch: DataFrame) -> DataFrame:
-            v = F.col("value")
-            body = F.expr("substring(value, 6, length(value) - 5)")
+            v = F.col(column)
+            body = F.expr(
+                f"substring({column}, 6, length({column}) - 5)"
+            )
             return batch.withColumn(
-                "value", F.when(v.isNotNull(), F.decode(body, "UTF-8"))
+                column, F.when(v.isNotNull(), F.decode(body, "UTF-8"))
             )
 
         return _json_schema
@@ -991,13 +998,13 @@ def value_converter_from_properties(props: dict[str, str]):
             return pd.Series(out, dtype="object")
 
         def _avro(batch: DataFrame) -> DataFrame:
-            return batch.withColumn("value", _avro_to_json("value"))
+            return batch.withColumn(column, _avro_to_json(column))
 
         return _avro
 
     if short == "ProtobufConverter":
-        desc_json = props.get("value.converter.proto.descriptor")
-        proto_text = props.get("value.converter.proto.schema")
+        desc_json = props.get(f"{prefix}.proto.descriptor")
+        proto_text = props.get(f"{prefix}.proto.schema")
         if desc_json:
 
             def _normalize(node: dict) -> dict:
@@ -1015,7 +1022,7 @@ def value_converter_from_properties(props: dict[str, str]):
             descriptor = _normalize(json.loads(desc_json))
         elif proto_text:
             descriptor = parse_proto_descriptor(
-                proto_text, props.get("value.converter.proto.message")
+                proto_text, props.get(f"{prefix}.proto.message")
             )
         else:
             raise ValueError(
@@ -1051,11 +1058,24 @@ def value_converter_from_properties(props: dict[str, str]):
             return pd.Series(out, dtype="object")
 
         def _proto(batch: DataFrame) -> DataFrame:
-            return batch.withColumn("value", _proto_to_json("value"))
+            return batch.withColumn(column, _proto_to_json(column))
 
         return _proto
 
-    raise ValueError(f"unsupported value.converter {cls!r}")
+    raise ValueError(f"unsupported {prefix} {cls!r}")
+
+
+def value_converter_from_properties(props: dict[str, str]):
+    """The ``value.converter`` lane (see converter_from_properties)."""
+    return converter_from_properties(props, "value.converter", "value")
+
+
+def key_converter_from_properties(props: dict[str, str]):
+    """The ``key.converter`` lane: same wire formats applied to the
+    record KEY column (framed Avro/proto keys are routine in real
+    deployments; the decoded key stays available to transforms like
+    CopyValue's external_field='key,...')."""
+    return converter_from_properties(props, "key.converter", "key")
 
 
 __all__ = [
@@ -1073,7 +1093,9 @@ __all__ = [
     "decode_proto_message",
     "proto_descriptor_text",
     "parse_proto_descriptor",
+    "converter_from_properties",
     "value_converter_from_properties",
+    "key_converter_from_properties",
     "json_schema_for",
     "spark_to_avro_schema",
 ]

@@ -52,16 +52,19 @@ class SinkPipeline:
         value_schema: T.StructType | None = None,
         transforms: list | None = None,
         value_converter=None,
+        key_converter=None,
     ):
         self.catalog = catalog
         self.config = config
         self.pipeline_id = pipeline_id
         self.value_schema = value_schema
         self.transforms = transforms or []
-        # the Connect framework's value.converter stage (README.md:77),
-        # built by sources.confluent.value_converter_from_properties:
-        # rewrites wire bytes -> JSON text, null-safe (tombstones pass)
+        # the Connect framework's value.converter / key.converter stages
+        # (README.md:77), built by sources.confluent
+        # converter_from_properties: rewrite wire bytes -> JSON text,
+        # null-safe (tombstones pass)
         self.value_converter = value_converter
+        self.key_converter = key_converter
 
     # ------------------------------------------------------------ batch body
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -69,6 +72,8 @@ class SinkPipeline:
         count; the only other full passes are the per-table writes. This is
         the hot path — a 100 TB pipeline lives here."""
         cfg = self.config
+        if self.key_converter is not None and "key" in batch.columns:
+            batch = self.key_converter(batch)
         if self.value_converter is not None:
             batch = self.value_converter(batch)
         # P1 entry: parse value into record fields, keep kafka metadata.

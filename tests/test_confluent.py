@@ -738,3 +738,36 @@ def test_footer_skip_bool_collection_elements():
         0x00,        # STOP
     ])
     assert _struct_fields(_io.BytesIO(blob), {3: 6}) == {3: 42}
+
+
+def test_key_converter_lane_decodes_framed_keys(spark):
+    """key.converter applies the same wire formats to the KEY column;
+    null keys pass untouched."""
+    from datetime import datetime
+
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        encode_avro_payload,
+        frame as _frame,
+        key_converter_from_properties,
+    )
+
+    key_schema = T.StructType([T.StructField("uid", T.LongType())])
+    avro = spark_to_avro_schema(key_schema, name="key")
+    with SchemaRegistryServer() as srv:
+        sid = SchemaRegistryClient(srv.uri).register("t-key", avro)
+        conv = key_converter_from_properties({
+            "key.converter": "io.confluent.connect.avro.AvroConverter",
+            "key.converter.schema.registry.url": srv.uri,
+        })
+        ts = datetime(2024, 1, 1)
+        framed_key = _frame(sid, encode_avro_payload(avro, {"uid": 77}))
+        batch = spark.createDataFrame(
+            [(framed_key, '{"id":1}', "t", 0, 0, ts),
+             (None, '{"id":2}', "t", 0, 1, ts)],
+            "key binary, value string, topic string, partition int, "
+            "offset long, timestamp timestamp",
+        )
+        out = conv(batch).orderBy("offset").collect()
+    assert json.loads(out[0].key) == {"uid": 77}
+    assert out[1].key is None
+    assert out[0].value == '{"id":1}'  # value untouched
