@@ -280,6 +280,75 @@ def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
                 shutil.rmtree(wh, ignore_errors=True)
     finally:
         kafka_shaped.unpersist()
+
+    # converter lane: the SAME events as Schema-Registry-framed Avro
+    # wire bytes through value.converter=AvroConverter — measures the
+    # Arrow-batched python decode (per-record writer-schema resolution,
+    # logical-type rendering) that real Connect topics pay. Encode runs
+    # OUTSIDE the timed region; the registry stays up for executor
+    # schema fetches (one per worker process).
+    from iceberg_kafka_connect_spark.sinks.avro_io import (
+        spark_to_avro_schema,
+    )
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        encode_confluent_avro,
+        value_converter_from_properties,
+    )
+    from iceberg_kafka_connect_spark.sources.registry import (
+        SchemaRegistryClient,
+        SchemaRegistryServer,
+    )
+
+    avro = spark_to_avro_schema(value_schema, name="events")
+    srv = SchemaRegistryServer()
+    try:
+        sid = SchemaRegistryClient(srv.uri).register("events-value", avro)
+        meta_cols = ("key", "topic", "partition", "offset", "timestamp")
+        wire = encode_confluent_avro(
+            events.select(
+                F.col("event_id").cast("string").alias("key"),
+                F.lit("events").alias("topic"),
+                (F.col("user_id") % 8).cast("int").alias("partition"),
+                F.col("event_id").alias("offset"),
+                F.col("ts").alias("timestamp"),
+                "event_id", "ts", "user_id", "event_type", "value", "props",
+            ),
+            sid,
+            avro,
+            keep_cols=meta_cols,
+        ).persist()
+        wire.count()  # materialize outside the timed region
+        conv = value_converter_from_properties(
+            {
+                "value.converter":
+                    "io.confluent.connect.avro.AvroConverter",
+                "value.converter.schema.registry.url": srv.uri,
+            }
+        )
+        for run in range(2):
+            wh = tempfile.mkdtemp(prefix="iks-bench-wh-")
+            try:
+                pipe3 = SinkPipeline(
+                    Catalog(wh),
+                    SinkConfig(
+                        tables=[TableConfig("default.events_wire")],
+                        auto_create=True,
+                    ),
+                    "bench-wire",
+                    value_schema=value_schema,
+                    value_converter=conv,
+                )
+                t0 = time.perf_counter()
+                pipe3.process_batch(wire, 0)
+                el = round(time.perf_counter() - t0, 3)
+                out["ingest_confluent_avro"] = min(
+                    out.get("ingest_confluent_avro", el), el
+                )
+            finally:
+                shutil.rmtree(wh, ignore_errors=True)
+        wire.unpersist()
+    finally:
+        srv.close()
     return out
 
 
@@ -518,7 +587,7 @@ def main() -> None:
     headline = [
         # end-to-end ingestion + the analytics/curation flagships the
         # verdicts track round-over-round
-        "ingest_append", "ingest_cdc_upsert",
+        "ingest_append", "ingest_cdc_upsert", "ingest_confluent_avro",
         "tpch_q1", "tpch_q6", "tpch_q18", "tpch_q21",
         "dedup_minhash_lsh", "dedup_incremental", "docs_span_dedup",
         "ann_topk_ivf_kmeans", "dedup_semdedup", "embedding_pca",

@@ -24,7 +24,12 @@ Spark-first split:
   which Spark's built-ins cannot interpret. Writer schemas resolve
   against the registry with a per-executor cache (one HTTP fetch per
   schema id per worker process — the standard consumer pattern), or from
-  a pre-fetched ``schemas`` dict for hermetic runs.
+  a pre-fetched ``schemas`` dict for hermetic runs. On a cluster with
+  the ``spark-avro`` package loaded (not bundled in this container's
+  pyspark wheel), a SINGLE-writer-schema topic can instead strip the
+  5-byte header with ``substring`` and decode JVM-side via
+  ``pyspark.sql.avro.functions.from_avro`` — the codegen fast path;
+  the python lane remains the general multi-schema/evolution path.
 
 Schema evolution follows Avro resolution: each record decodes with its
 OWN writer schema, then projects to the reader schema — reader fields
@@ -212,14 +217,19 @@ def encode_confluent_avro(
     schema_id: int,
     avro_schema: dict,
     value_col: str = "value",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Rows -> one framed binary ``value`` column (the producer side;
     used by gates/tests to build wire-faithful topics). The caller
     registers the schema (``SchemaRegistryClient.register``) and passes
-    the assigned id — encoding itself is pure and distributed."""
+    the assigned id — encoding itself is pure and distributed.
+    ``keep_cols`` pass through unencoded (kafka metadata columns when
+    building a full wire-shaped topic)."""
     import pandas as pd
 
-    fields = [f.name for f in df.schema.fields]
+    fields = [
+        f.name for f in df.schema.fields if f.name not in keep_cols
+    ]
     header = frame(schema_id, b"")
 
     def _enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -229,7 +239,9 @@ def encode_confluent_avro(
                 header + encode_avro_payload(avro_schema, _clean_row(r))
                 for r in rows
             ]
-            yield pd.DataFrame({value_col: vals})
+            out = {c: pdf[c] for c in keep_cols}
+            out[value_col] = vals
+            yield pd.DataFrame(out)
 
     def _clean_row(r: dict) -> dict:
         import pandas as pd
@@ -250,9 +262,12 @@ def encode_confluent_avro(
                 out[k] = v
         return out
 
-    return df.mapInPandas(
-        _enc, schema=T.StructType([T.StructField(value_col, T.BinaryType())])
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in keep_cols]
+        + [T.StructField(value_col, T.BinaryType())]
     )
+    return df.mapInPandas(_enc, schema=out_schema)
 
 
 def decode_confluent_avro(
