@@ -91,12 +91,21 @@ def build_pipeline(spec: dict, spark=None):
 
     chain = _resolve_transforms(spec.get("transforms", []))
     chain += parse_transform_chain(spec["config"])
+    # Connect's converter stage from the same flat properties
+    # (value.converter / key.converter + their sub-keys — README.md:77)
+    from .sources.confluent import (
+        key_converter_from_properties,
+        value_converter_from_properties,
+    )
+
     pipeline = SinkPipeline(
         catalog,
         cfg,
         pipeline_id=spec.get("name", "pipeline"),
         value_schema=schema,
         transforms=chain,
+        value_converter=value_converter_from_properties(spec["config"]),
+        key_converter=key_converter_from_properties(spec["config"]),
     )
     src = spec["source"]
     if src["type"] == "kafka":
@@ -110,7 +119,11 @@ def build_pipeline(spec: dict, spark=None):
             max_offsets_per_trigger=int(mopt) if mopt is not None else None,
         )
     elif src["type"] == "files":
-        stream = file_stream_source(spark, src["path"])
+        stream = file_stream_source(
+            spark,
+            src["path"],
+            binary_value=bool(src.get("binary_value")),
+        )
     else:
         raise ValueError(f"unknown source type: {src['type']}")
     return spark, pipeline, stream
@@ -743,6 +756,39 @@ def serve_nessie_main(argv: list[str]) -> int:
     return 0
 
 
+def serve_registry_main(argv: list[str]) -> int:
+    """Run the in-process Confluent-protocol Schema Registry:
+
+        python -m iceberg_kafka_connect_spark.cli serve-registry \\
+            [--host H] [--port P] [--token T]
+
+    Prints one JSON line with the bound uri, then serves until
+    interrupted. Pipelines configured with ``value.converter.schema.
+    registry.url`` (AvroConverter / JsonSchemaConverter /
+    ProtobufConverter lanes) resolve wire-format schema ids here.
+    """
+    ap = argparse.ArgumentParser(prog="cli serve-registry")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8081)
+    ap.add_argument("--token", default=None)
+    args = ap.parse_args(argv)
+    from .sources.registry import SchemaRegistryServer
+
+    srv = SchemaRegistryServer(
+        host=args.host, port=args.port, token=args.token
+    )
+    print(json.dumps({"uri": srv.uri}), flush=True)
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+    return 0
+
+
 def views_main(argv: list[str]) -> int:
     """SQL-view subcommand over a warehouse (sinks/views.py):
 
@@ -802,6 +848,8 @@ def main(argv: list[str] | None = None) -> int:
         return serve_rest_main(argv[1:])
     if argv and argv[0] == "serve-nessie":
         return serve_nessie_main(argv[1:])
+    if argv and argv[0] == "serve-registry":
+        return serve_registry_main(argv[1:])
     if argv and argv[0] == "maintain":
         return maintain_main(argv[1:])
     ap = argparse.ArgumentParser(description=__doc__)

@@ -70,20 +70,43 @@ def kafka_stream_source(
     )
 
 
-def file_stream_source(spark: SparkSession, path: str) -> DataFrame:
+def file_stream_source(
+    spark: SparkSession, path: str, binary_value: bool = False
+) -> DataFrame:
     """Kafka-shaped stream from JSON-lines files (one record per line with
     the KAFKA_SHAPE fields). Used by tests and local runs; exactly-once
-    comes from the same checkpoint machinery as the kafka source."""
-    return (
+    comes from the same checkpoint machinery as the kafka source.
+
+    ``binary_value=True`` is the wire-format twin: key/value carry
+    base64 text in the files (JSON can't hold raw bytes) and decode to
+    BINARY columns JVM-side (``unbase64``) — the exact column types the
+    real kafka source emits, so value.converter/key.converter stages
+    run unchanged against either source."""
+    raw = (
         spark.readStream.schema(KAFKA_SHAPE)
         .option("maxFilesPerTrigger", "8")
         .json(path)
     )
+    return _as_binary(raw) if binary_value else raw
 
 
-def batch_file_source(spark: SparkSession, path: str) -> DataFrame:
+def _as_binary(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.unbase64("key").alias("key"),
+        F.unbase64("value").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
+
+
+def batch_file_source(
+    spark: SparkSession, path: str, binary_value: bool = False
+) -> DataFrame:
     """Batch flavor of the file source (for foreachBatch unit tests)."""
-    return spark.read.schema(KAFKA_SHAPE).json(path)
+    raw = spark.read.schema(KAFKA_SHAPE).json(path)
+    return _as_binary(raw) if binary_value else raw
 
 
 def table_stream_source(spark: SparkSession, lake_table) -> DataFrame:

@@ -553,3 +553,84 @@ def test_cli_validate_export(spark, tmp_path, capsys):
     rc, bad = run("validate-export", "--metadata", out["metadata_json"])
     assert rc == 1
     assert any("current-snapshot-id" in v for v in bad["spec_violations"])
+
+
+def test_cli_job_spec_wire_format_converter(spark, tmp_path):
+    """Connector-JSON converter keys drive the pipeline: a files source
+    in binary mode + value.converter=AvroConverter lands framed wire
+    records; the serve-registry verb's server backs the schema ids."""
+    import base64
+
+    from iceberg_kafka_connect_spark.sinks.avro_io import (
+        spark_to_avro_schema,
+    )
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        encode_avro_payload,
+        frame,
+    )
+    from iceberg_kafka_connect_spark.sources.registry import (
+        SchemaRegistryClient,
+        SchemaRegistryServer,
+    )
+    from pyspark.sql import types as T
+
+    value_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    avro = spark_to_avro_schema(value_schema, name="rec")
+    src = tmp_path / "in"
+    src.mkdir()
+    with SchemaRegistryServer() as srv:
+        sid = SchemaRegistryClient(srv.uri).register("t-value", avro)
+        with open(src / "a.json", "w") as f:
+            for i in range(3):
+                framed = frame(
+                    sid,
+                    encode_avro_payload(
+                        avro, {"id": i, "name": f"n{i}"}
+                    ),
+                )
+                f.write(
+                    json.dumps(
+                        {
+                            "key": base64.b64encode(
+                                str(i).encode()
+                            ).decode(),
+                            "value": base64.b64encode(framed).decode(),
+                            "topic": "t",
+                            "partition": 0,
+                            "offset": i,
+                            "timestamp": "2024-01-01T00:00:00.000Z",
+                        }
+                    )
+                    + "\n"
+                )
+        spec = {
+            "name": "cli-wire",
+            "config": {
+                "iceberg.tables": "default.wire_sink",
+                "iceberg.tables.auto-create-enabled": "true",
+                "value.converter":
+                    "io.confluent.connect.avro.AvroConverter",
+                "value.converter.schema.registry.url": srv.uri,
+            },
+            "source": {
+                "type": "files",
+                "path": str(src),
+                "binary_value": True,
+            },
+            "value_schema": "id long, name string",
+            "warehouse": str(tmp_path / "wh"),
+            "checkpoint": str(tmp_path / "ck"),
+            "run_mode": "available_now",
+        }
+        _, pipeline, stream = build_pipeline(spec, spark=spark)
+        q = pipeline.start(stream, spec["checkpoint"], available_now=True)
+        assert q.awaitTermination(120)
+    t = Catalog(spec["warehouse"]).load_table("default.wire_sink")
+    assert sorted((r.id, r.name) for r in t.read(spark).collect()) == [
+        (0, "n0"), (1, "n1"), (2, "n2"),
+    ]

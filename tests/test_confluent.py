@@ -771,3 +771,82 @@ def test_key_converter_lane_decodes_framed_keys(spark):
     assert json.loads(out[0].key) == {"uid": 77}
     assert out[1].key is None
     assert out[0].value == '{"id":1}'  # value untouched
+
+
+def test_streaming_wire_format_exactly_once_restart(spark, tmp_path):
+    """Full streaming e2e: base64 wire files -> binary kafka shape ->
+    value.converter=AvroConverter -> lakehouse, across TWO checkpointed
+    runs — records land exactly once and the second run only processes
+    the new chunk."""
+    import base64
+    from datetime import datetime
+
+    from iceberg_kafka_connect_spark.config import SinkConfig, TableConfig
+    from iceberg_kafka_connect_spark.sinks import Catalog
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        encode_avro_payload,
+        frame as _frame,
+        value_converter_from_properties,
+    )
+    from iceberg_kafka_connect_spark.sources.stream import (
+        file_stream_source,
+    )
+    from iceberg_kafka_connect_spark.streaming import SinkPipeline
+
+    value_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    avro = spark_to_avro_schema(value_schema, name="rec")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _chunk(fname, ids, offset0):
+        with open(src / fname, "w") as f:
+            for i, rid in enumerate(ids):
+                framed = _frame(
+                    sid, encode_avro_payload(
+                        avro, {"id": rid, "name": f"n{rid}"}
+                    )
+                )
+                f.write(json.dumps({
+                    "key": base64.b64encode(str(rid).encode()).decode(),
+                    "value": base64.b64encode(framed).decode(),
+                    "topic": "t",
+                    "partition": 0,
+                    "offset": offset0 + i,
+                    "timestamp": "2024-01-01T00:00:00.000Z",
+                }) + "\n")
+
+    with SchemaRegistryServer() as srv:
+        sid = SchemaRegistryClient(srv.uri).register("t-value", avro)
+        conv = value_converter_from_properties({
+            "value.converter": "io.confluent.connect.avro.AvroConverter",
+            "value.converter.schema.registry.url": srv.uri,
+        })
+        cat = Catalog(str(tmp_path / "wh"))
+        cfg = SinkConfig(tables=[TableConfig("default.wire")],
+                         auto_create=True)
+        ckpt = str(tmp_path / "ckpt")
+
+        _chunk("c0.json", [1, 2, 3], 0)
+        pipe = SinkPipeline(cat, cfg, "pw", value_schema=value_schema,
+                            value_converter=conv)
+        stream = file_stream_source(spark, str(src), binary_value=True)
+        q = pipe.start(stream, ckpt, available_now=True)
+        assert q.awaitTermination(120)
+
+        _chunk("c1.json", [4, 5], 3)
+        # fresh pipeline object, same checkpoint: the restart shape
+        pipe2 = SinkPipeline(cat, cfg, "pw", value_schema=value_schema,
+                             value_converter=conv)
+        stream2 = file_stream_source(spark, str(src), binary_value=True)
+        q2 = pipe2.start(stream2, ckpt, available_now=True)
+        assert q2.awaitTermination(120)
+
+    rows = sorted(
+        (r.id, r.name)
+        for r in cat.load_table("default.wire").read(spark)
+        .select("id", "name").collect()
+    )
+    assert rows == [(1, "n1"), (2, "n2"), (3, "n3"), (4, "n4"), (5, "n5")]
