@@ -161,7 +161,10 @@ def load_all() -> dict[str, QuerySpec]:
     #   before registration),
     #   variant_lakehouse_roundtrip / variant_shredded_scan (Iceberg v3
     #   variant type + shredded typed scan, suite/variant_suite.py —
-    #   locally parity-verified at sf0.01 before registration)
+    #   locally parity-verified at sf0.01 before registration),
+    #   session_stream_replay (X122 streaming session-window replay —
+    #   locally parity-verified at sf0.001 AND sf0.01 before
+    #   registration)
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).

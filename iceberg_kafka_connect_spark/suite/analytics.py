@@ -865,3 +865,98 @@ def stream_interval_join_replay(spark, sf_dir):
     return spark.createDataFrame(
         [(int(acc[0]), int(acc[1]))], "n_pairs bigint, sum_ids bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# X122: streaming session-window replay — the batch 30-minute-gap
+# sessionization (events_sessionize) recomputed as a Structured
+# Streaming `session_window` aggregation, replayed over the events
+# table in two chronological micro-batch runs sharing one checkpoint:
+# sessions OPEN at the end of run 1 must merge with run 2's events
+# through restored session state — the cross-run merge is what's gated.
+# A third sentinel run (one far-future dummy event, filtered from the
+# results) advances the watermark past every real session end so
+# append mode emits the final open sessions; the accumulated session
+# rows then equal the batch lag/gap sessionization the oracle states.
+# Exact because the testdata has no per-user gap of exactly 30 minutes
+# (where session_window's half-open boundary and the batch `>` rule
+# could disagree) — verified at sf0.001/0.01 before registration.
+# --------------------------------------------------------------------------
+@register(
+    "session_stream_replay",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    ) > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM marked
+    GROUP BY user_id
+    """,
+    tags=("analytics", "events", "streaming"),
+)
+def session_stream_replay(spark, sf_dir):
+    import tempfile
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("timestamp")
+    )
+    lo, hi = e.agg(F.min("timestamp"), F.max("timestamp")).collect()[0]
+    cut = lo + (hi - lo) / 2
+    base = tempfile.mkdtemp(prefix="sess_replay_")
+    src, ck = f"{base}/src", f"{base}/ck"
+    sessions: list[tuple[int, int]] = []  # (user_id, n_events)
+
+    def sink(batch, _bid):
+        sessions.extend(
+            (r.user_id, r.n) for r in batch.collect() if r.user_id >= 0
+        )
+
+    import datetime as dt
+
+    sentinel = spark.createDataFrame(
+        [(-1, hi + dt.timedelta(hours=2))], "user_id long, timestamp timestamp"
+    )
+    for sl in (
+        e.filter(F.col("timestamp") < F.lit(cut)),
+        e.filter(F.col("timestamp") >= F.lit(cut)),
+        sentinel,
+    ):
+        sl.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, timestamp timestamp"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("timestamp", "0 seconds")
+            .groupBy(
+                F.session_window("timestamp", "30 minutes"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", "n")
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "replay micro-batch run did not finish in 600s"
+            )
+    out = spark.createDataFrame(
+        [(int(u), int(n)) for u, n in sessions], "user_id long, n bigint"
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+    )
