@@ -164,7 +164,9 @@ def load_all() -> dict[str, QuerySpec]:
     #   locally parity-verified at sf0.01 before registration),
     #   session_stream_replay (X122 streaming session-window replay —
     #   locally parity-verified at sf0.001 AND sf0.01 before
-    #   registration)
+    #   registration),
+    #   dedup_stream_replay (X123 streaming exact-dedup replay — same
+    #   double-scale local verification)
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).

@@ -960,3 +960,76 @@ def session_stream_replay(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.sum("n").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# X123: streaming exact-dedup replay — streaming_dedup (watermarked
+# dropDuplicates, X: one state entry per key inside the horizon) gated
+# value-level: the events table streamed with SYNTHESIZED re-deliveries
+# (a deterministic quarter of run 1's keys re-sent in run 2 — the
+# cross-run redelivery only restored dedup STATE can drop — plus
+# in-run duplicates), over one checkpoint in two availableNow runs.
+# Every key must land exactly once, so the accumulated (count, sum of
+# ids) equals the plain distinct table the oracle states. The test
+# watermark is generous (nothing ages out — exactness); production
+# sets the horizon to the real redelivery bound to cap state.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_stream_replay",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    """,
+    tags=("analytics", "events", "streaming", "dedup"),
+)
+def dedup_stream_replay(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.dedup import streaming_dedup
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").alias("timestamp")
+    )
+    lo, hi = e.agg(F.min("timestamp"), F.max("timestamp")).collect()[0]
+    cut = lo + (hi - lo) / 2
+    first = e.filter(F.col("timestamp") < F.lit(cut))
+    second = e.filter(F.col("timestamp") >= F.lit(cut))
+    # run-2 payload: the second half, PLUS re-deliveries — a quarter of
+    # run 1's keys (cross-run: only restored state can drop them) and a
+    # quarter of its own (in-run)
+    redelivered = second.unionAll(
+        first.filter(F.col("event_id") % 4 == 0)
+    ).unionAll(second.filter(F.col("event_id") % 4 == 1))
+    base = tempfile.mkdtemp(prefix="dedup_replay_")
+    src, ck = f"{base}/src", f"{base}/ck"
+    acc = [0, 0]
+
+    def sink(batch, _bid):
+        r = batch.agg(F.count(F.lit(1)), F.sum("event_id")).collect()[0]
+        acc[0] += r[0] or 0
+        acc[1] += r[1] or 0
+
+    for sl in (first, redelivered):
+        sl.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, timestamp timestamp"
+        ).parquet(src)
+        deduped = streaming_dedup(
+            stream, ["event_id"], ts_col="timestamp", watermark="365 days"
+        )
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "replay micro-batch run did not finish in 600s"
+            )
+    return spark.createDataFrame(
+        [(int(acc[0]), int(acc[1]))], "n_events bigint, sum_ids bigint"
+    )
