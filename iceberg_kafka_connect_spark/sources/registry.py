@@ -85,6 +85,10 @@ class _Store:
         # subject -> list of (version, id) in registration order
         self.subjects: dict[str, list[tuple[int, int]]] = {}
         self.next_id = 1
+        # compatibility levels (Confluent /config): global default +
+        # per-subject overrides; enforcement happens at registration
+        self.global_compat = "NONE"
+        self.subject_compat: dict[str, str] = {}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -151,6 +155,31 @@ class _Handler(BaseHTTPRequestHandler):
         if method == "GET" and parts == ["subjects"]:
             with s.lock:
                 return self._send(200, sorted(s.subjects))
+        # GET/PUT /config and /config/{subject}
+        if parts[:1] == ["config"] and len(parts) <= 2:
+            subject = parts[1] if len(parts) == 2 else None
+            if method == "PUT":
+                level = (self._body().get("compatibility") or "").upper()
+                if level not in ("NONE", "BACKWARD"):
+                    return self._err(
+                        422, 42203,
+                        f"unsupported compatibility level {level!r} "
+                        "(stub implements NONE and BACKWARD)",
+                    )
+                with s.lock:
+                    if subject is None:
+                        s.global_compat = level
+                    else:
+                        s.subject_compat[subject] = level
+                return self._send(200, {"compatibility": level})
+            if method == "GET":
+                with s.lock:
+                    level = (
+                        s.subject_compat.get(subject, s.global_compat)
+                        if subject is not None
+                        else s.global_compat
+                    )
+                return self._send(200, {"compatibilityLevel": level})
         if parts[:1] == ["subjects"] and len(parts) >= 2:
             subject = parts[1]
             # POST /subjects/{s}/versions
@@ -165,6 +194,30 @@ class _Handler(BaseHTTPRequestHandler):
                 stype = body.get("schemaType") or "AVRO"
                 canon = canonical_schema(body["schema"])
                 with s.lock:
+                    # compatibility enforcement (the real registry's
+                    # registration-time check): an incompatible schema
+                    # under a BACKWARD subject fails with 409
+                    level = s.subject_compat.get(
+                        subject, s.global_compat
+                    )
+                    versions_now = s.subjects.get(subject) or []
+                    if (
+                        level == "BACKWARD"
+                        and versions_now
+                        and stype == "AVRO"
+                        and s.by_canonical.get(canon)
+                        not in {i for _, i in versions_now}
+                    ):
+                        latest_schema, _ = s.by_id[versions_now[-1][1]]
+                        if not backward_compatible(
+                            body["schema"], latest_schema
+                        ):
+                            return self._err(
+                                409,
+                                409,
+                                "Schema being registered is "
+                                "incompatible with an earlier schema",
+                            )
                     sid = s.by_canonical.get(canon)
                     if sid is None:
                         sid = s.next_id
@@ -227,6 +280,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         self._route("POST")
+
+    def do_PUT(self):  # noqa: N802
+        self._route("PUT")
 
 
 class SchemaRegistryServer:
@@ -321,6 +377,18 @@ class SchemaRegistryClient:
 
     def latest(self, subject: str) -> dict:
         return self._call("GET", f"/subjects/{subject}/versions/latest")
+
+    def set_compatibility(
+        self, level: str, subject: str | None = None
+    ) -> None:
+        """PUT /config[/subject]: set the enforcement level (NONE or
+        BACKWARD); BACKWARD makes incompatible registrations fail 409."""
+        path = "/config" if subject is None else f"/config/{subject}"
+        self._call("PUT", path, {"compatibility": level})
+
+    def get_compatibility(self, subject: str | None = None) -> str:
+        path = "/config" if subject is None else f"/config/{subject}"
+        return self._call("GET", path)["compatibilityLevel"]
 
     def check_compatibility(
         self, subject: str, schema: str | dict, version: str = "latest"

@@ -850,3 +850,36 @@ def test_streaming_wire_format_exactly_once_restart(spark, tmp_path):
         .select("id", "name").collect()
     )
     assert rows == [(1, "n1"), (2, "n2"), (3, "n3"), (4, "n4"), (5, "n5")]
+
+
+def test_registry_compatibility_enforcement():
+    """PUT /config BACKWARD makes the registration-time check real: an
+    incompatible schema fails 409; a compatible one registers; the
+    idempotent re-register of an existing version always passes."""
+    import urllib.error
+
+    v1 = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}]}
+    bad = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"}]}
+    ok = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"], "default": None}]}
+    with SchemaRegistryServer() as srv:
+        c = SchemaRegistryClient(srv.uri)
+        assert c.get_compatibility() == "NONE"
+        id1 = c.register("s-value", v1)
+        c.set_compatibility("BACKWARD", subject="s-value")
+        assert c.get_compatibility("s-value") == "BACKWARD"
+        assert c.get_compatibility() == "NONE"  # global untouched
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.register("s-value", bad)
+        assert ei.value.code == 409
+        id2 = c.register("s-value", ok)
+        assert id2 != id1
+        # idempotent re-register of the EXISTING version passes
+        assert SchemaRegistryClient(srv.uri).register("s-value", v1) == id1
+        # unsupported level rejected loudly
+        with pytest.raises(urllib.error.HTTPError):
+            c.set_compatibility("FULL_TRANSITIVE")
