@@ -187,6 +187,17 @@ def decode_avro_payload(schema: dict, payload: bytes) -> dict:
 _EXECUTOR_SCHEMAS: dict[tuple[str, int], dict] = {}
 
 
+def _resolve_writer_decoder(schema_id: int, registry_url: str, token):
+    """Compiled json-mode decoder for a writer schema id (the value.
+    converter hot path): one registry fetch + one compile per id per
+    worker process; each record is then a chain of direct closure calls
+    (sources/avro_fast.py — ~2.5x the generic codec)."""
+    from .avro_fast import decoder_for
+
+    wschema = _resolve_writer_schema(schema_id, None, registry_url, token)
+    return decoder_for(wschema, json_mode=True)
+
+
 def _resolve_writer_schema(
     schema_id: int,
     prefetched: dict[int, dict] | None,
@@ -294,12 +305,14 @@ def decode_confluent_avro(
     def _dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             cols: dict[str, list] = {f.name: [] for f in rfields}
+            from .avro_fast import decoder_for
+
             for raw in pdf[value_col]:
                 sid, payload = unframe(bytes(raw))
                 wschema = _resolve_writer_schema(
                     sid, schemas, registry_url, token
                 )
-                datum = decode_avro_payload(wschema, payload)
+                datum = decoder_for(wschema)(payload)
                 for f in rfields:
                     v = datum.get(f.name, defaults.get(f.name))
                     cols[f.name].append(_coerce_to_spark(v, f.dataType))
@@ -997,17 +1010,10 @@ def converter_from_properties(
                     continue
                 try:
                     sid, payload = unframe(bytes(raw))
-                    wschema = _resolve_writer_schema(
-                        sid, None, registry_url, token
+                    dec = _resolve_writer_decoder(
+                        sid, registry_url, token
                     )
-                    datum = _apply_logical(
-                        wschema, decode_avro_payload(wschema, payload)
-                    )
-                    out.append(
-                        json.dumps(
-                            {k: _json_cell(v) for k, v in datum.items()}
-                        )
-                    )
+                    out.append(json.dumps(dec(payload)))
                 except Exception as exc:  # noqa: BLE001 — mapped to DLQ
                     out.append(_decode_error(exc, bytes(raw)))
             return pd.Series(out, dtype="object")

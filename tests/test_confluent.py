@@ -883,3 +883,52 @@ def test_registry_compatibility_enforcement():
         # unsupported level rejected loudly
         with pytest.raises(urllib.error.HTTPError):
             c.set_compatibility("FULL_TRANSITIVE")
+
+
+def test_compiled_decoder_agrees_with_generic_codec():
+    """avro_fast.decoder_for == the generic decode_datum + logical
+    application across the full type battery, both modes."""
+    from datetime import date as d_, datetime
+    from decimal import Decimal
+
+    from iceberg_kafka_connect_spark.sources.avro_fast import decoder_for
+    from iceberg_kafka_connect_spark.sources.confluent import (
+        _apply_logical,
+        decode_avro_payload,
+        encode_avro_payload,
+    )
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "l", "type": ["null", "long"]},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "amt", "type": {"type": "bytes", "logicalType": "decimal",
+                                 "precision": 10, "scale": 2}},
+        {"name": "raw", "type": "bytes"},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ]}
+    row = {"l": -7, "s": "héllo", "d": 2.5, "b": True,
+           "ts": datetime(2024, 3, 1, 12, 30, 45, 123456),
+           "day": d_(2024, 3, 1), "amt": Decimal("12.34"),
+           "raw": b"\x00\x01", "xs": [1, -2, 300], "m": {"k": "v"}}
+    payload = encode_avro_payload(schema, row)
+    slow = _apply_logical(schema, decode_avro_payload(schema, payload))
+    fast = decoder_for(schema)(payload)
+    assert fast == slow
+    assert fast["ts"] == row["ts"] and fast["amt"] == row["amt"]
+    jm = decoder_for(schema, json_mode=True)(payload)
+    assert jm["ts"] == "2024-03-01 12:30:45.123456"
+    assert jm["day"] == "2024-03-01"
+    assert jm["amt"] == "12.34"
+    import base64
+
+    assert jm["raw"] == base64.b64encode(b"\x00\x01").decode()
+    # null branch
+    row2 = dict(row, l=None)
+    p2 = encode_avro_payload(schema, row2)
+    assert decoder_for(schema)(p2)["l"] is None
