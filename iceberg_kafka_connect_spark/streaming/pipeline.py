@@ -197,13 +197,26 @@ class SinkPipeline:
         Batch-id-idempotent like every other table write (T9): a replayed
         batch must not duplicate DLQ rows. Only called when the stats pass
         counted malformed rows."""
+        # error classification mirrors Connect's DLQ error headers: a
+        # CONVERTER_ERROR marker (deserialization failure upstream of
+        # the JSON parse — sources/confluent._decode_error, which
+        # embeds the exception class) vs a plain parse failure
         dlq_rows = bad.select(
             "value",
             "topic",
             "partition",
             "offset",
             "timestamp",
-            F.lit("JSON_PARSE_ERROR").alias("error"),
+            F.when(
+                F.col("value").startswith("CONVERTER_ERROR"),
+                F.lit("CONVERTER_ERROR"),
+            )
+            .otherwise(F.lit("JSON_PARSE_ERROR"))
+            .alias("error"),
+            F.when(
+                F.col("value").startswith("CONVERTER_ERROR"),
+                F.split(F.col("value"), " ").getItem(1),
+            ).alias("error_class"),
         )
         table = self.catalog.create_table_if_not_exists(
             self.config.dlq_table, dlq_rows.schema

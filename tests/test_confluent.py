@@ -579,6 +579,12 @@ def test_converter_decode_error_tolerance_routes_to_dlq(spark, tmp_path):
         bad_rows = dlq.collect()
         assert len(bad_rows) == 2
         assert all("CONVERTER_ERROR" in r.value for r in bad_rows)
+        # Connect-style error classification columns
+        assert {r.error for r in bad_rows} == {"CONVERTER_ERROR"}
+        # bad magic -> WireFormatError; unknown id -> registry 404
+        assert sorted(r.error_class for r in bad_rows) == [
+            "HTTPError", "WireFormatError",
+        ]
         # tolerance=none -> the batch fails
         cfg2 = SinkConfig(tables=[TableConfig("default.ok2")],
                           auto_create=True)
