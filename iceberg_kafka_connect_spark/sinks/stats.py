@@ -76,12 +76,13 @@ def collect_parquet_stats(path: str) -> dict[str, dict] | None:
         # pyarrow's thrift deserializer rejects logical types newer than
         # the wheel (Spark 4 VARIANT columns); thrift itself is
         # forward-compatible, so fall back to the protocol-level footer
-        # walk for the one correctness-critical value — exact rows.
-        # Bounds are an optimization and stay absent (no pruning claims).
+        # walk — exact rows (correctness-critical) AND per-column bounds
+        # (so the typed columns beside a variant still prune; pinned
+        # against the pyarrow fold in tests/test_variant.py).
         try:
-            from .parquet_footer import footer_num_rows
+            from .parquet_footer import footer_column_stats
 
-            return {"rows": footer_num_rows(path), "cols": {}}
+            return footer_column_stats(path)
         except Exception:
             return None
     rows = md.num_rows

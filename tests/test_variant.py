@@ -178,3 +178,91 @@ def test_footer_num_rows_matches_pyarrow_and_reads_variant(spark, tmp_path):
     with pytest.raises(Exception):
         pq.ParquetFile(vf)  # pyarrow wheel predates VARIANT
     assert footer_num_rows(vf) == 77
+
+
+def test_footer_column_stats_agrees_with_pyarrow_fold(spark, tmp_path):
+    """The protocol-level stats fold must produce EXACTLY what the
+    pyarrow fold produces on an ordinary file (same tags, same values,
+    same sit-outs), and still extract typed-column bounds from a
+    variant-bearing footer pyarrow rejects."""
+    from datetime import date as d_, datetime
+    from decimal import Decimal
+
+    from iceberg_kafka_connect_spark.sinks.parquet_footer import (
+        footer_column_stats,
+    )
+    from iceberg_kafka_connect_spark.sinks.stats import (
+        collect_parquet_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "alpha", datetime(2024, 1, 1, 6), d_(2024, 1, 1),
+             Decimal("10.25"), True),
+            (9, -1.5, "zeta", datetime(2024, 6, 1, 18), d_(2024, 6, 1),
+             Decimal("99.99"), False),
+        ],
+        "i long, f double, s string, ts timestamp, d date, "
+        "amt decimal(10,2), b boolean",
+    )
+    p = str(tmp_path / "plain")
+    df.coalesce(1).write.parquet(p)
+    import glob as g
+    [pf] = g.glob(p + "/*.parquet")
+    via_pyarrow = collect_parquet_stats(pf)
+    via_footer = footer_column_stats(pf)
+    # the footer fold must agree with pyarrow wherever pyarrow reads a
+    # bound, and is a strict SUPERSET: pyarrow's wheel raises
+    # ArrowNotImplementedError casting decimal statistics (they land in
+    # the except->dead lane), while the protocol walk decodes them
+    assert via_footer["rows"] == via_pyarrow["rows"]
+    for col, st in via_pyarrow["cols"].items():
+        assert via_footer["cols"][col] == st, col
+    assert "amt" in via_footer["cols"]
+    assert via_footer["cols"]["i"] == {"t": "i", "min": 1, "max": 9}
+    assert via_footer["cols"]["s"] == {"t": "s", "min": "alpha",
+                                       "max": "zeta"}
+    assert via_footer["cols"]["ts"]["t"] == "ts"
+    assert via_footer["cols"]["d"] == {"t": "d", "min": "2024-01-01",
+                                       "max": "2024-06-01"}
+    assert via_footer["cols"]["amt"] == {"t": "f", "min": 10.25,
+                                         "max": 99.99}  # pyarrow can't
+    # variant-bearing file: typed columns STILL get bounds
+    vdir = str(tmp_path / "var")
+    _vdf(spark, 40).coalesce(1).write.parquet(vdir)
+    [vf] = g.glob(vdir + "/*.parquet")
+    vst = footer_column_stats(vf)
+    assert vst["rows"] == 40
+    assert vst["cols"]["id"] == {"t": "i", "min": 0, "max": 39}
+    assert "payload" not in vst["cols"]
+    # and the commit-path fallback now returns bounds too
+    assert collect_parquet_stats(vf) == vst
+
+
+def test_variant_table_typed_columns_prune(spark, tmp_path):
+    """Shredded typed columns written NEXT TO a variant column keep
+    their manifest bounds (via the footer fallback), so file pruning
+    still works on a variant-bearing lakehouse table."""
+    from iceberg_kafka_connect_spark.operators.variant_shred import (
+        shred_variant,
+    )
+
+    df = shred_variant(
+        _vdf(spark, 90),
+        "payload",
+        T.StructType([T.StructField("score", T.LongType())]),
+    )
+    t = LakehouseTable.create(str(tmp_path / "t"), df.schema)
+    # three appends -> three files with disjoint id/typed ranges
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        t.append(df.where((F.col("id") >= lo) & (F.col("id") < hi))
+                 .coalesce(1))
+    data_files, _ = t.live_files()
+    with_bounds = [
+        f for f in data_files
+        if ((f.get("stats") or {}).get("cols") or {}).get("id")
+    ]
+    assert len(with_bounds) == 3
+    # typed struct members are nested (dotted) — top-level id prunes
+    pruned = t.read(spark).where(F.col("id") >= 60)
+    assert pruned.count() == 30
