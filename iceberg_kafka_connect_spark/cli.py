@@ -789,6 +789,57 @@ def serve_registry_main(argv: list[str]) -> int:
     return 0
 
 
+def serve_connect_main(argv: list[str]) -> int:
+    """Run the Kafka Connect REST worker twin:
+
+        python -m iceberg_kafka_connect_spark.cli serve-connect \\
+            --warehouse WH --checkpoint-root CK \\
+            (--files-root DIR | --bootstrap-servers H:P) \\
+            [--host H] [--port P] [--token T] [--binary-value]
+
+    Prints one JSON line with the bound uri, then serves until
+    interrupted. Deployment tooling speaks the public Connect REST
+    protocol to it: POST/PUT /connectors with the reference's connector
+    JSON verbatim, /status, pause/resume/restart/stop, DELETE,
+    /connector-plugins/.../config/validate.
+    """
+    ap = argparse.ArgumentParser(prog="cli serve-connect")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--checkpoint-root", required=True)
+    ap.add_argument("--files-root", default=None)
+    ap.add_argument("--bootstrap-servers", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8083)
+    ap.add_argument("--token", default=None)
+    ap.add_argument("--binary-value", action="store_true")
+    args = ap.parse_args(argv)
+    from .connect_server import ConnectRestServer
+    from .connect_worker import ConnectWorker
+
+    spark = get_spark(app_name="connect-worker")
+    worker = ConnectWorker(
+        spark,
+        warehouse=args.warehouse,
+        checkpoint_root=args.checkpoint_root,
+        files_root=args.files_root,
+        bootstrap_servers=args.bootstrap_servers,
+        binary_value=args.binary_value,
+    )
+    srv = ConnectRestServer(
+        worker, host=args.host, port=args.port, token=args.token
+    )
+    print(json.dumps({"uri": srv.uri}), flush=True)
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+    return 0
+
+
 def views_main(argv: list[str]) -> int:
     """SQL-view subcommand over a warehouse (sinks/views.py):
 
@@ -850,6 +901,8 @@ def main(argv: list[str] | None = None) -> int:
         return serve_nessie_main(argv[1:])
     if argv and argv[0] == "serve-registry":
         return serve_registry_main(argv[1:])
+    if argv and argv[0] == "serve-connect":
+        return serve_connect_main(argv[1:])
     if argv and argv[0] == "maintain":
         return maintain_main(argv[1:])
     ap = argparse.ArgumentParser(description=__doc__)
