@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "confluent_protobuf_roundtrip",
     "variant_lakehouse_roundtrip",
     "variant_shredded_scan",
+    "session_stream_replay",
+    "dedup_stream_replay",
+    "delta_import_migrate",
     "add_files_migrate",
     "rest_catalog_roundtrip",
     "jdbc_catalog_roundtrip",

@@ -166,6 +166,8 @@ def load_all() -> dict[str, QuerySpec]:
     #   locally parity-verified at sf0.001 AND sf0.01 before
     #   registration),
     #   dedup_stream_replay (X123 streaming exact-dedup replay — same
+    #   double-scale local verification),
+    #   delta_import_migrate (X125 Delta log replay import — same
     #   double-scale local verification)
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to

@@ -3783,3 +3783,87 @@ def zorder_rewrite_scan(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("event_id").cast("bigint").alias("sum_ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# X125: Delta Lake import — the OTHER common lakehouse format migrated
+# zero-copy: a Delta transaction log (public PROTOCOL.md shape: JSON
+# commits of protocol/metaData/add/remove, written here from the events
+# parquet) replays to its live file set, registers via add_files (no
+# data rewrite), and the imported table serves reads and row-level
+# deletes. The log includes a remove+re-add compaction hop, so the
+# replay semantics (not just a file listing) are what lands. Oracle
+# recomputes from the same source rows.
+# --------------------------------------------------------------------------
+@register(
+    "delta_import_migrate",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    WHERE event_id % 11 != 3
+    GROUP BY event_type
+    """,
+    tags=("ingestion", "lakehouse", "interop"),
+)
+def delta_import_migrate(spark, sf_dir):
+    import glob as _glob
+    import json as _json
+    import os
+    import tempfile
+
+    from ..sinks.delta_import import import_delta_table
+
+    e = table(spark, sf_dir, "events")
+    td = tempfile.mkdtemp(prefix="delta_src_")
+    log = os.path.join(td, "_delta_log")
+    os.makedirs(log)
+
+    def _emit(name, df):
+        staging = os.path.join(td, "_staging", name)
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        [src] = _glob.glob(os.path.join(staging, "*.parquet"))
+        rel = f"part-{name}.parquet"
+        os.replace(src, os.path.join(td, rel))
+        return {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(td, rel)),
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+            "stats": _json.dumps({"numRecords": df.count()}),
+        }
+
+    half = e.where(F.col("event_id") % 2 == 0)
+    other = e.where(F.col("event_id") % 2 == 1)
+    a0, a1 = _emit("a", half), _emit("b", other)
+    schema_string = e.schema.json()
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for act in (
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {
+                "id": "gate", "format": {"provider": "parquet"},
+                "schemaString": schema_string,
+                "partitionColumns": [], "configuration": {},
+            }},
+            {"add": a0},
+            {"add": a1},
+        ):
+            f.write(_json.dumps(act) + "\n")
+    # commit 1: compaction — b removed, rewritten as c (same rows)
+    a2 = _emit("c", other)
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"remove": {"path": a1["path"],
+                                        "dataChange": False}}) + "\n")
+        f.write(_json.dumps({"add": a2}) + "\n")
+    t = import_delta_table(td, tempfile.mkdtemp(prefix="delta_gate_") + "/t")
+    t.delete_where(spark, "event_id % 11 = 3", key_cols=["event_id"])
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+    )
