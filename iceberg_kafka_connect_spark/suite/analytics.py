@@ -771,6 +771,28 @@ def funnel_stream_replay(spark, sf_dir):
     )
 
 
+def _few_state_partitions(spark, n=8):
+    """Context manager: bounded-size replay gates don't need 32 state
+    partitions — the state store pays per-partition-per-microbatch task
+    overhead, which dominates at gate scale. The stream's checkpoint
+    pins the partition count at FIRST run, so setting it for the whole
+    gate keeps every run consistent; restored afterwards so batch
+    queries keep the session default."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+
+    return _cm()
+
+
 # --------------------------------------------------------------------------
 # X118: stream-stream interval join replay — click→purchase attribution
 # (purchase strictly after the click, within 1 hour, same user) as a
@@ -816,6 +838,8 @@ def stream_interval_join_replay(spark, sf_dir):
         acc[0] += r[0] or 0
         acc[1] += r[1] or 0
 
+    ctx = _few_state_partitions(spark)
+    ctx.__enter__()
     for sl in (
         e.filter(F.col("timestamp") < F.lit(cut)),
         e.filter(F.col("timestamp") >= F.lit(cut)),
@@ -862,6 +886,7 @@ def stream_interval_join_replay(spark, sf_dir):
             raise RuntimeError(
                 "replay micro-batch run did not finish in 600s"
             )
+    ctx.__exit__(None, None, None)
     return spark.createDataFrame(
         [(int(acc[0]), int(acc[1]))], "n_pairs bigint, sum_ids bigint"
     )
@@ -924,6 +949,8 @@ def session_stream_replay(spark, sf_dir):
     sentinel = spark.createDataFrame(
         [(-1, hi + dt.timedelta(hours=2))], "user_id long, timestamp timestamp"
     )
+    ctx = _few_state_partitions(spark)
+    ctx.__enter__()
     for sl in (
         e.filter(F.col("timestamp") < F.lit(cut)),
         e.filter(F.col("timestamp") >= F.lit(cut)),
@@ -953,6 +980,7 @@ def session_stream_replay(spark, sf_dir):
             raise RuntimeError(
                 "replay micro-batch run did not finish in 600s"
             )
+    ctx.__exit__(None, None, None)
     out = spark.createDataFrame(
         [(int(u), int(n)) for u, n in sessions], "user_id long, n bigint"
     )
@@ -1010,6 +1038,8 @@ def dedup_stream_replay(spark, sf_dir):
         acc[0] += r[0] or 0
         acc[1] += r[1] or 0
 
+    ctx = _few_state_partitions(spark)
+    ctx.__enter__()
     for sl in (first, redelivered):
         sl.coalesce(1).write.mode("append").parquet(src)
         stream = spark.readStream.schema(
@@ -1030,6 +1060,7 @@ def dedup_stream_replay(spark, sf_dir):
             raise RuntimeError(
                 "replay micro-batch run did not finish in 600s"
             )
+    ctx.__exit__(None, None, None)
     return spark.createDataFrame(
         [(int(acc[0]), int(acc[1]))], "n_events bigint, sum_ids bigint"
     )
