@@ -739,6 +739,8 @@ def funnel_stream_replay(spark, sf_dir):
         for r in batch.collect():
             depths[r.user_id] = r.depth
 
+    ctx = _few_state_partitions(spark)
+    ctx.__enter__()
     for i, sl in enumerate(slices):
         # chronological arrival: each run sees exactly one new slice and
         # resumes the per-user step state from the shared checkpoint
@@ -763,6 +765,7 @@ def funnel_stream_replay(spark, sf_dir):
             raise RuntimeError(
                 "replay micro-batch run did not finish in 600s"
             )
+    ctx.__exit__(None, None, None)
     out = spark.createDataFrame(
         [(int(d),) for d in depths.values()], "depth int"
     )
