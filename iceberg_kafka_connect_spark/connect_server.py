@@ -131,6 +131,8 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._send(200, w.status(name))
                 if method == "GET" and tail == ["topics"]:
                     return self._send(200, w.topics_of(name))
+                if method == "GET" and tail == ["offsets"]:
+                    return self._send(200, w.offsets(name))
                 if method == "PUT" and tail == ["pause"]:
                     w.pause(name)
                     return self._send(202)

@@ -147,9 +147,7 @@ class ConnectWorker:
             value_converter=value_converter_from_properties(config),
             key_converter=key_converter_from_properties(config),
         )
-        topics = [
-            t.strip() for t in config.get("topics", "").split(",") if t.strip()
-        ]
+        topics = self._resolve_topics(config)
 
         def stream_factory():
             if self.bootstrap_servers:
@@ -158,13 +156,18 @@ class ConnectWorker:
                 return kafka_stream_source(
                     self.spark,
                     self.bootstrap_servers,
-                    config["topics"],
+                    config.get("topics") or ",".join(topics),
                     kafka_props=cfg.kafka_props or None,
                 )
             if self.files_root is None:
                 raise ConnectError(
                     500, "worker has neither bootstrap.servers nor a "
                     "files_root to read topics from"
+                )
+            if not topics:
+                raise ConnectError(
+                    400, "topics.regex matched no topic directories "
+                    f"under {self.files_root!r}"
                 )
             from .sources.stream import file_stream_source
 
@@ -282,7 +285,71 @@ class ConnectWorker:
             for c in self._connectors.values():
                 self._stop_query(c)
 
+    def offsets(self, name: str) -> dict:
+        """GET /connectors/{name}/offsets (Connect 3.5+): the committed
+        consumer positions, read from the SAME place the engine trusts
+        for exactly-once — the sink tables' snapshot summaries
+        (kafka.connect.offsets, S2/A4 parity) — rendered in the public
+        response shape."""
+        import json as _json
+
+        c = self._get(name)
+        from .streaming.pipeline import OFFSETS_PROP
+
+        merged: dict[tuple[str, int], int] = {}
+        for tc in c.pipeline.config.tables or []:
+            try:
+                t = c.pipeline.catalog.load_table(tc.name)
+            except Exception:
+                continue
+            for snap in reversed(t.snapshots()):
+                raw = (snap.get("summary") or {}).get(OFFSETS_PROP)
+                if not raw:
+                    continue
+                for tp, off in _json.loads(raw).items():
+                    topic, _, part = tp.rpartition("-")
+                    key = (topic, int(part))
+                    merged[key] = max(merged.get(key, 0), int(off))
+                break  # newest offsets-bearing snapshot per table
+        return {
+            "offsets": [
+                {
+                    "partition": {
+                        "kafka_topic": topic,
+                        "kafka_partition": part,
+                    },
+                    "offset": {"kafka_offset": off},
+                }
+                for (topic, part), off in sorted(merged.items())
+            ]
+        }
+
     # ---------------------------------------------------------- helpers
+    def _resolve_topics(self, config: dict[str, str]) -> list[str]:
+        if config.get("topics"):
+            return [
+                t.strip()
+                for t in config["topics"].split(",")
+                if t.strip()
+            ]
+        pattern = config.get("topics.regex")
+        if pattern and self.files_root is not None:
+            import os
+            import re
+
+            rx = re.compile(pattern)
+            try:
+                names = sorted(os.listdir(self.files_root))
+            except FileNotFoundError:
+                return []
+            return [
+                n
+                for n in names
+                if rx.fullmatch(n)
+                and os.path.isdir(os.path.join(self.files_root, n))
+            ]
+        return []
+
     def _get(self, name: str) -> _Connector:
         c = self._connectors.get(name)
         if c is None:

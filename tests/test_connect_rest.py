@@ -199,3 +199,64 @@ def test_connect_failed_state_carries_trace(spark, tmp_path):
         _, status = _call(f"{srv.uri}/connectors/doomed/status")
         assert status["connector"]["state"] == "FAILED"
         assert "files_root" in status["tasks"][0]["trace"]
+
+
+def test_connect_offsets_endpoint(spark, rig):
+    """GET /connectors/{name}/offsets (Connect 3.5+): committed offsets
+    read back from the sink tables' snapshot summaries, in the public
+    response shape."""
+    srv, tmp_path = rig
+    _write_chunk(tmp_path / "topics" / "events", [1, 2, 3])
+    _call(f"{srv.uri}/connectors", "POST",
+          {"name": "events-sink", "config": BASE_CONFIG})
+    cat = Catalog(str(tmp_path / "wh"))
+
+    def landed():
+        try:
+            return cat.load_table("default.events").read(spark).count() == 3
+        except Exception:
+            return False
+
+    _poll(landed)
+    _, out = _poll(lambda: (
+        lambda r: r if r[1]["offsets"] else None
+    )(_call(f"{srv.uri}/connectors/events-sink/offsets")))
+    [entry] = out["offsets"]
+    assert entry["partition"] == {"kafka_topic": "events",
+                                  "kafka_partition": 0}
+    assert entry["offset"] == {"kafka_offset": 3}
+
+
+def test_connect_topics_regex_matches_dirs(spark, tmp_path):
+    """topics.regex: the file twin matches topic DIRECTORIES by the
+    regex, mirroring Connect's subscription semantics."""
+    worker = ConnectWorker(
+        spark,
+        warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ck"),
+        files_root=str(tmp_path / "topics"),
+    )
+    _write_chunk(tmp_path / "topics" / "events-a", [1, 2])
+    _write_chunk(tmp_path / "topics" / "events-b", [3], offset0=2)
+    _write_chunk(tmp_path / "topics" / "other", [9], offset0=3)
+    cfg = {k: v for k, v in BASE_CONFIG.items() if k != "topics"}
+    cfg["topics.regex"] = "events-.*"
+    with ConnectRestServer(worker) as srv:
+        _call(f"{srv.uri}/connectors", "POST",
+              {"name": "regex-sink", "config": cfg})
+        cat = Catalog(str(tmp_path / "wh"))
+
+        def landed():
+            try:
+                return cat.load_table("default.events").read(
+                    spark).count() == 3
+            except Exception:
+                return False
+
+        _poll(landed)
+        ids = sorted(r.id for r in cat.load_table("default.events")
+                     .read(spark).select("id").collect())
+        assert ids == [1, 2, 3]  # 'other' topic excluded
+        _, topics = _call(f"{srv.uri}/connectors/regex-sink/topics")
+        assert sorted(topics["regex-sink"]["topics"]) == [
+            "events-a", "events-b"]
