@@ -168,7 +168,16 @@ def load_all() -> dict[str, QuerySpec]:
     #   dedup_stream_replay (X123 streaming exact-dedup replay — same
     #   double-scale local verification),
     #   delta_import_migrate (X125 Delta log replay import — same
-    #   double-scale local verification)
+    #   double-scale local verification).
+    # End-of-round-10 check: the never-gated computation (oracle set
+    # minus CORRECTNESS_r01..r09 union minus the active window) =
+    # exactly these 14 names: confluent_{avro,json,protobuf}_roundtrip,
+    # dedup_stream_replay, delta_import_migrate, docs_temperature_mix,
+    # events_rollup_exact, funnel_stream_replay, partition_stats_rollup,
+    # session_stream_replay, stream_interval_join_replay,
+    # variant_lakehouse_roundtrip, variant_shredded_scan,
+    # zorder_rewrite_scan — all locally hash-verified at sf0.01. The
+    # round-11 window should take all 14 as first-time rows.
     # Round 5 pulls TPC-H tail queries into the window, so the analytics
     # modules must register BEFORE the rotation reorder runs (they used to
     # load after it, which is why no tpch_* entry ever had a gate row).
