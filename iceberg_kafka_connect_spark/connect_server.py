@@ -105,17 +105,19 @@ class _Handler(BaseHTTPRequestHandler):
                 if len(parts) == 1:
                     if method == "GET":
                         return self._send(200, w.names())
+                    if method != "POST":
+                        return self._err(
+                            405, f"{method} not allowed on /connectors"
+                        )
                     if method == "POST":
                         body = self._body()
                         name = body.get("name")
                         if not name:
                             return self._err(400, "name is required")
-                        if name in w.names():
-                            return self._err(
-                                409, f"connector {name!r} already exists"
-                            )
                         info, _ = w.create_or_update(
-                            name, body.get("config") or {}
+                            name,
+                            body.get("config") or {},
+                            create_only=True,
                         )
                         return self._send(201, info)
                 name = parts[1]
@@ -151,6 +153,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._err(404, f"no route {method} {self.path}")
         except ConnectError as exc:
             return self._err(exc.code, exc.message)
+        except Exception as exc:  # noqa: BLE001 — HTTP boundary: a
+            # build-time ParseException etc. must yield a 500 response,
+            # never a dropped connection
+            return self._err(500, f"{type(exc).__name__}: {exc}")
 
     def do_GET(self):  # noqa: N802
         self._route("GET")

@@ -13,7 +13,8 @@ STOPPED; pause stops the query and resume restarts it from the same
 checkpoint, so no records are lost or duplicated across the gap —
 exactly-once carries over the lifecycle operations).
 
-``sources/connect_server.py`` wraps this in the Connect REST protocol.
+``connect_server.py`` (package root) wraps this in the Connect REST
+protocol.
 The worker's source is pluggable: real Kafka via ``bootstrap.servers``
 (the production path) or the file-based kafka-shaped twin rooted at
 ``files_root`` (topic name -> directory), which is how the sandbox
@@ -156,7 +157,8 @@ class ConnectWorker:
                 return kafka_stream_source(
                     self.spark,
                     self.bootstrap_servers,
-                    config.get("topics") or ",".join(topics),
+                    config.get("topics") or None,
+                    subscribe_pattern=config.get("topics.regex"),
                     kafka_props=cfg.kafka_props or None,
                 )
             if self.files_root is None:
@@ -204,15 +206,24 @@ class ConnectWorker:
 
     # -------------------------------------------------------- lifecycle
     def create_or_update(
-        self, name: str, config: dict[str, str]
+        self, name: str, config: dict[str, str], create_only: bool = False
     ) -> tuple[dict, bool]:
-        """PUT /connectors/{name}/config semantics: create or replace.
-        Returns (info, created)."""
+        """PUT /connectors/{name}/config semantics: create or replace
+        (``create_only`` = POST /connectors: 409 on an existing name,
+        checked UNDER the lock so concurrent creates can't silently
+        replace each other). The replacement builds and validates the
+        NEW connector BEFORE stopping the old one — a rejected update
+        leaves the running connector untouched. Returns (info,
+        created)."""
         with self._lock:
             existing = self._connectors.get(name)
+            if create_only and existing is not None:
+                raise ConnectError(
+                    409, f"connector {name!r} already exists"
+                )
+            c = self._build(name, config)  # may raise: old keeps running
             if existing is not None:
                 self._stop_query(existing)
-            c = self._build(name, config)
             self._connectors[name] = c
             self._start(c)
             return self.info(name), existing is None

@@ -60,9 +60,53 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable by PYTHON WORKERS regardless of the
+    driver's cwd/sys.path. A driver that runs from outside the repo
+    (the verify driver does) can import us via its own sys.path insert,
+    but cloudpickle serializes module-level functions BY REFERENCE — so
+    any mapInPandas/pandas_udf closure calling into the package needs
+    the workers to import it too. addPyFile ships a zip of the package
+    once per application; workers add it to their path automatically.
+    Local mode included: worker processes there inherit the driver cwd,
+    not its sys.path."""
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        return
+    if app_id in _SHIPPED_APPS:
+        return
+    try:
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        base = os.path.join(
+            tempfile.gettempdir(), f"iks_pkg_{os.getpid()}"
+        )
+        zip_path = base + ".zip"
+        if not os.path.exists(zip_path):
+            shutil.make_archive(
+                base,
+                "zip",
+                root_dir=os.path.dirname(pkg_dir),
+                base_dir=os.path.basename(pkg_dir),
+            )
+        spark.sparkContext.addPyFile(zip_path)
+        _SHIPPED_APPS.add(app_id)
+    except Exception:
+        # never fail a query over worker-path plumbing; the common
+        # repo-cwd runs work without it
+        pass
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to an externally provided session
     (the verify driver hands us its own SparkSession)."""
+    ship_package(spark)
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.adaptive.enabled", "true")

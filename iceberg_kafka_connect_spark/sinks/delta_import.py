@@ -120,6 +120,11 @@ def read_delta_log(table_path: str, version: int | None = None) -> dict:
         if not versions:
             raise DeltaImportError(f"{table_path!r}: empty _delta_log")
         version = versions[-1]
+    elif versions and version > versions[-1]:
+        raise DeltaImportError(
+            f"requested version {version} beyond latest commit "
+            f"{versions[-1]}"
+        )
     state: dict = {"adds": {}, "metaData": None, "protocol": None}
     start = 0
     lc_path = os.path.join(log_dir, "_last_checkpoint")
@@ -131,9 +136,23 @@ def read_delta_log(table_path: str, version: int | None = None) -> dict:
             for action in _read_checkpoint(log_dir, cv, lc.get("parts")):
                 _apply_action(state, action)
             start = cv + 1
-    for v in versions:
-        if v < start or v > version:
-            continue
+    # contiguity: replaying across a GAP silently drops the missing
+    # commit's removes/adds — real Delta readers refuse, so do we
+    expected = start
+    replay = [v for v in versions if start <= v <= version]
+    for v in replay:
+        if v != expected:
+            raise DeltaImportError(
+                f"commit versions are not contiguous: expected "
+                f"{expected:020d}.json, found {v:020d}.json"
+            )
+        expected += 1
+    if start <= version and (not replay or replay[-1] != version):
+        raise DeltaImportError(
+            f"commit {version:020d}.json missing (latest contiguous: "
+            f"{replay[-1] if replay else start - 1})"
+        )
+    for v in replay:
         with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
             for line in f:
                 line = line.strip()

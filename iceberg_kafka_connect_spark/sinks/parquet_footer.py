@@ -379,7 +379,11 @@ def footer_column_stats(path: str) -> dict:
         for chunk in rg.get(1) or []:
             meta = chunk.get(3)
             if not isinstance(meta, dict):
-                continue
+                # a chunk without inline ColumnMetaData (external
+                # file_path / encrypted metadata): its column cannot be
+                # identified, so NO column may claim full coverage —
+                # partial bounds would wrongly prune
+                return {"rows": rows, "cols": {}}
             parts = [p.decode() for p in (meta.get(3) or [])]
             name = ".".join(parts)
             if "." in name or name in dead or name not in leaf_info:

@@ -31,10 +31,11 @@ KAFKA_SHAPE = T.StructType(
 def kafka_stream_source(
     spark: SparkSession,
     bootstrap_servers: str,
-    topics: str,
+    topics: str | None,
     starting_offsets: str = "earliest",
     kafka_props: dict[str, str] | None = None,
     max_offsets_per_trigger: int | None = None,
+    subscribe_pattern: str | None = None,
 ) -> DataFrame:
     """Real Kafka source (requires the spark-sql-kafka package on the
     cluster; not present in this container — the file source below is the
@@ -45,12 +46,21 @@ def kafka_stream_source(
     ``kafka.<prop>`` option on the source (security.protocol,
     sasl.jaas.config, ...), exactly how Spark's kafka source forwards
     client properties to the consumer."""
+    if bool(topics) == bool(subscribe_pattern):
+        raise ValueError(
+            "exactly one of topics / subscribe_pattern is required"
+        )
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
         .option("startingOffsets", starting_offsets)
     )
+    # Connect's topics vs topics.regex subscription modes map onto the
+    # kafka source's subscribe vs subscribePattern options
+    if topics:
+        reader = reader.option("subscribe", topics)
+    else:
+        reader = reader.option("subscribePattern", subscribe_pattern)
     for k, v in (kafka_props or {}).items():
         reader = reader.option(f"kafka.{k}", v)
     if max_offsets_per_trigger is not None:

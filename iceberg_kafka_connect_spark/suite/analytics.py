@@ -739,33 +739,31 @@ def funnel_stream_replay(spark, sf_dir):
         for r in batch.collect():
             depths[r.user_id] = r.depth
 
-    ctx = _few_state_partitions(spark)
-    ctx.__enter__()
-    for i, sl in enumerate(slices):
-        # chronological arrival: each run sees exactly one new slice and
-        # resumes the per-user step state from the shared checkpoint
-        sl.coalesce(1).write.mode("append").parquet(src)
-        stream = spark.readStream.schema(
-            "user_id long, timestamp timestamp, event_type string"
-        ).parquet(src)
-        q = (
-            funnel_stream(
-                stream,
-                ["view", "click", "purchase"],
-                within_us=7 * 86400 * 1_000_000,
+    with _few_state_partitions(spark):
+        for i, sl in enumerate(slices):
+            # chronological arrival: each run sees exactly one new slice and
+            # resumes the per-user step state from the shared checkpoint
+            sl.coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "user_id long, timestamp timestamp, event_type string"
+            ).parquet(src)
+            q = (
+                funnel_stream(
+                    stream,
+                    ["view", "click", "purchase"],
+                    within_us=7 * 86400 * 1_000_000,
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(
-                "replay micro-batch run did not finish in 600s"
-            )
-    ctx.__exit__(None, None, None)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "replay micro-batch run did not finish in 600s"
+                )
     out = spark.createDataFrame(
         [(int(d),) for d in depths.values()], "depth int"
     )
@@ -774,26 +772,24 @@ def funnel_stream_replay(spark, sf_dir):
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
 def _few_state_partitions(spark, n=8):
-    """Context manager: bounded-size replay gates don't need 32 state
-    partitions — the state store pays per-partition-per-microbatch task
-    overhead, which dominates at gate scale. The stream's checkpoint
-    pins the partition count at FIRST run, so setting it for the whole
-    gate keeps every run consistent; restored afterwards so batch
-    queries keep the session default."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def _cm():
-        key = "spark.sql.shuffle.partitions"
-        prev = spark.conf.get(key)
-        spark.conf.set(key, str(n))
-        try:
-            yield
-        finally:
-            spark.conf.set(key, prev)
-
-    return _cm()
+    """Bounded-size replay gates don't need 32 state partitions — the
+    state store pays per-partition-per-microbatch task overhead, which
+    dominates at gate scale. The stream's checkpoint pins the partition
+    count at FIRST run, so setting it for the whole gate keeps every
+    run consistent; the finally restores the session default even when
+    a run times out or errors."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 # --------------------------------------------------------------------------
@@ -841,55 +837,53 @@ def stream_interval_join_replay(spark, sf_dir):
         acc[0] += r[0] or 0
         acc[1] += r[1] or 0
 
-    ctx = _few_state_partitions(spark)
-    ctx.__enter__()
-    for sl in (
-        e.filter(F.col("timestamp") < F.lit(cut)),
-        e.filter(F.col("timestamp") >= F.lit(cut)),
-    ):
-        sl.coalesce(1).write.mode("append").parquet(src)
-        stream = spark.readStream.schema(
-            "event_id long, user_id long, timestamp timestamp, "
-            "event_type string"
-        ).parquet(src)
-        clicks = (
-            stream.filter("event_type = 'click'")
-            .withWatermark("timestamp", "365 days")
-            .select(
-                F.col("event_id").alias("c_id"),
-                F.col("user_id").alias("c_user"),
-                F.col("timestamp").alias("c_ts"),
+    with _few_state_partitions(spark):
+        for sl in (
+            e.filter(F.col("timestamp") < F.lit(cut)),
+            e.filter(F.col("timestamp") >= F.lit(cut)),
+        ):
+            sl.coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "event_id long, user_id long, timestamp timestamp, "
+                "event_type string"
+            ).parquet(src)
+            clicks = (
+                stream.filter("event_type = 'click'")
+                .withWatermark("timestamp", "365 days")
+                .select(
+                    F.col("event_id").alias("c_id"),
+                    F.col("user_id").alias("c_user"),
+                    F.col("timestamp").alias("c_ts"),
+                )
             )
-        )
-        purchases = (
-            stream.filter("event_type = 'purchase'")
-            .withWatermark("timestamp", "365 days")
-            .select(
-                F.col("event_id").alias("p_id"),
-                F.col("user_id").alias("p_user"),
-                F.col("timestamp").alias("p_ts"),
+            purchases = (
+                stream.filter("event_type = 'purchase'")
+                .withWatermark("timestamp", "365 days")
+                .select(
+                    F.col("event_id").alias("p_id"),
+                    F.col("user_id").alias("p_user"),
+                    F.col("timestamp").alias("p_ts"),
+                )
             )
-        )
-        joined = clicks.join(
-            purchases,
-            F.expr(
-                "c_user = p_user AND p_ts > c_ts "
-                "AND p_ts <= c_ts + INTERVAL 1 HOUR"
-            ),
-        )
-        q = (
-            joined.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(
-                "replay micro-batch run did not finish in 600s"
+            joined = clicks.join(
+                purchases,
+                F.expr(
+                    "c_user = p_user AND p_ts > c_ts "
+                    "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+                ),
             )
-    ctx.__exit__(None, None, None)
+            q = (
+                joined.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "replay micro-batch run did not finish in 600s"
+                )
     return spark.createDataFrame(
         [(int(acc[0]), int(acc[1]))], "n_pairs bigint, sum_ids bigint"
     )
@@ -952,38 +946,36 @@ def session_stream_replay(spark, sf_dir):
     sentinel = spark.createDataFrame(
         [(-1, hi + dt.timedelta(hours=2))], "user_id long, timestamp timestamp"
     )
-    ctx = _few_state_partitions(spark)
-    ctx.__enter__()
-    for sl in (
-        e.filter(F.col("timestamp") < F.lit(cut)),
-        e.filter(F.col("timestamp") >= F.lit(cut)),
-        sentinel,
-    ):
-        sl.coalesce(1).write.mode("append").parquet(src)
-        stream = spark.readStream.schema(
-            "user_id long, timestamp timestamp"
-        ).parquet(src)
-        agg = (
-            stream.withWatermark("timestamp", "0 seconds")
-            .groupBy(
-                F.session_window("timestamp", "30 minutes"), "user_id"
+    with _few_state_partitions(spark):
+        for sl in (
+            e.filter(F.col("timestamp") < F.lit(cut)),
+            e.filter(F.col("timestamp") >= F.lit(cut)),
+            sentinel,
+        ):
+            sl.coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "user_id long, timestamp timestamp"
+            ).parquet(src)
+            agg = (
+                stream.withWatermark("timestamp", "0 seconds")
+                .groupBy(
+                    F.session_window("timestamp", "30 minutes"), "user_id"
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select("user_id", "n")
             )
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select("user_id", "n")
-        )
-        q = (
-            agg.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(
-                "replay micro-batch run did not finish in 600s"
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
             )
-    ctx.__exit__(None, None, None)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "replay micro-batch run did not finish in 600s"
+                )
     out = spark.createDataFrame(
         [(int(u), int(n)) for u, n in sessions], "user_id long, n bigint"
     )
@@ -1041,29 +1033,27 @@ def dedup_stream_replay(spark, sf_dir):
         acc[0] += r[0] or 0
         acc[1] += r[1] or 0
 
-    ctx = _few_state_partitions(spark)
-    ctx.__enter__()
-    for sl in (first, redelivered):
-        sl.coalesce(1).write.mode("append").parquet(src)
-        stream = spark.readStream.schema(
-            "event_id long, timestamp timestamp"
-        ).parquet(src)
-        deduped = streaming_dedup(
-            stream, ["event_id"], ts_col="timestamp", watermark="365 days"
-        )
-        q = (
-            deduped.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(
-                "replay micro-batch run did not finish in 600s"
+    with _few_state_partitions(spark):
+        for sl in (first, redelivered):
+            sl.coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "event_id long, timestamp timestamp"
+            ).parquet(src)
+            deduped = streaming_dedup(
+                stream, ["event_id"], ts_col="timestamp", watermark="365 days"
             )
-    ctx.__exit__(None, None, None)
+            q = (
+                deduped.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "replay micro-batch run did not finish in 600s"
+                )
     return spark.createDataFrame(
         [(int(acc[0]), int(acc[1]))], "n_events bigint, sum_ids bigint"
     )

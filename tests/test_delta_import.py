@@ -223,3 +223,16 @@ def test_stats_cross_check(spark, tmp_path):
                   _meta_actions() + [{"add": add}])
     with pytest.raises(DeltaImportError, match="row-count mismatch"):
         import_delta_table(td, str(tmp_path / "lake"))
+
+
+def test_contiguity_and_version_bounds_refused(spark, tmp_path, delta_table):
+    td, log, _ = delta_table
+    # beyond-latest version
+    with pytest.raises(DeltaImportError, match="beyond latest"):
+        read_delta_log(td, version=99)
+    # gap: drop commit 0's successor by adding commit 3 and removing 1
+    r3, a3 = _data_file(spark, td, "d", 100, 110)
+    _write_commit(log, 3, [{"add": a3}])
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    with pytest.raises(DeltaImportError, match="not contiguous"):
+        read_delta_log(td)
