@@ -112,6 +112,11 @@ class ConnectWorker:
         self.worker_id = worker_id
         self._lock = threading.Lock()
         self._connectors: dict[str, _Connector] = {}
+        # Connect persists connector configs (the config topic); the
+        # twin persists them under checkpoint_root and resumes every
+        # stored connector from its checkpoint — exactly-once carries
+        # across worker restarts
+        self._restore()
 
     # ------------------------------------------------------------ build
     def _build(self, name: str, config: dict[str, str]) -> _Connector:
@@ -226,6 +231,7 @@ class ConnectWorker:
                 self._stop_query(existing)
             self._connectors[name] = c
             self._start(c)
+            self._persist()
             return self.info(name), existing is None
 
     def info(self, name: str) -> dict:
@@ -290,6 +296,7 @@ class ConnectWorker:
             c = self._get(name)
             self._stop_query(c)
             del self._connectors[name]
+            self._persist()
 
     def shutdown(self) -> None:
         with self._lock:
@@ -334,6 +341,52 @@ class ConnectWorker:
                 for (topic, part), off in sorted(merged.items())
             ]
         }
+
+    # ------------------------------------------------------ persistence
+    @property
+    def _store_path(self) -> str:
+        import os
+
+        return os.path.join(self.checkpoint_root, "connectors.json")
+
+    def _persist(self) -> None:
+        """Atomic write of {name: config} (the config-topic twin)."""
+        import json as _json
+        import os
+
+        os.makedirs(self.checkpoint_root, exist_ok=True)
+        tmp = self._store_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {n: c.config for n, c in self._connectors.items()},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        os.replace(tmp, self._store_path)
+
+    def _restore(self) -> None:
+        import json as _json
+        import os
+
+        if not os.path.exists(self._store_path):
+            return
+        with open(self._store_path) as f:
+            stored = _json.load(f)
+        for name, config in stored.items():
+            try:
+                c = self._build(name, config)
+                self._connectors[name] = c
+                self._start(c)
+            except Exception:
+                import traceback as _tb
+
+                self._connectors[name] = _Connector(
+                    name=name,
+                    config=dict(config),
+                    state="FAILED",
+                    trace=_tb.format_exc(),
+                )
 
     # ---------------------------------------------------------- helpers
     def _resolve_topics(self, config: dict[str, str]) -> list[str]:

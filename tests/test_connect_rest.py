@@ -260,3 +260,42 @@ def test_connect_topics_regex_matches_dirs(spark, tmp_path):
         _, topics = _call(f"{srv.uri}/connectors/regex-sink/topics")
         assert sorted(topics["regex-sink"]["topics"]) == [
             "events-a", "events-b"]
+
+
+def test_worker_restart_restores_connectors_exactly_once(spark, tmp_path):
+    """A new worker process on the same roots restores stored
+    connectors and resumes their checkpoints: pre-restart records stay
+    single, post-restart records land."""
+    _write_chunk(tmp_path / "topics" / "events", [1, 2, 3])
+    worker = ConnectWorker(
+        spark, warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ck"),
+        files_root=str(tmp_path / "topics"),
+    )
+    with ConnectRestServer(worker) as srv:
+        _call(f"{srv.uri}/connectors", "POST",
+              {"name": "events-sink", "config": BASE_CONFIG})
+        cat = Catalog(str(tmp_path / "wh"))
+        _poll(lambda: _count(cat, spark) == 3)
+    # worker 1 gone (server close shuts queries down); new worker:
+    _write_chunk(tmp_path / "topics" / "events", [4], offset0=3)
+    worker2 = ConnectWorker(
+        spark, warehouse=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ck"),
+        files_root=str(tmp_path / "topics"),
+    )
+    with ConnectRestServer(worker2) as srv2:
+        _, names = _call(f"{srv2.uri}/connectors")
+        assert names == ["events-sink"]
+        cat = Catalog(str(tmp_path / "wh"))
+        _poll(lambda: _count(cat, spark) == 4)
+        rows = sorted(r.id for r in cat.load_table("default.events")
+                      .read(spark).select("id").collect())
+        assert rows == [1, 2, 3, 4]  # no duplicates across the restart
+
+
+def _count(cat, spark):
+    try:
+        return cat.load_table("default.events").read(spark).count()
+    except Exception:
+        return -1
