@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import local_df
+
 
 def assign_global_ids(
     df: DataFrame,
@@ -66,7 +68,7 @@ def assign_global_ids(
         offsets[s] = acc
         acc += counts[s]
     off_df = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             [(s, o) for s, o in offsets.items()], "__shard int, __offset long"
         )
     )

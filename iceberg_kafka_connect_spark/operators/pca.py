@@ -25,6 +25,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import local_df
+
 
 @dataclass
 class PCAModel:
@@ -142,6 +144,6 @@ def pca_variance_df(emb: DataFrame, model: PCAModel) -> DataFrame:
     for i, v in enumerate(model.explained_variance):
         acc += float(v)
         rows.append((i, float(v), acc / total))
-    return emb.sparkSession.createDataFrame(
+    return local_df(emb.sparkSession, 
         rows, "component int, variance double, cumulative_ratio double"
     )

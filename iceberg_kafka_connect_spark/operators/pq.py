@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import local_df
+
 from .ivf import _norm_rows
 
 
@@ -141,7 +143,7 @@ class PQIndex:
         # the small side in every batch-scoring deployment
         q_rows = qn.collect()
         if not q_rows:
-            return self.codes.sparkSession.createDataFrame(
+            return local_df(self.codes.sparkSession, 
                 [], "query_id long, neighbor_id long, pq_score double, rank int"
             )
         q_ids = np.asarray([r.id for r in q_rows])

@@ -55,6 +55,8 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import local_df
+
 _DATA_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "data",
@@ -251,7 +253,7 @@ def _rules_frame(spark, rules: PSLRules):
         for s in ss:
             tail2 = ".".join(s.split(".")[-2:])
             grouped.setdefault(tail2, []).append((s, k))
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         sorted((t, sorted(v)) for t, v in grouped.items()),
         "__psl_tail2 string, __psl_rs array<struct<suffix string, ps_len int>>",
     )

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import local_df
+
 
 def _mg_candidates(col: str, capacity: int):
     def run(batches):
@@ -90,7 +92,7 @@ def frequent_items(
     if total is None:
         total = items.count()
     if total == 0:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [],
             T.StructType(
                 [

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions import local_df
+
 # kept in sync with the DuckDB oracle SQL in suite/curation.py
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)="
 
@@ -140,7 +142,7 @@ def filter_blocked_domains(
         out="__dom",
     ).drop("__host")
     blocked = F.broadcast(
-        spark.createDataFrame([(d,) for d in blocklist], "__dom string")
+        local_df(spark, [(d,) for d in blocklist], "__dom string")
     )
     out = tagged.join(blocked, on="__dom", how="left_anti")
     if not keep_unparseable:

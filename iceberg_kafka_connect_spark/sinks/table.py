@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..convert import project_to_schema
+from ..functions import local_df
 from .spec import PartitionField, parse_partition_spec, partition_dir_value
 from .stats import collect_parquet_stats, file_may_match, split_conjuncts
 
@@ -1630,7 +1631,7 @@ class LakehouseTable:
                     pairs.append((f.name, bytes(nsk)))
             merged: dict = {}
             if pairs:
-                u = spark.createDataFrame(pairs, "name string, sk binary")
+                u = local_df(spark, pairs, "name string, sk binary")
                 merged = {
                     r["name"]: (r["est"], r["sk"])
                     for r in u.groupBy("name")
@@ -1753,7 +1754,7 @@ class LakehouseTable:
         )
         doc = self.column_stats(branch)
         if doc is None:
-            return spark.createDataFrame([], schema)
+            return local_df(spark, [], schema)
         rows = [
             (
                 name,
@@ -1767,7 +1768,7 @@ class LakehouseTable:
             )
             for name, st in doc["columns"].items()
         ]
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
 
     def update_partition_spec(self, partition_by: list[str] | str | None) -> None:
         """Iceberg partition-spec evolution (``updateSpec()``): the new spec
@@ -2001,7 +2002,7 @@ class LakehouseTable:
         else:
             sid = meta["refs"].get(branch)
             if sid is None:
-                return spark.createDataFrame([], target)
+                return local_df(spark, [], target)
             snap = self._snapshot_by_id(meta, sid)
         data_files, delete_files = self._live_files(meta, snap)
         if where is not None:
@@ -2009,13 +2010,13 @@ class LakehouseTable:
                 [f for f in data_files if file_may_match(f, where)], where
             )
             if not data_files:
-                return spark.createDataFrame([], target)
+                return local_df(spark, [], target)
         with_pos = _has_positional(delete_files)
         data = self._read_file_group(
             spark, data_files, target, with_position=with_pos
         )
         if data is None:
-            return spark.createDataFrame([], target)
+            return local_df(spark, [], target)
         if where is not None:
             data = data.filter(where)
         return self._apply_deletes(spark, data, delete_files).drop(
@@ -2062,14 +2063,14 @@ class LakehouseTable:
         )
         sid = meta["refs"].get(branch)
         if sid is None:
-            return spark.createDataFrame([], target)
+            return local_df(spark, [], target)
         snap = self._snapshot_by_id(meta, sid)
         data_files, delete_files = self._live_files(meta, snap)
         data = self._read_file_group(
             spark, data_files, target, with_position=True
         )
         if data is None:
-            return spark.createDataFrame([], target)
+            return local_df(spark, [], target)
         data = self._derive_lineage(spark, data, data_files)
         return self._apply_deletes(spark, data, delete_files).drop(
             "__seq", "__fp", "__pos"
@@ -2091,7 +2092,7 @@ class LakehouseTable:
             for f in data_files
         ]
         lmap = F.broadcast(
-            spark.createDataFrame(rows, "__fpn string, __frid long")
+            local_df(spark, rows, "__fpn string, __frid long")
         )
         return (
             data.withColumn("__fpn", _fp_norm(F.col("__fp")))
@@ -2232,7 +2233,7 @@ class LakehouseTable:
             )
             for f in dv_files
         ]
-        meta_df = spark.createDataFrame(
+        meta_df = local_df(spark, 
             rows,
             "__fpn string, puffin string, off long, len long, __dvseq long",
         )
@@ -2457,7 +2458,7 @@ class LakehouseTable:
             (path, *[_py(pv.get(c)) for c in cols])
             for path, pv in pvals.items()
         ]
-        pv_df = spark.createDataFrame(rows, ["__pv_path", *cols])
+        pv_df = local_df(spark, rows, ["__pv_path", *cols])
         return (
             df.withColumn(
                 "__pv_path", _fp_norm(F.col("_metadata.file_path"))
@@ -2758,7 +2759,7 @@ class LakehouseTable:
         if to_snapshot_id is None:
             to_snapshot_id = meta["refs"].get(branch)
             if to_snapshot_id is None:
-                return spark.createDataFrame([], target)
+                return local_df(spark, [], target)
         snaps: list[dict] = []
         sid: str | None = to_snapshot_id
         while sid is not None and sid != from_snapshot_id:
@@ -2807,7 +2808,7 @@ class LakehouseTable:
             spark, files, target, with_position=with_lineage
         )
         if df is None:
-            return spark.createDataFrame([], target)
+            return local_df(spark, [], target)
         if with_lineage:
             df = self._derive_lineage(spark, df, files).drop("__fp", "__pos")
         df = df.drop("__seq")
@@ -2884,7 +2885,7 @@ class LakehouseTable:
         if to_snapshot_id is None:
             to_snapshot_id = meta["refs"].get(branch)
             if to_snapshot_id is None:
-                return spark.createDataFrame([], out_schema)
+                return local_df(spark, [], out_schema)
         snaps: list[dict] = []
         sid: str | None = to_snapshot_id
         while sid is not None and sid != from_snapshot_id:
@@ -3024,7 +3025,7 @@ class LakehouseTable:
                     )
                 )
         if not parts:
-            return spark.createDataFrame([], out_schema)
+            return local_df(spark, [], out_schema)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -3086,7 +3087,7 @@ class LakehouseTable:
         if to_snapshot_id is None:
             to_snapshot_id = self.metadata()["refs"].get(branch)
             if to_snapshot_id is None:
-                return spark.createDataFrame([], out_schema)
+                return local_df(spark, [], out_schema)
         cols = [f.name for f in target.fields]
         new = self.read(
             spark, snapshot_id=to_snapshot_id, where=where
@@ -3096,7 +3097,7 @@ class LakehouseTable:
                 spark, snapshot_id=from_snapshot_id, where=where
             ).select(*cols)
             if from_snapshot_id is not None
-            else spark.createDataFrame([], target)
+            else local_df(spark, [], target)
         )
         stamp = [
             F.lit(to_snapshot_id).alias("_change_snapshot_id"),
@@ -3141,7 +3142,7 @@ class LakehouseTable:
                     {k: str(v) for k, v in s["summary"].items()},
                 )
             )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "snapshot_id string, parent string, sequence_number long, "
             "timestamp_ms long, operation string, n_data_files int, "
@@ -3169,7 +3170,7 @@ class LakehouseTable:
                     len(dl),
                 )
             )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "path string, length long, added_snapshot_id string, "
             "added_data_files_count int, added_delete_files_count int",
@@ -3200,7 +3201,7 @@ class LakehouseTable:
             )
             for name, sid in meta.get("tags", {}).items()
         ]
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "name string, type string, snapshot_id string, "
             "sequence_number long, timestamp_ms long",
@@ -3210,7 +3211,7 @@ class LakehouseTable:
         """Iceberg `table.files` parity: live files of a branch head."""
         snap = self.current_snapshot(branch)
         if snap is None:
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [], "path string, content string, seq long, format string"
             )
         data_files, delete_files = self._live_files(self.metadata(), snap)
@@ -3221,7 +3222,7 @@ class LakehouseTable:
             (f["path"], "equality-deletes", f["seq"], f.get("format", "parquet"))
             for f in delete_files
         ]
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "path string, content string, seq long, format string"
         )
 
@@ -3251,7 +3252,7 @@ class LakehouseTable:
         """Iceberg `table.history` parity: the branch's snapshot lineage,
         newest first, with ancestry marked relative to the current head
         (rolled-back snapshots show is_current_ancestor=false)."""
-        return spark.createDataFrame(
+        return local_df(spark, 
             self.history_rows(branch),
             "made_current_at_ms long, snapshot_id string, parent_id string, "
             "is_current_ancestor boolean",
@@ -3280,7 +3281,7 @@ class LakehouseTable:
     def partitions_df(self, spark: SparkSession, branch: str = MAIN) -> DataFrame:
         """Iceberg `table.partitions` parity: per-partition live file and
         row counts."""
-        return spark.createDataFrame(
+        return local_df(spark, 
             self.partition_rows(branch),
             "partition string, n_files long, n_rows long",
         )
@@ -3466,7 +3467,7 @@ class LakehouseTable:
                         f.get("bytes"),
                     )
                 )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "snapshot_id string, sequence_number long, content string, "
             "path string, format string, bytes long",
@@ -3489,7 +3490,7 @@ class LakehouseTable:
                     int(os.path.getmtime(p) * 1000),
                 )
             )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "version long, file string, timestamp_ms long"
         )
 
@@ -3505,7 +3506,7 @@ class LakehouseTable:
             "bytes long, key_cols array<string>"
         )
         if snap is None:
-            return spark.createDataFrame([], schema)
+            return local_df(spark, [], schema)
         _, delete_files = self._live_files(self.metadata(), snap)
         rows = [
             (
@@ -3520,7 +3521,7 @@ class LakehouseTable:
             )
             for f in delete_files
         ]
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
 
     def position_deletes_df(
         self, spark: SparkSession, branch: str = MAIN
@@ -3533,7 +3534,7 @@ class LakehouseTable:
         snap = self.current_snapshot(branch)
         schema = "file_path string, pos long, seq long"
         if snap is None:
-            return spark.createDataFrame([], schema)
+            return local_df(spark, [], schema)
         _, delete_files = self._live_files(self.metadata(), snap)
         pos_files = [
             f for f in delete_files if f.get("delete_type") == "position"
@@ -3542,7 +3543,7 @@ class LakehouseTable:
             f for f in delete_files if f.get("delete_type") == "dv"
         ]
         if not pos_files and not dv_files:
-            return spark.createDataFrame([], schema)
+            return local_df(spark, [], schema)
         prefix = os.path.abspath(self.root) + "/"
         parts = []
         if pos_files:
@@ -3604,7 +3605,7 @@ class LakehouseTable:
                         f.get("seq"),
                     )
                 )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "status string, snapshot_id string, snapshot_sequence long, "
             "content string, path string, file_sequence long",
@@ -4579,7 +4580,7 @@ class LakehouseTable:
         self, spark: SparkSession, branch: str = MAIN
     ) -> DataFrame:
         rows = self.partition_statistics(branch=branch) or []
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     r["partition"],

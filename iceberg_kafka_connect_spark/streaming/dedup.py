@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import local_df
+
 
 def streaming_dedup(
     stream: DataFrame,
@@ -120,7 +122,7 @@ def curation_loop(
             return committed.withColumnRenamed("id", id_col)
         batch_sigs = doc_signatures(batch, id_col, text_col)
         if signature_table.current_snapshot() is None:
-            hist_sigs = spark.createDataFrame([], batch_sigs.schema)
+            hist_sigs = local_df(spark, [], batch_sigs.schema)
         else:
             hist_sigs = signature_table.read(spark)
         verdicts = incremental_dedup_cached(

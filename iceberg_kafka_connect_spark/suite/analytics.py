@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import register
+from ..functions import local_df
 from .core import davg, dim, dsum, sql_davg, sql_dsum, table
 
 
@@ -764,7 +765,7 @@ def funnel_stream_replay(spark, sf_dir):
                 raise RuntimeError(
                     "replay micro-batch run did not finish in 600s"
                 )
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [(int(d),) for d in depths.values()], "depth int"
     )
     return out.groupBy("depth").agg(
@@ -884,7 +885,7 @@ def stream_interval_join_replay(spark, sf_dir):
                 raise RuntimeError(
                     "replay micro-batch run did not finish in 600s"
                 )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(acc[0]), int(acc[1]))], "n_pairs bigint, sum_ids bigint"
     )
 
@@ -943,7 +944,7 @@ def session_stream_replay(spark, sf_dir):
 
     import datetime as dt
 
-    sentinel = spark.createDataFrame(
+    sentinel = local_df(spark, 
         [(-1, hi + dt.timedelta(hours=2))], "user_id long, timestamp timestamp"
     )
     with _few_state_partitions(spark):
@@ -976,7 +977,7 @@ def session_stream_replay(spark, sf_dir):
                 raise RuntimeError(
                     "replay micro-batch run did not finish in 600s"
                 )
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [(int(u), int(n)) for u, n in sessions], "user_id long, n bigint"
     )
     return out.groupBy("user_id").agg(
@@ -1054,6 +1055,6 @@ def dedup_stream_replay(spark, sf_dir):
                 raise RuntimeError(
                     "replay micro-batch run did not finish in 600s"
                 )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(acc[0]), int(acc[1]))], "n_events bigint, sum_ids bigint"
     )

@@ -21,6 +21,7 @@ from ..transforms import (
     kafka_metadata,
 )
 from ..operators import cdc
+from ..functions import local_df
 from . import register
 from .core import table
 
@@ -1218,7 +1219,7 @@ def offset_lookup(spark, sf_dir):
     t.compact(spark)
     offsets = t.last_summary_value("kafka.connect.offsets")
     n_snaps = len(t.snapshots())
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(offsets, n_snaps)], "offsets string, n_snapshots bigint"
     )
 
@@ -1479,7 +1480,7 @@ def metadata_count_bounds(spark, sf_dir):
     n = t.count_rows()
     lo, hi = t.column_bounds("o_orderkey")
     # one-row result assembled from pure metadata — no data file was read
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(n), int(lo), int(hi))], "n_rows long, min_key long, max_key long"
     )
 
@@ -2354,7 +2355,7 @@ def lakehouse_view_read(spark, sf_dir):
     v2 = cat.read_view(spark, "db.by_type").select(
         F.lit("v2").alias("version"), "event_type", "n_rows"
     )
-    v1_frozen = spark.createDataFrame(r1, v2.schema)
+    v1_frozen = local_df(spark, r1, v2.schema)
     return v1_frozen.unionAll(v2).orderBy("version", "event_type")
 
 
@@ -2521,12 +2522,12 @@ def rest_view_oauth_roundtrip(spark, sf_dir):
         v2 = cat.read_view(spark, "db.by_type").select(
             F.lit("v2").alias("version"), "event_type", "n_rows"
         )
-        v1_frozen = spark.createDataFrame(r1, v2.schema)
+        v1_frozen = local_df(spark, r1, v2.schema)
         out = v1_frozen.unionAll(v2).orderBy("version", "event_type")
         # force execution while the server lives (view SQL resolution
         # needs the catalog; the underlying scans are plain storage)
         rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 # --------------------------------------------------------------------------
@@ -3479,7 +3480,7 @@ def table_stats_ndv(spark, sf_dir):
     stats = imp.statistics()
     if not stats:
         raise AssertionError("statistics did not survive the round-trip")
-    return spark.createDataFrame(
+    return local_df(spark, 
         sorted((c, int(v)) for c, v in stats.items()), "col string, ndv long"
     )
 
@@ -3737,7 +3738,7 @@ def partition_stats_rollup(spark, sf_dir):
     t.compute_partition_statistics()
     t.append(e.filter(F.col("event_id") >= 350))
     rows = t.compute_partition_statistics(mode="incremental")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r["partition"]["day"], r["data_record_count"]) for r in rows],
         "day string, data_record_count long",
     ).orderBy("day")

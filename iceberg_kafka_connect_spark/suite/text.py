@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import text as tx
+from ..functions import local_df
 from . import register
 from .core import PROFILE_CTE, sql_davg, table, davg
 
@@ -602,7 +603,7 @@ def docs_bm25_topk(spark, sf_dir):
     from ..operators.retrieval import bm25_topk
 
     docs = table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         _BM25_QUERIES, "query_id long, term string"
     )
     return bm25_topk(docs, queries, k=10)
@@ -849,7 +850,7 @@ def docs_temperature_mix(spark, sf_dir):
         )
         .collect()
     )
-    stats = spark.createDataFrame(stats_rows, "lang string, n bigint, w decimal(28,10)")
+    stats = local_df(spark, stats_rows, "lang string, n bigint, w decimal(28,10)")
     tot = stats.agg(
         F.sum("n").cast("double").alias("total"),
         F.sum("w").cast("double").alias("s"),
