@@ -45,6 +45,51 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return out
 
 
+def dot_unrolled_named(a: str, b: str, dim: int) -> Column:
+    """``dot()`` as ONE parsed, codegen-friendly SQL expression over column
+    NAMES. Bitwise-identical to the fold for every input:
+
+    - the chain starts with an explicit ``0.0 +`` so the addition sequence
+      is exactly the fold's ``((0.0 + t0) + t1) + …`` (same signed-zero
+      behavior, not just "mathematically equal");
+    - ``try_element_at`` (1-based) yields NULL out-of-range under ANSI, so
+      any row whose arrays are shorter than ``dim`` yields NULL — pair it
+      with ``F.coalesce(dot_unrolled_named(...), dot(...))`` and such rows
+      fall back to the fold, which computes whatever the fold semantics say.
+
+    Why it exists: Spark's higher-order functions (zip_with/aggregate) are
+    interpreted per element and keep the surrounding projection out of
+    whole-stage codegen, so in a pairwise join the fold dominates; this
+    form compiles. Building it as one expr string keeps driver-side
+    construction at one py4j round-trip (the composed ``getItem`` chain
+    costs ~0.6s of py4j time at dim=64)."""
+    terms = " + ".join(
+        f"CAST(try_element_at({a}, {i}) AS DOUBLE) * "
+        f"CAST(try_element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return F.expr(f"(CAST(0.0 AS DOUBLE) + {terms})")
+
+
+def cosine_with_norms_fast(
+    a: str, b: str, na: Column, nb: Column, dim: int | None
+) -> Column:
+    """``cosine_with_norms`` with the dot product unrolled for codegen when
+    the embedding dimensionality is known (bit-identical either way; see
+    dot_unrolled_named). ``dim=None`` falls back to the fold form."""
+    if not dim:
+        return cosine_with_norms(F.col(a), F.col(b), na, nb)
+    num = F.coalesce(dot_unrolled_named(a, b, dim), dot(F.col(a), F.col(b)))
+    return num / (na * nb)
+
+
+def infer_dim(df, vec_col: str) -> int | None:
+    """Embedding dimensionality from the first row (one LIMIT-1 job);
+    None when the frame is empty or the first vector is NULL/empty."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row and row["d"] and row["d"] > 0 else None
+
+
 def norm2(a: Column) -> Column:
     sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(_fold_sum(sq))

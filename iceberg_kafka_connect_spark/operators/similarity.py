@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine, cosine_with_norms, norm2
+from ..functions.vector import (
+    cosine,
+    cosine_with_norms,
+    cosine_with_norms_fast,
+    infer_dim,
+    norm2,
+)
 from .dedup import banded_pairs
 
 
@@ -39,6 +45,7 @@ def brute_force_topk(
 
     Deterministic: ties broken by neighbor id. Self-matches excluded.
     """
+    dim = infer_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -56,8 +63,8 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_with_norms(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            cosine_with_norms_fast(
+                "qv", "cv", F.col("qn"), F.col("cn"), dim
             ).alias("cos_sim"),
         )
     )
@@ -84,6 +91,7 @@ def partitioned_topk(
     centroid id (possibly exploded to nprobe cells); here the precomputed
     assignment column plays that role. The equality join on the partition key
     IS the inverted-list lookup — Spark prunes everything else."""
+    dim = infer_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -103,8 +111,8 @@ def partitioned_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_with_norms(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            cosine_with_norms_fast(
+                "qv", "cv", F.col("qn"), F.col("cn"), dim
             ).alias("cos_sim"),
         )
     )
@@ -204,6 +212,7 @@ def cosine_pairs(
     cand = emb.select(id_col, vec_col).mapInPandas(
         _candidates, "id_a long, id_b long"
     )
+    dim = int(mat.shape[1]) if mat.ndim == 2 and mat.shape[1] else None
     va = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -220,8 +229,8 @@ def cosine_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine_with_norms(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            cosine_with_norms_fast(
+                "va", "vb", F.col("na"), F.col("nb"), dim
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -343,8 +352,8 @@ def srp_lsh_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine_with_norms(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            cosine_with_norms_fast(
+                "va", "vb", F.col("na"), F.col("nb"), dim
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -509,6 +518,7 @@ def semantic_dedup(
             F.col(cluster_col).alias("__cluster"),
         )
     base = base.persist()
+    dim = infer_dim(emb, vec_col)
     # within-cluster near-dup pairs: scored on the ORIGINAL vectors (not a
     # normalized copy) so the pair set is bit-identical to an exact
     # all-pairs cosine over the same cluster
@@ -529,8 +539,8 @@ def semantic_dedup(
         .select(
             "id_a",
             "id_b",
-            cosine_with_norms(
-                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            cosine_with_norms_fast(
+                "__va", "__vb", F.col("__na"), F.col("__nb"), dim
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
