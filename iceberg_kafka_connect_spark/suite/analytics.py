@@ -178,7 +178,11 @@ def tpch_q5(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def tpch_q6(spark, sf_dir):
-    l = table(spark, sf_dir, "lineitem")
+    # fan=False: 4-column pruned scan + fully-pushed filter + one global
+    # agg — the fan-out exchange would cost more than the single-task map
+    # side here AND widen ReadSchema with the fan key (pinned in
+    # tests/test_plans.py::test_column_pruning_reaches_scan)
+    l = table(spark, sf_dir, "lineitem", fan=False)
     return (
         l.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))

@@ -42,15 +42,71 @@ BROADCAST_DIMS = {"region", "nation"}
 NANOS_COLS = {"events": ("ts",)}
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# The scaling facts: fan their scans out when the input can't split,
+# keyed by the column their joins/groupBys use so the exchange is
+# reusable. Dimensions stay un-fanned (they broadcast or are tiny).
+FAN_OUT_FACTS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _fan_out(spark: SparkSession, df: DataFrame, path: str, key: str) -> DataFrame:
+    """Scale-adaptive scan fan-out (optimization guide §2.5 "input skew:
+    one huge unsplittable file … repartition immediately after the read").
+
+    The bench inputs are single-file single-ROW-GROUP parquet at every SF,
+    so every scan — and the whole map side fused onto it (projections,
+    partial aggregation, shuffle write) — runs as ONE task regardless of
+    core count. A row group is parquet's split unit, so
+    files.maxPartitionBytes/minPartitionNum cannot widen it; a repartition
+    right after the read can. HASH-keyed on the table's natural join/group
+    key, not round-robin: a keyless repartition(n) first pays a local sort
+    of its whole input inside the single scan task (sortBeforeRepartition,
+    guide §2.5) — measured +1.1s on tpch_q18 — while hashpartitioning is
+    sort-free, deterministic under task retry, and reusable by downstream
+    joins/aggregations on the same key. Guarded by an estimated split
+    count so it is a NO-OP at real scale (files ≥ maxPartitionBytes split
+    on their own), and the width follows defaultParallelism so the
+    driver's reduced-core bench runs keep scaling. Filters/pruning still
+    reach the scan (Catalyst pushes predicates through RepartitionByExpr);
+    row values are untouched."""
+    try:
+        import os
+
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    max_split = 128 * 1024 * 1024  # session files.maxPartitionBytes
+    par = spark.sparkContext.defaultParallelism
+    if max(1, size // max_split) < par:
+        return df.repartition(par, F.col(key))
+    return df
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, fan: bool = True
+) -> DataFrame:
+    """Load a bench table. ``fan=False`` opts a query out of the scan
+    fan-out — for lean scan+filter+agg shapes whose whole map side is
+    cheaper than one extra exchange AND whose pruned ReadSchema must not
+    gain the fan-out key (tpch_q6 is the pinned example: its scan reads 4
+    columns and its single global agg has no reduce side to parallelize)."""
+    path = f"{sf_dir}/{name}.parquet"
     if name in NANOS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         for c in NANOS_COLS[name]:
             if dict(df.dtypes).get(c) == "bigint":
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(path)
+    if fan and name in FAN_OUT_FACTS:
+        df = _fan_out(spark, df, path, FAN_OUT_FACTS[name])
+    return df
 
 
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

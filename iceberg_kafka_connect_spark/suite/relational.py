@@ -45,7 +45,10 @@ from .core import sql_dsum, table, dsum
     tags=("relational",),
 )
 def asof_join_purchase(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    # fan=False: the as-of union+window shape already establishes its ONE
+    # hash exchange on user_id (pinned in test_plans); a scan fan-out
+    # would add a per-branch exchange and double the scan subplans
+    e = table(spark, sf_dir, "events", fan=False)
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
