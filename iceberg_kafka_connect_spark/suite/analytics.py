@@ -380,7 +380,9 @@ def tpch_q14(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def events_value_percentiles(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    # fan=False: lean scan->small agg; the fan exchange costs more than
+    # the single-task map side and pins 32 partitions AQE would coalesce
+    e = table(spark, sf_dir, "events", fan=False)
     return (
         e.groupBy("event_type")
         .agg(
@@ -414,7 +416,8 @@ def events_value_percentiles(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def events_hourly_rollup(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    # fan=False: lean scan->small agg (see events_value_percentiles)
+    e = table(spark, sf_dir, "events", fan=False)
     return (
         e.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
@@ -459,7 +462,9 @@ def events_hourly_rollup(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def events_sessionize(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    # fan=False: the lag-window's own user_id exchange parallelizes the
+    # heavy side already; the fan exchange just adds a pinned-width stage
+    e = table(spark, sf_dir, "events", fan=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(

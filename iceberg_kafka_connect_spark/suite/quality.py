@@ -271,7 +271,11 @@ def quality_bins_by_source(spark, sf_dir):
     tags=("dedup",),
 )
 def dedup_incremental(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # fan=False: incremental_dedup re-reads the UN-persisted history
+    # subtree in three sub-actions; a table-level fan exchange re-executes
+    # with each of them (measured +1.5s), while the operator's own
+    # shingles() guard already fans the explode stage
+    docs = table(spark, sf_dir, "documents", fan=False)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     history = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup.incremental_dedup(batch, history)

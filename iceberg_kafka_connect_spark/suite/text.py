@@ -96,7 +96,7 @@ def text_gopher_rules(spark, sf_dir):
     tags=("text",),
 )
 def text_profile(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan=False)
     # spread the expression-heavy projection ONLY when the input is
     # under-split (single-file local parquet) — at warehouse scale the scan
     # already has enough splits and this shuffle would move the whole corpus
