@@ -25,6 +25,19 @@ from ..functions import local_df
 from . import register
 from .core import table
 
+
+def commit_src(spark, sf_dir, name):
+    """Fact loader for lakehouse COMMIT-workflow gates (fan=False).
+
+    These gates measure the commit protocol - append/upsert/delete/clone/
+    export - over small filtered slices; their map side is trivial. The
+    scan fan-out would turn each tiny commit into defaultParallelism
+    micro-files (guide SS6's small-files problem in miniature: more footer
+    reads, fatter manifests, slower subsequent reads) - measured A/B on six
+    commit gates: fan 31.1s/25.6s vs no-fan 23.8s/22.5s per pass."""
+    return table(spark, sf_dir, name, fan=False)
+
+
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
@@ -901,7 +914,7 @@ def schema_rename_drop(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "value", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="ddl_gate_") + "/t", e.schema
     )
@@ -1015,7 +1028,7 @@ def exactly_once_replay(spark, sf_dir):
     from ..sinks.catalog import Catalog
     from ..streaming import SinkPipeline
 
-    e = table(spark, sf_dir, "events")
+    e = commit_src(spark, sf_dir, "events")
     kafka_shaped = e.filter(F.col("event_id") < 500).select(
         F.to_json(
             F.struct("event_id", "user_id", "event_type", "value")
@@ -1156,7 +1169,7 @@ def branch_commits(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="branch_gate_") + "/t", e.schema
     )
@@ -1200,7 +1213,7 @@ def offset_lookup(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="offset_gate_") + "/t", e.schema
     )
@@ -1246,7 +1259,7 @@ def incremental_scan(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o = commit_src(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="incr_gate_") + "/t", o.schema
     )
@@ -1288,7 +1301,7 @@ def stats_pruned_scan(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    li = table(spark, sf_dir, "lineitem").select(
+    li = commit_src(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
     t = LakehouseTable.create(
@@ -1332,7 +1345,7 @@ def merge_into(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o = commit_src(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="merge_gate_") + "/t", o.schema
     )
@@ -1372,7 +1385,7 @@ def dml_delete_update(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o = commit_src(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="dml_gate_") + "/t", o.schema
     )
@@ -1427,7 +1440,7 @@ def changelog_read(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="cl_gate_") + "/t", e.schema
     )
@@ -1470,7 +1483,7 @@ def metadata_count_bounds(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    o = commit_src(spark, sf_dir, "orders").select("o_orderkey")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="meta_gate_") + "/t", o.schema
     )
@@ -1509,7 +1522,7 @@ def cdc_mirror(spark, sf_dir):
     from ..sinks.table import LakehouseTable
     from ..streaming.replicate import mirror_changes
 
-    e = table(spark, sf_dir, "events").select("event_id", "value")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "value")
     base = tempfile.mkdtemp(prefix="mirror_gate_")
     src = LakehouseTable.create(base + "/src", e.schema)
     dst = LakehouseTable.create(base + "/dst", e.schema)
@@ -1551,7 +1564,7 @@ def wap_publish(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="wap_gate_") + "/t", e.schema
     )
@@ -1601,7 +1614,7 @@ def time_travel_read(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="tt_gate_") + "/t", e.schema
     )
@@ -1650,7 +1663,7 @@ def spec_evolution(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    o = table(spark, sf_dir, "orders").select(
+    o = commit_src(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     t = LakehouseTable.create(
@@ -1724,7 +1737,7 @@ def incremental_agg_refresh(spark, sf_dir):
 
     # decimal measure: the incremental path sums in a different order than
     # the oracle's one flat SUM; decimals make both exact (core.py idiom)
-    e = table(spark, sf_dir, "events").select(
+    e = commit_src(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         F.col("value").cast("decimal(27,4)").alias("value"),
@@ -1785,7 +1798,7 @@ def mv_refresh(spark, sf_dir):
     from ..sinks.table import LakehouseTable
     from ..streaming.mv import refresh_materialized_agg
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     src = LakehouseTable.create(
         tempfile.mkdtemp(prefix="mvq_src_") + "/t", e.schema
     )
@@ -1852,7 +1865,7 @@ def dml_position_delete(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 400).select(
+    e = commit_src(spark, sf_dir, "events").filter(F.col("event_id") < 400).select(
         "event_id", "event_type"
     )
     t = LakehouseTable.create(
@@ -1900,7 +1913,7 @@ def iceberg_interop_roundtrip(spark, sf_dir):
     from ..sinks.iceberg_import import import_iceberg_table
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="interop_gate_")
     t = LakehouseTable.create(
         base + "/src",
@@ -1947,7 +1960,7 @@ def iceberg_mirror_refresh(spark, sf_dir):
     )
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="mirror_refresh_gate_")
     src = LakehouseTable.create(base + "/src", e.schema)
     src.append(e.filter(F.col("event_id") < 300))
@@ -1993,7 +2006,7 @@ def add_files_migrate(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events")
+    e = commit_src(spark, sf_dir, "events")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="add_files_gate_") + "/t",
         e.schema,
@@ -2040,7 +2053,7 @@ def rest_catalog_roundtrip(spark, sf_dir):
     from ..sinks.iceberg_export import _snapshot_id_int
     from ..sinks.rest_server import IcebergRestServer
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     wh = tempfile.mkdtemp(prefix="rest_gate_")
     with IcebergRestServer(wh) as srv:
         # the connector-config path: iceberg.catalog.* -> live REST client
@@ -2101,7 +2114,7 @@ def jdbc_catalog_roundtrip(spark, sf_dir):
 
     from ..sinks.catalog import catalog_from_properties
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="jdbc_gate_")
     cat = catalog_from_properties(
         {
@@ -2152,7 +2165,7 @@ def iceberg_multispec_roundtrip(spark, sf_dir):
     from ..sinks.iceberg_import import import_iceberg_table
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="multispec_gate_")
     t = LakehouseTable.create(
         base + "/src", e.schema, partition_by=["event_type"]
@@ -2200,7 +2213,7 @@ def maintenance_orphan_sweep(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="orphan_gate_")
     t = LakehouseTable.create(base + "/t", e.schema)
     t.append(e.filter(F.col("event_id") < 200))
@@ -2264,7 +2277,7 @@ def wap_cherry_pick(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="cpk_gate_") + "/t", e.schema
     )
@@ -2317,7 +2330,7 @@ def lakehouse_view_read(spark, sf_dir):
 
     from ..sinks.catalog import Catalog
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     cat = Catalog(tempfile.mkdtemp(prefix="view_gate_"))
     t = cat.create_table("db.ev", e.schema)
     t.append(e.filter(F.col("event_id") < 400))
@@ -2385,7 +2398,7 @@ def spj_bucket_join(spark, sf_dir):
     from ..operators.spj import storage_partitioned_join
     from ..sinks.catalog import Catalog
 
-    e = table(spark, sf_dir, "events")
+    e = commit_src(spark, sf_dir, "events")
     cat = Catalog(tempfile.mkdtemp(prefix="spj_gate_"))
     fact = cat.create_table(
         "db.fact",
@@ -2434,7 +2447,7 @@ def changelog_stream_sync(spark, sf_dir):
     from ..sinks.table import LakehouseTable
     from ..streaming.changelog_source import ChangelogStream
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="clsync_gate_")
     src = LakehouseTable.create(base + "/src", e.schema)
     src.append(e.filter(F.col("event_id") < 400))
@@ -2490,7 +2503,7 @@ def rest_view_oauth_roundtrip(spark, sf_dir):
     from ..sinks.catalog import catalog_from_properties
     from ..sinks.rest_server import IcebergRestServer
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     wh = tempfile.mkdtemp(prefix="oauth_view_gate_")
     with IcebergRestServer(
         wh, credentials={"gate": "s3cr3t"}, token_ttl_s=3600
@@ -2557,7 +2570,7 @@ def snapshot_diff_changes(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="sdiff_gate_") + "/t", e.schema
     )
@@ -2615,7 +2628,7 @@ def changelog_compute_updates(spark, sf_dir):
     from ..operators.cdc import compute_updates
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="cupd_gate_") + "/t", e.schema
     )
@@ -2664,7 +2677,7 @@ def changelog_reconcile(spark, sf_dir):
     from ..sinks.table import LakehouseTable
     from ..streaming.changelog_source import ChangelogStream, reconcile
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="recon_gate_")
     src = LakehouseTable.create(base + "/src", e.schema)
     src.append(e.filter(F.col("event_id") < 300))
@@ -2710,7 +2723,7 @@ def maintenance_rewrite_manifests(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="rwm_gate_")
     t = LakehouseTable.create(base + "/t", e.schema)
     for lo in (0, 200, 400, 600):
@@ -2794,7 +2807,7 @@ def table_column_stats(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type", "value")
     base = tempfile.mkdtemp(prefix="stats_gate_")
     t = LakehouseTable.create(base + "/t", e.schema)
     t.append(e.filter(F.col("event_id") < 400))
@@ -2863,7 +2876,7 @@ def table_zero_copy_clone(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="clone_gate_")
     src = LakehouseTable.create(
         base + "/src", e.schema, identifier_fields=["event_id"]
@@ -2943,12 +2956,12 @@ def stats_planned_join(spark, sf_dir):
     from ..operators.joinplan import stats_join
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="joinplan_gate_")
     big = LakehouseTable.create(base + "/big", e.schema)
     big.append(e.filter(F.col("event_id") < 2000))
     dim_df = (
-        table(spark, sf_dir, "events")
+        commit_src(spark, sf_dir, "events")
         .select("event_type")
         .distinct()
         .withColumn("category", F.upper("event_type"))
@@ -2996,7 +3009,7 @@ def maintenance_dangling_deletes(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="dangle_gate_")
     t = LakehouseTable.create(
         base + "/t", e.schema, identifier_fields=["event_id"]
@@ -3087,7 +3100,7 @@ def merge_full_sync(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="fullsync_gate_")
     t = LakehouseTable.create(base + "/t", e.schema)
     t.append(e.filter(F.col("event_id") < 300))
@@ -3136,7 +3149,7 @@ def dml_deletion_vectors(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 600).select(
+    e = commit_src(spark, sf_dir, "events").filter(F.col("event_id") < 600).select(
         "event_id", "event_type"
     )
     t = LakehouseTable.create(
@@ -3189,7 +3202,7 @@ def schema_add_column_default(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="coldef_gate_") + "/t",
         e.filter(F.col("event_id") < 0).schema,
@@ -3249,7 +3262,7 @@ def row_lineage_ids(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="lineage_gate_") + "/t",
         e.filter(F.col("event_id") < 0).schema,
@@ -3291,7 +3304,7 @@ def appends_lineage_poll(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="lineage_poll_") + "/t",
         e.filter(F.col("event_id") < 0).schema,
@@ -3344,7 +3357,7 @@ def iceberg_v3_roundtrip(spark, sf_dir):
     from ..sinks.iceberg_import import import_iceberg_table
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="v3_interop_gate_")
     t = LakehouseTable.create(
         base + "/src",
@@ -3401,7 +3414,7 @@ def changelog_lineage(spark, sf_dir):
 
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     t = LakehouseTable.create(
         tempfile.mkdtemp(prefix="cl_lineage_gate_") + "/t",
         e.schema,
@@ -3469,7 +3482,7 @@ def table_stats_ndv(spark, sf_dir):
     from ..sinks.iceberg_import import import_iceberg_table
     from ..sinks.table import LakehouseTable
 
-    e = table(spark, sf_dir, "events").select(
+    e = commit_src(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
     )
     base = tempfile.mkdtemp(prefix="stats_ndv_gate_")
@@ -3512,7 +3525,7 @@ def nessie_catalog_roundtrip(spark, sf_dir):
     from ..sinks.catalog import catalog_from_properties
     from ..sinks.nessie_server import NessieServer
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="nessie_gate_")
     with NessieServer() as srv:
         cat = catalog_from_properties(
@@ -3574,7 +3587,7 @@ def dynamodb_catalog_roundtrip(spark, sf_dir):
     from ..sinks.catalog import catalog_from_properties
     from ..sinks.dynamodb_server import DynamoDbServer
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="ddb_gate_")
     ak, sk = "AKIDGATE", "gate-secret-key"
     with DynamoDbServer(access_key=ak, secret_key=sk) as srv:
@@ -3623,7 +3636,7 @@ def glue_catalog_roundtrip(spark, sf_dir):
     from ..sinks.catalog import catalog_from_properties
     from ..sinks.glue_server import GlueServer
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="glue_gate_")
     ak, sk = "AKIDGATE", "gate-secret-key"
     with GlueServer(access_key=ak, secret_key=sk) as srv:
@@ -3674,7 +3687,7 @@ def hive_catalog_roundtrip(spark, sf_dir):
     from ..sinks.catalog import catalog_from_properties
     from ..sinks.hive_server import HiveMetastoreServer
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = commit_src(spark, sf_dir, "events").select("event_id", "event_type")
     base = tempfile.mkdtemp(prefix="hive_gate_")
     with HiveMetastoreServer() as srv:
         cat = catalog_from_properties(
@@ -3720,7 +3733,7 @@ def partition_stats_rollup(spark, sf_dir):
     from ..sinks.table import LakehouseTable
 
     e = (
-        table(spark, sf_dir, "events")
+        commit_src(spark, sf_dir, "events")
         .filter(F.col("event_id") < 700)
         .select(
             "event_id",
@@ -3769,7 +3782,7 @@ def zorder_rewrite_scan(spark, sf_dir):
     from ..sinks.table import LakehouseTable
 
     e = (
-        table(spark, sf_dir, "events")
+        commit_src(spark, sf_dir, "events")
         .filter(F.col("event_id") < 800)
         .select("event_id", "user_id", "value")
     )

@@ -45,7 +45,7 @@ def variant_lakehouse_roundtrip(spark, sf_dir):
     from ..sinks.table import LakehouseTable
 
     e = (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan=False)  # commit gate
         .where(F.col("event_id") < 4000)
         .select(
             "event_id",
@@ -101,7 +101,7 @@ def variant_shredded_scan(spark, sf_dir):
 
     from ..operators.variant_shred import shred_variant
 
-    e = table(spark, sf_dir, "events").select(
+    e = table(spark, sf_dir, "events", fan=False).select(
         "event_type", F.parse_json("props").alias("payload")
     )
     shredded = shred_variant(
