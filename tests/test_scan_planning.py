@@ -372,9 +372,14 @@ def test_zorder_rewrite_prunes_on_every_listed_column(spark, catalog):
     kept_v2, _ = t.scan_files("v2 < 256")
     assert total >= 8
     # both dimensions must prune meaningfully (the curve guarantees each
-    # file covers a small square in (id, v2) space)
-    assert len(kept_id) <= total // 2, (len(kept_id), total)
-    assert len(kept_v2) <= total // 2, (len(kept_v2), total)
+    # file covers a small square in (id, v2) space). The ideal curve split
+    # keeps exactly total//2 files for a 1/16 slab at 8-file granularity;
+    # repartitionByRange picks file boundaries by SAMPLING (seeded from
+    # rdd.id, i.e. session history), so one boundary may straddle a curve
+    # transition and drag one extra file into the slab — tolerate that
+    # single straddle, not more.
+    assert len(kept_id) <= total // 2 + 1, (len(kept_id), total)
+    assert len(kept_v2) <= total // 2 + 1, (len(kept_v2), total)
     # correctness unchanged
     got = sorted(
         (r.id, r.v2) for r in t.read(spark, where="id < 256").collect()
