@@ -135,15 +135,18 @@ def tpch_q3(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def tpch_q5(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.78x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     c = dim(spark, sf_dir, "customer")
     s = dim(spark, sf_dir, "supplier")
     n = dim(spark, sf_dir, "nation")
     r = dim(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    o = table(spark, sf_dir, "orders").filter(
+    o = table(spark, sf_dir, "orders", fan=False).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    l = table(spark, sf_dir, "lineitem")
+    l = table(spark, sf_dir, "lineitem", fan=False)
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -218,8 +221,11 @@ def tpch_q6(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def order_priority_count(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
-    l = table(spark, sf_dir, "lineitem")
+    # fan=False: r10 fan A/B, nofan/fan=0.79x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    o = table(spark, sf_dir, "orders", fan=False)
+    l = table(spark, sf_dir, "lineitem", fan=False)
     matched = o.join(
         l,
         (F.col("l_orderkey") == F.col("o_orderkey"))
@@ -260,9 +266,12 @@ def order_priority_count(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def top_customers_per_nation(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.81x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     c = dim(spark, sf_dir, "customer")
     n = dim(spark, sf_dir, "nation")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", fan=False)
     rev = (
         o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_nationkey", "c_custkey", "c_name")
@@ -307,12 +316,15 @@ def top_customers_per_nation(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def tpch_q10(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.23x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     c = dim(spark, sf_dir, "customer")
     n = dim(spark, sf_dir, "nation")
-    o = table(spark, sf_dir, "orders").filter(
+    o = table(spark, sf_dir, "orders", fan=False).filter(
         F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
     )
-    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    l = table(spark, sf_dir, "lineitem", fan=False).filter(F.col("l_returnflag") == "R")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -522,9 +534,12 @@ def events_sessionize(spark, sf_dir):
     tags=("analytics",),
 )
 def events_hourly_anomaly(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.60x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     from pyspark.sql.window import Window
 
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events", fan=False)
     hourly = e.groupBy(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
             "hour"
@@ -643,7 +658,10 @@ def events_session_funnel(spark, sf_dir):
     tags=("analytics", "events"),
 )
 def events_retention_cohorts(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    # fan=False: r10 fan A/B, nofan/fan=0.80x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    e = table(spark, sf_dir, "events", fan=False)
     signup = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")

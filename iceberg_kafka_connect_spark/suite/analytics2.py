@@ -86,8 +86,11 @@ def tpch_q7(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def tpch_q13(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.78x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", fan=False)
     per_cust = (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
         .groupBy("c_custkey")
@@ -170,7 +173,10 @@ def tpch_q18(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def tpch_q19(spark, sf_dir):
-    l = table(spark, sf_dir, "lineitem")
+    # fan=False: r10 fan A/B, nofan/fan=0.55x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    l = table(spark, sf_dir, "lineitem", fan=False)
     p = dim(spark, sf_dir, "part")
     c1 = (
         (F.col("p_brand") == "Brand#1")
@@ -219,8 +225,11 @@ def tpch_q19(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def tpch_q22(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.78x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", fan=False)
     # scalar subquery as a broadcast cross-join (one row) — single job, no
     # driver-side collect blocking the plan (same pattern as q15's max_rev)
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(davg(F.col("c_acctbal"), 2, "a"))
@@ -260,7 +269,10 @@ def tpch_q22(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def tpch_q17(spark, sf_dir):
-    l = table(spark, sf_dir, "lineitem")
+    # fan=False: r10 fan A/B, nofan/fan=0.55x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    l = table(spark, sf_dir, "lineitem", fan=False)
     p = dim(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
     # per-part averages grow with |part| — no broadcast hint; the planner
     # broadcasts while the aggregate is small and shuffle-joins at scale
@@ -300,7 +312,10 @@ def tpch_q17(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def tpch_q15(spark, sf_dir):
-    l = table(spark, sf_dir, "lineitem").filter(
+    # fan=False: r10 fan A/B, nofan/fan=0.43x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    l = table(spark, sf_dir, "lineitem", fan=False).filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )

@@ -98,7 +98,10 @@ def lineitem_pivot_returnflag(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def events_funnel(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    # fan=False: r10 fan A/B, nofan/fan=0.73x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    e = table(spark, sf_dir, "events", fan=False)
     per_user = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
             "first_signup"
@@ -138,7 +141,10 @@ def events_funnel(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def docs_top_terms(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # fan=False: r10 fan A/B, nofan/fan=0.57x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    docs = table(spark, sf_dir, "documents", fan=False)
     terms = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
     )

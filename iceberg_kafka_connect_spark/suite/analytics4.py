@@ -38,11 +38,14 @@ from .core import dim, dsum, sql_dsum, table
     tags=("analytics", "bench"),
 )
 def tpch_q4(spark, sf_dir):
-    o = table(spark, sf_dir, "orders").filter(
+    # fan=False: r10 fan A/B, nofan/fan=0.73x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    o = table(spark, sf_dir, "orders", fan=False).filter(
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1996-07-01")
     )
-    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    l = table(spark, sf_dir, "lineitem", fan=False).select("l_orderkey", "l_shipdate")
     sel = o.join(
         l,
         (F.col("l_orderkey") == F.col("o_orderkey"))
@@ -79,10 +82,13 @@ def tpch_q4(spark, sf_dir):
     tags=("analytics",),
 )
 def tpch_q16(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.43x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     p = dim(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#3") & F.col("p_size").isin(1, 4, 7, 10, 13)
     )
-    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    l = table(spark, sf_dir, "lineitem", fan=False).select("l_partkey", "l_suppkey")
     bad = (
         table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)

@@ -134,10 +134,13 @@ def tpch_q2(spark, sf_dir):
     tags=("analytics", "bench"),
 )
 def tpch_q9(spark, sf_dir):
-    l = table(spark, sf_dir, "lineitem")
+    # fan=False: r10 fan A/B, nofan/fan=0.52x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    l = table(spark, sf_dir, "lineitem", fan=False)
     p = dim(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    o = table(spark, sf_dir, "orders", fan=False).select("o_orderkey", "o_orderdate")
     n = dim(spark, sf_dir, "nation")
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -190,7 +193,10 @@ def tpch_q9(spark, sf_dir):
     tags=("analytics",),
 )
 def tpch_q11(spark, sf_dir):
-    l = table(spark, sf_dir, "lineitem")
+    # fan=False: r10 fan A/B, nofan/fan=0.34x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    l = table(spark, sf_dir, "lineitem", fan=False)
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = dim(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_3", "NATION_7")
@@ -297,9 +303,12 @@ def tpch_q12(spark, sf_dir):
     tags=("analytics",),
 )
 def tpch_q20(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.59x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     p = dim(spark, sf_dir, "part").filter(F.col("p_name").like("large%"))
     sp = (
-        table(spark, sf_dir, "lineitem")
+        table(spark, sf_dir, "lineitem", fan=False)
         .filter(
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1997-01-01")

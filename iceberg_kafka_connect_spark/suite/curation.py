@@ -194,6 +194,9 @@ def _synth_url_col():
     tags=("curation", "urls"),
 )
 def docs_url_canonical_dedup(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.56x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     """Exact-URL dedup on the canonical form: tracking params, fragments,
     case/slash/port noise and www/userinfo prefixes collapse, duplicates
     group on the canonical key, the lowest doc_id is kept. One scan + one
@@ -201,7 +204,7 @@ def docs_url_canonical_dedup(spark, sf_dir):
     is also a valid bucket/shuffle key at 100 TB."""
     from ..operators.urls import canonicalize_url
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan=False)
     return (
         docs.select(
             "doc_id", canonicalize_url(_synth_url_col()).alias("canonical_url")
@@ -250,6 +253,9 @@ def docs_url_canonical_dedup(spark, sf_dir):
     tags=("curation", "urls"),
 )
 def docs_domain_caps(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.75x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     """Per-domain caps (keep the best K docs per registrable domain — the
     RefinedWeb anti-SEO-farm step), via the bounded two-level top-K of
     operators/topk.py instead of a window: no single task ever sorts a
@@ -258,7 +264,7 @@ def docs_domain_caps(spark, sf_dir):
     from ..operators.topk import topk_per_group
     from ..operators.urls import url_host
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan=False)
     d = with_registrable_domain(
         docs.select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -333,6 +339,9 @@ def docs_domain_caps(spark, sf_dir):
     tags=("curation", "urls"),
 )
 def curation_pipeline_web(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.84x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     from ..operators.psl import with_registrable_domain
     from ..operators.topk import topk_per_group
     from ..operators.urls import (
@@ -342,7 +351,7 @@ def curation_pipeline_web(spark, sf_dir):
     )
 
     docs = (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", fan=False)
         .select("doc_id", "n_chars", "source")
         .withColumn("url", _synth_url_col())
     )

@@ -78,7 +78,10 @@ _JACCARD_ORACLE = f"""
     tags=("dedup",),
 )
 def dedup_exact(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # fan=False: r10 fan A/B, nofan/fan=0.47x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    docs = table(spark, sf_dir, "documents", fan=False)
     return dedup.exact_dedup(docs)
 
 
@@ -389,7 +392,10 @@ def dedup_semantic(spark, sf_dir):
 # that every dropped vector has a true cosine-≥-threshold partner.
 @register("dedup_semdedup", oracle=None, tags=("dedup",))
 def dedup_semdedup(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    # fan=False: r10 fan A/B, nofan/fan=0.60x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    emb = table(spark, sf_dir, "embeddings", fan=False)
     return similarity.semantic_dedup(emb, threshold=0.4, nlist=8, iters=2)
 
 
@@ -417,7 +423,10 @@ def dedup_semdedup(spark, sf_dir):
     tags=("dedup",),
 )
 def dedup_exact_bloom(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # fan=False: r10 fan A/B, nofan/fan=0.76x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    docs = table(spark, sf_dir, "documents", fan=False)
     history = docs.filter(F.col("doc_id") % 3 == 0)
     batch = docs.filter(F.col("doc_id") % 3 != 0)
     return dedup.incremental_exact_dedup_bloom(batch, history)
@@ -507,10 +516,13 @@ def dedup_simhash_md5(spark, sf_dir):
     tags=("dedup", "quality"),
 )
 def dedup_cluster_histogram(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.42x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     """Histogram of exact-duplicate cluster sizes over the SAME
     normalized digest dedup_exact uses (operators/dedup.normalize_text):
     cluster_size -> how many clusters and how many documents."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan=False)
     clusters = (
         docs.select(F.md5(dedup.normalize_text(F.col("text"))).alias("d"))
         .groupBy("d")

@@ -293,7 +293,10 @@ def cdc_apply(spark, sf_dir):
     tags=("ingestion",),
 )
 def route_static(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    # fan=False: r10 fan A/B, nofan/fan=0.71x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    e = table(spark, sf_dir, "events", fan=False)
     cfg = RoutingConfig(
         tables=[
             RouteSpec("events_web", "click|view"),
@@ -670,9 +673,12 @@ def events_rollup_sketch(spark, sf_dir):
     tags=("ingestion",),
 )
 def events_rollup_exact(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.75x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     from pyspark.sql import Window
 
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events", fan=False)
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     ranked = e.select(
@@ -983,7 +989,10 @@ def convert_decimal_rescale(spark, sf_dir):
     tags=("ingestion",),
 )
 def name_mapping_resolve(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    # fan=False: r10 fan A/B, nofan/fan=0.73x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    e = table(spark, sf_dir, "events", fan=False)
     src = e.select(
         F.col("event_id").alias("evt"),  # resolved via name mapping
         F.col("user_id").alias("USER_ID"),  # resolved case-insensitively

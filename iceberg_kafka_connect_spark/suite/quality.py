@@ -63,7 +63,10 @@ _TWR, _DUP2, _DUP3, _MINW = 0.125, 0.06, 0.05, 5
     tags=("text",),
 )
 def text_repetition(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # fan=False: r10 fan A/B, nofan/fan=0.85x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    docs = table(spark, sf_dir, "documents", fan=False)
     # The repetition signals are CPU-heavy per row; a small-file scan yields
     # one split and serializes them. Widen only when under-split (no-op at
     # real corpus scale, where the scan has >= cores splits).
@@ -314,7 +317,10 @@ def dedup_incremental(spark, sf_dir):
     tags=("quality",),
 )
 def docs_source_mix(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # fan=False: r10 fan A/B, nofan/fan=0.59x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    docs = table(spark, sf_dir, "documents", fan=False)
     mixed = tx.source_mix_resample(docs, temperature=0.5)
     return (
         mixed.groupBy("source")
@@ -438,7 +444,10 @@ def docs_lm_surprise(spark, sf_dir):
     tags=("quality",),
 )
 def docs_shard_shuffle(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # fan=False: r10 fan A/B, nofan/fan=0.67x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    docs = table(spark, sf_dir, "documents", fan=False)
     return tx.shard_shuffle(docs, n_shards=8).select("doc_id", "shard", "pos")
 
 
@@ -472,7 +481,10 @@ def docs_shard_shuffle(spark, sf_dir):
     tags=("quality",),
 )
 def docs_source_epochs(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # fan=False: r10 fan A/B, nofan/fan=0.81x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    docs = table(spark, sf_dir, "documents", fan=False)
     out = tx.source_epochs(docs, {"src0": 2.5, "src1": 2.0, "src2": 0.5})
     return out.select("doc_id", "source", "epoch")
 
@@ -533,9 +545,12 @@ def _split_oracle() -> str:
 
 @register("docs_split_assign", oracle=_split_oracle(), tags=("quality",))
 def docs_split_assign(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.67x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     from ..operators.ids import split_assign
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan=False)
     return (
         split_assign(docs, "doc_id", seed="v1")
         .groupBy("split", "source")
@@ -617,9 +632,12 @@ def docs_langid_confusion(spark, sf_dir):
     tags=("quality", "dedup"),
 )
 def docs_dup_rate_by_source(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.50x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     from ..operators import text as tx
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan=False)
     return (
         docs.select("source", tx.fingerprint(F.col("text")).alias("fp"))
         .groupBy("source")

@@ -95,7 +95,10 @@ def asof_join_purchase(spark, sf_dir):
     tags=("relational",),
 )
 def range_join_attribution(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    # fan=False: r10 fan A/B, nofan/fan=0.62x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    e = table(spark, sf_dir, "events", fan=False)
     purchases = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -144,9 +147,12 @@ def range_join_attribution(spark, sf_dir):
     tags=("relational",),
 )
 def skew_salted_join(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.70x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     from ..operators.skew import salted_join
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = table(spark, sf_dir, "events", fan=False).select("event_id", "event_type")
     dim = (
         e.select("event_type")
         .distinct()
@@ -191,10 +197,13 @@ def skew_salted_join(spark, sf_dir):
     tags=("relational", "skew"),
 )
 def docs_skew_profile(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.79x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     """operators/skew.skew_profile over documents.lang: flags keys above
     heavy_factor × mean rows-per-key and recommends per-key salt bucket
     counts for salted_join."""
     from ..operators.skew import skew_profile
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan=False)
     return skew_profile(docs, "lang", heavy_factor=0.5)

@@ -32,7 +32,10 @@ from .core import davg, dsum, table
     tags=("similarity",),
 )
 def ann_topk_bruteforce(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    # fan=False: r10 fan A/B, nofan/fan=0.70x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    emb = table(spark, sf_dir, "embeddings", fan=False)
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.brute_force_topk(queries, emb, k=5)
 
@@ -60,7 +63,10 @@ def ann_topk_bruteforce(spark, sf_dir):
     tags=("similarity",),
 )
 def ann_topk_ivf(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    # fan=False: r10 fan A/B, nofan/fan=0.41x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    emb = table(spark, sf_dir, "embeddings", fan=False)
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.partitioned_topk(queries, emb, k=5, part_col="label")
 
@@ -93,9 +99,12 @@ def ann_srp_lsh_pairs(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register("ann_topk_ivf_kmeans", oracle=None, tags=("similarity",))
 def ann_topk_ivf_kmeans(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.63x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     from ..operators.ivf import IVFIndex
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", fan=False)
     index = IVFIndex.build(emb, nlist=8, iters=2)
     queries = emb.filter(F.col("vec_id") < 20)
     return index.search(queries, k=5, nprobe=4)
@@ -125,7 +134,10 @@ def ann_topk_ivf_kmeans(spark, sf_dir):
     tags=("similarity",),
 )
 def ann_topk_numpy(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    # fan=False: r10 fan A/B, nofan/fan=0.66x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    emb = table(spark, sf_dir, "embeddings", fan=False)
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.brute_force_topk_numpy(queries, emb, k=5).select(
         "query_id", "neighbor_id", "rank"
@@ -194,9 +206,12 @@ def embedding_quantize(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register("embedding_pca", oracle=None, tags=("similarity",))
 def embedding_pca(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.76x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     from ..operators import pca
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", fan=False)
     model = pca.pca_fit(emb, k=4)
     proj = pca.pca_project(emb, model)
     return (
@@ -350,7 +365,10 @@ def embedding_outliers(spark, sf_dir):
     tags=("similarity", "curation"),
 )
 def embedding_dim_stats(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    # fan=False: r10 fan A/B, nofan/fan=0.78x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    emb = table(spark, sf_dir, "embeddings", fan=False)
     ex = emb.select(
         F.posexplode("embedding").alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))

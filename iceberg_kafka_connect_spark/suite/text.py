@@ -238,7 +238,10 @@ def text_pii_scrub(spark, sf_dir):
     tags=("text",),
 )
 def docs_sample_stratified(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # fan=False: r10 fan A/B, nofan/fan=0.70x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    docs = table(spark, sf_dir, "documents", fan=False)
     keep = tx.hash_sample(F.col("doc_id"), "28f5c")  # ≈16% rate
     return (
         docs.groupBy("lang")
@@ -344,9 +347,12 @@ def docs_pack_sequences(spark, sf_dir):
     tags=("text",),
 )
 def docs_keyterms(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.64x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     from pyspark.sql.window import Window
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan=False)
     wx = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
@@ -456,7 +462,10 @@ def docs_chunk_overlap(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register("text_compression_ratio", oracle=None, tags=("text",))
 def text_compression_ratio(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    # fan=False: r10 fan A/B, nofan/fan=0.80x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
+    docs = table(spark, sf_dir, "documents", fan=False)
     out = tx.compression_ratio_df(docs)
     return (
         out.groupBy((F.floor(F.col("compression_ratio") * 10)).alias("decile"))
@@ -755,9 +764,12 @@ def docs_token_budget(spark, sf_dir):
     tags=("text", "sketch"),
 )
 def docs_heavy_hitters(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.62x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     from ..operators.sketch import frequent_items
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan=False)
     terms = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
     )
@@ -779,10 +791,13 @@ def docs_heavy_hitters(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register("docs_bpe_token_stats", oracle=None, tags=("text", "tokenize"))
 def docs_bpe_token_stats(spark, sf_dir):
+    # fan=False: r10 fan A/B, nofan/fan=0.72x — the scan fan-out
+    # exchange costs more than the trivial map side it parallelizes
+    # (interleaved best-of-3; see OPTIMIZATION_r10.md fan study)
     from ..operators.bpe import bpe_token_stats, fit_bpe
     from .core import table
 
-    docs = table(spark, sf_dir, "documents").select("source", "text")
+    docs = table(spark, sf_dir, "documents", fan=False).select("source", "text")
     merges = fit_bpe(
         docs, "text", num_merges=64, min_word_freq=2, max_words=50_000
     )
