@@ -36,6 +36,57 @@ def words(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+# logical operators whose OUTPUT partitioning is always shuffle-wide — a
+# frame containing one needs no explode fan-out. Join and Sort are NOT
+# markers on purpose: a broadcast join inherits the (possibly single)
+# streamed-side partitioning and sortWithinPartitions keeps its input's,
+# so those shapes fall through to the scan-split estimate instead.
+_WIDE_PLAN_MARKERS = (
+    "Repartition",
+    "Rebalance",
+    "Aggregate",
+    "Window",
+    "Deduplicate",
+)
+
+
+def _narrow_partitions(df: DataFrame) -> int:
+    """Partition-count estimate for the fan-out guard below, WITHOUT the
+    full analysis+optimization+physical-planning pass `df.rdd` triggers
+    (measured ~0.2s of driver time per call — pure py4j/Catalyst latency,
+    guide §1.5 driver-side cost). A frame whose logical plan contains a
+    wide operator already has ≥ shuffle-partitions output partitions →
+    report "wide" without planning; a narrow chain over files estimates
+    the scan's split count from file sizes (a row group is the split
+    floor, so ⌈size/maxPartitionBytes⌉ upper-bounds splits and the guard
+    stays conservative: it only ever ADDS a repartition a single-split
+    scan needs anyway). Anything surprising falls back to the exact
+    `.rdd` answer."""
+    import os
+
+    spark = df.sparkSession
+    wide = spark.sparkContext.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().logical().toString()
+        if any(m in plan for m in _WIDE_PLAN_MARKERS):
+            return wide
+        files = df.inputFiles()
+        if not files:
+            # in-memory/local relation: single-digit slices, fan out
+            return 1
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+            .lower().removesuffix("b")
+        )
+        splits = 0
+        for uri in files:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            splits += max(1, os.path.getsize(path) // max_split)
+        return int(splits)
+    except Exception:
+        return df.rdd.getNumPartitions()
+
+
 def shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -48,7 +99,7 @@ def shingles(
     happens at all (an unconditional repartition here would shuffle the
     entire 100 TB corpus before any hashing)."""
     sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+    if _narrow_partitions(docs) < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
     from .text import gram_array
 
@@ -100,6 +151,8 @@ def connected_components(
     Nodes with no edges don't appear in the input and so not in the output;
     callers union isolated ids back if they need total coverage.
     """
+    from pyspark.sql import Observation
+
     # both directions in ONE pass over pairs: a union of two selects on the
     # same (unpersisted) pairs subtree would execute the upstream pair
     # computation twice
@@ -119,14 +172,26 @@ def connected_components(
         .select("e.a", "e.b")
         .persist()
     )
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
+    _fp = F.sum(F.xxhash64(F.col("label")).cast("decimal(38,0)")).alias("fp")
+
+    def _checkpoint_with_fp(df: DataFrame) -> tuple[DataFrame, object]:
+        """Materialize one round's labels, reading the convergence
+        fingerprint as an Observation off the SAME action — round cost is
+        one job, not checkpoint + a second aggregation job per round."""
+        obs = Observation()
+        out = df.observe(obs, _fp).localCheckpoint(eager=True)
+        return out, obs.get["fp"]
+
+    # fused first round: label₀ = min(id, min neighbor) is exactly one
+    # propagation round over labels=id, computed inside the same single
+    # shuffle the old `.distinct()` initialization already paid ("a" is the
+    # grouping key, so every node appears — near-dup symmetric edge lists
+    # give each node at least one outgoing edge)
+    labels, prev_sum = _checkpoint_with_fp(
+        sym.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
+        .select(F.col("a").alias("id"), "label")
     )
-    _fp = F.sum(F.xxhash64(F.col("label")).cast("decimal(38,0)"))
-    prev_sum = labels.agg(_fp).collect()[0][0]
     for _ in range(max_iters):
         prop = sym.join(
             labels.withColumnRenamed("id", "a"), "a"
@@ -135,13 +200,11 @@ def connected_components(
         # plan embeds the previous round's twice (join side + union side)
         # and the logical tree grows 2^rounds — persist alone shortcuts
         # execution but not the plan the optimizer must chew through.
-        new_labels = (
+        new_labels, new_sum = _checkpoint_with_fp(
             labels.union(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(_fp).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:

@@ -54,6 +54,15 @@ def get_spark(
         # default 100-field whole-stage-codegen cutoff and silently fall
         # back to interpreted eval — measured 1.4x slower on the sketch agg
         .config("spark.sql.codegen.maxFields", "256")
+        # lakehouse commits are many small file writes; the v1 committer's
+        # job-commit pass renames every task directory sequentially on the
+        # driver. v2 renames at task commit — atomicity of a table commit
+        # comes from the metadata-version swap, never from the output
+        # directory, so v1's stricter job-level atomicity buys nothing here
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # _SUCCESS markers are dead weight: readers discover files through
+        # table manifests, never by directory listing
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -116,6 +125,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
         spark.conf.set("spark.sql.codegen.maxFields", "256")
+        # runtime twin of the committer tuning in get_spark (the verify
+        # driver hands us its own session): hadoopConfiguration is the
+        # live conf every subsequent write job snapshots
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        hconf.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        hconf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     except Exception:
         pass
     return spark

@@ -677,8 +677,20 @@ class LakehouseTable:
             w = w.option("maxRecordsPerFile", int(target_rows))
         w.format(fmt).save(out_dir)
         base = os.path.relpath(out_dir, self.root)
+        # record the exact schema the files were written under (partition
+        # columns included, in writer order): readers pass it back as the
+        # user-specified schema, skipping per-load footer schema inference —
+        # a driver round-trip every merge-on-read group otherwise pays on
+        # every read (Iceberg parity: manifests reference a schema, scans
+        # never re-infer one from data files)
+        schema_json = writer.schema.json()
         files = [
-            {"path": os.path.relpath(p, self.root), "base": base, "format": fmt}
+            {
+                "path": os.path.relpath(p, self.root),
+                "base": base,
+                "format": fmt,
+                "spark_schema": schema_json,
+            }
             for p in globmod.glob(os.path.join(out_dir, "**", f"*.{fmt}"), recursive=True)
         ]
         for entry in files:
@@ -839,13 +851,14 @@ class LakehouseTable:
         batch = batch.persist()
         try:
             keys = batch.select(*key_cols)
-            delete_files = self._write_delete_files(keys, key_cols)
             if op_col is not None and op_col in batch.columns:
                 inserts = batch.filter(F.col(op_col) != DELETE)
             else:
                 inserts = batch
             data = self._project(inserts, case_insensitive)
-            data_files = self._write_files(data, "data")
+            delete_files, data_files = self._write_delete_and_data(
+                keys, key_cols, data
+            )
             return self._commit_snapshot(
                 "overwrite", data_files, delete_files, snapshot_props or {}, branch
             )
@@ -859,6 +872,22 @@ class LakehouseTable:
             {**f, "key_cols": list(key_cols)}
             for f in self._write_files(keys, "deletes")
         ]
+
+    def _write_delete_and_data(
+        self, keys: DataFrame, key_cols: list[str], data: DataFrame
+    ) -> tuple[list[dict], list[dict]]:
+        """Write one commit's equality-delete key files and data files as
+        two CONCURRENT Spark jobs (both independent reads of the same
+        persisted batch; the DAGScheduler shares any common upstream
+        stages/cached blocks between them). An upsert's wall time becomes
+        max(delete write, data write) instead of their sum — the latency
+        term every micro-batch of a streaming CDC sync pays per commit."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_del = pool.submit(self._write_delete_files, keys, key_cols)
+            f_dat = pool.submit(self._write_files, data, "data")
+            return f_del.result(), f_dat.result()
 
     def _upsert_per_op(
         self,
@@ -894,10 +923,11 @@ class LakehouseTable:
                 keys = batch.filter(
                     F.col(op_col).isin(UPDATE, DELETE)
                 ).select(*key_cols)
-                delete_files = self._write_delete_files(keys, key_cols)
                 survivors = batch.filter(F.col(op_col) != DELETE)
                 data = self._project(survivors, case_insensitive)
-                data_files = self._write_files(data, "data")
+                delete_files, data_files = self._write_delete_and_data(
+                    keys, key_cols, data
+                )
                 return self._commit_snapshot(
                     "overwrite", data_files, delete_files,
                     snapshot_props or {}, branch,
@@ -930,7 +960,6 @@ class LakehouseTable:
                 .select(*key_cols)
                 .distinct()
             )
-            delete_files = self._write_delete_files(keys, key_cols)
             survivors = batch.filter(
                 (F.col(op_col) != DELETE)
                 & (
@@ -939,7 +968,9 @@ class LakehouseTable:
                 )
             ).drop("__rank", "__ud_rank", "__ord")
             data = self._project(survivors, case_insensitive)
-            data_files = self._write_files(data, "data")
+            delete_files, data_files = self._write_delete_and_data(
+                keys, key_cols, data
+            )
             return self._commit_snapshot(
                 "overwrite", data_files, delete_files, snapshot_props or {}, branch
             )
@@ -1266,11 +1297,12 @@ class LakehouseTable:
             if matched.isEmpty():
                 return None
             keys = matched.select(*key_cols).distinct()
-            delete_files = self._write_delete_files(keys, key_cols)
             updated = matched.withColumns(
                 {c: F.expr(e) for c, e in assignments.items()}
             )
-            data_files = self._write_files(self._project(updated), "data")
+            delete_files, data_files = self._write_delete_and_data(
+                keys, key_cols, self._project(updated)
+            )
             return self._commit_snapshot(
                 "overwrite",
                 data_files,
@@ -2506,6 +2538,7 @@ class LakehouseTable:
         # PartitionUtil rule, done scan-shaped).
         by_group: dict[tuple, list[str]] = {}
         pv_by_path: dict[tuple, dict[str, dict]] = {}
+        schema_of: dict[tuple, str | None] = {}
         for f in files:
             key = (
                 f["seq"],
@@ -2514,6 +2547,14 @@ class LakehouseTable:
             )
             abs_path = os.path.join(self.root, f["path"])
             by_group.setdefault(key, []).append(abs_path)
+            # the group's recorded write schema — usable only when every
+            # file in the group agrees (entries synthesized by imports or
+            # legacy manifests have none → footer inference fallback)
+            sj = f.get("spark_schema")
+            if key not in schema_of:
+                schema_of[key] = sj
+            elif schema_of[key] != sj:
+                schema_of[key] = None
             pv = f.get("partition_values")
             if pv:
                 pv_by_path.setdefault(key, {})[abs_path] = pv
@@ -2525,12 +2566,17 @@ class LakehouseTable:
 
                 df = avro_io.read_avro_files(spark, paths)
             else:
-                df = (
-                    spark.read.option("mergeSchema", "false")
-                    .option("basePath", os.path.join(self.root, base))
-                    .format(fmt)
-                    .load(paths)
+                reader = spark.read.option("mergeSchema", "false").option(
+                    "basePath", os.path.join(self.root, base)
                 )
+                sj = schema_of.get((seq, base, fmt))
+                if sj:
+                    # the manifests' recorded write schema skips footer
+                    # schema inference (one JVM open+read per load); the
+                    # user-specified schema also pins partition-directory
+                    # column types and keeps writer column order
+                    reader = reader.schema(T.StructType.fromJson(json.loads(sj)))
+                df = reader.format(fmt).load(paths)
             if with_position:
                 df = df.select(
                     "*",

@@ -699,3 +699,33 @@ def test_read_as_of_timestamp(spark, tmp_path):
         t.read(spark, as_of_ms=ts1 - 100000)
     with _pt.raises(ValueError, match="mutually exclusive"):
         t.read(spark, as_of_ms=ts1, snapshot_id="x")
+
+
+def test_manifest_entries_record_write_schema(spark, catalog):
+    """r10: every written file entry carries the writer's exact schema
+    (spark_schema) and read() passes it back as the user-specified schema —
+    no footer inference, writer column order preserved, partition-directory
+    column typed from the schema rather than re-inferred from dir strings."""
+    t = catalog.create_table("default.sch", SCHEMA, partition_by=["type"])
+    t.append(_rows(spark, [(1, "a", None, "x"), (2, "b", None, "y")]))
+    data_files, _ = t.live_files()
+    assert data_files, "append landed no files"
+    for e in data_files:
+        sj = e.get("spark_schema")
+        assert sj, "entry missing recorded write schema"
+        rec = T.StructType.fromJson(json.loads(sj))
+        assert "type" in rec.fieldNames()  # partition col included
+    out = t.read(spark)
+    # read-back schema matches the table schema in name+type (order is
+    # project_to_schema's job; the raw group read must not break it)
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in SCHEMA.fields
+    ]
+    assert {(r.id, r.type) for r in out.collect()} == {(1, "a"), (2, "b")}
+    # upsert exercises the concurrent delete+data write pair
+    t.upsert(_rows(spark, [(2, "b", None, "y2"), (3, "c", None, "z")]),
+             key_cols=["id"])
+    got = {(r.id, r.payload) for r in t.read(spark).collect()}
+    assert got == {(1, "x"), (2, "y2"), (3, "z")}
+    _, dels = t.live_files()
+    assert dels and all(e.get("spark_schema") for e in dels)

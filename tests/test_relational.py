@@ -227,6 +227,34 @@ def test_connected_components_merging_clusters(spark):
     assert out == {5: 5, 6: 5, 7: 5, 8: 5}
 
 
+def test_connected_components_fused_init_shapes(spark):
+    # r10: the first propagation round is fused into initialization
+    # (label₀ = min(id, min neighbor)) and convergence is read via
+    # observe() off the checkpoint action. Shapes that stress both:
+    # a star already converged AT init (immediate-fixpoint exit), a
+    # diameter-5 chain (multiple post-init rounds), and string ids
+    # (the fingerprint must not assume numeric labels).
+    from iceberg_kafka_connect_spark.operators.dedup import connected_components
+
+    star = spark.createDataFrame(
+        [(1, 7), (1, 8), (1, 9)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(star).collect()}
+    assert out == {1: 1, 7: 1, 8: 1, 9: 1}
+
+    chain = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (5, 6), (6, 7)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(chain).collect()}
+    assert out == {i: 2 for i in range(2, 8)}
+
+    strs = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "id_a string, id_b string"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(strs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_incremental_dedup_all_reasons(spark):
     from iceberg_kafka_connect_spark.operators.dedup import incremental_dedup
 
