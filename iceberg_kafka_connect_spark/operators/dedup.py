@@ -72,8 +72,16 @@ def _narrow_partitions(df: DataFrame) -> int:
             return wide
         files = df.inputFiles()
         if not files:
-            # in-memory/local relation: single-digit slices, fan out
-            return 1
+            # no file scan: a Range already states its slice count in the
+            # logical plan; anything else (LocalRelation/LogicalRDD) gets
+            # the exact .rdd answer — only non-file inputs pay that
+            # planning round-trip, file scans never reach here
+            import re
+
+            m = re.search(r"splits=Some\((\d+)\)", plan)
+            if m:
+                return int(m.group(1))
+            return df.rdd.getNumPartitions()
         max_split = int(
             spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
             .lower().removesuffix("b")
