@@ -481,7 +481,17 @@ class _Handler(BaseHTTPRequestHandler):
                 "AlreadyExistsException",
                 f"namespace {ns!r} already exists",
             )
-        os.makedirs(d)
+        try:
+            os.makedirs(d)
+        except FileExistsError:
+            # two concurrent creates both passed the isdir check; the
+            # loser of the mkdir race gets the same 409 a late arrival
+            # would (clients treat AlreadyExists as success)
+            raise _err(
+                409,
+                "AlreadyExistsException",
+                f"namespace {ns!r} already exists",
+            ) from None
         props = body.get("properties") or {}
         if props:
             with open(os.path.join(d, ".namespace.json"), "w") as f:
