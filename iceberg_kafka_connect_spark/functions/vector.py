@@ -71,13 +71,27 @@ def dot_unrolled_named(a: str, b: str, dim: int) -> Column:
     return F.expr(f"(CAST(0.0 AS DOUBLE) + {terms})")
 
 
+# Unroll ceiling for cosine_with_norms_fast. Above it the unrolled chain
+# is a pure liability: janino refuses the 256+-term Add chain (measured:
+# dims 256-512 all log "Failed to compile" and run interpreted anyway),
+# and Catalyst's own genCode recursion over the chain can overflow an
+# executor task thread's stack — a java.lang.StackOverflowError outside
+# janino's try/catch reaches SparkUncaughtExceptionHandler and KILLS the
+# local JVM (reproduced at dim=512 via IVFIndex search + brute_force_topk,
+# tests/test_ivf.py::test_high_dim_build_and_search). 128 is measured
+# safe (compiles, and matches the widest agg chains elsewhere in the
+# repo, e.g. the 128-hash MinHash sketch).
+_UNROLL_MAX_DIM = 128
+
+
 def cosine_with_norms_fast(
     a: str, b: str, na: Column, nb: Column, dim: int | None
 ) -> Column:
     """``cosine_with_norms`` with the dot product unrolled for codegen when
     the embedding dimensionality is known (bit-identical either way; see
-    dot_unrolled_named). ``dim=None`` falls back to the fold form."""
-    if not dim:
+    dot_unrolled_named). ``dim=None`` — or dim beyond the codegen-safe
+    unroll ceiling — falls back to the fold form."""
+    if not dim or dim > _UNROLL_MAX_DIM:
         return cosine_with_norms(F.col(a), F.col(b), na, nb)
     num = F.coalesce(dot_unrolled_named(a, b, dim), dot(F.col(a), F.col(b)))
     return num / (na * nb)

@@ -498,7 +498,6 @@ def semantic_dedup(
     ``rep_id`` is the smallest id in the vector's near-dup group (itself
     when no duplicate ≥ threshold shares its cluster).
     """
-    from .dedup import connected_components
     from .ivf import IVFIndex
 
     if cluster_col is None:
@@ -539,14 +538,51 @@ def semantic_dedup(
         .select(
             "id_a",
             "id_b",
+            F.col("__ca"),
             cosine_with_norms_fast(
                 "__va", "__vb", F.col("__na"), F.col("__nb"), dim
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    comp = connected_components(pairs).select(
-        "id", F.col("component").alias("__rep")
+    # Representative election: near-dup edges are CLUSTER-CONFINED by
+    # construction (the pair join's equi-key is the cluster), so each
+    # cluster's component structure is independent — one grouped
+    # union-find pass replaces the iterative min-label propagation loop
+    # (init + diameter rounds, one Spark job each; the semdedup graphs
+    # chain up to diameter ~6 ⇒ 7 sequential jobs at gate scale). The
+    # group payload is the cluster's near-dup EDGES (ids only, never
+    # vectors) — bounded by the same Σ|cluster|² confinement the pair
+    # join itself relies on, so if the pair join fits, the per-group
+    # union-find fits. Result is identical: component = min reachable id
+    # (union-by-min-root keeps every tree rooted at its minimum).
+    id_type = dict(base.dtypes)["id"]
+
+    def _group_components(pdf):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for va, vb in zip(pdf["id_a"], pdf["id_b"]):
+            for v in (va, vb):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(va), find(vb)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        ids = list(parent)
+        return pd.DataFrame({"id": ids, "__rep": [find(i) for i in ids]})
+
+    comp = pairs.groupBy("__ca").applyInPandas(
+        _group_components, schema=f"id {id_type}, __rep {id_type}"
     )
     out = (
         base.join(comp, "id", "left")

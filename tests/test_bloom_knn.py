@@ -132,3 +132,43 @@ def test_knn_graph_excludes_self(spark):
     emb = _rand_emb(spark, n=12, seed=3)
     out = similarity.knn_graph_blocked(emb, k=5, num_blocks=3).collect()
     assert all(r["query_id"] != r["neighbor_id"] for r in out)
+
+
+def test_cosine_fast_unroll_cap_matches_fold(spark):
+    """Above _UNROLL_MAX_DIM the fast cosine must take the fold path (the
+    unrolled Add chain stops compiling around 256 terms and can fatally
+    overflow codegen's recursion) and stay bit-identical to the fold."""
+    from iceberg_kafka_connect_spark.functions.vector import (
+        _UNROLL_MAX_DIM,
+        cosine_with_norms,
+        cosine_with_norms_fast,
+        norm2,
+    )
+
+    rng = np.random.default_rng(7)
+    for dim in (_UNROLL_MAX_DIM, _UNROLL_MAX_DIM + 1, 512):
+        rows = [
+            (
+                [float(x) for x in rng.standard_normal(dim)],
+                [float(x) for x in rng.standard_normal(dim)],
+            )
+            for _ in range(20)
+        ]
+        df = spark.createDataFrame(rows, "a array<double>, b array<double>").select(
+            "a", "b", norm2(F.col("a")).alias("na"), norm2(F.col("b")).alias("nb")
+        )
+        got = [
+            r.c
+            for r in df.select(
+                cosine_with_norms_fast("a", "b", F.col("na"), F.col("nb"), dim).alias("c")
+            ).collect()
+        ]
+        want = [
+            r.c
+            for r in df.select(
+                cosine_with_norms(
+                    F.col("a"), F.col("b"), F.col("na"), F.col("nb")
+                ).alias("c")
+            ).collect()
+        ]
+        assert got == want  # exact — both are the same left-fold doubles
