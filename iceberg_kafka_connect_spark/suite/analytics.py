@@ -743,7 +743,12 @@ def funnel_stream_replay(spark, sf_dir):
 
     from ..streaming.stateful import funnel_stream
 
-    e = table(spark, sf_dir, "events").select(
+    # fan=False: the gate's slice writes are coalesce(1) — with the scan
+    # fan-out they pull the 32-way exchange back into one task; un-fanned
+    # the scan->filter->write chain is a single task with no exchange
+    # (r10 interleaved A/B: replay gates 0.79-0.92x, see
+    # OPTIMIZATION_r10.md replay study)
+    e = table(spark, sf_dir, "events", fan=False).select(
         "user_id", F.col("ts").alias("timestamp"), "event_type"
     )
     lo, hi = e.agg(
@@ -849,7 +854,12 @@ def _few_state_partitions(spark, n=8):
 def stream_interval_join_replay(spark, sf_dir):
     import tempfile
 
-    e = table(spark, sf_dir, "events").select(
+    # fan=False: the gate's slice writes are coalesce(1) — with the scan
+    # fan-out they pull the 32-way exchange back into one task; un-fanned
+    # the scan->filter->write chain is a single task with no exchange
+    # (r10 interleaved A/B: replay gates 0.79-0.92x, see
+    # OPTIMIZATION_r10.md replay study)
+    e = table(spark, sf_dir, "events", fan=False).select(
         "event_id", "user_id", F.col("ts").alias("timestamp"), "event_type"
     )
     lo, hi = e.agg(F.min("timestamp"), F.max("timestamp")).collect()[0]
@@ -955,7 +965,12 @@ def stream_interval_join_replay(spark, sf_dir):
 def session_stream_replay(spark, sf_dir):
     import tempfile
 
-    e = table(spark, sf_dir, "events").select(
+    # fan=False: the gate's slice writes are coalesce(1) — with the scan
+    # fan-out they pull the 32-way exchange back into one task; un-fanned
+    # the scan->filter->write chain is a single task with no exchange
+    # (r10 interleaved A/B: replay gates 0.79-0.92x, see
+    # OPTIMIZATION_r10.md replay study)
+    e = table(spark, sf_dir, "events", fan=False).select(
         "user_id", F.col("ts").alias("timestamp")
     )
     lo, hi = e.agg(F.min("timestamp"), F.max("timestamp")).collect()[0]
@@ -1039,7 +1054,12 @@ def dedup_stream_replay(spark, sf_dir):
 
     from ..streaming.dedup import streaming_dedup
 
-    e = table(spark, sf_dir, "events").select(
+    # fan=False: the gate's slice writes are coalesce(1) — with the scan
+    # fan-out they pull the 32-way exchange back into one task; un-fanned
+    # the scan->filter->write chain is a single task with no exchange
+    # (r10 interleaved A/B: replay gates 0.79-0.92x, see
+    # OPTIMIZATION_r10.md replay study)
+    e = table(spark, sf_dir, "events", fan=False).select(
         "event_id", F.col("ts").alias("timestamp")
     )
     lo, hi = e.agg(F.min("timestamp"), F.max("timestamp")).collect()[0]
