@@ -37,6 +37,7 @@ import json
 import logging
 import os
 import re
+import shutil
 import time
 import uuid
 
@@ -865,6 +866,41 @@ class LakehouseTable:
         finally:
             batch.unpersist()
 
+    def _written_rows(self, entries: list[dict]) -> int | None:
+        """Total rows across freshly written parquet entries, read off
+        their footers (the write itself never counted them — Spark's
+        writer reports nothing back). None = unknown (non-parquet or an
+        unreadable footer); callers must then assume non-empty."""
+        total = 0
+        for e in entries:
+            if e.get("format", "parquet") != "parquet":
+                return None
+            st = e.get("stats") or {}
+            n = st.get("rows")
+            if n is None:
+                try:
+                    import pyarrow.parquet as pq
+
+                    n = pq.ParquetFile(
+                        os.path.join(self.root, e["path"])
+                    ).metadata.num_rows
+                except Exception:
+                    return None
+            total += n
+        return total
+
+    def _discard_written(self, entries: list[dict]) -> None:
+        """Remove freshly written, never-committed file groups (the
+        write-first empty-result path). Only the entries' own uuid dirs
+        are touched — nothing referenced by any snapshot lives there."""
+        for e in entries:
+            try:
+                os.remove(os.path.join(self.root, e["path"]))
+            except OSError:
+                pass
+        for base in {e.get("base") for e in entries if e.get("base")}:
+            shutil.rmtree(os.path.join(self.root, base), ignore_errors=True)
+
     def _write_delete_files(self, keys: DataFrame, key_cols: list[str]) -> list[dict]:
         """Write equality-delete key files, stamping the key column set on
         each entry (read() groups merge-on-read joins by that set)."""
@@ -1189,17 +1225,33 @@ class LakehouseTable:
             self.read(spark, branch=branch, where=where)
             .select(*key_cols)
             .distinct()
-            .persist()
         )
-        try:
-            if matched.isEmpty():
-                return None
-            delete_files = self._write_delete_files(matched, key_cols)
-            return self._commit_snapshot(
-                "overwrite", [], delete_files, snapshot_props or {}, branch
-            )
-        finally:
-            matched.unpersist()
+        if self.file_format() != "parquet":
+            # avro delete files carry no cheap row count — keep the
+            # check-then-write shape there
+            matched = matched.persist()
+            try:
+                if matched.isEmpty():
+                    return None
+                delete_files = self._write_delete_files(matched, key_cols)
+                return self._commit_snapshot(
+                    "overwrite", [], delete_files, snapshot_props or {}, branch
+                )
+            finally:
+                matched.unpersist()
+        # write-first: the empty guard used to cost a FULL extra job
+        # (isEmpty evaluates the pruned merge-on-read scan once, the
+        # write evaluates it again). Writing directly and reading the
+        # row count off the written parquet footers makes the common
+        # non-empty case one job; the rare no-match case discards an
+        # empty uuid dir and still returns None (no snapshot).
+        delete_files = self._write_delete_files(matched, key_cols)
+        if self._written_rows(delete_files) == 0:
+            self._discard_written(delete_files)
+            return None
+        return self._commit_snapshot(
+            "overwrite", [], delete_files, snapshot_props or {}, branch
+        )
 
     def delete_where_positions(
         self,
@@ -1249,26 +1301,37 @@ class LakehouseTable:
         # delete file (harmless but wasteful to re-mark them)
         rows = self._apply_deletes(spark, rows, delete_files)
         prefix = os.path.abspath(self.root) + "/"
-        matched = (
-            rows.filter(where)
-            .select(
-                _fp_store(F.col("__fp"), prefix).alias("file_path"),
-                F.col("__pos").alias("pos"),
-            )
-            .persist()
+        matched = rows.filter(where).select(
+            _fp_store(F.col("__fp"), prefix).alias("file_path"),
+            F.col("__pos").alias("pos"),
         )
-        try:
-            if matched.isEmpty():
-                return None
-            files = [
-                {**f, "delete_type": "position"}
-                for f in self._write_files(matched, "deletes")
-            ]
-            return self._commit_snapshot(
-                "overwrite", [], files, snapshot_props or {}, branch
-            )
-        finally:
-            matched.unpersist()
+        if self.file_format() != "parquet":
+            matched = matched.persist()
+            try:
+                if matched.isEmpty():
+                    return None
+                files = [
+                    {**f, "delete_type": "position"}
+                    for f in self._write_files(matched, "deletes")
+                ]
+                return self._commit_snapshot(
+                    "overwrite", [], files, snapshot_props or {}, branch
+                )
+            finally:
+                matched.unpersist()
+        # write-first (see delete_where): the written parquet footers
+        # carry the row count, so the pre-write isEmpty job is pure
+        # overhead in the common non-empty case
+        files = [
+            {**f, "delete_type": "position"}
+            for f in self._write_files(matched, "deletes")
+        ]
+        if self._written_rows(files) == 0:
+            self._discard_written(files)
+            return None
+        return self._commit_snapshot(
+            "overwrite", [], files, snapshot_props or {}, branch
+        )
 
     def update_where(
         self,
@@ -1294,15 +1357,27 @@ class LakehouseTable:
             raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
         matched = self.read(spark, branch=branch, where=where).persist()
         try:
-            if matched.isEmpty():
-                return None
             keys = matched.select(*key_cols).distinct()
             updated = matched.withColumns(
                 {c: F.expr(e) for c, e in assignments.items()}
             )
+            # write-first (see delete_where): the two concurrent writes
+            # materialize the persisted scan once; the no-match case is
+            # detected from the written footers instead of a prior
+            # isEmpty job, discards the empty dirs, and still commits
+            # nothing. Non-parquet formats keep the pre-write check.
+            if self.file_format() != "parquet":
+                if matched.isEmpty():
+                    return None
             delete_files, data_files = self._write_delete_and_data(
                 keys, key_cols, self._project(updated)
             )
+            if (
+                self.file_format() == "parquet"
+                and self._written_rows(delete_files) == 0
+            ):
+                self._discard_written(delete_files + data_files)
+                return None
             return self._commit_snapshot(
                 "overwrite",
                 data_files,

@@ -128,3 +128,20 @@ def test_drop_column_refused_while_delete_files_key_on_it(spark, catalog):
     t.compact(spark)
     t.drop_column("v")  # delete state folded — now safe
     assert "v" not in t.read(spark).columns
+
+
+def test_delete_where_no_match_leaves_no_stray_files(spark, catalog):
+    """The write-first empty guard must discard its uuid dir: a no-match
+    DELETE leaves the deletes/ area exactly as it found it."""
+    import os
+
+    t = _table(spark, catalog, "d_nostray")
+    t.delete_where(spark, "grp = 'a'", key_cols=["id"])  # one real delete
+    deletes_dir = os.path.join(t.root, "deletes")
+    before = set(os.listdir(deletes_dir))
+    assert t.delete_where(spark, "grp = 'zz'", key_cols=["id"]) is None
+    assert set(os.listdir(deletes_dir)) == before
+    assert t.update_where(
+        spark, "grp = 'zz'", {"v": "v + 1"}, key_cols=["id"]
+    ) is None
+    assert set(os.listdir(deletes_dir)) == before
