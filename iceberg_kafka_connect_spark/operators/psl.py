@@ -261,6 +261,56 @@ def _rules_frame(spark, rules: PSLRules):
     return df
 
 
+def _sql_str(v: str) -> str:
+    """A Spark SQL string literal for ``v`` (default non-ANSI escaping)."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _domain_expr_sql(rules: PSLRules, host_sql: str) -> str:
+    """The registrable-domain expression as ONE SQL string over
+    ``host_sql`` + the joined ``__psl_rs`` rule array — the identical
+    expression tree ``with_registrable_domain`` used to compose
+    Column-by-Column (same functions, same branch order, same literal
+    sets), parsed in a single py4j round-trip instead of one per literal
+    (~300 round-trips, ~0.2s of driver time per call for the 107
+    wildcard + 8 exception rules)."""
+    labels = f"split({host_sql}, '\\\\.')"
+
+    def last_k(k: int) -> str:
+        return f"array_join(slice({labels}, -{k}, {k}), '.')"
+
+    def in_list(k: int, values) -> str:
+        items = ", ".join(_sql_str(s) for s in sorted(values))
+        return f"{last_k(k)} IN ({items})"
+
+    # a candidate rule matches when the host's last ps_len labels ARE the
+    # rule; the longest match wins (array_max), other lanes merge below
+    exact_ps = (
+        "array_max(transform(filter(__psl_rs, "
+        f"e -> array_join(slice({labels}, -e.ps_len, e.ps_len), '.') = e.suffix), "
+        "e -> e.ps_len))"
+    )
+    # ascending iteration + wrapping ⇒ the LONGEST level is the
+    # outermost (first-evaluated) branch — longest matching rule wins
+    wild_ps = "1"
+    for b in sorted(rules.wild_bases):
+        wild_ps = (
+            f"CASE WHEN {in_list(b, rules.wild_bases[b])} "
+            f"THEN {b + 1} ELSE {wild_ps} END"
+        )
+    ps = f"greatest(1, {wild_ps}, coalesce({exact_ps}, 1))"
+    for k in sorted(rules.exceptions):
+        ps = (
+            f"CASE WHEN {in_list(k, rules.exceptions[k])} "
+            f"THEN {k - 1} ELSE {ps} END"
+        )
+    return (
+        f"CASE WHEN size({labels}) > ({ps}) "
+        f"THEN array_join(slice({labels}, -(({ps}) + 1), ({ps}) + 1), '.') "
+        f"ELSE {host_sql} END"
+    )
+
+
 def with_registrable_domain(
     df: DataFrame,
     host_col: str,
@@ -272,45 +322,22 @@ def with_registrable_domain(
     join (on the host's last-2-label tail; map-side, no shuffle of
     ``df``) retrieves the ≤5 exact rules sharing that tail, which a tiny
     per-row array filter then tests — every exact rule of any level is
-    found through its tail, so one probe replaces one-join-per-level."""
+    found through its tail, so one probe replaces one-join-per-level.
+    The wildcard/exception CASE chain is built as one parsed SQL string
+    (see _domain_expr_sql) — identical expression tree, one py4j
+    round-trip."""
     rules = rules or default_rules()
     spark = df.sparkSession
     rf = _rules_frame(spark, rules)
-    labels = F.split(F.col(host_col), r"\.")
+    host_sql = f"`{host_col}`"
+    labels_sql = f"split({host_sql}, '\\\\.')"
     work = (
-        df.withColumn("__psl_tail2", _last_k(labels, 2))
+        df.withColumn(
+            "__psl_tail2",
+            F.expr(f"array_join(slice({labels_sql}, -2, 2), '.')"),
+        )
         .join(F.broadcast(rf), on="__psl_tail2", how="left")
         .drop("__psl_tail2")
     )
-    # a candidate rule matches when the host's last ps_len labels ARE the
-    # rule; the longest match wins (array_max), other lanes merge below
-    exact_ps = F.array_max(
-        F.transform(
-            F.filter(
-                F.col("__psl_rs"),
-                lambda e: F.array_join(
-                    F.slice(labels, -e["ps_len"], e["ps_len"]), "."
-                )
-                == e["suffix"],
-            ),
-            lambda e: e["ps_len"],
-        )
-    )
-    # ascending iteration + wrapping ⇒ the LONGEST level is the
-    # outermost (first-evaluated) branch — longest matching rule wins
-    wild_ps = F.lit(1)
-    for b in sorted(rules.wild_bases):
-        wild_ps = F.when(
-            _last_k(labels, b).isin(*sorted(rules.wild_bases[b])), F.lit(b + 1)
-        ).otherwise(wild_ps)
-    ps = F.greatest(F.lit(1), wild_ps, F.coalesce(exact_ps, F.lit(1)))
-    for k in sorted(rules.exceptions):
-        ps = F.when(
-            _last_k(labels, k).isin(*sorted(rules.exceptions[k])), F.lit(k - 1)
-        ).otherwise(ps)
-    n = F.size(labels)
-    take = ps + F.lit(1)
-    dom = F.when(
-        n > ps, F.array_join(F.slice(labels, -take, take), ".")
-    ).otherwise(F.col(host_col))
+    dom = F.expr(_domain_expr_sql(rules, host_sql))
     return work.withColumn(out, dom).drop("__psl_rs")

@@ -484,7 +484,10 @@ class NessieServer:
 
     def start(self) -> "NessieServer":
         self._thread = threading.Thread(
-            target=self._httpd.serve_forever, daemon=True
+            # poll_interval: shutdown() blocks until the serve loop's next
+            # poll tick — the 0.5s default charges every gate that stops
+            # a server ~0.25s of pure latency; 10ms polls are free
+            target=lambda: self._httpd.serve_forever(poll_interval=0.01), daemon=True
         )
         self._thread.start()
         return self

@@ -1894,7 +1894,13 @@ class IcebergRestServer:
         return self._state.catalog
 
     def start(self) -> "IcebergRestServer":
-        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        # poll_interval: shutdown() blocks until the serve loop's next
+        # poll tick — the 0.5s default charges every gate that stops
+        # a server ~0.25s of pure latency; 10ms polls are free
+        t = threading.Thread(
+            target=lambda: self._httpd.serve_forever(poll_interval=0.01),
+            daemon=True,
+        )
         t.start()
         self._thread = t
         return self

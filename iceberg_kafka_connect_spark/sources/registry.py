@@ -298,7 +298,10 @@ class SchemaRegistryServer:
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.store = store
         self._thread = threading.Thread(
-            target=self._httpd.serve_forever, daemon=True
+            # poll_interval: shutdown() blocks until the serve loop's next
+            # poll tick — the 0.5s default charges every gate that stops
+            # a server ~0.25s of pure latency; 10ms polls are free
+            target=lambda: self._httpd.serve_forever(poll_interval=0.01), daemon=True
         )
         self._thread.start()
 
