@@ -2565,7 +2565,42 @@ class LakehouseTable:
             (path, *[_py(pv.get(c)) for c in cols])
             for path, pv in pvals.items()
         ]
-        pv_df = local_df(spark, rows, ["__pv_path", *cols])
+        # explicit DDL from the tuples' own type tags: a names-only schema
+        # sends createDataFrame through RDD schema INFERENCE — one
+        # rdd.first() Spark job per call (~0.2s), paid on every imported-
+        # manifest read group. The mapping matches what inference produced
+        # (int→bigint, str→string, date/ts from the tag), so the joined
+        # column types are unchanged; an unrecognized value type falls
+        # back to the inference path.
+        def _ddl_of(col: str) -> str | None:
+            for pv in pvals.values():
+                d = pv.get(col)
+                if d is None:
+                    continue
+                if d["t"] == "date":
+                    return "date"
+                if d["t"] == "ts":
+                    return "timestamp"
+                v = d["v"]
+                if isinstance(v, bool):
+                    return "boolean"
+                if isinstance(v, int):
+                    return "bigint"
+                if isinstance(v, float):
+                    return "double"
+                if isinstance(v, str):
+                    return "string"
+                return None
+            return None
+
+        ddls = [_ddl_of(c) for c in cols]
+        schema = (
+            "__pv_path string, "
+            + ", ".join(f"`{c}` {t}" for c, t in zip(cols, ddls))
+            if all(ddls)
+            else ["__pv_path", *cols]
+        )
+        pv_df = local_df(spark, rows, schema)
         return (
             df.withColumn(
                 "__pv_path", _fp_norm(F.col("_metadata.file_path"))
