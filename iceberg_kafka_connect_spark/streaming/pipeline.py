@@ -33,7 +33,12 @@ from pyspark.sql import types as T
 
 from ..config import SinkConfig
 from ..operators.cdc import cdc_op_col
-from ..routing import RouteSpec, RoutingConfig, plan_routes
+from ..routing import (
+    RouteSpec,
+    RoutingConfig,
+    plan_routes,
+    static_route_filter,
+)
 from ..schema import force_optional
 from ..sinks.catalog import Catalog
 
@@ -164,11 +169,38 @@ class SinkPipeline:
             # defers table CREATION to the first record,
             # IcebergWriterFactory.java:69-117). Without this, every idle
             # static route accrues one empty snapshot per trigger — pure
-            # metadata bloat at streaming cadence. isEmpty() is a LIMIT 1
-            # over the already-persisted batch, not a scan.
-            routed = {
-                name: df for name, df in routed.items() if not df.isEmpty()
-            }
+            # metadata bloat at streaming cadence. Emptiness is decided
+            # WITHOUT per-route isEmpty jobs wherever the mode already
+            # answers it: broadcast routes carry the full batch (proven
+            # non-empty above), and dynamic targets are the batch's own
+            # observed route values — non-empty by construction. Only
+            # static regex routes can be empty, and those are counted in
+            # ONE aggregation job instead of one LIMIT-1 job per table.
+            if (
+                not cfg.dynamic_enabled
+                and cfg.route_field is not None
+                and len(routed) > 0
+            ):
+                specs = [
+                    t for t in cfg.tables
+                    if t.route_regex is not None and t.name in routed
+                ]
+                aggs = [
+                    F.count(
+                        F.when(
+                            static_route_filter(
+                                cfg.route_field, t.route_regex
+                            ),
+                            True,
+                        )
+                    ).alias(f"__r{i}")
+                    for i, t in enumerate(specs)
+                ]
+                if aggs:
+                    counts = records.agg(*aggs).first()
+                    for i, t in enumerate(specs):
+                        if counts[f"__r{i}"] == 0:
+                            routed.pop(t.name, None)
             if cfg.commit_threads > 1 and len(routed) > 1:
                 # T8: parallel per-table commit (Coordinator.java:89,147-153).
                 # Spark job submission is thread-safe; each table's snapshot
