@@ -82,7 +82,12 @@ def bloom_contains(
     plan grows by O(num_bits/64) constants once — not per row, not per probe.
     """
     num_bits = len(words) * 64
-    arr = F.lit(words)
+    # one parsed expression, not F.lit(list): pyspark expands a list
+    # literal into one py4j lit() call PER ELEMENT (2048 round-trips,
+    # ~0.9s of driver time per probe build at the default width); the
+    # explicit L suffix pins array<bigint> so the bit tests see the same
+    # long arithmetic either way
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
     cond = F.lit(True)
     for i in range(num_hashes):
         pos = F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits))
