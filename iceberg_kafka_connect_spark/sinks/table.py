@@ -53,6 +53,41 @@ from .stats import collect_parquet_stats, file_may_match, split_conjuncts
 COMMIT_RETRIES = 3  # IcebergSinkConfig.java:103-104 (schema/create retries)
 MAIN = "main"
 
+import contextlib
+
+
+@contextlib.contextmanager
+def commit_sized_caches(spark: SparkSession):
+    """Let AQE right-size the cached frames a table mutation materializes
+    (optimization guide §2.2 "fewer, larger reduce partitions" / §6 small
+    files). The collapsed upsert batch, the MERGE mark frame and the DML
+    matched frames are persisted right after a shuffle; with
+    ``canChangeCachedPlanOutputPartitioning`` at its default (false) the
+    cache pins the raw shuffle width (defaultParallelism), so every tiny
+    commit fans into one file PER SHUFFLE PARTITION — 32 micro-files plus
+    32 footer stats per commit at local widths, and downstream
+    merge-on-read scans of the table pay one task per micro-file. With the
+    flag on, AQE coalesces the cached plan to its data size (parallelism-
+    first, so real-scale batches keep every core busy), which is exactly
+    the write.distribution guidance of guide §6. Scoped to the mutation
+    call rather than the session: analytics operators persist big shuffled
+    intermediates whose fixed width keeps the compute wide (measured: a
+    session-wide flag cost docs_span_dedup 1.23x, dedup_incremental
+    1.12x), so only commit-path caches opt in."""
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
 
 def _register_codecs_by_value() -> None:
     """Make the roaring/puffin codec modules cloudpickle BY VALUE, so
@@ -849,22 +884,24 @@ class LakehouseTable:
             batch = collapse_last_wins(batch, key_cols, order_cols)
         else:
             batch = batch.dropDuplicates(key_cols)
-        batch = batch.persist()
-        try:
-            keys = batch.select(*key_cols)
-            if op_col is not None and op_col in batch.columns:
-                inserts = batch.filter(F.col(op_col) != DELETE)
-            else:
-                inserts = batch
-            data = self._project(inserts, case_insensitive)
-            delete_files, data_files = self._write_delete_and_data(
-                keys, key_cols, data
-            )
-            return self._commit_snapshot(
-                "overwrite", data_files, delete_files, snapshot_props or {}, branch
-            )
-        finally:
-            batch.unpersist()
+        with commit_sized_caches(df.sparkSession):
+            batch = batch.persist()
+            try:
+                keys = batch.select(*key_cols)
+                if op_col is not None and op_col in batch.columns:
+                    inserts = batch.filter(F.col(op_col) != DELETE)
+                else:
+                    inserts = batch
+                data = self._project(inserts, case_insensitive)
+                delete_files, data_files = self._write_delete_and_data(
+                    keys, key_cols, data
+                )
+                return self._commit_snapshot(
+                    "overwrite", data_files, delete_files,
+                    snapshot_props or {}, branch,
+                )
+            finally:
+                batch.unpersist()
 
     def _written_rows(self, entries: list[dict]) -> int | None:
         """Total rows across freshly written parquet entries, read off
@@ -954,22 +991,23 @@ class LakehouseTable:
         from ..operators.cdc import DELETE, UPDATE
 
         if assume_unique:
-            batch = df.persist()
-            try:
-                keys = batch.filter(
-                    F.col(op_col).isin(UPDATE, DELETE)
-                ).select(*key_cols)
-                survivors = batch.filter(F.col(op_col) != DELETE)
-                data = self._project(survivors, case_insensitive)
-                delete_files, data_files = self._write_delete_and_data(
-                    keys, key_cols, data
-                )
-                return self._commit_snapshot(
-                    "overwrite", data_files, delete_files,
-                    snapshot_props or {}, branch,
-                )
-            finally:
-                batch.unpersist()
+            with commit_sized_caches(df.sparkSession):
+                batch = df.persist()
+                try:
+                    keys = batch.filter(
+                        F.col(op_col).isin(UPDATE, DELETE)
+                    ).select(*key_cols)
+                    survivors = batch.filter(F.col(op_col) != DELETE)
+                    data = self._project(survivors, case_insensitive)
+                    delete_files, data_files = self._write_delete_and_data(
+                        keys, key_cols, data
+                    )
+                    return self._commit_snapshot(
+                        "overwrite", data_files, delete_files,
+                        snapshot_props or {}, branch,
+                    )
+                finally:
+                    batch.unpersist()
 
         batch = df
         ord_cols = list(order_cols) if order_cols else []
@@ -983,35 +1021,38 @@ class LakehouseTable:
         )
         w_key = Window.partitionBy(*key_cols)
         is_ud = F.col(op_col).isin(UPDATE, DELETE)
-        batch = (
-            batch.withColumn("__rank", F.row_number().over(w_ord))
-            .withColumn(
-                "__ud_rank", F.max(F.when(is_ud, F.col("__rank"))).over(w_key)
-            )
-            .persist()
-        )
-        try:
-            keys = (
-                batch.filter(F.col("__ud_rank").isNotNull())
-                .select(*key_cols)
-                .distinct()
-            )
-            survivors = batch.filter(
-                (F.col(op_col) != DELETE)
-                & (
-                    F.col("__ud_rank").isNull()
-                    | (F.col("__rank") >= F.col("__ud_rank"))
+        with commit_sized_caches(df.sparkSession):
+            batch = (
+                batch.withColumn("__rank", F.row_number().over(w_ord))
+                .withColumn(
+                    "__ud_rank",
+                    F.max(F.when(is_ud, F.col("__rank"))).over(w_key),
                 )
-            ).drop("__rank", "__ud_rank", "__ord")
-            data = self._project(survivors, case_insensitive)
-            delete_files, data_files = self._write_delete_and_data(
-                keys, key_cols, data
+                .persist()
             )
-            return self._commit_snapshot(
-                "overwrite", data_files, delete_files, snapshot_props or {}, branch
-            )
-        finally:
-            batch.unpersist()
+            try:
+                keys = (
+                    batch.filter(F.col("__ud_rank").isNotNull())
+                    .select(*key_cols)
+                    .distinct()
+                )
+                survivors = batch.filter(
+                    (F.col(op_col) != DELETE)
+                    & (
+                        F.col("__ud_rank").isNull()
+                        | (F.col("__rank") >= F.col("__ud_rank"))
+                    )
+                ).drop("__rank", "__ud_rank", "__ord")
+                data = self._project(survivors, case_insensitive)
+                delete_files, data_files = self._write_delete_and_data(
+                    keys, key_cols, data
+                )
+                return self._commit_snapshot(
+                    "overwrite", data_files, delete_files,
+                    snapshot_props or {}, branch,
+                )
+            finally:
+                batch.unpersist()
 
     def merge(
         self,
@@ -1097,32 +1138,35 @@ class LakehouseTable:
                     assume_unique=True,
                 )
             others = [c for c in src.columns if c not in on]
-            grouped = src.groupBy(*on).agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[F.first(c).alias(c) for c in others],
-            ).persist()
-            try:
-                if (
-                    grouped.filter(F.col("__n") > 1).limit(1).count() > 0
-                ):
-                    _raise_dup()
-                return self.upsert(
-                    grouped.drop("__n"),
-                    on,
-                    branch=branch,
-                    snapshot_props=snapshot_props,
-                    assume_unique=True,
-                )
-            finally:
-                grouped.unpersist()
+            with commit_sized_caches(spark):
+                grouped = src.groupBy(*on).agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    *[F.first(c).alias(c) for c in others],
+                ).persist()
+                try:
+                    if (
+                        grouped.filter(F.col("__n") > 1).limit(1).count() > 0
+                    ):
+                        _raise_dup()
+                    return self.upsert(
+                        grouped.drop("__n"),
+                        on,
+                        branch=branch,
+                        snapshot_props=snapshot_props,
+                        assume_unique=True,
+                    )
+                finally:
+                    grouped.unpersist()
         tgt_keys = (
             self.read(spark, branch=branch)
             .select(*on)
             .distinct()
             .withColumn("__matched", F.lit(True))
         )
-        marked = src.join(tgt_keys, on=on, how="left").persist()
-        try:
+        with contextlib.ExitStack() as _stack:
+            _stack.enter_context(commit_sized_caches(spark))
+            marked = src.join(tgt_keys, on=on, how="left").persist()
+            _stack.callback(marked.unpersist)
             if not assume_unique and (
                 marked.groupBy(*on)
                 .count()
@@ -1195,8 +1239,6 @@ class LakehouseTable:
                 snapshot_props or {},
                 branch,
             )
-        finally:
-            marked.unpersist()
 
     def delete_where(
         self,
@@ -1355,38 +1397,39 @@ class LakehouseTable:
         unknown = set(assignments) - {f.name for f in self.read_schema().fields}
         if unknown:
             raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
-        matched = self.read(spark, branch=branch, where=where).persist()
-        try:
-            keys = matched.select(*key_cols).distinct()
-            updated = matched.withColumns(
-                {c: F.expr(e) for c, e in assignments.items()}
-            )
-            # write-first (see delete_where): the two concurrent writes
-            # materialize the persisted scan once; the no-match case is
-            # detected from the written footers instead of a prior
-            # isEmpty job, discards the empty dirs, and still commits
-            # nothing. Non-parquet formats keep the pre-write check.
-            if self.file_format() != "parquet":
-                if matched.isEmpty():
+        with commit_sized_caches(spark):
+            matched = self.read(spark, branch=branch, where=where).persist()
+            try:
+                keys = matched.select(*key_cols).distinct()
+                updated = matched.withColumns(
+                    {c: F.expr(e) for c, e in assignments.items()}
+                )
+                # write-first (see delete_where): the two concurrent writes
+                # materialize the persisted scan once; the no-match case is
+                # detected from the written footers instead of a prior
+                # isEmpty job, discards the empty dirs, and still commits
+                # nothing. Non-parquet formats keep the pre-write check.
+                if self.file_format() != "parquet":
+                    if matched.isEmpty():
+                        return None
+                delete_files, data_files = self._write_delete_and_data(
+                    keys, key_cols, self._project(updated)
+                )
+                if (
+                    self.file_format() == "parquet"
+                    and self._written_rows(delete_files) == 0
+                ):
+                    self._discard_written(delete_files + data_files)
                     return None
-            delete_files, data_files = self._write_delete_and_data(
-                keys, key_cols, self._project(updated)
-            )
-            if (
-                self.file_format() == "parquet"
-                and self._written_rows(delete_files) == 0
-            ):
-                self._discard_written(delete_files + data_files)
-                return None
-            return self._commit_snapshot(
-                "overwrite",
-                data_files,
-                delete_files,
-                snapshot_props or {},
-                branch,
-            )
-        finally:
-            matched.unpersist()
+                return self._commit_snapshot(
+                    "overwrite",
+                    data_files,
+                    delete_files,
+                    snapshot_props or {},
+                    branch,
+                )
+            finally:
+                matched.unpersist()
 
     def update_where_positions(
         self,
@@ -1420,27 +1463,28 @@ class LakehouseTable:
         )
         rows = self._apply_deletes(spark, rows, delete_files)
         prefix = os.path.abspath(self.root) + "/"
-        matched = rows.filter(where).persist()
-        try:
-            if matched.isEmpty():
-                return None
-            positions = matched.select(
-                _fp_store(F.col("__fp"), prefix).alias("file_path"),
-                F.col("__pos").alias("pos"),
-            )
-            dfiles = [
-                {**f, "delete_type": "position"}
-                for f in self._write_files(positions, "deletes")
-            ]
-            updated = matched.drop("__fp", "__pos", "__seq").withColumns(
-                {c: F.expr(e) for c, e in assignments.items()}
-            )
-            data = self._write_files(self._project(updated), "data")
-            return self._commit_snapshot(
-                "overwrite", data, dfiles, snapshot_props or {}, branch
-            )
-        finally:
-            matched.unpersist()
+        with commit_sized_caches(spark):
+            matched = rows.filter(where).persist()
+            try:
+                if matched.isEmpty():
+                    return None
+                positions = matched.select(
+                    _fp_store(F.col("__fp"), prefix).alias("file_path"),
+                    F.col("__pos").alias("pos"),
+                )
+                dfiles = [
+                    {**f, "delete_type": "position"}
+                    for f in self._write_files(positions, "deletes")
+                ]
+                updated = matched.drop("__fp", "__pos", "__seq").withColumns(
+                    {c: F.expr(e) for c, e in assignments.items()}
+                )
+                data = self._write_files(self._project(updated), "data")
+                return self._commit_snapshot(
+                    "overwrite", data, dfiles, snapshot_props or {}, branch
+                )
+            finally:
+                matched.unpersist()
 
     def evolve_schema(self, incoming: T.StructType) -> bool:
         """§1.3 #3: add missing columns (including nested struct fields,

@@ -49,6 +49,8 @@ def mirror_changes(
     last = dst.last_summary_value(_MARKER)
     if last == head:
         return None
+    from ..sinks.table import commit_sized_caches
+
     ch = src.changes_between(spark, last, head, branch=branch)
     # net effect per key: the change with the highest (ordinal, insert>delete)
     # wins — an upsert snapshot emits delete+insert at one ordinal and the
@@ -57,38 +59,41 @@ def mirror_changes(
         F.col("_change_ordinal").desc(),
         (F.col("_change_type") == "insert").desc(),
     )
-    net = (
-        ch.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "_change_snapshot_id", "_change_ordinal")
-        .withColumn(
-            "__op",
-            F.when(F.col("_change_type") == "delete", F.lit(DELETE)).otherwise(
-                F.lit(UPDATE)
-            ),
-        )
-        .drop("_change_type")
-        # the upsert consumes this twice (delete keys + inserts) on top of
-        # the emptiness probe — persist so the changelog scan runs once
-        .persist()
-    )
-    try:
-        if net.isEmpty():
-            # row-less range (e.g. empty appends moved the head): advance
-            # the marker with an empty append so the next poll doesn't
-            # re-read the whole stale range — O(new files) stays true
-            return dst._commit_snapshot(
-                "append", [], [], {_MARKER: head}, branch
+    with commit_sized_caches(spark):
+        net = (
+            ch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "_change_snapshot_id", "_change_ordinal")
+            .withColumn(
+                "__op",
+                F.when(
+                    F.col("_change_type") == "delete", F.lit(DELETE)
+                ).otherwise(F.lit(UPDATE)),
             )
-        return dst.upsert(
-            net,
-            key_cols=key_cols,
-            op_col="__op",
-            upsert_mode=False,
-            snapshot_props={_MARKER: head},
-            # the row_number collapse above guarantees one row per key —
-            # skip the per-op arrival-order window entirely
-            assume_unique=True,
+            .drop("_change_type")
+            # the upsert consumes this twice (delete keys + inserts) on top
+            # of the emptiness probe — persist so the changelog scan runs
+            # once
+            .persist()
         )
-    finally:
-        net.unpersist()
+        try:
+            if net.isEmpty():
+                # row-less range (e.g. empty appends moved the head):
+                # advance the marker with an empty append so the next poll
+                # doesn't re-read the whole stale range — O(new files)
+                # stays true
+                return dst._commit_snapshot(
+                    "append", [], [], {_MARKER: head}, branch
+                )
+            return dst.upsert(
+                net,
+                key_cols=key_cols,
+                op_col="__op",
+                upsert_mode=False,
+                snapshot_props={_MARKER: head},
+                # the row_number collapse above guarantees one row per key —
+                # skip the per-op arrival-order window entirely
+                assume_unique=True,
+            )
+        finally:
+            net.unpersist()
